@@ -1,0 +1,326 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.
+  *
+  * Parity rules (SURVEY.md §5): identical aliases; money aggregates via
+  * DECIMAL(18,4) casts then CAST AS DOUBLE; timestamps surfaced as
+  * epoch-second BIGINTs (`epoch_ms(ts)//1000` == Spark's
+  * `unix_timestamp`); float stats ROUND(x,4); DuckDB regexp_replace
+  * needs the 'g' flag to match Spark's global replace; integer-sum
+  * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
+  *
+  * Keys intentionally omitted (rows-only check): q24/q25 (xxhash64
+  * seed-specific buckets), q28/q38 (LSH recall<1), q21 (HLL impl
+  * differs), q33/q34 (streaming emission), q39 (stubbed decode).
+  */
+object OracleSql {
+
+  private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val wordsOf = s"string_split($normText, ' ')"
+
+  def sql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q2_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, UPPER(o_orderpriority) AS prio
+         FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q3_stream_table_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT o_custkey) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "q4_multi_join" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT l_linenumber) AS n_lines
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_tumbling" ->
+      """SELECT (epoch_ms(ts)//1000//300)*300 AS window_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         (epoch_ms(ts)//1000//300)*300 + 300 AS window_end
+         FROM events GROUP BY 1, 2, 5""",
+
+    "q6_sliding" ->
+      """SELECT window_start, event_type, COUNT(*) AS n_events,
+                window_start + 600 AS window_end
+         FROM (SELECT event_type,
+                 unnest(generate_series((epoch_ms(ts)//1000//300)*300 - 300,
+                                        (epoch_ms(ts)//1000//300)*300, 300)) AS window_start
+               FROM events)
+         WHERE window_start >= 0 GROUP BY 1, 2""",
+
+    "q7_session" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts)//1000 AS ep FROM events),
+         f AS (
+           SELECT user_id, ep,
+             CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800
+                  THEN 1 ELSE 0 END AS ns
+           FROM e),
+         g AS (
+           SELECT user_id, ep,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ep
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f)
+         SELECT user_id, COUNT(*) AS n_events, MIN(ep) AS session_start,
+                MAX(ep) AS session_end
+         FROM g GROUP BY user_id, sid""",
+
+    "q8_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+         ROW_NUMBER() OVER bydate AS rn,
+         RANK() OVER byprice AS rk,
+         DENSE_RANK() OVER byprice AS drk,
+         LAG(o_totalprice, 1) OVER bydate AS prev_price,
+         LEAD(o_totalprice, 1) OVER bydate AS next_price,
+         NTILE(4) OVER bydate AS bucket
+         FROM orders
+         WINDOW bydate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                byprice AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+
+    "q9_rows_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+
+    "q10_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+         FROM orders GROUP BY o_custkey
+         HAVING COUNT(*) >= 3 AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 300000.0""",
+
+    "q11_in_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderstatus = 'F' AND o_totalprice < 50000.0)""",
+
+    "q12_exists" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'P')""",
+
+    "q13_scalar_subquery" ->
+      """SELECT o_custkey, MAX(o_totalprice) AS max_price
+         FROM orders GROUP BY o_custkey
+         HAVING MAX(o_totalprice) >
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) FROM orders)""",
+
+    "q14_interval_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_shipped_90d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           AND l_shipdate >= o_orderdate + INTERVAL 0 SECOND
+           AND l_shipdate <= o_orderdate + INTERVAL 7776000 SECOND
+         GROUP BY l_returnflag""",
+
+    "q15_stats" ->
+      """SELECT l_returnflag,
+         ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+         ROUND(var_samp(l_quantity), 4) AS var_qty,
+         ROUND(stddev_pop(l_quantity), 4) AS sdp_qty,
+         ROUND(var_pop(l_quantity), 4) AS varp_qty,
+         ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+         ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+         ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+         ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+         ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_pq,
+         ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2_pq
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+         median(l_quantity) AS med_qty,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25_price,
+         percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS pd50_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q17_string_funcs" ->
+      """SELECT p_partkey,
+         UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+         SUBSTRING(p_name, 1, 5) AS name5, LENGTH(p_name) AS name_len,
+         CONCAT(p_brand, '-', p_type) AS brand_type,
+         REPLACE(p_type, ' ', '_') AS type_u,
+         SUBSTRING(p_name, 1, 3) AS l3,
+         CASE WHEN LENGTH(p_name) >= 3 THEN SUBSTRING(p_name, LENGTH(p_name) - 2, 3) ELSE p_name END AS r3,
+         STRPOS(p_name, 'a') AS pos_a,
+         TRIM(p_name) AS trimmed,
+         regexp_matches(p_name, '^[a-m]') AS starts_am
+         FROM part""",
+
+    "q18_datetime_funcs" ->
+      """SELECT o_orderkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+         CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d,
+         CAST(EXTRACT(HOUR FROM o_orderdate) AS INTEGER) AS h,
+         strftime(o_orderdate, '%Y-%m-%d') AS ds,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+         epoch_ms(o_orderdate)//1000 AS epoch_s,
+         (epoch_ms(o_orderdate)//1000//86400)*86400 AS day_bucket
+         FROM orders""",
+
+    "q19_conditional" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 250000.0 THEN 'high'
+              WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS price_band,
+         COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+         CAST(o_orderkey AS VARCHAR) AS key_str
+         FROM orders""",
+
+    "q20_string_agg" ->
+      """SELECT r_name,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations,
+         COUNT(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q22_first_last" ->
+      """SELECT o_custkey,
+         arg_min(epoch_ms(o_orderdate)//1000, o_orderkey) AS first_order_epoch,
+         arg_max(o_totalprice, o_orderkey) AS last_order_price,
+         MIN(o_orderkey) AS first_orderkey
+         FROM orders GROUP BY o_custkey""",
+
+    "q23_dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY $normText""",
+
+    "q26_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len($wordsOf) - 2, 1)),
+             i -> array_to_string($wordsOf[i:i+2], ' '))) AS shingles
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.shingles AS sa, b.shingles AS sb
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 = 0)
+         SELECT id_a, id_b,
+           len(list_intersect(sa, sb)) AS inter,
+           len(list_distinct(list_concat(sa, sb))) AS uni,
+           CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jaccard
+         FROM pairs""",
+
+    "q27_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM q, c WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rk
+         FROM ranked WHERE rk <= 10""",
+
+    "q29_lang_id" -> {
+      val langs = Map(
+        "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+        "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"))
+      def score(l: String) = {
+        val lst = langs(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
+      }
+      s"""WITH t AS (SELECT doc_id, lang, $wordsOf AS ws FROM documents),
+         s AS (SELECT doc_id, lang,
+           ${score("de")} AS s_de, ${score("en")} AS s_en,
+           ${score("es")} AS s_es, ${score("fr")} AS s_fr FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS detected
+         FROM s"""
+    },
+
+    "q30_text_quality" ->
+      s"""SELECT doc_id,
+         ROUND(CAST(LENGTH(text) AS DOUBLE), 4) AS n_chars_m,
+         ROUND(CAST(len($wordsOf) AS DOUBLE), 4) AS n_words,
+         ROUND((CAST(LENGTH($normText) AS DOUBLE) - (len($wordsOf) - 1))
+               / greatest(CAST(len($wordsOf) AS DOUBLE), 1.0), 4) AS mean_word_len,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS upper_ratio,
+         ROUND(CAST(len(list_filter($wordsOf, w -> list_contains(['the','and','of','to','in','is','that','for','with','was'], w))) AS DOUBLE)
+               / greatest(CAST(len($wordsOf) AS DOUBLE), 1.0), 4) AS stopword_ratio
+         FROM documents""",
+
+    "q31_token_count" ->
+      s"""SELECT doc_id,
+         len($wordsOf) AS n_tokens_ws,
+         LENGTH(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', '#', 'g'))
+           - LENGTH(REPLACE(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', '#', 'g'), '#', '')) AS n_tokens_bpe
+         FROM documents""",
+
+    "q32_fingerprint" ->
+      s"""SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+           generate_series(1, LENGTH($normText)),
+           i -> CAST(ascii($normText[i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents""",
+
+    "q35_json_funcs" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 END) AS n_big_k
+         FROM events GROUP BY event_type""",
+
+    "q36_array_map" ->
+      """SELECT l_orderkey, l_linenumber,
+         len([l_returnflag, l_linestatus]) AS n_flags,
+         list_contains([l_returnflag, l_linestatus], 'R') AS has_r,
+         [l_returnflag, l_linestatus][1] AS first_flag
+         FROM lineitem""",
+
+    "q37_decimal_agg" ->
+      """SELECT l_returnflag,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_exact,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax_amt
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q40_topn_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rk <= 3"""
+  )
+}

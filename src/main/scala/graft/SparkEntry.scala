@@ -1,13 +1,418 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.api.Tables
+import graft.functions.VeloFunctions._
+import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis, TimeWindows}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (one `queries` entry per
+  * operator) and §5 (oracle-parity rules: decimal casts for money sums,
+  * epoch-second BIGINTs for timestamps, ROUND(x,4) for float stats,
+  * identical aliases on both sides).
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
+
+  /** money aggregate → exact decimal sum surfaced as double. */
+  private def dsum(c: Column): Column = sum(money(c)).cast("double")
+  /** decimal-exact average surfaced as double (sum/count, both exact). */
+  private def davg(c: Column): Column = sum(money(c)).cast("double") / count(c)
+  private def epochS(c: Column): Column = unix_timestamp(c)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- 1. GROUP BY aggregation (TPC-H Q1 shape) ----
+    "q1_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))).cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- 2. filter + project + ORDER BY + LIMIT ----
+    "q2_filter_project" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          veloUpper(col("o_orderpriority")).as("prio"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- 3. stream-table broadcast join ----
+    "q3_stream_table_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      Joins.streamTable(o, c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    }),
+
+    // ---- 4. 3-way join + agg + top-N (TPC-H Q3 shape) ----
+    "q4_multi_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      Joins.streamTable(o, c, o("o_custkey") === c("c_custkey"))
+        .join(l, col("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))).cast("double").as("revenue"),
+          countDistinct(col("l_linenumber")).as("n_lines"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- 5. WINDOW TUMBLING ----
+    "q5_tumbling" -> ((s, dir) => {
+      TimeWindows.tumbling(T(s, dir, "events"), "ts", 300L,
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value")))
+    }),
+
+    // ---- 6. WINDOW SLIDING ----
+    "q6_sliding" -> ((s, dir) => {
+      TimeWindows.sliding(T(s, dir, "events"), "ts", 600L, 300L,
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n_events")))
+    }),
+
+    // ---- 7. WINDOW SESSION (gaps-and-islands batch realization) ----
+    "q7_session" -> ((s, dir) => {
+      TimeWindows.sessionize(
+        T(s, dir, "events").withColumn("ep", epochS(col("ts"))),
+        "ep", 1800L, Seq(col("user_id")), Seq(col("event_id")),
+        Seq(count(lit(1)).as("n_events"), min(col("ep")).as("session_start"),
+          max(col("ep")).as("session_end")))
+    }),
+
+    // ---- 8. window (analytic) functions ----
+    "q8_window_funcs" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(byDate).cast("long").as("rn"),
+        rank().over(byPrice).cast("long").as("rk"),
+        dense_rank().over(byPrice).cast("long").as("drk"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        ntile(4).over(byDate).cast("long").as("bucket"))
+    }),
+
+    // ---- 9. moving aggregate over ROWS frame (ROWS WINDOW analog) ----
+    "q9_rows_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-4, 0)
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        (sum(money(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg_qty"))
+    }),
+
+    // ---- 10. HAVING ----
+    "q10_having" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 3 && col("total_spent") > 300000.0)
+    }),
+
+    // ---- 11. IN / NOT IN subquery (semi/anti join realization) ----
+    "q11_in_subquery" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val big = T(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      val cancelled = T(s, dir, "orders").filter(col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(big, Seq("c_custkey"), "left_semi")
+        .join(cancelled, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // ---- 12. EXISTS / NOT EXISTS ----
+    "q12_exists" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val urgent = T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      val open = T(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(urgent, Seq("c_custkey"), "left_semi")
+        .join(open, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // ---- 13. scalar + correlated subquery ----
+    "q13_scalar_subquery" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("max_price"))
+      val global = o.agg(davg(col("o_totalprice")).as("gavg"))
+      perCust.crossJoin(broadcast(global))
+        .filter(col("max_price") > col("gavg"))
+        .select(col("o_custkey"), col("max_price"))
+    }),
+
+    // ---- 14. stream-stream interval join ----
+    "q14_interval_join" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      Joins.interval(o, l, o("o_orderkey") === l("l_orderkey"),
+          o("o_orderdate"), l("l_shipdate"), 0L, 90L * 86400L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_shipped_90d"),
+          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))).cast("double").as("revenue"))
+    }),
+
+    // ---- 15. statistical aggregates ----
+    "q15_stats" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("stddev_samp(l_quantity)"), 4).as("sd_qty"),
+        round(expr("var_samp(l_quantity)"), 4).as("var_qty"),
+        round(expr("stddev_pop(l_quantity)"), 4).as("sdp_qty"),
+        round(expr("var_pop(l_quantity)"), 4).as("varp_qty"),
+        round(expr("corr(l_quantity, l_extendedprice)"), 4).as("corr_qp"),
+        round(expr("covar_pop(l_quantity, l_extendedprice)"), 4).as("covp_qp"),
+        round(expr("covar_samp(l_quantity, l_extendedprice)"), 4).as("covs_qp"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope_pq"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept_pq"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2_pq"))
+    }),
+
+    // ---- 16. MEDIAN / PERCENTILE_CONT / PERCENTILE_DISC ----
+    "q16_percentiles" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        expr("median(l_quantity)").as("med_qty"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25_price"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90_price"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("pd50_qty"))
+    }),
+
+    // ---- 17. string function surface ----
+    "q17_string_funcs" -> ((s, dir) => {
+      val p = T(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        veloUpper(col("p_name")).as("uname"),
+        veloLower(col("p_brand")).as("lbrand"),
+        veloSubstring(col("p_name"), 1, 5).as("name5"),
+        veloLength(col("p_name")).cast("long").as("name_len"),
+        veloConcat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        veloReplace(col("p_type"), " ", "_").as("type_u"),
+        veloLeft(col("p_name"), 3).as("l3"),
+        veloRight(col("p_name"), 3).as("r3"),
+        veloPosition("a", col("p_name")).cast("long").as("pos_a"),
+        veloTrim(col("p_name")).as("trimmed"),
+        veloRegexp(col("p_name"), "^[a-m]").as("starts_am"))
+    }),
+
+    // ---- 18. date/time function surface ----
+    "q18_datetime_funcs" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.select(
+        col("o_orderkey"),
+        veloExtract("YEAR", col("o_orderdate")).cast("long").as("y"),
+        veloExtract("MONTH", col("o_orderdate")).cast("long").as("m"),
+        veloExtract("DAY", col("o_orderdate")).cast("long").as("d"),
+        veloExtract("HOUR", col("o_orderdate")).cast("long").as("h"),
+        veloDateFormat(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+        veloDateDiff(col("o_orderdate"), to_timestamp(lit("1998-01-01"))).cast("long").as("days_to_98"),
+        veloUnixTimestamp(col("o_orderdate")).as("epoch_s"),
+        tumbleStart(col("o_orderdate"), 86400L).as("day_bucket"))
+    }),
+
+    // ---- 19. CASE / COALESCE / NULLIF / CAST ----
+    "q19_conditional" -> ((s, dir) => {
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 250000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("price_band"),
+        veloCoalesce(veloNullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        veloCast(col("o_orderkey"), "string").as("key_str"))
+    }),
+
+    // ---- 20. STRING_AGG / LISTAGG (deterministic: sorted) ----
+    "q20_string_agg" -> ((s, dir) => {
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      Joins.streamTable(n, r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+    }),
+
+    // ---- 21. APPROX_COUNT_DISTINCT (approx → rows-only check) ----
+    "q21_approx_distinct" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    // ---- 22. FIRST / LAST per group (min_by/max_by realization) ----
+    "q22_first_last" -> ((s, dir) => {
+      T(s, dir, "orders").groupBy(col("o_custkey")).agg(
+        min_by(epochS(col("o_orderdate")), col("o_orderkey")).as("first_order_epoch"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("last_order_price"),
+        min(col("o_orderkey")).as("first_orderkey"))
+    }),
+
+    // ---- 23. exact dedup ----
+    "q23_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("keep_id"), col("dup_count"))
+    }),
+
+    // ---- 24. MinHash + LSH near-dup (hash-seed-specific → rows-only) ----
+    "q24_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(T(s, dir, "documents"), "text", "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+    }),
+
+    // ---- 25. SimHash near-dup (rows-only) ----
+    "q25_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(T(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // ---- 26. exact n-gram Jaccard on a deterministic candidate set ----
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = d.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("id_a"))
+        .withColumn("id_b", col("id_a") + 1)
+      Dedup.ngramJaccard(pairs, d, "text", "doc_id")
+        .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"), col("jaccard"))
+    }),
+
+    // ---- 27. brute-force cosine top-k ANN ----
+    "q27_ann_bruteforce" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+    }),
+
+    // ---- 28. LSH-bucketed ANN (recall<1 → rows-only) ----
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 64)
+    }),
+
+    // ---- 29. language-ID heuristic ----
+    "q29_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("detected"))
+    }),
+
+    // ---- 30. text quality scoring ----
+    "q30_text_quality" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val metrics = TextAnalysis.qualityMetrics(col("text"))
+      d.select(col("doc_id") +: metrics.map { case (n, c) => round(c, 4).as(n) }: _*)
+    }),
+
+    // ---- 31. token counting (whitespace + BPE-ish) ----
+    "q31_token_count" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
+    }),
+
+    // ---- 32. document fingerprint (rolling hash) ----
+    "q32_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- 33. EMIT CHANGES analog: update-mode streaming agg (rows-only) ----
+    "q33_emit_changes" -> ((s, dir) => {
+      val stream = Tables.loadStream(s, dir, "events")
+      val agg = stream.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      val q = graft.streaming.StreamOps.runToMemory(agg, "emit_changes_out",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      q.stop()
+      s.table("emit_changes_out")
+    }),
+
+    // ---- 34. EMIT FINAL analog: append-mode tumbling window + watermark (rows-only) ----
+    "q34_tumbling_stream" -> ((s, dir) => {
+      val stream = Tables.loadStream(s, dir, "events")
+      val agg = graft.streaming.StreamOps.tumblingAgg(stream, "ts", "5 minutes", "10 minutes",
+        Seq("event_type"), Seq("count(1)" -> "n", "sum(value)" -> "total"))
+      val q = graft.streaming.StreamOps.runToMemory(agg, "tumbling_stream_out",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      q.stop()
+      s.table("tumbling_stream_out")
+        .select(unix_timestamp(col("window_start")).as("window_start"), col("event_type"), col("n"), col("total"))
+    }),
+
+    // ---- 35. JSON functions ----
+    "q35_json_funcs" -> ((s, dir) => {
+      T(s, dir, "events")
+        .withColumn("k", jsonExtract(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_big_k"))
+    }),
+
+    // ---- 36. ARRAY construction / access ----
+    "q36_array_map" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      l.select(
+        col("l_orderkey"), col("l_linenumber"),
+        veloArray(col("l_returnflag"), col("l_linestatus")).as("flags"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          arrayLength(col("flags")).cast("long").as("n_flags"),
+          arrayContains(col("flags"), "R").as("has_r"),
+          element_at(col("flags"), 1).as("first_flag"))
+    }),
+
+    // ---- 37. exact decimal arithmetic (ScaledInteger analog) ----
+    "q37_decimal_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").cast("string").as("sum_exact"),
+        sum(money(col("l_extendedprice")) * money(col("l_tax"))).cast("double").as("sum_tax_amt"))
+    }),
+
+    // ---- 38. embedding-cosine near-dup pairs (LSH recall<1 → rows-only) ----
+    "q38_embed_dedup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 64, 0.3)
+    }),
+
+    // ---- 39. multimodal binary pipeline, stubbed decode (rows-only) ----
+    "q39_multimodal" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+
+    // ---- 40. Top-N per group ----
+    "q40_topn_per_group" -> ((s, dir) => {
+      val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      val joined = Joins.streamTable(o, c, o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    })
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

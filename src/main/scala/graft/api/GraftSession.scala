@@ -1,0 +1,73 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory tuned for the graft engine.
+  *
+  * Mirrors the reference engine's server bootstrap
+  * (reference: src/velostream/server/ — multi-job SQL server) but as a
+  * Spark session: one session hosts many concurrent queries/jobs.
+  *
+  * Scale notes: AQE on (runtime re-plan, skew-join splitting,
+  * partition coalescing); shuffle.partitions sized for local[32] here,
+  * AQE-coalesced on a real cluster.
+  */
+object GraftSession {
+  def apply(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's
+      // vectorized reader rejects; read as long and convert in the loader.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated test tables. Single parquet file per
+  * table; on a real deployment these would be partitioned directories —
+  * the read path is identical (`spark.read.parquet` handles both).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** With `nanosAsLong`, nano-precision timestamp columns surface as
+    * LongType nanos; convert to TimestampType (micros — Spark's native
+    * precision) so downstream code sees real timestamps.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else d
+    }
+
+  /** Streaming read of one table (file source) with the same ts
+    * normalization — the Kafka-topic analog in this environment.
+    */
+  def loadStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet").schema
+    normalizeTs(spark.readStream.schema(raw)
+      .option("pathGlobFilter", s"$name.parquet").parquet(sfDir))
+  }
+
+  /** Small dimension tables — always broadcast-join these.
+    * At 100 TB the fact tables (lineitem/orders/events/documents) are
+    * the only ones that scale with SF; dims stay broadcastable.
+    */
+  val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference engine's scalar/aggregate function surface, re-expressed
+  * as Spark `Column` combinators (codegen'd built-ins wherever possible).
+  *
+  * Catalog source: reference docs/sql/FUNCTION_CATALOG.md (75 functions)
+  * and src/velostream/sql/execution/expression/. Names follow the
+  * reference (velostream is case-insensitive; we expose lowerCamel).
+  *
+  * Everything here stays inside WholeStageCodegen — no Scala UDFs.
+  */
+object VeloFunctions {
+
+  // ---- Math (reference: FUNCTION_CATALOG.md "Math Functions") ----
+  def veloAbs(c: Column): Column = abs(c)
+  def veloRound(c: Column, scale: Int = 0): Column = round(c, scale)
+  def veloCeil(c: Column): Column = ceil(c)
+  def veloFloor(c: Column): Column = floor(c)
+  def veloSqrt(c: Column): Column = sqrt(c)
+  def veloPower(c: Column, p: Column): Column = pow(c, p)
+  def veloMod(a: Column, b: Column): Column = a % b
+  def veloLeast(cs: Column*): Column = least(cs: _*)
+  def veloGreatest(cs: Column*): Column = greatest(cs: _*)
+
+  // ---- String (reference: string function table) ----
+  def veloUpper(c: Column): Column = upper(c)
+  def veloLower(c: Column): Column = lower(c)
+  /** 1-based SUBSTRING(str, pos, len) — same semantics as the reference. */
+  def veloSubstring(c: Column, pos: Int, len: Int): Column = substring(c, pos, len)
+  def veloReplace(c: Column, find: String, repl: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(find), java.util.regex.Matcher.quoteReplacement(repl))
+  def veloTrim(c: Column): Column = trim(c)
+  def veloLtrim(c: Column): Column = ltrim(c)
+  def veloRtrim(c: Column): Column = rtrim(c)
+  def veloLength(c: Column): Column = length(c)
+  def veloConcat(cs: Column*): Column = concat(cs: _*)
+  def veloSplit(c: Column, sep: String): Column = split(c, java.util.regex.Pattern.quote(sep))
+  /** JOIN(array, sep) — reference's array-join. */
+  def veloJoin(c: Column, sep: String): Column = array_join(c, sep)
+  def veloLeft(c: Column, n: Int): Column = substring(c, 1, n)
+  def veloRight(c: Column, n: Int): Column = substring(c, -n, n)
+  /** 1-based POSITION(needle IN haystack); 0 when absent. */
+  def veloPosition(needle: String, haystack: Column): Column = instr(haystack, needle)
+  /** REGEXP(str, pattern) — true when the pattern matches anywhere. */
+  def veloRegexp(c: Column, pattern: String): Column = c.rlike(pattern)
+
+  // ---- Date/Time (reference: date/time table) ----
+  def veloNow(): Column = current_timestamp()
+  def veloExtract(field: String, ts: Column): Column = field.toUpperCase match {
+    case "YEAR"   => year(ts)
+    case "MONTH"  => month(ts)
+    case "DAY"    => dayofmonth(ts)
+    case "HOUR"   => hour(ts)
+    case "MINUTE" => minute(ts)
+    case "SECOND" => second(ts)
+    case "DOW"    => dayofweek(ts) - lit(1) // 0=Sunday, matches DuckDB/postgres dow
+    case "DOY"    => dayofyear(ts)
+    case "WEEK"   => weekofyear(ts)
+    case other    => throw new IllegalArgumentException(s"EXTRACT field $other")
+  }
+  def veloDateFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
+  /** DATEDIFF in whole days (b - a). */
+  def veloDateDiff(a: Column, b: Column): Column = datediff(b, a)
+  def veloUnixTimestamp(ts: Column): Column = unix_timestamp(ts)
+  def veloFromUnixtime(epoch: Column): Column = to_timestamp(from_unixtime(epoch))
+  /** TUMBLE_START: epoch-aligned bucket start (seconds). */
+  def tumbleStart(ts: Column, sizeSeconds: Long): Column =
+    (floor(unix_timestamp(ts) / sizeSeconds) * sizeSeconds).cast("long")
+  def tumbleEnd(ts: Column, sizeSeconds: Long): Column =
+    tumbleStart(ts, sizeSeconds) + lit(sizeSeconds)
+
+  // ---- Conditional ----
+  def veloCoalesce(cs: Column*): Column = coalesce(cs: _*)
+  def veloNullif(a: Column, b: Column): Column = nullif(a, b)
+  def veloCast(c: Column, to: String): Column = c.cast(to)
+
+  // ---- JSON (reference: JSON_EXTRACT / JSON_VALUE over payload strings) ----
+  /** JSON_EXTRACT(json, '$.path') — JSON text of the matched node. */
+  def jsonExtract(c: Column, path: String): Column = get_json_object(c, path)
+  /** JSON_VALUE — scalar string value at path (same as extract for scalars). */
+  def jsonValue(c: Column, path: String): Column = get_json_object(c, path)
+
+  // ---- Array / Map ----
+  def veloArray(cs: Column*): Column = array(cs: _*)
+  def veloStruct(cs: Column*): Column = struct(cs: _*)
+  def veloMap(cs: Column*): Column = map(cs: _*)
+  def arrayLength(c: Column): Column = size(c)
+  def arrayContains(c: Column, v: Any): Column = array_contains(c, v)
+  def mapKeys(c: Column): Column = map_keys(c)
+  def mapValues(c: Column): Column = map_values(c)
+
+  // ---- Kafka-header analogs ----
+  // The reference reads Kafka record headers (HEADER('k'), HAS_HEADER...).
+  // Spark's kafka source exposes them as an array<struct<key,value>>; our
+  // canonical in-DataFrame shape is a map<string,string> column `_headers`.
+  def header(headers: Column, key: String): Column = element_at(headers, key)
+  def hasHeader(headers: Column, key: String): Column = element_at(headers, key).isNotNull
+  def headerKeys(headers: Column): Column = map_keys(headers)
+  def setHeader(headers: Column, key: String, value: Column): Column =
+    map_concat(headers, map(lit(key), value))
+  def removeHeader(headers: Column, key: String): Column =
+    map_filter(headers, (k, _) => k =!= key)
+
+  // ---- Exact decimal (reference: ScaledInteger financial arithmetic) ----
+  /** The reference stores money as scaled i128 for exact, fast arithmetic.
+    * Spark analog: DecimalType — exact, order-independent aggregation.
+    */
+  def money(c: Column, precision: Int = 18, scale: Int = 4): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(precision, scale))
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All paths are linear-ish in n (bucket-join, never O(n²) all-pairs):
+  * at 100 TB the only viable near-dup strategy is candidate generation
+  * via locality-sensitive bucketing + verification inside buckets.
+  *
+  * No Scala UDFs — shingling/hashing is built from codegen'd
+  * `functions._` primitives (split/transform/aggregate/xxhash64).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first (lowest id) document per normalized-text
+    * hash. Hash-groupBy — one shuffle on the 64-bit content hash.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    docs
+      .withColumn("content_hash", xxhash64(norm))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Word k-shingles of the normalized text (distinct). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val words = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+    val n = size(words)
+    // slide a k-window over words; when fewer than k words, one shingle of all
+    val idx = sequence(lit(0), greatest(n - k, lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(words, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over shingle hashes. Pure expression tree (codegen'd).
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val hs = (0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+    }
+    array(hs: _*)
+  }
+
+  /** MinHash + LSH banding: signature of numBands*rowsPerBand hashes;
+    * band → bucket; docs sharing any band-bucket are candidate pairs.
+    *
+    * Output: candidate pairs (id_a < id_b) with estimated Jaccard
+    * (fraction of matching signature positions).
+    *
+    * Scale: explode-by-band (numBands rows/doc) → shuffle on
+    * (band, bucket-hash) → pairs within buckets only. Skew guard: huge
+    * buckets (> maxBucket) are dropped — they are boilerplate-cluster
+    * noise, the standard practice for web-scale dedup.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
+                 shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
+                 maxBucket: Int = 64): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sigd = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+    val banded = sigd.select(
+      col("id"), col("sig"),
+      explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))
+
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+
+    // pairs within a bucket, dedup across bands by (id_a, id_b)
+    val pairs = buckets.select(explode(expr(
+      """
+      flatten(transform(members, (a, i) ->
+        transform(slice(members, i + 2, size(members)), b ->
+          struct(least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+                 double(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))) / double(size(a.sig)) as est_jaccard))))
+      """)).as("p"))
+      .select("p.*")
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+    pairs
+  }
+
+  /** 64-bit SimHash over word features: bit i of the hash contributes
+    * +1/-1 to component i; sign vector → fingerprint. Near-dups have
+    * small Hamming distance.
+    */
+  def simhash(textCol: Column): Column = {
+    val words = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L).cast("long") * lit(1L << i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)  // OR of disjoint bits == sum
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
+    * 16-bit chunks; docs sharing any chunk value are candidates (≤ 3 bit
+    * flips guarantee). Verification = exact Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bc"))
+      .select(col("id"), col("sig"), col("bc.band"), col("bc.chunk"))
+    val buckets = banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """
+      flatten(transform(members, (a, i) ->
+        transform(slice(members, i + 2, size(members)), b ->
+          struct(least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+                 bit_count(a.sig ^ b.sig) as hamming))))
+      """)).as("p"))
+      .select("p.*")
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs — the verify
+    * pass after LSH candidate generation. `pairs` must have id_a/id_b.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_jid"), shingles(col(textCol), k).as("_jsh"))
+    pairs
+      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .drop("sh_a", "sh_b")
+  }
+}

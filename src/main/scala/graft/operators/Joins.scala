@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators mirroring the reference's three join classes
+  * (reference: src/velostream/sql/execution/join/, PARSER_GRAMMAR.md
+  * "JOIN Clause"):
+  *
+  *  - stream-table: fact joined to a CTAS-materialized dimension →
+  *    broadcast hash join (dim fits in memory; zero shuffle of the fact).
+  *  - stream-stream interval join: equi-key + time-band predicate →
+  *    shuffled hash/sort-merge on the key; the band predicate is applied
+  *    post-match (Spark pushes it into the join condition). In streaming,
+  *    the same condition bounds state retention on both sides.
+  *  - general inner/left/right/full equi-joins.
+  *
+  * Scale: only the equi-key reaches the shuffle; time-band stays a
+  * residual predicate → no cross product. Dims are always broadcast.
+  */
+object Joins {
+
+  /** Stream-table join: broadcast the (small) table side. */
+  def streamTable(fact: DataFrame, dim: DataFrame, cond: Column,
+                  joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), cond, joinType)
+
+  /** Stream-stream interval join: equi-key plus
+    * `right.ts BETWEEN left.ts + lower AND left.ts + upper`.
+    */
+  def interval(left: DataFrame, right: DataFrame, keyCond: Column,
+               leftTs: Column, rightTs: Column,
+               lowerSeconds: Long, upperSeconds: Long,
+               joinType: String = "inner"): DataFrame = {
+    val band = rightTs >= leftTs + expr(s"INTERVAL $lowerSeconds SECOND") &&
+      rightTs <= leftTs + expr(s"INTERVAL $upperSeconds SECOND")
+    left.join(right, keyCond && band, joinType)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-window operators: the reference's `WINDOW TUMBLING / SLIDING /
+  * SESSION` clauses (reference: docs/sql/PARSER_GRAMMAR.md "Time-Based
+  * Windows"; src/velostream/sql/execution/window_v2/).
+  *
+  * Identical code paths work in batch and Structured Streaming —
+  * `window()` / `session_window()` are stream-ready; in streaming, add
+  * `.withWatermark(tsCol, grace)` upstream (the reference's watermark +
+  * grace-period semantics, src/velostream/sql/execution/watermarks.rs).
+  *
+  * Scale: windowed groupBy shuffles on (window, keys) — partial
+  * aggregation is map-side, so the shuffle carries one row per
+  * (window × key) per partition, not per event. Epoch-aligned buckets
+  * mean no global coordination.
+  */
+object TimeWindows {
+
+  /** TUMBLING(size): non-overlapping epoch-aligned buckets.
+    * Emits `window_start`/`window_end` as epoch seconds (BIGINT) —
+    * oracle-stable across engines/timezones.
+    */
+  def tumbling(df: DataFrame, tsCol: String, sizeSeconds: Long, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val bucket = (floor(unix_timestamp(col(tsCol)) / sizeSeconds) * sizeSeconds).cast("long")
+    df.groupBy(bucket.as("window_start") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_end", col("window_start") + lit(sizeSeconds))
+  }
+
+  /** SLIDING(size, advance): overlapping buckets. Each event lands in
+    * size/advance windows — implemented by exploding an event into its
+    * covering window-starts then a single windowed groupBy. Requires
+    * size % advance == 0 (the reference enforces the same).
+    *
+    * Scale: the explode factor is size/advance (small constant); still a
+    * single shuffle with map-side partial aggregation.
+    */
+  def sliding(df: DataFrame, tsCol: String, sizeSeconds: Long, advanceSeconds: Long,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    require(sizeSeconds % advanceSeconds == 0, "window size must be a multiple of advance")
+    val n = (sizeSeconds / advanceSeconds).toInt
+    val lastStart = (floor(unix_timestamp(col(tsCol)) / advanceSeconds) * advanceSeconds).cast("long")
+    // covering starts: lastStart, lastStart-advance, ... (n of them), keep starts >= 0
+    val starts = sequence(lastStart - lit(sizeSeconds - advanceSeconds), lastStart, lit(advanceSeconds))
+    df.withColumn("window_start", explode(starts))
+      .where(col("window_start") >= 0)
+      .groupBy(col("window_start") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_end", col("window_start") + lit(sizeSeconds))
+  }
+
+  /** SESSION(gap): events closer than `gap` merge into one session.
+    * Batch realization: gaps-and-islands — lag + cumulative session id
+    * per key, then aggregate. In streaming, use `session_window()` (see
+    * graft.streaming.StreamWindows) — same semantics, state-store backed.
+    *
+    * Scale: one shuffle on keys (window partition), then aggregation
+    * within partitions; no global sort.
+    */
+  /** `epochCol` must be numeric seconds (precompute e.g.
+    * `unix_timestamp(ts)`); `tieBreak` makes ordering total when epochs
+    * collide (second-truncation ties) so results are deterministic.
+    */
+  def sessionize(df: DataFrame, epochCol: String, gapSeconds: Long, keys: Seq[Column],
+                 tieBreak: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(col(epochCol) +: tieBreak: _*)
+    val epoch = col(epochCol)
+    val newSession = when(epoch - lag(epoch, 1).over(w) > gapSeconds, 1).otherwise(0)
+    val sessioned = df
+      .withColumn("_new_session", newSession)
+      .withColumn("_session_id", sum(col("_new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy(keys :+ col("_session_id"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("_session_id")
+  }
+}
