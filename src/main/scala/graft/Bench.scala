@@ -1,27 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark harness. Runs each `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line with per-query wall
+  * seconds, row counts, and error status.
+  *
+  * Execution is forced through the `noop` sink (not `count()`): a
+  * count() lets Catalyst prune every projection, so map-only queries
+  * (lang-id, fingerprint, …) would bench at scan-only cost. The noop
+  * sink materializes every output column and discards rows — the honest
+  * per-operator cost, with zero write overhead.
+  *
+  * Output goes to stdout AND to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json` in the cwd) so the driver can parse it even when
+  * sbt log prefixes mangle stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    case class R(sec: Double, rows: Long, err: Option[String])
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results: Seq[(String, R)] = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r =
+        try {
+          val df = fn(spark, sfDir)
+          // rows via accumulator-free count on the same plan; noop write
+          // forces full column materialization.
+          df.write.format("noop").mode("overwrite").save()
+          val rows = df.count()
+          R((System.nanoTime() - t0) / 1e9, rows, None)
+        } catch {
+          case e: Throwable =>
+            R((System.nanoTime() - t0) / 1e9, -1L,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+        }
+      System.err.println(f"[bench] $name%-24s ${r.sec}%8.3f s  rows=${r.rows}${r.err.map(" ERR " + _).getOrElse("")}")
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, r) => s"${jstr(k)}:${r.sec}" }.mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, r) => s"${jstr(k)}:${r.rows}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, R(_, _, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.sec).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.err.isDefined)},"sf":${jstr(sfDir)}}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
   }
 }
