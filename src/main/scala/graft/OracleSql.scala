@@ -9,9 +9,12 @@ package graft
   * needs the 'g' flag to match Spark's global replace; integer-sum
   * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
   *
-  * Keys intentionally omitted (rows-only check): q24/q25 (xxhash64
-  * seed-specific buckets), q28/q38 (LSH recall<1), q21 (HLL impl
-  * differs), q33/q34 (streaming emission), q39 (stubbed decode).
+  * Keys intentionally omitted (rows-only check): q25 (xxhash64
+  * seed-specific simhash buckets), q28 (LSH recall<1), q33/q34
+  * (streaming emission order). q21 oracles the exact count and asserts
+  * the HLL estimate within 10% as a boolean; q24 oracles the
+  * exact-jaccard-verified pair set; q38 oracles the exact block-grid
+  * cosine self-join; q39 oracles the deterministic stub formula.
   */
 object OracleSql {
 
@@ -199,6 +202,12 @@ object OracleSql {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
 
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS approx_ok
+         FROM lineitem GROUP BY l_returnflag""",
+
     "q22_first_last" ->
       """SELECT o_custkey,
          arg_min(epoch_ms(o_orderdate)//1000, o_orderkey) AS first_order_epoch,
@@ -209,6 +218,21 @@ object OracleSql {
     "q23_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY $normText""",
+
+    "q24_dedup_minhash" ->
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len($wordsOf) - 2, 1)),
+             i -> array_to_string($wordsOf[i:i+2], ' '))) AS s
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(list_distinct(list_concat(a.s, b.s))) AS uni
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, inter, uni,
+           CAST(inter AS DOUBLE) / uni AS jaccard
+         FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8""",
 
     "q26_ngram_jaccard" ->
       s"""WITH sh AS (
@@ -315,12 +339,51 @@ object OracleSql {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax_amt
          FROM lineitem GROUP BY l_returnflag""",
 
+    "q38_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, ROUND(cos, 4) AS cos
+         FROM p WHERE cos >= 0.3""",
+
+    "q39_multimodal" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+         ROUND(COALESCE(list_sum(list_transform(
+           generate_series(1, LENGTH(text), 8),
+           i -> ascii(text[i]) / 255.0)), 0.0), 4) AS f0
+         FROM documents""",
+
     "q40_topn_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders JOIN customer ON o_custkey = c_custkey)
-         WHERE rk <= 3"""
+         WHERE rk <= 3""",
+
+    "q41_any_all" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P')
+           AND o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')""",
+
+    "q42_headers" ->
+      """SELECT event_id,
+         event_type AS h_source,
+         FALSE AS has_trace,
+         'region,schema_ver,source' AS h_keys,
+         'graft' AS h_job,
+         FALSE AS region_removed,
+         CAST(user_id % 8 AS INTEGER) AS _partition,
+         event_id AS _offset,
+         epoch_ms(ts)//1000 AS _timestamp
+         FROM events"""
   )
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler for operator stages. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[prof] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    val d = graft.api.Tables.load(spark, sfDir, "documents")
+    d.write.format("noop").mode("overwrite").save() // warmup
+    t("scan+repartition")(d)
+    t("kernel sigs")(d.select(col("doc_id"),
+      graft.functions.GraftKernels.minhashSigCol(col("text"), 3, 16).as("sig")))
+    t("kernel shingles")(d.select(col("doc_id"),
+      graft.operators.Dedup.shingles(col("text"), 3).as("sh")))
+    val lsh = graft.operators.Dedup.minhashLsh(d, "text", "doc_id")
+    t("minhashLsh full")(lsh)
+    val cand = lsh.select("id_a", "id_b")
+    t("ngramJaccard on cand")(graft.operators.Dedup.ngramJaccard(cand, d, "text", "doc_id"))
+    t("q24 full")(SparkEntry.queries("q24_dedup_minhash")(spark, sfDir))
+    spark.stop()
+  }
+}

@@ -255,11 +255,14 @@ object SparkEntry {
           count(lit(1)).as("n_nations"))
     }),
 
-    // ---- 21. APPROX_COUNT_DISTINCT (approx → rows-only check) ----
+    // ---- 21. APPROX_COUNT_DISTINCT: exact count oracled; the HLL
+    //          estimate is asserted within 10% as a boolean the oracle
+    //          expects to be uniformly TRUE ----
     "q21_approx_distinct" -> ((s, dir) => {
       T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= lit(0.1) * countDistinct(col("l_partkey"))).as("approx_ok"))
     }),
 
     // ---- 22. FIRST / LAST per group (min_by/max_by realization) ----
@@ -276,10 +279,18 @@ object SparkEntry {
         .select(col("keep_id"), col("dup_count"))
     }),
 
-    // ---- 24. MinHash + LSH near-dup (hash-seed-specific → rows-only) ----
+    // ---- 24. MinHash + LSH candidates → exact n-gram-Jaccard verify.
+    //          Oracled against DuckDB's all-pairs jaccard ≥ 0.8 (the
+    //          testdata's true pairs all sit ≥ 0.9; band-miss probability
+    //          at j=0.9 with 8×2 banding is ~2e-6) ----
     "q24_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLsh(T(s, dir, "documents"), "text", "doc_id")
-        .filter(col("est_jaccard") >= 0.5)
+      val d = T(s, dir, "documents")
+      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
+      Dedup.ngramJaccard(cand, d, "text", "doc_id")
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"), col("jaccard"))
     }),
 
     // ---- 25. SimHash near-dup (rows-only) ----
@@ -338,26 +349,28 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
-    // ---- 33. EMIT CHANGES analog: update-mode streaming agg (rows-only) ----
+    // ---- 33. EMIT CHANGES analog: update-mode streaming agg through the
+    //          changelog (foreachBatch→parquet) production sink; result =
+    //          latest state per key (rows-only) ----
     "q33_emit_changes" -> ((s, dir) => {
       val stream = Tables.loadStream(s, dir, "events")
       val agg = stream.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
-      val q = graft.streaming.StreamOps.runToMemory(agg, "emit_changes_out",
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      q.stop()
-      s.table("emit_changes_out")
+      val out = graft.streaming.StreamOps.runChangelog(agg, "q33")
+      val log = s.read.parquet(out)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("_batch_id").desc)
+      log.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") === 1).drop("_rk", "_batch_id")
     }),
 
-    // ---- 34. EMIT FINAL analog: append-mode tumbling window + watermark (rows-only) ----
+    // ---- 34. EMIT FINAL analog: append-mode tumbling window + watermark
+    //          through the parquet FILE sink (rows-only) ----
     "q34_tumbling_stream" -> ((s, dir) => {
       val stream = Tables.loadStream(s, dir, "events")
       val agg = graft.streaming.StreamOps.tumblingAgg(stream, "ts", "5 minutes", "10 minutes",
         Seq("event_type"), Seq("count(1)" -> "n", "sum(value)" -> "total"))
-      val q = graft.streaming.StreamOps.runToMemory(agg, "tumbling_stream_out",
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      q.stop()
-      s.table("tumbling_stream_out")
+      val out = graft.streaming.StreamOps.runToParquet(agg, "q34")
+      s.read.parquet(out)
         .select(unix_timestamp(col("window_start")).as("window_start"), col("event_type"), col("n"), col("total"))
     }),
 
@@ -389,12 +402,18 @@ object SparkEntry {
         sum(money(col("l_extendedprice")) * money(col("l_tax"))).cast("double").as("sum_tax_amt"))
     }),
 
-    // ---- 38. embedding-cosine near-dup pairs (LSH recall<1 → rows-only) ----
+    // ---- 38. embedding-cosine near-dup pairs: exact block-grid
+    //          similarity self-join (oracled). The LSH variant
+    //          (embeddingNearDupPairsLsh) is the web-scale path for
+    //          near-dup thresholds; its recall is measured in
+    //          SimilaritySpec ----
     "q38_embed_dedup" -> ((s, dir) => {
-      Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 64, 0.3)
+      Similarity.exactCosineSelfJoin(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
-    // ---- 39. multimodal binary pipeline, stubbed decode (rows-only) ----
+    // ---- 39. multimodal binary pipeline: stubbed decode, but the
+    //          deterministic stub formula + byte counts are oracled ----
     "q39_multimodal" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(T(s, dir, "documents"))
       Multimodal.extractFeatures(media, dim = 8)
@@ -411,6 +430,68 @@ object SparkEntry {
       joined.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
+    }),
+
+    // ---- 41. ANY / SOME / ALL subqueries (threshold rewrite, with the
+    //          SQL empty-subquery semantics: ALL over ∅ = true, ANY over
+    //          ∅ = false; reference docs/sql/subquery-support.md) ----
+    "q41_any_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val allP = o.filter(col("o_orderstatus") === "P")
+        .agg(max(col("o_totalprice")).as("all_max"))
+      val anyU = o.filter(col("o_orderpriority") === "1-URGENT")
+        .agg(min(col("o_totalprice")).as("any_min"))
+      o.crossJoin(broadcast(allP)).crossJoin(broadcast(anyU))
+        .filter(col("o_totalprice") > coalesce(col("all_max"), lit(Double.NegativeInfinity)) &&
+          col("o_totalprice") > coalesce(col("any_min"), lit(Double.PositiveInfinity)))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- 42. Kafka header ops + system columns (reference
+    //          docs/sql/header-access.md, docs/sql/system-columns.md).
+    //          Headers are synthesized deterministically from event
+    //          fields, so the oracle can replay every op's result ----
+    "q42_headers" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .withColumn("_headers", veloMap(
+          lit("source"), col("event_type"),
+          lit("region"), concat(lit("r"), pmod(col("user_id"), lit(4))),
+          lit("schema_ver"), lit("v2")))
+        .withColumn("_partition", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("_offset", col("event_id"))
+        .withColumn("_timestamp", unix_timestamp(col("ts")))
+      e.select(
+        col("event_id"),
+        header(col("_headers"), "source").as("h_source"),
+        hasHeader(col("_headers"), "trace").as("has_trace"),
+        array_join(array_sort(headerKeys(col("_headers"))), ",").as("h_keys"),
+        header(setHeader(col("_headers"), "job", lit("graft")), "job").as("h_job"),
+        hasHeader(removeHeader(col("_headers"), "region"), "region").as("region_removed"),
+        col("_partition"), col("_offset"), col("_timestamp"))
+    }),
+
+    // ---- 43. ROWS WINDOW BUFFER n ROWS EMIT CHANGES analog: per-key
+    //          ring-buffer state via flatMapGroupsWithState (rows-only;
+    //          emission sequence asserted in StreamingSpec) ----
+    "q43_rows_buffer" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events").select(
+        col("user_id").as("k"), unix_timestamp(col("ts")).as("ord"),
+        col("event_id").as("id"), col("value").as("v"))
+        .as[graft.streaming.StreamOps.BufEvent]
+      graft.streaming.StreamOps.rowsBufferAgg(ev, 5).toDF()
+    }),
+
+    // ---- 44. SESSION window in Structured Streaming (session_window +
+    //          watermark, parquet file sink; rows-only) ----
+    "q44_session_stream" -> ((s, dir) => {
+      val stream = Tables.loadStream(s, dir, "events")
+      val agg = graft.streaming.StreamOps.sessionAgg(stream, "ts", "30 minutes", "10 minutes",
+        Seq("user_id"), Seq("count(1)" -> "n_events"))
+      val out = graft.streaming.StreamOps.runToParquet(agg, "q44")
+      s.read.parquet(out).select(col("user_id"), col("n_events"),
+        unix_timestamp(col("session_start")).as("session_start"),
+        unix_timestamp(col("session_end")).as("session_end"))
     })
   )
 

@@ -42,8 +42,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  /** Tables whose downstream operators run heavy per-row kernels
+    * (shingling/hashing/vector math) — worth fanning out even when the
+    * scan itself is tiny. */
+  private val heavyPerRow: Set[String] = Set("documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    // The test files are single-row-group parquet → the scan is ONE task
+    // regardless of maxPartitionBytes, serializing all per-row compute.
+    // Fan out to core count for kernel-heavy tables; no-op on properly
+    // split production inputs (many files / row groups).
+    val cores = spark.sparkContext.defaultParallelism
+    if (heavyPerRow(name) && df.rdd.getNumPartitions < cores)
+      df.repartition(cores)
+    else df
+  }
 
   /** With `nanosAsLong`, nano-precision timestamp columns surface as
     * LongType nanos; convert to TimestampType (micros — Spark's native

@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions.{lit, typedLit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row kernels for the hot loops of the LLM-data pipeline
+  * (minhash signatures, simhash, fingerprints, cosine), exposed as
+  * Catalyst expressions via `StaticInvoke` — a codegen'd direct static
+  * call that stays inside WholeStageCodegen, replacing the *interpreted*
+  * higher-order-function trees (`transform`/`aggregate`/`zip_with`) that
+  * dominated round-1 bench times.
+  *
+  * Semantics are bit-for-bit identical to the HOF formulations they
+  * replace (verified in KernelParitySpec): hashing goes through Spark's
+  * own `XxHash64Function` with the same seed-fold order as the
+  * `xxhash64(...)` SQL function, and normalization replays
+  * `lower(trim(regexp_replace(text, "\\s+", " ")))` exactly.
+  */
+object GraftKernels {
+
+  // ================= Column-level API (plan side) =================
+
+  private def invoke(rt: DataType, method: String, args: Column*): Column =
+    GraftBridge.column(StaticInvoke(
+      GraftKernels.getClass, rt, method,
+      args.map(GraftBridge.expression).toSeq,
+      inputTypes = Nil, propagateNull = true, returnNullable = false))
+
+  /** MinHash signature of the k-word-shingle set of `text`;
+    * array of `numHashes` longs. */
+  def minhashSigCol(text: Column, k: Int, numHashes: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSig",
+      text, lit(k), lit(numHashes))
+
+  /** Distinct k-word shingles of normalized `text`, first-occurrence
+    * order (kernel twin of Dedup.shingles). */
+  def shinglesCol(text: Column, k: Int): Column =
+    invoke(ArrayType(StringType, containsNull = false), "shingles", text, lit(k))
+
+  /** 64-bit SimHash of the word multiset of `text`. */
+  def simhashCol(text: Column): Column = invoke(LongType, "simhash", text)
+
+  /** Polynomial rolling-hash fingerprint of normalized `text`
+    * (acc*31 + codepoint, mod 1e9+7). */
+  def fingerprintCol(text: Column): Column = invoke(LongType, "fingerprint", text)
+
+  /** cosine(a, b); `floatElems` = true when the arrays are array<float>. */
+  def cosineCol(a: Column, b: Column, floatElems: Boolean): Column =
+    invoke(DoubleType, "cosine", a, b, lit(floatElems))
+
+  /** Random-hyperplane sign sketch: bit b of the result = sign of
+    * vec · planes[b]. Planes are a flattened numBits×dim literal. */
+  def signSketchCol(vec: Column, planesFlat: Array[Double], numBits: Int,
+                    dim: Int, floatElems: Boolean): Column =
+    invoke(LongType, "signSketch", vec, typedLit(planesFlat.toSeq),
+      lit(numBits), lit(dim), lit(floatElems))
+
+  // ================= JVM kernels (executor side) =================
+  // Methods take catalyst-internal types (UTF8String / ArrayData) and are
+  // resolved by StaticInvoke against these exact signatures.
+
+  private val MOD = 1000000007L
+
+  /** Replays lower(trim(regexp_replace(text, "\\s+", " "))).split(" "). */
+  private def normWords(text: UTF8String): Array[String] = {
+    val replaced = text.toString.replaceAll("\\s+", " ")
+    val normed = UTF8String.fromString(replaced).trim().toLowerCase.toString
+    normed.split(" ", -1)
+  }
+
+  /** seed-fold of Spark's xxhash64(lit(seedIdx), str): h = XXH64(int
+    * seedIdx, seed=42); h = XXH64(str, seed=h). First stage cached per
+    * seed index (it is data-independent). */
+  private val seedHeads: Array[Long] =
+    Array.tabulate(256)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val words = normWords(text)
+    val n = words.length
+    val nShingles = math.max(n - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val words = normWords(text)
+    val n = words.length
+    // distinct k-shingles (when n < k: one shingle of all words), as
+    // UTF8String bytes for hashing
+    val seen = new java.util.HashSet[String]()
+    val nShingles = math.max(n - k, 0) + 1
+    val sb = new java.lang.StringBuilder(64)
+    val shingleHashHeads = new Array[UTF8String](nShingles)
+    var m = 0
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) { shingleHashHeads(m) = UTF8String.fromString(s); m += 1 }
+      i += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      val head = seedHeads(h)
+      var mn = Long.MaxValue
+      var s = 0
+      while (s < m) {
+        val v = XxHash64Function.hash(shingleHashHeads(s), StringType, head)
+        if (v < mn) mn = v
+        s += 1
+      }
+      sig(h) = mn
+      h += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(text: UTF8String): Long = {
+    val words = normWords(text)
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(words(w)), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def fingerprint(text: UTF8String): Long = {
+    val replaced = text.toString.replaceAll("\\s+", " ")
+    val normed = UTF8String.fromString(replaced).trim().toLowerCase.toString
+    var acc = 0L
+    var i = 0
+    val len = normed.length
+    while (i < len) {
+      val cp = normed.codePointAt(i)
+      acc = (acc * 31L + cp) % MOD
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private def elem(a: ArrayData, i: Int, floatElems: Boolean): Double =
+    if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def cosine(a: ArrayData, b: ArrayData, floatElems: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, floatElems)
+      val y = elem(b, i, floatElems)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def signSketch(vec: ArrayData, planesFlat: ArrayData, numBits: Int,
+                 dim: Int, floatElems: Boolean): Long = {
+    val n = math.min(vec.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = elem(vec, i, floatElems); i += 1 }
+    var out = 0L
+    var b = 0
+    while (b < numBits) {
+      var proj = 0.0
+      val base = b * dim
+      var d = 0
+      while (d < n) { proj += v(d) * planesFlat.getDouble(base + d); d += 1 }
+      if (proj > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -3,14 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftKernels
+
 /** Large-scale deduplication operators for training-data pipelines.
   *
   * All paths are linear-ish in n (bucket-join, never O(n²) all-pairs):
   * at 100 TB the only viable near-dup strategy is candidate generation
   * via locality-sensitive bucketing + verification inside buckets.
   *
-  * No Scala UDFs — shingling/hashing is built from codegen'd
-  * `functions._` primitives (split/transform/aggregate/xxhash64).
+  * The per-document kernels (minhash signature, simhash) are native
+  * codegen'd static calls (GraftKernels) — Spark's higher-order
+  * functions are interpreted, and at 100 TB the signature computation is
+  * the dominant cost of the whole dedup pass.
   */
 object Dedup {
 
@@ -25,8 +29,12 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
-  /** Word k-shingles of the normalized text (distinct). */
-  def shingles(textCol: Column, k: Int): Column = {
+  /** Word k-shingles of the normalized text (distinct, first-occurrence
+    * order). Native kernel. */
+  def shingles(textCol: Column, k: Int): Column = GraftKernels.shinglesCol(textCol, k)
+
+  /** Interpreted HOF shingles — parity-test oracle only. */
+  private[graft] def shinglesHof(textCol: Column, k: Int): Column = {
     val words = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
     val n = size(words)
     // slide a k-window over words; when fewer than k words, one shingle of all
@@ -35,9 +43,10 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingle hashes. Pure expression tree (codegen'd).
-    */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    * the min over shingle hashes. Interpreted HOF formulation — kept
+    * ONLY as the parity-test oracle for the native kernel
+    * (GraftKernels.minhashSig). */
+  private[graft] def minhashSignatureHof(shinglesCol: Column, numHashes: Int): Column = {
     val hs = (0 until numHashes).map { seed =>
       array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
     }
@@ -60,9 +69,8 @@ object Dedup {
                  maxBucket: Int = 64): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val sigd = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col(idCol).as("id"),
+        GraftKernels.minhashSigCol(col(textCol), shingleK, numHashes).as("sig"))
 
     val banded = sigd.select(
       col("id"), col("sig"),
@@ -88,9 +96,12 @@ object Dedup {
 
   /** 64-bit SimHash over word features: bit i of the hash contributes
     * +1/-1 to component i; sign vector → fingerprint. Near-dups have
-    * small Hamming distance.
+    * small Hamming distance. Native kernel (one pass per document).
     */
-  def simhash(textCol: Column): Column = {
+  def simhash(textCol: Column): Column = GraftKernels.simhashCol(textCol)
+
+  /** Interpreted HOF simhash — parity-test oracle only. */
+  private[graft] def simhashHof(textCol: Column): Column = {
     val words = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
     val hashes = transform(words, w => xxhash64(w))
     val bits = (0 until 64).map { i =>

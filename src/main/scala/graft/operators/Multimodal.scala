@@ -28,17 +28,18 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(DoubleType), nullable = true)))
 
-  /** Deterministic fake "decode + feature extract": dim floats derived
-    * from byte statistics. Replace with a real codec (JNI/lib) in
-    * production — the signature is the contract.
+  /** Deterministic fake "decode + feature extract": dim doubles derived
+    * from byte statistics (double accumulation keeps the formula exactly
+    * replayable by the DuckDB oracle). Replace with a real codec
+    * (JNI/lib) in production — the signature is the contract.
     */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
     if (payload != null && payload.nonEmpty) {
       var i = 0
-      while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0f; i += 1 }
+      while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0d; i += 1 }
     }
     out
   }

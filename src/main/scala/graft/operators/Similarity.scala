@@ -3,24 +3,37 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`). Two paths:
+import graft.functions.GraftKernels
+
+/** Similarity search over an embedding column (`array<float>`).
   *
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
-  *    Broadcast the (small) query set, scan the corpus once, per-query
-  *    top-k via window rank. At 100 TB the scan parallelizes perfectly;
-  *    cost is O(n·q·d) — fine for small q.
-  *  - `lshTopK`: random-hyperplane LSH bucketing — the scale path.
-  *    Sign-bit sketch → bucket join → exact cosine only within buckets
-  *    (multi-probe by sketch band). Candidate set ≪ n per query.
+  *    Broadcast the (small) query set, scan the corpus once; top-k is
+  *    TWO-phase: local bounded-heap top-k per input partition (narrow,
+  *    no shuffle), then a global rank over the ≤ q·k·P survivors — no
+  *    single task ever sees more than its partition's candidates.
+  *  - `lshTopK`: random-hyperplane LSH bucketing — the ANN scale path.
+  *    Sign-bit sketch → bucket join (hot buckets capped) → exact cosine
+  *    only within buckets, then the same two-phase top-k.
+  *  - `exactCosineSelfJoin`: exact all-pairs ≥ minCos via a B×B block
+  *    grid — every cell is an independent bounded task, so the O(n²)
+  *    work (inherent to exact similarity join) spreads evenly with no
+  *    hot partition. For web-scale near-dup (minCos ≥ .9) use
+  *    `embeddingNearDupPairsLsh` instead.
   *
-  * Dot products are `functions.aggregate`/`zip_with` expression trees
-  * (codegen'd) — no UDFs.
+  * Per-pair math (cosine, sign sketches) runs in native codegen'd
+  * kernels (GraftKernels), not interpreted HOF trees.
   */
 object Similarity {
 
-  /** cosine(a, b) for two array<float|double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b); arrays are array<float> (`floatElems=false` for
+    * array<double>). Native kernel — single fused loop per pair. */
+  def cosine(a: Column, b: Column, floatElems: Boolean = true): Column =
+    GraftKernels.cosineCol(a, b, floatElems)
+
+  /** Interpreted HOF formulation kept ONLY as the parity-test oracle for
+    * the kernel (KernelParitySpec). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
@@ -28,46 +41,79 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Exact top-k neighbors for each query vector (cross score + rank).
-    * `queries` and `corpus` both need (idCol, vecCol); self-matches are
-    * excluded.
-    */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  /** Fixed-seed Rademacher hyperplanes, flattened row-major
+    * (numBits × dim) — identical literals in every task. */
+  private[graft] def planes(numBits: Int, dim: Int): Array[Double] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(numBits * dim)(if (rnd.nextBoolean()) 1.0d else -1.0d)
   }
 
-  /** Random-hyperplane sign sketch (numBits hyperplanes). Hyperplanes
-    * are Rademacher ±1 vectors from a fixed-seed PRNG — identical on
-    * every executor (literal arrays in the plan, no runtime RNG state).
-    */
-  def signSketch(vec: Column, numBits: Int, dim: Int): Column = {
-    val rnd = new java.util.Random(42)
-    val planes = Array.fill(numBits, dim)(if (rnd.nextBoolean()) 1.0d else -1.0d)
+  /** Random-hyperplane sign sketch (native kernel). */
+  def signSketch(vec: Column, numBits: Int, dim: Int, floatElems: Boolean = true): Column =
+    GraftKernels.signSketchCol(vec, planes(numBits, dim), numBits, dim, floatElems)
+
+  /** Interpreted HOF sketch — parity-test oracle only. */
+  private[graft] def signSketchHof(vec: Column, numBits: Int, dim: Int): Column = {
+    val ps = planes(numBits, dim)
     val bits = (0 until numBits).map { b =>
-      val plane = typedLit(planes(b).toSeq)
+      val plane = typedLit(ps.slice(b * dim, (b + 1) * dim).toSeq)
       val proj = aggregate(zip_with(vec, plane, (x, p) => x * p), lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
 
-  /** LSH ANN: bucket by sketch bands, exact cosine within buckets, then
-    * per-query top-k. Recall < 1 by construction; `numBands`×`bandBits`
-    * trades recall vs candidate count.
+  /** Two-phase distributed top-k: per-partition bounded heaps (narrow —
+    * each task emits ≤ queries·k rows), then a global rank over the
+    * small merged set. Replaces the single-task-per-query
+    * `Window.partitionBy(query_id)` rank that cannot scale.
+    * Input needs query_id/neighbor_id (long) and cos (double); ties
+    * break toward the smaller neighbor_id, matching the rank ordering.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, dim: Int, numBands: Int = 4, bandBits: Int = 8): DataFrame = {
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val ds = scored.select(
+      col("query_id").cast("long"), col("neighbor_id").cast("long"),
+      col("cos").cast("double")).as[(Long, Long, Double)]
+    // min-heap head = worst kept candidate (lowest cos, then largest id)
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (c, id) => (-c, id) }
+    val local = ds.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      it.foreach { case (q, n, c) =>
+        val h = heaps.getOrElseUpdate(q,
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        h.enqueue((c, n))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (c, n) => (q, n, c) } }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    local.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  /** Exact top-k neighbors for each query vector: broadcast queries,
+    * one corpus scan, two-phase top-k. Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored.select("query_id", "neighbor_id", "cos"), k)
+  }
+
+  /** LSH ANN: bucket by sketch bands (hot corpus buckets > maxBucket
+    * dropped — boilerplate-cluster noise, recall cost measured in
+    * SimilaritySpec), exact cosine within buckets, two-phase top-k.
+    * Recall < 1 by construction; numBands × bandBits trades recall vs
+    * candidate count. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, numBands: Int = 4, bandBits: Int = 8,
+              maxBucket: Int = 4096): DataFrame = {
     val numBits = numBands * bandBits
     def banded(df: DataFrame, id: String, v: String) = {
       val sk = df.select(col(idCol).as(id), col(vecCol).as(v),
@@ -79,24 +125,57 @@ object Similarity {
         .select(col(id), col(v), col("bc.band"), col("bc.chunk"))
     }
     val cb = banded(corpus, "neighbor_id", "cv")
+    val counts = cb.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
+    val cbCapped = cb.join(counts.where(col("_bn") <= maxBucket), Seq("band", "chunk"))
+      .drop("_bn")
     val qb = banded(queries, "query_id", "qv")
-    val cand = cb.join(qb, Seq("band", "chunk"))
+    val cand = cbCapped.join(qb, Seq("band", "chunk"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+    topKPerQuery(cand.select("query_id", "neighbor_id", "cos"), k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs above `minCos`,
-    * generated via LSH buckets (not O(n²)).
+  /** Exact cosine similarity self-join (all pairs with cos ≥ minCos) via
+    * a block grid: ids hash into `blocks` blocks; cell (ba ≤ bb) of the
+    * grid compares block ba against block bb. Each cell is one
+    * independent, memory-bounded join partition → the inherent O(n²)
+    * work parallelizes evenly (no hot task, no driver collect). Every
+    * unordered pair lands in exactly one cell.
+    *
+    * This is the exact baseline: at web scale use
+    * `embeddingNearDupPairsLsh` (near-dup thresholds) instead.
     */
-  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            dim: Int, minCos: Double = 0.95,
-                            numBands: Int = 8, bandBits: Int = 8): DataFrame = {
+  def exactCosineSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,
+                          minCos: Double, blocks: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    val cells = (for (ba <- 0 until blocks; bb <- ba until blocks) yield (ba, bb))
+      .toDF("ba", "bb")
+    val l = v.join(broadcast(cells), col("blk") === col("ba"))
+      .select(col("ba"), col("bb"), col("id").as("id_l"), col("v").as("v_l"))
+    val r = v.join(broadcast(cells), col("blk") === col("bb"))
+      .select(col("ba").as("rba"), col("bb").as("rbb"), col("id").as("id_r"), col("v").as("v_r"))
+    l.join(r, col("ba") === col("rba") && col("bb") === col("rbb"))
+      .where(col("ba") < col("bb") || col("id_l") < col("id_r"))
+      .withColumn("cos", cosine(col("v_l"), col("v_r")))
+      .where(col("cos") >= minCos)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("cos"))
+  }
+
+  /** LSH near-duplicate pairs for HIGH thresholds (minCos ≥ ~0.9, where
+    * sign-sketch band recall is near 1): banded buckets, hot buckets
+    * capped at maxBucket (dropped — at near-dup thresholds an over-full
+    * bucket is a boilerplate cluster; the exact grid join is the
+    * recall-1 fallback), pairs generated only within buckets. */
+  def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, minCos: Double = 0.9,
+                               numBands: Int = 16, bandBits: Int = 6,
+                               maxBucket: Int = 1024): DataFrame = {
     val numBits = numBands * bandBits
     val sk = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signSketch(col(vecCol), numBits, dim).as("sk"))
@@ -105,10 +184,17 @@ object Similarity {
         struct(lit(b).as("band"),
           shiftright(col("sk"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("chunk"))): _*)).as("bc"))
       .select(col("id"), col("v"), col("bc.band"), col("bc.chunk"))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    val buckets = banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """
+      flatten(transform(members, (a, i) ->
+        transform(slice(members, i + 2, size(members)), b ->
+          struct(least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+                 a.v as va, b.v as vb))))
+      """)).as("p"))
+      .select("p.*")
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= minCos)

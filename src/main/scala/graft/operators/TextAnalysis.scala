@@ -84,7 +84,11 @@ object TextAnalysis {
     * every intermediate in BIGINT range (overflow-free under ANSI SQL
     * on BOTH Spark and the DuckDB oracle, which replays the same fold).
     */
-  def fingerprint(textCol: Column): Column = {
+  def fingerprint(textCol: Column): Column =
+    graft.functions.GraftKernels.fingerprintCol(textCol)
+
+  /** Interpreted HOF fingerprint — parity-test oracle only. */
+  private[graft] def fingerprintHof(textCol: Column): Column = {
     val norm = lower(trim(regexp_replace(textCol, "\\s+", " ")))
     val codes = transform(sequence(lit(1), length(norm)),
       i => ascii(norm.substr(i, lit(1))).cast("long"))

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming realization of the reference's streaming jobs:
   * continuous queries over an unbounded source with watermarks, time
@@ -13,10 +15,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * Mapping:
   *  - EMIT CHANGES → `outputMode(Update)` — every trigger emits changed
   *    aggregates (the reference's per-record continuous emission,
-  *    batched by trigger).
+  *    batched by trigger). Production emission = a changelog sink
+  *    (Kafka/Delta); here `runChangelog` appends each trigger's updates
+  *    to parquet with the batch id — NOTHING is materialized on the
+  *    driver.
   *  - EMIT FINAL → `outputMode(Append)` + watermark — a window emits
   *    once, when the watermark passes window end (reference's
-  *    window-close emission with grace period).
+  *    window-close emission with grace period). Production emission =
+  *    the parquet file sink (`runToParquet`).
+  *  - ROWS WINDOW BUFFER n ROWS … EMIT CHANGES → per-key ring-buffer
+  *    state via `flatMapGroupsWithState` (`rowsBufferAgg`).
   *  - Kafka topic → any streaming source; tests drive files/memory.
   *    On a cluster: `readStream.format("kafka")` with the same plan.
   */
@@ -48,10 +56,77 @@ object StreamOps {
       .drop("session_window")
   }
 
-  /** Run a streaming DataFrame to a named in-memory sink until all
-    * currently-available input is processed (test/verify harness; the
-    * production path writes to Kafka/parquet with the same plan).
+  /** One event for the rows-buffer operator (key/order/id/value). */
+  case class BufEvent(k: Long, ord: Long, id: Long, v: Double)
+  /** One emission per arriving event: the aggregate over the key's last
+    * ≤ n buffered values, reference ROWS WINDOW BUFFER semantics. */
+  case class BufEmit(key: Long, event_id: Long, buf_n: Int, buf_sum: Double, buf_avg: Double)
+
+  /** ROWS WINDOW BUFFER n ROWS PARTITION BY key EMIT CHANGES analog:
+    * per-key bounded ring buffer in the state store; every arriving
+    * record emits the aggregate over the buffer (reference:
+    * docs/sql/PARSER_GRAMMAR.md §"ROWS WINDOW", rows_window_sql_test.rs).
+    * Works identically on a batch Dataset (single "micro-batch").
+    *
+    * Scale: state per key is O(n) values; keys shard across executors by
+    * the groupBy shuffle — no global state, no driver involvement.
     */
+  def rowsBufferAgg(events: Dataset[BufEvent], n: Int): Dataset[BufEmit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (key: Long, it: Iterator[BufEvent], state: GroupState[List[Double]]) =>
+        var buf = state.getOption.getOrElse(List.empty[Double])
+        val out = it.map { e =>
+          buf = (buf :+ e.v).takeRight(n)
+          BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size)
+        }.toList
+        state.update(buf)
+        out.iterator
+    }
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** EMIT FINAL production path: parquet FILE sink (append mode +
+    * watermark). Returns the output directory to read results from.
+    * Scale: executors write shards directly; the driver only tracks
+    * file-sink metadata. */
+  def runToParquet(df: DataFrame, prefix: String = "graft_stream"): String = {
+    val out = tmp(prefix + "_out")
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp(prefix + "_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
+
+  /** EMIT CHANGES production path: per-trigger changelog appended to
+    * parquet via foreachBatch (the Kafka/Delta-changelog analog), tagged
+    * with the trigger's batch id. Each batch write is a distributed
+    * executor-side write — the driver never materializes rows. */
+  def runChangelog(df: DataFrame, prefix: String = "graft_changelog"): String = {
+    val out = tmp(prefix + "_out")
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", tmp(prefix + "_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
+
+  /** Memory-sink runner — TEST harness only (materializes on the
+    * driver); the operator paths above are the production shapes. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
     df.sparkSession.catalog.dropTempView(name)
     val q = df.writeStream

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's Column ↔ catalyst Expression conversion, which is
+  * `private[sql]` in Spark 4 (columnNodeSupport.scala). Needed to expose
+  * graft's native codegen kernels (StaticInvoke expressions) as public
+  * `Column`s — the same mechanism Spark's own internal function helpers
+  * use; no behavior is modified.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

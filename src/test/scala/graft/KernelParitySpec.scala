@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftKernels
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** The native codegen kernels (GraftKernels) must be bit-for-bit
+  * equivalent to the interpreted HOF expression trees they replaced —
+  * checked on the real test corpus plus crafted edge cases.
+  */
+class KernelParitySpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def edgeDocs = {
+    import spark.implicits._
+    Seq(
+      "",
+      " ",
+      "a",
+      "one two three four five",
+      "  Leading  and   trailing   spaces  ",
+      "Tabs\tand\nnewlines\r\nmixed  in",
+      "ALL CAPS PUNCT!!! ... ??? ",
+      "repeated repeated repeated repeated repeated"
+    ).toDF("text").withColumn("doc_id", monotonically_increasing_id())
+  }
+
+  test("minhash signature kernel == interpreted HOF tree") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val k = 3; val numHashes = 16
+      val hof = d.select(col("doc_id"),
+        Dedup.minhashSignatureHof(Dedup.shinglesHof(col("text"), k), numHashes).as("sig"))
+      val ker = d.select(col("doc_id"),
+        GraftKernels.minhashSigCol(col("text"), k, numHashes).as("sig"))
+      assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
+    }
+  }
+
+  test("shingles kernel == interpreted HOF tree") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val hof = d.select(col("doc_id"), Dedup.shinglesHof(col("text"), 3).as("sh"))
+      val ker = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
+    }
+  }
+
+  test("simhash kernel == interpreted HOF tree") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val hof = d.select(col("doc_id"), Dedup.simhashHof(col("text")).as("s"))
+      val ker = d.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
+    }
+  }
+
+  test("fingerprint kernel == interpreted HOF tree") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val hof = d.select(col("doc_id"), TextAnalysis.fingerprintHof(col("text")).as("fp"))
+      val ker = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
+    }
+  }
+
+  test("cosine kernel == interpreted HOF tree on real embeddings") {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val pairs = e.crossJoin(
+      e.select(col("vec_id").as("vid2"), col("embedding").as("e2")))
+      .where(col("vec_id") < col("vid2")).limit(2000)
+    val both = pairs.select(
+      Similarity.cosineHof(col("embedding"), col("e2")).as("hof"),
+      Similarity.cosine(col("embedding"), col("e2")).as("ker"))
+    val mismatches = both.where(col("hof") =!= col("ker")).count()
+    assert(mismatches === 0)
+  }
+
+  test("sign sketch kernel == interpreted HOF tree") {
+    val numBits = 48; val dim = 64
+    val hof = embs.select(col("vec_id"), Similarity.signSketchHof(col("embedding"), numBits, dim).as("sk"))
+    val ker = embs.select(col("vec_id"), Similarity.signSketch(col("embedding"), numBits, dim).as("sk"))
+    assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
+  }
+
+  test("kernels run inside whole-stage codegen (no interpreted fallback)") {
+    val plan = docs.select(GraftKernels.simhashCol(col("text"))).queryExecution.executedPlan
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.toString.contains("*(1) Project [static_invoke(graft.functions.GraftKernels.simhash"))
+  }
+}
