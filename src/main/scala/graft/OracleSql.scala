@@ -384,6 +384,53 @@ object OracleSql {
          CAST(user_id % 8 AS INTEGER) AS _partition,
          event_id AS _offset,
          epoch_ms(ts)//1000 AS _timestamp
-         FROM events"""
+         FROM events""",
+
+    "q45_sql_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q46_sql_tumbling" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         (epoch_ms(ts)//1000//300)*300 AS window_start,
+         (epoch_ms(ts)//1000//300)*300 + 300 AS window_end
+         FROM events GROUP BY 1, 3, 4""",
+
+    "q47_sql_sliding" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+                window_start, window_start + 600 AS window_end
+         FROM (SELECT event_type,
+                 unnest(generate_series((epoch_ms(ts)//1000//300)*300 - 300,
+                                        (epoch_ms(ts)//1000//300)*300, 300)) AS window_start
+               FROM events)
+         GROUP BY 1, 3""",
+
+    "q48_sql_rows_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS msum
+         FROM lineitem""",
+
+    "q49_sql_join_in" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+         GROUP BY c_mktsegment""",
+
+    "q50_sql_ctas" ->
+      """SELECT o_custkey, COUNT(*) AS n_big,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_totalprice > 150000)
+         GROUP BY o_custkey""",
+
+    "q51_sql_headers" ->
+      """SELECT event_id AS _offset, CAST(event_id % 8 AS INTEGER) AS _partition,
+         'events' AS h_source, FALSE AS has_trace, 1 AS n_headers,
+         (epoch_ms(ts)//1000//3600)*3600 AS hour_bucket
+         FROM events WHERE event_id % 8 = 3"""
   )
 }

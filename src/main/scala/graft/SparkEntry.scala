@@ -492,8 +492,78 @@ object SparkEntry {
       s.read.parquet(out).select(col("user_id"), col("n_events"),
         unix_timestamp(col("session_start")).as("session_start"),
         unix_timestamp(col("session_end")).as("session_end"))
+    }),
+
+    // ---- 45-51: velostream SQL DIALECT front-end — reference-grammar
+    //      statements parsed by graft.sql.VeloSqlParser and executed
+    //      through Catalyst (docs/sql/PARSER_GRAMMAR.md) ----
+    "q45_sql_agg" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY l_returnflag""")
+    }),
+
+    "q46_sql_tumbling" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT event_type, COUNT(*) AS n_events
+           FROM events GROUP BY event_type
+           WINDOW TUMBLING(INTERVAL '5' MINUTE)""")
+    }),
+
+    "q47_sql_sliding" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT event_type, COUNT(*) AS n_events
+           FROM events GROUP BY event_type
+           WINDOW SLIDING(INTERVAL '10' MINUTE, INTERVAL '5' MINUTE)""")
+    }),
+
+    "q48_sql_rows_window" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+               ROWS WINDOW BUFFER 5 ROWS
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ) AS DOUBLE) AS msum
+           FROM lineitem""")
+    }),
+
+    "q49_sql_join_in" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT c.c_mktsegment, COUNT(*) AS n_orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+           GROUP BY c.c_mktsegment""")
+    }),
+
+    "q50_sql_ctas" -> ((s, dir) => {
+      val ctx = veloCtx(s, dir)
+      ctx.sql(
+        """CREATE TABLE big_orders AS
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_totalprice > 150000 EMIT CHANGES""")
+      ctx.sql(
+        """SELECT o_custkey, COUNT(*) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           FROM big_orders GROUP BY o_custkey""")
+    }),
+
+    "q51_sql_headers" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT _offset, _partition, HEADER('source') AS h_source,
+           HAS_HEADER('trace') AS has_trace,
+           ARRAY_LENGTH(HEADER_KEYS()) AS n_headers,
+           TUMBLE_START(ts, INTERVAL '1' HOUR) AS hour_bucket
+           FROM events WHERE _partition = 3""")
     })
   )
+
+  /** One dialect context per (session, dir) — table registration is
+    * idempotent temp-view setup. */
+  private val ctxCache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.sql.VeloContext]()
+  private def veloCtx(s: SparkSession, dir: String): graft.sql.VeloContext =
+    ctxCache.computeIfAbsent((s, dir), _ => graft.sql.VeloContext.forDir(s, dir))
 
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,122 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import VeloSqlParser._
+
+/** Execution front-end for the velostream SQL dialect: parses a
+  * statement, emits Spark SQL, and runs it against registered sources —
+  * the analog of the reference's multi-job SQL server
+  * (src/velostream/server/), with Catalyst as the engine.
+  *
+  * Statement semantics:
+  *  - SELECT → one Spark SQL query (windows become native `window()` /
+  *    `session_window()` GROUP BY items).
+  *  - CREATE TABLE name AS SELECT … (CTAS) → materialized: the result is
+  *    cached and registered; downstream queries read the materialization
+  *    (reference: CompactTable/Table ingestion —
+  *    docs/sql/comprehensive-sql-ctas-guide.md).
+  *  - CREATE STREAM name AS SELECT … (CSAS) → registered as a VIEW: a
+  *    continuous transformation downstream queries compose with
+  *    (no materialization — the reference forwards records).
+  *  - INSERT INTO t SELECT|VALUES → appends to a registered table.
+  *  - SHOW STREAMS|TABLES|JOBS → catalog listing.
+  *  - EMIT CHANGES|FINAL is recorded on the plan; in batch both read the
+  *    complete input (a final emission). The streaming runner maps them
+  *    to Update/Append output modes (graft.streaming.StreamOps).
+  *
+  * At scale nothing here adds overhead: the translation is one string →
+  * one Catalyst plan; pushdown/pruning/AQE all apply as if the user had
+  * written the DataFrame code by hand.
+  */
+final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "ts") {
+
+  /** Registered CTAS materializations (name → cached DataFrame). */
+  private val materialized = scala.collection.mutable.Map[String, DataFrame]()
+
+  def register(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Register a table with Kafka-analog system columns + headers
+    * (reference: docs/sql/system-columns.md, header-access.md):
+    * `_timestamp` (event time), `_offset` (monotone id), `_partition`
+    * (key-hash partition), `_headers` (map<string,string>). */
+  def registerStreamLike(name: String, df: DataFrame, tsCol: String, idCol: String,
+                         partitions: Int = 8, headers: Map[String, String] = Map.empty): Unit = {
+    var d = df
+      .withColumn("_timestamp", col(tsCol))
+      .withColumn("_offset", col(idCol))
+      .withColumn("_partition", pmod(col(idCol), lit(partitions)).cast("int"))
+    val hdrs = if (headers.isEmpty) Map("source" -> name) else headers
+    d = d.withColumn("_headers",
+      map(hdrs.toSeq.sorted.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    register(name, d)
+  }
+
+  def parseStatement(sql: String): VeloStatement = VeloSqlParser.parse(sql, defaultTimeCol)
+
+  /** Parse + execute one statement; returns the result (for DDL, the
+    * created relation; for INSERT, the post-insert table). */
+  def sql(text: String): DataFrame = parseStatement(text) match {
+    case Select(s) =>
+      spark.sql(toSparkSql(s, defaultTimeCol))
+
+    case CreateTableAs(name, s, _) =>
+      val df = spark.sql(toSparkSql(s, defaultTimeCol)).cache()
+      df.count() // force the materialization, as CTAS ingestion does
+      df.createOrReplaceTempView(name)
+      materialized(name) = df
+      df
+
+    case CreateStreamAs(name, s, _) =>
+      val df = spark.sql(toSparkSql(s, defaultTimeCol))
+      df.createOrReplaceTempView(name)
+      df
+
+    case InsertInto(table, cols, selOpt, values) =>
+      val existing = spark.table(table)
+      val incoming: DataFrame = selOpt match {
+        case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol))
+        case None =>
+          val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
+          val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
+          spark.sql(s"SELECT * FROM VALUES $rowsSql AS t$colList")
+      }
+      val aligned = incoming.toDF(existing.columns.toIndexedSeq: _*)
+      val unioned = existing.unionByName(aligned)
+      unioned.createOrReplaceTempView(table)
+      unioned
+
+    case Show(what) =>
+      import spark.implicits._
+      val tables = spark.catalog.listTables().collect()
+        .map(t => (t.name, t.tableType)).toSeq.toDF("name", "type")
+      what match {
+        case "STREAMS" | "TABLES" | "JOBS" => tables
+        case other => throw new ParseException(s"SHOW $other not supported")
+      }
+  }
+
+  /** The Spark SQL a statement translates to (for plan inspection). */
+  def explainSql(text: String): String = parseStatement(text) match {
+    case Select(s) => toSparkSql(s, defaultTimeCol)
+    case CreateTableAs(_, s, _) => toSparkSql(s, defaultTimeCol)
+    case CreateStreamAs(_, s, _) => toSparkSql(s, defaultTimeCol)
+    case other => other.toString
+  }
+}
+
+object VeloContext {
+  /** Context over the driver's test tables in `sfDir`, with the `events`
+    * table registered stream-like (system columns + headers). */
+  def forDir(spark: SparkSession, sfDir: String): VeloContext = {
+    val ctx = new VeloContext(spark, defaultTimeCol = "ts")
+    graft.api.Tables.all.foreach { t =>
+      val df = graft.api.Tables.load(spark, sfDir, t)
+      if (t == "events") ctx.registerStreamLike(t, df, "ts", "event_id")
+      else ctx.register(t, df)
+    }
+    ctx
+  }
+}

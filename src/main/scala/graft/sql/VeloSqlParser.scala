@@ -1,0 +1,669 @@
+package graft.sql
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Parser for the velostream SQL dialect
+  * (reference: docs/sql/PARSER_GRAMMAR.md, docs/sql/FUNCTION_CATALOG.md,
+  * docs/sql/comprehensive-sql-ctas-guide.md).
+  *
+  * Design: the parser owns the dialect-specific SUPERSTRUCTURE —
+  * statement kinds (SELECT / CTAS / CSAS / INSERT / SHOW), clause
+  * boundaries, `WINDOW TUMBLING|SLIDING|SESSION(...)` specs,
+  * `OVER (ROWS WINDOW BUFFER n ROWS …)`, `EMIT CHANGES|FINAL`,
+  * `kafka://topic` sources, `PRIMARY KEY` annotations, `WITH` property
+  * maps, and the reference's function-name surface. Expression parsing
+  * inside clauses is DELEGATED to Catalyst: clauses are re-emitted as
+  * Spark SQL token streams after dialect rewrites. Spark-first — the
+  * optimizer sees one ordinary SQL plan; nothing is interpreted per row.
+  */
+object VeloSqlParser {
+
+  // ============================ tokens ============================
+
+  sealed trait TokKind
+  case object TIdent extends TokKind
+  case object TNumber extends TokKind
+  case object TString extends TokKind  // text includes the quotes
+  case object TSymbol extends TokKind
+
+  final case class Tok(kind: TokKind, text: String) {
+    def isKw(kw: String): Boolean = kind == TIdent && text.equalsIgnoreCase(kw)
+    def upper: String = text.toUpperCase
+  }
+
+  final class ParseException(msg: String) extends RuntimeException(msg)
+
+  def tokenize(sqlIn: String): Vector[Tok] = {
+    // kafka://topic-name and file://path sources: the runner registers
+    // them as views named after the sanitized last path segment.
+    val sql = "(?i)\\b(?:kafka|file)://([A-Za-z0-9_./\\-]+)".r
+      .replaceAllIn(sqlIn, m => m.group(1).split('/').last.replace('-', '_').replace(".", "_"))
+    val out = ArrayBuffer[Tok]()
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && sql(i + 1) == '-') { // line comment
+        while (i < n && sql(i) != '\n') i += 1
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+        out += Tok(TIdent, sql.substring(s, i))
+      } else if (c.isDigit || (c == '.' && i + 1 < n && sql(i + 1).isDigit)) {
+        val s = i
+        while (i < n && (sql(i).isDigit || sql(i) == '.')) i += 1
+        if (i < n && (sql(i) == 'e' || sql(i) == 'E')) {
+          i += 1; if (i < n && (sql(i) == '+' || sql(i) == '-')) i += 1
+          while (i < n && sql(i).isDigit) i += 1
+        }
+        out += Tok(TNumber, sql.substring(s, i))
+      } else if (c == '\'' || c == '"' || c == '`') {
+        val quote = c; val s = i; i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          if (sql(i) == quote) {
+            if (i + 1 < n && sql(i + 1) == quote) { sb.append(quote); i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb.append(sql(i)); i += 1 }
+        }
+        if (!closed) throw new ParseException(s"unterminated string starting at $s")
+        if (quote == '\'')
+          out += Tok(TString, sql.substring(s, i))
+        else // quoted identifier → Spark backtick form
+          out += Tok(TIdent, "`" + sb.toString + "`")
+      } else {
+        val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
+        if (Set("!=", "<>", "<=", ">=", "||").contains(two)) { out += Tok(TSymbol, two); i += 2 }
+        else if (";(),.*+-/%^=<>[]".indexOf(c) >= 0) { out += Tok(TSymbol, c.toString); i += 1 }
+        else throw new ParseException(s"unexpected character '$c' at $i")
+      }
+    }
+    out.toVector
+  }
+
+  def render(tokens: Seq[Tok]): String = {
+    val sb = new StringBuilder
+    tokens.foreach { t =>
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(t.text)
+    }
+    sb.toString
+  }
+
+  // ============================ AST ============================
+
+  sealed trait EmitMode
+  case object EmitChanges extends EmitMode
+  case object EmitFinal extends EmitMode
+
+  sealed trait WindowSpec { def timeCol: Option[String] }
+  final case class Tumbling(sizeSec: Long, timeCol: Option[String]) extends WindowSpec
+  final case class Sliding(sizeSec: Long, advanceSec: Long, timeCol: Option[String]) extends WindowSpec
+  final case class Session(gapSec: Long, timeCol: Option[String]) extends WindowSpec
+
+  final case class JoinClause(joinType: String, table: String, alias: Option[String], on: Vector[Tok])
+
+  final case class SelectStmt(
+      fields: Vector[Vector[Tok]],          // rewritten select items (PRIMARY KEY stripped)
+      keyFields: Vector[String],            // PRIMARY KEY-annotated output names
+      from: String,
+      fromAlias: Option[String],
+      joins: Vector[JoinClause],
+      where: Option[Vector[Tok]],
+      groupBy: Option[Vector[Tok]],
+      having: Option[Vector[Tok]],
+      window: Option[WindowSpec],
+      orderBy: Option[Vector[Tok]],
+      limit: Option[Long],
+      emit: Option[EmitMode])
+
+  sealed trait VeloStatement
+  final case class Select(s: SelectStmt) extends VeloStatement
+  final case class CreateTableAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
+  final case class CreateStreamAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
+  final case class InsertInto(table: String, columns: Vector[String], select: Option[SelectStmt], values: Vector[Vector[Vector[Tok]]]) extends VeloStatement
+  final case class Show(what: String) extends VeloStatement
+
+  // ============================ parser ============================
+
+  /** Parse one statement (trailing ';' tolerated). `defaultTimeCol` is
+    * the event-time column used when a window spec / ROWS WINDOW omits
+    * one (the reference uses the record timestamp). */
+  def parse(sql: String, defaultTimeCol: String = "ts"): VeloStatement = {
+    val toks0 = tokenize(sql)
+    val toks = if (toks0.nonEmpty && toks0.last.text == ";") toks0.dropRight(1) else toks0
+    if (toks.isEmpty) throw new ParseException("empty statement")
+    val p = new P(toks, defaultTimeCol)
+    val stmt = p.statement()
+    p.expectEof()
+    stmt
+  }
+
+  private final class P(toks: Vector[Tok], defaultTimeCol: String) {
+    private var pos = 0
+    private def peek(o: Int = 0): Option[Tok] = if (pos + o < toks.length) Some(toks(pos + o)) else None
+    private def at(kw: String, o: Int = 0): Boolean = peek(o).exists(_.isKw(kw))
+    private def take(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expectKw(kw: String): Unit =
+      if (at(kw)) pos += 1 else throw new ParseException(s"expected $kw, got ${peek().map(_.text).getOrElse("<eof>")}")
+    private def expectSym(s: String): Unit = {
+      if (peek().exists(t => t.kind == TSymbol && t.text == s)) pos += 1
+      else throw new ParseException(s"expected '$s', got ${peek().map(_.text).getOrElse("<eof>")}")
+    }
+    private def ident(): String = {
+      val t = take()
+      if (t.kind != TIdent) throw new ParseException(s"expected identifier, got ${t.text}")
+      t.text
+    }
+    def expectEof(): Unit =
+      if (pos < toks.length)
+        throw new ParseException(s"unexpected trailing tokens: ${render(toks.drop(pos).take(5))}")
+
+    def statement(): VeloStatement = {
+      if (at("CREATE")) createStatement()
+      else if (at("INSERT")) insertStatement()
+      else if (at("SHOW")) { take(); Show(take().upper) }
+      else if (at("SELECT")) Select(selectStatement())
+      else throw new ParseException(s"unsupported statement start: ${peek().map(_.text).getOrElse("")}")
+    }
+
+    private def createStatement(): VeloStatement = {
+      expectKw("CREATE")
+      val isStream = at("STREAM")
+      if (!at("STREAM") && !at("TABLE")) throw new ParseException("expected STREAM or TABLE after CREATE")
+      take()
+      val name = ident()
+      expectKw("AS")
+      val sel = selectStatement()
+      var props = Map.empty[String, String]
+      var emit = sel.emit
+      // WITH (...) and EMIT may follow the inner select in either order
+      var progress = true
+      while (progress) {
+        progress = false
+        if (at("WITH")) { take(); props ++= propMap(); progress = true }
+        if (at("EMIT")) { take(); emit = Some(emitMode()); progress = true }
+      }
+      val sel2 = sel.copy(emit = emit)
+      if (isStream) CreateStreamAs(name, sel2, props) else CreateTableAs(name, sel2, props)
+    }
+
+    private def propMap(): Map[String, String] = {
+      expectSym("(")
+      val m = scala.collection.mutable.LinkedHashMap[String, String]()
+      var done = false
+      while (!done) {
+        val k = unquote(take())
+        expectSym("=")
+        val v = unquote(take())
+        m += k -> v
+        if (peek().exists(_.text == ",")) take() else done = true
+      }
+      expectSym(")")
+      m.toMap
+    }
+
+    private def unquote(t: Tok): String =
+      if (t.kind == TString) t.text.substring(1, t.text.length - 1).replace("''", "'")
+      else t.text.stripPrefix("`").stripSuffix("`")
+
+    private def emitMode(): EmitMode = {
+      val t = take()
+      if (t.isKw("CHANGES")) EmitChanges
+      else if (t.isKw("FINAL")) EmitFinal
+      else throw new ParseException(s"expected CHANGES or FINAL after EMIT, got ${t.text}")
+    }
+
+    private def insertStatement(): VeloStatement = {
+      expectKw("INSERT"); expectKw("INTO")
+      val table = ident()
+      var cols = Vector.empty[String]
+      if (peek().exists(_.text == "(")) {
+        take()
+        var done = false
+        while (!done) {
+          cols :+= ident()
+          if (peek().exists(_.text == ",")) take() else done = true
+        }
+        expectSym(")")
+      }
+      if (at("SELECT")) InsertInto(table, cols, Some(selectStatement()), Vector.empty)
+      else {
+        expectKw("VALUES")
+        var rows = Vector.empty[Vector[Vector[Tok]]]
+        var more = true
+        while (more) {
+          expectSym("(")
+          var row = Vector.empty[Vector[Tok]]
+          var done = false
+          while (!done) {
+            row :+= exprSpan(stopAtComma = true)
+            if (peek().exists(_.text == ",")) take() else done = true
+          }
+          expectSym(")")
+          rows :+= row
+          if (peek().exists(_.text == ",")) take() else more = false
+        }
+        InsertInto(table, cols, None, rows)
+      }
+    }
+
+    /** Collect a balanced-paren token span until a top-level comma,
+      * clause keyword, or EOF. */
+    private def exprSpan(stopAtComma: Boolean, extraStops: Set[String] = Set.empty): Vector[Tok] = {
+      val out = ArrayBuffer[Tok]()
+      var depth = 0
+      var done = false
+      while (!done && pos < toks.length) {
+        val t = toks(pos)
+        if (t.kind == TSymbol && t.text == "(") { depth += 1; out += take() }
+        else if (t.kind == TSymbol && t.text == ")") {
+          if (depth == 0) done = true else { depth -= 1; out += take() }
+        } else if (depth == 0 && t.kind == TSymbol && t.text == "," && stopAtComma) done = true
+        else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper))
+                 && !(t.upper == "JOIN" && peek(1).exists(_.text == "("))) done = true
+        else out += take()
+      }
+      out.toVector
+    }
+
+    private val clauseStarts = Set(
+      "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER", "LIMIT", "EMIT",
+      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "WITH")
+
+    private def selectStatement(): SelectStmt = {
+      expectKw("SELECT")
+      // select list
+      var fields = Vector.empty[Vector[Tok]]
+      var keys = Vector.empty[String]
+      var more = true
+      while (more) {
+        var span = exprSpan(stopAtComma = true)
+        if (span.isEmpty) throw new ParseException("empty select item")
+        // PRIMARY KEY annotation (FR-089): strip, record the output name
+        if (span.length >= 2 && span(span.length - 2).isKw("PRIMARY") && span.last.isKw("KEY")) {
+          span = span.dropRight(2)
+          keys :+= span.last.text
+        }
+        fields :+= span
+        if (peek().exists(_.text == ",")) take() else more = false
+      }
+      // FROM
+      var from = ""
+      var fromAlias: Option[String] = None
+      if (at("FROM")) {
+        take()
+        from = ident()
+        if (at("AS")) { take(); fromAlias = Some(ident()) }
+        else if (peek().exists(t => t.kind == TIdent && !clauseStarts.contains(t.upper)))
+          fromAlias = Some(ident())
+      }
+      // JOINs
+      var joins = Vector.empty[JoinClause]
+      var scanning = true
+      while (scanning) {
+        val jt =
+          if (at("JOIN")) { take(); "INNER" }
+          else if (at("INNER") && at("JOIN", 1)) { take(); take(); "INNER" }
+          else if ((at("LEFT") || at("RIGHT") || at("FULL"))) {
+            val k = take().upper
+            if (at("OUTER")) take()
+            expectKw("JOIN"); k
+          } else if (at("CROSS") && at("JOIN", 1)) { take(); take(); "CROSS" }
+          else { scanning = false; "" }
+        if (scanning) {
+          val t = ident()
+          var alias: Option[String] = None
+          if (at("AS")) { take(); alias = Some(ident()) }
+          else if (peek().exists(tk => tk.kind == TIdent && tk.upper != "ON" && !clauseStarts.contains(tk.upper)))
+            alias = Some(ident())
+          val on =
+            if (jt == "CROSS") Vector.empty[Tok]
+            else { expectKw("ON"); exprSpan(stopAtComma = false) }
+          joins :+= JoinClause(jt, t, alias, on)
+        }
+      }
+      val where = if (at("WHERE")) { take(); Some(exprSpan(stopAtComma = false)) } else None
+      val groupBy = if (at("GROUP")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
+      val having = if (at("HAVING")) { take(); Some(exprSpan(stopAtComma = false)) } else None
+      val window = if (at("WINDOW")) { take(); Some(windowSpec()) } else None
+      val orderBy = if (at("ORDER")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
+      val limit = if (at("LIMIT")) { take(); Some(take().text.toLong) } else None
+      val emit = if (at("EMIT")) { take(); Some(emitMode()) } else None
+      SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol)), keys, from, fromAlias,
+        joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
+        where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
+        having.map(rewriteTokens(_, defaultTimeCol)), window,
+        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit)
+    }
+
+    private def windowSpec(): WindowSpec = {
+      val kind = take().upper
+      expectSym("(")
+      // args: durations and/or a time-column identifier, in either order
+      var durations = Vector.empty[Long]
+      var timeCol: Option[String] = None
+      var more = true
+      while (more) {
+        val span = exprSpan(stopAtComma = true)
+        parseDuration(span) match {
+          case Some(sec) => durations :+= sec
+          case None => timeCol = Some(render(span).replace(" . ", "."))
+        }
+        if (peek().exists(_.text == ",")) take() else more = false
+      }
+      expectSym(")")
+      kind match {
+        case "TUMBLING" =>
+          require(durations.nonEmpty, "TUMBLING needs a size duration")
+          Tumbling(durations.head, timeCol)
+        case "SLIDING" =>
+          require(durations.length == 2, "SLIDING needs size and advance durations")
+          Sliding(durations(0), durations(1), timeCol)
+        case "SESSION" =>
+          require(durations.nonEmpty, "SESSION needs a gap duration")
+          Session(durations.head, timeCol)
+        case other => throw new ParseException(s"unknown window kind $other")
+      }
+    }
+  }
+
+  /** duration = INTERVAL '5' MINUTE | INTERVAL 5 MINUTE | 5 MINUTE(S)
+    * | 5m / 30s / 100ms / 2h / 1d. Returns seconds (MS rounds down). */
+  def parseDuration(span: Seq[Tok]): Option[Long] = {
+    val ts = span.filterNot(t => t.isKw("INTERVAL"))
+    if (ts.isEmpty || ts.length > 2) return None
+    val numTok = ts.head
+    val num: Option[Long] = numTok.kind match {
+      case TNumber => Some(numTok.text.toDouble.toLong)
+      case TString => numTok.text.substring(1, numTok.text.length - 1).trim.toLongOption
+      case _ => None
+    }
+    num.flatMap { v =>
+      if (ts.length == 2) {
+        val u = ts(1).upper
+        if (u == "MS" || u.startsWith("MILLISECOND")) Some(v / 1000)
+        else unitSeconds(u).map(v * _)
+      } else None
+      // a lone NUMBER is ambiguous with a column reference — reject.
+    }
+  }
+
+  private def unitSeconds(u: String): Option[Long] = u.toUpperCase match {
+    case "SECOND" | "SECONDS" | "S" | "SEC" | "SECS" => Some(1L)
+    case "MINUTE" | "MINUTES" | "M" | "MIN" | "MINS" => Some(60L)
+    case "HOUR" | "HOURS" | "H" => Some(3600L)
+    case "DAY" | "DAYS" | "D" => Some(86400L)
+    case _ => None
+  }
+
+  // ==================== dialect token rewrites ====================
+
+  /** Spark-native names for the reference's function surface
+    * (FUNCTION_CATALOG.md). Only names that differ are listed. */
+  private val renames: Map[String, String] = Map(
+    "JSON_EXTRACT" -> "get_json_object",
+    "JSON_VALUE" -> "get_json_object",
+    "STRING_AGG" -> "listagg",
+    "GROUP_CONCAT" -> "listagg",
+    "LISTAGG" -> "listagg",
+    "COLLECT" -> "collect_list",
+    "ARRAY_LENGTH" -> "array_size",
+    "LEN" -> "length",
+    "REGEXP" -> "regexp_like",
+    "SPLIT" -> "split")
+
+  /** Rewrite one clause's token span to Spark SQL:
+    *  - function renames (see `renames`)
+    *  - COUNT_DISTINCT(e) → COUNT(DISTINCT e)
+    *  - TIMESTAMP() / NOW() → current_timestamp()
+    *  - TUMBLE_START/END(ts, dur) → epoch-aligned bucket bigint
+    *  - HEADER ops → map ops over the `_headers` column
+    *  - OVER (ROWS WINDOW BUFFER n ROWS …) → standard window spec with a
+    *    ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW frame
+    */
+  def rewriteTokens(span: Vector[Tok], defaultTimeCol: String): Vector[Tok] = {
+    val out = ArrayBuffer[Tok]()
+    var i = 0
+    def sym(s: String) = Tok(TSymbol, s)
+    def id(s: String) = Tok(TIdent, s)
+    def isCall(o: Int) = span.lift(o + 1).exists(t => t.kind == TSymbol && t.text == "(")
+    // span of a balanced (...) starting at `open` (index of '('); returns index after ')'
+    def closeParen(open: Int): Int = {
+      var d = 0; var j = open
+      while (j < span.length) {
+        if (span(j).text == "(") d += 1
+        else if (span(j).text == ")") { d -= 1; if (d == 0) return j + 1 }
+        j += 1
+      }
+      throw new ParseException("unbalanced parens")
+    }
+    // split top-level comma args of the call whose '(' is at `open`
+    def callArgs(open: Int): (Vector[Vector[Tok]], Int) = {
+      val end = closeParen(open)
+      val inner = span.slice(open + 1, end - 1)
+      val args = ArrayBuffer[Vector[Tok]]()
+      var cur = ArrayBuffer[Tok]()
+      var d = 0
+      inner.foreach { t =>
+        if (t.text == "(") { d += 1; cur += t }
+        else if (t.text == ")") { d -= 1; cur += t }
+        else if (t.text == "," && d == 0) { args += cur.toVector; cur = ArrayBuffer[Tok]() }
+        else cur += t
+      }
+      if (cur.nonEmpty || args.nonEmpty) args += cur.toVector
+      (args.toVector, end)
+    }
+
+    while (i < span.length) {
+      val t = span(i)
+      val up = t.upper
+      // OVER (ROWS WINDOW …) must win over the generic call branch:
+      // OVER is also an identifier followed by '('.
+      if (t.isKw("OVER") && span.lift(i + 1).exists(_.text == "(")
+          && span.lift(i + 2).exists(_.isKw("ROWS")) && span.lift(i + 3).exists(_.isKw("WINDOW"))) {
+        val end = closeParen(i + 1)
+        // Offset/ranking functions reject explicit frames in Spark (their
+        // result is order-based); the buffer frame applies to aggregates.
+        val noFrameFns = Set("LAG", "LEAD", "ROW_NUMBER", "RANK", "DENSE_RANK",
+          "NTILE", "PERCENT_RANK", "CUME_DIST")
+        val precedingFn = {
+          var j = out.length - 1
+          if (j >= 0 && out(j).text == ")") {
+            var d = 0
+            while (j >= 0 && !(out(j).text == "(" && d == 1)) {
+              if (out(j).text == ")") d += 1
+              if (out(j).text == "(") d -= 1
+              j -= 1
+            }
+            if (j > 0) Some(out(j - 1).upper) else None
+          } else None
+        }
+        val withFrame = !precedingFn.exists(noFrameFns.contains)
+        out ++= rewriteRowsWindow(span.slice(i + 2, end - 1), defaultTimeCol, withFrame)
+        i = end
+      } else if (t.kind == TIdent && isCall(i)) {
+        up match {
+          case "COUNT_DISTINCT" =>
+            val (args, end) = callArgs(i + 1)
+            out += id("count") += sym("(") += id("DISTINCT")
+            args.map(rewriteTokens(_, defaultTimeCol)).zipWithIndex.foreach { case (a, ix) =>
+              if (ix > 0) out += sym(",")
+              out ++= a
+            }
+            out += sym(")")
+            i = end
+          case "TIMESTAMP" | "NOW" =>
+            val (_, end) = callArgs(i + 1)
+            out += id("current_timestamp") += sym("(") += sym(")")
+            i = end
+          case "TUMBLE_START" | "TUMBLE_END" =>
+            val (args0, end) = callArgs(i + 1)
+            val args = args0.map(rewriteTokens(_, defaultTimeCol))
+            val (tsArg, dur) = args match {
+              case Vector(a) => (Vector(id(defaultTimeCol)), parseDuration(a))
+              case Vector(a, b) => parseDuration(b).map(d => (a, Option(d)))
+                .getOrElse((b, parseDuration(a)))
+              case _ => throw new ParseException(s"$up expects (ts, duration)")
+            }
+            val s = dur.getOrElse(throw new ParseException(s"$up needs a duration"))
+            // (floor(unix_timestamp(ts) / S) * S) [+ S]
+            out += sym("(") += id("CAST") += sym("(") += id("floor") += sym("(") += id("unix_timestamp") += sym("(")
+            out ++= tsArg
+            out += sym(")") += Tok(TSymbol, "/") += Tok(TNumber, s.toString) += sym(")")
+            out += sym("*") += Tok(TNumber, s.toString)
+            if (up == "TUMBLE_END") { out += sym("+") += Tok(TNumber, s.toString) }
+            out += id("AS") += id("BIGINT") += sym(")") += sym(")")
+            i = end
+          case "HEADER" =>
+            val (args, end) = callArgs(i + 1)
+            out += id("element_at") += sym("(") += id("_headers") += sym(",")
+            out ++= args.head
+            out += sym(")")
+            i = end
+          case "HAS_HEADER" =>
+            val (args, end) = callArgs(i + 1)
+            out += id("map_contains_key") += sym("(") += id("_headers") += sym(",")
+            out ++= args.head
+            out += sym(")")
+            i = end
+          case "HEADER_KEYS" =>
+            val (_, end) = callArgs(i + 1)
+            out += id("map_keys") += sym("(") += id("_headers") += sym(")")
+            i = end
+          case "SET_HEADER" =>
+            val (args, end) = callArgs(i + 1)
+            out += id("map_concat") += sym("(") += id("_headers") += sym(",") += id("map") += sym("(")
+            out ++= args(0); out += sym(","); out ++= args(1)
+            out += sym(")") += sym(")")
+            i = end
+          case "REMOVE_HEADER" =>
+            val (args, end) = callArgs(i + 1)
+            // map_filter(_headers, (__hk, __hv) -> __hk != <key>)
+            out += id("map_filter") += sym("(") += id("_headers") += sym(",") += sym("(")
+            out += id("__hk") += sym(",") += id("__hv") += sym(")") += Tok(TSymbol, "->")
+            out += id("__hk") += sym("!=")
+            out ++= args.head
+            out += sym(")")
+            i = end
+          case _ if renames.contains(up) =>
+            out += id(renames(up))
+            i += 1
+          case _ =>
+            out += t
+            i += 1
+        }
+      } else {
+        out += t
+        i += 1
+      }
+    }
+    out.toVector
+  }
+
+  /** `ROWS WINDOW BUFFER n ROWS [PARTITION BY …] [ORDER BY …]
+    * [ROWS|RANGE BETWEEN …] [EMIT …]` (the OVER-parens content) →
+    * standard `OVER (PARTITION BY … ORDER BY … ROWS BETWEEN
+    * min(n-1, frame) PRECEDING AND CURRENT ROW)`. The batch analog of
+    * the reference's bounded row buffer is the trailing-n frame; the
+    * continuous EMIT mode is the streaming runner's concern
+    * (StreamOps.rowsBufferAgg). A missing ORDER BY (arrival order in the
+    * reference) becomes ORDER BY the default time column. */
+  private def rewriteRowsWindow(inner: Vector[Tok], defaultTimeCol: String,
+                                withFrame: Boolean = true): Vector[Tok] = {
+    var i = 0
+    def at(kw: String, o: Int = 0) = inner.lift(i + o).exists(_.isKw(kw))
+    if (!(at("ROWS") && at("WINDOW", 1) && at("BUFFER", 2))) throw new ParseException("malformed ROWS WINDOW")
+    i += 3
+    val n = inner(i).text.toLong; i += 1
+    if (!at("ROWS")) throw new ParseException("expected ROWS after BUFFER n")
+    i += 1
+    def spanUntil(stops: Set[String]): Vector[Tok] = {
+      val out = ArrayBuffer[Tok]()
+      var d = 0
+      while (i < inner.length &&
+             !(d == 0 && inner(i).kind == TIdent && stops.contains(inner(i).upper))) {
+        if (inner(i).text == "(") d += 1
+        if (inner(i).text == ")") d -= 1
+        out += inner(i); i += 1
+      }
+      out.toVector
+    }
+    var partition = Vector.empty[Tok]
+    var order = Vector.empty[Tok]
+    var frame = Vector.empty[Tok]
+    val stops = Set("PARTITION", "ORDER", "ROWS", "RANGE", "EMIT")
+    while (i < inner.length) {
+      if (at("PARTITION") && at("BY", 1)) { i += 2; partition = spanUntil(stops) }
+      else if (at("ORDER") && at("BY", 1)) { i += 2; order = spanUntil(stops) }
+      else if (at("ROWS") || at("RANGE")) { frame = spanUntil(Set("EMIT")) }
+      else if (at("EMIT")) { i += 2 } // EMIT CHANGES|FINAL — streaming concern
+      else throw new ParseException(s"unexpected token in ROWS WINDOW: ${inner(i).text}")
+    }
+    val out = ArrayBuffer[Tok]()
+    def id(s: String) = Tok(TIdent, s)
+    out += id("OVER") += Tok(TSymbol, "(")
+    if (partition.nonEmpty) { out += id("PARTITION") += id("BY"); out ++= partition }
+    out += id("ORDER") += id("BY")
+    if (order.nonEmpty) out ++= order else out += id(defaultTimeCol)
+    if (withFrame) {
+      if (frame.nonEmpty) out ++= frame
+      else {
+        out += id("ROWS") += id("BETWEEN") += Tok(TNumber, (n - 1).toString) += id("PRECEDING")
+        out += id("AND") += id("CURRENT") += id("ROW")
+      }
+    }
+    out += Tok(TSymbol, ")")
+    out.toVector
+  }
+
+  // ==================== Spark SQL emission ====================
+
+  /** Emit Spark SQL for a parsed SELECT. A time-window spec becomes a
+    * native `window()` / `session_window()` GROUP BY item with
+    * `window_start` / `window_end` epoch-second output columns —
+    * Catalyst's own streaming-ready windowing, not a custom operator. */
+  def toSparkSql(s: SelectStmt, defaultTimeCol: String = "ts"): String = {
+    val sb = new StringBuilder("SELECT ")
+    val winCols: Seq[String] = s.window match {
+      case Some(_: Session) => Seq(
+        "CAST(unix_timestamp(session_window.start) AS BIGINT) AS window_start",
+        "CAST(unix_timestamp(session_window.end) AS BIGINT) AS window_end")
+      case Some(_) => Seq(
+        "CAST(unix_timestamp(window.start) AS BIGINT) AS window_start",
+        "CAST(unix_timestamp(window.end) AS BIGINT) AS window_end")
+      case None => Nil
+    }
+    sb.append((s.fields.map(render) ++ winCols).mkString(", "))
+    if (s.from.nonEmpty) {
+      sb.append(" FROM ").append(s.from)
+      s.fromAlias.foreach(a => sb.append(" AS ").append(a))
+    }
+    s.joins.foreach { j =>
+      sb.append(' ').append(j.joinType).append(" JOIN ").append(j.table)
+      j.alias.foreach(a => sb.append(" AS ").append(a))
+      if (j.on.nonEmpty) sb.append(" ON ").append(render(j.on))
+    }
+    s.where.foreach(w => sb.append(" WHERE ").append(render(w)))
+    val winGroup: Option[String] = s.window.map { w =>
+      val ts = w.timeCol.getOrElse(defaultTimeCol)
+      w match {
+        case Tumbling(sz, _) => s"window($ts, '$sz seconds')"
+        case Sliding(sz, adv, _) => s"window($ts, '$sz seconds', '$adv seconds')"
+        case Session(gap, _) => s"session_window($ts, '$gap seconds')"
+      }
+    }
+    (s.groupBy, winGroup) match {
+      case (Some(g), Some(w)) => sb.append(" GROUP BY ").append(render(g)).append(", ").append(w)
+      case (Some(g), None) => sb.append(" GROUP BY ").append(render(g))
+      case (None, Some(w)) => sb.append(" GROUP BY ").append(w)
+      case (None, None) =>
+    }
+    s.having.foreach(h => sb.append(" HAVING ").append(render(h)))
+    s.orderBy.foreach(o => sb.append(" ORDER BY ").append(render(o)))
+    s.limit.foreach(l => sb.append(" LIMIT ").append(l))
+    sb.toString
+  }
+}
