@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Multimodal plumbing: schema contract, deterministic stub features,
+  * null payloads, and the chunk-sampling stage. */
+class MultimodalSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val media = {
+    import spark.implicits._
+    Seq(
+      (1L, "image", "hello world payload"),
+      (2L, "audio", ""),
+      (3L, "video", "abcdefgh" * 40)
+    ).toDF("media_id", "media_type", "s")
+      .withColumn("payload", encode(col("s"), "UTF-8"))
+      .drop("s")
+  }
+
+  test("extractFeatures: schema contract, byte counts, stub formula") {
+    val out = Multimodal.extractFeatures(media, dim = 4)
+    assert(out.schema == Multimodal.featureSchema)
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") ->
+      (r.getAs[Int]("n_bytes"), r.getAs[scala.collection.Seq[Double]]("feature").toSeq)).toMap
+    assert(rows(1L)._1 == "hello world payload".length)
+    assert(rows(2L)._1 == 0)
+    // replay the stub on the driver — must match exactly
+    val expected = Multimodal.decodeStub("hello world payload".getBytes("UTF-8"), 4).toSeq
+    assert(rows(1L)._2 == expected)
+    assert(rows(2L)._2 == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("null payloads flow through as empty features, not failures") {
+    val withNull = media.withColumn("payload",
+      when(col("media_id") === 2L, lit(null).cast("binary")).otherwise(col("payload")))
+    val out = Multimodal.extractFeatures(withNull, dim = 4).collect()
+    val r2 = out.find(_.getAs[Long]("media_id") == 2L).get
+    assert(r2.getAs[Int]("n_bytes") == 0)
+    assert(r2.getAs[scala.collection.Seq[Double]]("feature").toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("sampleChunks emits every stride-th fixed-size chunk") {
+    val out = Multimodal.sampleChunks(media.where(col("media_id") === 3L),
+      chunkBytes = 64, stride = 2)
+    val idx = out.collect().map(_.getAs[Int]("chunk_idx")).sorted
+    // 320 bytes → 5 chunks of 64 → sampled indices 0, 2, 4
+    assert(idx.toSeq == Seq(0, 2, 4))
+    assert(out.collect().forall(_.getAs[Array[Byte]]("chunk").length == 64))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Streaming semantics the reference defines
+  * (docs/sql/watermarks-time-semantics.md, PARSER_GRAMMAR.md EMIT):
+  * watermark-based late-record dropping (EMIT FINAL), per-trigger
+  * update emission (EMIT CHANGES), and the ROWS WINDOW BUFFER
+  * emission sequence.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  private def runBatches[A](name: String, mode: OutputMode,
+                            stream: MemoryStream[A], df: org.apache.spark.sql.DataFrame,
+                            batches: Seq[Seq[A]]): org.apache.spark.sql.DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("EMIT FINAL analog: watermark drops late rows, windows emit once closed") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, String, Double)]
+    val events = in.toDF().toDF("ep", "k", "v")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val agg = StreamOps.tumblingAgg(events, "ts", "5 minutes", "10 minutes",
+      Seq("k"), Seq("count(1)" -> "n"))
+    val out = runBatches("wm_final", OutputMode.Append(), in, agg, Seq(
+      Seq((100L, "a", 1.0), (200L, "a", 1.0)),   // window [0,300)
+      Seq((4000L, "a", 1.0)),                    // watermark → 4000-600=3400; [0,300) closes
+      Seq((150L, "a", 9.0)),                     // LATE: below watermark → dropped
+      Seq((8000L, "a", 1.0))                     // advance again
+    ))
+    val w0 = out.where(unix_timestamp(col("window_start")) === 0)
+    // the late row at ep=150 must NOT be counted: n stays 2
+    assert(w0.collect().map(_.getAs[Long]("n")).toSeq == Seq(2L))
+    // each closed window emitted exactly once
+    assert(out.groupBy("window_start", "k").count().where(col("count") > 1).isEmpty)
+  }
+
+  test("EMIT CHANGES analog: update mode emits refreshed aggregates per trigger") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("k").groupBy("k").agg(count(lit(1)).as("n"))
+    val out = runBatches("emit_changes", OutputMode.Update(), in, agg, Seq(
+      Seq("x", "x", "y"), Seq("x", "y"), Seq("z")))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    // changelog: x appears with n=2 (trigger 1) and n=3 (trigger 2)
+    assert(rows.filter(_._1 == "x").map(_._2).sorted.toSeq == Seq(2L, 3L))
+    assert(rows.filter(_._1 == "z").map(_._2).toSeq == Seq(1L))
+  }
+
+  test("ROWS WINDOW BUFFER emission sequence (reference rows_window semantics)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[StreamOps.BufEvent]
+    val out0 = StreamOps.rowsBufferAgg(in.toDS(), n = 3)
+    val out = runBatches("rows_buf", OutputMode.Update(), in, out0.toDF(), Seq(
+      Seq(StreamOps.BufEvent(1, 1, 101, 10.0), StreamOps.BufEvent(1, 2, 102, 20.0)),
+      Seq(StreamOps.BufEvent(1, 3, 103, 30.0), StreamOps.BufEvent(1, 4, 104, 40.0)),
+      Seq(StreamOps.BufEvent(2, 1, 201, 5.0))))
+    val k1 = out.where(col("key") === 1).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("buf_n"), r.getAs[Double]("buf_sum")))
+    // one emission per arriving record; buffer bounded at 3 (40+30+20 for the 4th)
+    assert(k1.toSeq == Seq((101L, 1, 10.0), (102L, 2, 30.0), (103L, 3, 60.0), (104L, 3, 90.0)))
+    // state persists ACROSS triggers (103 continues the batch-1 buffer)
+    assert(out.where(col("key") === 2).collect().map(_.getAs[Int]("buf_n")).toSeq == Seq(1))
+  }
+
+  test("session streaming: merged session windows via session_window") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF().toDF("ep", "user")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val agg = StreamOps.sessionAgg(events, "ts", "30 seconds", "10 seconds",
+      Seq("user"), Seq("count(1)" -> "n"))
+    val out = runBatches("sess", OutputMode.Append(), in, agg, Seq(
+      Seq((100L, 1L), (110L, 1L), (125L, 1L)), // one session (gaps < 30s)
+      Seq((500L, 1L)),                         // far ahead → watermark closes session 1
+      Seq((10000L, 1L))))                      // closes session 2
+    val sessions = out.orderBy("session_start").collect().map(_.getAs[Long]("n"))
+    assert(sessions.take(2).toSeq == Seq(3L, 1L))
+  }
+}
