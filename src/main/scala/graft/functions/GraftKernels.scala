@@ -61,6 +61,30 @@ object GraftKernels {
     invoke(LongType, "signSketch", vec, typedLit(planesFlat.toSeq),
       lit(numBits), lit(dim), lit(floatElems))
 
+  /** Register the kernels as SQL functions so dialect / spark.sql text
+    * can call them directly: SIMHASH(text), FINGERPRINT(text),
+    * MINHASH_SIG(text, k, numHashes), COSINE_SIM(a, b) on float arrays,
+    * SHINGLES(text, k). */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    def reg(name: String, rt: DataType, method: String): Unit =
+      registry.createOrReplaceTempFunction(name,
+        args => StaticInvoke(GraftKernels.getClass, rt, method, args.toSeq,
+          inputTypes = Nil, propagateNull = true, returnNullable = false),
+        "scala_udf")
+    reg("simhash", LongType, "simhash")
+    reg("fingerprint", LongType, "fingerprint")
+    reg("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig")
+    reg("shingles", ArrayType(StringType, containsNull = false), "shingles")
+    // COSINE_SIM(a, b) over array<float> embeddings (the corpus type)
+    registry.createOrReplaceTempFunction("cosine_sim",
+      args => StaticInvoke(GraftKernels.getClass, DoubleType, "cosine",
+        args.toSeq :+ org.apache.spark.sql.catalyst.expressions.Literal(true),
+        inputTypes = Nil, propagateNull = true, returnNullable = false),
+      "scala_udf")
+  }
+
   // ================= JVM kernels (executor side) =================
   // Methods take catalyst-internal types (UTF8String / ArrayData) and are
   // resolved by StaticInvoke against these exact signatures.

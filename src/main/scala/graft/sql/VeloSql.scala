@@ -32,11 +32,35 @@ import VeloSqlParser._
   */
 final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "ts") {
 
+  // the engine's own kernels are part of the dialect's function surface
+  graft.functions.GraftKernels.registerSqlFunctions(spark)
+
   /** Registered CTAS materializations (name → cached DataFrame). */
   private val materialized = scala.collection.mutable.Map[String, DataFrame]()
 
   def register(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+
+  /** Register a STREAMING source (readStream/MemoryStream DataFrame)
+    * under `name`, with the watermark the reference attaches via its
+    * grace-period config (docs/sql/watermarks-time-semantics.md).
+    * Dialect queries over this view produce streaming plans. */
+  def registerStream(name: String, stream: DataFrame, tsCol: String, grace: String): Unit =
+    stream.withWatermark(tsCol, grace).createOrReplaceTempView(name)
+
+  /** Execute a dialect SELECT with streaming semantics: EMIT CHANGES →
+    * update-mode changelog sink, EMIT FINAL (default for windowed aggs)
+    * → append-mode parquet file sink. Returns the sink directory —
+    * executors write shards directly, nothing lands on the driver. */
+  def sqlStream(text: String): String = parseStatement(text) match {
+    case Select(s) =>
+      val df = spark.sql(toSparkSql(s, defaultTimeCol))
+      s.emit match {
+        case Some(EmitChanges) => graft.streaming.StreamOps.runChangelog(df, "velo_sql")
+        case _ => graft.streaming.StreamOps.runToParquet(df, "velo_sql")
+      }
+    case other => throw new ParseException(s"sqlStream expects a SELECT, got $other")
+  }
 
   /** Register a table with Kafka-analog system columns + headers
     * (reference: docs/sql/system-columns.md, header-access.md):

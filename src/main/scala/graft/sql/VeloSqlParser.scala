@@ -460,9 +460,63 @@ object VeloSqlParser {
     while (i < span.length) {
       val t = span(i)
       val up = t.upper
+      // Quantified comparisons (reference docs/sql/subquery-support.md):
+      // Catalyst has no ALL/ANY/SOME — rewrite to scalar MIN/MAX
+      // subqueries (or IN / NOT IN for the equality forms), preserving
+      // SQL empty-set semantics via ±Infinity coalesce (numeric columns,
+      // as the reference's threshold semantics assume).
+      if (t.kind == TSymbol && Set(">", ">=", "<", "<=", "=", "!=", "<>").contains(t.text)
+          && span.lift(i + 1).exists(x => x.isKw("ALL") || x.isKw("ANY") || x.isKw("SOME"))
+          && span.lift(i + 2).exists(_.text == "(")) {
+        val quant = if (span(i + 1).isKw("ALL")) "ALL" else "ANY"
+        val end = closeParen(i + 2)
+        val inner = rewriteTokens(span.slice(i + 3, end - 1), defaultTimeCol)
+        (t.text, quant) match {
+          case ("=", "ANY") =>
+            out += id("IN") += sym("(")
+            out ++= inner
+            out += sym(")")
+          case ("!=" | "<>", "ALL") =>
+            out += id("NOT") += id("IN") += sym("(")
+            out ++= inner
+            out += sym(")")
+          case (op, q) if Set(">", ">=", "<", "<=").contains(op) =>
+            if (!inner.headOption.exists(_.isKw("SELECT")))
+              throw new ParseException(s"$op $q expects a subquery")
+            val fromIx = {
+              var d = 0; var j = 0; var f = -1
+              while (j < inner.length && f < 0) {
+                if (inner(j).text == "(") d += 1
+                if (inner(j).text == ")") d -= 1
+                if (d == 0 && inner(j).isKw("FROM")) f = j
+                j += 1
+              }
+              if (f < 0) throw new ParseException(s"$op $q subquery needs FROM"); f
+            }
+            val sel = inner.slice(1, fromIx)
+            val rest = inner.drop(fromIx)
+            // ALL keeps the extreme the comparison must clear; empty set
+            // coalesces to the identity that makes ALL true / ANY false.
+            val (agg, inf) = (op.take(1), q) match {
+              case (">", "ALL") => ("MAX", "-Infinity")
+              case ("<", "ALL") => ("MIN", "Infinity")
+              case (">", "ANY") => ("MIN", "Infinity")
+              case ("<", "ANY") => ("MAX", "-Infinity")
+              case _ => throw new ParseException(s"unsupported quantified comparison $op $q")
+            }
+            out += t += sym("(") += id("SELECT") += id("coalesce") += sym("(") += id(agg) += sym("(")
+            out ++= sel
+            out += sym(")") += sym(",") += id("CAST") += sym("(") += Tok(TString, s"'$inf'")
+            out += id("AS") += id("DOUBLE") += sym(")") += sym(")")
+            out ++= rest
+            out += sym(")")
+          case (op, q) => throw new ParseException(s"unsupported quantified comparison $op $q")
+        }
+        i = end
+      }
       // OVER (ROWS WINDOW …) must win over the generic call branch:
       // OVER is also an identifier followed by '('.
-      if (t.isKw("OVER") && span.lift(i + 1).exists(_.text == "(")
+      else if (t.isKw("OVER") && span.lift(i + 1).exists(_.text == "(")
           && span.lift(i + 2).exists(_.isKw("ROWS")) && span.lift(i + 3).exists(_.isKw("WINDOW"))) {
         val end = closeParen(i + 1)
         // Offset/ranking functions reject explicit frames in Spark (their

@@ -223,4 +223,60 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
   test("case insensitivity (grammar rule)") {
     assert(ctx.sql("SeLeCt * FrOm orders WhErE aMoUnT > 100").count() == 3)
   }
+
+  test("ANY / SOME / ALL quantified comparisons (subquery-support.md)") {
+    // > ALL filled orders (max filled = 5000) → only nothing; vs > ALL pending (max 250)
+    val gtAll = ctx.sql(
+      "SELECT order_id FROM orders WHERE amount > ALL (SELECT amount FROM orders WHERE status = 'pending')")
+    assert(gtAll.collect().map(_.getLong(0)).toSet == Set(3L))
+    val gtAny = ctx.sql(
+      "SELECT order_id FROM orders WHERE amount > ANY (SELECT amount FROM orders WHERE status = 'filled')")
+    // min filled = 50 → everything above 50
+    assert(gtAny.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    val eqAny = ctx.sql(
+      "SELECT order_id FROM orders WHERE customer_id = SOME (SELECT customer_id FROM customers WHERE customer_name = 'bob')")
+    assert(eqAny.collect().map(_.getLong(0)).toSet == Set(2L, 5L))
+    val neAll = ctx.sql(
+      "SELECT order_id FROM orders WHERE customer_id <> ALL (SELECT customer_id FROM customers WHERE customer_name = 'bob')")
+    assert(neAll.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // empty subquery: ALL over ∅ is true, ANY over ∅ is false
+    assert(ctx.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE amount > ALL (SELECT amount FROM orders WHERE status = 'nope')")
+      .collect().head.getLong(0) == 5L)
+    assert(ctx.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE amount > ANY (SELECT amount FROM orders WHERE status = 'nope')")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("engine kernels are dialect SQL functions (SIMHASH/FINGERPRINT/COSINE_SIM)") {
+    val df = ctx.sql(
+      "SELECT customer_name, FINGERPRINT(customer_name) AS fp, SIMHASH(customer_name) AS sh FROM customers")
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.forall(r => r.getLong(1) > 0))
+    // fingerprint of 'alice' replays the rolling-hash formula
+    val expected = "alice".foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    assert(rows.find(_.getString(0) == "alice").get.getLong(1) == expected)
+  }
+
+  test("dialect SELECT executes as a STREAMING query with EMIT semantics") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val stream = in.toDF().toDF("ep", "symbol", "price")
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+    ctx.registerStream("live_trades", stream, "event_time", "10 minutes")
+    in.addData(Seq((100L, "AAPL", 10.0), (200L, "AAPL", 20.0), (400L, "MSFT", 5.0),
+      (7200L, "AAPL", 30.0)))
+    val outDir = ctx.sqlStream(
+      """SELECT symbol, COUNT(*) AS n, CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM live_trades GROUP BY symbol
+         WINDOW TUMBLING(event_time, INTERVAL '5' MINUTE)
+         EMIT FINAL""")
+    val res = spark.read.parquet(outDir)
+    // watermark 7200-600=6600 → the [0,300) windows are closed and emitted
+    val aapl = res.where(col("symbol") === "AAPL" && col("window_start") === 0).collect()
+    assert(aapl.length == 1 && aapl.head.getAs[Long]("n") == 2L
+      && aapl.head.getAs[Double]("total") == 30.0)
+  }
 }
