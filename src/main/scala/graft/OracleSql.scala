@@ -94,7 +94,14 @@ object OracleSql {
          DENSE_RANK() OVER byprice AS drk,
          LAG(o_totalprice, 1) OVER bydate AS prev_price,
          LEAD(o_totalprice, 1) OVER bydate AS next_price,
-         NTILE(4) OVER bydate AS bucket
+         NTILE(4) OVER bydate AS bucket,
+         ROUND(PERCENT_RANK() OVER byprice, 4) AS prk,
+         ROUND(CUME_DIST() OVER byprice, 4) AS cd,
+         NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+         FIRST_VALUE(o_totalprice) OVER bydate AS first_price,
+         LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last
          FROM orders
          WINDOW bydate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                 byprice AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",

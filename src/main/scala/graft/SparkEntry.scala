@@ -111,7 +111,14 @@ object SparkEntry {
         dense_rank().over(byPrice).cast("long").as("drk"),
         lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
         lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
-        ntile(4).over(byDate).cast("long").as("bucket"))
+        ntile(4).over(byDate).cast("long").as("bucket"),
+        round(percent_rank().over(byPrice), 4).as("prk"),
+        round(cume_dist().over(byPrice), 4).as("cd"),
+        nth_value(col("o_totalprice"), 2).over(
+          byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_price"),
+        first(col("o_totalprice")).over(byDate).as("first_price"),
+        last(col("o_totalprice")).over(
+          byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_last"))
     }),
 
     // ---- 9. moving aggregate over ROWS frame (ROWS WINDOW analog) ----

@@ -29,6 +29,8 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's native kernels are part of its SQL surface
+    graft.functions.GraftKernels.registerSqlFunctions(spark)
     spark
   }
 }

@@ -55,6 +55,23 @@ object Serde {
       .withColumn("_partition", col("partition"))
       .select(col("_decoded.*"), col("_headers"), col("_timestamp"), col("_offset"), col("_partition"))
 
+  /** Kafka topic → typed streaming DataFrame: the reference's
+    * `FROM kafka://topic` (src/velostream/kafka/). Composes Spark's
+    * kafka source with the envelope decoder; same plan shape the test
+    * suite drives through MemoryStream + `fromKafkaEnvelope` (no broker
+    * in this environment — the source format string is the only
+    * untestable piece). */
+  def kafkaStream(spark: SparkSession, brokers: String, topic: String,
+                  schema: StructType, startingOffsets: String = "latest"): DataFrame =
+    fromKafkaEnvelope(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .option("includeHeaders", "true")
+        .load(),
+      schema)
+
   /** `file://` source analog: read newline-delimited JSON / CSV /
     * parquet by extension, one call for batch or streaming. */
   def readFileUri(spark: SparkSession, uri: String, schema: Option[StructType] = None,

@@ -115,6 +115,7 @@ object VeloSqlParser {
       groupBy: Option[Vector[Tok]],
       having: Option[Vector[Tok]],
       window: Option[WindowSpec],
+      namedWindows: Option[Vector[Tok]], // standard `WINDOW w AS (...)` clause, passed through
       orderBy: Option[Vector[Tok]],
       limit: Option[Long],
       emit: Option[EmitMode])
@@ -263,7 +264,9 @@ object VeloSqlParser {
           if (depth == 0) done = true else { depth -= 1; out += take() }
         } else if (depth == 0 && t.kind == TSymbol && t.text == "," && stopAtComma) done = true
         else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper))
-                 && !(t.upper == "JOIN" && peek(1).exists(_.text == "("))) done = true
+                 // JOIN/LEFT/RIGHT are also catalog FUNCTIONS — a '('
+                 // right after means a call, not a clause boundary
+                 && !(Set("JOIN", "LEFT", "RIGHT").contains(t.upper) && peek(1).exists(_.text == "("))) done = true
         else out += take()
       }
       out.toVector
@@ -328,14 +331,25 @@ object VeloSqlParser {
       val where = if (at("WHERE")) { take(); Some(exprSpan(stopAtComma = false)) } else None
       val groupBy = if (at("GROUP")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
       val having = if (at("HAVING")) { take(); Some(exprSpan(stopAtComma = false)) } else None
-      val window = if (at("WINDOW")) { take(); Some(windowSpec()) } else None
+      // velostream WINDOW TUMBLING|SLIDING|SESSION(...) vs the standard
+      // SQL named-window clause `WINDOW w AS (...)` — disambiguate by the
+      // keyword after WINDOW.
+      var window: Option[WindowSpec] = None
+      var namedWindows: Option[Vector[Tok]] = None
+      if (at("WINDOW")) {
+        if (peek(1).exists(t => Set("TUMBLING", "SLIDING", "SESSION").contains(t.upper))) {
+          take(); window = Some(windowSpec())
+        } else {
+          take(); namedWindows = Some(exprSpan(stopAtComma = false, extraStops = Set("ORDER", "LIMIT", "EMIT")))
+        }
+      }
       val orderBy = if (at("ORDER")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
       val limit = if (at("LIMIT")) { take(); Some(take().text.toLong) } else None
       val emit = if (at("EMIT")) { take(); Some(emitMode()) } else None
       SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol)), keys, from, fromAlias,
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
-        having.map(rewriteTokens(_, defaultTimeCol)), window,
+        having.map(rewriteTokens(_, defaultTimeCol)), window, namedWindows,
         orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit)
     }
 
@@ -413,7 +427,7 @@ object VeloSqlParser {
     "ARRAY_LENGTH" -> "array_size",
     "LEN" -> "length",
     "REGEXP" -> "regexp_like",
-    "SPLIT" -> "split")
+    "JOIN" -> "array_join")
 
   /** Rewrite one clause's token span to Spark SQL:
     *  - function renames (see `renames`)
@@ -602,6 +616,77 @@ object VeloSqlParser {
             out ++= args.head
             out += sym(")")
             i = end
+          case "PERCENTILE_CONT" | "PERCENTILE_DISC"
+            if {
+              val (_, e) = callArgs(i + 1)
+              span.lift(e).exists(_.isKw("OVER")) && span.lift(e + 1).exists(_.text == "(")
+            } =>
+            // Window inverse-distribution form (reference
+            // docs/sql/functions/advanced.md): PERCENTILE_CONT(p) OVER
+            // (PARTITION BY k ORDER BY v [frame]) → Spark's windowed
+            // percentile aggregate: percentile(v, p) OVER (PARTITION BY k
+            // [ORDER BY v frame]). Without an explicit frame the
+            // percentile is over the whole partition (the reference's
+            // full-buffer semantics); with a ROWS frame it is a moving
+            // percentile, so order+frame are kept.
+            val (args, endCall) = callArgs(i + 1)
+            val p = args.head
+            val overEnd = closeParen(endCall + 1)
+            val overInner = span.slice(endCall + 2, overEnd - 1)
+            var j = 0
+            def atj(kw: String, o: Int = 0) = overInner.lift(j + o).exists(_.isKw(kw))
+            var partition = Vector.empty[Tok]; var order = Vector.empty[Tok]; var frame = Vector.empty[Tok]
+            val stops = Set("PARTITION", "ORDER", "ROWS", "RANGE")
+            def spanUntil2(): Vector[Tok] = {
+              val o = ArrayBuffer[Tok](); var d = 0
+              while (j < overInner.length &&
+                     !(d == 0 && overInner(j).kind == TIdent && stops.contains(overInner(j).upper))) {
+                if (overInner(j).text == "(") d += 1
+                if (overInner(j).text == ")") d -= 1
+                o += overInner(j); j += 1
+              }
+              o.toVector
+            }
+            while (j < overInner.length) {
+              if (atj("PARTITION") && atj("BY", 1)) { j += 2; partition = spanUntil2() }
+              else if (atj("ORDER") && atj("BY", 1)) { j += 2; order = spanUntil2() }
+              else if (atj("ROWS") || atj("RANGE")) { frame = spanUntil2() }
+              else j += 1
+            }
+            if (order.isEmpty) throw new ParseException(s"$up OVER (...) needs ORDER BY <value>")
+            // strip a trailing ASC/DESC from the value expression
+            val value = if (order.last.isKw("ASC") || order.last.isKw("DESC")) order.dropRight(1) else order
+            out += id("percentile") += sym("(")
+            out ++= rewriteTokens(value, defaultTimeCol)
+            out += sym(",")
+            out ++= p
+            out += sym(")") += id("OVER") += sym("(")
+            if (partition.nonEmpty) { out += id("PARTITION") += id("BY"); out ++= partition }
+            if (frame.nonEmpty) {
+              out += id("ORDER") += id("BY"); out ++= order
+              out ++= frame
+            }
+            out += sym(")")
+            i = overEnd
+          case "PERCENTILE_DISC" =>
+            // aggregate form: PERCENTILE_DISC(e, p) → WITHIN GROUP syntax
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 2) throw new ParseException("PERCENTILE_DISC(expr, p) expects two arguments")
+            out += id("percentile_disc") += sym("(")
+            out ++= args(1)
+            out += sym(")") += id("WITHIN") += id("GROUP") += sym("(") += id("ORDER") += id("BY")
+            out ++= rewriteTokens(args(0), defaultTimeCol)
+            out += sym(")")
+            i = end
+          case "PERCENTILE_CONT" =>
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 2) throw new ParseException("PERCENTILE_CONT(expr, p) expects two arguments")
+            out += id("percentile") += sym("(")
+            out ++= rewriteTokens(args(0), defaultTimeCol)
+            out += sym(",")
+            out ++= args(1)
+            out += sym(")")
+            i = end
           case _ if renames.contains(up) =>
             out += id(renames(up))
             i += 1
@@ -716,6 +801,7 @@ object VeloSqlParser {
       case (None, None) =>
     }
     s.having.foreach(h => sb.append(" HAVING ").append(render(h)))
+    s.namedWindows.foreach(w => sb.append(" WINDOW ").append(render(w)))
     s.orderBy.foreach(o => sb.append(" ORDER BY ").append(render(o)))
     s.limit.foreach(l => sb.append(" LIMIT ").append(l))
     sb.toString

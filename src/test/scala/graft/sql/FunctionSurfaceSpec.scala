@@ -1,0 +1,111 @@
+package graft.sql
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Sweep of the reference's 75-function catalog
+  * (docs/sql/FUNCTION_CATALOG.md) through the dialect front-end — every
+  * function name must parse, translate, and execute on Spark.
+  */
+class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val ctx: VeloContext = {
+    val c = new VeloContext(spark, defaultTimeCol = "event_time")
+    import spark.implicits._
+    val t = Seq(
+      (1L, "AAPL", 100.0, 10L, "{\"k\": 7}", Timestamp.valueOf("2024-03-05 10:00:00")),
+      (2L, "AAPL", 101.5, 12L, "{\"k\": 9}", Timestamp.valueOf("2024-03-05 10:04:00")),
+      (3L, "MSFT", 55.0, 5L, "{\"k\": 1}", Timestamp.valueOf("2024-03-05 11:00:00")),
+      (4L, "MSFT", 57.5, 6L, "{\"k\": 3}", Timestamp.valueOf("2024-03-06 09:30:00"))
+    ).toDF("id", "symbol", "price", "volume", "props", "event_time")
+    c.registerStreamLike("t", t, "event_time", "id")
+    c
+  }
+
+  private def runs(sql: String): Unit = {
+    val df = ctx.sql(sql)
+    assert(df.collect().nonEmpty, s"no rows from: $sql")
+  }
+
+  test("aggregate function surface") {
+    runs("""SELECT symbol, COUNT(*), SUM(price), AVG(price), MIN(price), MAX(price),
+            APPROX_COUNT_DISTINCT(volume), COUNT_DISTINCT(volume),
+            FIRST(price), LAST(price), MEDIAN(price),
+            STDDEV(price), STDDEV_SAMP(price), STDDEV_POP(price),
+            VARIANCE(price), VAR_SAMP(price), VAR_POP(price)
+            FROM t GROUP BY symbol""")
+    runs("""SELECT symbol, STRING_AGG(symbol, ','), GROUP_CONCAT(symbol, '|'),
+            LISTAGG(symbol, ';'), COLLECT(price)
+            FROM t GROUP BY symbol""")
+    runs("""SELECT symbol, CORR(price, volume), COVAR_POP(price, volume),
+            COVAR_SAMP(price, volume), REGR_SLOPE(price, volume),
+            REGR_INTERCEPT(price, volume), REGR_R2(price, volume)
+            FROM t GROUP BY symbol""")
+    runs("SELECT PERCENTILE_CONT(price, 0.5) AS p50, PERCENTILE_DISC(price, 0.5) AS pd50 FROM t")
+  }
+
+  test("window inverse-distribution percentiles (advanced.md form)") {
+    val df = ctx.sql(
+      """SELECT symbol, price,
+         PERCENTILE_CONT(0.5) OVER (PARTITION BY symbol ORDER BY price) AS median_price,
+         PERCENTILE_CONT(0.95) OVER (PARTITION BY symbol ORDER BY price) AS p95
+         FROM t""")
+    val m = df.where(col("symbol") === "AAPL").collect().head.getAs[Double]("median_price")
+    assert(m == 100.75) // interpolated between 100 and 101.5
+  }
+
+  test("window function surface (LAG/LEAD/ranks/values)") {
+    runs("""SELECT id, LAG(price, 1) OVER w, LEAD(price, 1) OVER w,
+            ROW_NUMBER() OVER w, RANK() OVER w, DENSE_RANK() OVER w,
+            FIRST_VALUE(price) OVER w, LAST_VALUE(price) OVER w,
+            NTH_VALUE(price, 2) OVER w, PERCENT_RANK() OVER w, CUME_DIST() OVER w
+            FROM t WINDOW w AS (PARTITION BY symbol ORDER BY event_time)""")
+  }
+
+  test("math function surface") {
+    runs("""SELECT ABS(-price), ROUND(price, 1), CEIL(price), CEILING(price),
+            FLOOR(price), SQRT(price), POWER(price, 2), POW(2, 3),
+            MOD(volume, 3), LEAST(price, 50), GREATEST(price, 50) FROM t""")
+  }
+
+  test("string function surface") {
+    runs("""SELECT UPPER(symbol), LOWER(symbol), SUBSTRING(symbol, 1, 2),
+            REPLACE(symbol, 'A', 'X'), TRIM(symbol), LTRIM(symbol), RTRIM(symbol),
+            LENGTH(symbol), LEN(symbol), CONCAT(symbol, '-', symbol),
+            SPLIT(symbol, 'A'), JOIN(SPLIT(symbol, 'A'), '_'),
+            LEFT(symbol, 2), RIGHT(symbol, 2), POSITION('A', symbol),
+            REGEXP(symbol, '^[A-M]') FROM t""")
+  }
+
+  test("date/time function surface") {
+    runs("""SELECT NOW(), CURRENT_TIMESTAMP, TIMESTAMP(),
+            EXTRACT(YEAR FROM event_time), EXTRACT(MONTH FROM event_time),
+            DATE_FORMAT(event_time, 'yyyy-MM-dd'),
+            DATEDIFF(event_time, event_time),
+            TUMBLE_START(event_time, INTERVAL '5' MINUTE),
+            TUMBLE_END(event_time, INTERVAL '5' MINUTE),
+            FROM_UNIXTIME(1700000000), UNIX_TIMESTAMP(event_time) FROM t""")
+  }
+
+  test("conditional + JSON + array/map + header surface") {
+    runs("""SELECT COALESCE(NULL, symbol), NULLIF(symbol, 'AAPL'),
+            CAST(price AS BIGINT),
+            JSON_EXTRACT(props, '$.k'), JSON_VALUE(props, '$.k'),
+            ARRAY(price, volume), STRUCT(symbol, price), MAP('s', symbol),
+            ARRAY_LENGTH(ARRAY(1, 2, 3)), ARRAY_CONTAINS(ARRAY(1, 2), 2),
+            MAP_KEYS(MAP('a', 1)), MAP_VALUES(MAP('a', 1)),
+            HEADER('source'), HAS_HEADER('source'), HEADER_KEYS(),
+            SET_HEADER('x', 'y'), REMOVE_HEADER('source')
+            FROM t""")
+  }
+
+  test("CASE / BETWEEN / LIKE / IS NULL / IN pass through to Catalyst") {
+    runs("""SELECT CASE WHEN price > 100 THEN 'hi' ELSE 'lo' END,
+            price BETWEEN 50 AND 200, symbol LIKE 'A%',
+            props IS NOT NULL, volume IN (5, 10, 12) FROM t""")
+  }
+}
