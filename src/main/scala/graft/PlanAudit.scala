@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump the physical-plan properties that matter at 100 TB —
+  * filter/column pushdown into the parquet scan, join strategy
+  * (broadcast vs shuffle), sort-limit placement, codegen coverage —
+  * for a set of representative queries. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val keys = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
+      .getOrElse(Seq("q1_agg", "q2_filter_project", "q4_multi_join", "q11_in_subquery",
+        "q14_interval_join", "q24_dedup_minhash", "q27_ann_bruteforce", "q38_embed_dedup",
+        "q40_topn_per_group", "q45_sql_agg", "q46_sql_tumbling", "q49_sql_join_in"))
+    keys.foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, sfDir).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      def grep(p: String) = lines.filter(_.contains(p)).map(_.trim.take(200))
+      println(s"\n========== $k ==========")
+      println("scans:")
+      grep("PushedFilters").foreach(l => println("  " + l))
+      println("joins: " + lines.filter(l => l.contains("Join")).map(_.trim.takeWhile(_ != '[')).distinct.mkString(" | "))
+      val sorts = lines.filter(l => l.contains("Sort") || l.contains("TakeOrdered")).map(_.trim.take(80))
+      if (sorts.nonEmpty) println("sorts: " + sorts.mkString(" | "))
+      val exchanges = lines.count(_.contains("Exchange"))
+      // "*(n)" prefixes mark operators fused into WholeStageCodegen stages
+      val codegenStages = lines.flatMap(l => "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1))).distinct.size
+      println(s"exchanges: $exchanges  codegen-stages: $codegenStages")
+      if (lines.exists(_.contains("CartesianProduct"))) println("  !! CartesianProduct")
+      if (lines.exists(_.contains("BroadcastNestedLoopJoin"))) println("  note: BroadcastNestedLoopJoin")
+    }
+    spark.stop()
+  }
+}
