@@ -118,7 +118,9 @@ object VeloSqlParser {
       namedWindows: Option[Vector[Tok]], // standard `WINDOW w AS (...)` clause, passed through
       orderBy: Option[Vector[Tok]],
       limit: Option[Long],
-      emit: Option[EmitMode])
+      emit: Option[EmitMode],
+      into: Option[String] = None,       // `INTO <named_sink>` (CSAS job wiring)
+      props: Map[String, String] = Map.empty) // `WITH (k=v, …)` on the select
 
   sealed trait VeloStatement
   final case class Select(s: SelectStmt) extends VeloStatement
@@ -177,18 +179,9 @@ object VeloSqlParser {
       take()
       val name = ident()
       expectKw("AS")
+      // the inner select consumes its trailing INTO/WITH/EMIT clauses
       val sel = selectStatement()
-      var props = Map.empty[String, String]
-      var emit = sel.emit
-      // WITH (...) and EMIT may follow the inner select in either order
-      var progress = true
-      while (progress) {
-        progress = false
-        if (at("WITH")) { take(); props ++= propMap(); progress = true }
-        if (at("EMIT")) { take(); emit = Some(emitMode()); progress = true }
-      }
-      val sel2 = sel.copy(emit = emit)
-      if (isStream) CreateStreamAs(name, sel2, props) else CreateTableAs(name, sel2, props)
+      if (isStream) CreateStreamAs(name, sel, sel.props) else CreateTableAs(name, sel, sel.props)
     }
 
     private def propMap(): Map[String, String] = {
@@ -196,10 +189,13 @@ object VeloSqlParser {
       val m = scala.collection.mutable.LinkedHashMap[String, String]()
       var done = false
       while (!done) {
-        val k = unquote(take())
+        // keys may be quoted strings OR dotted identifiers
+        // (market_data.config_file = '…')
+        val kb = new StringBuilder(unquote(take()))
+        while (peek().exists(_.text == ".")) { take(); kb.append('.').append(unquote(take())) }
         expectSym("=")
         val v = unquote(take())
-        m += k -> v
+        m += kb.toString -> v
         if (peek().exists(_.text == ",")) take() else done = true
       }
       expectSym(")")
@@ -274,7 +270,7 @@ object VeloSqlParser {
 
     private val clauseStarts = Set(
       "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER", "LIMIT", "EMIT",
-      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "WITH")
+      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "WITH", "INTO")
 
     private def selectStatement(): SelectStmt = {
       expectKw("SELECT")
@@ -328,29 +324,51 @@ object VeloSqlParser {
           joins :+= JoinClause(jt, t, alias, on)
         }
       }
-      val where = if (at("WHERE")) { take(); Some(exprSpan(stopAtComma = false)) } else None
-      val groupBy = if (at("GROUP")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
-      val having = if (at("HAVING")) { take(); Some(exprSpan(stopAtComma = false)) } else None
-      // velostream WINDOW TUMBLING|SLIDING|SESSION(...) vs the standard
-      // SQL named-window clause `WINDOW w AS (...)` — disambiguate by the
-      // keyword after WINDOW.
+      // WHERE / GROUP BY / HAVING / WINDOW in flexible order (the
+      // reference's own tests use both HAVING-before-WINDOW — the
+      // documented grammar — and HAVING-after-WINDOW).
+      var where: Option[Vector[Tok]] = None
+      var groupBy: Option[Vector[Tok]] = None
+      var having: Option[Vector[Tok]] = None
       var window: Option[WindowSpec] = None
       var namedWindows: Option[Vector[Tok]] = None
-      if (at("WINDOW")) {
-        if (peek(1).exists(t => Set("TUMBLING", "SLIDING", "SESSION").contains(t.upper))) {
-          take(); window = Some(windowSpec())
-        } else {
-          take(); namedWindows = Some(exprSpan(stopAtComma = false, extraStops = Set("ORDER", "LIMIT", "EMIT")))
+      var scanning2 = true
+      while (scanning2) {
+        if (at("WHERE") && where.isEmpty) { take(); where = Some(exprSpan(stopAtComma = false)) }
+        else if (at("GROUP") && groupBy.isEmpty) { take(); expectKw("BY"); groupBy = Some(exprSpan(stopAtComma = false)) }
+        else if (at("HAVING") && having.isEmpty) { take(); having = Some(exprSpan(stopAtComma = false)) }
+        // velostream WINDOW TUMBLING|SLIDING|SESSION(...) vs the standard
+        // SQL named-window clause `WINDOW w AS (...)` — disambiguate by
+        // the keyword after WINDOW.
+        else if (at("WINDOW") && window.isEmpty && namedWindows.isEmpty) {
+          if (peek(1).exists(t => Set("TUMBLING", "SLIDING", "SESSION").contains(t.upper))) {
+            take(); window = Some(windowSpec())
+          } else {
+            take(); namedWindows = Some(exprSpan(stopAtComma = false, extraStops = Set("ORDER", "LIMIT", "EMIT")))
+          }
         }
+        else scanning2 = false
       }
       val orderBy = if (at("ORDER")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
       val limit = if (at("LIMIT")) { take(); Some(take().text.toLong) } else None
-      val emit = if (at("EMIT")) { take(); Some(emitMode()) } else None
-      SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol)), keys, from, fromAlias,
+      // trailing job-wiring clauses may come in any order:
+      // INTO <sink>, WITH (props), EMIT CHANGES|FINAL
+      var into: Option[String] = None
+      var props = Map.empty[String, String]
+      var emit: Option[EmitMode] = None
+      var progress = true
+      while (progress) {
+        progress = false
+        if (at("INTO")) { take(); into = Some(ident()); progress = true }
+        if (at("WITH")) { take(); props ++= propMap(); progress = true }
+        if (at("EMIT")) { take(); emit = Some(emitMode()); progress = true }
+      }
+      val aggWrap = window.isDefined
+      SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol, aggWrap)), keys, from, fromAlias,
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
-        having.map(rewriteTokens(_, defaultTimeCol)), window, namedWindows,
-        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit)
+        having.map(rewriteTokens(_, defaultTimeCol, aggWrap)), window, namedWindows,
+        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into, props)
     }
 
     private def windowSpec(): WindowSpec = {
@@ -438,7 +456,10 @@ object VeloSqlParser {
     *  - OVER (ROWS WINDOW BUFFER n ROWS …) → standard window spec with a
     *    ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW frame
     */
-  def rewriteTokens(span: Vector[Tok], defaultTimeCol: String): Vector[Tok] = {
+  /** `aggWrap`: the span sits in the SELECT/HAVING of a time-windowed
+    * aggregation — group-constant per-row rewrites (TUMBLE_START/END)
+    * must be wrapped in an aggregate to satisfy GROUP BY analysis. */
+  def rewriteTokens(span: Vector[Tok], defaultTimeCol: String, aggWrap: Boolean = false): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
     var i = 0
     def sym(s: String) = Tok(TSymbol, s)
@@ -577,13 +598,16 @@ object VeloSqlParser {
               case _ => throw new ParseException(s"$up expects (ts, duration)")
             }
             val s = dur.getOrElse(throw new ParseException(s"$up needs a duration"))
-            // (floor(unix_timestamp(ts) / S) * S) [+ S]
+            // (floor(unix_timestamp(ts) / S) * S) [+ S]; group-constant
+            // inside a windowed aggregation → MIN-wrapped there
+            if (aggWrap) { out += id("MIN") += sym("(") }
             out += sym("(") += id("CAST") += sym("(") += id("floor") += sym("(") += id("unix_timestamp") += sym("(")
             out ++= tsArg
             out += sym(")") += Tok(TSymbol, "/") += Tok(TNumber, s.toString) += sym(")")
             out += sym("*") += Tok(TNumber, s.toString)
             if (up == "TUMBLE_END") { out += sym("+") += Tok(TNumber, s.toString) }
             out += id("AS") += id("BIGINT") += sym(")") += sym(")")
+            if (aggWrap) { out += sym(")") }
             i = end
           case "HEADER" =>
             val (args, end) = callArgs(i + 1)
@@ -687,6 +711,69 @@ object VeloSqlParser {
             out ++= args(1)
             out += sym(")")
             i = end
+          case "EXTRACT" =>
+            // Three reference forms (FUNCTION_CATALOG.md, parser tests):
+            //  EXTRACT(FIELD FROM x)      — standard; DOW/EPOCH need mapping
+            //  EXTRACT('FIELD', x)        — legacy two-arg
+            //  EXTRACT(EPOCH FROM (a-b))  — epoch-seconds of a difference
+            val (args, end) = callArgs(i + 1)
+            val (field, valueToks): (String, Vector[Tok]) =
+              if (args.length == 2 && args(0).length == 1 && args(0).head.kind == TString)
+                (args(0).head.text.stripPrefix("'").stripSuffix("'").toUpperCase,
+                  rewriteTokens(args(1), defaultTimeCol))
+              else if (args.length == 1 && args.head.length >= 3 && args.head(1).isKw("FROM"))
+                (args.head.head.upper, rewriteTokens(args.head.drop(2), defaultTimeCol))
+              else { // unknown shape — pass through untouched
+                out += t
+                i += 1
+                ("", Vector.empty)
+              }
+            if (field.nonEmpty) {
+              field match {
+                case "EPOCH" =>
+                  // strip one outer paren pair, then split on a top-level '-'
+                  val inner0 = valueToks
+                  val inner = if (inner0.headOption.exists(_.text == "(")) {
+                    var d = 0; var closeIx = -1
+                    inner0.zipWithIndex.foreach { case (x, ix) =>
+                      if (x.text == "(") d += 1
+                      else if (x.text == ")") { d -= 1; if (d == 0 && closeIx < 0) closeIx = ix }
+                    }
+                    if (closeIx == inner0.length - 1) inner0.slice(1, inner0.length - 1) else inner0
+                  } else inner0
+                  val minusIx = {
+                    var d = 0; var f = -1
+                    inner.zipWithIndex.foreach { case (x, ix) =>
+                      if (x.text == "(") d += 1
+                      if (x.text == ")") d -= 1
+                      if (d == 0 && x.text == "-" && ix > 0 && f < 0) f = ix
+                    }
+                    f
+                  }
+                  if (minusIx > 0) {
+                    // epoch of a timestamp difference, in seconds
+                    out += sym("(") += id("unix_timestamp") += sym("(")
+                    out ++= inner.take(minusIx)
+                    out += sym(")") += Tok(TSymbol, "-") += id("unix_timestamp") += sym("(")
+                    out ++= inner.drop(minusIx + 1)
+                    out += sym(")") += sym(")")
+                  } else {
+                    out += id("unix_timestamp") += sym("(")
+                    out ++= inner
+                    out += sym(")")
+                  }
+                case "DOW" =>
+                  // 0=Sunday (postgres/duckdb convention, VeloFunctions.veloExtract)
+                  out += sym("(") += id("dayofweek") += sym("(")
+                  out ++= valueToks
+                  out += sym(")") += Tok(TSymbol, "-") += Tok(TNumber, "1") += sym(")")
+                case f =>
+                  out += id("extract") += sym("(") += id(f) += id("FROM")
+                  out ++= valueToks
+                  out += sym(")")
+              }
+              i = end
+            }
           case _ if renames.contains(up) =>
             out += id(renames(up))
             i += 1

@@ -1,0 +1,173 @@
+package graft.sql
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SQL statements taken verbatim from the reference's own parser test
+  * suite (tests/integration/sql_parser_comprehensive_test.rs) must
+  * parse AND execute on Spark through the dialect front-end — the
+  * reference's test surface is SQL text, so this is the compatibility
+  * bar that matters.
+  */
+class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val ctx: VeloContext = {
+    val c = new VeloContext(spark, defaultTimeCol = "m.event_time")
+    import spark.implicits._
+    val md = Seq(
+      ("AAPL", 100.0, 10.0, 500L, "BUY", ts("2024-01-02 10:00:00")),
+      ("AAPL", 102.0, 5.0, 800L, "SELL", ts("2024-01-02 10:20:00")),
+      ("AAPL", 101.0, 8.0, 300L, "BUY", ts("2024-01-02 11:10:00")),
+      ("MSFT", 55.0, 20.0, 900L, "BUY", ts("2024-01-03 09:30:00")),
+      ("MSFT", 56.0, 12.0, 100L, "SELL", ts("2024-01-03 09:45:00")),
+      ("MSFT", 57.0, 11.0, 200L, "BUY", ts("2024-01-06 12:00:00")) // Saturday
+    ).toDF("symbol", "price", "quantity", "volume", "side", "event_time")
+    c.register("market_data", md)
+    val pos = Seq(
+      (7L, "AAPL", 150.0, ts("2024-01-01 00:00:00")),
+      (8L, "MSFT", 200.0, ts("2024-01-01 00:00:00"))
+    ).toDF("trader_id", "symbol", "quantity", "event_time")
+    c.register("positions", pos)
+    c
+  }
+
+  test("financial CSAS with INTO sink + dotted WITH config (sql_parser_comprehensive_test.rs)") {
+    val df = ctx.sql(
+      """CREATE STREAM aggregated_trades AS
+              SELECT
+                  p.trader_id,
+                  p.symbol,
+                  COUNT(*) as transaction_count,
+                  AVG(m.price) as avg_price,
+                  SUM(CASE WHEN m.side = 'BUY' THEN m.quantity ELSE 0.0 END) as total_buys,
+                  SUM(CASE WHEN m.side = 'SELL' THEN m.quantity ELSE 0.0 END) as total_sells,
+                  MAX(m.price) as max_price,
+                  MIN(m.price) as min_price,
+                  STDDEV(m.price) as price_volatility,
+                  TUMBLE_END(m.event_time, INTERVAL '1' HOUR) as window_end
+              FROM market_data m
+              JOIN positions p ON m.symbol = p.symbol
+              WHERE m.event_time >= '2024-01-01T00:00:00Z'
+                  AND p.quantity > 100
+                  AND m.price BETWEEN 50.0 AND 500.0
+              GROUP BY p.trader_id, p.symbol
+              WINDOW TUMBLING(1h)
+              HAVING COUNT(*) > 5
+                  AND AVG(m.price) > 100.0
+              INTO kafka_sink
+              WITH (
+                market_data.type='kafka_source',
+                market_data.config_file='config/market_data_source.properties',
+                positions.type='kafka_source',
+                positions.config_file='config/positions_source.properties',
+                kafka_sink.type='kafka_sink',
+                kafka_sink.config_file='config/kafka_sink.properties'
+              )""")
+    // the statement parses into a CSAS with the right shape…
+    val stmt = ctx.parseStatement("SELECT * FROM aggregated_trades")
+    assert(stmt.isInstanceOf[VeloSqlParser.Select])
+    // …and executes (HAVING COUNT(*) > 5 filters everything in this toy set)
+    assert(df.columns.contains("price_volatility") && df.columns.contains("window_end"))
+    assert(df.count() == 0)
+    // AST-level checks mirroring the reference test's assertions
+    val cs = ctx.parseStatement(
+      "CREATE STREAM s2 AS SELECT symbol FROM market_data INTO snk WITH (snk.type='kafka_sink')")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(cs.select.into.contains("snk"))
+    assert(cs.props("snk.type") == "kafka_sink")
+  }
+
+  test("table-alias ROWS WINDOW (sql_parser_comprehensive_test.rs:157)") {
+    val df = ctx.sql(
+      "SELECT LAG(m.price, 1) OVER (ROWS WINDOW BUFFER 100 ROWS PARTITION BY p.trader_id ORDER BY m.event_time) FROM market_data m JOIN positions p ON m.symbol = p.symbol")
+    assert(df.count() == 6)
+  }
+
+  test("anonymous ROWS WINDOW aggregate (sql_parser_comprehensive_test.rs:169)") {
+    val c2 = new VeloContext(spark, defaultTimeCol = "event_time")
+    val df = c2.sql(
+      "SELECT AVG(price) OVER (ROWS WINDOW BUFFER 100 ROWS ORDER BY event_time) FROM market_data")
+    assert(df.count() == 6)
+  }
+
+  test("EXTRACT forms: EPOCH over a difference, legacy two-arg (lines 180, 191)") {
+    val d1 = ctx.sql(
+      "SELECT EXTRACT(EPOCH FROM (m.event_time - p.event_time)) as duration FROM market_data m JOIN positions p ON m.symbol = p.symbol")
+    assert(d1.collect().forall(_.getLong(0) > 0))
+    val d2 = ctx.sql("SELECT EXTRACT('YEAR', event_time) as year FROM market_data")
+    assert(d2.collect().forall(_.get(0).toString == "2024"))
+  }
+
+  test("complex combination: ROWS WINDOW + EXTRACT(HOUR/DOW) weekday filter (line 203)") {
+    val df = ctx.sql(
+      """SELECT
+            p.trader_id,
+            AVG(m.price) OVER (
+                ROWS WINDOW
+                    BUFFER 100 ROWS
+                    PARTITION BY p.trader_id
+                    ORDER BY m.event_time
+            ) as hourly_avg,
+            EXTRACT(HOUR FROM m.event_time) as hour_of_day
+        FROM market_data m
+        JOIN positions p ON m.symbol = p.symbol
+        WHERE EXTRACT(DOW FROM m.event_time) BETWEEN 1 AND 5""")
+    // the Saturday row (2024-01-06, DOW=6) is filtered out
+    assert(df.count() == 5)
+  }
+
+  test("full financial window-function battery executes (line 322 statement)") {
+    val df = ctx.sql(
+      """SELECT
+            p.trader_id,
+            p.symbol,
+            m.price,
+            m.quantity,
+            m.volume,
+            m.side,
+            m.event_time,
+            LAG(m.price, 1) OVER (ROWS WINDOW BUFFER 100 ROWS PARTITION BY p.trader_id ORDER BY m.event_time) as prev_price,
+            LEAD(m.price, 1) OVER (ROWS WINDOW BUFFER 100 ROWS PARTITION BY p.trader_id ORDER BY m.event_time) as next_price,
+            RANK() OVER (ROWS WINDOW BUFFER 100 ROWS PARTITION BY m.symbol ORDER BY m.volume DESC) as volume_rank,
+            EXTRACT(EPOCH FROM (m.event_time - p.event_time)) as time_diff_seconds,
+            AVG(m.price) OVER (
+                ROWS WINDOW
+                    BUFFER 100 ROWS
+                    PARTITION BY p.trader_id
+                    ORDER BY m.event_time
+            ) as hourly_moving_avg,
+            COUNT(*) OVER (
+                ROWS WINDOW
+                    BUFFER 100 ROWS
+                    PARTITION BY m.symbol
+                    ORDER BY m.event_time
+            ) as trades_last_15min,
+            SUM(CASE WHEN m.side = 'BUY' THEN m.quantity ELSE 0.0 END) OVER (
+                ROWS WINDOW
+                    BUFFER 100 ROWS
+                    PARTITION BY p.trader_id
+                    ORDER BY m.event_time
+            ) as hourly_buys,
+            SUM(CASE WHEN m.side = 'SELL' THEN m.quantity ELSE 0.0 END) OVER (
+                ROWS WINDOW
+                    BUFFER 100 ROWS
+                    PARTITION BY p.trader_id
+                    ORDER BY m.event_time
+            ) as hourly_sells
+        FROM market_data m
+        JOIN positions p ON m.symbol = p.symbol
+        WHERE m.event_time >= '2024-01-01T00:00:00Z'
+            AND p.quantity > 100
+            AND m.price BETWEEN 50.0 AND 500.0
+            AND EXTRACT(DOW FROM m.event_time) BETWEEN 1 AND 5
+            AND EXTRACT(HOUR FROM m.event_time) BETWEEN 9 AND 16""")
+    assert(df.count() == 5)
+    assert(df.columns.toSet.contains("hourly_sells"))
+  }
+}
