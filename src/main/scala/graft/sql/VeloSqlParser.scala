@@ -588,6 +588,22 @@ object VeloSqlParser {
             val (_, end) = callArgs(i + 1)
             out += id("current_timestamp") += sym("(") += sym(")")
             i = end
+          case "TUMBLE" =>
+            // Flink-style grouping form (watermarks-time-semantics.md):
+            // GROUP BY …, TUMBLE(ts, INTERVAL '5' MINUTE) → Spark's
+            // native window() grouping expression
+            val (args0, end) = callArgs(i + 1)
+            val args = args0.map(rewriteTokens(_, defaultTimeCol))
+            val (tsArg, dur) = args match {
+              case Vector(a, b) => parseDuration(b).map(d => (a, Option(d)))
+                .getOrElse((b, parseDuration(a)))
+              case _ => throw new ParseException("TUMBLE expects (ts, duration)")
+            }
+            val s = dur.getOrElse(throw new ParseException("TUMBLE needs a duration"))
+            out += id("window") += sym("(")
+            out ++= tsArg
+            out += sym(",") += Tok(TString, s"'$s seconds'") += sym(")")
+            i = end
           case "TUMBLE_START" | "TUMBLE_END" =>
             val (args0, end) = callArgs(i + 1)
             val args = args0.map(rewriteTokens(_, defaultTimeCol))

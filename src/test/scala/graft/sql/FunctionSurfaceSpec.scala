@@ -108,4 +108,44 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
             price BETWEEN 50 AND 200, symbol LIKE 'A%',
             props IS NOT NULL, volume IN (5, 10, 12) FROM t""")
   }
+
+  test("all 7 reference subquery types (subquery-support.md)") {
+    // scalar in SELECT
+    runs("SELECT id, (SELECT MAX(price) FROM t) AS max_p FROM t")
+    // WHERE EXISTS / NOT EXISTS (correlated)
+    runs("SELECT id FROM t a WHERE EXISTS (SELECT 1 FROM t b WHERE b.symbol = a.symbol AND b.id <> a.id)")
+    // only the globally most expensive row (id 2, price 101.5) survives
+    assert(ctx.sql("SELECT id FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.price > a.price)")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // IN / NOT IN
+    runs("SELECT id FROM t WHERE symbol IN (SELECT symbol FROM t WHERE price > 100)")
+    runs("SELECT id FROM t WHERE id NOT IN (SELECT volume FROM t)")
+    // ANY / ALL thresholds
+    runs("SELECT id FROM t WHERE price > ANY (SELECT price FROM t WHERE symbol = 'MSFT')")
+    assert(ctx.sql("SELECT id FROM t WHERE price > ALL (SELECT price FROM t WHERE symbol = 'MSFT')")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // scalar subquery in HAVING
+    runs("""SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
+            HAVING COUNT(*) >= (SELECT MIN(volume) FROM t WHERE volume < 7)""")
+  }
+
+  test("TUMBLE grouping form + watermark WITH properties (watermarks-time-semantics.md)") {
+    val df = ctx.sql(
+      """SELECT
+            symbol,
+            SUM(price) as total_sales,
+            COUNT(*) as transaction_count
+         FROM t
+         GROUP BY
+            symbol,
+            TUMBLE(event_time, INTERVAL '5' MINUTE)
+         WITH (
+            'watermark.strategy' = 'bounded_out_of_orderness',
+            'watermark.max_out_of_orderness' = '30s',
+            'late.data.strategy' = 'dead_letter'
+         )
+         EMIT CHANGES""")
+    // rows 1+2 share the 10:00-10:05 bucket
+    assert(df.count() == 3)
+  }
 }
