@@ -126,7 +126,7 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     // scalar subquery in HAVING
     runs("""SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
-            HAVING COUNT(*) >= (SELECT MIN(volume) FROM t WHERE volume < 7)""")
+            HAVING COUNT(*) >= (SELECT COUNT(*) FROM t WHERE volume < 7)""")
   }
 
   test("TUMBLE grouping form + watermark WITH properties (watermarks-time-semantics.md)") {
