@@ -434,6 +434,12 @@ object OracleSql {
                WHERE o_totalprice > 150000)
          GROUP BY o_custkey""",
 
+    "q53_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
     "q51_sql_headers" ->
       """SELECT event_id AS _offset, CAST(event_id % 8 AS INTEGER) AS _partition,
          'events' AS h_source, FALSE AS has_trace, 1 AS n_headers,

@@ -563,6 +563,25 @@ object SparkEntry {
            ARRAY_LENGTH(HEADER_KEYS()) AS n_headers,
            TUMBLE_START(ts, INTERVAL '1' HOUR) AS hour_bucket
            FROM events WHERE _partition = 3""")
+    }),
+
+    // ---- 52. IVF ANN: centroid-bucketed approximate top-k (recall<1 →
+    //          rows-only; recall measured in SimilaritySpec) ----
+    "q52_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // ---- 53. skew-safe salted join: same results as the plain join
+    //          (oracled against it), shuffle spread across salt sub-keys ----
+    "q53_salted_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      Joins.saltedJoin(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+          o("o_orderkey"), salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
     })
   )
 

@@ -61,6 +61,14 @@ object GraftKernels {
     invoke(LongType, "signSketch", vec, typedLit(planesFlat.toSeq),
       lit(numBits), lit(dim), lit(floatElems))
 
+  /** Indices of the `nprobe` nearest centroids (by cosine) for `vec`;
+    * centroids are a flattened nCentroids×dim literal (IVF coarse
+    * quantizer). */
+  def nearestCentroidsCol(vec: Column, centroidsFlat: Array[Double], nCentroids: Int,
+                          dim: Int, nprobe: Int, floatElems: Boolean): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "nearestCentroids",
+      vec, typedLit(centroidsFlat.toSeq), lit(nCentroids), lit(dim), lit(nprobe), lit(floatElems))
+
   /** Register the kernels as SQL functions so dialect / spark.sql text
     * can call them directly: SIMHASH(text), FINGERPRINT(text),
     * MINHASH_SIG(text, k, numHashes), COSINE_SIM(a, b) on float arrays,
@@ -218,6 +226,47 @@ object GraftKernels {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def nearestCentroids(vec: ArrayData, centroidsFlat: ArrayData, nCentroids: Int,
+                       dim: Int, nprobe: Int, floatElems: Boolean): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = elem(vec, i, floatElems); i += 1 }
+    var nv = 0.0
+    i = 0
+    while (i < n) { nv += v(i) * v(i); i += 1 }
+    nv = math.sqrt(nv)
+    val scores = new Array[Double](nCentroids)
+    var c = 0
+    while (c < nCentroids) {
+      var dot = 0.0; var nc = 0.0
+      val base = c * dim
+      var d = 0
+      while (d < n) {
+        val cd = centroidsFlat.getDouble(base + d)
+        dot += v(d) * cd; nc += cd * cd
+        d += 1
+      }
+      scores(c) = dot / (nv * math.sqrt(nc))
+      c += 1
+    }
+    val k = math.min(nprobe, nCentroids)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nCentroids)
+    var j = 0
+    while (j < k) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nCentroids) {
+        if (!taken(c2) && scores(c2) > bestScore) { best = c2; bestScore = scores(c2) }
+        c2 += 1
+      }
+      taken(best) = true; out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   def signSketch(vec: ArrayData, planesFlat: ArrayData, numBits: Int,

@@ -36,4 +36,24 @@ object Joins {
       rightTs <= leftTs + expr(s"INTERVAL $upperSeconds SECOND")
     left.join(right, keyCond && band, joinType)
   }
+
+  /** Skew-safe shuffle equi-join for when one join key is hot enough to
+    * overwhelm a single reducer and the small side is too big to
+    * broadcast: the fact side salts its key into `salt` sub-keys (a
+    * deterministic hash of `factSaltSource`, so plans stay
+    * deterministic), the other side replicates each row `salt` times.
+    * Shuffle load per reducer drops by ~`salt` on the hot key at the
+    * cost of replicating the smaller side. (AQE's skew-join splitting
+    * handles sort-merge skew adaptively; this is the explicit operator
+    * for aggregation-feeding joins and pre-AQE plans.)
+    */
+  def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
+                 factSaltSource: Column, salt: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(xxhash64(factSaltSource), lit(salt)).cast("int"))
+    val replicated = other
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    saltedFact.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
 }

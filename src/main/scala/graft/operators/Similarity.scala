@@ -167,6 +167,50 @@ object Similarity {
         greatest(col("id_l"), col("id_r")).as("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the centroid-bucketed scale path: a
+    * coarse quantizer assigns each corpus vector to its nearest
+    * centroid cell (ONE cell per vector → the index is a partition of
+    * the corpus); a query probes its `nprobe` nearest cells and ranks
+    * only those candidates. Candidate count ≈ nprobe/nCentroids of the
+    * corpus per query.
+    *
+    * The quantizer here is a deterministic seeded sample of the corpus
+    * (collected to the driver and broadcast — nCentroids×dim doubles, a
+    * model artifact, not data). At scale you would train it with
+    * k-means (spark.ml.KMeans) — the operator only needs the flattened
+    * centroid array, so the trainer is pluggable.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, nCentroids: Int = 64, nprobe: Int = 8): DataFrame = {
+    val cents: Array[Double] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nCentroids)
+      .collect()
+      .flatMap { r =>
+        val s = r.getAs[scala.collection.Seq[Any]]("v")
+        val arr = s.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case x => x.toString.toDouble
+        }.toArray
+        arr.padTo(dim, 0.0).take(dim)
+      }
+    val nC = cents.length / dim
+    def cellify(df: DataFrame, id: String, v: String, probes: Int) =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn("cell", explode(
+          GraftKernels.nearestCentroidsCol(col(v), cents, nC, dim, probes, floatElems = true)))
+    val cb = cellify(corpus, "neighbor_id", "cv", 1)
+    val qb = cellify(queries, "query_id", "qv", nprobe)
+    val cand = cb.join(qb, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(cand.select("query_id", "neighbor_id", "cos"), k)
+  }
+
   /** LSH near-duplicate pairs for HIGH thresholds (minCos ≥ ~0.9, where
     * sign-sketch band recall is near 1): banded buckets, hot buckets
     * capped at maxBucket (dropped — at near-dup thresholds an over-full

@@ -74,6 +74,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall { case (x, y) => !(x < 1000 && y < 1000) || got.contains((x, y)) })
   }
 
+  test("IVF top-k: planted near-dups recovered at rank 1, scores exact") {
+    val queries = corpus.where(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, dim,
+      nCentroids = 16, nprobe = 8)
+    val rows = ivf.collect()
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // candidate scores are exact cosines (same kernel)
+    rows.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-12))
+    }
+    // each query's jittered twin is cosine ≈1 → its cell == the query's
+    // nearest cell, so rank 1 must find it even with few probes
+    val top1 = rows.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(q => assert(top1.get(q).contains(1000L + q), s"query $q top1=${top1.get(q)}"))
+  }
+
+  test("salted join == plain join (skew-safe shuffle spread)") {
+    import spark.implicits._
+    val fact = Seq.tabulate(300)(i => (i.toLong, (i % 3).toLong, i * 1.5)) // hot keys
+      .toDF("row_id", "k", "v")
+    val dim2 = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "never")).toDF("k", "label")
+    val salted = graft.operators.Joins.saltedJoin(fact, dim2, "k", col("row_id"), salt = 5)
+      .select("row_id", "k", "label")
+    val plain = fact.join(dim2, Seq("k")).select("row_id", "k", "label")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val queries = corpus.where(col("vec_id") < 2)
     val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
