@@ -390,7 +390,7 @@ object OracleSql {
          FALSE AS region_removed,
          CAST(user_id % 8 AS INTEGER) AS _partition,
          event_id AS _offset,
-         epoch_ms(ts)//1000 AS _timestamp
+         epoch_ms(ts) AS _timestamp
          FROM events""",
 
     "q45_sql_agg" ->

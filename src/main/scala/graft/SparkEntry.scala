@@ -466,7 +466,8 @@ object SparkEntry {
           lit("schema_ver"), lit("v2")))
         .withColumn("_partition", pmod(col("user_id"), lit(8)).cast("int"))
         .withColumn("_offset", col("event_id"))
-        .withColumn("_timestamp", unix_timestamp(col("ts")))
+        // INT64 epoch-millis, per reference docs/sql/system-columns.md
+        .withColumn("_timestamp", unix_millis(col("ts")))
       e.select(
         col("event_id"),
         header(col("_headers"), "source").as("h_source"),

@@ -69,7 +69,9 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   def registerStreamLike(name: String, df: DataFrame, tsCol: String, idCol: String,
                          partitions: Int = 8, headers: Map[String, String] = Map.empty): Unit = {
     var d = df
-      .withColumn("_timestamp", col(tsCol))
+      // INT64 epoch-millis, per the reference's system-columns.md
+      .withColumn("_timestamp", unix_millis(col(tsCol)))
+      .withColumn("_event_time", unix_millis(col(tsCol)))
       .withColumn("_offset", col(idCol))
       .withColumn("_partition", pmod(col(idCol), lit(partitions)).cast("int"))
     val hdrs = if (headers.isEmpty) Map("source" -> name) else headers

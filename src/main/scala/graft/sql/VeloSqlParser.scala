@@ -289,12 +289,19 @@ object VeloSqlParser {
         fields :+= span
         if (peek().exists(_.text == ",")) take() else more = false
       }
-      // FROM
+      // FROM: a table name or a derived table `( SELECT … )`
       var from = ""
       var fromAlias: Option[String] = None
+      def tableSource(): String =
+        if (peek().exists(_.text == "(")) {
+          take()
+          val sub = selectStatement()
+          expectSym(")")
+          "(" + toSparkSql(sub, defaultTimeCol) + ")"
+        } else ident()
       if (at("FROM")) {
         take()
-        from = ident()
+        from = tableSource()
         if (at("AS")) { take(); fromAlias = Some(ident()) }
         else if (peek().exists(t => t.kind == TIdent && !clauseStarts.contains(t.upper)))
           fromAlias = Some(ident())
@@ -313,7 +320,7 @@ object VeloSqlParser {
           } else if (at("CROSS") && at("JOIN", 1)) { take(); take(); "CROSS" }
           else { scanning = false; "" }
         if (scanning) {
-          val t = ident()
+          val t = tableSource()
           var alias: Option[String] = None
           if (at("AS")) { take(); alias = Some(ident()) }
           else if (peek().exists(tk => tk.kind == TIdent && tk.upper != "ON" && !clauseStarts.contains(tk.upper)))
@@ -725,6 +732,20 @@ object VeloSqlParser {
             out ++= rewriteTokens(args(0), defaultTimeCol)
             out += sym(",")
             out ++= args(1)
+            out += sym(")")
+            i = end
+          case "DATEDIFF" if {
+            val (a, _) = callArgs(i + 1); a.length == 3 && a.head.length == 1 && a.head.head.kind == TString
+          } =>
+            // three-arg unit form (docs/sql/examples): DATEDIFF('days', a, b)
+            // → timestampdiff(DAY, a, b)
+            val (args, end) = callArgs(i + 1)
+            val unit = args.head.head.text.stripPrefix("'").stripSuffix("'")
+              .toUpperCase.stripSuffix("S")
+            out += id("timestampdiff") += sym("(") += id(unit) += sym(",")
+            out ++= rewriteTokens(args(1), defaultTimeCol)
+            out += sym(",")
+            out ++= rewriteTokens(args(2), defaultTimeCol)
             out += sym(")")
             i = end
           case "EXTRACT" =>

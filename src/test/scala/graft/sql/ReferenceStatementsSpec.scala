@@ -122,6 +122,42 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.count() == 5)
   }
 
+  test("derived tables + 3-arg DATEDIFF + NOW interval arithmetic (docs/sql/examples/user-behavior.md shape)") {
+    val df = ctx.sql(
+      """SELECT
+            symbol,
+            total_volume,
+            CASE
+                WHEN total_volume > 1000 THEN 'HIGH'
+                WHEN total_volume > 500 THEN 'MID'
+                ELSE 'LOW'
+            END as volume_band,
+            DATEDIFF('minutes', first_trade, last_trade) as span_minutes
+        FROM (
+            SELECT
+                symbol,
+                SUM(volume) as total_volume,
+                MIN(event_time) as first_trade,
+                MAX(event_time) as last_trade,
+                COUNT(CASE WHEN side = 'BUY' THEN 1 END) as buys
+            FROM market_data
+            WHERE event_time > NOW() - INTERVAL '3650' DAYS
+            GROUP BY symbol
+        ) sym_metrics
+        ORDER BY total_volume DESC""")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("AAPL", "MSFT"))
+    assert(rows.head.getAs[String]("volume_band") == "HIGH")
+    assert(rows.head.getAs[Long]("span_minutes") == 70L)
+    // JOIN against a derived table
+    val j = ctx.sql(
+      """SELECT m.symbol, s.total_volume
+         FROM market_data m
+         JOIN (SELECT symbol, SUM(volume) as total_volume FROM market_data GROUP BY symbol) s
+           ON m.symbol = s.symbol""")
+    assert(j.count() == 6)
+  }
+
   test("full financial window-function battery executes (line 322 statement)") {
     val df = ctx.sql(
       """SELECT
