@@ -84,9 +84,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   /** Parse + execute one statement; returns the result (for DDL, the
     * created relation; for INSERT, the post-insert table). */
+  /** Render any statement's query core to Spark SQL text. */
+  private def renderSql(stmt: VeloStatement): String = stmt match {
+    case Select(s) => toSparkSql(s, defaultTimeCol)
+    case Union(sels, all) =>
+      sels.map(toSparkSql(_, defaultTimeCol))
+        .mkString(if (all) " UNION ALL " else " UNION ")
+    case WithCtes(ctes, body) =>
+      "WITH " + ctes.map { case (n, s) => s"$n AS (${toSparkSql(s, defaultTimeCol)})" }
+        .mkString(", ") + " " + renderSql(body)
+    case other => throw new ParseException(s"not a query: $other")
+  }
+
   def sql(text: String): DataFrame = parseStatement(text) match {
-    case Select(s) =>
-      spark.sql(toSparkSql(s, defaultTimeCol))
+    case q @ (Select(_) | Union(_, _) | WithCtes(_, _)) =>
+      spark.sql(renderSql(q))
 
     case CreateTableAs(name, s, _) =>
       val df = spark.sql(toSparkSql(s, defaultTimeCol)).cache()

@@ -103,7 +103,8 @@ object VeloSqlParser {
   final case class Sliding(sizeSec: Long, advanceSec: Long, timeCol: Option[String]) extends WindowSpec
   final case class Session(gapSec: Long, timeCol: Option[String]) extends WindowSpec
 
-  final case class JoinClause(joinType: String, table: String, alias: Option[String], on: Vector[Tok])
+  final case class JoinClause(joinType: String, table: String, alias: Option[String], on: Vector[Tok],
+                              withinSeconds: Option[Long] = None)
 
   final case class SelectStmt(
       fields: Vector[Vector[Tok]],          // rewritten select items (PRIMARY KEY stripped)
@@ -124,6 +125,10 @@ object VeloSqlParser {
 
   sealed trait VeloStatement
   final case class Select(s: SelectStmt) extends VeloStatement
+  /** UNION [ALL] chain of selects. */
+  final case class Union(selects: Vector[SelectStmt], all: Boolean) extends VeloStatement
+  /** WITH name AS (select), … body (CTEs). */
+  final case class WithCtes(ctes: Vector[(String, SelectStmt)], body: VeloStatement) extends VeloStatement
   final case class CreateTableAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
   final case class CreateStreamAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
   final case class InsertInto(table: String, columns: Vector[String], select: Option[SelectStmt], values: Vector[Vector[Vector[Tok]]]) extends VeloStatement
@@ -168,8 +173,37 @@ object VeloSqlParser {
       if (at("CREATE")) createStatement()
       else if (at("INSERT")) insertStatement()
       else if (at("SHOW")) { take(); Show(take().upper) }
-      else if (at("SELECT")) Select(selectStatement())
+      else if (at("WITH")) cteStatement()
+      else if (at("SELECT")) selectOrUnion()
       else throw new ParseException(s"unsupported statement start: ${peek().map(_.text).getOrElse("")}")
+    }
+
+    private def selectOrUnion(): VeloStatement = {
+      var sels = Vector(selectStatement())
+      var all = true
+      while (at("UNION")) {
+        take()
+        if (at("ALL")) take() else all = false
+        sels :+= selectStatement()
+      }
+      if (sels.length == 1) Select(sels.head) else Union(sels, all)
+    }
+
+    /** WITH name AS (select) [, name AS (select)]* <select|union> */
+    private def cteStatement(): VeloStatement = {
+      expectKw("WITH")
+      var ctes = Vector.empty[(String, SelectStmt)]
+      var more = true
+      while (more) {
+        val n = ident()
+        expectKw("AS")
+        expectSym("(")
+        val s = selectStatement()
+        expectSym(")")
+        ctes :+= (n -> s)
+        if (peek().exists(_.text == ",")) take() else more = false
+      }
+      WithCtes(ctes, selectOrUnion())
     }
 
     private def createStatement(): VeloStatement = {
@@ -270,7 +304,8 @@ object VeloSqlParser {
 
     private val clauseStarts = Set(
       "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER", "LIMIT", "EMIT",
-      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "WITH", "INTO")
+      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "WITH", "INTO",
+      "WITHIN", "UNION")
 
     private def selectStatement(): SelectStmt = {
       expectKw("SELECT")
@@ -328,7 +363,16 @@ object VeloSqlParser {
           val on =
             if (jt == "CROSS") Vector.empty[Tok]
             else { expectKw("ON"); exprSpan(stopAtComma = false) }
-          joins :+= JoinClause(jt, t, alias, on)
+          // `WITHIN INTERVAL 'n' UNIT` — the reference's stream-stream
+          // time-proximity join shorthand (docs/sql/by-task/join-streams.md)
+          val within =
+            if (at("WITHIN")) {
+              take()
+              val span = exprSpan(stopAtComma = false)
+              Some(parseDuration(span).getOrElse(
+                throw new ParseException(s"WITHIN expects an interval, got ${render(span)}")))
+            } else None
+          joins :+= JoinClause(jt, t, alias, on, within)
         }
       }
       // WHERE / GROUP BY / HAVING / WINDOW in flexible order (the
@@ -908,6 +952,13 @@ object VeloSqlParser {
       sb.append(' ').append(j.joinType).append(" JOIN ").append(j.table)
       j.alias.foreach(a => sb.append(" AS ").append(a))
       if (j.on.nonEmpty) sb.append(" ON ").append(render(j.on))
+      j.withinSeconds.foreach { sec =>
+        // time-proximity band on the two streams' event-time columns
+        val tc = defaultTimeCol.split('.').last
+        val lq = s.fromAlias.getOrElse(s.from)
+        val rq = j.alias.getOrElse(j.table)
+        sb.append(s" AND abs(unix_timestamp($lq.$tc) - unix_timestamp($rq.$tc)) <= $sec")
+      }
     }
     s.where.foreach(w => sb.append(" WHERE ").append(render(w)))
     val winGroup: Option[String] = s.window.map { w =>

@@ -158,6 +158,50 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     assert(j.count() == 6)
   }
 
+  test("WITHIN INTERVAL stream-stream join shorthand (by-task/join-streams.md)") {
+    val c2 = new VeloContext(spark, defaultTimeCol = "event_time")
+    spark.table("market_data").createOrReplaceTempView("user_clicks")
+    spark.table("positions").createOrReplaceTempView("user_purchases")
+    val df = c2.sql(
+      """SELECT
+             click.symbol,
+             purchase.trader_id
+         FROM user_clicks click
+         INNER JOIN user_purchases purchase ON click.symbol = purchase.symbol
+         WITHIN INTERVAL '30' SECONDS;""")
+    // positions event_time is 2024-01-01; only rows within ±30s match → none
+    assert(df.count() == 0)
+    val wide = c2.sql(
+      """SELECT click.symbol FROM user_clicks click
+         JOIN user_purchases purchase ON click.symbol = purchase.symbol
+         WITHIN INTERVAL '30' DAYS""")
+    assert(wide.count() == 6)
+  }
+
+  test("UNION ALL of alert branches (examples/real-time-dashboard.md shape)") {
+    val df = ctx.sql(
+      """SELECT 'HIGH_PRICE' as alert_type, symbol, price as metric FROM market_data m WHERE price > 100
+         UNION ALL
+         SELECT 'HIGH_VOLUME' as alert_type, symbol, volume as metric FROM market_data m WHERE volume > 800""")
+    val byType = df.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byType == Map("HIGH_PRICE" -> 2, "HIGH_VOLUME" -> 1))
+  }
+
+  test("CTEs: WITH name AS (SELECT ...) body (by-task docs)") {
+    val df = ctx.sql(
+      """WITH sym_stats AS (
+             SELECT symbol, AVG(price) as avg_price FROM market_data GROUP BY symbol
+         ),
+         hot AS (
+             SELECT symbol FROM sym_stats WHERE avg_price > 100
+         )
+         SELECT m.symbol, COUNT(*) as n
+         FROM market_data m
+         JOIN hot h ON m.symbol = h.symbol
+         GROUP BY m.symbol""")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("AAPL", 3L)))
+  }
+
   test("full financial window-function battery executes (line 322 statement)") {
     val df = ctx.sql(
       """SELECT
