@@ -126,6 +126,31 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       unioned.createOrReplaceTempView(table)
       unioned
 
+    case Update(table, sets, where) =>
+      // view-rebuild semantics over the registered relation (the
+      // reference mutates its materialized Table the same way:
+      // processors/update.rs): matched rows get the SET expressions.
+      val existing = spark.table(table)
+      val cond = where.map(w => expr(render(w))).getOrElse(lit(true))
+      // all SET right-hand sides evaluate against the OLD row (standard
+      // UPDATE semantics) → one projection, not a sequential fold
+      val setMap = sets.toMap
+      val updated = existing.select(existing.columns.toIndexedSeq.map { c =>
+        setMap.get(c) match {
+          case Some(e) => when(cond, expr(render(e))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      updated.createOrReplaceTempView(table)
+      updated
+
+    case Delete(table, where) =>
+      val existing = spark.table(table)
+      val remaining = where.map(w => existing.where(!expr(render(w)) || expr(render(w)).isNull))
+        .getOrElse(existing.limit(0))
+      remaining.createOrReplaceTempView(table)
+      remaining
+
     case Show(what) =>
       import spark.implicits._
       val tables = spark.catalog.listTables().collect()

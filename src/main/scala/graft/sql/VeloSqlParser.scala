@@ -132,6 +132,10 @@ object VeloSqlParser {
   final case class CreateTableAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
   final case class CreateStreamAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
   final case class InsertInto(table: String, columns: Vector[String], select: Option[SelectStmt], values: Vector[Vector[Vector[Tok]]]) extends VeloStatement
+  /** UPDATE t SET col = expr [, …] [WHERE cond] */
+  final case class Update(table: String, sets: Vector[(String, Vector[Tok])], where: Option[Vector[Tok]]) extends VeloStatement
+  /** DELETE FROM t [WHERE cond] */
+  final case class Delete(table: String, where: Option[Vector[Tok]]) extends VeloStatement
   final case class Show(what: String) extends VeloStatement
 
   // ============================ parser ============================
@@ -172,6 +176,8 @@ object VeloSqlParser {
     def statement(): VeloStatement = {
       if (at("CREATE")) createStatement()
       else if (at("INSERT")) insertStatement()
+      else if (at("UPDATE")) updateStatement()
+      else if (at("DELETE")) deleteStatement()
       else if (at("SHOW")) { take(); Show(take().upper) }
       else if (at("WITH")) cteStatement()
       else if (at("SELECT")) selectOrUnion()
@@ -279,6 +285,31 @@ object VeloSqlParser {
         }
         InsertInto(table, cols, None, rows)
       }
+    }
+
+    /** UPDATE t SET a = expr, b = expr WHERE cond
+      * (reference: src/velostream/sql/execution/processors/update.rs) */
+    private def updateStatement(): VeloStatement = {
+      expectKw("UPDATE")
+      val table = ident()
+      expectKw("SET")
+      var sets = Vector.empty[(String, Vector[Tok])]
+      var more = true
+      while (more) {
+        val c = ident()
+        expectSym("=")
+        sets :+= (c -> rewriteTokens(exprSpan(stopAtComma = true), defaultTimeCol))
+        if (peek().exists(_.text == ",")) take() else more = false
+      }
+      val where = if (at("WHERE")) { take(); Some(rewriteTokens(exprSpan(stopAtComma = false), defaultTimeCol)) } else None
+      Update(table, sets, where)
+    }
+
+    private def deleteStatement(): VeloStatement = {
+      expectKw("DELETE"); expectKw("FROM")
+      val table = ident()
+      val where = if (at("WHERE")) { take(); Some(rewriteTokens(exprSpan(stopAtComma = false), defaultTimeCol)) } else None
+      Delete(table, where)
     }
 
     /** Collect a balanced-paren token span until a top-level comma,

@@ -184,6 +184,17 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table("sink_t").count() == 4)
   }
 
+  test("UPDATE and DELETE processors (update.rs / delete.rs analogs)") {
+    import spark.implicits._
+    ctx.register("mut_t", Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "tag", "v"))
+    ctx.sql("UPDATE mut_t SET v = v * 2, tag = 'hot' WHERE id >= 2")
+    val after = spark.table("mut_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(after.toSeq == Seq((1L, "a", 10.0), (2L, "hot", 40.0), (3L, "hot", 60.0)))
+    ctx.sql("DELETE FROM mut_t WHERE tag = 'hot'")
+    assert(spark.table("mut_t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("SHOW STREAMS lists registered relations") {
     val names = ctx.sql("SHOW STREAMS").collect().map(_.getString(0)).toSet
     assert(names.contains("orders") && names.contains("customers"))
