@@ -86,6 +86,22 @@ object StreamOps {
     }
   }
 
+  /** Stream-stream interval join (reference FR-085): equi-key plus a
+    * time band `right.ts ∈ [left.ts + lower, left.ts + upper]`, with
+    * watermarks on BOTH sides so Spark can bound join state retention
+    * (state for a side is dropped once its watermark passes the band).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String, grace: String,
+                         keyCond: org.apache.spark.sql.Column,
+                         lowerSeconds: Long, upperSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, grace)
+    val r = right.withWatermark(rightTs, grace)
+    val band = col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerSeconds SECOND") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSeconds SECOND")
+    l.join(r, keyCond && band)
+  }
+
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 

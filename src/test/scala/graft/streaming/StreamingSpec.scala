@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out.where(col("key") === 2).collect().map(_.getAs[Int]("buf_n")).toSeq == Seq(1))
   }
 
+  test("stream-stream interval join with watermark-bounded state (FR-085)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val orders = MemoryStream[(Long, Long)]   // (order_id, ep)
+    val ships = MemoryStream[(Long, Long)]    // (order_id, ep)
+    val o = orders.toDF().toDF("o_id", "o_ep").withColumn("o_ts", timestamp_seconds(col("o_ep")))
+    val s2 = ships.toDF().toDF("s_id", "s_ep").withColumn("s_ts", timestamp_seconds(col("s_ep")))
+    val joined = StreamOps.intervalJoinStream(o, s2, "o_ts", "s_ts", "10 seconds",
+      col("o_id") === col("s_id"), 0L, 3600L)
+      .select("o_id", "o_ep", "s_ep")
+    spark.catalog.dropTempView("ivj")
+    val q = joined.writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ivj").trigger(Trigger.ProcessingTime(0)).start()
+    orders.addData(Seq((1L, 100L), (2L, 200L)))
+    q.processAllAvailable()
+    ships.addData(Seq((1L, 1000L), (2L, 9999L))) // order 2 ships outside the 1h band
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ivj").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSet == Set((1L, 1000L)))
+  }
+
   test("session streaming: merged session windows via session_window") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
