@@ -35,6 +35,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JVM/codegen warmup so the first timed query doesn't absorb ~5 s of
+    // JIT + first-scan setup cost that isn't the query's own.
+    try {
+      spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     case class R(sec: Double, rows: Long, err: Option[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

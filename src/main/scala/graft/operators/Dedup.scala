@@ -77,21 +77,21 @@ object Dedup {
       explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("bucket", xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))
 
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-
-    // pairs within a bucket, dedup across bands by (id_a, id_b)
-    val pairs = buckets.select(explode(expr(
-      """
-      flatten(transform(members, (a, i) ->
-        transform(slice(members, i + 2, size(members)), b ->
-          struct(least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
-                 double(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))) / double(size(a.sig)) as est_jaccard))))
-      """)).as("p"))
-      .select("p.*")
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
-    pairs
+    // capped band-bucket SELF-JOIN pair generation (codegen'd joins; no
+    // interpreted per-bucket expansion); est_jaccard = matching-position
+    // fraction, computed only on the candidate pairs
+    val counts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bn"))
+    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "bucket"))
+      .drop("_bn")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)).cast("double")
+          / size(col("sig_a")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** 64-bit SimHash over word features: bit i of the hash contributes
@@ -115,6 +115,11 @@ object Dedup {
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
     * 16-bit chunks; docs sharing any chunk value are candidates (≤ 3 bit
     * flips guarantee). Verification = exact Hamming distance.
+    *
+    * Pair generation is a capped band-bucket SELF-JOIN (hot buckets >
+    * maxBucket dropped — boilerplate clusters): every stage is a
+    * codegen'd join/agg, no interpreted per-bucket expansion, and no
+    * collect_list rows holding whole buckets in memory.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 8, maxBucket: Int = 256): DataFrame = {
@@ -123,17 +128,14 @@ object Dedup {
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bc"))
       .select(col("id"), col("sig"), col("bc.band"), col("bc.chunk"))
-    val buckets = banded.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-    buckets.select(explode(expr(
-      """
-      flatten(transform(members, (a, i) ->
-        transform(slice(members, i + 2, size(members)), b ->
-          struct(least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
-                 bit_count(a.sig ^ b.sig) as hamming))))
-      """)).as("p"))
-      .select("p.*")
+    val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
+    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
+      .drop("_bn")
+    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
