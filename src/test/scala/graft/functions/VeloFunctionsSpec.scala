@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.VeloFunctions._
+
+/** Every VeloFunctions combinator (the reference's 75-function catalog
+  * as Column API) evaluated against expected values — none of the
+  * surface is implemented-but-unverified.
+  */
+class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq((" Hello World ", -3.7, 10L, 2.0, Timestamp.valueOf("2024-03-05 10:30:45"),
+      """{"a": {"b": 7}}"""))
+      .toDF("s", "x", "n", "p", "ts", "j")
+  }
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    df.select(c.as("r")).collect().head.get(0)
+
+  test("math surface") {
+    assert(one(veloAbs(col("x"))) == 3.7)
+    assert(one(veloRound(col("x"), 1)) == -3.7)
+    assert(one(veloCeil(col("x"))) == -3L)
+    assert(one(veloFloor(col("x"))) == -4L)
+    assert(one(veloSqrt(lit(16.0))) == 4.0)
+    assert(one(veloPower(col("p"), lit(3))) == 8.0)
+    assert(one(veloMod(col("n"), lit(3))) == 1L)
+    assert(one(veloLeast(col("n"), lit(3))) == 3L)
+    assert(one(veloGreatest(col("n"), lit(3))) == 10L)
+  }
+
+  test("string surface") {
+    assert(one(veloUpper(veloTrim(col("s")))) == "HELLO WORLD")
+    assert(one(veloLower(veloTrim(col("s")))) == "hello world")
+    assert(one(veloSubstring(veloTrim(col("s")), 1, 5)) == "Hello")
+    assert(one(veloReplace(veloTrim(col("s")), "World", "W.")) == "Hello W.")
+    assert(one(veloLtrim(col("s"))) == "Hello World ")
+    assert(one(veloRtrim(col("s"))) == " Hello World")
+    assert(one(veloLength(veloTrim(col("s")))) == 11)
+    assert(one(veloConcat(lit("a"), lit("-"), lit("b"))) == "a-b")
+    assert(one(veloJoin(veloSplit(veloTrim(col("s")), " "), "_")) == "Hello_World")
+    assert(one(veloLeft(veloTrim(col("s")), 2)) == "He")
+    assert(one(veloRight(veloTrim(col("s")), 2)) == "ld")
+    assert(one(veloPosition("World", veloTrim(col("s")))) == 7)
+    assert(one(veloRegexp(veloTrim(col("s")), "^Hel")) == true)
+  }
+
+  test("date/time surface") {
+    assert(one(veloExtract("YEAR", col("ts"))) == 2024)
+    assert(one(veloExtract("MONTH", col("ts"))) == 3)
+    assert(one(veloExtract("DAY", col("ts"))) == 5)
+    assert(one(veloExtract("HOUR", col("ts"))) == 10)
+    assert(one(veloExtract("MINUTE", col("ts"))) == 30)
+    assert(one(veloExtract("SECOND", col("ts"))) == 45)
+    assert(one(veloExtract("DOW", col("ts"))) == 2) // Tuesday, 0=Sunday
+    assert(one(veloExtract("DOY", col("ts"))) == 65)
+    assert(one(veloDateFormat(col("ts"), "yyyy/MM/dd")) == "2024/03/05")
+    assert(one(veloDateDiff(col("ts"), to_timestamp(lit("2024-03-08 00:00:00")))) == 3)
+    assert(one(veloUnixTimestamp(col("ts"))) == 1709634645L)
+    assert(one(veloFromUnixtime(lit(1709634645L))).toString == "2024-03-05 10:30:45.0")
+    assert(one(tumbleStart(col("ts"), 3600L)) == 1709632800L)
+    assert(one(tumbleEnd(col("ts"), 3600L)) == 1709636400L)
+    assert(one(veloNow()).isInstanceOf[Timestamp])
+  }
+
+  test("conditional + JSON + array/map surface") {
+    assert(one(veloCoalesce(lit(null), lit("x"))) == "x")
+    assert(one(veloNullif(lit("a"), lit("a"))) == null)
+    assert(one(veloCast(col("n"), "string")) == "10")
+    assert(one(jsonExtract(col("j"), "$.a.b")) == "7")
+    assert(one(jsonValue(col("j"), "$.a.b")) == "7")
+    assert(one(arrayLength(veloArray(lit(1), lit(2), lit(3)))) == 3)
+    assert(one(arrayContains(veloArray(lit(1), lit(2)), 2)) == true)
+    assert(one(veloStruct(lit(1).as("a"), lit("b").as("s"))).toString == "[1,b]")
+    assert(one(arrayLength(mapKeys(veloMap(lit("k"), lit("v"))))) == 1)
+    assert(one(element_at(mapValues(veloMap(lit("k"), lit("v"))), 1)) == "v")
+  }
+
+  test("header ops surface") {
+    val h = veloMap(lit("a"), lit("1"), lit("b"), lit("2"))
+    assert(one(header(h, "a")) == "1")
+    assert(one(hasHeader(h, "z")) == false)
+    assert(one(arrayLength(headerKeys(h))) == 2)
+    assert(one(header(setHeader(h, "c", lit("3")), "c")) == "3")
+    assert(one(hasHeader(removeHeader(h, "a"), "a")) == false)
+  }
+
+  test("exact decimal money surface") {
+    import spark.implicits._
+    val m = Seq(0.1, 0.2, 0.3).toDF("v")
+    // double sum of 0.1+0.2+0.3 != 0.6 exactly; decimal sum is exact
+    val exact = m.agg(sum(money(col("v"))).cast("double")).collect().head.getDouble(0)
+    assert(exact == 0.6)
+  }
+}
