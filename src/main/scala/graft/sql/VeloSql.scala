@@ -38,6 +38,12 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   /** Registered CTAS materializations (name → cached DataFrame). */
   private val materialized = scala.collection.mutable.Map[String, DataFrame]()
 
+  /** Declared external sources/sinks (CREATE STREAM|SINK name WITH …):
+    * config metadata the deployment layer resolves (config files,
+    * topics, serializers). */
+  val declaredSources: scala.collection.mutable.Map[String, (String, Map[String, String])] =
+    scala.collection.mutable.Map.empty
+
   def register(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
@@ -125,6 +131,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       val unioned = existing.unionByName(aligned)
       unioned.createOrReplaceTempView(table)
       unioned
+
+    case CreateSourceDecl(kind, name, props) =>
+      import spark.implicits._
+      declaredSources(name) = (kind, props)
+      props.toSeq.sorted.toDF("key", "value")
 
     case Update(table, sets, where) =>
       // view-rebuild semantics over the registered relation (the

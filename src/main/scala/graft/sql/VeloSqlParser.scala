@@ -76,7 +76,7 @@ object VeloSqlParser {
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (Set("!=", "<>", "<=", ">=", "||").contains(two)) { out += Tok(TSymbol, two); i += 2 }
-        else if (";(),.*+-/%^=<>[]".indexOf(c) >= 0) { out += Tok(TSymbol, c.toString); i += 1 }
+        else if (";(),.*+-/%^=<>[]~".indexOf(c) >= 0) { out += Tok(TSymbol, c.toString); i += 1 }
         else throw new ParseException(s"unexpected character '$c' at $i")
       }
     }
@@ -129,6 +129,10 @@ object VeloSqlParser {
   final case class Union(selects: Vector[SelectStmt], all: Boolean) extends VeloStatement
   /** WITH name AS (select), … body (CTEs). */
   final case class WithCtes(ctes: Vector[(String, SelectStmt)], body: VeloStatement) extends VeloStatement
+  /** CREATE STREAM|TABLE|SINK|SOURCE name WITH (props) — an external
+    * source/sink DECLARATION (no AS SELECT): config-file/topic wiring
+    * the runner resolves against its environment. */
+  final case class CreateSourceDecl(kind: String, name: String, props: Map[String, String]) extends VeloStatement
   final case class CreateTableAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
   final case class CreateStreamAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
   final case class InsertInto(table: String, columns: Vector[String], select: Option[SelectStmt], values: Vector[Vector[Vector[Tok]]]) extends VeloStatement
@@ -214,14 +218,41 @@ object VeloSqlParser {
 
     private def createStatement(): VeloStatement = {
       expectKw("CREATE")
-      val isStream = at("STREAM")
-      if (!at("STREAM") && !at("TABLE")) throw new ParseException("expected STREAM or TABLE after CREATE")
-      take()
+      val kind =
+        if (at("STREAM") || at("TABLE") || at("SINK") || at("SOURCE")) take().upper
+        else throw new ParseException("expected STREAM, TABLE, SINK or SOURCE after CREATE")
+      if (at("IF")) { take(); expectKw("NOT"); expectKw("EXISTS") }
       val name = ident()
-      expectKw("AS")
-      // the inner select consumes its trailing INTO/WITH/EMIT clauses
-      val sel = selectStatement()
-      if (isStream) CreateStreamAs(name, sel, sel.props) else CreateTableAs(name, sel, sel.props)
+      if (at("WITH")) {
+        // declaration form: CREATE STREAM name WITH (config …)
+        take()
+        val props = propMap()
+        CreateSourceDecl(kind, name, props)
+      } else {
+        expectKw("AS")
+        // the inner select consumes its trailing INTO/WITH/EMIT clauses;
+        // the body may be a UNION chain
+        selectOrUnion() match {
+          case Select(sel) =>
+            if (kind == "STREAM") CreateStreamAs(name, sel, sel.props)
+            else CreateTableAs(name, sel, sel.props)
+          case u: Union =>
+            val merged = u.selects.flatMap(_.props.toSeq).toMap
+            // represent a union body through a derived-table wrapper so
+            // downstream consumers still see one SelectStmt
+            val wrapped = SelectStmt(
+              fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = Vector.empty,
+              from = "(" + u.selects.map(toSparkSql(_, defaultTimeCol))
+                .mkString(if (u.all) " UNION ALL " else " UNION ") + ")",
+              fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
+              having = None, window = None, namedWindows = None, orderBy = None,
+              limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
+              props = merged)
+            if (kind == "STREAM") CreateStreamAs(name, wrapped, merged)
+            else CreateTableAs(name, wrapped, merged)
+          case other => throw new ParseException(s"unsupported CREATE body: $other")
+        }
+      }
     }
 
     private def propMap(): Map[String, String] = {
@@ -327,7 +358,11 @@ object VeloSqlParser {
         else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper))
                  // JOIN/LEFT/RIGHT are also catalog FUNCTIONS — a '('
                  // right after means a call, not a clause boundary
-                 && !(Set("JOIN", "LEFT", "RIGHT").contains(t.upper) && peek(1).exists(_.text == "("))) done = true
+                 && !(Set("JOIN", "LEFT", "RIGHT").contains(t.upper) && peek(1).exists(_.text == "("))
+                 // ORDER/GROUP are clause starts only as ORDER BY / GROUP
+                 // BY — otherwise they are ordinary identifiers
+                 // (`order.items`, a column named `group`)
+                 && !(Set("ORDER", "GROUP").contains(t.upper) && !peek(1).exists(_.isKw("BY")))) done = true
         else out += take()
       }
       out.toVector
@@ -893,6 +928,10 @@ object VeloSqlParser {
             out += t
             i += 1
         }
+      } else if (t.kind == TSymbol && t.text == "~") {
+        // postgres-style regex-match operator → RLIKE
+        out += id("RLIKE")
+        i += 1
       } else {
         out += t
         i += 1
