@@ -793,8 +793,7 @@ object VeloSqlParser {
             var j = 0
             def atj(kw: String, o: Int = 0) = overInner.lift(j + o).exists(_.isKw(kw))
             var partition = Vector.empty[Tok]; var order = Vector.empty[Tok]; var frame = Vector.empty[Tok]
-            val stops = Set("PARTITION", "ORDER", "ROWS", "RANGE")
-            def spanUntil2(): Vector[Tok] = {
+            def spanUntil2(stops: Set[String]): Vector[Tok] = {
               val o = ArrayBuffer[Tok](); var d = 0
               while (j < overInner.length &&
                      !(d == 0 && overInner(j).kind == TIdent && stops.contains(overInner(j).upper))) {
@@ -805,9 +804,11 @@ object VeloSqlParser {
               o.toVector
             }
             while (j < overInner.length) {
-              if (atj("PARTITION") && atj("BY", 1)) { j += 2; partition = spanUntil2() }
-              else if (atj("ORDER") && atj("BY", 1)) { j += 2; order = spanUntil2() }
-              else if (atj("ROWS") || atj("RANGE")) { frame = spanUntil2() }
+              if (atj("PARTITION") && atj("BY", 1)) { j += 2; partition = spanUntil2(Set("ORDER", "ROWS", "RANGE")) }
+              else if (atj("ORDER") && atj("BY", 1)) { j += 2; order = spanUntil2(Set("ROWS", "RANGE")) }
+              // the frame span starts WITH the ROWS/RANGE keyword — no
+              // stop on it, or the scan makes no progress
+              else if (atj("ROWS") || atj("RANGE")) { frame = spanUntil2(Set.empty) }
               else j += 1
             }
             if (order.isEmpty) throw new ParseException(s"$up OVER (...) needs ORDER BY <value>")

@@ -96,6 +96,30 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.count() == 6)
   }
 
+  test("EXTRACT field matrix, both syntaxes (sql_parser_comprehensive_test.rs:285-298)") {
+    val fields = Seq("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "DOW", "DOY", "WEEK", "QUARTER")
+    val std = ctx.sql("SELECT " +
+      fields.map(f => s"EXTRACT($f FROM event_time) as f_$f").mkString(", ") +
+      " FROM market_data m")
+    val legacy = ctx.sql("SELECT " +
+      fields.map(f => s"EXTRACT('$f', event_time) as f_$f").mkString(", ") +
+      " FROM market_data m")
+    val a = std.collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString)
+    val b = legacy.collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString)
+    assert(a.length == 6 && a.sameElements(b))
+  }
+
+  test("moving percentile over a row frame — the VaR shape (advanced.md:399)") {
+    // the ORDER BY expression is the measured VALUE (the reference
+    // orders by `returns`); the frame bounds the trailing sample
+    val df = ctx.sql(
+      """SELECT symbol, price,
+         PERCENTILE_CONT(0.05) OVER (PARTITION BY symbol ORDER BY price ROWS BETWEEN 252 PRECEDING AND CURRENT ROW) as var_95
+         FROM market_data m""")
+    assert(df.count() == 6)
+    assert(df.where(col("var_95").isNull).count() == 0)
+  }
+
   test("EXTRACT forms: EPOCH over a difference, legacy two-arg (lines 180, 191)") {
     val d1 = ctx.sql(
       "SELECT EXTRACT(EPOCH FROM (m.event_time - p.event_time)) as duration FROM market_data m JOIN positions p ON m.symbol = p.symbol")

@@ -235,6 +235,32 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(ctx.sql("SeLeCt * FrOm orders WhErE aMoUnT > 100").count() == 3)
   }
 
+  test("source/sink declarations, IF NOT EXISTS, union CSAS bodies, regex operator") {
+    // declaration form (quickstart/hello-world.md, complete-syntax.md)
+    ctx.sql(
+      """CREATE STREAM processed_orders_cfg WITH (
+             topic = 'processed-orders-topic',
+             bootstrap.servers = 'localhost:9092'
+         )""")
+    assert(ctx.declaredSources("processed_orders_cfg")._2("topic") == "processed-orders-topic")
+    // IF NOT EXISTS tolerated
+    ctx.sql("CREATE TABLE IF NOT EXISTS inex_t AS SELECT order_id FROM orders")
+    assert(spark.table("inex_t").count() == 5)
+    // UNION ALL body inside CSAS (COPY_PASTE_EXAMPLES.md shape)
+    ctx.sql(
+      """CREATE STREAM all_alerts AS
+         SELECT 'high_value' as alert_type, order_id, amount FROM orders WHERE amount > 1000
+         UNION ALL
+         SELECT 'low_value' as alert_type, order_id, amount FROM orders WHERE amount < 100""")
+    assert(ctx.sql("SELECT COUNT(*) AS n FROM all_alerts").collect().head.getLong(0) == 3L)
+    // postgres regex operator
+    assert(ctx.sql("SELECT COUNT(*) AS n FROM customers WHERE customer_name ~ '^a'")
+      .collect().head.getLong(0) == 1L)
+    // a column named `order` does not trip the ORDER BY clause scanner
+    val stmt = ctx.parseStatement("SELECT order.items FROM carts")
+    assert(stmt.isInstanceOf[VeloSqlParser.Select])
+  }
+
   test("ANY / SOME / ALL quantified comparisons (subquery-support.md)") {
     // > ALL filled orders (max filled = 5000) → only nothing; vs > ALL pending (max 250)
     val gtAll = ctx.sql(
