@@ -23,7 +23,10 @@ object PlanAudit {
         "q14_interval_join", "q24_dedup_minhash", "q27_ann_bruteforce", "q38_embed_dedup",
         "q40_topn_per_group", "q45_sql_agg", "q46_sql_tumbling", "q49_sql_join_in"))
     keys.foreach { k =>
-      val plan = SparkEntry.queries(k)(spark, sfDir).queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(k)(spark, sfDir)
+      val ep = df.queryExecution.executedPlan
+      ep.execute().count() // materialize THIS QueryExecution so AQE finalizes
+      val plan = ep.toString
       val lines = plan.linesIterator.toSeq
       def grep(p: String) = lines.filter(_.contains(p)).map(_.trim.take(200))
       println(s"\n========== $k ==========")
