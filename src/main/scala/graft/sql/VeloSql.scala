@@ -172,6 +172,13 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       }
   }
 
+  /** Execute a multi-statement SQL application script (the reference's
+    * deployable `.sql` files): statements split on top-level semicolons
+    * (string-literal-aware), `--` comments tolerated. Returns the
+    * result of each executed statement, in order. */
+  def executeScript(script: String): Seq[DataFrame] =
+    VeloContext.splitStatements(script).map(sql)
+
   /** The Spark SQL a statement translates to (for plan inspection). */
   def explainSql(text: String): String = parseStatement(text) match {
     case Select(s) => toSparkSql(s, defaultTimeCol)
@@ -182,6 +189,35 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 }
 
 object VeloContext {
+
+  /** Split a script into statements on semicolons outside string
+    * literals; drops blank/comment-only fragments. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < script.length) {
+      val c = script(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) {
+          if (i + 1 < script.length && script(i + 1) == quote) { cur.append(quote); i += 1 }
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '-' if i + 1 < script.length && script(i + 1) == '-' =>
+          while (i < script.length && script(i) != '\n') i += 1
+          cur.append('\n')
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
   /** Context over the driver's test tables in `sfDir`, with the `events`
     * table registered stream-like (system columns + headers). */
   def forDir(spark: SparkSession, sfDir: String): VeloContext = {

@@ -226,6 +226,34 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("AAPL", 3L)))
   }
 
+  test("multi-statement .sql application script (the reference's deployable unit)") {
+    val results = ctx.executeScript(
+      """-- trading analytics application
+        CREATE STREAM raw_feed WITH (
+            topic = 'market-feed',
+            bootstrap.servers = 'broker:9092'
+        );
+
+        -- hot symbols materialization
+        CREATE TABLE hot_symbols AS
+        SELECT symbol, COUNT(*) as n, AVG(price) as avg_price
+        FROM market_data
+        GROUP BY symbol
+        HAVING AVG(price) > 100.0;  -- AAPL only
+
+        -- enriched stream over the materialization
+        CREATE STREAM enriched AS
+        SELECT m.symbol, m.price, h.avg_price
+        FROM market_data m
+        JOIN hot_symbols h ON m.symbol = h.symbol
+        EMIT CHANGES;
+
+        SELECT COUNT(*) AS n FROM enriched;""")
+    assert(results.length == 4)
+    assert(results.last.collect().head.getLong(0) == 3L) // 3 AAPL trades
+    assert(ctx.declaredSources.contains("raw_feed"))
+  }
+
   test("full financial window-function battery executes (line 322 statement)") {
     val df = ctx.sql(
       """SELECT
