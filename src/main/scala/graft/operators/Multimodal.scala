@@ -76,6 +76,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stage analog: deterministic payload downsampling (every
+    * `factor`-th byte) with the width/height metadata updated to match —
+    * the shape of an image-resize pass (decode → scale → re-encode). The
+    * real codec slots into the same per-partition map; the plumbing
+    * (narrow map, binary in/out, metadata contract) is what the engine
+    * owns. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val enc = ExpressionEncoder(mediaSchema)
+    media.select(col("media_id"), col("media_type"), col("payload"), col("width"), col("height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val small: Array[Byte] =
+            if (payload == null) null
+            else {
+              val out = new Array[Byte]((payload.length + factor - 1) / factor)
+              var i = 0
+              while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+              out
+            }
+          def scaled(field: String): Integer = {
+            val v = r.getAs[Integer](field)
+            if (v == null) null else Integer.valueOf(math.max(1, v / factor))
+          }
+          Row(r.getLong(0), r.getString(1), small, scaled("width"), scaled("height"))
+        }
+      }(enc)
+  }
+
   /** Deterministic frame-sampling analog: pick every `stride`-th chunk
     * of the payload (a video's frames / an audio's windows), emitting
     * one row per sampled chunk — the explode-shaped stage of a real

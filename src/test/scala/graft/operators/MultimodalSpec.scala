@@ -42,6 +42,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(r2.getAs[scala.collection.Seq[Double]]("feature").toSeq == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("resize downsamples payload and metadata together") {
+    import org.apache.spark.sql.types._
+    val withDims = media
+      .withColumn("width", (length(col("payload")) * 2).cast(IntegerType))
+      .withColumn("height", length(col("payload")).cast(IntegerType))
+      .select("media_id", "media_type", "payload", "width", "height")
+    val out = Multimodal.resize(withDims, factor = 4).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val r3 = out(3L)
+    assert(r3.getAs[Array[Byte]]("payload").length == (320 + 3) / 4)
+    assert(r3.getAs[Int]("width") == 160 && r3.getAs[Int]("height") == 80)
+    // empty payload survives
+    assert(out(2L).getAs[Array[Byte]]("payload").length == 0)
+    assert(out(2L).getAs[Int]("height") == 1) // floor-clamped metadata
+  }
+
   test("sampleChunks emits every stride-th fixed-size chunk") {
     val out = Multimodal.sampleChunks(media.where(col("media_id") === 3L),
       chunkBytes = 64, stride = 2)
