@@ -127,6 +127,16 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     // scalar subquery in HAVING
     runs("""SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
             HAVING COUNT(*) >= (SELECT COUNT(*) FROM t WHERE volume < 7)""")
+    // HAVING EXISTS / NOT EXISTS, correlated on the group key
+    // (reference: "HAVING EXISTS with GROUP BY and WINDOW queries")
+    val he = ctx.sql(
+      """SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
+         HAVING EXISTS (SELECT 1 FROM t u WHERE u.symbol = t.symbol AND u.volume > 10)""")
+    assert(he.collect().map(_.getString(0)).toSeq == Seq("AAPL"))
+    val hne = ctx.sql(
+      """SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
+         HAVING NOT EXISTS (SELECT 1 FROM t u WHERE u.symbol = t.symbol AND u.volume > 10)""")
+    assert(hne.collect().map(_.getString(0)).toSeq == Seq("MSFT"))
   }
 
   test("TUMBLE grouping form + watermark WITH properties (watermarks-time-semantics.md)") {
