@@ -37,6 +37,31 @@ object Joins {
     left.join(right, keyCond && band, joinType)
   }
 
+  /** AS-OF join: for each left row, the single LATEST right row with
+    * `rightTs ≤ leftTs` (within `toleranceSeconds` lookback) on the same
+    * key — the state-lookup pattern of enriching a stream with the most
+    * recent reference value (quotes-for-trades, config-as-of).
+    *
+    * Realization: a time-band equi-join generates the bounded candidate
+    * set (tolerance caps state/skew — an unbounded as-of would carry all
+    * history), then a per-left-row rank keeps the latest. The rank
+    * partitions by left row id: millions of tiny partitions spread
+    * across reducers — no hot task.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, toleranceSeconds: Long,
+           leftId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) <= left(leftTs) &&
+        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"))
+      .drop(right(key))
+    val w = Window.partitionBy(left(leftId)).orderBy(right(rightTs).desc)
+    cand.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).drop("_rk")
+  }
+
   /** Skew-safe shuffle equi-join for when one join key is hot enough to
     * overwhelm a single reducer and the small side is too big to
     * broadcast: the fact side salts its key into `salt` sub-keys (a

@@ -167,6 +167,19 @@ object Similarity {
         greatest(col("id_l"), col("id_r")).as("id_b"), col("cos"))
   }
 
+  /** Train an IVF coarse quantizer with spark.ml KMeans (fixed seed) —
+    * the production trainer for `ivfTopK`'s centroid array. Runs as a
+    * distributed Spark job; only k×dim doubles come back to the driver
+    * (the model, not data). */
+  def trainCentroidsKMeans(corpus: DataFrame, vecCol: String, k: Int, dim: Int,
+                           maxIter: Int = 10): Array[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter).fit(feat)
+    model.clusterCenters.flatMap(v => v.toArray.padTo(dim, 0.0).take(dim))
+  }
+
   /** IVF (inverted-file) ANN — the centroid-bucketed scale path: a
     * coarse quantizer assigns each corpus vector to its nearest
     * centroid cell (ONE cell per vector → the index is a partition of
@@ -181,8 +194,9 @@ object Similarity {
     * centroid array, so the trainer is pluggable.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, dim: Int, nCentroids: Int = 64, nprobe: Int = 8): DataFrame = {
-    val cents: Array[Double] = corpus
+              k: Int, dim: Int, nCentroids: Int = 64, nprobe: Int = 8,
+              centroids: Option[Array[Double]] = None): DataFrame = {
+    val cents: Array[Double] = centroids.getOrElse(corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("h", xxhash64(col("id")))
       .orderBy("h").limit(nCentroids)
@@ -195,7 +209,7 @@ object Similarity {
           case x => x.toString.toDouble
         }.toArray
         arr.padTo(dim, 0.0).take(dim)
-      }
+      })
     val nC = cents.length / dim
     def cellify(df: DataFrame, id: String, v: String, probes: Int) =
       df.select(col(idCol).as(id), col(vecCol).as(v))

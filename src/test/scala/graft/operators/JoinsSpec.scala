@@ -1,0 +1,40 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Join-operator semantics: as-of enrichment and interval bands. */
+class JoinsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  test("asOf picks the latest right row at-or-before each left row, within tolerance") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, "AAPL", ts(100)), (2L, "AAPL", ts(205)), (3L, "AAPL", ts(500)),
+      (4L, "MSFT", ts(150))
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("AAPL", ts(90), 10.0), ("AAPL", ts(200), 11.0), ("AAPL", ts(600), 12.0),
+      ("MSFT", ts(10), 50.0) // 140s before the MSFT trade — outside tolerance
+    ).toDF("sym", "q_ts", "px")
+
+    val joined = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
+      toleranceSeconds = 100L, leftId = "trade_id")
+    val byTrade = joined.collect().map(r => r.getAs[Long]("trade_id") -> r.getAs[Double]("px")).toMap
+    assert(byTrade == Map(1L -> 10.0, 2L -> 11.0)) // trade 3: nearest quote 300s stale; trade 4: 140s stale
+  }
+
+  test("interval join bounds matches to the time band") {
+    import spark.implicits._
+    val l = Seq((1L, ts(1000)), (2L, ts(5000))).toDF("k", "lts")
+    val r = Seq((1L, ts(1500)), (1L, ts(9000)), (2L, ts(5100))).toDF("k2", "rts")
+    val j = Joins.interval(l, r, col("k") === col("k2"), col("lts"), col("rts"), 0L, 600L)
+    assert(j.collect().map(x => (x.getLong(0), x.getAs[Timestamp]("rts").getTime / 1000)).toSet
+      == Set((1L, 1500L), (2L, 5100L)))
+  }
+}

@@ -91,6 +91,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     (0L until 5L).foreach(q => assert(top1.get(q).contains(1000L + q), s"query $q top1=${top1.get(q)}"))
   }
 
+  test("IVF with a spark.ml KMeans-trained quantizer recovers planted twins") {
+    val cents = Similarity.trainCentroidsKMeans(corpus, "embedding", k = 12, dim = dim)
+    assert(cents.length == 12 * dim)
+    val queries = corpus.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 3, dim,
+      nCentroids = 12, nprobe = 6, centroids = Some(cents))
+    val top1 = ivf.collect().filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 3L).foreach(q => assert(top1.get(q).contains(1000L + q)))
+  }
+
   test("salted join == plain join (skew-safe shuffle spread)") {
     import spark.implicits._
     val fact = Seq.tabulate(300)(i => (i.toLong, (i % 3).toLong, i * 1.5)) // hot keys

@@ -103,6 +103,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSet == Set((1L, 1000L)))
   }
 
+  test("multi-job: several concurrent streaming queries in one session (reference server model)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ins = (1 to 3).map(_ => MemoryStream[(String, Double)])
+    val queries = ins.zipWithIndex.map { case (in, ix) =>
+      val name = s"multi_job_$ix"
+      spark.catalog.dropTempView(name)
+      in.toDF().toDF("k", "v").groupBy("k").agg(sum("v").as("total"))
+        .writeStream.outputMode(OutputMode.Complete()).format("memory")
+        .queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+    }
+    ins.zipWithIndex.foreach { case (in, ix) => in.addData(Seq(("a", ix + 1.0), ("b", 1.0))) }
+    queries.foreach(_.processAllAvailable())
+    ins.foreach(in => in.addData(Seq(("a", 10.0))))
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
+    (0 until 3).foreach { ix =>
+      val a = spark.table(s"multi_job_$ix").where(col("k") === "a").collect().head.getDouble(1)
+      assert(a == ix + 11.0, s"job $ix aggregated independently")
+    }
+  }
+
   test("session streaming: merged session windows via session_window") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
