@@ -440,6 +440,15 @@ object OracleSql {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
 
+    "q55_asof_join" ->
+      """SELECT a.o_orderkey,
+         epoch_ms(MAX(b.o_orderdate))//1000 AS prev_epoch
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey
+          AND b.o_orderdate < a.o_orderdate
+          AND b.o_orderdate >= a.o_orderdate - INTERVAL 31536000 SECOND
+         GROUP BY a.o_orderkey""",
+
     "q51_sql_headers" ->
       """SELECT event_id AS _offset, CAST(event_id % 8 AS INTEGER) AS _partition,
          'events' AS h_source, FALSE AS has_trace, 1 AS n_headers,

@@ -585,6 +585,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
     }),
 
+    // ---- 55. AS-OF join: each order enriched with the date of the
+    //          customer's most recent PRIOR order within a year
+    //          (quotes-for-trades state-lookup shape; oracled) ----
+    "q55_asof_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val prev = o.select(col("o_custkey").as("p_custkey"), col("o_orderdate").as("prev_date"))
+        .withColumnRenamed("p_custkey", "o_custkey")
+      Joins.asOf(o, prev, "o_custkey", "o_orderdate", "prev_date",
+          toleranceSeconds = 365L * 86400L, leftId = "o_orderkey", strict = true)
+        .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
+    }),
+
     // ---- 54. reference SQL text driven through STREAMING execution:
     //          dialect parse → watermarked stream → EMIT FINAL file sink
     //          (rows-only; the end-to-end flagship of the front-end) ----

@@ -50,11 +50,13 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, toleranceSeconds: Long,
-           leftId: String): DataFrame = {
+           leftId: String, strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val upper =
+      if (strict) right(rightTs) < left(leftTs) // self-join enrichment: prior rows only
+      else right(rightTs) <= left(leftTs)
     val cand = left.join(right,
-      left(key) === right(key) &&
-        right(rightTs) <= left(leftTs) &&
+      left(key) === right(key) && upper &&
         right(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"))
       .drop(right(key))
     val w = Window.partitionBy(left(leftId)).orderBy(right(rightTs).desc)
