@@ -440,6 +440,11 @@ object OracleSql {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
 
+    "q56_dedup_keep_best" ->
+      s"""SELECT arg_max(doc_id, n_chars * 1000000 - doc_id) AS keep_id,
+         COUNT(*) AS dup_count
+         FROM documents GROUP BY $normText""",
+
     "q55_asof_join" ->
       """SELECT a.o_orderkey,
          epoch_ms(MAX(b.o_orderdate))//1000 AS prev_epoch

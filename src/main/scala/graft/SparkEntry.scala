@@ -585,6 +585,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
     }),
 
+    // ---- 56. exact dedup with keep-best policy: per duplicate cluster
+    //          keep the longest copy (oracled) ----
+    "q56_dedup_keep_best" -> ((s, dir) => {
+      Dedup.exactKeepBest(T(s, dir, "documents"), "text", "doc_id", col("n_chars"))
+        .select(col("keep_id"), col("dup_count"))
+    }),
+
     // ---- 55. AS-OF join: each order enriched with the date of the
     //          customer's most recent PRIOR order within a year
     //          (quotes-for-trades state-lookup shape; oracled) ----

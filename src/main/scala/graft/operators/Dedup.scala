@@ -29,6 +29,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
+  /** Exact dedup with a KEEP POLICY: per normalized-content group keep
+    * the row maximizing `score` (ties → lowest id) — the standard
+    * curation move of keeping the best-quality copy of each duplicate
+    * cluster rather than an arbitrary one. Same single-shuffle shape as
+    * `exact`. */
+  def exactKeepBest(docs: DataFrame, textCol: String, idCol: String,
+                    score: Column): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    docs
+      .withColumn("content_hash", xxhash64(norm))
+      .groupBy(col("content_hash"))
+      .agg(max_by(col(idCol), score * 1000000L - col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+  }
+
   /** Word k-shingles of the normalized text (distinct, first-occurrence
     * order). Native kernel. */
   def shingles(textCol: Column, k: Int): Column = GraftKernels.shinglesCol(textCol, k)
