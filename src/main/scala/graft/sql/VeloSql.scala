@@ -116,6 +116,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case CreateStreamAs(name, s, _) =>
       val df = spark.sql(toSparkSql(s, defaultTimeCol))
       df.createOrReplaceTempView(name)
+      // INTO <sink>: if the sink was declared with a file path/topic
+      // config, materialize the stream's current contents there (the
+      // Kafka-producer analog; executors write shards directly).
+      s.into.foreach { sink =>
+        declaredSources.get(sink).foreach { case (_, props) =>
+          props.get("path").orElse(props.get("file")).foreach { p =>
+            graft.sources.Serde.writeFileUri(df, p)
+          }
+        }
+      }
       df
 
     case InsertInto(table, cols, selOpt, values) =>

@@ -33,11 +33,7 @@ object VeloSqlParser {
 
   final class ParseException(msg: String) extends RuntimeException(msg)
 
-  def tokenize(sqlIn: String): Vector[Tok] = {
-    // kafka://topic-name and file://path sources: the runner registers
-    // them as views named after the sanitized last path segment.
-    val sql = "(?i)\\b(?:kafka|file)://([A-Za-z0-9_./\\-]+)".r
-      .replaceAllIn(sqlIn, m => m.group(1).split('/').last.replace('-', '_').replace(".", "_"))
+  def tokenize(sql: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
     var i = 0
     val n = sql.length
@@ -49,7 +45,18 @@ object VeloSqlParser {
       } else if (c.isLetter || c == '_') {
         val s = i
         while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
-        out += Tok(TIdent, sql.substring(s, i))
+        val word = sql.substring(s, i)
+        // kafka://topic-name and file://path SOURCES (outside string
+        // literals only): registered as views named after the sanitized
+        // last path segment
+        if ((word.equalsIgnoreCase("kafka") || word.equalsIgnoreCase("file"))
+            && i + 2 < n && sql(i) == ':' && sql(i + 1) == '/' && sql(i + 2) == '/') {
+          i += 3
+          val us = i
+          while (i < n && (sql(i).isLetterOrDigit || "._/-".indexOf(sql(i)) >= 0)) i += 1
+          val seg = sql.substring(us, i).split('/').last.replace('-', '_').replace(".", "_")
+          out += Tok(TIdent, seg)
+        } else out += Tok(TIdent, word)
       } else if (c.isDigit || (c == '.' && i + 1 < n && sql(i + 1).isDigit)) {
         val s = i
         while (i < n && (sql(i).isDigit || sql(i) == '.')) i += 1

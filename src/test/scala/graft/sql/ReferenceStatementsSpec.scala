@@ -226,6 +226,17 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("AAPL", 3L)))
   }
 
+  test("CSAS INTO a declared file sink materializes the output") {
+    val dir = java.nio.file.Files.createTempDirectory("velo_sink").toString
+    ctx.executeScript(
+      s"""CREATE SINK fs_out WITH (path = 'file://$dir/out.parquet');
+          CREATE STREAM expensive AS
+          SELECT symbol, price FROM market_data WHERE price > 100
+          INTO fs_out EMIT CHANGES;""")
+    val written = spark.read.parquet(s"$dir/out.parquet")
+    assert(written.count() == 2)
+  }
+
   test("multi-statement .sql application script (the reference's deployable unit)") {
     val results = ctx.executeScript(
       """-- trading analytics application
