@@ -445,6 +445,27 @@ object OracleSql {
          COUNT(*) AS dup_count
          FROM documents GROUP BY $normText""",
 
+    "q57_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len($wordsOf) - 2, 1)),
+             i -> array_to_string($wordsOf[i:i+2], ' '))) AS s
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM reach GROUP BY u""",
+
     "q55_asof_join" ->
       """SELECT a.o_orderkey,
          epoch_ms(MAX(b.o_orderdate))//1000 AS prev_epoch

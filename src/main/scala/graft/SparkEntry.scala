@@ -585,6 +585,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
     }),
 
+    // ---- 57. dedup pipeline capstone: LSH candidates → exact-jaccard
+    //          verify → connected-components clustering (oracled vs a
+    //          DuckDB recursive-CTE closure) ----
+    "q57_dedup_clusters" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
+      val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      Dedup.clusterPairs(verified).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // ---- 56. exact dedup with keep-best policy: per duplicate cluster
     //          keep the longest copy (oracled) ----
     "q56_dedup_keep_best" -> ((s, dir) => {

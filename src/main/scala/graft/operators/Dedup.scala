@@ -155,6 +155,46 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** Connected components over a near-duplicate pair list: every doc in
+    * `pairs` gets `cluster_id` = the smallest doc id reachable through
+    * the pair graph — the final stage of a dedup pipeline (candidates →
+    * verify → CLUSTER → keep one per cluster).
+    *
+    * Realization: iterative min-label propagation over the edge list —
+    * each round is one join + one aggregation, converging in
+    * O(graph diameter) rounds (near-dup graphs are shallow: dup clusters
+    * are cliques-ish). The driver only checks an aggregate convergence
+    * count per round; labels never leave the cluster. For adversarial
+    * long chains at extreme scale, the large-star/small-star variant
+    * drops the round count to O(log n) with the same per-round shape.
+    */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("cluster_id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("cluster_id", "nl"), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs — the verify
     * pass after LSH candidate generation. `pairs` must have id_a/id_b.
     */
