@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark harness. Runs each `SparkEntry.queries` entry against
@@ -51,15 +52,25 @@ object Bench {
       val r =
         try {
           val df = fn(spark, sfDir)
-          // rows via accumulator-free count on the same plan; noop write
-          // forces full column materialization.
-          df.write.format("noop").mode("overwrite").save()
-          val rows = df.count()
+          // SINGLE execution: the noop write forces full column
+          // materialization, and an Observation rides the same run to
+          // report the row count (a narrow CollectMetrics node — no
+          // second execution, no double-counting vs rec/s baselines).
+          val obs = org.apache.spark.sql.Observation(s"rows_$name")
+          df.observe(obs, count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          val rows = obs.get("n") match { case l: Long => l; case x => x.toString.toLong }
           R((System.nanoTime() - t0) / 1e9, rows, None)
         } catch {
           case e: Throwable =>
             R((System.nanoTime() - t0) / 1e9, -1L,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+        } finally {
+          // queries must not contaminate each other: unpersist every
+          // cached table/DF (CTAS materializations, cluster labels).
+          // Temp VIEWS stay — they are metadata the shared VeloContext
+          // relies on; only their cached data is contamination.
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
         }
       System.err.println(f"[bench] $name%-24s ${r.sec}%8.3f s  rows=${r.rows}${r.err.map(" ERR " + _).getOrElse("")}")
       name -> r
@@ -77,6 +88,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.err.isDefined)},"sf":${jstr(sfDir)}}"""
     println(json)
+    System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     spark.stop()

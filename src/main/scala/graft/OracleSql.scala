@@ -10,8 +10,9 @@ package graft
   * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
   *
   * Keys intentionally omitted (rows-only check): q25 (xxhash64
-  * seed-specific simhash buckets), q28 (LSH recall<1), q33/q34
-  * (streaming emission order). q21 oracles the exact count and asserts
+  * seed-specific simhash buckets), q28/q52/q58 (LSH/IVF recall<1), q34
+  * (streaming emission order). q33's final changelog state equals the
+  * batch aggregate, so it IS oracled. q21 oracles the exact count and asserts
   * the HLL estimate within 10% as a boolean; q24 oracles the
   * exact-jaccard-verified pair set; q38 oracles the exact block-grid
   * cosine self-join; q39 oracles the deterministic stub formula.
@@ -326,6 +327,13 @@ object OracleSql {
            i -> CAST(ascii($normText[i]) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents""",
+
+    // q33: EMIT CHANGES final state per key == the batch aggregate over
+    // the full input (decimal-exact total → order-independent)
+    "q33_emit_changes" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM events GROUP BY event_type""",
 
     "q35_json_funcs" ->
       """SELECT event_type,

@@ -358,16 +358,19 @@ object SparkEntry {
 
     // ---- 33. EMIT CHANGES analog: update-mode streaming agg through the
     //          changelog (foreachBatch→parquet) production sink; result =
-    //          latest state per key (rows-only) ----
+    //          latest state per key — which must equal the batch aggregate
+    //          over the full input, so DuckDB replays it exactly (oracled;
+    //          decimal-exact sum for order-independent totals) ----
     "q33_emit_changes" -> ((s, dir) => {
       val stream = Tables.loadStream(s, dir, "events")
       val agg = stream.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_dec"))
       val out = graft.streaming.StreamOps.runChangelog(agg, "q33")
       val log = s.read.parquet(out)
       val w = Window.partitionBy(col("event_type")).orderBy(col("_batch_id").desc)
       log.withColumn("_rk", row_number().over(w))
-        .where(col("_rk") === 1).drop("_rk", "_batch_id")
+        .where(col("_rk") === 1)
+        .select(col("event_type"), col("n"), col("total_dec").cast("double").as("total"))
     }),
 
     // ---- 34. EMIT FINAL analog: append-mode tumbling window + watermark
@@ -566,11 +569,14 @@ object SparkEntry {
            FROM events WHERE _partition = 3""")
     }),
 
-    // ---- 52. IVF ANN: centroid-bucketed approximate top-k (recall<1 →
+    // ---- 52. IVF ANN: centroid-bucketed approximate top-k with the
+    //          spark.ml-KMeans-trained coarse quantizer (recall<1 →
     //          rows-only; recall measured in SimilaritySpec) ----
     "q52_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 64)
+      val cents = Similarity.trainCentroidsKMeans(e, "embedding", k = 64, dim = 64)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 64,
+          centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
           col("rk").cast("long").as("rk"))
     }),
@@ -613,6 +619,16 @@ object SparkEntry {
       Joins.asOf(o, prev, "o_custkey", "o_orderdate", "prev_date",
           toleranceSeconds = 365L * 86400L, leftId = "o_orderkey", strict = true)
         .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
+    }),
+
+    // ---- 58. embedding near-dup at web scale: sign-sketch LSH banding →
+    //          capped band-bucket self-join → exact-cosine verify
+    //          (recall<1 by construction → rows-only; recall vs the exact
+    //          grid join measured in SimilaritySpec) ----
+    "q58_embed_dedup_lsh" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, minCos = 0.3, numBands = 16, bandBits = 6)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
     // ---- 54. reference SQL text driven through STREAMING execution:

@@ -40,7 +40,9 @@ object Dedup {
     docs
       .withColumn("content_hash", xxhash64(norm))
       .groupBy(col("content_hash"))
-      .agg(max_by(col(idCol), score * 1000000L - col(idCol)).as("keep_id"),
+      // structs compare lexicographically: max score first, then max(-id)
+      // = min id — exact for any id magnitude / fractional score
+      .agg(max_by(col(idCol), struct(score, -col(idCol))).as("keep_id"),
         count(lit(1)).as("dup_count"))
   }
 
@@ -161,14 +163,17 @@ object Dedup {
     * verify → CLUSTER → keep one per cluster).
     *
     * Realization: iterative min-label propagation over the edge list —
-    * each round is one join + one aggregation, converging in
-    * O(graph diameter) rounds (near-dup graphs are shallow: dup clusters
-    * are cliques-ish). The driver only checks an aggregate convergence
-    * count per round; labels never leave the cluster. For adversarial
-    * long chains at extreme scale, the large-star/small-star variant
-    * drops the round count to O(log n) with the same per-round shape.
+    * each round is one neighbor-min join + one pointer-doubling join
+    * (label(u) ← label(label(u)), the Hash-to-Min / path-halving move),
+    * so even adversarial long chains converge in O(log n) rounds, not
+    * O(diameter). Every few rounds the label table is localCheckpoint'ed
+    * to truncate lineage — without it 20 iterative rounds stack 20
+    * join+agg plans onto one tree and planning cost explodes at scale.
+    * The driver only checks an aggregate convergence count per round;
+    * labels never leave the cluster.
     */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 20,
+                   checkpointEvery: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
@@ -178,12 +183,21 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // 1. propagate: l'(u) = min(l(u), min over neighbors v of l(v))
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("cluster_id", "nl"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+      // 2. pointer-double: l''(u) = l'(l'(u)) — label values are node
+      //    ids of the same component, so the lookup is a self-join
+      val hop = prop.select(col("id").as("cluster_id"), col("cluster_id").as("_grand"))
+      val doubled = prop.join(hop, Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_grand"), col("cluster_id"))).as("cluster_id"))
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) doubled.localCheckpoint()
+        else doubled.cache()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .where(col("cluster_id") =!= col("old")).count()
       labels.unpersist()

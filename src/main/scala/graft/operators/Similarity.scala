@@ -229,7 +229,11 @@ object Similarity {
     * sign-sketch band recall is near 1): banded buckets, hot buckets
     * capped at maxBucket (dropped — at near-dup thresholds an over-full
     * bucket is a boilerplate cluster; the exact grid join is the
-    * recall-1 fallback), pairs generated only within buckets. */
+    * recall-1 fallback), pairs generated only within buckets via a
+    * capped band-bucket SELF-JOIN — every stage is a codegen'd
+    * join/agg, no collect_list rows holding whole buckets, no
+    * interpreted per-bucket expansion (same shape as Dedup.minhashLsh).
+    */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                dim: Int, minCos: Double = 0.9,
                                numBands: Int = 16, bandBits: Int = 6,
@@ -242,17 +246,13 @@ object Similarity {
         struct(lit(b).as("band"),
           shiftright(col("sk"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("chunk"))): _*)).as("bc"))
       .select(col("id"), col("v"), col("bc.band"), col("bc.chunk"))
-    val buckets = banded.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-    buckets.select(explode(expr(
-      """
-      flatten(transform(members, (a, i) ->
-        transform(slice(members, i + 2, size(members)), b ->
-          struct(least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
-                 a.v as va, b.v as vb))))
-      """)).as("p"))
-      .select("p.*")
+    val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
+    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
+      .drop("_bn")
+    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= minCos)

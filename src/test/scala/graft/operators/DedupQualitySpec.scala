@@ -43,6 +43,40 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(big.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exactKeepBest: max score wins, ties break to lowest id — at large ids and fractional scores") {
+    import spark.implicits._
+    // ids far beyond 10^6 and sub-integer score deltas: the old
+    // score*1e6-id packing picked (score 5.0, id 10) over (score 5.5, id 2e9)
+    val docs = Seq(
+      (10L, "same doc", 5.0),
+      (2000000000L, "same doc", 5.5),
+      (3000000001L, "other doc", 1.0),
+      (3000000000L, "other doc", 1.0)).toDF("doc_id", "text", "q")
+    val out = Dedup.exactKeepBest(docs, "text", "doc_id", col("q"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toSet
+    assert(out == Set((2000000000L, 2L), (3000000000L, 2L)))
+  }
+
+  test("clusterPairs: 1000-node path graph converges to one cluster within 15 rounds") {
+    import spark.implicits._
+    // adversarial diameter: plain min-propagation needs ~999 rounds;
+    // pointer doubling must finish in O(log n)
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs, maxIterations = 15).collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
+  }
+
+  test("clusterPairs: disjoint cliques get distinct min-id labels") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val pairs = (clique(Seq(5L, 9L, 12L)) ++ clique(Seq(100L, 101L)) ++ Seq((7L, 3L)))
+      .toDF("id_a", "id_b")
+    val m = Dedup.clusterPairs(pairs.toDF("id_a", "id_b")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(m == Map(5L -> 5L, 9L -> 5L, 12L -> 5L, 100L -> 100L, 101L -> 100L, 7L -> 3L, 3L -> 3L))
+  }
+
   test("minhash est_jaccard tracks true jaccard within the sampling bound") {
     import spark.implicits._
     val base = Seq.fill(40)(doc(120))
