@@ -328,6 +328,10 @@ object OracleSql {
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents""",
 
+    "q59_sql_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         WHERE o_totalprice > 50000""",
+
     // q33: EMIT CHANGES final state per key == the batch aggregate over
     // the full input (decimal-exact total → order-independent)
     "q33_emit_changes" ->

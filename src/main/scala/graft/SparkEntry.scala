@@ -621,6 +621,14 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
     }),
 
+    // ---- 59. SELECT DISTINCT through the dialect (reference ast.rs:216;
+    //          oracled) ----
+    "q59_sql_distinct" -> ((s, dir) => {
+      veloCtx(s, dir).sql(
+        """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+           WHERE o_totalprice > 50000""")
+    }),
+
     // ---- 58. embedding near-dup at web scale: sign-sketch LSH banding →
     //          capped band-bucket self-join → exact-cosine verify
     //          (recall<1 by construction → rows-only; recall vs the exact

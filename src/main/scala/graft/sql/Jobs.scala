@@ -1,0 +1,262 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import VeloSqlParser._
+
+/** Named-job registry: the Spark realization of the reference's
+  * multi-job SQL server (src/velostream/server/, ast.rs:306-366).
+  *
+  * A job is a named, versioned statement. Its lifecycle maps onto
+  * Structured Streaming primitives:
+  *
+  *  - START → `writeStream.start()` with a PER-JOB checkpoint dir and a
+  *    parquet/changelog sink (executors write shards; nothing lands on
+  *    the driver). A batch body instead materializes a standing view
+  *    `<job>_out`.
+  *  - PAUSE → `query.stop()` with the checkpoint RETAINED. Spark's
+  *    checkpoint holds source offsets + state-store snapshots, so
+  *  - RESUME → a fresh `start()` on the SAME checkpoint + sink continues
+  *    exactly-once from the paused offsets (the reference's
+  *    state-preserving pause/resume).
+  *  - DEPLOY v STRATEGY s → record the version, stop the current run,
+  *    start the new statement in a FRESH sink/checkpoint epoch;
+  *    the previous epoch's sink survives on disk (blue-green), so
+  *  - ROLLBACK → redeploys the prior (or named) version.
+  *  - STOP [FORCE] → graceful drains the current micro-batch first
+  *    (`processAllAvailable`); FORCE stops immediately.
+  *
+  * Job metadata (versions, strategy, status) is driver-side registry
+  * state — a few strings per job, nothing data-sized.
+  */
+final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame) {
+
+  private case class Version(version: String, body: VeloStatement,
+                             strategy: String, props: Map[String, String],
+                             seq: Int)
+
+  private final class Job(val name: String) {
+    var versions: Vector[Version] = Vector.empty
+    var current: Option[Version] = None
+    var status: String = "STOPPED" // RUNNING | PAUSED | STOPPED
+    var handle: Option[StreamingQuery] = None
+    var batchView: Option[String] = None
+    val root: String = Files.createTempDirectory(s"graft_job_$name").toString
+    var epoch: Int = 0
+    def ckptDir: String = s"$root/ckpt-$epoch"
+    def sinkDir: String = s"$root/out-$epoch"
+  }
+
+  private val jobs = scala.collection.mutable.LinkedHashMap[String, Job]()
+  private var seqCounter = 0
+
+  private def job(name: String): Job =
+    jobs.getOrElse(name, throw new ParseException(s"unknown job: $name"))
+
+  private def emitOf(stmt: VeloStatement): Option[EmitMode] = stmt match {
+    case Select(s) => s.emit
+    case CreateStreamAs(_, s, _) => s.emit
+    case CreateTableAs(_, s, _) => s.emit
+    case _ => None
+  }
+
+  /** Launch a job version. Streaming body → continuous writeStream from
+    * the job's current checkpoint/sink epoch; batch body → one-shot
+    * materialization registered as view `<job>_out`. */
+  private def launch(j: Job, v: Version): Unit = {
+    val df = exec(v.body)
+    if (df.isStreaming) {
+      val q = emitOf(v.body) match {
+        case Some(EmitChanges) =>
+          val out = j.sinkDir
+          df.writeStream
+            .outputMode(OutputMode.Update())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.withColumn("_batch_id", lit(batchId))
+                .write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", j.ckptDir)
+            .queryName(s"graft-job-${j.name}")
+            .start()
+        case _ =>
+          df.writeStream
+            .outputMode(OutputMode.Append())
+            .format("parquet")
+            .option("path", j.sinkDir)
+            .option("checkpointLocation", j.ckptDir)
+            .queryName(s"graft-job-${j.name}")
+            .start()
+      }
+      j.handle = Some(q)
+      j.batchView = None
+    } else {
+      val view = s"${j.name}_out"
+      df.createOrReplaceTempView(view)
+      j.batchView = Some(view)
+      j.handle = None
+    }
+    j.current = Some(v)
+    j.status = "RUNNING"
+  }
+
+  private def halt(j: Job, drain: Boolean): Unit = {
+    j.handle.foreach { q =>
+      if (drain) try q.processAllAvailable() catch { case _: Throwable => () }
+      q.stop()
+      try q.awaitTermination() catch { case _: Throwable => () }
+    }
+    j.handle = None
+  }
+
+  private def record(j: Job, version: String, body: VeloStatement,
+                     props: Map[String, String], strategy: String): Version = {
+    seqCounter += 1
+    val v = Version(version, body, strategy, props, seqCounter)
+    j.versions = j.versions.filterNot(_.version == version) :+ v
+    v
+  }
+
+  def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = {
+    val j = jobs.getOrElseUpdate(name, new Job(name))
+    if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
+    val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
+      j.current.map(_.strategy).getOrElse("NONE"))
+    launch(j, v)
+    statusDf(Some(name))
+  }
+
+  def stop(name: String, force: Boolean): DataFrame = {
+    val j = job(name)
+    halt(j, drain = !force)
+    j.status = "STOPPED"
+    statusDf(Some(name))
+  }
+
+  def pause(name: String): DataFrame = {
+    val j = job(name)
+    if (j.status != "RUNNING") throw new ParseException(s"job $name is not running")
+    halt(j, drain = true) // checkpoint retained — resume continues exactly-once
+    j.status = "PAUSED"
+    statusDf(Some(name))
+  }
+
+  def resume(name: String): DataFrame = {
+    val j = job(name)
+    if (j.status != "PAUSED" && j.status != "STOPPED")
+      throw new ParseException(s"job $name is not paused")
+    val v = j.current.getOrElse(throw new ParseException(s"job $name has no version to resume"))
+    launch(j, v) // same epoch → same checkpoint + sink → offset-exact resume
+    statusDf(Some(name))
+  }
+
+  def deploy(name: String, version: String, body: VeloStatement,
+             props: Map[String, String], strategy: DeployStrategy): DataFrame = {
+    val j = jobs.getOrElseUpdate(name, new Job(name))
+    val stratStr = strategy match {
+      case BlueGreen => "BLUE_GREEN"
+      case Canary(p) => s"CANARY($p)"
+      case Rolling => "ROLLING"
+      case Replace => "REPLACE"
+    }
+    val v = record(j, version, body, props, stratStr)
+    halt(j, drain = strategy != Replace) // REPLACE = stop old fast; others drain
+    j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
+    launch(j, v)
+    statusDf(Some(name))
+  }
+
+  def rollback(name: String, target: Option[String]): DataFrame = {
+    val j = job(name)
+    val cur = j.current.getOrElse(throw new ParseException(s"job $name has no deployment"))
+    val v = target match {
+      case Some(ver) => j.versions.find(_.version == ver)
+        .getOrElse(throw new ParseException(s"job $name has no version $ver"))
+      case None => j.versions.filter(_.seq < cur.seq).lastOption
+        .getOrElse(throw new ParseException(s"job $name has no previous version"))
+    }
+    halt(j, drain = true)
+    j.epoch += 1
+    launch(j, v)
+    statusDf(Some(name))
+  }
+
+  // ---- SHOW surfaces ----
+
+  def jobsDf(pattern: Option[String]): DataFrame = {
+    import spark.implicits._
+    jobs.values.toSeq
+      .filter(j => pattern.forall(p => JobManager.likeMatch(j.name, p)))
+      .map(j => (j.name, j.status, j.current.map(_.version).getOrElse(""), j.versions.length))
+      .toDF("job_name", "status", "version", "n_versions")
+  }
+
+  def statusDf(name: Option[String]): DataFrame = {
+    import spark.implicits._
+    jobs.values.toSeq
+      .filter(j => name.forall(_ == j.name))
+      .map { j =>
+        (j.name, j.status, j.current.map(_.version).getOrElse(""),
+          j.current.map(_.strategy).getOrElse(""),
+          j.handle.exists(_.isActive), j.batchView.getOrElse(""))
+      }
+      .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view")
+  }
+
+  def versionsDf(name: String): DataFrame = {
+    import spark.implicits._
+    val j = job(name)
+    j.versions.map(v =>
+        (j.name, v.version, v.strategy, v.seq,
+          j.current.exists(_.version == v.version)))
+      .toDF("job_name", "version", "strategy", "deploy_seq", "is_current")
+  }
+
+  /** Per-job runtime metrics from the StreamingQuery's progress (the
+    * reference's JobMetrics); batch jobs report materialized rows. */
+  def metricsDf(name: Option[String]): DataFrame = {
+    import spark.implicits._
+    jobs.values.toSeq
+      .filter(j => name.forall(_ == j.name))
+      .map { j =>
+        val (batches, inRows) = j.handle.flatMap(q => Option(q.lastProgress)) match {
+          case Some(p) => (p.batchId, p.numInputRows)
+          case None => (-1L, 0L)
+        }
+        val outRows = j.batchView.map(v => spark.table(v).count()).getOrElse(sinkRows(j))
+        (j.name, j.status, batches, inRows, outRows)
+      }
+      .toDF("job_name", "status", "last_batch_id", "last_batch_input_rows", "sink_rows")
+  }
+
+  /** Block until the job's streaming query has drained all available
+    * source data (test/ops synchronization point). */
+  def awaitIdle(name: String): Unit =
+    job(name).handle.foreach(_.processAllAvailable())
+
+  /** The job's current output: batch view or executor-written sink dir. */
+  def sinkDf(name: String): DataFrame = {
+    val j = job(name)
+    j.batchView.map(spark.table).getOrElse(spark.read.parquet(j.sinkDir))
+  }
+
+  private def sinkRows(j: Job): Long =
+    try spark.read.parquet(j.sinkDir).count() catch { case _: Throwable => 0L }
+}
+
+object JobManager {
+  /** SQL LIKE with % and _ (shell-style * also admitted, as the
+    * reference's own test patterns use `user_*`). */
+  private[sql] def likeMatch(s: String, pat: String): Boolean = {
+    val sb = new StringBuilder
+    pat.foreach {
+      case '%' | '*' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    s.matches(sb.toString)
+  }
+}

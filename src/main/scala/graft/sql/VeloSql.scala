@@ -96,14 +96,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case Union(sels, all) =>
       sels.map(toSparkSql(_, defaultTimeCol))
         .mkString(if (all) " UNION ALL " else " UNION ")
-    case WithCtes(ctes, body) =>
-      "WITH " + ctes.map { case (n, s) => s"$n AS (${toSparkSql(s, defaultTimeCol)})" }
+    case WithCtes(ctes, body, recursive) =>
+      (if (recursive) "WITH RECURSIVE " else "WITH ") +
+        ctes.map { case (n, s) => s"$n AS (${renderSql(s)})" }
         .mkString(", ") + " " + renderSql(body)
     case other => throw new ParseException(s"not a query: $other")
   }
 
-  def sql(text: String): DataFrame = parseStatement(text) match {
-    case q @ (Select(_) | Union(_, _) | WithCtes(_, _)) =>
+  /** Named-job lifecycle registry (START/STOP/PAUSE/RESUME/DEPLOY/
+    * ROLLBACK JOB — the reference's server model, ast.rs:306-366). */
+  val jobManager = new JobManager(spark, execStatement)
+
+  def sql(text: String): DataFrame = execStatement(parseStatement(text))
+
+  private def execStatement(stmt: VeloStatement): DataFrame = stmt match {
+    case q @ (Select(_) | Union(_, _) | WithCtes(_, _, _)) =>
       spark.sql(renderSql(q))
 
     case CreateTableAs(name, s, _) =>
@@ -172,14 +179,67 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       remaining.createOrReplaceTempView(table)
       remaining
 
-    case Show(what) =>
+    case StartJob(name, body, props) => jobManager.start(name, body, props)
+    case StopJob(name, force) => jobManager.stop(name, force)
+    case PauseJob(name) => jobManager.pause(name)
+    case ResumeJob(name) => jobManager.resume(name)
+    case DeployJob(name, version, body, props, strategy) =>
+      jobManager.deploy(name, version, body, props, strategy)
+    case RollbackJob(name, target) => jobManager.rollback(name, target)
+
+    case Describe(name) => describeDf(name)
+
+    case Show(what, arg) =>
       import spark.implicits._
-      val tables = spark.catalog.listTables().collect()
-        .map(t => (t.name, t.tableType)).toSeq.toDF("name", "type")
+      def tables() = spark.catalog.listTables().collect()
+        .map(t => (t.name, t.tableType))
+        .filter { case (n, _) => arg.forall(p => JobManager.likeMatch(n, p)) }
+        .toSeq.sortBy(_._1).toDF("name", "type")
       what match {
-        case "STREAMS" | "TABLES" | "JOBS" => tables
+        // STREAMS and TABLES both resolve from the same temp-view
+        // catalog in this sandbox (no external metastore)
+        case "STREAMS" | "TABLES" => tables()
+        case "TOPICS" =>
+          // the Kafka-topic listing: declared external sources/sinks
+          declaredSources.toSeq.sortBy(_._1)
+            .map { case (n, (kind, _)) => (n, kind) }
+            .filter { case (n, _) => arg.forall(p => JobManager.likeMatch(n, p)) }
+            .toDF("topic", "kind")
+        case "FUNCTIONS" =>
+          spark.catalog.listFunctions().collect()
+            .map(f => (f.name, f.isTemporary))
+            .filter { case (n, _) => arg.forall(p => JobManager.likeMatch(n, p)) }
+            .toSeq.sortBy(_._1).toDF("function", "is_temporary")
+        case "JOBS" => jobManager.jobsDf(arg)
+        case "STATUS" => jobManager.statusDf(arg)
+        case "VERSIONS" => jobManager.versionsDf(
+          arg.getOrElse(throw new ParseException("SHOW VERSIONS needs a job name")))
+        case "METRICS" => jobManager.metricsDf(arg)
+        case "SCHEMA" => describeDf(
+          arg.getOrElse(throw new ParseException("SHOW SCHEMA needs a relation name")))
+        case "PROPERTIES" =>
+          val n = arg.getOrElse(throw new ParseException("SHOW PROPERTIES needs a name"))
+          declaredSources.get(n).map(_._2).getOrElse(Map.empty[String, String])
+            .toSeq.sorted.toDF("key", "value")
+        case "PARTITIONS" =>
+          // Kafka-partition analog: distribution over the `_partition`
+          // system column when present, else the physical partition count
+          val n = arg.getOrElse(throw new ParseException("SHOW PARTITIONS needs a name"))
+          val df = spark.table(n)
+          if (df.columns.contains("_partition"))
+            df.groupBy(col("_partition").as("partition"))
+              .agg(count(lit(1)).as("n_records")).orderBy("partition")
+          else Seq((0, df.rdd.getNumPartitions.toLong)).toDF("partition", "n_records")
         case other => throw new ParseException(s"SHOW $other not supported")
       }
+  }
+
+  /** DESCRIBE / SHOW SCHEMA: the relation's resolved Catalyst schema. */
+  private def describeDf(name: String): DataFrame = {
+    import spark.implicits._
+    spark.table(name).schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("column_name", "data_type", "nullable")
   }
 
   /** Execute a multi-statement SQL application script (the reference's

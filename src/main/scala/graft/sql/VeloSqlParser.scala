@@ -128,14 +128,19 @@ object VeloSqlParser {
       limit: Option[Long],
       emit: Option[EmitMode],
       into: Option[String] = None,       // `INTO <named_sink>` (CSAS job wiring)
-      props: Map[String, String] = Map.empty) // `WITH (k=v, …)` on the select
+      props: Map[String, String] = Map.empty, // `WITH (k=v, …)` on the select
+      distinct: Boolean = false)         // SELECT DISTINCT (reference ast.rs:216)
 
   sealed trait VeloStatement
   final case class Select(s: SelectStmt) extends VeloStatement
   /** UNION [ALL] chain of selects. */
   final case class Union(selects: Vector[SelectStmt], all: Boolean) extends VeloStatement
-  /** WITH name AS (select), … body (CTEs). */
-  final case class WithCtes(ctes: Vector[(String, SelectStmt)], body: VeloStatement) extends VeloStatement
+  /** WITH [RECURSIVE] name AS (select|union), … body (CTEs). RECURSIVE
+    * passes straight through — Spark ≥4.0 executes recursive CTEs
+    * natively (UnionLoop), so the dialect's transitive-closure queries
+    * run distributed with no extra machinery here. */
+  final case class WithCtes(ctes: Vector[(String, VeloStatement)], body: VeloStatement,
+                            recursive: Boolean = false) extends VeloStatement
   /** CREATE STREAM|TABLE|SINK|SOURCE name WITH (props) — an external
     * source/sink DECLARATION (no AS SELECT): config-file/topic wiring
     * the runner resolves against its environment. */
@@ -147,7 +152,35 @@ object VeloSqlParser {
   final case class Update(table: String, sets: Vector[(String, Vector[Tok])], where: Option[Vector[Tok]]) extends VeloStatement
   /** DELETE FROM t [WHERE cond] */
   final case class Delete(table: String, where: Option[Vector[Tok]]) extends VeloStatement
-  final case class Show(what: String) extends VeloStatement
+  /** SHOW <resource> [arg] — resource kinds per reference ast.rs:471-496:
+    * STREAMS|TABLES|TOPICS|FUNCTIONS|JOBS (arg = LIKE pattern),
+    * SCHEMA|PARTITIONS|VERSIONS name, STATUS|METRICS [job],
+    * PROPERTIES [STREAM|TABLE] name. */
+  final case class Show(what: String, arg: Option[String] = None) extends VeloStatement
+  /** DESCRIBE name (reference ast.rs:495). */
+  final case class Describe(name: String) extends VeloStatement
+
+  // ---- job lifecycle statements (reference ast.rs:306-366, the SQL
+  //      surface of the reference's multi-job server) ----
+  sealed trait DeployStrategy
+  case object BlueGreen extends DeployStrategy
+  final case class Canary(percentage: Int) extends DeployStrategy
+  case object Rolling extends DeployStrategy
+  case object Replace extends DeployStrategy
+
+  /** START JOB name AS <query> [WITH (props)] */
+  final case class StartJob(name: String, body: VeloStatement,
+                            props: Map[String, String]) extends VeloStatement
+  /** STOP JOB name [FORCE] */
+  final case class StopJob(name: String, force: Boolean) extends VeloStatement
+  final case class PauseJob(name: String) extends VeloStatement
+  final case class ResumeJob(name: String) extends VeloStatement
+  /** DEPLOY JOB name [VERSION 'v'] AS <query> [STRATEGY …] [WITH (props)] */
+  final case class DeployJob(name: String, version: String, body: VeloStatement,
+                             props: Map[String, String],
+                             strategy: DeployStrategy) extends VeloStatement
+  /** ROLLBACK JOB name [VERSION 'v'] */
+  final case class RollbackJob(name: String, targetVersion: Option[String]) extends VeloStatement
 
   // ============================ parser ============================
 
@@ -166,9 +199,15 @@ object VeloSqlParser {
 
   private final class P(toks: Vector[Tok], defaultTimeCol: String) {
     private var pos = 0
+    /** Context-dependent clause stops (e.g. STRATEGY while inside a
+      * DEPLOY JOB body) — checked by exprSpan alongside clauseStarts. */
+    private var dynStops: Set[String] = Set.empty
     private def peek(o: Int = 0): Option[Tok] = if (pos + o < toks.length) Some(toks(pos + o)) else None
     private def at(kw: String, o: Int = 0): Boolean = peek(o).exists(_.isKw(kw))
-    private def take(): Tok = { val t = toks(pos); pos += 1; t }
+    private def take(): Tok = {
+      if (pos >= toks.length) throw new ParseException("unexpected end of statement")
+      val t = toks(pos); pos += 1; t
+    }
     private def expectKw(kw: String): Unit =
       if (at(kw)) pos += 1 else throw new ParseException(s"expected $kw, got ${peek().map(_.text).getOrElse("<eof>")}")
     private def expectSym(s: String): Unit = {
@@ -189,10 +228,103 @@ object VeloSqlParser {
       else if (at("INSERT")) insertStatement()
       else if (at("UPDATE")) updateStatement()
       else if (at("DELETE")) deleteStatement()
-      else if (at("SHOW")) { take(); Show(take().upper) }
+      else if (at("SHOW") || at("LIST")) showStatement()
+      else if (at("DESCRIBE") || at("DESC")) { take(); Describe(ident()) }
+      else if (at("START")) startJobStatement()
+      else if (at("STOP")) { take(); jobKw(); val n = ident()
+        StopJob(n, force = if (at("FORCE")) { take(); true } else false) }
+      else if (at("PAUSE")) { take(); jobKw(); PauseJob(ident()) }
+      else if (at("RESUME")) { take(); jobKw(); ResumeJob(ident()) }
+      else if (at("DEPLOY")) deployJobStatement()
+      else if (at("ROLLBACK")) { take(); jobKw(); val n = ident()
+        RollbackJob(n, if (at("VERSION")) { take(); Some(unquote(take())) } else None) }
       else if (at("WITH")) cteStatement()
       else if (at("SELECT")) selectOrUnion()
       else throw new ParseException(s"unsupported statement start: ${peek().map(_.text).getOrElse("")}")
+    }
+
+    /** JOB (or its reference-test synonym QUERY) after a lifecycle verb. */
+    private def jobKw(): Unit =
+      if (at("JOB") || at("QUERY")) pos += 1
+      else throw new ParseException(s"expected JOB, got ${peek().map(_.text).getOrElse("<eof>")}")
+
+    /** The query a job runs: SELECT/UNION/CTE or CREATE STREAM|TABLE AS. */
+    private def jobBody(): VeloStatement =
+      if (at("CREATE")) createStatement()
+      else if (at("WITH")) cteStatement()
+      else selectOrUnion()
+
+    /** Job props: an explicit trailing WITH(...) or, for a SELECT body,
+      * the props its own WITH clause already captured. */
+    private def liftProps(body: VeloStatement): Map[String, String] = body match {
+      case Select(s) => s.props
+      case CreateStreamAs(_, _, p) => p
+      case CreateTableAs(_, _, p) => p
+      case _ => Map.empty
+    }
+
+    private def startJobStatement(): VeloStatement = {
+      expectKw("START"); jobKw()
+      val name = ident()
+      expectKw("AS")
+      val body = jobBody()
+      val explicit = if (at("WITH")) { take(); propMap() } else Map.empty[String, String]
+      StartJob(name, body, liftProps(body) ++ explicit)
+    }
+
+    /** DEPLOY JOB name [VERSION 'v'] [STRATEGY s] AS <query> [STRATEGY s]
+      * — the reference's tests put STRATEGY on either side of AS. */
+    private def deployJobStatement(): VeloStatement = {
+      expectKw("DEPLOY"); jobKw()
+      val name = ident()
+      val version = if (at("VERSION")) { take(); unquote(take()) } else "1.0.0"
+      var strategy: Option[DeployStrategy] = None
+      def strategyClause(): Unit = {
+        take() // STRATEGY
+        val t = take().upper
+        strategy = Some(t match {
+          case "BLUE_GREEN" => BlueGreen
+          case "ROLLING" => Rolling
+          case "REPLACE" => Replace
+          case "CANARY" =>
+            expectSym("(")
+            val pct = take().text.toInt // validation is the deployer's job (reference parity)
+            expectSym(")")
+            Canary(pct)
+          case other => throw new ParseException(s"unknown deployment strategy $other")
+        })
+      }
+      if (at("STRATEGY")) strategyClause()
+      expectKw("AS")
+      // STRATEGY after the query ends the body's trailing clause spans
+      dynStops += "STRATEGY"
+      val body = try jobBody() finally { dynStops -= "STRATEGY" }
+      if (at("STRATEGY")) strategyClause()
+      val explicit = if (at("WITH")) { take(); propMap() } else Map.empty[String, String]
+      DeployJob(name, version, body, liftProps(body) ++ explicit,
+        strategy.getOrElse(BlueGreen))
+    }
+
+    /** SHOW/LIST <resource> [args] — see Show scaladoc for the surface.
+      * `SHOW JOB STATUS|VERSIONS|METRICS [name]` is accepted as an alias
+      * of `SHOW STATUS|VERSIONS|METRICS [name]`. */
+    private def showStatement(): VeloStatement = {
+      take() // SHOW | LIST
+      val what0 = take().upper
+      val what = if (what0 == "JOB") take().upper else what0
+      what match {
+        case "STREAMS" | "TABLES" | "TOPICS" | "FUNCTIONS" | "JOBS" =>
+          val pat = if (at("LIKE")) { take(); Some(unquote(take())) } else None
+          Show(what, pat)
+        case "SCHEMA" | "PARTITIONS" | "VERSIONS" => Show(what, Some(ident()))
+        case "STATUS" | "METRICS" =>
+          Show(what, if (peek().exists(_.kind == TIdent)) Some(ident()) else None)
+        case "PROPERTIES" =>
+          // SHOW PROPERTIES [STREAM|TABLE|SOURCE|SINK] name
+          if (at("STREAM") || at("TABLE") || at("SOURCE") || at("SINK")) take()
+          Show("PROPERTIES", if (peek().exists(_.kind == TIdent)) Some(ident()) else None)
+        case other => throw new ParseException(s"SHOW $other not supported")
+      }
     }
 
     private def selectOrUnion(): VeloStatement = {
@@ -206,21 +338,23 @@ object VeloSqlParser {
       if (sels.length == 1) Select(sels.head) else Union(sels, all)
     }
 
-    /** WITH name AS (select) [, name AS (select)]* <select|union> */
+    /** WITH [RECURSIVE] name AS (select|union) [, …]* <select|union> —
+      * a recursive CTE's body is a base ∪ step UNION [ALL] chain. */
     private def cteStatement(): VeloStatement = {
       expectKw("WITH")
-      var ctes = Vector.empty[(String, SelectStmt)]
+      val recursive = if (at("RECURSIVE")) { take(); true } else false
+      var ctes = Vector.empty[(String, VeloStatement)]
       var more = true
       while (more) {
         val n = ident()
         expectKw("AS")
         expectSym("(")
-        val s = selectStatement()
+        val s = selectOrUnion()
         expectSym(")")
         ctes :+= (n -> s)
         if (peek().exists(_.text == ",")) take() else more = false
       }
-      WithCtes(ctes, selectOrUnion())
+      WithCtes(ctes, selectOrUnion(), recursive)
     }
 
     private def createStatement(): VeloStatement = {
@@ -362,14 +496,17 @@ object VeloSqlParser {
         else if (t.kind == TSymbol && t.text == ")") {
           if (depth == 0) done = true else { depth -= 1; out += take() }
         } else if (depth == 0 && t.kind == TSymbol && t.text == "," && stopAtComma) done = true
-        else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper))
+        else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper) || dynStops.contains(t.upper))
                  // JOIN/LEFT/RIGHT are also catalog FUNCTIONS — a '('
                  // right after means a call, not a clause boundary
                  && !(Set("JOIN", "LEFT", "RIGHT").contains(t.upper) && peek(1).exists(_.text == "("))
                  // ORDER/GROUP are clause starts only as ORDER BY / GROUP
                  // BY — otherwise they are ordinary identifiers
                  // (`order.items`, a column named `group`)
-                 && !(Set("ORDER", "GROUP").contains(t.upper) && !peek(1).exists(_.isKw("BY")))) done = true
+                 && !(Set("ORDER", "GROUP").contains(t.upper) && !peek(1).exists(_.isKw("BY")))
+                 // WITHIN GROUP (ORDER BY …) is part of an inverse-
+                 // distribution aggregate, not the stream-join WITHIN
+                 && !(t.upper == "WITHIN" && peek(1).exists(_.isKw("GROUP")))) done = true
         else out += take()
       }
       out.toVector
@@ -382,6 +519,7 @@ object VeloSqlParser {
 
     private def selectStatement(): SelectStmt = {
       expectKw("SELECT")
+      val distinct = if (at("DISTINCT")) { take(); true } else false
       // select list
       var fields = Vector.empty[Vector[Tok]]
       var keys = Vector.empty[String]
@@ -407,11 +545,13 @@ object VeloSqlParser {
           expectSym(")")
           "(" + toSparkSql(sub, defaultTimeCol) + ")"
         } else ident()
+      def isClauseTok(t: Tok): Boolean =
+        clauseStarts.contains(t.upper) || dynStops.contains(t.upper)
       if (at("FROM")) {
         take()
         from = tableSource()
         if (at("AS")) { take(); fromAlias = Some(ident()) }
-        else if (peek().exists(t => t.kind == TIdent && !clauseStarts.contains(t.upper)))
+        else if (peek().exists(t => t.kind == TIdent && !isClauseTok(t)))
           fromAlias = Some(ident())
       }
       // JOINs
@@ -431,7 +571,7 @@ object VeloSqlParser {
           val t = tableSource()
           var alias: Option[String] = None
           if (at("AS")) { take(); alias = Some(ident()) }
-          else if (peek().exists(tk => tk.kind == TIdent && tk.upper != "ON" && !clauseStarts.contains(tk.upper)))
+          else if (peek().exists(tk => tk.kind == TIdent && tk.upper != "ON" && !isClauseTok(tk)))
             alias = Some(ident())
           val on =
             if (jt == "CROSS") Vector.empty[Tok]
@@ -492,7 +632,7 @@ object VeloSqlParser {
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
         having.map(rewriteTokens(_, defaultTimeCol, aggWrap)), window, namedWindows,
-        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into, props)
+        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into, props, distinct)
     }
 
     private def windowSpec(): WindowSpec = {
@@ -833,6 +973,16 @@ object VeloSqlParser {
             }
             out += sym(")")
             i = overEnd
+          case "PERCENTILE_CONT" | "PERCENTILE_DISC"
+            if {
+              val (_, e) = callArgs(i + 1)
+              span.lift(e).exists(_.isKw("WITHIN"))
+            } =>
+            // standard inverse-distribution form PERCENTILE_CONT(p)
+            // WITHIN GROUP (ORDER BY v) — Spark executes it natively;
+            // stream the tokens through unchanged
+            out += t
+            i += 1
           case "PERCENTILE_DISC" =>
             // aggregate form: PERCENTILE_DISC(e, p) → WITHIN GROUP syntax
             val (args, end) = callArgs(i + 1)
@@ -1011,7 +1161,7 @@ object VeloSqlParser {
     * `window_start` / `window_end` epoch-second output columns —
     * Catalyst's own streaming-ready windowing, not a custom operator. */
   def toSparkSql(s: SelectStmt, defaultTimeCol: String = "ts"): String = {
-    val sb = new StringBuilder("SELECT ")
+    val sb = new StringBuilder(if (s.distinct) "SELECT DISTINCT " else "SELECT ")
     val winCols: Seq[String] = s.window match {
       case Some(_: Session) => Seq(
         "CAST(unix_timestamp(session_window.start) AS BIGINT) AS window_start",

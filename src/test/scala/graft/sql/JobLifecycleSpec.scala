@@ -1,0 +1,203 @@
+package graft.sql
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import VeloSqlParser._
+
+/** The reference's job-lifecycle SQL surface (ast.rs:306-366,
+  * src/velostream/server/): START/STOP/PAUSE/RESUME/DEPLOY/ROLLBACK JOB
+  * driven end-to-end as SQL text against a live streaming source, plus
+  * the SHOW/DESCRIBE discovery surface (ast.rs:471-496).
+  */
+class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
+
+  private def memInput(): (MemoryStream[(Long, Double)], VeloContext) = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("live_events", in.toDF().toDF("id", "v"))
+    (in, ctx)
+  }
+
+  test("streaming job: START processes, PAUSE retains state, RESUME continues exactly-once") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    ctx.sql("START JOB doubler AS SELECT id, v * 2 AS v2 FROM live_events")
+    ctx.jobManager.awaitIdle("doubler")
+    assert(ctx.jobManager.sinkDf("doubler").count() == 2)
+
+    val paused = ctx.sql("PAUSE JOB doubler").collect().head
+    assert(paused.getAs[String]("status") == "PAUSED")
+    assert(!paused.getAs[Boolean]("is_active"))
+
+    // data arriving while paused…
+    in.addData(Seq((3L, 3.0)))
+
+    // …is processed exactly once after RESUME (same checkpoint + sink)
+    val resumed = ctx.sql("RESUME JOB doubler").collect().head
+    assert(resumed.getAs[String]("status") == "RUNNING")
+    ctx.jobManager.awaitIdle("doubler")
+    val rows = ctx.jobManager.sinkDf("doubler").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v2"))).sorted
+    assert(rows.toSeq == Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+
+    val stopped = ctx.sql("STOP JOB doubler").collect().head
+    assert(stopped.getAs[String]("status") == "STOPPED")
+    assert(spark.streams.active.forall(_.name != "graft-job-doubler"))
+  }
+
+  test("DEPLOY new version switches the pipeline; ROLLBACK returns to the previous one") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    ctx.sql("DEPLOY JOB scaler VERSION '1.0.0' AS SELECT id, v * 2 AS sv FROM live_events")
+    ctx.jobManager.awaitIdle("scaler")
+    assert(ctx.jobManager.sinkDf("scaler").collect().map(_.getAs[Double]("sv")).sorted.toSeq
+      == Seq(2.0, 4.0))
+
+    // v2 deploys into a FRESH sink/checkpoint epoch → reprocesses from
+    // offset 0 with the new logic (blue-green: old sink untouched)
+    ctx.sql("DEPLOY JOB scaler VERSION '2.0.0' AS SELECT id, v * 3 AS sv FROM live_events STRATEGY BLUE_GREEN")
+    ctx.jobManager.awaitIdle("scaler")
+    assert(ctx.jobManager.sinkDf("scaler").collect().map(_.getAs[Double]("sv")).sorted.toSeq
+      == Seq(3.0, 6.0))
+
+    val versions = ctx.sql("SHOW VERSIONS scaler").collect()
+      .map(r => (r.getAs[String]("version"), r.getAs[Boolean]("is_current"))).toMap
+    assert(versions == Map("1.0.0" -> false, "2.0.0" -> true))
+
+    ctx.sql("ROLLBACK JOB scaler")
+    ctx.jobManager.awaitIdle("scaler")
+    val st = ctx.sql("SHOW STATUS scaler").collect().head
+    assert(st.getAs[String]("version") == "1.0.0")
+    assert(st.getAs[String]("status") == "RUNNING")
+    assert(ctx.jobManager.sinkDf("scaler").collect().map(_.getAs[Double]("sv")).sorted.toSeq
+      == Seq(2.0, 4.0))
+    ctx.sql("STOP JOB scaler FORCE")
+  }
+
+  test("batch job body materializes a standing view; SHOW JOBS/METRICS report it") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("orders_t", Seq((1L, 10.0), (2L, 250.0), (3L, 300.0)).toDF("id", "amount"))
+    ctx.sql("START JOB bigspend AS SELECT id, amount FROM orders_t WHERE amount > 100")
+    assert(spark.table("bigspend_out").count() == 2)
+
+    val jobs = ctx.sql("SHOW JOBS").collect().map(r =>
+      (r.getAs[String]("job_name"), r.getAs[String]("status"))).toMap
+    assert(jobs("bigspend") == "RUNNING")
+
+    val m = ctx.sql("SHOW METRICS bigspend").collect().head
+    assert(m.getAs[Long]("sink_rows") == 2L)
+
+    // a second START while running must be rejected
+    intercept[ParseException] {
+      ctx.sql("START JOB bigspend AS SELECT id FROM orders_t")
+    }
+    ctx.sql("STOP JOB bigspend")
+  }
+
+  test("lifecycle statement grammar parses the reference surface") {
+    def p(s: String): VeloStatement = VeloSqlParser.parse(s)
+    assert(p("START JOB order_monitor AS SELECT * FROM orders WHERE amount > 100")
+      .isInstanceOf[StartJob])
+    // reference synonym + props
+    p("start query test as select * from orders") match {
+      case StartJob(n, _, _) => assert(n == "test")
+      case other => fail(s"$other")
+    }
+    p("START JOB m AS SELECT * FROM orders WITH ('buffer.size' = '1000', 'timeout' = '30s')") match {
+      case StartJob(_, _, props) =>
+        assert(props == Map("buffer.size" -> "1000", "timeout" -> "30s"))
+      case other => fail(s"$other")
+    }
+    assert(p("STOP JOB m FORCE") == StopJob("m", force = true))
+    assert(p("STOP JOB m") == StopJob("m", force = false))
+    assert(p("PAUSE JOB m") == PauseJob("m"))
+    assert(p("RESUME JOB m") == ResumeJob("m"))
+    p("DEPLOY JOB analytics VERSION '2.1.0' AS SELECT * FROM orders STRATEGY CANARY(25)") match {
+      case DeployJob("analytics", "2.1.0", _, _, Canary(25)) =>
+      case other => fail(s"$other")
+    }
+    p("DEPLOY JOB p VERSION '1.5.2' AS SELECT * FROM orders WHERE x = 'v' STRATEGY ROLLING") match {
+      case DeployJob(_, _, Select(s), _, Rolling) => assert(s.where.nonEmpty)
+      case other => fail(s"$other")
+    }
+    p("DEPLOY JOB q VERSION '1.0.1' AS SELECT * FROM alerts STRATEGY REPLACE") match {
+      case DeployJob(_, _, _, _, Replace) =>
+      case other => fail(s"$other")
+    }
+    // default strategy is BLUE_GREEN, default version 1.0.0
+    p("DEPLOY JOB test AS SELECT * FROM orders") match {
+      case DeployJob("test", "1.0.0", _, _, BlueGreen) =>
+      case other => fail(s"$other")
+    }
+    assert(p("ROLLBACK JOB analytics VERSION '1.5.0'") == RollbackJob("analytics", Some("1.5.0")))
+    assert(p("ROLLBACK JOB analytics") == RollbackJob("analytics", None))
+    // SHOW JOB STATUS alias and the bare reference forms
+    assert(p("SHOW JOB STATUS analytics") == Show("STATUS", Some("analytics")))
+    assert(p("SHOW STATUS") == Show("STATUS", None))
+    assert(p("SHOW METRICS analytics") == Show("METRICS", Some("analytics")))
+    assert(p("SHOW VERSIONS order_monitor") == Show("VERSIONS", Some("order_monitor")))
+    assert(p("SHOW STREAMS LIKE 'order%'") == Show("STREAMS", Some("order%")))
+    assert(p("SHOW TABLES LIKE 'user_*'") == Show("TABLES", Some("user_*")))
+    assert(p("SHOW TOPICS") == Show("TOPICS", None))
+    assert(p("SHOW FUNCTIONS") == Show("FUNCTIONS", None))
+    assert(p("SHOW SCHEMA orders") == Show("SCHEMA", Some("orders")))
+    assert(p("SHOW PROPERTIES STREAM orders") == Show("PROPERTIES", Some("orders")))
+    assert(p("SHOW PARTITIONS orders") == Show("PARTITIONS", Some("orders")))
+    assert(p("LIST STREAMS") == Show("STREAMS", None))
+    assert(p("DESCRIBE orders") == Describe("orders"))
+    intercept[ParseException](p("STOP JOB"))
+    intercept[ParseException](p("START JOB AS SELECT * FROM orders"))
+    intercept[ParseException](p("SHOW INVALID"))
+  }
+
+  test("SHOW SCHEMA / DESCRIBE / SHOW PARTITIONS / TOPICS / PROPERTIES resolve") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.registerStreamLike("ev", Seq((1L, "a", 1.5), (2L, "b", 2.5), (9L, "c", 0.5))
+      .toDF("eid", "etype", "val")
+      .withColumn("ts", timestamp_seconds(col("eid"))), "ts", "eid", partitions = 4)
+    val schema = ctx.sql("SHOW SCHEMA ev").collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[String]("data_type")).toMap
+    assert(schema("eid") == "bigint" && schema("_headers") == "map<string,string>")
+    assert(ctx.sql("DESCRIBE ev").collect().length == schema.size)
+
+    val parts = ctx.sql("SHOW PARTITIONS ev").collect()
+    assert(parts.map(_.getAs[Long]("n_records")).sum == 3L)
+
+    ctx.sql("CREATE STREAM raw_orders WITH ('topic' = 'orders-topic', 'format' = 'json')")
+    val topics = ctx.sql("SHOW TOPICS").collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[String]("kind"))).toMap
+    assert(topics == Map("raw_orders" -> "STREAM"))
+    val props = ctx.sql("SHOW PROPERTIES STREAM raw_orders").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(props == Map("topic" -> "orders-topic", "format" -> "json"))
+
+    val fns = ctx.sql("SHOW FUNCTIONS LIKE 'minhash%'").collect().map(_.getAs[String]("function"))
+    assert(fns.contains("minhash_sig")) // the engine's own kernels are registered
+
+    val likeT = ctx.sql("SHOW TABLES LIKE 'ev'").collect().map(_.getAs[String]("name"))
+    assert(likeT.toSeq == Seq("ev"))
+  }
+
+  test("SELECT DISTINCT parses and deduplicates through the dialect") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("dup_t", Seq(("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("k", "n"))
+    VeloSqlParser.parse("SELECT DISTINCT k FROM dup_t") match {
+      case Select(s) => assert(s.distinct)
+      case other => fail(s"$other")
+    }
+    assert(ctx.sql("SELECT DISTINCT k FROM dup_t").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b"))
+    assert(ctx.sql("SELECT DISTINCT k, n FROM dup_t").count() == 3)
+    // DISTINCT composes with the dialect's windowed GROUP BY machinery
+    assert(ctx.explainSql("SELECT DISTINCT k FROM dup_t").startsWith("SELECT DISTINCT"))
+  }
+}

@@ -295,6 +295,36 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.find(_.getString(0) == "alice").get.getLong(1) == expected)
   }
 
+  test("WITH RECURSIVE executes natively (transitive closure over Spark's UnionLoop)") {
+    import spark.implicits._
+    Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 4L))
+      .toDF("emp_id", "mgr_id").createOrReplaceTempView("employees")
+    val out = ctx.sql(
+      """WITH RECURSIVE org AS (
+           SELECT emp_id, mgr_id, 1 AS level FROM employees WHERE mgr_id = 0
+           UNION ALL
+           SELECT e.emp_id, e.mgr_id, org.level + 1 FROM employees e JOIN org ON e.mgr_id = org.emp_id)
+         SELECT emp_id, level FROM org""")
+      .collect().map(r => r.getAs[Long]("emp_id") -> r.getAs[Int]("level")).toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 1, 5L -> 2))
+    VeloSqlParser.parse("WITH RECURSIVE h AS (SELECT a FROM t UNION ALL SELECT a FROM h) SELECT * FROM h") match {
+      case VeloSqlParser.WithCtes(ctes, _, rec) =>
+        assert(rec && ctes.head._2.isInstanceOf[VeloSqlParser.Union])
+      case other => fail(s"$other")
+    }
+  }
+
+  test("PERCENTILE_CONT/DISC WITHIN GROUP single-arg form passes through to Spark") {
+    val rows = ctx.sql(
+      """SELECT status,
+         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY amount) AS p50,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY amount) AS p50d
+         FROM orders GROUP BY status""").collect()
+      .map(r => r.getAs[String]("status") -> (r.getAs[Double]("p50"), r.getAs[Double]("p50d"))).toMap
+    assert(rows("filled") == ((80.0, 80.0)))
+    assert(rows("pending") == ((185.0, 120.0)))
+  }
+
   test("dialect SELECT executes as a STREAMING query with EMIT semantics") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
