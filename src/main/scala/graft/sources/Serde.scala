@@ -12,9 +12,15 @@ import org.apache.spark.sql.types.StructType
   *
   *  - JSON    → `from_json` / `to_json` (schema_of_json for inference)
   *  - CSV     → `from_csv` / `to_csv`
-  *  - Avro/Protobuf: the connector jars (`spark-avro`, `spark-protobuf`)
-  *    are not in this environment; the call sites are the same shape
-  *    (`from_avro(col, schema)`) and slot into `decode` when present.
+  *  - Avro    → binary Avro against a writer-schema JSON via the Apache
+  *    Avro runtime (`decodeAvro`/`encodeAvro`, GenericDatumReader/Writer
+  *    in a narrow mapPartitions — a codec is not an `Expression`; this
+  *    is the same per-partition-batched shape `spark-avro`'s
+  *    `from_avro` lowers to). Schema-registry resolution is config
+  *    plumbing on top of the same calls.
+  *  - Protobuf: the `spark-protobuf` connector jar is not in this
+  *    environment; the call site is the same shape
+  *    (`from_protobuf(col, messageName, descFile)`).
   *
   * The Kafka record shape (key/value/headers/partition/offset) is the
   * canonical envelope; `fromKafkaEnvelope` turns a raw envelope frame
@@ -39,6 +45,131 @@ object Serde {
 
   def encodeCsv(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
     df.withColumn(payloadCol, to_csv(struct(cols.map(col): _*)))
+
+  // ---------------- Avro (binary, writer-schema JSON) ----------------
+
+  /** Spark StructType for a (record-typed) Avro schema JSON. Supports
+    * the flat primitive surface the reference's serializers cover
+    * (serialization/avro.rs): boolean/int/long/float/double/string/
+    * bytes, with `["null", T]` unions → nullable columns. */
+  def avroSchemaToSpark(schemaJson: String): StructType = {
+    import org.apache.avro.Schema
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = new Schema.Parser().parse(schemaJson)
+    def dt(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.FLOAT => (FloatType, false)
+      case Schema.Type.DOUBLE => (DoubleType, false)
+      case Schema.Type.STRING => (StringType, false)
+      case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.UNION =>
+        val branches = s.getTypes
+        val nonNull = branches.asScala.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1, s"only [null, T] unions supported, got $s")
+        (dt(nonNull.head)._1, true)
+      case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (t, nullable) = dt(f.schema())
+      StructField(f.name(), t, nullable)
+    })
+  }
+  /** Decode a binary-Avro payload column (written with `schemaJson`)
+    * into typed columns, splatted next to the frame's other columns.
+    * Per-partition: one parsed schema + one reused decoder for the whole
+    * partition — the batched shape that scales (no per-row setup). */
+  def decodeAvro(df: DataFrame, payloadCol: String, schemaJson: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val valueSchema = avroSchemaToSpark(schemaJson)
+    val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
+    val outSchema = StructType(passthrough ++ valueSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
+    val res = df.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      import org.apache.avro.io.DecoderFactory
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      val fields = schema.getFields.asScala.toArray
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+        val rec = reader.read(null, decoder)
+        val decoded = fields.map { f =>
+          rec.get(f.pos()) match {
+            case null => null
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            case v => v
+          }
+        }
+        Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
+      }
+    }(Encoders.row(outSchema))
+    res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Encode `cols` into one binary-Avro payload column per `schemaJson`
+    * (field order = schema order; Spark values must match the schema's
+    * types). Narrow map, executor-side only. */
+  def encodeAvro(df: DataFrame, schemaJson: String, payloadCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false))
+    val res = df.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      import org.apache.avro.io.EncoderFactory
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      var encoder: org.apache.avro.io.BinaryEncoder = null
+      val fields = schema.getFields.asScala.toArray
+      val idxs = fields.map(f => inSchema.fieldIndex(f.name()))
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fields.length) {
+          val v = row.get(idxs(i)) match {
+            case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+            case x => x
+          }
+          rec.put(fields(i).pos(), v)
+          i += 1
+        }
+        bos.reset()
+        encoder = EncoderFactory.get().binaryEncoder(bos, encoder)
+        writer.write(rec, encoder)
+        encoder.flush()
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+    res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Kafka envelope whose `value` is binary Avro: decode + surface the
+    * reference's system columns (the Avro twin of `fromKafkaEnvelope`). */
+  def fromKafkaEnvelopeAvro(frames: DataFrame, schemaJson: String): DataFrame = {
+    val withSys = frames
+      .withColumn("_headers",
+        map_from_entries(transform(col("headers"),
+          h => struct(h.getField("key"), h.getField("value").cast("string")))))
+      .withColumn("_timestamp", col("timestamp"))
+      .withColumn("_offset", col("offset"))
+      .withColumn("_partition", col("partition"))
+      .select(col("value"), col("_headers"), col("_timestamp"), col("_offset"), col("_partition"))
+    decodeAvro(withSys, "value", schemaJson)
+  }
 
   /** Typed view of a Kafka-envelope frame (the columns Spark's kafka
     * source emits): value decoded by `schema`, headers as a

@@ -48,6 +48,62 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("_offset") == 42L && r.getAs[Int]("_partition") == 0)
   }
 
+  test("Avro round-trip: binary encode → decode preserves values, nulls, and bytes") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"Order","fields":[
+           {"name":"order_id","type":"long"},
+           {"name":"symbol","type":"string"},
+           {"name":"price","type":"double"},
+           {"name":"note","type":["null","string"],"default":null},
+           {"name":"payload","type":"bytes"}]}"""
+    val df = Seq(
+      (1L, "AAPL", 101.5, Some("vip"), Array[Byte](1, 2, 3)),
+      (2L, "MSFT", 55.25, None, Array[Byte]()),
+      (3L, "Ω→é", -0.5, Some(""), Array[Byte](-1))
+    ).toDF("order_id", "symbol", "price", "note", "payload")
+
+    // Spark-side schema derived from the Avro writer schema
+    val sparkSchema = Serde.avroSchemaToSpark(schemaJson)
+    assert(sparkSchema.fieldNames.toSeq ==
+      Seq("order_id", "symbol", "price", "note", "payload"))
+    assert(sparkSchema("note").nullable && !sparkSchema("order_id").nullable)
+
+    val encoded = Serde.encodeAvro(df, schemaJson, "value")
+      .select("order_id", "value")
+    assert(encoded.schema("value").dataType.typeName == "binary")
+
+    val decoded = Serde.decodeAvro(encoded.withColumnRenamed("order_id", "oid"), "value", schemaJson)
+    val back = decoded.orderBy("order_id").collect().map(r =>
+      (r.getAs[Long]("order_id"), r.getAs[String]("symbol"), r.getAs[Double]("price"),
+        Option(r.getAs[String]("note")), r.getAs[Array[Byte]]("payload").toSeq))
+    assert(back.toSeq == Seq(
+      (1L, "AAPL", 101.5, Some("vip"), Seq[Byte](1, 2, 3)),
+      (2L, "MSFT", 55.25, None, Seq[Byte]()),
+      (3L, "Ω→é", -0.5, Some(""), Seq[Byte](-1))))
+    // passthrough column retained next to splatted fields
+    assert(decoded.columns.contains("oid"))
+  }
+
+  test("kafka envelope with Avro value → typed columns + system columns") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"Ev","fields":[
+           {"name":"user","type":"string"},{"name":"amount","type":"double"}]}"""
+    val typed = Seq(("alice", 10.0), ("bob", 20.5)).toDF("user", "amount")
+    val valueBytes = Serde.encodeAvro(typed, schemaJson, "value")
+      .select("value").collect().map(_.getAs[Array[Byte]]("value"))
+    val frames = valueBytes.zipWithIndex.map { case (v, i) =>
+      (v, Seq(("source", "t".getBytes)), new java.sql.Timestamp(1000L * i), i.toLong, i % 2)
+    }.toSeq.toDF("value", "headers", "timestamp", "offset", "partition")
+      .withColumn("headers", expr("transform(headers, h -> named_struct('key', h._1, 'value', h._2))"))
+    val out = Serde.fromKafkaEnvelopeAvro(frames, schemaJson).orderBy("_offset").collect()
+    assert(out.map(r => (r.getAs[String]("user"), r.getAs[Double]("amount"))).toSeq ==
+      Seq(("alice", 10.0), ("bob", 20.5)))
+    assert(out.head.getAs[Map[String, String]]("_headers") == Map("source" -> "t"))
+    assert(out.map(_.getAs[Int]("_partition")).toSeq == Seq(0, 1))
+  }
+
   test("file:// source/sink analogs round-trip json and csv") {
     import spark.implicits._
     val df = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "name", "score")
