@@ -101,6 +101,51 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB bigspend")
   }
 
+  test("two jobs run concurrently over the same source (multi-job server model)") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 4.0), (3L, 9.0)))
+    ctx.sql("START JOB doubles AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.sql("START JOB bigs AS SELECT id, v AS o FROM live_events WHERE v > 3")
+    ctx.jobManager.awaitIdle("doubles")
+    ctx.jobManager.awaitIdle("bigs")
+    assert(ctx.jobManager.sinkDf("doubles").count() == 3)
+    assert(ctx.jobManager.sinkDf("bigs").count() == 2)
+    val statuses = ctx.sql("SHOW JOBS").collect()
+      .map(r => r.getAs[String]("job_name") -> r.getAs[String]("status")).toMap
+    assert(statuses == Map("doubles" -> "RUNNING", "bigs" -> "RUNNING"))
+    // stopping one leaves the other live
+    ctx.sql("STOP JOB doubles")
+    in.addData(Seq((4L, 16.0)))
+    ctx.jobManager.awaitIdle("bigs")
+    assert(ctx.jobManager.sinkDf("bigs").count() == 3)
+    assert(ctx.jobManager.sinkDf("doubles").count() == 3) // stopped — unchanged
+    ctx.sql("STOP JOB bigs")
+  }
+
+  test("a deployable SQL application script drives declarations, jobs, and discovery") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 5.0), (2L, 50.0)))
+    // the reference's .sql app shape: declarations + jobs in one script
+    val results = ctx.executeScript(
+      """-- raw sink declaration (config the deployment layer resolves)
+        CREATE SINK alerts_topic WITH ('topic' = 'alerts', 'format' = 'json');
+
+        -- standing transformation
+        CREATE STREAM spikes AS SELECT id, v FROM live_events WHERE v > 10;
+
+        -- named job over the derived stream
+        START JOB spike_monitor AS SELECT id, v * 100 AS pct FROM spikes;
+
+        SHOW JOBS""")
+    assert(results.length == 4)
+    ctx.jobManager.awaitIdle("spike_monitor")
+    val sink = ctx.jobManager.sinkDf("spike_monitor").collect()
+    assert(sink.map(_.getAs[Double]("pct")).toSeq == Seq(5000.0))
+    val shown = results.last.collect().map(_.getAs[String]("job_name")).toSeq
+    assert(shown == Seq("spike_monitor"))
+    ctx.sql("STOP JOB spike_monitor")
+  }
+
   test("lifecycle statement grammar parses the reference surface") {
     def p(s: String): VeloStatement = VeloSqlParser.parse(s)
     assert(p("START JOB order_monitor AS SELECT * FROM orders WHERE amount > 100")
