@@ -1,0 +1,231 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+
+import VeloSqlParser.ParseException
+
+/** Deployable SQL application files: a `.sql` text with comment-
+  * annotation metadata headers, per-statement names/properties, and
+  * `${ENV_VAR}` substitution — the reference's application format
+  * (src/velostream/sql/app_parser.rs, annotation grammar at
+  * extract_metadata :304-460; tests/unit/sql/system/
+  * node_identification_test.rs).
+  *
+  * ```sql
+  * -- SQL Application: E-commerce Analytics
+  * -- Version: 1.2.0
+  * -- @deployment.node_id: prod-${NODE:server-1}
+  *
+  * -- Name: high_value
+  * -- Property: buffer.size = 1000
+  * CREATE STREAM big AS SELECT * FROM orders WHERE amount > 100;
+  * ```
+  *
+  * All parsing is driver-side string work on a small file; execution
+  * delegates each statement to `VeloContext` (Catalyst plans, cluster
+  * execution).
+  */
+object SqlApp {
+
+  final case class AppMetadata(
+      name: String,
+      version: String = "1.0.0",
+      description: Option[String] = None,
+      author: Option[String] = None,
+      dependencies: Vector[String] = Vector.empty,
+      tags: Map[String, String] = Map.empty,
+      application: Option[String] = None,
+      phase: Option[String] = None,
+      slaLatencyP99: Option[String] = None,
+      slaAvailability: Option[String] = None,
+      dataRetention: Option[String] = None,
+      compliance: Option[String] = None,
+      observabilityMetrics: Option[Boolean] = None,
+      observabilityTracing: Option[Boolean] = None,
+      observabilityProfiling: Option[String] = None, // off | dev | prod
+      observabilityErrorReporting: Option[Boolean] = None,
+      deploymentNodeId: Option[String] = None,
+      deploymentNodeName: Option[String] = None,
+      deploymentRegion: Option[String] = None)
+
+  final case class AppStatement(id: String, name: Option[String], sql: String,
+                                properties: Map[String, String], order: Int)
+
+  final case class SqlApplication(metadata: AppMetadata, statements: Vector[AppStatement])
+
+  /** Resolve `${VAR}`, `${VAR:default}` and priority chains
+    * `${A|B:default}` (first set variable wins; a default on the LAST
+    * link is the fallback). `NODE_ID` falls back to the local hostname —
+    * the reference's node-identification special case. Unresolvable
+    * specs keep their spec text, as the reference does. */
+  def resolvePattern(pattern: String, env: String => Option[String] = sys.env.get): String = {
+    if (!pattern.contains("${")) return pattern
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val start = pattern.indexOf("${", i)
+      if (start < 0) { sb.append(pattern.substring(i)); i = pattern.length }
+      else {
+        val end = pattern.indexOf('}', start)
+        if (end < 0) { sb.append(pattern.substring(i)); i = pattern.length }
+        else {
+          sb.append(pattern.substring(i, start))
+          sb.append(resolveVarSpec(pattern.substring(start + 2, end), env))
+          i = end + 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def hostname(): Option[String] =
+    try Option(java.net.InetAddress.getLocalHost.getHostName).filter(_.nonEmpty)
+    catch { case _: Throwable => None }
+
+  private def resolveVarSpec(spec: String, env: String => Option[String]): String = {
+    val chain = spec.split('|')
+    var idx = 0
+    while (idx < chain.length) {
+      val part = chain(idx)
+      val isLast = idx == chain.length - 1
+      val (varName, default) = part.indexOf(':') match {
+        case -1 => (part, None)
+        case c => (part.substring(0, c), Some(part.substring(c + 1)))
+      }
+      env(varName) match {
+        case Some(v) => return v
+        case None if varName == "NODE_ID" =>
+          return hostname().orElse(default).getOrElse("node-local")
+        case None if isLast && default.isDefined => return default.get
+        case None => // fall through to next link
+      }
+      idx += 1
+    }
+    spec
+  }
+
+  private def tail(line: String, prefix: String): String =
+    line.substring(prefix.length).trim
+
+  /** Parse an application file: metadata annotations (anywhere in the
+    * file), then statements split on `;` with their `-- Name:` /
+    * `-- @name:` / `-- Property: k = v` annotations attached to the
+    * NEXT statement. Missing `-- SQL Application:` header is an error
+    * (reference parity); missing version defaults to 1.0.0. */
+  def parse(content: String, env: String => Option[String] = sys.env.get): SqlApplication = {
+    var md = AppMetadata(name = "")
+    content.linesIterator.map(_.trim).foreach { line =>
+      def has(p: String): Boolean = line.startsWith(p)
+      if (has("-- SQL Application:")) md = md.copy(name = tail(line, "-- SQL Application:"))
+      else if (has("-- Version:")) md = md.copy(version = tail(line, "-- Version:"))
+      else if (has("-- Description:")) md = md.copy(description = Some(tail(line, "-- Description:")))
+      else if (has("-- Author:")) md = md.copy(author = Some(tail(line, "-- Author:")))
+      else if (has("-- Dependencies:")) md = md.copy(dependencies =
+        tail(line, "-- Dependencies:").split(',').map(_.trim).filter(_.nonEmpty).toVector)
+      else if (has("-- Tag:")) {
+        val t = tail(line, "-- Tag:")
+        t.split(":", 2) match {
+          case Array(k, v) => md = md.copy(tags = md.tags + (k.trim -> v.trim))
+          case _ =>
+        }
+      }
+      else if (has("-- @application:")) md = md.copy(application = Some(tail(line, "-- @application:")))
+      else if (has("-- @app:")) md = md.copy(application = Some(tail(line, "-- @app:")))
+      else if (has("-- @version:")) md = md.copy(version = tail(line, "-- @version:"))
+      else if (has("-- @description:")) md = md.copy(description = Some(tail(line, "-- @description:")))
+      else if (has("-- @phase:")) md = md.copy(phase = Some(tail(line, "-- @phase:")))
+      else if (has("-- @sla.latency.p99:")) md = md.copy(slaLatencyP99 = Some(tail(line, "-- @sla.latency.p99:")))
+      else if (has("-- @sla.availability:")) md = md.copy(slaAvailability = Some(tail(line, "-- @sla.availability:")))
+      else if (has("-- @data_retention:")) md = md.copy(dataRetention = Some(tail(line, "-- @data_retention:")))
+      else if (has("-- @compliance:")) md = md.copy(compliance = Some(tail(line, "-- @compliance:")))
+      else if (has("-- @observability.metrics.enabled:"))
+        md = md.copy(observabilityMetrics = Some(tail(line, "-- @observability.metrics.enabled:").toLowerCase == "true"))
+      else if (has("-- @observability.tracing.enabled:"))
+        md = md.copy(observabilityTracing = Some(tail(line, "-- @observability.tracing.enabled:").toLowerCase == "true"))
+      else if (has("-- @observability.profiling.enabled:")) {
+        val v = tail(line, "-- @observability.profiling.enabled:").toLowerCase
+        if (Set("off", "dev", "prod").contains(v)) md = md.copy(observabilityProfiling = Some(v))
+      }
+      else if (has("-- @observability.error_reporting.enabled:"))
+        md = md.copy(observabilityErrorReporting = Some(tail(line, "-- @observability.error_reporting.enabled:").toLowerCase == "true"))
+      else if (has("-- @deployment.node_id:"))
+        md = md.copy(deploymentNodeId = Some(resolvePattern(tail(line, "-- @deployment.node_id:"), env)))
+      else if (has("-- @deployment.node_name:"))
+        md = md.copy(deploymentNodeName = Some(resolvePattern(tail(line, "-- @deployment.node_name:"), env)))
+      else if (has("-- @deployment.region:"))
+        md = md.copy(deploymentRegion = Some(resolvePattern(tail(line, "-- @deployment.region:"), env)))
+    }
+    if (md.name.isEmpty)
+      throw new ParseException("SQL Application must have a name (-- SQL Application: <name>)")
+
+    // statements with their attached Name/Property annotations
+    val metaPrefixes = Seq("-- SQL Application:", "-- Version:", "-- Description:",
+      "-- Author:", "-- Dependencies:", "-- Tag:", "-- @")
+    var statements = Vector.empty[AppStatement]
+    var counter = 0
+    var curName: Option[String] = None
+    var curProps = Map.empty[String, String]
+    val cur = new StringBuilder
+    def flush(): Unit = {
+      val sqlText = cur.toString.trim
+      cur.clear()
+      if (sqlText.nonEmpty) {
+        statements :+= AppStatement(s"stmt_$counter", curName,
+          resolvePattern(sqlText, env), curProps, counter)
+        counter += 1
+        curName = None
+        curProps = Map.empty
+      }
+    }
+    content.linesIterator.foreach { raw =>
+      val trimmed = raw.trim
+      if (trimmed.startsWith("-- Name:")) curName = Some(tail(trimmed, "-- Name:"))
+      else if (trimmed.startsWith("-- @name:")) curName = Some(tail(trimmed, "-- @name:"))
+      else if (metaPrefixes.exists(trimmed.startsWith)) ()      // app metadata
+      else if (trimmed.startsWith("-- Property:")) {
+        tail(trimmed, "-- Property:").split("=", 2) match {
+          case Array(k, v) => curProps += (k.trim -> v.trim)
+          case _ =>
+        }
+      }
+      else if (trimmed.startsWith("--")) ()                      // plain comment
+      else if (trimmed.isEmpty) ()
+      else {
+        // string-literal-aware ';' split within the line
+        var rest = raw
+        var idx = splitIndex(rest)
+        while (idx >= 0) {
+          cur.append(rest.substring(0, idx)).append('\n')
+          flush()
+          rest = rest.substring(idx + 1)
+          idx = splitIndex(rest)
+        }
+        cur.append(rest).append('\n')
+      }
+    }
+    flush()
+    SqlApplication(md, statements)
+  }
+
+  /** Index of the first top-level (outside string literals) ';'. */
+  private def splitIndex(s: String): Int = {
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == ';') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse + execute an application against a context; returns each
+    * statement's result in order. */
+  def run(ctx: VeloContext, content: String,
+          env: String => Option[String] = sys.env.get): (SqlApplication, Seq[DataFrame]) = {
+    val app = parse(content, env)
+    (app, app.statements.map(s => ctx.sql(s.sql)))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import VeloSqlParser.ParseException
+
+/** SQL application files: annotation metadata, `${VAR}` resolution, and
+  * end-to-end execution (reference: src/velostream/sql/app_parser.rs,
+  * tests/unit/sql/system/node_identification_test.rs).
+  */
+class SqlAppSpec extends AnyFunSuite with SparkTestSession {
+
+  private val env = Map(
+    "TEST_CLUSTER" -> "cluster1",
+    "TEST_APP_NODE" -> "node-42",
+    "TEST_APP_REGION" -> "eu-west-1")
+  private def lookup(k: String): Option[String] = env.get(k)
+
+  test("resolvePattern: ${VAR}, ${VAR:default}, priority chains, unresolved spec kept") {
+    assert(SqlApp.resolvePattern("plain-text", lookup) == "plain-text")
+    assert(SqlApp.resolvePattern("aws-${TEST_CLUSTER}-prod", lookup) == "aws-cluster1-prod")
+    assert(SqlApp.resolvePattern("${MISSING_VAR:fallback}", lookup) == "fallback")
+    assert(SqlApp.resolvePattern("${MISSING_VAR|TEST_CLUSTER}", lookup) == "cluster1")
+    assert(SqlApp.resolvePattern("${A|B:dflt}", lookup) == "dflt")
+    assert(SqlApp.resolvePattern("${UNDEFINED_VAR}", lookup) == "UNDEFINED_VAR")
+    assert(SqlApp.resolvePattern("a-${TEST_CLUSTER}-b-${TEST_APP_NODE}", lookup)
+      == "a-cluster1-b-node-42")
+    // NODE_ID special case: hostname fallback, never empty
+    assert(SqlApp.resolvePattern("${NODE_ID}", lookup).nonEmpty)
+  }
+
+  test("application metadata annotations parse (node_id/env substitution per reference tests)") {
+    val app = SqlApp.parse(
+      """-- SQL Application: Multi-Region App
+        |-- Version: 2.1.0
+        |-- Description: regional pipeline
+        |-- Author: data-eng
+        |-- Dependencies: orders, customers
+        |-- Tag: team: analytics
+        |-- @phase: production
+        |-- @sla.latency.p99: 250ms
+        |-- @observability.metrics.enabled: true
+        |-- @observability.profiling.enabled: dev
+        |-- @deployment.node_id: prod-${TEST_APP_NODE}
+        |-- @deployment.node_name: Production DataCenter 1 Server 5
+        |-- @deployment.region: ${TEST_APP_REGION}
+        |
+        |CREATE STREAM test_stream AS SELECT * FROM kafka_topic;
+        |""".stripMargin, lookup)
+    val m = app.metadata
+    assert(m.name == "Multi-Region App" && m.version == "2.1.0")
+    assert(m.description.contains("regional pipeline") && m.author.contains("data-eng"))
+    assert(m.dependencies == Vector("orders", "customers"))
+    assert(m.tags == Map("team" -> "analytics"))
+    assert(m.phase.contains("production") && m.slaLatencyP99.contains("250ms"))
+    assert(m.observabilityMetrics.contains(true) && m.observabilityProfiling.contains("dev"))
+    assert(m.deploymentNodeId.contains("prod-node-42"))
+    assert(m.deploymentNodeName.contains("Production DataCenter 1 Server 5"))
+    assert(m.deploymentRegion.contains("eu-west-1"))
+    assert(app.statements.length == 1)
+  }
+
+  test("missing application name is an error; missing version defaults to 1.0.0") {
+    intercept[ParseException](SqlApp.parse("SELECT 1;", lookup))
+    val app = SqlApp.parse("-- SQL Application: X\nSELECT 1", lookup)
+    assert(app.metadata.version == "1.0.0")
+  }
+
+  test("per-statement Name/Property annotations attach to the following statement") {
+    val app = SqlApp.parse(
+      """-- SQL Application: Props App
+        |
+        |-- Name: monitor
+        |-- Property: buffer.size = 1000
+        |-- Property: timeout = 30s
+        |SELECT * FROM orders WHERE amount > ${THRESHOLD:100};
+        |
+        |-- @name: second
+        |SELECT 1;
+        |""".stripMargin, lookup)
+    val Seq(s1, s2) = app.statements.toSeq
+    assert(s1.name.contains("monitor"))
+    assert(s1.properties == Map("buffer.size" -> "1000", "timeout" -> "30s"))
+    // env substitution also applies inside statement text
+    assert(s1.sql.contains("amount > 100"))
+    assert(s2.name.contains("second") && s2.properties.isEmpty && s2.order == 1)
+    // ';' inside string literals must not split
+    val app2 = SqlApp.parse(
+      "-- SQL Application: Y\nSELECT 'a;b' AS x FROM t; SELECT 2", lookup)
+    assert(app2.statements.length == 2)
+    assert(app2.statements.head.sql.contains("'a;b'"))
+  }
+
+  test("an application runs end-to-end against a VeloContext (jobs included)") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("orders_app", Seq((1L, 50.0), (2L, 500.0), (3L, 5000.0)).toDF("id", "amount"))
+    val (app, results) = SqlApp.run(ctx,
+      """-- SQL Application: Order Analytics
+        |-- Version: 1.0.0
+        |-- @deployment.region: ${TEST_APP_REGION:us-east-1}
+        |
+        |-- Name: big_orders
+        |CREATE TABLE big_app_orders AS SELECT id, amount FROM orders_app WHERE amount > ${MIN_AMT:100};
+        |
+        |-- Name: monitor_job
+        |START JOB app_monitor AS SELECT id, amount * 2 AS doubled FROM big_app_orders;
+        |
+        |SHOW JOBS
+        |""".stripMargin, lookup)
+    assert(app.metadata.deploymentRegion.contains("eu-west-1"))
+    assert(results.length == 3)
+    assert(spark.table("big_app_orders").count() == 2)
+    assert(spark.table("app_monitor_out").count() == 2)
+    val jobs = results.last.collect().map(_.getAs[String]("job_name")).toSeq
+    assert(jobs == Seq("app_monitor"))
+    ctx.sql("STOP JOB app_monitor")
+  }
+}
