@@ -48,8 +48,20 @@ object SqlApp {
       deploymentNodeName: Option[String] = None,
       deploymentRegion: Option[String] = None)
 
+  /** One statement with its attached annotations:
+    *  - `-- @metric: name` — observability counters the statement emits
+    *    (reference parser/annotations.rs); recorded as metadata.
+    *  - `-- @partition-count: n` — the statement's parallelism hint;
+    *    `run` applies it as `repartition(n)` on the result (the Spark
+    *    realization of the reference's V2 partition count). Invalid
+    *    numbers are ignored, as the reference's parser does.
+    *  - `-- @sticky-partition-id: id` — pin-to-partition hint, recorded
+    *    as metadata (single-partition routing is a sink concern). */
   final case class AppStatement(id: String, name: Option[String], sql: String,
-                                properties: Map[String, String], order: Int)
+                                properties: Map[String, String], order: Int,
+                                metrics: Vector[String] = Vector.empty,
+                                partitionCount: Option[Int] = None,
+                                stickyPartitionId: Option[Int] = None)
 
   final case class SqlApplication(metadata: AppMetadata, statements: Vector[AppStatement])
 
@@ -165,22 +177,40 @@ object SqlApp {
     var counter = 0
     var curName: Option[String] = None
     var curProps = Map.empty[String, String]
+    var curMetrics = Vector.empty[String]
+    var curPartitions: Option[Int] = None
+    var curSticky: Option[Int] = None
     val cur = new StringBuilder
     def flush(): Unit = {
       val sqlText = cur.toString.trim
       cur.clear()
       if (sqlText.nonEmpty) {
         statements :+= AppStatement(s"stmt_$counter", curName,
-          resolvePattern(sqlText, env), curProps, counter)
+          resolvePattern(sqlText, env), curProps, counter,
+          curMetrics, curPartitions, curSticky)
         counter += 1
         curName = None
         curProps = Map.empty
+        curMetrics = Vector.empty
+        curPartitions = None
+        curSticky = None
       }
     }
     content.linesIterator.foreach { raw =>
       val trimmed = raw.trim
+      def intAnn(p: String): Option[Int] =
+        try Some(tail(trimmed, p).toInt) catch { case _: NumberFormatException => None }
       if (trimmed.startsWith("-- Name:")) curName = Some(tail(trimmed, "-- Name:"))
       else if (trimmed.startsWith("-- @name:")) curName = Some(tail(trimmed, "-- @name:"))
+      else if (trimmed.startsWith("-- @metric:")) {
+        val m = tail(trimmed, "-- @metric:")
+        // metric names follow the prometheus identifier shape
+        if (m.matches("[a-zA-Z_][a-zA-Z0-9_]*")) curMetrics :+= m
+      }
+      else if (trimmed.startsWith("-- @partition-count:"))
+        curPartitions = intAnn("-- @partition-count:").filter(_ > 0)
+      else if (trimmed.startsWith("-- @sticky-partition-id:"))
+        curSticky = intAnn("-- @sticky-partition-id:")
       else if (metaPrefixes.exists(trimmed.startsWith)) ()      // app metadata
       else if (trimmed.startsWith("-- Property:")) {
         tail(trimmed, "-- Property:").split("=", 2) match {
@@ -222,10 +252,18 @@ object SqlApp {
   }
 
   /** Parse + execute an application against a context; returns each
-    * statement's result in order. */
+    * statement's result in order. `@partition-count: n` becomes a
+    * `repartition(n)` on the statement's (batch) result. */
   def run(ctx: VeloContext, content: String,
           env: String => Option[String] = sys.env.get): (SqlApplication, Seq[DataFrame]) = {
     val app = parse(content, env)
-    (app, app.statements.map(s => ctx.sql(s.sql)))
+    val results = app.statements.map { s =>
+      val df = ctx.sql(s.sql)
+      s.partitionCount match {
+        case Some(n) if !df.isStreaming => df.repartition(n)
+        case _ => df
+      }
+    }
+    (app, results)
   }
 }

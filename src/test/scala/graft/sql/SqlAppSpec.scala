@@ -92,6 +92,40 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(app2.statements.head.sql.contains("'a;b'"))
   }
 
+  test("@metric / @partition-count / @sticky-partition-id statement annotations") {
+    val app = SqlApp.parse(
+      """-- SQL Application: Annotated
+        |
+        |-- @metric: events_total
+        |-- @metric: high_value_orders_total
+        |-- @metric: 123_invalid
+        |-- @partition-count: 16
+        |-- @sticky-partition-id: 3
+        |SELECT * FROM orders;
+        |
+        |-- @partition-count: not_a_number
+        |-- @partition-count: 0
+        |SELECT 1
+        |""".stripMargin, lookup)
+    val Seq(s1, s2) = app.statements.toSeq
+    assert(s1.metrics == Vector("events_total", "high_value_orders_total")) // invalid name dropped
+    assert(s1.partitionCount.contains(16) && s1.stickyPartitionId.contains(3))
+    assert(s2.partitionCount.isEmpty) // non-numeric and non-positive ignored
+  }
+
+  test("@partition-count applies as repartition(n) on the statement result") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("pc_t", Seq.tabulate(100)(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    val (_, results) = SqlApp.run(ctx,
+      """-- SQL Application: PC
+        |-- @partition-count: 7
+        |SELECT id, v FROM pc_t
+        |""".stripMargin, lookup)
+    assert(results.head.rdd.getNumPartitions == 7)
+    assert(results.head.count() == 100)
+  }
+
   test("an application runs end-to-end against a VeloContext (jobs included)") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
