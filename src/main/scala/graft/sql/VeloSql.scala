@@ -91,7 +91,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   /** Parse + execute one statement; returns the result (for DDL, the
     * created relation; for INSERT, the post-insert table). */
   /** Render any statement's query core to Spark SQL text. */
-  private def renderSql(stmt: VeloStatement): String = stmt match {
+  private[sql] def renderSql(stmt: VeloStatement): String = stmt match {
     case Select(s) => toSparkSql(s, defaultTimeCol)
     case Union(sels, all) =>
       sels.map(toSparkSql(_, defaultTimeCol))

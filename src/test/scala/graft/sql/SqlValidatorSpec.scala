@@ -1,0 +1,68 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Pre-deployment validation: Catalyst-analyzer-backed semantic checks
+  * with nothing executed (reference: src/velostream/sql/validator.rs,
+  * tests/unit/sql/validation/). */
+class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val ctx: VeloContext = {
+    import spark.implicits._
+    val c = new VeloContext(spark)
+    c.register("v_orders", Seq((1L, 250.0, "pending"), (2L, 50.0, "filled"))
+      .toDF("order_id", "amount", "status"))
+    c
+  }
+
+  test("valid statements pass; nothing is executed") {
+    val r = SqlValidator.validateStatement(ctx,
+      "SELECT status, COUNT(*) AS n FROM v_orders GROUP BY status")
+    assert(r.isValid && r.errors.isEmpty)
+    assert(SqlValidator.validateStatement(ctx, "SHOW JOBS").isValid)
+    assert(SqlValidator.validateStatement(ctx, "DESCRIBE v_orders").isValid)
+  }
+
+  test("unresolved tables and columns are caught by the analyzer") {
+    val t = SqlValidator.validateStatement(ctx, "SELECT * FROM no_such_stream")
+    assert(!t.isValid && t.errors.head.contains("analysis error"))
+    val c = SqlValidator.validateStatement(ctx, "SELECT no_such_col FROM v_orders")
+    assert(!c.isValid)
+    val p = SqlValidator.validateStatement(ctx, "SELEC broken")
+    assert(!p.isValid && p.errors.head.contains("parse error"))
+  }
+
+  test("DDL/DML/lifecycle bodies validate through their inner query") {
+    assert(SqlValidator.validateStatement(ctx,
+      "CREATE TABLE t2 AS SELECT order_id FROM v_orders").isValid)
+    assert(!SqlValidator.validateStatement(ctx,
+      "CREATE TABLE t3 AS SELECT bogus FROM v_orders").isValid)
+    assert(!SqlValidator.validateStatement(ctx,
+      "START JOB j1 AS SELECT bogus FROM v_orders").isValid)
+    assert(!SqlValidator.validateStatement(ctx,
+      "INSERT INTO missing_table SELECT * FROM v_orders").isValid)
+    // CANARY range is a validation error even though the parser accepts it
+    assert(!SqlValidator.validateStatement(ctx,
+      "DEPLOY JOB j VERSION '1.0.0' AS SELECT * FROM v_orders STRATEGY CANARY(150)").isValid)
+    // unknown-job lifecycle ops are warnings, not errors
+    val w = SqlValidator.validateStatement(ctx, "STOP JOB never_started")
+    assert(w.isValid && w.warnings.exists(_.contains("not currently registered")))
+    // nothing above materialized anything
+    assert(!spark.catalog.tableExists("t2"))
+  }
+
+  test("application-level validation: counts, header name, missing sink configs") {
+    val res = SqlValidator.validateContent(ctx,
+      """-- SQL Application: Validation Demo
+        |
+        |CREATE STREAM out1 AS SELECT order_id FROM v_orders INTO undeclared_sink;
+        |SELECT status FROM v_orders;
+        |SELECT oops FROM v_orders
+        |""".stripMargin)
+    assert(res.applicationName.contains("Validation Demo"))
+    assert(res.totalQueries == 3 && res.validQueries == 2 && !res.isValid)
+    assert(res.missingConfigurations.exists(_.contains("undeclared_sink")))
+  }
+}
