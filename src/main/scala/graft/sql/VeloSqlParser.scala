@@ -852,6 +852,47 @@ object VeloSqlParser {
             val (_, end) = callArgs(i + 1)
             out += id("current_timestamp") += sym("(") += sym(")")
             i = end
+          case "DELTA" =>
+            // DELTA(col): max-min spread aggregate
+            // (reference functions.rs:1807)
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 1) throw new ParseException("DELTA expects one argument")
+            val a = rewriteTokens(args.head, defaultTimeCol)
+            out += sym("(") += id("max") += sym("(")
+            out ++= a
+            out += sym(")") += sym("-") += id("min") += sym("(")
+            out ++= a
+            out += sym(")") += sym(")")
+            i = end
+          case "JSON_EXISTS" =>
+            // JSON_EXISTS(json, path) → path resolves to a value
+            // (reference functions.rs:1098)
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 2) throw new ParseException("JSON_EXISTS expects (json, path)")
+            out += sym("(") += id("get_json_object") += sym("(")
+            out ++= rewriteTokens(args(0), defaultTimeCol)
+            out += sym(",")
+            out ++= args(1)
+            out += sym(")") += id("IS") += id("NOT") += id("NULL") += sym(")")
+            i = end
+          case "JSON_QUERY" =>
+            // JSON_QUERY(json, path) → nested objects/arrays as JSON
+            // text; scalars → NULL (reference functions.rs:1138,1184)
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 2) throw new ParseException("JSON_QUERY expects (json, path)")
+            def extract(): Unit = {
+              out += id("get_json_object") += sym("(")
+              out ++= rewriteTokens(args(0), defaultTimeCol)
+              out += sym(",")
+              out ++= args(1)
+              out += sym(")")
+            }
+            out += id("CASE") += id("WHEN")
+            extract()
+            out += id("RLIKE") += Tok(TString, "'^\\\\s*[\\\\[{]'") += id("THEN")
+            extract()
+            out += id("END")
+            i = end
           case "TUMBLE" =>
             // Flink-style grouping form (watermarks-time-semantics.md):
             // GROUP BY …, TUMBLE(ts, INTERVAL '5' MINUTE) → Spark's

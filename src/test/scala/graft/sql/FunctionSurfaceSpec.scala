@@ -103,6 +103,38 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
             FROM t""")
   }
 
+  test("DELTA aggregate: max-min spread per group (functions.rs:1807)") {
+    val rows = ctx.sql("SELECT symbol, DELTA(price) AS spread FROM t GROUP BY symbol")
+      .collect().map(r => r.getAs[String]("symbol") -> r.getAs[Double]("spread")).toMap
+    assert(rows == Map("AAPL" -> 1.5, "MSFT" -> 2.5))
+  }
+
+  test("JSON_EXISTS / JSON_QUERY semantics (functions.rs:1098,1138)") {
+    import spark.implicits._
+    ctx.register("jt", Seq(
+      (1L, """{"a": {"b": 5}, "arr": [1,2], "s": "txt"}"""),
+      (2L, """{"other": 1}""")).toDF("jid", "doc"))
+    val r = ctx.sql(
+      """SELECT jid,
+         JSON_EXISTS(doc, '$.a.b') AS has_ab,
+         JSON_EXISTS(doc, '$.missing') AS has_missing,
+         JSON_QUERY(doc, '$.a') AS obj,
+         JSON_QUERY(doc, '$.arr') AS arr,
+         JSON_QUERY(doc, '$.s') AS scalar_is_null
+         FROM jt""").collect().map(x => x.getAs[Long]("jid") -> x).toMap
+    assert(r(1L).getAs[Boolean]("has_ab") && !r(1L).getAs[Boolean]("has_missing"))
+    assert(r(1L).getAs[String]("obj") == """{"b":5}""")
+    assert(r(1L).getAs[String]("arr") == "[1,2]")
+    assert(r(1L).getAs[String]("scalar_is_null") == null) // scalars → NULL from JSON_QUERY
+    assert(!r(2L).getAs[Boolean]("has_ab"))
+  }
+
+  test("SPLIT_PART and POSITION forms pass through to Spark natives") {
+    val sp = ctx.sql("SELECT SPLIT_PART('a-b-c', '-', 2) AS p, POSITION('PL' IN symbol) AS pos FROM t WHERE id = 1")
+      .collect().head
+    assert(sp.getAs[String]("p") == "b" && sp.getAs[Int]("pos") == 3)
+  }
+
   test("CASE / BETWEEN / LIKE / IS NULL / IN pass through to Catalyst") {
     runs("""SELECT CASE WHEN price > 100 THEN 'hi' ELSE 'lo' END,
             price BETWEEN 50 AND 200, symbol LIKE 'A%',
