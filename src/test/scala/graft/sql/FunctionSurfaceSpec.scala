@@ -135,6 +135,19 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(sp.getAs[String]("p") == "b" && sp.getAs[Int]("pos") == 3)
   }
 
+  test("INTERVAL literals and timestamp arithmetic (interval_test.rs forms)") {
+    val r = ctx.sql(
+      """SELECT id,
+         event_time + INTERVAL '5' MINUTES AS plus_5m,
+         event_time - INTERVAL '30' SECONDS AS minus_30s,
+         event_time + INTERVAL '1' DAY AS plus_1d
+         FROM t WHERE id = 1""").collect().head
+    val base = java.sql.Timestamp.valueOf("2024-03-05 10:00:00").getTime
+    assert(r.getAs[java.sql.Timestamp]("plus_5m").getTime == base + 300000L)
+    assert(r.getAs[java.sql.Timestamp]("minus_30s").getTime == base - 30000L)
+    assert(r.getAs[java.sql.Timestamp]("plus_1d").getTime == base + 86400000L)
+  }
+
   test("CASE / BETWEEN / LIKE / IS NULL / IN pass through to Catalyst") {
     runs("""SELECT CASE WHEN price > 100 THEN 'hi' ELSE 'lo' END,
             price BETWEEN 50 AND 200, symbol LIKE 'A%',
