@@ -113,8 +113,26 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case q @ (Select(_) | Union(_, _) | WithCtes(_, _, _)) =>
       spark.sql(renderSql(q))
 
-    case CreateTableAs(name, s, _) =>
-      val df = spark.sql(toSparkSql(s, defaultTimeCol)).cache()
+    case CreateTableAs(name, s, props) =>
+      var df = spark.sql(toSparkSql(s, defaultTimeCol))
+      // 'retention' = '7 days': keep only records inside the window
+      // (reference CompactTable retention, comprehensive-sql-ctas-guide
+      // .md:198) — applied against the table's event-time column
+      props.get("retention").flatMap(VeloContext.durationSeconds).foreach { sec =>
+        val tsCol = Seq(defaultTimeCol, "ts", "event_time", "_timestamp")
+          .find(df.columns.contains)
+        tsCol.foreach { c =>
+          df = df.where(col(c) >= current_timestamp() - expr(s"INTERVAL $sec SECOND"))
+        }
+      }
+      // 'table_model' = 'compact': serialized, spillable storage — the
+      // Spark analog of CompactTable's memory-lean representation;
+      // default model = Spark's compressed columnar cache
+      df = props.get("table_model") match {
+        case Some("compact") =>
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        case _ => df.cache()
+      }
       df.count() // force the materialization, as CTAS ingestion does
       df.createOrReplaceTempView(name)
       materialized(name) = df
@@ -259,6 +277,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 }
 
 object VeloContext {
+
+  /** '7 days' / '30 minutes' / '1 hour' → seconds (config-prop durations,
+    * e.g. CTAS 'retention'). */
+  def durationSeconds(s: String): Option[Long] = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    if (parts.length != 2) return None
+    val n = try parts(0).toLong catch { case _: NumberFormatException => return None }
+    parts(1).stripSuffix("s") match {
+      case "second" | "sec" => Some(n)
+      case "minute" | "min" => Some(n * 60)
+      case "hour" => Some(n * 3600)
+      case "day" => Some(n * 86400)
+      case _ => None
+    }
+  }
 
   /** Split a script into statements on semicolons outside string
     * literals; drops blank/comment-only fragments. */

@@ -295,6 +295,24 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.find(_.getString(0) == "alice").get.getLong(1) == expected)
   }
 
+  test("CTAS table_model=compact + retention prune old records (ctas-guide.md:159-199)") {
+    import spark.implicits._
+    val now = System.currentTimeMillis() / 1000
+    Seq(
+      (1L, new Timestamp((now - 3600) * 1000L)),          // 1 hour old → kept
+      (2L, new Timestamp((now - 10L * 86400) * 1000L)),   // 10 days old → dropped
+      (3L, new Timestamp(now * 1000L))
+    ).toDF("rid", "ts").createOrReplaceTempView("ret_src")
+    val df = ctx.sql(
+      """CREATE TABLE recent_records AS SELECT rid, ts FROM ret_src
+         WITH ('table_model' = 'compact', 'retention' = '7 days')""")
+    assert(df.storageLevel.useDisk && df.storageLevel.deserialized == false)
+    assert(spark.table("recent_records").collect().map(_.getAs[Long]("rid")).sorted.toSeq
+      == Seq(1L, 3L))
+    assert(VeloContext.durationSeconds("30 minutes").contains(1800L))
+    assert(VeloContext.durationSeconds("bogus").isEmpty)
+  }
+
   test("WITH RECURSIVE executes natively (transitive closure over Spark's UnionLoop)") {
     import spark.implicits._
     Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 4L))
