@@ -67,6 +67,29 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
   }
 
+  test("clusterPairs == union-find on random graphs (property)") {
+    import spark.implicits._
+    val prnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 60 + prnd.nextInt(60)
+      val edges = Seq.fill(n)((prnd.nextInt(200).toLong, prnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .groupBy(find).values
+        .flatMap(members => { val m = members.min; members.map(_ -> m) }).toMap
+      val got = Dedup.clusterPairs(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == expected)
+    }
+  }
+
   test("clusterPairs: disjoint cliques get distinct min-id labels") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
