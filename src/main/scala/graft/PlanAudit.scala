@@ -21,7 +21,8 @@ object PlanAudit {
     val keys = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
       .getOrElse(Seq("q1_agg", "q2_filter_project", "q4_multi_join", "q11_in_subquery",
         "q14_interval_join", "q24_dedup_minhash", "q27_ann_bruteforce", "q38_embed_dedup",
-        "q40_topn_per_group", "q45_sql_agg", "q46_sql_tumbling", "q49_sql_join_in"))
+        "q40_topn_per_group", "q45_sql_agg", "q46_sql_tumbling", "q49_sql_join_in",
+        "q55_asof_join", "q56_dedup_keep_best", "q58_embed_dedup_lsh", "q59_sql_distinct"))
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
       val ep = df.queryExecution.executedPlan

@@ -102,12 +102,14 @@ object Dedup {
       .drop("_bn")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // estimate BEFORE the pair-dedup shuffle: only (id_a, id_b, est)
+    // crosses it, never the signatures (numHashes longs per side)
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)).cast("double")
           / size(col("sig_a")).cast("double"))
+      .groupBy("id_a", "id_b").agg(first(col("est_jaccard")).as("est_jaccard"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 

@@ -251,11 +251,15 @@ object Similarity {
       .drop("_bn")
     val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"))
     val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"))
+    // score + threshold BEFORE the pair-dedup shuffle: a pair seen in k
+    // bands recomputes the (cheap, fused-kernel) cosine k times, but
+    // only sub-threshold survivors' (id_a, id_b, cos) ever shuffle —
+    // never the vectors themselves (at dim=1024 that's 8 KB/row saved)
     a.join(b, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= minCos)
+      .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos"))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 }
