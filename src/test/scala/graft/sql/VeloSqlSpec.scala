@@ -343,6 +343,51 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rows("pending") == ((185.0, 120.0)))
   }
 
+  test("dialect stream-stream WITHIN join executes as a streaming join (watermark-bounded state)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ords = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ships = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    // the WITHIN band resolves against the context's default time column
+    ctx.registerStream("s_orders",
+      ords.toDF().toDF("oid", "ep").withColumn("timestamp", timestamp_seconds(col("ep"))),
+      "timestamp", "10 minutes")
+    ctx.registerStream("s_ships",
+      ships.toDF().toDF("sid", "sep").withColumn("timestamp", timestamp_seconds(col("sep"))),
+      "timestamp", "10 minutes")
+    // ship within 5 min of the order → joined; outside the band → dropped
+    ords.addData(Seq((1L, 100L), (2L, 200L), (3L, 10000L)))
+    ships.addData(Seq((1L, 200L), (2L, 5000L), (3L, 10100L)))
+    val outDir = ctx.sqlStream(
+      """SELECT o.oid AS oid, o.ep AS oep, s.sep AS sep
+         FROM s_orders o JOIN s_ships s ON o.oid = s.sid
+         WITHIN INTERVAL '5' MINUTE""")
+    val got = spark.read.parquet(outDir).collect().map(_.getAs[Long]("oid")).sorted
+    assert(got.toSeq == Seq(1L, 3L)) // order 2's ship is 80 min late → outside band
+  }
+
+  test("dialect streaming SESSION window through sqlStream (file sink, EMIT FINAL)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    ctx.registerStream("s_clicks",
+      in.toDF().toDF("uid", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    // user 1: two bursts 1h apart → 2 sessions; closer must merge
+    in.addData(Seq((1L, 100L), (1L, 200L), (1L, 4000L), (2L, 50000L)))
+    val outDir = ctx.sqlStream(
+      """SELECT uid, COUNT(*) AS n FROM s_clicks GROUP BY uid
+         WINDOW SESSION(event_time, INTERVAL '10' MINUTE)
+         EMIT FINAL""")
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("uid"), r.getAs[Long]("n")))
+    // user 1's closed sessions: {100,200} and {4000} (watermark 50000-600 passes both)
+    assert(rows.count(_._1 == 1L) == 2)
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("dialect SELECT executes as a STREAMING query with EMIT semantics") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
