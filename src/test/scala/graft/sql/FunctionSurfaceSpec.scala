@@ -148,6 +148,23 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[java.sql.Timestamp]("plus_1d").getTime == base + 86400000L)
   }
 
+  test("SELECT-clause alias reuse (SELECT-ALIAS-REUSE.md) via Spark's lateral column aliases") {
+    val r = ctx.sql(
+      """SELECT price / volume AS unit_price,
+         unit_price * 100 AS unit_price_pct,
+         unit_price_pct + 1 AS chained_twice
+         FROM t WHERE id = 1""").collect().head
+    assert(r.getAs[Double]("unit_price") == 10.0)
+    assert(r.getAs[Double]("unit_price_pct") == 1000.0)
+    assert(r.getAs[Double]("chained_twice") == 1001.0)
+    // also inside aggregates-with-grouping
+    val g = ctx.sql(
+      """SELECT symbol, MAX(price) AS top, top - MIN(price) AS spread
+         FROM t GROUP BY symbol""").collect()
+      .map(x => x.getAs[String]("symbol") -> x.getAs[Double]("spread")).toMap
+    assert(g == Map("AAPL" -> 1.5, "MSFT" -> 2.5))
+  }
+
   test("CASE / BETWEEN / LIKE / IS NULL / IN pass through to Catalyst") {
     runs("""SELECT CASE WHEN price > 100 THEN 'hi' ELSE 'lo' END,
             price BETWEEN 50 AND 200, symbol LIKE 'A%',
