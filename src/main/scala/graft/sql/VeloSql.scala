@@ -141,15 +141,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case CreateStreamAs(name, s, _) =>
       val df = spark.sql(toSparkSql(s, defaultTimeCol))
       df.createOrReplaceTempView(name)
-      // INTO <sink>: if the sink was declared with a file path/topic
-      // config, materialize the stream's current contents there (the
-      // Kafka-producer analog; executors write shards directly).
+      // INTO sink[, sink…]: fan the stream out to every named sink
+      // whose path is resolvable — from its CREATE SINK declaration or
+      // from the statement's own dotted props ('file_sink.path' = …).
+      // Executors write each sink's shards directly.
       s.into.foreach { sink =>
-        declaredSources.get(sink).foreach { case (_, props) =>
-          props.get("path").orElse(props.get("file")).foreach { p =>
-            graft.sources.Serde.writeFileUri(df, p)
-          }
-        }
+        val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
+        declared.get("path").orElse(declared.get("file"))
+          .orElse(s.props.get(s"$sink.path")).orElse(s.props.get(s"$sink.file"))
+          .foreach { p => graft.sources.Serde.writeFileUri(df, p) }
       }
       df
 

@@ -127,7 +127,7 @@ object VeloSqlParser {
       orderBy: Option[Vector[Tok]],
       limit: Option[Long],
       emit: Option[EmitMode],
-      into: Option[String] = None,       // `INTO <named_sink>` (CSAS job wiring)
+      into: Vector[String] = Vector.empty, // `INTO sink[, sink…]` (multi-sink job wiring)
       props: Map[String, String] = Map.empty, // `WITH (k=v, …)` on the select
       distinct: Boolean = false)         // SELECT DISTINCT (reference ast.rs:216)
 
@@ -616,14 +616,19 @@ object VeloSqlParser {
       val orderBy = if (at("ORDER")) { take(); expectKw("BY"); Some(exprSpan(stopAtComma = false)) } else None
       val limit = if (at("LIMIT")) { take(); Some(take().text.toLong) } else None
       // trailing job-wiring clauses may come in any order:
-      // INTO <sink>, WITH (props), EMIT CHANGES|FINAL
-      var into: Option[String] = None
+      // INTO sink[, sink…] (multi-sink fan-out), WITH (props), EMIT …
+      var into: Vector[String] = Vector.empty
       var props = Map.empty[String, String]
       var emit: Option[EmitMode] = None
       var progress = true
       while (progress) {
         progress = false
-        if (at("INTO")) { take(); into = Some(ident()); progress = true }
+        if (at("INTO")) {
+          take()
+          into :+= ident()
+          while (peek().exists(_.text == ",")) { take(); into :+= ident() }
+          progress = true
+        }
         if (at("WITH")) { take(); props ++= propMap(); progress = true }
         if (at("EMIT")) { take(); emit = Some(emitMode()); progress = true }
       }

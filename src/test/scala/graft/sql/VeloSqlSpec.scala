@@ -343,6 +343,41 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rows("pending") == ((185.0, 120.0)))
   }
 
+  test("multi-sink INTO fan-out (job_multi_source_sink_test.rs shape)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("multisink").toString
+    ctx.register("raw_orders2", Seq((1L, 1500.0), (2L, 300.0), (3L, -5.0))
+      .toDF("order_id", "total_amount"))
+    val stmt = ctx.parseStatement(
+      s"""CREATE STREAM processed_orders AS
+         SELECT order_id,
+           CASE WHEN total_amount > 1000 THEN 'HIGH_VALUE' ELSE 'NORMAL' END AS order_tier
+         FROM raw_orders2
+         WHERE total_amount > 0
+         INTO kafka_sink, file_sink, audit_sink
+         WITH ('kafka_sink.topic' = 'processed-orders',
+               'file_sink.path' = 'file://$dir/out.json',
+               'audit_sink.path' = 'file://$dir/audit.json')""")
+    stmt match {
+      case VeloSqlParser.CreateStreamAs(_, s, _) =>
+        assert(s.into == Vector("kafka_sink", "file_sink", "audit_sink"))
+      case other => fail(s"$other")
+    }
+    ctx.sql(s"""CREATE STREAM processed_orders AS
+         SELECT order_id,
+           CASE WHEN total_amount > 1000 THEN 'HIGH_VALUE' ELSE 'NORMAL' END AS order_tier
+         FROM raw_orders2
+         WHERE total_amount > 0
+         INTO kafka_sink, file_sink, audit_sink
+         WITH ('kafka_sink.topic' = 'processed-orders',
+               'file_sink.path' = 'file://$dir/out.json',
+               'audit_sink.path' = 'file://$dir/audit.json')""")
+    // both file sinks materialized (kafka sink is topic config only)
+    assert(spark.read.json(s"$dir/out.json").count() == 2)
+    assert(spark.read.json(s"$dir/audit.json").count() == 2)
+    assert(spark.table("processed_orders").count() == 2)
+  }
+
   test("dialect stream-stream WITHIN join executes as a streaming join (watermark-bounded state)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
