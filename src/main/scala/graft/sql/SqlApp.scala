@@ -48,9 +48,19 @@ object SqlApp {
       deploymentNodeName: Option[String] = None,
       deploymentRegion: Option[String] = None)
 
+  /** An observability metric a statement emits (reference
+    * parser/annotations.rs + sql_metrics_integration_test.rs):
+    * `-- @metric: name` opens a spec; `-- @metric_type:`,
+    * `-- @metric_help:` and `-- @metric_labels: a, b` refine it. */
+  final case class MetricSpec(name: String, metricType: String = "counter",
+                              help: Option[String] = None,
+                              labels: Vector[String] = Vector.empty)
+
   /** One statement with its attached annotations:
-    *  - `-- @metric: name` — observability counters the statement emits
-    *    (reference parser/annotations.rs); recorded as metadata.
+    *  - `-- @metric…` — see [[MetricSpec]]; counters are COLLECTED by
+    *    `run` (a labeled count over the statement's result lands in the
+    *    context's metrics registry — executor-side aggregation, only
+    *    label-combo counts reach the driver).
     *  - `-- @partition-count: n` — the statement's parallelism hint;
     *    `run` applies it as `repartition(n)` on the result (the Spark
     *    realization of the reference's V2 partition count). Invalid
@@ -59,7 +69,7 @@ object SqlApp {
     *    as metadata (single-partition routing is a sink concern). */
   final case class AppStatement(id: String, name: Option[String], sql: String,
                                 properties: Map[String, String], order: Int,
-                                metrics: Vector[String] = Vector.empty,
+                                metrics: Vector[MetricSpec] = Vector.empty,
                                 partitionCount: Option[Int] = None,
                                 stickyPartitionId: Option[Int] = None)
 
@@ -177,7 +187,7 @@ object SqlApp {
     var counter = 0
     var curName: Option[String] = None
     var curProps = Map.empty[String, String]
-    var curMetrics = Vector.empty[String]
+    var curMetrics = Vector.empty[MetricSpec]
     var curPartitions: Option[Int] = None
     var curSticky: Option[Int] = None
     val cur = new StringBuilder
@@ -205,7 +215,20 @@ object SqlApp {
       else if (trimmed.startsWith("-- @metric:")) {
         val m = tail(trimmed, "-- @metric:")
         // metric names follow the prometheus identifier shape
-        if (m.matches("[a-zA-Z_][a-zA-Z0-9_]*")) curMetrics :+= m
+        if (m.matches("[a-zA-Z_][a-zA-Z0-9_]*")) curMetrics :+= MetricSpec(m)
+      }
+      else if (trimmed.startsWith("-- @metric_type:") && curMetrics.nonEmpty) {
+        val t = tail(trimmed, "-- @metric_type:").toLowerCase
+        if (Set("counter", "gauge", "histogram").contains(t))
+          curMetrics = curMetrics.init :+ curMetrics.last.copy(metricType = t)
+      }
+      else if (trimmed.startsWith("-- @metric_help:") && curMetrics.nonEmpty) {
+        val h = tail(trimmed, "-- @metric_help:").stripPrefix("\"").stripSuffix("\"")
+        curMetrics = curMetrics.init :+ curMetrics.last.copy(help = Some(h))
+      }
+      else if (trimmed.startsWith("-- @metric_labels:") && curMetrics.nonEmpty) {
+        val ls = tail(trimmed, "-- @metric_labels:").split(',').map(_.trim).filter(_.nonEmpty).toVector
+        curMetrics = curMetrics.init :+ curMetrics.last.copy(labels = ls)
       }
       else if (trimmed.startsWith("-- @partition-count:"))
         curPartitions = intAnn("-- @partition-count:").filter(_ > 0)
@@ -253,12 +276,28 @@ object SqlApp {
 
   /** Parse + execute an application against a context; returns each
     * statement's result in order. `@partition-count: n` becomes a
-    * `repartition(n)` on the statement's (batch) result. */
+    * `repartition(n)` on the statement's (batch) result; counter
+    * `@metric`s are collected into the context's metrics registry as
+    * labeled counts over the statement's result (executor-side
+    * aggregation — only label-combo totals reach the driver). */
   def run(ctx: VeloContext, content: String,
           env: String => Option[String] = sys.env.get): (SqlApplication, Seq[DataFrame]) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val app = parse(content, env)
     val results = app.statements.map { s =>
       val df = ctx.sql(s.sql)
+      s.metrics.filter(_.metricType == "counter").foreach { m =>
+        if (!df.isStreaming) {
+          val series: Vector[(Map[String, String], Long)] =
+            if (m.labels.isEmpty) Vector(Map.empty[String, String] -> df.count())
+            else df.groupBy(m.labels.map(col): _*).agg(count(lit(1)).as("_n"))
+              .collect().toVector.map { r =>
+                m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap ->
+                  r.getAs[Long]("_n")
+              }
+          ctx.recordMetric(m.name, m.metricType, m.help, series)
+        }
+      }
       s.partitionCount match {
         case Some(n) if !df.isStreaming => df.repartition(n)
         case _ => df

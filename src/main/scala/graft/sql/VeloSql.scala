@@ -107,6 +107,36 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * ROLLBACK JOB — the reference's server model, ast.rs:306-366). */
   val jobManager = new JobManager(spark, execStatement)
 
+  /** Collected `@metric` counters: name → (labels → count). Populated
+    * by `SqlApp.run`; rendered by `prometheusText` in the exposition
+    * format the reference's /metrics endpoint serves. */
+  val metricsRegistry: scala.collection.mutable.LinkedHashMap[String, Vector[(Map[String, String], Long)]] =
+    scala.collection.mutable.LinkedHashMap.empty
+  private val metricsHelp = scala.collection.mutable.Map[String, (String, String)]()
+
+  def recordMetric(name: String, metricType: String, help: Option[String],
+                   series: Vector[(Map[String, String], Long)]): Unit = {
+    metricsRegistry(name) = series
+    metricsHelp(name) = (metricType, help.getOrElse(""))
+  }
+
+  /** Prometheus exposition text for everything in the registry. */
+  def prometheusText: String = {
+    val sb = new StringBuilder
+    metricsRegistry.foreach { case (name, series) =>
+      val (typ, help) = metricsHelp.getOrElse(name, ("counter", ""))
+      if (help.nonEmpty) sb.append(s"# HELP $name $help\n")
+      sb.append(s"# TYPE $name $typ\n")
+      series.foreach { case (labels, v) =>
+        val ls =
+          if (labels.isEmpty) ""
+          else labels.toSeq.sorted.map { case (k, lv) => s"""$k="$lv"""" }.mkString("{", ",", "}")
+        sb.append(s"$name$ls $v\n")
+      }
+    }
+    sb.toString
+  }
+
   def sql(text: String): DataFrame = execStatement(parseStatement(text))
 
   private def execStatement(stmt: VeloStatement): DataFrame = stmt match {

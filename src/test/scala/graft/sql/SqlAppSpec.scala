@@ -108,9 +108,39 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
         |SELECT 1
         |""".stripMargin, lookup)
     val Seq(s1, s2) = app.statements.toSeq
-    assert(s1.metrics == Vector("events_total", "high_value_orders_total")) // invalid name dropped
+    assert(s1.metrics.map(_.name) == Vector("events_total", "high_value_orders_total")) // invalid name dropped
     assert(s1.partitionCount.contains(16) && s1.stickyPartitionId.contains(3))
     assert(s2.partitionCount.isEmpty) // non-numeric and non-positive ignored
+  }
+
+  test("metric annotations with type/help/labels collect prometheus counters (sql_metrics_integration_test.rs)") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("market_data", Seq(
+      ("AAPL", "NYSE", 300L, 100L), ("AAPL", "NYSE", 250L, 100L),
+      ("GOOGL", "NASDAQ", 900L, 400L), ("MSFT", "NYSE", 150L, 100L))
+      .toDF("symbol", "exchange", "volume", "avg_volume"))
+    val (app, _) = SqlApp.run(ctx,
+      """-- SQL Application: Metrics Demo
+        |
+        |-- @metric: test_volume_spikes_total
+        |-- @metric_type: counter
+        |-- @metric_help: "Total number of volume spikes detected"
+        |-- @metric_labels: symbol, exchange
+        |CREATE STREAM volume_spikes AS
+        |SELECT symbol, exchange, volume, avg_volume
+        |FROM market_data
+        |WHERE volume > avg_volume * 2
+        |""".stripMargin, lookup)
+    val spec = app.statements.head.metrics.head
+    assert(spec == SqlApp.MetricSpec("test_volume_spikes_total", "counter",
+      Some("Total number of volume spikes detected"), Vector("symbol", "exchange")))
+    val text = ctx.prometheusText
+    assert(text.contains("# TYPE test_volume_spikes_total counter"))
+    assert(text.contains("# HELP test_volume_spikes_total Total number of volume spikes detected"))
+    assert(text.contains("""test_volume_spikes_total{exchange="NYSE",symbol="AAPL"} 2"""))
+    assert(text.contains("""test_volume_spikes_total{exchange="NASDAQ",symbol="GOOGL"} 1"""))
+    assert(!text.contains("MSFT")) // no spike → no series
   }
 
   test("@partition-count applies as repartition(n) on the statement result") {
