@@ -46,7 +46,11 @@ object SqlApp {
       observabilityErrorReporting: Option[Boolean] = None,
       deploymentNodeId: Option[String] = None,
       deploymentNodeName: Option[String] = None,
-      deploymentRegion: Option[String] = None)
+      deploymentRegion: Option[String] = None,
+      /** Unrecognized `-- @key: value` annotations (e.g. @job_mode,
+        * @batch_size, @num_partitions in the reference's demo apps),
+        * kept verbatim for the deployment layer. */
+      extra: Map[String, String] = Map.empty)
 
   /** An observability metric a statement emits (reference
     * parser/annotations.rs + sql_metrics_integration_test.rs):
@@ -176,6 +180,14 @@ object SqlApp {
         md = md.copy(deploymentNodeName = Some(resolvePattern(tail(line, "-- @deployment.node_name:"), env)))
       else if (has("-- @deployment.region:"))
         md = md.copy(deploymentRegion = Some(resolvePattern(tail(line, "-- @deployment.region:"), env)))
+      else if (line.startsWith("-- @") && line.contains(":")
+               && !line.startsWith("-- @name:") && !line.startsWith("-- @metric")
+               && !line.startsWith("-- @partition-count:")
+               && !line.startsWith("-- @sticky-partition-id:")) {
+        val body = line.stripPrefix("-- @")
+        val c = body.indexOf(':')
+        md = md.copy(extra = md.extra + (body.substring(0, c).trim -> body.substring(c + 1).trim))
+      }
     }
     if (md.name.isEmpty)
       throw new ParseException("SQL Application must have a name (-- SQL Application: <name>)")
