@@ -33,7 +33,8 @@ import VeloSqlParser._
   * Job metadata (versions, strategy, status) is driver-side registry
   * state — a few strings per job, nothing data-sized.
   */
-final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame) {
+final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
+                       validate: VeloStatement => Vector[String] = _ => Vector.empty) {
 
   private case class Version(version: String, body: VeloStatement,
                              strategy: String, props: Map[String, String],
@@ -120,9 +121,19 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame) {
     v
   }
 
+  /** Pre-launch gate (the reference's StreamJobServer validation): a
+    * body that fails semantic analysis never reaches `launch`, so a bad
+    * DEPLOY leaves the running version untouched. */
+  private def gate(verb: String, name: String, body: VeloStatement): Unit = {
+    val errors = validate(body)
+    if (errors.nonEmpty)
+      throw new ParseException(s"$verb JOB $name rejected: ${errors.mkString("; ")}")
+  }
+
   def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = {
     val j = jobs.getOrElseUpdate(name, new Job(name))
     if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
+    gate("START", name, body)
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
     launch(j, v)
@@ -155,6 +166,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame) {
 
   def deploy(name: String, version: String, body: VeloStatement,
              props: Map[String, String], strategy: DeployStrategy): DataFrame = {
+    gate("DEPLOY", name, body) // reject BEFORE stopping the running version
     val j = jobs.getOrElseUpdate(name, new Job(name))
     val stratStr = strategy match {
       case BlueGreen => "BLUE_GREEN"

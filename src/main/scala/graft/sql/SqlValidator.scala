@@ -26,7 +26,18 @@ object SqlValidator {
   /** Analyze (not execute) one dialect statement against the context's
     * catalog. DDL/DML bodies are validated through their inner SELECT;
     * lifecycle statements validate their job body and registry refs. */
-  def validateStatement(ctx: VeloContext, sqlText: String, index: Int = 0): QueryValidation = {
+  def validateStatement(ctx: VeloContext, sqlText: String, index: Int = 0): QueryValidation =
+    try validateParsed(ctx, ctx.parseStatement(sqlText), sqlText, index)
+    catch {
+      case e: ParseException =>
+        QueryValidation(index, sqlText.trim.take(120), isValid = false,
+          Vector(s"parse error: ${e.getMessage}"))
+    }
+
+  /** Validate an already-parsed statement (the hook JobManager uses to
+    * reject a deployment before launching it). */
+  def validateParsed(ctx: VeloContext, parsed: VeloStatement,
+                     sqlText: String = "", index: Int = 0): QueryValidation = {
     var errors = Vector.empty[String]
     var warnings = Vector.empty[String]
 
@@ -77,7 +88,7 @@ object SqlValidator {
       if (ctx.jobManager.jobsDf(None).collect().forall(_.getString(0) != name))
         warnings :+= s"job '$name' is not currently registered"
 
-    try validateBody(ctx.parseStatement(sqlText))
+    try validateBody(parsed)
     catch {
       case e: ParseException => errors :+= s"parse error: ${e.getMessage}"
       case NonFatal(e) =>

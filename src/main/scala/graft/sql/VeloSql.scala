@@ -104,8 +104,10 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   }
 
   /** Named-job lifecycle registry (START/STOP/PAUSE/RESUME/DEPLOY/
-    * ROLLBACK JOB — the reference's server model, ast.rs:306-366). */
-  val jobManager = new JobManager(spark, execStatement)
+    * ROLLBACK JOB — the reference's server model, ast.rs:306-366).
+    * Job bodies pass SqlValidator's analyzer gate before launching. */
+  val jobManager = new JobManager(spark, execStatement,
+    body => SqlValidator.validateParsed(this, body).errors)
 
   /** Collected `@metric` counters: name → (labels → count). Populated
     * by `SqlApp.run`; rendered by `prometheusText` in the exposition

@@ -146,6 +146,22 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB spike_monitor")
   }
 
+  test("a bad DEPLOY is rejected by the analyzer gate and the running version survives") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("DEPLOY JOB guarded VERSION '1.0.0' AS SELECT id, v FROM live_events")
+    ctx.jobManager.awaitIdle("guarded")
+    // bogus column → rejected BEFORE the running v1 is stopped
+    val e = intercept[ParseException] {
+      ctx.sql("DEPLOY JOB guarded VERSION '2.0.0' AS SELECT nonexistent_col FROM live_events")
+    }
+    assert(e.getMessage.contains("rejected"))
+    val st = ctx.sql("SHOW STATUS guarded").collect().head
+    assert(st.getAs[String]("version") == "1.0.0")
+    assert(st.getAs[String]("status") == "RUNNING" && st.getAs[Boolean]("is_active"))
+    ctx.sql("STOP JOB guarded")
+  }
+
   test("lifecycle statement grammar parses the reference surface") {
     def p(s: String): VeloStatement = VeloSqlParser.parse(s)
     assert(p("START JOB order_monitor AS SELECT * FROM orders WHERE amount > 100")
