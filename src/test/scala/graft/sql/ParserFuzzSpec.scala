@@ -28,7 +28,20 @@ class ParserFuzzSpec extends AnyFunSuite {
     "INSERT INTO t (a, b) VALUES (1, 'x'), (2, 'y')",
     "UPDATE t SET a = a + 1, b = 'z' WHERE c < 3",
     "DELETE FROM t WHERE a IS NULL",
-    "SELECT sym PRIMARY KEY, COUNT_DISTINCT(v), STRING_AGG(s, ','), price ~ 'x' FROM t GROUP BY sym, TUMBLE(ts, INTERVAL '1' MINUTE)"
+    "SELECT sym PRIMARY KEY, COUNT_DISTINCT(v), STRING_AGG(s, ','), price ~ 'x' FROM t GROUP BY sym, TUMBLE(ts, INTERVAL '1' MINUTE)",
+    // r3 statement families: lifecycle, SHOW, DISTINCT, RECURSIVE, WITHIN GROUP
+    "START JOB m AS SELECT a FROM t WHERE v > 1 WITH ('buffer.size' = '1000')",
+    "DEPLOY JOB a VERSION '2.0.0' AS SELECT x FROM t WHERE y = 'v' STRATEGY CANARY(25) WITH ('r' = '3')",
+    "STOP JOB m FORCE",
+    "ROLLBACK JOB a VERSION '1.5.0'",
+    "SHOW PROPERTIES STREAM orders",
+    "SHOW JOB STATUS analytics",
+    "SHOW TABLES LIKE 'user_%'",
+    "DESCRIBE orders",
+    "SELECT DISTINCT a, b FROM t WHERE c > 1",
+    "WITH RECURSIVE h AS (SELECT a FROM t UNION ALL SELECT a FROM h) SELECT * FROM h",
+    "SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) AS p50, DELTA(v), JSON_EXISTS(d, '$.a'), JSON_QUERY(d, '$.b') FROM t GROUP BY k",
+    "CREATE STREAM p AS SELECT a FROM t INTO s1, s2, s3 WITH ('s1.path' = 'file:///x')"
   )
 
   private def boundedParse(sql: String): Unit = {
