@@ -200,12 +200,17 @@ object SparkEntry {
     }),
 
     // ---- 16. MEDIAN / PERCENTILE_CONT / PERCENTILE_DISC ----
+    //          (both price percentiles ride ONE percentile aggregate —
+    //          one sorted pass over the column instead of two)
     "q16_percentiles" -> ((s, dir) => {
       T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
         expr("median(l_quantity)").as("med_qty"),
-        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25_price"),
-        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.25, 0.9))").as("_ps"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("pd50_qty"))
+        .select(col("l_returnflag"), col("med_qty"),
+          element_at(col("_ps"), 1).as("p25_price"),
+          element_at(col("_ps"), 2).as("p90_price"),
+          col("pd50_qty"))
     }),
 
     // ---- 17. string function surface ----
