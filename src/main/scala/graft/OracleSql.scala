@@ -328,6 +328,61 @@ object OracleSql {
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents""",
 
+    // q60: the curation capstone — language/quality gate, exact
+    // keep-best dedup, near-dup closure, one survivor per cluster.
+    // Composes the previously-green q29/q31/q56/q57 oracle pieces.
+    "q60_curation" -> {
+      val langs = Map(
+        "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+        "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"))
+      def score(l: String) = {
+        val lst = langs(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
+      }
+      s"""WITH RECURSIVE t AS (
+           SELECT doc_id, lang, n_chars, $normText AS norm, $wordsOf AS ws FROM documents),
+         det AS (SELECT *,
+           ${score("de")} AS s_de, ${score("en")} AS s_en,
+           ${score("es")} AS s_es, ${score("fr")} AS s_fr FROM t),
+         gated AS (
+           SELECT doc_id, lang, n_chars, norm, ws,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                  WHEN s_en >= s_de THEN 'en'
+                  ELSE 'de' END AS detected
+           FROM det),
+         g AS (SELECT * FROM gated WHERE detected = lang AND len(ws) >= 5),
+         keep AS (
+           SELECT arg_max(doc_id, n_chars * 1000000 - doc_id) AS doc_id
+           FROM g GROUP BY norm),
+         uniq AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ws) - 2, 1)),
+             i -> array_to_string(ws[i:i+2], ' '))) AS s
+           FROM uniq),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         dropped AS (
+           SELECT u AS doc_id FROM reach GROUP BY u
+           HAVING LEAST(u, MIN(v)) <> u)
+         SELECT doc_id, detected FROM uniq
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""
+    },
+
     "q59_sql_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
          WHERE o_totalprice > 50000""",

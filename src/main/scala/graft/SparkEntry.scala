@@ -626,6 +626,35 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
     }),
 
+    // ---- 60. TRAINING-DATA CURATION CAPSTONE: the full pipeline a
+    //          100 TB corpus runs — language gate (self-consistency) +
+    //          quality gate (token floor) → exact dedup keeping the
+    //          longest copy → MinHash-LSH near-dup candidates → exact
+    //          jaccard verify → connected-components → keep one doc per
+    //          cluster. Every stage is a previously-oracled operator;
+    //          the composition is oracled against a DuckDB CTE chain ----
+    "q60_curation" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val gated = d
+        .withColumn("detected", TextAnalysis.langId(col("text")))
+        .withColumn("n_ws", TextAnalysis.tokenCountWs(col("text")))
+        .filter(col("detected") === col("lang") && col("n_ws") >= 5)
+      val keep = Dedup.exactKeepBest(gated, "text", "doc_id", col("n_chars"))
+        .select(col("keep_id").as("doc_id"))
+      // the curated intermediate feeds FOUR consumers (LSH signatures,
+      // both sides of the verify join, and the final anti-join) —
+      // persist it once, as a production pipeline would checkpoint its
+      // post-gate corpus
+      val uniq = gated.join(keep, Seq("doc_id"), "left_semi").cache()
+      val cand = Dedup.minhashLsh(uniq, "text", "doc_id").select("id_a", "id_b")
+      val verified = Dedup.ngramJaccard(cand, uniq, "text", "doc_id")
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val dropped = Dedup.clusterPairs(verified)
+        .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
+      uniq.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("detected"))
+    }),
+
     // ---- 59. SELECT DISTINCT through the dialect (reference ast.rs:216;
     //          oracled) ----
     "q59_sql_distinct" -> ((s, dir) => {
