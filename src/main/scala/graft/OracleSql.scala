@@ -328,6 +328,15 @@ object OracleSql {
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents""",
 
+    // q61: exact top-k oracled; the CMS estimate bound is asserted as a
+    // boolean the oracle expects uniformly TRUE (the q21 HLL pattern)
+    // NB: tie-break must order by the NUMERIC id — casting in the same
+    // scope would shadow user_id with the VARCHAR alias ('132' < '15')
+    "q61_heavy_hitters" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, n, TRUE AS est_ok
+         FROM (SELECT user_id, COUNT(*) AS n FROM events
+               GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20)""",
+
     // q60: the curation capstone — language/quality gate, exact
     // keep-best dedup, near-dup closure, one survivor per cluster.
     // Composes the previously-green q29/q31/q56/q57 oracle pieces.

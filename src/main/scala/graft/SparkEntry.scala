@@ -626,6 +626,12 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
     }),
 
+    // ---- 61. Count-Min sketch heavy hitters (oracled: exact top-k
+    //          counts + CMS error-bound booleans uniformly TRUE) ----
+    "q61_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Sketches.cmsHeavyHitters(T(s, dir, "events"), "user_id", 20)
+    }),
+
     // ---- 60. TRAINING-DATA CURATION CAPSTONE: the full pipeline a
     //          100 TB corpus runs — language gate (self-consistency) +
     //          quality gate (token floor) → exact dedup keeping the

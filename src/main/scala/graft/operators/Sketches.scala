@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the streaming-engine staples
+  * beyond HLL (q21 covers APPROX_COUNT_DISTINCT):
+  *
+  *  - Count-Min heavy hitters: one distributed pass builds a CMS
+  *    (merge-able per-partition sketches; only the width×depth counter
+  *    grid reaches the driver — a model artifact, not data). Estimates
+  *    are then read off the sketch for the candidate keys. At 100 TB
+  *    this answers "which keys are hot and roughly how hot" without a
+  *    full groupBy materialization; here the exact counts ride along so
+  *    the CMS error bound is oracle-checkable (estimate never BELOW the
+  *    true count; overshoot ≤ eps·N with the configured confidence —
+  *    the q21 pattern: a boolean the oracle expects uniformly TRUE).
+  */
+object Sketches {
+
+  /** Top-k keys by exact count, each with its Count-Min estimate and a
+    * bound check. `eps`/`confidence` size the sketch (width = ⌈e/eps⌉,
+    * depth = ⌈ln(1/(1-confidence))⌉); fixed seed → deterministic. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int,
+                      eps: Double = 0.001, confidence: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count()
+    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+      .collect() // ≤ k rows — the heavy-hitter report itself
+    val bound = (eps * total).ceil.toLong
+    top.toSeq.map { r =>
+      val key = r.get(0)
+      val exact = r.getAs[Long]("n")
+      val est = sketch.estimateCount(key)
+      (String.valueOf(key), exact, est >= exact && est <= exact + bound)
+    }.toDF(keyCol, "n", "est_ok")
+  }
+}

@@ -1,0 +1,22 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** CMS heavy hitters: exact top-k identification with the Count-Min
+  * error bound holding on skewed data. */
+class SketchesSpec extends AnyFunSuite with SparkTestSession {
+
+  test("cmsHeavyHitters: skewed keys surface in order, estimates within the CMS bound") {
+    import spark.implicits._
+    // zipf-ish skew: key 0 → 1000 rows, key 1 → 500, …, long tail of singletons
+    val rows = (0L until 5L).flatMap(k => Seq.fill((1000 / (k + 1)).toInt)(k)) ++
+      (100L until 600L)
+    val df = rows.toDF("user_id")
+    val out = Sketches.cmsHeavyHitters(df, "user_id", 5).collect()
+    assert(out.map(_.getAs[String]("user_id")).toSeq == Seq("0", "1", "2", "3", "4"))
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1000L, 500L, 333L, 250L, 200L))
+    assert(out.forall(_.getAs[Boolean]("est_ok")))
+  }
+}
