@@ -130,7 +130,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       throw new ParseException(s"$verb JOB $name rejected: ${errors.mkString("; ")}")
   }
 
-  def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = {
+  def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = synchronized {
     val j = jobs.getOrElseUpdate(name, new Job(name))
     if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
     gate("START", name, body)
@@ -140,14 +140,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     statusDf(Some(name))
   }
 
-  def stop(name: String, force: Boolean): DataFrame = {
+  def stop(name: String, force: Boolean): DataFrame = synchronized {
     val j = job(name)
     halt(j, drain = !force)
     j.status = "STOPPED"
     statusDf(Some(name))
   }
 
-  def pause(name: String): DataFrame = {
+  def pause(name: String): DataFrame = synchronized {
     val j = job(name)
     if (j.status != "RUNNING") throw new ParseException(s"job $name is not running")
     halt(j, drain = true) // checkpoint retained — resume continues exactly-once
@@ -155,7 +155,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     statusDf(Some(name))
   }
 
-  def resume(name: String): DataFrame = {
+  def resume(name: String): DataFrame = synchronized {
     val j = job(name)
     if (j.status != "PAUSED" && j.status != "STOPPED")
       throw new ParseException(s"job $name is not paused")
@@ -165,7 +165,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   }
 
   def deploy(name: String, version: String, body: VeloStatement,
-             props: Map[String, String], strategy: DeployStrategy): DataFrame = {
+             props: Map[String, String], strategy: DeployStrategy): DataFrame = synchronized {
     gate("DEPLOY", name, body) // reject BEFORE stopping the running version
     val j = jobs.getOrElseUpdate(name, new Job(name))
     val stratStr = strategy match {
@@ -181,7 +181,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     statusDf(Some(name))
   }
 
-  def rollback(name: String, target: Option[String]): DataFrame = {
+  def rollback(name: String, target: Option[String]): DataFrame = synchronized {
     val j = job(name)
     val cur = j.current.getOrElse(throw new ParseException(s"job $name has no deployment"))
     val v = target match {
@@ -198,7 +198,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 
   // ---- SHOW surfaces ----
 
-  def jobsDf(pattern: Option[String]): DataFrame = {
+  def jobsDf(pattern: Option[String]): DataFrame = synchronized {
     import spark.implicits._
     jobs.values.toSeq
       .filter(j => pattern.forall(p => JobManager.likeMatch(j.name, p)))
@@ -206,7 +206,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       .toDF("job_name", "status", "version", "n_versions")
   }
 
-  def statusDf(name: Option[String]): DataFrame = {
+  def statusDf(name: Option[String]): DataFrame = synchronized {
     import spark.implicits._
     jobs.values.toSeq
       .filter(j => name.forall(_ == j.name))
@@ -218,7 +218,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view")
   }
 
-  def versionsDf(name: String): DataFrame = {
+  def versionsDf(name: String): DataFrame = synchronized {
     import spark.implicits._
     val j = job(name)
     j.versions.map(v =>
@@ -229,7 +229,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 
   /** Per-job runtime metrics from the StreamingQuery's progress (the
     * reference's JobMetrics); batch jobs report materialized rows. */
-  def metricsDf(name: Option[String]): DataFrame = {
+  def metricsDf(name: Option[String]): DataFrame = synchronized {
     import spark.implicits._
     jobs.values.toSeq
       .filter(j => name.forall(_ == j.name))
@@ -250,7 +250,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     job(name).handle.foreach(_.processAllAvailable())
 
   /** The job's current output: batch view or executor-written sink dir. */
-  def sinkDf(name: String): DataFrame = {
+  def sinkDf(name: String): DataFrame = synchronized {
     val j = job(name)
     j.batchView.map(spark.table).getOrElse(spark.read.parquet(j.sinkDir))
   }
