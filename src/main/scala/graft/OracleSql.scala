@@ -365,8 +365,10 @@ object OracleSql {
            FROM det),
          g AS (SELECT * FROM gated WHERE detected = lang AND len(ws) >= 5),
          keep AS (
-           SELECT arg_max(doc_id, n_chars * 1000000 - doc_id) AS doc_id
-           FROM g GROUP BY norm),
+           SELECT doc_id FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY norm
+               ORDER BY n_chars DESC, doc_id ASC) AS rn FROM g)
+           WHERE rn = 1),
          uniq AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
          sh AS (
            SELECT doc_id, list_distinct(list_transform(
@@ -516,10 +518,16 @@ object OracleSql {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
 
+    // exact "max score, then min id" tiebreak at ANY id magnitude
+    // (window rank — mirrors the Spark side's struct-ordered max_by)
     "q56_dedup_keep_best" ->
-      s"""SELECT arg_max(doc_id, n_chars * 1000000 - doc_id) AS keep_id,
-         COUNT(*) AS dup_count
-         FROM documents GROUP BY $normText""",
+      s"""SELECT doc_id AS keep_id, dup_count FROM (
+           SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY $normText
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY $normText) AS dup_count
+           FROM documents)
+         WHERE rn = 1""",
 
     "q57_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (
