@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import ProtoWire._
+
+/** Wire-format compatibility (the canonical fixtures from the public
+  * protobuf encoding spec) + DataFrame round-trips. */
+class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
+
+  test("canonical wire fixtures: varint 150, length-delimited string, zigzag") {
+    // protobuf docs: message Test1 { int32 a = 1; } with a = 150 → 08 96 01
+    val f1 = Seq(Field(1, "a", PInt32))
+    assert(encodeRow(Seq(150), f1).map(_ & 0xFF).toSeq == Seq(0x08, 0x96, 0x01))
+    assert(decodeRow(Array(0x08, 0x96.toByte, 0x01), f1).toSeq == Seq(150))
+
+    // message Test2 { string b = 2; } with b = "testing" → 12 07 "testing"
+    val f2 = Seq(Field(2, "b", PString))
+    val enc2 = encodeRow(Seq("testing"), f2)
+    assert(enc2.take(2).map(_ & 0xFF).toSeq == Seq(0x12, 0x07))
+    assert(new String(enc2.drop(2), "UTF-8") == "testing")
+
+    // zigzag: sint encodes -1 → varint 1, -2 → 3 (spec table)
+    val fz = Seq(Field(1, "z", PSInt64))
+    assert(encodeRow(Seq(-1L), fz).map(_ & 0xFF).toSeq == Seq(0x08, 0x01))
+    assert(encodeRow(Seq(-2L), fz).map(_ & 0xFF).toSeq == Seq(0x08, 0x03))
+    assert(decodeRow(encodeRow(Seq(-123456789L), fz), fz).toSeq == Seq(-123456789L))
+  }
+
+  test("unknown fields are skipped; absent fields decode as null") {
+    val writerFields = Seq(Field(1, "a", PInt64), Field(2, "s", PString), Field(3, "d", PDouble))
+    val bytes = encodeRow(Seq(42L, "x", 2.5), writerFields)
+    // reader only knows fields 1 and 3 → field 2 skipped by wire type
+    val readerFields = Seq(Field(1, "a", PInt64), Field(3, "d", PDouble), Field(9, "missing", PString))
+    assert(decodeRow(bytes, readerFields).toSeq == Seq(42L, 2.5, null))
+  }
+
+  test("minimal .proto message parser") {
+    val fields = ProtoSchema.parse(
+      """message Order {
+           int64 order_id = 1;
+           string symbol = 2;
+           double price = 3;
+           optional bool filled = 4;
+           sint64 delta = 5;
+           bytes payload = 6;
+         }""")
+    assert(fields.map(f => (f.number, f.name)) ==
+      Seq((1, "order_id"), (2, "symbol"), (3, "price"), (4, "filled"), (5, "delta"), (6, "payload")))
+    assert(sparkSchema(fields).fieldNames.toSeq ==
+      Seq("order_id", "symbol", "price", "filled", "delta", "payload"))
+  }
+
+  test("DataFrame round-trip: encode → decode preserves values, nulls, negatives, unicode") {
+    import spark.implicits._
+    val proto =
+      """message Ev {
+           int64 id = 1;
+           string name = 2;
+           double v = 3;
+           sint64 delta = 4;
+           bool ok = 5;
+         }"""
+    val df = Seq(
+      (1L, "alice", 1.5, -10L, true),
+      (2L, "Ωmega", -0.25, 0L, false),
+      (3L, "", 1e18, Long.MinValue + 1, true)
+    ).toDF("id", "name", "v", "delta", "ok")
+    val encoded = ProtoWire.encodeProtobuf(df, proto, "value").select("id", "value")
+    val decoded = ProtoWire.decodeProtobuf(encoded.withColumnRenamed("id", "oid"), "value", proto)
+    val back = decoded.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("v"),
+        r.getAs[Long]("delta"), r.getAs[Boolean]("ok")))
+    assert(back.toSeq == Seq(
+      (1L, "alice", 1.5, -10L, true),
+      (2L, "Ωmega", -0.25, 0L, false),
+      (3L, "", 1e18, Long.MinValue + 1, true)))
+    assert(decoded.columns.contains("oid")) // passthrough retained
+  }
+}
