@@ -80,17 +80,23 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, r) => s"${jstr(k)}:${r.sec}" }.mkString("{", ",", "}")
+    def sec3(s: Double): String = f"$s%.3f"
+    val qs = results.map { case (k, r) => s"${jstr(k)}:${sec3(r.sec)}" }.mkString("{", ",", "}")
     val rowsJson = results.map { case (k, r) => s"${jstr(k)}:${r.rows}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, R(_, _, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
-    val json =
+    // stdout line stays COMPACT (rounded secs, no rows/error detail): the
+    // driver only captures the last few KB of stdout, and a long line gets
+    // cut mid-object → unparseable. Full detail goes to bench_out.json.
+    val stdoutJson =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.err.isDefined)},"sf":${jstr(sfDir)}}"""
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.err.isDefined)},"sf":${jstr(sfDir)}}"""
-    println(json)
+    println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    Files.writeString(Paths.get(out), json + "\n")
+    Files.writeString(Paths.get(out), fullJson + "\n")
     spark.stop()
   }
 }

@@ -38,13 +38,28 @@ object ProtoWire {
       "double" -> PDouble, "float" -> PFloat, "string" -> PString, "bytes" -> PBytes)
 
     def parse(proto: String): Seq[Field] = {
-      val body = proto.substring(proto.indexOf('{') + 1, proto.lastIndexOf('}'))
+      val open = proto.indexOf('{')
+      val close = proto.lastIndexOf('}')
+      if (open < 0 || close < open)
+        throw new IllegalArgumentException("proto schema must contain a `message Name { ... }` block")
+      // drop // line comments before splitting field declarations on ';'
+      val body = proto.substring(open + 1, close).linesIterator
+        .map(l => l.indexOf("//") match { case -1 => l; case i => l.substring(0, i) })
+        .mkString("\n")
       body.split(';').map(_.trim).filter(_.nonEmpty).map { line =>
         // [optional] <type> <name> = <number>
-        val toks = line.replace("=", " = ").split("\\s+").filterNot(_ == "optional")
-        val Array(t, name, "=", num) = toks.take(4)
-        Field(num.toInt, name,
-          typeMap.getOrElse(t, throw new IllegalArgumentException(s"unsupported proto type $t")))
+        val toks = line.replace("=", " = ").split("\\s+").filterNot(_ == "optional").toList
+        toks match {
+          case t :: _ if t == "repeated" || t == "map" || t.startsWith("map<") =>
+            throw new IllegalArgumentException(
+              s"unsupported proto field (repeated/map fields are out of scope): $line")
+          case t :: name :: "=" :: num :: Nil if num.forall(_.isDigit) && num.nonEmpty =>
+            Field(num.toInt, name,
+              typeMap.getOrElse(t, throw new IllegalArgumentException(s"unsupported proto type $t")))
+          case _ =>
+            throw new IllegalArgumentException(
+              s"malformed proto field (expected `<type> <name> = <number>`): $line")
+        }
       }.toSeq
     }
   }
@@ -100,11 +115,29 @@ object ProtoWire {
     out.toByteArray
   }
 
+  /** Field-number → output-slot lookup as a flat array, built ONCE per
+    * call site (per partition in `decodeProtobuf`) so the per-row decode
+    * loop does no map construction or boxing. */
+  private[sources] final class FieldIndex(fields: Seq[Field]) extends Serializable {
+    val farr: Array[Field] = fields.toArray
+    private val maxNum: Int = farr.foldLeft(0)((m, f) => math.max(m, f.number))
+    private val slot: Array[Int] = {
+      val a = Array.fill(maxNum + 1)(-1)
+      farr.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
+      a
+    }
+    def lookup(num: Int): Int = if (num >= 0 && num <= maxNum) slot(num) else -1
+  }
+
   /** Decode message bytes to values aligned with `fields` (null for
-    * absent fields; unknown field numbers are skipped, per spec). */
-  def decodeRow(bytes: Array[Byte], fields: Seq[Field]): Array[Any] = {
-    val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
-    val out = new Array[Any](fields.length)
+    * absent fields; unknown field numbers are skipped, per spec).
+    * Convenience overload — builds the lookup per call; the DataFrame
+    * path uses the `FieldIndex` overload built once per partition. */
+  def decodeRow(bytes: Array[Byte], fields: Seq[Field]): Array[Any] =
+    decodeRow(bytes, new FieldIndex(fields))
+
+  private[sources] def decodeRow(bytes: Array[Byte], fidx: FieldIndex): Array[Any] = {
+    val out = new Array[Any](fidx.farr.length)
     var p = 0
     def varint(): Long = {
       var shift = 0; var acc = 0L
@@ -115,8 +148,9 @@ object ProtoWire {
       val tag = varint()
       val num = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
-      byNumber.get(num) match {
-        case Some((f, i)) =>
+      val i = fidx.lookup(num)
+      if (i >= 0) {
+          val f = fidx.farr(i)
           f.ptype match {
             case PInt32 => out(i) = varint().toInt
             case PInt64 => out(i) = varint()
@@ -138,7 +172,7 @@ object ProtoWire {
               val n = varint().toInt
               out(i) = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
           }
-        case None => // unknown field: skip by wire type
+      } else { // unknown field: skip by wire type
           wt match {
             case 0 => varint()
             case 1 => p += 8
@@ -162,9 +196,10 @@ object ProtoWire {
     val outSchema = StructType(passthrough ++ valueSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
+    val fidx = new FieldIndex(fields) // built once, shipped to executors; no per-row setup
     val res = df.mapPartitions { it =>
       it.map { row =>
-        val decoded = decodeRow(row.getAs[Array[Byte]](payloadIdx), fields)
+        val decoded = decodeRow(row.getAs[Array[Byte]](payloadIdx), fidx)
         Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
       }
     }(Encoders.row(outSchema))

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, StreamingQueryException}
 
 import VeloSqlParser._
 
@@ -46,6 +46,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var status: String = "STOPPED" // RUNNING | PAUSED | STOPPED
     var handle: Option[StreamingQuery] = None
     var batchView: Option[String] = None
+    var lastError: Option[String] = None
     val root: String = Files.createTempDirectory(s"graft_job_$name").toString
     var epoch: Int = 0
     def ckptDir: String = s"$root/ckpt-$epoch"
@@ -102,13 +103,22 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     }
     j.current = Some(v)
     j.status = "RUNNING"
+    j.lastError = None
   }
 
+  /** Stop the job's streaming query. Only the EXPECTED termination
+    * exception is caught; whatever error actually killed the query is
+    * surfaced into the job status (`q.exception`) instead of being
+    * silently discarded — a job that died with an error must not be
+    * reported as a clean PAUSED/STOPPED and blindly RESUMEd. */
   private def halt(j: Job, drain: Boolean): Unit = {
     j.handle.foreach { q =>
-      if (drain) try q.processAllAvailable() catch { case _: Throwable => () }
+      if (drain) try q.processAllAvailable() catch { case _: StreamingQueryException => () }
       q.stop()
-      try q.awaitTermination() catch { case _: Throwable => () }
+      try q.awaitTermination() catch { case _: StreamingQueryException => () }
+      j.lastError = q.exception.map(e =>
+        Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
+          .getOrElse(e.getMessage))
     }
     j.handle = None
   }
@@ -134,6 +144,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val j = jobs.getOrElseUpdate(name, new Job(name))
     if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
     gate("START", name, body)
+    // Restarting a stopped job with a DIFFERENT body must not reuse the
+    // old checkpoint (offsets/state belong to the old query — resuming a
+    // new query on them is unsupported) or append into the old sink dir.
+    // A fresh epoch gives it clean checkpoint + sink, like deploy().
+    if (j.current.exists(_.body != body)) j.epoch += 1
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
     launch(j, v)
@@ -213,9 +228,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       .map { j =>
         (j.name, j.status, j.current.map(_.version).getOrElse(""),
           j.current.map(_.strategy).getOrElse(""),
-          j.handle.exists(_.isActive), j.batchView.getOrElse(""))
+          j.handle.exists(_.isActive), j.batchView.getOrElse(""),
+          j.lastError.getOrElse(""))
       }
-      .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view")
+      .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view", "error")
   }
 
   def versionsDf(name: String): DataFrame = synchronized {

@@ -298,8 +298,13 @@ object SqlApp {
     val app = parse(content, env)
     val results = app.statements.map { s =>
       val df = ctx.sql(s.sql)
-      s.metrics.filter(_.metricType == "counter").foreach { m =>
-        if (!df.isStreaming) {
+      val counters = if (df.isStreaming) Vector.empty else s.metrics.filter(_.metricType == "counter")
+      if (counters.nonEmpty) {
+        // The statement plan executes ONCE into the cache; every counter
+        // (and label series) is then a cheap scan of the cached result
+        // instead of a full re-execution per metric.
+        df.persist()
+        try counters.foreach { m =>
           val series: Vector[(Map[String, String], Long)] =
             if (m.labels.isEmpty) Vector(Map.empty[String, String] -> df.count())
             else df.groupBy(m.labels.map(col): _*).agg(count(lit(1)).as("_n"))
@@ -308,7 +313,7 @@ object SqlApp {
                   r.getAs[Long]("_n")
               }
           ctx.recordMetric(m.name, m.metricType, m.help, series)
-        }
+        } finally df.unpersist()
       }
       s.partitionCount match {
         case Some(n) if !df.isStreaming => df.repartition(n)

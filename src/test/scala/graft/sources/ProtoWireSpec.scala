@@ -52,6 +52,32 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
       Seq("order_id", "symbol", "price", "filled", "delta", "payload"))
   }
 
+  test("schema parser: comments tolerated; malformed / repeated / map fields rejected descriptively") {
+    // // comments and blank declarations are fine
+    val fields = ProtoSchema.parse(
+      """message C {
+           int64 id = 1; // primary key
+           // a full-line comment
+           string s = 2;
+         }""")
+    assert(fields.map(_.name) == Seq("id", "s"))
+
+    val noEq = intercept[IllegalArgumentException](
+      ProtoSchema.parse("message M { int64 id 1; }"))
+    assert(noEq.getMessage.contains("int64 id 1"))
+
+    val rep = intercept[IllegalArgumentException](
+      ProtoSchema.parse("message M { repeated int64 ids = 1; }"))
+    assert(rep.getMessage.contains("repeated"))
+
+    val mp = intercept[IllegalArgumentException](
+      ProtoSchema.parse("message M { map<string, int32> kv = 1; }"))
+    assert(mp.getMessage.toLowerCase.contains("map"))
+
+    val noBlock = intercept[IllegalArgumentException](ProtoSchema.parse("int64 id = 1;"))
+    assert(noBlock.getMessage.contains("message"))
+  }
+
   test("DataFrame round-trip: encode → decode preserves values, nulls, negatives, unicode") {
     import spark.implicits._
     val proto =

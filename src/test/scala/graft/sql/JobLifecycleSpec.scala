@@ -146,6 +146,45 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB spike_monitor")
   }
 
+  test("START after STOP with a DIFFERENT body gets a fresh checkpoint/sink epoch (no mixing)") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    ctx.sql("START JOB evolving AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("evolving")
+    assert(ctx.jobManager.sinkDf("evolving").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0))
+    ctx.sql("STOP JOB evolving")
+
+    // new body → must NOT resume the old query's checkpoint or append to
+    // its sink: the fresh epoch reprocesses from offset 0 with v*10 only
+    ctx.sql("START JOB evolving AS SELECT id, v * 10 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("evolving")
+    assert(ctx.jobManager.sinkDf("evolving").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(10.0, 20.0))
+    ctx.sql("STOP JOB evolving")
+
+    // same body restarted → SAME epoch (offset-exact continuation, no rework)
+    in.addData(Seq((3L, 3.0)))
+    ctx.sql("START JOB evolving AS SELECT id, v * 10 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("evolving")
+    assert(ctx.jobManager.sinkDf("evolving").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(10.0, 20.0, 30.0))
+    ctx.sql("STOP JOB evolving")
+  }
+
+  test("a query that dies with an error surfaces it in SHOW STATUS instead of a clean STOPPED") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    // assert_true raises once v >= 5 arrives → the streaming query fails
+    ctx.sql("START JOB fragile AS SELECT id, assert_true(v < 5.0) AS chk FROM live_events")
+    ctx.jobManager.awaitIdle("fragile")
+    in.addData(Seq((2L, 99.0)))
+    ctx.sql("STOP JOB fragile")
+    val st = ctx.sql("SHOW STATUS fragile").collect().head
+    assert(st.getAs[String]("status") == "STOPPED")
+    assert(st.getAs[String]("error").nonEmpty) // the failure is not swallowed
+  }
+
   test("a bad DEPLOY is rejected by the analyzer gate and the running version survives") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))
