@@ -579,7 +579,9 @@ object SparkEntry {
     //          rows-only; recall measured in SimilaritySpec) ----
     "q52_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      val cents = Similarity.trainCentroidsKMeans(e, "embedding", k = 64, dim = 64)
+      // quantizer trained on a bounded deterministic sample (driver-local
+      // Lloyd — the web-scale IVF training shape; one collect job)
+      val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", k = 64, dim = 64)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 64,
           centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),

@@ -175,9 +175,106 @@ object Similarity {
                            maxIter: Int = 10): Array[Double] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Cache the features for the iterative fit: KMeans makes one pass per
+    // iteration (plus init), and without the cache every pass re-reads and
+    // re-converts the source. Random init — k-means|| init is itself several
+    // distributed passes, overkill for a COARSE quantizer whose cells only
+    // need to partition the space roughly evenly. The quantizer is trained
+    // on a BOUNDED sample at scale (pass a sampled corpus in), so sizing
+    // partitions at ~10k vectors each keeps per-iteration task overhead
+    // from dominating the fit on small training sets.
+    val parts = math.max(1, math.min(corpus.rdd.getNumPartitions,
+      (corpus.count() / 10000L).toInt + 1))
     val feat = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter).fit(feat)
-    model.clusterCenters.flatMap(v => v.toArray.padTo(dim, 0.0).take(dim))
+      .coalesce(parts).persist()
+    try {
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+        .setInitMode("random").fit(feat)
+      model.clusterCenters.flatMap(v => v.toArray.padTo(dim, 0.0).take(dim))
+    } finally feat.unpersist(false)
+  }
+
+  /** Train an IVF coarse quantizer on a BOUNDED deterministic sample
+    * with in-memory Lloyd iterations — the standard web-scale shape
+    * (quantizers are trained on ~256·k sampled vectors, not the corpus):
+    * ONE distributed job collects ≤ maxTrainRows vectors to the driver
+    * (a model-scale artifact: maxTrainRows×dim doubles ≈ 32 MB at the
+    * default), then the k-means iterations are pure driver CPU with
+    * zero per-iteration job overhead. The sample is hash-ordered
+    * (TakeOrderedAndProject — per-partition top-k, no global sort), so
+    * it is deterministic and unbiased w.r.t. insertion order. Use
+    * `trainCentroidsKMeans` when the training set itself must stay
+    * distributed. */
+  def trainCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, dim: Int, maxIter: Int = 10,
+                            maxTrainRows: Int = 65536): Array[Double] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(maxTrainRows)
+      .select("v").collect()
+      .map { r =>
+        val s = r.getAs[scala.collection.Seq[Any]](0)
+        val a = new Array[Double](dim)
+        var i = 0
+        s.foreach { x =>
+          if (i < dim) {
+            a(i) = x match {
+              case f: java.lang.Float => f.toDouble
+              case d: java.lang.Double => d.doubleValue()
+              case other => other.toString.toDouble
+            }
+            i += 1
+          }
+        }
+        a
+      }
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val n = sample.length
+    val rnd = new java.util.Random(42)
+    // init: k spread-out sample points (hash order ≈ random order)
+    val cents = Array.tabulate(k)(i =>
+      sample(if (n >= k) i * (n / k) else rnd.nextInt(n)).clone())
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) { // assignment (L2)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val cv = cents(c); val v = sample(i)
+          var d = 0.0; var j = 0
+          while (j < dim && d < bestD) { val t = v(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Int](k)
+      i = 0
+      while (i < n) { // update
+        val c = assign(i); cnt(c) += 1
+        val v = sample(i); val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        } else cents(c) = sample(rnd.nextInt(n)).clone() // empty cell: reseed
+        c += 1
+      }
+      iter += 1
+    }
+    cents.flatten
   }
 
   /** IVF (inverted-file) ANN — the centroid-bucketed scale path: a

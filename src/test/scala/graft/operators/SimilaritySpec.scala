@@ -91,6 +91,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     (0L until 5L).foreach(q => assert(top1.get(q).contains(1000L + q), s"query $q top1=${top1.get(q)}"))
   }
 
+  test("IVF with the sampled driver-local Lloyd quantizer recovers planted twins") {
+    val cents = Similarity.trainCentroidsSampled(corpus, "vec_id", "embedding", k = 12, dim = dim)
+    assert(cents.length == 12 * dim)
+    val queries = corpus.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 3, dim,
+      nCentroids = 12, nprobe = 6, centroids = Some(cents))
+    val top1 = ivf.collect().filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 3L).foreach(q => assert(top1.get(q).contains(1000L + q)))
+    // deterministic: same corpus → bit-identical centroids
+    assert(Similarity.trainCentroidsSampled(corpus, "vec_id", "embedding", k = 12, dim = dim)
+      .sameElements(cents))
+  }
+
   test("IVF with a spark.ml KMeans-trained quantizer recovers planted twins") {
     val cents = Similarity.trainCentroidsKMeans(corpus, "embedding", k = 12, dim = dim)
     assert(cents.length == 12 * dim)
