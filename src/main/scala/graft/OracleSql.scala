@@ -337,6 +337,66 @@ object OracleSql {
          FROM (SELECT user_id, COUNT(*) AS n FROM events
                GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20)""",
 
+    // q62/q63: md5-prefix splitting/sampling — DuckDB recomputes the
+    // exact member set (same md5, same hex-string thresholds).
+    // round(0.8*65536)=52429=0xcccd, round(0.9*65536)=58982=0xe666,
+    // round(0.2*65536)=13107=0x3333.
+    "q62_train_split" ->
+      """SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT lang, n_chars,
+                 CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+                      WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents) t
+         GROUP BY split, lang""",
+
+    "q63_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'""",
+
+    "q64_contamination" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(ws) - 2, 1)),
+                  i -> array_to_string(ws[i:i+2], ' ')))) AS g FROM w),
+         gdf AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+         kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN gdf USING (g) WHERE df <= 1000),
+         bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0)
+         SELECT doc_id, bench_id, COUNT(*) AS n_shared
+         FROM kept JOIN bench USING (g)
+         WHERE doc_id <> bench_id
+         GROUP BY doc_id, bench_id HAVING COUNT(*) >= 3""",
+
+    // q65: keep is gated on the UNROUNDED fractions (as the operator
+    // does); only the surfaced fractions are ROUND(x,4).
+    "q65_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         wc AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         stats AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                     COUNT(*) AS nd, MAX(cnt) AS topn
+                   FROM (SELECT doc_id, word, COUNT(*) AS cnt FROM wc GROUP BY doc_id, word) t
+                   GROUP BY doc_id),
+         grams AS (SELECT doc_id,
+                     len(list_distinct(list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 1)),
+                       i -> array_to_string(ws[i:i+1], ' ')))) AS nd2,
+                     greatest(len(ws) - 1, 1) AS n2 FROM w)
+         SELECT s.doc_id, s.n_words,
+           ROUND(CAST(topn AS DOUBLE) / n_words, 4) AS top_word_frac,
+           ROUND(CAST(nd AS DOUBLE) / n_words, 4) AS distinct_word_frac,
+           ROUND(1.0 - CAST(nd2 AS DOUBLE) / n2, 4) AS dup_2gram_frac,
+           (CAST(topn AS DOUBLE) / n_words <= 0.20
+            AND 1.0 - CAST(nd2 AS DOUBLE) / n2 <= 0.20) AS keep
+         FROM stats s JOIN grams g ON s.doc_id = g.doc_id""",
+
+    // q66/q67: serde round-trips must be the identity — the oracle is
+    // the plain projection the pipeline started from.
+    "q66_proto_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents""",
+
+    "q67_avro_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents""",
+
     // q60: the curation capstone — language/quality gate, exact
     // keep-best dedup, near-dup closure, one survivor per cluster.
     // Composes the previously-green q29/q31/q56/q57 oracle pieces.

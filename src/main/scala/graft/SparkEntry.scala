@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.api.Tables
 import graft.functions.VeloFunctions._
-import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis, TimeWindows}
+import graft.operators.{Contamination, Dedup, Joins, Multimodal, Sampling, Similarity, TextAnalysis, TimeWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (one `queries` entry per
   * operator) and §5 (oracle-parity rules: decimal casts for money sums,
@@ -632,6 +632,75 @@ object SparkEntry {
     //          counts + CMS error-bound booleans uniformly TRUE) ----
     "q61_heavy_hitters" -> ((s, dir) => {
       graft.operators.Sketches.cmsHeavyHitters(T(s, dir, "events"), "user_id", 20)
+    }),
+
+    // ---- 62. deterministic train/val/test split: md5-prefix threshold
+    //          assignment — same row → same split on any cluster layout,
+    //          pure map (no shuffle, no RNG state); oracled exactly ----
+    "q62_train_split" -> ((s, dir) => {
+      Sampling.hashSplit(T(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(col("split"), col("lang"), col("n_docs"), col("sum_chars"))
+    }),
+
+    // ---- 63. deterministic stratified sample (20% per language, keyed
+    //          on lang:doc_id) — the exact member set is oracled ----
+    "q63_stratified_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Sampling.deterministicSample(d,
+          concat_ws(":", col("lang"), col("doc_id")), 0.2)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- 64. benchmark-contamination check: word-3gram overlap join
+    //          between the corpus and a benchmark subset; DF-capped
+    //          grams (skew + precision guard), oracled exactly ----
+    "q64_contamination" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Contamination.ngramOverlap(d, d.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", k = 3, minShared = 3, maxDf = 1000L)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"))
+    }),
+
+    // ---- 65. Gopher-style repetition metrics + gate (top-word and
+    //          duplicate-2gram fractions) over every document ----
+    "q65_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionMetrics(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          round(col("top_word_frac"), 4).as("top_word_frac"),
+          round(col("distinct_word_frac"), 4).as("distinct_word_frac"),
+          round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"), col("keep"))
+    }),
+
+    // ---- 66. protobuf wire-format round-trip over the corpus: encode
+    //          typed columns to binary messages, decode back — output
+    //          must equal a plain projection (oracled) ----
+    "q66_proto_roundtrip" -> ((s, dir) => {
+      val proto =
+        """message Doc {
+             int64 doc_id = 1;
+             string lang = 2;
+             int64 n_chars = 3;
+           }"""
+      val d = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val enc = graft.sources.ProtoWire.encodeProtobuf(d, proto, "payload").select("payload")
+      graft.sources.ProtoWire.decodeProtobuf(enc, "payload", proto)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // ---- 67. binary Avro round-trip over the corpus (Apache Avro
+    //          runtime): encode → decode == plain projection (oracled) ----
+    "q67_avro_roundtrip" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"Doc","fields":[
+             {"name":"doc_id","type":"long"},
+             {"name":"lang","type":"string"},
+             {"name":"n_chars","type":"long"}]}"""
+      val d = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val enc = graft.sources.Serde.encodeAvro(d, schema, "payload").select("payload")
+      graft.sources.Serde.decodeAvro(enc, "payload", schema)
+        .select("doc_id", "lang", "n_chars")
     }),
 
     // ---- 60. TRAINING-DATA CURATION CAPSTONE: the full pipeline a

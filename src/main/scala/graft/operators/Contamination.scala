@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: which corpus documents share
+  * enough word k-grams with an evaluation/benchmark document that they
+  * would leak the benchmark into training — the standard
+  * decontamination pass a training-data pipeline runs before a corpus
+  * ships (n-gram overlap against eval sets).
+  *
+  * Scale shape (linear, no O(n²)):
+  *  1. explode DISTINCT k-grams on both sides (the shingle kernel
+  *     dedups per document);
+  *  2. drop k-grams whose corpus document-frequency exceeds `maxDf` —
+  *     boilerplate/stopword grams are uninformative for contamination
+  *     AND are the only source of hot join keys, so the cap is both a
+  *     precision and a skew guard (same role as the LSH bucket cap);
+  *  3. join corpus↔benchmark on the k-gram — a shuffle keyed by gram,
+  *     candidate pairs only where grams actually collide;
+  *  4. count shared grams per (doc, benchmark doc), keep pairs with
+  *     ≥ `minShared`.
+  *
+  * At 100 TB the benchmark side is small (eval sets, thousands of
+  * docs) — Catalyst broadcasts it after the explode, so the corpus
+  * never shuffles: the join is a broadcast hash join on the gram.
+  */
+object Contamination {
+
+  /** (doc_id, bench_id, n_shared) for every corpus×benchmark pair
+    * sharing ≥ `minShared` distinct word k-grams. Self-pairs (same id
+    * in both frames) are excluded. */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, minShared: Int = 3, maxDf: Long = 1000L): DataFrame = {
+    val cg = corpus.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), k)).as("g"))
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(Dedup.shingles(col(textCol), k)).as("g"))
+    val df = cg.groupBy("g").agg(count(lit(1)).as("_df"))
+    val kept = cg.join(df.where(col("_df") <= maxDf), Seq("g")).drop("_df")
+    kept.join(bg, Seq("g"))
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines (train/val/test assignment, per-stratum downsampling,
+  * held-out carving — the bookkeeping every 100 TB curation run needs
+  * before anything reaches a trainer).
+  *
+  * Everything here is a PURE MAP over a hash of the row's key:
+  *  - no RNG state → the same row lands in the same split on any
+  *    cluster size, any partitioning, any rerun (unlike
+  *    `df.sample`/`randomSplit`, whose output depends on partition
+  *    layout);
+  *  - no shuffle → linear scan cost at any scale;
+  *  - engine-portable → the assignment is `md5(key)` hex-prefix
+  *    thresholding, replayable bit-for-bit by any engine with md5
+  *    (the DuckDB oracle recomputes the exact member set).
+  *
+  * The reference has no sampling surface (velostream is a streaming
+  * engine); this is part of the beyond-reference training-pipeline
+  * layer, alongside dedup/similarity/text-analysis.
+  */
+object Sampling {
+
+  /** Lowercase-hex threshold on the first 4 md5 hex chars covering
+    * `fraction` of the 16-bit prefix space (error < 2⁻¹⁶). */
+  private def hexThreshold(fraction: Double): String =
+    f"${math.max(0L, math.min(65535L, math.round(fraction * 65536L)))}%04x"
+
+  private def hashPrefix(key: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4)
+
+  /** Split-label column: assigns each key to the named splits by
+    * cumulative md5-prefix thresholds. Fractions must sum to ~1; the
+    * LAST split takes the remainder (no threshold rounding loss). */
+  def splitColumn(key: Column, splits: Seq[(String, Double)], salt: String = "graft"): Column = {
+    require(splits.size >= 2, "need at least two splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1 (got $total)")
+    val h = hashPrefix(key, salt)
+    val cum = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    val first = when(h < lit(hexThreshold(cum.head)), lit(splits.head._1))
+    splits.init.drop(1).zip(cum.drop(1))
+      .foldLeft(first) { case (acc, ((name, _), cf)) =>
+        acc.when(h < lit(hexThreshold(cf)), lit(name))
+      }
+      .otherwise(lit(splits.last._1))
+  }
+
+  /** Deterministic train/val/test assignment keyed on `idCol`. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)] =
+                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                outCol: String = "split", salt: String = "graft"): DataFrame =
+    df.withColumn(outCol, splitColumn(col(idCol), splits, salt))
+
+  /** Membership predicate for a deterministic `fraction` sample keyed
+    * on `key` (stratify by putting the stratum in the key or the salt).
+    */
+  def sampleFilter(key: Column, fraction: Double, salt: String = "graft"): Column =
+    if (fraction >= 1.0) lit(true)
+    else hashPrefix(key, salt) < lit(hexThreshold(fraction))
+
+  /** Deterministic sample: keeps ~`fraction` of rows, same rows on
+    * every rerun and every cluster layout. */
+  def deterministicSample(df: DataFrame, keyCol: Column, fraction: Double,
+                          salt: String = "graft"): DataFrame =
+    df.where(sampleFilter(keyCol, fraction, salt))
+}

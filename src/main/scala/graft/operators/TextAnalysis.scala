@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -76,6 +76,46 @@ object TextAnalysis {
   def tokenCountBpe(textCol: Column): Column = {
     val cleaned = regexp_replace(textCol, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]", "#")
     length(cleaned) - length(regexp_replace(cleaned, "#", ""))
+  }
+
+  /** Gopher-style repetition metrics — the second tier of quality
+    * filtering after `qualityMetrics`' cheap ratios: documents dominated
+    * by one word or by repeated phrases are SEO spam / boilerplate, and
+    * the published curation recipes (Gopher, RefinedWeb, FineWeb) gate
+    * on exactly these fractions.
+    *
+    * Per document:
+    *  - `top_word_frac`   — occurrences of the most frequent word / words
+    *  - `distinct_word_frac` — distinct words / words
+    *  - `dup_2gram_frac`  — 1 − distinct 2-grams / total 2-grams
+    *  - `keep`            — the gate at the given thresholds
+    *
+    * Scale shape: word stats flow through ONE explode → count per
+    * (doc, word) → re-agg per doc (shuffles keyed by doc id — linear,
+    * skew-free: a document's work is bounded by its own length, never by
+    * corpus size); the 2-gram fraction is a pure array expression on the
+    * shingle kernel (no shuffle at all). No per-doc quadratic HOF scans.
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String, idCol: String,
+                        maxTopWordFrac: Double = 0.20,
+                        maxDup2gramFrac: Double = 0.20): DataFrame = {
+    val wordStats = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("wn"))
+      .groupBy("doc_id").agg(
+        sum("wn").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("wn").as("top_word_n"))
+    val gramStats = docs.select(col(idCol).as("doc_id"),
+      size(Dedup.shingles(col(textCol), 2)).cast("long").as("n_distinct_2grams"),
+      greatest(size(words(col(textCol))) - 1, lit(1)).cast("long").as("n_2grams"))
+    wordStats.join(gramStats, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("n_distinct_words").cast("double") / col("n_words")).as("distinct_word_frac"),
+        (lit(1.0d) - col("n_distinct_2grams").cast("double") / col("n_2grams")).as("dup_2gram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= maxTopWordFrac && col("dup_2gram_frac") <= maxDup2gramFrac)
   }
 
   /** Polynomial rolling hash of the normalized text — the document

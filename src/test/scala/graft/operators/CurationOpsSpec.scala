@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The r4 training-pipeline additions: deterministic splitting/sampling,
+  * benchmark-contamination overlap, repetition quality gate. All are
+  * also oracled end-to-end (q62–q65); these specs pin the properties the
+  * oracle can't see: determinism under partition layout, split
+  * disjointness, planted contamination recall, and gate behavior on
+  * crafted degenerate documents. */
+class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("hashSplit: total cover, disjoint, ~requested fractions, layout-independent") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val split = Sampling.hashSplit(ids, "id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)                  // total cover, no row lost
+    assert(math.abs(counts("train") - 8000L) < 300)      // ~binomial tolerance
+    assert(math.abs(counts("val") - 1000L) < 150)
+    assert(math.abs(counts("test") - 1000L) < 150)
+
+    // same assignment regardless of partition layout / repeated runs
+    val a = split.where(col("split") === "val").select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSplit(ids.repartition(17), "id")
+      .where(col("split") === "val").select("id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("deterministicSample: stable member set, salt changes it, fraction honored") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val s1 = Sampling.deterministicSample(ids, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(ids.repartition(7), col("id"), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                                     // layout-independent
+    assert(math.abs(s1.size - 1000) < 150)
+    val salted = Sampling.deterministicSample(ids, col("id"), 0.1, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != s1)                                 // salt re-draws the sample
+    // nested sampling: a 10% sample of a 20% sample ⊂ the 20% sample
+    val outer = Sampling.deterministicSample(ids, col("id"), 0.2)
+    val inner = Sampling.deterministicSample(outer, col("id"), 0.2, salt = "inner")
+      .collect().map(_.getLong(0)).toSet
+    assert(inner.subsetOf(Sampling.deterministicSample(ids, col("id"), 0.2)
+      .collect().map(_.getLong(0)).toSet))
+  }
+
+  test("ngramOverlap: planted contamination found, unrelated doc clean, hot grams capped") {
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, benchText + " plus a tail of extra words"),       // contaminated (shares many 3-grams)
+      (2L, "completely different content about spark plans and shuffle exchanges"),
+      (3L, "boiler plate boiler plate boiler plate boiler plate")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val hits = Contamination.ngramOverlap(corpus, bench, "text", "doc_id",
+        k = 3, minShared = 3, maxDf = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.exists { case (d, b, n) => d == 1L && b == 100L && n >= 10 })
+    assert(!hits.exists(_._1 == 2L))
+
+    // a gram present in EVERY corpus doc is dropped by the DF cap
+    val common = Seq(
+      (1L, "alpha beta gamma one"), (2L, "alpha beta gamma two"),
+      (3L, "alpha beta gamma three"), (4L, "alpha beta gamma four")
+    ).toDF("doc_id", "text")
+    val b2 = Seq((99L, "alpha beta gamma five")).toDF("doc_id", "text")
+    val capped = Contamination.ngramOverlap(common, b2, "text", "doc_id",
+      k = 3, minShared = 1, maxDf = 3L)
+    assert(capped.where(col("n_shared") >= 1).collect()
+      .forall(_.getLong(2) <= 1)) // "alpha beta gamma" (df=4) never counts
+  }
+
+  test("repetitionMetrics: degenerate repetition gated out, normal prose kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),              // one word
+      (2L, "buy now buy now buy now buy now buy now buy now"),      // repeated phrase
+      (3L, "a genuinely varied sentence with many distinct words appearing once each")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("top_word_frac"), r.getAs[Double]("dup_2gram_frac"), r.getAs[Boolean]("keep")))).toMap
+    assert(m(1L)._1 == 1.0 && !m(1L)._3)
+    assert(m(2L)._2 > 0.5 && !m(2L)._3)                  // "buy now buy" style dup 2-grams
+    assert(m(3L)._1 <= 0.2 && m(3L)._2 <= 0.2 && m(3L)._3)
+  }
+}
