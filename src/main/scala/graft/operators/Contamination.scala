@@ -29,15 +29,23 @@ object Contamination {
 
   /** (doc_id, bench_id, n_shared) for every corpus×benchmark pair
     * sharing ≥ `minShared` distinct word k-grams. Self-pairs (same id
-    * in both frames) are excluded. */
+    * in both frames) are excluded.
+    *
+    * The corpus gram stream is semi-joined against the benchmark's
+    * gram set BEFORE anything aggregates: corpus document frequency is
+    * only needed for grams that can match the benchmark, so the DF
+    * shuffle carries bench-matching grams (tiny — bounded by the eval
+    * sets) instead of every gram in a 100 TB corpus. Per-gram DF is
+    * unchanged by the restriction (it counts corpus docs per gram). */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, minShared: Int = 3, maxDf: Long = 1000L): DataFrame = {
     val cg = corpus.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
-    val df = cg.groupBy("g").agg(count(lit(1)).as("_df"))
-    val kept = cg.join(df.where(col("_df") <= maxDf), Seq("g")).drop("_df")
+    val candidate = cg.join(bg.select("g").distinct(), Seq("g"), "left_semi")
+    val df = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
+    val kept = candidate.join(df.where(col("_df") <= maxDf), Seq("g")).drop("_df")
     kept.join(bg, Seq("g"))
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))

@@ -55,10 +55,16 @@ object SqlApp {
   /** An observability metric a statement emits (reference
     * parser/annotations.rs + sql_metrics_integration_test.rs):
     * `-- @metric: name` opens a spec; `-- @metric_type:`,
-    * `-- @metric_help:` and `-- @metric_labels: a, b` refine it. */
+    * `-- @metric_help:`, `-- @metric_labels: a, b`,
+    * `-- @metric_field: col` (required for gauge/histogram; a counter
+    * with a field increments by the field value) and
+    * `-- @metric_buckets: 100, 500, …` (histogram `le` boundaries,
+    * positive ascending) refine it. */
   final case class MetricSpec(name: String, metricType: String = "counter",
                               help: Option[String] = None,
-                              labels: Vector[String] = Vector.empty)
+                              labels: Vector[String] = Vector.empty,
+                              field: Option[String] = None,
+                              buckets: Vector[Double] = Vector.empty)
 
   /** One statement with its attached annotations:
     *  - `-- @metric…` — see [[MetricSpec]]; counters are COLLECTED by
@@ -207,6 +213,12 @@ object SqlApp {
       val sqlText = cur.toString.trim
       cur.clear()
       if (sqlText.nonEmpty) {
+        // reference validate_annotation: gauge/histogram need a field
+        curMetrics.foreach { m =>
+          if ((m.metricType == "gauge" || m.metricType == "histogram") && m.field.isEmpty)
+            throw new ParseException(
+              s"metric '${m.name}' of type ${m.metricType} requires @metric_field")
+        }
         statements :+= AppStatement(s"stmt_$counter", curName,
           resolvePattern(sqlText, env), curProps, counter,
           curMetrics, curPartitions, curSticky)
@@ -241,6 +253,24 @@ object SqlApp {
       else if (trimmed.startsWith("-- @metric_labels:") && curMetrics.nonEmpty) {
         val ls = tail(trimmed, "-- @metric_labels:").split(',').map(_.trim).filter(_.nonEmpty).toVector
         curMetrics = curMetrics.init :+ curMetrics.last.copy(labels = ls)
+      }
+      else if (trimmed.startsWith("-- @metric_field:") && curMetrics.nonEmpty) {
+        val f = tail(trimmed, "-- @metric_field:")
+        if (f.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(field = Some(f))
+      }
+      else if (trimmed.startsWith("-- @metric_buckets:") && curMetrics.nonEmpty) {
+        // demo-app form `100, 500, 1000`; bracketed `[…]` also admitted
+        val raw = tail(trimmed, "-- @metric_buckets:").stripPrefix("[").stripSuffix("]")
+        val bs = raw.split(',').map(_.trim).filter(_.nonEmpty).map { v =>
+          try v.toDouble catch {
+            case _: NumberFormatException =>
+              throw new ParseException(s"invalid histogram bucket '$v' in @metric_buckets")
+          }
+        }.toVector
+        // the reference validates positive ascending boundaries (Prometheus requirement)
+        if (bs.exists(_ <= 0.0) || bs.zip(bs.drop(1)).exists { case (a, b) => a >= b })
+          throw new ParseException(s"histogram buckets must be positive and ascending: $raw")
+        curMetrics = curMetrics.init :+ curMetrics.last.copy(buckets = bs)
       }
       else if (trimmed.startsWith("-- @partition-count:"))
         curPartitions = intAnn("-- @partition-count:").filter(_ > 0)
@@ -288,31 +318,70 @@ object SqlApp {
 
   /** Parse + execute an application against a context; returns each
     * statement's result in order. `@partition-count: n` becomes a
-    * `repartition(n)` on the statement's (batch) result; counter
-    * `@metric`s are collected into the context's metrics registry as
-    * labeled counts over the statement's result (executor-side
-    * aggregation — only label-combo totals reach the driver). */
+    * `repartition(n)` on the statement's (batch) result; `@metric`s of
+    * every type are collected into the context's metrics registry over
+    * the statement's result (executor-side aggregation — only
+    * label-combo aggregates reach the driver):
+    *  - counter — row count, or sum of `@metric_field` when set;
+    *  - gauge — the latest `@metric_field` value per label series
+    *    (the reference's last-write-wins scrape semantics);
+    *  - histogram — cumulative `le`-bucket counts + `_sum`/`_count`
+    *    per label series, one aggregation pass for ALL buckets. */
   def run(ctx: VeloContext, content: String,
           env: String => Option[String] = sys.env.get): (SqlApplication, Seq[DataFrame]) = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, count, last, lit, sum, when}
     val app = parse(content, env)
     val results = app.statements.map { s =>
       val df = ctx.sql(s.sql)
-      val counters = if (df.isStreaming) Vector.empty else s.metrics.filter(_.metricType == "counter")
-      if (counters.nonEmpty) {
-        // The statement plan executes ONCE into the cache; every counter
+      val specs = if (df.isStreaming) Vector.empty else s.metrics
+      if (specs.nonEmpty) {
+        // The statement plan executes ONCE into the cache; every metric
         // (and label series) is then a cheap scan of the cached result
         // instead of a full re-execution per metric.
         df.persist()
-        try counters.foreach { m =>
-          val series: Vector[(Map[String, String], Long)] =
-            if (m.labels.isEmpty) Vector(Map.empty[String, String] -> df.count())
-            else df.groupBy(m.labels.map(col): _*).agg(count(lit(1)).as("_n"))
+        try specs.foreach { m =>
+          def num(v: Any): Double = v match {
+            case null => 0.0
+            case n: java.lang.Number => n.doubleValue()
+            case other => other.toString.toDouble
+          }
+          // one aggregation pass per metric, grouped by its label columns
+          def collectAgg(aggs: Seq[Column]): Vector[(Map[String, String], Seq[Double])] =
+            if (m.labels.isEmpty)
+              df.agg(aggs.head, aggs.tail: _*).collect().toVector
+                .map(r => Map.empty[String, String] -> aggs.indices.map(i => num(r.get(i))))
+            else df.groupBy(m.labels.map(col): _*).agg(aggs.head, aggs.tail: _*)
               .collect().toVector.map { r =>
                 m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap ->
-                  r.getAs[Long]("_n")
+                  aggs.indices.map(i => num(r.get(m.labels.length + i)))
               }
-          ctx.recordMetric(m.name, m.metricType, m.help, series)
+          def fmtLe(b: Double): String =
+            if (b.isWhole) b.toLong.toString else b.toString
+          m.metricType match {
+            case "counter" =>
+              val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)))
+              ctx.recordMetricSeries(m.name, m.metricType, m.help,
+                collectAgg(Seq(agg)).map { case (ls, vs) => ("", ls, vs.head) })
+            case "gauge" =>
+              val agg = last(col(m.field.get).cast("double"), ignoreNulls = true)
+              ctx.recordMetricSeries(m.name, m.metricType, m.help,
+                collectAgg(Seq(agg)).map { case (ls, vs) => ("", ls, vs.head) })
+            case "histogram" =>
+              val f = col(m.field.get).cast("double")
+              val aggs = Seq(count(f), sum(f)) ++
+                m.buckets.map(b => sum(when(f <= b, 1L).otherwise(0L)))
+              val series = collectAgg(aggs).flatMap { case (ls, vs) =>
+                val (cnt, total) = (vs(0), vs(1))
+                m.buckets.zipWithIndex.map { case (b, i) =>
+                  ("_bucket", ls + ("le" -> fmtLe(b)), vs(2 + i))
+                } ++ Vector(
+                  ("_bucket", ls + ("le" -> "+Inf"), cnt),
+                  ("_sum", ls, total), ("_count", ls, cnt))
+              }
+              ctx.recordMetricSeries(m.name, m.metricType, m.help, series)
+            case _ => // unknown type already filtered at parse
+          }
         } finally df.unpersist()
       }
       s.partitionCount match {

@@ -109,18 +109,31 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   val jobManager = new JobManager(spark, execStatement,
     body => SqlValidator.validateParsed(this, body).errors)
 
-  /** Collected `@metric` counters: name → (labels → count). Populated
-    * by `SqlApp.run`; rendered by `prometheusText` in the exposition
+  /** Collected `@metric` series: name → (sample-name suffix, labels,
+    * value). Counters/gauges use the empty suffix; histograms record
+    * their `_bucket`/`_sum`/`_count` samples under the base name, as
+    * the Prometheus exposition format requires. Populated by
+    * `SqlApp.run`; rendered by `prometheusText` in the exposition
     * format the reference's /metrics endpoint serves. */
-  val metricsRegistry: scala.collection.mutable.LinkedHashMap[String, Vector[(Map[String, String], Long)]] =
+  val metricsRegistry: scala.collection.mutable.LinkedHashMap[String, Vector[(String, Map[String, String], Double)]] =
     scala.collection.mutable.LinkedHashMap.empty
   private val metricsHelp = scala.collection.mutable.Map[String, (String, String)]()
 
   def recordMetric(name: String, metricType: String, help: Option[String],
-                   series: Vector[(Map[String, String], Long)]): Unit = {
+                   series: Vector[(Map[String, String], Long)]): Unit =
+    recordMetricSeries(name, metricType, help,
+      series.map { case (labels, v) => ("", labels, v.toDouble) })
+
+  def recordMetricSeries(name: String, metricType: String, help: Option[String],
+                         series: Vector[(String, Map[String, String], Double)]): Unit = {
     metricsRegistry(name) = series
     metricsHelp(name) = (metricType, help.getOrElse(""))
   }
+
+  /** Integral values render without a decimal point (counter parity
+    * with the reference's integer counters). */
+  private def fmtMetric(v: Double): String =
+    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   /** Prometheus exposition text for everything in the registry. */
   def prometheusText: String = {
@@ -129,11 +142,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       val (typ, help) = metricsHelp.getOrElse(name, ("counter", ""))
       if (help.nonEmpty) sb.append(s"# HELP $name $help\n")
       sb.append(s"# TYPE $name $typ\n")
-      series.foreach { case (labels, v) =>
+      series.foreach { case (suffix, labels, v) =>
         val ls =
           if (labels.isEmpty) ""
           else labels.toSeq.sorted.map { case (k, lv) => s"""$k="$lv"""" }.mkString("{", ",", "}")
-        sb.append(s"$name$ls $v\n")
+        sb.append(s"$name$suffix$ls ${fmtMetric(v)}\n")
       }
     }
     sb.toString

@@ -143,6 +143,73 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(!text.contains("MSFT")) // no spike → no series
   }
 
+  test("gauge and histogram metrics collect with field/buckets (reference annotations.rs)") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    // single partition: keeps gauge's last-write-wins deterministic here
+    ctx.register("ticks", Seq(
+      ("AAPL", 150.0, 300L), ("GOOGL", 2800.0, 900L), ("AAPL", 152.5, 700L),
+      ("GOOGL", 2790.0, 40000L))
+      .toDF("symbol", "price", "total_volume").coalesce(1))
+    val (app, _) = SqlApp.run(ctx,
+      """-- SQL Application: Gauges
+        |
+        |-- @metric: current_price
+        |-- @metric_type: gauge
+        |-- @metric_field: price
+        |-- @metric_labels: symbol
+        |-- @metric: tick_volume_distribution
+        |-- @metric_type: histogram
+        |-- @metric_help: "Distribution of volume per tick"
+        |-- @metric_field: total_volume
+        |-- @metric_buckets: 100, 500, 1000, 5000, 10000, 50000
+        |SELECT symbol, price, total_volume FROM ticks
+        |""".stripMargin, lookup)
+    val Seq(g, h) = app.statements.head.metrics.toSeq
+    assert(g == SqlApp.MetricSpec("current_price", "gauge", None, Vector("symbol"), Some("price")))
+    assert(h.buckets == Vector(100.0, 500.0, 1000.0, 5000.0, 10000.0, 50000.0))
+
+    val text = ctx.prometheusText
+    assert(text.contains("# TYPE current_price gauge"))
+    assert(text.contains("""current_price{symbol="GOOGL"} 2790"""))
+    assert(text.contains("# TYPE tick_volume_distribution histogram"))
+    // cumulative le-buckets over all 4 ticks: ≤500 → 1, ≤1000 → 3, ≤50000 → 4
+    assert(text.contains("""tick_volume_distribution_bucket{le="500"} 1"""))
+    assert(text.contains("""tick_volume_distribution_bucket{le="1000"} 3"""))
+    assert(text.contains("""tick_volume_distribution_bucket{le="50000"} 4"""))
+    assert(text.contains("""tick_volume_distribution_bucket{le="+Inf"} 4"""))
+    assert(text.contains("tick_volume_distribution_sum 41900"))
+    assert(text.contains("tick_volume_distribution_count 4"))
+
+    // counter with a field increments by the field value
+    SqlApp.run(ctx,
+      """-- SQL Application: FieldCounter
+        |-- @metric: volume_total
+        |-- @metric_type: counter
+        |-- @metric_field: total_volume
+        |SELECT total_volume FROM ticks
+        |""".stripMargin, lookup)
+    assert(ctx.prometheusText.contains("volume_total 41900"))
+
+    // gauge without @metric_field is rejected (reference validate_annotation)
+    val e = intercept[ParseException](SqlApp.parse(
+      """-- SQL Application: Bad
+        |-- @metric: naked_gauge
+        |-- @metric_type: gauge
+        |SELECT 1
+        |""".stripMargin, lookup))
+    assert(e.getMessage.contains("requires @metric_field"))
+    // descending buckets rejected
+    intercept[ParseException](SqlApp.parse(
+      """-- SQL Application: Bad2
+        |-- @metric: bad_hist
+        |-- @metric_type: histogram
+        |-- @metric_field: v
+        |-- @metric_buckets: 100, 50
+        |SELECT 1
+        |""".stripMargin, lookup))
+  }
+
   test("@partition-count applies as repartition(n) on the statement result") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
