@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-growth probe for the dedup/ANN pipelines (the operators whose
+  * 100 TB behavior the relational cross-SF table in SURVEY §4 does not
+  * cover): runs each scale-path pipeline on the provided corpus and on
+  * an M× self-multiplied copy, and prints wall-time ratios.
+  *
+  * The multiplication keeps the duplicate/neighbor structure CONSTANT
+  * per replica and empty ACROSS replicas, so an M× run has exactly M×
+  * the documents, M× the near-dup pairs, and M× the clusters — the
+  * regime where a linear pipeline must show ~M× (or less, while
+  * overhead-bound) wall growth:
+  *  - documents: per-replica Caesar rotation of the alphabet — word
+  *    and shingle structure inside a replica is preserved exactly,
+  *    while replicas share no shingles at all;
+  *  - embeddings: per-replica Rademacher sign flip per dimension —
+  *    cosine within a replica is EXACTLY unchanged (both vectors flip
+  *    the same signs), while cross-replica cosines are sign-scrambled
+  *    noise.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier]
+  */
+object ScaleProbe {
+
+  private val alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rotated(i: Int): String =
+    alphabet.drop(i % 26) + alphabet.take(i % 26)
+
+  /** M replicas of the documents table with disjoint id ranges and
+    * per-replica rotated alphabets. */
+  def multiplyDocs(docs: DataFrame, m: Int): DataFrame =
+    (0 until m).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), alphabet, rotated(i))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  /** M replicas of the embeddings table; replica i multiplies each
+    * dimension d by sign(hash(i, d)) — an orthogonal transform, so
+    * intra-replica cosines are bit-identical. */
+  def multiplyEmbeddings(emb: DataFrame, m: Int, dim: Int): DataFrame =
+    (0 until m).map { i =>
+      val rnd = new java.util.Random(1234L + i)
+      val signs = Array.fill(dim)(if (i == 0 || rnd.nextBoolean()) 1.0f else -1.0f)
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else zip_with(col("embedding"), typedLit(signs.toSeq), (x, s) => x * s))
+          .as("embedding"))
+    }.reduce(_ unionAll _)
+
+  private def time(label: String)(f: => Long): (String, Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[probe] $label%-28s $sec%7.2f s  rows=$rows")
+    (label, sec, rows)
+  }
+
+  private def force(df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n")).write.format("noop").mode("overwrite").save()
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val m = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = graft.api.Tables.load(spark, sfDir, "documents")
+    val emb1 = graft.api.Tables.load(spark, sfDir, "embeddings")
+    // materialize the multiplied inputs once (scan cost must not be
+    // attributed to the pipelines under test)
+    val docsM = multiplyDocs(docs1, m).repartition(32).persist()
+    val embM = multiplyEmbeddings(emb1, m, 64).repartition(32).persist()
+    docs1.persist(); emb1.persist()
+    force(docsM); force(embM); force(docs1); force(emb1)
+
+    def pipelines(tag: String, d: DataFrame, e: DataFrame): Seq[(String, Double, Long)] = Seq(
+      time(s"exact_dedup_$tag") { force(Dedup.exact(d, "text", "doc_id")) },
+      time(s"minhash_lsh_$tag") { force(Dedup.minhashLsh(d, "text", "doc_id")) },
+      time(s"lsh_verify_cluster_$tag") {
+        val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
+        val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
+          .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+        force(Dedup.clusterPairs(verified))
+      },
+      time(s"simhash_pairs_$tag") { force(Dedup.simhashPairs(d, "text", "doc_id")) },
+      time(s"embed_lsh_pairs_$tag") {
+        // threshold 0.4 rather than the operator's near-dup default: the
+        // synthetic corpus has no cos ≥ 0.9 pairs, and a probe that finds
+        // nothing would not exercise the pair-generation shuffle at all
+        force(Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 64, minCos = 0.4))
+      },
+      time(s"ann_ivf_$tag") {
+        val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
+        force(Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          10, 64, centroids = Some(cents)))
+      })
+
+    val warm = pipelines("warmup", docs1, emb1) // JIT + codegen warmup
+    val base = pipelines("1x", docs1, emb1)
+    val big = pipelines(s"${m}x", docsM, embM)
+    val _ = warm
+
+    println("| pipeline | 1x sec | " + m + "x sec | wall ratio (data " + m + "x) |")
+    println("|---|---|---|---|")
+    base.zip(big).foreach { case ((l, s1, r1), (_, sm, rm)) =>
+      val name = l.stripSuffix("_1x")
+      println(f"| $name | $s1%.2f (rows=$r1) | $sm%.2f (rows=$rm) | ${sm / s1}%.2f |")
+    }
+    spark.stop()
+  }
+}
