@@ -1175,12 +1175,40 @@ object VeloSqlParser {
     var partition = Vector.empty[Tok]
     var order = Vector.empty[Tok]
     var frame = Vector.empty[Tok]
-    val stops = Set("PARTITION", "ORDER", "ROWS", "RANGE", "EMIT")
+    val stops = Set("PARTITION", "ORDER", "ROWS", "RANGE", "EMIT", "EXPIRE")
     while (i < inner.length) {
       if (at("PARTITION") && at("BY", 1)) { i += 2; partition = spanUntil(stops) }
       else if (at("ORDER") && at("BY", 1)) { i += 2; order = spanUntil(stops) }
-      else if (at("ROWS") || at("RANGE")) { frame = spanUntil(Set("EMIT")) }
-      else if (at("EMIT")) { i += 2 } // EMIT CHANGES|FINAL — streaming concern
+      else if (at("ROWS") || at("RANGE")) { frame = spanUntil(Set("EMIT", "EXPIRE")) }
+      else if (at("EMIT")) {
+        // RowsEmitMode (ast.rs:567): CHANGES|FINAL, EVERY RECORD
+        // (default per-record emission), ON BUFFER FULL / ON
+        // BUFFER_FULL (batch-like). Emission cadence is the streaming
+        // runner's concern; the batch trailing-frame rewrite is
+        // identical for all of them.
+        i += 1
+        if (at("CHANGES") || at("FINAL")) i += 1
+        else if (at("EVERY") && at("RECORD", 1)) i += 2
+        else if (at("ON") && at("BUFFER_FULL", 1)) i += 2
+        else if (at("ON") && at("BUFFER", 1) && at("FULL", 2)) i += 3
+        else throw new ParseException("malformed EMIT mode in ROWS WINDOW")
+      }
+      else if (at("EXPIRE") && at("AFTER", 1)) {
+        // RowExpirationMode (ast.rs:580): EXPIRE AFTER NEVER |
+        // EXPIRE AFTER INTERVAL 'n' unit INACTIVITY. Buffer eviction
+        // on inactivity gaps is stream-state housekeeping; the batch
+        // rewrite sees the full partition, so it is a no-op here.
+        i += 2
+        if (at("NEVER")) i += 1
+        else {
+          if (at("INTERVAL")) i += 1
+          if (i < inner.length && (inner(i).kind == TString || inner(i).kind == TNumber)) i += 1
+          else throw new ParseException("expected interval literal in EXPIRE AFTER")
+          if (i < inner.length && inner(i).kind == TIdent) i += 1 // unit
+          if (at("INACTIVITY")) i += 1
+          else throw new ParseException("expected INACTIVITY after EXPIRE AFTER interval")
+        }
+      }
       else throw new ParseException(s"unexpected token in ROWS WINDOW: ${inner(i).text}")
     }
     val out = ArrayBuffer[Tok]()

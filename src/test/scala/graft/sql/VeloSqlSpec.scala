@@ -117,6 +117,53 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(s(102.0) == 102.0 && s(101.0) == 201.0)
   }
 
+  test("ROWS WINDOW emit modes + EXPIRE AFTER parse (rows_window_sql_test.rs shapes)") {
+    // the reference's own test statements: EMIT EVERY RECORD (default
+    // per-record emission), EMIT ON BUFFER FULL / BUFFER_FULL, and the
+    // EXPIRE AFTER gap-eviction clause — all streaming cadence/state
+    // options; the batch trailing-frame rewrite is identical
+    val every = ctx.sql(
+      """SELECT symbol, price,
+             COUNT(*) OVER (
+                 ROWS WINDOW BUFFER 100 ROWS
+                 PARTITION BY symbol
+                 ORDER BY timestamp
+                 EMIT EVERY RECORD
+             ) as record_count
+         FROM market_data""")
+    assert(every.count() > 0)
+    val onFull = ctx.sql(
+      """SELECT symbol, AVG(price) OVER (
+                 ROWS WINDOW BUFFER 3 ROWS PARTITION BY symbol
+                 ORDER BY timestamp EMIT ON BUFFER FULL) as a
+         FROM market_data""")
+    assert(onFull.count() > 0)
+    assert(ctx.sql(
+      """SELECT symbol, AVG(price) OVER (
+                 ROWS WINDOW BUFFER 3 ROWS ORDER BY timestamp EMIT ON BUFFER_FULL) as a
+         FROM market_data""").count() > 0)
+    val expire = ctx.sql(
+      """SELECT symbol, price,
+             AVG(price) OVER (
+                 ROWS WINDOW BUFFER 100 ROWS
+                 PARTITION BY symbol
+                 ORDER BY timestamp
+                 EXPIRE AFTER INTERVAL '30' SECOND INACTIVITY
+             ) as moving_avg_30s
+         FROM market_data""")
+    assert(expire.count() > 0)
+    assert(ctx.sql(
+      """SELECT symbol, AVG(price) OVER (
+                 ROWS WINDOW BUFFER 10 ROWS ORDER BY timestamp
+                 EXPIRE AFTER NEVER) as a
+         FROM market_data""").count() > 0)
+    // malformed forms still rejected
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT AVG(p) OVER (ROWS WINDOW BUFFER 3 ROWS ORDER BY t EMIT SOMETIMES) FROM x"))
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT AVG(p) OVER (ROWS WINDOW BUFFER 3 ROWS ORDER BY t EXPIRE AFTER INTERVAL '5' MINUTE) FROM x"))
+  }
+
   test("stream-table join (grammar example)") {
     val df = ctx.sql(
       """SELECT o.order_id, c.customer_name
