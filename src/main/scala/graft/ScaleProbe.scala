@@ -99,7 +99,8 @@ object ScaleProbe {
         val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
         val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
           .where(col("jaccard") >= 0.8).select("id_a", "id_b")
-        force(Dedup.clusterPairs(verified))
+        // threshold 0: the probe measures the DISTRIBUTED closure path
+        force(Dedup.clusterPairs(verified, localThreshold = 0L))
       },
       time(s"simhash_pairs_$tag") { force(Dedup.simhashPairs(d, "text", "doc_id")) },
       time(s"embed_lsh_pairs_$tag") {

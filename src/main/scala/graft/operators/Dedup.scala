@@ -175,11 +175,42 @@ object Dedup {
     * labels never leave the cluster.
     */
   def clusterPairs(pairs: DataFrame, maxIterations: Int = 20,
-                   checkpointEvery: Int = 4): DataFrame = {
+                   checkpointEvery: Int = 4, localThreshold: Long = 200000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .cache()
+    // Adaptive finish: the edge set is the OUTPUT of LSH + verify —
+    // near-dup graphs are tiny relative to the corpus (sf0.1: 41 edges
+    // from 5k docs). Below the threshold the transitive closure is
+    // driver-local union-find on collected (long, long) pairs (≤ ~3 MB
+    // at the default — a model-scale artifact, like the IVF centroids),
+    // skipping ~2 s/round of distributed-iteration scheduling. Above it
+    // the pointer-doubling loop below runs fully distributed; callers
+    // probing the distributed path pass localThreshold = 0.
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= localThreshold) {
+      val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElseUpdate(x, x) != x) {
+          parent(x) = parent(parent(x)) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      arr.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = arr.iterator.map(_._1).toArray.distinct
+      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "cluster_id")
+    }
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("cluster_id")).cache()
     var converged = false

@@ -62,7 +62,8 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     // adversarial diameter: plain min-propagation needs ~999 rounds;
     // pointer doubling must finish in O(log n)
     val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.clusterPairs(pairs, maxIterations = 15).collect()
+    // localThreshold = 0 forces the DISTRIBUTED pointer-doubling loop
+    val labels = Dedup.clusterPairs(pairs, maxIterations = 15, localThreshold = 0L).collect()
     assert(labels.length == 1000)
     assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
   }
@@ -84,9 +85,15 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
       val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
         .groupBy(find).values
         .flatMap(members => { val m = members.min; members.map(_ -> m) }).toMap
-      val got = Dedup.clusterPairs(edges.toDF("id_a", "id_b")).collect()
+      // both execution paths must agree with the oracle: the adaptive
+      // driver-local finish (default threshold) AND the distributed
+      // pointer-doubling loop (threshold 0)
+      val gotLocal = Dedup.clusterPairs(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
-      assert(got == expected)
+      assert(gotLocal == expected)
+      val gotDist = Dedup.clusterPairs(edges.toDF("id_a", "id_b"), localThreshold = 0L)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(gotDist == expected)
     }
   }
 
