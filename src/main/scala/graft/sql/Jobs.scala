@@ -34,7 +34,10 @@ import VeloSqlParser._
   * state — a few strings per job, nothing data-sized.
   */
 final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
-                       validate: VeloStatement => Vector[String] = _ => Vector.empty) {
+                       validate: VeloStatement => Vector[String] = _ => Vector.empty,
+                       metricSink: (String, String, Option[String],
+                         Vector[(String, Map[String, String], Double)]) => Unit =
+                         (_, _, _, _) => ()) {
 
   private case class Version(version: String, body: VeloStatement,
                              strategy: String, props: Map[String, String],
@@ -56,6 +59,77 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private val jobs = scala.collection.mutable.LinkedHashMap[String, Job]()
   private var seqCounter = 0
 
+  // ---- streaming @metric collection (reference: metrics emitted per
+  //      batch from running jobs, observability/metrics.rs) ----
+  // Unlabeled counters/gauges ride the job's own micro-batches as an
+  // `observe()` CollectMetrics node — NO extra pass over the data; a
+  // query listener accumulates the per-batch values into the registry.
+  // (Labeled series need a groupBy, which observe() cannot express —
+  // those stay batch-collected in SqlApp.run.)
+  private val metricSpecs = scala.collection.mutable.Map[String, Vector[SqlApp.MetricSpec]]()
+  private val counterState = scala.collection.mutable.Map[(String, String), Double]()
+
+  /** Attach `@metric` specs to a job name BEFORE it starts; the next
+    * launch observes them on the streaming plan. */
+  def attachMetrics(name: String, specs: Vector[SqlApp.MetricSpec]): Unit = synchronized {
+    if (specs.nonEmpty) metricSpecs(name) = specs
+  }
+
+  private def observable(m: SqlApp.MetricSpec): Boolean =
+    m.labels.isEmpty && (m.metricType match {
+      case "counter" => true
+      case "gauge" => m.field.isDefined
+      case _ => false
+    })
+
+  private def observedDf(jobName: String, df: DataFrame): DataFrame = {
+    val specs = metricSpecs.getOrElse(jobName, Vector.empty).filter(observable)
+    if (specs.isEmpty) df
+    else {
+      val aggs = specs.map { m =>
+        m.metricType match {
+          case "counter" =>
+            m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
+              .as(m.name)
+          case _ => last(col(m.field.get).cast("double"), ignoreNulls = true).as(m.name)
+        }
+      }
+      df.observe(s"graft-metrics-$jobName", aggs.head, aggs.tail: _*)
+    }
+  }
+
+  private val metricListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      jobs.synchronized {
+        metricSpecs.foreach { case (jobName, specs) =>
+          Option(om.get(s"graft-metrics-$jobName")).foreach { row =>
+            specs.filter(observable).foreach { m =>
+              val idx = row.schema.fieldIndex(m.name)
+              val v = if (row.isNullAt(idx)) 0.0
+                      else row.get(idx) match {
+                        case n: java.lang.Number => n.doubleValue()
+                        case other => other.toString.toDouble
+                      }
+              val key = (jobName, m.name)
+              val total = m.metricType match {
+                case "counter" => counterState.getOrElse(key, 0.0) + v
+                case _ => v // gauge: last batch's last value wins
+              }
+              counterState(key) = total
+              metricSink(m.name, m.metricType, m.help,
+                Vector(("", Map("job" -> jobName), total)))
+            }
+          }
+        }
+      }
+    }
+  }
+  spark.streams.addListener(metricListener)
+
   private def job(name: String): Job =
     jobs.getOrElse(name, throw new ParseException(s"unknown job: $name"))
 
@@ -70,7 +144,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * the job's current checkpoint/sink epoch; batch body → one-shot
     * materialization registered as view `<job>_out`. */
   private def launch(j: Job, v: Version): Unit = {
-    val df = exec(v.body)
+    val df0 = exec(v.body)
+    val df = if (df0.isStreaming) observedDf(j.name, df0) else df0
     if (df.isStreaming) {
       val q = emitOf(v.body) match {
         case Some(EmitChanges) =>

@@ -333,9 +333,28 @@ object SqlApp {
     import org.apache.spark.sql.functions.{col, count, last, lit, sum, when}
     val app = parse(content, env)
     val results = app.statements.map { s =>
+      // metrics on a JOB statement belong to the job's data, not to the
+      // status frame ctx.sql returns: streaming jobs observe them on
+      // their own micro-batches (observe() + listener in JobManager,
+      // attached BEFORE launch); batch jobs collect over the job's
+      // materialized <name>_out view after launch.
+      val jobName: Option[String] =
+        if (s.metrics.isEmpty) None
+        else try VeloSqlParser.parse(s.sql) match {
+          case VeloSqlParser.StartJob(n, _, _) => Some(n)
+          case VeloSqlParser.DeployJob(n, _, _, _, _) => Some(n)
+          case _ => None
+        } catch { case _: ParseException => None }
+      jobName.foreach(n => ctx.jobManager.attachMetrics(n, s.metrics))
       val df = ctx.sql(s.sql)
-      val specs = if (df.isStreaming) Vector.empty else s.metrics
-      if (specs.nonEmpty) {
+      val target: Option[DataFrame] = jobName match {
+        case Some(n) => // batch-bodied job → its standing output view
+          val view = s"${n}_out"
+          if (ctx.spark.catalog.tableExists(view)) Some(ctx.spark.table(view)) else None
+        case None => if (df.isStreaming) None else Some(df)
+      }
+      target.withFilter(_ => s.metrics.nonEmpty).foreach { df =>
+        val specs = s.metrics
         // The statement plan executes ONCE into the cache; every metric
         // (and label series) is then a cheap scan of the cached result
         // instead of a full re-execution per metric.

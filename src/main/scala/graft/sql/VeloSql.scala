@@ -107,7 +107,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * ROLLBACK JOB — the reference's server model, ast.rs:306-366).
     * Job bodies pass SqlValidator's analyzer gate before launching. */
   val jobManager = new JobManager(spark, execStatement,
-    body => SqlValidator.validateParsed(this, body).errors)
+    body => SqlValidator.validateParsed(this, body).errors,
+    (n, t, h, s) => recordMetricSeries(n, t, h, s))
 
   /** Collected `@metric` series: name → (sample-name suffix, labels,
     * value). Counters/gauges use the empty suffix; histograms record

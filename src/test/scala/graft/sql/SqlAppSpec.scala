@@ -210,6 +210,48 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
         |""".stripMargin, lookup))
   }
 
+  test("streaming job @metrics ride the job's micro-batches (observe + listener)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("metered_events", in.toDF().toDF("id", "amount"))
+    in.addData(Seq((1L, 10.0), (2L, 30.0)))
+    SqlApp.run(ctx,
+      """-- SQL Application: StreamMetrics
+        |-- @metric: metered_rows_total
+        |-- @metric_type: counter
+        |-- @metric: metered_amount_total
+        |-- @metric_type: counter
+        |-- @metric_field: amount
+        |-- @metric: metered_last_amount
+        |-- @metric_type: gauge
+        |-- @metric_field: amount
+        |START JOB meter AS SELECT id, amount FROM metered_events
+        |""".stripMargin, lookup)
+    def metricValue(name: String): Option[Double] = {
+      val re = (java.util.regex.Pattern.quote(name) + """\{job="meter"\} ([0-9.]+)""").r
+      re.findFirstMatchIn(ctx.prometheusText).map(_.group(1).toDouble)
+    }
+    def awaitMetric(name: String, expect: Double): Unit = {
+      ctx.jobManager.awaitIdle("meter")
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (!metricValue(name).contains(expect) && System.nanoTime() < deadline)
+        Thread.sleep(100) // listener events are delivered asynchronously
+      assert(metricValue(name).contains(expect), s"$name=${metricValue(name)}")
+    }
+    awaitMetric("metered_rows_total", 2.0)
+    assert(metricValue("metered_amount_total").contains(40.0))
+    // counters ACCUMULATE across micro-batches; the gauge tracks the last value
+    in.addData(Seq((3L, 2.5)))
+    awaitMetric("metered_rows_total", 3.0)
+    assert(metricValue("metered_amount_total").contains(42.5))
+    assert(metricValue("metered_last_amount").contains(2.5))
+    assert(ctx.prometheusText.contains("# TYPE metered_rows_total counter"))
+    ctx.sql("STOP JOB meter")
+  }
+
   test("@partition-count applies as repartition(n) on the statement result") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
