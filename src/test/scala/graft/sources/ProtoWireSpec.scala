@@ -78,6 +78,39 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     assert(noBlock.getMessage.contains("message"))
   }
 
+  test("round-trip property: random rows over every type survive encode→decode (ScalaCheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val fields = Seq(
+      Field(1, "i32", PInt32), Field(2, "i64", PInt64),
+      Field(3, "s32", PSInt32), Field(4, "s64", PSInt64),
+      Field(5, "b", PBool), Field(6, "d", PDouble), Field(7, "f", PFloat),
+      Field(8, "s", PString), Field(9, "raw", PBytes))
+    val rowGen: Gen[Seq[Any]] = for {
+      i32 <- Gen.oneOf(Gen.choose(Int.MinValue, Int.MaxValue), Gen.oneOf(0, -1, 1, Int.MaxValue, Int.MinValue))
+      i64 <- Gen.oneOf(Gen.choose(Long.MinValue + 1, Long.MaxValue), Gen.oneOf(0L, -1L, Long.MaxValue))
+      s32 <- Gen.choose(Int.MinValue, Int.MaxValue)
+      s64 <- Gen.choose(Long.MinValue + 1, Long.MaxValue)
+      b <- Gen.oneOf(true, false)
+      d <- Gen.oneOf(Gen.choose(-1e300, 1e300), Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, 1e-300))
+      f <- Gen.choose(-1e30f, 1e30f)
+      s <- Gen.oneOf(Gen.asciiPrintableStr, Gen.const("Ωé中🙂"), Gen.const(""))
+      raw <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+      nulls <- Gen.listOfN(9, Gen.prob(0.15))
+    } yield Seq[Any](i32, i64, s32, s64, b, d, f, s, raw)
+      .zip(nulls).map { case (v, isNull) => if (isNull) null else v }
+    (0 until 200).foreach { n =>
+      val row = rowGen(Gen.Parameters.default, Seed(777L + n)).get
+      val back = decodeRow(encodeRow(row, fields), fields)
+      row.zip(back).zipWithIndex.foreach { case ((expect, got), idx) =>
+        (expect, got) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b), s"field $idx seed $n")
+          case (a, b) => assert(a == b, s"field $idx seed $n: $a != $b")
+        }
+      }
+    }
+  }
+
   test("DataFrame round-trip: encode → decode preserves values, nulls, negatives, unicode") {
     import spark.implicits._
     val proto =
