@@ -29,6 +29,10 @@ object ScaleProbe {
 
   private val alphabet = "abcdefghijklmnopqrstuvwxyz"
 
+  // NOTE: rotation wraps at 26 — replicas ≥ 26 are bit-identical to
+  // replicas i−26, so multipliers above 26 add CROSS-replica exact
+  // duplicates (a denser, harder dedup workload rather than the
+  // structure-constant one; exact dedup must collapse them precisely).
   private def rotated(i: Int): String =
     alphabet.drop(i % 26) + alphabet.take(i % 26)
 
