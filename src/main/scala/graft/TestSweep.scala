@@ -1,0 +1,32 @@
+package graft
+
+import graft.sql.VeloSqlParser
+
+/** One-off compatibility sweep: every SQL statement extracted from the
+  * reference's own test suite (r-string literals in the .rs test
+  * files), fed through VeloSqlParser. Prints failures for triage. */
+object TestSweep {
+  private val SEP1 = 1.toChar
+  private val SEP2 = 2.toChar
+  def main(args: Array[String]): Unit = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/ref_test_sqls.txt")), "UTF-8")
+    val entries = raw.split(SEP2).filter(_.nonEmpty).flatMap { e =>
+      e.split(SEP1) match {
+        case Array(f, s) => Some((f, s))
+        case _ => None
+      }
+    }
+    var ok = 0
+    val fails = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    entries.foreach { case (f, s) =>
+      try { VeloSqlParser.parse(s); ok += 1 }
+      catch { case e: Throwable =>
+        fails += ((f, s.linesIterator.mkString(" ").replaceAll("\\s+", " ").take(160),
+          Option(e.getMessage).getOrElse("?").take(110)))
+      }
+    }
+    println(s"SWEEP ok=$ok fail=${fails.length} total=${entries.length}")
+    fails.foreach { case (f, s, m) => println(s"FAIL [$f] $s\n  -> $m") }
+  }
+}

@@ -547,12 +547,21 @@ object VeloSqlParser {
         } else ident()
       def isClauseTok(t: Tok): Boolean =
         clauseStarts.contains(t.upper) || dynStops.contains(t.upper)
+      // `FROM src WITH ('config_file' = '…')` — the reference attaches
+      // source configs directly to the FROM/JOIN source, with query
+      // clauses (WHERE/GROUP BY/EMIT…) continuing after
+      // (ctas_named_sources_sinks_test.rs). Recorded in the statement's
+      // prop bag; the deployment layer resolves them.
+      var srcProps = Map.empty[String, String]
+      def sourceWith(): Unit =
+        if (at("WITH") && peek(1).exists(_.text == "(")) { take(); srcProps ++= propMap() }
       if (at("FROM")) {
         take()
         from = tableSource()
         if (at("AS")) { take(); fromAlias = Some(ident()) }
         else if (peek().exists(t => t.kind == TIdent && !isClauseTok(t)))
           fromAlias = Some(ident())
+        sourceWith()
       }
       // JOINs
       var joins = Vector.empty[JoinClause]
@@ -573,6 +582,7 @@ object VeloSqlParser {
           if (at("AS")) { take(); alias = Some(ident()) }
           else if (peek().exists(tk => tk.kind == TIdent && tk.upper != "ON" && !isClauseTok(tk)))
             alias = Some(ident())
+          sourceWith()
           val on =
             if (jt == "CROSS") Vector.empty[Tok]
             else { expectKw("ON"); exprSpan(stopAtComma = false) }
@@ -637,7 +647,8 @@ object VeloSqlParser {
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
         having.map(rewriteTokens(_, defaultTimeCol, aggWrap)), window, namedWindows,
-        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into, props, distinct)
+        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into,
+        srcProps ++ props, distinct)
     }
 
     private def windowSpec(): WindowSpec = {
@@ -697,6 +708,7 @@ object VeloSqlParser {
     case "MINUTE" | "MINUTES" | "M" | "MIN" | "MINS" => Some(60L)
     case "HOUR" | "HOURS" | "H" => Some(3600L)
     case "DAY" | "DAYS" | "D" => Some(86400L)
+    case "WEEK" | "WEEKS" | "W" => Some(604800L) // reference shorthand: SESSION(1w)
     case _ => None
   }
 

@@ -313,4 +313,41 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.count() == 5)
     assert(df.columns.toSet.contains("hourly_sells"))
   }
+
+  test("per-source WITH config mid-query + sink WITH chain (ctas_named_sources_sinks_test.rs)") {
+    // the reference attaches source configs to the FROM source, with
+    // GROUP BY / EMIT / INTO / sink-WITH continuing after it
+    VeloSqlParser.parse(
+      """CREATE TABLE user_analytics AS
+         SELECT customer_id, COUNT(*) as order_count, SUM(volume) as total_spent
+         FROM orders_source
+         WITH ('config_file' = 'configs/orders_source.yaml')
+         GROUP BY customer_id
+         EMIT CHANGES
+         INTO analytics_sink
+         WITH ('analytics_sink.config_file' = 'configs/analytics_sink.yaml')""") match {
+      case VeloSqlParser.CreateTableAs("user_analytics", s, _) =>
+        assert(s.props("config_file") == "configs/orders_source.yaml")
+        assert(s.props("analytics_sink.config_file") == "configs/analytics_sink.yaml")
+        assert(s.into == Vector("analytics_sink"))
+        assert(s.groupBy.nonEmpty && s.emit.contains(VeloSqlParser.EmitChanges))
+      case other => fail(s"$other")
+    }
+    // WHERE continuing after the source WITH (ctas_emit_changes_test.rs shape)
+    VeloSqlParser.parse(
+      """SELECT symbol, AVG(price) as avg_price FROM market_data_source
+         WITH ('config_file' = 'x.yaml')
+         WHERE price > 0 GROUP BY symbol""") match {
+      case VeloSqlParser.Select(s) =>
+        assert(s.where.nonEmpty && s.props("config_file") == "x.yaml")
+      case other => fail(s"$other")
+    }
+    // week shorthand duration (window_edge_cases_sql_test.rs: SESSION(1w))
+    VeloSqlParser.parse(
+      "SELECT customer_id, COUNT(*) as action_count FROM orders GROUP BY customer_id WINDOW SESSION(1w)") match {
+      case VeloSqlParser.Select(s) =>
+        assert(s.window.contains(VeloSqlParser.Session(604800L, None)))
+      case other => fail(s"$other")
+    }
+  }
 }
