@@ -44,6 +44,34 @@ class DemoAppsSpec extends AnyFunSuite {
     assert(stmts >= 30, s"only $stmts statements swept") // the demo corpus is non-trivial
   }
 
+  test("every reference examples/*.sql parses too (the non-demo app corpus)") {
+    val exDir = Paths.get("/root/reference/examples")
+    assume(Files.exists(exDir), "reference examples dir absent")
+    val exFiles = Files.walk(exDir).iterator().asScala
+      .filter(_.toString.endsWith(".sql")).toVector.sortBy(_.toString)
+      // test_parsing_error.sql is the reference's own INVALID-SQL fixture
+      .filterNot(_.getFileName.toString == "test_parsing_error.sql")
+    var stmts = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    exFiles.foreach { f =>
+      val content = Files.readString(f)
+      val hasHeader = content.linesIterator.exists(_.trim.startsWith("-- SQL Application:"))
+      val statements: Seq[String] =
+        if (hasHeader)
+          try SqlApp.parse(content, _ => None).statements.map(_.sql)
+          catch { case e: Throwable => failures += s"${f.getFileName}: app parse: ${e.getMessage}"; Nil }
+        else VeloContext.splitStatements(content)
+      statements.foreach { s =>
+        stmts += 1
+        try VeloSqlParser.parse(s)
+        catch { case e: Throwable =>
+          failures += s"${f.getFileName}: ${e.getMessage.take(100)} || ${s.linesIterator.mkString(" ").take(120)}" }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(stmts >= 10, s"only $stmts statements swept")
+  }
+
   test("the trading market-data app's metadata round-trips (annotations + env defaults)") {
     val f = demoDir.resolve("trading/apps/app_market_data.sql")
     assume(Files.exists(f))
