@@ -41,7 +41,15 @@ class ParserFuzzSpec extends AnyFunSuite {
     "SELECT DISTINCT a, b FROM t WHERE c > 1",
     "WITH RECURSIVE h AS (SELECT a FROM t UNION ALL SELECT a FROM h) SELECT * FROM h",
     "SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) AS p50, DELTA(v), JSON_EXISTS(d, '$.a'), JSON_QUERY(d, '$.b') FROM t GROUP BY k",
-    "CREATE STREAM p AS SELECT a FROM t INTO s1, s2, s3 WITH ('s1.path' = 'file:///x')"
+    "CREATE STREAM p AS SELECT a FROM t INTO s1, s2, s3 WITH ('s1.path' = 'file:///x')",
+    // r4 statement families: source-attached WITH, ROWS WINDOW emit/expire modes
+    "CREATE TABLE ua AS SELECT c, COUNT(*) as n FROM src WITH ('config_file' = 'a.yaml') GROUP BY c EMIT CHANGES INTO snk WITH ('snk.config_file' = 'b.yaml')",
+    "SELECT a FROM s1 WITH ('k' = 'v') JOIN s2 WITH ('k2' = 'v2') ON s1.id = s2.id WHERE a > 0",
+    "SELECT COUNT(*) OVER (ROWS WINDOW BUFFER 100 ROWS PARTITION BY s ORDER BY ts EMIT EVERY RECORD) FROM t",
+    "SELECT AVG(p) OVER (ROWS WINDOW BUFFER 3 ROWS ORDER BY ts EMIT ON BUFFER FULL) FROM t",
+    "SELECT AVG(p) OVER (ROWS WINDOW BUFFER 10 ROWS ORDER BY ts EXPIRE AFTER INTERVAL '30' SECOND INACTIVITY) FROM t",
+    "SELECT AVG(p) OVER (ROWS WINDOW BUFFER 10 ROWS ORDER BY ts EXPIRE AFTER NEVER) FROM t",
+    "SELECT c, COUNT(*) FROM t GROUP BY c WINDOW SESSION(1w)"
   )
 
   private def boundedParse(sql: String): Unit = {
