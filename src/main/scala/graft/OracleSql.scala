@@ -389,6 +389,16 @@ object OracleSql {
             AND 1.0 - CAST(nd2 AS DOUBLE) / n2 <= 0.20) AS keep
          FROM stats s JOIN grams g ON s.doc_id = g.doc_id""",
 
+    "q68_shard_pack" ->
+      """WITH t AS (SELECT doc_id, n_chars, doc_id % 32 AS salt FROM documents),
+         c AS (SELECT doc_id, n_chars, salt,
+                 SUM(n_chars) OVER (PARTITION BY salt ORDER BY doc_id) AS cum FROM t),
+         a AS (SELECT doc_id, n_chars,
+                 CAST(salt * 1000000 + FLOOR(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT) AS shard_id
+               FROM c)
+         SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+         FROM a GROUP BY shard_id""",
+
     // q66/q67: serde round-trips must be the identity — the oracle is
     // the plain projection the pipeline started from.
     "q66_proto_roundtrip" ->

@@ -673,6 +673,16 @@ object SparkEntry {
           round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"), col("keep"))
     }),
 
+    // ---- 68. training-shard packing: salted next-fit by running sum,
+    //          bounded budget per shard; exact assignment oracled ----
+    "q68_shard_pack" -> ((s, dir) => {
+      Sampling.packIntoShards(T(s, dir, "documents"), "doc_id", "n_chars",
+          budget = 20000L, parallelism = 32)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+        .select(col("shard_id"), col("n_docs"), col("shard_chars"))
+    }),
+
     // ---- 66. protobuf wire-format round-trip over the corpus: encode
     //          typed columns to binary messages, decode back — output
     //          must equal a plain projection (oracled) ----

@@ -68,4 +68,31 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: Column, fraction: Double,
                           salt: String = "graft"): DataFrame =
     df.where(sampleFilter(keyCol, fraction, salt))
+
+  /** Pack documents into training shards with a bounded weight budget
+    * per shard (the sharding/sequence-packing stage before a training
+    * run: each shard holds consecutive docs until `budget` tokens/chars
+    * are exceeded, then the next shard opens).
+    *
+    * Scale shape: rows are salted into `parallelism` independent
+    * streams (`id % parallelism` — engine-portable, so the oracle
+    * replays the exact assignment) and packed by a running-sum window
+    * WITHIN each stream — `parallelism` bounded sorts instead of one
+    * global ordered partition, which would serialize a 100 TB corpus
+    * through a single task. A doc opens shard
+    * `salt·10⁶ + floor(exclusive_cumsum / budget)`: next-fit packing,
+    * deterministic on any cluster layout.
+    */
+  def packIntoShards(df: DataFrame, idCol: String, weightCol: String,
+                     budget: Long, parallelism: Int = 32,
+                     outCol: String = "shard_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_salt")).orderBy(col(idCol))
+    df.withColumn("_salt", pmod(col(idCol), lit(parallelism)))
+      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .withColumn(outCol,
+        (col("_salt") * 1000000L +
+          floor((col("_cum") - col(weightCol)).cast("double") / budget)).cast("long"))
+      .drop("_salt", "_cum")
+  }
 }

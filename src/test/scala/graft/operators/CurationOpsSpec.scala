@@ -77,6 +77,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       .forall(_.getLong(2) <= 1)) // "alpha beta gamma" (df=4) never counts
   }
 
+  test("packIntoShards: budget bound holds, assignment layout-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 2000L).map(i => (i, 50L + rnd.nextInt(900))).toDF("id", "w")
+    val packed = Sampling.packIntoShards(docs, "id", "w", budget = 5000L, parallelism = 8)
+    val stats = packed.groupBy("shard_id").agg(sum("w").as("tot"), max("w").as("mx")).collect()
+    // next-fit: a shard's load can exceed the budget only by its last doc
+    stats.foreach(r => assert(r.getAs[Long]("tot") <= 5000L + 949L, r.toString))
+    assert(stats.length > 2000 * 50 / 5000) // shards actually fill up
+    val a = packed.select("id", "shard_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Sampling.packIntoShards(docs.repartition(13), "id", "w", budget = 5000L, parallelism = 8)
+      .select("id", "shard_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b)) // same shard for every doc on any layout
+  }
+
   test("repetitionMetrics: degenerate repetition gated out, normal prose kept") {
     import spark.implicits._
     val docs = Seq(
