@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaCompatibility}
+
+/** Minimal schema-registry analog (reference: src/velostream/schema/ —
+  * subjects, versions, compatibility-gated registration): schemas are
+  * versioned per subject and a new version must be able to READ data
+  * written with the previous one (BACKWARD compatibility, the standard
+  * registry default) before it registers.
+  *
+  * Storage is a directory of `<subject>/<version>.avsc` files — a
+  * driver-side metadata store (a registry holds schemas, not data);
+  * any shared filesystem a cluster's driver can reach works. All
+  * compatibility logic is Avro's own `SchemaCompatibility` resolver,
+  * the same rules `Serde.decodeAvro`'s reader-schema evolution applies
+  * at decode time.
+  */
+final class SchemaRegistry(root: Path) {
+  Files.createDirectories(root)
+
+  private def subjectDir(subject: String): Path = {
+    require(subject.matches("[A-Za-z0-9._-]+"), s"invalid subject name: $subject")
+    root.resolve(subject)
+  }
+
+  def versions(subject: String): Vector[Int] = {
+    val d = subjectDir(subject)
+    if (!Files.exists(d)) Vector.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".avsc"))
+      .map(_.stripSuffix(".avsc").toInt).toVector.sorted
+  }
+
+  def get(subject: String, version: Int): Option[String] = {
+    val f = subjectDir(subject).resolve(s"$version.avsc")
+    if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  def latest(subject: String): Option[(Int, String)] =
+    versions(subject).lastOption.map(v => v -> get(subject, v).get)
+
+  /** Incompatibility messages preventing `readerJson` from reading data
+    * written with `writerJson`; empty = compatible. */
+  def incompatibilities(readerJson: String, writerJson: String): Vector[String] = {
+    val r = new Schema.Parser().parse(readerJson)
+    val w = new Schema.Parser().parse(writerJson)
+    val res = SchemaCompatibility.checkReaderWriterCompatibility(r, w).getResult
+    res.getIncompatibilities.asScala.toVector.map(i =>
+      s"${i.getType}: ${i.getMessage} at ${i.getLocation}")
+  }
+
+  /** Register a schema under `subject`. Returns the version. Identical
+    * to the latest schema → returns the existing version (idempotent).
+    * A BACKWARD-incompatible change (new schema cannot read the latest
+    * version's data) is rejected, as a registry's default gate is. */
+  def register(subject: String, schemaJson: String): Int = synchronized {
+    val parsed = new Schema.Parser().parse(schemaJson) // reject malformed first
+    latest(subject) match {
+      case Some((v, prev)) if new Schema.Parser().parse(prev) == parsed => v
+      case prevOpt =>
+        prevOpt.foreach { case (v, prev) =>
+          val problems = incompatibilities(schemaJson, prev)
+          if (problems.nonEmpty)
+            throw new IllegalArgumentException(
+              s"schema for $subject is not backward-compatible with version $v: ${problems.mkString("; ")}")
+        }
+        val next = versions(subject).lastOption.getOrElse(0) + 1
+        val d = subjectDir(subject)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve(s"$next.avsc"), parsed.toString(true))
+        next
+    }
+  }
+}

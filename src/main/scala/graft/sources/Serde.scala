@@ -81,10 +81,22 @@ object Serde {
     * into typed columns, splatted next to the frame's other columns.
     * Per-partition: one parsed schema + one reused decoder for the whole
     * partition — the batched shape that scales (no per-row setup). */
-  def decodeAvro(df: DataFrame, payloadCol: String, schemaJson: String): DataFrame = {
+  def decodeAvro(df: DataFrame, payloadCol: String, schemaJson: String): DataFrame =
+    decodeAvro(df, payloadCol, schemaJson, None)
+
+  /** Binary-Avro decode with optional schema EVOLUTION: when
+    * `readerSchemaJson` is set, payloads written with `schemaJson` are
+    * resolved against the reader schema by Avro's standard resolution
+    * rules (added fields filled from defaults, removed fields skipped,
+    * legal type promotions applied) — the registry-driven upgrade path
+    * (reference: src/velostream/schema/). Output columns follow the
+    * READER schema. */
+  def decodeAvro(df: DataFrame, payloadCol: String, schemaJson: String,
+                 readerSchemaJson: Option[String]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val valueSchema = avroSchemaToSpark(schemaJson)
+    val effectiveJson = readerSchemaJson.getOrElse(schemaJson)
+    val valueSchema = avroSchemaToSpark(effectiveJson)
     val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
     val outSchema = StructType(passthrough ++ valueSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
@@ -94,8 +106,9 @@ object Serde {
       import org.apache.avro.Schema
       import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
       import org.apache.avro.io.DecoderFactory
-      val schema = new Schema.Parser().parse(schemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
+      val writerSchema = new Schema.Parser().parse(schemaJson)
+      val schema = readerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(writerSchema)
+      val reader = new GenericDatumReader[GenericRecord](writerSchema, schema)
       var decoder: org.apache.avro.io.BinaryDecoder = null
       val fields = schema.getFields.asScala.toArray
       it.map { row =>

@@ -85,6 +85,47 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(decoded.columns.contains("oid"))
   }
 
+  test("schema registry: versioning, backward-compat gate, reader-schema evolution") {
+    import spark.implicits._
+    val reg = new SchemaRegistry(java.nio.file.Files.createTempDirectory("graft_registry"))
+    val v1 =
+      """{"type":"record","name":"Ev","fields":[
+           {"name":"id","type":"int"},
+           {"name":"name","type":"string"}]}"""
+    // evolution: id promoted int→long, score added WITH default
+    val v2 =
+      """{"type":"record","name":"Ev","fields":[
+           {"name":"id","type":"long"},
+           {"name":"name","type":"string"},
+           {"name":"score","type":"double","default":0.5}]}"""
+    assert(reg.register("events-value", v1) == 1)
+    assert(reg.register("events-value", v1) == 1)            // idempotent
+    assert(reg.register("events-value", v2) == 2)            // legal evolution
+    assert(reg.versions("events-value") == Vector(1, 2))
+    assert(reg.latest("events-value").map(_._1).contains(2))
+
+    // adding a field WITHOUT a default cannot read old data → rejected
+    val breaking =
+      """{"type":"record","name":"Ev","fields":[
+           {"name":"id","type":"long"},
+           {"name":"name","type":"string"},
+           {"name":"must_have","type":"string"}]}"""
+    val e = intercept[IllegalArgumentException](reg.register("events-value", breaking))
+    assert(e.getMessage.contains("not backward-compatible"))
+    assert(reg.versions("events-value") == Vector(1, 2))     // registry unchanged
+
+    // payloads written with v1 decode under the v2 reader: id promoted,
+    // score filled from the default — Avro resolution end-to-end
+    val df = Seq((7, "a"), (8, "b")).toDF("id", "name")
+    val encoded = Serde.encodeAvro(df, reg.get("events-value", 1).get, "value").select("value")
+    val decoded = Serde.decodeAvro(encoded, "value",
+      reg.get("events-value", 1).get, readerSchemaJson = Some(reg.latest("events-value").get._2))
+    assert(decoded.schema("id").dataType.typeName == "long")
+    val rows = decoded.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score")))
+    assert(rows.toSeq == Seq((7L, "a", 0.5), (8L, "b", 0.5)))
+  }
+
   test("kafka envelope with Avro value → typed columns + system columns") {
     import spark.implicits._
     val schemaJson =
