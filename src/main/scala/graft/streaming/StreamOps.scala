@@ -62,29 +62,48 @@ object StreamOps {
     * ≤ n buffered values, reference ROWS WINDOW BUFFER semantics. */
   case class BufEmit(key: Long, event_id: Long, buf_n: Int, buf_sum: Double, buf_avg: Double)
 
-  /** ROWS WINDOW BUFFER n ROWS PARTITION BY key EMIT CHANGES analog:
-    * per-key bounded ring buffer in the state store; every arriving
-    * record emits the aggregate over the buffer (reference:
+  /** ROWS WINDOW BUFFER n ROWS PARTITION BY key analog: per-key bounded
+    * ring buffer in the state store (reference:
     * docs/sql/PARSER_GRAMMAR.md §"ROWS WINDOW", rows_window_sql_test.rs).
-    * Works identically on a batch Dataset (single "micro-batch").
+    * Emission follows the reference's RowsEmitMode (ast.rs:567):
+    * EMIT EVERY RECORD / EMIT CHANGES — every arriving record emits the
+    * aggregate over the buffer; EMIT ON BUFFER FULL (`emitOnFull`) —
+    * records are buffered silently until the ring reaches capacity, so
+    * the warm-up produces nothing (batch-like, fewer outputs than
+    * inputs). Works identically on a batch Dataset (one "micro-batch").
     *
     * Scale: state per key is O(n) values; keys shard across executors by
     * the groupBy shuffle — no global state, no driver involvement.
     */
-  def rowsBufferAgg(events: Dataset[BufEvent], n: Int): Dataset[BufEmit] = {
+  def rowsBufferAgg(events: Dataset[BufEvent], n: Int,
+                    emitOnFull: Boolean = false): Dataset[BufEmit] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.k).flatMapGroupsWithState(
       OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
       (key: Long, it: Iterator[BufEvent], state: GroupState[List[Double]]) =>
         var buf = state.getOption.getOrElse(List.empty[Double])
-        val out = it.map { e =>
+        val out = it.flatMap { e =>
           buf = (buf :+ e.v).takeRight(n)
-          BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size)
+          if (!emitOnFull || buf.size == n)
+            Some(BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size))
+          else None
         }.toList
         state.update(buf)
         out.iterator
     }
   }
+
+  /** Streaming EXACT dedup: drop records whose key combination was
+    * already seen within the watermark horizon — the streaming twin of
+    * `Dedup.exact` for continuous ingestion (dedup a firehose by
+    * fingerprint/id before it lands). State is BOUNDED by the horizon:
+    * Spark's state store evicts seen-keys once the watermark passes
+    * them, so a 100 TB/day stream holds only the horizon's keys,
+    * sharded across executors by the key-hash shuffle. */
+  def dedupStream(events: DataFrame, tsCol: String, horizon: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Stream-stream interval join (reference FR-085): equi-key plus a
     * time band `right.ts ∈ [left.ts + lower, left.ts + upper]`, with

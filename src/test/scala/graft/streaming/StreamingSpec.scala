@@ -81,6 +81,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out.where(col("key") === 2).collect().map(_.getAs[Int]("buf_n")).toSeq == Seq(1))
   }
 
+  test("ROWS WINDOW EMIT ON BUFFER FULL: warm-up is silent, fewer outputs than inputs") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[StreamOps.BufEvent]
+    val out0 = StreamOps.rowsBufferAgg(in.toDS(), n = 3, emitOnFull = true)
+    val out = runBatches("rows_buf_full", OutputMode.Update(), in, out0.toDF(), Seq(
+      Seq(StreamOps.BufEvent(1, 1, 101, 10.0), StreamOps.BufEvent(1, 2, 102, 20.0)),
+      Seq(StreamOps.BufEvent(1, 3, 103, 30.0), StreamOps.BufEvent(1, 4, 104, 40.0))))
+    val k1 = out.orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("buf_sum")))
+    // records 101/102 buffer silently; emission starts once the ring fills
+    assert(k1.toSeq == Seq((103L, 60.0), (104L, 90.0)))
+  }
+
+  test("streaming exact dedup: duplicates within the watermark horizon dropped across triggers") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Long, String)] // (fingerprint, ep, payload)
+    val df = in.toDF().toDF("fp", "ep", "payload")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val deduped = StreamOps.dedupStream(df, "ts", "1 hour", Seq("fp"))
+      .select("fp", "ep", "payload")
+    spark.catalog.dropTempView("sdd")
+    val q = deduped.writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sdd").trigger(Trigger.ProcessingTime(0)).start()
+    in.addData(Seq((11L, 100L, "a"), (22L, 110L, "b"), (11L, 120L, "a-dup")))
+    q.processAllAvailable()
+    in.addData(Seq((11L, 200L, "a-dup2"), (33L, 210L, "c"))) // dup arrives in a LATER trigger
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdd").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.map(_._1).sorted.toSeq == Seq(11L, 22L, 33L)) // one survivor per fingerprint
+    assert(rows.toMap.apply(11L) == "a")                      // the FIRST arrival wins
+  }
+
   test("stream-stream interval join with watermark-bounded state (FR-085)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
