@@ -70,10 +70,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private val counterState = scala.collection.mutable.Map[(String, String), Double]()
 
   /** Attach `@metric` specs to a job name BEFORE it starts; the next
-    * launch observes them on the streaming plan. */
+    * launch observes them on the streaming plan. The progress listener
+    * registers lazily here — a manager that never collects streaming
+    * metrics adds nothing to the session's listener bus. */
   def attachMetrics(name: String, specs: Vector[SqlApp.MetricSpec]): Unit = synchronized {
-    if (specs.nonEmpty) metricSpecs(name) = specs
+    if (specs.nonEmpty) {
+      if (!listenerRegistered) { spark.streams.addListener(metricListener); listenerRegistered = true }
+      metricSpecs(name) = specs
+    }
   }
+  private var listenerRegistered = false
 
   private def observable(m: SqlApp.MetricSpec): Boolean =
     m.labels.isEmpty && (m.metricType match {
@@ -128,7 +134,6 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       }
     }
   }
-  spark.streams.addListener(metricListener)
 
   private def job(name: String): Job =
     jobs.getOrElse(name, throw new ParseException(s"unknown job: $name"))
