@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (pushdown, pruning, broadcast strategy, TakeOrdered collapse,
+  * partial aggregation) asserted as tests, so a refactor that silently
+  * degrades a plan — a lost filter pushdown, a broadcast that became a
+  * shuffle join — fails the suite instead of only showing up in bench
+  * numbers. Complements the human-readable `graft.PlanAudit` dump.
+  */
+class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: lineitem scan is column-pruned and the shipdate predicate is pushed") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_comment"), "scan reads columns the query never touches")
+    assert(p.contains("partial_"), "aggregation lost its map-side partial step")
+  }
+
+  test("q2: ORDER BY + LIMIT collapses to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters"), "status/price filters not pushed to the scan")
+  }
+
+  test("q4: the customer dim side broadcasts (no shuffle join against the fact)") {
+    assert(plan("q4_multi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q40: top-N per group ranks inside the partition (no global sort before filter)") {
+    val p = plan("q40_topn_per_group")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q55: as-of join stays broadcast + rank, never a cartesian") {
+    val p = plan("q55_asof_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), "as-of candidate join degraded to a cartesian")
+  }
+
+  test("q63: deterministic sample is a pure scan+filter — no keyed shuffle") {
+    val p = plan("q63_stratified_sample")
+    // the table loader's round-robin repartition is the ONLY exchange
+    // allowed; the sample itself must not introduce a keyed shuffle
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"a pure map acquired a keyed shuffle:\n$p")
+  }
+
+  test("q64: contamination joins broadcast the benchmark side") {
+    val p = plan("q64_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q68: shard packing sorts within salt partitions only (no global sort)") {
+    val p = plan("q68_shard_pack")
+    // window sort is per-salt: partial sort with global=false; a global
+    // ordered partition would appear as a range-partitioned global sort
+    assert(!p.contains("rangepartitioning"), s"global sort detected:\n$p")
+  }
+}
