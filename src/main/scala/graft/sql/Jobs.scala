@@ -88,6 +88,39 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       case _ => false
     })
 
+  /** LABELED streaming counters: observe() cannot express a groupBy, so
+    * these are aggregated per micro-batch inside the EMIT CHANGES job's
+    * own foreachBatch (one extra agg on the already-materialized batch
+    * — only label-combo totals reach the driver) and accumulated across
+    * batches. Append-sink jobs keep the exactly-once file sink and
+    * collect only unlabeled metrics via observe(). */
+  private val labeledState = scala.collection.mutable.Map[(String, String, Map[String, String]), Double]()
+
+  private def collectLabeled(jobName: String, batch: DataFrame): Unit = {
+    val specs = metricSpecs.getOrElse(jobName, Vector.empty)
+      .filter(m => m.labels.nonEmpty && m.metricType == "counter")
+    specs.foreach { m =>
+      val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
+      val rows = batch.groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
+      jobs.synchronized {
+        rows.foreach { r =>
+          val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
+          val key = (jobName, m.name, labels)
+          labeledState(key) = labeledState.getOrElse(key, 0.0) +
+            (r.get(m.labels.length) match {
+              case null => 0.0
+              case n: java.lang.Number => n.doubleValue()
+              case other => other.toString.toDouble
+            })
+        }
+        val series = labeledState.collect {
+          case ((j, n, ls), v) if j == jobName && n == m.name => (("", ls, v))
+        }.toVector
+        metricSink(m.name, m.metricType, m.help, series)
+      }
+    }
+  }
+
   private def observedDf(jobName: String, df: DataFrame): DataFrame = {
     val specs = metricSpecs.getOrElse(jobName, Vector.empty).filter(observable)
     if (specs.isEmpty) df
@@ -155,11 +188,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       val q = emitOf(v.body) match {
         case Some(EmitChanges) =>
           val out = j.sinkDir
+          val jobName = j.name
+          val hasLabeled = metricSpecs.getOrElse(jobName, Vector.empty)
+            .exists(m => m.labels.nonEmpty && m.metricType == "counter")
           df.writeStream
             .outputMode(OutputMode.Update())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              batch.withColumn("_batch_id", lit(batchId))
+              def sink(): Unit = batch.withColumn("_batch_id", lit(batchId))
                 .write.mode("append").parquet(out)
+              if (hasLabeled) {
+                batch.persist()
+                try { sink(); collectLabeled(jobName, batch) } finally batch.unpersist()
+              } else sink()
             }
             .option("checkpointLocation", j.ckptDir)
             .queryName(s"graft-job-${j.name}")

@@ -252,6 +252,37 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB meter")
   }
 
+  test("labeled streaming counters aggregate per micro-batch in the changelog job") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("labeled_events", in.toDF().toDF("symbol", "amount"))
+    in.addData(Seq(("AAPL", 1.0), ("MSFT", 2.0), ("AAPL", 3.0)))
+    SqlApp.run(ctx,
+      """-- SQL Application: LabeledStream
+        |-- @metric: by_symbol_total
+        |-- @metric_type: counter
+        |-- @metric_labels: symbol
+        |START JOB labeler AS SELECT symbol, amount FROM labeled_events EMIT CHANGES
+        |""".stripMargin, lookup)
+    def series: Map[String, Double] = {
+      val re = """by_symbol_total\{job="labeler",symbol="([A-Z]+)"\} ([0-9.]+)""".r
+      re.findAllMatchIn(ctx.prometheusText).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    def awaitSeries(expect: Map[String, Double]): Unit = {
+      ctx.jobManager.awaitIdle("labeler")
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (series != expect && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(series == expect)
+    }
+    awaitSeries(Map("AAPL" -> 2.0, "MSFT" -> 1.0))
+    in.addData(Seq(("AAPL", 9.0)))
+    awaitSeries(Map("AAPL" -> 3.0, "MSFT" -> 1.0)) // accumulates across batches
+    ctx.sql("STOP JOB labeler")
+  }
+
   test("@partition-count applies as repartition(n) on the statement result") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
