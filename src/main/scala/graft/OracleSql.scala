@@ -389,6 +389,39 @@ object OracleSql {
             AND 1.0 - CAST(nd2 AS DOUBLE) / n2 <= 0.20) AS keep
          FROM stats s JOIN grams g ON s.doc_id = g.doc_id""",
 
+    // q69: the q57 closure (exact all-pairs jaccard ≥0.8 → transitive
+    // closure; LSH recall is 1 on this corpus) keyed into the q62 md5
+    // thresholds — near-dup clusters split by their min-id representative.
+    "q69_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len($wordsOf) - 2, 1)),
+             i -> array_to_string($wordsOf[i:i+2], ' '))) AS s
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (
+           SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u),
+         rep AS (
+           SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep_id
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         SELECT doc_id,
+           CASE WHEN substr(md5('graft:' || CAST(rep_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+                WHEN substr(md5('graft:' || CAST(rep_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM rep""",
+
     "q68_shard_pack" ->
       """WITH t AS (SELECT doc_id, n_chars, doc_id % 32 AS salt FROM documents),
          c AS (SELECT doc_id, n_chars, salt,

@@ -683,6 +683,19 @@ object SparkEntry {
         .select(col("shard_id"), col("n_docs"), col("shard_chars"))
     }),
 
+    // ---- 69. leakage-free split: near-dup clusters move into ONE
+    //          split as a unit (split keyed on the cluster
+    //          representative); exact assignment oracled against the
+    //          recursive-CTE closure + md5 thresholds ----
+    "q69_leakage_split" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
+      val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      Sampling.leakageFreeSplit(d, "doc_id", verified)
+        .select(col("doc_id"), col("split"))
+    }),
+
     // ---- 66. protobuf wire-format round-trip over the corpus: encode
     //          typed columns to binary messages, decode back — output
     //          must equal a plain projection (oracled) ----

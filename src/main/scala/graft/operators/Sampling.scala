@@ -69,6 +69,27 @@ object Sampling {
                           salt: String = "graft"): DataFrame =
     df.where(sampleFilter(keyCol, fraction, salt))
 
+  /** LEAKAGE-FREE train/val/test split: near-duplicate documents must
+    * land in the SAME split — hashing each doc independently puts one
+    * copy of a near-dup pair in train and its twin in test, leaking
+    * training data into evaluation. Given the verified near-dup `pairs`
+    * (id_a, id_b — the LSH→verify output), docs are keyed by their
+    * connected-component representative (min doc id of the cluster;
+    * singletons key by themselves) and the md5-prefix split applies to
+    * the REPRESENTATIVE, so a whole near-dup cluster moves as one unit.
+    * Same scale shape as `Dedup.clusterPairs` + `hashSplit`. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)] =
+                         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                       outCol: String = "split", salt: String = "graft"): DataFrame = {
+    val clusters = Dedup.clusterPairs(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn(outCol,
+        splitColumn(coalesce(col("cluster_id"), col(idCol)), splits, salt))
+      .drop("cluster_id")
+  }
+
   /** Pack documents into training shards with a bounded weight budget
     * per shard (the sharding/sequence-packing stage before a training
     * run: each shard holds consecutive docs until `budget` tokens/chars

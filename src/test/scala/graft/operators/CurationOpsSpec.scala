@@ -77,6 +77,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       .forall(_.getLong(2) <= 1)) // "alpha beta gamma" (df=4) never counts
   }
 
+  test("leakageFreeSplit: a near-dup cluster lands in ONE split") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // three clusters: {10,11,12}, {20,21}, {100,200} — plus singletons
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (100L, 200L)).toDF("id_a", "id_b")
+    val split = Sampling.leakageFreeSplit(docs, "id", pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(split.size == 300)
+    assert(Set(split(10L), split(11L), split(12L)).size == 1)
+    assert(split(20L) == split(21L) && split(100L) == split(200L))
+    // cluster members get the REPRESENTATIVE's split, not their own hash
+    assert(split(11L) == Sampling.hashSplit(Seq(10L).toDF("id"), "id")
+      .collect().head.getAs[String]("split"))
+  }
+
   test("packIntoShards: budget bound holds, assignment layout-independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
