@@ -125,11 +125,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     recordMetricSeries(name, metricType, help,
       series.map { case (labels, v) => ("", labels, v.toDouble) })
 
+  // writers include streaming threads (the progress listener, foreachBatch)
+  // while prometheusText reads from the caller's thread — registry access
+  // synchronizes on the map itself.
   def recordMetricSeries(name: String, metricType: String, help: Option[String],
-                         series: Vector[(String, Map[String, String], Double)]): Unit = {
-    metricsRegistry(name) = series
-    metricsHelp(name) = (metricType, help.getOrElse(""))
-  }
+                         series: Vector[(String, Map[String, String], Double)]): Unit =
+    metricsRegistry.synchronized {
+      metricsRegistry(name) = series
+      metricsHelp(name) = (metricType, help.getOrElse(""))
+    }
 
   /** Integral values render without a decimal point (counter parity
     * with the reference's integer counters). */
@@ -137,7 +141,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   /** Prometheus exposition text for everything in the registry. */
-  def prometheusText: String = {
+  def prometheusText: String = metricsRegistry.synchronized {
     val sb = new StringBuilder
     metricsRegistry.foreach { case (name, series) =>
       val (typ, help) = metricsHelp.getOrElse(name, ("counter", ""))
