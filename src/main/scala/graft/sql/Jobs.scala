@@ -66,6 +66,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   // query listener accumulates the per-batch values into the registry.
   // (Labeled series need a groupBy, which observe() cannot express —
   // those stay batch-collected in SqlApp.run.)
+  // ALL metric state (specs + accumulators) synchronizes on metricSpecs:
+  // writers/readers span the caller's thread (attachMetrics, launch), the
+  // listener-bus thread (onQueryProgress), and foreachBatch threads
+  // (collectLabeled) — one lock, no mixed-lock races.
   private val metricSpecs = scala.collection.mutable.Map[String, Vector[SqlApp.MetricSpec]]()
   private val counterState = scala.collection.mutable.Map[(String, String), Double]()
 
@@ -76,7 +80,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   def attachMetrics(name: String, specs: Vector[SqlApp.MetricSpec]): Unit = synchronized {
     if (specs.nonEmpty) {
       if (!listenerRegistered) { spark.streams.addListener(metricListener); listenerRegistered = true }
-      metricSpecs(name) = specs
+      metricSpecs.synchronized { metricSpecs(name) = specs }
     }
   }
   private var listenerRegistered = false
@@ -97,12 +101,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private val labeledState = scala.collection.mutable.Map[(String, String, Map[String, String]), Double]()
 
   private def collectLabeled(jobName: String, batch: DataFrame): Unit = {
-    val specs = metricSpecs.getOrElse(jobName, Vector.empty)
+    val specs = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
       .filter(m => m.labels.nonEmpty && m.metricType == "counter")
     specs.foreach { m =>
       val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
       val rows = batch.groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
-      jobs.synchronized {
+      metricSpecs.synchronized {
         rows.foreach { r =>
           val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
           val key = (jobName, m.name, labels)
@@ -122,7 +126,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   }
 
   private def observedDf(jobName: String, df: DataFrame): DataFrame = {
-    val specs = metricSpecs.getOrElse(jobName, Vector.empty).filter(observable)
+    val specs = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
+      .filter(observable)
     if (specs.isEmpty) df
     else {
       val aggs = specs.map { m =>
@@ -143,7 +148,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val om = e.progress.observedMetrics
-      jobs.synchronized {
+      metricSpecs.synchronized {
         metricSpecs.foreach { case (jobName, specs) =>
           Option(om.get(s"graft-metrics-$jobName")).foreach { row =>
             specs.filter(observable).foreach { m =>
@@ -189,7 +194,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         case Some(EmitChanges) =>
           val out = j.sinkDir
           val jobName = j.name
-          val hasLabeled = metricSpecs.getOrElse(jobName, Vector.empty)
+          val hasLabeled = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
             .exists(m => m.labels.nonEmpty && m.metricType == "counter")
           df.writeStream
             .outputMode(OutputMode.Update())
