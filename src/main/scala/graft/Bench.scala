@@ -14,6 +14,16 @@ import java.nio.file.{Files, Paths}
   * sink materializes every output column and discards rows — the honest
   * per-operator cost, with zero write overhead.
   *
+  * SELF-VALIDATION: the sandbox VM intermittently runs minutes-long ~2-17×
+  * slowdown windows, which once corrupted a round artifact. A fixed
+  * CPU-bound sentinel micro-job runs BEFORE and AFTER every timed query;
+  * its wall time is a pure environment probe (same JIT-warm code every
+  * run). A query whose surrounding sentinels exceed `slowGate` versus the
+  * calibrated baseline is re-timed (up to 2 retries) until a run lands
+  * inside a clean window; the per-query sentinel guards and retry counts
+  * are written into the artifact so a corrupted run is detectable — and
+  * diagnosable — from the JSON alone.
+  *
   * Output goes to stdout AND to `SPARK_GRAFT_BENCH_OUT` (default
   * `bench_out.json` in the cwd) so the driver can parse it even when
   * sbt log prefixes mangle stdout.
@@ -24,6 +34,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,10 +54,27 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // Environment probe: fixed CPU-bound codegen job, no I/O, no shuffle.
+    // Identical work every call → its wall time varies only with the VM.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000, 1, 4).selectExpr("sum(id * id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // warm the sentinel's own codegen path before calibrating
+    val sentinelBaseline = (1 to 3).map(_ => sentinel()).min
+    // A window is "slow" when the probe runs well above baseline; the
+    // absolute floor keeps a microsecond baseline from flagging noise.
+    val slowGate = math.max(2.5 * sentinelBaseline, sentinelBaseline + 0.4)
+
     case class R(sec: Double, rows: Long, err: Option[String])
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
-    val results: Seq[(String, R)] = names.map { name =>
+    // One attempt = sentinel, query, sentinel. The max of the two probes
+    // guards the whole window the query ran in.
+    case class Attempt(r: R, guard: Double) { def clean: Boolean = guard <= slowGate }
+    var attemptSeq = 0
+    def attempt(name: String): Attempt = {
+      attemptSeq += 1
+      val pre = sentinel()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val r =
@@ -56,7 +84,7 @@ object Bench {
           // materialization, and an Observation rides the same run to
           // report the row count (a narrow CollectMetrics node — no
           // second execution, no double-counting vs rec/s baselines).
-          val obs = org.apache.spark.sql.Observation(s"rows_$name")
+          val obs = org.apache.spark.sql.Observation(s"rows_${name}_$attemptSeq")
           df.observe(obs, count(lit(1)).as("n"))
             .write.format("noop").mode("overwrite").save()
           val rows = obs.get("n") match { case l: Long => l; case x => x.toString.toLong }
@@ -72,27 +100,52 @@ object Bench {
           // relies on; only their cached data is contamination.
           try spark.catalog.clearCache() catch { case _: Throwable => () }
         }
-      System.err.println(f"[bench] $name%-24s ${r.sec}%8.3f s  rows=${r.rows}${r.err.map(" ERR " + _).getOrElse("")}")
-      name -> r
+      val post = sentinel()
+      Attempt(r, math.max(pre, post))
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    case class Q(r: R, guard: Double, retries: Int)
+    val results: Seq[(String, Q)] = names.map { name =>
+      var best = attempt(name)
+      var retries = 0
+      // Re-time only when the run was timed inside a slow VM window (an
+      // erroring query re-errors — retrying it just re-pays the cost).
+      while (!best.clean && best.r.err.isEmpty && retries < maxRetries) {
+        retries += 1
+        val again = attempt(name)
+        // prefer a clean window; among equals keep the faster run
+        if (again.clean || (!best.clean && again.r.sec < best.r.sec)) best = again
+      }
+      val flag = if (best.clean) "" else " SLOW-WINDOW"
+      System.err.println(f"[bench] $name%-24s ${best.r.sec}%8.3f s  rows=${best.r.rows}  guard=${best.guard}%.3f$flag${best.r.err.map(" ERR " + _).getOrElse("")}")
+      name -> Q(best.r, best.guard, retries)
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    def sec3(s: Double): String = f"$s%.3f"
-    val qs = results.map { case (k, r) => s"${jstr(k)}:${sec3(r.sec)}" }.mkString("{", ",", "}")
-    val rowsJson = results.map { case (k, r) => s"${jstr(k)}:${r.rows}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, R(_, _, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
+    // Locale.ROOT: a comma-decimal default locale would emit "0,123" and
+    // make the JSON unparseable — the exact failure this line guards.
+    def sec3(s: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
+    val qs = results.map { case (k, q) => s"${jstr(k)}:${sec3(q.r.sec)}" }.mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, q) => s"${jstr(k)}:${q.r.rows}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, q) if q.r.err.isDefined => s"${jstr(k)}:${jstr(q.r.err.get)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.sec).sum
+    val guards = results.map { case (k, q) => s"${jstr(k)}:${sec3(q.guard)}" }.mkString("{", ",", "}")
+    val retimed = results.collect { case (k, q) if q.retries > 0 => s"${jstr(k)}:${q.retries}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.r.sec).sum
+    val nSlow = results.count(_._2.guard > slowGate)
     // stdout line stays COMPACT (rounded secs, no rows/error detail): the
     // driver only captures the last few KB of stdout, and a long line gets
     // cut mid-object → unparseable. Full detail goes to bench_out.json.
     val stdoutJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.err.isDefined)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.err.isDefined)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -22,7 +22,7 @@ object OracleSql {
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val wordsOf = s"string_split($normText, ' ')"
 
-  def sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -668,4 +668,12 @@ object OracleSql {
          (epoch_ms(ts)//1000//3600)*3600 AS hour_bucket
          FROM events WHERE event_id % 8 = 3"""
   )
+
+  /** q70 forces the SAME closure as q57 down the distributed
+    * pointer-doubling path (`localThreshold = 0`) — identical answer,
+    * identical oracle. Benching + oracling it separately means a
+    * regression in the 100 TB path cannot hide behind the adaptive
+    * driver-local finish. */
+  def sql: Map[String, String] =
+    base + ("q70_dedup_clusters_dist" -> base("q57_dedup_clusters"))
 }

@@ -609,6 +609,20 @@ object SparkEntry {
       Dedup.clusterPairs(verified).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // ---- 70. the q57 closure FORCED down the distributed pointer-
+    //          doubling path (localThreshold = 0 skips the adaptive
+    //          driver-local union-find): benched + oracled every round
+    //          so a regression in the 100 TB path can't hide behind the
+    //          driver-local finish on small edge sets ----
+    "q70_dedup_clusters_dist" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
+      val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      Dedup.clusterPairs(verified, localThreshold = 0L)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // ---- 56. exact dedup with keep-best policy: per duplicate cluster
     //          keep the longest copy (oracled) ----
     "q56_dedup_keep_best" -> ((s, dir) => {

@@ -103,13 +103,30 @@ object Sampling {
     * through a single task. A doc opens shard
     * `salt·10⁶ + floor(exclusive_cumsum / budget)`: next-fit packing,
     * deterministic on any cluster layout.
+    *
+    * `parallelism` ≤ 0 (the default) SIZES ITSELF from the plan's
+    * Catalyst statistics: enough salt streams that each window
+    * partition sorts ≤ ~1 GiB of input. A fixed stream count would
+    * put corpus/N bytes through one sorting task — at 100 TB with
+    * N=32 that is a ~3 TB spill-bound straggler. Auto-sizing depends
+    * on file statistics, so pin `parallelism` explicitly when the
+    * shard assignment must be replayable by another engine (the q68
+    * oracle pins 32).
     */
   def packIntoShards(df: DataFrame, idCol: String, weightCol: String,
-                     budget: Long, parallelism: Int = 32,
+                     budget: Long, parallelism: Int = 0,
                      outCol: String = "shard_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p =
+      if (parallelism > 0) parallelism
+      else {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perStream = BigInt(1L << 30) // target ≤ ~1 GiB sorted per salt stream
+        val bySize = ((bytes + perStream - 1) / perStream).min(BigInt(1 << 20)).toInt
+        math.max(df.sparkSession.sparkContext.defaultParallelism, bySize)
+      }
     val w = Window.partitionBy(col("_salt")).orderBy(col(idCol))
-    df.withColumn("_salt", pmod(col(idCol), lit(parallelism)))
+    df.withColumn("_salt", pmod(col(idCol), lit(p)))
       .withColumn("_cum", sum(col(weightCol)).over(w))
       .withColumn(outCol,
         (col("_salt") * 1000000L +

@@ -21,6 +21,8 @@ import org.apache.avro.{Schema, SchemaCompatibility}
 final class SchemaRegistry(root: Path) {
   Files.createDirectories(root)
 
+  private[sources] def root_forTest: Path = root
+
   private def subjectDir(subject: String): Path = {
     require(subject.matches("[A-Za-z0-9._-]+"), s"invalid subject name: $subject")
     root.resolve(subject)
@@ -29,9 +31,18 @@ final class SchemaRegistry(root: Path) {
   def versions(subject: String): Vector[Int] = {
     val d = subjectDir(subject)
     if (!Files.exists(d)) Vector.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".avsc"))
-      .map(_.stripSuffix(".avsc").toInt).toVector.sorted
+    else {
+      // Files.list holds an open directory handle until closed — and
+      // versions() runs on every register/latest, so an unclosed stream
+      // leaks a file descriptor per call. Only `<int>.avsc` names count;
+      // stray files (editor backups, .DS_Store) must not throw.
+      val stream = Files.list(d)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("""\d+\.avsc"""))
+        .map(_.stripSuffix(".avsc").toInt).toVector.sorted
+      finally stream.close()
+    }
   }
 
   def get(subject: String, version: Int): Option[String] = {

@@ -142,6 +142,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     }
   }
 
+  /** A job's accumulated metric state is scoped to its checkpoint epoch:
+    * DEPLOY/ROLLBACK/START-with-new-body reprocesses the source from
+    * scratch in a fresh epoch, so keeping the old totals would double-
+    * count every re-read record (old total + full re-count) while the
+    * sink holds exactly one copy. Called wherever `epoch` is bumped. */
+  private def resetMetricState(jobName: String): Unit = metricSpecs.synchronized {
+    counterState.filterInPlace { case ((j, _), _) => j != jobName }
+    labeledState.filterInPlace { case ((j, _, _), _) => j != jobName }
+  }
+
   private val metricListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -153,19 +163,25 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           Option(om.get(s"graft-metrics-$jobName")).foreach { row =>
             specs.filter(observable).foreach { m =>
               val idx = row.schema.fieldIndex(m.name)
-              val v = if (row.isNullAt(idx)) 0.0
-                      else row.get(idx) match {
-                        case n: java.lang.Number => n.doubleValue()
-                        case other => other.toString.toDouble
-                      }
-              val key = (jobName, m.name)
-              val total = m.metricType match {
-                case "counter" => counterState.getOrElse(key, 0.0) + v
-                case _ => v // gauge: last batch's last value wins
+              val isNull = row.isNullAt(idx)
+              // Empty micro-batch → null observed value. A counter adds
+              // nothing; a GAUGE must RETAIN its last real value, not be
+              // reset to 0 by a batch that carried no data.
+              if (!(isNull && m.metricType != "counter")) {
+                val v = if (isNull) 0.0
+                        else row.get(idx) match {
+                          case n: java.lang.Number => n.doubleValue()
+                          case other => other.toString.toDouble
+                        }
+                val key = (jobName, m.name)
+                val total = m.metricType match {
+                  case "counter" => counterState.getOrElse(key, 0.0) + v
+                  case _ => v // gauge: last batch's last value wins
+                }
+                counterState(key) = total
+                metricSink(m.name, m.metricType, m.help,
+                  Vector(("", Map("job" -> jobName), total)))
               }
-              counterState(key) = total
-              metricSink(m.name, m.metricType, m.help,
-                Vector(("", Map("job" -> jobName), total)))
             }
           }
         }
@@ -238,12 +254,23 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * reported as a clean PAUSED/STOPPED and blindly RESUMEd. */
   private def halt(j: Job, drain: Boolean): Unit = {
     j.handle.foreach { q =>
-      if (drain) try q.processAllAvailable() catch { case _: StreamingQueryException => () }
-      q.stop()
-      try q.awaitTermination() catch { case _: StreamingQueryException => () }
-      j.lastError = q.exception.map(e =>
-        Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
-          .getOrElse(e.getMessage))
+      // stop() runs in finally: processAllAvailable can throw things
+      // other than StreamingQueryException (e.g. IllegalStateException
+      // on a stopped session) and the query must still be stopped and
+      // the handle cleared — never leave a dead query reported RUNNING.
+      try {
+        if (drain) try q.processAllAvailable() catch { case _: StreamingQueryException => () }
+      } finally {
+        try {
+          q.stop()
+          try q.awaitTermination() catch { case _: StreamingQueryException => () }
+        } finally {
+          j.lastError = q.exception.map(e =>
+            Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
+              .getOrElse(e.getMessage))
+          j.handle = None
+        }
+      }
     }
     j.handle = None
   }
@@ -273,7 +300,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
     // A fresh epoch gives it clean checkpoint + sink, like deploy().
-    if (j.current.exists(_.body != body)) j.epoch += 1
+    if (j.current.exists(_.body != body)) { j.epoch += 1; resetMetricState(name) }
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
     launch(j, v)
@@ -317,6 +344,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val v = record(j, version, body, props, stratStr)
     halt(j, drain = strategy != Replace) // REPLACE = stop old fast; others drain
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
+    resetMetricState(name) // new epoch re-reads the source — drop old totals
     launch(j, v)
     statusDf(Some(name))
   }
@@ -332,6 +360,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     }
     halt(j, drain = true)
     j.epoch += 1
+    resetMetricState(name) // rollback epoch re-reads the source from scratch
     launch(j, v)
     statusDf(Some(name))
   }

@@ -107,6 +107,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(a.sameElements(b)) // same shard for every doc on any layout
   }
 
+  test("packIntoShards auto-sizes its salt-stream count from plan stats") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, 100L)).toDF("id", "w")
+    // default parallelism ≤ 0 → derive from Catalyst sizeInBytes: at
+    // test scale that floors at defaultParallelism, never a fixed 32
+    val packed = Sampling.packIntoShards(docs, "id", "w", budget = 1000L)
+    val streams = packed.select((col("shard_id") / 1000000L).cast("long")).distinct().count()
+    val expected = spark.sparkContext.defaultParallelism
+    assert(streams >= math.min(expected, 500L),
+      s"expected ~$expected salt streams, saw $streams")
+    // budget bound still holds under auto-sizing
+    val tot = packed.groupBy("shard_id").agg(sum("w").as("t")).collect()
+    tot.foreach(r => assert(r.getAs[Long]("t") <= 1000L))
+  }
+
   test("repetitionMetrics: degenerate repetition gated out, normal prose kept") {
     import spark.implicits._
     val docs = Seq(

@@ -124,6 +124,13 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     val rows = decoded.orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score")))
     assert(rows.toSeq == Seq((7L, "a", 0.5), (8L, "b", 0.5)))
+
+    // stray files in a subject dir (editor backups, .DS_Store, a
+    // non-numeric .avsc) must be ignored, not crash version listing
+    val subjectDir = reg.root_forTest.resolve("events-value")
+    java.nio.file.Files.writeString(subjectDir.resolve("draft.avsc"), "{}")
+    java.nio.file.Files.writeString(subjectDir.resolve(".DS_Store"), "")
+    assert(reg.versions("events-value") == Vector(1, 2))
   }
 
   test("kafka envelope with Avro value → typed columns + system columns") {

@@ -283,6 +283,83 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB labeler")
   }
 
+  test("DEPLOY resets streaming counters — a fresh epoch re-reads the source, totals must not double-count") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("epoch_events", in.toDF().toDF("id", "amount"))
+    in.addData(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    SqlApp.run(ctx,
+      """-- SQL Application: EpochMetrics
+        |-- @metric: epoch_rows_total
+        |-- @metric_type: counter
+        |START JOB epocher AS SELECT id, amount FROM epoch_events
+        |""".stripMargin, lookup)
+    def metricValue: Option[Double] = {
+      val re = """epoch_rows_total\{job="epocher"\} ([0-9.]+)""".r
+      re.findFirstMatchIn(ctx.prometheusText).map(_.group(1).toDouble)
+    }
+    def awaitMetric(expect: Double): Unit = {
+      ctx.jobManager.awaitIdle("epocher")
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (!metricValue.contains(expect) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(metricValue.contains(expect), s"epoch_rows_total=$metricValue")
+    }
+    awaitMetric(3.0)
+    // DEPLOY starts a fresh checkpoint epoch, so the new query re-reads
+    // all 3 rows from the MemoryStream. The sink holds exactly one copy;
+    // the counter must report 3 (one epoch's total), not 3+3.
+    ctx.sql("DEPLOY JOB epocher VERSION '2.0.0' AS SELECT id, amount * 2 AS amount FROM epoch_events")
+    awaitMetric(3.0)
+    in.addData(Seq((4L, 4.0)))
+    awaitMetric(4.0)
+    ctx.sql("STOP JOB epocher")
+  }
+
+  test("a micro-batch with no gauge data retains the last real value instead of resetting to 0") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Option[Double])]
+    val ctx = new VeloContext(spark)
+    ctx.register("gauge_events", in.toDF().toDF("id", "amount"))
+    in.addData(Seq((1L, Some(42.0))))
+    SqlApp.run(ctx,
+      """-- SQL Application: GaugeRetention
+        |-- @metric: gr_rows_total
+        |-- @metric_type: counter
+        |-- @metric: gr_last_amount
+        |-- @metric_type: gauge
+        |-- @metric_field: amount
+        |START JOB gaugey AS SELECT id, amount FROM gauge_events
+        |""".stripMargin, lookup)
+    def metricValue(name: String): Option[Double] = {
+      val re = (java.util.regex.Pattern.quote(name) + """\{job="gaugey"\} ([0-9.]+)""").r
+      re.findFirstMatchIn(ctx.prometheusText).map(_.group(1).toDouble)
+    }
+    def awaitCounter(expect: Double): Unit = {
+      ctx.jobManager.awaitIdle("gaugey")
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (!metricValue("gr_rows_total").contains(expect) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(metricValue("gr_rows_total").contains(expect))
+    }
+    awaitCounter(1.0)
+    assert(metricValue("gr_last_amount").contains(42.0))
+    // A batch whose gauge field is entirely null observes a null value
+    // (last ignoreNulls). The counter reaching 2 proves the listener
+    // processed that batch's event — same synchronized block decides
+    // both metrics — so asserting the gauge afterwards is race-free.
+    in.addData(Seq((2L, None)))
+    awaitCounter(2.0)
+    assert(metricValue("gr_last_amount").contains(42.0),
+      s"gauge was reset by an empty observation: ${metricValue("gr_last_amount")}")
+    ctx.sql("STOP JOB gaugey")
+  }
+
   test("@partition-count applies as repartition(n) on the statement result") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
