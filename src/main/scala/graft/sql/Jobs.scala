@@ -37,7 +37,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                        validate: VeloStatement => Vector[String] = _ => Vector.empty,
                        metricSink: (String, String, Option[String],
                          Vector[(String, Map[String, String], Double)]) => Unit =
-                         (_, _, _, _) => ()) {
+                         (_, _, _, _) => (),
+                       breakerConfig: CircuitBreaker.Config = CircuitBreaker.Config(),
+                       breakerClock: () => Long = () => System.currentTimeMillis()) {
 
   private case class Version(version: String, body: VeloStatement,
                              strategy: String, props: Map[String, String],
@@ -50,6 +52,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var handle: Option[StreamingQuery] = None
     var batchView: Option[String] = None
     var lastError: Option[String] = None
+    val breaker = new CircuitBreaker(breakerConfig, breakerClock)
     val root: String = Files.createTempDirectory(s"graft_job_$name").toString
     var epoch: Int = 0
     def ckptDir: String = s"$root/ckpt-$epoch"
@@ -247,6 +250,29 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     j.lastError = None
   }
 
+  /** Launch wrapped in the job's circuit breaker (reference:
+    * circuit_breaker.rs — a crash-looping job trips open and fails fast
+    * instead of hot-looping restarts). A launch that throws records a
+    * failure; health while running is recorded by `halt` (clean drain =
+    * success, died-with-error = failure) and by `superviseOnce`. */
+  private def guardedLaunch(j: Job, v: Version): Unit =
+    try launch(j, v)
+    catch {
+      case e: Throwable =>
+        j.breaker.recordFailure()
+        j.status = "FAILED"
+        j.lastError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        throw e
+    }
+
+  /** Reject a launch while the job's breaker is OPEN — the fail-fast
+    * path that protects the cluster from a doomed restart loop. */
+  private def gateBreaker(j: Job): Unit =
+    if (!j.breaker.allowsLaunch)
+      throw new ParseException(
+        s"job ${j.name} circuit breaker is OPEN after repeated failures; " +
+          s"retry in ${j.breaker.retryInMs} ms or reset it")
+
   /** Stop the job's streaming query. Only the EXPECTED termination
     * exception is caught; whatever error actually killed the query is
     * surfaced into the job status (`q.exception`) instead of being
@@ -268,6 +294,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           j.lastError = q.exception.map(e =>
             Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
               .getOrElse(e.getMessage))
+          // breaker health signal: a query that died with an error is a
+          // failure; one that drained and stopped cleanly is a success
+          if (j.lastError.isDefined) j.breaker.recordFailure()
+          else j.breaker.recordSuccess()
           j.handle = None
         }
       }
@@ -296,6 +326,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val j = jobs.getOrElseUpdate(name, new Job(name))
     if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
     gate("START", name, body)
+    gateBreaker(j)
     // Restarting a stopped job with a DIFFERENT body must not reuse the
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
@@ -303,7 +334,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (j.current.exists(_.body != body)) { j.epoch += 1; resetMetricState(name) }
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
-    launch(j, v)
+    guardedLaunch(j, v)
     statusDf(Some(name))
   }
 
@@ -327,7 +358,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (j.status != "PAUSED" && j.status != "STOPPED")
       throw new ParseException(s"job $name is not paused")
     val v = j.current.getOrElse(throw new ParseException(s"job $name has no version to resume"))
-    launch(j, v) // same epoch → same checkpoint + sink → offset-exact resume
+    gateBreaker(j)
+    guardedLaunch(j, v) // same epoch → same checkpoint + sink → offset-exact resume
     statusDf(Some(name))
   }
 
@@ -335,6 +367,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
              props: Map[String, String], strategy: DeployStrategy): DataFrame = synchronized {
     gate("DEPLOY", name, body) // reject BEFORE stopping the running version
     val j = jobs.getOrElseUpdate(name, new Job(name))
+    gateBreaker(j) // likewise: an OPEN breaker rejects before any stop
     val stratStr = strategy match {
       case BlueGreen => "BLUE_GREEN"
       case Canary(p) => s"CANARY($p)"
@@ -345,12 +378,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     halt(j, drain = strategy != Replace) // REPLACE = stop old fast; others drain
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
     resetMetricState(name) // new epoch re-reads the source — drop old totals
-    launch(j, v)
+    guardedLaunch(j, v)
     statusDf(Some(name))
   }
 
   def rollback(name: String, target: Option[String]): DataFrame = synchronized {
     val j = job(name)
+    gateBreaker(j)
     val cur = j.current.getOrElse(throw new ParseException(s"job $name has no deployment"))
     val v = target match {
       case Some(ver) => j.versions.find(_.version == ver)
@@ -361,9 +395,42 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     halt(j, drain = true)
     j.epoch += 1
     resetMetricState(name) // rollback epoch re-reads the source from scratch
-    launch(j, v)
+    guardedLaunch(j, v)
     statusDf(Some(name))
   }
+
+  /** One supervision pass over every job (the reference's resource
+    * manager runs this continuously; here it is an explicit, schedulable
+    * tick so behavior stays deterministic): a RUNNING job whose query
+    * died records a breaker failure and either restarts on the SAME
+    * checkpoint epoch (exactly-once continuation) or — once the breaker
+    * trips OPEN — is left FAILED, bounding a crash loop at
+    * `failureThreshold` restarts per recovery window. A healthy query
+    * records a success. Returns the post-supervision status frame. */
+  def superviseOnce(autoRestart: Boolean = true): DataFrame = synchronized {
+    jobs.values.foreach { j =>
+      j.handle match {
+        case Some(q) if j.status == "RUNNING" && !q.isActive =>
+          j.lastError = q.exception.map(e =>
+            Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
+              .getOrElse(e.getMessage)).orElse(Some("query terminated unexpectedly"))
+          j.handle = None
+          j.breaker.recordFailure()
+          j.status = "FAILED"
+          if (autoRestart && j.breaker.allowsLaunch)
+            j.current.foreach { v =>
+              try guardedLaunch(j, v) catch { case _: Throwable => () }
+            }
+        case Some(q) if j.status == "RUNNING" && q.isActive =>
+          j.breaker.recordSuccess()
+        case _ => ()
+      }
+    }
+    statusDf(None)
+  }
+
+  /** Manually close a job's breaker after fixing the root cause. */
+  def resetBreaker(name: String): Unit = synchronized { job(name).breaker.reset() }
 
   // ---- SHOW surfaces ----
 
@@ -383,9 +450,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         (j.name, j.status, j.current.map(_.version).getOrElse(""),
           j.current.map(_.strategy).getOrElse(""),
           j.handle.exists(_.isActive), j.batchView.getOrElse(""),
-          j.lastError.getOrElse(""))
+          j.lastError.getOrElse(""), j.breaker.currentState)
       }
-      .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view", "error")
+      .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view",
+        "error", "breaker")
   }
 
   def versionsDf(name: String): DataFrame = synchronized {

@@ -1,0 +1,130 @@
+package graft.sql
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import VeloSqlParser._
+
+/** Circuit breaker semantics (reference:
+  * src/velostream/sql/execution/circuit_breaker.rs): a crash-looping
+  * job trips OPEN after `failureThreshold` consecutive failures, OPEN
+  * fails launches fast, HALF_OPEN admits a trial after the recovery
+  * timeout, and successes close it again.
+  */
+class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
+
+  test("state machine: closed → open → half-open → closed, with re-trip on trial failure") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 3, recoveryTimeoutMs = 1000L, successThreshold = 2),
+      () => now)
+    assert(cb.currentState == CircuitBreaker.Closed && cb.allowsLaunch)
+
+    // successes keep resetting the consecutive-failure count
+    cb.recordFailure(); cb.recordFailure(); cb.recordSuccess()
+    cb.recordFailure(); cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.Closed)
+    cb.recordFailure() // third consecutive → trip
+    assert(cb.currentState == CircuitBreaker.Open && !cb.allowsLaunch)
+    assert(cb.retryInMs == 1000L)
+
+    // recovery timeout elapses → half-open admits a trial
+    now = 1000L
+    assert(cb.currentState == CircuitBreaker.HalfOpen && cb.allowsLaunch)
+
+    // a failed trial re-opens AND restarts the recovery timer
+    cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.Open)
+    assert(cb.retryInMs == 1000L)
+
+    // next window: two successes (successThreshold) close it
+    now = 2000L
+    assert(cb.currentState == CircuitBreaker.HalfOpen)
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.HalfOpen)
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.Closed)
+
+    // manual reset from open
+    cb.recordFailure(); cb.recordFailure(); cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.Open)
+    cb.reset()
+    assert(cb.currentState == CircuitBreaker.Closed)
+  }
+
+  test("a crash-looping job trips its breaker: bounded restarts, fail-fast START, half-open retry") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    in.addData(Seq((1L, 99.0))) // v >= 5 → assert_true fails every epoch
+    val poison = in.toDF().toDF("id", "v").selectExpr("id", "assert_true(v < 5.0) AS chk")
+    var now = 0L
+    val mgr = new JobManager(spark, _ => poison,
+      breakerConfig = CircuitBreaker.Config(
+        failureThreshold = 2, recoveryTimeoutMs = 60000L, successThreshold = 1),
+      breakerClock = () => now)
+    val body = VeloSqlParser.parse("SELECT id FROM whatever") // exec ignores it
+
+    def awaitDead(): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (mgr.statusDf(Some("doomed")).collect().head.getAs[Boolean]("is_active")
+             && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(!mgr.statusDf(Some("doomed")).collect().head.getAs[Boolean]("is_active"))
+    }
+
+    mgr.start("doomed", body, Map.empty)
+    awaitDead()
+    // death #1: supervision records the failure and restarts on the
+    // same checkpoint epoch (breaker still closed: 1 < threshold 2)
+    mgr.superviseOnce()
+    val st1 = mgr.statusDf(Some("doomed")).collect().head
+    assert(st1.getAs[String]("status") == "RUNNING", st1.toString)
+    assert(st1.getAs[String]("breaker") == CircuitBreaker.Closed)
+
+    awaitDead()
+    // death #2 → trip: no restart, job left FAILED with the error kept
+    mgr.superviseOnce()
+    val st2 = mgr.statusDf(Some("doomed")).collect().head
+    assert(st2.getAs[String]("status") == "FAILED", st2.toString)
+    assert(st2.getAs[String]("breaker") == CircuitBreaker.Open)
+    assert(st2.getAs[String]("error").nonEmpty)
+
+    // OPEN fails fast: START / RESUME / DEPLOY all rejected immediately
+    val e = intercept[ParseException](mgr.start("doomed", body, Map.empty))
+    assert(e.getMessage.contains("circuit breaker is OPEN"))
+    intercept[ParseException](mgr.resume("doomed"))
+
+    // recovery timeout → HALF_OPEN admits one trial launch again
+    now += 60000L
+    assert(mgr.statusDf(Some("doomed")).collect().head
+      .getAs[String]("breaker") == CircuitBreaker.HalfOpen)
+    mgr.start("doomed", body, Map.empty) // trial allowed
+    mgr.stop("doomed", force = true)
+
+    // manual reset path
+    mgr.resetBreaker("doomed")
+    assert(mgr.statusDf(Some("doomed")).collect().head
+      .getAs[String]("breaker") == CircuitBreaker.Closed)
+  }
+
+  test("supervision restarts continue exactly-once on the same sink") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    val healthy = in.toDF().toDF("id", "v")
+    val mgr = new JobManager(spark, _ => healthy)
+    val body = VeloSqlParser.parse("SELECT id FROM whatever")
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    mgr.start("steady", body, Map.empty)
+    mgr.awaitIdle("steady")
+    // healthy query: supervision is a no-op success signal
+    mgr.superviseOnce()
+    val st = mgr.statusDf(Some("steady")).collect().head
+    assert(st.getAs[String]("status") == "RUNNING" && st.getAs[Boolean]("is_active"))
+    assert(mgr.sinkDf("steady").count() == 2)
+    mgr.stop("steady", force = false)
+  }
+}
