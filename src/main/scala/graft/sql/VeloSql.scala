@@ -35,6 +35,33 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   // the engine's own kernels are part of the dialect's function surface
   graft.functions.GraftKernels.registerSqlFunctions(spark)
 
+  /** Per-statement tracing spans (reference: observability/telemetry.rs
+    * emits per-statement + per-batch OTel spans; span_collector.rs keeps
+    * them inspectable). Inspect via `SHOW TRACES [LIKE '...']`. */
+  val tracer = new Tracer()
+
+  // Micro-batch spans for this context's jobs: the listener translates
+  // Spark's own progress events into `job.batch` spans — no extra pass
+  // over any data, purely driver-side bookkeeping.
+  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (Option(p.name).exists(_.startsWith("graft-job-"))) {
+        val startMs =
+          try java.time.Instant.parse(p.timestamp).toEpochMilli
+          catch { case _: Throwable => System.currentTimeMillis() }
+        val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)
+        tracer.recordSpan("job.batch", startMs, dur, Map(
+          "job" -> p.name.stripPrefix("graft-job-"),
+          "batch_id" -> p.batchId.toString,
+          "input_rows" -> p.numInputRows.toString))
+      }
+    }
+  })
+
   /** Registered CTAS materializations (name → cached DataFrame). */
   private val materialized = scala.collection.mutable.Map[String, DataFrame]()
 
@@ -157,7 +184,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     sb.toString
   }
 
-  def sql(text: String): DataFrame = execStatement(parseStatement(text))
+  def sql(text: String): DataFrame =
+    tracer.span("sql.statement",
+        Map("sql" -> text.linesIterator.mkString(" ").trim.take(200))) {
+      val stmt = tracer.span("sql.parse")(parseStatement(text))
+      tracer.span("sql.execute",
+        Map("kind" -> stmt.getClass.getSimpleName))(execStatement(stmt))
+    }
+
+  /** Finished engine spans, newest last (SHOW TRACES [LIKE pattern]). */
+  def tracesDf(pattern: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    tracer.spans
+      .filter(s => pattern.forall(p => JobManager.likeMatch(s.name, p)))
+      .toDF()
+  }
 
   private def execStatement(stmt: VeloStatement): DataFrame = stmt match {
     case q @ (Select(_) | Union(_, _) | WithCtes(_, _, _)) =>
@@ -279,6 +320,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
             .filter { case (n, _) => arg.forall(p => JobManager.likeMatch(n, p)) }
             .toSeq.sortBy(_._1).toDF("function", "is_temporary")
         case "JOBS" => jobManager.jobsDf(arg)
+        case "TRACES" => tracesDf(arg)
         case "STATUS" => jobManager.statusDf(arg)
         case "VERSIONS" => jobManager.versionsDf(
           arg.getOrElse(throw new ParseException("SHOW VERSIONS needs a job name")))

@@ -313,7 +313,7 @@ object VeloSqlParser {
       val what0 = take().upper
       val what = if (what0 == "JOB") take().upper else what0
       what match {
-        case "STREAMS" | "TABLES" | "TOPICS" | "FUNCTIONS" | "JOBS" =>
+        case "STREAMS" | "TABLES" | "TOPICS" | "FUNCTIONS" | "JOBS" | "TRACES" =>
           val pat = if (at("LIKE")) { take(); Some(unquote(take())) } else None
           Show(what, pat)
         case "SCHEMA" | "PARTITIONS" | "VERSIONS" => Show(what, Some(ident()))
