@@ -549,6 +549,17 @@ object OracleSql {
            i -> ascii(text[i]) / 255.0)), 0.0), 4) AS f0
          FROM documents""",
 
+    "q71_image_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST(doc_id % 13 + 4 AS INTEGER) AS header_w,
+         CAST(doc_id % 7 + 4 AS INTEGER) AS header_h,
+         CAST(doc_id % 13 + 4 AS INTEGER) AS width_px,
+         CAST(doc_id % 7 + 4 AS INTEGER) AS height_px,
+         CAST(doc_id % 13 + 3 AS DOUBLE) / 2 AS mean_r,
+         CAST(doc_id % 256 AS DOUBLE) AS mean_g,
+         CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+
     "q40_topn_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,

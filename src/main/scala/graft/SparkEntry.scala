@@ -427,13 +427,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
-    // ---- 39. multimodal binary pipeline: stubbed decode, but the
-    //          deterministic stub formula + byte counts are oracled ----
+    // ---- 39. multimodal binary pipeline: generic byte-feature path
+    //          (deterministic formula + byte counts oracled); the REAL
+    //          image codec path is q71 ----
     "q39_multimodal" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(T(s, dir, "documents"))
       Multimodal.extractFeatures(media, dim = 8)
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+
+    // ---- 71. real image codec round-trip: synthesize genuine PNGs
+    //          (javax.imageio encode), decode them back, and extract
+    //          byte-derived (IHDR header) AND pixel-derived (decoded
+    //          dims + channel means) features. Pixels are arithmetic in
+    //          (doc_id, n_chars), so DuckDB oracles what a real decoder
+    //          must see without ever decoding a PNG itself ----
+    "q71_image_decode" -> ((s, dir) => {
+      val media = Multimodal.pngMediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.decodeImageFeatures(media)
     }),
 
     // ---- 40. Top-N per group ----
@@ -783,7 +795,7 @@ object SparkEntry {
     //          grid join measured in SimilaritySpec) ----
     "q58_embed_dedup_lsh" -> ((s, dir) => {
       Similarity.embeddingNearDupPairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, minCos = 0.3, numBands = 16, bandBits = 6)
+          dim = 64, minCos = 0.3, numBands = 10, bandBits = 6)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns plus typed metadata, processed batch-at-a-time per partition.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` produces deterministic fake features from
-  * the bytes. Everything around it — schema, batching, partition
-  * sizing, null handling — is the real 100 TB-shape pipeline:
-  * narrow mapPartitions (no shuffle), output schema declared up front,
-  * rows processed streaming-wise (never materializing a partition).
+  * Two codec tiers: the IMAGE path is a real JDK codec —
+  * `synthPng`/`decodeImageFeatures` run genuine PNG encode/decode via
+  * javax.imageio with pixel-statistic extraction (q71). The generic
+  * byte-feature path (`decodeStub`, q39) stays as the stand-in for
+  * formats the JDK cannot decode (audio/video): deterministic features
+  * from the bytes, with the schema/batching/partition plumbing — narrow
+  * mapPartitions (no shuffle), output schema declared up front, rows
+  * processed streaming-wise (never materializing a partition) —
+  * identical to what a JNI codec would slot into.
   */
 object Multimodal {
 
@@ -102,6 +105,88 @@ object Multimodal {
             if (v == null) null else Integer.valueOf(math.max(1, v / factor))
           }
           Row(r.getLong(0), r.getString(1), small, scaled("width"), scaled("height"))
+        }
+      }(enc)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("header_w", IntegerType, nullable = false),
+    StructField("header_h", IntegerType, nullable = false),
+    StructField("width_px", IntegerType, nullable = false),
+    StructField("height_px", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Real PNG encode via the JDK's javax.imageio (no stub, no external
+    * libs): renders a w×h RGB image whose pixels are pure arithmetic in
+    * (seed, len) — pixel (x, y) = (x, seed%256, len%256), w = seed%13+4,
+    * h = seed%7+4 — so every pixel-derived feature a real decoder
+    * extracts is independently computable by the SQL oracle, while the
+    * bytes in between are a genuine PNG (zlib-compressed IDAT and all).
+    */
+  def synthPng(seed: Long, len: Long): Array[Byte] = {
+    val w = (seed % 13 + 4).toInt
+    val h = (seed % 7 + 4).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = (seed % 256).toInt
+    val b = (len % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x << 16) | (g << 8) | b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → a real-PNG media table: one narrow mapPartitions doing
+    * the encode (the write-side codec), payload is a decodable PNG. */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory codec buffers, no temp-file I/O
+        rows.map { r => Row(r.getLong(0), synthPng(r.getLong(0), r.getLong(1))) }
+      }(enc)
+  }
+
+  /** The read-side codec: ImageIO-decode each payload and extract pixel
+    * statistics (width/height/per-channel means), plus the IHDR
+    * dimensions parsed straight from the raw bytes (the PNG spec fixes
+    * width at byte offset 16 and height at 20, big-endian) so the
+    * features cover byte-derived AND pixel-derived paths. Narrow
+    * per-partition map — decode cost scales linearly with executors. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(imageFeatureSchema)
+    def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) | ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          Row(r.getLong(0), be32(bytes, 16), be32(bytes, 20), w, h, sr / n, sg / n, sb / n)
         }
       }(enc)
   }

@@ -48,9 +48,13 @@ object Similarity {
     Array.fill(numBits * dim)(if (rnd.nextBoolean()) 1.0d else -1.0d)
   }
 
-  /** Random-hyperplane sign sketch (native kernel). */
-  def signSketch(vec: Column, numBits: Int, dim: Int, floatElems: Boolean = true): Column =
+  /** Random-hyperplane sign sketch (native kernel). The sketch is one
+    * long, so at most 64 bits — requesting more would silently alias
+    * band windows through Java's mod-64 shift semantics. */
+  def signSketch(vec: Column, numBits: Int, dim: Int, floatElems: Boolean = true): Column = {
+    require(numBits >= 1 && numBits <= 64, s"numBits must be in [1, 64], got $numBits")
     GraftKernels.signSketchCol(vec, planes(numBits, dim), numBits, dim, floatElems)
+  }
 
   /** Interpreted HOF sketch — parity-test oracle only. */
   private[graft] def signSketchHof(vec: Column, numBits: Int, dim: Int): Column = {
@@ -330,33 +334,44 @@ object Similarity {
     * capped band-bucket SELF-JOIN — every stage is a codegen'd
     * join/agg, no collect_list rows holding whole buckets, no
     * interpreted per-bucket expansion (same shape as Dedup.minhashLsh).
+    *
+    * Each pair is emitted from its FIRST matching band only, decided by
+    * comparing the two 64-bit sketches band-by-band (pure bit ops inside
+    * codegen): one cosine per pair, no pair-dedup shuffle at all — the
+    * only exchange after banding carries (id_a, id_b, cos), never the
+    * vectors (at dim=1024 that's 8 KB/row saved).
     */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                dim: Int, minCos: Double = 0.9,
-                               numBands: Int = 16, bandBits: Int = 6,
+                               numBands: Int = 10, bandBits: Int = 6,
                                maxBucket: Int = 1024): DataFrame = {
     val numBits = numBands * bandBits
+    require(numBits <= 64,
+      s"sign sketch is a single long: numBands*bandBits must be <= 64, got $numBits")
+    val mask = (1L << bandBits) - 1
     val sk = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signSketch(col(vecCol), numBits, dim).as("sk"))
-    val banded = sk.select(col("id"), col("v"),
+    val banded = sk.select(col("id"), col("v"), col("sk"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sk"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("chunk"))): _*)).as("bc"))
-      .select(col("id"), col("v"), col("bc.band"), col("bc.chunk"))
+          shiftright(col("sk"), b * bandBits).bitwiseAND(mask).as("chunk"))): _*)).as("bc"))
+      .select(col("id"), col("v"), col("sk"), col("bc.band"), col("bc.chunk"))
     val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
     val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
       .drop("_bn")
-    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"))
-    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"))
-    // score + threshold BEFORE the pair-dedup shuffle: a pair seen in k
-    // bands recomputes the (cheap, fused-kernel) cosine k times, but
-    // only sub-threshold survivors' (id_a, id_b, cos) ever shuffle —
-    // never the vectors themselves (at dim=1024 that's 8 KB/row saved)
+    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"), col("sk").as("ska"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"), col("sk").as("skb"))
+    // arithmetic shift distributes over xor at equal distances, so
+    // "band j matches" is one shift+mask on ska^skb; the when-chain
+    // picks the least matching band and the join row keeps the pair
+    // only if it IS that band — exactly-once emission by construction
+    val xor = col("ska").bitwiseXOR(col("skb"))
+    val firstBand = (0 until numBands).foldRight(lit(numBands): Column)((j, acc) =>
+      when(shiftright(xor, j * bandBits).bitwiseAND(mask) === 0, lit(j)).otherwise(acc))
     a.join(b, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") && col("band") === firstBand)
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= minCos)
-      .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos"))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 }

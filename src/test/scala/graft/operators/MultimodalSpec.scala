@@ -66,4 +66,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.toSeq == Seq(0, 2, 4))
     assert(out.collect().forall(_.getAs[Array[Byte]]("chunk").length == 64))
   }
+
+  test("real PNG round-trip: encode on executors, decode recovers exact pixels") {
+    import spark.implicits._
+    val docs = Seq((0L, 100L), (5L, 999L), (12L, 256L), (77L, 3L))
+      .toDF("doc_id", "n_chars")
+    val media = Multimodal.pngMediaFromDocuments(docs)
+    // payloads are genuine PNGs: spec-fixed 8-byte signature
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    media.collect().foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").take(8).sameElements(sig))
+    }
+    val feats = Multimodal.decodeImageFeatures(media)
+    assert(feats.schema == Multimodal.imageFeatureSchema)
+    val byId = feats.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    Seq((0L, 100L), (5L, 999L), (12L, 256L), (77L, 3L)).foreach { case (id, len) =>
+      val r = byId(id)
+      val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
+      // byte-derived (IHDR) and pixel-derived dims agree with the contract
+      assert(r.getAs[Int]("header_w") == w && r.getAs[Int]("width_px") == w)
+      assert(r.getAs[Int]("header_h") == h && r.getAs[Int]("height_px") == h)
+      // channel means are exact: red ramps 0..w-1 per row, green/blue solid
+      assert(r.getAs[Double]("mean_r") == (w - 1) / 2.0)
+      assert(r.getAs[Double]("mean_g") == (id % 256).toDouble)
+      assert(r.getAs[Double]("mean_b") == (len % 256).toDouble)
+    }
+  }
 }

@@ -66,7 +66,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
   test("LSH near-dup pairs: high recall on planted near-duplicates at 0.9") {
     val planted = (0L until 15L).map(i => (i, 1000L + i)).toSet
     val got = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",
-      dim, minCos = 0.9, numBands = 16, bandBits = 6)
+      dim, minCos = 0.9, numBands = 10, bandBits = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = planted.count(got.contains).toDouble / planted.size
     assert(recall >= 0.85, s"LSH recall $recall")
