@@ -560,6 +560,15 @@ object OracleSql {
          CAST(n_chars % 256 AS DOUBLE) AS mean_b
          FROM documents""",
 
+    "q72_audio_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS header_rate,
+         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate_hz,
+         CAST(doc_id % 100 + 50 AS BIGINT) AS n_frames,
+         CAST((n_chars % 100 + 1) * 50 AS INTEGER) AS peak,
+         CAST((n_chars % 100 + 1) * 50 AS DOUBLE) AS mean_abs
+         FROM documents""",
+
     "q40_topn_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,

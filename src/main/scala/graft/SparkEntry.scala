@@ -448,6 +448,15 @@ object SparkEntry {
       Multimodal.decodeImageFeatures(media)
     }),
 
+    // ---- 72. real audio codec round-trip: genuine RIFF/WAVE files
+    //          (javax.sound.sampled), decoded back to frame statistics;
+    //          same oracle trick as q71 — PCM samples are arithmetic in
+    //          (doc_id, n_chars) ----
+    "q72_audio_decode" -> ((s, dir) => {
+      val media = Multimodal.wavMediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.decodeAudioFeatures(media)
+    }),
+
     // ---- 40. Top-N per group ----
     "q40_topn_per_group" -> ((s, dir) => {
       val o = T(s, dir, "orders"); val c = T(s, dir, "customer")

@@ -191,6 +191,85 @@ object Multimodal {
       }(enc)
   }
 
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("header_rate", IntegerType, nullable = false),
+    StructField("rate_hz", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("mean_abs", DoubleType, nullable = false)))
+
+  /** Real WAV encode via the JDK's javax.sound.sampled: 16-bit signed
+    * mono PCM, a Nyquist square wave of amplitude A = (len%100+1)*50
+    * over n = seed%100+50 frames at rate 8000+(seed%8)*1000 Hz — every
+    * decoded statistic is arithmetic in (seed, len), while the payload
+    * is a genuine RIFF/WAVE file. */
+  def synthWav(seed: Long, len: Long): Array[Byte] = {
+    val rate = (8000 + (seed % 8) * 1000).toInt
+    val n = (seed % 100 + 50).toInt
+    val amp = ((len % 100 + 1) * 50).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xFF).toByte          // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** documents → a real-WAV media table (write-side audio codec). */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r => Row(r.getLong(0), synthWav(r.getLong(0), r.getLong(1))) }
+      }(enc)
+  }
+
+  /** Read-side audio codec: AudioSystem-decode each payload and extract
+    * frame statistics, plus the sample rate parsed straight from the
+    * RIFF fmt chunk (canonical PCM WAV fixes it at byte offset 24,
+    * little-endian) for the byte-derived check. Narrow per-partition
+    * map, like the image path. */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(audioFeatureSchema)
+    def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val nFrames = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          ais.close()
+          var peak = 0; var sumAbs = 0L
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val s = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumAbs += a
+            i += 2
+          }
+          Row(r.getLong(0), le32(bytes, 24), fmt.getSampleRate.toInt, nFrames,
+            peak, sumAbs.toDouble / nFrames)
+        }
+      }(enc)
+  }
+
   /** Deterministic frame-sampling analog: pick every `stride`-th chunk
     * of the payload (a video's frames / an audio's windows), emitting
     * one row per sampled chunk — the explode-shaped stage of a real

@@ -45,6 +45,18 @@ final class SchemaRegistry(root: Path) {
     }
   }
 
+  def subjects(): Vector[String] = {
+    if (!Files.exists(root)) Vector.empty
+    else {
+      val stream = Files.list(root)
+      try stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.matches("[A-Za-z0-9._-]+")).toVector.sorted
+      finally stream.close()
+    }
+  }
+
   def get(subject: String, version: Int): Option[String] = {
     val f = subjectDir(subject).resolve(s"$version.avsc")
     if (Files.exists(f)) Some(Files.readString(f)) else None

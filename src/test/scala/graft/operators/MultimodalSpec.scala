@@ -92,4 +92,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getAs[Double]("mean_b") == (len % 256).toDouble)
     }
   }
+
+  test("real WAV round-trip: encode on executors, decode recovers exact PCM stats") {
+    import spark.implicits._
+    val docs = Seq((0L, 100L), (7L, 999L), (13L, 1L), (106L, 42L))
+      .toDF("doc_id", "n_chars")
+    val media = Multimodal.wavMediaFromDocuments(docs)
+    media.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val feats = Multimodal.decodeAudioFeatures(media)
+    assert(feats.schema == Multimodal.audioFeatureSchema)
+    val byId = feats.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    Seq((0L, 100L), (7L, 999L), (13L, 1L), (106L, 42L)).foreach { case (id, len) =>
+      val r = byId(id)
+      val rate = (8000 + (id % 8) * 1000).toInt
+      val amp = ((len % 100 + 1) * 50).toInt
+      assert(r.getAs[Int]("header_rate") == rate && r.getAs[Int]("rate_hz") == rate)
+      assert(r.getAs[Long]("n_frames") == id % 100 + 50)
+      assert(r.getAs[Int]("peak") == amp)
+      assert(r.getAs[Double]("mean_abs") == amp.toDouble)
+    }
+  }
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestSession
+
+/** The registry WIRE protocol, executed: a real HTTP server (JDK
+  * HttpServer) on an ephemeral port, driven by the real HTTP client —
+  * registration, idempotency, the backward-compat gate as a 409,
+  * discovery routes, 404s, the compatibility probe, and the end-to-end
+  * registry-driven reader-schema upgrade through Serde. */
+class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAndAfterAll {
+
+  private lazy val registry =
+    new SchemaRegistry(java.nio.file.Files.createTempDirectory("graft_reg_http"))
+  private lazy val server = new SchemaRegistryServer(registry)
+  private lazy val client = new SchemaRegistryClient(server.baseUrl)
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private val v1 =
+    """{"type":"record","name":"Ev","fields":[
+         {"name":"id","type":"int"},
+         {"name":"name","type":"string"}]}"""
+  private val v2 =
+    """{"type":"record","name":"Ev","fields":[
+         {"name":"id","type":"long"},
+         {"name":"name","type":"string"},
+         {"name":"score","type":"double","default":0.5}]}"""
+  private val breaking =
+    """{"type":"record","name":"Ev","fields":[
+         {"name":"id","type":"long"},
+         {"name":"must_have","type":"string"}]}"""
+
+  test("register + versions + latest over the wire, compat gate as 409") {
+    assert(client.register("wire-value", v1) == 1)
+    assert(client.register("wire-value", v1) == 1) // idempotent re-POST
+    assert(client.isCompatible("wire-value", v2))
+    assert(!client.isCompatible("wire-value", breaking))
+    assert(client.register("wire-value", v2) == 2)
+
+    assert(client.versions("wire-value") == Vector(1, 2))
+    assert(client.subjects().contains("wire-value"))
+    val (ver, latestSchema) = client.latest("wire-value")
+    assert(ver == 2 && latestSchema.contains("\"score\""))
+    assert(client.schemaAt("wire-value", 1).contains("\"int\""))
+
+    val rejected = intercept[client.RegistryException](client.register("wire-value", breaking))
+    assert(rejected.status == 409 && rejected.body.contains("not backward-compatible"))
+    assert(client.versions("wire-value") == Vector(1, 2)) // gate held
+
+    val malformed = intercept[client.RegistryException](client.register("wire-value", "{not avro"))
+    assert(malformed.status == 422)
+  }
+
+  test("unknown subject and version are protocol 404s") {
+    val noSubject = intercept[client.RegistryException](client.latest("nope-value"))
+    assert(noSubject.status == 404 && noSubject.body.contains("40401"))
+    val noVersion = intercept[client.RegistryException](client.schemaAt("wire-value", 99))
+    assert(noVersion.status == 404 && noVersion.body.contains("40402"))
+  }
+
+  test("schema text survives the wire byte-for-byte semantically (escaping round-trip)") {
+    // doc strings force JSON escaping through the wire in both directions
+    val withDoc =
+      """{"type":"record","name":"Doc","doc":"line1\nline2 \"quoted\" \t tab",
+           "fields":[{"name":"id","type":"long"}]}"""
+    assert(client.register("doc-value", withDoc) == 1)
+    val (_, back) = client.latest("doc-value")
+    val parsed = new org.apache.avro.Schema.Parser().parse(back)
+    assert(parsed.getDoc == "line1\nline2 \"quoted\" \t tab")
+  }
+
+  test("end-to-end: decode old payloads under the reader schema fetched over HTTP") {
+    import spark.implicits._
+    val writerSchema = client.schemaAt("wire-value", 1)
+    val (_, readerSchema) = client.latest("wire-value")
+    val encoded = Serde.encodeAvro(Seq((7, "a"), (8, "b")).toDF("id", "name"),
+      writerSchema, "value").select("value")
+    val decoded = Serde.decodeAvro(encoded, "value", writerSchema, Some(readerSchema))
+    val rows = decoded.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score")))
+    assert(rows.toSeq == Seq((7L, "a", 0.5), (8L, "b", 0.5)))
+  }
+}
