@@ -569,6 +569,17 @@ object OracleSql {
          CAST((n_chars % 100 + 1) * 50 AS DOUBLE) AS mean_abs
          FROM documents""",
 
+    "q73_video_frames" ->
+      """SELECT doc_id AS media_id,
+         CAST(fi AS INTEGER) AS frame_idx,
+         CAST((doc_id + fi) % 13 + 4 AS INTEGER) AS width_px,
+         CAST((doc_id + fi) % 7 + 4 AS INTEGER) AS height_px,
+         CAST((doc_id + fi) % 13 + 3 AS DOUBLE) / 2 AS mean_r,
+         CAST((doc_id + fi) % 256 AS DOUBLE) AS mean_g,
+         CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         FROM documents,
+           UNNEST(generate_series(0, CAST(doc_id % 5 + 2 AS BIGINT), 2)) AS t(fi)""",
+
     "q40_topn_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,

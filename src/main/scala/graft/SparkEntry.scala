@@ -457,6 +457,14 @@ object SparkEntry {
       Multimodal.decodeAudioFeatures(media)
     }),
 
+    // ---- 73. video tier: real container demux (length-prefixed PNG
+    //          frames) + frame sampling, every sampled frame decoded by
+    //          the real image codec; skipped frames never decoded ----
+    "q73_video_frames" -> ((s, dir) => {
+      val media = Multimodal.videoMediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.sampleAndDecodeFrames(media, stride = 2)
+    }),
+
     // ---- 40. Top-N per group ----
     "q40_topn_per_group" -> ((s, dir) => {
       val o = T(s, dir, "orders"); val c = T(s, dir, "customer")

@@ -270,6 +270,95 @@ object Multimodal {
       }(enc)
   }
 
+  val videoFrameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width_px", IntegerType, nullable = false),
+    StructField("height_px", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Video tier: the JDK has no video codec, but a video is frames in a
+    * container — so the container is real (length-prefixed PNG frames,
+    * a demuxable byte format) and every frame is a real PNG. Frame f of
+    * video `seed` is `synthPng(seed + f, len)`, so per-frame pixel
+    * statistics stay oracle-computable. nFrames = seed%5+3. */
+  def synthVideo(seed: Long, len: Long): Array[Byte] = {
+    val n = (seed % 5 + 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < n) {
+      val png = synthPng(seed + f, len)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** documents → a framed-PNG video table (write-side mux). */
+  def videoMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r => Row(r.getLong(0), synthVideo(r.getLong(0), r.getLong(1))) }
+      }(enc)
+  }
+
+  /** Frame-sampling + decode: demux the container sequentially, decode
+    * every `stride`-th frame with the real image codec, one feature row
+    * per sampled frame. Skipped frames are never decoded (the point of
+    * frame sampling); the demux itself is a cheap length-walk. Narrow
+    * flatMap — the explode-shaped stage of a real video pipeline, cost
+    * linear in executors. */
+  def sampleAndDecodeFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val enc = ExpressionEncoder(videoFrameFeatureSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var f = 0
+          while (in.available() >= 4) {
+            val frameLen = in.readInt()
+            if (f % stride == 0) {
+              val frame = new Array[Byte](frameLen)
+              in.readFully(frame)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (w * h).toDouble
+              out += Row(id, f, w, h, sr / n, sg / n, sb / n)
+            } else {
+              in.skipBytes(frameLen)
+            }
+            f += 1
+          }
+          out
+        }
+      }(enc)
+  }
+
   /** Deterministic frame-sampling analog: pick every `stride`-th chunk
     * of the payload (a video's frames / an audio's windows), emitting
     * one row per sampled chunk — the explode-shaped stage of a real

@@ -116,4 +116,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getAs[Double]("mean_abs") == amp.toDouble)
     }
   }
+
+  test("video container demux + frame sampling decode only sampled frames, exactly") {
+    import spark.implicits._
+    val docs = Seq((0L, 100L), (3L, 999L), (9L, 7L)).toDF("doc_id", "n_chars")
+    val media = Multimodal.videoMediaFromDocuments(docs)
+    val feats = Multimodal.sampleAndDecodeFrames(media, stride = 2)
+    assert(feats.schema == Multimodal.videoFrameFeatureSchema)
+    val rows = feats.collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) -> r).toMap
+    // nFrames = id%5+3: id 0 → 3 frames (sample 0,2), id 3 → 6 (0,2,4), id 9 → 7 (0,2,4,6)
+    assert(rows.keySet == Set((0L, 0), (0L, 2), (3L, 0), (3L, 2), (3L, 4),
+      (9L, 0), (9L, 2), (9L, 4), (9L, 6)))
+    Seq((0L, 100L), (3L, 999L), (9L, 7L)).foreach { case (id, len) =>
+      rows.keys.filter(_._1 == id).foreach { case (_, fi) =>
+        val r = rows((id, fi))
+        val w = ((id + fi) % 13 + 4).toInt
+        assert(r.getAs[Int]("width_px") == w)
+        assert(r.getAs[Int]("height_px") == ((id + fi) % 7 + 4).toInt)
+        assert(r.getAs[Double]("mean_r") == (w - 1) / 2.0)
+        assert(r.getAs[Double]("mean_g") == ((id + fi) % 256).toDouble)
+        assert(r.getAs[Double]("mean_b") == (len % 256).toDouble)
+      }
+    }
+  }
 }
