@@ -67,13 +67,26 @@ object Bench {
     // absolute floor keeps a microsecond baseline from flagging noise.
     val slowGate = math.max(2.5 * sentinelBaseline, sentinelBaseline + 0.4)
 
+    // JVM-internal time sinks, to tell a query's own cost from engine
+    // overheads the wall clock can't attribute (GC storms, JIT storms).
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    def jitMs(): Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+
     case class R(sec: Double, rows: Long, err: Option[String])
     // One attempt = sentinel, query, sentinel. The max of the two probes
     // guards the whole window the query ran in.
-    case class Attempt(r: R, guard: Double) { def clean: Boolean = guard <= slowGate }
+    case class Attempt(r: R, guard: Double, gcDeltaMs: Long, jitDeltaMs: Long) {
+      def clean: Boolean = guard <= slowGate
+    }
     var attemptSeq = 0
     def attempt(name: String): Attempt = {
       attemptSeq += 1
+      val gc0 = gcMs(); val jit0 = jitMs()
       val pre = sentinel()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -101,12 +114,19 @@ object Bench {
           try spark.catalog.clearCache() catch { case _: Throwable => () }
         }
       val post = sentinel()
-      Attempt(r, math.max(pre, post))
+      Attempt(r, math.max(pre, post), gcMs() - gc0, jitMs() - jit0)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     case class Q(r: R, guard: Double, retries: Int)
+    // Sentinels only bracket a query: a VM stall that starts and ends
+    // MID-query leaves fast guards around a slow measurement (observed:
+    // a 1.5 s query reading 12 s with 0.09 s guards). Any measurement
+    // above this gate gets one confirming re-run — the stalled case
+    // corrects to the real cost, a genuinely slow query is simply
+    // measured twice and keeps its honest minimum.
+    val minOf2Gate = sys.env.getOrElse("SPARK_GRAFT_MIN_OF_2_GATE", "2.5").toDouble
     val results: Seq[(String, Q)] = names.map { name =>
       var best = attempt(name)
       var retries = 0
@@ -118,8 +138,13 @@ object Bench {
         // prefer a clean window; among equals keep the faster run
         if (again.clean || (!best.clean && again.r.sec < best.r.sec)) best = again
       }
+      if (best.r.err.isEmpty && best.r.sec > minOf2Gate) {
+        retries += 1
+        val again = attempt(name)
+        if (again.r.err.isEmpty && again.r.sec < best.r.sec) best = again
+      }
       val flag = if (best.clean) "" else " SLOW-WINDOW"
-      System.err.println(f"[bench] $name%-24s ${best.r.sec}%8.3f s  rows=${best.r.rows}  guard=${best.guard}%.3f$flag${best.r.err.map(" ERR " + _).getOrElse("")}")
+      System.err.println(f"[bench] $name%-24s ${best.r.sec}%8.3f s  rows=${best.r.rows}  guard=${best.guard}%.3f  gc=${best.gcDeltaMs}ms jit=${best.jitDeltaMs}ms$flag${best.r.err.map(" ERR " + _).getOrElse("")}")
       name -> Q(best.r, best.guard, retries)
     }
 
