@@ -65,4 +65,24 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
     // ordered partition would appear as a range-partitioned global sort
     assert(!p.contains("rangepartitioning"), s"global sort detected:\n$p")
   }
+
+  test("q71/q72/q73: codec pipelines stay narrow — decode never shuffles") {
+    Seq("q71_image_decode", "q72_audio_decode", "q73_video_frames").foreach { name =>
+      val p = plan(name)
+      // the loader's round-robin repartition is the only allowed exchange;
+      // encode→decode must be chained maps, never a keyed redistribution
+      assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+        s"$name: codec stage acquired a keyed shuffle:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q58: LSH pair generation shuffles ids+score only, never vectors, and has no pair-dedup exchange") {
+    val df = SparkEntry.queries("q58_embed_dedup_lsh")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly-once emission by first-matching-band: the old groupBy(id_a,
+    // id_b) dedup exchange must not reappear
+    assert(!p.contains("hashpartitioning(id_a"),
+      s"pair-dedup shuffle reappeared:\n$p")
+  }
 }
