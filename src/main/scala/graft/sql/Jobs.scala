@@ -197,8 +197,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 
   private def emitOf(stmt: VeloStatement): Option[EmitMode] = stmt match {
     case Select(s) => s.emit
-    case CreateStreamAs(_, s, _) => s.emit
-    case CreateTableAs(_, s, _) => s.emit
+    case CreateStreamAs(_, s, _, _) => s.emit
+    case CreateTableAs(_, s, _, _) => s.emit
     case _ => None
   }
 

@@ -60,8 +60,8 @@ object SqlValidator {
       case w: WithCtes =>
         // render the whole CTE chain — the analyzer resolves CTE refs
         analyze(ctx.renderSql(w))
-      case CreateTableAs(_, s, _) => validateBody(Select(s))
-      case CreateStreamAs(_, s, _) => validateBody(Select(s))
+      case CreateTableAs(_, s, _, _) => validateBody(Select(s))
+      case CreateStreamAs(_, s, _, _) => validateBody(Select(s))
       case InsertInto(table, _, sel, _) =>
         checkTable(table)
         sel.foreach(s => validateBody(Select(s)))

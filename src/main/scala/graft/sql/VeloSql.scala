@@ -204,8 +204,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case q @ (Select(_) | Union(_, _) | WithCtes(_, _, _)) =>
       spark.sql(renderSql(q))
 
-    case CreateTableAs(name, s, props) =>
-      var df = spark.sql(toSparkSql(s, defaultTimeCol))
+    case CreateTableAs(name, s, props, cols) =>
+      var df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
       // 'retention' = '7 days': keep only records inside the window
       // (reference CompactTable retention, comprehensive-sql-ctas-guide
       // .md:198) — applied against the table's event-time column
@@ -229,8 +229,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       materialized(name) = df
       df
 
-    case CreateStreamAs(name, s, _) =>
-      val df = spark.sql(toSparkSql(s, defaultTimeCol))
+    case CreateStreamAs(name, s, _, cols) =>
+      val df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
       df.createOrReplaceTempView(name)
       // INTO sink[, sink…]: fan the stream out to every named sink
       // whose path is resolvable — from its CREATE SINK declaration or
@@ -362,13 +362,26 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   /** The Spark SQL a statement translates to (for plan inspection). */
   def explainSql(text: String): String = parseStatement(text) match {
     case Select(s) => toSparkSql(s, defaultTimeCol)
-    case CreateTableAs(_, s, _) => toSparkSql(s, defaultTimeCol)
-    case CreateStreamAs(_, s, _) => toSparkSql(s, defaultTimeCol)
+    case CreateTableAs(_, s, _, _) => toSparkSql(s, defaultTimeCol)
+    case CreateStreamAs(_, s, _, _) => toSparkSql(s, defaultTimeCol)
     case other => other.toString
   }
 }
 
 object VeloContext {
+  /** Declared-schema binding for `CREATE … t (c TYPE, …) AS SELECT`:
+    * positional rename + cast, exactly the reference's ColumnDef
+    * semantics (names rebind unaliased aggregates by position; an
+    * illegal cast fails at Catalyst analysis, before any execution). */
+  private[sql] def applyDeclaredColumns(df: DataFrame, cols: Vector[(String, String)]): DataFrame =
+    if (cols.isEmpty) df
+    else {
+      require(df.columns.length == cols.length,
+        s"declared ${cols.length} columns but the query produces ${df.columns.length}")
+      df.toDF(cols.map(_._1): _*)
+        .select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    }
+
 
   /** '7 days' / '30 minutes' / '1 hour' → seconds (config-prop durations,
     * e.g. CTAS 'retention'). */

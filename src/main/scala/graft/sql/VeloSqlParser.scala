@@ -145,8 +145,14 @@ object VeloSqlParser {
     * source/sink DECLARATION (no AS SELECT): config-file/topic wiring
     * the runner resolves against its environment. */
   final case class CreateSourceDecl(kind: String, name: String, props: Map[String, String]) extends VeloStatement
-  final case class CreateTableAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
-  final case class CreateStreamAs(name: String, select: SelectStmt, props: Map[String, String]) extends VeloStatement
+  /** `columns`: optional declared schema (reference ast.rs:856 ColumnDef
+    * via commands.rs:37) — (name, Spark SQL type) pairs applied to the
+    * select output POSITIONALLY (rename + cast), matching the
+    * reference's `CREATE TABLE t (c INT, …) AS SELECT …` binding. */
+  final case class CreateTableAs(name: String, select: SelectStmt, props: Map[String, String],
+                                 columns: Vector[(String, String)] = Vector.empty) extends VeloStatement
+  final case class CreateStreamAs(name: String, select: SelectStmt, props: Map[String, String],
+                                  columns: Vector[(String, String)] = Vector.empty) extends VeloStatement
   final case class InsertInto(table: String, columns: Vector[String], select: Option[SelectStmt], values: Vector[Vector[Vector[Tok]]]) extends VeloStatement
   /** UPDATE t SET col = expr [, …] [WHERE cond] */
   final case class Update(table: String, sets: Vector[(String, Vector[Tok])], where: Option[Vector[Tok]]) extends VeloStatement
@@ -258,8 +264,8 @@ object VeloSqlParser {
       * the props its own WITH clause already captured. */
     private def liftProps(body: VeloStatement): Map[String, String] = body match {
       case Select(s) => s.props
-      case CreateStreamAs(_, _, p) => p
-      case CreateTableAs(_, _, p) => p
+      case CreateStreamAs(_, _, p, _) => p
+      case CreateTableAs(_, _, p, _) => p
       case _ => Map.empty
     }
 
@@ -364,6 +370,10 @@ object VeloSqlParser {
         else throw new ParseException("expected STREAM, TABLE, SINK or SOURCE after CREATE")
       if (at("IF")) { take(); expectKw("NOT"); expectKw("EXISTS") }
       val name = ident()
+      // optional declared schema before AS (reference commands.rs:37,
+      // clauses.rs:440): CREATE STREAM|TABLE t (col TYPE [NOT NULL], …) AS …
+      val columnDefs: Vector[(String, String)] =
+        if (peek().exists(_.text == "(")) columnDefinitions() else Vector.empty
       if (at("WITH")) {
         // declaration form: CREATE STREAM name WITH (config …)
         take()
@@ -375,8 +385,8 @@ object VeloSqlParser {
         // the body may be a UNION chain
         selectOrUnion() match {
           case Select(sel) =>
-            if (kind == "STREAM") CreateStreamAs(name, sel, sel.props)
-            else CreateTableAs(name, sel, sel.props)
+            if (kind == "STREAM") CreateStreamAs(name, sel, sel.props, columnDefs)
+            else CreateTableAs(name, sel, sel.props, columnDefs)
           case u: Union =>
             val merged = u.selects.flatMap(_.props.toSeq).toMap
             // represent a union body through a derived-table wrapper so
@@ -389,11 +399,46 @@ object VeloSqlParser {
               having = None, window = None, namedWindows = None, orderBy = None,
               limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
               props = merged)
-            if (kind == "STREAM") CreateStreamAs(name, wrapped, merged)
-            else CreateTableAs(name, wrapped, merged)
+            if (kind == "STREAM") CreateStreamAs(name, wrapped, merged, columnDefs)
+            else CreateTableAs(name, wrapped, merged, columnDefs)
           case other => throw new ParseException(s"unsupported CREATE body: $other")
         }
       }
+    }
+
+    /** `(name TYPE [NOT NULL], …)` → (name, Spark SQL type string).
+      * Type names per reference clauses.rs:471 (ScaledInteger DECIMAL
+      * maps to DECIMAL(18,4), the dialect's financial precision). */
+    private def columnDefinitions(): Vector[(String, String)] = {
+      def dataType(): String = take().upper match {
+        case "INT" | "INTEGER" => "INT"
+        case "BIGINT" | "LONG" => "BIGINT"
+        case "FLOAT" | "DOUBLE" | "REAL" => "DOUBLE"
+        case "STRING" | "VARCHAR" | "TEXT" => "STRING"
+        case "BOOLEAN" | "BOOL" => "BOOLEAN"
+        case "TIMESTAMP" => "TIMESTAMP"
+        case "DECIMAL" | "NUMERIC" => "DECIMAL(18,4)"
+        case "ARRAY" =>
+          expectSym("("); val inner = dataType(); expectSym(")")
+          s"ARRAY<$inner>"
+        case "MAP" =>
+          expectSym("("); val k = dataType()
+          expectSym(","); val v = dataType(); expectSym(")")
+          s"MAP<$k, $v>"
+        case other => throw new ParseException(s"unknown data type: $other")
+      }
+      expectSym("(")
+      var defs = Vector.empty[(String, String)]
+      var more = true
+      while (more) {
+        val colName = ident()
+        val tpe = dataType()
+        if (at("NOT")) { take(); expectKw("NULL") } // Spark nullability is advisory
+        defs :+= (colName -> tpe)
+        if (peek().exists(_.text == ",")) take() else more = false
+      }
+      expectSym(")")
+      defs
     }
 
     private def propMap(): Map[String, String] = {

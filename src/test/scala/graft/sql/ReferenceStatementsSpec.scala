@@ -326,7 +326,7 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
          EMIT CHANGES
          INTO analytics_sink
          WITH ('analytics_sink.config_file' = 'configs/analytics_sink.yaml')""") match {
-      case VeloSqlParser.CreateTableAs("user_analytics", s, _) =>
+      case VeloSqlParser.CreateTableAs("user_analytics", s, _, _) =>
         assert(s.props("config_file") == "configs/orders_source.yaml")
         assert(s.props("analytics_sink.config_file") == "configs/analytics_sink.yaml")
         assert(s.into == Vector("analytics_sink"))

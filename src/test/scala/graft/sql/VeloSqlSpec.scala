@@ -293,6 +293,21 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     // IF NOT EXISTS tolerated
     ctx.sql("CREATE TABLE IF NOT EXISTS inex_t AS SELECT order_id FROM orders")
     assert(spark.table("inex_t").count() == 5)
+    // declared column schema (reference csas_ctas_test.rs:168): names
+    // rebind the unaliased aggregates POSITIONALLY, types are cast
+    ctx.sql(
+      """CREATE TABLE order_stats (customer_id INT, total_spent DOUBLE, order_count INT)
+         AS SELECT customer_id, SUM(amount), COUNT(*) FROM orders GROUP BY customer_id""")
+    val stats = spark.table("order_stats")
+    assert(stats.columns.toSeq == Seq("customer_id", "total_spent", "order_count"))
+    assert(stats.schema("customer_id").dataType.typeName == "integer")
+    assert(stats.schema("order_count").dataType.typeName == "integer")
+    val alice = stats.where(col("customer_id") === 10).collect().head
+    assert(alice.getAs[Double]("total_spent") == 5250.0 && alice.getAs[Int]("order_count") == 2)
+    // declared-arity mismatch is rejected before execution
+    val mismatch = intercept[Exception](ctx.sql(
+      "CREATE TABLE bad_stats (a INT, b INT) AS SELECT customer_id FROM orders"))
+    assert(mismatch.getMessage.contains("declared 2 columns"))
     // UNION ALL body inside CSAS (COPY_PASTE_EXAMPLES.md shape)
     ctx.sql(
       """CREATE STREAM all_alerts AS
@@ -406,7 +421,7 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
                'file_sink.path' = 'file://$dir/out.json',
                'audit_sink.path' = 'file://$dir/audit.json')""")
     stmt match {
-      case VeloSqlParser.CreateStreamAs(_, s, _) =>
+      case VeloSqlParser.CreateStreamAs(_, s, _, _) =>
         assert(s.into == Vector("kafka_sink", "file_sink", "audit_sink"))
       case other => fail(s"$other")
     }
