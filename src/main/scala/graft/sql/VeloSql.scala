@@ -235,12 +235,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // INTO sink[, sink…]: fan the stream out to every named sink
       // whose path is resolvable — from its CREATE SINK declaration or
       // from the statement's own dotted props ('file_sink.path' = …).
-      // Executors write each sink's shards directly.
+      // Executors write each sink's shards directly. PRIMARY KEY
+      // annotations (reference FR-089: fields become the Kafka message
+      // key, routing same-key records to one partition) map to a
+      // key-based repartition before the write: same key → same output
+      // shard, per-key ordering preserved — the transport semantic,
+      // realized Spark-native.
+      val sinkDf =
+        if (s.keyFields.nonEmpty && s.keyFields.forall(df.columns.contains))
+          df.repartition(s.keyFields.map(col): _*)
+        else df
       s.into.foreach { sink =>
         val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
         declared.get("path").orElse(declared.get("file"))
           .orElse(s.props.get(s"$sink.path")).orElse(s.props.get(s"$sink.file"))
-          .foreach { p => graft.sources.Serde.writeFileUri(df, p) }
+          .foreach { p => graft.sources.Serde.writeFileUri(sinkDf, p) }
       }
       df
 

@@ -438,6 +438,22 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.json(s"$dir/out.json").count() == 2)
     assert(spark.read.json(s"$dir/audit.json").count() == 2)
     assert(spark.table("processed_orders").count() == 2)
+
+    // PRIMARY KEY routing (FR-089): same key → same output shard. 40
+    // rows over 4 keys keyed-repartition into the sink; every key's
+    // rows must land in exactly one part file.
+    val keyedDir = java.nio.file.Files.createTempDirectory("keyedsink").toString
+    ctx.register("keyed_src", (0 until 40).map(i => (i.toLong % 4, i.toLong))
+      .toDF("k", "v").repartition(8))
+    ctx.sql(s"""CREATE STREAM keyed_out AS
+         SELECT k PRIMARY KEY, v FROM keyed_src
+         INTO key_sink WITH ('key_sink.path' = 'file://$keyedDir/keyed.json')""")
+    val perKeyFiles = spark.read.json(s"$keyedDir/keyed.json")
+      .withColumn("f", input_file_name())
+      .groupBy("k").agg(countDistinct(col("f")).as("nf"))
+      .collect().map(_.getAs[Long]("nf"))
+    assert(perKeyFiles.length == 4 && perKeyFiles.forall(_ == 1L),
+      s"a key spread across shards: ${perKeyFiles.toSeq}")
   }
 
   test("dialect stream-stream WITHIN join executes as a streaming join (watermark-bounded state)") {
