@@ -87,7 +87,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * executors write shards directly, nothing lands on the driver. */
   def sqlStream(text: String): String = parseStatement(text) match {
     case Select(s) =>
-      val df = spark.sql(toSparkSql(s, defaultTimeCol))
+      var df = spark.sql(toSparkSql(s, defaultTimeCol))
+      // Message-key routing in the streaming sink too (FR-089): explicit
+      // PRIMARY KEY fields, else the GROUP BY columns auto-key (the
+      // reference's fallback) — each micro-batch repartitions on the key
+      // so one key's records share an output shard, in order.
+      val routeKeys =
+        if (s.keyFields.nonEmpty) s.keyFields
+        else VeloContext.groupByOutputNames(s).filter(df.columns.contains)
+      if (routeKeys.nonEmpty && routeKeys.forall(df.columns.contains))
+        df = df.repartition(routeKeys.map(col): _*)
       s.emit match {
         case Some(EmitChanges) => graft.streaming.StreamOps.runChangelog(df, "velo_sql")
         case _ => graft.streaming.StreamOps.runToParquet(df, "velo_sql")
@@ -378,6 +387,31 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 }
 
 object VeloContext {
+  /** Simple column names in a statement's GROUP BY — the reference's
+    * auto-key fallback for message routing (FR-089: "GROUP BY columns
+    * auto-generate keys when no explicit PK"). Only bare identifiers
+    * count; expressions (window(ts,…), computed keys) are not routable
+    * output columns. */
+  private[sql] def groupByOutputNames(s: VeloSqlParser.SelectStmt): Vector[String] =
+    s.groupBy.toVector.flatMap { toks =>
+      // split the token span on top-level commas; keep single-ident groups
+      val groups = Vector.newBuilder[Vector[VeloSqlParser.Tok]]
+      var depth = 0
+      var cur = Vector.empty[VeloSqlParser.Tok]
+      toks.foreach { t =>
+        t.text match {
+          case "(" => depth += 1; cur :+= t
+          case ")" => depth -= 1; cur :+= t
+          case "," if depth == 0 => groups += cur; cur = Vector.empty
+          case _ => cur :+= t
+        }
+      }
+      if (cur.nonEmpty) groups += cur
+      groups.result().collect {
+        case Vector(t) if t.text.matches("[A-Za-z_][A-Za-z0-9_]*") => t.text
+      }
+    }
+
   /** Declared-schema binding for `CREATE … t (c TYPE, …) AS SELECT`:
     * positional rename + cast, exactly the reference's ColumnDef
     * semantics (names rebind unaliased aggregates by position; an

@@ -522,4 +522,40 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(aapl.length == 1 && aapl.head.getAs[Long]("n") == 2L
       && aapl.head.getAs[Double]("total") == 30.0)
   }
+
+  test("GROUP BY auto-key extraction keeps only bare identifiers (FR-089 fallback)") {
+    val sel = ctx.parseStatement(
+      """SELECT region, product, SUM(qty) AS total FROM trades
+         GROUP BY region, SUBSTRING(product, 1, 2), product""")
+      .asInstanceOf[VeloSqlParser.Select].s
+    assert(VeloContext.groupByOutputNames(sel) == Vector("region", "product"))
+  }
+
+  test("streaming sink routes rows by GROUP BY auto-key: one output file per key") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ctx.registerStream("routed_trades",
+      in.toDF().toDF("ep", "symbol").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    // two symbols x two closed tumbling windows each; the 7200 sentinel
+    // advances the watermark past 600 so both windows emit in one flush
+    in.addData(Seq((100L, "AAPL"), (400L, "AAPL"), (100L, "MSFT"), (400L, "MSFT"),
+      (7200L, "AAPL")))
+    val outDir = ctx.sqlStream(
+      """SELECT symbol, COUNT(*) AS n FROM routed_trades GROUP BY symbol
+         WINDOW TUMBLING(event_time, INTERVAL '5' MINUTE)
+         EMIT FINAL""")
+    val res = spark.read.parquet(outDir).withColumn("file", input_file_name())
+    val bySym = res.collect().groupBy(_.getAs[String]("symbol"))
+    // both closed windows of a symbol present, and co-located in ONE file —
+    // without the auto-key repartition the (symbol, window) hash partitioning
+    // scatters a symbol's windows across sink files
+    for (sym <- Seq("AAPL", "MSFT")) {
+      val rows = bySym(sym).filter(_.getAs[Long]("window_start") < 600)
+      assert(rows.map(_.getAs[Long]("window_start")).sorted.toSeq == Seq(0L, 300L))
+      assert(rows.map(_.getAs[String]("file")).distinct.length == 1, s"$sym split across files")
+    }
+  }
 }
