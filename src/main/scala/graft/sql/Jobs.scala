@@ -39,7 +39,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                          Vector[(String, Map[String, String], Double)]) => Unit =
                          (_, _, _, _) => (),
                        breakerConfig: CircuitBreaker.Config = CircuitBreaker.Config(),
-                       breakerClock: () => Long = () => System.currentTimeMillis()) {
+                       breakerClock: () => Long = () => System.currentTimeMillis(),
+                       defaultLimits: Resources.Limits = Resources.Limits()) {
 
   private case class Version(version: String, body: VeloStatement,
                              strategy: String, props: Map[String, String],
@@ -53,6 +54,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var batchView: Option[String] = None
     var lastError: Option[String] = None
     val breaker = new CircuitBreaker(breakerConfig, breakerClock)
+    var limits: Resources.Limits = defaultLimits
     val root: String = Files.createTempDirectory(s"graft_job_$name").toString
     var epoch: Int = 0
     def ckptDir: String = s"$root/ckpt-$epoch"
@@ -82,11 +84,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * metrics adds nothing to the session's listener bus. */
   def attachMetrics(name: String, specs: Vector[SqlApp.MetricSpec]): Unit = synchronized {
     if (specs.nonEmpty) {
-      if (!listenerRegistered) { spark.streams.addListener(metricListener); listenerRegistered = true }
+      ensureListener()
       metricSpecs.synchronized { metricSpecs(name) = specs }
     }
   }
   private var listenerRegistered = false
+  private def ensureListener(): Unit =
+    if (!listenerRegistered) { spark.streams.addListener(metricListener); listenerRegistered = true }
 
   private def observable(m: SqlApp.MetricSpec): Boolean =
     m.labels.isEmpty && (m.metricType match {
@@ -102,6 +106,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * batches. Append-sink jobs keep the exactly-once file sink and
     * collect only unlabeled metrics via observe(). */
   private val labeledState = scala.collection.mutable.Map[(String, String, Map[String, String]), Double]()
+
+  // ---- resource tracking (reference: sql/execution/resource_manager.rs —
+  //      named resources with limits, peak/violation tracking, hard
+  //      enforcement). Usage feeds from StreamingQueryProgress, so the
+  //      accounting costs nothing on the data path. Keyed (job, resource);
+  //      the global admission resource `concurrent_operations` keys under
+  //      job "*". Guarded by the metricSpecs lock like all metric state. ----
+  private val resourceState = scala.collection.mutable.Map[(String, String), Resources.Usage]()
 
   private def collectLabeled(jobName: String, batch: DataFrame): Unit = {
     val specs = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
@@ -153,6 +165,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private def resetMetricState(jobName: String): Unit = metricSpecs.synchronized {
     counterState.filterInPlace { case ((j, _), _) => j != jobName }
     labeledState.filterInPlace { case ((j, _, _), _) => j != jobName }
+    // resource usage is epoch-scoped for the same reason: a fresh epoch's
+    // query rebuilds state from scratch, so the old current/peak describe
+    // a query that no longer exists
+    resourceState.filterInPlace { case ((j, _), _) => j != jobName }
   }
 
   private val metricListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -160,6 +176,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      recordResources(e.progress)
       val om = e.progress.observedMetrics
       metricSpecs.synchronized {
         metricSpecs.foreach { case (jobName, specs) =>
@@ -191,6 +208,75 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       }
     }
   }
+
+  /** Resource accounting + hard enforcement from query progress
+    * (reference resource_manager.rs `update_resource_usage` /
+    * `check_resource_limit`): state rows = `aggregation_groups` (groups
+    * + open windows held in the state store), state bytes =
+    * `total_memory`, batch ms / input rows =
+    * `processing_time_per_record`. A value past its limit records a
+    * violation and stops the job NOW — state past the limit only grows,
+    * and the reference's ResourceExhausted is likewise immediate.
+    * Lock order is JobManager → metricSpecs, the same order every
+    * synchronized method uses; the listener thread never blocks a
+    * stream thread, so stopping the violating query from here is safe
+    * (stop() interrupts the stream thread, which posts its terminal
+    * event asynchronously). */
+  private def recordResources(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
+    Option(p.name).filter(_.startsWith("graft-job-")).map(_.stripPrefix("graft-job-"))
+      .foreach { name =>
+        JobManager.this.synchronized {
+          jobs.get(name).filter(_.limits.monitorsProgress).foreach { j =>
+            val rows = p.stateOperators.map(_.numRowsTotal).sum.toDouble
+            val mem = p.stateOperators.map(_.memoryUsedBytes).sum.toDouble
+            val perRec = Option(p.durationMs.get("triggerExecution"))
+              .filter(_ => p.numInputRows > 0).map(_.doubleValue / p.numInputRows)
+            val observed = Seq("aggregation_groups" -> rows, "total_memory" -> mem) ++
+              perRec.map("processing_time_per_record" -> _)
+            var trip: Option[(String, Double, Double)] = None
+            metricSpecs.synchronized {
+              observed.foreach { case (res, v) =>
+                val lim = j.limits.limitFor(res)
+                var u = resourceState.getOrElse((name, res), Resources.Usage()).observed(v, lim)
+                if (lim.exists(v > _)) {
+                  u = u.violated
+                  if (trip.isEmpty) trip = Some((res, v, lim.get))
+                }
+                resourceState((name, res)) = u
+              }
+            }
+            trip.foreach { case (res, v, l) =>
+              if (j.status == "RUNNING") {
+                j.handle.foreach(q => try q.stop() catch { case _: Throwable => () })
+                j.handle = None
+                j.status = "FAILED"
+                j.lastError = Some(
+                  s"resource exhausted: $res ${v.toLong} exceeds limit ${l.toLong}")
+              }
+            }
+          }
+        }
+      }
+
+  /** Admission gate for the global `concurrent_operations` resource
+    * (reference resource_manager.rs:310): launching this job must not
+    * push the RUNNING-job count past the limit. Engine-wide in the
+    * reference; here the limit rides the admitted job's props (see
+    * Resources scaladoc) and the usage row keys under job "*". */
+  private def gateConcurrency(name: String, lims: Resources.Limits): Unit =
+    lims.maxConcurrentOperations.foreach { max =>
+      val wouldRun = jobs.values.count(x => x.status == "RUNNING" && x.name != name) + 1
+      metricSpecs.synchronized {
+        var u = resourceState.getOrElse(("*", "concurrent_operations"), Resources.Usage())
+          .observed(wouldRun.toDouble, Some(max.toDouble))
+        if (wouldRun > max) u = u.violated
+        resourceState(("*", "concurrent_operations")) = u
+      }
+      if (wouldRun > max)
+        throw new ParseException(
+          s"resource exhausted: concurrent_operations $wouldRun exceeds limit $max " +
+            s"(job $name admission rejected)")
+    }
 
   private def job(name: String): Job =
     jobs.getOrElse(name, throw new ParseException(s"unknown job: $name"))
@@ -327,6 +413,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
     gate("START", name, body)
     gateBreaker(j)
+    // limit props parse + admission BEFORE any state change: a malformed
+    // limit or a full cluster rejects the statement, not the job state
+    val lims = Resources.Limits.fromProps(props, defaultLimits)
+    gateConcurrency(name, lims)
     // Restarting a stopped job with a DIFFERENT body must not reuse the
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
@@ -334,6 +424,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (j.current.exists(_.body != body)) { j.epoch += 1; resetMetricState(name) }
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
+    j.limits = lims
+    if (lims.monitorsProgress) ensureListener()
     guardedLaunch(j, v)
     statusDf(Some(name))
   }
@@ -359,6 +451,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       throw new ParseException(s"job $name is not paused")
     val v = j.current.getOrElse(throw new ParseException(s"job $name has no version to resume"))
     gateBreaker(j)
+    gateConcurrency(name, j.limits) // re-admission counts against the limit too
+    if (j.limits.monitorsProgress) ensureListener()
     guardedLaunch(j, v) // same epoch → same checkpoint + sink → offset-exact resume
     statusDf(Some(name))
   }
@@ -368,6 +462,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     gate("DEPLOY", name, body) // reject BEFORE stopping the running version
     val j = jobs.getOrElseUpdate(name, new Job(name))
     gateBreaker(j) // likewise: an OPEN breaker rejects before any stop
+    val lims = Resources.Limits.fromProps(props, defaultLimits)
+    gateConcurrency(name, lims) // a full cluster rejects before any stop too
     val stratStr = strategy match {
       case BlueGreen => "BLUE_GREEN"
       case Canary(p) => s"CANARY($p)"
@@ -378,6 +474,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     halt(j, drain = strategy != Replace) // REPLACE = stop old fast; others drain
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
     resetMetricState(name) // new epoch re-reads the source — drop old totals
+    j.limits = lims
+    if (lims.monitorsProgress) ensureListener()
     guardedLaunch(j, v)
     statusDf(Some(name))
   }
@@ -392,9 +490,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       case None => j.versions.filter(_.seq < cur.seq).lastOption
         .getOrElse(throw new ParseException(s"job $name has no previous version"))
     }
+    val lims = Resources.Limits.fromProps(v.props, defaultLimits)
+    gateConcurrency(name, lims)
     halt(j, drain = true)
     j.epoch += 1
     resetMetricState(name) // rollback epoch re-reads the source from scratch
+    j.limits = lims
+    if (lims.monitorsProgress) ensureListener()
     guardedLaunch(j, v)
     statusDf(Some(name))
   }
@@ -480,6 +582,30 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         (j.name, j.status, batches, inRows, outRows)
       }
       .toDF("job_name", "status", "last_batch_id", "last_batch_input_rows", "sink_rows")
+  }
+
+  /** SHOW RESOURCES [job] — per-job resource usage vs limits (reference
+    * `get_all_resource_usage` + threshold classification,
+    * resource_manager.rs:231/276). One row per (job, resource) the
+    * tracker has observed; the global admission resource
+    * `concurrent_operations` keys under job `*`. `limit` is null for
+    * untracked-limit rows; `level` is OK / WARNING / CRITICAL /
+    * EXHAUSTED per the job's thresholds. */
+  def resourcesDf(name: Option[String]): DataFrame = synchronized {
+    import spark.implicits._
+    val snapshot = metricSpecs.synchronized(resourceState.toVector)
+    snapshot
+      .filter { case ((jn, _), _) => name.forall(n => jn == n || jn == "*") }
+      .sortBy { case ((jn, res), _) => (jn, res) }
+      .map { case ((jn, res), u) =>
+        val (warn, crit) = jobs.get(jn).map(j => (j.limits.warningPct, j.limits.criticalPct))
+          .getOrElse((defaultLimits.warningPct, defaultLimits.criticalPct))
+        val pct = u.limit.filter(_ > 0).map(l => math.round(u.current / l * 1000.0) / 10.0)
+        (jn, res, u.current, u.peak, u.limit, pct,
+          Resources.level(u.current, u.limit, warn, crit), u.violations)
+      }
+      .toDF("job_name", "resource", "current", "peak", "limit", "utilization_pct",
+        "level", "violations")
   }
 
   /** Block until the job's streaming query has drained all available

@@ -1,0 +1,113 @@
+package graft.sql
+
+/** Spark-native analog of the reference's resource manager
+  * (reference: src/velostream/sql/execution/resource_manager.rs:29 —
+  * ResourceManager tracks named resource usage against configurable
+  * limits with warning/critical thresholds, violation counters and
+  * automatic enforcement).
+  *
+  * On Spark the executor/driver memory budget is owned by the cluster
+  * manager and Spark's own MemoryManager — a library re-implementing
+  * that would fight the runtime. What a STREAMING job owner genuinely
+  * controls, and what kills jobs at 100 TB, is unbounded STATE growth:
+  * an aggregation whose group-key cardinality explodes, a window that
+  * never expires. Those are exactly the reference's `aggregation_groups`
+  * / `windows_per_key` / `total_memory` limits, and Spark exposes the
+  * live values per micro-batch via `StreamingQueryProgress
+  * .stateOperators` (numRowsTotal = groups/windows held in the state
+  * store, memoryUsedBytes = state memory). So usage feeds from query
+  * progress — no extra pass over the data — and enforcement stops the
+  * job the moment a batch commits state past its limit.
+  *
+  * Resource names follow resource_manager.rs:302-312:
+  *  - `aggregation_groups`          — state rows (groups + open windows)
+  *  - `total_memory`                — state-store bytes
+  *  - `processing_time_per_record`  — batch ms / input rows
+  *  - `concurrent_operations`       — RUNNING jobs, gated at admission
+  *
+  * Deviation (documented): the reference configures limits engine-wide
+  * (StreamingConfig); here they ride each job's `WITH (...)` properties
+  * — on a shared Spark cluster, admission control is the cluster
+  * manager's job, and per-job limits are the part a library can enforce
+  * deterministically.
+  */
+object Resources {
+
+  /** Limit set for one job. `None` = unlimited (reference's Option
+    * fields, resource_manager.rs:65-86). Thresholds default to the
+    * reference's 80% warning / 95% critical (resource_manager.rs:110). */
+  final case class Limits(
+      maxAggregationGroups: Option[Long] = None,
+      maxTotalMemory: Option[Long] = None,
+      maxProcessingTimePerRecordMs: Option[Double] = None,
+      maxConcurrentOperations: Option[Int] = None,
+      warningPct: Double = 0.8,
+      criticalPct: Double = 0.95) {
+
+    def limitFor(resource: String): Option[Double] = resource match {
+      case "aggregation_groups" => maxAggregationGroups.map(_.toDouble)
+      case "total_memory" => maxTotalMemory.map(_.toDouble)
+      case "processing_time_per_record" => maxProcessingTimePerRecordMs
+      case "concurrent_operations" => maxConcurrentOperations.map(_.toDouble)
+      case _ => None
+    }
+
+    /** Any monitored (per-progress) limit set → the job needs the
+      * progress listener. concurrent_operations is admission-time only. */
+    def monitorsProgress: Boolean =
+      maxAggregationGroups.isDefined || maxTotalMemory.isDefined ||
+        maxProcessingTimePerRecordMs.isDefined
+  }
+
+  object Limits {
+    /** Parse the reference's limit property names out of a job's
+      * `WITH (...)` clause; unset keys inherit `base`. A malformed
+      * number is a statement error, not a silently-ignored limit. */
+    def fromProps(props: Map[String, String], base: Limits): Limits = {
+      def long(k: String): Option[Long] = props.get(k).map { v =>
+        try v.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new VeloSqlParser.ParseException(s"$k must be an integer, got '$v'") }
+      }
+      def dbl(k: String): Option[Double] = props.get(k).map { v =>
+        try v.trim.toDouble
+        catch { case _: NumberFormatException =>
+          throw new VeloSqlParser.ParseException(s"$k must be a number, got '$v'") }
+      }
+      Limits(
+        maxAggregationGroups = long("max_aggregation_groups").orElse(base.maxAggregationGroups),
+        maxTotalMemory = long("max_total_memory").orElse(base.maxTotalMemory),
+        maxProcessingTimePerRecordMs =
+          dbl("max_processing_time_per_record").orElse(base.maxProcessingTimePerRecordMs),
+        maxConcurrentOperations =
+          long("max_concurrent_operations").map(_.toInt).orElse(base.maxConcurrentOperations),
+        warningPct = base.warningPct,
+        criticalPct = base.criticalPct)
+    }
+  }
+
+  /** Per-resource usage (reference ResourceMetrics: current, peak,
+    * violation count — resource_manager.rs:47-62). Carries the limit it
+    * was last checked against so a SHOW row is self-contained even for
+    * the global admission resource, whose limit rides the admitting
+    * job's props. */
+  final case class Usage(current: Double = 0.0, peak: Double = 0.0,
+                         violations: Long = 0, limit: Option[Double] = None) {
+    def observed(v: Double, l: Option[Double]): Usage =
+      Usage(v, math.max(peak, v), violations, l.orElse(limit))
+    def violated: Usage = copy(violations = violations + 1)
+  }
+
+  /** Threshold classification (resource_manager.rs:276-291): past the
+    * limit = EXHAUSTED (the hard-enforcement level), else CRITICAL /
+    * WARNING bands, else OK. No limit → OK by definition. */
+  def level(current: Double, limit: Option[Double], warn: Double, crit: Double): String =
+    limit match {
+      case Some(l) if l > 0 =>
+        if (current > l) "EXHAUSTED"
+        else if (current >= crit * l) "CRITICAL"
+        else if (current >= warn * l) "WARNING"
+        else "OK"
+      case _ => "OK"
+    }
+}

@@ -343,6 +343,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         case "VERSIONS" => jobManager.versionsDf(
           arg.getOrElse(throw new ParseException("SHOW VERSIONS needs a job name")))
         case "METRICS" => jobManager.metricsDf(arg)
+        case "RESOURCES" => jobManager.resourcesDf(arg)
         case "SCHEMA" => describeDf(
           arg.getOrElse(throw new ParseException("SHOW SCHEMA needs a relation name")))
         case "PROPERTIES" =>

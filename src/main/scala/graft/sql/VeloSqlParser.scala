@@ -160,8 +160,10 @@ object VeloSqlParser {
   final case class Delete(table: String, where: Option[Vector[Tok]]) extends VeloStatement
   /** SHOW <resource> [arg] — resource kinds per reference ast.rs:471-496:
     * STREAMS|TABLES|TOPICS|FUNCTIONS|JOBS (arg = LIKE pattern),
-    * SCHEMA|PARTITIONS|VERSIONS name, STATUS|METRICS [job],
-    * PROPERTIES [STREAM|TABLE] name. */
+    * SCHEMA|PARTITIONS|VERSIONS name, STATUS|METRICS|RESOURCES [job],
+    * PROPERTIES [STREAM|TABLE] name. (TRACES and RESOURCES surface the
+    * reference's observability spans and resource_manager state — engine
+    * components without their own SHOW kind in ast.rs.) */
   final case class Show(what: String, arg: Option[String] = None) extends VeloStatement
   /** DESCRIBE name (reference ast.rs:495). */
   final case class Describe(name: String) extends VeloStatement
@@ -323,7 +325,7 @@ object VeloSqlParser {
           val pat = if (at("LIKE")) { take(); Some(unquote(take())) } else None
           Show(what, pat)
         case "SCHEMA" | "PARTITIONS" | "VERSIONS" => Show(what, Some(ident()))
-        case "STATUS" | "METRICS" =>
+        case "STATUS" | "METRICS" | "RESOURCES" =>
           Show(what, if (peek().exists(_.kind == TIdent)) Some(ident()) else None)
         case "PROPERTIES" =>
           // SHOW PROPERTIES [STREAM|TABLE|SOURCE|SINK] name

@@ -1,0 +1,138 @@
+package graft.sql
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import VeloSqlParser.ParseException
+
+/** The reference's resource manager semantics
+  * (src/velostream/sql/execution/resource_manager.rs): named resources
+  * with per-job limits, current/peak/violation tracking, warning/
+  * critical threshold classification, hard enforcement (a job past its
+  * limit is stopped, not hot-looped), and admission control for
+  * concurrent operations — all fed from StreamingQueryProgress here.
+  */
+class ResourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private def memInput(): (MemoryStream[(Long, Double)], VeloContext) = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("live_events", in.toDF().toDF("id", "v"))
+    (in, ctx)
+  }
+
+  /** Progress events arrive on the listener bus after the batch commits,
+    * so enforcement is eventually-visible: poll with a deadline. */
+  private def awaitStatus(ctx: VeloContext, job: String, want: String,
+                          timeoutMs: Long = 30000): String = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var st = ctx.sql(s"SHOW STATUS $job").collect().head.getAs[String]("status")
+    while (st != want && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      st = ctx.sql(s"SHOW STATUS $job").collect().head.getAs[String]("status")
+    }
+    st
+  }
+
+  test("Limits.fromProps reads the reference property names; malformed values reject") {
+    val base = Resources.Limits()
+    val l = Resources.Limits.fromProps(Map(
+      "max_aggregation_groups" -> "1000", "max_total_memory" -> "1048576",
+      "max_processing_time_per_record" -> "2.5", "max_concurrent_operations" -> "4",
+      "unrelated.prop" -> "x"), base)
+    assert(l.maxAggregationGroups.contains(1000L))
+    assert(l.maxTotalMemory.contains(1048576L))
+    assert(l.maxProcessingTimePerRecordMs.contains(2.5))
+    assert(l.maxConcurrentOperations.contains(4))
+    assert(base.maxAggregationGroups.isEmpty) // unset stays unlimited
+    intercept[ParseException] {
+      Resources.Limits.fromProps(Map("max_aggregation_groups" -> "lots"), base)
+    }
+  }
+
+  test("threshold classification matches the reference bands (80% warn / 95% crit)") {
+    val lim = Some(100.0)
+    assert(Resources.level(50.0, lim, 0.8, 0.95) == "OK")
+    assert(Resources.level(80.0, lim, 0.8, 0.95) == "WARNING")
+    assert(Resources.level(95.0, lim, 0.8, 0.95) == "CRITICAL")
+    assert(Resources.level(100.0, lim, 0.8, 0.95) == "CRITICAL") // at the limit, not past it
+    assert(Resources.level(101.0, lim, 0.8, 0.95) == "EXHAUSTED")
+    assert(Resources.level(1e9, None, 0.8, 0.95) == "OK") // no limit → unlimited
+  }
+
+  test("state growth past max_aggregation_groups trips the job to FAILED") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))) // 3 groups > limit 2
+    ctx.sql(
+      """START JOB capped AS
+         SELECT id, SUM(v) AS total FROM live_events GROUP BY id EMIT CHANGES
+         WITH ('max_aggregation_groups' = '2')""")
+    ctx.jobManager.awaitIdle("capped")
+    assert(awaitStatus(ctx, "capped", "FAILED") == "FAILED")
+    val st = ctx.sql("SHOW STATUS capped").collect().head
+    assert(st.getAs[String]("error").contains("resource exhausted: aggregation_groups"))
+    assert(!st.getAs[Boolean]("is_active"))
+    // the violating usage is on record: EXHAUSTED level, violation counted
+    val row = ctx.sql("SHOW RESOURCES capped").collect()
+      .find(_.getAs[String]("resource") == "aggregation_groups").get
+    assert(row.getAs[Double]("current") == 3.0)
+    assert(row.getAs[Double]("limit") == 2.0)
+    assert(row.getAs[String]("level") == "EXHAUSTED")
+    assert(row.getAs[Long]("violations") >= 1L)
+    // a resource-exhausted job must not blindly RESUME (redeploy required)
+    intercept[ParseException] { ctx.sql("RESUME JOB capped") }
+  }
+
+  test("a job within its limits keeps running and reports usage under SHOW RESOURCES") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    ctx.sql(
+      """START JOB roomy AS
+         SELECT id, SUM(v) AS total FROM live_events GROUP BY id EMIT CHANGES
+         WITH ('max_aggregation_groups' = '100')""")
+    ctx.jobManager.awaitIdle("roomy")
+    // usage lands via the async listener — poll for the row
+    val deadline = System.currentTimeMillis() + 30000
+    def rows() = ctx.sql("SHOW RESOURCES roomy").collect()
+    while (rows().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val byRes = rows().map(r => r.getAs[String]("resource") -> r).toMap
+    val groups = byRes("aggregation_groups")
+    assert(groups.getAs[Double]("current") == 3.0)
+    assert(groups.getAs[Double]("peak") == 3.0)
+    assert(groups.getAs[String]("level") == "OK")
+    assert(groups.getAs[Long]("violations") == 0L)
+    assert(groups.getAs[Double]("utilization_pct") == 3.0)
+    // state memory is tracked too (no limit set → OK, null limit)
+    assert(byRes("total_memory").getAs[Double]("current") > 0.0)
+    assert(byRes("total_memory").isNullAt(byRes("total_memory").fieldIndex("limit")))
+    assert(ctx.sql("SHOW STATUS roomy").collect().head.getAs[String]("status") == "RUNNING")
+    ctx.sql("STOP JOB roomy")
+  }
+
+  test("max_concurrent_operations rejects admission past the running-job limit") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("START JOB first AS SELECT id, v FROM live_events")
+    val e = intercept[ParseException] {
+      ctx.sql("""START JOB second AS SELECT id, v FROM live_events
+                 WITH ('max_concurrent_operations' = '1')""")
+    }
+    assert(e.getMessage.contains("resource exhausted: concurrent_operations"))
+    // admission violation is on record under the global job "*"
+    val row = ctx.sql("SHOW RESOURCES").collect()
+      .find(r => r.getAs[String]("job_name") == "*" &&
+        r.getAs[String]("resource") == "concurrent_operations").get
+    assert(row.getAs[Long]("violations") == 1L)
+    assert(row.getAs[String]("level") == "EXHAUSTED")
+    // room for one more → admitted
+    ctx.sql("STOP JOB first")
+    ctx.sql("""START JOB second AS SELECT id, v FROM live_events
+               WITH ('max_concurrent_operations' = '1')""")
+    assert(ctx.sql("SHOW STATUS second").collect().head.getAs[String]("status") == "RUNNING")
+    ctx.sql("STOP JOB second")
+  }
+}
