@@ -2,7 +2,7 @@ package graft.sql
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, StreamingQueryException}
 
@@ -120,7 +120,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       .filter(m => m.labels.nonEmpty && m.metricType == "counter")
     specs.foreach { m =>
       val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
-      val rows = batch.groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
+      val rows = SqlApp.metricInput(batch, m)
+        .groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
       metricSpecs.synchronized {
         rows.foreach { r =>
           val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
@@ -146,11 +147,33 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (specs.isEmpty) df
     else {
       val aggs = specs.map { m =>
+        // @metric_condition / @metric_sample_rate gate WHICH records feed
+        // the metric. Both are expressible INSIDE the CollectMetrics
+        // aggregate — the condition as a when(), the sampling as the same
+        // deterministic full-row-hash test SqlApp.metricInput uses (a
+        // deterministic expression, so it is legal in an aggregate where
+        // rand() would not be) — so gated metrics still ride the job's
+        // own micro-batches with zero extra passes.
+        val gate: Option[Column] = {
+          val cond = m.condition.map(expr)
+          val samp = if (m.sampleRate < 1.0)
+            Some(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))
+              < lit((m.sampleRate * 1000000L).toLong))
+          else None
+          (cond, samp) match {
+            case (Some(c), Some(s)) => Some(c && s)
+            case (c, s) => c.orElse(s)
+          }
+        }
         m.metricType match {
           case "counter" =>
-            m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
-              .as(m.name)
-          case _ => last(col(m.field.get).cast("double"), ignoreNulls = true).as(m.name)
+            val inc = m.field.map(f => col(f).cast("double")).getOrElse(lit(1.0))
+            sum(gate.map(g => when(g, inc).otherwise(lit(0.0))).getOrElse(inc)).as(m.name)
+          case _ =>
+            val v = col(m.field.get).cast("double")
+            // gauge: a non-matching record contributes null, which
+            // last(ignoreNulls) skips — the gauge retains its value
+            last(gate.map(g => when(g, v)).getOrElse(v), ignoreNulls = true).as(m.name)
         }
       }
       df.observe(s"graft-metrics-$jobName", aggs.head, aggs.tail: _*)

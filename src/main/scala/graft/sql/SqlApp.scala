@@ -57,14 +57,24 @@ object SqlApp {
     * `-- @metric: name` opens a spec; `-- @metric_type:`,
     * `-- @metric_help:`, `-- @metric_labels: a, b`,
     * `-- @metric_field: col` (required for gauge/histogram; a counter
-    * with a field increments by the field value) and
+    * with a field increments by the field value),
     * `-- @metric_buckets: 100, 500, …` (histogram `le` boundaries,
-    * positive ascending) refine it. */
+    * positive ascending), `-- @metric_condition: <sql expr>` (only
+    * matching records feed the metric — reference annotations.rs:294,
+    * conditions parsed once and evaluated per record) and
+    * `-- @metric_sample_rate: 0.0-1.0` (reference annotations.rs:299;
+    * out-of-range is a parse error like the reference's) refine it.
+    * Sampling here is DETERMINISTIC — a stable hash of the full row
+    * modulo the rate — so a replayed batch samples identically and the
+    * oracle can re-derive the exact count (the reference's intent is
+    * statistical overhead reduction; determinism is strictly stronger). */
   final case class MetricSpec(name: String, metricType: String = "counter",
                               help: Option[String] = None,
                               labels: Vector[String] = Vector.empty,
                               field: Option[String] = None,
-                              buckets: Vector[Double] = Vector.empty)
+                              buckets: Vector[Double] = Vector.empty,
+                              condition: Option[String] = None,
+                              sampleRate: Double = 1.0)
 
   /** One statement with its attached annotations:
     *  - `-- @metric…` — see [[MetricSpec]]; counters are COLLECTED by
@@ -258,6 +268,20 @@ object SqlApp {
         val f = tail(trimmed, "-- @metric_field:")
         if (f.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(field = Some(f))
       }
+      else if (trimmed.startsWith("-- @metric_condition:") && curMetrics.nonEmpty) {
+        val c = tail(trimmed, "-- @metric_condition:")
+        if (c.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(condition = Some(c))
+      }
+      else if (trimmed.startsWith("-- @metric_sample_rate:") && curMetrics.nonEmpty) {
+        val raw = tail(trimmed, "-- @metric_sample_rate:")
+        val r = try raw.toDouble catch {
+          case _: NumberFormatException => throw new ParseException(
+            s"Invalid sample_rate '$raw'. Must be a number between 0.0 and 1.0")
+        }
+        if (r < 0.0 || r > 1.0)
+          throw new ParseException(s"Sample rate $r out of range. Must be between 0.0 and 1.0")
+        curMetrics = curMetrics.init :+ curMetrics.last.copy(sampleRate = r)
+      }
       else if (trimmed.startsWith("-- @metric_buckets:") && curMetrics.nonEmpty) {
         // demo-app form `100, 500, 1000`; bracketed `[…]` also admitted
         val raw = tail(trimmed, "-- @metric_buckets:").stripPrefix("[").stripSuffix("]")
@@ -302,6 +326,22 @@ object SqlApp {
     SqlApplication(md, statements)
   }
 
+  /** A metric's record stream: `df` narrowed by the spec's
+    * `@metric_condition`, then deterministically sampled at
+    * `@metric_sample_rate` — a stable full-row hash (xxhash64 mod 10⁶)
+    * against rate·10⁶, so a replayed batch samples the identical subset
+    * (the reference samples randomly for overhead; determinism is
+    * strictly stronger and keeps the count oracle-able). */
+  private[sql] def metricInput(df: DataFrame, m: MetricSpec): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod, xxhash64}
+    var d = df
+    m.condition.foreach(c => d = d.where(expr(c)))
+    if (m.sampleRate < 1.0)
+      d = d.where(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))
+        < lit((m.sampleRate * 1000000L).toLong))
+    d
+  }
+
   /** Index of the first top-level (outside string literals) ';'. */
   private def splitIndex(s: String): Int = {
     var i = 0
@@ -330,7 +370,7 @@ object SqlApp {
   def run(ctx: VeloContext, content: String,
           env: String => Option[String] = sys.env.get): (SqlApplication, Seq[DataFrame]) = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{col, count, last, lit, sum, when}
+    import org.apache.spark.sql.functions.{col, count, expr, last, lit, pmod, sum, when, xxhash64}
     val app = parse(content, env)
     val results = app.statements.map { s =>
       // metrics on a JOB statement belong to the job's data, not to the
@@ -365,12 +405,17 @@ object SqlApp {
             case n: java.lang.Number => n.doubleValue()
             case other => other.toString.toDouble
           }
+          // the metric's input: the (cached) result narrowed by its
+          // @metric_condition, then deterministically sampled — a
+          // stable full-row hash against the rate, so replays and the
+          // oracle see the identical subset
+          val in = SqlApp.metricInput(df, m)
           // one aggregation pass per metric, grouped by its label columns
           def collectAgg(aggs: Seq[Column]): Vector[(Map[String, String], Seq[Double])] =
             if (m.labels.isEmpty)
-              df.agg(aggs.head, aggs.tail: _*).collect().toVector
+              in.agg(aggs.head, aggs.tail: _*).collect().toVector
                 .map(r => Map.empty[String, String] -> aggs.indices.map(i => num(r.get(i))))
-            else df.groupBy(m.labels.map(col): _*).agg(aggs.head, aggs.tail: _*)
+            else in.groupBy(m.labels.map(col): _*).agg(aggs.head, aggs.tail: _*)
               .collect().toVector.map { r =>
                 m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap ->
                   aggs.indices.map(i => num(r.get(m.labels.length + i)))

@@ -398,4 +398,86 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(jobs == Seq("app_monitor"))
     ctx.sql("STOP JOB app_monitor")
   }
+
+  test("@metric_condition and @metric_sample_rate parse; out-of-range rates reject (annotations.rs:294-321)") {
+    val app = SqlApp.parse(
+      """-- SQL Application: Cond
+        |-- @metric: big_orders_total
+        |-- @metric_type: counter
+        |-- @metric_condition: amount > 100
+        |-- @metric_sample_rate: 0.25
+        |SELECT * FROM t;
+        |""".stripMargin, lookup)
+    val m = app.statements.head.metrics.head
+    assert(m.condition.contains("amount > 100"))
+    assert(m.sampleRate == 0.25)
+    intercept[ParseException] {
+      SqlApp.parse("-- SQL Application: X\n-- @metric: a\n-- @metric_sample_rate: 1.5\nSELECT 1;\n", lookup)
+    }
+    intercept[ParseException] {
+      SqlApp.parse("-- SQL Application: X\n-- @metric: a\n-- @metric_sample_rate: lots\nSELECT 1;\n", lookup)
+    }
+  }
+
+  test("@metric_condition narrows the metric's records; sampling is deterministic and replay-stable") {
+    import spark.implicits._
+    def collect(): String = {
+      val ctx = new VeloContext(spark)
+      ctx.register("orders_m",
+        (1 to 1000).map(i => (i.toLong, (i % 200).toDouble)).toDF("id", "amount"))
+      SqlApp.run(ctx,
+        """-- SQL Application: CondMetrics
+          |-- @metric: big_amount_total
+          |-- @metric_type: counter
+          |-- @metric_condition: amount >= 150
+          |-- @metric: sampled_rows_total
+          |-- @metric_type: counter
+          |-- @metric_sample_rate: 0.5
+          |-- @metric: none_rows_total
+          |-- @metric_type: counter
+          |-- @metric_sample_rate: 0.0
+          |CREATE STREAM order_feed AS SELECT id, amount FROM orders_m
+          |""".stripMargin, lookup)
+      ctx.prometheusText
+    }
+    val text = collect()
+    def value(t: String, name: String): Double =
+      (java.util.regex.Pattern.quote(name) + """ ([0-9.]+)""").r
+        .findFirstMatchIn(t).get.group(1).toDouble
+    // amount cycles 0..199 over 1000 rows → exactly 250 rows >= 150
+    assert(value(text, "big_amount_total") == 250.0)
+    // rate 0.0 → the hash test admits nothing
+    assert(value(text, "none_rows_total") == 0.0)
+    // rate 0.5 over a full-row hash: about half, and EXACTLY reproducible
+    val n = value(text, "sampled_rows_total")
+    assert(n > 350 && n < 650, s"sampled $n of 1000 at rate 0.5")
+    assert(value(collect(), "sampled_rows_total") == n) // replay samples identically
+  }
+
+  test("streaming @metric_condition gates observe-collected counters on the job's own batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("cond_events", in.toDF().toDF("id", "amount"))
+    in.addData(Seq((1L, 10.0), (2L, 3.0), (3L, 30.0)))
+    SqlApp.run(ctx,
+      """-- SQL Application: CondStream
+        |-- @metric: big_events_total
+        |-- @metric_type: counter
+        |-- @metric_condition: amount > 5
+        |START JOB condjob AS SELECT id, amount FROM cond_events
+        |""".stripMargin, lookup)
+    def metricValue(): Option[Double] = {
+      val re = """big_events_total\{job="condjob"\} ([0-9.]+)""".r
+      re.findFirstMatchIn(ctx.prometheusText).map(_.group(1).toDouble)
+    }
+    ctx.jobManager.awaitIdle("condjob")
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (!metricValue().contains(2.0) && System.nanoTime() < deadline)
+      Thread.sleep(100) // listener events are delivered asynchronously
+    assert(metricValue().contains(2.0)) // amounts 10 and 30 match; 3 does not
+    ctx.sql("STOP JOB condjob")
+  }
 }
