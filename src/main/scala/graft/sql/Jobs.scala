@@ -311,12 +311,69 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     case _ => None
   }
 
+  // ---- job processor configuration (reference: annotation_parser.rs
+  //      @job_mode/@batch_size/@num_partitions/@partitioning_strategy →
+  //      job_processor_factory.rs). The physically-meaningful part on
+  //      Spark is output partitioning; mode/batch-size are recorded
+  //      (exactly-once + adaptive execution are the runtime's defaults
+  //      here: checkpointed sinks, AQE). ----
+  private val jobConfigs = scala.collection.mutable.Map[String, JobManager.JobConfig]()
+
+  /** Attach processor config to a job name BEFORE it starts (like
+    * `attachMetrics`); the next launch applies it. */
+  def attachJobConfig(name: String, cfg: JobManager.JobConfig): Unit = synchronized {
+    jobConfigs(name) = cfg
+  }
+
+  /** The body's message-key columns: explicit PRIMARY KEY fields, else
+    * the GROUP BY auto-key fallback (FR-089). */
+  private def keyFieldsOf(body: VeloStatement): Vector[String] = {
+    def of(s: VeloSqlParser.SelectStmt): Vector[String] =
+      if (s.keyFields.nonEmpty) s.keyFields else VeloContext.groupByOutputNames(s)
+    body match {
+      case Select(s) => of(s)
+      case CreateStreamAs(_, s, _, _) => of(s)
+      case CreateTableAs(_, s, _, _) => of(s)
+      case _ => Vector.empty
+    }
+  }
+
+  /** `@num_partitions` + `@partitioning_strategy` as a physical stage
+    * before the sink:
+    *  - roundrobin (default) → `repartition(n)` — even output shards;
+    *  - hash → `repartition(n, keys)` — co-locates a key's records
+    *    (the reference's same-key-same-partition transport guarantee);
+    *  - fanin → `coalesce(n)` — shuffle-free shard reduction;
+    *  - sticky → no exchange: Spark's narrow pipelining IS sticky
+    *    (records stay on their input partition);
+    *  - smart → left to AQE, the engine's own smart repartitioner. */
+  private def applyPartitioning(df: DataFrame, body: VeloStatement,
+                                cfg: JobManager.JobConfig): DataFrame = {
+    val strat = cfg.partitioningStrategy.getOrElse("roundrobin")
+    (cfg.numPartitions, strat) match {
+      case (_, "sticky") | (_, "smart") => df
+      case (Some(n), "fanin") => df.coalesce(n)
+      case (n, "hash") =>
+        val keys = keyFieldsOf(body).filter(df.columns.contains).map(col)
+        (n, keys) match {
+          case (Some(p), ks) if ks.nonEmpty => df.repartition(p, ks: _*)
+          case (Some(p), _) => df.repartition(p)
+          case (None, ks) if ks.nonEmpty => df.repartition(ks: _*)
+          case _ => df
+        }
+      case (Some(n), _) => df.repartition(n)
+      case _ => df
+    }
+  }
+
   /** Launch a job version. Streaming body → continuous writeStream from
     * the job's current checkpoint/sink epoch; batch body → one-shot
     * materialization registered as view `<job>_out`. */
   private def launch(j: Job, v: Version): Unit = {
     val df0 = exec(v.body)
-    val df = if (df0.isStreaming) observedDf(j.name, df0) else df0
+    val df1 = if (df0.isStreaming) observedDf(j.name, df0) else df0
+    // partitioning applies AFTER observe so metrics see every record
+    val df = jobConfigs.get(j.name).map(applyPartitioning(df1, v.body, _)).getOrElse(df1)
     if (df.isStreaming) {
       val q = emitOf(v.body) match {
         case Some(EmitChanges) =>
@@ -647,6 +704,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 }
 
 object JobManager {
+
+  /** Job processor annotations (reference annotation_parser.rs /
+    * job_processor_factory.rs). `jobMode` and `batchSize` are recorded
+    * for discovery; `numPartitions`/`partitioningStrategy` execute (see
+    * JobManager.applyPartitioning). */
+  final case class JobConfig(jobMode: Option[String] = None,
+                             batchSize: Option[Int] = None,
+                             numPartitions: Option[Int] = None,
+                             partitioningStrategy: Option[String] = None)
   /** SQL LIKE with % and _ (shell-style * also admitted, as the
     * reference's own test patterns use `user_*`). */
   private[sql] def likeMatch(s: String, pat: String): Boolean = {

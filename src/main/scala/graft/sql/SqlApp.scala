@@ -86,12 +86,28 @@ object SqlApp {
     *    realization of the reference's V2 partition count). Invalid
     *    numbers are ignored, as the reference's parser does.
     *  - `-- @sticky-partition-id: id` — pin-to-partition hint, recorded
-    *    as metadata (single-partition routing is a sink concern). */
+    *    as metadata (single-partition routing is a sink concern).
+    *  - `-- @job_mode: simple|transactional|adaptive`, `-- @batch_size:
+    *    n`, `-- @num_partitions: n`, `-- @partitioning_strategy:
+    *    sticky|hash|smart|roundrobin|fanin` — the reference's job
+    *    processor annotations (annotation_parser.rs:204-208, strategy
+    *    aliases per ast.rs:124-128; unknown strategy values are ignored
+    *    like the reference's debug-and-None). On a START/DEPLOY JOB
+    *    statement these configure the launched job: num_partitions +
+    *    strategy apply physically before the sink (see
+    *    JobManager.applyPartitioning); job_mode/batch_size are recorded
+    *    — exactly-once and adaptive execution are what the Spark
+    *    runtime already provides (checkpointed sinks, AQE), and batch
+    *    sizing is a per-SOURCE option in Spark, not a sink-side knob. */
   final case class AppStatement(id: String, name: Option[String], sql: String,
                                 properties: Map[String, String], order: Int,
                                 metrics: Vector[MetricSpec] = Vector.empty,
                                 partitionCount: Option[Int] = None,
-                                stickyPartitionId: Option[Int] = None)
+                                stickyPartitionId: Option[Int] = None,
+                                jobMode: Option[String] = None,
+                                batchSize: Option[Int] = None,
+                                numPartitions: Option[Int] = None,
+                                partitioningStrategy: Option[String] = None)
 
   final case class SqlApplication(metadata: AppMetadata, statements: Vector[AppStatement])
 
@@ -218,6 +234,10 @@ object SqlApp {
     var curMetrics = Vector.empty[MetricSpec]
     var curPartitions: Option[Int] = None
     var curSticky: Option[Int] = None
+    var curJobMode: Option[String] = None
+    var curBatchSize: Option[Int] = None
+    var curNumPartitions: Option[Int] = None
+    var curStrategy: Option[String] = None
     val cur = new StringBuilder
     def flush(): Unit = {
       val sqlText = cur.toString.trim
@@ -231,13 +251,18 @@ object SqlApp {
         }
         statements :+= AppStatement(s"stmt_$counter", curName,
           resolvePattern(sqlText, env), curProps, counter,
-          curMetrics, curPartitions, curSticky)
+          curMetrics, curPartitions, curSticky,
+          curJobMode, curBatchSize, curNumPartitions, curStrategy)
         counter += 1
         curName = None
         curProps = Map.empty
         curMetrics = Vector.empty
         curPartitions = None
         curSticky = None
+        curJobMode = None
+        curBatchSize = None
+        curNumPartitions = None
+        curStrategy = None
       }
     }
     content.linesIterator.foreach { raw =>
@@ -300,6 +325,26 @@ object SqlApp {
         curPartitions = intAnn("-- @partition-count:").filter(_ > 0)
       else if (trimmed.startsWith("-- @sticky-partition-id:"))
         curSticky = intAnn("-- @sticky-partition-id:")
+      else if (trimmed.startsWith("-- @job_mode:")) {
+        val m = tail(trimmed, "-- @job_mode:").toLowerCase
+        if (Set("simple", "transactional", "adaptive")(m)) curJobMode = Some(m)
+      }
+      else if (trimmed.startsWith("-- @batch_size:"))
+        curBatchSize = intAnn("-- @batch_size:").filter(_ > 0)
+      else if (trimmed.startsWith("-- @num_partitions:"))
+        curNumPartitions = intAnn("-- @num_partitions:").filter(_ > 0)
+      else if (trimmed.startsWith("-- @partitioning_strategy:")) {
+        // canonicalize the reference's aliases (ast.rs:124-128); an
+        // unknown value is ignored, as the reference's debug-and-None is
+        curStrategy = tail(trimmed, "-- @partitioning_strategy:").toLowerCase match {
+          case "sticky" | "stickypartition" | "sticky_partition" => Some("sticky")
+          case "hash" | "alwayshash" | "always_hash" => Some("hash")
+          case "smart" | "smartrepartition" | "smart_repartition" => Some("smart")
+          case "roundrobin" | "round_robin" => Some("roundrobin")
+          case "fanin" | "fan_in" => Some("fanin")
+          case _ => None
+        }
+      }
       else if (metaPrefixes.exists(trimmed.startsWith)) ()      // app metadata
       else if (trimmed.startsWith("-- Property:")) {
         tail(trimmed, "-- Property:").split("=", 2) match {
@@ -378,14 +423,22 @@ object SqlApp {
       // their own micro-batches (observe() + listener in JobManager,
       // attached BEFORE launch); batch jobs collect over the job's
       // materialized <name>_out view after launch.
+      val jobCfg: Option[JobManager.JobConfig] =
+        if (s.jobMode.isEmpty && s.batchSize.isEmpty && s.numPartitions.isEmpty
+          && s.partitioningStrategy.isEmpty) None
+        else Some(JobManager.JobConfig(s.jobMode, s.batchSize, s.numPartitions,
+          s.partitioningStrategy))
       val jobName: Option[String] =
-        if (s.metrics.isEmpty) None
+        if (s.metrics.isEmpty && jobCfg.isEmpty) None
         else try VeloSqlParser.parse(s.sql) match {
           case VeloSqlParser.StartJob(n, _, _) => Some(n)
           case VeloSqlParser.DeployJob(n, _, _, _, _) => Some(n)
           case _ => None
         } catch { case _: ParseException => None }
-      jobName.foreach(n => ctx.jobManager.attachMetrics(n, s.metrics))
+      jobName.foreach { n =>
+        if (s.metrics.nonEmpty) ctx.jobManager.attachMetrics(n, s.metrics)
+        jobCfg.foreach(ctx.jobManager.attachJobConfig(n, _))
+      }
       val df = ctx.sql(s.sql)
       val target: Option[DataFrame] = jobName match {
         case Some(n) => // batch-bodied job → its standing output view

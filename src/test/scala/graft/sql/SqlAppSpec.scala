@@ -399,6 +399,61 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB app_monitor")
   }
 
+  test("@job_mode/@batch_size/@num_partitions/@partitioning_strategy parse per statement (annotation_parser.rs:204-208)") {
+    val app = SqlApp.parse(
+      """-- SQL Application: JobCfg
+        |
+        |-- @job_mode: transactional
+        |-- @batch_size: 500
+        |-- @num_partitions: 8
+        |-- @partitioning_strategy: always_hash
+        |START JOB a AS SELECT * FROM t;
+        |
+        |-- @partitioning_strategy: bogus
+        |-- @num_partitions: -2
+        |START JOB b AS SELECT * FROM t;
+        |""".stripMargin, lookup)
+    val a = app.statements(0)
+    assert(a.jobMode.contains("transactional") && a.batchSize.contains(500))
+    assert(a.numPartitions.contains(8) && a.partitioningStrategy.contains("hash"))
+    // unknown strategy / non-positive count are ignored, as the reference's are
+    val b = app.statements(1)
+    assert(b.partitioningStrategy.isEmpty && b.numPartitions.isEmpty)
+  }
+
+  test("@num_partitions shapes the job's sink; hash strategy co-locates each PRIMARY KEY") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("part_events", in.toDF().toDF("id", "v"))
+    in.addData((1 to 12).map(i => ((i % 4).toLong, i.toDouble)))
+    SqlApp.run(ctx,
+      """-- SQL Application: PartCfg
+        |
+        |-- @num_partitions: 3
+        |START JOB rr AS SELECT id, v FROM part_events;
+        |
+        |-- @num_partitions: 2
+        |-- @partitioning_strategy: hash
+        |START JOB keyed AS SELECT id PRIMARY KEY, v FROM part_events;
+        |""".stripMargin, lookup)
+    ctx.jobManager.awaitIdle("rr")
+    ctx.jobManager.awaitIdle("keyed")
+    // roundrobin over 12 rows → exactly 3 sink files in the micro-batch
+    assert(ctx.jobManager.sinkDf("rr").inputFiles.length == 3)
+    // hash on the PRIMARY KEY: all of a key's records share one file
+    import org.apache.spark.sql.functions.input_file_name
+    val keyed = ctx.jobManager.sinkDf("keyed").withColumn("f", input_file_name()).collect()
+    assert(keyed.length == 12)
+    keyed.groupBy(_.getAs[Long]("id")).foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[String]("f")).distinct.length == 1, s"key $id split across files")
+    }
+    ctx.sql("STOP JOB rr")
+    ctx.sql("STOP JOB keyed")
+  }
+
   test("@metric_condition and @metric_sample_rate parse; out-of-range rates reject (annotations.rs:294-321)") {
     val app = SqlApp.parse(
       """-- SQL Application: Cond
