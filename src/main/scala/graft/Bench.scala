@@ -135,8 +135,10 @@ object Bench {
       while (!best.clean && best.r.err.isEmpty && retries < maxRetries) {
         retries += 1
         val again = attempt(name)
-        // prefer a clean window; among equals keep the faster run
-        if (again.clean || (!best.clean && again.r.sec < best.r.sec)) best = again
+        // prefer a clean window — but never replace a successful timing
+        // with an erroring retry; among equals keep the faster run
+        if (again.r.err.isEmpty
+          && (again.clean || (!best.clean && again.r.sec < best.r.sec))) best = again
       }
       if (best.r.err.isEmpty && best.r.sec > minOf2Gate) {
         retries += 1

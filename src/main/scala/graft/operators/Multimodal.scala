@@ -109,15 +109,20 @@ object Multimodal {
       }(enc)
   }
 
+  /** Feature columns are nullable: a null or undecodable payload (the
+    * normal case somewhere in a 100 TB crawl corpus) yields a
+    * null-feature row instead of an NPE that kills the stage — the same
+    * null contract the stub tier (`decodeStub`/`extractFeatures`)
+    * established. */
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("header_w", IntegerType, nullable = false),
-    StructField("header_h", IntegerType, nullable = false),
-    StructField("width_px", IntegerType, nullable = false),
-    StructField("height_px", IntegerType, nullable = false),
-    StructField("mean_r", DoubleType, nullable = false),
-    StructField("mean_g", DoubleType, nullable = false),
-    StructField("mean_b", DoubleType, nullable = false)))
+    StructField("header_w", IntegerType, nullable = true),
+    StructField("header_h", IntegerType, nullable = true),
+    StructField("width_px", IntegerType, nullable = true),
+    StructField("height_px", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)))
 
   /** Real PNG encode via the JDK's javax.imageio (no stub, no external
     * libs): renders a w×h RGB image whose pixels are pure arithmetic in
@@ -172,32 +177,43 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val w = img.getWidth; val h = img.getHeight
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-              x += 1
+          // ImageIO.read returns null for bytes it cannot decode; a null
+          // or truncated payload must yield a null-feature row, not kill
+          // the stage (one bad record in a crawl corpus is routine)
+          val img =
+            if (bytes == null || bytes.length < 24) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Row(r.getLong(0), null, null, null, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val n = (w * h).toDouble
+            Row(r.getLong(0), be32(bytes, 16), be32(bytes, 20), w, h, sr / n, sg / n, sb / n)
           }
-          val n = (w * h).toDouble
-          Row(r.getLong(0), be32(bytes, 16), be32(bytes, 20), w, h, sr / n, sg / n, sb / n)
         }
       }(enc)
   }
 
+  /** Nullable feature columns: same bad-payload contract as
+    * [[imageFeatureSchema]]. */
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("header_rate", IntegerType, nullable = false),
-    StructField("rate_hz", IntegerType, nullable = false),
-    StructField("n_frames", LongType, nullable = false),
-    StructField("peak", IntegerType, nullable = false),
-    StructField("mean_abs", DoubleType, nullable = false)))
+    StructField("header_rate", IntegerType, nullable = true),
+    StructField("rate_hz", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("peak", IntegerType, nullable = true),
+    StructField("mean_abs", DoubleType, nullable = true)))
 
   /** Real WAV encode via the JDK's javax.sound.sampled: 16-bit signed
     * mono PCM, a Nyquist square wave of amplitude A = (len%100+1)*50
@@ -249,35 +265,50 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val fmt = ais.getFormat
-          val nFrames = ais.getFrameLength
-          val pcm = ais.readAllBytes()
-          ais.close()
-          var peak = 0; var sumAbs = 0L
-          var i = 0
-          while (i + 1 < pcm.length) {
-            val s = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toInt
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            sumAbs += a
-            i += 2
+          // null / non-WAV / truncated payloads → null-feature row (the
+          // decoder throws UnsupportedAudioFileException or IOException)
+          val ais =
+            if (bytes == null || bytes.length < 44) null // canonical header is 44 bytes
+            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (ais == null) Row(r.getLong(0), null, null, null, null, null)
+          else {
+            val fmt = ais.getFormat
+            val nFrames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            ais.close()
+            var peak = 0; var sumAbs = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toInt
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 2
+            }
+            // zero-length audio: mean over no frames is 0, not NaN
+            val mean = if (nFrames > 0) sumAbs.toDouble / nFrames else 0.0
+            Row(r.getLong(0), le32(bytes, 24), fmt.getSampleRate.toInt, nFrames, peak, mean)
           }
-          Row(r.getLong(0), le32(bytes, 24), fmt.getSampleRate.toInt, nFrames,
-            peak, sumAbs.toDouble / nFrames)
         }
       }(enc)
   }
 
+  /** Nullable per-frame feature columns: an undecodable frame yields a
+    * null-feature row (same contract as [[imageFeatureSchema]]); a
+    * corrupt container stops the demux walk at the damage point. */
   val videoFrameFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
-    StructField("width_px", IntegerType, nullable = false),
-    StructField("height_px", IntegerType, nullable = false),
-    StructField("mean_r", DoubleType, nullable = false),
-    StructField("mean_g", DoubleType, nullable = false),
-    StructField("mean_b", DoubleType, nullable = false)))
+    StructField("width_px", IntegerType, nullable = true),
+    StructField("height_px", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)))
 
   /** Video tier: the JDK has no video codec, but a video is frames in a
     * container — so the container is real (length-prefixed PNG frames,
@@ -326,15 +357,24 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null) Iterator.empty
+          else {
           val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var f = 0
-          while (in.available() >= 4) {
+          var corrupt = false
+          while (!corrupt && in.available() >= 4) {
             val frameLen = in.readInt()
-            if (f % stride == 0) {
+            // a frame length the container cannot hold means the demux
+            // walk is off the rails — stop, keep the frames already read
+            if (frameLen < 0 || frameLen > in.available()) corrupt = true
+            else if (f % stride == 0) {
               val frame = new Array[Byte](frameLen)
               in.readFully(frame)
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+              val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+                        catch { case _: java.io.IOException => null }
+              if (img == null) out += Row(id, f, null, null, null, null, null)
+              else {
               val w = img.getWidth; val h = img.getHeight
               var sr = 0L; var sg = 0L; var sb = 0L
               var y = 0
@@ -349,12 +389,14 @@ object Multimodal {
               }
               val n = (w * h).toDouble
               out += Row(id, f, w, h, sr / n, sg / n, sb / n)
+              }
             } else {
               in.skipBytes(frameLen)
             }
-            f += 1
+            if (!corrupt) f += 1
           }
           out
+          }
         }
       }(enc)
   }

@@ -335,11 +335,18 @@ object Similarity {
     * join/agg, no collect_list rows holding whole buckets, no
     * interpreted per-bucket expansion (same shape as Dedup.minhashLsh).
     *
-    * Each pair is emitted from its FIRST matching band only, decided by
-    * comparing the two 64-bit sketches band-by-band (pure bit ops inside
-    * codegen): one cosine per pair, no pair-dedup shuffle at all — the
-    * only exchange after banding carries (id_a, id_b, cos), never the
-    * vectors (at dim=1024 that's 8 KB/row saved).
+    * A pair co-occurring in several bands is emitted once: cosine is
+    * computed IN the join row (where both vectors are present — the
+    * vectors never shuffle; at dim=1024 that's 8 KB/row saved), and the
+    * slim (id_a, id_b, cos) rows dedup on the pair key. NOTE a pure
+    * "emit only from the first sketch-matching band" filter — tempting,
+    * it would drop the dedup exchange entirely — is UNSOUND under the
+    * bucket cap: a pair whose first matching band lies in a capped
+    * bucket has no join row AT that band, so every surviving row fails
+    * the filter and the pair vanishes. Capped buckets are exactly the
+    * boilerplate clusters near-dups concentrate in, so the lost pairs
+    * would be the skew hot-spots, invisible to uniform-corpus recall
+    * tests (r5 review finding).
     */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                dim: Int, minCos: Double = 0.9,
@@ -359,19 +366,14 @@ object Similarity {
     val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
     val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
       .drop("_bn")
-    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"), col("sk").as("ska"))
-    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"), col("sk").as("skb"))
-    // arithmetic shift distributes over xor at equal distances, so
-    // "band j matches" is one shift+mask on ska^skb; the when-chain
-    // picks the least matching band and the join row keeps the pair
-    // only if it IS that band — exactly-once emission by construction
-    val xor = col("ska").bitwiseXOR(col("skb"))
-    val firstBand = (0 until numBands).foldRight(lit(numBands): Column)((j, acc) =>
-      when(shiftright(xor, j * bandBits).bitwiseAND(mask) === 0, lit(j)).otherwise(acc))
+    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b") && col("band") === firstBand)
+      .where(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= minCos)
+      // score computed pre-exchange: only (id_a, id_b, cos) shuffles here
       .select(col("id_a"), col("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -325,17 +325,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     jobConfigs(name) = cfg
   }
 
-  /** The body's message-key columns: explicit PRIMARY KEY fields, else
-    * the GROUP BY auto-key fallback (FR-089). */
-  private def keyFieldsOf(body: VeloStatement): Vector[String] = {
-    def of(s: VeloSqlParser.SelectStmt): Vector[String] =
-      if (s.keyFields.nonEmpty) s.keyFields else VeloContext.groupByOutputNames(s)
-    body match {
-      case Select(s) => of(s)
-      case CreateStreamAs(_, s, _, _) => of(s)
-      case CreateTableAs(_, s, _, _) => of(s)
-      case _ => Vector.empty
-    }
+  /** The body's message-key columns AS WRITTEN to the sink: explicit
+    * PRIMARY KEY fields, else the GROUP BY auto-key fallback (FR-089),
+    * translated through any declared-column rename (VeloContext
+    * .routedKeys — the key must be named by its post-rename name or the
+    * repartition would silently miss). */
+  private def keyFieldsOf(body: VeloStatement): Vector[String] = body match {
+    case Select(s) => VeloContext.routedKeys(s, Vector.empty)
+    case CreateStreamAs(_, s, _, cols) => VeloContext.routedKeys(s, cols)
+    case CreateTableAs(_, s, _, cols) => VeloContext.routedKeys(s, cols)
+    case _ => Vector.empty
   }
 
   /** `@num_partitions` + `@partitioning_strategy` as a physical stage
@@ -613,6 +612,20 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 
   /** Manually close a job's breaker after fixing the root cause. */
   def resetBreaker(name: String): Unit = synchronized { job(name).breaker.reset() }
+
+  /** Whether this manager owns a job of that name (listener guards use
+    * it to scope shared-session events to their own context's jobs). */
+  def hasJob(name: String): Boolean = synchronized(jobs.contains(name))
+
+  /** Remove this manager's progress listener from the shared session
+    * (VeloContext.close) — a discarded manager must not stay on the
+    * session's listener bus. */
+  def detachListeners(): Unit = synchronized {
+    if (listenerRegistered) {
+      spark.streams.removeListener(metricListener)
+      listenerRegistered = false
+    }
+  }
 
   // ---- SHOW surfaces ----
 

@@ -67,7 +67,7 @@ object SqlValidator {
         sel.foreach(s => validateBody(Select(s)))
       case Update(table, _, _) => checkTable(table)
       case Delete(table, _) => checkTable(table)
-      case CreateSourceDecl(_, _, props) =>
+      case CreateSourceDecl(_, _, props, _) =>
         if (props.isEmpty) warnings :+= "source/sink declaration has no properties"
       case StartJob(_, body, _) => validateBody(body)
       case DeployJob(_, _, body, _, strategy) =>

@@ -42,14 +42,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   // Micro-batch spans for this context's jobs: the listener translates
   // Spark's own progress events into `job.batch` spans — no extra pass
-  // over any data, purely driver-side bookkeeping.
-  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+  // over any data, purely driver-side bookkeeping. The guard checks the
+  // job is THIS context's (several contexts can share one session —
+  // context A must not record context B's batches), and `close()`
+  // removes the listener so a discarded context doesn't stay reachable
+  // from the session's listener bus forever.
+  private val batchSpanListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
-      if (Option(p.name).exists(_.startsWith("graft-job-"))) {
+      // jobManager null-guard: an event from ANOTHER context's job can
+      // arrive in the construction window before that field initializes
+      if (Option(p.name).exists(n => n.startsWith("graft-job-")
+        && jobManager != null && jobManager.hasJob(n.stripPrefix("graft-job-")))) {
         val startMs =
           try java.time.Instant.parse(p.timestamp).toEpochMilli
           catch { case _: Throwable => System.currentTimeMillis() }
@@ -60,7 +67,17 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           "input_rows" -> p.numInputRows.toString))
       }
     }
-  })
+  }
+  spark.streams.addListener(batchSpanListener)
+
+  /** Detach this context from the shared session: removes the listeners
+    * it registered (span + metric/resource) so a discarded context is
+    * collectable. Registered views and running jobs are left untouched —
+    * they belong to the session, not the context. */
+  def close(): Unit = {
+    spark.streams.removeListener(batchSpanListener)
+    jobManager.detachListeners()
+  }
 
   /** Registered CTAS materializations (name → cached DataFrame). */
   private val materialized = scala.collection.mutable.Map[String, DataFrame]()
@@ -92,11 +109,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // PRIMARY KEY fields, else the GROUP BY columns auto-key (the
       // reference's fallback) — each micro-batch repartitions on the key
       // so one key's records share an output shard, in order.
-      val routeKeys =
-        if (s.keyFields.nonEmpty) s.keyFields
-        else VeloContext.groupByOutputNames(s).filter(df.columns.contains)
-      if (routeKeys.nonEmpty && routeKeys.forall(df.columns.contains))
-        df = df.repartition(routeKeys.map(col): _*)
+      val routeKeys = VeloContext.routedKeys(s, Vector.empty).filter(df.columns.contains)
+      if (routeKeys.nonEmpty) df = df.repartition(routeKeys.map(col): _*)
       s.emit match {
         case Some(EmitChanges) => graft.streaming.StreamOps.runChangelog(df, "velo_sql")
         case _ => graft.streaming.StreamOps.runToParquet(df, "velo_sql")
@@ -250,10 +264,12 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // key-based repartition before the write: same key → same output
       // shard, per-key ordering preserved — the transport semantic,
       // realized Spark-native.
+      // routedKeys translates PRIMARY KEY names through the declared-
+      // column rename — `(a INT, …) AS SELECT id PRIMARY KEY …` routes
+      // on `a`, the key's post-rename name
+      val routeKeys = VeloContext.routedKeys(s, cols).filter(df.columns.contains)
       val sinkDf =
-        if (s.keyFields.nonEmpty && s.keyFields.forall(df.columns.contains))
-          df.repartition(s.keyFields.map(col): _*)
-        else df
+        if (routeKeys.nonEmpty) df.repartition(routeKeys.map(col): _*) else df
       s.into.foreach { sink =>
         val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
         declared.get("path").orElse(declared.get("file"))
@@ -276,10 +292,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       unioned.createOrReplaceTempView(table)
       unioned
 
-    case CreateSourceDecl(kind, name, props) =>
+    case CreateSourceDecl(kind, name, props, cols) =>
       import spark.implicits._
-      declaredSources(name) = (kind, props)
-      props.toSeq.sorted.toDF("key", "value")
+      // a declared schema on the declaration form surfaces as a `schema`
+      // property (SHOW PROPERTIES shows it; the deployment layer reads it)
+      val withSchema =
+        if (cols.isEmpty) props
+        else props + ("schema" -> cols.map { case (n, t) => s"$n $t" }.mkString(", "))
+      declaredSources(name) = (kind, withSchema)
+      withSchema.toSeq.sorted.toDF("key", "value")
 
     case Update(table, sets, where) =>
       // view-rebuild semantics over the registered relation (the
@@ -388,6 +409,35 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 }
 
 object VeloContext {
+  /** A select item's output column name: the AS alias when present,
+    * else the trailing identifier (covers `id` and `o.id`); an
+    * expression without an alias has no stable routable name. */
+  private def outputNameOf(item: Vector[VeloSqlParser.Tok]): Option[String] = {
+    val asIdx = item.lastIndexWhere(_.isKw("AS"))
+    if (asIdx >= 0 && asIdx + 1 < item.length) Some(item(asIdx + 1).text)
+    else item.lastOption
+      .filter(t => t.kind == VeloSqlParser.TIdent && item.forall(_.text != "("))
+      .map(_.text)
+  }
+
+  /** The statement's sink-routing key columns, AS WRITTEN to the sink:
+    * explicit PRIMARY KEY fields, else the GROUP BY auto-key fallback
+    * (FR-089) — and when a declared column list `(c TYPE, …)` renames
+    * the output positionally, each key is translated to the declared
+    * name at its select-item position (a key names the SELECT's own
+    * output, which no longer exists after the rename). A key whose item
+    * cannot be located drops out rather than silently disabling the
+    * whole route. */
+  private[sql] def routedKeys(s: VeloSqlParser.SelectStmt,
+                              cols: Vector[(String, String)]): Vector[String] = {
+    val base = if (s.keyFields.nonEmpty) s.keyFields else groupByOutputNames(s)
+    if (cols.isEmpty) base
+    else base.flatMap { k =>
+      val idx = s.fields.indexWhere(f => outputNameOf(f).contains(k))
+      if (idx >= 0 && idx < cols.length) Some(cols(idx)._1) else None
+    }
+  }
+
   /** Simple column names in a statement's GROUP BY — the reference's
     * auto-key fallback for message routing (FR-089: "GROUP BY columns
     * auto-generate keys when no explicit PK"). Only bare identifiers

@@ -144,7 +144,8 @@ object VeloSqlParser {
   /** CREATE STREAM|TABLE|SINK|SOURCE name WITH (props) — an external
     * source/sink DECLARATION (no AS SELECT): config-file/topic wiring
     * the runner resolves against its environment. */
-  final case class CreateSourceDecl(kind: String, name: String, props: Map[String, String]) extends VeloStatement
+  final case class CreateSourceDecl(kind: String, name: String, props: Map[String, String],
+                                    columns: Vector[(String, String)] = Vector.empty) extends VeloStatement
   /** `columns`: optional declared schema (reference ast.rs:856 ColumnDef
     * via commands.rs:37) — (name, Spark SQL type) pairs applied to the
     * select output POSITIONALLY (rename + cast), matching the
@@ -377,10 +378,12 @@ object VeloSqlParser {
       val columnDefs: Vector[(String, String)] =
         if (peek().exists(_.text == "(")) columnDefinitions() else Vector.empty
       if (at("WITH")) {
-        // declaration form: CREATE STREAM name WITH (config …)
+        // declaration form: CREATE STREAM name [(col TYPE, …)] WITH
+        // (config …) — a declared schema on a declaration is source
+        // metadata, carried on the statement (not silently dropped)
         take()
         val props = propMap()
-        CreateSourceDecl(kind, name, props)
+        CreateSourceDecl(kind, name, props, columnDefs)
       } else {
         expectKw("AS")
         // the inner select consumes its trailing INTO/WITH/EMIT clauses;

@@ -77,12 +77,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q58: LSH pair generation shuffles ids+score only, never vectors, and has no pair-dedup exchange") {
+  test("q58: LSH pairs dedup on a SLIM exchange — score computed before it, pair key only") {
     val df = SparkEntry.queries("q58_embed_dedup_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // exactly-once emission by first-matching-band: the old groupBy(id_a,
-    // id_b) dedup exchange must not reappear
-    assert(!p.contains("hashpartitioning(id_a"),
-      s"pair-dedup shuffle reappeared:\n$p")
+    // exactly-once EMISSION must come from the pair-key dedup exchange:
+    // a "first-matching-band" filter instead is unsound under the bucket
+    // cap (a pair whose first band was capped vanishes — r5 review
+    // finding), so this exchange is REQUIRED, and it must carry only
+    // (id_a, id_b, cos) — cosine runs in the join row, pre-exchange
+    assert(p.contains("hashpartitioning(id_a"),
+      s"pair-dedup exchange missing — first-band-only emission drops capped-bucket pairs:\n$p")
   }
 }

@@ -140,4 +140,48 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("real codecs survive null and corrupt payloads (one bad record must not kill the stage)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val good = Multimodal.synthPng(3L, 50L)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, good),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, "definitely not a png".getBytes),
+      org.apache.spark.sql.Row(4L, good.take(30))) // truncated mid-IHDR
+    val media = spark.createDataFrame(rows, schema)
+    val img = Multimodal.decodeImageFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(img.size == 4) // every record yields a row — nothing dropped, nothing thrown
+    assert(img(1L).getAs[Integer]("width_px") == (3 % 13 + 4))
+    Seq(2L, 3L, 4L).foreach(id => assert(img(id).isNullAt(img(id).fieldIndex("width_px"))))
+
+    val wav = Multimodal.synthWav(5L, 70L)
+    val audioRows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, wav),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, good)) // a PNG is not audio
+    val audio = Multimodal.decodeAudioFeatures(spark.createDataFrame(audioRows, schema))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(audio(1L).getAs[Long]("n_frames") == (5 % 100 + 50))
+    Seq(2L, 3L).foreach(id => assert(audio(id).isNullAt(audio(id).fieldIndex("n_frames"))))
+
+    // corrupt container: a frame length past the payload end stops the
+    // demux at the damage point, keeping the frames before it
+    val video = Multimodal.synthVideo(2L, 40L)
+    val cut = video.take(video.length - 10) // truncate inside the last frame
+    val videoRows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, cut),
+      org.apache.spark.sql.Row(2L, null))
+    val frames = Multimodal.sampleAndDecodeFrames(spark.createDataFrame(videoRows, schema), stride = 1)
+      .collect()
+    val n = (2 % 5 + 3) // 5 frames synthesized; the last is truncated
+    assert(frames.forall(_.getAs[Long]("media_id") == 1L)) // null payload → no rows
+    assert(frames.length == n - 1) // all intact frames decoded, walk stopped at damage
+    assert(frames.forall(r => !r.isNullAt(r.fieldIndex("width_px"))))
+  }
 }

@@ -74,6 +74,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall { case (x, y) => !(x < 1000 && y < 1000) || got.contains((x, y)) })
   }
 
+  test("LSH pairs under bucket capping == surviving-bucket oracle (capped first band must not drop a pair)") {
+    import spark.implicits._
+    // a boilerplate cluster: 20 jittered copies of one vector. Its
+    // buckets blow past maxBucket in the bands where the jitter doesn't
+    // flip a bit, and survive in bands where it splits the cluster —
+    // exactly the skew that made first-matching-band emission lose pairs.
+    val u = randVec()
+    val boiler = Seq.tabulate(20)(i => (2000L + i, jitter(u, 0.02)))
+    val skewed = {
+      val base = Seq.tabulate(60)(i => (i.toLong, randVec()))
+      (base ++ boiler).toDF("vec_id", "embedding")
+    }
+    val (numBands, bandBits, maxBucket, minCos) = (10, 6, 8, 0.9)
+    // independent oracle: same sketches, plain Scala bucketing
+    val rows = skewed.select(col("vec_id"),
+        Similarity.signSketch(col("embedding"), numBands * bandBits, dim).as("sk"),
+        col("embedding")).collect()
+    val sk = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = rows.map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](2).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val mask = (1L << bandBits) - 1
+    val buckets: Map[(Int, Long), Seq[Long]] = sk.keys.toSeq
+      .flatMap(id => (0 until numBands).map(b => ((b, (sk(id) >> (b * bandBits)) & mask), id)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val expected: Set[(Long, Long)] = buckets.values
+      .filter(ids => ids.size >= 2 && ids.size <= maxBucket)
+      .flatMap(ids => for (x <- ids; y <- ids if x < y) yield (x, y))
+      .toSet
+      .filter(p => cos(vecs(p._1), vecs(p._2)) >= minCos)
+    assert(expected.nonEmpty, "oracle found no surviving pairs — corpus too uniform for the test")
+    val got = Similarity.embeddingNearDupPairsLsh(skewed, "vec_id", "embedding",
+      dim, minCos = minCos, numBands = numBands, bandBits = bandBits, maxBucket = maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing: ${(expected -- got).take(5)} extra: ${(got -- expected).take(5)}")
+  }
+
   test("IVF top-k: planted near-dups recovered at rank 1, scores exact") {
     val queries = corpus.where(col("vec_id") < 5)
     val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, dim,

@@ -523,6 +523,24 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
       && aapl.head.getAs[Double]("total") == 30.0)
   }
 
+  test("PRIMARY KEY routing survives a declared-column rename (key translated to its declared name)") {
+    val stmt = ctx.parseStatement(
+      "CREATE STREAM typed (a INT, b DOUBLE) AS SELECT customer_id PRIMARY KEY, amount FROM orders")
+    val cs = stmt.asInstanceOf[VeloSqlParser.CreateStreamAs]
+    // the SELECT's key column no longer exists after the positional
+    // rename — the route key must be its declared name at that position
+    assert(VeloContext.routedKeys(cs.select, cs.columns) == Vector("a"))
+    assert(VeloContext.routedKeys(cs.select, Vector.empty) == Vector("customer_id"))
+  }
+
+  test("declaration form keeps a declared schema as source metadata instead of dropping it") {
+    ctx.sql("CREATE STREAM raw_typed (id BIGINT, v DOUBLE) WITH ('topic' = 'raw-topic')")
+    val props = ctx.sql("SHOW PROPERTIES raw_typed").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("topic") == "raw-topic")
+    assert(props("schema") == "id BIGINT, v DOUBLE")
+  }
+
   test("GROUP BY auto-key extraction keeps only bare identifiers (FR-089 fallback)") {
     val sel = ctx.parseStatement(
       """SELECT region, product, SUM(qty) AS total FROM trades
