@@ -617,6 +617,18 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
     }),
 
+    // ---- 74. PQ ANN — the memory-scale path: the candidate scan reads
+    //          m-byte codes (not vectors) against per-query ADC tables,
+    //          then re-ranks the shortlist exactly. rows-only (recall<1
+    //          by construction); recall + determinism in SimilaritySpec ----
+    "q74_ann_pq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64, m = 8, refine = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // ---- 53. skew-safe salted join: same results as the plain join
     //          (oracled against it), shuffle spread across salt sub-keys ----
     "q53_salted_join" -> ((s, dir) => {

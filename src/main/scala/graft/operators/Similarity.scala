@@ -212,7 +212,16 @@ object Similarity {
   def trainCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, dim: Int, maxIter: Int = 10,
                             maxTrainRows: Int = 65536): Array[Double] = {
-    val sample: Array[Array[Double]] = corpus
+    val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    lloyd(sample, k, dim, maxIter)
+  }
+
+  /** ONE distributed job collecting a bounded, hash-ordered
+    * (deterministic, insertion-order-unbiased) training sample. */
+  private def collectTrainSample(corpus: DataFrame, idCol: String, vecCol: String,
+                                 dim: Int, maxTrainRows: Int): Array[Array[Double]] =
+    corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("h", xxhash64(col("id")))
       .orderBy("h").limit(maxTrainRows)
@@ -233,7 +242,11 @@ object Similarity {
         }
         a
       }
-    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+
+  /** Driver-local Lloyd k-means (the quantizer-training inner loop —
+    * pure CPU on the bounded sample, zero per-iteration job overhead). */
+  private def lloyd(sample: Array[Array[Double]], k: Int, dim: Int,
+                    maxIter: Int): Array[Double] = {
     val n = sample.length
     val rnd = new java.util.Random(42)
     // init: k spread-out sample points (hash order ≈ random order)
@@ -375,5 +388,177 @@ object Similarity {
       // score computed pre-exchange: only (id_a, id_b, cos) shuffles here
       .select(col("id_a"), col("id_b"), col("cos"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---- Product quantization (PQ) — the MEMORY-scale ANN path. At
+  //      dim=1024 float32 a vector is 4 KB; its PQ code is m bytes
+  //      (m=16 → 256× smaller). At 100 TB of embeddings the candidate
+  //      scan reads codes, not vectors — the difference between an
+  //      executor scanning 16 GB and 64 MB per partition — and exact
+  //      re-ranking touches full vectors only for the few candidates
+  //      that survive. The same asymmetric-distance design as FAISS's
+  //      IndexPQ, re-expressed as Spark stages. ----
+
+  /** Train PQ codebooks: the space splits into `m` subspaces of dim/m
+    * dims; each gets a 256-centroid Lloyd codebook trained on the SAME
+    * bounded deterministic sample as the IVF quantizer (driver-local
+    * iterations; the full codebook is 256·dim doubles ≈ 2 MB at
+    * dim=1024 — a model artifact, broadcast not shuffled). Vectors are
+    * L2-normalized before training so inner product == cosine at
+    * search time. Entry (sub, code) occupies
+    * [(sub·256 + code)·dsub, …+dsub) of the returned array. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, maxIter: Int = 10,
+                       maxTrainRows: Int = 16384): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows).map(normalized)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val out = new Array[Double](m * 256 * dsub)
+    var sub = 0
+    while (sub < m) {
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val cents = lloyd(slices, 256, dsub, maxIter)
+      System.arraycopy(cents, 0, out, sub * 256 * dsub, cents.length)
+      sub += 1
+    }
+    out
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else { val o = new Array[Double](v.length); i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+  }
+
+  private def toVec(s: scala.collection.Seq[Any], dim: Int): Array[Double] = {
+    val a = new Array[Double](dim)
+    var i = 0
+    s.foreach { x =>
+      if (i < dim) {
+        a(i) = x match {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case other => other.toString.toDouble
+        }
+        i += 1
+      }
+    }
+    a
+  }
+
+  /** PQ-encode the corpus: one narrow map, vectors in → m-byte codes
+    * out. Encoding is deterministic given the codebooks (nearest
+    * sub-centroid per subspace, ties to the lowest code). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, codebooks: Array[Double]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dsub = dim / m
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("code", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .mapPartitions { rows =>
+        val cb = bc.value
+        rows.map { r =>
+          val v = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
+          val code = new Array[Byte](m)
+          var sub = 0
+          while (sub < m) {
+            val base = sub * 256 * dsub
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < 256) {
+              var d = 0.0; var j = 0
+              while (j < dsub && d < bestD) {
+                val t = v(sub * dsub + j) - cb(base + c * dsub + j); d += t * t; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(sub) = best.toByte
+            sub += 1
+          }
+          org.apache.spark.sql.Row(r.getLong(0), code)
+        }
+      }(enc)
+  }
+
+  /** PQ ANN top-k with asymmetric distance + exact re-rank:
+    *  1. scan the CODES (m bytes/vector) with per-query ADC lookup
+    *     tables (query · sub-centroid inner products, 256·m doubles per
+    *     query, broadcast) and partition-local heaps keeping
+    *     `refine`·k candidates — the corpus's full vectors are never
+    *     read in this stage;
+    *  2. re-rank only the surviving candidates exactly: a broadcast
+    *     semi-join pulls their vectors, cosine against the broadcast
+    *     queries, two-phase top-k.
+    * Recall < 1 (quantization error bounds the ADC ordering), measured
+    * against the exact baseline in SimilaritySpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, dim: Int, m: Int = 16, refine: Int = 4,
+             codebooks: Option[Array[Double]] = None): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val cb = codebooks.getOrElse(trainPqCodebooks(corpus, idCol, vecCol, dim, m))
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
+    // per-query ADC tables: lut(q)(sub*256 + code) = <q_sub, centroid>
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val luts: Array[(Long, Array[Double])] = qRows.map { r =>
+      val qv = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
+      val lut = new Array[Double](m * 256)
+      var sub = 0
+      while (sub < m) {
+        val base = sub * 256 * dsub
+        var c = 0
+        while (c < 256) {
+          var ip = 0.0; var j = 0
+          while (j < dsub) { ip += qv(sub * dsub + j) * cb(base + c * dsub + j); j += 1 }
+          lut(sub * 256 + c) = ip
+          c += 1
+        }
+        sub += 1
+      }
+      r.getLong(0) -> lut
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val keep = refine * k
+    // stage 1: code scan, partition-local heaps (≤ queries·refine·k rows out)
+    val worstFirst: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
+    val cand = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val qs = bcLuts.value
+      val heaps = qs.map { case (qid, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+      }
+      it.foreach { case (nid, code) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut) = qs(qi)
+          if (qid != nid) {
+            var s = 0.0; var sub = 0
+            while (sub < code.length) { s += lut(sub * 256 + (code(sub) & 0xFF)); sub += 1 }
+            val h = heaps(qi)._2
+            h.enqueue((s, nid))
+            if (h.size > keep) h.dequeue()
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val shortlist = topKPerQuery(cand, keep).select("query_id", "neighbor_id")
+    // stage 2: exact re-rank of the shortlist only
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
   }
 }

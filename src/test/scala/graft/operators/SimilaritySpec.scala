@@ -157,6 +157,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     (0L until 3L).foreach(q => assert(top1.get(q).contains(1000L + q)))
   }
 
+  test("PQ top-k: planted twins at rank 1, shortlist recall vs exact, 16-byte codes") {
+    import spark.implicits._
+    val queries = corpus.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rk"))).toSet
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5, dim, m = 8, refine = 6)
+    val got = pq.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Int]("rk"))).toSet
+    // each query's planted jittered twin (cos ≈ 0.999) must surface at rank 1 —
+    // quantization error cannot reorder a near-identical vector out of the shortlist
+    (0L until 10L).foreach { q =>
+      assert(got.contains((q, 1000L + q, 1)), s"query $q twin not at rank 1")
+    }
+    // overall top-5 recall vs the exact baseline is high (re-rank is exact,
+    // so misses can come only from ADC shortlist ordering)
+    val recall = exact.count { case (q, n, _) =>
+      got.exists(g => g._1 == q && g._2 == n) }.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall")
+    // the scan-side artifact is m bytes per vector — the 256×-at-dim-1024 story
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", dim, m = 8)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", dim, 8, cb)
+    assert(codes.collect().forall(_.getAs[Array[Byte]]("code").length == 8))
+    // deterministic: re-encoding yields byte-identical codes
+    val again = Similarity.pqEncode(corpus, "vec_id", "embedding", dim, 8, cb)
+    val a = codes.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val b = again.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(a == b)
+  }
+
   test("salted join == plain join (skew-safe shuffle spread)") {
     import spark.implicits._
     val fact = Seq.tabulate(300)(i => (i.toLong, (i % 3).toLong, i * 1.5)) // hot keys
