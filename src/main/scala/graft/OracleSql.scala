@@ -10,8 +10,9 @@ package graft
   * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
   *
   * Keys intentionally omitted (rows-only check): q25 (xxhash64
-  * seed-specific simhash buckets), q28/q52/q58 (LSH/IVF recall<1), q34
-  * (streaming emission order). q33's final changelog state equals the
+  * seed-specific simhash buckets), q28/q52/q58/q74 (LSH/IVF/PQ
+  * recall<1), q34 (streaming emission order). q33's final changelog
+  * state equals the
   * batch aggregate, so it IS oracled. q21 oracles the exact count and asserts
   * the HLL estimate within 10% as a boolean; q24 oracles the
   * exact-jaccard-verified pair set; q38 oracles the exact block-grid

@@ -833,14 +833,16 @@ object SparkEntry {
     //          (rows-only; the end-to-end flagship of the front-end) ----
     "q54_sql_stream" -> ((s, dir) => {
       val ctx = new graft.sql.VeloContext(s, defaultTimeCol = "ts")
-      ctx.registerStream("events_live", Tables.loadStream(s, dir, "events"), "ts", "10 minutes")
-      val out = ctx.sqlStream(
-        """SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
-           FROM events_live GROUP BY event_type
-           WINDOW TUMBLING(INTERVAL '5' MINUTE)
-           EMIT FINAL""")
-      s.read.parquet(out).select(col("window_start"), col("event_type"), col("n"), col("total"))
+      try {
+        ctx.registerStream("events_live", Tables.loadStream(s, dir, "events"), "ts", "10 minutes")
+        val out = ctx.sqlStream(
+          """SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+             FROM events_live GROUP BY event_type
+             WINDOW TUMBLING(INTERVAL '5' MINUTE)
+             EMIT FINAL""")
+        s.read.parquet(out).select(col("window_start"), col("event_type"), col("n"), col("total"))
+      } finally ctx.close() // throwaway context: detach its listeners from the shared session
     })
   )
 

@@ -179,11 +179,15 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           // ImageIO.read returns null for bytes it cannot decode; a null
           // or truncated payload must yield a null-feature row, not kill
-          // the stage (one bad record in a crawl corpus is routine)
+          // the stage (one bad record in a crawl corpus is routine).
+          // NonFatal, not just IOException: ImageIO plugins throw
+          // RuntimeExceptions on malformed-but-recognized payloads
+          // (CMMException on a corrupt ICC profile, NegativeArraySize on
+          // a crafted header) — those are bad records too.
           val img =
             if (bytes == null || bytes.length < 24) null
             else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(r.getLong(0), null, null, null, null, null, null, null)
           else {
             val w = img.getWidth; val h = img.getHeight
@@ -261,6 +265,23 @@ object Multimodal {
     val enc = ExpressionEncoder(audioFeatureSchema)
     def le32(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    // RIFF chunk walk for the byte-derived rate: the fmt chunk usually
+    // sits at offset 12 (canonical 44-byte header) but the spec allows
+    // LIST/INFO chunks first — a fixed offset-24 read returns garbage on
+    // those files. null when no fmt chunk parses.
+    def fmtSampleRate(b: Array[Byte]): Integer = {
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+        || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+      var off = 12
+      while (off + 8 <= b.length) {
+        val size = le32(b, off + 4)
+        if (size < 0) return null
+        if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ')
+          return if (off + 16 <= b.length) Integer.valueOf(le32(b, off + 12)) else null
+        off += 8 + size + (size & 1) // chunks pad to even length
+      }
+      null
+    }
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -271,10 +292,7 @@ object Multimodal {
             if (bytes == null || bytes.length < 44) null // canonical header is 44 bytes
             else try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
-            }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (ais == null) Row(r.getLong(0), null, null, null, null, null)
           else {
             val fmt = ais.getFormat
@@ -292,7 +310,7 @@ object Multimodal {
             }
             // zero-length audio: mean over no frames is 0, not NaN
             val mean = if (nFrames > 0) sumAbs.toDouble / nFrames else 0.0
-            Row(r.getLong(0), le32(bytes, 24), fmt.getSampleRate.toInt, nFrames, peak, mean)
+            Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, peak, mean)
           }
         }
       }(enc)
@@ -372,7 +390,7 @@ object Multimodal {
               val frame = new Array[Byte](frameLen)
               in.readFully(frame)
               val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
-                        catch { case _: java.io.IOException => null }
+                        catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) out += Row(id, f, null, null, null, null, null)
               else {
               val w = img.getWidth; val h = img.getHeight

@@ -371,11 +371,11 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val sk = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signSketch(col(vecCol), numBits, dim).as("sk"))
-    val banded = sk.select(col("id"), col("v"), col("sk"),
+    val banded = sk.select(col("id"), col("v"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sk"), b * bandBits).bitwiseAND(mask).as("chunk"))): _*)).as("bc"))
-      .select(col("id"), col("v"), col("sk"), col("bc.band"), col("bc.chunk"))
+      .select(col("id"), col("v"), col("bc.band"), col("bc.chunk"))
     val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
     val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
       .drop("_bn")

@@ -295,9 +295,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case CreateSourceDecl(kind, name, props, cols) =>
       import spark.implicits._
       // a declared schema on the declaration form surfaces as a `schema`
-      // property (SHOW PROPERTIES shows it; the deployment layer reads it)
+      // property (SHOW PROPERTIES shows it; the deployment layer reads
+      // it) — but an EXPLICIT user 'schema' property wins: configuration
+      // the user wrote must not be silently replaced
       val withSchema =
-        if (cols.isEmpty) props
+        if (cols.isEmpty || props.contains("schema")) props
         else props + ("schema" -> cols.map { case (n, t) => s"$n $t" }.mkString(", "))
       declaredSources(name) = (kind, withSchema)
       withSchema.toSeq.sorted.toDF("key", "value")
@@ -409,11 +411,22 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 }
 
 object VeloContext {
-  /** A select item's output column name: the AS alias when present,
-    * else the trailing identifier (covers `id` and `o.id`); an
+  /** A select item's output column name: the TOP-LEVEL AS alias when
+    * present (an AS inside parens is CAST(x AS TYPE) syntax, not an
+    * alias), else the trailing identifier (covers `id` and `o.id`); an
     * expression without an alias has no stable routable name. */
   private def outputNameOf(item: Vector[VeloSqlParser.Tok]): Option[String] = {
-    val asIdx = item.lastIndexWhere(_.isKw("AS"))
+    var depth = 0
+    var asIdx = -1
+    var i = 0
+    while (i < item.length) {
+      item(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ => if (depth == 0 && item(i).isKw("AS")) asIdx = i
+      }
+      i += 1
+    }
     if (asIdx >= 0 && asIdx + 1 < item.length) Some(item(asIdx + 1).text)
     else item.lastOption
       .filter(t => t.kind == VeloSqlParser.TIdent && item.forall(_.text != "("))
@@ -433,8 +446,13 @@ object VeloContext {
     val base = if (s.keyFields.nonEmpty) s.keyFields else groupByOutputNames(s)
     if (cols.isEmpty) base
     else base.flatMap { k =>
-      val idx = s.fields.indexWhere(f => outputNameOf(f).contains(k))
-      if (idx >= 0 && idx < cols.length) Some(cols(idx)._1) else None
+      // an AMBIGUOUS name (two items produce the same output column)
+      // drops out: routing on a guessed item could scatter the real
+      // key's records across shards, worse than not routing at all
+      s.fields.zipWithIndex.filter { case (f, _) => outputNameOf(f).contains(k) } match {
+        case Vector((_, idx)) if idx < cols.length => Some(cols(idx)._1)
+        case _ => None
+      }
     }
   }
 

@@ -184,4 +184,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(frames.length == n - 1) // all intact frames decoded, walk stopped at damage
     assert(frames.forall(r => !r.isNullAt(r.fieldIndex("width_px"))))
   }
+
+  test("WAV header rate survives a non-canonical chunk order (fmt after LIST)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    def le(n: Int): Array[Byte] =
+      Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    val wav = Multimodal.synthWav(7L, 30L)
+    // splice a LIST/INFO chunk between the RIFF header and the fmt
+    // chunk (spec-legal; real encoders emit this) and patch the RIFF size
+    val list = "LIST".getBytes ++ le(4) ++ "INFO".getBytes
+    val riffSize = (wav(4) & 0xFF) | ((wav(5) & 0xFF) << 8) | ((wav(6) & 0xFF) << 16) | ((wav(7) & 0xFF) << 24)
+    val spliced = wav.take(4) ++ le(riffSize + list.length) ++ wav.slice(8, 12) ++ list ++ wav.drop(12)
+    val rows = java.util.Arrays.asList(org.apache.spark.sql.Row(1L, spliced))
+    val feats = Multimodal.decodeAudioFeatures(spark.createDataFrame(rows, schema)).collect().head
+    val expectedRate = (8000 + (7 % 8) * 1000)
+    // the chunk walk finds fmt wherever it sits; a fixed offset-24 read
+    // would report the LIST chunk's bytes as the rate
+    assert(!feats.isNullAt(feats.fieldIndex("header_rate")),
+      "JDK decoder rejected the LIST-first WAV — row is null, chunk walk unexercised")
+    assert(feats.getAs[Int]("header_rate") == expectedRate)
+    assert(feats.getAs[Int]("rate_hz") == expectedRate)
+  }
 }

@@ -533,6 +533,21 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(VeloContext.routedKeys(cs.select, Vector.empty) == Vector("customer_id"))
   }
 
+  test("routedKeys: CAST's inner AS is not an alias, and ambiguous output names drop out") {
+    // CAST(amount AS qty) must NOT claim output name "qty" — the real
+    // key is the second item, declared name "y"
+    val cast = ctx.parseStatement(
+      "CREATE STREAM odd (x INT, y INT) AS SELECT CAST(amount AS qty), qty PRIMARY KEY FROM orders")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(VeloContext.routedKeys(cast.select, cast.columns) == Vector("y"))
+    // two items producing the same output name: routing on a guess could
+    // scatter the real key across shards — the key must drop instead
+    val amb = ctx.parseStatement(
+      "CREATE STREAM amb (x INT, y INT) AS SELECT amount AS k, k PRIMARY KEY FROM orders")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(VeloContext.routedKeys(amb.select, amb.columns).isEmpty)
+  }
+
   test("declaration form keeps a declared schema as source metadata instead of dropping it") {
     ctx.sql("CREATE STREAM raw_typed (id BIGINT, v DOUBLE) WITH ('topic' = 'raw-topic')")
     val props = ctx.sql("SHOW PROPERTIES raw_typed").collect()
