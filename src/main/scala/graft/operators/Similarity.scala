@@ -498,7 +498,14 @@ object Similarity {
     *     semi-join pulls their vectors, cosine against the broadcast
     *     queries, two-phase top-k.
     * Recall < 1 (quantization error bounds the ADC ordering), measured
-    * against the exact baseline in SimilaritySpec. */
+    * against the exact baseline in SimilaritySpec.
+    *
+    * Scale shape: the scan is O(corpus · queries) over CODES — right
+    * for a bounded query batch against an arbitrarily large corpus
+    * (the 100 TB case: codes are 256× smaller than vectors, so the
+    * scan is I/O-trivial and CPU-cheap). For large query SETS, compose
+    * with IVF first (probe cells, then ADC within cells) — the
+    * standard IVF-PQ layering; both building blocks are here. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, dim: Int, m: Int = 16, refine: Int = 4,
              codebooks: Option[Array[Double]] = None): DataFrame = {
