@@ -10,7 +10,7 @@ package graft
   * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
   *
   * Keys intentionally omitted (rows-only check): q25 (xxhash64
-  * seed-specific simhash buckets), q28/q52/q58/q74 (LSH/IVF/PQ
+  * seed-specific simhash buckets), q28/q52/q58/q74/q75 (LSH/IVF/PQ
   * recall<1), q34 (streaming emission order). q33's final changelog
   * state equals the
   * batch aggregate, so it IS oracled. q21 oracles the exact count and asserts

@@ -629,6 +629,18 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
     }),
 
+    // ---- 75. IVF-PQ — the full web-scale ANN layering: coarse cells
+    //          partition the corpus, ADC scans m-byte codes only in the
+    //          nprobe probed cells, exact re-rank on the shortlist.
+    //          rows-only (recall<1); recall spec'd in SimilaritySpec ----
+    "q75_ann_ivfpq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 8, refine = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // ---- 53. skew-safe salted join: same results as the plain join
     //          (oracled against it), shuffle spread across salt sub-keys ----
     "q53_salted_join" -> ((s, dir) => {

@@ -506,6 +506,37 @@ object Similarity {
     * scan is I/O-trivial and CPU-cheap). For large query SETS, compose
     * with IVF first (probe cells, then ADC within cells) — the
     * standard IVF-PQ layering; both building blocks are here. */
+  /** Per-query ADC lookup table: lut(sub·256 + code) = <q_sub, centroid>. */
+  private def adcLut(qv: Array[Double], cb: Array[Double], m: Int, dsub: Int): Array[Double] = {
+    val lut = new Array[Double](m * 256)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * 256 * dsub
+      var c = 0
+      while (c < 256) {
+        var ip = 0.0; var j = 0
+        while (j < dsub) { ip += qv(sub * dsub + j) * cb(base + c * dsub + j); j += 1 }
+        lut(sub * 256 + c) = ip
+        c += 1
+      }
+      sub += 1
+    }
+    lut
+  }
+
+  /** Exact re-rank of an ADC shortlist: broadcast semi-join pulls the
+    * candidates' vectors, exact cosine against the broadcast queries,
+    * two-phase top-k. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, shortlist: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, dim: Int, m: Int = 16, refine: Int = 4,
              codebooks: Option[Array[Double]] = None): DataFrame = {
@@ -517,20 +548,7 @@ object Similarity {
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
     val luts: Array[(Long, Array[Double])] = qRows.map { r =>
       val qv = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
-      val lut = new Array[Double](m * 256)
-      var sub = 0
-      while (sub < m) {
-        val base = sub * 256 * dsub
-        var c = 0
-        while (c < 256) {
-          var ip = 0.0; var j = 0
-          while (j < dsub) { ip += qv(sub * dsub + j) * cb(base + c * dsub + j); j += 1 }
-          lut(sub * 256 + c) = ip
-          c += 1
-        }
-        sub += 1
-      }
-      r.getLong(0) -> lut
+      r.getLong(0) -> adcLut(qv, cb, m, dsub)
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -561,11 +579,113 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cos")
     val shortlist = topKPerQuery(cand, keep).select("query_id", "neighbor_id")
     // stage 2: exact re-rank of the shortlist only
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
-    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
+    rerankExact(corpus, queries, idCol, vecCol, shortlist, k)
+  }
+
+  /** IVF-PQ — the standard web-scale ANN layering (FAISS IndexIVFPQ):
+    * the coarse quantizer partitions the corpus into cells and each
+    * vector is stored as its m-byte PQ code; a query probes its
+    * `nprobe` nearest cells and ADC-scans ONLY those cells' codes.
+    * Against 100 TB of embeddings this is the full architecture: the
+    * scan touches nprobe/nCentroids of the corpus, reads 256×-smaller
+    * code rows, and full vectors surface only in the exact re-rank of
+    * the shortlist. The index build is ONE narrow pass (cell assignment
+    * + PQ encode per partition, both against broadcast model
+    * artifacts). Recall < 1 (cell misses + quantization), measured in
+    * SimilaritySpec. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, dim: Int, m: Int = 8, nCentroids: Int = 64, nprobe: Int = 8,
+                refine: Int = 4, codebooks: Option[Array[Double]] = None,
+                centroids: Option[Array[Double]] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val cents = centroids.getOrElse(trainCentroidsSampled(corpus, idCol, vecCol, nCentroids, dim))
+    val nC = cents.length / dim
+    val cb = codebooks.getOrElse(trainPqCodebooks(corpus, idCol, vecCol, dim, m))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcModel = spark.sparkContext.broadcast((cents, cb))
+    // index build: one narrow pass → (id, cell, code)
+    val idxSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cell", IntegerType, nullable = false),
+      StructField("code", BinaryType, nullable = false)))
+    val idxEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(idxSchema)
+    val index = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .mapPartitions { rows =>
+        val (ce, code) = bcModel.value
+        rows.map { r =>
+          val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
+          val v = normalized(raw)
+          // nearest coarse cell on the RAW vector (same metric as ivfTopK)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < nC) {
+            var d = 0.0; var j = 0
+            while (j < dim && d < bestD) { val t = raw(j) - ce(c * dim + j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val codes = new Array[Byte](m)
+          var sub = 0
+          while (sub < m) {
+            val base = sub * 256 * dsub
+            var bc = 0; var bd = Double.MaxValue
+            var cc = 0
+            while (cc < 256) {
+              var d = 0.0; var j = 0
+              while (j < dsub && d < bd) { val t = v(sub * dsub + j) - code(base + cc * dsub + j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; bc = cc }
+              cc += 1
+            }
+            codes(sub) = bc.toByte
+            sub += 1
+          }
+          org.apache.spark.sql.Row(r.getLong(0), best, codes)
+        }
+      }(idxEnc)
+    // queries: probe cells + ADC table, grouped by cell for the scan
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val probing: Map[Int, Array[(Long, Array[Double])]] = qRows.flatMap { r =>
+      val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
+      val lut = adcLut(normalized(raw), cb, m, dsub)
+      // nprobe nearest cells by L2 on the raw vector
+      val ds = Array.tabulate(nC) { c =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = raw(j) - cents(c * dim + j); d += t * t; j += 1 }
+        (d, c)
+      }
+      ds.sortBy(_._1).take(nprobe).map { case (_, c) => c -> (r.getLong(0), lut) }
+    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bcProbe = spark.sparkContext.broadcast(probing)
+    val keep = refine * k
+    val worstFirst: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
+    val cand = index.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+      val probe = bcProbe.value
+      val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      it.foreach { case (nid, cell, code) =>
+        probe.get(cell) match {
+          case Some(qs) =>
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, lut) = qs(qi)
+              if (qid != nid) {
+                var s = 0.0; var sub = 0
+                while (sub < code.length) { s += lut(sub * 256 + (code(sub) & 0xFF)); sub += 1 }
+                val h = heaps.getOrElseUpdate(qid,
+                  new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+                h.enqueue((s, nid))
+                if (h.size > keep) h.dequeue()
+              }
+              qi += 1
+            }
+          case None => () // no query probes this cell: the row costs one map lookup
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val shortlist = topKPerQuery(cand, keep).select("query_id", "neighbor_id")
+    rerankExact(corpus, queries, idCol, vecCol, shortlist, k)
   }
 }

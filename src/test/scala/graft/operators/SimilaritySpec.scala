@@ -187,6 +187,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(a == b)
   }
 
+  test("IVF-PQ top-k: planted twins at rank 1 through the layered index") {
+    val queries = corpus.where(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, dim = dim, m = 8, nCentroids = 16, nprobe = 8, refine = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rk"))).toSet
+    // a near-identical twin lands in the query's own coarse cell and its
+    // ADC score dominates — the layered index must surface it at rank 1
+    (0L until 10L).foreach { q =>
+      assert(got.contains((q, 1000L + q, 1)), s"query $q twin not at rank 1 through IVF-PQ")
+    }
+    // shortlist recall vs exact top-5 (cell misses + quantization bound it)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.count { case (q, n) => got.exists(g => g._1 == q && g._2 == n) }
+      .toDouble / exact.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall")
+  }
+
   test("salted join == plain join (skew-safe shuffle spread)") {
     import spark.implicits._
     val fact = Seq.tabulate(300)(i => (i.toLong, (i % 3).toLong, i * 1.5)) // hot keys
