@@ -77,6 +77,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q74/q75: PQ scans never cross-join; re-rank joins are broadcast") {
+    Seq("q74_ann_pq", "q75_ann_ivfpq").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      // the ADC scan is a narrow mapPartitions over codes; candidate
+      // generation must never degenerate to a cartesian/nested-loop of
+      // the corpus, and the re-rank pulls vectors via broadcast joins
+      assert(!p.contains("CartesianProduct"), s"$name grew a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name re-rank lost its broadcast:\n$p")
+    }
+  }
+
   test("q58: LSH pairs dedup on a SLIM exchange — score computed before it, pair key only") {
     val df = SparkEntry.queries("q58_embed_dedup_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
