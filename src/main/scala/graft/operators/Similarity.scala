@@ -414,6 +414,14 @@ object Similarity {
     val dsub = dim / m
     val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows).map(normalized)
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    pqCodebooksFromSample(sample, dim, m, maxIter)
+  }
+
+  /** Codebook training inner loop over an already-normalized sample
+    * (shared by trainPqCodebooks and ivfPqTopK's one-collect build). */
+  private def pqCodebooksFromSample(sample: Array[Array[Double]], dim: Int, m: Int,
+                                    maxIter: Int): Array[Double] = {
+    val dsub = dim / m
     val out = new Array[Double](m * 256 * dsub)
     var sub = 0
     while (sub < m) {
@@ -423,6 +431,66 @@ object Similarity {
       sub += 1
     }
     out
+  }
+
+  /** Nearest-sub-centroid PQ encoding of one (normalized) vector —
+    * ties to the lowest code. THE single encoding definition: pqEncode
+    * and ivfPqTopK's index build both call it, so codes stay
+    * byte-compatible across the two index shapes. */
+  private def encodeVec(v: Array[Double], cb: Array[Double], m: Int, dsub: Int): Array[Byte] = {
+    val code = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * 256 * dsub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < 256) {
+        var d = 0.0; var j = 0
+        while (j < dsub && d < bestD) {
+          val t = v(sub * dsub + j) - cb(base + c * dsub + j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(sub) = best.toByte
+      sub += 1
+    }
+    code
+  }
+
+  /** min-heap head = worst kept ADC candidate; tie-break matches
+    * topKPerQuery's (cos desc, neighbor_id asc) rank ordering. */
+  private val adcWorstFirst: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
+
+  /** Per-query ADC lookup table: lut(sub·256 + code) = <q_sub, centroid>. */
+  private def adcLut(qv: Array[Double], cb: Array[Double], m: Int, dsub: Int): Array[Double] = {
+    val lut = new Array[Double](m * 256)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * 256 * dsub
+      var c = 0
+      while (c < 256) {
+        var ip = 0.0; var j = 0
+        while (j < dsub) { ip += qv(sub * dsub + j) * cb(base + c * dsub + j); j += 1 }
+        lut(sub * 256 + c) = ip
+        c += 1
+      }
+      sub += 1
+    }
+    lut
+  }
+
+  /** Exact re-rank of an ADC shortlist: broadcast semi-join pulls the
+    * candidates' vectors, exact cosine against the broadcast queries,
+    * two-phase top-k. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, shortlist: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
   }
 
   private def normalized(v: Array[Double]): Array[Double] = {
@@ -466,24 +534,7 @@ object Similarity {
         val cb = bc.value
         rows.map { r =>
           val v = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
-          val code = new Array[Byte](m)
-          var sub = 0
-          while (sub < m) {
-            val base = sub * 256 * dsub
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < 256) {
-              var d = 0.0; var j = 0
-              while (j < dsub && d < bestD) {
-                val t = v(sub * dsub + j) - cb(base + c * dsub + j); d += t * t; j += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            code(sub) = best.toByte
-            sub += 1
-          }
-          org.apache.spark.sql.Row(r.getLong(0), code)
+          org.apache.spark.sql.Row(r.getLong(0), encodeVec(v, cb, m, dsub))
         }
       }(enc)
   }
@@ -506,37 +557,6 @@ object Similarity {
     * scan is I/O-trivial and CPU-cheap). For large query SETS, compose
     * with IVF first (probe cells, then ADC within cells) — the
     * standard IVF-PQ layering; both building blocks are here. */
-  /** Per-query ADC lookup table: lut(sub·256 + code) = <q_sub, centroid>. */
-  private def adcLut(qv: Array[Double], cb: Array[Double], m: Int, dsub: Int): Array[Double] = {
-    val lut = new Array[Double](m * 256)
-    var sub = 0
-    while (sub < m) {
-      val base = sub * 256 * dsub
-      var c = 0
-      while (c < 256) {
-        var ip = 0.0; var j = 0
-        while (j < dsub) { ip += qv(sub * dsub + j) * cb(base + c * dsub + j); j += 1 }
-        lut(sub * 256 + c) = ip
-        c += 1
-      }
-      sub += 1
-    }
-    lut
-  }
-
-  /** Exact re-rank of an ADC shortlist: broadcast semi-join pulls the
-    * candidates' vectors, exact cosine against the broadcast queries,
-    * two-phase top-k. */
-  private def rerankExact(corpus: DataFrame, queries: DataFrame, idCol: String,
-                          vecCol: String, shortlist: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
-    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
-  }
-
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, dim: Int, m: Int = 16, refine: Int = 4,
              codebooks: Option[Array[Double]] = None): DataFrame = {
@@ -555,11 +575,10 @@ object Similarity {
     val bcLuts = spark.sparkContext.broadcast(luts)
     val keep = refine * k
     // stage 1: code scan, partition-local heaps (≤ queries·refine·k rows out)
-    val worstFirst: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
     val cand = codes.as[(Long, Array[Byte])].mapPartitions { it =>
       val qs = bcLuts.value
       val heaps = qs.map { case (qid, _) =>
-        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(adcWorstFirst)
       }
       it.foreach { case (nid, code) =>
         var qi = 0
@@ -600,9 +619,22 @@ object Similarity {
     import org.apache.spark.sql.types._
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    val cents = centroids.getOrElse(trainCentroidsSampled(corpus, idCol, vecCol, nCentroids, dim))
+    // default models: ONE bounded sample collect feeds BOTH trainers —
+    // the codebook trainer uses a deterministic prefix of the same
+    // hash-ordered sample, so no second corpus scan is paid
+    val (cents, cb) = (centroids, codebooks) match {
+      case (Some(ce), Some(code)) => (ce, code)
+      case _ =>
+        lazy val sample = collectTrainSample(corpus, idCol, vecCol, dim, 65536)
+        val ce = centroids.getOrElse {
+          require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+          lloyd(sample, nCentroids, dim, 10)
+        }
+        val code = codebooks.getOrElse(
+          pqCodebooksFromSample(sample.take(16384).map(normalized), dim, m, 10))
+        (ce, code)
+    }
     val nC = cents.length / dim
-    val cb = codebooks.getOrElse(trainPqCodebooks(corpus, idCol, vecCol, dim, m))
     val spark = corpus.sparkSession
     import spark.implicits._
     val bcModel = spark.sparkContext.broadcast((cents, cb))
@@ -627,22 +659,7 @@ object Similarity {
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
-          val codes = new Array[Byte](m)
-          var sub = 0
-          while (sub < m) {
-            val base = sub * 256 * dsub
-            var bc = 0; var bd = Double.MaxValue
-            var cc = 0
-            while (cc < 256) {
-              var d = 0.0; var j = 0
-              while (j < dsub && d < bd) { val t = v(sub * dsub + j) - code(base + cc * dsub + j); d += t * t; j += 1 }
-              if (d < bd) { bd = d; bc = cc }
-              cc += 1
-            }
-            codes(sub) = bc.toByte
-            sub += 1
-          }
-          org.apache.spark.sql.Row(r.getLong(0), best, codes)
+          org.apache.spark.sql.Row(r.getLong(0), best, encodeVec(v, code, m, dsub))
         }
       }(idxEnc)
     // queries: probe cells + ADC table, grouped by cell for the scan
@@ -660,7 +677,6 @@ object Similarity {
     }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcProbe = spark.sparkContext.broadcast(probing)
     val keep = refine * k
-    val worstFirst: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
     val cand = index.as[(Long, Int, Array[Byte])].mapPartitions { it =>
       val probe = bcProbe.value
       val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
@@ -674,7 +690,7 @@ object Similarity {
                 var s = 0.0; var sub = 0
                 while (sub < code.length) { s += lut(sub * 256 + (code(sub) & 0xFF)); sub += 1 }
                 val h = heaps.getOrElseUpdate(qid,
-                  new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+                  new scala.collection.mutable.PriorityQueue[(Double, Long)]()(adcWorstFirst))
                 h.enqueue((s, nid))
                 if (h.size > keep) h.dequeue()
               }
