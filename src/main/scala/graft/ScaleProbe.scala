@@ -117,6 +117,11 @@ object ScaleProbe {
         val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
         force(Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           10, 64, centroids = Some(cents)))
+      },
+      time(s"ann_ivfpq_$tag") {
+        // the memory-scale path: m-byte ADC code scan in probed cells
+        force(Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 8))
       })
 
     val warm = pipelines("warmup", docs1, emb1) // JIT + codegen warmup
