@@ -113,6 +113,32 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB roomy")
   }
 
+  test("open windows count against max_aggregation_groups (state rows = groups + windows)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ctx = new VeloContext(spark, defaultTimeCol = "event_time")
+    ctx.registerStream("win_events",
+      in.toDF().toDF("uid", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    // 2 uids × 3 distinct 5-minute windows = 6 open state rows > limit 4
+    in.addData(for (u <- Seq(1L, 2L); ep <- Seq(100L, 400L, 700L)) yield (u, ep))
+    ctx.sql(
+      """START JOB wincap AS
+         SELECT uid, COUNT(*) AS n FROM win_events GROUP BY uid
+         WINDOW TUMBLING(event_time, INTERVAL '5' MINUTE)
+         EMIT CHANGES
+         WITH ('max_aggregation_groups' = '4')""")
+    ctx.jobManager.awaitIdle("wincap")
+    assert(awaitStatus(ctx, "wincap", "FAILED") == "FAILED")
+    val row = ctx.sql("SHOW RESOURCES wincap").collect()
+      .find(_.getAs[String]("resource") == "aggregation_groups").get
+    assert(row.getAs[Double]("current") >= 6.0) // the windows ARE the state rows
+    assert(row.getAs[String]("level") == "EXHAUSTED")
+  }
+
   test("max_concurrent_operations rejects admission past the running-job limit") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))
