@@ -20,7 +20,9 @@ package graft
   */
 object OracleSql {
 
-  private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  // collapse-then-trim: must mirror TextAnalysis.words()'s order (trim
+  // strips only ' ', so the order is visible on \t/\n-framed text)
+  private val normText = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsOf = s"string_split($normText, ' ')"
 
   private val base: Map[String, String] = Map(
@@ -428,7 +430,7 @@ object OracleSql {
          c AS (SELECT doc_id, n_chars, salt,
                  SUM(n_chars) OVER (PARTITION BY salt ORDER BY doc_id) AS cum FROM t),
          a AS (SELECT doc_id, n_chars,
-                 CAST(salt * 1000000 + FLOOR(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT) AS shard_id
+                 CAST(salt * 1099511627776 + FLOOR(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT) AS shard_id
                FROM c)
          SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
          FROM a GROUP BY shard_id""",

@@ -33,10 +33,15 @@ object GraftKernels {
       inputTypes = Nil, propagateNull = true, returnNullable = false))
 
   /** MinHash signature of the k-word-shingle set of `text`;
-    * array of `numHashes` longs. */
-  def minhashSigCol(text: Column, k: Int, numHashes: Int): Column =
+    * array of `numHashes` longs. numHashes is bounded by the seed-head
+    * cache (256) — rejected HERE, at plan build on the driver, instead
+    * of an ArrayIndexOutOfBounds deep inside executor tasks. */
+  def minhashSigCol(text: Column, k: Int, numHashes: Int): Column = {
+    require(numHashes >= 1 && numHashes <= 256,
+      s"numHashes must be in [1, 256] (seed cache bound), got $numHashes")
     invoke(ArrayType(LongType, containsNull = false), "minhashSig",
       text, lit(k), lit(numHashes))
+  }
 
   /** Distinct k-word shingles of normalized `text`, first-occurrence
     * order (kernel twin of Dedup.shingles). */
@@ -162,6 +167,10 @@ object GraftKernels {
       if (seen.add(s)) { shingleHashHeads(m) = UTF8String.fromString(s); m += 1 }
       i += 1
     }
+    // clear argument error instead of AIOOBE for the SQL MINHASH_SIG
+    // path, which reaches this kernel without the Column builder's gate
+    require(numHashes >= 1 && numHashes <= seedHeads.length,
+      s"numHashes must be in [1, ${seedHeads.length}], got $numHashes")
     val sig = new Array[Long](numHashes)
     var h = 0
     while (h < numHashes) {
@@ -215,8 +224,16 @@ object GraftKernels {
   private def elem(a: ArrayData, i: Int, floatElems: Boolean): Double =
     if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** Cosine with DEFINED edges for the bad records a crawl-scale corpus
+    * contains: mismatched lengths (truncated embedding) or a zero-norm /
+    * empty vector return 0.0 — NOT a prefix-cosine (which can read as a
+    * near-perfect false match) and NOT NaN (which Spark SQL ranks ABOVE
+    * every real score, so one corrupt row would become the global #1
+    * neighbor and pass every `cos >= minCos` near-dup filter). 0.0 never
+    * crosses a near-dup threshold and ranks below any genuine match. */
   def cosine(a: ArrayData, b: ArrayData, floatElems: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -225,7 +242,8 @@ object GraftKernels {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def nearestCentroids(vec: ArrayData, centroidsFlat: ArrayData, nCentroids: Int,
@@ -249,7 +267,11 @@ object GraftKernels {
         dot += v(d) * cd; nc += cd * cd
         d += 1
       }
-      scores(c) = dot / (nv * math.sqrt(nc))
+      // zero-norm/empty input or degenerate centroid → NaN score; pin to
+      // -inf so the selection below stays well-defined (NaN compares
+      // false against everything, which would leave best = -1 and throw)
+      val s = dot / (nv * math.sqrt(nc))
+      scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
     val k = math.min(nprobe, nCentroids)
@@ -260,7 +282,7 @@ object GraftKernels {
       var best = -1; var bestScore = Double.NegativeInfinity
       var c2 = 0
       while (c2 < nCentroids) {
-        if (!taken(c2) && scores(c2) > bestScore) { best = c2; bestScore = scores(c2) }
+        if (!taken(c2) && (best < 0 || scores(c2) > bestScore)) { best = c2; bestScore = scores(c2) }
         c2 += 1
       }
       taken(best) = true; out(j) = best

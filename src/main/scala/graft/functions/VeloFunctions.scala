@@ -99,8 +99,12 @@ object VeloFunctions {
   def header(headers: Column, key: String): Column = element_at(headers, key)
   def hasHeader(headers: Column, key: String): Column = element_at(headers, key).isNotNull
   def headerKeys(headers: Column): Column = map_keys(headers)
+  /** SET_HEADER is an UPSERT: the existing key is removed first —
+    * map_concat alone throws DUPLICATE_MAP_KEY at runtime (Spark's
+    * default mapKeyDedupPolicy=EXCEPTION) the moment the header is
+    * already present, which is the normal re-stamp case. */
   def setHeader(headers: Column, key: String, value: Column): Column =
-    map_concat(headers, map(lit(key), value))
+    map_concat(map_filter(headers, (k, _) => k =!= key), map(lit(key), value))
   def removeHeader(headers: Column, key: String): Column =
     map_filter(headers, (k, _) => k =!= key)
 

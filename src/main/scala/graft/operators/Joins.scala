@@ -50,16 +50,22 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, toleranceSeconds: Long,
-           leftId: String, strict: Boolean = false): DataFrame = {
+           leftId: String, strict: Boolean = false,
+           keepUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val upper =
       if (strict) right(rightTs) < left(leftTs) // self-join enrichment: prior rows only
       else right(rightTs) <= left(leftTs)
+    // keepUnmatched = pandas merge_asof semantics: every left row
+    // survives, null-enriched when no right row lands in the tolerance
+    // band. Default false preserves the inner behavior q55 oracles.
+    val joinType = if (keepUnmatched) "left_outer" else "inner"
     val cand = left.join(right,
       left(key) === right(key) && upper &&
-        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"))
+        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"),
+      joinType)
       .drop(right(key))
-    val w = Window.partitionBy(left(leftId)).orderBy(right(rightTs).desc)
+    val w = Window.partitionBy(left(leftId)).orderBy(right(rightTs).desc_nulls_last)
     cand.withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1).drop("_rk")
   }
@@ -77,6 +83,13 @@ object Joins {
   def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
                  factSaltSource: Column, salt: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer are UNSOUND under salting: the replicated side's
+    // salt-1 non-matching replicas each emit a null-padded row, and a
+    // genuinely unmatched right row appears `salt` times — reject loudly
+    require(Set("inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+        "left_semi", "anti", "leftanti", "left_anti")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti join types; '$joinType' would " +
+        "duplicate the replicated side's unmatched rows")
     val saltedFact = fact.withColumn("_salt", pmod(xxhash64(factSaltSource), lit(salt)).cast("int"))
     val replicated = other
       .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))

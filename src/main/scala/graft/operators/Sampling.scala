@@ -129,7 +129,11 @@ object Sampling {
     df.withColumn("_salt", pmod(col(idCol), lit(p)))
       .withColumn("_cum", sum(col(weightCol)).over(w))
       .withColumn(outCol,
-        (col("_salt") * 1000000L +
+        // 2^40 shard ids per salt stream: a 10^6 namespace would wrap
+        // into the next stream once a stream packs >10^6 shards (small
+        // budgets), silently merging shards across streams. 2^20 salts
+        // × 2^40 shards stays inside a long.
+        (col("_salt") * lit(1L << 40) +
           floor((col("_cum") - col(weightCol)).cast("double") / budget)).cast("long"))
       .drop("_salt", "_cum")
   }

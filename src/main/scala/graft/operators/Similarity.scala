@@ -82,13 +82,11 @@ object Similarity {
       col("query_id").cast("long"), col("neighbor_id").cast("long"),
       col("cos").cast("double")).as[(Long, Long, Double)]
     // min-heap head = worst kept candidate (lowest cos, then largest id)
-    val worstFirst: Ordering[(Double, Long)] =
-      Ordering.by { case (c, id) => (-c, id) }
     val local = ds.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
       it.foreach { case (q, n, c) =>
         val h = heaps.getOrElseUpdate(q,
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(adcWorstFirst))
         h.enqueue((c, n))
         if (h.size > k) h.dequeue()
       }
@@ -226,22 +224,7 @@ object Similarity {
       .withColumn("h", xxhash64(col("id")))
       .orderBy("h").limit(maxTrainRows)
       .select("v").collect()
-      .map { r =>
-        val s = r.getAs[scala.collection.Seq[Any]](0)
-        val a = new Array[Double](dim)
-        var i = 0
-        s.foreach { x =>
-          if (i < dim) {
-            a(i) = x match {
-              case f: java.lang.Float => f.toDouble
-              case d: java.lang.Double => d.doubleValue()
-              case other => other.toString.toDouble
-            }
-            i += 1
-          }
-        }
-        a
-      }
+      .map(r => toVec(r.getAs[scala.collection.Seq[Any]](0), dim))
 
   /** Driver-local Lloyd k-means (the quantizer-training inner loop —
     * pure CPU on the bounded sample, zero per-iteration job overhead). */
@@ -310,20 +293,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, nCentroids: Int = 64, nprobe: Int = 8,
               centroids: Option[Array[Double]] = None): DataFrame = {
-    val cents: Array[Double] = centroids.getOrElse(corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("h", xxhash64(col("id")))
-      .orderBy("h").limit(nCentroids)
-      .collect()
-      .flatMap { r =>
-        val s = r.getAs[scala.collection.Seq[Any]]("v")
-        val arr = s.map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-          case x => x.toString.toDouble
-        }.toArray
-        arr.padTo(dim, 0.0).take(dim)
-      })
+    val cents: Array[Double] = centroids.getOrElse(
+      collectTrainSample(corpus, idCol, vecCol, dim, nCentroids).flatten)
     val nC = cents.length / dim
     def cellify(df: DataFrame, id: String, v: String, probes: Int) =
       df.select(col(idCol).as(id), col(vecCol).as(v))

@@ -50,7 +50,11 @@ object TextAnalysis {
     */
   def qualityMetrics(textCol: Column): Seq[(String, Column)] = {
     val len = length(textCol).cast("double")
-    val nlen = length(regexp_replace(lower(trim(textCol)), "\\s+", " ")).cast("double")
+    // collapse-then-trim, the SAME normalization order as words(): trim
+    // strips only ' ', so trimming BEFORE the collapse leaves a leading
+    // "\t"/"\n" as a phantom character and inflates mean_word_len on
+    // exactly the whitespace-framed text a crawl corpus is full of
+    val nlen = length(trim(regexp_replace(lower(textCol), "\\s+", " "))).cast("double")
     val ws = words(textCol)
     val nWords = size(ws).cast("double")
     val punct = length(regexp_replace(textCol, "[^.,;:!?'\"()]", "")).cast("double")

@@ -90,6 +90,10 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(arrayLength(headerKeys(h))) == 2)
     assert(one(header(setHeader(h, "c", lit("3")), "c")) == "3")
     assert(one(hasHeader(removeHeader(h, "a"), "a")) == false)
+    // SET_HEADER on an EXISTING key is an upsert — naive map_concat
+    // throws DUPLICATE_MAP_KEY at runtime on the re-stamp case
+    assert(one(header(setHeader(h, "a", lit("9")), "a")) == "9")
+    assert(one(arrayLength(headerKeys(setHeader(h, "a", lit("9"))))) == 2)
   }
 
   test("exact decimal money surface") {

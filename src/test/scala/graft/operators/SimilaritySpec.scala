@@ -206,6 +206,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.7, s"IVF-PQ recall $recall")
   }
 
+  test("corrupt embeddings (zero-norm, empty, truncated) score 0.0 and never rank or pair") {
+    import spark.implicits._
+    val dirty = corpus.union(Seq(
+      (9001L, Seq.fill(dim)(0.0f)),          // zero-norm
+      (9002L, Seq.empty[Float]),             // empty array
+      (9003L, Seq(1.0f, 2.0f))               // truncated
+    ).toDF("vec_id", "embedding"))
+    val queries = dirty.where(col("vec_id") < 5)
+    val top = Similarity.bruteForceTopK(dirty, queries, "vec_id", "embedding", 5).collect()
+    // NaN would rank ABOVE every real score; 0.0 ranks below any genuine
+    // match — no corrupt id may appear in any top-5
+    assert(top.forall(r => r.getAs[Long]("neighbor_id") < 9000L))
+    assert(top.forall(r => !r.getAs[Double]("cos").isNaN))
+    // and the near-dup pair filter (cos >= minCos) must not pass them
+    val pairs = Similarity.embeddingNearDupPairsLsh(dirty, "vec_id", "embedding",
+      dim, minCos = 0.9).collect()
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < 9000L && r.getAs[Long]("id_b") < 9000L))
+    // IVF cell assignment survives the zero vector instead of AIOOBE
+    val ivf = Similarity.ivfTopK(dirty, queries, "vec_id", "embedding", 5, dim)
+    assert(ivf.collect().forall(r => r.getAs[Long]("neighbor_id") < 9000L))
+  }
+
   test("salted join == plain join (skew-safe shuffle spread)") {
     import spark.implicits._
     val fact = Seq.tabulate(300)(i => (i.toLong, (i % 3).toLong, i * 1.5)) // hot keys
