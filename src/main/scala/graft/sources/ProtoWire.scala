@@ -121,12 +121,35 @@ object ProtoWire {
   private[sources] final class FieldIndex(fields: Seq[Field]) extends Serializable {
     val farr: Array[Field] = fields.toArray
     private val maxNum: Int = farr.foldLeft(0)((m, f) => math.max(m, f.number))
-    private val slot: Array[Int] = {
-      val a = Array.fill(maxNum + 1)(-1)
-      farr.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
-      a
-    }
-    def lookup(num: Int): Int = if (num >= 0 && num <= maxNum) slot(num) else -1
+    // flat array only while it stays small: proto field numbers are
+    // valid up to 2^29-1 (high numbers are conventional for extensions),
+    // and sizing an array by the LARGEST number would allocate hundreds
+    // of MB per partition for a one-field message. Past 64k, a map.
+    private val dense = maxNum <= (1 << 16)
+    private val slot: Array[Int] =
+      if (!dense) null
+      else {
+        val a = Array.fill(maxNum + 1)(-1)
+        farr.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
+        a
+      }
+    private val slotMap: Map[Int, Int] =
+      if (dense) null else farr.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    def lookup(num: Int): Int =
+      if (dense) { if (num >= 0 && num <= maxNum) slot(num) else -1 }
+      else slotMap.getOrElse(num, -1)
+  }
+
+  /** The wire type a field's declared scalar type is encoded with —
+    * a record whose ACTUAL wire type differs (schema evolution the
+    * local schema hasn't caught up with) must be SKIPPED by its real
+    * wire type, per spec, not decoded by the stale local type (which
+    * desynchronizes the byte walk and garbles every later field). */
+  private def expectedWireType(t: PType): Int = t match {
+    case PInt32 | PInt64 | PSInt32 | PSInt64 | PBool => 0
+    case PDouble => 1
+    case PString | PBytes => 2
+    case PFloat => 5
   }
 
   /** Decode message bytes to values aligned with `fields` (null for
@@ -149,7 +172,7 @@ object ProtoWire {
       val num = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
       val i = fidx.lookup(num)
-      if (i >= 0) {
+      if (i >= 0 && wt == expectedWireType(fidx.farr(i).ptype)) {
           val f = fidx.farr(i)
           f.ptype match {
             case PInt32 => out(i) = varint().toInt
@@ -172,7 +195,7 @@ object ProtoWire {
               val n = varint().toInt
               out(i) = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
           }
-      } else { // unknown field: skip by wire type
+      } else { // unknown field OR wire-type mismatch: skip by wire type
           wt match {
             case 0 => varint()
             case 1 => p += 8
@@ -199,7 +222,12 @@ object ProtoWire {
     val fidx = new FieldIndex(fields) // built once, shipped to executors; no per-row setup
     val res = df.mapPartitions { it =>
       it.map { row =>
-        val decoded = decodeRow(row.getAs[Array[Byte]](payloadIdx), fidx)
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        // null payload (tombstone / outer-join null) → all-null columns,
+        // which the schema already declares nullable — not an NPE
+        val decoded =
+          if (bytes == null) new Array[Any](fidx.farr.length)
+          else decodeRow(bytes, fidx)
         Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
       }
     }(Encoders.row(outSchema))

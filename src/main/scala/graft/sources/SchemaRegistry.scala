@@ -39,7 +39,9 @@ final class SchemaRegistry(root: Path) {
       val stream = Files.list(d)
       try stream.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.matches("""\d+\.avsc"""))
+        // ≤9 digits: a longer run overflows Int in toInt and THROWS —
+        // exactly the stray-file breakage this filter exists to prevent
+        .filter(_.matches("""\d{1,9}\.avsc"""))
         .map(_.stripSuffix(".avsc").toInt).toVector.sorted
       finally stream.close()
     }

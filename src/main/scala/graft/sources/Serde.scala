@@ -29,10 +29,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Serde {
 
-  /** Decode a JSON-string payload column into a struct and splat it. */
+  /** Decode a JSON-string payload column into a struct and splat it.
+    * The payload column drops BEFORE the splat: a decoded field that
+    * shares its name (e.g. a payload column `value` whose schema also
+    * has a `value` field) must survive — a post-splat drop removes BOTH
+    * same-named columns. The temp column name is graft-prefixed so a
+    * user column cannot collide with it. */
   def decodeJson(df: DataFrame, payloadCol: String, schema: StructType): DataFrame =
-    df.withColumn("_decoded", from_json(col(payloadCol), schema))
-      .select(col("*"), col("_decoded.*")).drop("_decoded", payloadCol)
+    df.withColumn("__graft_decoded", from_json(col(payloadCol), schema))
+      .drop(payloadCol)
+      .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
 
   /** Encode selected columns into one JSON-string payload column. */
   def encodeJson(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
@@ -40,8 +46,9 @@ object Serde {
 
   def decodeCsv(df: DataFrame, payloadCol: String, schema: StructType,
                 options: Map[String, String] = Map.empty): DataFrame =
-    df.withColumn("_decoded", from_csv(col(payloadCol), schema, options))
-      .select(col("*"), col("_decoded.*")).drop("_decoded", payloadCol)
+    df.withColumn("__graft_decoded", from_csv(col(payloadCol), schema, options))
+      .drop(payloadCol)
+      .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
 
   def encodeCsv(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
     df.withColumn(payloadCol, to_csv(struct(cols.map(col): _*)))
@@ -98,7 +105,9 @@ object Serde {
     val effectiveJson = readerSchemaJson.getOrElse(schemaJson)
     val valueSchema = avroSchemaToSpark(effectiveJson)
     val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
-    val outSchema = StructType(passthrough ++ valueSchema.fields)
+    // decoded fields are nullable regardless of the Avro schema: a
+    // tombstone (null payload) nulls ALL of them
+    val outSchema = StructType(passthrough ++ valueSchema.fields.map(_.copy(nullable = true)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
     val res = df.mapPartitions { it =>
@@ -113,17 +122,24 @@ object Serde {
       val fields = schema.getFields.asScala.toArray
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
-        decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-        val rec = reader.read(null, decoder)
-        val decoded = fields.map { f =>
-          rec.get(f.pos()) match {
-            case null => null
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case bb: java.nio.ByteBuffer =>
-              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-            case v => v
+        // Kafka tombstone / null payload → all-null decoded columns
+        // (binaryDecoder(null) would NPE and kill the stream on one
+        // compacted-topic delete marker)
+        val decoded: Array[Any] =
+          if (bytes == null) Array.fill[Any](fields.length)(null)
+          else {
+            decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+            val rec = reader.read(null, decoder)
+            fields.map { f =>
+              rec.get(f.pos()) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case bb: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+                case v => v
+              }
+            }
           }
-        }
         Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
       }
     }(Encoders.row(outSchema))
@@ -170,13 +186,25 @@ object Serde {
     res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Kafka headers array → map<string,string>, LAST value wins per key.
+    * Kafka explicitly allows repeated header keys (retry/tracing
+    * interceptors append); a bare map_from_entries throws
+    * DUPLICATE_MAP_KEY under Spark's default dedup policy the moment
+    * one such record arrives. The fold is over the handful of headers a
+    * record carries — not a data-sized structure. */
+  private def headersToMap(headers: Column): Column =
+    aggregate(headers,
+      map_from_entries(array().cast("array<struct<key:string,value:string>>")),
+      (acc, h) => map_concat(
+        map_filter(acc, (k, _) => k =!= h.getField("key")),
+        map_from_entries(array(struct(h.getField("key").as("key"),
+          h.getField("value").cast("string").as("value"))))))
+
   /** Kafka envelope whose `value` is binary Avro: decode + surface the
     * reference's system columns (the Avro twin of `fromKafkaEnvelope`). */
   def fromKafkaEnvelopeAvro(frames: DataFrame, schemaJson: String): DataFrame = {
     val withSys = frames
-      .withColumn("_headers",
-        map_from_entries(transform(col("headers"),
-          h => struct(h.getField("key"), h.getField("value").cast("string")))))
+      .withColumn("_headers", headersToMap(col("headers")))
       .withColumn("_timestamp", col("timestamp"))
       .withColumn("_offset", col("offset"))
       .withColumn("_partition", col("partition"))
@@ -191,9 +219,7 @@ object Serde {
   def fromKafkaEnvelope(frames: DataFrame, schema: StructType): DataFrame =
     frames
       .withColumn("_decoded", from_json(col("value").cast("string"), schema))
-      .withColumn("_headers",
-        map_from_entries(transform(col("headers"),
-          h => struct(h.getField("key"), h.getField("value").cast("string")))))
+      .withColumn("_headers", headersToMap(col("headers")))
       .withColumn("_timestamp", col("timestamp"))
       .withColumn("_offset", col("offset"))
       .withColumn("_partition", col("partition"))
@@ -216,33 +242,36 @@ object Serde {
         .load(),
       schema)
 
+  /** One extension→format mapping + its per-format options for read AND
+    * write — the two sides must agree or a file the sink wrote parses
+    * differently when read back (the exact drift this replaces: the
+    * streaming read path lacked the CSV header option the writer set,
+    * so the header line came back as a data row). */
+  private def fileFormat(path: String): (String, Map[String, String]) =
+    if (path.endsWith(".json") || path.endsWith(".jsonl")) ("json", Map.empty)
+    else if (path.endsWith(".csv")) ("csv", Map("header" -> "true"))
+    else ("parquet", Map.empty)
+
   /** `file://` source analog: read newline-delimited JSON / CSV /
     * parquet by extension, one call for batch or streaming. */
   def readFileUri(spark: SparkSession, uri: String, schema: Option[StructType] = None,
                   streaming: Boolean = false): DataFrame = {
     val path = uri.stripPrefix("file://")
-    val fmt =
-      if (path.endsWith(".json") || path.endsWith(".jsonl")) "json"
-      else if (path.endsWith(".csv")) "csv"
-      else "parquet"
+    val (fmt, opts) = fileFormat(path)
     if (streaming) {
-      val sch = schema.getOrElse(spark.read.format(fmt).load(path).schema)
-      spark.readStream.format(fmt).schema(sch).load(path)
+      val sch = schema.getOrElse(spark.read.format(fmt).options(opts).load(path).schema)
+      spark.readStream.format(fmt).options(opts).schema(sch).load(path)
     } else {
-      val r = spark.read.format(fmt)
+      val r = spark.read.format(fmt).options(opts)
       schema.foreach(r.schema)
-      (if (fmt == "csv") r.option("header", "true") else r).load(path)
+      r.load(path)
     }
   }
 
   /** `file://` sink analog (executor-parallel write, no driver data). */
   def writeFileUri(df: DataFrame, uri: String): Unit = {
     val path = uri.stripPrefix("file://")
-    val fmt =
-      if (path.endsWith(".json") || path.endsWith(".jsonl")) "json"
-      else if (path.endsWith(".csv")) "csv"
-      else "parquet"
-    val w = df.write.mode("overwrite")
-    (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
+    val (fmt, opts) = fileFormat(path)
+    df.write.mode("overwrite").options(opts).format(fmt).save(path)
   }
 }

@@ -82,7 +82,12 @@ object StreamOps {
       OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
       (key: Long, it: Iterator[BufEvent], state: GroupState[List[Double]]) =>
         var buf = state.getOption.getOrElse(List.empty[Double])
-        val out = it.flatMap { e =>
+        // flatMapGroupsWithState gives NO order guarantee within a group
+        // (a multi-partition batch interleaves arbitrarily) — the ring
+        // buffer's "last n" is only meaningful in `ord` order, so sort
+        // the batch's events first (ties by id for determinism). The
+        // sort is per-key-per-batch, tiny and executor-local.
+        val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
           buf = (buf :+ e.v).takeRight(n)
           if (!emitOnFull || buf.size == n)
             Some(BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size))

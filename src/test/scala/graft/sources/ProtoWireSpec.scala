@@ -36,6 +36,29 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     assert(decodeRow(bytes, readerFields).toSeq == Seq(42L, 2.5, null))
   }
 
+  test("wire-type mismatch skips by the RECORD's wire type; null payload decodes to nulls") {
+    // writer evolved field 2 to string; reader still declares int64 —
+    // decoding the string as a varint would desynchronize the byte walk
+    // and garble field 3. Spec behavior: skip the mismatched field.
+    val writerFields = Seq(Field(1, "a", PInt64), Field(2, "s", PString), Field(3, "d", PDouble))
+    val bytes = encodeRow(Seq(42L, "hello world", 2.5), writerFields)
+    val staleReader = Seq(Field(1, "a", PInt64), Field(2, "s", PInt64), Field(3, "d", PDouble))
+    assert(decodeRow(bytes, staleReader).toSeq == Seq(42L, null, 2.5))
+    // null payload column → all-null decoded columns, not an NPE
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("value", BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, bytes), org.apache.spark.sql.Row(2L, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = ProtoWire.decodeProtobuf(df, "value",
+      "message M { int64 a = 1; string s = 2; double d = 3; }")
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(1L).getAs[Long]("a") == 42L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("a")))
+  }
+
   test("minimal .proto message parser") {
     val fields = ProtoSchema.parse(
       """message Order {

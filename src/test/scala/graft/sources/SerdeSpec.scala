@@ -48,6 +48,34 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("_offset") == 42L && r.getAs[Int]("_partition") == 0)
   }
 
+  test("duplicate Kafka header keys resolve last-wins instead of DUPLICATE_MAP_KEY") {
+    import spark.implicits._
+    val frames = Seq(
+      ("""{"id":7,"name":"x","score":2.0}""", 0, 1L, 1700000000000L,
+        Seq(("trace", "t1"), ("src", "unit"), ("trace", "t2"))) // repeated key: legal in Kafka
+    ).toDF("v", "partition", "offset", "tsms", "hdrs")
+      .select(
+        col("v").cast("binary").as("value"),
+        col("partition"), col("offset"),
+        timestamp_millis(col("tsms")).as("timestamp"),
+        transform(col("hdrs"), h =>
+          struct(h.getField("_1").as("key"), h.getField("_2").cast("binary").as("value"))).as("headers"))
+    val r = Serde.fromKafkaEnvelope(frames, schema).collect().head
+    assert(r.getAs[Map[String, String]]("_headers") == Map("trace" -> "t2", "src" -> "unit"))
+  }
+
+  test("decoding keeps a payload-named field; the raw payload column goes away") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the decoded schema itself has a field named like the payload column
+    val clashSchema = StructType(Seq(
+      StructField("id", LongType), StructField("value", StringType)))
+    val df = Seq((1L, """{"id":9,"value":"inner"}""")).toDF("k", "value")
+    val out = Serde.decodeJson(df, "value", clashSchema).collect().head
+    assert(out.getAs[String]("value") == "inner") // decoded field survives
+    assert(out.getAs[Long]("id") == 9L)
+  }
+
   test("Avro round-trip: binary encode → decode preserves values, nulls, and bytes") {
     import spark.implicits._
     val schemaJson =
@@ -83,6 +111,18 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
       (3L, "Ω→é", -0.5, Some(""), Seq[Byte](-1))))
     // passthrough column retained next to splatted fields
     assert(decoded.columns.contains("oid"))
+  }
+
+  test("Avro tombstone (null payload) decodes to null columns, not an NPE") {
+    import org.apache.spark.sql.types._
+    val schemaJson =
+      """{"type":"record","name":"T","fields":[{"name":"x","type":"long"}]}"""
+    val frameSchema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("value", BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null))
+    val out = Serde.decodeAvro(spark.createDataFrame(rows, frameSchema), "value", schemaJson)
+      .collect().head
+    assert(out.getAs[Long]("k") == 1L && out.isNullAt(out.fieldIndex("x")))
   }
 
   test("schema registry: versioning, backward-compat gate, reader-schema evolution") {

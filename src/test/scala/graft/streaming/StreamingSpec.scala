@@ -81,6 +81,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out.where(col("key") === 2).collect().map(_.getAs[Int]("buf_n")).toSeq == Seq(1))
   }
 
+  test("ROWS WINDOW buffers in ord order regardless of input partitioning/arrival order") {
+    import spark.implicits._
+    // flatMapGroupsWithState gives no within-group order guarantee; feed
+    // one key's events REVERSED and spread over many partitions — the
+    // buffer must still fold in ord order (its only meaningful order)
+    val events = (1 to 6).reverse.map(i =>
+      StreamOps.BufEvent(1, ord = i.toLong, id = 100L + i, v = i * 10.0))
+    val ds = spark.createDataset(events).repartition(6)
+    val out = StreamOps.rowsBufferAgg(ds, n = 3).collect()
+      .sortBy(_.event_id).map(e => (e.event_id, e.buf_sum)).toSeq
+    // ord order 1..6 → trailing-3 sums 10, 30, 60, 90, 120, 150
+    assert(out == Seq((101L, 10.0), (102L, 30.0), (103L, 60.0),
+      (104L, 90.0), (105L, 120.0), (106L, 150.0)))
+  }
+
   test("ROWS WINDOW EMIT ON BUFFER FULL: warm-up is silent, fewer outputs than inputs") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
