@@ -29,9 +29,13 @@ object SqlValidator {
   def validateStatement(ctx: VeloContext, sqlText: String, index: Int = 0): QueryValidation =
     try validateParsed(ctx, ctx.parseStatement(sqlText), sqlText, index)
     catch {
-      case e: ParseException =>
+      // NonFatal, not just ParseException: malformed numerics and empty
+      // arg lists surface as NumberFormat/IllegalArgument/NoSuchElement
+      // from deep in the parser — one bad statement must yield one
+      // invalid entry, never crash the whole app's validation report
+      case NonFatal(e) =>
         QueryValidation(index, sqlText.trim.take(120), isValid = false,
-          Vector(s"parse error: ${e.getMessage}"))
+          Vector(s"parse error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
     }
 
   /** Validate an already-parsed statement (the hook JobManager uses to
@@ -56,12 +60,16 @@ object SqlValidator {
           if (!ctx.declaredSources.contains(sink))
             warnings :+= s"INTO sink '$sink' has no CREATE SINK declaration"
         }
-      case u: Union => u.selects.foreach(s => validateBody(Select(s)))
+      // render the WHOLE union: branch-by-branch validation misses
+      // column-count/type mismatches BETWEEN branches
+      case u: Union => analyze(ctx.renderSql(u))
       case w: WithCtes =>
         // render the whole CTE chain — the analyzer resolves CTE refs
         analyze(ctx.renderSql(w))
-      case CreateTableAs(_, s, _, _) => validateBody(Select(s))
-      case CreateStreamAs(_, s, _, _) => validateBody(Select(s))
+      case CreateTableAs(_, s, _, cols) =>
+        validateBody(Select(s)); checkDeclaredArity(s, cols)
+      case CreateStreamAs(_, s, _, cols) =>
+        validateBody(Select(s)); checkDeclaredArity(s, cols)
       case InsertInto(table, _, sel, _) =>
         checkTable(table)
         sel.foreach(s => validateBody(Select(s)))
@@ -84,8 +92,18 @@ object SqlValidator {
       case Show(_, _) | Describe(_) => ()
     }
 
+    // a declared column list binds positionally — an arity mismatch is a
+    // guaranteed execution failure the pre-deploy gate must catch
+    def checkDeclaredArity(s: VeloSqlParser.SelectStmt, cols: Vector[(String, String)]): Unit =
+      if (cols.nonEmpty) {
+        val n = ctx.spark.sql(toSparkSql(s, ctx.defaultTimeCol))
+          .queryExecution.analyzed.output.length
+        if (n != cols.length)
+          errors :+= s"declared ${cols.length} columns but the query produces $n"
+      }
+
     def warnIfUnknownJob(name: String): Unit =
-      if (ctx.jobManager.jobsDf(None).collect().forall(_.getString(0) != name))
+      if (!ctx.jobManager.hasJob(name))
         warnings :+= s"job '$name' is not currently registered"
 
     try validateBody(parsed)

@@ -143,9 +143,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   /** Render any statement's query core to Spark SQL text. */
   private[sql] def renderSql(stmt: VeloStatement): String = stmt match {
     case Select(s) => toSparkSql(s, defaultTimeCol)
-    case Union(sels, all) =>
-      sels.map(toSparkSql(_, defaultTimeCol))
-        .mkString(if (all) " UNION ALL " else " UNION ")
+    case u: Union => u.render(toSparkSql(_, defaultTimeCol))
     case WithCtes(ctes, body, recursive) =>
       (if (recursive) "WITH RECURSIVE " else "WITH ") +
         ctes.map { case (n, s) => s"$n AS (${renderSql(s)})" }
@@ -224,7 +222,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   }
 
   private def execStatement(stmt: VeloStatement): DataFrame = stmt match {
-    case q @ (Select(_) | Union(_, _) | WithCtes(_, _, _)) =>
+    case q @ (Select(_) | Union(_, _, _) | WithCtes(_, _, _)) =>
       spark.sql(renderSql(q))
 
     case CreateTableAs(name, s, props, cols) =>

@@ -82,7 +82,7 @@ object VeloSqlParser {
           out += Tok(TIdent, "`" + sb.toString + "`")
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
-        if (Set("!=", "<>", "<=", ">=", "||").contains(two)) { out += Tok(TSymbol, two); i += 2 }
+        if (Set("!=", "<>", "<=", ">=", "||", "->").contains(two)) { out += Tok(TSymbol, two); i += 2 }
         else if (";(),.*+-/%^=<>[]~".indexOf(c) >= 0) { out += Tok(TSymbol, c.toString); i += 1 }
         else throw new ParseException(s"unexpected character '$c' at $i")
       }
@@ -133,8 +133,23 @@ object VeloSqlParser {
 
   sealed trait VeloStatement
   final case class Select(s: SelectStmt) extends VeloStatement
-  /** UNION [ALL] chain of selects. */
-  final case class Union(selects: Vector[SelectStmt], all: Boolean) extends VeloStatement
+  /** UNION [ALL] chain of selects. `ops(i)` is true when the operator
+    * between selects(i) and selects(i+1) is UNION ALL — per-operator,
+    * because a mixed chain (A UNION B UNION ALL C) has different dedup
+    * semantics per step and a single flag silently collapses them.
+    * `all` remains the all-operators summary for callers that only need
+    * the homogeneous case. */
+  final case class Union(selects: Vector[SelectStmt], all: Boolean,
+                         ops: Vector[Boolean] = Vector.empty) extends VeloStatement {
+    /** Per-operator keywords, falling back to the uniform flag. */
+    def opKeywords: Vector[String] = {
+      val o = if (ops.length == selects.length - 1) ops
+              else Vector.fill(math.max(selects.length - 1, 0))(all)
+      o.map(a => if (a) " UNION ALL " else " UNION ")
+    }
+    def render(renderSelect: SelectStmt => String): String =
+      selects.map(renderSelect).zip(opKeywords :+ "").map { case (s, op) => s + op }.mkString
+  }
   /** WITH [RECURSIVE] name AS (select|union), … body (CTEs). RECURSIVE
     * passes straight through — Spark ≥4.0 executes recursive CTEs
     * natively (UnionLoop), so the dialect's transitive-closure queries
@@ -338,13 +353,15 @@ object VeloSqlParser {
 
     private def selectOrUnion(): VeloStatement = {
       var sels = Vector(selectStatement())
-      var all = true
+      var ops = Vector.empty[Boolean]
       while (at("UNION")) {
         take()
-        if (at("ALL")) take() else all = false
+        val isAll = if (at("ALL")) { take(); true } else false
+        ops :+= isAll
         sels :+= selectStatement()
       }
-      if (sels.length == 1) Select(sels.head) else Union(sels, all)
+      if (sels.length == 1) Select(sels.head)
+      else Union(sels, ops.forall(identity), ops)
     }
 
     /** WITH [RECURSIVE] name AS (select|union) [, …]* <select|union> —
@@ -398,8 +415,7 @@ object VeloSqlParser {
             // downstream consumers still see one SelectStmt
             val wrapped = SelectStmt(
               fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = Vector.empty,
-              from = "(" + u.selects.map(toSparkSql(_, defaultTimeCol))
-                .mkString(if (u.all) " UNION ALL " else " UNION ") + ")",
+              from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
               fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
               having = None, window = None, namedWindows = None, orderBy = None,
               limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
@@ -692,7 +708,12 @@ object VeloSqlParser {
         if (at("WITH")) { take(); props ++= propMap(); progress = true }
         if (at("EMIT")) { take(); emit = Some(emitMode()); progress = true }
       }
-      val aggWrap = window.isDefined
+      // TUMBLE_START/END need aggregate wrapping under a WINDOW clause
+      // AND under the Flink-style GROUP BY TUMBLE(...) form — the group
+      // key is the window struct, so a bare time expression in the
+      // select would reference the time column outside any aggregate
+      val aggWrap = window.isDefined ||
+        groupBy.exists(_.exists(t => t.isKw("TUMBLE") || t.isKw("HOP") || t.isKw("SESSION")))
       SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol, aggWrap)), keys, from, fromAlias,
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
@@ -916,8 +937,18 @@ object VeloSqlParser {
             out += sym(")")
             i = end
           case "TIMESTAMP" | "NOW" =>
-            val (_, end) = callArgs(i + 1)
-            out += id("current_timestamp") += sym("(") += sym(")")
+            val (args, end) = callArgs(i + 1)
+            if (args.isEmpty) {
+              // zero-arg TIMESTAMP()/NOW() = wall clock (reference
+              // functions.rs). TIMESTAMP(col) is a CONVERSION — rewriting
+              // it to current_timestamp() would silently replace every
+              // row's event time with the query wall clock.
+              out += id("current_timestamp") += sym("(") += sym(")")
+            } else {
+              out += id("cast") += sym("(")
+              out ++= rewriteTokens(args.head, defaultTimeCol)
+              out += id("AS") += id("timestamp") += sym(")")
+            }
             i = end
           case "DELTA" =>
             // DELTA(col): max-min spread aggregate
@@ -1280,7 +1311,7 @@ object VeloSqlParser {
     out += id("ORDER") += id("BY")
     if (order.nonEmpty) out ++= order else out += id(defaultTimeCol)
     if (withFrame) {
-      if (frame.nonEmpty) out ++= frame
+      if (frame.nonEmpty) out ++= capFrameAtBuffer(frame, n)
       else {
         out += id("ROWS") += id("BETWEEN") += Tok(TNumber, (n - 1).toString) += id("PRECEDING")
         out += id("AND") += id("CURRENT") += id("ROW")
@@ -1289,6 +1320,23 @@ object VeloSqlParser {
     out += Tok(TSymbol, ")")
     out.toVector
   }
+
+  /** Cap an explicit ROWS frame's PRECEDING reach at the buffer size:
+    * the reference's ring holds only `n` rows, so `100 PRECEDING` over
+    * a BUFFER 10 ROWS window can see at most 9 back — passing the
+    * frame through verbatim would silently aggregate rows the
+    * reference's buffer never held. UNBOUNDED PRECEDING likewise pins
+    * to n-1. RANGE frames are value-based and pass through (a row cap
+    * is not expressible on them). */
+  private def capFrameAtBuffer(frame: Vector[Tok], n: Long): Vector[Tok] =
+    if (!frame.headOption.exists(_.isKw("ROWS"))) frame
+    else frame.zipWithIndex.map { case (t, ix) =>
+      if (frame.lift(ix + 1).exists(_.isKw("PRECEDING"))) {
+        if (t.kind == TNumber) Tok(TNumber, math.min(t.text.toLong, n - 1).toString)
+        else if (t.isKw("UNBOUNDED")) Tok(TNumber, (n - 1).toString)
+        else t
+      } else t
+    }
 
   // ==================== Spark SQL emission ====================
 
@@ -1313,15 +1361,25 @@ object VeloSqlParser {
       s.fromAlias.foreach(a => sb.append(" AS ").append(a))
     }
     s.joins.foreach { j =>
-      sb.append(' ').append(j.joinType).append(" JOIN ").append(j.table)
-      j.alias.foreach(a => sb.append(" AS ").append(a))
-      if (j.on.nonEmpty) sb.append(" ON ").append(render(j.on))
-      j.withinSeconds.foreach { sec =>
+      val band = j.withinSeconds.map { sec =>
         // time-proximity band on the two streams' event-time columns
         val tc = defaultTimeCol.split('.').last
         val lq = s.fromAlias.getOrElse(s.from)
         val rq = j.alias.getOrElse(j.table)
-        sb.append(s" AND abs(unix_timestamp($lq.$tc) - unix_timestamp($rq.$tc)) <= $sec")
+        s"abs(unix_timestamp($lq.$tc) - unix_timestamp($rq.$tc)) <= $sec"
+      }
+      // a band with no ON clause (CROSS JOIN … WITHIN — the pure
+      // time-proximity join) becomes the join's ON predicate; CROSS
+      // takes no ON in Spark SQL, so it renders as the equivalent
+      // INNER JOIN ON band ('AND' with no 'ON' would be invalid SQL)
+      val jt = if (j.on.isEmpty && band.isDefined && j.joinType == "CROSS") "INNER" else j.joinType
+      sb.append(' ').append(jt).append(" JOIN ").append(j.table)
+      j.alias.foreach(a => sb.append(" AS ").append(a))
+      (j.on.nonEmpty, band) match {
+        case (true, Some(b)) => sb.append(" ON ").append(render(j.on)).append(" AND ").append(b)
+        case (true, None) => sb.append(" ON ").append(render(j.on))
+        case (false, Some(b)) => sb.append(" ON ").append(b)
+        case (false, None) => ()
       }
     }
     s.where.foreach(w => sb.append(" WHERE ").append(render(w)))

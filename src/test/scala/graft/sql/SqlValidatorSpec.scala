@@ -65,4 +65,30 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     assert(res.totalQueries == 3 && res.validQueries == 2 && !res.isValid)
     assert(res.missingConfigurations.exists(_.contains("undeclared_sink")))
   }
+
+  test("malformed statements yield one invalid entry, never a crashed report") {
+    // these throw NumberFormat/NoSuchElement/IllegalArgument from deep in
+    // the parser — the gate must mark the statement invalid, not die
+    Seq(
+      "SELECT * FROM v_orders LIMIT abc",
+      "SELECT HEADER() FROM v_orders").foreach { bad =>
+      val v = SqlValidator.validateStatement(ctx, bad)
+      assert(!v.isValid, s"'$bad' should be invalid")
+      assert(v.errors.exists(_.startsWith("parse error")))
+    }
+  }
+
+  test("cross-branch and declared-schema mismatches fail the pre-deploy gate") {
+    // union branches with different arity pass branch-by-branch analysis
+    // but fail as a whole statement
+    val u = SqlValidator.validateStatement(ctx,
+      "SELECT order_id, status FROM v_orders UNION SELECT order_id FROM v_orders")
+    assert(!u.isValid)
+    // declared columns bind positionally: arity mismatch is a guaranteed
+    // execution failure the validator must catch BEFORE deployment
+    val c = SqlValidator.validateStatement(ctx,
+      "CREATE TABLE t_bad (a INT, b STRING) AS SELECT order_id FROM v_orders")
+    assert(!c.isValid)
+    assert(c.errors.exists(_.contains("declared 2 columns")))
+  }
 }

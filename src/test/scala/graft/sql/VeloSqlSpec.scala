@@ -556,6 +556,46 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(props("schema") == "id BIGINT, v DOUBLE")
   }
 
+  test("mixed UNION / UNION ALL chains keep per-operator dedup semantics") {
+    import spark.implicits._
+    ctx.register("u_t", Seq(1).toDF("x"))
+    // (1 UNION 1) UNION ALL 1 → dedup applies to the first pair only → 2 rows
+    assert(ctx.sql("SELECT x FROM u_t UNION SELECT x FROM u_t UNION ALL SELECT x FROM u_t")
+      .count() == 2)
+    // (1 UNION ALL 1) UNION 1 → final dedup collapses everything → 1 row
+    assert(ctx.sql("SELECT x FROM u_t UNION ALL SELECT x FROM u_t UNION SELECT x FROM u_t")
+      .count() == 1)
+  }
+
+  test("TIMESTAMP(col) converts the column; only zero-arg TIMESTAMP()/NOW() is wall clock") {
+    val rows = ctx.sql(
+      "SELECT order_id, TIMESTAMP('2024-01-02 03:04:05') AS t FROM orders WHERE order_id = 1")
+      .collect()
+    assert(rows.head.getAs[java.sql.Timestamp]("t").toString.startsWith("2024-01-02"))
+    // zero-arg form still parses and yields a current timestamp
+    assert(!ctx.sql("SELECT NOW() AS t FROM orders WHERE order_id = 1").collect()
+      .head.isNullAt(0))
+  }
+
+  test("lambda '->' survives tokenize/render (transform/filter HOFs)") {
+    val out = ctx.sql("SELECT transform(array(1, 2, 3), x -> x * 2) AS a FROM orders WHERE order_id = 1")
+      .collect().head.getAs[scala.collection.Seq[Int]]("a")
+    assert(out.toSeq == Seq(2, 4, 6))
+  }
+
+  test("an explicit frame wider than the ROWS WINDOW buffer is capped at the buffer") {
+    import spark.implicits._
+    ctx.register("frame_t", (1 to 6).map(i => (1L, i.toLong, i * 10.0)).toDF("k", "seq", "v"))
+    // BUFFER 3 ROWS with a 100-row explicit frame: the reference's ring
+    // holds 3 rows, so the last row's sum is 40+50+60, not the full 210
+    val r = ctx.sql(
+      """SELECT seq, SUM(v) OVER (ROWS WINDOW BUFFER 3 ROWS PARTITION BY k ORDER BY seq
+         ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS s FROM frame_t""")
+      .collect().map(x => x.getAs[Long]("seq") -> x.getAs[Double]("s")).toMap
+    assert(r(6L) == 150.0)
+    assert(r(3L) == 60.0)
+  }
+
   test("GROUP BY auto-key extraction keeps only bare identifiers (FR-089 fallback)") {
     val sel = ctx.parseStatement(
       """SELECT region, product, SUM(qty) AS total FROM trades
