@@ -201,9 +201,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       recordResources(e.progress)
       val om = e.progress.observedMetrics
+      // Scope to queries THIS manager launched: several managers can
+      // share one session (one listener bus), and a same-named job in
+      // another manager would otherwise double-count into our state.
+      // Captured BEFORE the metricSpecs lock — lock order is
+      // JobManager → metricSpecs, never the reverse.
+      val owned: Set[String] = JobManager.this.synchronized {
+        jobs.collect { case (n, j) if j.handle.exists(_.id == e.progress.id) => n }.toSet
+      }
       metricSpecs.synchronized {
         metricSpecs.foreach { case (jobName, specs) =>
-          Option(om.get(s"graft-metrics-$jobName")).foreach { row =>
+          Option(om.get(s"graft-metrics-$jobName")).filter(_ => owned(jobName)).foreach { row =>
             specs.filter(observable).foreach { m =>
               val idx = row.schema.fieldIndex(m.name)
               val isNull = row.isNullAt(idx)
@@ -249,7 +257,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     Option(p.name).filter(_.startsWith("graft-job-")).map(_.stripPrefix("graft-job-"))
       .foreach { name =>
         JobManager.this.synchronized {
-          jobs.get(name).filter(_.limits.monitorsProgress).foreach { j =>
+          // ownership check: only the manager whose handle launched this
+          // query may account/enforce — a same-named job in another
+          // manager sharing the session must not be stopped for OUR limits
+          jobs.get(name).filter(j => j.limits.monitorsProgress
+            && j.handle.exists(_.id == p.id)).foreach { j =>
             val rows = p.stateOperators.map(_.numRowsTotal).sum.toDouble
             val mem = p.stateOperators.map(_.memoryUsedBytes).sum.toDouble
             val perRec = Option(p.durationMs.get("triggerExecution"))
@@ -464,6 +476,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           if (j.lastError.isDefined) j.breaker.recordFailure()
           else j.breaker.recordSuccess()
           j.handle = None
+          // invariant: no handle → not RUNNING. If processAllAvailable
+          // (or stop itself) threw something unexpected, the exception
+          // propagates BEFORE the caller sets its final status — without
+          // this, the job wedges as RUNNING-with-no-handle: un-startable,
+          // un-supervisable, and counted against the concurrency limit.
+          if (j.status == "RUNNING") j.status = "STOPPED"
         }
       }
     }

@@ -232,6 +232,7 @@ object SqlApp {
     var curName: Option[String] = None
     var curProps = Map.empty[String, String]
     var curMetrics = Vector.empty[MetricSpec]
+    var curMetricDropped = false
     var curPartitions: Option[Int] = None
     var curSticky: Option[Int] = None
     var curJobMode: Option[String] = None
@@ -257,6 +258,7 @@ object SqlApp {
         curName = None
         curProps = Map.empty
         curMetrics = Vector.empty
+        curMetricDropped = false
         curPartitions = None
         curSticky = None
         curJobMode = None
@@ -273,31 +275,35 @@ object SqlApp {
       else if (trimmed.startsWith("-- @name:")) curName = Some(tail(trimmed, "-- @name:"))
       else if (trimmed.startsWith("-- @metric:")) {
         val m = tail(trimmed, "-- @metric:")
-        // metric names follow the prometheus identifier shape
-        if (m.matches("[a-zA-Z_][a-zA-Z0-9_]*")) curMetrics :+= MetricSpec(m)
+        // metric names follow the prometheus identifier shape; an
+        // invalid name drops its WHOLE spec — including the @metric_*
+        // attribute lines that follow it, which would otherwise mutate
+        // the PREVIOUS metric (curMetrics.last) and silently convert it
+        if (m.matches("[a-zA-Z_][a-zA-Z0-9_]*")) { curMetrics :+= MetricSpec(m); curMetricDropped = false }
+        else curMetricDropped = true
       }
-      else if (trimmed.startsWith("-- @metric_type:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_type:") && curMetrics.nonEmpty && !curMetricDropped) {
         val t = tail(trimmed, "-- @metric_type:").toLowerCase
         if (Set("counter", "gauge", "histogram").contains(t))
           curMetrics = curMetrics.init :+ curMetrics.last.copy(metricType = t)
       }
-      else if (trimmed.startsWith("-- @metric_help:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_help:") && curMetrics.nonEmpty && !curMetricDropped) {
         val h = tail(trimmed, "-- @metric_help:").stripPrefix("\"").stripSuffix("\"")
         curMetrics = curMetrics.init :+ curMetrics.last.copy(help = Some(h))
       }
-      else if (trimmed.startsWith("-- @metric_labels:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_labels:") && curMetrics.nonEmpty && !curMetricDropped) {
         val ls = tail(trimmed, "-- @metric_labels:").split(',').map(_.trim).filter(_.nonEmpty).toVector
         curMetrics = curMetrics.init :+ curMetrics.last.copy(labels = ls)
       }
-      else if (trimmed.startsWith("-- @metric_field:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_field:") && curMetrics.nonEmpty && !curMetricDropped) {
         val f = tail(trimmed, "-- @metric_field:")
         if (f.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(field = Some(f))
       }
-      else if (trimmed.startsWith("-- @metric_condition:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_condition:") && curMetrics.nonEmpty && !curMetricDropped) {
         val c = tail(trimmed, "-- @metric_condition:")
         if (c.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(condition = Some(c))
       }
-      else if (trimmed.startsWith("-- @metric_sample_rate:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_sample_rate:") && curMetrics.nonEmpty && !curMetricDropped) {
         val raw = tail(trimmed, "-- @metric_sample_rate:")
         val r = try raw.toDouble catch {
           case _: NumberFormatException => throw new ParseException(
@@ -307,7 +313,7 @@ object SqlApp {
           throw new ParseException(s"Sample rate $r out of range. Must be between 0.0 and 1.0")
         curMetrics = curMetrics.init :+ curMetrics.last.copy(sampleRate = r)
       }
-      else if (trimmed.startsWith("-- @metric_buckets:") && curMetrics.nonEmpty) {
+      else if (trimmed.startsWith("-- @metric_buckets:") && curMetrics.nonEmpty && !curMetricDropped) {
         // demo-app form `100, 500, 1000`; bracketed `[…]` also admitted
         val raw = tail(trimmed, "-- @metric_buckets:").stripPrefix("[").stripSuffix("]")
         val bs = raw.split(',').map(_.trim).filter(_.nonEmpty).map { v =>
@@ -387,13 +393,16 @@ object SqlApp {
     d
   }
 
-  /** Index of the first top-level (outside string literals) ';'. */
+  /** Index of the first top-level ';' — outside string literals AND
+    * outside an inline `--` comment (a ';' inside `-- keep; drop`
+    * must not split the statement). */
   private def splitIndex(s: String): Int = {
     var i = 0
     var quote: Char = 0
     while (i < s.length) {
       val c = s(i)
       if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return -1 // comment runs to EOL
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return i
       i += 1
@@ -409,7 +418,11 @@ object SqlApp {
     * label-combo aggregates reach the driver):
     *  - counter — row count, or sum of `@metric_field` when set;
     *  - gauge — the latest `@metric_field` value per label series
-    *    (the reference's last-write-wins scrape semantics);
+    *    (the reference's last-write-wins scrape semantics; "latest"
+    *    follows partition evaluation order — a gauge over an unordered
+    *    multi-partition result is inherently scrape-order semantics,
+    *    not a deterministic aggregate; order or single-partition the
+    *    statement when exactness matters);
     *  - histogram — cumulative `le`-bucket counts + `_sum`/`_count`
     *    per label series, one aggregation pass for ALL buckets. */
   def run(ctx: VeloContext, content: String,

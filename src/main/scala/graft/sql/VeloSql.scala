@@ -234,7 +234,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         val tsCol = Seq(defaultTimeCol, "ts", "event_time", "_timestamp")
           .find(df.columns.contains)
         tsCol.foreach { c =>
-          df = df.where(col(c) >= current_timestamp() - expr(s"INTERVAL $sec SECOND"))
+          // `_timestamp` (and any integral time column) is INT64
+          // epoch-MILLIS per system-columns.md — comparing it to a
+          // timestamp would be a bigint-vs-timestamp mismatch, so the
+          // cutoff is computed in the column's own unit
+          val cutoff = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+              unix_millis(current_timestamp()) - lit(sec * 1000L)
+            case _ => current_timestamp() - expr(s"INTERVAL $sec SECOND")
+          }
+          df = df.where(col(c) >= cutoff)
         }
       }
       // 'table_model' = 'compact': serialized, spillable storage — the
@@ -247,6 +256,10 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       }
       df.count() // force the materialization, as CTAS ingestion does
       df.createOrReplaceTempView(name)
+      // a CTAS re-run under the same name replaces the view — release
+      // the PRIOR materialization's cache blocks or repeated refreshes
+      // leak executor storage for the session's lifetime
+      materialized.get(name).foreach(_.unpersist())
       materialized(name) = df
       df
 
@@ -268,7 +281,10 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       val routeKeys = VeloContext.routedKeys(s, cols).filter(df.columns.contains)
       val sinkDf =
         if (routeKeys.nonEmpty) df.repartition(routeKeys.map(col): _*) else df
-      s.into.foreach { sink =>
+      // file-sink writes are BATCH writes: a streaming CSAS body (e.g.
+      // inside START JOB) leaves the sink write to the job's own
+      // continuous writeStream — df.write on a streaming frame throws
+      if (!df.isStreaming) s.into.foreach { sink =>
         val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
         declared.get("path").orElse(declared.get("file"))
           .orElse(s.props.get(s"$sink.path")).orElse(s.props.get(s"$sink.file"))
@@ -285,7 +301,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
           spark.sql(s"SELECT * FROM VALUES $rowsSql AS t$colList")
       }
-      val aligned = incoming.toDF(existing.columns.toIndexedSeq: _*)
+      // An explicit column list BINDS the incoming columns by the listed
+      // names — `INSERT INTO t (b, a) VALUES (1, 2)` must write b=1,
+      // a=2. A blind positional rename to the table's order would
+      // silently swap values into the wrong columns. Unlisted table
+      // columns null-fill, per SQL semantics.
+      val aligned =
+        if (cols.nonEmpty) {
+          require(cols.length == incoming.columns.length,
+            s"INSERT column list has ${cols.length} names but the source produces ${incoming.columns.length}")
+          val named = incoming.toDF(cols.toIndexedSeq: _*)
+          named.select(existing.schema.fields.toIndexedSeq.map { f =>
+            if (cols.contains(f.name)) named(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        } else incoming.toDF(existing.columns.toIndexedSeq: _*)
       val unioned = existing.unionByName(aligned)
       unioned.createOrReplaceTempView(table)
       unioned
