@@ -18,8 +18,11 @@ import java.nio.file.{Files, Paths}
   * slowdown windows, which once corrupted a round artifact. A fixed
   * CPU-bound sentinel micro-job runs BEFORE and AFTER every timed query;
   * its wall time is a pure environment probe (same JIT-warm code every
-  * run). A query whose surrounding sentinels exceed `slowGate` versus the
-  * calibrated baseline is re-timed (up to 2 retries) until a run lands
+  * run). The baseline is a running MIN over every probe, so a calibration
+  * that itself landed in a stall self-corrects and flagged-but-unretried
+  * queries are re-checked against the final gate. A query whose
+  * surrounding sentinels exceed `slowGate` versus the baseline is
+  * re-timed (up to 2 retries) until a run lands
   * inside a clean window; the per-query sentinel guards and retry counts
   * are written into the artifact so a corrupted run is detectable — and
   * diagnosable — from the JSON alone.
@@ -62,10 +65,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     sentinel() // warm the sentinel's own codegen path before calibrating
-    val sentinelBaseline = (1 to 3).map(_ => sentinel()).min
+    // The calibration itself can land inside a stall (all 3 samples in one
+    // slow window → inflated baseline → detection silently disabled). The
+    // baseline is therefore a RUNNING MIN over EVERY sentinel observation:
+    // the first probe that lands in a clean window tightens the gate for
+    // the rest of the run, and a final re-check pass (below) re-times any
+    // query that was judged against the earlier, looser gate.
+    val calibrationBaseline = (1 to 3).map(_ => sentinel()).min
+    var sentinelBaseline = calibrationBaseline
+    def observedSentinel(): Double = {
+      val s = sentinel()
+      if (s < sentinelBaseline) sentinelBaseline = s
+      s
+    }
     // A window is "slow" when the probe runs well above baseline; the
     // absolute floor keeps a microsecond baseline from flagging noise.
-    val slowGate = math.max(2.5 * sentinelBaseline, sentinelBaseline + 0.4)
+    // A def, not a val: it tightens as the running-min baseline drops.
+    def slowGate: Double = math.max(2.5 * sentinelBaseline, sentinelBaseline + 0.4)
 
     // JVM-internal time sinks, to tell a query's own cost from engine
     // overheads the wall clock can't attribute (GC storms, JIT storms).
@@ -87,7 +103,7 @@ object Bench {
     def attempt(name: String): Attempt = {
       attemptSeq += 1
       val gc0 = gcMs(); val jit0 = jitMs()
-      val pre = sentinel()
+      val pre = observedSentinel()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val r =
@@ -113,7 +129,7 @@ object Bench {
           // relies on; only their cached data is contamination.
           try spark.catalog.clearCache() catch { case _: Throwable => () }
         }
-      val post = sentinel()
+      val post = observedSentinel()
       Attempt(r, math.max(pre, post), gcMs() - gc0, jitMs() - jit0)
     }
 
@@ -127,7 +143,7 @@ object Bench {
     // corrects to the real cost, a genuinely slow query is simply
     // measured twice and keeps its honest minimum.
     val minOf2Gate = sys.env.getOrElse("SPARK_GRAFT_MIN_OF_2_GATE", "2.5").toDouble
-    val results: Seq[(String, Q)] = names.map { name =>
+    val firstPass: Seq[(String, Q)] = names.map { name =>
       var best = attempt(name)
       var retries = 0
       // Re-time only when the run was timed inside a slow VM window (an
@@ -148,6 +164,20 @@ object Bench {
       val flag = if (best.clean) "" else " SLOW-WINDOW"
       System.err.println(f"[bench] $name%-24s ${best.r.sec}%8.3f s  rows=${best.r.rows}  guard=${best.guard}%.3f  gc=${best.gcDeltaMs}ms jit=${best.jitDeltaMs}ms$flag${best.r.err.map(" ERR " + _).getOrElse("")}")
       name -> Q(best.r, best.guard, retries)
+    }
+
+    // Re-check against the FINAL gate: if calibration was stalled, early
+    // queries were judged against an inflated gate and never retried. The
+    // running-min baseline has tightened by now, so any query whose guard
+    // exceeds the final gate gets one honest re-timing (bounded: one extra
+    // attempt per flagged query; erroring queries are left alone).
+    val results: Seq[(String, Q)] = firstPass.map { case (name, q) =>
+      if (q.r.err.isEmpty && q.guard > slowGate) {
+        val again = attempt(name)
+        if (again.r.err.isEmpty && (again.clean || again.r.sec < q.r.sec))
+          name -> Q(again.r, again.guard, q.retries + 1)
+        else name -> Q(q.r, q.guard, q.retries + 1)
+      } else name -> q
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -172,7 +202,7 @@ object Bench {
     val stdoutJson =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

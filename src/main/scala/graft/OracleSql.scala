@@ -25,6 +25,16 @@ object OracleSql {
   private val normText = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsOf = s"string_split($normText, ' ')"
 
+  /** Stopword-ratio scoring SQL used by the q29 and q60 oracles. The word
+    * LISTS come from the engine's own `TextAnalysis.stopwords` (they are a
+    * parameter of the operator, not its logic) so the three copies cannot
+    * drift; the DuckDB scoring expression itself stays independent of the
+    * Spark implementation. */
+  private def langScore(l: String): String = {
+    val lst = graft.operators.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
+  }
+
   private val base: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -78,13 +88,13 @@ object OracleSql {
       """WITH e AS (
            SELECT user_id, event_id, epoch_ms(ts)//1000 AS ep FROM events),
          f AS (
-           SELECT user_id, ep,
+           SELECT user_id, ep, event_id,
              CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800
                   THEN 1 ELSE 0 END AS ns
            FROM e),
          g AS (
            SELECT user_id, ep,
-             SUM(ns) OVER (PARTITION BY user_id ORDER BY ep
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM f)
          SELECT user_id, COUNT(*) AS n_events, MIN(ep) AS session_start,
@@ -280,19 +290,10 @@ object OracleSql {
          FROM ranked WHERE rk <= 10""",
 
     "q29_lang_id" -> {
-      val langs = Map(
-        "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
-        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
-        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
-        "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"))
-      def score(l: String) = {
-        val lst = langs(l).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
-      }
       s"""WITH t AS (SELECT doc_id, lang, $wordsOf AS ws FROM documents),
          s AS (SELECT doc_id, lang,
-           ${score("de")} AS s_de, ${score("en")} AS s_en,
-           ${score("es")} AS s_es, ${score("fr")} AS s_fr FROM t)
+           ${langScore("de")} AS s_de, ${langScore("en")} AS s_en,
+           ${langScore("es")} AS s_es, ${langScore("fr")} AS s_fr FROM t)
          SELECT doc_id, lang,
            CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
                 WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
@@ -447,20 +448,11 @@ object OracleSql {
     // keep-best dedup, near-dup closure, one survivor per cluster.
     // Composes the previously-green q29/q31/q56/q57 oracle pieces.
     "q60_curation" -> {
-      val langs = Map(
-        "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
-        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
-        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
-        "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"))
-      def score(l: String) = {
-        val lst = langs(l).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
-      }
       s"""WITH RECURSIVE t AS (
            SELECT doc_id, lang, n_chars, $normText AS norm, $wordsOf AS ws FROM documents),
          det AS (SELECT *,
-           ${score("de")} AS s_de, ${score("en")} AS s_en,
-           ${score("es")} AS s_es, ${score("fr")} AS s_fr FROM t),
+           ${langScore("de")} AS s_de, ${langScore("en")} AS s_en,
+           ${langScore("es")} AS s_es, ${langScore("fr")} AS s_fr FROM t),
          gated AS (
            SELECT doc_id, lang, n_chars, norm, ws,
              CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'

@@ -43,7 +43,11 @@ object ScaleProbe {
       docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
         (if (i == 0) col("text")
-         else translate(col("text"), alphabet, rotated(i))).as("text"),
+         // both cases: an uppercase-only doc left untranslated would be a
+         // cross-replica exact duplicate, breaking the M×-pairs invariant
+         else translate(col("text"),
+           alphabet + alphabet.toUpperCase,
+           rotated(i) + rotated(i).toUpperCase)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
 

@@ -23,6 +23,17 @@ object SparkEntry {
   private def davg(c: Column): Column = sum(money(c)).cast("double") / count(c)
   private def epochS(c: Column): Column = unix_timestamp(c)
 
+  /** The near-dup verified-pair pipeline shared by q57/q60/q69/q70:
+    * MinHash-LSH candidates over `text`, exact n-gram jaccard verify,
+    * keep pairs at ≥ 0.8. One definition so the threshold and LSH
+    * parameters cannot silently desynchronize across the four queries
+    * (they are all oracled against the same DuckDB closure). */
+  private def verifiedPairs(docs: DataFrame): DataFrame = {
+    val cand = Dedup.minhashLsh(docs, "text", "doc_id").select("id_a", "id_b")
+    Dedup.ngramJaccard(cand, docs, "text", "doc_id")
+      .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -656,10 +667,7 @@ object SparkEntry {
     //          DuckDB recursive-CTE closure) ----
     "q57_dedup_clusters" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
-      val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
-        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
-      Dedup.clusterPairs(verified).select(col("id").as("doc_id"), col("cluster_id"))
+      Dedup.clusterPairs(verifiedPairs(d)).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
     // ---- 70. the q57 closure FORCED down the distributed pointer-
@@ -669,10 +677,7 @@ object SparkEntry {
     //          driver-local finish on small edge sets ----
     "q70_dedup_clusters_dist" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
-      val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
-        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
-      Dedup.clusterPairs(verified, localThreshold = 0L)
+      Dedup.clusterPairs(verifiedPairs(d), localThreshold = 0L)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
@@ -688,8 +693,7 @@ object SparkEntry {
     //          (quotes-for-trades state-lookup shape; oracled) ----
     "q55_asof_join" -> ((s, dir) => {
       val o = T(s, dir, "orders")
-      val prev = o.select(col("o_custkey").as("p_custkey"), col("o_orderdate").as("prev_date"))
-        .withColumnRenamed("p_custkey", "o_custkey")
+      val prev = o.select(col("o_custkey"), col("o_orderdate").as("prev_date"))
       Joins.asOf(o, prev, "o_custkey", "o_orderdate", "prev_date",
           toleranceSeconds = 365L * 86400L, leftId = "o_orderkey", strict = true)
         .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
@@ -756,10 +760,7 @@ object SparkEntry {
     //          recursive-CTE closure + md5 thresholds ----
     "q69_leakage_split" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
-      val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
-        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
-      Sampling.leakageFreeSplit(d, "doc_id", verified)
+      Sampling.leakageFreeSplit(d, "doc_id", verifiedPairs(d))
         .select(col("doc_id"), col("split"))
     }),
 
@@ -813,10 +814,7 @@ object SparkEntry {
       // persist it once, as a production pipeline would checkpoint its
       // post-gate corpus
       val uniq = gated.join(keep, Seq("doc_id"), "left_semi").cache()
-      val cand = Dedup.minhashLsh(uniq, "text", "doc_id").select("id_a", "id_b")
-      val verified = Dedup.ngramJaccard(cand, uniq, "text", "doc_id")
-        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
-      val dropped = Dedup.clusterPairs(verified)
+      val dropped = Dedup.clusterPairs(verifiedPairs(uniq))
         .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
       uniq.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("detected"))
