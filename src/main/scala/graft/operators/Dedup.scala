@@ -19,12 +19,16 @@ import graft.functions.GraftKernels
 object Dedup {
 
   /** Exact dedup: keep the first (lowest id) document per normalized-text
-    * hash. Hash-groupBy — one shuffle on the 64-bit content hash.
+    * hash. Hash-groupBy — one shuffle on the 128-bit content hash
+    * (md5 as 16-byte binary: at 10^10 docs a 64-bit hash expects ~2-3
+    * colliding pairs, each silently merging two DISTINCT documents; at
+    * 128 bits the expectation is ~10^-19 — "exact" stays exact at the
+    * 100 TB scale this file targets).
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     docs
-      .withColumn("content_hash", xxhash64(norm))
+      .withColumn("content_hash", unhex(md5(norm)))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
@@ -32,13 +36,13 @@ object Dedup {
   /** Exact dedup with a KEEP POLICY: per normalized-content group keep
     * the row maximizing `score` (ties → lowest id) — the standard
     * curation move of keeping the best-quality copy of each duplicate
-    * cluster rather than an arbitrary one. Same single-shuffle shape as
-    * `exact`. */
+    * cluster rather than an arbitrary one. Same single-shuffle,
+    * 128-bit-hash shape as `exact`. */
   def exactKeepBest(docs: DataFrame, textCol: String, idCol: String,
                     score: Column): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     docs
-      .withColumn("content_hash", xxhash64(norm))
+      .withColumn("content_hash", unhex(md5(norm)))
       .groupBy(col("content_hash"))
       // structs compare lexicographically: max score first, then max(-id)
       // = min id — exact for any id magnitude / fractional score
@@ -132,8 +136,16 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
-    * 16-bit chunks; docs sharing any chunk value are candidates (≤ 3 bit
-    * flips guarantee). Verification = exact Hamming distance.
+    * 16-bit chunks; docs sharing any chunk value are candidates.
+    * Verification = exact Hamming distance ≤ maxHamming.
+    *
+    * RECALL CONTRACT: by pigeonhole the banding guarantees a candidate
+    * only for pairs with ≤ 3 differing bits (3 flips leave one of the 4
+    * chunks intact), so the default maxHamming is 3 — the largest
+    * distance with complete recall. Larger values are accepted but
+    * BEST-EFFORT: a pair at hamming 4+ surfaces only when its flips
+    * happen to cluster into ≤ 3 chunks, so the pair set is incomplete
+    * and unevenly so.
     *
     * Pair generation is a capped band-bucket SELF-JOIN (hot buckets >
     * maxBucket dropped — boilerplate clusters): every stage is a
@@ -141,7 +153,7 @@ object Dedup {
     * collect_list rows holding whole buckets in memory.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 8, maxBucket: Int = 256): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
@@ -206,10 +218,12 @@ object Dedup {
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
       val nodes = arr.iterator.map(_._1).toArray.distinct
-      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      // union always points the larger root at the smaller and the
+      // component's min id can never lose a union, so find(n) IS the
+      // component minimum — no second min-of-root pass needed
       val spark = pairs.sparkSession
       import spark.implicits._
-      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "cluster_id")
+      return nodes.toSeq.map(n => (n, find(n))).toDF("id", "cluster_id")
     }
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("cluster_id")).cache()
@@ -239,7 +253,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Hand back a SELF-RECLAIMING result: materialize the (small) label
+    // table into localCheckpoint blocks — freed by the ContextCleaner
+    // once the caller drops the DataFrame — and release the loop's
+    // CacheManager entry, which would otherwise pin executor storage
+    // forever (callers like leakageFreeSplit drop the handle, so they
+    // could never unpersist it themselves).
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs — the verify

@@ -65,7 +65,13 @@ object Joins {
         right(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"),
       joinType)
       .drop(right(key))
-    val w = Window.partitionBy(left(leftId)).orderBy(right(rightTs).desc_nulls_last)
+    // Equal-timestamp right rows would otherwise tie in the rank and the
+    // kept enrichment row would follow shuffle order — different columns
+    // on different reruns/cluster layouts. Break ties by a content hash
+    // of the right row so the result is a pure function of the data.
+    val rightTieBreak = xxhash64(right.columns.filterNot(_ == key).map(right(_)): _*)
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(right(rightTs).desc_nulls_last, rightTieBreak.asc)
     cand.withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1).drop("_rk")
   }
@@ -90,6 +96,10 @@ object Joins {
         "left_semi", "anti", "leftanti", "left_anti")(joinType.toLowerCase),
       s"saltedJoin supports inner/left/semi/anti join types; '$joinType' would " +
         "duplicate the replicated side's unmatched rows")
+    // salt <= 0 would not fail: pmod(_, 0) yields null salts on the fact
+    // side and sequence(0, salt-1) still emits rows, so the join silently
+    // returns zero (inner) or all-null-padded (left) rows
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val saltedFact = fact.withColumn("_salt", pmod(xxhash64(factSaltSource), lit(salt)).cast("int"))
     val replicated = other
       .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))

@@ -133,10 +133,15 @@ object Similarity {
     val qb = banded(queries, "query_id", "qv")
     val cand = cbCapped.join(qb, Seq("band", "chunk"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
+      // score IN the join row, BEFORE the pair-dedup exchange: duplicate
+      // multi-band candidates carry identical vectors, so cos is the
+      // same on every copy and only slim (query_id, neighbor_id, cos)
+      // rows shuffle — not ~8 KB of qv/cv per row at dim=1024 (same
+      // pre-exchange-scoring rule as embeddingNearDupPairsLsh)
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    topKPerQuery(cand.select("query_id", "neighbor_id", "cos"), k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(cand, k)
   }
 
   /** Exact cosine similarity self-join (all pairs with cos ≥ minCos) via
@@ -302,10 +307,12 @@ object Similarity {
           GraftKernels.nearestCentroidsCol(col(v), cents, nC, dim, probes, floatElems = true)))
     val cb = cellify(corpus, "neighbor_id", "cv", 1)
     val qb = cellify(queries, "query_id", "qv", nprobe)
+    // No pair dedup needed: each corpus vector lives in exactly ONE cell
+    // (probes=1) and the kernel's taken[] array makes a query's nprobe
+    // cells distinct, so a (query, neighbor) pair arises from at most
+    // one cell — a dropDuplicates here would be a pure wasted exchange.
     val cand = cb.join(qb, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKPerQuery(cand.select("query_id", "neighbor_id", "cos"), k)
   }
@@ -464,6 +471,28 @@ object Similarity {
     topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
   }
 
+  /** Cosine of `v` against every centroid of the flattened array — the
+    * SAME metric, NaN pinning (→ -inf), and lowest-index tie order as
+    * the `nearestCentroids` kernel, so `ivfTopK` and `ivfPqTopK`
+    * partition the corpus into identical cells for the same quantizer. */
+  private def centroidCosines(v: Array[Double], cents: Array[Double],
+                              nC: Int, dim: Int): Array[Double] = {
+    var nv = 0.0; var i = 0
+    while (i < dim) { nv += v(i) * v(i); i += 1 }
+    nv = math.sqrt(nv)
+    val out = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      val base = c * dim
+      var dot = 0.0; var nc2 = 0.0; var j = 0
+      while (j < dim) { val cd = cents(base + j); dot += v(j) * cd; nc2 += cd * cd; j += 1 }
+      val s = dot / (nv * math.sqrt(nc2))
+      out(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+      c += 1
+    }
+    out
+  }
+
   private def normalized(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -596,11 +625,16 @@ object Similarity {
     val (cents, cb) = (centroids, codebooks) match {
       case (Some(ce), Some(code)) => (ce, code)
       case _ =>
-        lazy val sample = collectTrainSample(corpus, idCol, vecCol, dim, 65536)
-        val ce = centroids.getOrElse {
-          require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
-          lloyd(sample, nCentroids, dim, 10)
+        // size the one sample collect to its consumers: the codebook
+        // trainer only reads a 16384-row prefix, so when centroids are
+        // supplied a 65536-row collect would be 4× wasted driver memory
+        val sample = {
+          val rows = if (centroids.isEmpty) 65536 else 16384
+          val s = collectTrainSample(corpus, idCol, vecCol, dim, rows)
+          require(s.nonEmpty, "cannot train a quantizer on an empty corpus")
+          s
         }
+        val ce = centroids.getOrElse(lloyd(sample, nCentroids, dim, 10))
         val code = codebooks.getOrElse(
           pqCodebooksFromSample(sample.take(16384).map(normalized), dim, m, 10))
         (ce, code)
@@ -621,15 +655,12 @@ object Similarity {
         rows.map { r =>
           val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
           val v = normalized(raw)
-          // nearest coarse cell on the RAW vector (same metric as ivfTopK)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < nC) {
-            var d = 0.0; var j = 0
-            while (j < dim && d < bestD) { val t = raw(j) - ce(c * dim + j); d += t * t; j += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
+          // nearest coarse cell by COSINE — genuinely the same metric
+          // (and tie order) as ivfTopK's nearestCentroids kernel, so
+          // both operators probe identical cells for a shared quantizer
+          val scores = centroidCosines(raw, ce, nC, dim)
+          var best = 0; var c = 1
+          while (c < nC) { if (scores(c) > scores(best)) best = c; c += 1 }
           org.apache.spark.sql.Row(r.getLong(0), best, encodeVec(v, code, m, dsub))
         }
       }(idxEnc)
@@ -638,13 +669,11 @@ object Similarity {
     val probing: Map[Int, Array[(Long, Array[Double])]] = qRows.flatMap { r =>
       val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
       val lut = adcLut(normalized(raw), cb, m, dsub)
-      // nprobe nearest cells by L2 on the raw vector
-      val ds = Array.tabulate(nC) { c =>
-        var d = 0.0; var j = 0
-        while (j < dim) { val t = raw(j) - cents(c * dim + j); d += t * t; j += 1 }
-        (d, c)
-      }
-      ds.sortBy(_._1).take(nprobe).map { case (_, c) => c -> (r.getLong(0), lut) }
+      // nprobe nearest cells by cosine, descending — same selection
+      // order as the kernel (ties to the lowest cell index)
+      val scores = centroidCosines(raw, cents, nC, dim)
+      Array.tabulate(nC)(identity).sortBy(c => (-scores(c), c))
+        .take(math.min(nprobe, nC)).map(c => c -> (r.getLong(0), lut))
     }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcProbe = spark.sparkContext.broadcast(probing)
     val keep = refine * k
