@@ -35,6 +35,11 @@ object OracleSql {
     s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
   }
 
+  /** `wordsOf` minus the phantom empty token DuckDB's string_split (like
+    * Spark's split) yields on empty text — mirrors
+    * TextAnalysis.nonEmptyWords for counting surfaces. */
+  private val neWordsOf = s"list_filter($wordsOf, w -> w <> '')"
+
   private val base: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -306,20 +311,20 @@ object OracleSql {
     "q30_text_quality" ->
       s"""SELECT doc_id,
          ROUND(CAST(LENGTH(text) AS DOUBLE), 4) AS n_chars_m,
-         ROUND(CAST(len($wordsOf) AS DOUBLE), 4) AS n_words,
-         ROUND((CAST(LENGTH($normText) AS DOUBLE) - (len($wordsOf) - 1))
-               / greatest(CAST(len($wordsOf) AS DOUBLE), 1.0), 4) AS mean_word_len,
+         ROUND(CAST(len($neWordsOf) AS DOUBLE), 4) AS n_words,
+         ROUND((CAST(LENGTH($normText) AS DOUBLE) - greatest(len($neWordsOf) - 1, 0))
+               / greatest(CAST(len($neWordsOf) AS DOUBLE), 1.0), 4) AS mean_word_len,
          ROUND(CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
                / greatest(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
          ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
                / greatest(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS upper_ratio,
          ROUND(CAST(len(list_filter($wordsOf, w -> list_contains(['the','and','of','to','in','is','that','for','with','was'], w))) AS DOUBLE)
-               / greatest(CAST(len($wordsOf) AS DOUBLE), 1.0), 4) AS stopword_ratio
+               / greatest(CAST(len($neWordsOf) AS DOUBLE), 1.0), 4) AS stopword_ratio
          FROM documents""",
 
     "q31_token_count" ->
       s"""SELECT doc_id,
-         len($wordsOf) AS n_tokens_ws,
+         len($neWordsOf) AS n_tokens_ws,
          LENGTH(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', '#', 'g'))
            - LENGTH(REPLACE(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', '#', 'g'), '#', '')) AS n_tokens_bpe
          FROM documents""",
@@ -375,7 +380,7 @@ object OracleSql {
     // does); only the surfaced fractions are ROUND(x,4).
     "q65_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
-         wc AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         wc AS (SELECT * FROM (SELECT doc_id, unnest(ws) AS word FROM w) WHERE word <> ''),
          stats AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
                      COUNT(*) AS nd, MAX(cnt) AS topn
                    FROM (SELECT doc_id, word, COUNT(*) AS cnt FROM wc GROUP BY doc_id, word) t
@@ -461,7 +466,8 @@ object OracleSql {
                   WHEN s_en >= s_de THEN 'en'
                   ELSE 'de' END AS detected
            FROM det),
-         g AS (SELECT * FROM gated WHERE detected = lang AND len(ws) >= 5),
+         g AS (SELECT * FROM gated
+               WHERE detected = lang AND len(list_filter(ws, w -> w <> '')) >= 5),
          keep AS (
            SELECT doc_id FROM (
              SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY norm

@@ -44,8 +44,15 @@ object Contamination {
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
     val candidate = cg.join(bg.select("g").distinct(), Seq("g"), "left_semi")
-    val df = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
-    val kept = candidate.join(df.where(col("_df") <= maxDf), Seq("g")).drop("_df")
+    // per-gram DF via a window, NOT a groupBy+join-back: the candidate
+    // subtree (corpus scan + shingle explode + semi-join) would appear
+    // twice in that plan and — with the bench side broadcast, so no
+    // reusable exchange — the corpus would genuinely be scanned and
+    // shingled twice. The window pays one shuffle of the bench-matching
+    // grams (bounded by the eval sets) instead of a second corpus pass.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val kept = candidate.withColumn("_df", count(lit(1)).over(w))
+      .where(col("_df") <= maxDf).drop("_df")
     kept.join(bg, Seq("g"))
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))

@@ -67,6 +67,8 @@ object Multimodal {
     * executor memory; decode cost dominates → scale executors linearly.
     */
   def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    // fail at the driver, not as ArithmeticException storms inside tasks
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     val enc = ExpressionEncoder(featureSchema)
     media.select(col("media_id"), col("media_type"), col("payload"))
       .mapPartitions { rows =>
@@ -299,18 +301,47 @@ object Multimodal {
             val nFrames = ais.getFrameLength
             val pcm = ais.readAllBytes()
             ais.close()
-            var peak = 0; var sumAbs = 0L
-            var i = 0
-            while (i + 1 < pcm.length) {
-              val s = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toInt
-              val a = math.abs(s)
-              if (a > peak) peak = a
-              sumAbs += a
-              i += 2
+            // decode per the container's ACTUAL format — 8/16-bit PCM
+            // signed/unsigned, any channel count, either endianness —
+            // and average over the samples actually read (a truncated
+            // data chunk must not deflate the mean via the header frame
+            // count). peak/mean_abs are per-sample across all channels,
+            // in the 16-bit range (8-bit samples scale by 256). Other
+            // encodings (float, a-law/µ-law) → null stats, not garbage.
+            val bits = fmt.getSampleSizeInBits
+            val enc0 = fmt.getEncoding
+            val signed = enc0 == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val unsigned = enc0 == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if (!(signed || unsigned) || (bits != 8 && bits != 16))
+              Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, null, null)
+            else {
+              val big = fmt.isBigEndian
+              var peak = 0; var sumAbs = 0L; var nSamples = 0L
+              var i = 0
+              if (bits == 8) {
+                while (i < pcm.length) {
+                  val s = (if (signed) pcm(i).toInt else (pcm(i) & 0xFF) - 128) * 256
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  sumAbs += a; nSamples += 1
+                  i += 1
+                }
+              } else {
+                while (i + 1 < pcm.length) {
+                  val u =
+                    if (big) ((pcm(i) & 0xFF) << 8) | (pcm(i + 1) & 0xFF)
+                    else (pcm(i) & 0xFF) | ((pcm(i + 1) & 0xFF) << 8)
+                  val s = if (signed) u.toShort.toInt else u - 32768
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  sumAbs += a; nSamples += 1
+                  i += 2
+                }
+              }
+              // zero-length audio: mean over no samples is 0, not NaN
+              val mean = if (nSamples > 0) sumAbs.toDouble / nSamples else 0.0
+              Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, peak, mean)
             }
-            // zero-length audio: mean over no frames is 0, not NaN
-            val mean = if (nFrames > 0) sumAbs.toDouble / nFrames else 0.0
-            Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, peak, mean)
           }
         }
       }(enc)
@@ -425,9 +456,18 @@ object Multimodal {
     * multimodal pipeline.
     */
   def sampleChunks(media: DataFrame, chunkBytes: Int = 64, stride: Int = 4): DataFrame = {
+    require(chunkBytes >= 1, s"chunkBytes must be >= 1, got $chunkBytes")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media
-      .withColumn("n_chunks", (length(col("payload")) / chunkBytes).cast("int"))
-      .withColumn("chunk_idx", explode(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0)), lit(stride))))
+      // null/empty payloads emit NO rows (the sampleAndDecodeFrames
+      // contract), and n_chunks rounds UP so a trailing partial chunk is
+      // a real (short) chunk regardless of total payload length — floor
+      // would emit a short chunk for payloads under chunkBytes but
+      // silently drop the tail of longer ones
+      .where(col("payload").isNotNull && length(col("payload")) > 0)
+      .withColumn("n_chunks",
+        ((length(col("payload")) + chunkBytes - 1) / chunkBytes).cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1, lit(stride))))
       .withColumn("chunk", expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
       .select(col("media_id"), col("media_type"), col("chunk_idx"), col("chunk"))
   }

@@ -26,9 +26,14 @@ object Sketches {
                       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val total = df.count()
-    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
-    val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    // nulls: the CMS builder skips them but groupBy reports the null
+    // group, and sketch.estimateCount(null) throws on the driver —
+    // exclude them consistently (the report covers non-null keys; the
+    // eps·N bound uses the same non-null total the sketch saw)
+    val rows = df.where(col(keyCol).isNotNull)
+    val total = rows.count()
+    val sketch = rows.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val top = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol))
       .limit(k)
       .collect() // ≤ k rows — the heavy-hitter report itself

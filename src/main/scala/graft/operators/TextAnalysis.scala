@@ -24,8 +24,18 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
     "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"))
 
+  /** NOTE: on empty / whitespace-only text this yields `[""]` (split
+    * with limit -1 never returns an empty array) — every token of
+    * NON-degenerate text is non-empty, but counting surfaces must use
+    * [[nonEmptyWords]] or a zero-content document reports one phantom
+    * word. */
   def words(textCol: Column): Column =
     split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+
+  /** `words` minus the phantom empty token a zero-content document
+    * produces — the correct basis for word COUNTS. */
+  def nonEmptyWords(textCol: Column): Column =
+    filter(words(textCol), w => length(w) > 0)
 
   def langScore(textCol: Column, lang: String): Column = {
     val ws = words(textCol)
@@ -56,7 +66,9 @@ object TextAnalysis {
     // exactly the whitespace-framed text a crawl corpus is full of
     val nlen = length(trim(regexp_replace(lower(textCol), "\\s+", " "))).cast("double")
     val ws = words(textCol)
-    val nWords = size(ws).cast("double")
+    // counts use the non-empty basis: an empty document has 0 words, not
+    // the 1 phantom token split() yields (see words() note)
+    val nWords = size(nonEmptyWords(textCol)).cast("double")
     val punct = length(regexp_replace(textCol, "[^.,;:!?'\"()]", "")).cast("double")
     val upper0 = length(regexp_replace(textCol, "[^A-Z]", "")).cast("double")
     val enStops = stopwords("en")
@@ -64,14 +76,17 @@ object TextAnalysis {
     Seq(
       "n_chars_m" -> len,
       "n_words" -> nWords,
-      "mean_word_len" -> (nlen - (nWords - 1)) / greatest(nWords, lit(1.0d)),
+      // greatest(nWords-1, 0): at nWords = 0 the naive (nlen - (nWords-1))
+      // would report mean word length 1 for a zero-word document
+      "mean_word_len" -> (nlen - greatest(nWords - 1, lit(0.0d))) / greatest(nWords, lit(1.0d)),
       "punct_ratio" -> punct / greatest(len, lit(1.0d)),
       "upper_ratio" -> upper0 / greatest(len, lit(1.0d)),
       "stopword_ratio" -> stopHits / greatest(nWords, lit(1.0d)))
   }
 
-  /** Whitespace token count. */
-  def tokenCountWs(textCol: Column): Column = size(words(textCol))
+  /** Whitespace token count — 0 for an empty or whitespace-only
+    * document (non-empty word basis). */
+  def tokenCountWs(textCol: Column): Column = size(nonEmptyWords(textCol))
 
   /** BPE-ish token count: splits on word boundaries and punctuation the
     * way a byte-pair tokenizer's pre-tokenizer does (letters / digits /
@@ -99,12 +114,19 @@ object TextAnalysis {
     * skew-free: a document's work is bounded by its own length, never by
     * corpus size); the 2-gram fraction is a pure array expression on the
     * shingle kernel (no shuffle at all). No per-doc quadratic HOF scans.
+    *
+    * A document with NO words (empty/whitespace-only text) produces no
+    * output row — there is nothing to measure; gate those with
+    * `qualityMetrics`' n_chars instead. (Without the filter the phantom
+    * empty token would count as a real word and flag the doc as
+    * 100%-repetition spam.)
     */
   def repetitionMetrics(docs: DataFrame, textCol: String, idCol: String,
                         maxTopWordFrac: Double = 0.20,
                         maxDup2gramFrac: Double = 0.20): DataFrame = {
     val wordStats = docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("wn"))
       .groupBy("doc_id").agg(
         sum("wn").as("n_words"),

@@ -52,10 +52,19 @@ object TimeWindows {
       .withColumn("window_end", col("window_start") + lit(sizeSeconds))
   }
 
-  /** SESSION(gap): events closer than `gap` merge into one session.
-    * Batch realization: gaps-and-islands — lag + cumulative session id
-    * per key, then aggregate. In streaming, use `session_window()` (see
-    * graft.streaming.StreamWindows) — same semantics, state-store backed.
+  /** SESSION(gap): a new session starts when the gap to the previous
+    * event EXCEEDS `gap` — events exactly `gap` apart merge, matching
+    * the reference engine (session.rs:245: `timestamp - last_time >
+    * gap_duration_ms`). Batch realization: gaps-and-islands — lag +
+    * cumulative session id per key, then aggregate.
+    *
+    * BOUNDARY vs streaming: Spark's `session_window()` (the streaming
+    * path, graft.streaming.StreamOps.sessionAgg) closes a session at
+    * `diff >= gap` (window is [start, last+gap)), so an event exactly
+    * `gap` after the last starts a NEW session there. On
+    * second-granularity timestamps, pass `gap+1` seconds to the
+    * streaming gap to replicate this operator's (and the reference's)
+    * strict-`>` boundary.
     *
     * Scale: one shuffle on keys (window partition), then aggregation
     * within partitions; no global sort.

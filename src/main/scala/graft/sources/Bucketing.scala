@@ -17,15 +17,18 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:"), table)
-    if (warehouse.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(warehouse)
-    }
+    // Clear an orphaned managed location (crashed previous writer):
+    // resolve the path the way the CATALOG will — defaultTablePath
+    // handles db-qualified names, identifier case folding, and any
+    // filesystem scheme (hdfs/s3a/file), where a java.io.File against
+    // the warehouse dir would silently no-op on everything non-local
+    // and saveAsTable would then fail on "location already exists".
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ident = classic.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      classic.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(classic.sessionState.newHadoopConf())
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write
       .format("parquet")
       .bucketBy(buckets, bucketCol)

@@ -136,4 +136,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(m(2L)._2 > 0.5 && !m(2L)._3)                  // "buy now buy" style dup 2-grams
     assert(m(3L)._1 <= 0.2 && m(3L)._2 <= 0.2 && m(3L)._3)
   }
+
+  test("zero-content docs: word counts are 0 and repetitionMetrics emits no row") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, " \t\n "), (3L, "real words here")).toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n")).toMap
+    // split() yields [""] on empty text — the count must not report the
+    // phantom token as a word
+    assert(counts == Map(1L -> 0, 2L -> 0, 3L -> 3))
+    val q = docs.select(
+      col("doc_id") +: TextAnalysis.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Double]("n_words"), r.getAs[Double]("mean_word_len"))).toMap
+    assert(q(1L) == ((0.0, 0.0)) && q(2L) == ((0.0, 0.0)))
+    val reps = TextAnalysis.repetitionMetrics(docs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reps == Set(3L)) // nothing to measure on wordless docs
+  }
 }

@@ -29,6 +29,31 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     assert(byTrade == Map(1L -> 10.0, 2L -> 11.0)) // trade 3: nearest quote 300s stale; trade 4: 140s stale
   }
 
+  test("asOf: equal-timestamp right rows resolve deterministically across reruns") {
+    import spark.implicits._
+    val trades = Seq((1L, "AAPL", ts(100))).toDF("trade_id", "sym", "t_ts")
+    // two quotes with the SAME timestamp in the band: the winner must be
+    // a function of the data (content-hash tie-break), not shuffle order
+    val quotes = Seq(
+      ("AAPL", ts(90), 10.0), ("AAPL", ts(90), 11.0)
+    ).toDF("sym", "q_ts", "px").repartition(4)
+    val picks = (1 to 3).map { _ =>
+      Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
+        toleranceSeconds = 100L, leftId = "trade_id")
+        .collect().map(_.getAs[Double]("px")).toSeq
+    }
+    assert(picks.head.size == 1 && picks.distinct.size == 1)
+  }
+
+  test("saltedJoin rejects non-positive salt instead of silent data loss") {
+    import spark.implicits._
+    val f = Seq((1L, "x")).toDF("k", "v")
+    val d = Seq((1L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(f, d, "k", col("k"), salt = 0)
+    }
+  }
+
   test("interval join bounds matches to the time band") {
     import spark.implicits._
     val l = Seq((1L, ts(1000)), (2L, ts(5000))).toDF("k", "lts")

@@ -67,6 +67,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.collect().forall(_.getAs[Array[Byte]]("chunk").length == 64))
   }
 
+  test("sampleChunks: trailing partial chunk kept, empty/null payloads emit no rows") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, "audio", Array.fill[Byte](100)(1)),   // 64 + 36-byte tail
+      (2L, "audio", Array.empty[Byte]),          // no rows
+      (3L, "audio", null.asInstanceOf[Array[Byte]])) // no rows
+      .toDF("media_id", "media_type", "payload")
+    val out = Multimodal.sampleChunks(m, chunkBytes = 64, stride = 1).collect()
+    assert(out.map(_.getAs[Long]("media_id")).distinct.toSeq == Seq(1L))
+    val chunks = out.sortBy(_.getAs[Int]("chunk_idx"))
+      .map(r => r.getAs[Int]("chunk_idx") -> r.getAs[Array[Byte]]("chunk").length)
+    // the 36-byte tail is a real chunk — not dropped because the payload
+    // happens to exceed chunkBytes
+    assert(chunks.toSeq == Seq(0 -> 64, 1 -> 36))
+  }
+
   test("real PNG round-trip: encode on executors, decode recovers exact pixels") {
     import spark.implicits._
     val docs = Seq((0L, 100L), (5L, 999L), (12L, 256L), (77L, 3L))

@@ -19,4 +19,14 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1000L, 500L, 333L, 250L, 200L))
     assert(out.forall(_.getAs[Boolean]("est_ok")))
   }
+
+  test("cmsHeavyHitters: null keys are excluded, not a driver crash") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(Some(7L)) ++ Seq.fill(100)(Option.empty[Long]) ++
+      Seq.fill(20)(Some(3L))).toDF("user_id")
+    val out = Sketches.cmsHeavyHitters(df, "user_id", 5).collect()
+    assert(out.map(_.getAs[String]("user_id")).toSeq == Seq("7", "3"))
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(50L, 20L))
+    assert(out.forall(_.getAs[Boolean]("est_ok")))
+  }
 }
