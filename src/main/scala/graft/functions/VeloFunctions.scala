@@ -65,7 +65,9 @@ object VeloFunctions {
   /** DATEDIFF in whole days (b - a). */
   def veloDateDiff(a: Column, b: Column): Column = datediff(b, a)
   def veloUnixTimestamp(ts: Column): Column = unix_timestamp(ts)
-  def veloFromUnixtime(epoch: Column): Column = to_timestamp(from_unixtime(epoch))
+  // timestamp_seconds: direct arithmetic cast — to_timestamp(from_unixtime(..))
+  // would pay a per-row format-then-parse string round-trip for the same value
+  def veloFromUnixtime(epoch: Column): Column = timestamp_seconds(epoch)
   /** TUMBLE_START: epoch-aligned bucket start (seconds). */
   def tumbleStart(ts: Column, sizeSeconds: Long): Column =
     (floor(unix_timestamp(ts) / sizeSeconds) * sizeSeconds).cast("long")

@@ -58,6 +58,8 @@ object SchemaRegistryHttp {
             case 'n' => sb += '\n'; i += 2
             case 'r' => sb += '\r'; i += 2
             case 't' => sb += '\t'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
             case 'u' if i + 5 < body.length =>
               sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
             case c => sb += c; i += 2
@@ -113,11 +115,16 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
             case None => notFound(ex, 40401, s"Subject '$s' not found.")
           }
 
-        case ("GET", "subjects" :: s :: "versions" :: n :: Nil) if n.forall(_.isDigit) =>
+        // length cap: an all-digit version beyond Int range must be a
+        // 404 (version cannot exist), not a 500 from toInt blowing up
+        case ("GET", "subjects" :: s :: "versions" :: n :: Nil)
+            if n.nonEmpty && n.length <= 9 && n.forall(_.isDigit) =>
           registry.get(s, n.toInt) match {
             case Some(sch) => respond(ex, 200, schemaPayload(s, n.toInt, sch))
             case None => notFound(ex, 40402, s"Version $n not found.")
           }
+        case ("GET", "subjects" :: _ :: "versions" :: n :: Nil) if n.forall(_.isDigit) =>
+          notFound(ex, 40402, s"Version $n not found.")
 
         case ("POST", "subjects" :: s :: "versions" :: Nil) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)

@@ -61,6 +61,12 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
   def recordFailure(): Unit = synchronized {
     currentState match {
       case CircuitBreaker.HalfOpen => trip() // the trial failed — back to OPEN
+      // already OPEN: straggler reports from launches that predate the
+      // trip must not extend the outage — without this (and the counter
+      // reset in trip()) a trickle of late failures arriving faster than
+      // the recovery timeout would re-trip forever and HALF_OPEN would
+      // never be reached
+      case CircuitBreaker.Open => ()
       case _ =>
         consecutiveFailures += 1
         if (consecutiveFailures >= config.failureThreshold) trip()
@@ -70,6 +76,7 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
   private def trip(): Unit = {
     state = CircuitBreaker.Open
     openedAt = clock()
+    consecutiveFailures = 0
     consecutiveSuccesses = 0
   }
 

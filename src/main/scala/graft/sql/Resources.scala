@@ -64,15 +64,26 @@ object Resources {
       * `WITH (...)` clause; unset keys inherit `base`. A malformed
       * number is a statement error, not a silently-ignored limit. */
     def fromProps(props: Map[String, String], base: Limits): Limits = {
+      // a limit must be a POSITIVE number: zero/negative would make
+      // enforcement kill the job on its first progress event while
+      // level() (which guards l > 0) reports the resource as OK
       def long(k: String): Option[Long] = props.get(k).map { v =>
-        try v.trim.toLong
-        catch { case _: NumberFormatException =>
-          throw new VeloSqlParser.ParseException(s"$k must be an integer, got '$v'") }
+        val n =
+          try v.trim.toLong
+          catch { case _: NumberFormatException =>
+            throw new VeloSqlParser.ParseException(s"$k must be an integer, got '$v'") }
+        if (n <= 0) throw new VeloSqlParser.ParseException(
+          s"$k must be a positive integer, got '$v'")
+        n
       }
       def dbl(k: String): Option[Double] = props.get(k).map { v =>
-        try v.trim.toDouble
-        catch { case _: NumberFormatException =>
-          throw new VeloSqlParser.ParseException(s"$k must be a number, got '$v'") }
+        val n =
+          try v.trim.toDouble
+          catch { case _: NumberFormatException =>
+            throw new VeloSqlParser.ParseException(s"$k must be a number, got '$v'") }
+        if (n.isNaN || n <= 0) throw new VeloSqlParser.ParseException(
+          s"$k must be a positive number, got '$v'")
+        n
       }
       Limits(
         maxAggregationGroups = long("max_aggregation_groups").orElse(base.maxAggregationGroups),
@@ -80,7 +91,12 @@ object Resources {
         maxProcessingTimePerRecordMs =
           dbl("max_processing_time_per_record").orElse(base.maxProcessingTimePerRecordMs),
         maxConcurrentOperations =
-          long("max_concurrent_operations").map(_.toInt).orElse(base.maxConcurrentOperations),
+          long("max_concurrent_operations").map { n =>
+            // Long→Int would silently wrap (2147483648 → -2147483648)
+            if (n > Int.MaxValue) throw new VeloSqlParser.ParseException(
+              s"max_concurrent_operations must be at most ${Int.MaxValue}, got '$n'")
+            n.toInt
+          }.orElse(base.maxConcurrentOperations),
         warningPct = base.warningPct,
         criticalPct = base.criticalPct)
     }

@@ -1046,7 +1046,17 @@ object VeloSqlParser {
             i = end
           case "SET_HEADER" =>
             val (args, end) = callArgs(i + 1)
-            out += id("map_concat") += sym("(") += id("_headers") += sym(",") += id("map") += sym("(")
+            // UPSERT: drop the existing key before the concat — bare
+            // map_concat(_headers, map(k, v)) throws DUPLICATE_MAP_KEY on
+            // the normal re-stamp case (Spark's default
+            // mapKeyDedupPolicy=EXCEPTION); same form as
+            // VeloFunctions.setHeader
+            out += id("map_concat") += sym("(")
+            out += id("map_filter") += sym("(") += id("_headers") += sym(",") += sym("(")
+            out += id("__hk") += sym(",") += id("__hv") += sym(")") += Tok(TSymbol, "->")
+            out += id("__hk") += sym("!=")
+            out ++= args(0)
+            out += sym(")") += sym(",") += id("map") += sym("(")
             out ++= args(0); out += sym(","); out ++= args(1)
             out += sym(")") += sym(")")
             i = end

@@ -33,6 +33,7 @@ object StreamOps {
   /** Tumbling-window aggregation with watermark; append mode = EMIT FINAL. */
   def tumblingAgg(events: DataFrame, tsCol: String, size: String, grace: String,
                   keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
+    require(aggExprs.nonEmpty, "tumblingAgg needs at least one aggregate expression")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
       .withWatermark(tsCol, grace)
@@ -46,6 +47,7 @@ object StreamOps {
   /** Session-window aggregation (state-store backed merging sessions). */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String, grace: String,
                  keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
+    require(aggExprs.nonEmpty, "sessionAgg needs at least one aggregate expression")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
       .withWatermark(tsCol, grace)
@@ -106,9 +108,11 @@ object StreamOps {
     * them, so a 100 TB/day stream holds only the horizon's keys,
     * sharded across executors by the key-hash shuffle. */
   def dedupStream(events: DataFrame, tsCol: String, horizon: String,
-                  keys: Seq[String]): DataFrame =
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedupStream needs at least one key column")
     events.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream-stream interval join (reference FR-085): equi-key plus a
     * time band `right.ts ∈ [left.ts + lower, left.ts + upper]`, with
@@ -121,8 +125,10 @@ object StreamOps {
                          lowerSeconds: Long, upperSeconds: Long): DataFrame = {
     val l = left.withWatermark(leftTs, grace)
     val r = right.withWatermark(rightTs, grace)
-    val band = col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerSeconds SECOND") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSeconds SECOND")
+    // frame-qualified references: bare col(...) is AMBIGUOUS when both
+    // streams name their event-time column the same (the common case)
+    val band = r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerSeconds SECOND") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSeconds SECOND")
     l.join(r, keyCond && band)
   }
 

@@ -53,6 +53,29 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.currentState == CircuitBreaker.Closed)
   }
 
+  test("straggler failures while OPEN do not extend the outage") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 2, recoveryTimeoutMs = 1000L, successThreshold = 1),
+      () => now)
+    cb.recordFailure(); cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.Open)
+    // late failure reports from launches that predate the trip, arriving
+    // faster than the recovery timeout, must not keep re-tripping
+    now = 400L; cb.recordFailure()
+    now = 800L; cb.recordFailure()
+    assert(cb.retryInMs == 200L) // timer still counts from the ORIGINAL trip
+    now = 1000L
+    assert(cb.currentState == CircuitBreaker.HalfOpen) // recovery reached
+    // and the trial window starts with a clean failure counter: one
+    // sub-threshold failure after the trial re-trip, then recovery again
+    cb.recordFailure() // trial failed → OPEN again (trip resets counter)
+    now = 2000L
+    assert(cb.currentState == CircuitBreaker.HalfOpen)
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.Closed)
+  }
+
   test("a crash-looping job trips its breaker: bounded restarts, fail-fast START, half-open retry") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =

@@ -103,6 +103,15 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
             FROM t""")
   }
 
+  test("SET_HEADER re-stamps an EXISTING key (upsert, not DUPLICATE_MAP_KEY)") {
+    // every registered source carries a 'source' header — re-stamping it
+    // is the normal case and must not hit mapKeyDedupPolicy=EXCEPTION
+    val out = ctx.sql("""SELECT HEADER('source') AS h FROM
+      (SELECT SET_HEADER('source', 'restamped') AS _headers, symbol FROM t)""")
+    val vs = out.collect().map(_.getAs[String]("h")).distinct.toSeq
+    assert(vs == Seq("restamped"))
+  }
+
   test("DELTA aggregate: max-min spread per group (functions.rs:1807)") {
     val rows = ctx.sql("SELECT symbol, DELTA(price) AS spread FROM t GROUP BY symbol")
       .collect().map(r => r.getAs[String]("symbol") -> r.getAs[Double]("spread")).toMap

@@ -52,6 +52,17 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
     intercept[ParseException] {
       Resources.Limits.fromProps(Map("max_aggregation_groups" -> "lots"), base)
     }
+    // non-positive limits would kill the job on its first progress event
+    // while level() reports OK; Int wrap would turn a huge limit negative
+    intercept[ParseException] {
+      Resources.Limits.fromProps(Map("max_total_memory" -> "-1"), base)
+    }
+    intercept[ParseException] {
+      Resources.Limits.fromProps(Map("max_processing_time_per_record" -> "0"), base)
+    }
+    intercept[ParseException] {
+      Resources.Limits.fromProps(Map("max_concurrent_operations" -> "2147483648"), base)
+    }
   }
 
   test("threshold classification matches the reference bands (80% warn / 95% crit)") {
