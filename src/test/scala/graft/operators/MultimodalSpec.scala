@@ -201,6 +201,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(frames.forall(r => !r.isNullAt(r.fieldIndex("width_px"))))
   }
 
+  test("WAV decode honors the container format: 8-bit unsigned and 16-bit stereo") {
+    import org.apache.spark.sql.types._
+    import javax.sound.sampled._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    def wavOf(fmt: AudioFormat, pcm: Array[Byte], frames: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 8-bit UNSIGNED mono: stored bytes 128/228/28 = centered 0/+100/-100,
+    // scaled ×256 into the 16-bit stat range
+    val wav8 = wavOf(new AudioFormat(8000f, 8, 1, false, false),
+      Array(128, 228, 28).map(_.toByte), 3L)
+    // 16-bit SIGNED stereo LE: frames = 2, samples = 4 — the mean must
+    // divide by SAMPLES (the old code divided the 4-sample sum by the
+    // 2-frame header count, doubling it)
+    def le16(s: Int): Array[Byte] = Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+    val wav16st = wavOf(new AudioFormat(8000f, 16, 2, true, false),
+      (le16(1000) ++ le16(-1000) ++ le16(3000) ++ le16(-3000)), 2L)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, wav8), org.apache.spark.sql.Row(2L, wav16st))
+    val byId = Multimodal.decodeAudioFeatures(spark.createDataFrame(rows, schema))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val r8 = byId(1L)
+    assert(r8.getAs[Int]("peak") == 100 * 256)
+    assert(r8.getAs[Double]("mean_abs") == (0 + 100 * 256 + 100 * 256) / 3.0)
+    val r16 = byId(2L)
+    assert(r16.getAs[Long]("n_frames") == 2L)
+    assert(r16.getAs[Int]("peak") == 3000)
+    assert(r16.getAs[Double]("mean_abs") == (1000 + 1000 + 3000 + 3000) / 4.0)
+  }
+
   test("WAV header rate survives a non-canonical chunk order (fmt after LIST)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
