@@ -22,6 +22,7 @@ object ParseSweep {
           raw(i) match {
             case 'n' => sb.append('\n'); case 't' => sb.append('\t')
             case 'r' => sb.append('\r'); case '"' => sb.append('"')
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
             case '\\' => sb.append('\\'); case '/' => sb.append('/')
             case 'u' => sb.append(Integer.parseInt(raw.substring(i + 1, i + 5), 16).toChar); i += 4
             case c => sb.append(c)
@@ -49,7 +50,11 @@ object ParseSweep {
     val fails = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     items.foreach { case (f, s) =>
       try { graft.sql.VeloSqlParser.parse(s); ok += 1 }
-      catch { case e: Throwable => fails += ((f, e.getMessage.take(90), s.take(140))) }
+      catch { case e: Throwable =>
+        // StackOverflowError / internal NPEs carry a null message — the
+        // failure handler must record them, not crash the whole census
+        fails += ((f, Option(e.getMessage).getOrElse(e.getClass.getName).take(90), s.take(140)))
+      }
     }
     println(s"[sweep] parsed $ok/${items.length}")
     fails.groupBy(_._2.take(40)).toSeq.sortBy(-_._2.size).foreach { case (msg, fs) =>

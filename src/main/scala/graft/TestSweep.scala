@@ -9,14 +9,18 @@ object TestSweep {
   private val SEP1 = 1.toChar
   private val SEP2 = 2.toChar
   def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/ref_test_sqls.txt")
     val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/tmp/ref_test_sqls.txt")), "UTF-8")
+      java.nio.file.Paths.get(path)), "UTF-8")
+    var dropped = 0
     val entries = raw.split(SEP2).filter(_.nonEmpty).flatMap { e =>
       e.split(SEP1) match {
         case Array(f, s) => Some((f, s))
-        case _ => None
+        case _ => dropped += 1; None // malformed entry: COUNT it — a silent
+                                     // drop would read as full coverage
       }
     }
+    if (dropped > 0) System.err.println(s"[sweep] WARNING: $dropped malformed entries dropped")
     var ok = 0
     val fails = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     entries.foreach { case (f, s) =>

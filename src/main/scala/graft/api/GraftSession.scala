@@ -68,7 +68,10 @@ object Tables {
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        // FLOOR division: `div` truncates toward zero, which would shift
+        // pre-1970 nanos not on a microsecond boundary 1 µs forward
+        d.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts div 1000 - 1 ELSE ts div 1000 END)"))
       else d
     }
 
@@ -81,9 +84,4 @@ object Tables {
       .option("pathGlobFilter", s"$name.parquet").parquet(sfDir))
   }
 
-  /** Small dimension tables — always broadcast-join these.
-    * At 100 TB the fact tables (lineitem/orders/events/documents) are
-    * the only ones that scale with SF; dims stay broadcastable.
-    */
-  val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
 }
