@@ -398,6 +398,22 @@ object OracleSql {
             AND 1.0 - CAST(nd2 AS DOUBLE) / n2 <= 0.20) AS keep
          FROM stats s JOIN grams g ON s.doc_id = g.doc_id""",
 
+    // q76: unigram-LM scoring — counts, top-V vocab cut (n desc, word),
+    // OOV floor 1/(total+1), mean −ln p per doc; ROUND(,4) absorbs
+    // float-sum ordering differences between engines
+    "q76_perplexity" ->
+      s"""WITH w AS (
+           SELECT * FROM (SELECT doc_id, unnest($wordsOf) AS w FROM documents)
+           WHERE w <> ''),
+         c AS (SELECT w, COUNT(*) AS n FROM w GROUP BY w),
+         t AS (SELECT SUM(n) AS total FROM c),
+         v AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 50000),
+         s AS (SELECT doc_id,
+                 -ln(COALESCE(CAST(v.n AS DOUBLE) / t.total, 1.0 / (t.total + 1))) AS lp
+               FROM w LEFT JOIN v USING (w) CROSS JOIN t)
+         SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(lp), 4) AS nll
+         FROM s GROUP BY doc_id""",
+
     // q69: the q57 closure (exact all-pairs jaccard ≥0.8 → transitive
     // closure; LSH recall is 1 on this corpus) keyed into the q62 md5
     // thresholds — near-dup clusters split by their min-id representative.

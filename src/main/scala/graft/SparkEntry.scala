@@ -744,6 +744,16 @@ object SparkEntry {
           round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"), col("keep"))
     }),
 
+    // ---- 76. CCNet-style unigram LM scoring: per-doc mean −ln p(word)
+    //          under the corpus's own unigram distribution (perplexity
+    //          proxy — the quality pass after the cheap heuristics;
+    //          oracled: counts, vocab cut, and log arithmetic replay
+    //          exactly in DuckDB) ----
+    "q76_perplexity" -> ((s, dir) => {
+      TextAnalysis.unigramNll(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_words"), col("nll"))
+    }),
+
     // ---- 68. training-shard packing: salted next-fit by running sum,
     //          bounded budget per shard; exact assignment oracled ----
     "q68_shard_pack" -> ((s, dir) => {

@@ -144,6 +144,47 @@ object TextAnalysis {
         col("top_word_frac") <= maxTopWordFrac && col("dup_2gram_frac") <= maxDup2gramFrac)
   }
 
+  /** CCNet-style unigram language-model scoring — the perplexity-proxy
+    * quality pass the published curation pipelines (CCNet, RedPajama,
+    * FineWeb) run after the cheap heuristics: documents whose words are
+    * improbable under the corpus's own unigram distribution are
+    * boilerplate/garbled/outlier text.
+    *
+    * Model: p(w) = corpus count / total words, vocabulary capped at the
+    * top `vocabSize` words (ties → lexicographic, so the cut is
+    * deterministic and SQL-replayable); out-of-vocabulary words score
+    * the floor probability 1/(total+1). Per document: `nll` = mean of
+    * −ln p(w) over its words (e^nll = the perplexity proxy). Rounded to
+    * 4 decimals so the DuckDB oracle's float-sum order cannot flip the
+    * compare.
+    *
+    * Scale shape: ONE explode+groupBy builds the counts (shuffle keyed
+    * by word, map-side partial agg absorbs the Zipf head); the vocab is
+    * a bounded TakeOrdered (top-V, no global sort) broadcast to the
+    * scoring join; totals ride a broadcast scalar. The scoring pass is
+    * a narrow explode → broadcast-hash join → per-doc agg keyed by doc
+    * id — linear, skew-free, no all-pairs anywhere. Documents with no
+    * words produce no row (nothing to score), like repetitionMetrics.
+    */
+  def unigramNll(docs: DataFrame, textCol: String, idCol: String,
+                 vocabSize: Int = 50000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val w = docs.select(col(idCol).as("doc_id"),
+      explode(nonEmptyWords(col(textCol))).as("w"))
+    val counts = w.groupBy("w").agg(count(lit(1)).as("n"))
+    // total over ALL words (not just the vocab cut) → p is a true
+    // corpus distribution; a one-row broadcast scalar
+    val total = counts.agg(sum("n").as("total"))
+    val vocab = counts.orderBy(col("n").desc, col("w")).limit(vocabSize)
+    w.join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", -log(coalesce(
+        col("n").cast("double") / col("total"),
+        lit(1.0d) / (col("total") + 1))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), round(avg("lp"), 4).as("nll"))
+  }
+
   /** Polynomial rolling hash of the normalized text — the document
     * fingerprint (exact-dup key; cheap first-pass clustering).
     * hash = fold(acc·31 + code) mod (1e9+7), P=31 — the modulus keeps

@@ -137,6 +137,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(m(3L)._1 <= 0.2 && m(3L)._2 <= 0.2 && m(3L)._3)
   }
 
+  test("unigramNll: exact hand-computed scores, OOV floor, vocab cut determinism") {
+    import spark.implicits._
+    // corpus word counts: "a" ×4, "b" ×3, "z" ×1 → total 8
+    val docs = Seq((1L, "a a a"), (2L, "b b z"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_words"), r.getAs[Double]("nll"))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == ((3L, r4(-math.log(4.0 / 8)))))
+    assert(out(2L) == ((3L, r4((-2 * math.log(3.0 / 8) - math.log(1.0 / 8)) / 3))))
+    assert(out(3L) == ((2L, r4((-math.log(4.0 / 8) - math.log(3.0 / 8)) / 2))))
+    // vocab cut: with vocabSize=1 only "a" stays in-vocab; everything
+    // else scores the OOV floor 1/(total+1) = 1/9
+    val cut = TextAnalysis.unigramNll(docs, "text", "doc_id", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    assert(cut(1L) == r4(-math.log(4.0 / 8)))
+    assert(cut(2L) == r4(-math.log(1.0 / 9))) // all three words OOV
+    // rare-word docs score worse than common-word docs
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("zero-content docs: word counts are 0 and repetitionMetrics emits no row") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, " \t\n "), (3L, "real words here")).toDF("doc_id", "text")
