@@ -398,6 +398,21 @@ object OracleSql {
             AND 1.0 - CAST(nd2 AS DOUBLE) / n2 <= 0.20) AS keep
          FROM stats s JOIN grams g ON s.doc_id = g.doc_id""",
 
+    // q77: corpus-wide duplicated-span fraction — distinct 5-shingles
+    // per doc (q24's construction at k=5), window doc-frequency per
+    // shingle, per-doc dup share
+    "q77_dup_spans" ->
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len($wordsOf) - 4, 1)),
+             i -> array_to_string($wordsOf[i:i+4], ' '))) AS s
+           FROM documents),
+         g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM g)
+         SELECT doc_id, COUNT(*) AS n_spans,
+           ROUND(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_span_frac
+         FROM d GROUP BY doc_id""",
+
     // q76: unigram-LM scoring — counts, top-V vocab cut (n desc, word),
     // OOV floor 1/(total+1), mean −ln p per doc; ROUND(,4) absorbs
     // float-sum ordering differences between engines

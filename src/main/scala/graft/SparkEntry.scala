@@ -744,6 +744,15 @@ object SparkEntry {
           round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"), col("keep"))
     }),
 
+    // ---- 77. corpus-wide duplicated-span fraction: per doc, the share
+    //          of its distinct 5-word shingles appearing in ≥ 1 OTHER
+    //          doc (exact-substring dedup signal; oracled — shingle
+    //          construction and window count replay in DuckDB) ----
+    "q77_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpanStats(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_spans"), col("dup_span_frac"))
+    }),
+
     // ---- 76. CCNet-style unigram LM scoring: per-doc mean −ln p(word)
     //          under the corpus's own unigram distribution (perplexity
     //          proxy — the quality pass after the cheap heuristics;

@@ -264,6 +264,32 @@ object Dedup {
     out
   }
 
+  /** Corpus-wide duplicated-span statistics — the exact-substring dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") at word-k-gram granularity: for each document, the
+    * fraction of its DISTINCT k-shingles that appear in at least one
+    * OTHER document. High `dup_span_frac` = boilerplate/templated text
+    * duplicated across the corpus even when no whole-document near-dup
+    * fires — the complement of the WITHIN-doc repetition gate
+    * (TextAnalysis.repetitionMetrics).
+    *
+    * Scale shape: one explode of per-doc-distinct shingles (kernel
+    * dedups within the doc, so a shingle's partition count IS its
+    * document frequency), ONE shuffle keyed by shingle for the window
+    * count (AQE skew-split absorbs boilerplate hot spans), then a
+    * per-doc agg keyed by doc id. Linear, no joins, no all-pairs.
+    */
+  def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("g"))
+    sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        round(avg(when(col("_df") > 1, 1.0d).otherwise(0.0d)), 4).as("dup_span_frac"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs — the verify
     * pass after LSH candidate generation. `pairs` must have id_a/id_b.
     */

@@ -43,6 +43,27 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(big.getAs[Long]("keep_id") == 1L)
   }
 
+  test("duplicatedSpanStats: shared boilerplate spans counted, unique text scores 0") {
+    import spark.implicits._
+    // docs 1 and 2 share the 5-gram "one two three four five" inside
+    // otherwise-different text; doc 3 is fully unique
+    val docs = Seq(
+      (1L, "alpha one two three four five beta gamma"),
+      (2L, "delta one two three four five epsilon zeta"),
+      (3L, "totally unrelated words in this document here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_spans"), r.getAs[Double]("dup_span_frac"))).toMap
+    // 8 words → 4 distinct 5-shingles per doc; exactly one is shared
+    assert(out(1L) == ((4L, 0.25)) && out(2L) == ((4L, 0.25)))
+    assert(out(3L) == ((4L, 0.0)))
+    // identical docs: every span duplicated
+    val dup = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val d = Dedup.duplicatedSpanStats(dup, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dup_span_frac")).toMap
+    assert(d == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
   test("exactKeepBest: max score wins, ties break to lowest id — at large ids and fractional scores") {
     import spark.implicits._
     // ids far beyond 10^6 and sub-integer score deltas: the old
