@@ -126,6 +126,17 @@ object ScaleProbe {
         // the memory-scale path: m-byte ADC code scan in probed cells
         force(Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 8))
+      },
+      time(s"unigram_nll_$tag") {
+        // word-count shuffle + broadcast vocab + per-doc agg; rotated
+        // replicas add new vocabulary, so the model grows with M but
+        // the per-doc scoring stays a narrow broadcast join
+        force(graft.operators.TextAnalysis.unigramNll(d, "text", "doc_id"))
+      },
+      time(s"dup_spans_$tag") {
+        // shingle-keyed window shuffle; replicas have disjoint shingles,
+        // so per-replica dup structure (and the fractions) is constant
+        force(Dedup.duplicatedSpanStats(d, "text", "doc_id"))
       })
 
     val warm = pipelines("warmup", docs1, emb1) // JIT + codegen warmup
