@@ -46,8 +46,8 @@ object ScaleProbe {
          // both cases: an uppercase-only doc left untranslated would be a
          // cross-replica exact duplicate, breaking the M×-pairs invariant
          else translate(col("text"),
-           alphabet + alphabet.toUpperCase,
-           rotated(i) + rotated(i).toUpperCase)).as("text"),
+           alphabet + alphabet.toUpperCase(java.util.Locale.ROOT),
+           rotated(i) + rotated(i).toUpperCase(java.util.Locale.ROOT))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
 

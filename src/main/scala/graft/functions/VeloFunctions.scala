@@ -49,7 +49,7 @@ object VeloFunctions {
 
   // ---- Date/Time (reference: date/time table) ----
   def veloNow(): Column = current_timestamp()
-  def veloExtract(field: String, ts: Column): Column = field.toUpperCase match {
+  def veloExtract(field: String, ts: Column): Column = field.toUpperCase(java.util.Locale.ROOT) match {
     case "YEAR"   => year(ts)
     case "MONTH"  => month(ts)
     case "DAY"    => dayofmonth(ts)

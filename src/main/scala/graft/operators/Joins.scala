@@ -93,7 +93,7 @@ object Joins {
     // salt-1 non-matching replicas each emit a null-padded row, and a
     // genuinely unmatched right row appears `salt` times — reject loudly
     require(Set("inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
-        "left_semi", "anti", "leftanti", "left_anti")(joinType.toLowerCase),
+        "left_semi", "anti", "leftanti", "left_anti")(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"saltedJoin supports inner/left/semi/anti join types; '$joinType' would " +
         "duplicate the replicated side's unmatched rows")
     // salt <= 0 would not fail: pmod(_, 0) yields null salts on the fact

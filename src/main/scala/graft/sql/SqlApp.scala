@@ -197,15 +197,15 @@ object SqlApp {
       else if (has("-- @data_retention:")) md = md.copy(dataRetention = Some(tail(line, "-- @data_retention:")))
       else if (has("-- @compliance:")) md = md.copy(compliance = Some(tail(line, "-- @compliance:")))
       else if (has("-- @observability.metrics.enabled:"))
-        md = md.copy(observabilityMetrics = Some(tail(line, "-- @observability.metrics.enabled:").toLowerCase == "true"))
+        md = md.copy(observabilityMetrics = Some(tail(line, "-- @observability.metrics.enabled:").toLowerCase(java.util.Locale.ROOT) == "true"))
       else if (has("-- @observability.tracing.enabled:"))
-        md = md.copy(observabilityTracing = Some(tail(line, "-- @observability.tracing.enabled:").toLowerCase == "true"))
+        md = md.copy(observabilityTracing = Some(tail(line, "-- @observability.tracing.enabled:").toLowerCase(java.util.Locale.ROOT) == "true"))
       else if (has("-- @observability.profiling.enabled:")) {
-        val v = tail(line, "-- @observability.profiling.enabled:").toLowerCase
+        val v = tail(line, "-- @observability.profiling.enabled:").toLowerCase(java.util.Locale.ROOT)
         if (Set("off", "dev", "prod").contains(v)) md = md.copy(observabilityProfiling = Some(v))
       }
       else if (has("-- @observability.error_reporting.enabled:"))
-        md = md.copy(observabilityErrorReporting = Some(tail(line, "-- @observability.error_reporting.enabled:").toLowerCase == "true"))
+        md = md.copy(observabilityErrorReporting = Some(tail(line, "-- @observability.error_reporting.enabled:").toLowerCase(java.util.Locale.ROOT) == "true"))
       else if (has("-- @deployment.node_id:"))
         md = md.copy(deploymentNodeId = Some(resolvePattern(tail(line, "-- @deployment.node_id:"), env)))
       else if (has("-- @deployment.node_name:"))
@@ -283,7 +283,7 @@ object SqlApp {
         else curMetricDropped = true
       }
       else if (trimmed.startsWith("-- @metric_type:") && curMetrics.nonEmpty && !curMetricDropped) {
-        val t = tail(trimmed, "-- @metric_type:").toLowerCase
+        val t = tail(trimmed, "-- @metric_type:").toLowerCase(java.util.Locale.ROOT)
         if (Set("counter", "gauge", "histogram").contains(t))
           curMetrics = curMetrics.init :+ curMetrics.last.copy(metricType = t)
       }
@@ -332,7 +332,7 @@ object SqlApp {
       else if (trimmed.startsWith("-- @sticky-partition-id:"))
         curSticky = intAnn("-- @sticky-partition-id:")
       else if (trimmed.startsWith("-- @job_mode:")) {
-        val m = tail(trimmed, "-- @job_mode:").toLowerCase
+        val m = tail(trimmed, "-- @job_mode:").toLowerCase(java.util.Locale.ROOT)
         if (Set("simple", "transactional", "adaptive")(m)) curJobMode = Some(m)
       }
       else if (trimmed.startsWith("-- @batch_size:"))
@@ -342,7 +342,7 @@ object SqlApp {
       else if (trimmed.startsWith("-- @partitioning_strategy:")) {
         // canonicalize the reference's aliases (ast.rs:124-128); an
         // unknown value is ignored, as the reference's debug-and-None is
-        curStrategy = tail(trimmed, "-- @partitioning_strategy:").toLowerCase match {
+        curStrategy = tail(trimmed, "-- @partitioning_strategy:").toLowerCase(java.util.Locale.ROOT) match {
           case "sticky" | "stickypartition" | "sticky_partition" => Some("sticky")
           case "hash" | "alwayshash" | "always_hash" => Some("hash")
           case "smart" | "smartrepartition" | "smart_repartition" => Some("smart")

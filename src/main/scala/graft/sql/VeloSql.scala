@@ -193,12 +193,19 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     val sb = new StringBuilder
     metricsRegistry.foreach { case (name, series) =>
       val (typ, help) = metricsHelp.getOrElse(name, ("counter", ""))
-      if (help.nonEmpty) sb.append(s"# HELP $name $help\n")
+      // exposition-format escaping: label values escape \, " and
+      // newline; HELP text escapes \ and newline — a data-derived label
+      // containing a quote would otherwise emit unscrapeable output
+      def escLabel(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      def escHelp(s: String): String =
+        s.replace("\\", "\\\\").replace("\n", "\\n")
+      if (help.nonEmpty) sb.append(s"# HELP $name ${escHelp(help)}\n")
       sb.append(s"# TYPE $name $typ\n")
       series.foreach { case (suffix, labels, v) =>
         val ls =
           if (labels.isEmpty) ""
-          else labels.toSeq.sorted.map { case (k, lv) => s"""$k="$lv"""" }.mkString("{", ",", "}")
+          else labels.toSeq.sorted.map { case (k, lv) => s"""$k="${escLabel(lv)}"""" }.mkString("{", ",", "}")
         sb.append(s"$name$suffix$ls ${fmtMetric(v)}\n")
       }
     }
@@ -237,10 +244,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // `_timestamp` (and any integral time column) is INT64
           // epoch-MILLIS per system-columns.md — comparing it to a
           // timestamp would be a bigint-vs-timestamp mismatch, so the
-          // cutoff is computed in the column's own unit
+          // cutoff is computed in the column's own unit. A 32-bit INT
+          // cannot hold epoch-millis (max ~2.1e9 ≈ 1970-01-25), so an
+          // IntegerType time column is necessarily epoch-SECONDS —
+          // treating it as millis would put the cutoff above every
+          // value and silently empty the table.
           val cutoff = df.schema(c).dataType match {
-            case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+            case org.apache.spark.sql.types.LongType =>
               unix_millis(current_timestamp()) - lit(sec * 1000L)
+            case org.apache.spark.sql.types.IntegerType =>
+              unix_seconds(current_timestamp()) - lit(sec)
             case _ => current_timestamp() - expr(s"INTERVAL $sec SECOND")
           }
           df = df.where(col(c) >= cutoff)
@@ -409,7 +422,12 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           if (df.columns.contains("_partition"))
             df.groupBy(col("_partition").as("partition"))
               .agg(count(lit(1)).as("n_records")).orderBy("partition")
-          else Seq((0, df.rdd.getNumPartitions.toLong)).toDF("partition", "n_records")
+          else
+            // no _partition column: report per-PHYSICAL-partition record
+            // counts (spark_partition_id), not the partition COUNT
+            // masquerading as a record count
+            df.groupBy(spark_partition_id().as("partition"))
+              .agg(count(lit(1)).as("n_records")).orderBy("partition")
         case other => throw new ParseException(s"SHOW $other not supported")
       }
   }
@@ -516,17 +534,25 @@ object VeloContext {
   private[sql] def applyDeclaredColumns(df: DataFrame, cols: Vector[(String, String)]): DataFrame =
     if (cols.isEmpty) df
     else {
-      require(df.columns.length == cols.length,
+      // A window spec appends synthetic window_start/window_end columns
+      // AFTER the user's select items, so a declared list covering only
+      // the select items must still bind: rename/cast the first N
+      // columns positionally and pass the window columns through
+      // (declaring them explicitly also works — then the list covers
+      // every column). Anything else is a genuine arity error.
+      val extras = df.columns.drop(cols.length)
+      val windowTail = extras.forall(Set("window_start", "window_end", "session_start", "session_end"))
+      require(df.columns.length == cols.length || (windowTail && extras.nonEmpty),
         s"declared ${cols.length} columns but the query produces ${df.columns.length}")
-      df.toDF(cols.map(_._1): _*)
-        .select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+      val renamed = df.toDF(cols.map(_._1) ++ extras: _*)
+      renamed.select(cols.map { case (n, t) => col(n).cast(t).as(n) } ++ extras.map(col): _*)
     }
 
 
   /** '7 days' / '30 minutes' / '1 hour' → seconds (config-prop durations,
     * e.g. CTAS 'retention'). */
   def durationSeconds(s: String): Option[Long] = {
-    val parts = s.trim.toLowerCase.split("\\s+")
+    val parts = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (parts.length != 2) return None
     val n = try parts(0).toLong catch { case _: NumberFormatException => return None }
     parts(1).stripSuffix("s") match {

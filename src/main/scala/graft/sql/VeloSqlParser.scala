@@ -28,7 +28,7 @@ object VeloSqlParser {
 
   final case class Tok(kind: TokKind, text: String) {
     def isKw(kw: String): Boolean = kind == TIdent && text.equalsIgnoreCase(kw)
-    def upper: String = text.toUpperCase
+    def upper: String = text.toUpperCase(java.util.Locale.ROOT)
   }
 
   final class ParseException(msg: String) extends RuntimeException(msg)
@@ -514,7 +514,10 @@ object VeloSqlParser {
           var row = Vector.empty[Vector[Tok]]
           var done = false
           while (!done) {
-            row :+= exprSpan(stopAtComma = true)
+            // rewrite like every other expression position (UPDATE SET
+            // does): dialect forms (TIMESTAMP(), LEN, …) must not reach
+            // Catalyst verbatim just because they sit in a VALUES row
+            row :+= rewriteTokens(exprSpan(stopAtComma = true), defaultTimeCol)
             if (peek().exists(_.text == ",")) take() else done = true
           }
           expectSym(")")
@@ -593,11 +596,14 @@ object VeloSqlParser {
       while (more) {
         var span = exprSpan(stopAtComma = true)
         if (span.isEmpty) throw new ParseException("empty select item")
-        // PRIMARY KEY annotation (FR-089): strip, record the output name
-        if (span.length >= 2 && span(span.length - 2).isKw("PRIMARY") && span.last.isKw("KEY")) {
+        // PRIMARY KEY annotation (FR-089): strip, record the output name.
+        // length >= 3: a select item of ONLY `PRIMARY KEY` must be a
+        // ParseException, not a NoSuchElementException on the empty rest
+        if (span.length >= 3 && span(span.length - 2).isKw("PRIMARY") && span.last.isKw("KEY")) {
           span = span.dropRight(2)
           keys :+= span.last.text
-        }
+        } else if (span.length == 2 && span.head.isKw("PRIMARY") && span.last.isKw("KEY"))
+          throw new ParseException("PRIMARY KEY must annotate a select item")
         fields :+= span
         if (peek().exists(_.text == ",")) take() else more = false
       }
@@ -607,9 +613,16 @@ object VeloSqlParser {
       def tableSource(): String =
         if (peek().exists(_.text == "(")) {
           take()
-          val sub = selectStatement()
+          // selectOrUnion, not selectStatement: UNION is valid inside a
+          // derived table just as it is at top level and in CTE bodies
+          val sub = selectOrUnion()
           expectSym(")")
-          "(" + toSparkSql(sub, defaultTimeCol) + ")"
+          val rendered = sub match {
+            case Select(s) => toSparkSql(s, defaultTimeCol)
+            case u: Union => u.render(toSparkSql(_, defaultTimeCol))
+            case other => throw new ParseException(s"unsupported derived table: $other")
+          }
+          "(" + rendered + ")"
         } else ident()
       def isClauseTok(t: Tok): Boolean =
         clauseStarts.contains(t.upper) || dynStops.contains(t.upper)
@@ -774,7 +787,7 @@ object VeloSqlParser {
     }
   }
 
-  private def unitSeconds(u: String): Option[Long] = u.toUpperCase match {
+  private def unitSeconds(u: String): Option[Long] = u.toUpperCase(java.util.Locale.ROOT) match {
     case "SECOND" | "SECONDS" | "S" | "SEC" | "SECS" => Some(1L)
     case "MINUTE" | "MINUTES" | "M" | "MIN" | "MINS" => Some(60L)
     case "HOUR" | "HOURS" | "H" => Some(3600L)
@@ -1007,6 +1020,41 @@ object VeloSqlParser {
             out ++= tsArg
             out += sym(",") += Tok(TString, s"'$s seconds'") += sym(")")
             i = end
+          case "HOP" =>
+            // Flink-style GROUP BY HOP(ts, slide, size) → Spark's native
+            // sliding window(ts, size, slide); without this case the
+            // aggWrap check accepts the statement but hop() reaches
+            // Catalyst as an undefined function
+            val (args0, end) = callArgs(i + 1)
+            val args = args0.map(rewriteTokens(_, defaultTimeCol))
+            args match {
+              case Vector(a, b, c) =>
+                val slide = parseDuration(b).getOrElse(
+                  throw new ParseException("HOP expects (ts, slide, size) durations"))
+                val size = parseDuration(c).getOrElse(
+                  throw new ParseException("HOP expects (ts, slide, size) durations"))
+                out += id("window") += sym("(")
+                out ++= a
+                out += sym(",") += Tok(TString, s"'$size seconds'")
+                out += sym(",") += Tok(TString, s"'$slide seconds'") += sym(")")
+              case _ => throw new ParseException("HOP expects (ts, slide, size)")
+            }
+            i = end
+          case "SESSION" =>
+            // Flink-style GROUP BY SESSION(ts, gap) → session_window()
+            // (the enclosing isCall guard ensures this is a call form)
+            val (args0, end) = callArgs(i + 1)
+            val args = args0.map(rewriteTokens(_, defaultTimeCol))
+            val (tsArg, gap) = args match {
+              case Vector(a, b) => parseDuration(b).map(d => (a, Option(d)))
+                .getOrElse((b, parseDuration(a)))
+              case _ => throw new ParseException("SESSION expects (ts, gap)")
+            }
+            val g = gap.getOrElse(throw new ParseException("SESSION needs a gap duration"))
+            out += id("session_window") += sym("(")
+            out ++= tsArg
+            out += sym(",") += Tok(TString, s"'$g seconds'") += sym(")")
+            i = end
           case "TUMBLE_START" | "TUMBLE_END" =>
             val (args0, end) = callArgs(i + 1)
             val args = args0.map(rewriteTokens(_, defaultTimeCol))
@@ -1157,8 +1205,15 @@ object VeloSqlParser {
             // three-arg unit form (docs/sql/examples): DATEDIFF('days', a, b)
             // → timestampdiff(DAY, a, b)
             val (args, end) = callArgs(i + 1)
-            val unit = args.head.head.text.stripPrefix("'").stripSuffix("'")
-              .toUpperCase.stripSuffix("S")
+            // explicit unit map: a blanket stripSuffix("S") would mangle
+            // 'ms' into the invalid unit M
+            val rawUnit = args.head.head.text.stripPrefix("'").stripSuffix("'")
+              .toUpperCase(java.util.Locale.ROOT)
+            val unit = rawUnit match {
+              case "MS" | "MILLIS" | "MILLISECOND" | "MILLISECONDS" => "MILLISECOND"
+              case "US" | "MICROS" | "MICROSECOND" | "MICROSECONDS" => "MICROSECOND"
+              case u => u.stripSuffix("S")
+            }
             out += id("timestampdiff") += sym("(") += id(unit) += sym(",")
             out ++= rewriteTokens(args(1), defaultTimeCol)
             out += sym(",")
@@ -1173,7 +1228,7 @@ object VeloSqlParser {
             val (args, end) = callArgs(i + 1)
             val (field, valueToks): (String, Vector[Tok]) =
               if (args.length == 2 && args(0).length == 1 && args(0).head.kind == TString)
-                (args(0).head.text.stripPrefix("'").stripSuffix("'").toUpperCase,
+                (args(0).head.text.stripPrefix("'").stripSuffix("'").toUpperCase(java.util.Locale.ROOT),
                   rewriteTokens(args(1), defaultTimeCol))
               else if (args.length == 1 && args.head.length >= 3 && args.head(1).isKw("FROM"))
                 (args.head.head.upper, rewriteTokens(args.head.drop(2), defaultTimeCol))

@@ -375,6 +375,58 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(VeloContext.durationSeconds("bogus").isEmpty)
   }
 
+  test("retention on an INT time column treats values as epoch-SECONDS, not millis") {
+    import spark.implicits._
+    val now = (System.currentTimeMillis() / 1000).toInt
+    // a 32-bit int cannot hold epoch-millis, so these are seconds; the
+    // old millis comparison put the cutoff above every value and
+    // silently emptied the table
+    Seq((1L, now - 3600), (2L, now - 10 * 86400), (3L, now))
+      .toDF("rid", "ts").createOrReplaceTempView("ret_int_src")
+    ctx.sql(
+      """CREATE TABLE recent_int AS SELECT rid, ts FROM ret_int_src
+         WITH ('retention' = '7 days')""")
+    assert(spark.table("recent_int").collect().map(_.getAs[Long]("rid")).sorted.toSeq
+      == Seq(1L, 3L))
+  }
+
+  test("GROUP BY HOP/SESSION (Flink-style) rewrite to native Spark windows") {
+    val hop = ctx.sql(
+      """SELECT COUNT(*) AS n FROM market_data
+         GROUP BY HOP(timestamp, INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)""")
+    // every event lands in 2 overlapping windows, same as WINDOW SLIDING
+    assert(hop.agg(sum("n")).collect().head.getLong(0) == 12L)
+    val sess = ctx.sql(
+      """SELECT customer_id, COUNT(*) AS n FROM orders
+         GROUP BY customer_id, SESSION(event_time, INTERVAL '10' MINUTE)""")
+    assert(sess.agg(sum("n")).collect().head.getLong(0) == 5L)
+  }
+
+  test("UNION inside a derived table parses and executes") {
+    val df = ctx.sql(
+      """SELECT COUNT(*) AS n FROM
+         (SELECT order_id FROM orders WHERE amount > 100
+          UNION ALL
+          SELECT order_id FROM orders WHERE amount <= 100) u""")
+    assert(df.collect().head.getLong(0) == 5L)
+  }
+
+  test("DATEDIFF('ms', ...) maps to MILLISECOND, not the invalid unit M") {
+    val df = ctx.sql(
+      "SELECT DATEDIFF('ms', event_time, event_time) AS d FROM orders LIMIT 1")
+    assert(df.collect().head.getLong(0) == 0L)
+  }
+
+  test("declared columns bind to select items under a WINDOW spec (window cols pass through)") {
+    ctx.sql(
+      """CREATE TABLE win_decl (sym STRING, cnt BIGINT) AS
+         SELECT symbol, COUNT(*) FROM market_data GROUP BY symbol
+         WINDOW TUMBLING(INTERVAL '1' MINUTE)""")
+    val t = spark.table("win_decl")
+    assert(t.columns.toSeq == Seq("sym", "cnt", "window_start", "window_end"))
+    assert(t.agg(sum("cnt")).collect().head.getLong(0) == 6L)
+  }
+
   test("WITH RECURSIVE executes natively (transitive closure over Spark's UnionLoop)") {
     import spark.implicits._
     Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 4L))
