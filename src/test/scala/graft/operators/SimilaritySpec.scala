@@ -70,8 +70,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = planted.count(got.contains).toDouble / planted.size
     assert(recall >= 0.85, s"LSH recall $recall")
-    // no false positives below threshold by construction (exact verify in-bucket)
-    assert(got.forall { case (x, y) => !(x < 1000 && y < 1000) || got.contains((x, y)) })
+    // no false positives: every emitted pair must GENUINELY be ≥ 0.9,
+    // verified by an independent driver-side cosine (the old assertion
+    // `!(…) || got.contains(p)` over p ∈ got was a tautology)
+    val vecs = corpus.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (x, y) =>
+      assert(cosD(vecs(x), vecs(y)) >= 0.9 - 1e-9, s"false positive ($x,$y)")
+    }
   }
 
   test("LSH pairs under bucket capping == surviving-bucket oracle (capped first band must not drop a pair)") {
@@ -215,6 +227,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     ).toDF("vec_id", "embedding"))
     val queries = dirty.where(col("vec_id") < 5)
     val top = Similarity.bruteForceTopK(dirty, queries, "vec_id", "embedding", 5).collect()
+    // nonEmpty guards: an operator regression that returned ZERO rows
+    // would make every forall below vacuously true
+    assert(top.length == 25) // 5 queries × top-5
     // NaN would rank ABOVE every real score; 0.0 ranks below any genuine
     // match — no corrupt id may appear in any top-5
     assert(top.forall(r => r.getAs[Long]("neighbor_id") < 9000L))
@@ -222,10 +237,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // and the near-dup pair filter (cos >= minCos) must not pass them
     val pairs = Similarity.embeddingNearDupPairsLsh(dirty, "vec_id", "embedding",
       dim, minCos = 0.9).collect()
+    assert(pairs.nonEmpty) // the planted near-dups must still surface
     assert(pairs.forall(r => r.getAs[Long]("id_a") < 9000L && r.getAs[Long]("id_b") < 9000L))
     // IVF cell assignment survives the zero vector instead of AIOOBE
-    val ivf = Similarity.ivfTopK(dirty, queries, "vec_id", "embedding", 5, dim)
-    assert(ivf.collect().forall(r => r.getAs[Long]("neighbor_id") < 9000L))
+    val ivf = Similarity.ivfTopK(dirty, queries, "vec_id", "embedding", 5, dim).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getAs[Long]("neighbor_id") < 9000L))
   }
 
   test("salted join == plain join (skew-safe shuffle spread)") {
@@ -244,8 +261,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3, dim,
-      numBands = 8, bandBits = 4)
-    lsh.collect().foreach { r =>
+      numBands = 8, bandBits = 4).collect()
+    // an empty result (or one disjoint from the exact top-3) would have
+    // made the old foreach-over-Option run zero assertions
+    assert(lsh.nonEmpty)
+    // each query's planted twin shares every sketch band → it must be
+    // found, at the exact brute-force score
+    (0L until 2L).foreach { q =>
+      val twin = lsh.find(r => r.getLong(0) == q && r.getLong(1) == 1000L + q)
+      assert(twin.isDefined, s"query $q twin missing from lshTopK")
+      assert(math.abs(bf((q, 1000L + q)) - twin.get.getDouble(2)) < 1e-12)
+    }
+    // and every LSH hit that IS an exact-top-3 pair carries the exact score
+    lsh.foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
       bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-12))
     }

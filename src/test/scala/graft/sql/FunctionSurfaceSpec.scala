@@ -181,23 +181,33 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("all 7 reference subquery types (subquery-support.md)") {
-    // scalar in SELECT
-    runs("SELECT id, (SELECT MAX(price) FROM t) AS max_p FROM t")
-    // WHERE EXISTS / NOT EXISTS (correlated)
-    runs("SELECT id FROM t a WHERE EXISTS (SELECT 1 FROM t b WHERE b.symbol = a.symbol AND b.id <> a.id)")
+    // scalar in SELECT — the scalar must be the real MAX, on every row
+    val sc = ctx.sql("SELECT id, (SELECT MAX(price) FROM t) AS max_p FROM t").collect()
+    assert(sc.length == 4 && sc.forall(_.getDouble(1) == 101.5))
+    // WHERE EXISTS (correlated): both symbols have a same-symbol sibling
+    assert(ctx.sql("SELECT id FROM t a WHERE EXISTS (SELECT 1 FROM t b WHERE b.symbol = a.symbol AND b.id <> a.id)")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
     // only the globally most expensive row (id 2, price 101.5) survives
     assert(ctx.sql("SELECT id FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.price > a.price)")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
-    // IN / NOT IN
-    runs("SELECT id FROM t WHERE symbol IN (SELECT symbol FROM t WHERE price > 100)")
-    runs("SELECT id FROM t WHERE id NOT IN (SELECT volume FROM t)")
-    // ANY / ALL thresholds
-    runs("SELECT id FROM t WHERE price > ANY (SELECT price FROM t WHERE symbol = 'MSFT')")
+    // IN: only AAPL rows have a price > 100 sibling symbol
+    assert(ctx.sql("SELECT id FROM t WHERE symbol IN (SELECT symbol FROM t WHERE price > 100)")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // NOT IN: ids {1,2,3,4} minus volumes {10,12,5,6} → {1,2,3,4}∩∅... ids not in volumes
+    assert(ctx.sql("SELECT id FROM t WHERE id NOT IN (SELECT volume FROM t)")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // ANY: price > min MSFT price (55.0) → every row except id 3
+    assert(ctx.sql("SELECT id FROM t WHERE price > ANY (SELECT price FROM t WHERE symbol = 'MSFT')")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
     assert(ctx.sql("SELECT id FROM t WHERE price > ALL (SELECT price FROM t WHERE symbol = 'MSFT')")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    // scalar subquery in HAVING
-    runs("""SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
+    // scalar subquery in HAVING: 2 rows have volume < 7 → both groups
+    // (n=2 each) pass; a dropped predicate would ALSO return both, so
+    // assert the counts too
+    val hv = ctx.sql("""SELECT symbol, COUNT(*) AS n FROM t GROUP BY symbol
             HAVING COUNT(*) >= (SELECT COUNT(*) FROM t WHERE volume < 7)""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hv == Map("AAPL" -> 2L, "MSFT" -> 2L))
     // HAVING EXISTS / NOT EXISTS, correlated on the group key
     // (reference: "HAVING EXISTS with GROUP BY and WINDOW queries")
     val he = ctx.sql(

@@ -69,10 +69,27 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
                 kafka_sink.type='kafka_sink',
                 kafka_sink.config_file='config/kafka_sink.properties'
               )""")
-    // the statement parses into a CSAS with the right shape…
-    val stmt = ctx.parseStatement("SELECT * FROM aggregated_trades")
-    assert(stmt.isInstanceOf[VeloSqlParser.Select])
-    // …and executes (HAVING COUNT(*) > 5 filters everything in this toy set)
+    // the CSAS ITSELF parses into the right AST shape (the old check
+    // parsed an unrelated trivial SELECT and asserted it was a Select)
+    val csas = ctx.parseStatement(
+      """CREATE STREAM aggregated_trades2 AS
+         SELECT p.trader_id FROM market_data m
+         JOIN positions p ON m.symbol = p.symbol
+         GROUP BY p.trader_id
+         WINDOW TUMBLING(1h)
+         HAVING COUNT(*) > 5
+         INTO kafka_sink
+         WITH (kafka_sink.type='kafka_sink')""")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(csas.select.window.exists {
+      case VeloSqlParser.Tumbling(sizeSec, _) => sizeSec == 3600L
+      case _ => false
+    })
+    assert(csas.select.having.isDefined && csas.select.joins.nonEmpty)
+    assert(csas.select.into.contains("kafka_sink"))
+    assert(csas.props("kafka_sink.type") == "kafka_sink")
+    // …and the original executes (HAVING COUNT(*) > 5 filters everything
+    // in this toy set)
     assert(df.columns.contains("price_volatility") && df.columns.contains("window_end"))
     assert(df.count() == 0)
     // AST-level checks mirroring the reference test's assertions
@@ -107,6 +124,16 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
     val a = std.collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString)
     val b = legacy.collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString)
     assert(a.length == 6 && a.sameElements(b))
+    // ground truth for one fixed row (both syntaxes share the mapping
+    // table, so mutual agreement alone can't catch a wrong field map):
+    // 2024-01-06 12:00 is a SATURDAY → DOW 6 (0=Sunday), DOY 6, week 1
+    val sat = std.where(col("f_DAY") === 6).collect().head
+    val by = fields.zipWithIndex.map { case (f, i) => f -> sat.get(i).toString }.toMap
+    assert(by("YEAR") == "2024" && by("MONTH") == "1" && by("DAY") == "6")
+    // SECOND is a DECIMAL in Spark's EXTRACT → compare numerically
+    assert(by("HOUR") == "12" && by("MINUTE") == "0" && BigDecimal(by("SECOND")) == BigDecimal(0))
+    assert(by("DOW") == "6", s"DOW of Saturday must be 6, got ${by("DOW")}")
+    assert(by("DOY") == "6" && by("WEEK") == "1" && by("QUARTER") == "1")
   }
 
   test("moving percentile over a row frame — the VaR shape (advanced.md:399)") {
@@ -117,13 +144,27 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
          PERCENTILE_CONT(0.05) OVER (PARTITION BY symbol ORDER BY price ROWS BETWEEN 252 PRECEDING AND CURRENT ROW) as var_95
          FROM market_data m""")
     assert(df.count() == 6)
-    assert(df.where(col("var_95").isNull).count() == 0)
+    // exact values: per symbol, row i's trailing frame holds the i+1
+    // smallest prices (ordered by price), so the 0.05-quantile is
+    // lo + 0.05·i·(step) for unit-stepped prices — a wrong fraction,
+    // frame, or order column changes these
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = Map(
+      ("AAPL", 100.0) -> 100.0, ("AAPL", 101.0) -> 100.05, ("AAPL", 102.0) -> 100.1,
+      ("MSFT", 55.0) -> 55.0, ("MSFT", 56.0) -> 55.05, ("MSFT", 57.0) -> 55.1)
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: got ${got(k)}, want $v")
+    }
   }
 
   test("EXTRACT forms: EPOCH over a difference, legacy two-arg (lines 180, 191)") {
     val d1 = ctx.sql(
       "SELECT EXTRACT(EPOCH FROM (m.event_time - p.event_time)) as duration FROM market_data m JOIN positions p ON m.symbol = p.symbol")
-    assert(d1.collect().forall(_.getLong(0) > 0))
+    // exact SECOND deltas vs the 2024-01-01 00:00 positions rows — a
+    // millis-vs-seconds unit regression or a dropped subtraction would
+    // keep every value > 0 but change these
+    assert(d1.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(122400L, 123600L, 126600L, 207000L, 207900L, 475200L))
     val d2 = ctx.sql("SELECT EXTRACT('YEAR', event_time) as year FROM market_data")
     assert(d2.collect().forall(_.get(0).toString == "2024"))
   }
