@@ -32,6 +32,17 @@ import java.nio.file.{Files, Paths}
   * sbt log prefixes mangle stdout.
   */
 object Bench {
+  /** Slow-window gate versus the running-min sentinel baseline. The
+    * absolute floor exists only so a microsecond-scale baseline does not
+    * flag ordinary scheduler jitter; the r5 run showed 0.4 s was wide
+    * enough to also hide genuine 5-7x-baseline ambient windows (guards
+    * of 0.22-0.30 s over a 0.043 s baseline passed untagged), so the
+    * floor is 0.15 s — at a typical ~0.04 s baseline the gate sits near
+    * 4.5x, tight enough that any multi-x VM stall triggers a re-timing.
+    */
+  def slowGateFor(baseline: Double): Double =
+    math.max(2.5 * baseline, baseline + 0.15)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -78,10 +89,9 @@ object Bench {
       if (s < sentinelBaseline) sentinelBaseline = s
       s
     }
-    // A window is "slow" when the probe runs well above baseline; the
-    // absolute floor keeps a microsecond baseline from flagging noise.
+    // A window is "slow" when the probe runs well above baseline.
     // A def, not a val: it tightens as the running-min baseline drops.
-    def slowGate: Double = math.max(2.5 * sentinelBaseline, sentinelBaseline + 0.4)
+    def slowGate: Double = Bench.slowGateFor(sentinelBaseline)
 
     // JVM-internal time sinks, to tell a query's own cost from engine
     // overheads the wall clock can't attribute (GC storms, JIT storms).
@@ -184,6 +194,16 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+
+    // Measured ANN recall-vs-exact at this SF (see AnnRecall scaladoc):
+    // config drift that silently degrades recall must surface in the
+    // per-round artifact, not only in test-scale specs. Guarded — a
+    // probe failure records an error field, never kills the artifact.
+    val recallEntries: Either[String, Seq[AnnRecall.Entry]] =
+      if (sys.env.get("SPARK_GRAFT_RECALL").contains("0")) Left("disabled")
+      else try Right(AnnRecall.measure(spark, sfDir))
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     // Locale.ROOT: a comma-decimal default locale would emit "0,123" and
     // make the JSON unparseable — the exact failure this line guards.
     def sec3(s: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
@@ -199,10 +219,17 @@ object Bench {
     // stdout line stays COMPACT (rounded secs, no rows/error detail): the
     // driver only captures the last few KB of stdout, and a long line gets
     // cut mid-object → unparseable. Full detail goes to bench_out.json.
+    val recallJson = recallEntries match {
+      case Right(rs) => rs.map(e =>
+        s"""${jstr(e.key)}:{"recall":${sec3(e.recall)},"floor":${sec3(e.floor)},"n_exact":${e.nExact},"ok":${e.ok}}""")
+        .mkString("{", ",", "}")
+      case Left(err) => s"""{"error":${jstr(err)}}"""
+    }
+    val recallOk = recallEntries.fold(_ => false, _.forall(_.ok))
     val stdoutJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"ann_recall":$recallJson,"ann_recall_ok":$recallOk,"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"ann_recall":$recallJson,"ann_recall_ok":$recallOk,"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -11,9 +11,11 @@ package graft
   *
   * Keys intentionally omitted (rows-only check): q25 (xxhash64
   * seed-specific simhash buckets), q28/q52/q58/q74/q75 (LSH/IVF/PQ
-  * recall<1), q34 (streaming emission order). q33's final changelog
-  * state equals the
-  * batch aggregate, so it IS oracled. q21 oracles the exact count and asserts
+  * recall<1). The streaming keys ARE oracled: q33's final changelog
+  * state equals the batch aggregate; q34/q54/q44 via the
+  * watermark-final rule (bounded one-batch input → file sink ==
+  * batch windows with end ≤ max(ts) - grace); q43 as a bounded ROWS
+  * window. q21 oracles the exact count and asserts
   * the HLL estimate within 10% as a boolean; q24 oracles the
   * exact-jaccard-verified pair set; q38 oracles the exact block-grid
   * cosine self-join; q39 oracles the deterministic stub formula.
@@ -539,6 +541,68 @@ object OracleSql {
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM events GROUP BY event_type""",
+
+    // q34/q54: EMIT FINAL watermark-final rule. A bounded single-file
+    // input is one micro-batch (nothing is ever late), so the append-
+    // mode file sink holds exactly the batch tumbling windows whose end
+    // has been passed by the final watermark = max(ts) - grace. The
+    // watermark is millisecond-truncated in Spark, window ends are
+    // integral seconds, so the seconds-level compare below is exact.
+    "q34_tumbling_stream" ->
+      """SELECT (epoch_ms(ts)//1000//300)*300 AS window_start, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2
+         HAVING (epoch_ms(ts)//1000//300)*300 + 300
+                <= (SELECT epoch_ms(max(ts))//1000 - 600 FROM events)""",
+
+    "q54_sql_stream" ->
+      """SELECT (epoch_ms(ts)//1000//300)*300 AS window_start, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2
+         HAVING (epoch_ms(ts)//1000//300)*300 + 300
+                <= (SELECT epoch_ms(max(ts))//1000 - 600 FROM events)""",
+
+    // q44: the same watermark-final rule over SESSION windows. Sessions
+    // are gaps-and-islands at full microsecond precision (Spark's
+    // session_window splits on gap ≥/> at event-ts precision; this data
+    // never ties at the µs), session end = last event + gap; emitted ⇔
+    // end ≤ final watermark (max(ts) ms-truncated, minus grace).
+    "q44_session_stream" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events),
+         f AS (SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                      THEN 1 ELSE 0 END AS ns FROM e),
+         g AS (SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM f),
+         s AS (SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS t0, MAX(ts) AS t1
+               FROM g GROUP BY user_id, sid)
+         SELECT user_id, n_events,
+                epoch_ms(t0)//1000 AS session_start,
+                epoch_ms(t1)//1000 + 1800 AS session_end
+         FROM s
+         WHERE epoch_us(t1) + 1800000000
+               <= (SELECT epoch_ms(max(ts))*1000 - 600000000 FROM events)""",
+
+    // q43: every arriving event emits the aggregate over its key's last
+    // ≤5 values in (ord, id) order — a plain ROWS window once the input
+    // is bounded. v is quantized to integer-valued doubles (×10⁴) so
+    // sums are exact regardless of association order; buf_avg is the
+    // same single exactly-rounded IEEE division both engines perform.
+    "q43_rows_buffer" ->
+      """WITH e AS (SELECT user_id AS key, epoch_ms(ts)//1000 AS ord,
+                    event_id, round(value*10000, 0) AS v FROM events),
+         w AS (SELECT key, event_id,
+                 COUNT(*) OVER win AS buf_n,
+                 SUM(v) OVER win AS buf_sum
+               FROM e WINDOW win AS (PARTITION BY key ORDER BY ord, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT key, event_id, CAST(buf_n AS BIGINT) AS buf_n,
+                buf_sum, buf_sum/buf_n AS buf_avg FROM w""",
 
     "q35_json_funcs" ->
       """SELECT event_type,

@@ -150,6 +150,20 @@ object ScaleProbe {
       val name = l.stripSuffix("_1x")
       println(f"| $name | $s1%.2f (rows=$r1) | $sm%.2f (rows=$rm) | ${sm / s1}%.2f |")
     }
+
+    // JSON artifact: the scaling shape is a per-round regression surface
+    // (a pipeline going quadratic must show up in checkable JSON, not
+    // only in SURVEY prose). One object per pipeline with both walls,
+    // both row counts, and the wall ratio for the m× data step.
+    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val entries = base.zip(big).map { case ((l, s1, r1), (_, sm, rm)) =>
+      val name = l.stripSuffix("_1x")
+      s""""$name":{"sec_1x":${s3(s1)},"sec_${m}x":${s3(sm)},"rows_1x":$r1,"rows_${m}x":$rm,"wall_ratio":${s3(sm / s1)}}"""
+    }
+    val json = s"""{"sf":"$sfDir","multiplier":$m,"pipelines":${entries.mkString("{", ",", "}")}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "scaleprobe_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    System.err.println(s"[probe] wrote $out")
     spark.stop()
   }
 }

@@ -390,11 +390,18 @@ object SparkEntry {
     }),
 
     // ---- 34. EMIT FINAL analog: append-mode tumbling window + watermark
-    //          through the parquet FILE sink (rows-only) ----
+    //          through the parquet FILE sink. ORACLED via the
+    //          watermark-final rule: with a bounded in-order input (one
+    //          file = one micro-batch, so nothing is ever late) the file
+    //          sink holds exactly the batch windows whose end has been
+    //          passed by the final watermark max(ts) - grace; DuckDB
+    //          replays that as a HAVING filter. Decimal-exact total so
+    //          the double sum is order-independent across engines ----
     "q34_tumbling_stream" -> ((s, dir) => {
       val stream = Tables.loadStream(s, dir, "events")
       val agg = graft.streaming.StreamOps.tumblingAgg(stream, "ts", "5 minutes", "10 minutes",
-        Seq("event_type"), Seq("count(1)" -> "n", "sum(value)" -> "total"))
+        Seq("event_type"),
+        Seq("count(1)" -> "n", "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)" -> "total"))
       val out = graft.streaming.StreamOps.runToParquet(agg, "q34")
       s.read.parquet(out)
         .select(unix_timestamp(col("window_start")).as("window_start"), col("event_type"), col("n"), col("total"))
@@ -527,19 +534,30 @@ object SparkEntry {
     }),
 
     // ---- 43. ROWS WINDOW BUFFER n ROWS EMIT CHANGES analog: per-key
-    //          ring-buffer state via flatMapGroupsWithState (rows-only;
-    //          emission sequence asserted in StreamingSpec) ----
+    //          ring-buffer state via flatMapGroupsWithState. ORACLED:
+    //          with a bounded input every emission is the aggregate over
+    //          the key's last ≤5 values in (ord, id) order — exactly a
+    //          ROWS BETWEEN 4 PRECEDING window. Values are quantized to
+    //          integer-valued doubles (×10⁴) so partial sums are exact
+    //          in IEEE754 and the hash is association-order-independent
+    //          across engines (emission SEQUENCE is asserted in
+    //          StreamingSpec) ----
     "q43_rows_buffer" -> ((s, dir) => {
       import s.implicits._
       val ev = T(s, dir, "events").select(
         col("user_id").as("k"), unix_timestamp(col("ts")).as("ord"),
-        col("event_id").as("id"), col("value").as("v"))
+        col("event_id").as("id"), round(col("value") * 10000, 0).as("v"))
         .as[graft.streaming.StreamOps.BufEvent]
       graft.streaming.StreamOps.rowsBufferAgg(ev, 5).toDF()
+        .withColumn("buf_n", col("buf_n").cast("long"))
     }),
 
     // ---- 44. SESSION window in Structured Streaming (session_window +
-    //          watermark, parquet file sink; rows-only) ----
+    //          watermark, parquet file sink). ORACLED via the same
+    //          watermark-final rule as q34: emitted sessions are the
+    //          batch gaps-and-islands sessions (full-µs-precision gap
+    //          splits) whose end = last_ts + gap has been passed by the
+    //          final watermark ----
     "q44_session_stream" -> ((s, dir) => {
       val stream = Tables.loadStream(s, dir, "events")
       val agg = graft.streaming.StreamOps.sessionAgg(stream, "ts", "30 minutes", "10 minutes",
@@ -623,7 +641,7 @@ object SparkEntry {
       // Lloyd — the web-scale IVF training shape; one collect job)
       val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", k = 64, dim = 64)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 64,
-          centroids = Some(cents))
+          nprobe = 16, centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
           col("rk").cast("long").as("rk"))
     }),
@@ -635,7 +653,7 @@ object SparkEntry {
     "q74_ann_pq" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, dim = 64, m = 8, refine = 4)
+          k = 10, dim = 64, m = 8, refine = 8)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
           col("rk").cast("long").as("rk"))
     }),
@@ -647,7 +665,7 @@ object SparkEntry {
     "q75_ann_ivfpq" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 8, refine = 4)
+          k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 16, refine = 8)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
           col("rk").cast("long").as("rk"))
     }),
@@ -859,7 +877,8 @@ object SparkEntry {
 
     // ---- 54. reference SQL text driven through STREAMING execution:
     //          dialect parse → watermarked stream → EMIT FINAL file sink
-    //          (rows-only; the end-to-end flagship of the front-end) ----
+    //          (the end-to-end flagship of the front-end). ORACLED via
+    //          the q34 watermark-final rule ----
     "q54_sql_stream" -> ((s, dir) => {
       val ctx = new graft.sql.VeloContext(s, defaultTimeCol = "ts")
       try {
@@ -870,7 +889,10 @@ object SparkEntry {
              FROM events_live GROUP BY event_type
              WINDOW TUMBLING(INTERVAL '5' MINUTE)
              EMIT FINAL""")
-        s.read.parquet(out).select(col("window_start"), col("event_type"), col("n"), col("total"))
+        // the dialect's windowed output already surfaces window_start
+        // as an epoch-second BIGINT
+        s.read.parquet(out).select(
+          col("window_start"), col("event_type"), col("n"), col("total"))
       } finally ctx.close() // throwaway context: detach its listeners from the shared session
     })
   )

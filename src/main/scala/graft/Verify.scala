@@ -15,7 +15,11 @@ object Verify {
     // a hand-rolled builder here already drifted once
     val spark = graft.api.GraftSession(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for local iteration (driver sets no filter)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // clear the target FIRST: a query that fails before its write must
       // not leave the previous run's parquet behind — the DuckDB compare
       // would silently PASS on stale data and green a broken query

@@ -112,25 +112,42 @@ object Similarity {
     * dropped — boilerplate-cluster noise, recall cost measured in
     * SimilaritySpec), exact cosine within buckets, two-phase top-k.
     * Recall < 1 by construction; numBands × bandBits trades recall vs
-    * candidate count. */
+    * candidate count.
+    *
+    * `multiProbe` (default on) additionally probes, PER QUERY band, the
+    * buckets at Hamming distance 1 from the query's chunk (flip each of
+    * the band's bits) — the standard multi-probe LSH move: mid-cosine
+    * neighbors that land one bit off still surface, lifting measured
+    * top-k recall on near-uniform corpora from ~0.1 to ~0.9 at these
+    * defaults (AnnRecall probe, sf0.1) for a (1+bandBits)× candidate
+    * multiplier on the QUERY side only — the corpus index is untouched,
+    * so the cost scales with the query batch, not the corpus. For huge
+    * query sets, dial `multiProbe` off or shrink bands. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, dim: Int, numBands: Int = 4, bandBits: Int = 8,
-              maxBucket: Int = 4096): DataFrame = {
+              k: Int, dim: Int, numBands: Int = 8, bandBits: Int = 6,
+              maxBucket: Int = 4096, multiProbe: Boolean = true): DataFrame = {
     val numBits = numBands * bandBits
-    def banded(df: DataFrame, id: String, v: String) = {
+    def banded(df: DataFrame, id: String, v: String, probe: Boolean) = {
       val sk = df.select(col(idCol).as(id), col(vecCol).as(v),
         signSketch(col(vecCol), numBits, dim).as("sk"))
+      val mask = (1L << bandBits) - 1
+      // probe offsets: the bucket itself, plus (query side only, when
+      // multi-probing) every single-bit flip of the band's chunk
+      val flips: Seq[Long] =
+        if (probe && multiProbe) 0L +: (0 until bandBits).map(1L << _).map(_.toLong)
+        else Seq(0L)
       sk.select(col(id), col(v),
-        explode(array((0 until numBands).map(b =>
+        explode(array((for { b <- 0 until numBands; f <- flips } yield
           struct(lit(b).as("band"),
-            shiftright(col("sk"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("chunk"))): _*)).as("bc"))
+            shiftright(col("sk"), b * bandBits).bitwiseAND(mask)
+              .bitwiseXOR(lit(f)).as("chunk"))): _*)).as("bc"))
         .select(col(id), col(v), col("bc.band"), col("bc.chunk"))
     }
-    val cb = banded(corpus, "neighbor_id", "cv")
+    val cb = banded(corpus, "neighbor_id", "cv", probe = false)
     val counts = cb.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
     val cbCapped = cb.join(counts.where(col("_bn") <= maxBucket), Seq("band", "chunk"))
       .drop("_bn")
-    val qb = banded(queries, "query_id", "qv")
+    val qb = banded(queries, "query_id", "qv", probe = true)
     val cand = cbCapped.join(qb, Seq("band", "chunk"))
       .where(col("neighbor_id") =!= col("query_id"))
       // score IN the join row, BEFORE the pair-dedup exchange: duplicate

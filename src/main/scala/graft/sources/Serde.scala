@@ -247,7 +247,7 @@ object Serde {
     * differently when read back (the exact drift this replaces: the
     * streaming read path lacked the CSV header option the writer set,
     * so the header line came back as a data row). */
-  private def fileFormat(path: String): (String, Map[String, String]) =
+  private[graft] def fileFormat(path: String): (String, Map[String, String]) =
     if (path.endsWith(".json") || path.endsWith(".jsonl")) ("json", Map.empty)
     else if (path.endsWith(".csv")) ("csv", Map("header" -> "true"))
     else ("parquet", Map.empty)

@@ -40,7 +40,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                          (_, _, _, _) => (),
                        breakerConfig: CircuitBreaker.Config = CircuitBreaker.Config(),
                        breakerClock: () => Long = () => System.currentTimeMillis(),
-                       defaultLimits: Resources.Limits = Resources.Limits()) {
+                       defaultLimits: Resources.Limits = Resources.Limits(),
+                       // declared INTO-sink path for a job body, resolved by the
+                       // owning context (CREATE SINK declarations / dotted props):
+                       // a streaming body's continuous writeStream lands THERE,
+                       // honoring the INTO contract batch bodies fulfill in
+                       // execStatement. None → the job's internal epoch dir.
+                       resolveSinkPath: VeloStatement => Option[String] = _ => None) {
 
   private case class Version(version: String, body: VeloStatement,
                              strategy: String, props: Map[String, String],
@@ -59,6 +65,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var epoch: Int = 0
     def ckptDir: String = s"$root/ckpt-$epoch"
     def sinkDir: String = s"$root/out-$epoch"
+    // declared INTO-sink location (re-resolved at every launch); the
+    // job's output reads route here when set
+    var sinkPath: Option[String] = None
   }
 
   private val jobs = scala.collection.mutable.LinkedHashMap[String, Job]()
@@ -256,6 +265,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private def recordResources(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
     Option(p.name).filter(_.startsWith("graft-job-")).map(_.stripPrefix("graft-job-"))
       .foreach { name =>
+        // A violating query is stopped AFTER the monitor is released:
+        // StreamingQuery.stop() joins the stream-execution thread, and a
+        // micro-batch callback that ever took the JobManager lock would
+        // deadlock against a listener-thread stop-under-lock. Registry
+        // state (handle/status/lastError) still flips atomically inside
+        // the lock, so the job is FAILED before anyone can observe it.
+        var toStop: Option[StreamingQuery] = None
         JobManager.this.synchronized {
           // ownership check: only the manager whose handle launched this
           // query may account/enforce — a same-named job in another
@@ -282,7 +298,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             }
             trip.foreach { case (res, v, l) =>
               if (j.status == "RUNNING") {
-                j.handle.foreach(q => try q.stop() catch { case _: Throwable => () })
+                toStop = j.handle
                 j.handle = None
                 j.status = "FAILED"
                 j.lastError = Some(
@@ -291,6 +307,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             }
           }
         }
+        toStop.foreach(q => try q.stop() catch { case _: Throwable => () })
       }
 
   /** Admission gate for the global `concurrent_operations` resource
@@ -386,9 +403,19 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // partitioning applies AFTER observe so metrics see every record
     val df = jobConfigs.get(j.name).map(applyPartitioning(df1, v.body, _)).getOrElse(df1)
     if (df.isStreaming) {
+      // INTO-sink contract for STREAMING bodies: the continuous
+      // writeStream IS the sink write, so it targets the DECLARED sink
+      // location (extension-derived format) when one resolves — batch
+      // bodies write theirs in execStatement. Resolved per launch:
+      // CREATE SINK declarations may change between deploys.
+      j.sinkPath = resolveSinkPath(v.body).map(_.stripPrefix("file://"))
+      val (sinkLoc, sinkFmt, sinkOpts) = j.sinkPath match {
+        case Some(p) => val (f, o) = graft.sources.Serde.fileFormat(p); (p, f, o)
+        case None => (j.sinkDir, "parquet", Map.empty[String, String])
+      }
       val q = emitOf(v.body) match {
         case Some(EmitChanges) =>
-          val out = j.sinkDir
+          val out = sinkLoc
           val jobName = j.name
           val hasLabeled = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
             .exists(m => m.labels.nonEmpty && m.metricType == "counter")
@@ -396,7 +423,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             .outputMode(OutputMode.Update())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
               def sink(): Unit = batch.withColumn("_batch_id", lit(batchId))
-                .write.mode("append").parquet(out)
+                .write.mode("append").options(sinkOpts).format(sinkFmt).save(out)
               if (hasLabeled) {
                 batch.persist()
                 try { sink(); collectLabeled(jobName, batch) } finally batch.unpersist()
@@ -408,8 +435,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         case _ =>
           df.writeStream
             .outputMode(OutputMode.Append())
-            .format("parquet")
-            .option("path", j.sinkDir)
+            .format(sinkFmt)
+            .options(sinkOpts)
+            .option("path", sinkLoc)
             .option("checkpointLocation", j.ckptDir)
             .queryName(s"graft-job-${j.name}")
             .start()
@@ -724,14 +752,20 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   def awaitIdle(name: String): Unit =
     job(name).handle.foreach(_.processAllAvailable())
 
-  /** The job's current output: batch view or executor-written sink dir. */
+  /** The job's current output: batch view or executor-written sink
+    * (the declared INTO location when one resolved, else the epoch dir). */
   def sinkDf(name: String): DataFrame = synchronized {
     val j = job(name)
-    j.batchView.map(spark.table).getOrElse(spark.read.parquet(j.sinkDir))
+    j.batchView.map(spark.table).getOrElse(readSink(j))
+  }
+
+  private def readSink(j: Job): DataFrame = j.sinkPath match {
+    case Some(p) => graft.sources.Serde.readFileUri(spark, p)
+    case None => spark.read.parquet(j.sinkDir)
   }
 
   private def sinkRows(j: Job): Long =
-    try spark.read.parquet(j.sinkDir).count() catch { case _: Throwable => 0L }
+    try readSink(j).count() catch { case _: Throwable => 0L }
 }
 
 object JobManager {

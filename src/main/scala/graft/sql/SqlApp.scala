@@ -426,11 +426,12 @@ object SqlApp {
     *  - histogram — cumulative `le`-bucket counts + `_sum`/`_count`
     *    per label series, one aggregation pass for ALL buckets. */
   def run(ctx: VeloContext, content: String,
-          env: String => Option[String] = sys.env.get): (SqlApplication, Seq[DataFrame]) = {
+          env: String => Option[String] = sys.env.get,
+          onWave: (Int, Seq[String]) => Unit = (_, _) => ()): (SqlApplication, Seq[DataFrame]) = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, count, expr, last, lit, pmod, sum, when, xxhash64}
     val app = parse(content, env)
-    val results = app.statements.map { s =>
+    def execOne(s: AppStatement): DataFrame = {
       // metrics on a JOB statement belong to the job's data, not to the
       // status frame ctx.sql returns: streaming jobs observe them on
       // their own micro-batches (observe() + listener in JobManager,
@@ -519,6 +520,92 @@ object SqlApp {
         case _ => df
       }
     }
-    (app, results)
+
+    // ---- dependency-ordered parallel table load (reference:
+    //      server/dependency_graph.rs + parallel_loader.rs — CTAS tables
+    //      load in dependency order, independent tables in parallel
+    //      waves). Consecutive plain CTAS/CSAS statements form a run;
+    //      within a run, statement B depends on statement A when B's
+    //      text references A's table (read-after-write) or B re-creates
+    //      a table an earlier statement reads (write-after-read — the
+    //      lexical over-approximation costs parallelism, never
+    //      correctness). Everything else — DDL declarations, jobs,
+    //      SELECTs, annotated statements — is a BARRIER executed
+    //      sequentially, so results are identical to sequential
+    //      execution by construction. ----
+    final case class CtasInfo(idx: Int, produces: String)
+    def ctasOf(s: AppStatement): Option[String] =
+      if (s.metrics.nonEmpty || s.partitionCount.nonEmpty || s.jobMode.nonEmpty
+        || s.batchSize.nonEmpty || s.numPartitions.nonEmpty || s.partitioningStrategy.nonEmpty) None
+      else try VeloSqlParser.parse(s.sql) match {
+        case VeloSqlParser.CreateTableAs(n, _, _, _) => Some(n)
+        case VeloSqlParser.CreateStreamAs(n, _, _, _) => Some(n)
+        case _ => None
+      } catch { case _: ParseException => None }
+    def identifiers(sql: String): Set[String] =
+      "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+
+    val results = new Array[DataFrame](app.statements.length)
+    var waveNo = 0
+    var i = 0
+    while (i < app.statements.length) {
+      val s = app.statements(i)
+      ctasOf(s) match {
+        case None =>
+          results(i) = execOne(s)
+          i += 1
+        case Some(first) =>
+          // maximal run of consecutive plain CTAS statements with
+          // distinct names (a re-created name ends the run: duplicate
+          // producers must stay strictly ordered)
+          var run = Vector(CtasInfo(i, first))
+          var j = i + 1
+          var done = false
+          while (j < app.statements.length && !done) {
+            ctasOf(app.statements(j)) match {
+              case Some(n) if !run.exists(_.produces.equalsIgnoreCase(n)) =>
+                run :+= CtasInfo(j, n); j += 1
+              case _ => done = true
+            }
+          }
+          // wave levels: level(B) = 1 + max(level of every run member A
+          // before B that B reads, or that reads the table B produces)
+          val refs = run.map(c => c.idx -> identifiers(app.statements(c.idx).sql)).toMap
+          val level = scala.collection.mutable.Map[Int, Int]()
+          run.zipWithIndex.foreach { case (c, k) =>
+            val deps = run.take(k).filter { a =>
+              refs(c.idx).contains(a.produces.toLowerCase(java.util.Locale.ROOT)) ||
+                refs(a.idx).contains(c.produces.toLowerCase(java.util.Locale.ROOT))
+            }
+            level(c.idx) = if (deps.isEmpty) 0 else deps.map(a => level(a.idx)).max + 1
+          }
+          val waves = run.groupBy(c => level(c.idx)).toSeq.sortBy(_._1)
+          if (run.length > 1) {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(run.length, 8))
+            try waves.foreach { case (_, members) =>
+              waveNo += 1
+              onWave(waveNo, members.map(_.produces))
+              val futs = members.map { c =>
+                pool.submit(new java.util.concurrent.Callable[DataFrame] {
+                  def call(): DataFrame = execOne(app.statements(c.idx))
+                })
+              }
+              // await the whole wave; the FIRST statement-order failure
+              // propagates, like sequential execution's first failure
+              members.zip(futs).foreach { case (c, f) =>
+                results(c.idx) =
+                  try f.get()
+                  catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+              }
+            } finally pool.shutdown()
+          } else {
+            waveNo += 1
+            onWave(waveNo, Seq(first))
+            results(i) = execOne(s)
+          }
+          i = j
+      }
+    }
+    (app, results.toIndexedSeq)
   }
 }

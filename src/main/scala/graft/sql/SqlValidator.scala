@@ -93,13 +93,15 @@ object SqlValidator {
     }
 
     // a declared column list binds positionally — an arity mismatch is a
-    // guaranteed execution failure the pre-deploy gate must catch
+    // guaranteed execution failure the pre-deploy gate must catch. The
+    // rule is the executor's own (VeloContext.declaredArityError): a
+    // WINDOW spec's synthetic window_start/window_end tail is
+    // pass-through, so a list covering only the select items is valid.
     def checkDeclaredArity(s: VeloSqlParser.SelectStmt, cols: Vector[(String, String)]): Unit =
       if (cols.nonEmpty) {
-        val n = ctx.spark.sql(toSparkSql(s, ctx.defaultTimeCol))
-          .queryExecution.analyzed.output.length
-        if (n != cols.length)
-          errors :+= s"declared ${cols.length} columns but the query produces $n"
+        val out = ctx.spark.sql(toSparkSql(s, ctx.defaultTimeCol))
+          .queryExecution.analyzed.output.map(_.name)
+        VeloContext.declaredArityError(out, cols.length).foreach(e => errors :+= e)
       }
 
     def warnIfUnknownJob(name: String): Unit =

@@ -80,6 +80,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   }
 
   /** Registered CTAS materializations (name → cached DataFrame). */
+  // CTAS statements may execute CONCURRENTLY (SqlApp's dependency-wave
+  // loader), so this registry is guarded by its own monitor
   private val materialized = scala.collection.mutable.Map[String, DataFrame]()
 
   /** Declared external sources/sinks (CREATE STREAM|SINK name WITH …):
@@ -156,7 +158,23 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * Job bodies pass SqlValidator's analyzer gate before launching. */
   val jobManager = new JobManager(spark, execStatement,
     body => SqlValidator.validateParsed(this, body).errors,
-    (n, t, h, s) => recordMetricSeries(n, t, h, s))
+    (n, t, h, s) => recordMetricSeries(n, t, h, s),
+    resolveSinkPath = resolveIntoSinkPath)
+
+  /** First resolvable INTO-sink file path of a job body (CREATE SINK
+    * declaration or the statement's own dotted props) — the streaming
+    * writeStream can serve ONE location, so multiple INTO file sinks
+    * take the first declared. Used by JobManager.launch to honor the
+    * INTO contract for streaming CSAS bodies. */
+  private def resolveIntoSinkPath(body: VeloStatement): Option[String] = body match {
+    case CreateStreamAs(_, s, _, _) =>
+      s.into.iterator.flatMap { sink =>
+        val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
+        declared.get("path").orElse(declared.get("file"))
+          .orElse(s.props.get(s"$sink.path")).orElse(s.props.get(s"$sink.file"))
+      }.nextOption()
+    case _ => None
+  }
 
   /** Collected `@metric` series: name → (sample-name suffix, labels,
     * value). Counters/gauges use the empty suffix; histograms record
@@ -272,8 +290,10 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // a CTAS re-run under the same name replaces the view — release
       // the PRIOR materialization's cache blocks or repeated refreshes
       // leak executor storage for the session's lifetime
-      materialized.get(name).foreach(_.unpersist())
-      materialized(name) = df
+      materialized.synchronized {
+        materialized.get(name).foreach(_.unpersist())
+        materialized(name) = df
+      }
       df
 
     case CreateStreamAs(name, s, _, cols) =>
@@ -294,9 +314,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       val routeKeys = VeloContext.routedKeys(s, cols).filter(df.columns.contains)
       val sinkDf =
         if (routeKeys.nonEmpty) df.repartition(routeKeys.map(col): _*) else df
-      // file-sink writes are BATCH writes: a streaming CSAS body (e.g.
-      // inside START JOB) leaves the sink write to the job's own
-      // continuous writeStream — df.write on a streaming frame throws
+      // file-sink writes here are BATCH writes: a streaming CSAS body
+      // (e.g. inside START JOB) gets its INTO sink from the job's own
+      // continuous writeStream, which JobManager.launch points at the
+      // declared sink location via resolveIntoSinkPath — df.write on a
+      // streaming frame would throw
       if (!df.isStreaming) s.into.foreach { sink =>
         val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
         declared.get("path").orElse(declared.get("file"))
@@ -531,6 +553,20 @@ object VeloContext {
     * positional rename + cast, exactly the reference's ColumnDef
     * semantics (names rebind unaliased aggregates by position; an
     * illegal cast fails at Catalyst analysis, before any execution). */
+  /** Shared arity rule for declared column lists, used by BOTH the
+    * executor (applyDeclaredColumns) and the pre-deploy validator
+    * (SqlValidator.checkDeclaredArity) so the gate can never reject a
+    * statement the executor accepts: the declared list must cover every
+    * output column, OR cover all but a trailing synthetic window tail
+    * appended by a WINDOW spec. Returns the error message, if any. */
+  private[sql] def declaredArityError(outputCols: Seq[String], declared: Int): Option[String] = {
+    val extras = outputCols.drop(declared)
+    val windowTail = extras.nonEmpty &&
+      extras.forall(Set("window_start", "window_end", "session_start", "session_end"))
+    if (outputCols.length == declared || windowTail) None
+    else Some(s"declared $declared columns but the query produces ${outputCols.length}")
+  }
+
   private[sql] def applyDeclaredColumns(df: DataFrame, cols: Vector[(String, String)]): DataFrame =
     if (cols.isEmpty) df
     else {
@@ -540,10 +576,8 @@ object VeloContext {
       // columns positionally and pass the window columns through
       // (declaring them explicitly also works — then the list covers
       // every column). Anything else is a genuine arity error.
+      declaredArityError(df.columns.toSeq, cols.length).foreach(e => throw new IllegalArgumentException(e))
       val extras = df.columns.drop(cols.length)
-      val windowTail = extras.forall(Set("window_start", "window_end", "session_start", "session_end"))
-      require(df.columns.length == cols.length || (windowTail && extras.nonEmpty),
-        s"declared ${cols.length} columns but the query produces ${df.columns.length}")
       val renamed = df.toDF(cols.map(_._1) ++ extras: _*)
       renamed.select(cols.map { case (n, t) => col(n).cast(t).as(n) } ++ extras.map(col): _*)
     }

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the bench self-validation gate against the r5 signal-quality
+  * defect: the old `baseline + 0.4` absolute floor made the gate ~10x a
+  * 0.043 s baseline, so an ambient window whose sentinels read 5-7x
+  * baseline (the r5 q17/q30/q31/q32 stretch) was never re-timed. The
+  * replay cases below use the exact values from that round's artifact.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("r5 replay: 5-7x-baseline ambient window now triggers re-timing") {
+    // BENCH_r05: sentinel baseline 0.043 s; the judge-measured guards
+    // around q17/q30/q31/q32 ran 0.22-0.30 s and passed the old gate.
+    val baseline = 0.043
+    val gate = Bench.slowGateFor(baseline)
+    val r5WindowGuards = Seq(0.22, 0.25, 0.30)
+    r5WindowGuards.foreach { g =>
+      assert(g > gate, s"guard $g must exceed gate $gate (would be re-timed)")
+    }
+    // The old floor demonstrably hid them: every guard sat below it.
+    val oldGate = math.max(2.5 * baseline, baseline + 0.4)
+    r5WindowGuards.foreach(g => assert(g < oldGate))
+  }
+
+  test("clean windows at a typical baseline are not flagged") {
+    val baseline = 0.043
+    val gate = Bench.slowGateFor(baseline)
+    // Ordinary jitter: probes within ~2x baseline stay clean.
+    Seq(0.043, 0.06, 0.09).foreach(g => assert(g <= gate))
+  }
+
+  test("microsecond baseline keeps an absolute noise floor") {
+    // The floor's only legitimate job: a near-zero baseline must not
+    // flag scheduler noise. 50 ms of jitter over a 1 ms baseline is
+    // noise; 200 ms is a real stall.
+    val gate = Bench.slowGateFor(0.001)
+    assert(gate >= 0.15)
+    assert(0.05 <= gate)
+    assert(0.2 > gate)
+  }
+
+  test("large baselines scale multiplicatively, not by the floor") {
+    // On a loaded VM where the best-observed sentinel is already 0.5 s,
+    // the 2.5x term governs — the floor never loosens a large gate.
+    assert(Bench.slowGateFor(0.5) === 1.25)
+  }
+}

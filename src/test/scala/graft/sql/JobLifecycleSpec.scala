@@ -51,6 +51,26 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.streams.active.forall(_.name != "graft-job-doubler"))
   }
 
+  test("streaming CSAS INTO a declared file sink lands at the DECLARED path (INTO contract)") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 10.0), (2L, 20.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_into").toString
+    ctx.sql(s"CREATE SINK live_out WITH (path = 'file://$dir/live.parquet')")
+    // the job's continuous writeStream IS the sink write: it must target
+    // the declared sink location, not only the job's internal epoch dir
+    ctx.sql(
+      """START JOB into_job AS CREATE STREAM enriched AS
+         SELECT id, v * 2 AS v2 FROM live_events INTO live_out""")
+    ctx.jobManager.awaitIdle("into_job")
+    try {
+      val out = spark.read.parquet(s"$dir/live.parquet")
+      assert(out.count() == 2)
+      assert(out.columns.sorted.toSeq == Seq("id", "v2"))
+      // the job's own output surface reads the same declared location
+      assert(ctx.jobManager.sinkDf("into_job").count() == 2)
+    } finally ctx.sql("STOP JOB into_job")
+  }
+
   test("DEPLOY new version switches the pipeline; ROLLBACK returns to the previous one") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0), (2L, 2.0)))

@@ -1,0 +1,114 @@
+package graft.sql
+
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The job-management REST surface, executed end-to-end: a real JDK
+  * HttpServer on an ephemeral port over a live VeloContext, driven by
+  * the real HTTP client — deploy → status → health → stop, plus the
+  * discovery/report/metrics routes and the error contract (reference:
+  * api/velostream-sql-multi-server.openapi.yaml,
+  * stream_job_server.rs:427-438, health_dashboard.rs:78-82). */
+class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAndAfterAll {
+
+  private lazy val (input, ctx) = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    val c = new VeloContext(spark)
+    c.register("http_events", in.toDF().toDF("id", "v"))
+    (in, c)
+  }
+  private lazy val server = new JobServerHttp(ctx)
+  private val http = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    ctx.close()
+    super.afterAll()
+  }
+
+  private def get(path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(path: String, json: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def delete(path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+      .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("server info and empty health are served") {
+    val (code, body) = get("/")
+    assert(code == 200 && body.contains("graft-sql-server"))
+    assert(body.contains("/health") && body.contains("/jobs"))
+    val (hc, health) = get("/health")
+    assert(hc == 200 && health.contains("\"status\":\"Healthy\"") && health.contains("\"job_count\":0"))
+  }
+
+  test("deploy over HTTP launches the job; status, list, report, stop all reflect it") {
+    input.addData(Seq((1L, 2.0), (2L, 4.0)))
+    val (dc, deployed) = post("/jobs/http_doubler",
+      """{"query": "SELECT id, v * 2 AS v2 FROM http_events", "version": "1.1.0"}""")
+    assert(dc == 200, deployed)
+    assert(deployed.contains("\"status\":\"RUNNING\"") && deployed.contains("\"version\":\"1.1.0\""))
+    ctx.jobManager.awaitIdle("http_doubler")
+    assert(ctx.jobManager.sinkDf("http_doubler").count() == 2)
+
+    val (lc, list) = get("/jobs")
+    assert(lc == 200 && list.contains("\"name\":\"http_doubler\""))
+    val (sc, detail) = get("/jobs/http_doubler")
+    assert(sc == 200 && detail.contains("\"metrics\":") && detail.contains("\"resources\":"))
+    val (rc, report) = get("/report")
+    assert(rc == 200 && report.contains("http_doubler") && report.contains("RUNNING"))
+    val (mc, _) = get("/metrics")
+    assert(mc == 200)
+
+    val (xc, stopped) = delete("/jobs/http_doubler")
+    assert(xc == 200 && stopped.contains("\"status\":\"STOPPED\""))
+    assert(spark.streams.active.forall(_.name != "graft-job-http_doubler"))
+  }
+
+  test("error contract: bad SQL is 400 with the validator message, unknown routes/jobs 404/422") {
+    // the REST ring passes the SAME pre-deploy gate as SQL text
+    val (bc, bad) = post("/jobs/badjob", """{"query": "SELECT bogus FROM http_events"}""")
+    assert(bc == 400 && bad.contains("error"))
+    assert(get("/jobs/never_deployed")._1 == 404)
+    assert(delete("/jobs/never_deployed")._1 == 404)
+    assert(post("/jobs/nobody", """{"nope": 1}""")._1 == 422)
+    // URI-legal but outside the server's [A-Za-z0-9_]+ job-name shape
+    assert(post("/jobs/bad.name", """{"query": "SELECT 1"}""")._1 == 400)
+    assert(get("/no_such_route")._1 == 404)
+    // the failed deploy never registered a job
+    assert(!ctx.jobManager.hasJob("badjob"))
+  }
+
+  test("health rolls a FAILED job up to Critical with the issue named") {
+    input.addData(Seq((5L, 5.0)))
+    post("/jobs/http_fragile",
+      """{"query": "SELECT id, assert_true(v < 1.0) AS chk FROM http_events"}""")
+    // the stream dies on the assert (awaitIdle surfaces the death);
+    // supervision then records the failure
+    try ctx.jobManager.awaitIdle("http_fragile")
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    Thread.sleep(200)
+    ctx.jobManager.superviseOnce(autoRestart = false)
+    val (hc, health) = get("/health")
+    assert(hc == 200 && health.contains("\"status\":\"Critical\""), health)
+    assert(health.contains("http_fragile"))
+    delete("/jobs/http_fragile")
+  }
+}

@@ -399,6 +399,54 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB app_monitor")
   }
 
+  test("diamond CTAS dependencies load in parallel waves, results identical to sequential (parallel_loader.rs)") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("raw_wave", Seq((1L, 10.0), (2L, 200.0), (3L, 3000.0)).toDF("id", "amount"))
+    val appText =
+      """-- SQL Application: Wave Loader
+        |
+        |CREATE TABLE wave_small AS SELECT id, amount FROM raw_wave WHERE amount < 1000;
+        |CREATE TABLE wave_big AS SELECT id, amount FROM raw_wave WHERE amount >= 1000;
+        |CREATE TABLE wave_union AS
+        |  SELECT id, amount FROM wave_small UNION ALL SELECT id, amount FROM wave_big;
+        |
+        |SELECT COUNT(*) AS n FROM wave_union
+        |""".stripMargin
+    var waves = Vector.empty[(Int, Seq[String])]
+    val (_, results) = SqlApp.run(ctx, appText, lookup,
+      onWave = (w, members) => waves.synchronized { waves :+= (w -> members) })
+    // the diamond executes in exactly 2 waves: the independent branches
+    // together, then the statement that reads both
+    assert(waves.length == 2, waves)
+    assert(waves(0)._2.toSet == Set("wave_small", "wave_big"))
+    assert(waves(1)._2 == Seq("wave_union"))
+    // results identical to sequential semantics
+    assert(spark.table("wave_small").count() == 2)
+    assert(spark.table("wave_big").count() == 1)
+    assert(spark.table("wave_union").count() == 3)
+    assert(results.last.collect().head.getLong(0) == 3L)
+    // and the barrier statement ran AFTER the run, in order
+    assert(results.length == 4)
+  }
+
+  test("a CTAS re-creating a table stays strictly ordered (write-after-read barrier)") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("raw_war", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    SqlApp.run(ctx,
+      """-- SQL Application: WAR Order
+        |
+        |CREATE TABLE war_t AS SELECT id, v FROM raw_war;
+        |CREATE TABLE war_reader AS SELECT id, v * 10 AS v10 FROM war_t;
+        |CREATE TABLE war_t2 AS SELECT id, v10 FROM war_reader WHERE id = 1;
+        |""".stripMargin, lookup)
+    // war_reader must have read the FIRST war_t (sequential semantics);
+    // the chain forces 3 levels even though all three are CTAS
+    assert(spark.table("war_reader").count() == 2)
+    assert(spark.table("war_t2").collect().map(_.getDouble(1)).toSeq == Seq(10.0))
+  }
+
   test("@job_mode/@batch_size/@num_partitions/@partitioning_strategy parse per statement (annotation_parser.rs:204-208)") {
     val app = SqlApp.parse(
       """-- SQL Application: JobCfg

@@ -91,4 +91,30 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     assert(!c.isValid)
     assert(c.errors.exists(_.contains("declared 2 columns")))
   }
+
+  test("WINDOW-spec declared columns: the gate applies the executor's window-tail allowance") {
+    import spark.implicits._
+    ctx.register("v_ticks",
+      Seq(("AAPL", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+          ("MSFT", 20.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:20")))
+        .toDF("symbol", "price", "ts"))
+    // a declared list covering only the SELECT items executes fine (the
+    // renderer's synthetic window_start/window_end pass through), so the
+    // pre-deploy gate must accept it too — executor/validator parity
+    val ok = SqlValidator.validateStatement(ctx,
+      """CREATE TABLE win_gate (sym STRING, cnt BIGINT) AS
+         SELECT symbol, COUNT(*) FROM v_ticks GROUP BY symbol
+         WINDOW TUMBLING(INTERVAL '1' MINUTE)""")
+    assert(ok.isValid, ok.errors.mkString("; "))
+    // a genuine arity mismatch under a WINDOW spec is still an error
+    // (the extras would include a non-window select item)
+    val bad = SqlValidator.validateStatement(ctx,
+      """CREATE TABLE win_bad (sym STRING) AS
+         SELECT symbol, COUNT(*) FROM v_ticks GROUP BY symbol
+         WINDOW TUMBLING(INTERVAL '1' MINUTE)""")
+    assert(!bad.isValid)
+    assert(bad.errors.exists(_.contains("declared 1 columns")))
+    // the gate analyzed, never executed
+    assert(!spark.catalog.tableExists("win_gate"))
+  }
 }
