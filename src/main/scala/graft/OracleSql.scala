@@ -82,6 +82,8 @@ object OracleSql {
          (epoch_ms(ts)//1000//300)*300 + 300 AS window_end
          FROM events GROUP BY 1, 2, 5""",
 
+    // no window_start >= 0 filter: negative starts are legitimate
+    // (pre-1970 events), and the operator emits them like tumbling does
     "q6_sliding" ->
       """SELECT window_start, event_type, COUNT(*) AS n_events,
                 window_start + 600 AS window_end
@@ -89,7 +91,7 @@ object OracleSql {
                  unnest(generate_series((epoch_ms(ts)//1000//300)*300 - 300,
                                         (epoch_ms(ts)//1000//300)*300, 300)) AS window_start
                FROM events)
-         WHERE window_start >= 0 GROUP BY 1, 2""",
+         GROUP BY 1, 2""",
 
     "q7_session" ->
       """WITH e AS (

@@ -18,16 +18,23 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's
-      // vectorized reader rejects; read as long and convert in the loader.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate RETURNS any pre-existing session with builder configs
+    // silently IGNORED — a correctness trap (non-UTC timezone shifts
+    // window results; missing nanosAsLong fails the events scan). Every
+    // conf the engine depends on is a runtime-settable SQL conf, so pin
+    // them on the session explicitly, whoever created it.
+    Seq(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC",
+      // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's
+      // vectorized reader rejects; read as long and convert in the loader.
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+    ).foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     // the engine's native kernels are part of its SQL surface
     graft.functions.GraftKernels.registerSqlFunctions(spark)

@@ -24,6 +24,10 @@ object TimeWindows {
     * oracle-stable across engines/timezones.
     */
   def tumbling(df: DataFrame, tsCol: String, sizeSeconds: Long, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    // fail at the call site: size 0 would otherwise surface as a runtime
+    // DIVIDE_BY_ZERO from generated code (ANSI mode), far from the bug
+    require(sizeSeconds > 0, s"window size must be positive, got $sizeSeconds")
+    require(aggs.nonEmpty, "tumbling needs at least one aggregate expression")
     val bucket = (floor(unix_timestamp(col(tsCol)) / sizeSeconds) * sizeSeconds).cast("long")
     df.groupBy(bucket.as("window_start") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -40,13 +44,17 @@ object TimeWindows {
     */
   def sliding(df: DataFrame, tsCol: String, sizeSeconds: Long, advanceSeconds: Long,
               keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    // advance 0 must name the bad parameter, not leak an
+    // ArithmeticException from the modulo in the next check
+    require(advanceSeconds > 0, s"window advance must be positive, got $advanceSeconds")
     require(sizeSeconds % advanceSeconds == 0, "window size must be a multiple of advance")
-    val n = (sizeSeconds / advanceSeconds).toInt
+    require(aggs.nonEmpty, "sliding needs at least one aggregate expression")
     val lastStart = (floor(unix_timestamp(col(tsCol)) / advanceSeconds) * advanceSeconds).cast("long")
-    // covering starts: lastStart, lastStart-advance, ... (n of them), keep starts >= 0
+    // covering starts: lastStart, lastStart-advance, ... (n of them).
+    // Negative starts are legitimate (pre-1970 events) — filtering them
+    // would silently drop those events and diverge from tumbling()
     val starts = sequence(lastStart - lit(sizeSeconds - advanceSeconds), lastStart, lit(advanceSeconds))
     df.withColumn("window_start", explode(starts))
-      .where(col("window_start") >= 0)
       .groupBy(col("window_start") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_end", col("window_start") + lit(sizeSeconds))
@@ -76,16 +84,25 @@ object TimeWindows {
   def sessionize(df: DataFrame, epochCol: String, gapSeconds: Long, keys: Seq[Column],
                  tieBreak: Seq[Column], aggs: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(gapSeconds >= 0, s"session gap must be non-negative, got $gapSeconds")
+    require(aggs.nonEmpty, "sessionize needs at least one aggregate expression")
+    // namespaced working columns: withColumn REPLACES a same-named input
+    // column, so plain `_session_id` would silently corrupt a caller
+    // re-sessionizing output that already carries one
+    val nsCol = "__graft_new_session"
+    val sidCol = "__graft_session_id"
+    require(!df.columns.contains(nsCol) && !df.columns.contains(sidCol),
+      s"input must not carry the $nsCol/$sidCol working columns")
     val w = Window.partitionBy(keys: _*).orderBy(col(epochCol) +: tieBreak: _*)
     val epoch = col(epochCol)
     val newSession = when(epoch - lag(epoch, 1).over(w) > gapSeconds, 1).otherwise(0)
     val sessioned = df
-      .withColumn("_new_session", newSession)
-      .withColumn("_session_id", sum(col("_new_session")).over(
+      .withColumn(nsCol, newSession)
+      .withColumn(sidCol, sum(col(nsCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sessioned
-      .groupBy(keys :+ col("_session_id"): _*)
+      .groupBy(keys :+ col(sidCol): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .drop("_session_id")
+      .drop(sidCol)
   }
 }

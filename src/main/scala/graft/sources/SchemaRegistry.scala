@@ -24,7 +24,11 @@ final class SchemaRegistry(root: Path) {
   private[sources] def root_forTest: Path = root
 
   private def subjectDir(subject: String): Path = {
-    require(subject.matches("[A-Za-z0-9._-]+"), s"invalid subject name: $subject")
+    // "." and ".." satisfy the character class but resolve OUTSIDE the
+    // registry root — a path traversal reachable straight from the HTTP
+    // server's un-normalized URI segment, so they are rejected by name
+    require(subject.matches("[A-Za-z0-9._-]+") && subject != "." && subject != "..",
+      s"invalid subject name: $subject")
     root.resolve(subject)
   }
 
@@ -67,15 +71,15 @@ final class SchemaRegistry(root: Path) {
   def latest(subject: String): Option[(Int, String)] =
     versions(subject).lastOption.map(v => v -> get(subject, v).get)
 
+  private def incompatList(reader: Schema, writer: Schema): Vector[String] =
+    SchemaCompatibility.checkReaderWriterCompatibility(reader, writer).getResult
+      .getIncompatibilities.asScala.toVector.map(i =>
+        s"${i.getType}: ${i.getMessage} at ${i.getLocation}")
+
   /** Incompatibility messages preventing `readerJson` from reading data
     * written with `writerJson`; empty = compatible. */
-  def incompatibilities(readerJson: String, writerJson: String): Vector[String] = {
-    val r = new Schema.Parser().parse(readerJson)
-    val w = new Schema.Parser().parse(writerJson)
-    val res = SchemaCompatibility.checkReaderWriterCompatibility(r, w).getResult
-    res.getIncompatibilities.asScala.toVector.map(i =>
-      s"${i.getType}: ${i.getMessage} at ${i.getLocation}")
-  }
+  def incompatibilities(readerJson: String, writerJson: String): Vector[String] =
+    incompatList(new Schema.Parser().parse(readerJson), new Schema.Parser().parse(writerJson))
 
   /** Register a schema under `subject`. Returns the version. Identical
     * to the latest schema → returns the existing version (idempotent).
@@ -83,19 +87,37 @@ final class SchemaRegistry(root: Path) {
     * version's data) is rejected, as a registry's default gate is. */
   def register(subject: String, schemaJson: String): Int = synchronized {
     val parsed = new Schema.Parser().parse(schemaJson) // reject malformed first
-    latest(subject) match {
-      case Some((v, prev)) if new Schema.Parser().parse(prev) == parsed => v
+    // one directory listing + one parse of the latest schema per call
+    // (latest() would re-list and the equality/compat checks re-parse)
+    val vs = versions(subject)
+    val prevParsed = vs.lastOption.map(v => v -> new Schema.Parser().parse(get(subject, v).get))
+    prevParsed match {
+      case Some((v, prev)) if prev == parsed => v
       case prevOpt =>
         prevOpt.foreach { case (v, prev) =>
-          val problems = incompatibilities(schemaJson, prev)
+          val problems = incompatList(parsed, prev)
           if (problems.nonEmpty)
             throw new IllegalArgumentException(
               s"schema for $subject is not backward-compatible with version $v: ${problems.mkString("; ")}")
         }
-        val next = versions(subject).lastOption.getOrElse(0) + 1
         val d = subjectDir(subject)
         Files.createDirectories(d)
-        Files.writeString(d.resolve(s"$next.avsc"), parsed.toString(true))
+        // CREATE_NEW: the registry doc promises any shared filesystem
+        // works, and `synchronized` only serializes THIS driver. Version
+        // allocation (list, +1) can race another process; truncate-write
+        // would silently clobber its committed version file, so the
+        // write must fail on collision and re-allocate.
+        var next = vs.lastOption.getOrElse(0) + 1
+        var written = false
+        while (!written) {
+          try {
+            Files.writeString(d.resolve(s"$next.avsc"), parsed.toString(true),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            written = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => next += 1
+          }
+        }
         next
     }
   }

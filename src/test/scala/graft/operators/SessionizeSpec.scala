@@ -33,6 +33,42 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
       t <- Gen.choose(0L, 2000L)
     } yield (k, t))
 
+  test("sliding keeps pre-1970 windows: size==advance equals tumbling on negative epochs") {
+    import spark.implicits._
+    // events straddling the epoch; ts as real timestamps
+    val df = Seq(-400L, -100L, 50L, 350L)
+      .map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+      .toDF("ts").withColumn("k", lit(1))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("window_start", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = rows(TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")), Seq(count(lit(1)).as("n"))))
+    val s = rows(TimeWindows.sliding(df, "ts", 300L, 300L, Seq(col("k")), Seq(count(lit(1)).as("n"))))
+    // a >=0 filter would have silently dropped the two pre-1970 events
+    assert(t == s)
+    assert(t.map(_._1).min == -600L)
+    assert(t.size == 4 && t.forall(_._2 == 1L))
+  }
+
+  test("window operators fail fast on bad parameters with named messages") {
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDF("ts", "k")
+    val aggs = Seq(count(lit(1)).as("n"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(df, "ts", 0L, Seq(col("k")), aggs)).getMessage.contains("size"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(df, "ts", 600L, 0L, Seq(col("k")), aggs)).getMessage.contains("advance"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")), Seq.empty)).getMessage.contains("aggregate"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(df, "ts", 600L, 300L, Seq(col("k")), Seq.empty)).getMessage.contains("aggregate"))
+    // sessionize refuses inputs carrying its working columns instead of
+    // silently overwriting them
+    val clash = Seq((1L, 1L)).toDF("ep", "__graft_session_id")
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sessionize(clash, "ep", 100L, Seq(col("ep")), Seq.empty, aggs))
+      .getMessage.contains("working columns"))
+  }
+
   test("sessionize == brute-force reference on random event sets") {
     import spark.implicits._
     (1 to 15).foreach { i =>

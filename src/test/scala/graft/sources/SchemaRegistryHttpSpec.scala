@@ -75,6 +75,24 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
     assert(parsed.getDoc == "line1\nline2 \"quoted\" \t tab")
   }
 
+  test("path-traversal subject over the wire is rejected, nothing written outside the root") {
+    // ".." is a URI-legal path segment the server passes verbatim — the
+    // registry must refuse it (500 with the invalid-name message here;
+    // never a file outside the registry root)
+    val http = java.net.http.HttpClient.newHttpClient()
+    val resp = http.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(server.baseUrl + "/subjects/%2E%2E/versions"))
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"schema": "{\\"type\\":\\"record\\",\\"name\\":\\"X\\",\\"fields\\":[]}"}"""))
+        .build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() >= 400, s"${resp.statusCode()} ${resp.body()}")
+    assert(resp.body().contains("invalid subject name") || resp.statusCode() == 404)
+    assert(!java.nio.file.Files.exists(registry.root_forTest.getParent.resolve("1.avsc")))
+  }
+
   test("end-to-end: decode old payloads under the reader schema fetched over HTTP") {
     import spark.implicits._
     val writerSchema = client.schemaAt("wire-value", 1)

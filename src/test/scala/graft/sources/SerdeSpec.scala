@@ -173,6 +173,35 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(reg.versions("events-value") == Vector(1, 2))
   }
 
+  test("schema registry: path-traversal subjects rejected; version collisions never clobber") {
+    val root = java.nio.file.Files.createTempDirectory("graft_reg_safe")
+    val reg = new SchemaRegistry(root)
+    val schema = """{"type":"record","name":"T","fields":[{"name":"a","type":"int"}]}"""
+    // "." and ".." satisfy the [A-Za-z0-9._-]+ class but resolve outside
+    // the registry root — must be rejected by name, never written
+    Seq(".", "..").foreach { s =>
+      val e = intercept[IllegalArgumentException](reg.register(s, schema))
+      assert(e.getMessage.contains("invalid subject name"))
+    }
+    assert(!java.nio.file.Files.exists(root.getParent.resolve("1.avsc")))
+
+    // cross-process race shape: another driver committed version 2
+    // between our listing and our write. CREATE_NEW must skip past the
+    // collision, never truncate-overwrite the committed file.
+    assert(reg.register("race", schema) == 1)
+    val foreign = """{"type":"record","name":"T","fields":[
+        {"name":"a","type":"int"},{"name":"b","type":"int","default":0}]}"""
+    java.nio.file.Files.writeString(root.resolve("race").resolve("2.avsc"), foreign)
+    val evolved = """{"type":"record","name":"T","fields":[
+        {"name":"a","type":"int"},{"name":"c","type":"int","default":1}]}"""
+    // a register over the subject with the foreign file appends AFTER
+    // it and the foreign content survives verbatim (truncate-write
+    // would have clobbered it; CREATE_NEW guards the narrower window
+    // between listing and write the same way)
+    assert(reg.register("race", evolved) == 3)
+    assert(reg.get("race", 2).get == foreign)
+  }
+
   test("kafka envelope with Avro value → typed columns + system columns") {
     import spark.implicits._
     val schemaJson =
