@@ -25,6 +25,62 @@ object Joins {
                   joinType: String = "inner"): DataFrame =
     fact.join(broadcast(dim), cond, joinType)
 
+  /** Missing-table-data strategies for stream-table enrichment
+    * (reference: server/graceful_degradation.rs:16-41 — what happens
+    * when a stream record finds no table row):
+    *  - FailFast (the reference default): strict consistency — the
+    *    first unmatched record raises at execution;
+    *  - SkipRecord: drop unenrichable records (inner join);
+    *  - EmitWithNulls: keep every stream record, null enrichment
+    *    (left outer join);
+    *  - UseDefaults: keep every record, fill the named dim columns
+    *    from fallback values.
+    * The reference's WaitAndRetry is the micro-batch loop itself on
+    * Spark: a stream-static join re-reads the static side every
+    * trigger, so a late-loaded table IS retried on the next batch —
+    * no operator code needed.
+    */
+  sealed trait MissingDataStrategy
+  object MissingDataStrategy {
+    case object FailFast extends MissingDataStrategy
+    case object SkipRecord extends MissingDataStrategy
+    case object EmitWithNulls extends MissingDataStrategy
+    final case class UseDefaults(defaults: Map[String, Any]) extends MissingDataStrategy
+  }
+
+  /** Stream-table join with a graceful-degradation strategy for stream
+    * records the table cannot enrich. Broadcast like [[streamTable]];
+    * the strategy only changes join type + a codegen'd projection, so
+    * the happy path costs the same as the plain join. */
+  def streamTableDegraded(fact: DataFrame, dim: DataFrame, cond: Column,
+                          strategy: MissingDataStrategy): DataFrame = {
+    import MissingDataStrategy._
+    strategy match {
+      case SkipRecord => fact.join(broadcast(dim), cond, "inner")
+      case EmitWithNulls => fact.join(broadcast(dim), cond, "left_outer")
+      case UseDefaults(defaults) =>
+        val missing = defaults.keySet.filterNot(dim.columns.contains)
+        require(missing.isEmpty, s"UseDefaults names non-table columns: ${missing.mkString(", ")}")
+        val joined = fact.join(broadcast(dim), cond, "left_outer")
+        defaults.foldLeft(joined) { case (d, (c, v)) =>
+          d.withColumn(c, coalesce(col(c), lit(v)))
+        }
+      case FailFast =>
+        // left join + a match marker asserted in a FILTER: an unmatched
+        // record raises AT EXECUTION with a named error. The assert must
+        // live in a predicate — a projected-then-dropped check column
+        // would be pruned by the optimizer and never evaluated.
+        // assert_true returns null on success, so `.isNull` keeps every
+        // surviving row; the matched path is one codegen'd branch.
+        val marked = dim.withColumn("__graft_matched", lit(true))
+        fact.join(broadcast(marked), cond, "left_outer")
+          .where(assert_true(col("__graft_matched").isNotNull,
+            lit("stream-table join: missing table data for stream record " +
+              "(FailFast strategy; use SkipRecord/EmitWithNulls/UseDefaults to degrade)")).isNull)
+          .drop("__graft_matched")
+    }
+  }
+
   /** Stream-stream interval join: equi-key plus
     * `right.ts BETWEEN left.ts + lower AND left.ts + upper`.
     */

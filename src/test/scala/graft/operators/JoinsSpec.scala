@@ -62,4 +62,42 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     assert(j.collect().map(x => (x.getLong(0), x.getAs[Timestamp]("rts").getTime / 1000)).toSet
       == Set((1L, 1500L), (2L, 5100L)))
   }
+
+  test("stream-table degradation strategies (graceful_degradation.rs semantics)") {
+    import Joins.MissingDataStrategy._
+    import spark.implicits._
+    // fact row k=3 has no dim match — the degradation case
+    val fact = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
+    val cond = col("k") === col("dk")
+
+    // SkipRecord: unenrichable records are filtered
+    val skip = Joins.streamTableDegraded(fact, dim, cond, SkipRecord)
+    assert(skip.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // EmitWithNulls: every record kept, null enrichment
+    val nulls = Joins.streamTableDegraded(fact, dim, cond, EmitWithNulls)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+    assert(nulls == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+
+    // UseDefaults: missing enrichment filled from fallbacks
+    val dflt = Joins.streamTableDegraded(fact, dim, cond, UseDefaults(Map("tier" -> "unrated")))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("tier")).toMap
+    assert(dflt(3L) == "unrated" && dflt(1L) == "gold")
+    // ...and naming a non-table column is rejected at the call site
+    intercept[IllegalArgumentException] {
+      Joins.streamTableDegraded(fact, dim, cond, UseDefaults(Map("no_such" -> 1)))
+    }
+
+    // FailFast (the reference default): the unmatched record raises at
+    // execution — the assert lives in a filter, so the optimizer cannot
+    // prune it away
+    val e = intercept[Exception] {
+      Joins.streamTableDegraded(fact, dim, cond, FailFast).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("missing table data"))
+    // a fully-matched fact passes FailFast untouched
+    val ok = Joins.streamTableDegraded(fact.filter(col("k") < 3), dim, cond, FailFast)
+    assert(ok.count() == 2)
+  }
 }
