@@ -43,16 +43,21 @@ object Contamination {
       explode(Dedup.shingles(col(textCol), k)).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
+    // Persist the candidate subtree (corpus scan + shingle explode +
+    // semi-join) ONCE: both the DF aggregation and the final join reuse
+    // it, so the corpus is never scanned twice. Size is bounded by the
+    // bench-matching gram stream, not the corpus. The previous window
+    // (`count(1).over(partitionBy g)`) was a scale trap: window functions
+    // have NO map-side partial aggregation, so every occurrence of a hot
+    // boilerplate gram — exactly what maxDf exists to drop — shuffled to
+    // ONE task before the cap could filter it. groupBy has partial
+    // aggregation (no hot task), and its result is keyed by the
+    // eval-set-bounded gram space, so joining it back broadcasts.
     val candidate = cg.join(bg.select("g").distinct(), Seq("g"), "left_semi")
-    // per-gram DF via a window, NOT a groupBy+join-back: the candidate
-    // subtree (corpus scan + shingle explode + semi-join) would appear
-    // twice in that plan and — with the bench side broadcast, so no
-    // reusable exchange — the corpus would genuinely be scanned and
-    // shingled twice. The window pays one shuffle of the bench-matching
-    // grams (bounded by the eval sets) instead of a second corpus pass.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val kept = candidate.withColumn("_df", count(lit(1)).over(w))
-      .where(col("_df") <= maxDf).drop("_df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptGrams = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("g")
+    val kept = candidate.join(broadcast(keptGrams), Seq("g"))
     kept.join(bg, Seq("g"))
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))

@@ -31,8 +31,10 @@ object Sketches {
     // exclude them consistently (the report covers non-null keys; the
     // eps·N bound uses the same non-null total the sketch saw)
     val rows = df.where(col(keyCol).isNotNull)
-    val total = rows.count()
     val sketch = rows.stat.countMinSketch(keyCol, eps, confidence, seed)
+    // the sketch counts every non-null add exactly — a separate count()
+    // scan of the input would recompute the same number at full I/O cost
+    val total = sketch.totalCount()
     val top = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol))
       .limit(k)

@@ -20,6 +20,11 @@ object ProtoWire {
   sealed trait PType { def dataType: DataType }
   case object PInt32 extends PType { val dataType: DataType = IntegerType }
   case object PInt64 extends PType { val dataType: DataType = LongType }
+  /** uint32 surfaces as LongType: its value range (0..2³²−1) does not
+    * fit a signed Int, and narrowing would silently decode e.g.
+    * 3,000,000,000 as a negative number. (uint64 keeps LongType with
+    * sign reinterpretation above 2⁶³−1 — the standard Java convention.) */
+  case object PUInt32 extends PType { val dataType: DataType = LongType }
   case object PSInt32 extends PType { val dataType: DataType = IntegerType }
   case object PSInt64 extends PType { val dataType: DataType = LongType }
   case object PBool extends PType { val dataType: DataType = BooleanType }
@@ -33,7 +38,7 @@ object ProtoWire {
   /** Parse one flat `message Name { int64 id = 1; … }` block. */
   object ProtoSchema {
     private val typeMap: Map[String, PType] = Map(
-      "int32" -> PInt32, "int64" -> PInt64, "uint32" -> PInt32, "uint64" -> PInt64,
+      "int32" -> PInt32, "int64" -> PInt64, "uint32" -> PUInt32, "uint64" -> PInt64,
       "sint32" -> PSInt32, "sint64" -> PSInt64, "bool" -> PBool,
       "double" -> PDouble, "float" -> PFloat, "string" -> PString, "bytes" -> PBytes)
 
@@ -94,6 +99,10 @@ object ProtoWire {
         f.ptype match {
           case PInt32 => writeVarint(out, v.asInstanceOf[Int].toLong)
           case PInt64 => writeVarint(out, v.asInstanceOf[Long])
+          // mask to 32 bits: a uint32 is at most 5 varint bytes on the
+          // wire; sign-extending a (normally impossible) negative Long
+          // would emit 10
+          case PUInt32 => writeVarint(out, v.asInstanceOf[Long] & 0xFFFFFFFFL)
           case PSInt32 => writeVarint(out, zigzag(v.asInstanceOf[Int].toLong))
           case PSInt64 => writeVarint(out, zigzag(v.asInstanceOf[Long]))
           case PBool => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
@@ -146,7 +155,7 @@ object ProtoWire {
     * wire type, per spec, not decoded by the stale local type (which
     * desynchronizes the byte walk and garbles every later field). */
   private def expectedWireType(t: PType): Int = t match {
-    case PInt32 | PInt64 | PSInt32 | PSInt64 | PBool => 0
+    case PInt32 | PInt64 | PUInt32 | PSInt32 | PSInt64 | PBool => 0
     case PDouble => 1
     case PString | PBytes => 2
     case PFloat => 5
@@ -159,14 +168,34 @@ object ProtoWire {
   def decodeRow(bytes: Array[Byte], fields: Seq[Field]): Array[Any] =
     decodeRow(bytes, new FieldIndex(fields))
 
+  /** Decode failure on corrupt input. Truncated or malformed bytes must
+    * FAIL, not decode silently wrong: `Arrays.copyOfRange` zero-pads past
+    * the end, `bytes(p)` past-the-end garbles, and an overlong varint
+    * wraps its shift — each would fabricate plausible values from a
+    * corrupt Kafka message. */
+  final class ProtoDecodeException(msg: String) extends IllegalArgumentException(msg)
+
   private[sources] def decodeRow(bytes: Array[Byte], fidx: FieldIndex): Array[Any] = {
     val out = new Array[Any](fidx.farr.length)
     var p = 0
+    def fail(what: String): Nothing =
+      throw new ProtoDecodeException(s"$what at byte $p of ${bytes.length}")
     def varint(): Long = {
       var shift = 0; var acc = 0L
-      while ({ val b = bytes(p); p += 1; acc |= (b & 0x7FL) << shift; shift += 7; (b & 0x80) != 0 }) ()
+      while ({
+        if (p >= bytes.length) fail("truncated varint")
+        if (shift > 63) fail("malformed varint (more than 10 bytes)")
+        val b = bytes(p); p += 1; acc |= (b & 0x7FL) << shift; shift += 7; (b & 0x80) != 0
+      }) ()
       acc
     }
+    // length-delimited payload length: non-negative and inside the buffer
+    def lenPrefix(): Int = {
+      val n = varint()
+      if (n < 0 || p + n > bytes.length) fail(s"length-delimited field of $n bytes overruns buffer")
+      n.toInt
+    }
+    def needFixed(n: Int): Unit = if (p + n > bytes.length) fail(s"truncated fixed$n field")
     while (p < bytes.length) {
       val tag = varint()
       val num = (tag >>> 3).toInt
@@ -177,31 +206,36 @@ object ProtoWire {
           f.ptype match {
             case PInt32 => out(i) = varint().toInt
             case PInt64 => out(i) = varint()
+            case PUInt32 => out(i) = varint() & 0xFFFFFFFFL
             case PSInt32 => out(i) = unzigzag(varint()).toInt
             case PSInt64 => out(i) = unzigzag(varint())
             case PBool => out(i) = varint() != 0L
             case PDouble =>
+              needFixed(8)
               var bits = 0L
               (0 until 8).foreach(k => { bits |= (bytes(p).toLong & 0xFF) << (8 * k); p += 1 })
               out(i) = java.lang.Double.longBitsToDouble(bits)
             case PFloat =>
+              needFixed(4)
               var bits = 0
               (0 until 4).foreach(k => { bits |= (bytes(p).toInt & 0xFF) << (8 * k); p += 1 })
               out(i) = java.lang.Float.intBitsToFloat(bits)
             case PString =>
-              val n = varint().toInt
+              val n = lenPrefix()
               out(i) = new String(bytes, p, n, "UTF-8"); p += n
             case PBytes =>
-              val n = varint().toInt
+              val n = lenPrefix()
               out(i) = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
           }
       } else { // unknown field OR wire-type mismatch: skip by wire type
           wt match {
             case 0 => varint()
-            case 1 => p += 8
-            case 2 => val n = varint().toInt; p += n
-            case 5 => p += 4
-            case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+            case 1 => needFixed(8); p += 8
+            // two statements, NOT `p += lenPrefix()`: the += reads OLD p
+            // before lenPrefix() advances it past the length varint
+            case 2 => val n = lenPrefix(); p += n
+            case 5 => needFixed(4); p += 4
+            case other => throw new ProtoDecodeException(s"unsupported wire type $other at byte $p")
           }
       }
     }
@@ -216,6 +250,12 @@ object ProtoWire {
     val fields = ProtoSchema.parse(proto)
     val valueSchema = sparkSchema(fields)
     val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
+    // a decoded field shadowing a passthrough column would materialize a
+    // duplicate name that only explodes on the next select — fail HERE
+    val clash = passthrough.map(_.name).toSet.intersect(valueSchema.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"decoded proto fields collide with frame columns: ${clash.mkString(", ")} " +
+        s"(rename or drop the frame columns before decoding)")
     val outSchema = StructType(passthrough ++ valueSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
@@ -239,6 +279,14 @@ object ProtoWire {
   def encodeProtobuf(df: DataFrame, proto: String, payloadCol: String = "value"): DataFrame = {
     val fields = ProtoSchema.parse(proto)
     val inSchema = df.schema
+    // validate types on the DRIVER: a mismatch would otherwise surface
+    // as a per-row ClassCastException inside mapPartitions, mid-job
+    fields.foreach { f =>
+      val actual = inSchema(f.name).dataType
+      require(actual == f.ptype.dataType,
+        s"column '${f.name}' is $actual but proto field expects ${f.ptype.dataType} " +
+          s"(cast the column before encoding)")
+    }
     val idxs = fields.map(f => inSchema.fieldIndex(f.name))
     val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false))
     val res = df.mapPartitions { it =>

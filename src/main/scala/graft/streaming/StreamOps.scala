@@ -77,26 +77,46 @@ object StreamOps {
     * Scale: state per key is O(n) values; keys shard across executors by
     * the groupBy shuffle — no global state, no driver involvement.
     */
+  /** `stateTtlMs`: idle-key state eviction. NoTimeout retains a ring
+    * buffer for EVERY key ever seen — unbounded state on an unbounded
+    * key space (session ids, request ids); with a TTL, a key whose
+    * events stop arriving has its buffer removed after the duration
+    * (processing-time, like the reference's buffer expiry housekeeping).
+    * Default None keeps exact reference semantics for bounded key
+    * spaces. */
   def rowsBufferAgg(events: Dataset[BufEvent], n: Int,
-                    emitOnFull: Boolean = false): Dataset[BufEmit] = {
+                    emitOnFull: Boolean = false,
+                    stateTtlMs: Option[Long] = None): Dataset[BufEmit] = {
     import events.sparkSession.implicits._
+    // n = 0 would not fail: takeRight(0) keeps the buffer empty and every
+    // record emits buf_avg = 0.0/0 = NaN — a stream of NaNs, silently
+    require(n > 0, s"rows buffer size must be positive, got $n")
+    val timeout =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.k).flatMapGroupsWithState(
-      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Update(), timeout) {
       (key: Long, it: Iterator[BufEvent], state: GroupState[List[Double]]) =>
-        var buf = state.getOption.getOrElse(List.empty[Double])
-        // flatMapGroupsWithState gives NO order guarantee within a group
-        // (a multi-partition batch interleaves arbitrarily) — the ring
-        // buffer's "last n" is only meaningful in `ord` order, so sort
-        // the batch's events first (ties by id for determinism). The
-        // sort is per-key-per-batch, tiny and executor-local.
-        val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
-          buf = (buf :+ e.v).takeRight(n)
-          if (!emitOnFull || buf.size == n)
-            Some(BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size))
-          else None
-        }.toList
-        state.update(buf)
-        out.iterator
+        if (state.hasTimedOut) {
+          state.remove() // idle key: ring buffer evicted, no emission
+          Iterator.empty
+        } else {
+          var buf = state.getOption.getOrElse(List.empty[Double])
+          // flatMapGroupsWithState gives NO order guarantee within a group
+          // (a multi-partition batch interleaves arbitrarily) — the ring
+          // buffer's "last n" is only meaningful in `ord` order, so sort
+          // the batch's events first (ties by id for determinism). The
+          // sort is per-key-per-batch, tiny and executor-local.
+          val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
+            buf = (buf :+ e.v).takeRight(n)
+            if (!emitOnFull || buf.size == n)
+              Some(BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size))
+            else None
+          }.toList
+          state.update(buf)
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          out.iterator
+        }
     }
   }
 

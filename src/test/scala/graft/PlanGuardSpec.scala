@@ -57,6 +57,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q64_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"))
+    // per-gram DF must come from a partial-aggregating groupBy, never a
+    // window: window functions have no map-side combine, so a hot
+    // boilerplate gram would collocate ALL its occurrences on one task
+    // BEFORE the maxDf cap could drop it
+    assert(!p.contains("RunningWindowFunction") && !p.toLowerCase.contains("window"), p)
   }
 
   test("q68: shard packing sorts within salt partitions only (no global sort)") {

@@ -134,6 +134,50 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("uint32 surfaces as LONG: values above Int.MaxValue decode unharmed") {
+    val fields = ProtoSchema.parse("message U { uint32 n = 1; uint64 m = 2; }")
+    assert(fields.head.ptype == PUInt32 && fields.head.ptype.dataType.typeName == "long")
+    // 3,000,000,000 does not fit a signed Int — the old PInt32 mapping
+    // silently decoded it negative
+    val big = 3000000000L
+    val back = decodeRow(encodeRow(Seq(big, 42L), fields), fields)
+    assert(back(0) == big && back(1) == 42L)
+  }
+
+  test("corrupt input FAILS decode instead of fabricating values") {
+    val fields = ProtoSchema.parse("message C { bytes b = 1; double d = 2; int64 i = 3; }")
+    val good = encodeRow(Seq(Array[Byte](1, 2, 3, 4, 5), 1.5, 7L), fields)
+    // truncation mid length-delimited payload: zero-padding would have
+    // fabricated a plausible 5-byte value
+    val truncated = java.util.Arrays.copyOfRange(good, 0, 4)
+    val e1 = intercept[ProtoWire.ProtoDecodeException](decodeRow(truncated, fields))
+    assert(e1.getMessage.contains("overruns") || e1.getMessage.contains("truncated"))
+    // truncated fixed64
+    val donly = encodeRow(Seq(null, 1.5, null), fields)
+    val dTrunc = java.util.Arrays.copyOfRange(donly, 0, donly.length - 3)
+    intercept[ProtoWire.ProtoDecodeException](decodeRow(dTrunc, fields))
+    // malformed varint: 11 continuation bytes
+    val badVarint = Array.fill[Byte](12)(0x80.toByte)
+    badVarint(0) = ((3 << 3) | 0).toByte // field 3, wiretype 0
+    intercept[ProtoWire.ProtoDecodeException](decodeRow(badVarint, fields))
+  }
+
+  test("driver-side validation: encode type mismatch and decode name collision fail before launch") {
+    import spark.implicits._
+    // IntegerType column vs int64 proto field → named driver error, not
+    // a mid-job executor ClassCastException
+    val df = Seq((1, "x")).toDF("n", "s")
+    val e = intercept[IllegalArgumentException](
+      ProtoWire.encodeProtobuf(df, "message M { int64 n = 1; string s = 2; }"))
+    assert(e.getMessage.contains("n") && e.getMessage.contains("cast the column"))
+    // decoded field shadowing a passthrough column → named error at
+    // decode time, not an ambiguous-column blowup downstream
+    val frames = Seq((7L, Array[Byte]())).toDF("doc_id", "value")
+    val c = intercept[IllegalArgumentException](
+      ProtoWire.decodeProtobuf(frames, "value", "message M { int64 doc_id = 1; }"))
+    assert(c.getMessage.contains("collide") && c.getMessage.contains("doc_id"))
+  }
+
   test("DataFrame round-trip: encode → decode preserves values, nulls, negatives, unicode") {
     import spark.implicits._
     val proto =

@@ -96,6 +96,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       (104L, 90.0), (105L, 120.0), (106L, 150.0)))
   }
 
+  test("rows buffer rejects a non-positive size instead of emitting NaN averages") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(StreamOps.BufEvent(1, 1L, 1L, 1.0)))
+    val e = intercept[IllegalArgumentException](StreamOps.rowsBufferAgg(ds, n = 0))
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("ROWS WINDOW EMIT ON BUFFER FULL: warm-up is silent, fewer outputs than inputs") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
