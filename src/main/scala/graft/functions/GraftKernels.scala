@@ -62,9 +62,17 @@ object GraftKernels {
   /** Random-hyperplane sign sketch: bit b of the result = sign of
     * vec · planes[b]. Planes are a flattened numBits×dim literal. */
   def signSketchCol(vec: Column, planesFlat: Array[Double], numBits: Int,
-                    dim: Int, floatElems: Boolean): Column =
+                    dim: Int, floatElems: Boolean): Column = {
+    // same plan-build rejection pattern as minhashSigCol: past 64 the
+    // kernel's `1L << bit` wraps mod 64 and silently ALIASES sketch bits
+    // onto the low word, corrupting every LSH bucket with no error
+    require(numBits >= 1 && numBits <= 64,
+      s"numBits must be in [1, 64] (one long of sketch bits), got $numBits")
+    require(planesFlat.length == numBits * dim,
+      s"planesFlat has ${planesFlat.length} values, expected numBits*dim = ${numBits * dim}")
     invoke(LongType, "signSketch", vec, typedLit(planesFlat.toSeq),
       lit(numBits), lit(dim), lit(floatElems))
+  }
 
   /** Indices of the `nprobe` nearest centroids (by cosine) for `vec`;
     * centroids are a flattened nCentroids×dim literal (IVF coarse
@@ -104,9 +112,14 @@ object GraftKernels {
 
   private val MOD = 1000000007L
 
+  // compiled ONCE: String.replaceAll recompiles its Pattern per call,
+  // which these per-row kernels would pay on every record (the
+  // interpreted regexp_replace they replaced caches its pattern)
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Replays lower(trim(regexp_replace(text, "\\s+", " "))).split(" "). */
   private def normWords(text: UTF8String): Array[String] = {
-    val replaced = text.toString.replaceAll("\\s+", " ")
+    val replaced = WS.matcher(text.toString).replaceAll(" ")
     val normed = UTF8String.fromString(replaced).trim().toLowerCase.toString
     normed.split(" ", -1)
   }
@@ -208,7 +221,7 @@ object GraftKernels {
   }
 
   def fingerprint(text: UTF8String): Long = {
-    val replaced = text.toString.replaceAll("\\s+", " ")
+    val replaced = WS.matcher(text.toString).replaceAll(" ")
     val normed = UTF8String.fromString(replaced).trim().toLowerCase.toString
     var acc = 0L
     var i = 0

@@ -30,8 +30,10 @@ object VeloFunctions {
   def veloLower(c: Column): Column = lower(c)
   /** 1-based SUBSTRING(str, pos, len) — same semantics as the reference. */
   def veloSubstring(c: Column, pos: Int, len: Int): Column = substring(c, pos, len)
+  // literal substring replace: the built-in StringReplace, not a
+  // quoted-pattern trip through the regex engine
   def veloReplace(c: Column, find: String, repl: String): Column =
-    regexp_replace(c, java.util.regex.Pattern.quote(find), java.util.regex.Matcher.quoteReplacement(repl))
+    replace(c, lit(find), lit(repl))
   def veloTrim(c: Column): Column = trim(c)
   def veloLtrim(c: Column): Column = ltrim(c)
   def veloRtrim(c: Column): Column = rtrim(c)
@@ -40,8 +42,8 @@ object VeloFunctions {
   def veloSplit(c: Column, sep: String): Column = split(c, java.util.regex.Pattern.quote(sep))
   /** JOIN(array, sep) — reference's array-join. */
   def veloJoin(c: Column, sep: String): Column = array_join(c, sep)
-  def veloLeft(c: Column, n: Int): Column = substring(c, 1, n)
-  def veloRight(c: Column, n: Int): Column = substring(c, -n, n)
+  def veloLeft(c: Column, n: Int): Column = left(c, lit(n))
+  def veloRight(c: Column, n: Int): Column = right(c, lit(n))
   /** 1-based POSITION(needle IN haystack); 0 when absent. */
   def veloPosition(needle: String, haystack: Column): Column = instr(haystack, needle)
   /** REGEXP(str, pattern) — true when the pattern matches anywhere. */
@@ -59,6 +61,12 @@ object VeloFunctions {
     case "DOW"    => dayofweek(ts) - lit(1) // 0=Sunday, matches DuckDB/postgres dow
     case "DOY"    => dayofyear(ts)
     case "WEEK"   => weekofyear(ts)
+    // the reference's EXTRACT supports these too (functions.rs:1910-1927)
+    case "QUARTER"     => quarter(ts)
+    case "EPOCH"       => unix_timestamp(ts)
+    case "MILLISECOND" => (unix_millis(ts) % 1000L).cast("int")
+    case "MICROSECOND" => (unix_micros(ts) % 1000000L).cast("int")
+    case "NANOSECOND"  => ((unix_micros(ts) % 1000000L) * 1000L).cast("long")
     case other    => throw new IllegalArgumentException(s"EXTRACT field $other")
   }
   def veloDateFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
@@ -99,7 +107,11 @@ object VeloFunctions {
   // Spark's kafka source exposes them as an array<struct<key,value>>; our
   // canonical in-DataFrame shape is a map<string,string> column `_headers`.
   def header(headers: Column, key: String): Column = element_at(headers, key)
-  def hasHeader(headers: Column, key: String): Column = element_at(headers, key).isNotNull
+  // contains_key, NOT value-isNotNull: a header present with a NULL
+  // value (legal in Kafka) must report true — the reference checks key
+  // presence, and the SQL dialect path already maps HAS_HEADER to
+  // map_contains_key; the two API paths must agree
+  def hasHeader(headers: Column, key: String): Column = map_contains_key(headers, lit(key))
   def headerKeys(headers: Column): Column = map_keys(headers)
   /** SET_HEADER is an UPSERT: the existing key is removed first —
     * map_concat alone throws DUPLICATE_MAP_KEY at runtime (Spark's

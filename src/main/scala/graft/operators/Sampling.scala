@@ -37,6 +37,11 @@ object Sampling {
     * LAST split takes the remainder (no threshold rounding loss). */
   def splitColumn(key: Column, splits: Seq[(String, Double)], salt: String = "graft"): Column = {
     require(splits.size >= 2, "need at least two splits")
+    // a negative fraction can still sum to 1 — its split would silently
+    // receive ZERO rows (threshold clamps to 0000) and its neighbor the
+    // slack, a wrong dataset split with no error
+    splits.foreach { case (name, f) =>
+      require(f >= 0.0, s"split '$name' has negative fraction $f") }
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1 (got $total)")
     val h = hashPrefix(key, salt)
@@ -82,12 +87,18 @@ object Sampling {
                        splits: Seq[(String, Double)] =
                          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                        outCol: String = "split", salt: String = "graft"): DataFrame = {
+    // internal name: df plausibly ALREADY carries a cluster_id from an
+    // upstream dedup stage — joining another one in would make every
+    // col("cluster_id") reference ambiguous and the final drop would
+    // remove the user's column
+    val repCol = "__graft_split_rep"
+    require(!df.columns.contains(repCol), s"input must not carry the $repCol working column")
     val clusters = Dedup.clusterPairs(pairs)
-      .select(col("id").as(idCol), col("cluster_id"))
+      .select(col("id").as(idCol), col("cluster_id").as(repCol))
     df.join(clusters, Seq(idCol), "left")
       .withColumn(outCol,
-        splitColumn(coalesce(col("cluster_id"), col(idCol)), splits, salt))
-      .drop("cluster_id")
+        splitColumn(coalesce(col(repCol), col(idCol)), splits, salt))
+      .drop(repCol)
   }
 
   /** Pack documents into training shards with a bounded weight budget
@@ -117,6 +128,10 @@ object Sampling {
                      budget: Long, parallelism: Int = 0,
                      outCol: String = "shard_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // budget 0 → Infinity/NaN cumsum quotients → ANSI overflow deep in
+    // executor tasks; negative → negative shard ids colliding with the
+    // previous salt stream's id space. Reject at the call site.
+    require(budget > 0, s"shard weight budget must be positive, got $budget")
     val p =
       if (parallelism > 0) parallelism
       else {
@@ -126,15 +141,19 @@ object Sampling {
         math.max(df.sparkSession.sparkContext.defaultParallelism, bySize)
       }
     val w = Window.partitionBy(col("_salt")).orderBy(col(idCol))
+    // null weight = unweighted doc (weighs 0): the window sum SKIPS
+    // nulls, but `_cum - weight` would go null and the row would fall
+    // out of every shard silently — coalesce keeps it packed
+    val weight = coalesce(col(weightCol), lit(0L))
     df.withColumn("_salt", pmod(col(idCol), lit(p)))
-      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .withColumn("_cum", sum(weight).over(w))
       .withColumn(outCol,
         // 2^40 shard ids per salt stream: a 10^6 namespace would wrap
         // into the next stream once a stream packs >10^6 shards (small
         // budgets), silently merging shards across streams. 2^20 salts
         // × 2^40 shards stays inside a long.
         (col("_salt") * lit(1L << 40) +
-          floor((col("_cum") - col(weightCol)).cast("double") / budget)).cast("long"))
+          floor((col("_cum") - weight).cast("double") / budget)).cast("long"))
       .drop("_salt", "_cum")
   }
 }

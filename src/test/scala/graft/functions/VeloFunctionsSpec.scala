@@ -61,6 +61,12 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(veloExtract("SECOND", col("ts"))) == 45)
     assert(one(veloExtract("DOW", col("ts"))) == 2) // Tuesday, 0=Sunday
     assert(one(veloExtract("DOY", col("ts"))) == 65)
+    // reference functions.rs:1910-1927 also supports these parts
+    assert(one(veloExtract("QUARTER", col("ts"))) == 1)
+    assert(one(veloExtract("EPOCH", col("ts"))) == 1709634645L)
+    assert(one(veloExtract("MILLISECOND", col("ts"))) == 0)
+    assert(one(veloExtract("MICROSECOND", col("ts"))) == 0)
+    assert(one(veloExtract("NANOSECOND", col("ts"))) == 0L)
     assert(one(veloDateFormat(col("ts"), "yyyy/MM/dd")) == "2024/03/05")
     assert(one(veloDateDiff(col("ts"), to_timestamp(lit("2024-03-08 00:00:00")))) == 3)
     assert(one(veloUnixTimestamp(col("ts"))) == 1709634645L)
@@ -94,6 +100,12 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     // throws DUPLICATE_MAP_KEY at runtime on the re-stamp case
     assert(one(header(setHeader(h, "a", lit("9")), "a")) == "9")
     assert(one(arrayLength(headerKeys(setHeader(h, "a", lit("9"))))) == 2)
+    // key PRESENCE, not value-nullness: a header carried with a NULL
+    // value (legal in Kafka) must report true — contains_key semantics,
+    // matching the reference and the SQL dialect's HAS_HEADER
+    val withNull = veloMap(lit("trace"), lit(null).cast("string"))
+    assert(one(hasHeader(withNull, "trace")) == true)
+    assert(one(hasHeader(withNull, "absent")) == false)
   }
 
   test("exact decimal money surface") {

@@ -107,6 +107,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(a.sameElements(b)) // same shard for every doc on any layout
   }
 
+  test("packing/splitting guard rails: bad budget, negative fraction, null weight, cluster_id input") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L)).toDF("id", "w")
+    // budget 0 → Infinity quotient → ANSI overflow mid-job; reject now
+    intercept[IllegalArgumentException](
+      Sampling.packIntoShards(docs, "id", "w", budget = 0L, parallelism = 2))
+    // a negative fraction sums to 1 but its split would silently get 0 rows
+    intercept[IllegalArgumentException](
+      Sampling.splitColumn(col("id"), Seq("a" -> -0.1, "b" -> 0.6, "c" -> 0.5)))
+    // null weight packs as weight 0 instead of a silently-null shard_id
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
+      .toDF("id", "w")
+    val packed = Sampling.packIntoShards(withNull, "id", "w", budget = 100L, parallelism = 1)
+    assert(packed.where(col("shard_id").isNull).count() == 0)
+    assert(packed.count() == 3)
+    // input already carrying cluster_id must not make the split ambiguous
+    val dfc = Seq((1L, 99L), (2L, 99L)).toDF("id", "cluster_id")
+    val prs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageFreeSplit(dfc, "id", prs)
+    assert(out.columns.count(_ == "cluster_id") == 1) // user's column intact
+    assert(out.select("split").distinct().count() == 1) // pair moves as one unit
+  }
+
   test("packIntoShards auto-sizes its salt-stream count from plan stats") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, 100L)).toDF("id", "w")
