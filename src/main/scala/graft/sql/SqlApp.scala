@@ -548,6 +548,25 @@ object SqlApp {
     val results = new Array[DataFrame](app.statements.length)
     var waveNo = 0
     var i = 0
+    // Load-progress monitoring (reference server/progress_monitoring.rs:
+    // per-table rows/rate visibility while later tables still load).
+    // Rows + wall per wave-loaded table land in the context's metrics
+    // registry after EACH wave, so SHOW METRICS / the /metrics HTTP
+    // route report partial progress mid-application.
+    var loadRows = Vector.empty[(String, Map[String, String], Double)]
+    var loadSecs = Vector.empty[(String, Map[String, String], Double)]
+    def recordLoad(table: String, wave: Int, df: DataFrame, sec: Double): Unit = {
+      // CTAS results are already materialized+cached by execStatement, so
+      // the count is a cheap cached scan; a streaming body reports -1
+      val rows = try df.count().toDouble catch { case _: Throwable => -1.0 }
+      val labels = Map("table" -> table, "wave" -> wave.toString)
+      loadRows :+= (("", labels, rows))
+      loadSecs :+= (("", labels, sec))
+      ctx.recordMetricSeries("graft_table_load_rows", "gauge",
+        Some("rows materialized per dependency-wave-loaded table"), loadRows)
+      ctx.recordMetricSeries("graft_table_load_seconds", "gauge",
+        Some("wall seconds per dependency-wave-loaded table"), loadSecs)
+    }
     while (i < app.statements.length) {
       val s = app.statements(i)
       ctasOf(s) match {
@@ -586,22 +605,30 @@ object SqlApp {
               waveNo += 1
               onWave(waveNo, members.map(_.produces))
               val futs = members.map { c =>
-                pool.submit(new java.util.concurrent.Callable[DataFrame] {
-                  def call(): DataFrame = execOne(app.statements(c.idx))
+                pool.submit(new java.util.concurrent.Callable[(DataFrame, Double)] {
+                  def call(): (DataFrame, Double) = {
+                    val t0 = System.nanoTime()
+                    val df = execOne(app.statements(c.idx))
+                    (df, (System.nanoTime() - t0) / 1e9)
+                  }
                 })
               }
               // await the whole wave; the FIRST statement-order failure
               // propagates, like sequential execution's first failure
               members.zip(futs).foreach { case (c, f) =>
-                results(c.idx) =
+                val (df, sec) =
                   try f.get()
                   catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+                results(c.idx) = df
+                recordLoad(c.produces, waveNo, df, sec)
               }
             } finally pool.shutdown()
           } else {
             waveNo += 1
             onWave(waveNo, Seq(first))
+            val t0 = System.nanoTime()
             results(i) = execOne(s)
+            recordLoad(first, waveNo, results(i), (System.nanoTime() - t0) / 1e9)
           }
           i = j
       }

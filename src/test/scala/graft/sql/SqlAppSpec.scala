@@ -428,6 +428,14 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(results.last.collect().head.getLong(0) == 3L)
     // and the barrier statement ran AFTER the run, in order
     assert(results.length == 4)
+    // load-progress monitoring: every wave-loaded table reported rows +
+    // wall into the metrics registry (progress_monitoring.rs analog),
+    // discoverable through the prometheus exposition
+    val prom = ctx.prometheusText
+    assert(prom.contains("graft_table_load_rows"), prom)
+    Seq("wave_small", "wave_big", "wave_union").foreach(t =>
+      assert(prom.contains(s"""table="$t""""), s"missing $t in:\n$prom"))
+    assert(prom.contains("graft_table_load_seconds"))
   }
 
   test("a CTAS re-creating a table stays strictly ordered (write-after-read barrier)") {
