@@ -85,11 +85,29 @@ object Dedup {
     * buckets (> maxBucket) are dropped — they are boilerplate-cluster
     * noise, the standard practice for web-scale dedup.
     */
+  /** Capped band-bucket SELF-JOIN pair generation shared by the LSH
+    * family (codegen'd joins; no interpreted per-bucket expansion):
+    * banded rows (id, sig, band, bucket) → candidate (id_a, id_b,
+    * sig_a, sig_b) pairs within buckets of size [2, maxBucket] (hot
+    * buckets dropped — boilerplate-cluster noise, the skew guard). */
+  private def cappedBucketPairs(banded: DataFrame, bucketCol: String,
+                                maxBucket: Int): DataFrame = {
+    val counts = banded.groupBy("band", bucketCol).agg(count(lit(1)).as("_bn"))
+    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", bucketCol))
+      .drop("_bn")
+    val a = capped.select(col("band"), col(bucketCol), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col(bucketCol), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", bucketCol)).where(col("id_a") < col("id_b"))
+  }
+
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
                  maxBucket: Int = 64): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val sigd = docs
+    // null-text docs carry no content to near-dup: left in, they all
+    // hash to ONE shared per-band bucket (xxhash64 skips a null slice)
+    // and pair up with null est_jaccard — drop them up front
+    val sigd = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         GraftKernels.minhashSigCol(col(textCol), shingleK, numHashes).as("sig"))
 
@@ -98,18 +116,9 @@ object Dedup {
       explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("bucket", xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))
 
-    // capped band-bucket SELF-JOIN pair generation (codegen'd joins; no
-    // interpreted per-bucket expansion); est_jaccard = matching-position
-    // fraction, computed only on the candidate pairs
-    val counts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bn"))
-    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "bucket"))
-      .drop("_bn")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     // estimate BEFORE the pair-dedup shuffle: only (id_a, id_b, est)
     // crosses it, never the signatures (numHashes longs per side)
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    cappedBucketPairs(banded, "bucket", maxBucket)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)).cast("double")
           / size(col("sig_a")).cast("double"))
@@ -154,18 +163,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // null-text docs excluded for the same reason as minhashLsh
+    val withSig = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bc"))
       .select(col("id"), col("sig"), col("bc.band"), col("bc.chunk"))
-    val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
-    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
-      .drop("_bn")
-    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    cappedBucketPairs(banded, "chunk", maxBucket)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
@@ -188,6 +193,11 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, maxIterations: Int = 20,
                    checkpointEvery: Int = 4, localThreshold: Long = 200000L): DataFrame = {
+    // checkpointEvery = 0 would throw ArithmeticException from the
+    // modulo mid-loop, AFTER the edge shuffle already ran; maxIterations
+    // <= 0 would silently return unconverged initial labels
+    require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
+    require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
@@ -274,17 +284,21 @@ object Dedup {
     * (TextAnalysis.repetitionMetrics).
     *
     * Scale shape: one explode of per-doc-distinct shingles (kernel
-    * dedups within the doc, so a shingle's partition count IS its
-    * document frequency), ONE shuffle keyed by shingle for the window
-    * count (AQE skew-split absorbs boilerplate hot spans), then a
-    * per-doc agg keyed by doc id. Linear, no joins, no all-pairs.
+    * dedups within the doc, so a shingle's occurrence count IS its
+    * document frequency), persisted once; DF via a partial-aggregating
+    * groupBy joined back on the shingle (sort-merge, AQE skew-split
+    * splits a hot boilerplate span's JOIN partition — a window over the
+    * shingle would funnel the hot span's whole row set through ONE
+    * unsplittable task, since AQE skew handling applies to joins, not
+    * windows); then a per-doc agg keyed by doc id. Linear, no all-pairs.
     */
   def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("g"))
-    sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfCounts = sh.groupBy("g").agg(count(lit(1)).as("_df"))
+    sh.join(dfCounts, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         round(avg(when(col("_df") > 1, 1.0d).otherwise(0.0d)), 4).as("dup_span_frac"))
@@ -294,7 +308,11 @@ object Dedup {
     * pass after LSH candidate generation. `pairs` must have id_a/id_b.
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("_jid"), shingles(col(textCol), k).as("_jsh"))
+    // a null-text doc has no shingles to verify against: its pairs drop
+    // from the (inner) join rather than computing a null jaccard (ANSI)
+    // or a -1/-1 = 1.0 false-positive perfect match (legacy sizeOfNull)
+    val sh = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_jid"), shingles(col(textCol), k).as("_jsh"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), "id_b")

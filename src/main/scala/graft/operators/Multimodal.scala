@@ -134,11 +134,13 @@ object Multimodal {
     * bytes in between are a genuine PNG (zlib-compressed IDAT and all).
     */
   def synthPng(seed: Long, len: Long): Array[Byte] = {
-    val w = (seed % 13 + 4).toInt
-    val h = (seed % 7 + 4).toInt
+    // floorMod: Scala % preserves sign, so a negative seed would derive
+    // a negative width/height and BufferedImage would throw
+    val w = (java.lang.Math.floorMod(seed, 13L) + 4).toInt
+    val h = (java.lang.Math.floorMod(seed, 7L) + 4).toInt
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = (seed % 256).toInt
-    val b = (len % 256).toInt
+    val g = java.lang.Math.floorMod(seed, 256L).toInt
+    val b = java.lang.Math.floorMod(len, 256L).toInt
     var y = 0
     while (y < h) {
       var x = 0
@@ -192,6 +194,14 @@ object Multimodal {
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(r.getLong(0), null, null, null, null, null, null, null)
           else {
+            // IHDR offsets are only meaningful behind the PNG signature:
+            // a decodable JPEG/GIF/BMP would otherwise report arbitrary
+            // header bytes as "dimensions" next to correct pixel stats
+            // (the audio twin validates RIFF/WAVE magic the same way)
+            val isPng = bytes.length >= 24 &&
+              (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+            val headerW: Any = if (isPng) be32(bytes, 16) else null
+            val headerH: Any = if (isPng) be32(bytes, 20) else null
             val w = img.getWidth; val h = img.getHeight
             var sr = 0L; var sg = 0L; var sb = 0L
             var y = 0
@@ -205,7 +215,7 @@ object Multimodal {
               y += 1
             }
             val n = (w * h).toDouble
-            Row(r.getLong(0), be32(bytes, 16), be32(bytes, 20), w, h, sr / n, sg / n, sb / n)
+            Row(r.getLong(0), headerW, headerH, w, h, sr / n, sg / n, sb / n)
           }
         }
       }(enc)
@@ -227,9 +237,11 @@ object Multimodal {
     * decoded statistic is arithmetic in (seed, len), while the payload
     * is a genuine RIFF/WAVE file. */
   def synthWav(seed: Long, len: Long): Array[Byte] = {
-    val rate = (8000 + (seed % 8) * 1000).toInt
-    val n = (seed % 100 + 50).toInt
-    val amp = ((len % 100 + 1) * 50).toInt
+    // floorMod: negative seeds/lengths must not derive negative frame
+    // counts (NegativeArraySizeException) or amplitudes
+    val rate = (8000 + java.lang.Math.floorMod(seed, 8L) * 1000).toInt
+    val n = (java.lang.Math.floorMod(seed, 100L) + 50).toInt
+    val amp = ((java.lang.Math.floorMod(len, 100L) + 1) * 50).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
@@ -365,7 +377,7 @@ object Multimodal {
     * video `seed` is `synthPng(seed + f, len)`, so per-frame pixel
     * statistics stay oracle-computable. nFrames = seed%5+3. */
   def synthVideo(seed: Long, len: Long): Array[Byte] = {
-    val n = (seed % 5 + 3).toInt
+    val n = (java.lang.Math.floorMod(seed, 5L) + 3).toInt // floorMod: negative seeds
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(bos)
     var f = 0

@@ -128,16 +128,28 @@ object Serde {
         val decoded: Array[Any] =
           if (bytes == null) Array.fill[Any](fields.length)(null)
           else {
-            decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-            val rec = reader.read(null, decoder)
-            fields.map { f =>
-              rec.get(f.pos()) match {
-                case null => null
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-                case v => v
+            // PERMISSIVE on malformed payloads (the from_json contract):
+            // a truncated / non-Avro record decodes to all-null columns
+            // instead of throwing EOFException from deep inside the task
+            // — one poison message must not kill the stream, exactly the
+            // failure the tombstone guard above exists to prevent.
+            // binaryDecoder(bytes, decoder) fully reinitializes per
+            // record, so a failed read cannot corrupt the next one.
+            try {
+              decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+              val rec = reader.read(null, decoder)
+              fields.map { f =>
+                rec.get(f.pos()) match {
+                  case null => null
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case bb: java.nio.ByteBuffer =>
+                    val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+                  case v => v
+                }
               }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                Array.fill[Any](fields.length)(null)
             }
           }
         Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
@@ -209,7 +221,12 @@ object Serde {
       .withColumn("_offset", col("offset"))
       .withColumn("_partition", col("partition"))
       .select(col("value"), col("_headers"), col("_timestamp"), col("_offset"), col("_partition"))
-    decodeAvro(withSys, "value", schemaJson)
+    val decoded = decodeAvro(withSys, "value", schemaJson)
+    // decoded fields FIRST, system columns after — column-order parity
+    // with the JSON twin (`fromKafkaEnvelope`); positional consumers
+    // must see the same layout whichever serde the topic uses
+    val sys = Seq("_headers", "_timestamp", "_offset", "_partition")
+    decoded.select((decoded.columns.filterNot(sys.contains) ++ sys).map(col).toIndexedSeq: _*)
   }
 
   /** Typed view of a Kafka-envelope frame (the columns Spark's kafka
@@ -249,7 +266,10 @@ object Serde {
     * so the header line came back as a data row). */
   private[graft] def fileFormat(path: String): (String, Map[String, String]) =
     if (path.endsWith(".json") || path.endsWith(".jsonl")) ("json", Map.empty)
-    else if (path.endsWith(".csv")) ("csv", Map("header" -> "true"))
+    // inferSchema: a schemaless CSV read-back must recover long/double
+    // columns, not return every column as string (round-trip type
+    // parity); the option is ignored on the write side
+    else if (path.endsWith(".csv")) ("csv", Map("header" -> "true", "inferSchema" -> "true"))
     else ("parquet", Map.empty)
 
   /** `file://` source analog: read newline-delimited JSON / CSV /

@@ -64,6 +64,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("RunningWindowFunction") && !p.toLowerCase.contains("window"), p)
   }
 
+  test("q77: duplicated-span DF comes from a splittable groupBy+join, never a window") {
+    // AQE skew-split applies to JOINS, not windows: a hot boilerplate
+    // shingle under a window would funnel its whole row set through one
+    // unsplittable task
+    val p = plan("q77_dup_spans")
+    assert(!p.contains("RunningWindowFunction") && !p.toLowerCase.contains("window("), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q68: shard packing sorts within salt partitions only (no global sort)") {
     val p = plan("q68_shard_pack")
     // window sort is per-salt: partial sort with global=false; a global

@@ -128,6 +128,29 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(m == Map(5L -> 5L, 9L -> 5L, 12L -> 5L, 100L -> 100L, 101L -> 100L, 7L -> 3L, 3L -> 3L))
   }
 
+  test("null-text docs never pair: LSH buckets, simhash bands, and the verify join all exclude them") {
+    import spark.implicits._
+    // three null-text docs would all share one per-band bucket (the hash
+    // of a null slice degenerates to the band constant) and pair up with
+    // null est_jaccard — they must produce NO candidates at all
+    val docs = Seq((1L, "the quick brown fox jumps over the dog"),
+      (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(docs, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashPairs(docs, "text", "doc_id").count() == 0)
+    // the verify pass drops pairs touching a null-text doc instead of
+    // scoring them null (ANSI) or 1.0 (legacy sizeOfNull false positive)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    assert(Dedup.ngramJaccard(pairs, docs, "text", "doc_id").count() == 0)
+  }
+
+  test("clusterPairs rejects zero checkpoint cadence and non-positive iteration caps") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](Dedup.clusterPairs(pairs, checkpointEvery = 0))
+    intercept[IllegalArgumentException](Dedup.clusterPairs(pairs, maxIterations = 0))
+  }
+
   test("minhash est_jaccard tracks true jaccard within the sampling bound") {
     import spark.implicits._
     val base = Seq.fill(40)(doc(120))

@@ -157,6 +157,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("negative seeds synthesize valid payloads; non-PNG decodables get null header dims") {
+    import org.apache.spark.sql.types._
+    // floorMod guards: a negative id must not derive a negative
+    // width/frame-count (BufferedImage / new Array would throw)
+    assert(Multimodal.synthPng(-12L, 50L).nonEmpty)
+    assert(Multimodal.synthWav(-60L, -5L).nonEmpty)
+    assert(Multimodal.synthVideo(-7L, 20L).nonEmpty)
+    // a decodable NON-PNG (BMP) payload: pixel stats real, but the IHDR
+    // offsets are meaningless — header dims must be null, not garbage
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(org.apache.spark.sql.Row(1L, bos.toByteArray))
+    val out = Multimodal.decodeImageFeatures(spark.createDataFrame(rows, schema)).collect().head
+    assert(out.getAs[Int]("width_px") == 4 && out.getAs[Int]("height_px") == 3)
+    assert(out.isNullAt(out.fieldIndex("header_w")) && out.isNullAt(out.fieldIndex("header_h")))
+  }
+
   test("real codecs survive null and corrupt payloads (one bad record must not kill the stage)") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -125,6 +125,64 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(out.getAs[Long]("k") == 1L && out.isNullAt(out.fieldIndex("x")))
   }
 
+  test("malformed Avro payload decodes PERMISSIVE to null columns — one poison message must not kill the stream") {
+    import org.apache.spark.sql.types._
+    val schemaJson =
+      """{"type":"record","name":"T","fields":[{"name":"x","type":"long"},{"name":"s","type":"string"}]}"""
+    val frameSchema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("value", BinaryType, nullable = true)))
+    import spark.implicits._
+    val goodBytes = Serde.encodeAvro(Seq((7L, "ok")).toDF("x", "s"), schemaJson, "value")
+      .select("value").collect().head.getAs[Array[Byte]]("value")
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, goodBytes),
+      org.apache.spark.sql.Row(2L, "not avro at all".getBytes),
+      org.apache.spark.sql.Row(3L, goodBytes.take(2))) // truncated mid-record
+    val out = Serde.decodeAvro(spark.createDataFrame(rows, frameSchema), "value", schemaJson)
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out.size == 3) // nothing thrown, nothing dropped
+    assert(out(1L).getAs[Long]("x") == 7L && out(1L).getAs[String]("s") == "ok")
+    Seq(2L, 3L).foreach { k =>
+      assert(out(k).isNullAt(out(k).fieldIndex("x")), s"record $k should be null-decoded")
+    }
+    // ...and a good record AFTER a corrupt one still decodes (the reused
+    // decoder is fully reinitialized per record)
+  }
+
+  test("Avro and JSON Kafka envelopes agree on column order (decoded fields first)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schemaJson =
+      """{"type":"record","name":"Ev","fields":[{"name":"user","type":"string"}]}"""
+    val typed = Seq(Tuple1("alice")).toDF("user")
+    val valueBytes = Serde.encodeAvro(typed, schemaJson, "value")
+      .select("value").collect().map(_.getAs[Array[Byte]]("value"))
+    val frames = valueBytes.map { v =>
+      (v, Seq(("source", "t".getBytes)), new java.sql.Timestamp(1000L), 0L, 0)
+    }.toSeq.toDF("value", "headers", "timestamp", "offset", "partition")
+      .withColumn("headers", col("headers").cast("array<struct<key:string,value:binary>>"))
+    val avroCols = Serde.fromKafkaEnvelopeAvro(frames, schemaJson).columns.toSeq
+    val jsonCols = Serde.fromKafkaEnvelope(
+      frames.withColumn("value", lit("""{"user":"alice"}""").cast("binary")),
+      StructType(Seq(StructField("user", StringType)))).columns.toSeq
+    assert(avroCols == jsonCols, s"avro=$avroCols json=$jsonCols")
+    assert(avroCols.head == "user" && avroCols.last == "_partition")
+  }
+
+  test("schemaless CSV read-back recovers column types (round-trip parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val df = Seq((1L, 2.5, "x"), (2L, 3.5, "y")).toDF("id", "v", "s")
+    Serde.writeFileUri(df, s"file://$dir/t.csv")
+    val back = Serde.readFileUri(spark, s"file://$dir/t.csv")
+    // without inferSchema every column came back string — sums/compares
+    // over the job's sinkDf would then misbehave
+    assert(back.schema("id").dataType.typeName == "long" ||
+      back.schema("id").dataType.typeName == "integer")
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).collect().head.getDouble(0) == 6.0)
+  }
+
   test("schema registry: versioning, backward-compat gate, reader-schema evolution") {
     import spark.implicits._
     val reg = new SchemaRegistry(java.nio.file.Files.createTempDirectory("graft_registry"))
