@@ -280,6 +280,15 @@ object GraftKernels {
         dot += v(d) * cd; nc += cd * cd
         d += 1
       }
+      // the centroid norm covers its FULL dim even when the input vector
+      // is truncated: the driver-side twin (Similarity.centroidCosines)
+      // norms over all dim entries, and the two must assign IDENTICAL
+      // cells for a shared quantizer — including on corrupt short rows
+      while (d < dim) {
+        val cd = centroidsFlat.getDouble(base + d)
+        nc += cd * cd
+        d += 1
+      }
       // zero-norm/empty input or degenerate centroid → NaN score; pin to
       // -inf so the selection below stays well-defined (NaN compares
       // false against everything, which would leave best = -1 and throw)

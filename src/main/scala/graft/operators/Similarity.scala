@@ -78,7 +78,14 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = scored.sparkSession
     import spark.implicits._
-    val ds = scored.select(
+    // null cos (null vector via propagateNull) would NPE the primitive
+    // decode below; NaN cos (a NaN/Inf vector element) is worse — the
+    // local heap ranks it WORST but the global window's desc sort ranks
+    // NaN ABOVE every real score, so one corrupt corpus vector would
+    // become every query's rank-1 neighbor, partition-dependently
+    val ds = scored
+      .where(col("cos").isNotNull && !isnan(col("cos")))
+      .select(
       col("query_id").cast("long"), col("neighbor_id").cast("long"),
       col("cos").cast("double")).as[(Long, Long, Double)]
     // min-heap head = worst kept candidate (lowest cos, then largest id)
@@ -126,6 +133,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, numBands: Int = 8, bandBits: Int = 6,
               maxBucket: Int = 4096, multiProbe: Boolean = true): DataFrame = {
+    // bandBits = 64 passes the sketch's own [1,64] gate but (1L << 64)
+    // wraps to 1 in Java, making mask = 0 — every chunk becomes bucket 0
+    // and the hot-bucket cap silently drops the whole corpus
+    require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     val numBits = numBands * bandBits
     def banded(df: DataFrame, id: String, v: String, probe: Boolean) = {
       val sk = df.select(col(idCol).as(id), col(vecCol).as(v),
@@ -207,15 +218,20 @@ object Similarity {
     // on a BOUNDED sample at scale (pass a sampled corpus in), so sizing
     // partitions at ~10k vectors each keeps per-iteration task overhead
     // from dominating the fit on small training sets.
-    val parts = math.max(1, math.min(corpus.rdd.getNumPartitions,
-      (corpus.count() / 10000L).toInt + 1))
-    val feat = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      .coalesce(parts).persist()
+    // persist FIRST, then count from the cache: a pre-persist count()
+    // was a full extra scan of the uncached source purely to size the
+    // coalesce; counting the cached features materializes the cache the
+    // fit needs anyway, and coalesce-after-persist reads cached blocks
+    val feat0 = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist()
     try {
+      val cnt = feat0.count()
+      val parts = math.max(1, math.min(feat0.rdd.getNumPartitions,
+        (cnt / 10000L).toInt + 1))
       val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
-        .setInitMode("random").fit(feat)
+        .setInitMode("random").fit(feat0.coalesce(parts))
       model.clusterCenters.flatMap(v => v.toArray.padTo(dim, 0.0).take(dim))
-    } finally feat.unpersist(false)
+    } finally feat0.unpersist(false)
   }
 
   /** Train an IVF coarse quantizer on a BOUNDED deterministic sample
@@ -242,6 +258,9 @@ object Similarity {
   private def collectTrainSample(corpus: DataFrame, idCol: String, vecCol: String,
                                  dim: Int, maxTrainRows: Int): Array[Array[Double]] =
     corpus
+      // a null vector in the sample would NPE toVec on the driver; the
+      // SQL-kernel operators silently drop the same corrupt rows
+      .where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("h", xxhash64(col("id")))
       .orderBy("h").limit(maxTrainRows)
@@ -363,6 +382,8 @@ object Similarity {
     val numBits = numBands * bandBits
     require(numBits <= 64,
       s"sign sketch is a single long: numBands*bandBits must be <= 64, got $numBits")
+    // < 64: (1L << 64) wraps to 1, mask 0, every chunk → bucket 0
+    require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     val mask = (1L << bandBits) - 1
     val sk = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signSketch(col(vecCol), numBits, dim).as("sk"))
@@ -523,6 +544,7 @@ object Similarity {
     s.foreach { x =>
       if (i < dim) {
         a(i) = x match {
+          case null => 0.0 // corrupt element degrades, like the SQL kernels
           case f: java.lang.Float => f.toDouble
           case d: java.lang.Double => d.doubleValue()
           case other => other.toString.toDouble
@@ -546,7 +568,10 @@ object Similarity {
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(codebooks)
-    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // null ids/vectors degrade to dropped rows, not a mid-job NPE —
+    // matching the SQL-kernel operators' corrupt-record behavior
+    corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .mapPartitions { rows =>
         val cb = bc.value
         rows.map { r =>
@@ -582,7 +607,9 @@ object Similarity {
     val cb = codebooks.getOrElse(trainPqCodebooks(corpus, idCol, vecCol, dim, m))
     val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
     // per-query ADC tables: lut(q)(sub*256 + code) = <q_sub, centroid>
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    // (null-vector queries dropped — they have no meaningful neighbors)
+    val qRows = queries.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
     val luts: Array[(Long, Array[Double])] = qRows.map { r =>
       val qv = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
       r.getLong(0) -> adcLut(qv, cb, m, dsub)
@@ -666,7 +693,8 @@ object Similarity {
       StructField("cell", IntegerType, nullable = false),
       StructField("code", BinaryType, nullable = false)))
     val idxEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(idxSchema)
-    val index = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val index = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .mapPartitions { rows =>
         val (ce, code) = bcModel.value
         rows.map { r =>
@@ -682,7 +710,8 @@ object Similarity {
         }
       }(idxEnc)
     // queries: probe cells + ADC table, grouped by cell for the scan
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val qRows = queries.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
     val probing: Map[Int, Array[(Long, Array[Double])]] = qRows.flatMap { r =>
       val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
       val lut = adcLut(normalized(raw), cb, m, dsub)

@@ -46,11 +46,24 @@ object TextAnalysis {
   /** Best-scoring language, 'und' when all scores are 0. */
   def langId(textCol: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScore(textCol, l).as("s"), lit(l).as("l")))
+    // LET-BINDING via a single-element transform: `words()` (regex
+    // collapse + lower + trim + split) is evaluated ONCE per row and
+    // bound as the lambda argument — naively referencing a shared
+    // `words(textCol)` val would inline the whole normalization tree
+    // into all 8 uses (4 languages × filter + denominator), and the HOF
+    // trees are CodegenFallback so no subexpression elimination saves it.
     // array_max over struct orders lexicographically (score, then lang):
     // ties break toward the lexicographically LAST language — encode the
     // tie-break explicitly to keep the oracle trivially replayable.
-    val best = array_max(array(scored: _*))
+    val best = element_at(
+      transform(array(words(textCol)), ws => {
+        val scored = langs.map { l =>
+          val hits = size(filter(ws, w => stopwords(l).map(s => w === s).reduce(_ || _)))
+          struct((hits.cast("double") / greatest(size(ws), lit(1)).cast("double")).as("s"),
+            lit(l).as("l"))
+        }
+        array_max(array(scored: _*))
+      }), 1)
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 

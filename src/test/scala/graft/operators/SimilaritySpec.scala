@@ -256,6 +256,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("corrupt vectors never poison top-k: null vector dropped, NaN element never rank-1") {
+    import spark.implicits._
+    val base = corpus.where(col("vec_id") < 100)
+    // one corpus row with a NaN element and one with a null vector
+    val nanVec = Array.fill(dim)(0.5f); nanVec(3) = Float.NaN
+    val dirty = base.unionByName(
+      Seq((9000L, nanVec.toSeq), (9001L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val queries = corpus.where(col("vec_id") < 2)
+    val got = Similarity.bruteForceTopK(dirty, queries, "vec_id", "embedding", 5).collect()
+    // the job survives (null would NPE the primitive decode) and the
+    // NaN vector is never anyone's neighbor (NaN sorts ABOVE every real
+    // cos in a desc window — it would otherwise be rank 1 everywhere)
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getLong(1) == 9000L))
+    assert(!got.exists(_.getLong(1) == 9001L))
+    // PQ paths likewise survive null vectors
+    val pq = Similarity.pqTopK(dirty, queries, "vec_id", "embedding", 3, dim, m = 8)
+    assert(pq.where(col("neighbor_id") === 9001L).count() == 0)
+  }
+
+  test("bandBits = 64 is rejected: the mod-64 shift would collapse every chunk to bucket 0") {
+    val queries = corpus.where(col("vec_id") < 2)
+    intercept[IllegalArgumentException](
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3, dim,
+        numBands = 1, bandBits = 64))
+    intercept[IllegalArgumentException](
+      Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", dim,
+        numBands = 1, bandBits = 64))
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val queries = corpus.where(col("vec_id") < 2)
     val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
