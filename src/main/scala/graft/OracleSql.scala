@@ -22,10 +22,21 @@ package graft
   */
 object OracleSql {
 
+  // Java's \s is [ \t\n\x0B\f\r] but DuckDB's RE2 \s is only
+  // [\t\n\f\r ] — a vertical tab would normalize differently on the
+  // two sides, so the class is SPELLED OUT to pin the Java semantics
+  private val wsClass = """[ \t\n\x0B\f\r]"""
+
   // collapse-then-trim: must mirror TextAnalysis.words()'s order (trim
   // strips only ' ', so the order is visible on \t/\n-framed text)
-  private val normText = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normText = s"trim(regexp_replace(lower(text), '$wsClass+', ' ', 'g'))"
   private val wordsOf = s"string_split($normText, ' ')"
+
+  /** SQL string-list literal for a stopword list — single quotes in a
+    * word (French elisions like "l'") must escape, or the generated
+    * oracle dies with a syntax error the moment the list grows. */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
 
   /** Stopword-ratio scoring SQL used by the q29 and q60 oracles. The word
     * LISTS come from the engine's own `TextAnalysis.stopwords` (they are a
@@ -33,7 +44,7 @@ object OracleSql {
     * drift; the DuckDB scoring expression itself stays independent of the
     * Spark implementation. */
   private def langScore(l: String): String = {
-    val lst = graft.operators.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val lst = sqlList(graft.operators.TextAnalysis.stopwords(l))
     s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len(ws), 1)"
   }
 
@@ -322,15 +333,16 @@ object OracleSql {
                / greatest(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
          ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
                / greatest(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS upper_ratio,
-         ROUND(CAST(len(list_filter($wordsOf, w -> list_contains(['the','and','of','to','in','is','that','for','with','was'], w))) AS DOUBLE)
+         ROUND(CAST(len(list_filter($wordsOf, w -> list_contains(${sqlList(graft.operators.TextAnalysis.stopwords("en"))}, w))) AS DOUBLE)
                / greatest(CAST(len($neWordsOf) AS DOUBLE), 1.0), 4) AS stopword_ratio
          FROM documents""",
 
+    // \s spelled out (Java vs RE2 divergence — see wsClass)
     "q31_token_count" ->
       s"""SELECT doc_id,
          len($neWordsOf) AS n_tokens_ws,
-         LENGTH(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', '#', 'g'))
-           - LENGTH(REPLACE(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', '#', 'g'), '#', '')) AS n_tokens_bpe
+         LENGTH(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '#', 'g'))
+           - LENGTH(REPLACE(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '#', 'g'), '#', '')) AS n_tokens_bpe
          FROM documents""",
 
     "q32_fingerprint" ->
@@ -481,8 +493,7 @@ object OracleSql {
     "q66_proto_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents""",
 
-    "q67_avro_roundtrip" ->
-      """SELECT doc_id, lang, n_chars FROM documents""",
+    // (q67_avro_roundtrip aliases q66's oracle — see `sql` below)
 
     // q60: the curation capstone — language/quality gate, exact
     // keep-best dedup, near-dup closure, one survivor per cluster.
@@ -558,13 +569,9 @@ object OracleSql {
          HAVING (epoch_ms(ts)//1000//300)*300 + 300
                 <= (SELECT epoch_ms(max(ts))//1000 - 600 FROM events)""",
 
-    "q54_sql_stream" ->
-      """SELECT (epoch_ms(ts)//1000//300)*300 AS window_start, event_type,
-         COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
-         FROM events GROUP BY 1, 2
-         HAVING (epoch_ms(ts)//1000//300)*300 + 300
-                <= (SELECT epoch_ms(max(ts))//1000 - 600 FROM events)""",
+    // (q54_sql_stream aliases q34's oracle — see `sql` below: the two
+    // queries compute the identical watermark-final windows, and a
+    // verbatim copy would silently drift on a future rule fix)
 
     // q44: the same watermark-final rule over SESSION windows. Sessions
     // are gaps-and-islands at full microsecond precision (Spark's
@@ -802,7 +809,13 @@ object OracleSql {
     * pointer-doubling path (`localThreshold = 0`) — identical answer,
     * identical oracle. Benching + oracling it separately means a
     * regression in the 100 TB path cannot hide behind the adaptive
-    * driver-local finish. */
+    * driver-local finish. q54/q67 likewise ALIAS their twins' oracles
+    * (same computed result through a different front-end/serde) so a
+    * future rule fix cannot silently update one copy and miss the
+    * other. */
   def sql: Map[String, String] =
-    base + ("q70_dedup_clusters_dist" -> base("q57_dedup_clusters"))
+    base +
+      ("q70_dedup_clusters_dist" -> base("q57_dedup_clusters")) +
+      ("q54_sql_stream" -> base("q34_tumbling_stream")) +
+      ("q67_avro_roundtrip" -> base("q66_proto_roundtrip"))
 }

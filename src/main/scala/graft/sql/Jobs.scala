@@ -68,6 +68,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // declared INTO-sink location (re-resolved at every launch); the
     // job's output reads route here when set
     var sinkPath: Option[String] = None
+    // highest micro-batch id supervision has credited as a breaker
+    // success — liveness alone is NOT success (see superviseOnce)
+    var lastSeenBatch: Long = -1L
   }
 
   private val jobs = scala.collection.mutable.LinkedHashMap[String, Job]()
@@ -649,7 +652,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
               try guardedLaunch(j, v) catch { case _: Throwable => () }
             }
         case Some(q) if j.status == "RUNNING" && q.isActive =>
-          j.breaker.recordSuccess()
+          // a breaker success is COMPLETED WORK (a newly committed
+          // micro-batch), not mere liveness: crediting "still alive"
+          // every tick would reset consecutiveFailures between the
+          // crashes of any loop with period > 1 tick, and the breaker
+          // could never trip — the exact doomed-restart burn it exists
+          // to bound
+          val batch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (batch > j.lastSeenBatch) {
+            j.lastSeenBatch = batch
+            j.breaker.recordSuccess()
+          }
         case _ => ()
       }
     }

@@ -64,10 +64,14 @@ object Resources {
       * `WITH (...)` clause; unset keys inherit `base`. A malformed
       * number is a statement error, not a silently-ignored limit. */
     def fromProps(props: Map[String, String], base: Limits): Limits = {
+      // the dialect is case-insensitive everywhere else, so a user
+      // writing WITH (MAX_TOTAL_MEMORY = ...) must hit the limit, not
+      // silently run unlimited — match keys case-insensitively
+      val p = props.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
       // a limit must be a POSITIVE number: zero/negative would make
       // enforcement kill the job on its first progress event while
       // level() (which guards l > 0) reports the resource as OK
-      def long(k: String): Option[Long] = props.get(k).map { v =>
+      def long(k: String): Option[Long] = p.get(k).map { v =>
         val n =
           try v.trim.toLong
           catch { case _: NumberFormatException =>
@@ -76,13 +80,15 @@ object Resources {
           s"$k must be a positive integer, got '$v'")
         n
       }
-      def dbl(k: String): Option[Double] = props.get(k).map { v =>
+      def dbl(k: String): Option[Double] = p.get(k).map { v =>
         val n =
           try v.trim.toDouble
           catch { case _: NumberFormatException =>
             throw new VeloSqlParser.ParseException(s"$k must be a number, got '$v'") }
-        if (n.isNaN || n <= 0) throw new VeloSqlParser.ParseException(
-          s"$k must be a positive number, got '$v'")
+        // isInfinite: 'Infinity' parses as a Double and passes <= 0, but
+        // an infinite limit is a nonsense row enforcement can never trip
+        if (n.isNaN || n.isInfinite || n <= 0) throw new VeloSqlParser.ParseException(
+          s"$k must be a positive finite number, got '$v'")
         n
       }
       Limits(
@@ -109,8 +115,11 @@ object Resources {
     * job's props. */
   final case class Usage(current: Double = 0.0, peak: Double = 0.0,
                          violations: Long = 0, limit: Option[Double] = None) {
+    // the CURRENT limit always wins — carrying a stale previous limit
+    // forward when the new epoch has none would make SHOW RESOURCES
+    // report EXHAUSTED levels against a limit that no longer exists
     def observed(v: Double, l: Option[Double]): Usage =
-      Usage(v, math.max(peak, v), violations, l.orElse(limit))
+      Usage(v, math.max(peak, v), violations, l)
     def violated: Usage = copy(violations = violations + 1)
   }
 

@@ -63,6 +63,25 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
     intercept[ParseException] {
       Resources.Limits.fromProps(Map("max_concurrent_operations" -> "2147483648"), base)
     }
+    // the dialect is case-insensitive: an uppercase WITH key must hit
+    // the limit, not silently leave the job unlimited
+    val up = Resources.Limits.fromProps(Map("MAX_TOTAL_MEMORY" -> "4096"), base)
+    assert(up.maxTotalMemory.contains(4096L))
+    // 'Infinity' parses as a Double but is a nonsense un-trippable limit
+    intercept[ParseException] {
+      Resources.Limits.fromProps(Map("max_processing_time_per_record" -> "Infinity"), base)
+    }
+  }
+
+  test("Usage.observed takes the CURRENT limit — a removed limit must not linger as EXHAUSTED") {
+    val u1 = Resources.Usage().observed(500.0, Some(1000.0))
+    assert(u1.limit.contains(1000.0))
+    // next epoch has no limit: the stale 1000 must not survive, or SHOW
+    // RESOURCES would classify 5000 as EXHAUSTED against nothing
+    val u2 = u1.observed(5000.0, None)
+    assert(u2.limit.isEmpty)
+    assert(Resources.level(u2.current, u2.limit, 0.8, 0.95) == "OK")
+    assert(u2.peak == 5000.0) // peak still tracks across epochs
   }
 
   test("threshold classification matches the reference bands (80% warn / 95% crit)") {
