@@ -19,9 +19,11 @@ class BenchGateSpec extends AnyFunSuite {
     r5WindowGuards.foreach { g =>
       assert(g > gate, s"guard $g must exceed gate $gate (would be re-timed)")
     }
-    // The old floor demonstrably hid them: every guard sat below it.
-    val oldGate = math.max(2.5 * baseline, baseline + 0.4)
-    r5WindowGuards.foreach(g => assert(g < oldGate))
+    // (Historical context, not an assertion: the retired baseline+0.4
+    // floor put the gate at 0.443, above every one of these guards —
+    // re-deriving that constant here and asserting against it would be
+    // a tautology over test-local literals, exercising no production
+    // code.)
   }
 
   test("clean windows at a typical baseline are not flagged") {
@@ -36,9 +38,8 @@ class BenchGateSpec extends AnyFunSuite {
     // flag scheduler noise. 50 ms of jitter over a 1 ms baseline is
     // noise; 200 ms is a real stall.
     val gate = Bench.slowGateFor(0.001)
-    assert(gate >= 0.15)
-    assert(0.05 <= gate)
-    assert(0.2 > gate)
+    assert(gate >= 0.15) // 50 ms of scheduler jitter stays below the floor
+    assert(0.2 > gate)   // ...but a 200 ms stall still trips it
   }
 
   test("large baselines scale multiplicatively, not by the floor") {

@@ -72,7 +72,10 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
   test("sessionize == brute-force reference on random event sets") {
     import spark.implicits._
     (1 to 15).foreach { i =>
-      val events = eventsGen(Gen.Parameters.default, Seed(42L + i)).get.distinct
+      // duplicates KEPT: identical (user, ts) pairs are a primary
+      // sessionize edge (tie-break ordering, rows-vs-distinct counting)
+      // and the fold oracle handles them; .distinct would strip the edge
+      val events = eventsGen(Gen.Parameters.default, Seed(42L + i)).get
       val df = events.toDF("user", "ep")
       val got = TimeWindows.sessionize(df, "ep", gap, Seq(col("user")), Seq(col("ep")),
         Seq(count(lit(1)).as("n"), min(col("ep")).as("s"), max(col("ep")).as("e")))

@@ -27,7 +27,11 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     val df = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "name", "score")
     val encoded = Serde.encodeCsv(df, Seq("id", "name", "score")).select("value")
     val decoded = Serde.decodeCsv(encoded, "value", schema)
-    assert(decoded.count() == 2)
+    // VALUES, not just the row count: a decoder null-padding every field
+    // (wrong delimiter, swapped columns) still returns 2 rows
+    val rows = decoded.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score")))
+    assert(rows.toSeq == Seq((1L, "a", 0.5), (2L, "b", 1.5)))
   }
 
   test("kafka envelope → typed columns + reference system columns") {
@@ -137,16 +141,21 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     val rows = java.util.Arrays.asList(
       org.apache.spark.sql.Row(1L, goodBytes),
       org.apache.spark.sql.Row(2L, "not avro at all".getBytes),
-      org.apache.spark.sql.Row(3L, goodBytes.take(2))) // truncated mid-record
-    val out = Serde.decodeAvro(spark.createDataFrame(rows, frameSchema), "value", schemaJson)
+      org.apache.spark.sql.Row(3L, goodBytes.take(2)), // truncated mid-record
+      // a good record AFTER the corrupt ones — in partition order, so a
+      // decoder left poisoned by a failed read would null-decode it
+      org.apache.spark.sql.Row(4L, goodBytes))
+    val out = Serde.decodeAvro(
+      spark.createDataFrame(rows, frameSchema).coalesce(1), "value", schemaJson)
       .collect().map(r => r.getAs[Long]("k") -> r).toMap
-    assert(out.size == 3) // nothing thrown, nothing dropped
-    assert(out(1L).getAs[Long]("x") == 7L && out(1L).getAs[String]("s") == "ok")
+    assert(out.size == 4) // nothing thrown, nothing dropped
+    Seq(1L, 4L).foreach { k =>
+      assert(out(k).getAs[Long]("x") == 7L && out(k).getAs[String]("s") == "ok",
+        s"record $k should decode (reused decoder must reinitialize per record)")
+    }
     Seq(2L, 3L).foreach { k =>
       assert(out(k).isNullAt(out(k).fieldIndex("x")), s"record $k should be null-decoded")
     }
-    // ...and a good record AFTER a corrupt one still decodes (the reused
-    // decoder is fully reinitialized per record)
   }
 
   test("Avro and JSON Kafka envelopes agree on column order (decoded fields first)") {
@@ -241,7 +250,11 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
       val e = intercept[IllegalArgumentException](reg.register(s, schema))
       assert(e.getMessage.contains("invalid subject name"))
     }
-    assert(!java.nio.file.Files.exists(root.getParent.resolve("1.avsc")))
+    // "." would write INTO root itself, ".." into its parent — check the
+    // "."-escape target we own (a parent-dir check could false-fail on a
+    // stray /tmp file and misses the root-level leak anyway)
+    assert(!java.nio.file.Files.exists(root.resolve("1.avsc")))
+    assert(reg.subjects().isEmpty)
 
     // cross-process race shape: another driver committed version 2
     // between our listing and our write. CREATE_NEW must skip past the

@@ -98,8 +98,11 @@ class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAnd
 
   test("health rolls a FAILED job up to Critical with the issue named") {
     input.addData(Seq((5L, 5.0)))
-    post("/jobs/http_fragile",
+    // assert the deploy itself succeeded: a validator regression would
+    // otherwise surface later as a misleading unknown-job error
+    val (fc, fragile) = post("/jobs/http_fragile",
       """{"query": "SELECT id, assert_true(v < 1.0) AS chk FROM http_events"}""")
+    assert(fc == 200, fragile)
     // the stream dies on the assert (awaitIdle surfaces the death);
     // supervision then records the failure
     try ctx.jobManager.awaitIdle("http_fragile")
