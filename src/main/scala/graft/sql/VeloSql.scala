@@ -251,6 +251,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       spark.sql(renderSql(q))
 
     case CreateTableAs(name, s, props, cols) =>
+      // IF NOT EXISTS (threaded as a parser prop): an existing table is
+      // KEPT — the default createOrReplaceTempView would overwrite, the
+      // one outcome the clause exists to prevent
+      if (props.get("if_not_exists").contains("true") && spark.catalog.tableExists(name))
+        return spark.table(name)
       var df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
       // 'retention' = '7 days': keep only records inside the window
       // (reference CompactTable retention, comprehensive-sql-ctas-guide
@@ -296,7 +301,9 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       }
       df
 
-    case CreateStreamAs(name, s, _, cols) =>
+    case CreateStreamAs(name, s, props, cols) =>
+      if (props.get("if_not_exists").contains("true") && spark.catalog.tableExists(name))
+        return spark.table(name)
       val df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
       df.createOrReplaceTempView(name)
       // INTO sink[, sink…]: fan the stream out to every named sink

@@ -82,7 +82,15 @@ object VeloSqlParser {
           out += Tok(TIdent, "`" + sb.toString + "`")
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
-        if (Set("!=", "<>", "<=", ">=", "||", "->").contains(two)) { out += Tok(TSymbol, two); i += 2 }
+        if (two == "/*") {
+          // standard SQL block comment (non-nesting): without this, '/'
+          // and '*' lex as arithmetic and the comment TEXT becomes
+          // expression tokens, failing far from the cause
+          val close = sql.indexOf("*/", i + 2)
+          if (close < 0) throw new ParseException(s"unterminated block comment starting at $i")
+          i = close + 2
+        }
+        else if (Set("!=", "<>", "<=", ">=", "||", "->").contains(two)) { out += Tok(TSymbol, two); i += 2 }
         else if (";(),.*+-/%^=<>[]~".indexOf(c) >= 0) { out += Tok(TSymbol, c.toString); i += 1 }
         else throw new ParseException(s"unexpected character '$c' at $i")
       }
@@ -212,13 +220,25 @@ object VeloSqlParser {
     * the event-time column used when a window spec / ROWS WINDOW omits
     * one (the reference uses the record timestamp). */
   def parse(sql: String, defaultTimeCol: String = "ts"): VeloStatement = {
-    val toks0 = tokenize(sql)
-    val toks = if (toks0.nonEmpty && toks0.last.text == ";") toks0.dropRight(1) else toks0
-    if (toks.isEmpty) throw new ParseException("empty statement")
-    val p = new P(toks, defaultTimeCol)
-    val stmt = p.statement()
-    p.expectEof()
-    stmt
+    // every malformed-but-lexable input must surface as a ParseException:
+    // callers (job server 400s, SqlApp's is-this-a-job probe, the
+    // validator's parse-error bucket) catch ONLY ParseException, and a
+    // leaked NumberFormat/NoSuchElement/IllegalArgument from deep in a
+    // rewrite turns a user syntax mistake into a 500/crash
+    try {
+      val toks0 = tokenize(sql)
+      val toks = if (toks0.nonEmpty && toks0.last.text == ";") toks0.dropRight(1) else toks0
+      if (toks.isEmpty) throw new ParseException("empty statement")
+      val p = new P(toks, defaultTimeCol)
+      val stmt = p.statement()
+      p.expectEof()
+      stmt
+    } catch {
+      case e: ParseException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new ParseException(
+          s"malformed statement (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)})")
+    }
   }
 
   private final class P(toks: Vector[Tok], defaultTimeCol: String) {
@@ -284,6 +304,11 @@ object VeloSqlParser {
       case Select(s) => s.props
       case CreateStreamAs(_, _, p, _) => p
       case CreateTableAs(_, _, p, _) => p
+      // a CTE/UNION body's trailing WITH was consumed by the INNERMOST
+      // select's trailing-clause loop — recurse, or resource limits on
+      // a CTE/UNION job body are silently dropped at admission
+      case WithCtes(_, b, _) => liftProps(b)
+      case u: Union => u.selects.lastOption.map(_.props).getOrElse(Map.empty)
       case _ => Map.empty
     }
 
@@ -388,7 +413,13 @@ object VeloSqlParser {
       val kind =
         if (at("STREAM") || at("TABLE") || at("SINK") || at("SOURCE")) take().upper
         else throw new ParseException("expected STREAM, TABLE, SINK or SOURCE after CREATE")
-      if (at("IF")) { take(); expectKw("NOT"); expectKw("EXISTS") }
+      // threaded through as a prop: swallowing the clause would INVERT
+      // it — the executor's createOrReplaceTempView overwrites, the one
+      // outcome IF NOT EXISTS exists to prevent
+      val ifNotExists =
+        if (at("IF")) { take(); expectKw("NOT"); expectKw("EXISTS"); true } else false
+      def withIne(p: Map[String, String]): Map[String, String] =
+        if (ifNotExists) p + ("if_not_exists" -> "true") else p
       val name = ident()
       // optional declared schema before AS (reference commands.rs:37,
       // clauses.rs:440): CREATE STREAM|TABLE t (col TYPE [NOT NULL], …) AS …
@@ -407,8 +438,8 @@ object VeloSqlParser {
         // the body may be a UNION chain
         selectOrUnion() match {
           case Select(sel) =>
-            if (kind == "STREAM") CreateStreamAs(name, sel, sel.props, columnDefs)
-            else CreateTableAs(name, sel, sel.props, columnDefs)
+            if (kind == "STREAM") CreateStreamAs(name, sel, withIne(sel.props), columnDefs)
+            else CreateTableAs(name, sel, withIne(sel.props), columnDefs)
           case u: Union =>
             val merged = u.selects.flatMap(_.props.toSeq).toMap
             // represent a union body through a derived-table wrapper so
@@ -420,11 +451,26 @@ object VeloSqlParser {
               having = None, window = None, namedWindows = None, orderBy = None,
               limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
               props = merged)
-            if (kind == "STREAM") CreateStreamAs(name, wrapped, merged, columnDefs)
-            else CreateTableAs(name, wrapped, merged, columnDefs)
+            if (kind == "STREAM") CreateStreamAs(name, wrapped, withIne(merged), columnDefs)
+            else CreateTableAs(name, wrapped, withIne(merged), columnDefs)
           case other => throw new ParseException(s"unsupported CREATE body: $other")
         }
       }
+    }
+
+    /** A UNION body in a single-SelectStmt position (INSERT INTO …
+      * SELECT): wrapped as a derived table, same as CTAS union bodies. */
+    private def asInsertBody(stmt: VeloStatement): SelectStmt = stmt match {
+      case Select(s) => s
+      case u: Union =>
+        SelectStmt(
+          fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = Vector.empty,
+          from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
+          fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
+          having = None, window = None, namedWindows = None, orderBy = None,
+          limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
+          props = u.selects.flatMap(_.props.toSeq).toMap)
+      case other => throw new ParseException(s"unsupported INSERT body: $other")
     }
 
     /** `(name TYPE [NOT NULL], …)` → (name, Spark SQL type string).
@@ -504,7 +550,8 @@ object VeloSqlParser {
         }
         expectSym(")")
       }
-      if (at("SELECT")) InsertInto(table, cols, Some(selectStatement()), Vector.empty)
+      // selectOrUnion: every other select position accepts UNION chains
+      if (at("SELECT")) InsertInto(table, cols, Some(asInsertBody(selectOrUnion())), Vector.empty)
       else {
         expectKw("VALUES")
         var rows = Vector.empty[Vector[Vector[Tok]]]
@@ -746,20 +793,38 @@ object VeloSqlParser {
         val span = exprSpan(stopAtComma = true)
         parseDuration(span) match {
           case Some(sec) => durations :+= sec
-          case None => timeCol = Some(render(span).replace(" . ", "."))
+          case None =>
+            // FIRST non-duration argument is the time column (the old
+            // last-one-wins silently replaced it — the reference's
+            // SESSION(time_expr, gap, partition_col) form made the
+            // PARTITION KEY the time column). Later bare identifiers are
+            // the reference's trailing partition-key args, tolerated
+            // (partitioning comes from GROUP BY here); anything else —
+            // e.g. a typo'd duration unit like '5 MINUTS' — errors.
+            val bareIdent = span.nonEmpty && span.head.kind == TIdent &&
+              span.forall(tk => tk.kind == TIdent || tk.text == ".")
+            if (timeCol.isEmpty) timeCol = Some(render(span).replace(" . ", "."))
+            else if (!bareIdent)
+              throw new ParseException(
+                s"unrecognized window argument '${render(span)}' " +
+                  s"(time column already set to '${timeCol.get}'; a duration must " +
+                  "be e.g. INTERVAL '5' MINUTE, 5 MINUTES, or 5m)")
         }
         if (peek().exists(_.text == ",")) take() else more = false
       }
       expectSym(")")
+      // ParseException, not require: IllegalArgumentException would leak
+      // through the callers' ParseException-only contracts
+      def need(ok: Boolean, msg: String): Unit = if (!ok) throw new ParseException(msg)
       kind match {
         case "TUMBLING" =>
-          require(durations.nonEmpty, "TUMBLING needs a size duration")
+          need(durations.nonEmpty, "TUMBLING needs a size duration")
           Tumbling(durations.head, timeCol)
         case "SLIDING" =>
-          require(durations.length == 2, "SLIDING needs size and advance durations")
+          need(durations.length == 2, "SLIDING needs size and advance durations")
           Sliding(durations(0), durations(1), timeCol)
         case "SESSION" =>
-          require(durations.nonEmpty, "SESSION needs a gap duration")
+          need(durations.nonEmpty, "SESSION needs a gap duration")
           Session(durations.head, timeCol)
         case other => throw new ParseException(s"unknown window kind $other")
       }
@@ -904,10 +969,32 @@ object VeloSqlParser {
               case ("<", "ANY") => ("MAX", "-Infinity")
               case _ => throw new ParseException(s"unsupported quantified comparison $op $q")
             }
-            out += t += sym("(") += id("SELECT") += id("coalesce") += sym("(") += id(agg) += sym("(")
+            // ALL: NULLs in the subquery column null-poison the target
+            // (CASE WHEN count(*) > count(col) THEN NULL …). Aggregates
+            // silently SKIP nulls, so the bare MAX rewrite returned TRUE
+            // where standard SQL yields UNKNOWN and filters the row —
+            // wrong RESULTS. With the poison every null-bearing ALL case
+            // compares UNKNOWN, identical to the standard in WHERE
+            // position (the residual x<=max-with-nulls divergence —
+            // standard FALSE vs UNKNOWN here — is invisible there).
+            // ANY must NOT poison: its TRUE case (x beats some non-null
+            // element) is TRUE under the standard regardless of NULLs,
+            // and the bare MIN/MAX rewrite is already standard-correct in
+            // WHERE (only FALSE-vs-UNKNOWN differs, both filtered).
+            out += t += sym("(") += id("SELECT")
+            if (q == "ALL") {
+              out += id("CASE") += id("WHEN") += id("count") += sym("(") += sym("*") += sym(")")
+              out += sym(">") += id("count") += sym("(")
+              out ++= sel
+              out += sym(")") += id("THEN") += id("CAST") += sym("(") += id("NULL")
+              out += id("AS") += id("DOUBLE") += sym(")")
+              out += id("ELSE")
+            }
+            out += id("coalesce") += sym("(") += id(agg) += sym("(")
             out ++= sel
             out += sym(")") += sym(",") += id("CAST") += sym("(") += Tok(TString, s"'$inf'")
             out += id("AS") += id("DOUBLE") += sym(")") += sym(")")
+            if (q == "ALL") out += id("END")
             out ++= rest
             out += sym(")")
           case (op, q) => throw new ParseException(s"unsupported quantified comparison $op $q")
@@ -1076,16 +1163,19 @@ object VeloSqlParser {
             out += id("AS") += id("BIGINT") += sym(")") += sym(")")
             if (aggWrap) { out += sym(")") }
             i = end
+          // header ARG spans recurse through rewriteTokens: a dialect
+          // form nested in the key/value (LEN(k), TIMESTAMP()) must not
+          // reach Catalyst verbatim — same rule as the VALUES branch
           case "HEADER" =>
             val (args, end) = callArgs(i + 1)
             out += id("element_at") += sym("(") += id("_headers") += sym(",")
-            out ++= args.head
+            out ++= rewriteTokens(args.head, defaultTimeCol)
             out += sym(")")
             i = end
           case "HAS_HEADER" =>
             val (args, end) = callArgs(i + 1)
             out += id("map_contains_key") += sym("(") += id("_headers") += sym(",")
-            out ++= args.head
+            out ++= rewriteTokens(args.head, defaultTimeCol)
             out += sym(")")
             i = end
           case "HEADER_KEYS" =>
@@ -1099,13 +1189,15 @@ object VeloSqlParser {
             // the normal re-stamp case (Spark's default
             // mapKeyDedupPolicy=EXCEPTION); same form as
             // VeloFunctions.setHeader
+            val k0 = rewriteTokens(args(0), defaultTimeCol)
+            val v0 = rewriteTokens(args(1), defaultTimeCol)
             out += id("map_concat") += sym("(")
             out += id("map_filter") += sym("(") += id("_headers") += sym(",") += sym("(")
             out += id("__hk") += sym(",") += id("__hv") += sym(")") += Tok(TSymbol, "->")
             out += id("__hk") += sym("!=")
-            out ++= args(0)
+            out ++= k0
             out += sym(")") += sym(",") += id("map") += sym("(")
-            out ++= args(0); out += sym(","); out ++= args(1)
+            out ++= k0; out += sym(","); out ++= v0
             out += sym(")") += sym(")")
             i = end
           case "REMOVE_HEADER" =>
@@ -1114,7 +1206,7 @@ object VeloSqlParser {
             out += id("map_filter") += sym("(") += id("_headers") += sym(",") += sym("(")
             out += id("__hk") += sym(",") += id("__hv") += sym(")") += Tok(TSymbol, "->")
             out += id("__hk") += sym("!=")
-            out ++= args.head
+            out ++= rewriteTokens(args.head, defaultTimeCol)
             out += sym(")")
             i = end
           case "PERCENTILE_CONT" | "PERCENTILE_DISC"
@@ -1122,6 +1214,15 @@ object VeloSqlParser {
               val (_, e) = callArgs(i + 1)
               span.lift(e).exists(_.isKw("OVER")) && span.lift(e + 1).exists(_.text == "(")
             } =>
+            // Spark's windowed percentile is CONTINUOUS: silently mapping
+            // PERCENTILE_DISC here would interpolate where the user asked
+            // for an actual row value — honest rejection beats a wrong
+            // number
+            if (up == "PERCENTILE_DISC")
+              throw new ParseException(
+                "PERCENTILE_DISC(p) OVER (...) is not supported (Spark's windowed " +
+                  "percentile is continuous); use PERCENTILE_CONT(p) OVER (...) or the " +
+                  "aggregate form PERCENTILE_DISC(expr, p)")
             // Window inverse-distribution form (reference
             // docs/sql/functions/advanced.md): PERCENTILE_CONT(p) OVER
             // (PARTITION BY k ORDER BY v [frame]) → Spark's windowed

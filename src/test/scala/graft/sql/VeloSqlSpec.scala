@@ -656,6 +656,86 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(VeloContext.groupByOutputNames(sel) == Vector("region", "product"))
   }
 
+  test("parser hardening: block comments, IF NOT EXISTS, union INSERT, window arg errors") {
+    import spark.implicits._
+    // standard /* */ block comments lex as whitespace, not arithmetic
+    assert(ctx.sql("SELECT /* latest quote */ symbol FROM market_data").count() == 6)
+    intercept[VeloSqlParser.ParseException](
+      VeloSqlParser.parse("SELECT /* unterminated a FROM t"))
+    // IF NOT EXISTS keeps the existing table instead of inverting into
+    // an unconditional overwrite
+    ctx.register("ine_src", Seq((1L, "keep")).toDF("id", "v"))
+    ctx.sql("CREATE TABLE ine_t AS SELECT id, v FROM ine_src")
+    ctx.register("ine_src2", Seq((2L, "clobber")).toDF("id", "v"))
+    ctx.sql("CREATE TABLE IF NOT EXISTS ine_t AS SELECT id, v FROM ine_src2")
+    assert(spark.table("ine_t").collect().map(_.getString(1)).toSeq == Seq("keep"))
+    // INSERT INTO ... SELECT accepts UNION chains like every other
+    // select position
+    ctx.register("ins_u", Seq((9L, "z")).toDF("id", "v"))
+    ctx.sql("INSERT INTO ins_u SELECT id, v FROM ine_src UNION ALL SELECT id, v FROM ine_src2")
+    assert(spark.table("ins_u").count() == 3)
+    // a typo'd duration unit errors instead of silently overwriting the
+    // time column (old last-one-wins); a trailing bare identifier — the
+    // reference's SESSION(time, gap, partition_col) form — is tolerated
+    // and the FIRST time column survives
+    val e = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT COUNT(*) FROM t GROUP BY k WINDOW TUMBLING(ts, 5 MINUTS)"))
+    assert(e.getMessage.contains("unrecognized window argument"))
+    val sess = VeloSqlParser.parse(
+      "SELECT COUNT(*) FROM t GROUP BY k WINDOW SESSION(event_time, INTERVAL '1' HOUR, dev_id)")
+      .asInstanceOf[VeloSqlParser.Select].s.window.get.asInstanceOf[VeloSqlParser.Session]
+    assert(sess.timeCol.contains("event_time") && sess.gapSec == 3600L)
+    // malformed-but-lexable input is a ParseException (the callers' 400
+    // contract), never a leaked NumberFormat/IllegalArgument
+    val e2 = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT a FROM t LIMIT 99999999999999999999999"))
+    assert(e2.getMessage.contains("malformed statement") || e2.getMessage.nonEmpty)
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT a FROM t GROUP BY k WINDOW SLIDING(1m)"))
+  }
+
+  test("job props lift through CTE and UNION bodies; header args rewrite; DISC-over rejects") {
+    // a trailing WITH on a CTE-bodied job must reach StartJob.props —
+    // silently dropping it ignored the user's resource limits
+    val cte = VeloSqlParser.parse(
+      """START JOB j AS WITH c AS (SELECT order_id FROM orders) SELECT * FROM c
+         WITH ('max_total_memory' = '1000000')""").asInstanceOf[VeloSqlParser.StartJob]
+    assert(cte.props.get("max_total_memory").contains("1000000"))
+    val un = VeloSqlParser.parse(
+      """START JOB j2 AS SELECT a FROM x UNION ALL SELECT a FROM y
+         WITH ('max_total_memory' = '2000000')""").asInstanceOf[VeloSqlParser.StartJob]
+    assert(un.props.get("max_total_memory").contains("2000000"))
+    // dialect forms nested in header args are rewritten, not passed
+    // verbatim to Catalyst (LEN is the dialect's name for length —
+    // unrewritten it hit Spark as UNRESOLVED_ROUTINE)
+    val hm = ctx.sql(
+      "SELECT SET_HEADER('n', CAST(LEN('abcd') AS STRING)) AS h FROM orders LIMIT 1")
+      .collect().head.getAs[scala.collection.Map[String, String]]("h")
+    assert(hm.get("n").contains("4"))
+    // windowed PERCENTILE_DISC rejects loudly instead of silently
+    // computing the continuous percentile
+    val pd = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT PERCENTILE_DISC(0.5) OVER (PARTITION BY s ORDER BY v) FROM t"))
+    assert(pd.getMessage.contains("PERCENTILE_DISC"))
+  }
+
+  test("ALL/ANY against a NULL-bearing subquery follows standard semantics in WHERE") {
+    import spark.implicits._
+    ctx.register("lim_t", Seq(Some(90.0), None).toDF("limit_px"))
+    ctx.register("px_t", Seq((1L, 100.0), (2L, 50.0)).toDF("id", "px"))
+    // standard SQL: px > ALL({90, NULL}) is UNKNOWN for px=100 (never
+    // TRUE) and FALSE for px=50 → zero rows pass; the bare MAX rewrite
+    // returned the px=100 row
+    assert(ctx.sql("SELECT id FROM px_t WHERE px > ALL (SELECT limit_px FROM lim_t)").count() == 0)
+    // without NULLs the rewrite is unchanged
+    ctx.register("lim_nn", Seq(90.0).toDF("limit_px"))
+    assert(ctx.sql("SELECT id FROM px_t WHERE px > ALL (SELECT limit_px FROM lim_nn)")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // ANY: px > ANY({90, NULL}) is TRUE for 100, UNKNOWN for 50
+    assert(ctx.sql("SELECT id FROM px_t WHERE px > ANY (SELECT limit_px FROM lim_t)")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("streaming sink routes rows by GROUP BY auto-key: one output file per key") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
