@@ -60,7 +60,9 @@ object SchemaRegistryHttp {
             case 't' => sb += '\t'; i += 2
             case 'b' => sb += '\b'; i += 2
             case 'f' => sb += '\f'; i += 2
-            case 'u' if i + 5 < body.length =>
+            case 'u' if i + 5 < body.length
+                && body.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
+              // hex validated FIRST: \uZZZZ must not 500 via NumberFormat
               sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
             case c => sb += c; i += 2
           }

@@ -76,8 +76,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     val rows = jobRows(None)
     val issues = rows.collect { case j if j.status == "FAILED" =>
       s"Job '${j.name}' failed: ${j.error}" }
+    // real jobs only: the global '*' admission row's violation count is
+    // monotonically increasing telemetry that no job-scoped reset ever
+    // clears — counting it would pin /health at Warning forever after a
+    // single transient admission rejection
     val violationRows = ctx.jobManager.resourcesDf(None).collect().toIndexedSeq
-      .filter(_.getAs[Long]("violations") > 0)
+      .filter(r => r.getAs[Long]("violations") > 0 && r.getAs[String]("job_name") != "*")
       .map(r => s"Job '${r.getAs[String]("job_name")}' resource " +
         s"'${r.getAs[String]("resource")}' recorded ${r.getAs[Long]("violations")} violation(s)")
     val breakerWarnings = rows.collect { case j if j.breaker != "CLOSED" =>
@@ -149,7 +153,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
 
   private def stopJob(ex: HttpExchange, name: String): Unit = {
     if (!name.matches("[A-Za-z0-9_]+")) { err(ex, 400, s"invalid job name: $name"); return }
-    val force = Option(ex.getRequestURI.getQuery).exists(_.contains("force=true"))
+    // parse the query string properly: a substring test would let any
+    // parameter merely CONTAINING 'force=true' (e.g. unforce=true)
+    // force-stop the job, dropping its in-flight micro-batch
+    val force = Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&")).map(_.split("=", 2))
+      .exists(kv => kv.length == 2 && kv(0) == "force" && kv(1) == "true")
     try {
       ctx.sql(s"STOP JOB $name${if (force) " FORCE" else ""}")
       respond(ex, 200, jobJson(jobRows(Some(name)).head))
@@ -185,10 +194,17 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
     }
   })
-  server.setExecutor(null)
+  // a small pool, NOT the single dispatcher thread: a draining
+  // deploy/stop can run for minutes, and serving requests serially
+  // would black out /metrics and /health scrapes for its whole
+  // duration — exactly when an operator needs them. (Routes that take
+  // the JobManager monitor still serialize behind a long drain; the
+  // lock-free surfaces — '/', '/metrics' — stay live.)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
   server.start()
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object JobServerHttp {
@@ -229,7 +245,10 @@ object JobServerHttp {
             case 't' => sb += '\t'; i += 2
             case 'b' => sb += '\b'; i += 2
             case 'f' => sb += '\f'; i += 2
-            case 'u' if i + 5 < body.length =>
+            case 'u' if i + 5 < body.length
+                && body.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
+              // hex validated FIRST: \uZZZZ in a client body must be a
+              // malformed-input 4xx, not a NumberFormatException 500
               sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
             case c => sb += c; i += 2
           }

@@ -448,7 +448,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       j.handle = Some(q)
       j.batchView = None
     } else {
+      // one-shot MATERIALIZATION, as documented: a lazy view would
+      // silently drift with the source (and re-execute the full query on
+      // every SHOW METRICS / HTTP report scrape)
       val view = s"${j.name}_out"
+      df.cache()
+      df.count()
       df.createOrReplaceTempView(view)
       j.batchView = Some(view)
       j.handle = None
@@ -549,7 +554,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
     // A fresh epoch gives it clean checkpoint + sink, like deploy().
-    if (j.current.exists(_.body != body)) { j.epoch += 1; resetMetricState(name) }
+    if (j.current.exists(_.body != body)) { j.epoch += 1; j.lastSeenBatch = -1L; resetMetricState(name) }
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
     j.limits = lims
@@ -601,6 +606,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val v = record(j, version, body, props, stratStr)
     halt(j, drain = strategy != Replace) // REPLACE = stop old fast; others drain
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
+    // the fresh checkpoint restarts batchIds at 0 — a stale high-water
+    // mark would starve breaker successes for the whole new epoch and
+    // let intermittent crashes trip the breaker on a healthy job
+    j.lastSeenBatch = -1L
     resetMetricState(name) // new epoch re-reads the source — drop old totals
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
@@ -616,12 +625,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       case Some(ver) => j.versions.find(_.version == ver)
         .getOrElse(throw new ParseException(s"job $name has no version $ver"))
       case None => j.versions.filter(_.seq < cur.seq).lastOption
+        // a FAILED deploy leaves `current` at the last-good version with
+        // the doomed version recorded AFTER it: with no earlier version
+        // to fall back to, rollback relaunches the last-good current
+        // instead of dead-ending on 'no previous version'
+        .orElse(if (j.status != "RUNNING") Some(cur) else None)
         .getOrElse(throw new ParseException(s"job $name has no previous version"))
     }
     val lims = Resources.Limits.fromProps(v.props, defaultLimits)
     gateConcurrency(name, lims)
     halt(j, drain = true)
     j.epoch += 1
+    j.lastSeenBatch = -1L // fresh epoch, fresh batchId namespace
     resetMetricState(name) // rollback epoch re-reads the source from scratch
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
@@ -720,18 +735,31 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   }
 
   /** Per-job runtime metrics from the StreamingQuery's progress (the
-    * reference's JobMetrics); batch jobs report materialized rows. */
-  def metricsDf(name: Option[String]): DataFrame = synchronized {
+    * reference's JobMetrics); batch jobs report materialized rows.
+    * Registry state snapshots under the lock; the sink COUNTS run
+    * OUTSIDE it — scanning a growing parquet sink while holding the
+    * monitor would stall the listener thread and every job operation
+    * for the duration of each metrics/report scrape. */
+  def metricsDf(name: Option[String]): DataFrame = {
     import spark.implicits._
-    jobs.values.toSeq
-      .filter(j => name.forall(_ == j.name))
-      .map { j =>
-        val (batches, inRows) = j.handle.flatMap(q => Option(q.lastProgress)) match {
-          case Some(p) => (p.batchId, p.numInputRows)
-          case None => (-1L, 0L)
+    val snaps = synchronized {
+      jobs.values.toSeq
+        .filter(j => name.forall(_ == j.name))
+        .map { j =>
+          val (batches, inRows) = j.handle.flatMap(q => Option(q.lastProgress)) match {
+            case Some(p) => (p.batchId, p.numInputRows)
+            case None => (-1L, 0L)
+          }
+          (j.name, j.status, batches, inRows, j.batchView, j.sinkPath, j.sinkDir)
         }
-        val outRows = j.batchView.map(v => spark.table(v).count()).getOrElse(sinkRows(j))
-        (j.name, j.status, batches, inRows, outRows)
+    }
+    snaps.map { case (n, st, batches, inRows, view, sinkPath, sinkDir) =>
+        val outRows = view.map(v => spark.table(v).count()).getOrElse(
+          try {
+            sinkPath.map(p => graft.sources.Serde.readFileUri(spark, p))
+              .getOrElse(spark.read.parquet(sinkDir)).count()
+          } catch { case _: Throwable => 0L })
+        (n, st, batches, inRows, outRows)
       }
       .toDF("job_name", "status", "last_batch_id", "last_batch_input_rows", "sink_rows")
   }
@@ -776,9 +804,6 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     case Some(p) => graft.sources.Serde.readFileUri(spark, p)
     case None => spark.read.parquet(j.sinkDir)
   }
-
-  private def sinkRows(j: Job): Long =
-    try readSink(j).count() catch { case _: Throwable => 0L }
 }
 
 object JobManager {

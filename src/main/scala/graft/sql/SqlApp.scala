@@ -170,10 +170,30 @@ object SqlApp {
     * `-- @name:` / `-- Property: k = v` annotations attached to the
     * NEXT statement. Missing `-- SQL Application:` header is an error
     * (reference parity); missing version defaults to 1.0.0. */
+  /** Quote state after scanning one line of SQL text (comment-aware). */
+  private def quoteStateAfter(s: String, q0: Char): Char = {
+    var i = 0
+    var quote: Char = q0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return quote
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+      i += 1
+    }
+    quote
+  }
+
   def parse(content: String, env: String => Option[String] = sys.env.get): SqlApplication = {
     var md = AppMetadata(name = "")
+    // metadata lines only OUTSIDE string literals: a multi-line literal
+    // whose content happens to start with '-- @k: v' is SQL data, and
+    // classifying it would pollute the app metadata
+    var mdQuote: Char = 0
     content.linesIterator.map(_.trim).foreach { line =>
-      def has(p: String): Boolean = line.startsWith(p)
+      def has(p: String): Boolean = mdQuote == 0 && line.startsWith(p)
+      if (mdQuote != 0) { mdQuote = quoteStateAfter(line, mdQuote) }
+      else if (!line.startsWith("--")) mdQuote = quoteStateAfter(line, 0)
       if (has("-- SQL Application:")) md = md.copy(name = tail(line, "-- SQL Application:"))
       else if (has("-- Version:")) md = md.copy(version = tail(line, "-- Version:"))
       else if (has("-- Description:")) md = md.copy(description = Some(tail(line, "-- Description:")))
@@ -212,7 +232,7 @@ object SqlApp {
         md = md.copy(deploymentNodeName = Some(resolvePattern(tail(line, "-- @deployment.node_name:"), env)))
       else if (has("-- @deployment.region:"))
         md = md.copy(deploymentRegion = Some(resolvePattern(tail(line, "-- @deployment.region:"), env)))
-      else if (line.startsWith("-- @") && line.contains(":")
+      else if (mdQuote == 0 && line.startsWith("-- @") && line.contains(":")
                && !line.startsWith("-- @name:") && !line.startsWith("-- @metric")
                && !line.startsWith("-- @partition-count:")
                && !line.startsWith("-- @sticky-partition-id:")) {
@@ -267,11 +287,29 @@ object SqlApp {
         curStrategy = None
       }
     }
+    // open-quote state carried ACROSS lines: a multi-line string literal
+    // must keep protecting its content — a line inside it that happens
+    // to start with '--' is literal text, not a comment, and a ';' in it
+    // must not split the statement
+    var openQuote: Char = 0
+    def sqlContent(raw: String): Unit = {
+      var rest = raw
+      var r = splitIndexFrom(rest, openQuote)
+      while (r._1 >= 0) {
+        cur.append(rest.substring(0, r._1)).append('\n')
+        flush()
+        rest = rest.substring(r._1 + 1)
+        r = splitIndexFrom(rest, 0)
+      }
+      openQuote = r._2
+      cur.append(rest).append('\n')
+    }
     content.linesIterator.foreach { raw =>
       val trimmed = raw.trim
       def intAnn(p: String): Option[Int] =
         try Some(tail(trimmed, p).toInt) catch { case _: NumberFormatException => None }
-      if (trimmed.startsWith("-- Name:")) curName = Some(tail(trimmed, "-- Name:"))
+      if (openQuote != 0) sqlContent(raw) // inside a multi-line literal
+      else if (trimmed.startsWith("-- Name:")) curName = Some(tail(trimmed, "-- Name:"))
       else if (trimmed.startsWith("-- @name:")) curName = Some(tail(trimmed, "-- @name:"))
       else if (trimmed.startsWith("-- @metric:")) {
         val m = tail(trimmed, "-- @metric:")
@@ -360,18 +398,7 @@ object SqlApp {
       }
       else if (trimmed.startsWith("--")) ()                      // plain comment
       else if (trimmed.isEmpty) ()
-      else {
-        // string-literal-aware ';' split within the line
-        var rest = raw
-        var idx = splitIndex(rest)
-        while (idx >= 0) {
-          cur.append(rest.substring(0, idx)).append('\n')
-          flush()
-          rest = rest.substring(idx + 1)
-          idx = splitIndex(rest)
-        }
-        cur.append(rest).append('\n')
-      }
+      else sqlContent(raw) // string-literal-aware ';' split within the line
     }
     flush()
     SqlApplication(md, statements)
@@ -395,19 +422,23 @@ object SqlApp {
 
   /** Index of the first top-level ';' — outside string literals AND
     * outside an inline `--` comment (a ';' inside `-- keep; drop`
-    * must not split the statement). */
-  private def splitIndex(s: String): Int = {
+    * must not split the statement). `q0` carries the OPEN-QUOTE state
+    * from the previous line: a string literal spanning lines must keep
+    * protecting its ';' and '--' content, or the splitter corrupts the
+    * statement at the line boundary. Returns (index | -1, quote state
+    * at end of line). */
+  private def splitIndexFrom(s: String, q0: Char): (Int, Char) = {
     var i = 0
-    var quote: Char = 0
+    var quote: Char = q0
     while (i < s.length) {
       val c = s(i)
       if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return -1 // comment runs to EOL
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return (-1, 0) // comment runs to EOL
       else if (c == '\'' || c == '"' || c == '`') quote = c
-      else if (c == ';') return i
+      else if (c == ';') return (i, 0)
       i += 1
     }
-    -1
+    (-1, quote)
   }
 
   /** Parse + execute an application against a context; returns each

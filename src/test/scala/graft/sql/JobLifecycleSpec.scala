@@ -71,6 +71,24 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     } finally ctx.sql("STOP JOB into_job")
   }
 
+  test("ROLLBACK after a FAILED deploy relaunches the last-good version instead of dead-ending") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("START JOB recov AS SELECT id, v FROM live_events")
+    ctx.jobManager.awaitIdle("recov")
+    // a deploy whose body passes the (batch-semantics) validator but
+    // dies at writeStream.start(): sorting is unsupported on append
+    // streams, so the launch itself throws after v1 was already halted
+    intercept[Exception](ctx.sql(
+      "DEPLOY JOB recov VERSION '2.0.0' AS SELECT id, v FROM live_events ORDER BY id"))
+    // old behavior: 'no previous version' (v1 IS current, nothing earlier)
+    ctx.sql("ROLLBACK JOB recov")
+    val st = ctx.sql("SHOW STATUS recov").collect().head
+    assert(st.getAs[String]("status") == "RUNNING")
+    assert(st.getAs[String]("version") == "1.0.0")
+    ctx.sql("STOP JOB recov")
+  }
+
   test("DEPLOY new version switches the pipeline; ROLLBACK returns to the previous one") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0), (2L, 2.0)))

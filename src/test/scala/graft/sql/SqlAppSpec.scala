@@ -438,6 +438,27 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(prom.contains("graft_table_load_seconds"))
   }
 
+  test("multi-line string literals survive splitting: ';' and '--' inside them are data") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("raw_lit", Seq(Tuple1(1L)).toDF("id"))
+    val (_, results) = SqlApp.run(ctx,
+      "-- SQL Application: Literal App\n" +
+        "\n" +
+        "CREATE TABLE lit_t AS SELECT id, 'hello\n" +
+        "; -- @bogus: v\n" +
+        "world' AS c FROM raw_lit;\n", lookup)
+    // one statement, not three corrupted halves; literal content intact
+    assert(results.length == 1)
+    val c = spark.table("lit_t").collect().head.getString(1)
+    assert(c.contains(";") && c.contains("@bogus") && c.contains("world"))
+    // ...and the literal's '-- @bogus' line did NOT pollute app metadata
+    val app = SqlApp.parse(
+      "-- SQL Application: Literal App\n\nCREATE TABLE t AS SELECT 'x\n-- @fake_key: v\ny' AS c FROM s;\n",
+      lookup)
+    assert(!app.metadata.extra.contains("fake_key"))
+  }
+
   test("a CTAS re-creating a table stays strictly ordered (write-after-read barrier)") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
