@@ -68,6 +68,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // declared INTO-sink location (re-resolved at every launch); the
     // job's output reads route here when set
     var sinkPath: Option[String] = None
+    // epoch whose query last wrote the declared location — a NEW epoch
+    // must reset it before launch (see launch), a resume re-enters the
+    // same epoch and keeps sink + _spark_metadata for exactly-once
+    var sinkEpoch: Int = -1
     // highest micro-batch id supervision has credited as a breaker
     // success — liveness alone is NOT success (see superviseOnce)
     var lastSeenBatch: Long = -1L
@@ -412,6 +416,20 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // bodies write theirs in execStatement. Resolved per launch:
       // CREATE SINK declarations may change between deploys.
       j.sinkPath = resolveSinkPath(v.body).map(_.stripPrefix("file://"))
+      // A declared location is FIXED across epochs while the checkpoint
+      // is not: an epoch bump restarts batchIds at 0, and the declared
+      // dir's _spark_metadata (written by the PREVIOUS epoch's
+      // FileStreamSink) claims those ids already committed — Spark would
+      // silently drop the new epoch's first batches, and surviving files
+      // would mix old- and new-epoch output even though the new epoch
+      // re-reads the source from scratch. Blue-green semantics for a
+      // declared location therefore RESET it on epoch entry — the new
+      // version's query rewrites its complete output, exactly like the
+      // internal out-$epoch dir starting empty. A resume re-enters the
+      // SAME epoch: sink + metadata are kept and the same checkpoint
+      // continues offset-exact.
+      j.sinkPath.filter(_ => j.sinkEpoch != j.epoch).foreach(JobManager.clearDir)
+      j.sinkEpoch = j.epoch
       val (sinkLoc, sinkFmt, sinkOpts) = j.sinkPath match {
         case Some(p) => val (f, o) = graft.sources.Serde.fileFormat(p); (p, f, o)
         case None => (j.sinkDir, "parquet", Map.empty[String, String])
@@ -816,6 +834,22 @@ object JobManager {
                              batchSize: Option[Int] = None,
                              numPartitions: Option[Int] = None,
                              partitioningStrategy: Option[String] = None)
+  /** Delete a directory's CONTENTS (keeping the directory itself, whose
+    * existence/permissions the user may own) — the declared-sink reset
+    * on checkpoint-epoch entry. No-op on a missing path. */
+  private[sql] def clearDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toVector.sortBy(-_.getNameCount)
+          .filterNot(_ == root)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   /** SQL LIKE with % and _ (shell-style * also admitted, as the
     * reference's own test patterns use `user_*`). */
   private[sql] def likeMatch(s: String, pat: String): Boolean = {

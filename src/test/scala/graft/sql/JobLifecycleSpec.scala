@@ -71,6 +71,41 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     } finally ctx.sql("STOP JOB into_job")
   }
 
+  test("DEPLOY with a declared INTO sink: fresh epoch's batches survive stale _spark_metadata") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_into_epoch").toString
+    ctx.sql(s"CREATE SINK epoch_out WITH (path = 'file://$dir/out.parquet')")
+    ctx.sql(
+      """DEPLOY JOB epochy VERSION '1.0.0' AS CREATE STREAM s1 AS
+         SELECT id, v * 2 AS o FROM live_events INTO epoch_out""")
+    ctx.jobManager.awaitIdle("epochy")
+    assert(spark.read.parquet(s"$dir/out.parquet").collect()
+      .map(_.getAs[Double]("o")).sorted.toSeq == Seq(2.0, 4.0))
+
+    // v2 bumps the epoch: its fresh checkpoint restarts batchIds at 0,
+    // and the declared dir's v1 _spark_metadata claims those ids already
+    // committed — without the epoch-entry reset, FileStreamSink silently
+    // drops v2's first batches and readers keep seeing v1 rows mixed in.
+    // The declared location must hold exactly v2's re-read output.
+    ctx.sql(
+      """DEPLOY JOB epochy VERSION '2.0.0' AS CREATE STREAM s2 AS
+         SELECT id, v * 10 AS o FROM live_events INTO epoch_out""")
+    ctx.jobManager.awaitIdle("epochy")
+    assert(spark.read.parquet(s"$dir/out.parquet").collect()
+      .map(_.getAs[Double]("o")).sorted.toSeq == Seq(10.0, 20.0))
+
+    // PAUSE/RESUME re-enters the SAME epoch: the declared sink must NOT
+    // be reset — the same checkpoint continues offset-exact on top of it
+    ctx.sql("PAUSE JOB epochy")
+    in.addData(Seq((3L, 3.0)))
+    ctx.sql("RESUME JOB epochy")
+    ctx.jobManager.awaitIdle("epochy")
+    assert(spark.read.parquet(s"$dir/out.parquet").collect()
+      .map(_.getAs[Double]("o")).sorted.toSeq == Seq(10.0, 20.0, 30.0))
+    ctx.sql("STOP JOB epochy")
+  }
+
   test("ROLLBACK after a FAILED deploy relaunches the last-good version instead of dead-ending") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))
