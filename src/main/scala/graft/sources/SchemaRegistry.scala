@@ -23,6 +23,11 @@ final class SchemaRegistry(root: Path) {
 
   private[sources] def root_forTest: Path = root
 
+  // test seam for the cross-process CREATE_NEW race: runs between the
+  // version listing/compat gate and the version-file write, where a
+  // rival process can commit a version this attempt never validated
+  private[sources] var onBeforeWrite_forTest: () => Unit = () => ()
+
   private def subjectDir(subject: String): Path = {
     // "." and ".." satisfy the character class but resolve OUTSIDE the
     // registry root — a path traversal reachable straight from the HTTP
@@ -87,7 +92,23 @@ final class SchemaRegistry(root: Path) {
     * version's data) is rejected, as a registry's default gate is. */
   def register(subject: String, schemaJson: String): Int = synchronized {
     val parsed = new Schema.Parser().parse(schemaJson) // reject malformed first
-    // one directory listing + one parse of the latest schema per call
+    registerAttempt(subject, parsed)
+  }
+
+  /** One registration attempt: list versions, run the identity/compat
+    * gates against the CURRENT latest, and CREATE_NEW-write the next
+    * version file. The registry doc promises any shared filesystem
+    * works, and `synchronized` only serializes THIS driver: version
+    * allocation (list, +1) can race another process, and truncate-write
+    * would silently clobber its committed file, so the write fails on
+    * collision — and the retry must START OVER, because the version the
+    * rival just committed is a new latest the identity and
+    * backward-compatibility checks never saw (bumping the number and
+    * rewriting would admit a schema incompatible with it — the exact
+    * cross-process race CREATE_NEW exists to close). */
+  @annotation.tailrec
+  private def registerAttempt(subject: String, parsed: Schema): Int = {
+    // one directory listing + one parse of the latest schema per attempt
     // (latest() would re-list and the equality/compat checks re-parse)
     val vs = versions(subject)
     val prevParsed = vs.lastOption.map(v => v -> new Schema.Parser().parse(get(subject, v).get))
@@ -102,23 +123,17 @@ final class SchemaRegistry(root: Path) {
         }
         val d = subjectDir(subject)
         Files.createDirectories(d)
-        // CREATE_NEW: the registry doc promises any shared filesystem
-        // works, and `synchronized` only serializes THIS driver. Version
-        // allocation (list, +1) can race another process; truncate-write
-        // would silently clobber its committed version file, so the
-        // write must fail on collision and re-allocate.
-        var next = vs.lastOption.getOrElse(0) + 1
-        var written = false
-        while (!written) {
+        val next = vs.lastOption.getOrElse(0) + 1
+        val written =
           try {
+            onBeforeWrite_forTest()
             Files.writeString(d.resolve(s"$next.avsc"), parsed.toString(true),
               java.nio.file.StandardOpenOption.CREATE_NEW)
-            written = true
+            true
           } catch {
-            case _: java.nio.file.FileAlreadyExistsException => next += 1
+            case _: java.nio.file.FileAlreadyExistsException => false
           }
-        }
-        next
+        if (written) next else registerAttempt(subject, parsed)
     }
   }
 }

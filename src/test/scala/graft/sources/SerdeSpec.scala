@@ -273,6 +273,44 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(reg.get("race", 2).get == foreign)
   }
 
+  test("schema registry: CREATE_NEW collision re-runs the compat gate against the rival's schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_reg_race")
+    val reg = new SchemaRegistry(root)
+    val v1 = """{"type":"record","name":"T","fields":[{"name":"x","type":"string"}]}"""
+    assert(reg.register("s", v1) == 1)
+
+    // rival process commits version 2 INSIDE the window between our
+    // listing/compat check and our CREATE_NEW write: x retyped to int
+    val rival = """{"type":"record","name":"T","fields":[{"name":"x","type":"int"}]}"""
+    var planted = false
+    reg.onBeforeWrite_forTest = () => if (!planted) {
+      planted = true
+      java.nio.file.Files.writeString(root.resolve("s").resolve("2.avsc"), rival)
+    }
+    // ours reads v1's data fine (added field has a default) but CANNOT
+    // read the rival's int x — the collision retry must re-validate
+    // against the rival's now-latest schema and reject, not bump the
+    // version number and admit an incompatible schema
+    val ours = """{"type":"record","name":"T","fields":[
+        {"name":"x","type":"string"},{"name":"note","type":"string","default":""}]}"""
+    val e = intercept[IllegalArgumentException](reg.register("s", ours))
+    assert(e.getMessage.contains("not backward-compatible with version 2"))
+    assert(reg.versions("s") == Vector(1, 2)) // nothing admitted past the rival
+
+    // benign collision: the rival committed OUR schema → the retry's
+    // identity check returns the rival's version (idempotent), no new file
+    val reg2 = new SchemaRegistry(java.nio.file.Files.createTempDirectory("graft_reg_race2"))
+    assert(reg2.register("s", v1) == 1)
+    var planted2 = false
+    reg2.onBeforeWrite_forTest = () => if (!planted2) {
+      planted2 = true
+      val same = new org.apache.avro.Schema.Parser().parse(ours).toString(true)
+      java.nio.file.Files.writeString(reg2.root_forTest.resolve("s").resolve("2.avsc"), same)
+    }
+    assert(reg2.register("s", ours) == 2)
+    assert(reg2.versions("s") == Vector(1, 2))
+  }
+
   test("kafka envelope with Avro value → typed columns + system columns") {
     import spark.implicits._
     val schemaJson =
