@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  // last ngramOverlap call's cached candidate subtree (see its body)
+  private val lastCandidateCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** (doc_id, bench_id, n_shared) for every corpus×benchmark pair
     * sharing ≥ `minShared` distinct word k-grams. Self-pairs (same id
     * in both frames) are excluded.
@@ -55,6 +59,11 @@ object Contamination {
     // eval-set-bounded gram space, so joining it back broadcasts.
     val candidate = cg.join(bg.select("g").distinct(), Seq("g"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // result is lazy (callers compose; PlanGuard inspects the plan), so
+    // each call releases the PREVIOUS call's cache instead — bounding a
+    // long-lived session at one cached candidate frame (the last one
+    // falls to ContextCleaner when its plan is GC'd)
+    Option(lastCandidateCache.getAndSet(candidate)).foreach(_.unpersist(blocking = false))
     val keptGrams = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("g")
     val kept = candidate.join(broadcast(keptGrams), Seq("g"))

@@ -58,6 +58,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var status: String = "STOPPED" // RUNNING | PAUSED | STOPPED
     var handle: Option[StreamingQuery] = None
     var batchView: Option[String] = None
+    // the cached materialization behind batchView — unpersisted when a
+    // relaunch replaces it, so repeated START/DEPLOY of a batch body
+    // holds at most one cached frame per job
+    var batchCache: Option[DataFrame] = None
     var lastError: Option[String] = None
     val breaker = new CircuitBreaker(breakerConfig, breakerClock)
     var limits: Resources.Limits = defaultLimits
@@ -470,10 +474,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // silently drift with the source (and re-execute the full query on
       // every SHOW METRICS / HTTP report scrape)
       val view = s"${j.name}_out"
+      j.batchCache.foreach(_.unpersist(blocking = false)) // replaced materialization
       df.cache()
       df.count()
       df.createOrReplaceTempView(view)
       j.batchView = Some(view)
+      j.batchCache = Some(df)
       j.handle = None
     }
     j.current = Some(v)

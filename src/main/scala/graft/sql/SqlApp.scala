@@ -191,8 +191,13 @@ object SqlApp {
     // classifying it would pollute the app metadata
     var mdQuote: Char = 0
     content.linesIterator.map(_.trim).foreach { line =>
-      def has(p: String): Boolean = mdQuote == 0 && line.startsWith(p)
-      if (mdQuote != 0) { mdQuote = quoteStateAfter(line, mdQuote) }
+      // classification uses the quote state AT THE START of the line: a
+      // line inside a multi-line literal that also CLOSES the quote
+      // (e.g. `-- @owner: x'`) is literal content for its whole prefix,
+      // and the end-of-line state must not reclassify it as metadata
+      val inLiteral = mdQuote != 0
+      def has(p: String): Boolean = !inLiteral && line.startsWith(p)
+      if (inLiteral) { mdQuote = quoteStateAfter(line, mdQuote) }
       else if (!line.startsWith("--")) mdQuote = quoteStateAfter(line, 0)
       if (has("-- SQL Application:")) md = md.copy(name = tail(line, "-- SQL Application:"))
       else if (has("-- Version:")) md = md.copy(version = tail(line, "-- Version:"))
@@ -232,7 +237,7 @@ object SqlApp {
         md = md.copy(deploymentNodeName = Some(resolvePattern(tail(line, "-- @deployment.node_name:"), env)))
       else if (has("-- @deployment.region:"))
         md = md.copy(deploymentRegion = Some(resolvePattern(tail(line, "-- @deployment.region:"), env)))
-      else if (mdQuote == 0 && line.startsWith("-- @") && line.contains(":")
+      else if (!inLiteral && line.startsWith("-- @") && line.contains(":")
                && !line.startsWith("-- @name:") && !line.startsWith("-- @metric")
                && !line.startsWith("-- @partition-count:")
                && !line.startsWith("-- @sticky-partition-id:")) {

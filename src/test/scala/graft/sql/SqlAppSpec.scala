@@ -457,6 +457,13 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
       "-- SQL Application: Literal App\n\nCREATE TABLE t AS SELECT 'x\n-- @fake_key: v\ny' AS c FROM s;\n",
       lookup)
     assert(!app.metadata.extra.contains("fake_key"))
+    // a literal line that also CLOSES the quote: its prefix is still
+    // literal content — the end-of-line quote state must not reclassify
+    // it as app metadata
+    val app2 = SqlApp.parse(
+      "-- SQL Application: Closer App\n\nCREATE TABLE t AS SELECT 'x\n-- @owner: hacker'\n AS c FROM s;\n",
+      lookup)
+    assert(!app2.metadata.extra.contains("owner"))
   }
 
   test("a CTAS re-creating a table stays strictly ordered (write-after-read barrier)") {
