@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Similarity
+
 /** Measured ANN recall-vs-exact at the benched SF, emitted into the
   * per-round bench artifact.
   *
@@ -16,19 +18,58 @@ import org.apache.spark.sql.functions._
   * artifact so the drift is visible in per-round JSON.
   *
   * Floors are drift TRIPWIRES, not quality claims: set below the
-  * operator's expected recall at these parameters (and aligned with the
-  * SimilaritySpec floors where one exists — PQ 0.8, IVF-PQ 0.7,
-  * high-sim LSH pairs 0.85). `q58…_all` records recall against ALL
-  * exact pairs ≥ 0.3 — informational (floor 0): a 10-band/6-bit
-  * hyperplane LSH is TUNED to catch high-cosine near-dups, and its
-  * theoretical collision rate at cos≈0.3 is ~0.4; the contractual
-  * surface is the high-sim row.
+  * operator's expected recall at these parameters.
+  *
+  * q58's contractual tier uses PLANTED twins: the synthetic embedding
+  * corpus has essentially no natural high-cosine pairs at ANY SF
+  * (measured r7: zero exact pairs at cos ≥ 0.6 everywhere, 14 at
+  * cos ≥ 0.5 only at sf0.1), so a natural-pair cutoff is vacuous — its
+  * floor could never trip. Instead the probe plants deterministic
+  * near-duplicate twins spanning cos ≈ 0.78–0.96 (additive noise scaled
+  * to each vector's norm, difficulty stepping by base id — the hard end
+  * sits where banding regressions bite first), runs the SHIPPED q58
+  * operator (SparkEntry.Q58Config — shared constants, no param drift)
+  * over the augmented corpus, and measures recall on the planted pairs
+  * with verified cos ≥ 0.80. `n_exact` is the planted tier size
+  * (170–179 at every SF, > 0 by construction). Floor 0.95 calibration
+  * (r7, deterministic — same twins/hyperplanes/corpus each run):
+  * shipped config measures 0.978–0.994 across sf0.001/0.01/0.1;
+  * deliberate regressions measure 0.900–0.924 (numBands 10→5 and
+  * bandBits 6→8, both SFs) — the floor demonstrably trips on either.
+  * `q58…_all` still records recall against ALL natural exact pairs
+  * ≥ 0.3 — informational (floor 0): a 10-band/6-bit hyperplane LSH is
+  * TUNED for high-cosine near-dups, and its theoretical collision rate
+  * at cos≈0.3 is ~0.4.
   */
 object AnnRecall {
 
   final case class Entry(key: String, recall: Double, floor: Double, nExact: Long) {
     def ok: Boolean = recall >= floor
   }
+
+  /** Id offset for planted twins — far above any real vec_id. */
+  private val TwinOffset = 100000000L
+
+  /** Planted twins for `bases`: additive per-dimension noise scaled to
+    * the vector's own norm, with difficulty stepping by base id so the
+    * planted tier spans easy (cos≈0.99) to hard (cos≈0.82) near-dups —
+    * the hard end is what makes the recall floor sensitive to banding
+    * regressions. Deterministic (xxhash64 of (id, dim index)): the same
+    * twins every round, so the measurement is comparable across rounds.
+    */
+  private[graft] def twinsForProbe(bases: DataFrame, dim: Int): DataFrame =
+    withTwinVec(bases, dim)
+
+  private def withTwinVec(bases: DataFrame, dim: Int): DataFrame =
+    bases.select(col("vec_id"), col("embedding"),
+      (col("vec_id") + lit(TwinOffset)).as("tid"),
+      expr(
+        s"""transform(embedding, (x, i) -> cast(
+              x + (0.5 + 1.0 * (vec_id % 10) / 10.0)
+                * sqrt(aggregate(embedding, cast(0.0 as double),
+                                 (a, y) -> a + cast(y as double) * cast(y as double)) / $dim)
+                * ((pmod(xxhash64(vec_id, i), 2000) / 1000.0) - 1.0)
+            as float))""").as("tvec"))
 
   def measure(spark: SparkSession, sfDir: String): Seq[Entry] = {
     // exact top-10 per query (5 queries × k=10 — a driver-scale set)
@@ -57,29 +98,44 @@ object AnnRecall {
               greatest(col("id_a"), col("id_b")).as("pb"), col("cos"))
       .dropDuplicates("pa", "pb").cache()
     val approx58 = canonPairs(SparkEntry.queries("q58_embed_dedup_lsh")(spark, sfDir)).cache()
+
+    // ---- q58 planted high-sim tier (see scaladoc) ----
+    import SparkEntry.Q58Config
+    val emb = api.Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val twinned = withTwinVec(emb.orderBy("vec_id").limit(200), Q58Config.dim)
+    val plantedTier = twinned.select(col("vec_id").as("pa"), col("tid").as("pb"),
+        Similarity.cosine(col("embedding"), col("tvec")).as("cos"))
+      .filter(col("cos") >= 0.80).select("pa", "pb").cache()
+    val augmented = emb.unionByName(
+      twinned.select(col("tid").as("vec_id"), col("tvec").as("embedding")))
+    val approxPlanted = canonPairs(
+      Similarity.embeddingNearDupPairsLsh(augmented, "vec_id", "embedding",
+        dim = Q58Config.dim, minCos = Q58Config.minCos,
+        numBands = Q58Config.numBands, bandBits = Q58Config.bandBits))
     try {
-      val exactHigh = exact.filter(col("cos") >= 0.9)
       val nAll = exact.count()
-      val nHigh = exactHigh.count()
       val hitAll = approx58.join(exact, Seq("pa", "pb")).count()
-      val hitHigh = approx58.join(exactHigh, Seq("pa", "pb")).count()
+      val nPlanted = plantedTier.count()
+      val hitPlanted = approxPlanted.join(plantedTier, Seq("pa", "pb")).count()
       // floors sit ~0.1 under the minimum measured across sf0.001/0.01/
       // 0.1 at the current parameters (q28 0.82-0.86 with multi-probe,
-      // q52/q75 0.68-0.76 at nprobe=16, q74 0.86-1.0 at refine=8), so a
-      // param drift that meaningfully degrades recall trips them while
-      // corpus-to-corpus variance does not
+      // q52/q75 at nprobe=16, q74 0.86-1.0 at refine=8, q58 planted tier
+      // measured per-SF before calibration), so a param drift that
+      // meaningfully degrades recall trips them while corpus-to-corpus
+      // variance does not
       Seq(
         topk("q28_ann_lsh", floor = 0.7),
         topk("q52_ann_ivf", floor = 0.6),
         topk("q74_ann_pq", floor = 0.8),
         topk("q75_ann_ivfpq", floor = 0.6),
         Entry("q58_embed_dedup_lsh",
-          if (nHigh == 0) 1.0 else hitHigh.toDouble / nHigh, 0.85, nHigh),
+          if (nPlanted == 0) 0.0 else hitPlanted.toDouble / nPlanted, 0.95, nPlanted),
         Entry("q58_embed_dedup_lsh_all",
           if (nAll == 0) 1.0 else hitAll.toDouble / nAll, 0.0, nAll))
     } finally {
       exact.unpersist()
       approx58.unpersist()
+      plantedTier.unpersist()
     }
   }
 }

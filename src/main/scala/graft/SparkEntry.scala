@@ -15,6 +15,16 @@ import graft.operators.{Contamination, Dedup, Joins, Multimodal, Sampling, Simil
   */
 object SparkEntry {
 
+  /** q58's shipped LSH configuration. AnnRecall's planted-twin probe
+    * measures THESE parameters, so the benched entry and the per-round
+    * recall measurement cannot drift apart. */
+  private[graft] object Q58Config {
+    val dim = 64
+    val minCos = 0.3
+    val numBands = 10
+    val bandBits = 6
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
 
   /** money aggregate → exact decimal sum surfaced as double. */
@@ -871,7 +881,8 @@ object SparkEntry {
     //          grid join measured in SimilaritySpec) ----
     "q58_embed_dedup_lsh" -> ((s, dir) => {
       Similarity.embeddingNearDupPairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, minCos = 0.3, numBands = 10, bandBits = 6)
+          dim = Q58Config.dim, minCos = Q58Config.minCos,
+          numBands = Q58Config.numBands, bandBits = Q58Config.bandBits)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
