@@ -71,6 +71,14 @@ object Tables {
   /** With `nanosAsLong`, nano-precision timestamp columns surface as
     * LongType nanos; convert to TimestampType (micros — Spark's native
     * precision) so downstream code sees real timestamps.
+    *
+    * Naive parquet timestamps (isAdjustedToUTC=false — how the driver's
+    * pyarrow writer emits them as of r7) surface as TIMESTAMP_NTZ, which
+    * Structured Streaming rejects as an event-time column and
+    * `unix_millis` rejects outright. Cast every NTZ column to TIMESTAMP:
+    * the session zone is pinned to UTC (GraftSession/Bench/ScaleProbe),
+    * so the cast reinterprets the same wall-clock as the same instant —
+    * bit-identical values to the tz-aware files earlier rounds read.
     */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
@@ -79,6 +87,8 @@ object Tables {
         // pre-1970 nanos not on a microsecond boundary 1 µs forward
         d.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts div 1000 - 1 ELSE ts div 1000 END)"))
+      else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, d(f.name).cast(org.apache.spark.sql.types.TimestampType))
       else d
     }
 
