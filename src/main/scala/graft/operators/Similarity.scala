@@ -319,11 +319,14 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN — the centroid-bucketed scale path: a
-    * coarse quantizer assigns each corpus vector to its nearest
-    * centroid cell (ONE cell per vector → the index is a partition of
-    * the corpus); a query probes its `nprobe` nearest cells and ranks
-    * only those candidates. Candidate count ≈ nprobe/nCentroids of the
-    * corpus per query.
+    * coarse quantizer assigns each corpus vector to its `assignProbes`
+    * nearest centroid cells (1 = a strict partition of the corpus;
+    * 2 = FAISS-style soft assignment — border vectors, whose nearest
+    * cell a nearby query may not probe, also live in their runner-up
+    * cell, which is the cheap recall lever: index grows ×assignProbes
+    * but probe cost per query is unchanged); a query probes its
+    * `nprobe` nearest cells and ranks only those candidates. Candidate
+    * count ≈ assignProbes·nprobe/nCentroids of the corpus per query.
     *
     * The quantizer here is a deterministic seeded sample of the corpus
     * (collected to the driver and broadcast — nCentroids×dim doubles, a
@@ -333,7 +336,8 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, nCentroids: Int = 64, nprobe: Int = 8,
-              centroids: Option[Array[Double]] = None): DataFrame = {
+              centroids: Option[Array[Double]] = None,
+              assignProbes: Int = 1): DataFrame = {
     val cents: Array[Double] = centroids.getOrElse(
       collectTrainSample(corpus, idCol, vecCol, dim, nCentroids).flatten)
     val nC = cents.length / dim
@@ -341,16 +345,21 @@ object Similarity {
       df.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn("cell", explode(
           GraftKernels.nearestCentroidsCol(col(v), cents, nC, dim, probes, floatElems = true)))
-    val cb = cellify(corpus, "neighbor_id", "cv", 1)
+    val cb = cellify(corpus, "neighbor_id", "cv", assignProbes)
     val qb = cellify(queries, "query_id", "qv", nprobe)
-    // No pair dedup needed: each corpus vector lives in exactly ONE cell
-    // (probes=1) and the kernel's taken[] array makes a query's nprobe
-    // cells distinct, so a (query, neighbor) pair arises from at most
-    // one cell — a dropDuplicates here would be a pure wasted exchange.
     val cand = cb.join(qb, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    topKPerQuery(cand.select("query_id", "neighbor_id", "cos"), k)
+      .select("query_id", "neighbor_id", "cos")
+    // assignProbes = 1: no pair dedup needed — each corpus vector lives
+    // in exactly ONE cell and the kernel's taken[] array makes a query's
+    // nprobe cells distinct, so a (query, neighbor) pair arises from at
+    // most one cell and a dropDuplicates would be a pure wasted exchange.
+    // Soft assignment (> 1) can surface a pair through up to assignProbes
+    // cells; without the dedup the duplicate rows would occupy top-k
+    // slots. The dedup exchange moves only slim (id, id, cos) rows.
+    val deduped = if (assignProbes > 1) cand.dropDuplicates("query_id", "neighbor_id") else cand
+    topKPerQuery(deduped, k)
   }
 
   /** LSH near-duplicate pairs for HIGH thresholds (minCos ≥ ~0.9, where
@@ -659,7 +668,8 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, dim: Int, m: Int = 8, nCentroids: Int = 64, nprobe: Int = 8,
                 refine: Int = 4, codebooks: Option[Array[Double]] = None,
-                centroids: Option[Array[Double]] = None): DataFrame = {
+                centroids: Option[Array[Double]] = None,
+                assignProbes: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
@@ -693,20 +703,39 @@ object Similarity {
       StructField("cell", IntegerType, nullable = false),
       StructField("code", BinaryType, nullable = false)))
     val idxEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(idxSchema)
+    val nAssign = math.min(math.max(assignProbes, 1), nC)
     val index = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .mapPartitions { rows =>
         val (ce, code) = bcModel.value
-        rows.map { r =>
+        rows.flatMap { r =>
           val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
           val v = normalized(raw)
-          // nearest coarse cell by COSINE — genuinely the same metric
-          // (and tie order) as ivfTopK's nearestCentroids kernel, so
-          // both operators probe identical cells for a shared quantizer
+          // nearest coarse cells by COSINE — genuinely the same metric
+          // (and tie order: descending score, ties to the lowest index)
+          // as ivfTopK's nearestCentroids kernel, so both operators
+          // probe identical cells for a shared quantizer. nAssign > 1 =
+          // soft assignment: the code is stored in the runner-up cells
+          // too, so border vectors stay findable when a query's probe
+          // set misses their primary cell.
           val scores = centroidCosines(raw, ce, nC, dim)
-          var best = 0; var c = 1
-          while (c < nC) { if (scores(c) > scores(best)) best = c; c += 1 }
-          org.apache.spark.sql.Row(r.getLong(0), best, encodeVec(v, code, m, dsub))
+          val enc = encodeVec(v, code, m, dsub)
+          val id = r.getLong(0)
+          val taken = new Array[Int](nAssign)
+          var a = 0
+          while (a < nAssign) {
+            var best = -1; var c = 0
+            while (c < nC) {
+              var used = false; var t = 0
+              while (t < a) { if (taken(t) == c) used = true; t += 1 }
+              if (!used && (best < 0 || scores(c) > scores(best))) best = c
+              c += 1
+            }
+            taken(a) = best
+            a += 1
+          }
+          taken.iterator.take(nAssign).map(cell =>
+            org.apache.spark.sql.Row(id, cell, enc))
         }
       }(idxEnc)
     // queries: probe cells + ADC table, grouped by cell for the scan
@@ -747,7 +776,11 @@ object Similarity {
       }
       heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
     }.toDF("query_id", "neighbor_id", "cos")
-    val shortlist = topKPerQuery(cand, keep).select("query_id", "neighbor_id")
+    // soft assignment can ADC-score the same (query, neighbor) in two
+    // probed cells (identical score — the code is identical); dedup the
+    // slim candidate rows so duplicates don't occupy shortlist slots
+    val candUnique = if (nAssign > 1) cand.dropDuplicates("query_id", "neighbor_id") else cand
+    val shortlist = topKPerQuery(candUnique, keep).select("query_id", "neighbor_id")
     rerankExact(corpus, queries, idCol, vecCol, shortlist, k)
   }
 }

@@ -158,6 +158,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .sameElements(cents))
   }
 
+  test("IVF soft assignment: no duplicate pairs, recall >= hard assignment, scores exact") {
+    val queries = corpus.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(assign: Int): Double = {
+      val rows = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, dim,
+        nCentroids = 16, nprobe = 4, assignProbes = assign).collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+      // soft assignment must not leak a pair into top-k twice (the dedup
+      // exchange exists precisely for this)
+      assert(pairs.distinct.length == pairs.length, s"duplicate pairs at assignProbes=$assign")
+      // every query emits exactly k ranked rows 1..k
+      rows.groupBy(_.getLong(0)).foreach { case (_, qs) =>
+        assert(qs.map(_.getInt(3)).sorted.sameElements(1 to qs.length))
+      }
+      pairs.toSet.intersect(exact).size.toDouble / exact.size
+    }
+    // a border vector indexed in its runner-up cell can only ADD probed
+    // candidates: soft assignment recall dominates hard assignment
+    assert(recallOf(2) >= recallOf(1))
+  }
+
+  test("IVF-PQ soft assignment: no duplicate pairs, twins still rank 1") {
+    val queries = corpus.where(col("vec_id") < 5)
+    val rows = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, dim = dim, m = 8, nCentroids = 16, nprobe = 4, refine = 6,
+        assignProbes = 2)
+      .collect()
+    val pairs = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(pairs.distinct.length == pairs.length, "duplicate (query, neighbor) through soft cells")
+    val top1 = rows.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    (0L until 5L).foreach(q => assert(top1.get(q).contains(1000L + q), s"query $q twin lost"))
+  }
+
   test("IVF with a spark.ml KMeans-trained quantizer recovers planted twins") {
     val cents = Similarity.trainCentroidsKMeans(corpus, "embedding", k = 12, dim = dim)
     assert(cents.length == 12 * dim)
