@@ -9,9 +9,13 @@ package graft
   * needs the 'g' flag to match Spark's global replace; integer-sum
   * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
   *
-  * Keys intentionally omitted (rows-only check): q25 (xxhash64
-  * seed-specific simhash buckets), q28/q52/q58/q74/q75 (LSH/IVF/PQ
-  * recall<1). The streaming keys ARE oracled: q33's final changelog
+  * Keys intentionally omitted (rows-only check): q28/q52/q58/q74/q75
+  * (LSH/IVF/PQ recall<1 — every one recall-bounded by nature; each
+  * carries a measured per-round recall entry in the bench artifact).
+  * q25 IS oracled as of r7: its benched entry pins the md5-derived
+  * word hash (md5_number_lower), so DuckDB replays fingerprints,
+  * bands, bucket cap, and hamming bit-for-bit.
+  * The streaming keys ARE oracled: q33's final changelog
   * state equals the batch aggregate; q34/q54/q44 via the
   * watermark-final rule (bounded one-batch input → file sink ==
   * batch windows with end ≤ max(ts) - grace); q43 as a bounded ROWS
@@ -352,6 +356,50 @@ object OracleSql {
            i -> CAST(ascii($normText[i]) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents""",
+
+    // q25: the benched entry pins the md5-derived word hash (lower 64
+    // bits of md5 == DuckDB's md5_number_lower, matched byte-for-byte
+    // by the JVM kernel), so DuckDB replays the WHOLE simhash pipeline:
+    // per-word hash → 64-bit majority-vote fingerprint (built here as
+    // four 16-bit chunks — no signed-shift edge at bit 63) → 4×16 band
+    // buckets → the 2..256 bucket cap → pairwise hamming ≤ 3. Chunks
+    // partition the 64 bits, so Σ bit_count(chunk XOR) == the full
+    // 64-bit hamming distance.
+    "q25_dedup_simhash" ->
+      s"""WITH wh AS (
+           SELECT doc_id, md5_number_lower(w) AS h
+           FROM (SELECT doc_id, unnest($wordsOf) AS w
+                 FROM documents WHERE text IS NOT NULL)
+         ),
+         votes AS (
+           SELECT doc_id, t.i AS i,
+                  SUM(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM wh CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(64)) t
+           GROUP BY doc_id, t.i
+         ),
+         chunks AS (
+           SELECT doc_id, CAST(i // 16 AS INT) AS band,
+                  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(i % 16 AS INT) ELSE 0 END) AS BIGINT) AS chunk
+           FROM votes GROUP BY doc_id, CAST(i // 16 AS INT)
+         ),
+         counts AS (SELECT band, chunk, COUNT(*) AS bn FROM chunks GROUP BY band, chunk),
+         capped AS (
+           SELECT c.doc_id, c.band, c.chunk FROM chunks c JOIN counts n USING (band, chunk)
+           WHERE n.bn BETWEEN 2 AND 256
+         ),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b USING (band, chunk)
+           WHERE a.doc_id < b.doc_id
+         ),
+         ham AS (
+           SELECT p.id_a, p.id_b, CAST(SUM(bit_count(xor(ca.chunk, cb.chunk))) AS BIGINT) AS hamming
+           FROM pairs p
+           JOIN chunks ca ON ca.doc_id = p.id_a
+           JOIN chunks cb ON cb.doc_id = p.id_b AND cb.band = ca.band
+           GROUP BY p.id_a, p.id_b
+         )
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
 
     // q61: exact top-k oracled; the CMS estimate bound is asserted as a
     // boolean the oracle expects uniformly TRUE (the q21 HLL pattern)

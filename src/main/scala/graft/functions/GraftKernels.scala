@@ -51,6 +51,9 @@ object GraftKernels {
   /** 64-bit SimHash of the word multiset of `text`. */
   def simhashCol(text: Column): Column = invoke(LongType, "simhash", text)
 
+  /** SimHash with the md5-derived (DuckDB-replayable) word hash. */
+  def simhashMd5Col(text: Column): Column = invoke(LongType, "simhashMd5", text)
+
   /** Polynomial rolling-hash fingerprint of normalized `text`
     * (acc*31 + codepoint, mod 1e9+7). */
   def fingerprintCol(text: Column): Column = invoke(LongType, "fingerprint", text)
@@ -207,6 +210,48 @@ object GraftKernels {
     var w = 0
     while (w < words.length) {
       val h = XxHash64Function.hash(UTF8String.fromString(words(w)), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit word hash = the LOWER 64 bits of md5 (little-endian long of
+    * digest bytes 8..15) — bit-identical to DuckDB's
+    * `md5_number_lower(word)`, which is what makes `simhashMd5`
+    * replayable by the SQL oracle. (Spark's own xxhash64 is seeded and
+    * engine-private; md5 is the engine-portable 64 bits.) */
+  private def md5Lower64(word: String): Long = {
+    val d = md5Local.get().digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 15
+    while (b >= 8) { h = (h << 8) | (d(b) & 0xFFL); b -= 1 }
+    h
+  }
+
+  /** SimHash with the engine-portable md5 word hash — same
+    * normalization, voting, and bit layout as `simhash`, only the word
+    * hash differs. The replayable variant exists so the pair pipeline
+    * can be oracled end-to-end by DuckDB; `simhash` (xxhash64, no md5
+    * rounds) stays the performance default. */
+  def simhashMd5(text: UTF8String): Long = {
+    val words = normWords(text)
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = md5Lower64(words(w))
       var i = 0
       while (i < 64) {
         if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -162,10 +162,19 @@ object Dedup {
     * collect_list rows holding whole buckets in memory.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 256,
+                   replayableHash: Boolean = false): DataFrame = {
+    // replayableHash swaps the per-word hash from Spark-private xxhash64
+    // to the lower 64 bits of md5 (= DuckDB's md5_number_lower), making
+    // the WHOLE pipeline — fingerprints, bands, bucket cap, hamming —
+    // bit-replayable by an independent SQL engine. Same kernel shape and
+    // cost profile (one codegen'd pass per document); xxhash64 stays the
+    // default for pipelines that don't need cross-engine replay.
+    val sigOf: Column => Column =
+      if (replayableHash) GraftKernels.simhashMd5Col else simhash
     // null-text docs excluded for the same reason as minhashLsh
     val withSig = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"), sigOf(col(textCol)).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bc"))

@@ -58,6 +58,31 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("simhashMd5 word hash == DuckDB md5_number_lower (pinned cross-engine constants)") {
+    import spark.implicits._
+    // a single-word document's simhash IS its word hash (every bit
+    // votes alone), so the kernel's md5-lower-64 is directly observable.
+    // Constants pinned from DuckDB 1.0 `md5_number_lower(word)` — the
+    // exact function the q25 oracle replays; a byte-order or digest-slice
+    // regression in md5Lower64 breaks these, and with them the q25 gate.
+    val pinned = Seq(
+      ("hello", java.lang.Long.parseUnsignedLong("10575884659879408057")),
+      ("world", java.lang.Long.parseUnsignedLong("16660491718927469399")),
+      ("", java.lang.Long.parseUnsignedLong("9098107892288553193")))
+    val got = pinned.map(_._1).toDF("text")
+      .select(GraftKernels.simhashMd5Col(col("text")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pinned.map(_._2))
+    // multi-word voting still applies on top of the portable hash:
+    // identical texts fingerprint identically, so exact duplicates pair
+    // at hamming 0 through the replayable pipeline
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "an entirely different document body")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", replayableHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("fingerprint kernel == interpreted HOF tree") {
     for (d <- Seq(docs, edgeDocs)) {
       val hof = d.select(col("doc_id"), TextAnalysis.fingerprintHof(col("text")).as("fp"))
