@@ -79,9 +79,16 @@ object ScaleProbe {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Pipelines re-probed at the 32× tier (wrapped-alphabet replicas ≥ 26
+    * add CROSS-replica exact duplicates — the denser, harder workload):
+    * the collapse-correctness-critical dedup paths plus the full ANN
+    * layering. The rest scale by composition of the same stages. */
+  private val deepTier: Set[String] =
+    Set("exact_dedup", "lsh_verify_cluster", "ann_ivfpq")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val m = args.lift(1).map(_.toInt).getOrElse(8)
+    val tiers = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(8))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -93,74 +100,150 @@ object ScaleProbe {
 
     val docs1 = graft.api.Tables.load(spark, sfDir, "documents")
     val emb1 = graft.api.Tables.load(spark, sfDir, "embeddings")
-    // materialize the multiplied inputs once (scan cost must not be
-    // attributed to the pipelines under test)
-    val docsM = multiplyDocs(docs1, m).repartition(32).persist()
-    val embM = multiplyEmbeddings(emb1, m, 64).repartition(32).persist()
     docs1.persist(); emb1.persist()
-    force(docsM); force(embM); force(docs1); force(emb1)
+    force(docs1); force(emb1)
 
-    def pipelines(tag: String, d: DataFrame, e: DataFrame): Seq[(String, Double, Long)] = Seq(
-      time(s"exact_dedup_$tag") { force(Dedup.exact(d, "text", "doc_id")) },
-      time(s"minhash_lsh_$tag") { force(Dedup.minhashLsh(d, "text", "doc_id")) },
-      time(s"lsh_verify_cluster_$tag") {
-        val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
-        val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
-          .where(col("jaccard") >= 0.8).select("id_a", "id_b")
-        // threshold 0: the probe measures the DISTRIBUTED closure path
-        force(Dedup.clusterPairs(verified, localThreshold = 0L))
-      },
-      time(s"simhash_pairs_$tag") { force(Dedup.simhashPairs(d, "text", "doc_id")) },
-      time(s"embed_lsh_pairs_$tag") {
-        // threshold 0.4 rather than the operator's near-dup default: the
-        // synthetic corpus has no cos ≥ 0.9 pairs, and a probe that finds
-        // nothing would not exercise the pair-generation shuffle at all
-        force(Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 64, minCos = 0.4))
-      },
-      time(s"ann_ivf_$tag") {
-        val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
-        force(Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          10, 64, centroids = Some(cents)))
-      },
-      time(s"ann_ivfpq_$tag") {
-        // the memory-scale path: m-byte ADC code scan in probed cells
-        force(Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 8))
-      },
-      time(s"unigram_nll_$tag") {
-        // word-count shuffle + broadcast vocab + per-doc agg; rotated
-        // replicas add new vocabulary, so the model grows with M but
-        // the per-doc scoring stays a narrow broadcast join
-        force(graft.operators.TextAnalysis.unigramNll(d, "text", "doc_id"))
-      },
-      time(s"dup_spans_$tag") {
-        // shingle-keyed window shuffle; replicas have disjoint shingles,
-        // so per-replica dup structure (and the fractions) is constant
-        force(Dedup.duplicatedSpanStats(d, "text", "doc_id"))
-      })
+    def pipelines(tag: String, d: DataFrame, e: DataFrame,
+                  only: Option[Set[String]]): Seq[(String, Double, Long)] = {
+      def probe(name: String)(f: => Long): Option[(String, Double, Long)] =
+        if (only.forall(_.contains(name))) Some(time(s"${name}_$tag")(f)) else None
+      Seq(
+        probe("exact_dedup") { force(Dedup.exact(d, "text", "doc_id")) },
+        probe("minhash_lsh") { force(Dedup.minhashLsh(d, "text", "doc_id")) },
+        probe("lsh_verify_cluster") {
+          val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
+          val verified = Dedup.ngramJaccard(cand, d, "text", "doc_id")
+            .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+          // threshold 0: the probe measures the DISTRIBUTED closure path
+          force(Dedup.clusterPairs(verified, localThreshold = 0L))
+        },
+        probe("simhash_pairs") { force(Dedup.simhashPairs(d, "text", "doc_id")) },
+        probe("embed_lsh_pairs") {
+          // threshold 0.4 rather than the operator's near-dup default: the
+          // synthetic corpus has no cos ≥ 0.9 pairs, and a probe that finds
+          // nothing would not exercise the pair-generation shuffle at all
+          force(Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 64, minCos = 0.4))
+        },
+        probe("ann_ivf") {
+          val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
+          force(Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            10, 64, centroids = Some(cents)))
+        },
+        probe("ann_ivfpq") {
+          // the memory-scale path: m-byte ADC code scan in probed cells
+          force(Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, dim = 64, m = 8, nCentroids = 64, nprobe = 8))
+        },
+        probe("unigram_nll") {
+          // word-count shuffle + broadcast vocab + per-doc agg; rotated
+          // replicas add new vocabulary, so the model grows with M but
+          // the per-doc scoring stays a narrow broadcast join
+          force(graft.operators.TextAnalysis.unigramNll(d, "text", "doc_id"))
+        },
+        probe("dup_spans") {
+          // shingle-keyed window shuffle; replicas have disjoint shingles,
+          // so per-replica dup structure (and the fractions) is constant
+          force(Dedup.duplicatedSpanStats(d, "text", "doc_id"))
+        }).flatten
+    }
 
-    val warm = pipelines("warmup", docs1, emb1) // JIT + codegen warmup
-    val base = pipelines("1x", docs1, emb1)
-    val big = pipelines(s"${m}x", docsM, embM)
+    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    val warm = pipelines("warmup", docs1, emb1, None) // JIT + codegen warmup
+    val base1 = pipelines("1x", docs1, emb1, None)
     val _ = warm
 
-    println("| pipeline | 1x sec | " + m + "x sec | wall ratio (data " + m + "x) |")
-    println("|---|---|---|---|")
-    base.zip(big).foreach { case ((l, s1, r1), (_, sm, rm)) =>
-      val name = l.stripSuffix("_1x")
-      println(f"| $name | $s1%.2f (rows=$r1) | $sm%.2f (rows=$rm) | ${sm / s1}%.2f |")
+    // one tier per multiplier: the first runs the full pipeline set, the
+    // deeper tiers (≥ 26 = wrapped alphabet → cross-replica exact dups)
+    // re-probe the collapse-critical subset against the denser workload
+    val tierRaw = tiers.zipWithIndex.map { case (m, ti) =>
+      val only = if (ti == 0) None else Some(deepTier)
+      // materialize the multiplied inputs once per tier (scan cost must
+      // not be attributed to the pipelines under test)
+      val docsM = multiplyDocs(docs1, m).repartition(32).persist()
+      val embM = multiplyEmbeddings(emb1, m, 64).repartition(32).persist()
+      force(docsM); force(embM)
+      // two timed passes, keep the per-pipeline min — one slow ambient
+      // window (this VM drifts by multiple ×) must not masquerade as a
+      // scaling regression in the tier's numerators
+      val bigA = pipelines(s"${m}x", docsM, embM, only)
+      val bigB = pipelines(s"${m}x_retime", docsM, embM, only)
+      val big = bigA.zip(bigB).map { case ((l, s1, r1), (_, s2, r2)) =>
+        require(r1 == r2, s"$l nondeterministic: rows $r1 != $r2")
+        (l, math.min(s1, s2), r1)
+      }
+      docsM.unpersist(); embM.unpersist()
+      (m, only, big)
     }
+
+    // min-of-2 on the 1× baseline, re-timed AFTER the tier runs: the
+    // probe's denominators are all measured in one early window, so a
+    // single slow ambient window (the VM's known failure mode) would
+    // otherwise poison EVERY wall ratio at once — the same adjudication
+    // problem the bench harness solved with its retime pass. The M×
+    // numerators stay single-run: a slow window there inflates one tier
+    // entry, visibly, instead of silently skewing the whole artifact.
+    val base2 = pipelines("1x_retime", docs1, emb1, None)
+    val base = base1.zip(base2).map { case ((l, s1, r1), (_, s2, r2)) =>
+      require(r1 == r2, s"$l nondeterministic: rows $r1 != $r2")
+      (l, math.min(s1, s2), r1)
+    }
+
+    val tierJson = tierRaw.map { case (m, only, big) =>
+      val baseT = base.filter { case (l, _, _) =>
+        only.forall(names => names.exists(n => l.startsWith(n + "_"))) }
+      println(s"| pipeline | 1x sec | ${m}x sec | wall ratio (data ${m}x) |")
+      println("|---|---|---|---|")
+      baseT.zip(big).foreach { case ((l, s1, r1), (_, sm, rm)) =>
+        val name = l.stripSuffix("_1x")
+        println(f"| $name | $s1%.2f (rows=$r1) | $sm%.2f (rows=$rm) | ${sm / s1}%.2f |")
+      }
+      val entries = baseT.zip(big).map { case ((l, s1, r1), (_, sm, rm)) =>
+        val name = l.stripSuffix("_1x")
+        s""""$name":{"sec_1x":${s3(s1)},"sec_mx":${s3(sm)},"rows_1x":$r1,"rows_mx":$rm,"wall_ratio":${s3(sm / s1)}}"""
+      }
+      s"""{"multiplier":$m,"pipelines":${entries.mkString("{", ",", "}")}}"""
+    }
+
+    // Trainer-cap probe: the IVF/PQ quantizer trains on a hash-ordered
+    // sample capped at 65,536 rows, so training cost must grow with the
+    // corpus only UNTIL the cap binds and plateau after it. Probe the
+    // trainer at the largest multiplier that stays under the cap and at
+    // 2× that (cap bound): the second tier has 2× the vectors but ~the
+    // same sample, so a plateau shows as wall_ratio ≈ 1 (the residual
+    // growth is the one distributed top-k sample collect, linear in rows
+    // scanned but tiny next to the Lloyd iterations).
+    val nEmb = emb1.count()
+    val cap = 65536L
+    val mLow = math.max(1L, cap / nEmb).toInt
+    val mHigh = mLow * 2
+    def trainProbe(m: Int): Double = {
+      val e = multiplyEmbeddings(emb1, m, 64).repartition(32).persist()
+      force(e)
+      val t0 = System.nanoTime()
+      val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(cents.length == 64 * 64)
+      e.unpersist()
+      System.err.println(f"[probe] trainer ${m}x (${nEmb * m} vecs) $sec%7.2f s")
+      sec
+    }
+    // two timed runs each, keep the min — same ambient-window defense
+    // as the 1× baseline retime
+    def minOf2(m: Int): Double = { val a = trainProbe(m); math.min(a, trainProbe(m)) }
+    val (secLow, secHigh) = (minOf2(mLow), minOf2(mHigh))
+    val trainerJson =
+      s""""trainer_cap":{"cap":$cap,"dim":64,"n_centroids":64,
+         |"vectors_low":${nEmb * mLow},"sec_low":${s3(secLow)},
+         |"vectors_high":${nEmb * mHigh},"sec_high":${s3(secHigh)},
+         |"wall_ratio":${s3(secHigh / secLow)}}""".stripMargin.replace("\n", "")
 
     // JSON artifact: the scaling shape is a per-round regression surface
     // (a pipeline going quadratic must show up in checkable JSON, not
-    // only in SURVEY prose). One object per pipeline with both walls,
-    // both row counts, and the wall ratio for the m× data step.
-    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val entries = base.zip(big).map { case ((l, s1, r1), (_, sm, rm)) =>
-      val name = l.stripSuffix("_1x")
-      s""""$name":{"sec_1x":${s3(s1)},"sec_${m}x":${s3(sm)},"rows_1x":$r1,"rows_${m}x":$rm,"wall_ratio":${s3(sm / s1)}}"""
-    }
-    val json = s"""{"sf":"$sfDir","multiplier":$m,"pipelines":${entries.mkString("{", ",", "}")}}"""
+    // only in SURVEY prose). One tier object per multiplier, each with
+    // per-pipeline 1x/Mx walls + row counts, plus the trainer-cap probe.
+    val json =
+      s"""{"sf":"$sfDir","tiers":[${tierJson.mkString(",")}],$trainerJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "scaleprobe_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     System.err.println(s"[probe] wrote $out")
