@@ -57,6 +57,18 @@ object OracleSql {
     * TextAnalysis.nonEmptyWords for counting surfaces. */
   private val neWordsOf = s"list_filter($wordsOf, w -> w <> '')"
 
+  /** Distinct k-word shingles of a word-list expression (one shingle of
+    * all words when shorter than k) — the ONE copy of the oracle's
+    * shingle rule. q24/q26/q57/q60/q64/q65/q69/q77 all build shingles
+    * from this helper: the q54/q67/q70 aliasing note below names the
+    * drift failure mode ("a verbatim copy would silently drift on a
+    * future rule fix"), and a verbatim-copied shingle CTE has the same
+    * problem. */
+  private def shinglesOf(ws: String, k: Int): String =
+    s"""list_distinct(list_transform(
+        generate_series(1, greatest(len($ws) - ${k - 1}, 1)),
+        i -> array_to_string($ws[i:i+${k - 1}], ' ')))"""
+
   private val base: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -266,9 +278,7 @@ object OracleSql {
 
     "q24_dedup_minhash" ->
       s"""WITH sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len($wordsOf) - 2, 1)),
-             i -> array_to_string($wordsOf[i:i+2], ' '))) AS s
+           SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
            FROM documents),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -281,9 +291,7 @@ object OracleSql {
 
     "q26_ngram_jaccard" ->
       s"""WITH sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len($wordsOf) - 2, 1)),
-             i -> array_to_string($wordsOf[i:i+2], ' '))) AS shingles
+           SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS shingles
            FROM documents),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -429,9 +437,7 @@ object OracleSql {
 
     "q64_contamination" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                  generate_series(1, greatest(len(ws) - 2, 1)),
-                  i -> array_to_string(ws[i:i+2], ' ')))) AS g FROM w),
+         sh AS (SELECT doc_id, unnest(${shinglesOf("ws", 3)}) AS g FROM w),
          gdf AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
          kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN gdf USING (g) WHERE df <= 1000),
          bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0)
@@ -450,9 +456,7 @@ object OracleSql {
                    FROM (SELECT doc_id, word, COUNT(*) AS cnt FROM wc GROUP BY doc_id, word) t
                    GROUP BY doc_id),
          grams AS (SELECT doc_id,
-                     len(list_distinct(list_transform(
-                       generate_series(1, greatest(len(ws) - 1, 1)),
-                       i -> array_to_string(ws[i:i+1], ' ')))) AS nd2,
+                     len(${shinglesOf("ws", 2)}) AS nd2,
                      greatest(len(ws) - 1, 1) AS n2 FROM w)
          SELECT s.doc_id, s.n_words,
            ROUND(CAST(topn AS DOUBLE) / n_words, 4) AS top_word_frac,
@@ -467,9 +471,7 @@ object OracleSql {
     // shingle, per-doc dup share
     "q77_dup_spans" ->
       s"""WITH sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len($wordsOf) - 4, 1)),
-             i -> array_to_string($wordsOf[i:i+4], ' '))) AS s
+           SELECT doc_id, ${shinglesOf(wordsOf, 5)} AS s
            FROM documents),
          g AS (SELECT doc_id, unnest(s) AS g FROM sh),
          d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM g)
@@ -498,9 +500,7 @@ object OracleSql {
     // thresholds — near-dup clusters split by their min-id representative.
     "q69_leakage_split" ->
       s"""WITH RECURSIVE sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len($wordsOf) - 2, 1)),
-             i -> array_to_string($wordsOf[i:i+2], ' '))) AS s
+           SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
            FROM documents),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -569,9 +569,7 @@ object OracleSql {
            WHERE rn = 1),
          uniq AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
          sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len(ws) - 2, 1)),
-             i -> array_to_string(ws[i:i+2], ' '))) AS s
+           SELECT doc_id, ${shinglesOf("ws", 3)} AS s
            FROM uniq),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -818,9 +816,7 @@ object OracleSql {
 
     "q57_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len($wordsOf) - 2, 1)),
-             i -> array_to_string($wordsOf[i:i+2], ' '))) AS s
+           SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
            FROM documents),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -39,14 +39,21 @@ object GraftKernels {
   def minhashSigCol(text: Column, k: Int, numHashes: Int): Column = {
     require(numHashes >= 1 && numHashes <= 256,
       s"numHashes must be in [1, 256] (seed cache bound), got $numHashes")
+    // k <= 0 would make every shingle window empty — every document
+    // collapses to the single shingle "" and ALL signatures come out
+    // identical, silently: either an all-pairs LSH explosion or zero
+    // pairs under the bucket cap, with no error anywhere downstream
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
     invoke(ArrayType(LongType, containsNull = false), "minhashSig",
       text, lit(k), lit(numHashes))
   }
 
   /** Distinct k-word shingles of normalized `text`, first-occurrence
     * order (kernel twin of Dedup.shingles). */
-  def shinglesCol(text: Column, k: Int): Column =
+  def shinglesCol(text: Column, k: Int): Column = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
     invoke(ArrayType(StringType, containsNull = false), "shingles", text, lit(k))
+  }
 
   /** 64-bit SimHash of the word multiset of `text`. */
   def simhashCol(text: Column): Column = invoke(LongType, "simhash", text)
@@ -120,21 +127,22 @@ object GraftKernels {
   // interpreted regexp_replace they replaced caches its pattern)
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
-  /** Replays lower(trim(regexp_replace(text, "\\s+", " "))).split(" "). */
-  private def normWords(text: UTF8String): Array[String] = {
+  /** Replays lower(trim(regexp_replace(text, "\\s+", " "))) — the ONE
+    * normalization all text kernels share (fingerprint, shingles,
+    * simhash); a rule change here cannot desync the kernels from each
+    * other. */
+  private def normText(text: UTF8String): String = {
     val replaced = WS.matcher(text.toString).replaceAll(" ")
-    val normed = UTF8String.fromString(replaced).trim().toLowerCase.toString
-    normed.split(" ", -1)
+    UTF8String.fromString(replaced).trim().toLowerCase.toString
   }
 
-  /** seed-fold of Spark's xxhash64(lit(seedIdx), str): h = XXH64(int
-    * seedIdx, seed=42); h = XXH64(str, seed=h). First stage cached per
-    * seed index (it is data-independent). */
-  private val seedHeads: Array[Long] =
-    Array.tabulate(256)(i => XxHash64Function.hash(i, IntegerType, 42L))
+  private def normWords(text: UTF8String): Array[String] =
+    normText(text).split(" ", -1)
 
-  def shingles(text: UTF8String, k: Int): ArrayData = {
-    val words = normWords(text)
+  /** Distinct k-word shingles in first-occurrence order (when n < k: one
+    * shingle of all words) — the ONE shingle rule, shared by `shingles`
+    * and `minhashSig` so the two kernels cannot drift. */
+  private def distinctShingles(words: Array[String], k: Int): Array[String] = {
     val n = words.length
     val nShingles = math.max(n - k, 0) + 1
     val seen = new java.util.LinkedHashSet[String]()
@@ -152,48 +160,44 @@ object GraftKernels {
       seen.add(sb.toString)
       i += 1
     }
-    val out = new Array[AnyRef](seen.size)
-    val it = seen.iterator()
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** seed-fold of Spark's xxhash64(lit(seedIdx), str): h = XXH64(int
+    * seedIdx, seed=42); h = XXH64(str, seed=h). First stage cached per
+    * seed index (it is data-independent). */
+  private val seedHeads: Array[Long] =
+    Array.tabulate(256)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    // clear argument error for the SQL SHINGLES path, which reaches the
+    // kernel without the Column builder's gate
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    val sh = distinctShingles(normWords(text), k)
+    val out = new Array[AnyRef](sh.length)
     var m = 0
-    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    while (m < sh.length) { out(m) = UTF8String.fromString(sh(m)); m += 1 }
     new GenericArrayData(out)
   }
 
   def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
-    val words = normWords(text)
-    val n = words.length
-    // distinct k-shingles (when n < k: one shingle of all words), as
-    // UTF8String bytes for hashing
-    val seen = new java.util.HashSet[String]()
-    val nShingles = math.max(n - k, 0) + 1
-    val sb = new java.lang.StringBuilder(64)
-    val shingleHashHeads = new Array[UTF8String](nShingles)
-    var m = 0
-    var i = 0
-    while (i < nShingles) {
-      sb.setLength(0)
-      var j = i
-      val end = math.min(i + k, n)
-      while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(words(j))
-        j += 1
-      }
-      val s = sb.toString
-      if (seen.add(s)) { shingleHashHeads(m) = UTF8String.fromString(s); m += 1 }
-      i += 1
-    }
-    // clear argument error instead of AIOOBE for the SQL MINHASH_SIG
-    // path, which reaches this kernel without the Column builder's gate
+    // clear argument errors instead of AIOOBE / silent signature
+    // collapse for the SQL MINHASH_SIG path, which reaches this kernel
+    // without the Column builder's gate
     require(numHashes >= 1 && numHashes <= seedHeads.length,
       s"numHashes must be in [1, ${seedHeads.length}], got $numHashes")
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    val sh = distinctShingles(normWords(text), k)
+    val shingleHashHeads = new Array[UTF8String](sh.length)
+    var m = 0
+    while (m < sh.length) { shingleHashHeads(m) = UTF8String.fromString(sh(m)); m += 1 }
     val sig = new Array[Long](numHashes)
     var h = 0
     while (h < numHashes) {
       val head = seedHeads(h)
       var mn = Long.MaxValue
       var s = 0
-      while (s < m) {
+      while (s < shingleHashHeads.length) {
         val v = XxHash64Function.hash(shingleHashHeads(s), StringType, head)
         if (v < mn) mn = v
         s += 1
@@ -266,8 +270,7 @@ object GraftKernels {
   }
 
   def fingerprint(text: UTF8String): Long = {
-    val replaced = WS.matcher(text.toString).replaceAll(" ")
-    val normed = UTF8String.fromString(replaced).trim().toLowerCase.toString
+    val normed = normText(text)
     var acc = 0L
     var i = 0
     val len = normed.length

@@ -61,12 +61,17 @@ object VeloFunctions {
     case "DOW"    => dayofweek(ts) - lit(1) // 0=Sunday, matches DuckDB/postgres dow
     case "DOY"    => dayofyear(ts)
     case "WEEK"   => weekofyear(ts)
-    // the reference's EXTRACT supports these too (functions.rs:1910-1927)
+    // the reference's EXTRACT supports these too (functions.rs:1910-1927).
+    // Sub-second fields are the 0-bounded FRACTION (functions.rs:1921-1923
+    // timestamp_subsec_*), NOT the postgres seconds-inclusive reading —
+    // EXTRACT(MILLISECOND FROM '…44.123') = 123, not 44123. pmod keeps
+    // the fraction non-negative pre-1970, matching chrono's accessors
+    // (Java % would yield -877 for 1969-12-31 23:59:59.123).
     case "QUARTER"     => quarter(ts)
     case "EPOCH"       => unix_timestamp(ts)
-    case "MILLISECOND" => (unix_millis(ts) % 1000L).cast("int")
-    case "MICROSECOND" => (unix_micros(ts) % 1000000L).cast("int")
-    case "NANOSECOND"  => ((unix_micros(ts) % 1000000L) * 1000L).cast("long")
+    case "MILLISECOND" => pmod(unix_millis(ts), lit(1000L)).cast("int")
+    case "MICROSECOND" => pmod(unix_micros(ts), lit(1000000L)).cast("int")
+    case "NANOSECOND"  => (pmod(unix_micros(ts), lit(1000000L)) * 1000L).cast("long")
     case other    => throw new IllegalArgumentException(s"EXTRACT field $other")
   }
   def veloDateFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)

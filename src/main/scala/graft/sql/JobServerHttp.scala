@@ -55,13 +55,13 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
   private def err(ex: HttpExchange, status: Int, msg: String): Unit =
     respond(ex, status, s"""{"error":${jstr(msg)}}""")
 
-  // one registry snapshot per request — statusDf is driver-side metadata
+  // one registry snapshot per request — the pure driver-side accessor,
+  // NOT statusDf: scrape endpoints are polled continuously, and a
+  // DataFrame build+collect per poll pays Spark analysis/planning (and
+  // holds the JobManager monitor longer) for a few in-memory strings
   private def jobRows(name: Option[String]): Seq[JobRow] =
-    ctx.jobManager.statusDf(name).collect().toIndexedSeq.map { r =>
-      JobRow(r.getAs[String]("job_name"), r.getAs[String]("status"),
-        r.getAs[String]("version"), r.getAs[String]("strategy"),
-        r.getAs[Boolean]("is_active"), r.getAs[String]("error"),
-        r.getAs[String]("breaker"))
+    ctx.jobManager.statusRows(name).map { r =>
+      JobRow(r.name, r.status, r.version, r.strategy, r.isActive, r.error, r.breaker)
     }
 
   private def jobJson(j: JobRow): String =
@@ -80,10 +80,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     // monotonically increasing telemetry that no job-scoped reset ever
     // clears — counting it would pin /health at Warning forever after a
     // single transient admission rejection
-    val violationRows = ctx.jobManager.resourcesDf(None).collect().toIndexedSeq
-      .filter(r => r.getAs[Long]("violations") > 0 && r.getAs[String]("job_name") != "*")
-      .map(r => s"Job '${r.getAs[String]("job_name")}' resource " +
-        s"'${r.getAs[String]("resource")}' recorded ${r.getAs[Long]("violations")} violation(s)")
+    val violationRows = ctx.jobManager.resourceRows(None)
+      .filter(r => r.violations > 0 && r.jobName != "*")
+      .map(r => s"Job '${r.jobName}' resource " +
+        s"'${r.resource}' recorded ${r.violations} violation(s)")
     val breakerWarnings = rows.collect { case j if j.breaker != "CLOSED" =>
       s"Job '${j.name}' circuit breaker is ${j.breaker}" }
     val warnings = breakerWarnings ++ violationRows
@@ -119,10 +119,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           s"""{"last_batch_id":${r.getAs[Long]("last_batch_id")},""" +
             s""""last_batch_input_rows":${r.getAs[Long]("last_batch_input_rows")},""" +
             s""""sink_rows":${r.getAs[Long]("sink_rows")}}""").getOrElse("null")
-        val resources = ctx.jobManager.resourcesDf(Some(name)).collect().toIndexedSeq.map { r =>
-          s"""{"resource":${jstr(r.getAs[String]("resource"))},""" +
-            s""""current":${r.getAs[Double]("current")},"peak":${r.getAs[Double]("peak")},""" +
-            s""""level":${jstr(r.getAs[String]("level"))},"violations":${r.getAs[Long]("violations")}}"""
+        val resources = ctx.jobManager.resourceRows(Some(name)).map { r =>
+          s"""{"resource":${jstr(r.resource)},""" +
+            s""""current":${r.current},"peak":${r.peak},""" +
+            s""""level":${jstr(r.level)},"violations":${r.violations}}"""
         }
         respond(ex, 200, jobJson(j).dropRight(1) +
           s""","metrics":$metricsJson,"resources":${resources.mkString("[", ",", "]")}}""")

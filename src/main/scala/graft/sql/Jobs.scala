@@ -735,16 +735,27 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       .toDF("job_name", "status", "version", "n_versions")
   }
 
-  def statusDf(name: Option[String]): DataFrame = synchronized {
-    import spark.implicits._
+  /** Pure driver-side status snapshot — no DataFrame. The HTTP scrape
+    * surface (/health, /jobs, every Prometheus poll) reads this a few
+    * times per second worst-case; paying Spark analysis+planning per
+    * scrape, and holding this monitor for the DataFrame detour, buys
+    * nothing for a handful of in-memory strings. */
+  def statusRows(name: Option[String]): Seq[JobManager.JobStatusRow] = synchronized {
     jobs.values.toSeq
       .filter(j => name.forall(_ == j.name))
       .map { j =>
-        (j.name, j.status, j.current.map(_.version).getOrElse(""),
+        JobManager.JobStatusRow(j.name, j.status, j.current.map(_.version).getOrElse(""),
           j.current.map(_.strategy).getOrElse(""),
           j.handle.exists(_.isActive), j.batchView.getOrElse(""),
           j.lastError.getOrElse(""), j.breaker.currentState)
       }
+  }
+
+  def statusDf(name: Option[String]): DataFrame = {
+    import spark.implicits._
+    statusRows(name)
+      .map(r => (r.name, r.status, r.version, r.strategy, r.isActive, r.batchView,
+        r.error, r.breaker))
       .toDF("job_name", "status", "version", "strategy", "is_active", "batch_view",
         "error", "breaker")
   }
@@ -795,8 +806,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * `concurrent_operations` keys under job `*`. `limit` is null for
     * untracked-limit rows; `level` is OK / WARNING / CRITICAL /
     * EXHAUSTED per the job's thresholds. */
-  def resourcesDf(name: Option[String]): DataFrame = synchronized {
-    import spark.implicits._
+  /** Pure driver-side resource snapshot (same scrape-path rationale as
+    * [[statusRows]]). */
+  def resourceRows(name: Option[String]): Seq[JobManager.ResourceRow] = synchronized {
     val snapshot = metricSpecs.synchronized(resourceState.toVector)
     snapshot
       .filter { case ((jn, _), _) => name.forall(n => jn == n || jn == "*") }
@@ -805,9 +817,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         val (warn, crit) = jobs.get(jn).map(j => (j.limits.warningPct, j.limits.criticalPct))
           .getOrElse((defaultLimits.warningPct, defaultLimits.criticalPct))
         val pct = u.limit.filter(_ > 0).map(l => math.round(u.current / l * 1000.0) / 10.0)
-        (jn, res, u.current, u.peak, u.limit, pct,
+        JobManager.ResourceRow(jn, res, u.current, u.peak, u.limit, pct,
           Resources.level(u.current, u.limit, warn, crit), u.violations)
       }
+  }
+
+  def resourcesDf(name: Option[String]): DataFrame = {
+    import spark.implicits._
+    resourceRows(name)
+      .map(r => (r.jobName, r.resource, r.current, r.peak, r.limit, r.utilizationPct,
+        r.level, r.violations))
       .toDF("job_name", "resource", "current", "peak", "limit", "utilization_pct",
         "level", "violations")
   }
@@ -831,6 +850,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 }
 
 object JobManager {
+
+  /** Driver-side status snapshot row (see JobManager.statusRows). */
+  final case class JobStatusRow(name: String, status: String, version: String,
+                                strategy: String, isActive: Boolean, batchView: String,
+                                error: String, breaker: String)
+
+  /** Driver-side resource snapshot row (see JobManager.resourceRows). */
+  final case class ResourceRow(jobName: String, resource: String, current: Double,
+                               peak: Double, limit: Option[Double],
+                               utilizationPct: Option[Double], level: String,
+                               violations: Long)
 
   /** Job processor annotations (reference annotation_parser.rs /
     * job_processor_factory.rs). `jobMode` and `batchSize` are recorded

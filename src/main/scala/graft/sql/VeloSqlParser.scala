@@ -1377,6 +1377,25 @@ object VeloSqlParser {
                   out += sym("(") += id("dayofweek") += sym("(")
                   out ++= valueToks
                   out += sym(")") += Tok(TSymbol, "-") += Tok(TNumber, "1") += sym(")")
+                case "MILLISECOND" | "MICROSECOND" | "NANOSECOND" =>
+                  // sub-second components (reference functions.rs:1921-1923
+                  // timestamp_subsec_*: the 0-bounded fraction, NOT the
+                  // postgres seconds-inclusive reading) — Spark's own
+                  // extract() has no such fields, so passing them through
+                  // would AnalysisException on a reference-valid query.
+                  // pmod keeps the fraction non-negative pre-1970, like
+                  // chrono's accessors.
+                  val (unit, modulus, scale) = field match {
+                    case "MILLISECOND" => ("unix_millis", "1000", "")
+                    case "MICROSECOND" => ("unix_micros", "1000000", "")
+                    case _             => ("unix_micros", "1000000", " * 1000")
+                  }
+                  out += sym("(") += id("pmod") += sym("(") += id(unit) += sym("(")
+                  out ++= valueToks
+                  out += sym(")") += sym(",") += Tok(TNumber, modulus) += sym(")")
+                  if (scale.nonEmpty)
+                    out += Tok(TSymbol, "*") += Tok(TNumber, "1000")
+                  out += sym(")")
                 case f =>
                   out += id("extract") += sym("(") += id(f) += id("FROM")
                   out ++= valueToks

@@ -50,6 +50,18 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("k <= 0 rejected at plan build and in the SQL kernel path") {
+    // k=0 would silently collapse every doc to the single shingle "" —
+    // identical signatures for the whole corpus, no error anywhere
+    intercept[IllegalArgumentException](GraftKernels.minhashSigCol(col("text"), 0, 16))
+    intercept[IllegalArgumentException](GraftKernels.shinglesCol(col("text"), -1))
+    // SQL functions reach the kernel without the Column-builder gate
+    GraftKernels.registerSqlFunctions(spark)
+    val err = intercept[Exception](
+      docs.limit(1).selectExpr("minhash_sig(text, 0, 16)").collect())
+    assert(err.getMessage != null)
+  }
+
   test("simhash kernel == interpreted HOF tree") {
     for (d <- Seq(docs, edgeDocs)) {
       val hof = d.select(col("doc_id"), Dedup.simhashHof(col("text")).as("s"))

@@ -67,6 +67,18 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(veloExtract("MILLISECOND", col("ts"))) == 0)
     assert(one(veloExtract("MICROSECOND", col("ts"))) == 0)
     assert(one(veloExtract("NANOSECOND", col("ts"))) == 0L)
+    // sub-second parts are the FRACTION (reference timestamp_subsec_*),
+    // not the postgres seconds-inclusive reading — a .0-second timestamp
+    // reads 0 under both conventions, so pin one with nonzero seconds
+    // AND a nonzero fraction, plus a pre-1970 instant (chrono's subsec
+    // accessors never go negative; Java % would)
+    val frac = to_timestamp(lit("2024-03-05 10:30:44.123"))
+    assert(one(veloExtract("MILLISECOND", frac)) == 123)
+    assert(one(veloExtract("MICROSECOND", frac)) == 123000)
+    assert(one(veloExtract("NANOSECOND", frac)) == 123000000L)
+    val pre1970 = to_timestamp(lit("1969-12-31 23:59:59.123"))
+    assert(one(veloExtract("MILLISECOND", pre1970)) == 123)
+    assert(one(veloExtract("MICROSECOND", pre1970)) == 123000)
     assert(one(veloDateFormat(col("ts"), "yyyy/MM/dd")) == "2024/03/05")
     assert(one(veloDateDiff(col("ts"), to_timestamp(lit("2024-03-08 00:00:00")))) == 3)
     assert(one(veloUnixTimestamp(col("ts"))) == 1709634645L)

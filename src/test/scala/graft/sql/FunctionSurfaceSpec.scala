@@ -91,6 +91,20 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
             FROM_UNIXTIME(1700000000), UNIX_TIMESTAMP(event_time) FROM t""")
   }
 
+  test("EXTRACT sub-second parts (functions.rs:1921-1923: the fraction, not postgres)") {
+    // Spark's own extract() has no MILLISECOND/MICROSECOND/NANOSECOND —
+    // the dialect must rewrite them, or a reference-valid statement
+    // AnalysisExceptions through SQL while working via the Scala API
+    val r = ctx.sql(
+      """SELECT EXTRACT(MILLISECOND FROM TIMESTAMP '2024-03-05 10:30:44.123') AS ms,
+         EXTRACT(MICROSECOND FROM TIMESTAMP '2024-03-05 10:30:44.123') AS us,
+         EXTRACT(NANOSECOND FROM TIMESTAMP '2024-03-05 10:30:44.123') AS ns
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Long]("ms") == 123L)
+    assert(r.getAs[Long]("us") == 123000L)
+    assert(r.getAs[Long]("ns") == 123000000L)
+  }
+
   test("conditional + JSON + array/map + header surface") {
     runs("""SELECT COALESCE(NULL, symbol), NULLIF(symbol, 'AAPL'),
             CAST(price AS BIGINT),
