@@ -17,6 +17,10 @@ import org.apache.spark.sql.types._
   */
 object ProtoWire {
 
+  /** Protobuf's spec maximum field number, 2^29 - 1 (the tag packs the
+    * number into the bits above the 3-bit wire type of a 32-bit tag). */
+  private val MaxFieldNumber = 536870911L
+
   sealed trait PType { def dataType: DataType }
   case object PInt32 extends PType { val dataType: DataType = IntegerType }
   case object PInt64 extends PType { val dataType: DataType = LongType }
@@ -59,7 +63,16 @@ object ProtoWire {
             throw new IllegalArgumentException(
               s"unsupported proto field (repeated/map fields are out of scope): $line")
           case t :: name :: "=" :: num :: Nil if num.forall(_.isDigit) && num.nonEmpty =>
-            Field(num.toInt, name,
+            // the spec's field-number range is [1, 2^29-1]; 0 and larger
+            // numbers encode to tags every standard protobuf consumer
+            // rejects as corrupt — fail at schema parse, not on the
+            // topic. toLong first: a >Int.MaxValue literal must hit THIS
+            // message, not a bare NumberFormatException.
+            val n = if (num.length <= 18) num.toLong else Long.MaxValue
+            if (n < 1 || n > MaxFieldNumber)
+              throw new IllegalArgumentException(
+                s"proto field number must be in [1, $MaxFieldNumber]: $line")
+            Field(n.toInt, name,
               typeMap.getOrElse(t, throw new IllegalArgumentException(s"unsupported proto type $t")))
           case _ =>
             throw new IllegalArgumentException(
@@ -198,7 +211,14 @@ object ProtoWire {
     def needFixed(n: Int): Unit = if (p + n > bytes.length) fail(s"truncated fixed$n field")
     while (p < bytes.length) {
       val tag = varint()
-      val num = (tag >>> 3).toInt
+      val num0 = tag >>> 3
+      // field numbers are spec-capped at 2^29-1 (and 0 is reserved), so
+      // a larger value can only be corruption — and truncating it with
+      // .toInt would ALIAS it onto a declared field (e.g. (2^32+1)<<3 →
+      // field 1) and fabricate a value, the exact silent-wrong-decode
+      // this module's contract forbids
+      if (num0 < 1 || num0 > MaxFieldNumber) fail(s"invalid field number $num0")
+      val num = num0.toInt
       val wt = (tag & 7).toInt
       val i = fidx.lookup(num)
       if (i >= 0 && wt == expectedWireType(fidx.farr(i).ptype)) {
@@ -245,33 +265,28 @@ object ProtoWire {
   // ---- DataFrame surface (mirrors Serde.decodeAvro/encodeAvro) ----
 
   /** Decode a binary-protobuf payload column into typed columns next to
-    * the frame's other columns. */
-  def decodeProtobuf(df: DataFrame, payloadCol: String, proto: String): DataFrame = {
+    * the frame's other columns (clash guard / tombstone handling /
+    * column ordering shared with the Avro path via
+    * `Serde.decodeWithPayload`).
+    *
+    * `permissive = false` (default) keeps the batch fail-on-corrupt
+    * contract: one garbled record fails the job rather than decoding
+    * silently wrong. `permissive = true` is the STREAMING mode — a
+    * corrupt payload decodes to all-null columns (decodeAvro's
+    * standing behavior), because a strict decode on a stream turns one
+    * poison Kafka message into a checkpoint-pinned crash loop: the
+    * failed task re-reads the same offset forever. */
+  def decodeProtobuf(df: DataFrame, payloadCol: String, proto: String,
+                     permissive: Boolean = false): DataFrame = {
     val fields = ProtoSchema.parse(proto)
-    val valueSchema = sparkSchema(fields)
-    val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
-    // a decoded field shadowing a passthrough column would materialize a
-    // duplicate name that only explodes on the next select — fail HERE
-    val clash = passthrough.map(_.name).toSet.intersect(valueSchema.fieldNames.toSet)
-    require(clash.isEmpty,
-      s"decoded proto fields collide with frame columns: ${clash.mkString(", ")} " +
-        s"(rename or drop the frame columns before decoding)")
-    val outSchema = StructType(passthrough ++ valueSchema.fields)
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
     val fidx = new FieldIndex(fields) // built once, shipped to executors; no per-row setup
-    val res = df.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](payloadIdx)
-        // null payload (tombstone / outer-join null) → all-null columns,
-        // which the schema already declares nullable — not an NPE
-        val decoded =
-          if (bytes == null) new Array[Any](fidx.farr.length)
-          else decodeRow(bytes, fidx)
-        Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
-      }
-    }(Encoders.row(outSchema))
-    res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+    val n = fields.length
+    Serde.decodeWithPayload(df, payloadCol, sparkSchema(fields), "proto") { () =>
+      (bytes: Array[Byte]) =>
+        if (!permissive) decodeRow(bytes, fidx)
+        else try decodeRow(bytes, fidx)
+        catch { case _: ProtoDecodeException => new Array[Any](n) }
+    }
   }
 
   /** Encode the schema's fields from each row into one binary-protobuf

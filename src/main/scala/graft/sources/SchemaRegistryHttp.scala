@@ -148,8 +148,17 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
             case (None, _) => respond(ex, 422, s"""{"error_code":42201,"message":"missing schema field"}""")
             case (_, None) => notFound(ex, 40401, s"Subject '$s' not found.")
             case (Some(candidate), Some((_, prev))) =>
-              val ok = registry.incompatibilities(candidate, prev).isEmpty
-              respond(ex, 200, s"""{"is_compatible":$ok}""")
+              // malformed candidate schema is the CLIENT's error — the
+              // register route answers 422 for the same body, and a 500
+              // here invites clients to retry a request that can never
+              // succeed
+              try {
+                val ok = registry.incompatibilities(candidate, prev).isEmpty
+                respond(ex, 200, s"""{"is_compatible":$ok}""")
+              } catch {
+                case e: org.apache.avro.SchemaParseException =>
+                  respond(ex, 422, s"""{"error_code":42201,"message":${jstr(e.getMessage)}}""")
+              }
           }
 
         case _ => notFound(ex, 40401, s"no route: ${ex.getRequestMethod} $path")

@@ -29,26 +29,77 @@ import org.apache.spark.sql.types.StructType
   */
 object Serde {
 
+  /** Fail FAST when decoded fields would shadow frame columns: the
+    * splat would materialize duplicate column names that only explode
+    * (AMBIGUOUS_REFERENCE) on the next select-by-name, far from the
+    * decode call. All four decode paths (json/csv/avro/proto) share
+    * this guard so they cannot drift on the semantics. */
+  private[sources] def requireNoClash(df: DataFrame, payloadCol: String,
+                                      valueSchema: StructType, what: String): Unit = {
+    val clash = df.schema.fieldNames.filterNot(_ == payloadCol).toSet
+      .intersect(valueSchema.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"decoded $what fields collide with frame columns: ${clash.mkString(", ")} " +
+        s"(rename or drop the frame columns before decoding)")
+  }
+
+  /** Shared decode scaffolding for the byte-payload codecs (avro,
+    * proto): clash guard, passthrough/output schema, tombstone
+    * null-payload handling, and the per-partition mapPartitions shape —
+    * `init` runs once per partition (codec setup) and returns the
+    * per-row bytes→values function. One copy, so the tombstone guard /
+    * clash check / column ordering cannot drift between codecs (they
+    * already had: proto gained the clash guard and avro did not). */
+  private[sources] def decodeWithPayload(df: DataFrame, payloadCol: String,
+      valueSchema: StructType, what: String)(
+      init: () => Array[Byte] => Array[Any]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    requireNoClash(df, payloadCol, valueSchema, what)
+    val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
+    // decoded fields are nullable regardless of the codec schema: a
+    // tombstone (null payload) nulls ALL of them
+    val outSchema = StructType(passthrough ++ valueSchema.fields.map(_.copy(nullable = true)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
+    val nFields = valueSchema.fields.length
+    val res = df.mapPartitions { it =>
+      val rowFn = init()
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        // Kafka tombstone / null payload → all-null decoded columns
+        // (decoding null would NPE and kill the stream on one
+        // compacted-topic delete marker)
+        val decoded = if (bytes == null) new Array[Any](nFields) else rowFn(bytes)
+        Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
+      }
+    }(Encoders.row(outSchema))
+    res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Decode a JSON-string payload column into a struct and splat it.
     * The payload column drops BEFORE the splat: a decoded field that
     * shares its name (e.g. a payload column `value` whose schema also
     * has a `value` field) must survive — a post-splat drop removes BOTH
     * same-named columns. The temp column name is graft-prefixed so a
     * user column cannot collide with it. */
-  def decodeJson(df: DataFrame, payloadCol: String, schema: StructType): DataFrame =
+  def decodeJson(df: DataFrame, payloadCol: String, schema: StructType): DataFrame = {
+    requireNoClash(df, payloadCol, schema, "json")
     df.withColumn("__graft_decoded", from_json(col(payloadCol), schema))
       .drop(payloadCol)
       .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
+  }
 
   /** Encode selected columns into one JSON-string payload column. */
   def encodeJson(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
     df.withColumn(payloadCol, to_json(struct(cols.map(col): _*)))
 
   def decodeCsv(df: DataFrame, payloadCol: String, schema: StructType,
-                options: Map[String, String] = Map.empty): DataFrame =
+                options: Map[String, String] = Map.empty): DataFrame = {
+    requireNoClash(df, payloadCol, schema, "csv")
     df.withColumn("__graft_decoded", from_csv(col(payloadCol), schema, options))
       .drop(payloadCol)
       .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
+  }
 
   def encodeCsv(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
     df.withColumn(payloadCol, to_csv(struct(cols.map(col): _*)))
@@ -100,17 +151,9 @@ object Serde {
     * READER schema. */
   def decodeAvro(df: DataFrame, payloadCol: String, schemaJson: String,
                  readerSchemaJson: Option[String]): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
     val effectiveJson = readerSchemaJson.getOrElse(schemaJson)
     val valueSchema = avroSchemaToSpark(effectiveJson)
-    val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
-    // decoded fields are nullable regardless of the Avro schema: a
-    // tombstone (null payload) nulls ALL of them
-    val outSchema = StructType(passthrough ++ valueSchema.fields.map(_.copy(nullable = true)))
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
-    val res = df.mapPartitions { it =>
+    decodeWithPayload(df, payloadCol, valueSchema, "avro") { () =>
       import scala.jdk.CollectionConverters._
       import org.apache.avro.Schema
       import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
@@ -120,42 +163,31 @@ object Serde {
       val reader = new GenericDatumReader[GenericRecord](writerSchema, schema)
       var decoder: org.apache.avro.io.BinaryDecoder = null
       val fields = schema.getFields.asScala.toArray
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](payloadIdx)
-        // Kafka tombstone / null payload → all-null decoded columns
-        // (binaryDecoder(null) would NPE and kill the stream on one
-        // compacted-topic delete marker)
-        val decoded: Array[Any] =
-          if (bytes == null) Array.fill[Any](fields.length)(null)
-          else {
-            // PERMISSIVE on malformed payloads (the from_json contract):
-            // a truncated / non-Avro record decodes to all-null columns
-            // instead of throwing EOFException from deep inside the task
-            // — one poison message must not kill the stream, exactly the
-            // failure the tombstone guard above exists to prevent.
-            // binaryDecoder(bytes, decoder) fully reinitializes per
-            // record, so a failed read cannot corrupt the next one.
-            try {
-              decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-              val rec = reader.read(null, decoder)
-              fields.map { f =>
-                rec.get(f.pos()) match {
-                  case null => null
-                  case u: org.apache.avro.util.Utf8 => u.toString
-                  case bb: java.nio.ByteBuffer =>
-                    val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-                  case v => v
-                }
-              }
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                Array.fill[Any](fields.length)(null)
+      (bytes: Array[Byte]) =>
+        // PERMISSIVE on malformed payloads (the from_json contract):
+        // a truncated / non-Avro record decodes to all-null columns
+        // instead of throwing EOFException from deep inside the task
+        // — one poison message must not kill the stream, exactly the
+        // failure the tombstone guard in decodeWithPayload prevents.
+        // binaryDecoder(bytes, decoder) fully reinitializes per
+        // record, so a failed read cannot corrupt the next one.
+        try {
+          decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+          val rec = reader.read(null, decoder)
+          fields.map { f =>
+            rec.get(f.pos()) match {
+              case null => null
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case bb: java.nio.ByteBuffer =>
+                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+              case v => v
             }
           }
-        Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
-      }
-    }(Encoders.row(outSchema))
-    res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Array.fill[Any](fields.length)(null)
+        }
+    }
   }
 
   /** Encode `cols` into one binary-Avro payload column per `schemaJson`
@@ -165,7 +197,26 @@ object Serde {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false))
+    // validate on the DRIVER (the encodeProtobuf pattern): schema parse,
+    // field presence, and column types — a mismatch would otherwise burn
+    // a job's worth of task retries to report a per-row
+    // ClassCastException from inside mapPartitions
+    avroSchemaToSpark(schemaJson).fields.foreach { f =>
+      require(inSchema.fieldNames.contains(f.name),
+        s"column '${f.name}' required by the avro schema is missing from the frame")
+      val actual = inSchema(f.name).dataType
+      require(actual == f.dataType,
+        s"column '${f.name}' is $actual but the avro schema expects ${f.dataType} " +
+          s"(cast the column before encoding)")
+    }
+    // an existing payload column is REPLACED (encodeJson's withColumn
+    // semantics — the normal re-encode of a raw Kafka frame rewriting
+    // its `value`); appending would materialize a duplicate name that
+    // only explodes on the next select-by-name
+    val keepIdx = inSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != payloadCol => i }.toIndexedSeq
+    val outSchema = StructType(keepIdx.map(inSchema.fields(_)) :+
+      StructField(payloadCol, BinaryType, nullable = false))
     val res = df.mapPartitions { it =>
       import scala.jdk.CollectionConverters._
       import org.apache.avro.Schema
@@ -192,7 +243,7 @@ object Serde {
         encoder = EncoderFactory.get().binaryEncoder(bos, encoder)
         writer.write(rec, encoder)
         encoder.flush()
-        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+        Row.fromSeq(keepIdx.map(row.get) :+ bos.toByteArray)
       }
     }(Encoders.row(outSchema))
     res.toDF(outSchema.fieldNames.toIndexedSeq: _*)

@@ -160,6 +160,50 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     val badVarint = Array.fill[Byte](12)(0x80.toByte)
     badVarint(0) = ((3 << 3) | 0).toByte // field 3, wiretype 0
     intercept[ProtoWire.ProtoDecodeException](decodeRow(badVarint, fields))
+    // corrupt tag whose field number exceeds 2^29-1: truncating it to
+    // Int would ALIAS (2^32+1)<<3 onto declared field 1 and fabricate a
+    // value of 99 — must fail as corruption instead
+    val aliasTag = new java.io.ByteArrayOutputStream()
+    def vint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { aliasTag.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      aliasTag.write(v.toInt)
+    }
+    vint(((1L << 32) + 1L) << 3); vint(99L)
+    val e2 = intercept[ProtoWire.ProtoDecodeException](decodeRow(aliasTag.toByteArray, fields))
+    assert(e2.getMessage.contains("invalid field number"))
+    // field number 0 is reserved — also corruption
+    intercept[ProtoWire.ProtoDecodeException](decodeRow(Array[Byte](0, 1), fields))
+  }
+
+  test("schema parser rejects out-of-range field numbers (0, >2^29-1, >Long digits)") {
+    // wire-illegal numbers must fail at schema parse, not produce bytes
+    // every standard protobuf consumer rejects
+    for (bad <- Seq("0", "536870912", "4294967296", "999999999999999999999")) {
+      val e = intercept[IllegalArgumentException](
+        ProtoSchema.parse(s"message M { int64 x = $bad; }"))
+      assert(e.getMessage.contains("field number"), s"num=$bad got: ${e.getMessage}")
+    }
+    // boundary values stay legal
+    assert(ProtoSchema.parse("message M { int64 x = 1; int64 y = 536870911; }").map(_.number)
+      == Seq(1, 536870911))
+  }
+
+  test("permissive decode nulls corrupt payloads instead of failing the stream") {
+    import spark.implicits._
+    val proto = "message M { int64 n = 1; string s = 2; }"
+    val fields = ProtoSchema.parse(proto)
+    val good = encodeRow(Seq(5L, "ok"), fields)
+    val corrupt = Array.fill[Byte](12)(0x80.toByte) // unterminated varint
+    val frames = Seq((1L, good), (2L, corrupt)).toDF("k", "value")
+    // strict default: the poison record fails the job
+    intercept[org.apache.spark.SparkException](
+      ProtoWire.decodeProtobuf(frames, "value", proto).collect())
+    // permissive: poison record → all-null columns, stream survives
+    val rows = ProtoWire.decodeProtobuf(frames, "value", proto, permissive = true)
+      .orderBy("k").collect()
+    assert(rows(0).getAs[Long]("n") == 5L && rows(0).getAs[String]("s") == "ok")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("n")) && rows(1).isNullAt(rows(1).fieldIndex("s")))
   }
 
   test("driver-side validation: encode type mismatch and decode name collision fail before launch") {

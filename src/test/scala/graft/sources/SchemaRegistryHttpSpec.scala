@@ -55,6 +55,13 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
 
     val malformed = intercept[client.RegistryException](client.register("wire-value", "{not avro"))
     assert(malformed.status == 422)
+
+    // a malformed CANDIDATE on the compatibility probe is the client's
+    // error too: 422 like the register route, not a retryable-looking
+    // 500 for a request that can never succeed
+    val badProbe = intercept[client.RegistryException](
+      client.isCompatible("wire-value", "{not avro"))
+    assert(badProbe.status == 422, s"got ${badProbe.status}: ${badProbe.body}")
   }
 
   test("unknown subject and version are protocol 404s") {

@@ -117,6 +117,46 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(decoded.columns.contains("oid"))
   }
 
+  test("decoded-field / frame-column clash fails fast on every decode path") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a decoded field shadowing a frame column would materialize a
+    // duplicate name that only explodes (AMBIGUOUS_REFERENCE) on the
+    // next select-by-name — all decode paths share the guard
+    val frames = Seq((7L, "{\"doc_id\": 1}")).toDF("doc_id", "value")
+    val sch = StructType(Seq(StructField("doc_id", LongType)))
+    val ej = intercept[IllegalArgumentException](Serde.decodeJson(frames, "value", sch))
+    assert(ej.getMessage.contains("collide") && ej.getMessage.contains("doc_id"))
+    val ec = intercept[IllegalArgumentException](Serde.decodeCsv(frames, "value", sch))
+    assert(ec.getMessage.contains("collide"))
+    val bin = Seq((7L, Array[Byte]())).toDF("doc_id", "value")
+    val ea = intercept[IllegalArgumentException](Serde.decodeAvro(bin, "value",
+      """{"type":"record","name":"T","fields":[{"name":"doc_id","type":"long"}]}"""))
+    assert(ea.getMessage.contains("collide") && ea.getMessage.contains("doc_id"))
+  }
+
+  test("encodeAvro replaces an existing payload column and validates on the driver") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"T","fields":[{"name":"n","type":"long"}]}"""
+    // a frame that already HAS a `value` column (raw Kafka re-encode):
+    // the payload column is replaced (encodeJson semantics), not
+    // duplicated into an ambiguous pair
+    val df = Seq((5L, "old")).toDF("n", "value")
+    val out = Serde.encodeAvro(df, schemaJson, "value")
+    assert(out.columns.count(_ == "value") == 1)
+    val round = Serde.decodeAvro(out.drop("n"), "value", schemaJson).collect().head
+    assert(round.getAs[Long]("n") == 5L)
+    // driver-side validation: missing column and type mismatch are
+    // named errors BEFORE any task launches, not per-row executor casts
+    val missing = intercept[IllegalArgumentException](
+      Serde.encodeAvro(Seq(1).toDF("other"), schemaJson))
+    assert(missing.getMessage.contains("n") && missing.getMessage.contains("missing"))
+    val mistyped = intercept[IllegalArgumentException](
+      Serde.encodeAvro(Seq(1).toDF("n"), schemaJson))
+    assert(mistyped.getMessage.contains("cast the column"))
+  }
+
   test("Avro tombstone (null payload) decodes to null columns, not an NPE") {
     import org.apache.spark.sql.types._
     val schemaJson =
