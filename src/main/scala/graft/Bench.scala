@@ -190,23 +190,22 @@ object Bench {
       } else name -> q
     }
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    import JsonOut.{jstr, sec3}
 
     // Measured ANN recall-vs-exact at this SF (see AnnRecall scaladoc):
     // config drift that silently degrades recall must surface in the
     // per-round artifact, not only in test-scale specs. Guarded — a
     // probe failure records an error field, never kills the artifact.
+    // Skipped on a SPARK_GRAFT_QUERIES subset run: a one-query
+    // iteration loop must not pay the full exact-baseline + 6-probe
+    // recall suite (which typically dominates its wall time), and a
+    // subset artifact is not a round artifact anyway.
     val recallEntries: Either[String, Seq[AnnRecall.Entry]] =
-      if (sys.env.get("SPARK_GRAFT_RECALL").contains("0")) Left("disabled")
+      if (only.isDefined) Left("skipped: subset run (SPARK_GRAFT_QUERIES)")
+      else if (sys.env.get("SPARK_GRAFT_RECALL").contains("0")) Left("disabled")
       else try Right(AnnRecall.measure(spark, sfDir))
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-    // Locale.ROOT: a comma-decimal default locale would emit "0,123" and
-    // make the JSON unparseable — the exact failure this line guards.
-    def sec3(s: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
     val qs = results.map { case (k, q) => s"${jstr(k)}:${sec3(q.r.sec)}" }.mkString("{", ",", "}")
     val rowsJson = results.map { case (k, q) => s"${jstr(k)}:${q.r.rows}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, q) if q.r.err.isDefined => s"${jstr(k)}:${jstr(q.r.err.get)}" }
@@ -225,11 +224,16 @@ object Bench {
         .mkString("{", ",", "}")
       case Left(err) => s"""{"error":${jstr(err)}}"""
     }
-    val recallOk = recallEntries.fold(_ => false, _.forall(_.ok))
+    // ann_recall_ok is emitted ONLY when the probe actually ran: a
+    // deliberately skipped/disabled probe must not read as a recall
+    // regression to anything gating on the boolean (the error field in
+    // ann_recall says why it is absent)
+    val recallOkField = recallEntries.fold(_ => "",
+      rs => s""","ann_recall_ok":${rs.forall(_.ok)}""")
     val stdoutJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"ann_recall":$recallJson,"ann_recall_ok":$recallOk,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"ann_recall":$recallJson$recallOkField,"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"ann_recall":$recallJson,"ann_recall_ok":$recallOk,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"ann_recall":$recallJson$recallOkField,"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

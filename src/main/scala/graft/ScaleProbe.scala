@@ -103,6 +103,16 @@ object ScaleProbe {
     docs1.persist(); emb1.persist()
     force(docs1); force(emb1)
 
+    // the replica transform is the identity on text with no ASCII
+    // letters (null / digits-only / punctuation-only), which would make
+    // such a document a cross-replica EXACT duplicate below the 26×
+    // wrap and silently shift the exactly-M× duplicate-structure
+    // invariant the tier row counts assert. Fail loudly instead.
+    val letterFree = docs1
+      .where(col("text").isNull || !col("text").rlike("[A-Za-z]")).count()
+    require(letterFree == 0,
+      s"$letterFree letter-free/null documents would break the M× replica invariant")
+
     def pipelines(tag: String, d: DataFrame, e: DataFrame,
                   only: Option[Set[String]]): Seq[(String, Double, Long)] = {
       def probe(name: String)(f: => Long): Option[(String, Double, Long)] =
@@ -147,7 +157,7 @@ object ScaleProbe {
         }).flatten
     }
 
-    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    import JsonOut.{jstr, sec3 => s3}
 
     val warm = pipelines("warmup", docs1, emb1, None) // JIT + codegen warmup
     val base1 = pipelines("1x", docs1, emb1, None)
@@ -207,35 +217,49 @@ object ScaleProbe {
 
     // Trainer-cap probe: the IVF/PQ quantizer trains on a hash-ordered
     // sample capped at 65,536 rows, so training cost must grow with the
-    // corpus only UNTIL the cap binds and plateau after it. Probe the
-    // trainer at the largest multiplier that stays under the cap and at
-    // 2× that (cap bound): the second tier has 2× the vectors but ~the
-    // same sample, so a plateau shows as wall_ratio ≈ 1 (the residual
-    // growth is the one distributed top-k sample collect, linear in rows
-    // scanned but tiny next to the Lloyd iterations).
+    // corpus only UNTIL the cap binds and plateau after it. The low
+    // tier must sit UNDER the cap and the high tier past it at ANY
+    // corpus size: multiplying up when the corpus is small, slicing
+    // DOWN (deterministic limit) when the corpus alone already exceeds
+    // the cap — without the slice, both tiers would be cap-bound and
+    // wall_ratio ≈ 1 would hold for any implementation, testing
+    // nothing. Plateau shows as wall_ratio ≈ 1 (the residual growth is
+    // the one distributed top-k sample collect, linear in rows scanned
+    // but tiny next to the Lloyd iterations).
     val nEmb = emb1.count()
     val cap = 65536L
-    val mLow = math.max(1L, cap / nEmb).toInt
-    val mHigh = mLow * 2
-    def trainProbe(m: Int): Double = {
-      val e = multiplyEmbeddings(emb1, m, 64).repartition(32).persist()
+    val (lowDf, nLow): (DataFrame, Long) =
+      if (nEmb <= cap) {
+        val m = math.max(1L, cap / nEmb).toInt
+        (multiplyEmbeddings(emb1, m, 64), nEmb * m)
+      } else (emb1.limit((cap / 2).toInt), cap / 2)
+    val (highDf, nHigh): (DataFrame, Long) =
+      if (nEmb * 2 > cap) (multiplyEmbeddings(emb1, 2, 64), nEmb * 2)
+      else {
+        val m = (math.max(1L, cap / nEmb) * 2).toInt
+        (multiplyEmbeddings(emb1, m, 64), nEmb * m)
+      }
+    def trainProbe(df: DataFrame, n: Long): Double = {
+      val e = df.repartition(32).persist()
       force(e)
       val t0 = System.nanoTime()
       val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
       val sec = (System.nanoTime() - t0) / 1e9
       require(cents.length == 64 * 64)
       e.unpersist()
-      System.err.println(f"[probe] trainer ${m}x (${nEmb * m} vecs) $sec%7.2f s")
+      System.err.println(f"[probe] trainer ($n vecs) $sec%7.2f s")
       sec
     }
     // two timed runs each, keep the min — same ambient-window defense
     // as the 1× baseline retime
-    def minOf2(m: Int): Double = { val a = trainProbe(m); math.min(a, trainProbe(m)) }
-    val (secLow, secHigh) = (minOf2(mLow), minOf2(mHigh))
+    def minOf2(df: DataFrame, n: Long): Double = {
+      val a = trainProbe(df, n); math.min(a, trainProbe(df, n))
+    }
+    val (secLow, secHigh) = (minOf2(lowDf, nLow), minOf2(highDf, nHigh))
     val trainerJson =
       s""""trainer_cap":{"cap":$cap,"dim":64,"n_centroids":64,
-         |"vectors_low":${nEmb * mLow},"sec_low":${s3(secLow)},
-         |"vectors_high":${nEmb * mHigh},"sec_high":${s3(secHigh)},
+         |"vectors_low":$nLow,"sec_low":${s3(secLow)},
+         |"vectors_high":$nHigh,"sec_high":${s3(secHigh)},
          |"wall_ratio":${s3(secHigh / secLow)}}""".stripMargin.replace("\n", "")
 
     // JSON artifact: the scaling shape is a per-round regression surface
@@ -243,7 +267,7 @@ object ScaleProbe {
     // only in SURVEY prose). One tier object per multiplier, each with
     // per-pipeline 1x/Mx walls + row counts, plus the trainer-cap probe.
     val json =
-      s"""{"sf":"$sfDir","tiers":[${tierJson.mkString(",")}],$trainerJson}"""
+      s"""{"sf":${jstr(sfDir)},"tiers":[${tierJson.mkString(",")}],$trainerJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "scaleprobe_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     System.err.println(s"[probe] wrote $out")

@@ -31,21 +31,21 @@ object Verify {
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // shared escaper (JsonOut): a tab or CR in builder-authored SQL
+    // would otherwise make the driver's json.load fail and silently
+    // zero the round's correctness.
+    val q: String => String = JsonOut.jstr
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full attempted-query manifest: without it the checker can only
+    // see directories that EXIST, so a rows-only query that failed (its
+    // target was cleared above, and nothing was written) simply vanishes
+    // from the report and the run exits green
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -19,7 +19,10 @@ def canon(df):
     df = df[sorted(df.columns)]
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # sentinel BEFORE astype(str): plain astype maps SQL NULL to
+            # the 4-char string 'None', so a real NULL on one side and the
+            # literal string 'None' on the other would compare equal
+            df[c] = df[c].where(df[c].notna(), "\x00<NULL>\x00").astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails, passes = [], []
@@ -60,13 +63,29 @@ for name, sql in sorted(oracle.items()):
 print(f"PASS {len(passes)}: {' '.join(passes)}")
 for n, m in fails:
     print(f"FAIL {n}: {m}")
-# rows-only queries: just check rows>0
-for d in sorted(glob.glob(f"{out_dir}/q*")):
-    name = os.path.basename(d)
-    if name in oracle or not os.path.isdir(d): continue
+# rows-only queries: rows>0 is the gate, and their failures COUNT.
+# Iterate the attempted-query manifest (queries.json), not the output
+# directories: Verify clears each target before running, so a rows-only
+# query that threw leaves no directory at all — globbing would skip it
+# silently and exit 0 on a completely broken query.
+manifest = f"{out_dir}/queries.json"
+if os.path.exists(manifest):
+    rows_only = [n for n in json.load(open(manifest)) if n not in oracle]
+else:  # older dumps: fall back to whatever directories exist
+    rows_only = [os.path.basename(d) for d in sorted(glob.glob(f"{out_dir}/q*"))
+                 if os.path.isdir(d) and os.path.basename(d) not in oracle]
+for name in sorted(rows_only):
+    d = f"{out_dir}/{name}"
+    if not os.path.isdir(d):
+        fails.append((name, "no output written (query failed in Verify)"))
+        print(f"ROWS-ONLY {name}: *** MISSING *** (query failed in Verify)")
+        continue
     try:
         n = len(pd.read_parquet(d))
         print(f"ROWS-ONLY {name}: rows={n}{' *** EMPTY ***' if n == 0 else ''}")
+        if n == 0:
+            fails.append((name, "0 rows"))
     except Exception as e:
         print(f"ROWS-ONLY {name}: read error {e}")
+        fails.append((name, f"read error: {e}"))
 sys.exit(1 if fails else 0)
