@@ -62,7 +62,14 @@ object Contamination {
     // result is lazy (callers compose; PlanGuard inspects the plan), so
     // each call releases the PREVIOUS call's cache instead — bounding a
     // long-lived session at one cached candidate frame (the last one
-    // falls to ContextCleaner when its plan is GC'd)
+    // falls to ContextCleaner when its plan is GC'd).
+    // CONTRACT: one ACTIVE result at a time. Because the release is
+    // call-time and results are lazy, interleaving two unconsumed calls
+    // (a = ngramOverlap(...); b = ngramOverlap(...); a.union(b).write)
+    // silently strips `a`'s cache and recomputes its candidate subtree
+    // — correct answers, but an extra full-corpus pass. Consume (or
+    // persist) each result before the next call; the same contract as
+    // Dedup.duplicatedSpanStats's lastSpanCache.
     Option(lastCandidateCache.getAndSet(candidate)).foreach(_.unpersist(blocking = false))
     val keptGrams = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("g")

@@ -166,6 +166,35 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decompression-bomb cap: declared pixel count above which a payload
+    * is treated as a bad record instead of decoded. A few-KB valid PNG
+    * declaring 60000×60000 would make ImageIO allocate a ~14 GB raster
+    * — an OutOfMemoryError, which is FATAL (not matched by NonFatal),
+    * so the null-row catch never sees it and one hostile record kills
+    * the stage through all its retries. Readers expose the declared
+    * dimensions before full decode; 2^24 px (≈64 MB ARGB raster) is far
+    * above any legitimate thumbnail-scale payload here and keeps the
+    * worst-case per-row allocation bounded. */
+  private val MaxDecodePixels = 1L << 24
+
+  /** ImageIO decode with the dimension check BEFORE pixel allocation;
+    * null for undecodable/oversized payloads (bad-record contract). */
+  private def boundedImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** The read-side codec: ImageIO-decode each payload and extract pixel
     * statistics (width/height/per-channel means), plus the IHDR
     * dimensions parsed straight from the raw bytes (the PNG spec fixes
@@ -190,7 +219,7 @@ object Multimodal {
           // a crafted header) — those are bad records too.
           val img =
             if (bytes == null || bytes.length < 24) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            else try boundedImageRead(bytes)
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(r.getLong(0), null, null, null, null, null, null, null)
           else {
@@ -214,7 +243,7 @@ object Multimodal {
               }
               y += 1
             }
-            val n = (w * h).toDouble
+            val n = (w.toLong * h).toDouble
             Row(r.getLong(0), headerW, headerH, w, h, sr / n, sg / n, sb / n)
           }
         }
@@ -286,12 +315,16 @@ object Multimodal {
     def fmtSampleRate(b: Array[Byte]): Integer = {
       if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
         || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
-      var off = 12
+      // the walk offset is a LONG: a hostile chunk size near
+      // Int.MaxValue would wrap an int offset negative, keep the loop
+      // condition true, and throw an uncaught AIOOBE from b(off) —
+      // outside any per-record catch, killing the task on one record
+      var off = 12L
       while (off + 8 <= b.length) {
-        val size = le32(b, off + 4)
-        if (size < 0) return null
-        if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ')
-          return if (off + 16 <= b.length) Integer.valueOf(le32(b, off + 12)) else null
+        val size = le32(b, off.toInt + 4).toLong & 0xFFFFFFFFL // RIFF sizes are unsigned
+        if (b(off.toInt) == 'f' && b(off.toInt + 1) == 'm'
+          && b(off.toInt + 2) == 't' && b(off.toInt + 3) == ' ')
+          return if (off + 16 <= b.length) Integer.valueOf(le32(b, off.toInt + 12)) else null
         off += 8 + size + (size & 1) // chunks pad to even length
       }
       null
@@ -432,7 +465,7 @@ object Multimodal {
             else if (f % stride == 0) {
               val frame = new Array[Byte](frameLen)
               in.readFully(frame)
-              val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+              val img = try boundedImageRead(frame)
                         catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) out += Row(id, f, null, null, null, null, null)
               else {
@@ -448,7 +481,7 @@ object Multimodal {
                 }
                 y += 1
               }
-              val n = (w * h).toDouble
+              val n = (w.toLong * h).toDouble
               out += Row(id, f, w, h, sr / n, sg / n, sb / n)
               }
             } else {

@@ -132,6 +132,14 @@ object Sampling {
     // executor tasks; negative → negative shard ids colliding with the
     // previous salt stream's id space. Reject at the call site.
     require(budget > 0, s"shard weight budget must be positive, got $budget")
+    // graft-prefixed + guarded working columns (the leakageFreeSplit /
+    // sessionize convention): bare `_salt`/`_cum` would silently
+    // REPLACE same-named input columns (an upstream salting stage's
+    // output, say) and then drop() would delete the user's data
+    val saltCol = "__graft_pack_salt"
+    val cumCol = "__graft_pack_cum"
+    for (c <- Seq(saltCol, cumCol))
+      require(!df.columns.contains(c), s"input must not carry the $c working column")
     val p =
       if (parallelism > 0) parallelism
       else {
@@ -140,20 +148,27 @@ object Sampling {
         val bySize = ((bytes + perStream - 1) / perStream).min(BigInt(1 << 20)).toInt
         math.max(df.sparkSession.sparkContext.defaultParallelism, bySize)
       }
-    val w = Window.partitionBy(col("_salt")).orderBy(col(idCol))
+    // explicit ROWS frame: the default frame is RANGE, under which rows
+    // TIED on idCol share one inclusive cumsum — two 600-weight docs
+    // with the same id under a 1000 budget would both read cum=1200 and
+    // land (overfull) in the same shard. ROWS gives each row its own
+    // running prefix regardless of ties (identical when idCol is
+    // unique, which nothing here enforces).
+    val w = Window.partitionBy(col(saltCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null weight = unweighted doc (weighs 0): the window sum SKIPS
-    // nulls, but `_cum - weight` would go null and the row would fall
+    // nulls, but `cum - weight` would go null and the row would fall
     // out of every shard silently — coalesce keeps it packed
     val weight = coalesce(col(weightCol), lit(0L))
-    df.withColumn("_salt", pmod(col(idCol), lit(p)))
-      .withColumn("_cum", sum(weight).over(w))
+    df.withColumn(saltCol, pmod(col(idCol), lit(p)))
+      .withColumn(cumCol, sum(weight).over(w))
       .withColumn(outCol,
         // 2^40 shard ids per salt stream: a 10^6 namespace would wrap
         // into the next stream once a stream packs >10^6 shards (small
         // budgets), silently merging shards across streams. 2^20 salts
         // × 2^40 shards stays inside a long.
-        (col("_salt") * lit(1L << 40) +
-          floor((col("_cum") - weight).cast("double") / budget)).cast("long"))
-      .drop("_salt", "_cum")
+        (col(saltCol) * lit(1L << 40) +
+          floor((col(cumCol) - weight).cast("double") / budget)).cast("long"))
+      .drop(saltCol, cumCol)
   }
 }

@@ -26,6 +26,10 @@ object Sketches {
                       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // fail at the call site (the sibling operators' convention): k <= 0
+    // would otherwise pay the FULL sketch pass before limit(-1) throws
+    // (or k=0 silently returns an empty report)
+    require(k >= 1, s"heavy-hitter count k must be >= 1, got $k")
     // nulls: the CMS builder skips them but groupBy reports the null
     // group, and sketch.estimateCount(null) throws on the driver —
     // exclude them consistently (the report covers non-null keys; the

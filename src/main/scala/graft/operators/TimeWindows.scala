@@ -47,12 +47,24 @@ object TimeWindows {
     // advance 0 must name the bad parameter, not leak an
     // ArithmeticException from the modulo in the next check
     require(advanceSeconds > 0, s"window advance must be positive, got $advanceSeconds")
+    // size 0 (or a negative multiple of advance) passes the modulo check
+    // but builds sequence(start, stop, step) with start > stop — a
+    // per-row "Illegal sequence boundaries" deep in executor tasks, the
+    // exact failure tumbling() rejects at the call site
+    require(sizeSeconds > 0, s"window size must be positive, got $sizeSeconds")
     require(sizeSeconds % advanceSeconds == 0, "window size must be a multiple of advance")
     require(aggs.nonEmpty, "sliding needs at least one aggregate expression")
     val lastStart = (floor(unix_timestamp(col(tsCol)) / advanceSeconds) * advanceSeconds).cast("long")
     // covering starts: lastStart, lastStart-advance, ... (n of them).
     // Negative starts are legitimate (pre-1970 events) — filtering them
-    // would silently drop those events and diverge from tumbling()
+    // would silently drop those events and diverge from tumbling().
+    // NULL timestamps: explode(null sequence) emits no rows, so a
+    // null-ts event vanishes here while tumbling() keeps it as a
+    // null-window group — a KNOWN asymmetry, mirrored exactly by the
+    // oracles (DuckDB's unnest(generate_series(NULL…)) also emits
+    // nothing while GROUP BY null keeps the group), so each operator
+    // stays engine-replayable; event-time windows over null timestamps
+    // are meaningless either way.
     val starts = sequence(lastStart - lit(sizeSeconds - advanceSeconds), lastStart, lit(advanceSeconds))
     df.withColumn("window_start", explode(starts))
       .groupBy(col("window_start") +: keys: _*)

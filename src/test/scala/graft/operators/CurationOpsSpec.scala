@@ -128,6 +128,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     val out = Sampling.leakageFreeSplit(dfc, "id", prs)
     assert(out.columns.count(_ == "cluster_id") == 1) // user's column intact
     assert(out.select("split").distinct().count() == 1) // pair moves as one unit
+    // packIntoShards refuses inputs carrying its working columns instead
+    // of silently overwriting (and then deleting) the user's data
+    val packClash = Seq((1L, 10L, 0L)).toDF("id", "w", "__graft_pack_salt")
+    assert(intercept[IllegalArgumentException](
+      Sampling.packIntoShards(packClash, "id", "w", budget = 100L, parallelism = 1))
+      .getMessage.contains("working column"))
+    // heavy-hitter k is validated before the sketch pass runs
+    assert(intercept[IllegalArgumentException](
+      Sketches.cmsHeavyHitters(docs, "id", k = 0)).getMessage.contains("k"))
+  }
+
+  test("packIntoShards: rows tied on idCol pack by ROWS frame, not one shared RANGE cumsum") {
+    import spark.implicits._
+    // three 600-weight docs with the SAME id under a 1000 budget: the
+    // default RANGE frame gives all three one inclusive cumsum (1800),
+    // packing all into one overfull shard and skipping shard 0; the
+    // explicit ROWS frame gives each row its own running prefix
+    // (0/600/1200 exclusive) → shards {0, 0, 1}, next-fit bound intact
+    val tied = Seq((7L, 600L), (7L, 600L), (7L, 600L)).toDF("id", "w")
+    val shards = Sampling.packIntoShards(tied, "id", "w", budget = 1000L, parallelism = 1)
+      .groupBy("shard_id").agg(sum("w").as("tot")).collect()
+      .map(r => r.getAs[Long]("shard_id") -> r.getAs[Long]("tot")).toMap
+    assert(shards == Map(0L -> 1200L, 1L -> 600L), shards.toString)
   }
 
   test("packIntoShards auto-sizes its salt-stream count from plan stats") {

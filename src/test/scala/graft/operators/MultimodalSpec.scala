@@ -178,6 +178,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.isNullAt(out.fieldIndex("header_w")) && out.isNullAt(out.fieldIndex("header_h")))
   }
 
+  test("decompression-bomb PNG (huge declared dims, tiny file) yields a null row, not an OOM") {
+    import org.apache.spark.sql.types._
+    // take a real synthesized PNG and rewrite its IHDR to declare
+    // 60000x60000 (a ~14 GB ARGB raster), recomputing the IHDR CRC so
+    // the reader trusts the header: without the pre-decode dimension
+    // gate, ImageIO.read attempts the allocation and the task dies with
+    // a FATAL OutOfMemoryError that no NonFatal catch can see
+    val bomb = Multimodal.synthPng(1L, 50L).clone()
+    def be32(v: Int, off: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    be32(60000, 16); be32(60000, 20) // IHDR width/height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type "IHDR" + 13 data bytes
+    be32(crc.getValue.toInt, 29)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, bomb)), schema)
+    val r = Multimodal.decodeImageFeatures(media).collect().head
+    assert(r.getAs[Long]("media_id") == 9L)
+    assert(r.isNullAt(r.fieldIndex("width_px")), "bomb must decode to a null-feature row")
+
+    // hostile RIFF container: a chunk size near Int.MaxValue must not
+    // wrap the chunk-walk offset into an uncaught AIOOBE
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("RIFF".getBytes); riff.write(Array[Byte](36, 0, 0, 0))
+    riff.write("WAVE".getBytes); riff.write("JUNK".getBytes)
+    riff.write(Array[Byte](-16, -1, -1, 127)) // le32 = 0x7FFFFFF0
+    riff.write(new Array[Byte](64))
+    val audio = Multimodal.decodeAudioFeatures(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(8L, riff.toByteArray)), schema))
+      .collect().head
+    assert(audio.isNullAt(audio.fieldIndex("rate_hz")))
+  }
+
   test("real codecs survive null and corrupt payloads (one bad record must not kill the stage)") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -57,6 +57,12 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
       TimeWindows.tumbling(df, "ts", 0L, Seq(col("k")), aggs)).getMessage.contains("size"))
     assert(intercept[IllegalArgumentException](
       TimeWindows.sliding(df, "ts", 600L, 0L, Seq(col("k")), aggs)).getMessage.contains("advance"))
+    // size 0 / negative multiples pass the modulo check but would build
+    // an illegal per-row sequence deep in executor tasks
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(df, "ts", 0L, 300L, Seq(col("k")), aggs)).getMessage.contains("size"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(df, "ts", -600L, 300L, Seq(col("k")), aggs)).getMessage.contains("size"))
     assert(intercept[IllegalArgumentException](
       TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")), Seq.empty)).getMessage.contains("aggregate"))
     assert(intercept[IllegalArgumentException](
