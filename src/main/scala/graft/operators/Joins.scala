@@ -61,10 +61,20 @@ object Joins {
       case UseDefaults(defaults) =>
         val missing = defaults.keySet.filterNot(dim.columns.contains)
         require(missing.isEmpty, s"UseDefaults names non-table columns: ${missing.mkString(", ")}")
-        val joined = fact.join(broadcast(dim), cond, "left_outer")
+        // a defaulted name also present on the stream side would make
+        // col(c) ambiguous at runtime — reject up front
+        val clash = defaults.keySet.filter(fact.columns.contains)
+        require(clash.isEmpty,
+          s"UseDefaults columns also exist on the stream side: ${clash.mkString(", ")}")
+        // defaults apply ONLY when the lookup found no table row — a
+        // matched row whose dim value is genuinely NULL keeps its NULL
+        // (coalesce cannot tell the two apart), so route through the
+        // same match marker the FailFast branch uses
+        val marked = dim.withColumn("__graft_matched", lit(true))
+        val joined = fact.join(broadcast(marked), cond, "left_outer")
         defaults.foldLeft(joined) { case (d, (c, v)) =>
-          d.withColumn(c, coalesce(col(c), lit(v)))
-        }
+          d.withColumn(c, when(col("__graft_matched").isNull, lit(v)).otherwise(col(c)))
+        }.drop("__graft_matched")
       case FailFast =>
         // left join + a match marker asserted in a FILTER: an unmatched
         // record raises AT EXECUTION with a named error. The assert must
@@ -125,7 +135,21 @@ object Joins {
     // kept enrichment row would follow shuffle order — different columns
     // on different reruns/cluster layouts. Break ties by a content hash
     // of the right row so the result is a pure function of the data.
-    val rightTieBreak = xxhash64(right.columns.filterNot(_ == key).map(right(_)): _*)
+    // Hash only hash-supported types: a map column anywhere in the row
+    // would fail analysis (hash over MapType is rejected), and the join
+    // must not crash because the reference table carries an attributes
+    // map. Rows differing ONLY in unhashable columns still tie — there
+    // is nothing deterministic left to order them by.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val tieCols = right.schema.fields
+      .filter(f => f.name != key && hashable(f.dataType)).map(f => right(f.name))
+    val rightTieBreak = if (tieCols.nonEmpty) xxhash64(tieCols.toSeq: _*) else lit(0L)
     val w = Window.partitionBy(left(leftId))
       .orderBy(right(rightTs).desc_nulls_last, rightTieBreak.asc)
     cand.withColumn("_rk", row_number().over(w))

@@ -1,0 +1,30 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Last-call persist slot for an operator whose plan fans out to several
+  * consumers of one expensive subtree (signature/sketch kernels feeding
+  * bucket counts AND both sides of the capped self-join — without a
+  * materialization point the kernel pass runs once PER consumer, and at
+  * 100 TB the signature computation is the dominant cost of the whole
+  * dedup pass).
+  *
+  * The operator result is lazy, so there is no in-function point to
+  * unpersist at; instead each call releases the PREVIOUS call's cache
+  * (the CTAS-registry pattern, same as Dedup.duplicatedSpanStats),
+  * bounding a long-lived session at one cached frame per slot. The
+  * final cache is reclaimed by ContextCleaner when its plan is GC'd.
+  * `unpersist(blocking = false)` on a frame still being consumed is
+  * safe — Spark recomputes evicted partitions.
+  */
+private[operators] final class LastCallCache {
+  private val ref = new AtomicReference[DataFrame](null)
+  def apply(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    Option(ref.getAndSet(p)).foreach(_.unpersist(blocking = false))
+    p
+  }
+}

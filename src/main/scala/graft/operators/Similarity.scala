@@ -26,6 +26,10 @@ import graft.functions.GraftKernels
   */
 object Similarity {
 
+  // one last-call persist slot per LSH-family operator (see LastCallCache)
+  private val embedSkCache = new LastCallCache
+  private val lshCorpusSkCache = new LastCallCache
+
   /** cosine(a, b); arrays are array<float> (`floatElems=false` for
     * array<double>). Native kernel — single fused loop per pair. */
   def cosine(a: Column, b: Column, floatElems: Boolean = true): Column =
@@ -138,9 +142,18 @@ object Similarity {
     // and the hot-bucket cap silently drops the whole corpus
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     val numBits = numBands * bandBits
+    // fail HERE with the caller's own parameters — numBits > 64 would
+    // otherwise surface as signSketch's internal [1, 64] gate, naming an
+    // argument the caller never passed
+    require(numBits <= 64,
+      s"numBands * bandBits must be <= 64 (a long's width), got $numBands * $bandBits = $numBits")
     def banded(df: DataFrame, id: String, v: String, probe: Boolean) = {
-      val sk = df.select(col(idCol).as(id), col(vecCol).as(v),
+      val sk0 = df.select(col(idCol).as(id), col(vecCol).as(v),
         signSketch(col(vecCol), numBits, dim).as("sk"))
+      // corpus side feeds bucket counts AND the capped join — persist so
+      // the sketch pass over the full corpus runs once, not per consumer
+      // (query side has a single consumer; leave it lazy)
+      val sk = if (probe) sk0 else lshCorpusSkCache(sk0)
       val mask = (1L << bandBits) - 1
       // probe offsets: the bucket itself, plus (query side only, when
       // multi-probing) every single-bit flip of the band's chunk
@@ -184,6 +197,9 @@ object Similarity {
     */
   def exactCosineSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,
                           minCos: Double, blocks: Int = 16): DataFrame = {
+    // blocks <= 0 would yield an empty cell grid and a null blk (pmod by
+    // 0) — a silently EMPTY "exact baseline", the worst failure mode
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -394,8 +410,11 @@ object Similarity {
     // < 64: (1L << 64) wraps to 1, mask 0, every chunk → bucket 0
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     val mask = (1L << bandBits) - 1
-    val sk = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signSketch(col(vecCol), numBits, dim).as("sk"))
+    // persisted: the banded frame feeds bucket counts AND both self-join
+    // sides — uncached, the sketch pass (and the vector scan under it)
+    // runs once per consumer over the full corpus
+    val sk = embedSkCache(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signSketch(col(vecCol), numBits, dim).as("sk")))
     val banded = sk.select(col("id"), col("v"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),

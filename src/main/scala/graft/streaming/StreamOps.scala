@@ -77,7 +77,20 @@ object StreamOps {
     * Scale: state per key is O(n) values; keys shard across executors by
     * the groupBy shuffle — no global state, no driver involvement.
     */
-  /** `stateTtlMs`: idle-key state eviction. NoTimeout retains a ring
+  /** ORDERING CONTRACT: the buffer appends in ARRIVAL order — the
+    * reference's semantics exactly (its ring buffer fills in Kafka
+    * per-partition delivery order; it performs no event-time or ord
+    * reordering either, window_functions.rs). The per-micro-batch `ord`
+    * sort below is a NORMALIZATION, not a reorder guarantee: within one
+    * trigger flatMapGroupsWithState interleaves partitions arbitrarily,
+    * so the sort restores the source order a single-partition Kafka
+    * topic would have delivered. ACROSS triggers no such repair exists —
+    * an event whose ord precedes already-buffered events still appends
+    * at the head of its own batch (matching what the reference does when
+    * a producer delivers late), so sources feeding this operator should
+    * deliver per-key in ord order, as a keyed Kafka topic does.
+    *
+    * `stateTtlMs`: idle-key state eviction. NoTimeout retains a ring
     * buffer for EVERY key ever seen — unbounded state on an unbounded
     * key space (session ids, request ids); with a TTL, a key whose
     * events stop arriving has its buffer removed after the duration

@@ -144,6 +144,23 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.ngramJaccard(pairs, docs, "text", "doc_id").count() == 0)
   }
 
+  test("exact dedup: null-text docs stay singletons, not one merged cluster") {
+    import spark.implicits._
+    // md5(NULL) = NULL would group every null-text doc into ONE cluster
+    // (keep_id = min id) — a keep-one pass would then drop two unrelated
+    // documents. Each null doc must form its own singleton group.
+    val docs = Seq((1L, "same text"), (2L, "same text"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ex = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(ex == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val kb = Dedup.exactKeepBest(docs, "text", "doc_id",
+      org.apache.spark.sql.functions.col("doc_id").cast("double")).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(kb == Map(2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("clusterPairs rejects zero checkpoint cadence and non-positive iteration caps") {
     import spark.implicits._
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

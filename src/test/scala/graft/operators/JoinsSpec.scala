@@ -100,4 +100,35 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     val ok = Joins.streamTableDegraded(fact.filter(col("k") < 3), dim, cond, FailFast)
     assert(ok.count() == 2)
   }
+
+  test("UseDefaults fills only UNMATCHED records — a matched row's genuine NULL survives") {
+    import Joins.MissingDataStrategy._
+    import spark.implicits._
+    val fact = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    // k=2 matches but its tier is genuinely NULL in the table — defaults
+    // must not overwrite real table data, only absent lookups (k=3)
+    val dim = Seq((1L, Some("gold")), (2L, None)).toDF("dk", "tier")
+    val cond = col("k") === col("dk")
+    val out = Joins.streamTableDegraded(fact, dim, cond, UseDefaults(Map("tier" -> "unrated")))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> None, 3L -> Some("unrated")))
+    // a defaulted name that also exists on the stream side would be
+    // ambiguous at runtime — rejected at the call site
+    intercept[IllegalArgumentException] {
+      Joins.streamTableDegraded(fact, dim.withColumnRenamed("tier", "v"), cond,
+        UseDefaults(Map("v" -> 0.0)))
+    }
+  }
+
+  test("asOf tolerates unhashable (map) right columns in the tie-break") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", 100L)).toDF("trade_id", "sym", "t_ts")
+      .withColumn("t_ts", col("t_ts").cast("timestamp"))
+    val quotes = Seq(("A", 90L, 1.0), ("A", 95L, 2.0)).toDF("sym", "q_ts", "px")
+      .withColumn("q_ts", col("q_ts").cast("timestamp"))
+      .withColumn("attrs", map(lit("venue"), lit("X"))) // MapType: hash() rejects it
+    val out = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
+      toleranceSeconds = 60, leftId = "trade_id").collect()
+    assert(out.length == 1 && out.head.getAs[Double]("px") == 2.0)
+  }
 }

@@ -320,6 +320,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](
       Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", dim,
         numBands = 1, bandBits = 64))
+    // the combined width gate fails with the CALLER's parameters, not
+    // signSketch's internal numBits message
+    val wide = intercept[IllegalArgumentException](
+      Similarity.lshTopK(corpus, corpus.where(col("vec_id") < 2), "vec_id", "embedding",
+        3, dim, numBands = 16, bandBits = 6))
+    assert(wide.getMessage.contains("numBands * bandBits"))
+    // blocks <= 0 must fail loudly, not return a silently empty
+    // "exact baseline"
+    intercept[IllegalArgumentException](
+      Similarity.exactCosineSelfJoin(corpus, "vec_id", "embedding", 0.9, blocks = 0))
   }
 
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
