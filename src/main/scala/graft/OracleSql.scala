@@ -69,6 +69,54 @@ object OracleSql {
         generate_series(1, greatest(len($ws) - ${k - 1}, 1)),
         i -> array_to_string($ws[i:i+${k - 1}], ' ')))"""
 
+  /** The exact-dedup family's 128-bit content key — mirrors
+    * Dedup.contentHash: a NULL text is the absence of content, so each
+    * null doc gets its own id-salted group (NUL-separated salt, same
+    * cross-collision semantics as the Spark side) instead of SQL's
+    * all-NULLs-in-one-group default. The ONE copy for q23/q56. */
+  private val contentKey =
+    s"""CASE WHEN text IS NULL
+          THEN md5('graft' || chr(0) || 'null' || chr(0) || CAST(doc_id AS VARCHAR))
+          ELSE md5($normText) END"""
+
+  /** Language-detection CASE over the four `s_xx` scores — mirrors
+    * TextAnalysis.langId's tie-break order AND its null/empty rule
+    * (`when(best > 0)` is false for NULL scores → 'und'; SQL's bare
+    * `greatest(...) = 0` would be NULL for a NULL-text doc and fall
+    * through to 'de'). The ONE copy for q29/q60. */
+  private val detectedCase =
+    """CASE WHEN COALESCE(greatest(s_de, s_en, s_es, s_fr), 0) = 0 THEN 'und'
+         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de' END"""
+
+  /** Exact-jaccard(≥0.8) near-dup closure CTE chain over a shingle CTE
+    * `sh(doc_id, s)` — pairs, symmetric edges, transitive reach. The
+    * ONE copy of the closure rule (q57/q69/q60 splice this fragment;
+    * a verbatim copy would silently drift on a future threshold fix). */
+  private val closureCtes =
+    """p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION SELECT id_b, id_a FROM p),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"""
+
+  /** md5-prefix train/val/test CASE over an id expression — the ONE
+    * copy of the split-threshold rule (q62/q69). round(0.8*65536)=
+    * 52429=0xcccd, round(0.9*65536)=58982=0xe666. */
+  private def splitCase(idExpr: String): String =
+    s"""CASE WHEN substr(md5('graft:' || CAST($idExpr AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+         WHEN substr(md5('graft:' || CAST($idExpr AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END"""
+
   private val base: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -274,7 +322,7 @@ object OracleSql {
 
     "q23_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
-         FROM documents GROUP BY $normText""",
+         FROM documents GROUP BY $contentKey""",
 
     "q24_dedup_minhash" ->
       s"""WITH sh AS (
@@ -289,10 +337,13 @@ object OracleSql {
            CAST(inter AS DOUBLE) / uni AS jaccard
          FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8""",
 
+    // null-text docs are filtered BEFORE pairing (as ngramJaccard's
+    // text-IS-NOT-NULL join does) — a (k, k+1) pair touching a null doc
+    // vanishes rather than surfacing NULL jaccard columns
     "q26_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS shingles
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.shingles AS sa, b.shingles AS sb
@@ -326,12 +377,7 @@ object OracleSql {
          s AS (SELECT doc_id, lang,
            ${langScore("de")} AS s_de, ${langScore("en")} AS s_en,
            ${langScore("es")} AS s_es, ${langScore("fr")} AS s_fr FROM t)
-         SELECT doc_id, lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-                WHEN s_en >= s_de THEN 'en'
-                ELSE 'de' END AS detected
+         SELECT doc_id, lang, $detectedCase AS detected
          FROM s"""
     },
 
@@ -413,9 +459,12 @@ object OracleSql {
     // boolean the oracle expects uniformly TRUE (the q21 HLL pattern)
     // NB: tie-break must order by the NUMERIC id — casting in the same
     // scope would shadow user_id with the VARCHAR alias ('132' < '15')
+    // null keys excluded, as cmsHeavyHitters' isNotNull filter does —
+    // SQL's GROUP BY would otherwise count NULL as a key and surface it
     "q61_heavy_hitters" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id, n, TRUE AS est_ok
          FROM (SELECT user_id, COUNT(*) AS n FROM events
+               WHERE user_id IS NOT NULL
                GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20)""",
 
     // q62/q63: md5-prefix splitting/sampling — DuckDB recomputes the
@@ -423,11 +472,8 @@ object OracleSql {
     // round(0.8*65536)=52429=0xcccd, round(0.9*65536)=58982=0xe666,
     // round(0.2*65536)=13107=0x3333.
     "q62_train_split" ->
-      """SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM (SELECT lang, n_chars,
-                 CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-                      WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-                      ELSE 'test' END AS split
+      s"""SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT lang, n_chars, ${splitCase("doc_id")} AS split
                FROM documents) t
          GROUP BY split, lang""",
 
@@ -502,34 +548,23 @@ object OracleSql {
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
            FROM documents),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM p
-           UNION SELECT id_b, id_a FROM p),
-         reach(u, v) AS (
-           SELECT u, v FROM edges
-           UNION
-           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         $closureCtes,
          labels AS (
            SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
            FROM reach GROUP BY u),
          rep AS (
            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep_id
            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
-         SELECT doc_id,
-           CASE WHEN substr(md5('graft:' || CAST(rep_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-                WHEN substr(md5('graft:' || CAST(rep_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-                ELSE 'test' END AS split
+         SELECT doc_id, ${splitCase("rep_id")} AS split
          FROM rep""",
 
+    // explicit ROWS frame: packIntoShards pins ROWS (not SQL's default
+    // RANGE) so tied order keys each get their own running prefix
     "q68_shard_pack" ->
       """WITH t AS (SELECT doc_id, n_chars, doc_id % 32 AS salt FROM documents),
          c AS (SELECT doc_id, n_chars, salt,
-                 SUM(n_chars) OVER (PARTITION BY salt ORDER BY doc_id) AS cum FROM t),
+                 SUM(n_chars) OVER (PARTITION BY salt ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
          a AS (SELECT doc_id, n_chars,
                  CAST(salt * 1099511627776 + FLOOR(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT) AS shard_id
                FROM c)
@@ -554,11 +589,7 @@ object OracleSql {
            ${langScore("es")} AS s_es, ${langScore("fr")} AS s_fr FROM t),
          gated AS (
            SELECT doc_id, lang, n_chars, norm, ws,
-             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-                  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-                  WHEN s_en >= s_de THEN 'en'
-                  ELSE 'de' END AS detected
+             $detectedCase AS detected
            FROM det),
          g AS (SELECT * FROM gated
                WHERE detected = lang AND len(list_filter(ws, w -> w <> '')) >= 5),
@@ -571,18 +602,7 @@ object OracleSql {
          sh AS (
            SELECT doc_id, ${shinglesOf("ws", 3)} AS s
            FROM uniq),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM p
-           UNION SELECT id_b, id_a FROM p),
-         reach(u, v) AS (
-           SELECT u, v FROM edges
-           UNION
-           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         $closureCtes,
          dropped AS (
            SELECT u AS doc_id FROM reach GROUP BY u
            HAVING LEAST(u, MIN(v)) <> u)
@@ -808,9 +828,9 @@ object OracleSql {
     "q56_dedup_keep_best" ->
       s"""SELECT doc_id AS keep_id, dup_count FROM (
            SELECT doc_id,
-             ROW_NUMBER() OVER (PARTITION BY $normText
+             ROW_NUMBER() OVER (PARTITION BY $contentKey
                                 ORDER BY n_chars DESC, doc_id ASC) AS rn,
-             COUNT(*) OVER (PARTITION BY $normText) AS dup_count
+             COUNT(*) OVER (PARTITION BY $contentKey) AS dup_count
            FROM documents)
          WHERE rn = 1""",
 
@@ -818,18 +838,7 @@ object OracleSql {
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
            FROM documents),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM p
-           UNION SELECT id_b, id_a FROM p),
-         reach(u, v) AS (
-           SELECT u, v FROM edges
-           UNION
-           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         $closureCtes
          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
          FROM reach GROUP BY u""",
 
