@@ -88,9 +88,18 @@ object GraftKernels {
     * centroids are a flattened nCentroids×dim literal (IVF coarse
     * quantizer). */
   def nearestCentroidsCol(vec: Column, centroidsFlat: Array[Double], nCentroids: Int,
-                          dim: Int, nprobe: Int, floatElems: Boolean): Column =
+                          dim: Int, nprobe: Int, floatElems: Boolean): Column = {
+    // same plan-build rejection pattern as signSketchCol: a centroid
+    // array from a quantizer trained at a different dim would AIOOBE
+    // deep inside executor tasks; nprobe <= 0 would silently probe zero
+    // cells (empty ANN results, no error anywhere)
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(centroidsFlat.length == nCentroids * dim,
+      s"centroidsFlat has ${centroidsFlat.length} values, expected nCentroids*dim = ${nCentroids * dim}")
     invoke(ArrayType(IntegerType, containsNull = false), "nearestCentroids",
       vec, typedLit(centroidsFlat.toSeq), lit(nCentroids), lit(dim), lit(nprobe), lit(floatElems))
+  }
 
   /** Register the kernels as SQL functions so dialect / spark.sql text
     * can call them directly: SIMHASH(text), FINGERPRINT(text),
@@ -99,20 +108,30 @@ object GraftKernels {
   def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    def reg(name: String, rt: DataType, method: String): Unit =
+    // inputTypes are DECLARED (InvokeLike mixes in ImplicitCastInputTypes)
+    // so analysis coerces or rejects: without them, e.g. COSINE_SIM over
+    // array<double> would read 4-byte floats on an 8-byte UnsafeArrayData
+    // stride — silently garbage scores — and a bigint shingle k would
+    // ClassCastException mid-job instead of failing at plan time
+    def reg(name: String, rt: DataType, method: String,
+            inTypes: Seq[DataType]): Unit =
       registry.createOrReplaceTempFunction(name,
         args => StaticInvoke(GraftKernels.getClass, rt, method, args.toSeq,
-          inputTypes = Nil, propagateNull = true, returnNullable = false),
+          inputTypes = inTypes, propagateNull = true, returnNullable = false),
         "scala_udf")
-    reg("simhash", LongType, "simhash")
-    reg("fingerprint", LongType, "fingerprint")
-    reg("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig")
-    reg("shingles", ArrayType(StringType, containsNull = false), "shingles")
-    // COSINE_SIM(a, b) over array<float> embeddings (the corpus type)
+    reg("simhash", LongType, "simhash", Seq(StringType))
+    reg("fingerprint", LongType, "fingerprint", Seq(StringType))
+    reg("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig",
+      Seq(StringType, IntegerType, IntegerType))
+    reg("shingles", ArrayType(StringType, containsNull = false), "shingles",
+      Seq(StringType, IntegerType))
+    // COSINE_SIM(a, b) over array<float> embeddings (the corpus type);
+    // array<double> input is implicitly cast to array<float> at analysis
     registry.createOrReplaceTempFunction("cosine_sim",
       args => StaticInvoke(GraftKernels.getClass, DoubleType, "cosine",
         args.toSeq :+ org.apache.spark.sql.catalyst.expressions.Literal(true),
-        inputTypes = Nil, propagateNull = true, returnNullable = false),
+        inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType), BooleanType),
+        propagateNull = true, returnNullable = false),
       "scala_udf")
   }
 
@@ -208,12 +227,18 @@ object GraftKernels {
     new GenericArrayData(sig)
   }
 
-  def simhash(text: UTF8String): Long = {
-    val words = normWords(text)
+  /** The ONE voting/bit-assembly loop for both simhash variants — only
+    * the per-word hash differs (a fix to the vote or tie-break rule
+    * applied to one copy would silently desync the replayable and
+    * default fingerprints). The flag is a per-word branch, not a
+    * megamorphic call, so the xxhash hot path stays JIT-friendly. */
+  private def simhashOf(words: Array[String], md5Hash: Boolean): Long = {
     val votes = new Array[Int](64)
     var w = 0
     while (w < words.length) {
-      val h = XxHash64Function.hash(UTF8String.fromString(words(w)), StringType, 42L)
+      val h =
+        if (md5Hash) md5Lower64(words(w))
+        else XxHash64Function.hash(UTF8String.fromString(words(w)), StringType, 42L)
       var i = 0
       while (i < 64) {
         if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -226,6 +251,8 @@ object GraftKernels {
     while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
     out
   }
+
+  def simhash(text: UTF8String): Long = simhashOf(normWords(text), md5Hash = false)
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -250,24 +277,7 @@ object GraftKernels {
     * hash differs. The replayable variant exists so the pair pipeline
     * can be oracled end-to-end by DuckDB; `simhash` (xxhash64, no md5
     * rounds) stays the performance default. */
-  def simhashMd5(text: UTF8String): Long = {
-    val words = normWords(text)
-    val votes = new Array[Int](64)
-    var w = 0
-    while (w < words.length) {
-      val h = md5Lower64(words(w))
-      var i = 0
-      while (i < 64) {
-        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
-      }
-      w += 1
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-    out
-  }
+  def simhashMd5(text: UTF8String): Long = simhashOf(normWords(text), md5Hash = true)
 
   def fingerprint(text: UTF8String): Long = {
     val normed = normText(text)
@@ -304,7 +314,15 @@ object GraftKernels {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else {
+      // a NaN/Inf ELEMENT slips past the zero-norm guard (na becomes NaN,
+      // NaN == 0.0 is false) — and a NaN cosine passes `cos >= minCos`
+      // under Spark's NaN-is-largest ordering, making the corrupt row a
+      // "near-duplicate" of its whole bucket. Pin non-finite to the same
+      // defined edge as the other corrupt shapes.
+      val res = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isFinite(res)) res else 0.0
+    }
   }
 
   def nearestCentroids(vec: ArrayData, centroidsFlat: ArrayData, nCentroids: Int,

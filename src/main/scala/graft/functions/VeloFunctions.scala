@@ -82,8 +82,12 @@ object VeloFunctions {
   // would pay a per-row format-then-parse string round-trip for the same value
   def veloFromUnixtime(epoch: Column): Column = timestamp_seconds(epoch)
   /** TUMBLE_START: epoch-aligned bucket start (seconds). */
-  def tumbleStart(ts: Column, sizeSeconds: Long): Column =
+  def tumbleStart(ts: Column, sizeSeconds: Long): Column = {
+    // size 0 would divide by zero → every row lands in one silent NULL
+    // bucket (non-ANSI) or throws mid-job (ANSI); reject at plan build
+    require(sizeSeconds >= 1, s"window size must be >= 1 second, got $sizeSeconds")
     (floor(unix_timestamp(ts) / sizeSeconds) * sizeSeconds).cast("long")
+  }
   def tumbleEnd(ts: Column, sizeSeconds: Long): Column =
     tumbleStart(ts, sizeSeconds) + lit(sizeSeconds)
 
@@ -111,21 +115,28 @@ object VeloFunctions {
   // The reference reads Kafka record headers (HEADER('k'), HAS_HEADER...).
   // Spark's kafka source exposes them as an array<struct<key,value>>; our
   // canonical in-DataFrame shape is a map<string,string> column `_headers`.
+  // A headerless record carries a NULL map (Spark's kafka source emits
+  // null headers; Serde.headersToMap propagates it) — map_filter/
+  // map_concat/map_contains_key all return NULL on a null map, which
+  // would silently drop the first stamp and make HAS_HEADER three-valued.
+  // Normalize to the empty map once, here and in the dialect rendering.
+  private def orEmpty(headers: Column): Column = coalesce(headers, map())
   def header(headers: Column, key: String): Column = element_at(headers, key)
   // contains_key, NOT value-isNotNull: a header present with a NULL
   // value (legal in Kafka) must report true — the reference checks key
   // presence, and the SQL dialect path already maps HAS_HEADER to
   // map_contains_key; the two API paths must agree
-  def hasHeader(headers: Column, key: String): Column = map_contains_key(headers, lit(key))
-  def headerKeys(headers: Column): Column = map_keys(headers)
+  def hasHeader(headers: Column, key: String): Column =
+    map_contains_key(orEmpty(headers), lit(key))
+  def headerKeys(headers: Column): Column = map_keys(orEmpty(headers))
   /** SET_HEADER is an UPSERT: the existing key is removed first —
     * map_concat alone throws DUPLICATE_MAP_KEY at runtime (Spark's
     * default mapKeyDedupPolicy=EXCEPTION) the moment the header is
     * already present, which is the normal re-stamp case. */
   def setHeader(headers: Column, key: String, value: Column): Column =
-    map_concat(map_filter(headers, (k, _) => k =!= key), map(lit(key), value))
+    map_concat(map_filter(orEmpty(headers), (k, _) => k =!= key), map(lit(key), value))
   def removeHeader(headers: Column, key: String): Column =
-    map_filter(headers, (k, _) => k =!= key)
+    map_filter(orEmpty(headers), (k, _) => k =!= key)
 
   // ---- Exact decimal (reference: ScaledInteger financial arithmetic) ----
   /** The reference stores money as scaled i128 for exact, fast arithmetic.

@@ -894,6 +894,14 @@ object VeloSqlParser {
     var i = 0
     def sym(s: String) = Tok(TSymbol, s)
     def id(s: String) = Tok(TIdent, s)
+    // coalesce(_headers, map()): a headerless record carries a NULL map,
+    // and map_filter/map_concat/map_contains_key all return NULL on it —
+    // the first SET_HEADER stamp would silently vanish and HAS_HEADER
+    // would go three-valued (same normalization as VeloFunctions.orEmpty)
+    def emitHeadersOrEmpty(buf: ArrayBuffer[Tok]): Unit = {
+      buf += id("coalesce") += sym("(") += id("_headers") += sym(",")
+      buf += id("map") += sym("(") += sym(")") += sym(")")
+    }
     def isCall(o: Int) = span.lift(o + 1).exists(t => t.kind == TSymbol && t.text == "(")
     // span of a balanced (...) starting at `open` (index of '('); returns index after ')'
     def closeParen(open: Int): Int = {
@@ -1174,13 +1182,17 @@ object VeloSqlParser {
             i = end
           case "HAS_HEADER" =>
             val (args, end) = callArgs(i + 1)
-            out += id("map_contains_key") += sym("(") += id("_headers") += sym(",")
+            out += id("map_contains_key") += sym("(")
+            emitHeadersOrEmpty(out)
+            out += sym(",")
             out ++= rewriteTokens(args.head, defaultTimeCol)
             out += sym(")")
             i = end
           case "HEADER_KEYS" =>
             val (_, end) = callArgs(i + 1)
-            out += id("map_keys") += sym("(") += id("_headers") += sym(")")
+            out += id("map_keys") += sym("(")
+            emitHeadersOrEmpty(out)
+            out += sym(")")
             i = end
           case "SET_HEADER" =>
             val (args, end) = callArgs(i + 1)
@@ -1192,7 +1204,9 @@ object VeloSqlParser {
             val k0 = rewriteTokens(args(0), defaultTimeCol)
             val v0 = rewriteTokens(args(1), defaultTimeCol)
             out += id("map_concat") += sym("(")
-            out += id("map_filter") += sym("(") += id("_headers") += sym(",") += sym("(")
+            out += id("map_filter") += sym("(")
+            emitHeadersOrEmpty(out)
+            out += sym(",") += sym("(")
             out += id("__hk") += sym(",") += id("__hv") += sym(")") += Tok(TSymbol, "->")
             out += id("__hk") += sym("!=")
             out ++= k0
@@ -1202,8 +1216,10 @@ object VeloSqlParser {
             i = end
           case "REMOVE_HEADER" =>
             val (args, end) = callArgs(i + 1)
-            // map_filter(_headers, (__hk, __hv) -> __hk != <key>)
-            out += id("map_filter") += sym("(") += id("_headers") += sym(",") += sym("(")
+            // map_filter(coalesce(_headers, map()), (__hk, __hv) -> __hk != <key>)
+            out += id("map_filter") += sym("(")
+            emitHeadersOrEmpty(out)
+            out += sym(",") += sym("(")
             out += id("__hk") += sym(",") += id("__hv") += sym(")") += Tok(TSymbol, "->")
             out += id("__hk") += sym("!=")
             out ++= rewriteTokens(args.head, defaultTimeCol)

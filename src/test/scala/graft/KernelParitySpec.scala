@@ -122,6 +122,50 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
     assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
   }
 
+  test("cosine pins corrupt rows to 0.0 — including NaN/Inf ELEMENTS") {
+    import spark.implicits._
+    // a NaN cosine would rank ABOVE every real score (Spark's NaN-is-
+    // largest ordering) and pass every `cos >= minCos` near-dup filter,
+    // so one corrupt row would "near-dup" its entire bucket
+    val bad = Seq(
+      (1L, Array(Float.NaN, 1.0f, 2.0f), Array(1.0f, 1.0f, 2.0f)),
+      (2L, Array(Float.PositiveInfinity, 1.0f, 2.0f), Array(1.0f, 1.0f, 2.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f), Array(Float.NegativeInfinity, 2.0f, 3.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)),
+      (5L, Array[Float](), Array(1.0f, 2.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val out = bad.select(Similarity.cosine(col("a"), col("b")).as("cos")).collect()
+    assert(out.forall(_.getDouble(0) == 0.0))
+  }
+
+  test("SQL COSINE_SIM coerces array<double> input at analysis instead of misreading bytes") {
+    GraftKernels.registerSqlFunctions(spark)
+    // array(…) of double literals — without declared inputTypes the
+    // kernel would read 4-byte floats on an 8-byte stride: silent garbage
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-6)
+    val r2 = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").collect().head.getDouble(0)
+    assert(math.abs(r2) < 1e-6)
+    // and a bigint shingle k is coerced to int rather than CCE mid-job
+    val sh = spark.sql("SELECT shingles('a b c d', CAST(2 AS BIGINT)) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+
+  test("nearestCentroidsCol rejects mis-sized centroids / bad nprobe at plan build") {
+    // a quantizer trained at a different dim would AIOOBE inside
+    // executor tasks; nprobe=0 would silently return zero candidates
+    val flat = Array.fill(4 * 8)(0.5)
+    intercept[IllegalArgumentException](
+      GraftKernels.nearestCentroidsCol(col("e"), flat, nCentroids = 4, dim = 16, nprobe = 2, floatElems = true))
+    intercept[IllegalArgumentException](
+      GraftKernels.nearestCentroidsCol(col("e"), flat, nCentroids = 4, dim = 8, nprobe = 0, floatElems = true))
+    intercept[IllegalArgumentException](
+      GraftKernels.nearestCentroidsCol(col("e"), flat, nCentroids = 0, dim = 8, nprobe = 2, floatElems = true))
+  }
+
   test("kernels run inside whole-stage codegen (no interpreted fallback)") {
     val plan = docs.select(GraftKernels.simhashCol(col("text"))).queryExecution.executedPlan
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage

@@ -120,6 +120,24 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(hasHeader(withNull, "absent")) == false)
   }
 
+  test("header ops treat a NULL map as empty (headerless Kafka records)") {
+    // Spark's kafka source emits a null headers column for records with
+    // no headers; map_filter/map_concat/map_contains_key all propagate
+    // that null — the first stamp would silently vanish and HAS_HEADER
+    // would go three-valued instead of false
+    val nullMap = lit(null).cast("map<string,string>")
+    assert(one(hasHeader(nullMap, "k")) == false)
+    assert(one(header(setHeader(nullMap, "job", lit("graft")), "job")) == "graft")
+    assert(one(arrayLength(headerKeys(nullMap))) == 0)
+    assert(one(arrayLength(headerKeys(removeHeader(nullMap, "k")))) == 0)
+  }
+
+  test("tumbling window size <= 0 rejected at plan build") {
+    // size 0 divides by zero: every row lands in one silent NULL bucket
+    intercept[IllegalArgumentException](tumbleStart(col("ts"), 0L))
+    intercept[IllegalArgumentException](tumbleEnd(col("ts"), -5L))
+  }
+
   test("exact decimal money surface") {
     import spark.implicits._
     val m = Seq(0.1, 0.2, 0.3).toDF("v")

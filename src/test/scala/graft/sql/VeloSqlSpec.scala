@@ -719,6 +719,23 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(pd.getMessage.contains("PERCENTILE_DISC"))
   }
 
+  test("header functions treat a NULL _headers map as empty (headerless records)") {
+    import spark.implicits._
+    // Spark's kafka source emits a null headers column for records with
+    // no headers — HAS_HEADER must be false (not NULL) and SET_HEADER
+    // must stamp rather than silently return NULL
+    val hl = Seq((1L, 5.0)).toDF("id", "v")
+      .withColumn("_headers", org.apache.spark.sql.functions.lit(null).cast("map<string,string>"))
+    ctx.register("headerless_t", hl)
+    val r = ctx.sql(
+      """SELECT HAS_HEADER('k') AS has, ARRAY_LENGTH(HEADER_KEYS()) AS nk,
+                SET_HEADER('job', 'graft') AS h,
+                ARRAY_LENGTH(MAP_KEYS(REMOVE_HEADER('k'))) AS nr
+         FROM headerless_t""").collect().head
+    assert(!r.getBoolean(0) && r.getInt(1) == 0 && r.getInt(3) == 0)
+    assert(r.getAs[scala.collection.Map[String, String]]("h").get("job").contains("graft"))
+  }
+
   test("ALL/ANY against a NULL-bearing subquery follows standard semantics in WHERE") {
     import spark.implicits._
     ctx.register("lim_t", Seq(Some(90.0), None).toDF("limit_px"))
