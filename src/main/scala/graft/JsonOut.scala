@@ -23,4 +23,58 @@ object JsonOut {
     * "0,123" and make the JSON unparseable. */
   def sec3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Extract the string value of `field` from a flat JSON object,
+    * honoring escapes — the ONE copy shared by the HTTP surfaces
+    * (JobServerHttp, SchemaRegistryHttp), which had drifted as twins.
+    *
+    * A candidate match counts as a KEY only when the preceding
+    * non-whitespace char is `{` or `,` and the following one is `:` —
+    * a bare indexOf would match a string VALUE equal to the key text
+    * (`{"note":"query","other":"SELECT 99","query":"SELECT 1"}`) and
+    * then extract the NEXT field's value: the server would silently
+    * deploy the wrong SQL. Escaped quotes cannot fake a key position:
+    * inside a JSON string every `"` is preceded by `\`, so the raw
+    * `"field"` byte sequence never occurs within a value. */
+  def jsonStringField(body: String, field: String): Option[String] = {
+    val key = "\"" + field + "\""
+    var at = body.indexOf(key)
+    while (at >= 0) {
+      var p = at - 1
+      while (p >= 0 && body(p).isWhitespace) p -= 1
+      var n = at + key.length
+      while (n < body.length && body(n).isWhitespace) n += 1
+      val isKey = p >= 0 && (body(p) == '{' || body(p) == ',') &&
+        n < body.length && body(n) == ':'
+      if (isKey) {
+        var i = n + 1
+        while (i < body.length && body(i).isWhitespace) i += 1
+        if (i >= body.length || body(i) != '"') return None
+        i += 1
+        val sb = new StringBuilder
+        while (i < body.length && body(i) != '"') {
+          body(i) match {
+            case '\\' if i + 1 < body.length =>
+              body(i + 1) match {
+                case 'n' => sb += '\n'; i += 2
+                case 'r' => sb += '\r'; i += 2
+                case 't' => sb += '\t'; i += 2
+                case 'b' => sb += '\b'; i += 2
+                case 'f' => sb += '\f'; i += 2
+                case 'u' if i + 5 < body.length
+                    && body.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
+                  // hex validated FIRST: \uZZZZ in a client body must be
+                  // a malformed-input 4xx, not a NumberFormatException 500
+                  sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
+                case c => sb += c; i += 2
+              }
+            case c => sb += c; i += 1
+          }
+        }
+        return if (i >= body.length) None else Some(sb.toString)
+      }
+      at = body.indexOf(key, at + 1)
+    }
+    None
+  }
 }

@@ -27,50 +27,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 object SchemaRegistryHttp {
 
   // -- minimal JSON (flat objects with one string field is all the
-  //    protocol needs inbound; outbound is hand-assembled) --
-  private[sources] def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  /** Extract the string value of `field` from a flat JSON object,
-    * honoring escapes — enough for `{"schema": "..."}` request bodies. */
-  private[sources] def jsonStringField(body: String, field: String): Option[String] = {
-    val key = "\"" + field + "\""
-    val at = body.indexOf(key)
-    if (at < 0) return None
-    var i = body.indexOf(':', at + key.length)
-    if (i < 0) return None
-    i += 1
-    while (i < body.length && body(i).isWhitespace) i += 1
-    if (i >= body.length || body(i) != '"') return None
-    i += 1
-    val sb = new StringBuilder
-    while (i < body.length && body(i) != '"') {
-      body(i) match {
-        case '\\' if i + 1 < body.length =>
-          body(i + 1) match {
-            case 'n' => sb += '\n'; i += 2
-            case 'r' => sb += '\r'; i += 2
-            case 't' => sb += '\t'; i += 2
-            case 'b' => sb += '\b'; i += 2
-            case 'f' => sb += '\f'; i += 2
-            case 'u' if i + 5 < body.length
-                && body.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
-              // hex validated FIRST: \uZZZZ must not 500 via NumberFormat
-              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
-            case c => sb += c; i += 2
-          }
-        case c => sb += c; i += 1
-      }
-    }
-    if (i >= body.length) None else Some(sb.toString)
-  }
+  //    protocol needs inbound; outbound is hand-assembled) —
+  //    delegated to the ONE shared surface (graft.JsonOut): these were
+  //    byte-for-byte twins of JobServerHttp's helpers, and the
+  //    key-vs-value extraction fix would have had to land twice --
+  private[sources] def jstr(s: String): String = graft.JsonOut.jstr(s)
+  private[sources] def jsonStringField(body: String, field: String): Option[String] =
+    graft.JsonOut.jsonStringField(body, field)
 }
 
 /** Serves a [[SchemaRegistry]] over HTTP on `port` (0 = ephemeral).

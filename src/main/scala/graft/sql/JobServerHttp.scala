@@ -48,12 +48,18 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+    // finally-close: a client disconnect mid-write would otherwise skip
+    // close() AND let the dispatch-level catch call sendResponseHeaders
+    // a second time ("headers already sent" masking the real error)
+    try ex.getResponseBody.write(bytes)
+    finally ex.close()
   }
 
   private def err(ex: HttpExchange, status: Int, msg: String): Unit =
-    respond(ex, status, s"""{"error":${jstr(msg)}}""")
+    // tolerate an already-committed response (write failed mid-body):
+    // the exchange is closed, there is nothing more to send
+    try respond(ex, status, s"""{"error":${jstr(msg)}}""")
+    catch { case _: java.io.IOException => }
 
   // one registry snapshot per request — the pure driver-side accessor,
   // NOT statusDf: scrape endpoints are polled continuously, and a
@@ -64,10 +70,13 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       JobRow(r.name, r.status, r.version, r.strategy, r.isActive, r.error, r.breaker)
     }
 
-  private def jobJson(j: JobRow): String =
+  /** `extraFields` are spliced before the closing brace (each starts
+    * with a comma) — one builder for both the summary and detail
+    * shapes, instead of string surgery on finished JSON. */
+  private def jobJson(j: JobRow, extraFields: String = ""): String =
     s"""{"name":${jstr(j.name)},"status":${jstr(j.status)},"version":${jstr(j.version)},""" +
       s""""strategy":${jstr(j.strategy)},"is_active":${j.isActive},""" +
-      s""""breaker":${jstr(j.breaker)},"error":${jstr(j.error)}}"""
+      s""""breaker":${jstr(j.breaker)},"error":${jstr(j.error)}$extraFields}"""
 
   /** Healthy/Warning/Critical rollup (health_dashboard.rs:78-82): any
     * hard failure is Critical; non-fatal signals (open breakers, recorded
@@ -119,18 +128,28 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           s"""{"last_batch_id":${r.getAs[Long]("last_batch_id")},""" +
             s""""last_batch_input_rows":${r.getAs[Long]("last_batch_input_rows")},""" +
             s""""sink_rows":${r.getAs[Long]("sink_rows")}}""").getOrElse("null")
-        val resources = ctx.jobManager.resourceRows(Some(name)).map { r =>
+        // real job rows only, same rule as healthJson: resourceRows(name)
+        // also returns the global '*' admission row, whose violations
+        // counter is monotonic telemetry no job-scoped reset clears —
+        // unlabeled here it would read as THIS job's violation forever
+        val resources = ctx.jobManager.resourceRows(Some(name))
+          .filter(_.jobName != "*").map { r =>
           s"""{"resource":${jstr(r.resource)},""" +
             s""""current":${r.current},"peak":${r.peak},""" +
             s""""level":${jstr(r.level)},"violations":${r.violations}}"""
         }
-        respond(ex, 200, jobJson(j).dropRight(1) +
-          s""","metrics":$metricsJson,"resources":${resources.mkString("[", ",", "]")}}""")
+        respond(ex, 200, jobJson(j,
+          s""","metrics":$metricsJson,"resources":${resources.mkString("[", ",", "]")}"""))
     }
 
   private def deploy(ex: HttpExchange, name: String): Unit = {
     if (!name.matches("[A-Za-z0-9_]+")) { err(ex, 400, s"invalid job name: $name"); return }
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // bounded read: queries are short SQL strings, and an uncapped
+    // readAllBytes buffers an arbitrary client body into the DRIVER
+    // heap (which also hosts every running job) before any validation
+    val raw = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (raw.length > MaxBodyBytes) { err(ex, 413, s"body exceeds $MaxBodyBytes bytes"); return }
+    val body = new String(raw, UTF_8)
     val query = jsonStringField(body, "query")
     val version = jsonStringField(body, "version").getOrElse("1.0.0")
     if (!version.matches("[A-Za-z0-9._-]+")) { err(ex, 400, s"invalid version: $version"); return }
@@ -146,7 +165,14 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
             case None => err(ex, 500, "deploy did not register the job")
           }
         } catch {
-          case e: ParseException => err(ex, 400, String.valueOf(e.getMessage))
+          case e: ParseException =>
+            val msg = String.valueOf(e.getMessage)
+            // breaker-open / admission-exhausted are TRANSIENT server
+            // states, not client errors: a 400 tells retry middleware
+            // "do not retry" and automated redeploys give up for good
+            val transient = msg.contains("circuit breaker is OPEN") ||
+              msg.contains("resource exhausted")
+            err(ex, if (transient) 503 else 400, msg)
         }
     }
   }
@@ -184,10 +210,20 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           respond(ex, 200, ctx.prometheusText, "text/plain; version=0.0.4")
         case ("GET", "report" :: Nil) => respond(ex, 200, reportText(), "text/plain")
         case ("GET", "jobs" :: Nil) =>
-          respond(ex, 200, jobRows(None).map(jobJson).mkString("[", ",", "]"))
+          respond(ex, 200, jobRows(None).map(jobJson(_)).mkString("[", ",", "]"))
         case ("GET", "jobs" :: name :: Nil) => jobDetail(ex, name)
         case ("POST", "jobs" :: name :: Nil) => deploy(ex, name)
         case ("DELETE", "jobs" :: name :: Nil) => stopJob(ex, name)
+        // wrong METHOD on a known path is 405, not 404 — a client
+        // probing job existence by status code would read 404 as
+        // "job absent" when only the verb was wrong
+        case (m, "jobs" :: _ :: Nil) =>
+          ex.getResponseHeaders.set("Allow", "GET, POST, DELETE")
+          err(ex, 405, s"method $m not allowed; Allow: GET, POST, DELETE")
+        case (m, p) if p == Nil || (p.lengthCompare(1) == 0 &&
+            Set("health", "metrics", "report", "jobs").contains(p.head)) =>
+          ex.getResponseHeaders.set("Allow", "GET")
+          err(ex, 405, s"method $m not allowed; Allow: GET")
         case _ => err(ex, 404, s"no route: ${ex.getRequestMethod} /$path")
       }
     } catch {
@@ -200,7 +236,11 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
   // duration — exactly when an operator needs them. (Routes that take
   // the JobManager monitor still serialize behind a long drain; the
   // lock-free surfaces — '/', '/metrics' — stay live.)
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  // daemon threads: an embedding app that exits without calling stop()
+  // (crash path past its shutdown hook) must not be wedged open by the
+  // HTTP pool; the server owns no state needing an orderly drain
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => { val t = new Thread(r, "graft-job-http"); t.setDaemon(true); t })
   server.setExecutor(pool)
   server.start()
 
@@ -212,49 +252,14 @@ object JobServerHttp {
                                   strategy: String, isActive: Boolean, error: String,
                                   breaker: String)
 
-  private[sql] def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  /** Request bodies carry short SQL strings; anything larger is a
+    * client error, not a legitimate deploy. */
+  private[sql] val MaxBodyBytes: Int = 1 << 20
 
-  /** Flat-JSON string-field extraction (same contract as
-    * SchemaRegistryHttp.jsonStringField — duplicated at 30 lines rather
-    * than coupling the sql package to sources' private helper). */
-  private[sql] def jsonStringField(body: String, field: String): Option[String] = {
-    val key = "\"" + field + "\""
-    val at = body.indexOf(key)
-    if (at < 0) return None
-    var i = body.indexOf(':', at + key.length)
-    if (i < 0) return None
-    i += 1
-    while (i < body.length && body(i).isWhitespace) i += 1
-    if (i >= body.length || body(i) != '"') return None
-    i += 1
-    val sb = new StringBuilder
-    while (i < body.length && body(i) != '"') {
-      body(i) match {
-        case '\\' if i + 1 < body.length =>
-          body(i + 1) match {
-            case 'n' => sb += '\n'; i += 2
-            case 'r' => sb += '\r'; i += 2
-            case 't' => sb += '\t'; i += 2
-            case 'b' => sb += '\b'; i += 2
-            case 'f' => sb += '\f'; i += 2
-            case 'u' if i + 5 < body.length
-                && body.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
-              // hex validated FIRST: \uZZZZ in a client body must be a
-              // malformed-input 4xx, not a NumberFormatException 500
-              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
-            case c => sb += c; i += 2
-          }
-        case c => sb += c; i += 1
-      }
-    }
-    if (i >= body.length) None else Some(sb.toString)
-  }
+  // the ONE shared JSON text surface (graft.JsonOut) — these were
+  // byte-for-byte twins of SchemaRegistryHttp's private helpers, and
+  // the key-vs-value extraction fix would have had to land twice
+  private[sql] def jstr(s: String): String = graft.JsonOut.jstr(s)
+  private[sql] def jsonStringField(body: String, field: String): Option[String] =
+    graft.JsonOut.jsonStringField(body, field)
 }

@@ -96,6 +96,33 @@ class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAnd
     assert(!ctx.jobManager.hasJob("badjob"))
   }
 
+  test("body parsing: a string VALUE equal to a key name cannot hijack extraction") {
+    // a bare indexOf would match the "note" VALUE 'query' and extract
+    // the NEXT field — deploying 'SELECT 99' with a 200, silently
+    val q = JsonOut_jsonStringField(
+      """{"note":"query","other":"SELECT 99","query":"SELECT 1"}""", "query")
+    assert(q.contains("SELECT 1"))
+    // key absent entirely (only as a value) → None, not the next field
+    assert(JsonOut_jsonStringField("""{"note":"query","other":"SELECT 99"}""", "query").isEmpty)
+    // whitespace around the key/colon still parses
+    assert(JsonOut_jsonStringField("""{ "query" : "SELECT 7" }""", "query").contains("SELECT 7"))
+  }
+  private def JsonOut_jsonStringField(b: String, f: String) = graft.JsonOut.jsonStringField(b, f)
+
+  test("HTTP semantics: 405 on wrong method, 413 on oversized body") {
+    // wrong VERB on a known path must not read as "job absent" (404 is
+    // the jobDetail not-found contract)
+    val put = http.send(HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + "/jobs/somejob"))
+      .PUT(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 405)
+    assert(put.headers().firstValue("Allow").orElse("").contains("GET"))
+    assert(post("/health", "{}")._1 == 405)
+    // an uncapped body would buffer into the driver heap before validation
+    val big = "x" * (JobServerHttp.MaxBodyBytes + 16)
+    assert(post("/jobs/bigjob", s"""{"query":"$big"}""")._1 == 413)
+  }
+
   test("health rolls a FAILED job up to Critical with the issue named") {
     input.addData(Seq((5L, 5.0)))
     // assert the deploy itself succeeded: a validator regression would
