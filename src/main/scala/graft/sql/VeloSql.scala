@@ -59,7 +59,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         && jobManager != null && jobManager.hasJob(n.stripPrefix("graft-job-")))) {
         val startMs =
           try java.time.Instant.parse(p.timestamp).toEpochMilli
-          catch { case _: Throwable => System.currentTimeMillis() }
+          catch { case scala.util.control.NonFatal(_) => System.currentTimeMillis() }
         val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)
         tracer.recordSpan("job.batch", startMs, dur, Map(
           "job" -> p.name.stripPrefix("graft-job-"),
@@ -86,9 +86,12 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   /** Declared external sources/sinks (CREATE STREAM|SINK name WITH …):
     * config metadata the deployment layer resolves (config files,
-    * topics, serializers). */
+    * topics, serializers). TrieMap, not HashMap: HTTP-pool deploys
+    * (resolveIntoSinkPath) and SHOW listings read it while the driver
+    * thread may be executing a declaration — the same multi-thread
+    * model `materialized` guards with its monitor. */
   val declaredSources: scala.collection.mutable.Map[String, (String, Map[String, String])] =
-    scala.collection.mutable.Map.empty
+    scala.collection.concurrent.TrieMap.empty
 
   def register(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
@@ -140,8 +143,6 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   def parseStatement(sql: String): VeloStatement = VeloSqlParser.parse(sql, defaultTimeCol)
 
-  /** Parse + execute one statement; returns the result (for DDL, the
-    * created relation; for INSERT, the post-insert table). */
   /** Render any statement's query core to Spark SQL text. */
   private[sql] def renderSql(stmt: VeloStatement): String = stmt match {
     case Select(s) => toSparkSql(s, defaultTimeCol)
@@ -168,12 +169,18 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * INTO contract for streaming CSAS bodies. */
   private def resolveIntoSinkPath(body: VeloStatement): Option[String] = body match {
     case CreateStreamAs(_, s, _, _) =>
-      s.into.iterator.flatMap { sink =>
-        val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
-        declared.get("path").orElse(declared.get("file"))
-          .orElse(s.props.get(s"$sink.path")).orElse(s.props.get(s"$sink.file"))
-      }.nextOption()
+      s.into.iterator.flatMap(sinkFilePath(_, s.props)).nextOption()
     case _ => None
+  }
+
+  /** The ONE sink-path resolution chain (declared path/file, then the
+    * statement's dotted props) — shared by streaming job sinks and
+    * batch INTO writes so a new key (e.g. 'uri') cannot land in one
+    * and silently miss the other. */
+  private def sinkFilePath(sink: String, props: Map[String, String]): Option[String] = {
+    val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
+    declared.get("path").orElse(declared.get("file"))
+      .orElse(props.get(s"$sink.path")).orElse(props.get(s"$sink.file"))
   }
 
   /** Collected `@metric` series: name → (sample-name suffix, labels,
@@ -327,9 +334,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // declared sink location via resolveIntoSinkPath — df.write on a
       // streaming frame would throw
       if (!df.isStreaming) s.into.foreach { sink =>
-        val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
-        declared.get("path").orElse(declared.get("file"))
-          .orElse(s.props.get(s"$sink.path")).orElse(s.props.get(s"$sink.file"))
+        sinkFilePath(sink, s.props)
           .foreach { p => graft.sources.Serde.writeFileUri(sinkDf, p) }
       }
       df
@@ -352,9 +357,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         if (cols.nonEmpty) {
           require(cols.length == incoming.columns.length,
             s"INSERT column list has ${cols.length} names but the source produces ${incoming.columns.length}")
-          val named = incoming.toDF(cols.toIndexedSeq: _*)
+          // dialect identifiers are case-INSENSITIVE (as is Spark's own
+          // resolution): bind each listed name to its table column by
+          // lowercase, and REJECT unknown names — a typo'd column would
+          // otherwise silently null-fill and drop the inserted value
+          val byLower = existing.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+          val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
+          if (unknown.nonEmpty)
+            throw new ParseException(
+              s"INSERT column(s) not in $table: ${unknown.mkString(", ")}")
+          val canonical = cols.map(c => byLower(c.toLowerCase))
+          require(canonical.distinct.length == canonical.length,
+            s"INSERT column list names a column twice: ${cols.mkString(", ")}")
+          val named = incoming.toDF(canonical.toIndexedSeq: _*)
           named.select(existing.schema.fields.toIndexedSeq.map { f =>
-            if (cols.contains(f.name)) named(f.name).cast(f.dataType).as(f.name)
+            if (canonical.contains(f.name)) named(f.name).cast(f.dataType).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
         } else incoming.toDF(existing.columns.toIndexedSeq: _*)
@@ -381,10 +398,18 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       val existing = spark.table(table)
       val cond = where.map(w => expr(render(w))).getOrElse(lit(true))
       // all SET right-hand sides evaluate against the OLD row (standard
-      // UPDATE semantics) → one projection, not a sequential fold
-      val setMap = sets.toMap
+      // UPDATE semantics) → one projection, not a sequential fold.
+      // Targets bind case-INSENSITIVELY and unknown columns REJECT: a
+      // case mismatch or typo would otherwise make the whole assignment
+      // silently vanish (statement succeeds, zero rows changed)
+      val known = existing.columns.map(_.toLowerCase).toSet
+      val unknownSet = sets.map(_._1).filterNot(k => known.contains(k.toLowerCase))
+      if (unknownSet.nonEmpty)
+        throw new ParseException(
+          s"UPDATE SET column(s) not in $table: ${unknownSet.mkString(", ")}")
+      val setMap = sets.map { case (k, e) => k.toLowerCase -> e }.toMap
       val updated = existing.select(existing.columns.toIndexedSeq.map { c =>
-        setMap.get(c) match {
+        setMap.get(c.toLowerCase) match {
           case Some(e) => when(cond, expr(render(e))).otherwise(col(c)).as(c)
           case None => col(c)
         }
@@ -478,9 +503,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   /** The Spark SQL a statement translates to (for plan inspection). */
   def explainSql(text: String): String = parseStatement(text) match {
-    case Select(s) => toSparkSql(s, defaultTimeCol)
     case CreateTableAs(_, s, _, _) => toSparkSql(s, defaultTimeCol)
     case CreateStreamAs(_, s, _, _) => toSparkSql(s, defaultTimeCol)
+    // queries (Select, Union, WithCtes) all render — a raw AST
+    // toString would break the "Spark SQL it translates to" contract
+    case q @ (Select(_) | _: Union | _: WithCtes) => renderSql(q)
     case other => other.toString
   }
 }
@@ -503,9 +530,18 @@ object VeloContext {
       i += 1
     }
     if (asIdx >= 0 && asIdx + 1 < item.length) Some(item(asIdx + 1).text)
-    else item.lastOption
-      .filter(t => t.kind == VeloSqlParser.TIdent && item.forall(_.text != "("))
-      .map(_.text)
+    else {
+      // the trailing-identifier fallback only holds for a BARE column
+      // ref (`id`, `o.id`): for an unaliased expression like `a + b`
+      // the last token is 'b' but the item's output is the whole
+      // expression — routing a key named 'b' through it would translate
+      // to the WRONG declared column and scatter per-key ordering
+      val isBareRef = item.nonEmpty && item.length % 2 == 1 &&
+        item.zipWithIndex.forall { case (t, j) =>
+          if (j % 2 == 0) t.kind == VeloSqlParser.TIdent else t.text == "."
+        }
+      if (isBareRef) item.lastOption.map(_.text) else None
+    }
   }
 
   /** The statement's sink-routing key columns, AS WRITTEN to the sink:
@@ -625,6 +661,14 @@ object VeloContext {
         case '-' if i + 1 < script.length && script(i + 1) == '-' =>
           while (i < script.length && script(i) != '\n') i += 1
           cur.append('\n')
+        case '/' if i + 1 < script.length && script(i + 1) == '*' =>
+          // block comment: the tokenizer accepts /* */, so a ';' inside
+          // one must not split the script mid-comment (the fragment
+          // would die with "unterminated block comment")
+          val close = script.indexOf("*/", i + 2)
+          val stop = if (close < 0) script.length else close + 2
+          cur.append(script.substring(i, stop))
+          i = stop - 1
         case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }

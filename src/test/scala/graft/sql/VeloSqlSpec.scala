@@ -719,6 +719,54 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(pd.getMessage.contains("PERCENTILE_DISC"))
   }
 
+  test("INSERT/UPDATE bind columns case-insensitively and reject unknown names") {
+    import spark.implicits._
+    ctx.register("ci_t", Seq((1L, 10.0)).toDF("id", "amount"))
+    // case mismatch must bind, not silently null-fill / no-op
+    ctx.sql("INSERT INTO ci_t (AMOUNT, ID) VALUES (5.0, 2)")
+    val rows = spark.table("ci_t").orderBy("id").collect()
+    assert(rows.length == 2 && rows(1).getDouble(1) == 5.0)
+    ctx.sql("UPDATE ci_t SET AMOUNT = 99.0 WHERE id = 1")
+    assert(spark.table("ci_t").where($"id" === 1).collect().head.getDouble(1) == 99.0)
+    // a typo'd column must REJECT loudly, not vanish
+    val ie = intercept[VeloSqlParser.ParseException](
+      ctx.sql("INSERT INTO ci_t (amonut, id) VALUES (5.0, 3)"))
+    assert(ie.getMessage.contains("amonut"))
+    val ue = intercept[VeloSqlParser.ParseException](
+      ctx.sql("UPDATE ci_t SET amonut = 1.0 WHERE id = 1"))
+    assert(ue.getMessage.contains("amonut"))
+  }
+
+  test("script splitting: a semicolon inside a block comment does not split the script") {
+    val rs = ctx.executeScript(
+      "/* setup; phase one */ SELECT order_id FROM orders; -- tail; note\nSELECT order_id FROM orders")
+    assert(rs.length == 2 && rs.forall(_.count() > 0))
+  }
+
+  test("explainSql renders UNION and WITH queries to Spark SQL, not AST dumps") {
+    val u = ctx.explainSql("SELECT order_id FROM orders UNION SELECT order_id FROM orders")
+    assert(u.toUpperCase.contains("UNION") && !u.contains("SelectStmt"))
+    val w = ctx.explainSql("WITH c AS (SELECT order_id FROM orders) SELECT * FROM c")
+    assert(w.toUpperCase.startsWith("WITH") && !w.contains("SelectStmt"))
+  }
+
+  test("routing keys: an unaliased multi-token expression has no routable name") {
+    // `a + b` must NOT claim output name 'b' — the positional translate
+    // would route on the expression's declared column, scattering the
+    // real key's per-key ordering
+    val s = VeloSqlParser.parse(
+      "CREATE STREAM o2 (s INT, ab INT) AS SELECT sum(x), a + b FROM t GROUP BY b")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(VeloContext.routedKeys(s.select, s.columns).isEmpty)
+    // while a genuine bare ref still routes (dotted form included)
+    // GROUP BY auto-keys keep only bare identifiers, so the key is `b`;
+    // the dotted select item `t.b` still resolves output name 'b'
+    val s2 = VeloSqlParser.parse(
+      "CREATE STREAM o3 (n INT, bb INT) AS SELECT count(*), t.b FROM t GROUP BY b")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(VeloContext.routedKeys(s2.select, s2.columns) == Vector("bb"))
+  }
+
   test("header functions treat a NULL _headers map as empty (headerless records)") {
     import spark.implicits._
     // Spark's kafka source emits a null headers column for records with
