@@ -31,6 +31,12 @@ object SparkEntry {
   private def dsum(c: Column): Column = sum(money(c)).cast("double")
   /** decimal-exact average surfaced as double (sum/count, both exact). */
   private def davg(c: Column): Column = sum(money(c)).cast("double") / count(c)
+
+  /** Σ price·(1−discount) as exact decimal surfaced as double — the ONE
+    * copy of the discounted-revenue aggregate (q1/q4/q14 all oracle it;
+    * a precision fix applied to one inline copy would desync the rest). */
+  private def dsumDisc(price: Column, discount: Column): Column =
+    sum(money(price) * (lit(1).cast("decimal(18,4)") - money(discount))).cast("double")
   private def epochS(c: Column): Column = unix_timestamp(c)
 
   /** The near-dup verified-pair pipeline shared by q57/q60/q69/q70:
@@ -38,10 +44,17 @@ object SparkEntry {
     * keep pairs at ≥ 0.8. One definition so the threshold and LSH
     * parameters cannot silently desynchronize across the four queries
     * (they are all oracled against the same DuckDB closure). */
-  private def verifiedPairs(docs: DataFrame): DataFrame = {
+  private def verifiedPairs(docs: DataFrame): DataFrame =
+    verifiedPairsFull(docs).select("id_a", "id_b")
+
+  /** Same pipeline keeping the verify columns (inter/uni/jaccard) —
+    * q24's surface. One chain, one threshold: an inline copy in q24
+    * would silently diverge from the four closure queries on a future
+    * retuning. */
+  private def verifiedPairsFull(docs: DataFrame): DataFrame = {
     val cand = Dedup.minhashLsh(docs, "text", "doc_id").select("id_a", "id_b")
     Dedup.ngramJaccard(cand, docs, "text", "doc_id")
-      .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      .where(col("jaccard") >= 0.8)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -58,7 +71,7 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))).cast("double").as("sum_disc_price"),
+          dsumDisc(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -92,7 +105,7 @@ object SparkEntry {
       Joins.streamTable(o, c, o("o_custkey") === c("c_custkey"))
         .join(l, col("o_orderkey") === l("l_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))).cast("double").as("revenue"),
+        .agg(dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"),
           countDistinct(col("l_linenumber")).as("n_lines"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -202,7 +215,7 @@ object SparkEntry {
           o("o_orderdate"), l("l_shipdate"), 0L, 90L * 86400L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_shipped_90d"),
-          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))).cast("double").as("revenue"))
+          dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }),
 
     // ---- 15. statistical aggregates ----
@@ -318,9 +331,7 @@ object SparkEntry {
     //          at j=0.9 with 8×2 banding is ~2e-6) ----
     "q24_dedup_minhash" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val cand = Dedup.minhashLsh(d, "text", "doc_id").select("id_a", "id_b")
-      Dedup.ngramJaccard(cand, d, "text", "doc_id")
-        .where(col("jaccard") >= 0.8)
+      verifiedPairsFull(d)
         .select(col("id_a"), col("id_b"),
           col("inter").cast("long").as("inter"),
           col("uni").cast("long").as("uni"), col("jaccard"))
@@ -872,8 +883,11 @@ object SparkEntry {
       // the curated intermediate feeds FOUR consumers (LSH signatures,
       // both sides of the verify join, and the final anti-join) —
       // persist it once, as a production pipeline would checkpoint its
-      // post-gate corpus
-      val uniq = gated.join(keep, Seq("doc_id"), "left_semi").cache()
+      // post-gate corpus. Last-call slot, not a bare cache(): the query
+      // is lazy so there is no in-function unpersist point, and a bare
+      // cache would pin the curated corpus in executor storage for the
+      // whole session (Verify runs ~70 more queries after this one)
+      val uniq = q60UniqCache(gated.join(keep, Seq("doc_id"), "left_semi"))
       val dropped = Dedup.clusterPairs(verifiedPairs(uniq))
         .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
       uniq.join(dropped, Seq("doc_id"), "left_anti")
@@ -921,11 +935,27 @@ object SparkEntry {
     })
   )
 
-  /** One dialect context per (session, dir) — table registration is
-    * idempotent temp-view setup. */
-  private val ctxCache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.sql.VeloContext]()
-  private def veloCtx(s: SparkSession, dir: String): graft.sql.VeloContext =
-    ctxCache.computeIfAbsent((s, dir), _ => graft.sql.VeloContext.forDir(s, dir))
+  // q60's curated-corpus persist slot (see LastCallCache: each call
+  // releases the previous call's cache)
+  private val q60UniqCache = new graft.operators.LastCallCache
+
+  /** ONE dialect context per session — not per (session, dir):
+    * `forDir` registers SESSION-GLOBAL temp views, so a second dir in
+    * the same session repoints every view, and a (session, dir)-keyed
+    * cache would keep handing back a context whose tables silently
+    * read the OTHER dir's data. On a dir switch the old context is
+    * closed (detaching its listeners) and rebuilt; stopped sessions
+    * are dropped so the static map can't retain them forever. */
+  private val ctxCache = new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, graft.sql.VeloContext)]()
+  private def veloCtx(s: SparkSession, dir: String): graft.sql.VeloContext = {
+    ctxCache.keySet.removeIf(sess => sess.sparkContext.isStopped)
+    ctxCache.compute(s, (sess, cur) =>
+      if (cur != null && cur._1 == dir) cur
+      else {
+        if (cur != null) cur._2.close()
+        (dir, graft.sql.VeloContext.forDir(sess, dir))
+      })._2
+  }
 
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
   * `unpersist(blocking = false)` on a frame still being consumed is
   * safe — Spark recomputes evicted partitions.
   */
-private[operators] final class LastCallCache {
+private[graft] final class LastCallCache {
   private val ref = new AtomicReference[DataFrame](null)
   def apply(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)

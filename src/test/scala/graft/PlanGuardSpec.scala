@@ -113,4 +113,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("hashpartitioning(id_a"),
       s"pair-dedup exchange missing — first-band-only emission drops capped-bucket pairs:\n$p")
   }
+
+  test("dialect queries follow a dir SWITCH within one session (ctx cache rebuilds)") {
+    // temp views are SESSION-global: a (session, dir)-keyed context
+    // cache would hand back a context whose views a later dir silently
+    // repointed — queries would read the WRONG scale factor's data
+    val small = SparkEntry.queries("q45_sql_agg")(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_items")).collect().head.getLong(0)
+    val big = SparkEntry.queries("q45_sql_agg")(spark, "/root/testdata/sf0.01")
+      .agg(org.apache.spark.sql.functions.sum("n_items")).collect().head.getLong(0)
+    val smallAgain = SparkEntry.queries("q45_sql_agg")(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_items")).collect().head.getLong(0)
+    assert(big > small, s"sf0.01 ($big rows) should dwarf sf0.001 ($small)")
+    assert(smallAgain == small, "switching back to sf0.001 must re-read the small dir")
+  }
 }
