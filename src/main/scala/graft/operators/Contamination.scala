@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  // last ngramOverlap call's cached candidate subtree (see its body)
-  private val lastCandidateCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  // last ngramOverlap call's cached candidate subtree (see
+  // LastCallCache for the lifetime contract)
+  private val lastCandidateCache = new LastCallCache
 
   /** (doc_id, bench_id, n_shared) for every corpus×benchmark pair
     * sharing ≥ `minShared` distinct word k-grams. Self-pairs (same id
@@ -43,6 +43,13 @@ object Contamination {
     * unchanged by the restriction (it counts corpus docs per gram). */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, minShared: Int = 3, maxDf: Long = 1000L): DataFrame = {
+    // fail at the call site (sibling-operator convention): maxDf = 0
+    // would drop EVERY gram and report "no contamination" with no error
+    // after paying the full corpus scan; minShared/k <= 0 likewise
+    // degenerate silently
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val cg = corpus.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
@@ -57,20 +64,15 @@ object Contamination {
     // ONE task before the cap could filter it. groupBy has partial
     // aggregation (no hot task), and its result is keyed by the
     // eval-set-bounded gram space, so joining it back broadcasts.
-    val candidate = cg.join(bg.select("g").distinct(), Seq("g"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // result is lazy (callers compose; PlanGuard inspects the plan), so
-    // each call releases the PREVIOUS call's cache instead — bounding a
-    // long-lived session at one cached candidate frame (the last one
-    // falls to ContextCleaner when its plan is GC'd).
-    // CONTRACT: one ACTIVE result at a time. Because the release is
-    // call-time and results are lazy, interleaving two unconsumed calls
-    // (a = ngramOverlap(...); b = ngramOverlap(...); a.union(b).write)
-    // silently strips `a`'s cache and recomputes its candidate subtree
-    // — correct answers, but an extra full-corpus pass. Consume (or
-    // persist) each result before the next call; the same contract as
-    // Dedup.duplicatedSpanStats's lastSpanCache.
-    Option(lastCandidateCache.getAndSet(candidate)).foreach(_.unpersist(blocking = false))
+    // CONTRACT: one ACTIVE result at a time (LastCallCache releases the
+    // previous call's cache at call time). Because results are lazy,
+    // interleaving two unconsumed calls (a = ngramOverlap(...); b =
+    // ngramOverlap(...); a.union(b).write) silently strips `a`'s cache
+    // and recomputes its candidate subtree — correct answers, but an
+    // extra full-corpus pass. Consume (or persist) each result before
+    // the next call; same contract as Dedup.duplicatedSpanStats.
+    val candidate = lastCandidateCache(
+      cg.join(bg.select("g").distinct(), Seq("g"), "left_semi"))
     val keptGrams = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("g")
     val kept = candidate.join(broadcast(keptGrams), Seq("g"))

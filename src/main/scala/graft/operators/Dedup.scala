@@ -320,21 +320,14 @@ object Dedup {
     * unsplittable task, since AQE skew handling applies to joins, not
     * windows); then a per-doc agg keyed by doc id. Linear, no all-pairs.
     */
-  // the shingle cache of the LAST duplicatedSpanStats call: the result
-  // is lazy (callers compose + PlanGuard inspects its plan), so there is
-  // no in-function point to unpersist at — instead each call releases
-  // the previous call's cache (the CTAS-registry pattern), bounding a
-  // long-lived session at ONE cached shingle frame; the final one is
-  // reclaimed by ContextCleaner when its plan is GC'd
-  private val lastSpanCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  // the shingle cache of the LAST duplicatedSpanStats call (see
+  // LastCallCache for the lifetime contract)
+  private val lastSpanCache = new LastCallCache
 
   def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastSpanCache.getAndSet(sh)).foreach(_.unpersist(blocking = false))
+    val sh = lastSpanCache(docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("g")))
     val dfCounts = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     sh.join(dfCounts, Seq("g"))
       .groupBy("doc_id")

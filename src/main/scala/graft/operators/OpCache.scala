@@ -14,9 +14,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * The operator result is lazy, so there is no in-function point to
   * unpersist at; instead each call releases the PREVIOUS call's cache
-  * (the CTAS-registry pattern, same as Dedup.duplicatedSpanStats),
-  * bounding a long-lived session at one cached frame per slot. The
-  * final cache is reclaimed by ContextCleaner when its plan is GC'd.
+  * (the CTAS-registry pattern), bounding a long-lived session at one
+  * cached frame per slot. The FINAL frame stays pinned by this slot
+  * until the next call or process exit — the static reference keeps
+  * its plan reachable, so ContextCleaner never reclaims it; that is
+  * the documented cost of the pattern, one bounded frame per slot.
   * `unpersist(blocking = false)` on a frame still being consumed is
   * safe — Spark recomputes evicted partitions.
   */
@@ -24,7 +26,13 @@ private[graft] final class LastCallCache {
   private val ref = new AtomicReference[DataFrame](null)
   def apply(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    Option(ref.getAndSet(p)).foreach(_.unpersist(blocking = false))
+    Option(ref.getAndSet(p)).foreach { prev =>
+      // defensive: the previous frame may belong to a STOPPED session
+      // (suites create a session each); releasing it must not abort
+      // the first call made from the fresh session
+      try prev.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
     p
   }
 }

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Top-k keys by exact count, each with its Count-Min estimate and a
-    * bound check. `eps`/`confidence` size the sketch (width = ⌈e/eps⌉,
-    * depth = ⌈ln(1/(1-confidence))⌉); fixed seed → deterministic. */
+    * bound check. `eps`/`confidence` size the sketch per Spark's
+    * CountMinSketch implementation (width = ⌈2/eps⌉, depth =
+    * ⌈2·ln(1/(1-confidence))⌉ — NOT the classical ⌈e/eps⌉/⌈ln(…)⌉;
+    * size memory from Spark's formula); fixed seed → deterministic.
+    * The key column is surfaced as STRING (the report is human/oracle
+    * facing) — join it back to a typed source via an explicit cast. */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {
@@ -30,6 +34,10 @@ object Sketches {
     // would otherwise pay the FULL sketch pass before limit(-1) throws
     // (or k=0 silently returns an empty report)
     require(k >= 1, s"heavy-hitter count k must be >= 1, got $k")
+    // the report reserves these two output names — a key column named
+    // 'n' would yield two ambiguous 'n' columns AFTER the full pass ran
+    require(keyCol != "n" && keyCol != "est_ok",
+      s"key column '$keyCol' collides with a report column name")
     // nulls: the CMS builder skips them but groupBy reports the null
     // group, and sketch.estimateCount(null) throws on the driver —
     // exclude them consistently (the report covers non-null keys; the

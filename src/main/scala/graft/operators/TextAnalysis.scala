@@ -101,9 +101,12 @@ object TextAnalysis {
     * document (non-empty word basis). */
   def tokenCountWs(textCol: Column): Column = size(nonEmptyWords(textCol))
 
-  /** BPE-ish token count: splits on word boundaries and punctuation the
-    * way a byte-pair tokenizer's pre-tokenizer does (letters / digits /
-    * single punctuation), i.e. `\w+` runs and non-space symbols.
+  /** BPE-ish token count — one token per letter RUN ([A-Za-z]+), per
+    * single DIGIT, and per single non-alphanumeric symbol (underscore
+    * included): 'v2_2024' counts 7. Digit-by-digit and symbol-by-symbol
+    * is deliberate (GPT-style pre-tokenizers split numbers); the q31
+    * oracle replays exactly this rule, so "fixing" the regex to a
+    * plain \w+ run count would silently break oracle parity.
     */
   def tokenCountBpe(textCol: Column): Column = {
     val cleaned = regexp_replace(textCol, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]", "#")
@@ -122,11 +125,15 @@ object TextAnalysis {
     *  - `dup_2gram_frac`  — 1 − distinct 2-grams / total 2-grams
     *  - `keep`            — the gate at the given thresholds
     *
-    * Scale shape: word stats flow through ONE explode → count per
-    * (doc, word) → re-agg per doc (shuffles keyed by doc id — linear,
-    * skew-free: a document's work is bounded by its own length, never by
-    * corpus size); the 2-gram fraction is a pure array expression on the
-    * shingle kernel (no shuffle at all). No per-doc quadratic HOF scans.
+    * Scale shape: ONE corpus scan. The per-doc 2-gram sizes are array
+    * expressions computed in the same select that explodes the words,
+    * then carried through the (doc, word) → doc aggregation chain as
+    * grouping keys — constant per doc, so they cost key width, not a
+    * second full-corpus scan + join (the previous two-branch shape
+    * read the corpus end-to-end twice and shuffled both for a join).
+    * Shuffles stay keyed by doc id — linear, skew-free: a document's
+    * work is bounded by its own length, never by corpus size. No
+    * per-doc quadratic HOF scans.
     *
     * A document with NO words (empty/whitespace-only text) produces no
     * output row — there is nothing to measure; gate those with
@@ -138,17 +145,18 @@ object TextAnalysis {
                         maxTopWordFrac: Double = 0.20,
                         maxDup2gramFrac: Double = 0.20): DataFrame = {
     val wordStats = docs
-      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .select(col(idCol).as("doc_id"),
+        size(Dedup.shingles(col(textCol), 2)).cast("long").as("n_distinct_2grams"),
+        greatest(size(words(col(textCol))) - 1, lit(1)).cast("long").as("n_2grams"),
+        explode(words(col(textCol))).as("w"))
       .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("wn"))
-      .groupBy("doc_id").agg(
+      .groupBy("doc_id", "n_distinct_2grams", "n_2grams", "w")
+      .agg(count(lit(1)).as("wn"))
+      .groupBy("doc_id", "n_distinct_2grams", "n_2grams").agg(
         sum("wn").as("n_words"),
         count(lit(1)).as("n_distinct_words"),
         max("wn").as("top_word_n"))
-    val gramStats = docs.select(col(idCol).as("doc_id"),
-      size(Dedup.shingles(col(textCol), 2)).cast("long").as("n_distinct_2grams"),
-      greatest(size(words(col(textCol))) - 1, lit(1)).cast("long").as("n_2grams"))
-    wordStats.join(gramStats, "doc_id")
+    wordStats
       .select(col("doc_id"), col("n_words"),
         (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
         (col("n_distinct_words").cast("double") / col("n_words")).as("distinct_word_frac"),
