@@ -57,7 +57,7 @@ object Tables {
   private val heavyPerRow: Set[String] = Set("documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"), name)
     // The test files are single-row-group parquet → the scan is ONE task
     // regardless of maxPartitionBytes, serializing all per-row compute.
     // Fan out to core count for kernel-heavy tables; no-op on properly
@@ -80,9 +80,15 @@ object Tables {
     * so the cast reinterprets the same wall-clock as the same instant —
     * bit-identical values to the tz-aware files earlier rounds read.
     */
-  def normalizeTs(df: DataFrame): DataFrame =
+  def normalizeTs(df: DataFrame, tableName: String): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      // the nanos-long reinterpretation is scoped to the EVENTS table
+      // (the one file the driver writes with INT64 TIMESTAMP(NANOS)):
+      // a generic "any long named ts" rule would silently div-1000 a
+      // table whose ts holds epoch seconds/millis into 1970-adjacent
+      // garbage; the NTZ cast below stays generic (type-keyed, safe)
+      if (tableName == "events" && f.name == "ts"
+          && f.dataType == org.apache.spark.sql.types.LongType)
         // FLOOR division: `div` truncates toward zero, which would shift
         // pre-1970 nanos not on a microsecond boundary 1 µs forward
         d.withColumn("ts", org.apache.spark.sql.functions.expr(
@@ -98,7 +104,7 @@ object Tables {
   def loadStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet").schema
     normalizeTs(spark.readStream.schema(raw)
-      .option("pathGlobFilter", s"$name.parquet").parquet(sfDir))
+      .option("pathGlobFilter", s"$name.parquet").parquet(sfDir), name)
   }
 
 }

@@ -108,7 +108,14 @@ object TimeWindows {
     val w = Window.partitionBy(keys: _*).orderBy(col(epochCol) +: tieBreak: _*)
     val epoch = col(epochCol)
     val newSession = when(epoch - lag(epoch, 1).over(w) > gapSeconds, 1).otherwise(0)
+    // NULL epochs: a row with no timestamp belongs to NO session — kept,
+    // ascending sort would put nulls FIRST, their gap-vs-lag comparison
+    // would be NULL → otherwise(0), and they'd silently merge into (and
+    // inflate) the key's first real session. Dropping them mirrors
+    // sliding()'s documented null behavior (event-time windows over null
+    // timestamps are meaningless) rather than tumbling()'s null group.
     val sessioned = df
+      .where(epoch.isNotNull)
       .withColumn(nsCol, newSession)
       .withColumn(sidCol, sum(col(nsCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

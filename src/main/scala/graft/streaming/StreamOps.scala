@@ -34,6 +34,12 @@ object StreamOps {
   def tumblingAgg(events: DataFrame, tsCol: String, size: String, grace: String,
                   keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
     require(aggExprs.nonEmpty, "tumblingAgg needs at least one aggregate expression")
+    // the output reserves these names — withColumn would silently
+    // REPLACE an input key column of the same name after aggregation
+    // (same guard as TimeWindows.sessionize's working columns)
+    for (c <- Seq("window_start", "window_end"))
+      require(!keys.contains(c) && !aggExprs.exists(_._2 == c),
+        s"'$c' is a reserved output column of tumblingAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
       .withWatermark(tsCol, grace)
@@ -48,6 +54,9 @@ object StreamOps {
   def sessionAgg(events: DataFrame, tsCol: String, gap: String, grace: String,
                  keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
     require(aggExprs.nonEmpty, "sessionAgg needs at least one aggregate expression")
+    for (c <- Seq("session_start", "session_end"))
+      require(!keys.contains(c) && !aggExprs.exists(_._2 == c),
+        s"'$c' is a reserved output column of sessionAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
       .withWatermark(tsCol, grace)
@@ -156,6 +165,10 @@ object StreamOps {
                          leftTs: String, rightTs: String, grace: String,
                          keyCond: org.apache.spark.sql.Column,
                          lowerSeconds: Long, upperSeconds: Long): DataFrame = {
+    // an inverted band (swapped bounds) is unsatisfiable: the query
+    // would run forever emitting zero rows with no error anywhere
+    require(lowerSeconds <= upperSeconds,
+      s"interval band is empty: lower $lowerSeconds > upper $upperSeconds")
     val l = left.withWatermark(leftTs, grace)
     val r = right.withWatermark(rightTs, grace)
     // frame-qualified references: bare col(...) is AMBIGUOUS when both
@@ -168,20 +181,56 @@ object StreamOps {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Recursive delete of a finished run's checkpoint dir — pure waste
+    * once the query terminated (the output dir is the return value and
+    * stays); without this every run leaks a checkpoint tree into /tmp. */
+  private def deleteRecursively(path: String): Unit = {
+    import scala.util.control.NonFatal
+    try {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case NonFatal(_) => } // best-effort; never fail the query over cleanup
+  }
+
+  /** Ensure `out` is readable as parquet even when the stream emitted
+    * ZERO rows (append + watermark where no window ever closed): the
+    * file sink writes only _spark_metadata, and the caller's immediate
+    * spark.read.parquet(out) would die with an unrelated-looking
+    * "Unable to infer schema" — write one empty part with the sink
+    * schema instead, honoring the "returns a readable directory"
+    * contract. */
+  private def ensureReadable(df: DataFrame, out: String,
+                             extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
+    val hasData = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    if (!hasData) {
+      val spark = df.sparkSession
+      val empty = extra.foldLeft(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
+      empty.coalesce(1).write.mode("append").parquet(out)
+    }
+  }
+
   /** EMIT FINAL production path: parquet FILE sink (append mode +
     * watermark). Returns the output directory to read results from.
     * Scale: executors write shards directly; the driver only tracks
     * file-sink metadata. */
   def runToParquet(df: DataFrame, prefix: String = "graft_stream"): String = {
     val out = tmp(prefix + "_out")
+    val ckpt = tmp(prefix + "_ckpt")
     val q = df.writeStream
       .outputMode(OutputMode.Append())
       .format("parquet")
       .option("path", out)
-      .option("checkpointLocation", tmp(prefix + "_ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
+    ensureReadable(df, out)
     out
   }
 
@@ -191,16 +240,19 @@ object StreamOps {
     * executor-side write — the driver never materializes rows. */
   def runChangelog(df: DataFrame, prefix: String = "graft_changelog"): String = {
     val out = tmp(prefix + "_out")
+    val ckpt = tmp(prefix + "_ckpt")
     val q = df.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("_batch_id", lit(batchId))
           .write.mode("append").parquet(out)
       }
-      .option("checkpointLocation", tmp(prefix + "_ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
+    ensureReadable(df, out, Seq("_batch_id" -> lit(0L)))
     out
   }
 

@@ -75,6 +75,22 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
       .getMessage.contains("working columns"))
   }
 
+  test("null-epoch rows belong to NO session (never merged into the first one)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ascending sort puts nulls first; their gap comparison is NULL →
+    // otherwise(0), so without the filter they'd silently inflate the
+    // key's first session
+    val df = Seq(
+      (1L, Some(100L), 1L), (1L, Some(200L), 2L),
+      (1L, None, 3L), (1L, None, 4L)
+    ).toDF("k", "ep", "id")
+    val out = TimeWindows.sessionize(df, "ep", 1800L, Seq(col("k")), Seq(col("id")),
+      Seq(count(lit(1)).as("n")))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getLong(rows.head.fieldIndex("n")) == 2L)
+  }
+
   test("sessionize == brute-force reference on random event sets") {
     import spark.implicits._
     (1 to 15).foreach { i =>

@@ -160,6 +160,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSet == Set((1L, 1000L)))
   }
 
+  test("interval join rejects an inverted band; windowed aggs reject reserved output names") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val st = MemoryStream[(Long, Long)]
+    val df = st.toDF().toDF("id", "ep").withColumn("ts", timestamp_seconds(col("ep")))
+    // lower > upper is unsatisfiable — the query would run forever
+    // emitting zero rows with no error
+    intercept[IllegalArgumentException](
+      StreamOps.intervalJoinStream(df, df, "ts", "ts", "10 seconds",
+        col("id") === col("id"), 3600L, 0L))
+    // a key named window_start would be silently REPLACED post-agg
+    intercept[IllegalArgumentException](
+      StreamOps.tumblingAgg(df.withColumnRenamed("id", "window_start"),
+        "ts", "5 minutes", "10 minutes", Seq("window_start"), Seq("count(1)" -> "n")))
+    intercept[IllegalArgumentException](
+      StreamOps.sessionAgg(df, "ts", "30 minutes", "10 minutes",
+        Seq("id"), Seq("count(1)" -> "session_end")))
+  }
+
+  test("runToParquet returns a READABLE dir even when no window ever closes") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val st = MemoryStream[(Long, Long)]
+    // one event: the watermark (max ts - 1h grace) never passes any
+    // window end, so append mode emits nothing — the sink dir holds
+    // only _spark_metadata and a bare read would die with "Unable to
+    // infer schema"
+    st.addData(Seq((1L, 1000L)))
+    val agg = StreamOps.tumblingAgg(
+      st.toDF().toDF("id", "ep").withColumn("ts", timestamp_seconds(col("ep"))),
+      "ts", "5 minutes", "1 hour", Seq.empty, Seq("count(1)" -> "n"))
+    val out = StreamOps.runToParquet(agg, "graft_empty_stream")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0)
+    assert(back.columns.contains("window_start") && back.columns.contains("n"))
+  }
+
   test("multi-job: several concurrent streaming queries in one session (reference server model)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
