@@ -443,9 +443,13 @@ object VeloSqlParser {
           case u: Union =>
             val merged = u.selects.flatMap(_.props.toSeq).toMap
             // represent a union body through a derived-table wrapper so
-            // downstream consumers still see one SelectStmt
+            // downstream consumers still see one SelectStmt. PRIMARY KEY
+            // annotations survive when every branch declares the SAME
+            // keys (the union's output key) — an empty vector here would
+            // silently disable sink key routing for the whole job;
+            // disagreeing branches stay unkeyed (ambiguous).
             val wrapped = SelectStmt(
-              fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = Vector.empty,
+              fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = unionKeys(u),
               from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
               fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
               having = None, window = None, namedWindows = None, orderBy = None,
@@ -458,13 +462,20 @@ object VeloSqlParser {
       }
     }
 
+    /** A union's routable keys: the branches' shared PRIMARY KEY set,
+      * or none when branches disagree. */
+    private def unionKeys(u: Union): Vector[String] = {
+      val ks = u.selects.map(_.keyFields)
+      if (ks.nonEmpty && ks.forall(_ == ks.head)) ks.head else Vector.empty
+    }
+
     /** A UNION body in a single-SelectStmt position (INSERT INTO …
       * SELECT): wrapped as a derived table, same as CTAS union bodies. */
     private def asInsertBody(stmt: VeloStatement): SelectStmt = stmt match {
       case Select(s) => s
       case u: Union =>
         SelectStmt(
-          fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = Vector.empty,
+          fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = unionKeys(u),
           from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
           fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
           having = None, window = None, namedWindows = None, orderBy = None,
@@ -484,7 +495,22 @@ object VeloSqlParser {
         case "STRING" | "VARCHAR" | "TEXT" => "STRING"
         case "BOOLEAN" | "BOOL" => "BOOLEAN"
         case "TIMESTAMP" => "TIMESTAMP"
-        case "DECIMAL" | "NUMERIC" => "DECIMAL(18,4)"
+        case "DECIMAL" | "NUMERIC" =>
+          // explicit DECIMAL(p, s) is honored; bare DECIMAL defaults to
+          // the dialect's financial precision. Without this branch the
+          // '(' broke the column loop with a misleading "expected ')'"
+          if (peek().exists(_.text == "(")) {
+            take()
+            val p = take().text.toIntOption.getOrElse(
+              throw new ParseException("DECIMAL precision must be a number"))
+            expectSym(",")
+            val sc = take().text.toIntOption.getOrElse(
+              throw new ParseException("DECIMAL scale must be a number"))
+            expectSym(")")
+            if (p < 1 || p > 38 || sc < 0 || sc > p)
+              throw new ParseException(s"invalid DECIMAL($p,$sc)")
+            s"DECIMAL($p,$sc)"
+          } else "DECIMAL(18,4)"
         case "ARRAY" =>
           expectSym("("); val inner = dataType(); expectSym(")")
           s"ARRAY<$inner>"
@@ -612,6 +638,10 @@ object VeloSqlParser {
         else if (t.kind == TSymbol && t.text == ")") {
           if (depth == 0) done = true else { depth -= 1; out += take() }
         } else if (depth == 0 && t.kind == TSymbol && t.text == "," && stopAtComma) done = true
+        // a top-level ';' always ends the expression: swallowing it
+        // would parse "… WHERE x > 0; SELECT b" as one statement with a
+        // garbage WHERE, and validity probes would admit it
+        else if (depth == 0 && t.kind == TSymbol && t.text == ";") done = true
         else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper) || dynStops.contains(t.upper))
                  // JOIN/LEFT/RIGHT are also catalog FUNCTIONS — a '('
                  // right after means a call, not a clause boundary
@@ -791,6 +821,10 @@ object VeloSqlParser {
       var more = true
       while (more) {
         val span = exprSpan(stopAtComma = true)
+        // an empty span (trailing comma) would set timeCol to "" and
+        // render window(, '…') — garbage that dies in Catalyst
+        if (span.isEmpty)
+          throw new ParseException("empty window argument (trailing comma?)")
         parseDuration(span) match {
           case Some(sec) => durations :+= sec
           case None =>
@@ -845,11 +879,16 @@ object VeloSqlParser {
     num.flatMap { v =>
       if (ts.length == 2) {
         val u = ts(1).upper
-        if (u == "MS" || u.startsWith("MILLISECOND")) Some(v / 1000)
+        // sub-second millis do NOT truncate to 0 silently: 500ms as a
+        // WITHIN band would become "<= 0 seconds apart" (exact-match
+        // join) and a 0-second window is invalid downstream — reject
+        // non-whole-second values so the caller errors loudly
+        if (u == "MS" || u.startsWith("MILLISECOND"))
+          (if (v % 1000 == 0) Some(v / 1000) else None)
         else unitSeconds(u).map(v * _)
       } else None
       // a lone NUMBER is ambiguous with a column reference — reject.
-    }
+    }.filter(_ > 0) // a ZERO duration is degenerate everywhere it is used
   }
 
   private def unitSeconds(u: String): Option[Long] = u.toUpperCase(java.util.Locale.ROOT) match {
@@ -991,9 +1030,14 @@ object VeloSqlParser {
             // WHERE (only FALSE-vs-UNKNOWN differs, both filtered).
             out += t += sym("(") += id("SELECT")
             if (q == "ALL") {
+              // the null-detector counts the RAW column: with a DISTINCT
+              // select list, count(DISTINCT v) also collapses duplicate
+              // NON-null values, so [1,1] would read as "has nulls" and
+              // poison a comparison standard SQL answers TRUE
+              val selRaw = if (sel.headOption.exists(_.isKw("DISTINCT"))) sel.tail else sel
               out += id("CASE") += id("WHEN") += id("count") += sym("(") += sym("*") += sym(")")
               out += sym(">") += id("count") += sym("(")
-              out ++= sel
+              out ++= selRaw
               out += sym(")") += id("THEN") += id("CAST") += sym("(") += id("NULL")
               out += id("AS") += id("DOUBLE") += sym(")")
               out += id("ELSE")
@@ -1053,6 +1097,12 @@ object VeloSqlParser {
               // row's event time with the query wall clock.
               out += id("current_timestamp") += sym("(") += sym(")")
             } else {
+              // no format form: silently dropping a second argument
+              // would cast with the DEFAULT format and NULL out every
+              // string the user's format was there to parse
+              if (args.length > 1)
+                throw new ParseException(
+                  s"$up(expr) takes one argument; format variants are not supported")
               out += id("cast") += sym("(")
               out ++= rewriteTokens(args.head, defaultTimeCol)
               out += id("AS") += id("timestamp") += sym(")")
@@ -1273,12 +1323,21 @@ object VeloSqlParser {
               else j += 1
             }
             if (order.isEmpty) throw new ParseException(s"$up OVER (...) needs ORDER BY <value>")
-            // strip a trailing ASC/DESC from the value expression
-            val value = if (order.last.isKw("ASC") || order.last.isKw("DESC")) order.dropRight(1) else order
+            // strip a trailing ASC/DESC from the value expression; DESC
+            // inverts the quantile — PERCENTILE_CONT(p) over a DESC
+            // ordering is the value p of the way down from the TOP,
+            // i.e. the (1-p) quantile ascending. Dropping the DESC
+            // without inverting silently returned the wrong percentile.
+            val desc = order.last.isKw("DESC")
+            val value = if (order.last.isKw("ASC") || desc) order.dropRight(1) else order
             out += id("percentile") += sym("(")
             out ++= rewriteTokens(value, defaultTimeCol)
             out += sym(",")
-            out ++= p
+            if (desc) {
+              out += sym("(") += Tok(TNumber, "1") += Tok(TSymbol, "-") += sym("(")
+              out ++= p
+              out += sym(")") += sym(")")
+            } else out ++= p
             out += sym(")") += id("OVER") += sym("(")
             if (partition.nonEmpty) { out += id("PARTITION") += id("BY"); out ++= partition }
             if (frame.nonEmpty) {
@@ -1376,7 +1435,12 @@ object VeloSqlParser {
                     }
                     f
                   }
-                  if (minusIx > 0) {
+                  // `ts - INTERVAL …` is a TIMESTAMP, not a timestamp
+                  // difference: splitting it would emit
+                  // unix_timestamp(INTERVAL …) — an analysis error
+                  val rhsIsInterval =
+                    minusIx > 0 && inner.lift(minusIx + 1).exists(_.isKw("INTERVAL"))
+                  if (minusIx > 0 && !rhsIsInterval) {
                     // epoch of a timestamp difference, in seconds
                     out += sym("(") += id("unix_timestamp") += sym("(")
                     out ++= inner.take(minusIx)
@@ -1452,7 +1516,12 @@ object VeloSqlParser {
     def at(kw: String, o: Int = 0) = inner.lift(i + o).exists(_.isKw(kw))
     if (!(at("ROWS") && at("WINDOW", 1) && at("BUFFER", 2))) throw new ParseException("malformed ROWS WINDOW")
     i += 3
-    val n = inner(i).text.toLong; i += 1
+    val n = inner.lift(i).map(_.text).flatMap(_.toLongOption)
+      .getOrElse(throw new ParseException("BUFFER expects a row count"))
+    // n = 0 would render "ROWS BETWEEN -1 PRECEDING" — an analysis
+    // error far from the query text; reject at parse time
+    if (n < 1) throw new ParseException(s"BUFFER must be >= 1 ROWS, got $n")
+    i += 1
     if (!at("ROWS")) throw new ParseException("expected ROWS after BUFFER n")
     i += 1
     def spanUntil(stops: Set[String]): Vector[Tok] = {

@@ -784,6 +784,58 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[scala.collection.Map[String, String]]("h").get("job").contains("graft"))
   }
 
+  test("parser review batch: DISTINCT-ALL, DESC percentile, union keys, durations, DECIMAL(p,s)") {
+    import spark.implicits._
+    // 1. ALL over a DISTINCT subquery: duplicate NON-null values must
+    // not trip the null-poison guard (count(*)>count(DISTINCT v) was 2>1)
+    ctx.register("dup_t", Seq(1.0, 1.0).toDF("v"))
+    val allRows = ctx.sql(
+      "SELECT order_id FROM orders WHERE amount > ALL (SELECT DISTINCT v FROM dup_t)")
+    assert(allRows.count() == 5, "5 > ALL {1,1} is TRUE for every order")
+    // 2. PERCENTILE_CONT over DESC ordering = the (1-p) quantile ascending
+    ctx.register("pct_t", Seq((1, 10.0), (1, 20.0), (1, 30.0), (1, 40.0)).toDF("g", "v"))
+    val p25desc = ctx.sql(
+      "SELECT PERCENTILE_CONT(0.25) OVER (PARTITION BY g ORDER BY v DESC) AS p FROM pct_t")
+      .collect().head.getDouble(0)
+    assert(math.abs(p25desc - 32.5) < 1e-9, s"25% down from the top of 10..40 is 32.5, got $p25desc")
+    // 3. PRIMARY KEY survives a union body when branches agree
+    val un = VeloSqlParser.parse(
+      """CREATE STREAM u AS SELECT order_id PRIMARY KEY, amount FROM orders
+         UNION ALL SELECT order_id PRIMARY KEY, amount FROM orders""")
+      .asInstanceOf[VeloSqlParser.CreateStreamAs]
+    assert(un.select.keyFields == Vector("order_id"))
+    // 4. sub-second and zero durations reject loudly (a 500ms WITHIN
+    // band truncated to "0 seconds apart" = exact-timestamp join)
+    assert(VeloSqlParser.parseDuration(Vector(
+      VeloSqlParser.Tok(VeloSqlParser.TNumber, "500"),
+      VeloSqlParser.Tok(VeloSqlParser.TIdent, "ms"))).isEmpty)
+    assert(VeloSqlParser.parseDuration(Vector(
+      VeloSqlParser.Tok(VeloSqlParser.TNumber, "2000"),
+      VeloSqlParser.Tok(VeloSqlParser.TIdent, "ms"))).contains(2L))
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT COUNT(*) FROM t GROUP BY k WINDOW TUMBLING(0s)"))
+    // 5. DECIMAL(p,s) column declarations parse; BUFFER 0 and empty
+    // window args and TIMESTAMP format-arity reject at parse time
+    val dec = VeloSqlParser.parse(
+      "CREATE TABLE t2 (price DECIMAL(10,2)) AS SELECT amount AS price FROM orders")
+      .asInstanceOf[VeloSqlParser.CreateTableAs]
+    assert(dec.columns == Vector("price" -> "DECIMAL(10,2)"))
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT sum(x) OVER (ROWS WINDOW BUFFER 0 ROWS ORDER BY t) FROM t"))
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT COUNT(*) FROM t GROUP BY k WINDOW SESSION(5m, )"))
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT TIMESTAMP(ts, 'yyyy-MM-dd') FROM t"))
+    // 6. a top-level ';' no longer folds a second statement into WHERE
+    intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT order_id FROM orders WHERE amount > 0; SELECT 1"))
+    // 7. EXTRACT(EPOCH FROM ts - INTERVAL) stays one timestamp
+    val ep = ctx.sql(
+      "SELECT EXTRACT(EPOCH FROM event_time - INTERVAL '1' HOUR) AS e FROM orders WHERE order_id = 1")
+      .collect().head.getLong(0)
+    assert(ep == 1700000000L - 3600L)
+  }
+
   test("ALL/ANY against a NULL-bearing subquery follows standard semantics in WHERE") {
     import spark.implicits._
     ctx.register("lim_t", Seq(Some(90.0), None).toDF("limit_px"))
