@@ -29,8 +29,15 @@ object Sampling {
   private def hexThreshold(fraction: Double): String =
     f"${math.max(0L, math.min(65535L, math.round(fraction * 65536L)))}%04x"
 
+  // NULL keys propagate NULL (not a shared md5(salt) constant —
+  // concat_ws SKIPS nulls, which would pile every null-key row into one
+  // arbitrary split/sample decision): under the split CASE they fall to
+  // the ELSE arm (last split), and sampleFilter never selects them —
+  // exactly what the DuckDB oracle's 'graft:'||CAST(id AS VARCHAR)
+  // (NULL-propagating ||) computes, so the two engines agree.
   private def hashPrefix(key: Column, salt: String): Column =
-    substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4)
+    when(key.isNull, lit(null).cast("string"))
+      .otherwise(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4))
 
   /** Split-label column: assigns each key to the named splits by
     * cumulative md5-prefix thresholds. Fractions must sum to ~1; the
@@ -64,9 +71,15 @@ object Sampling {
   /** Membership predicate for a deterministic `fraction` sample keyed
     * on `key` (stratify by putting the stratum in the key or the salt).
     */
-  def sampleFilter(key: Column, fraction: Double, salt: String = "graft"): Column =
+  def sampleFilter(key: Column, fraction: Double, salt: String = "graft"): Column = {
+    // a fraction below the sampler's 2^-16 resolution rounds to the
+    // 0000 threshold — an "everything filtered" sample with no error
+    require(fraction <= 0.0 || fraction >= 1.0 || math.round(fraction * 65536L) >= 1,
+      s"fraction $fraction is below the sampler's 2^-16 resolution " +
+        "(smallest non-empty sample is ~1.53e-5); hash on a wider prefix instead")
     if (fraction >= 1.0) lit(true)
     else hashPrefix(key, salt) < lit(hexThreshold(fraction))
+  }
 
   /** Deterministic sample: keeps ~`fraction` of rows, same rows on
     * every rerun and every cluster layout. */
@@ -132,6 +145,20 @@ object Sampling {
     // executor tasks; negative → negative shard ids colliding with the
     // previous salt stream's id space. Reject at the call site.
     require(budget > 0, s"shard weight budget must be positive, got $budget")
+    // the 2^20-salt × 2^40-shard namespace invariant (see outCol below)
+    // holds only when salts fit 20 bits: a larger explicit parallelism
+    // overflows salt*2^40 in a long (ANSI: mid-job ARITHMETIC_OVERFLOW;
+    // non-ANSI: silent cross-stream shard merges)
+    require(parallelism <= (1 << 20),
+      s"parallelism must be <= 2^20 (shard-id namespace bound), got $parallelism")
+    // the salt is id % parallelism — pmod over a non-numeric id would
+    // be a per-row ANSI cast error (or an all-null salt collapsing the
+    // corpus into ONE sort partition, the exact straggler salting
+    // prevents)
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
+    }, s"packIntoShards needs an integral id column, '$idCol' is ${df.schema(idCol).dataType}")
     // graft-prefixed + guarded working columns (the leakageFreeSplit /
     // sessionize convention): bare `_salt`/`_cum` would silently
     // REPLACE same-named input columns (an upstream salting stage's
@@ -158,8 +185,11 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null weight = unweighted doc (weighs 0): the window sum SKIPS
     // nulls, but `cum - weight` would go null and the row would fall
-    // out of every shard silently — coalesce keeps it packed
-    val weight = coalesce(col(weightCol), lit(0L))
+    // out of every shard silently — coalesce keeps it packed. Negative
+    // weights (corrupt rows) clamp to 0 for the same reason: a negative
+    // cumsum prefix floors to shard -1, numerically inside the PREVIOUS
+    // salt stream's id space — silent cross-stream merges
+    val weight = greatest(coalesce(col(weightCol), lit(0L)), lit(0L))
     df.withColumn(saltCol, pmod(col(idCol), lit(p)))
       .withColumn(cumCol, sum(weight).over(w))
       .withColumn(outCol,

@@ -55,6 +55,12 @@ object Serde {
       init: () => Array[Byte] => Array[Any]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     requireNoClash(df, payloadCol, valueSchema, what)
+    // fail fast on the DRIVER: a non-binary payload (e.g. a string
+    // column) would otherwise ClassCastException per-row inside
+    // executor tasks with an opaque stack trace
+    require(df.schema(payloadCol).dataType == org.apache.spark.sql.types.BinaryType,
+      s"payload column '$payloadCol' must be BINARY for $what decode, " +
+        s"is ${df.schema(payloadCol).dataType}")
     val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
     // decoded fields are nullable regardless of the codec schema: a
     // tombstone (null payload) nulls ALL of them
@@ -84,10 +90,18 @@ object Serde {
     * user column cannot collide with it. */
   def decodeJson(df: DataFrame, payloadCol: String, schema: StructType): DataFrame = {
     requireNoClash(df, payloadCol, schema, "json")
+    requireNoWorkingCol(df)
     df.withColumn("__graft_decoded", from_json(col(payloadCol), schema))
       .drop(payloadCol)
       .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
   }
+
+  // the packIntoShards/sessionize convention: withColumn REPLACES a
+  // same-named input column and the trailing drop would delete the
+  // user's data silently
+  private def requireNoWorkingCol(df: DataFrame): Unit =
+    require(!df.columns.contains("__graft_decoded"),
+      "input must not carry the __graft_decoded working column")
 
   /** Encode selected columns into one JSON-string payload column. */
   def encodeJson(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
@@ -96,6 +110,7 @@ object Serde {
   def decodeCsv(df: DataFrame, payloadCol: String, schema: StructType,
                 options: Map[String, String] = Map.empty): DataFrame = {
     requireNoClash(df, payloadCol, schema, "csv")
+    requireNoWorkingCol(df)
     df.withColumn("__graft_decoded", from_csv(col(payloadCol), schema, options))
       .drop(payloadCol)
       .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
@@ -209,14 +224,20 @@ object Serde {
         s"column '${f.name}' is $actual but the avro schema expects ${f.dataType} " +
           s"(cast the column before encoding)")
     }
-    // an existing payload column is REPLACED (encodeJson's withColumn
-    // semantics — the normal re-encode of a raw Kafka frame rewriting
-    // its `value`); appending would materialize a duplicate name that
-    // only explodes on the next select-by-name
-    val keepIdx = inSchema.fields.zipWithIndex.collect {
-      case (f, i) if f.name != payloadCol => i }.toIndexedSeq
-    val outSchema = StructType(keepIdx.map(inSchema.fields(_)) :+
-      StructField(payloadCol, BinaryType, nullable = false))
+    // an existing payload column is REPLACED IN PLACE (encodeJson's
+    // withColumn semantics — the normal re-encode of a raw Kafka frame
+    // rewriting its `value`); moving it to the end would give positional
+    // consumers a different layout depending on which encoder ran, and
+    // appending would materialize a duplicate name
+    val hasPayload = inSchema.fieldNames.contains(payloadCol)
+    val outFields =
+      if (hasPayload) inSchema.fields.map(f =>
+        if (f.name == payloadCol) StructField(payloadCol, BinaryType, nullable = false) else f)
+      else inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false)
+    val outSchema = StructType(outFields)
+    // -1 marks the payload slot; every other slot copies its input index
+    val srcIdx = outFields.map(f =>
+      if (f.name == payloadCol) -1 else inSchema.fieldIndex(f.name)).toIndexedSeq
     val res = df.mapPartitions { it =>
       import scala.jdk.CollectionConverters._
       import org.apache.avro.Schema
@@ -241,9 +262,21 @@ object Serde {
         }
         bos.reset()
         encoder = EncoderFactory.get().binaryEncoder(bos, encoder)
-        writer.write(rec, encoder)
+        // the driver-side check validates TYPES, not values: a NULL in a
+        // column bound to a non-nullable avro field dies here — name the
+        // field instead of burning task retries on an opaque NPE
+        try writer.write(rec, encoder)
+        catch {
+          case e @ (_: NullPointerException | _: org.apache.avro.AvroTypeException
+                    | _: org.apache.avro.AvroRuntimeException) =>
+            val nullFields = fields.filter(f => rec.get(f.pos()) == null).map(_.name())
+            throw new IllegalArgumentException(
+              s"avro encode failed${if (nullFields.nonEmpty)
+                s" (NULL in non-nullable field(s): ${nullFields.mkString(", ")})"
+              else ""}: ${e.getMessage}", e)
+        }
         encoder.flush()
-        Row.fromSeq(keepIdx.map(row.get) :+ bos.toByteArray)
+        Row.fromSeq(srcIdx.map(i2 => if (i2 < 0) bos.toByteArray else row.get(i2)))
       }
     }(Encoders.row(outSchema))
     res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
@@ -284,7 +317,15 @@ object Serde {
     * source emits): value decoded by `schema`, headers as a
     * map<string,string>, system columns surfaced with the reference's
     * names (_timestamp/_offset/_partition, docs/sql/system-columns.md). */
-  def fromKafkaEnvelope(frames: DataFrame, schema: StructType): DataFrame =
+  def fromKafkaEnvelope(frames: DataFrame, schema: StructType): DataFrame = {
+    // same clash guard as the Avro twin (there decodeAvro's
+    // requireNoClash covers it): a payload field named like a system
+    // column would splat a duplicate that only explodes on the next
+    // select-by-name
+    val sys = Set("_headers", "_timestamp", "_offset", "_partition")
+    val clash = schema.fieldNames.toSet.intersect(sys)
+    require(clash.isEmpty,
+      s"decoded json fields collide with system columns: ${clash.mkString(", ")}")
     frames
       .withColumn("_decoded", from_json(col("value").cast("string"), schema))
       .withColumn("_headers", headersToMap(col("headers")))
@@ -292,6 +333,7 @@ object Serde {
       .withColumn("_offset", col("offset"))
       .withColumn("_partition", col("partition"))
       .select(col("_decoded.*"), col("_headers"), col("_timestamp"), col("_offset"), col("_partition"))
+  }
 
   /** Kafka topic → typed streaming DataFrame: the reference's
     * `FROM kafka://topic` (src/velostream/kafka/). Composes Spark's

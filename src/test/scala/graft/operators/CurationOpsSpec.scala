@@ -139,6 +139,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       Sketches.cmsHeavyHitters(docs, "id", k = 0)).getMessage.contains("k"))
   }
 
+  test("sampling/packing edge guards: null keys, tiny fractions, weights, id types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // null keys: NOT one shared md5(salt) bucket — split lands in the
+    // LAST split (the SQL CASE ELSE, matching the DuckDB oracle's
+    // NULL-propagating ||), sample never selects them
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val splits = withNull.withColumn("s",
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(splits.where(col("id").isNull).collect().head.getString(1) == "test")
+    assert(withNull.where(Sampling.sampleFilter(col("id"), 0.99)).where(col("id").isNull).count() == 0)
+    // a fraction below 2^-16 would round to threshold 0000 → silent empty sample
+    intercept[IllegalArgumentException](Sampling.sampleFilter(col("id"), 5e-6))
+    // negative weights clamp to 0 instead of flooring into the previous
+    // salt stream's shard-id space
+    val negW = Seq((0L, -500L), (32L, 100L)).toDF("doc_id", "w")
+    val shards = Sampling.packIntoShards(negW, "doc_id", "w", budget = 1000L, parallelism = 32)
+    assert(shards.where(col("shard_id") < 0).count() == 0)
+    // non-integral id and oversized parallelism reject at the call site
+    val strId = Seq(("doc-1", 10L)).toDF("doc_id", "w")
+    intercept[IllegalArgumentException](
+      Sampling.packIntoShards(strId, "doc_id", "w", budget = 1000L, parallelism = 2))
+    intercept[IllegalArgumentException](
+      Sampling.packIntoShards(negW, "doc_id", "w", budget = 1000L, parallelism = 1 << 21))
+  }
+
   test("packIntoShards: rows tied on idCol pack by ROWS frame, not one shared RANGE cumsum") {
     import spark.implicits._
     // three 600-weight docs with the SAME id under a 1000 budget: the

@@ -157,6 +157,44 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(mistyped.getMessage.contains("cast the column"))
   }
 
+  test("serde guard rails: payload position, binary check, working col, sys clash, null field name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val schemaJson =
+      """{"type":"record","name":"T","fields":[{"name":"n","type":"long"}]}"""
+    // in-place payload replace: a mid-frame `value` keeps its POSITION
+    // (positional consumers must see one layout whichever encoder ran)
+    val mid = Seq((1L, "old", "z")).toDF("n", "value", "tail")
+    assert(Serde.encodeAvro(mid, schemaJson, "value").columns.toSeq == Seq("n", "value", "tail"))
+    // a STRING payload column fails fast on the driver, not per-row CCE
+    val strPayload = Seq((1L, "notbytes")).toDF("other_id", "value")
+    val e = intercept[IllegalArgumentException](Serde.decodeAvro(strPayload, "value", schemaJson))
+    assert(e.getMessage.contains("BINARY"))
+    // a pre-existing __graft_decoded column is rejected, not silently dropped
+    val wk = Seq(("""{"a":1}""", "keep")).toDF("payload", "__graft_decoded")
+    intercept[IllegalArgumentException](Serde.decodeJson(wk, "payload",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType)))))
+    // json envelope: payload fields named like system columns reject
+    val sysSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_timestamp", org.apache.spark.sql.types.LongType)))
+    val frames = Seq((Array[Byte](1), "k")).toDF("value", "key")
+      .withColumn("headers", lit(null).cast("array<struct<key:string,value:binary>>"))
+      .withColumn("timestamp", current_timestamp())
+      .withColumn("offset", lit(0L)).withColumn("partition", lit(0))
+    val c = intercept[IllegalArgumentException](Serde.fromKafkaEnvelope(frames, sysSchema))
+    assert(c.getMessage.contains("_timestamp"))
+    // a NULL in a non-nullable avro field NAMES the field in the error
+    val withNullVal = Seq(Tuple1[java.lang.Long](null)).toDF("n")
+    val err = intercept[Exception] {
+      Serde.encodeAvro(withNullVal, schemaJson).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(t => Option(t.getMessage).exists(_.contains("non-nullable field"))),
+      s"expected a named-null-field error, got: ${err.getMessage}")
+  }
+
   test("Avro tombstone (null payload) decodes to null columns, not an NPE") {
     import org.apache.spark.sql.types._
     val schemaJson =
