@@ -72,10 +72,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // declared INTO-sink location (re-resolved at every launch); the
     // job's output reads route here when set
     var sinkPath: Option[String] = None
-    // epoch whose query last wrote the declared location — a NEW epoch
-    // must reset it before launch (see launch), a resume re-enters the
-    // same epoch and keeps sink + _spark_metadata for exactly-once
-    var sinkEpoch: Int = -1
+    // (epoch, path) whose query last wrote the declared location — a
+    // NEW epoch must reset it before launch (see launch), and so must a
+    // RE-DECLARED path within an epoch (a reused dir's stale
+    // _spark_metadata would claim the resumed batch ids committed and
+    // Spark would silently drop them); a resume re-entering the same
+    // (epoch, path) keeps sink + metadata for exactly-once
+    var sinkStamp: Option[(Int, String)] = None
     // highest micro-batch id supervision has credited as a breaker
     // success — liveness alone is NOT success (see superviseOnce)
     var lastSeenBatch: Long = -1L
@@ -142,7 +145,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
       val rows = SqlApp.metricInput(batch, m)
         .groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
-      metricSpecs.synchronized {
+      // series snapshots across ALL jobs (not this job's slice: the
+      // sink REPLACES the named series wholesale, so a one-job push
+      // would erase every other job's same-named counter), and the sink
+      // is invoked OUTSIDE the metricSpecs lock — the documented order
+      // is JobManager → metricSpecs, and an external sink that touches
+      // the manager from under metricSpecs would be an AB/BA deadlock
+      val series = metricSpecs.synchronized {
         rows.foreach { r =>
           val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
           val key = (jobName, m.name, labels)
@@ -153,11 +162,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
               case other => other.toString.toDouble
             })
         }
-        val series = labeledState.collect {
-          case ((j, n, ls), v) if j == jobName && n == m.name => (("", ls, v))
+        labeledState.collect {
+          case ((_, n, ls), v) if n == m.name => (("", ls, v))
         }.toVector
-        metricSink(m.name, m.metricType, m.help, series)
       }
+      metricSink(m.name, m.metricType, m.help, series)
     }
   }
 
@@ -229,10 +238,23 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       val owned: Set[String] = JobManager.this.synchronized {
         jobs.collect { case (n, j) if j.handle.exists(_.id == e.progress.id) => n }.toSet
       }
+      // pushes buffered under the lock, sink invoked OUTSIDE it (lock
+      // order JobManager → metricSpecs; an external sink must never run
+      // under metricSpecs), and each push carries the COMPLETE per-name
+      // series across jobs — the sink replaces the named series
+      // wholesale, so a one-job slice would erase the other jobs'
+      // same-named metrics on every micro-batch
+      val pushes = scala.collection.mutable.ArrayBuffer[
+        (String, String, Option[String], Vector[(String, Map[String, String], Double)])]()
       metricSpecs.synchronized {
         metricSpecs.foreach { case (jobName, specs) =>
           Option(om.get(s"graft-metrics-$jobName")).filter(_ => owned(jobName)).foreach { row =>
-            specs.filter(observable).foreach { m =>
+            // the observed row reflects the specs the RUNNING query was
+            // built with — a spec attached after launch is absent until
+            // relaunch; fieldIndex on it would throw inside the listener
+            // and silently kill accumulation for the whole job
+            specs.filter(observable)
+              .filter(m => row.schema.fieldNames.contains(m.name)).foreach { m =>
               val idx = row.schema.fieldIndex(m.name)
               val isNull = row.isNullAt(idx)
               // Empty micro-batch → null observed value. A counter adds
@@ -250,13 +272,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                   case _ => v // gauge: last batch's last value wins
                 }
                 counterState(key) = total
-                metricSink(m.name, m.metricType, m.help,
-                  Vector(("", Map("job" -> jobName), total)))
+                val series = counterState.collect {
+                  case ((j2, n2), v2) if n2 == m.name => ("", Map("job" -> j2), v2)
+                }.toVector
+                pushes += ((m.name, m.metricType, m.help, series))
               }
             }
           }
         }
       }
+      pushes.foreach { case (n, t, h, s) => metricSink(n, t, h, s) }
     }
   }
 
@@ -328,7 +353,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * Resources scaladoc) and the usage row keys under job "*". */
   private def gateConcurrency(name: String, lims: Resources.Limits): Unit =
     lims.maxConcurrentOperations.foreach { max =>
-      val wouldRun = jobs.values.count(x => x.status == "RUNNING" && x.name != name) + 1
+      // only ACTIVE streaming queries consume an operation slot: a batch
+      // body materializes synchronously inside start() and then only
+      // serves a standing view — counting it as RUNNING forever would
+      // starve every later streaming admission until a manual STOP
+      val wouldRun = jobs.values.count(x =>
+        x.status == "RUNNING" && x.handle.isDefined && x.name != name) + 1
       metricSpecs.synchronized {
         var u = resourceState.getOrElse(("*", "concurrent_operations"), Resources.Usage())
           .observed(wouldRun.toDouble, Some(max.toDouble))
@@ -348,6 +378,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     case Select(s) => s.emit
     case CreateStreamAs(_, s, _, _) => s.emit
     case CreateTableAs(_, s, _, _) => s.emit
+    // recurse like liftProps does: EMIT CHANGES inside a CTE/UNION job
+    // body otherwise silently falls to the append-sink branch (wrong
+    // output mode — AnalysisException at start, or final-only rows
+    // with no changelog)
+    case WithCtes(_, body, _) => emitOf(body)
+    case u: Union => u.selects.last.emit
     case _ => None
   }
 
@@ -374,6 +410,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     case Select(s) => VeloContext.routedKeys(s, Vector.empty)
     case CreateStreamAs(_, s, _, cols) => VeloContext.routedKeys(s, cols)
     case CreateTableAs(_, s, _, cols) => VeloContext.routedKeys(s, cols)
+    // same recursion rule as emitOf; a union routes on the branches'
+    // SHARED keys (disagreeing branches are unroutable)
+    case WithCtes(_, body2, _) => keyFieldsOf(body2)
+    case u: Union =>
+      val ks = u.selects.map(s => VeloContext.routedKeys(s, Vector.empty))
+      if (ks.nonEmpty && ks.forall(_ == ks.head)) ks.head else Vector.empty
     case _ => Vector.empty
   }
 
@@ -432,8 +474,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // internal out-$epoch dir starting empty. A resume re-enters the
       // SAME epoch: sink + metadata are kept and the same checkpoint
       // continues offset-exact.
-      j.sinkPath.filter(_ => j.sinkEpoch != j.epoch).foreach(JobManager.clearDir)
-      j.sinkEpoch = j.epoch
+      j.sinkPath.filter(p => !j.sinkStamp.contains((j.epoch, p))).foreach(clearSinkDir)
+      j.sinkPath.foreach(p => j.sinkStamp = Some((j.epoch, p)))
       val (sinkLoc, sinkFmt, sinkOpts) = j.sinkPath match {
         case Some(p) => val (f, o) = graft.sources.Serde.fileFormat(p); (p, f, o)
         case None => (j.sinkDir, "parquet", Map.empty[String, String])
@@ -468,6 +510,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             .start()
       }
       j.handle = Some(q)
+      // a PREVIOUS batch launch of this job may have left a cached
+      // materialization and a <job>_out view: release the cache (the
+      // "at most one cached frame per job" contract) and drop the view
+      // so report scrapes don't read stale pre-deploy data
+      j.batchCache.foreach(_.unpersist(blocking = false))
+      j.batchCache = None
+      j.batchView.foreach(v => spark.catalog.dropTempView(v))
       j.batchView = None
     } else {
       // one-shot MATERIALIZATION, as documented: a lazy view would
@@ -587,19 +636,39 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     statusDf(Some(name))
   }
 
-  def stop(name: String, force: Boolean): DataFrame = synchronized {
-    val j = job(name)
-    halt(j, drain = !force)
-    j.status = "STOPPED"
-    statusDf(Some(name))
+  /** Best-effort drain OUTSIDE the JobManager monitor:
+    * processAllAvailable blocks unboundedly on a continuously-producing
+    * source, and holding the monitor through it would hang every status
+    * scrape (/health, /jobs) and the listener-bus callbacks for the
+    * duration. The in-lock halt then stops without draining; any sliver
+    * that arrives between drain and stop is bounded by the lock
+    * acquisition gap, and halt() handles a handle that vanished
+    * meanwhile. */
+  private def preDrain(name: String): Unit = {
+    val h = synchronized(jobs.get(name).flatMap(_.handle))
+    h.foreach(q => try q.processAllAvailable()
+      catch { case scala.util.control.NonFatal(_) => () })
   }
 
-  def pause(name: String): DataFrame = synchronized {
-    val j = job(name)
-    if (j.status != "RUNNING") throw new ParseException(s"job $name is not running")
-    halt(j, drain = true) // checkpoint retained — resume continues exactly-once
-    j.status = "PAUSED"
-    statusDf(Some(name))
+  def stop(name: String, force: Boolean): DataFrame = {
+    if (!force) preDrain(name)
+    synchronized {
+      val j = job(name)
+      halt(j, drain = false)
+      j.status = "STOPPED"
+      statusDf(Some(name))
+    }
+  }
+
+  def pause(name: String): DataFrame = {
+    preDrain(name) // checkpoint retained — resume continues exactly-once
+    synchronized {
+      val j = job(name)
+      if (j.status != "RUNNING") throw new ParseException(s"job $name is not running")
+      halt(j, drain = false)
+      j.status = "PAUSED"
+      statusDf(Some(name))
+    }
   }
 
   def resume(name: String): DataFrame = synchronized {
@@ -615,7 +684,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   }
 
   def deploy(name: String, version: String, body: VeloStatement,
-             props: Map[String, String], strategy: DeployStrategy): DataFrame = synchronized {
+             props: Map[String, String], strategy: DeployStrategy): DataFrame = {
+    // REPLACE = stop old fast; others drain — OUTSIDE the monitor (see
+    // preDrain). A gate rejection after the drain wastes the drain, but
+    // never touches job state.
+    if (strategy != Replace) preDrain(name)
+    synchronized {
     gate("DEPLOY", name, body) // reject BEFORE stopping the running version
     val j = jobs.getOrElseUpdate(name, new Job(name))
     gateBreaker(j) // likewise: an OPEN breaker rejects before any stop
@@ -628,7 +702,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       case Replace => "REPLACE"
     }
     val v = record(j, version, body, props, stratStr)
-    halt(j, drain = strategy != Replace) // REPLACE = stop old fast; others drain
+    halt(j, drain = false)
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
     // the fresh checkpoint restarts batchIds at 0 — a stale high-water
     // mark would starve breaker successes for the whole new epoch and
@@ -639,9 +713,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (lims.monitorsProgress) ensureListener()
     guardedLaunch(j, v)
     statusDf(Some(name))
+    }
   }
 
-  def rollback(name: String, target: Option[String]): DataFrame = synchronized {
+  def rollback(name: String, target: Option[String]): DataFrame = {
+    preDrain(name)
+    synchronized {
     val j = job(name)
     gateBreaker(j)
     val cur = j.current.getOrElse(throw new ParseException(s"job $name has no deployment"))
@@ -658,7 +735,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     }
     val lims = Resources.Limits.fromProps(v.props, defaultLimits)
     gateConcurrency(name, lims)
-    halt(j, drain = true)
+    halt(j, drain = false)
     j.epoch += 1
     j.lastSeenBatch = -1L // fresh epoch, fresh batchId namespace
     resetMetricState(name) // rollback epoch re-reads the source from scratch
@@ -666,6 +743,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (lims.monitorsProgress) ensureListener()
     guardedLaunch(j, v)
     statusDf(Some(name))
+    }
   }
 
   /** One supervision pass over every job (the reference's resource
@@ -832,9 +910,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   }
 
   /** Block until the job's streaming query has drained all available
-    * source data (test/ops synchronization point). */
-  def awaitIdle(name: String): Unit =
-    job(name).handle.foreach(_.processAllAvailable())
+    * source data (test/ops synchronization point). The handle is
+    * snapshotted UNDER the lock (every other accessor synchronizes; an
+    * unguarded read could observe the jobs map mid-rehash or a stale
+    * handle) and the unbounded drain runs outside it. */
+  def awaitIdle(name: String): Unit = {
+    val h = synchronized(job(name).handle)
+    h.foreach(_.processAllAvailable())
+  }
 
   /** The job's current output: batch view or executor-written sink
     * (the declared INTO location when one resolved, else the epoch dir). */
@@ -846,6 +929,21 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private def readSink(j: Job): DataFrame = j.sinkPath match {
     case Some(p) => graft.sources.Serde.readFileUri(spark, p)
     case None => spark.read.parquet(j.sinkDir)
+  }
+
+  /** Declared-sink reset through the Hadoop FileSystem API: a
+    * java.nio-only clear silently NO-OPs on hdfs://-or-s3a:// declared
+    * sinks (Paths.get of a URI is never a local directory), leaving the
+    * previous epoch's _spark_metadata to swallow the new epoch's
+    * restarted batch ids — the exact corruption the reset prevents.
+    * Hadoop's local filesystem covers plain paths through the same code
+    * path. Deletes CONTENTS only (the dir itself, whose existence and
+    * permissions the user may own, stays). */
+  private def clearSinkDir(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
   }
 }
 
@@ -870,22 +968,6 @@ object JobManager {
                              batchSize: Option[Int] = None,
                              numPartitions: Option[Int] = None,
                              partitioningStrategy: Option[String] = None)
-  /** Delete a directory's CONTENTS (keeping the directory itself, whose
-    * existence/permissions the user may own) — the declared-sink reset
-    * on checkpoint-epoch entry. No-op on a missing path. */
-  private[sql] def clearDir(path: String): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toVector.sortBy(-_.getNameCount)
-          .filterNot(_ == root)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-  }
-
   /** SQL LIKE with % and _ (shell-style * also admitted, as the
     * reference's own test patterns use `user_*`). */
   private[sql] def likeMatch(s: String, pat: String): Boolean = {

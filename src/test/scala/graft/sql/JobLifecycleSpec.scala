@@ -245,6 +245,49 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB evolving")
   }
 
+  test("EMIT CHANGES inside a CTE job body takes the changelog path (not the append sink)") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (1L, 2.0)))
+    // an unrecursed emitOf would route this to the Append file sink and
+    // die at start (unwatermarked streaming aggregate in append mode)
+    ctx.sql(
+      """START JOB cte_changes AS WITH src AS (SELECT id, v FROM live_events)
+         SELECT id, COUNT(*) AS n FROM src GROUP BY id EMIT CHANGES""")
+    ctx.jobManager.awaitIdle("cte_changes")
+    val out = ctx.jobManager.sinkDf("cte_changes")
+    // the changelog sink tags each trigger's updates with _batch_id
+    assert(out.columns.contains("_batch_id"))
+    assert(out.where(col("id") === 1L).orderBy(col("_batch_id").desc)
+      .select("n").collect().head.getLong(0) == 2L)
+    ctx.sql("STOP JOB cte_changes FORCE")
+  }
+
+  test("batch relaunch hygiene: streaming relaunch drops the stale view; batch jobs don't hold admission slots") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((7L, 7.0)))
+    // batch body first: materializes batch_then_stream_out
+    ctx.register("batch_src", spark.range(3).toDF("id"))
+    ctx.sql("START JOB batch_then_stream AS SELECT id FROM batch_src")
+    assert(spark.catalog.tableExists("batch_then_stream_out"))
+    ctx.sql("STOP JOB batch_then_stream")
+    // relaunch STREAMING under the same name: the stale _out view (and
+    // its pinned cache) must go — scrapes would otherwise read
+    // pre-deploy data forever
+    ctx.sql("START JOB batch_then_stream AS SELECT id, v FROM live_events")
+    assert(!spark.catalog.tableExists("batch_then_stream_out"))
+    ctx.sql("STOP JOB batch_then_stream FORCE")
+    // admission: completed batch materializations must not consume
+    // concurrent_operations slots forever
+    ctx.sql("START JOB batch_a AS SELECT id FROM batch_src")
+    val started = ctx.sql(
+      """START JOB gated_stream AS SELECT id, v FROM live_events
+         WITH ('max_concurrent_operations' = '1')""").collect().head
+    assert(started.getAs[String]("status") == "RUNNING",
+      "a finished batch job blocked a streaming admission")
+    ctx.sql("STOP JOB gated_stream FORCE")
+    ctx.sql("STOP JOB batch_a")
+  }
+
   test("a query that dies with an error surfaces it in SHOW STATUS instead of a clean STOPPED") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))
