@@ -97,7 +97,11 @@ object Multimodal {
           val small: Array[Byte] =
             if (payload == null) null
             else {
-              val out = new Array[Byte]((payload.length + factor - 1) / factor)
+              // ceil WITHOUT the (+factor-1) overflow: a huge factor
+              // would wrap the sum negative and silently emit an EMPTY
+              // payload instead of the correct 1 byte
+              val n = payload.length / factor + (if (payload.length % factor == 0) 0 else 1)
+              val out = new Array[Byte](n)
               var i = 0
               while (i < out.length) { out(i) = payload(i * factor); i += 1 }
               out
@@ -177,6 +181,26 @@ object Multimodal {
     * worst-case per-row allocation bounded. */
   private val MaxDecodePixels = 1L << 24
 
+  /** Per-image RGB channel means — the ONE pixel-statistics loop,
+    * shared by the image and video-frame paths (a fix applied to one
+    * inline copy would silently drift the other). */
+  private def pixelStats(img: java.awt.image.BufferedImage): (Int, Int, Double, Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    (w, h, sr / n, sg / n, sb / n)
+  }
+
   /** ImageIO decode with the dimension check BEFORE pixel allocation;
     * null for undecodable/oversized payloads (bad-record contract). */
   private def boundedImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage = {
@@ -231,20 +255,8 @@ object Multimodal {
               (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
             val headerW: Any = if (isPng) be32(bytes, 16) else null
             val headerH: Any = if (isPng) be32(bytes, 20) else null
-            val w = img.getWidth; val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-                x += 1
-              }
-              y += 1
-            }
-            val n = (w.toLong * h).toDouble
-            Row(r.getLong(0), headerW, headerH, w, h, sr / n, sg / n, sb / n)
+            val (w, h, mr, mg, mb) = pixelStats(img)
+            Row(r.getLong(0), headerW, headerH, w, h, mr, mg, mb)
           }
         }
       }(enc)
@@ -324,7 +336,12 @@ object Multimodal {
         val size = le32(b, off.toInt + 4).toLong & 0xFFFFFFFFL // RIFF sizes are unsigned
         if (b(off.toInt) == 'f' && b(off.toInt + 1) == 'm'
           && b(off.toInt + 2) == 't' && b(off.toInt + 3) == ' ')
-          return if (off + 16 <= b.length) Integer.valueOf(le32(b, off.toInt + 12)) else null
+          // the declared chunk size must actually COVER the sample-rate
+          // field (bytes 8..11 of the fmt body): a degenerate size < 12
+          // means those 4 bytes belong to the NEXT chunk — garbage, the
+          // exact reading this parser exists to avoid
+          return if (size >= 12 && off + 16 <= b.length)
+            Integer.valueOf(le32(b, off.toInt + 12)) else null
         off += 8 + size + (size & 1) // chunks pad to even length
       }
       null
@@ -341,9 +358,18 @@ object Multimodal {
               new java.io.ByteArrayInputStream(bytes))
             catch { case scala.util.control.NonFatal(_) => null }
           if (ais == null) Row(r.getLong(0), null, null, null, null, null)
-          else {
+          else try {
             val fmt = ais.getFormat
             val nFrames = ais.getFrameLength
+            // hostile-header guard BEFORE the read: a fmt chunk can
+            // declare e.g. 65535 channels, making the frame size exceed
+            // the read buffer — AudioInputStream.read then returns 0
+            // forever and readAllBytes SPINS (its outer loop continues
+            // on n >= 0). Real PCM frames are a few bytes; 4096 is
+            // generous. Oversized → null-feature row, not a hung task.
+            if (fmt.getFrameSize <= 0 || fmt.getFrameSize > 4096)
+              Row(r.getLong(0), fmtSampleRate(bytes), null, null, null, null)
+            else {
             val pcm = ais.readAllBytes()
             ais.close()
             // decode per the container's ACTUAL format — 8/16-bit PCM
@@ -387,6 +413,14 @@ object Multimodal {
               val mean = if (nSamples > 0) sumAbs.toDouble / nSamples else 0.0
               Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, peak, mean)
             }
+            }
+          } catch {
+            // the read/decode path sits behind the SAME bad-record
+            // contract as header parsing: one poison payload must yield
+            // a null-feature row, never kill the stage through retries
+            case scala.util.control.NonFatal(_) =>
+              try ais.close() catch { case scala.util.control.NonFatal(_) => () }
+              Row(r.getLong(0), null, null, null, null, null)
           }
         }
       }(enc)
@@ -469,20 +503,8 @@ object Multimodal {
                         catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) out += Row(id, f, null, null, null, null, null)
               else {
-              val w = img.getWidth; val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-                  x += 1
-                }
-                y += 1
-              }
-              val n = (w.toLong * h).toDouble
-              out += Row(id, f, w, h, sr / n, sg / n, sb / n)
+                val (w, h, mr, mg, mb) = pixelStats(img)
+                out += Row(id, f, w, h, mr, mg, mb)
               }
             } else {
               in.skipBytes(frameLen)

@@ -78,7 +78,21 @@ object ProtoWire {
             throw new IllegalArgumentException(
               s"malformed proto field (expected `<type> <name> = <number>`): $line")
         }
-      }.toSeq
+      }.toSeq match {
+        case fs =>
+          // duplicate numbers/names fail at parse (protoc's "field
+          // number N already used"): FieldIndex keeps one slot per
+          // number, so a duplicate would silently route every value to
+          // the LAST field and leave the earlier column forever null;
+          // duplicate names would emit a duplicate-column Spark schema
+          val dupNum = fs.groupBy(_.number).collect { case (n, g) if g.size > 1 => n }
+          require(dupNum.isEmpty,
+            s"proto field number(s) used more than once: ${dupNum.mkString(", ")}")
+          val dupName = fs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+          require(dupName.isEmpty,
+            s"proto field name(s) declared more than once: ${dupName.mkString(", ")}")
+          fs
+      }
     }
   }
 
@@ -112,10 +126,17 @@ object ProtoWire {
         f.ptype match {
           case PInt32 => writeVarint(out, v.asInstanceOf[Int].toLong)
           case PInt64 => writeVarint(out, v.asInstanceOf[Long])
-          // mask to 32 bits: a uint32 is at most 5 varint bytes on the
-          // wire; sign-extending a (normally impossible) negative Long
-          // would emit 10
-          case PUInt32 => writeVarint(out, v.asInstanceOf[Long] & 0xFFFFFFFFL)
+          // range-checked, not silently masked: a Long outside
+          // [0, 2^32) truncated by & would put a DIFFERENT number on
+          // the wire with no error anywhere (the module's fail-loud
+          // contract). In range, the mask also keeps the varint at ≤5
+          // bytes instead of a 10-byte sign extension.
+          case PUInt32 =>
+            val u = v.asInstanceOf[Long]
+            if (u < 0L || u > 0xFFFFFFFFL)
+              throw new IllegalArgumentException(
+                s"uint32 field '${f.name}' value $u is outside [0, 4294967295]")
+            writeVarint(out, u & 0xFFFFFFFFL)
           case PSInt32 => writeVarint(out, zigzag(v.asInstanceOf[Int].toLong))
           case PSInt64 => writeVarint(out, zigzag(v.asInstanceOf[Long]))
           case PBool => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
@@ -303,10 +324,23 @@ object ProtoWire {
           s"(cast the column before encoding)")
     }
     val idxs = fields.map(f => inSchema.fieldIndex(f.name))
-    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false))
+    // an existing payload column is REPLACED IN PLACE (the
+    // encodeAvro/encodeJson semantics — the normal raw-Kafka re-encode
+    // rewriting its `value`); a blind append would materialize a
+    // duplicate name that explodes on the next select-by-name, with
+    // positional consumers silently reading the stale old column
+    val hasPayload = inSchema.fieldNames.contains(payloadCol)
+    val outFields =
+      if (hasPayload) inSchema.fields.map(f =>
+        if (f.name == payloadCol) StructField(payloadCol, BinaryType, nullable = false) else f)
+      else inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false)
+    val outSchema = StructType(outFields)
+    val srcIdx = outFields.map(f =>
+      if (f.name == payloadCol) -1 else inSchema.fieldIndex(f.name)).toIndexedSeq
     val res = df.mapPartitions { it =>
       it.map { row =>
-        Row.fromSeq(row.toSeq :+ encodeRow(idxs.map(row.get), fields))
+        val payload = encodeRow(idxs.map(row.get), fields)
+        Row.fromSeq(srcIdx.map(i => if (i < 0) payload else row.get(i)))
       }
     }(Encoders.row(outSchema))
     res.toDF(outSchema.fieldNames.toIndexedSeq: _*)

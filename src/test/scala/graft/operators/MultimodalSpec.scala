@@ -178,6 +178,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.isNullAt(out.fieldIndex("header_w")) && out.isNullAt(out.fieldIndex("header_h")))
   }
 
+  test("hostile WAV headers: oversized frame size and degenerate fmt chunk yield null rows, never a hang") {
+    import spark.implicits._
+    // a fmt chunk declaring 65535 channels gives a frame size far past
+    // any read buffer — AudioInputStream.read returns 0 forever and
+    // readAllBytes would SPIN; the decoder must emit a null-feature row
+    def wavWithFmt(channels: Int, fmtSize: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+      def le16(v: Int): Unit = (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+      bos.write("RIFF".getBytes); le32(100); bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); le32(fmtSize)
+      if (fmtSize >= 16) {
+        le16(1); le16(channels); le32(8000); le32(8000 * channels * 2)
+        le16(channels * 2); le16(16)
+      }
+      bos.write("data".getBytes); le32(8); (0 until 8).foreach(_ => bos.write(0))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wavWithFmt(channels = 65535, fmtSize = 16)), // monster frame size
+      (2L, wavWithFmt(channels = 1, fmtSize = 0))       // degenerate fmt chunk
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioFeatures(rows).collect()
+    assert(out.length == 2)
+    val monster = out.find(_.getLong(0) == 1L).get
+    assert(monster.isNullAt(monster.fieldIndex("peak")),
+      "oversized-frame WAV must yield null stats, not decode (or hang)")
+    // degenerate fmt chunk: header_rate must be null, not the next
+    // chunk's bytes read as a sample rate
+    val degen = out.find(_.getLong(0) == 2L).get
+    assert(degen.isNullAt(degen.fieldIndex("header_rate")))
+  }
+
+  test("resize: a factor larger than the payload emits one byte, not a silent empty array") {
+    import spark.implicits._
+    val media = Seq((1L, "image", Array[Byte](42, 43, 44), 3, 1))
+      .toDF("media_id", "media_type", "payload", "width", "height")
+    val out = Multimodal.resize(media, Int.MaxValue).collect().head
+    assert(out.getAs[Array[Byte]]("payload").toSeq == Seq(42.toByte))
+  }
+
   test("decompression-bomb PNG (huge declared dims, tiny file) yields a null row, not an OOM") {
     import org.apache.spark.sql.types._
     // take a real synthesized PNG and rewrite its IHDR to declare

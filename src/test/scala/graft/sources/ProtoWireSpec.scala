@@ -189,6 +189,33 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
       == Seq(1, 536870911))
   }
 
+  test("duplicate field numbers/names reject; uint32 range-checks; payload replaces in place") {
+    import spark.implicits._
+    // protoc rejects a reused number; silently keeping the last slot
+    // would leave the earlier column permanently null
+    val dupNum = intercept[IllegalArgumentException](
+      ProtoWire.ProtoSchema.parse("message M { int32 a = 1; int64 b = 1; }"))
+    assert(dupNum.getMessage.contains("more than once"))
+    intercept[IllegalArgumentException](
+      ProtoWire.ProtoSchema.parse("message M { int32 a = 1; int64 a = 2; }"))
+    // uint32 out of [0, 2^32): masked silently = a DIFFERENT number on the wire
+    val proto = "message M { uint32 u = 1; }"
+    val bad = Seq(Tuple1(4294967296L)).toDF("u")
+    val e = intercept[Exception](ProtoWire.encodeProtobuf(bad, proto).collect())
+    def chain(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("outside"))))
+    // re-encoding a frame that already carries `value` keeps ONE value
+    // column at its original POSITION
+    val re = Seq((7L, Array[Byte](1, 2), "tail")).toDF("n", "value", "z")
+      .withColumnRenamed("n", "u")
+    val out = ProtoWire.encodeProtobuf(
+      re.select(org.apache.spark.sql.functions.col("u").cast("long").as("u"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("z")), proto)
+    assert(out.columns.toSeq == Seq("u", "value", "z"))
+    assert(out.columns.count(_ == "value") == 1)
+  }
+
   test("permissive decode nulls corrupt payloads instead of failing the stream") {
     import spark.implicits._
     val proto = "message M { int64 n = 1; string s = 2; }"
