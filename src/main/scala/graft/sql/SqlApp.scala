@@ -184,7 +184,11 @@ object SqlApp {
     quote
   }
 
-  def parse(content: String, env: String => Option[String] = sys.env.get): SqlApplication = {
+  /** The metadata pass alone (quote-aware, no name-required check) —
+    * shared with SqlValidator.validateContent so the header extraction
+    * cannot drift between the loader and the pre-deploy gate. */
+  private[sql] def parseMetadata(content: String,
+                                 env: String => Option[String] = sys.env.get): AppMetadata = {
     var md = AppMetadata(name = "")
     // metadata lines only OUTSIDE string literals: a multi-line literal
     // whose content happens to start with '-- @k: v' is SQL data, and
@@ -246,6 +250,11 @@ object SqlApp {
         md = md.copy(extra = md.extra + (body.substring(0, c).trim -> body.substring(c + 1).trim))
       }
     }
+    md
+  }
+
+  def parse(content: String, env: String => Option[String] = sys.env.get): SqlApplication = {
+    val md = parseMetadata(content, env)
     if (md.name.isEmpty)
       throw new ParseException("SQL Application must have a name (-- SQL Application: <name>)")
 

@@ -2,6 +2,8 @@ package graft.sql
 
 import scala.util.control.NonFatal
 
+import org.apache.spark.sql.DataFrame
+
 import VeloSqlParser._
 
 /** Pre-deployment SQL validation — the reference's StreamJobServer
@@ -12,6 +14,16 @@ import VeloSqlParser._
   * DataFrame resolves relations, columns, and types without executing
   * anything) — so unresolved tables, misspelled columns, and type
   * errors surface before a job is deployed, with zero data touched.
+  *
+  * The gate mirrors the EXECUTOR's own checks, not a parallel
+  * re-implementation: declared column lists go through the same
+  * applyDeclaredColumns rename+cast the executor runs (arity, unknown
+  * types, and illegal casts all surface), INSERT incoming relations are
+  * built exactly as execStatement builds them, and job WITH-props run
+  * through the same Resources.Limits parser that admission uses — so a
+  * statement that passes the gate cannot fail launch on these axes, and
+  * a statement the gate rejects is one the executor was guaranteed to
+  * reject.
   */
 object SqlValidator {
 
@@ -25,9 +37,13 @@ object SqlValidator {
 
   /** Analyze (not execute) one dialect statement against the context's
     * catalog. DDL/DML bodies are validated through their inner SELECT;
-    * lifecycle statements validate their job body and registry refs. */
-  def validateStatement(ctx: VeloContext, sqlText: String, index: Int = 0): QueryValidation =
-    try validateParsed(ctx, ctx.parseStatement(sqlText), sqlText, index)
+    * lifecycle statements validate their job body and registry refs.
+    * `localSinkDecls` are sink names declared EARLIER in the same app
+    * file (validation must not mutate ctx.declaredSources, so
+    * validateContent threads them through instead). */
+  def validateStatement(ctx: VeloContext, sqlText: String, index: Int = 0,
+                        localSinkDecls: Set[String] = Set.empty): QueryValidation =
+    try validateParsed(ctx, ctx.parseStatement(sqlText), sqlText, index, localSinkDecls)
     catch {
       // NonFatal, not just ParseException: malformed numerics and empty
       // arg lists surface as NumberFormat/IllegalArgument/NoSuchElement
@@ -41,68 +57,129 @@ object SqlValidator {
   /** Validate an already-parsed statement (the hook JobManager uses to
     * reject a deployment before launching it). */
   def validateParsed(ctx: VeloContext, parsed: VeloStatement,
-                     sqlText: String = "", index: Int = 0): QueryValidation = {
+                     sqlText: String = "", index: Int = 0,
+                     localSinkDecls: Set[String] = Set.empty): QueryValidation = {
     var errors = Vector.empty[String]
     var warnings = Vector.empty[String]
 
-    def analyze(text: String): Unit =
+    def analyze(text: String): Seq[String] =
       // building the DataFrame runs parser+analyzer eagerly; no action
-      ctx.spark.sql(text).queryExecution.analyzed
+      ctx.spark.sql(text).queryExecution.analyzed.output.map(_.name)
 
-    def checkTable(name: String): Unit =
-      if (!ctx.spark.catalog.tableExists(name))
-        errors :+= s"unknown table or stream: $name"
+    def checkTable(name: String): Boolean =
+      if (ctx.spark.catalog.tableExists(name)) true
+      else { errors :+= s"unknown table or stream: $name"; false }
+
+    def checkInto(s: SelectStmt): Unit =
+      s.into.foreach { sink =>
+        if (!ctx.declaredSources.contains(sink) && !localSinkDecls.contains(sink))
+          warnings :+= s"INTO sink '$sink' has no CREATE SINK declaration"
+      }
+
+    // every SELECT core reachable from a query statement — a Union
+    // carries per-branch INTO lists and a CTE chain's body does too, so
+    // the sink-declaration check must not stop at bare Selects
+    def selectCores(stmt: VeloStatement): Vector[SelectStmt] = stmt match {
+      case Select(s) => Vector(s)
+      case u: Union => u.selects
+      case WithCtes(_, b, _) => selectCores(b)
+      case _ => Vector.empty
+    }
+
+    /** Analyze the select ONCE, then apply the declared column list the
+      * way the executor will (VeloContext.applyDeclaredColumns —
+      * positional rename + cast): arity mismatches, invalid declared
+      * types, and illegal casts all surface at analysis, pre-deploy,
+      * without re-running the analyzer on the same query text. */
+    def analyzeWithDeclared(s: SelectStmt, cols: Vector[(String, String)]): Unit = {
+      val df = ctx.spark.sql(toSparkSql(s, ctx.defaultTimeCol))
+      df.queryExecution.analyzed
+      if (cols.nonEmpty) VeloContext.applyDeclaredColumns(df, cols)
+      checkInto(s)
+    }
+
+    /** A malformed resource-limit property is a guaranteed launch
+      * failure (JobManager runs the same parser at deploy time) — the
+      * gate has the props in hand, so it runs the same check. */
+    def checkJobProps(props: Map[String, String]): Unit =
+      try { Resources.Limits.fromProps(props, Resources.Limits()); () }
+      catch { case e: ParseException => errors :+= s"job properties: ${e.getMessage}" }
 
     def validateBody(stmt: VeloStatement): Unit = stmt match {
       case Select(s) =>
         analyze(toSparkSql(s, ctx.defaultTimeCol))
-        s.into.foreach { sink =>
-          if (!ctx.declaredSources.contains(sink))
-            warnings :+= s"INTO sink '$sink' has no CREATE SINK declaration"
-        }
+        checkInto(s)
       // render the WHOLE union: branch-by-branch validation misses
       // column-count/type mismatches BETWEEN branches
-      case u: Union => analyze(ctx.renderSql(u))
+      case u: Union =>
+        analyze(ctx.renderSql(u))
+        u.selects.foreach(checkInto)
       case w: WithCtes =>
         // render the whole CTE chain — the analyzer resolves CTE refs
         analyze(ctx.renderSql(w))
-      case CreateTableAs(_, s, _, cols) =>
-        validateBody(Select(s)); checkDeclaredArity(s, cols)
-      case CreateStreamAs(_, s, _, cols) =>
-        validateBody(Select(s)); checkDeclaredArity(s, cols)
-      case InsertInto(table, _, sel, _) =>
-        checkTable(table)
-        sel.foreach(s => validateBody(Select(s)))
-      case Update(table, _, _) => checkTable(table)
-      case Delete(table, _) => checkTable(table)
+        selectCores(w.body).foreach(checkInto)
+      case CreateTableAs(_, s, _, cols) => analyzeWithDeclared(s, cols)
+      case CreateStreamAs(_, s, _, cols) => analyzeWithDeclared(s, cols)
+      case InsertInto(table, cols, selOpt, values) =>
+        val tableOk = checkTable(table)
+        // analyze the INCOMING relation exactly as execStatement builds
+        // it (a VALUES list becomes the same SELECT * FROM VALUES text),
+        // so row-arity mismatches and unresolvable VALUES expressions
+        // fail here, not at execution
+        val incoming: Option[Seq[String]] = selOpt match {
+          case Some(s) => Some(analyze(toSparkSql(s, ctx.defaultTimeCol)))
+          case None if values.nonEmpty =>
+            val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
+            val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
+            Some(analyze(s"SELECT * FROM VALUES $rowsSql AS t$colList"))
+          case None => None
+        }
+        incoming.foreach { inCols =>
+          if (cols.nonEmpty) {
+            // mirrors execStatement's explicit-column-list checks
+            if (cols.length != inCols.length)
+              errors :+= s"INSERT column list has ${cols.length} names but the source produces ${inCols.length}"
+            if (tableOk) {
+              val byLower = ctx.spark.table(table).schema.fieldNames
+                .map(f => f.toLowerCase -> f).toMap
+              val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
+              if (unknown.nonEmpty)
+                errors :+= s"INSERT column(s) not in $table: ${unknown.mkString(", ")}"
+              else {
+                val canonical = cols.map(c => byLower(c.toLowerCase))
+                if (canonical.distinct.length != canonical.length)
+                  errors :+= s"INSERT column list names a column twice: ${cols.mkString(", ")}"
+              }
+            }
+          } else if (tableOk) {
+            // no column list → executor binds positionally via toDF,
+            // which requires exact width
+            val width = ctx.spark.table(table).schema.length
+            if (inCols.length != width)
+              errors :+= s"INSERT source produces ${inCols.length} columns but $table has $width"
+          }
+        }
+      case Update(table, _, _) => checkTable(table); ()
+      case Delete(table, _) => checkTable(table); ()
       case CreateSourceDecl(_, _, props, _) =>
         if (props.isEmpty) warnings :+= "source/sink declaration has no properties"
-      case StartJob(_, body, _) => validateBody(body)
-      case DeployJob(_, _, body, _, strategy) =>
+      case StartJob(_, body, props) =>
+        validateBody(body)
+        checkJobProps(props)
+      case DeployJob(_, _, body, props, strategy) =>
         strategy match {
           case Canary(p) if p < 1 || p > 100 =>
             errors :+= s"CANARY percentage $p outside [1,100]"
           case _ =>
         }
         validateBody(body)
+        checkJobProps(props)
       case StopJob(name, _) => warnIfUnknownJob(name)
       case PauseJob(name) => warnIfUnknownJob(name)
       case ResumeJob(name) => warnIfUnknownJob(name)
       case RollbackJob(name, _) => warnIfUnknownJob(name)
       case Show(_, _) | Describe(_) => ()
     }
-
-    // a declared column list binds positionally — an arity mismatch is a
-    // guaranteed execution failure the pre-deploy gate must catch. The
-    // rule is the executor's own (VeloContext.declaredArityError): a
-    // WINDOW spec's synthetic window_start/window_end tail is
-    // pass-through, so a list covering only the select items is valid.
-    def checkDeclaredArity(s: VeloSqlParser.SelectStmt, cols: Vector[(String, String)]): Unit =
-      if (cols.nonEmpty) {
-        val out = ctx.spark.sql(toSparkSql(s, ctx.defaultTimeCol))
-          .queryExecution.analyzed.output.map(_.name)
-        VeloContext.declaredArityError(out, cols.length).foreach(e => errors :+= e)
-      }
 
     def warnIfUnknownJob(name: String): Unit =
       if (!ctx.jobManager.hasJob(name))
@@ -119,15 +196,59 @@ object SqlValidator {
 
   /** Validate a whole application text (the StreamJobServer's
     * pre-deploy gate): every statement analyzed, INTO sinks checked
-    * against declarations, application name extracted from the header. */
+    * against declarations, application name extracted via SqlApp's
+    * quote-aware metadata parser (one parser, no drift).
+    *
+    * Statements validate against the catalog AS THE APP WOULD BUILD IT:
+    * each valid CTAS/CSAS registers a zero-row placeholder view of its
+    * output schema so later statements that read it resolve — an app
+    * with intra-file dependencies (the normal case; SqlApp's wave
+    * loader exists for exactly those) must not be reported invalid.
+    * Placeholders are torn down afterwards, restoring any relation they
+    * shadowed: validation never leaves catalog residue. */
   def validateContent(ctx: VeloContext, content: String): AppValidation = {
-    val appName = content.linesIterator.map(_.trim)
-      .collectFirst { case l if l.startsWith("-- SQL Application:") =>
-        l.substring("-- SQL Application:".length).trim }
+    val appName = Option(SqlApp.parseMetadata(content).name).filter(_.nonEmpty)
     val statements = VeloContext.splitStatements(content)
-    val results = statements.zipWithIndex.map { case (s, i) => validateStatement(ctx, s, i) }
-    val missing = results.flatMap(_.warnings).filter(_.contains("no CREATE SINK")).toVector
-    AppValidation(appName, statements.length, results.count(_.isValid),
-      results.toVector, missing, results.forall(_.isValid))
+    val spark = ctx.spark
+    var localDecls = Set.empty[String]
+    // newest-first: restores replay in reverse, so the OLDEST shadowed
+    // relation (the pre-validation state) is what finally sticks
+    var placeholders = List.empty[(String, Option[DataFrame])]
+    def registerPlaceholder(name: String, s: SelectStmt, cols: Vector[(String, String)]): Unit =
+      try {
+        val prior = if (spark.catalog.tableExists(name)) Some(spark.table(name)) else None
+        val df = VeloContext.applyDeclaredColumns(
+          spark.sql(toSparkSql(s, ctx.defaultTimeCol)), cols).limit(0)
+        df.createOrReplaceTempView(name)
+        placeholders ::= (name, prior)
+      } catch { case NonFatal(_) => () }
+    try {
+      val results = statements.zipWithIndex.map { case (stmtText, i) =>
+        val r = validateStatement(ctx, stmtText, i, localDecls)
+        if (r.isValid)
+          try ctx.parseStatement(stmtText) match {
+            case CreateTableAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
+            case CreateStreamAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
+            case CreateSourceDecl(_, name, _, _) => localDecls += name
+            case _ => ()
+          } catch { case NonFatal(_) => () }
+        r
+      }
+      val missing = results.flatMap(_.warnings).filter(_.contains("no CREATE SINK")).toVector
+      AppValidation(appName, statements.length, results.count(_.isValid),
+        results.toVector, missing, results.forall(_.isValid))
+    } finally {
+      placeholders.foreach { case (name, prior) =>
+        spark.catalog.dropTempView(name)
+        prior.foreach { df =>
+          // a temp-view prior was REPLACED by the placeholder, so
+          // re-register it; a permanent table was only SHADOWED and the
+          // drop above already restored it — re-registering would shadow
+          // it again, so only re-register when the name no longer
+          // resolves
+          if (!spark.catalog.tableExists(name)) df.createOrReplaceTempView(name)
+        }
+      }
+    }
   }
 }

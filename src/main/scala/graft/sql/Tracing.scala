@@ -43,9 +43,12 @@ final class Tracer(capacity: Int = 8192,
       case (t, s) :: _ => (t, Some(s))
       case Nil => (id, None)
     }
-    stack.set((traceId, id) :: stack.get())
+    // clock() runs BEFORE the stack push: an injected clock that throws
+    // (the test seam) must not leak a frame that would mis-parent every
+    // later span on this thread
     val t0 = clock()
     val nano0 = System.nanoTime()
+    stack.set((traceId, id) :: stack.get())
     try {
       val out = f
       record(SpanRow(traceId, id, parent, name, t0,

@@ -92,6 +92,114 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     assert(c.errors.exists(_.contains("declared 2 columns")))
   }
 
+  test("app validation resolves intra-file dependencies and leaves no catalog residue") {
+    // statement 2 reads statement 1's CTAS output; statement 3 reads 2's
+    // — the wave loader executes this fine, so the gate must accept it
+    val res = SqlValidator.validateContent(ctx,
+      """-- SQL Application: Chained
+        |CREATE TABLE base_v (oid BIGINT) AS SELECT order_id FROM v_orders;
+        |CREATE TABLE mid_v AS SELECT oid + 1 AS oid2 FROM base_v;
+        |SELECT oid2 FROM mid_v
+        |""".stripMargin)
+    assert(res.isValid, res.queries.flatMap(_.errors).mkString("; "))
+    assert(res.validQueries == 3)
+    // a misspelled column INSIDE the chain still fails its statement
+    val bad = SqlValidator.validateContent(ctx,
+      """-- SQL Application: Chained Bad
+        |CREATE TABLE base_w AS SELECT order_id FROM v_orders;
+        |SELECT nope FROM base_w
+        |""".stripMargin)
+    assert(!bad.isValid && bad.validQueries == 1)
+    // placeholders are torn down — nothing validated ever materializes
+    Seq("base_v", "mid_v", "base_w").foreach(t => assert(!spark.catalog.tableExists(t), t))
+  }
+
+  test("a placeholder shadowing an existing view is restored after validation") {
+    import spark.implicits._
+    ctx.register("keep_me", Seq((1L, "x")).toDF("id", "tag"))
+    val res = SqlValidator.validateContent(ctx,
+      """-- SQL Application: Shadow
+        |CREATE TABLE keep_me AS SELECT order_id FROM v_orders;
+        |SELECT order_id FROM keep_me
+        |""".stripMargin)
+    assert(res.isValid)
+    // the ORIGINAL relation (id, tag) is back, not the CTAS placeholder
+    assert(spark.table("keep_me").columns.toSeq == Seq("id", "tag"))
+  }
+
+  test("sinks declared earlier in the same file satisfy the INTO check; ctx stays unmutated") {
+    val res = SqlValidator.validateContent(ctx,
+      """-- SQL Application: Sinks
+        |CREATE SINK sink_ok WITH ('path' = '/tmp/x.parquet');
+        |SELECT order_id FROM v_orders INTO sink_ok;
+        |SELECT order_id FROM v_orders INTO sink_missing
+        |""".stripMargin)
+    assert(res.isValid) // sink warnings are warnings, not errors
+    assert(!res.missingConfigurations.exists(_.contains("sink_ok")))
+    assert(res.missingConfigurations.exists(_.contains("sink_missing")))
+    // validation must not register the declaration on the live context
+    assert(!ctx.declaredSources.contains("sink_ok"))
+  }
+
+  test("INTO sinks on union branches and CTE bodies get the declaration check") {
+    val u = SqlValidator.validateStatement(ctx,
+      "SELECT order_id FROM v_orders UNION SELECT order_id FROM v_orders INTO union_sink")
+    assert(u.isValid && u.warnings.exists(_.contains("union_sink")))
+    val w = SqlValidator.validateStatement(ctx,
+      "WITH c AS (SELECT order_id FROM v_orders) SELECT order_id FROM c INTO cte_sink")
+    assert(w.isValid && w.warnings.exists(_.contains("cte_sink")))
+  }
+
+  test("declared column TYPES are validated, not just arity") {
+    // a bad type passes arity but kills the launch (cast throws) — the
+    // gate must reject it before a DEPLOY destroys the running version
+    val bad = SqlValidator.validateStatement(ctx,
+      "CREATE STREAM s_badtype (a NOT_A_TYPE) AS SELECT order_id FROM v_orders")
+    assert(!bad.isValid)
+    val ok = SqlValidator.validateStatement(ctx,
+      "CREATE STREAM s_oktype (a BIGINT) AS SELECT order_id FROM v_orders")
+    assert(ok.isValid, ok.errors.mkString("; "))
+  }
+
+  test("INSERT column lists and VALUES are validated against table and source") {
+    // arity: column list vs source width
+    val arity = SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders (order_id) SELECT order_id, amount FROM v_orders")
+    assert(!arity.isValid && arity.errors.exists(_.contains("1 names but the source produces 2")))
+    // unknown listed column
+    val unknown = SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders (no_such_col) VALUES (1)")
+    assert(!unknown.isValid && unknown.errors.exists(_.contains("not in v_orders")))
+    // duplicate listed column
+    val dup = SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders (order_id, order_id) SELECT order_id, amount FROM v_orders")
+    assert(!dup.isValid && dup.errors.exists(_.contains("twice")))
+    // VALUES row arity vs column list
+    val varity = SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders (order_id, amount) VALUES (1)")
+    assert(!varity.isValid)
+    // no column list → positional bind needs exact width
+    val width = SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders SELECT order_id FROM v_orders")
+    assert(!width.isValid && width.errors.exists(_.contains("has 3")))
+    // and a well-formed INSERT still passes
+    assert(SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders (order_id, amount, status) VALUES (3, 10.0, 'new')").isValid)
+    assert(SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_orders SELECT order_id, amount, status FROM v_orders").isValid)
+  }
+
+  test("malformed job WITH-props fail the gate before any deploy") {
+    val bad = SqlValidator.validateStatement(ctx,
+      "START JOB jp AS SELECT order_id FROM v_orders WITH ('max_total_memory' = 'lots')")
+    assert(!bad.isValid && bad.errors.exists(_.contains("max_total_memory")))
+    val neg = SqlValidator.validateStatement(ctx,
+      "DEPLOY JOB jp VERSION '2' AS SELECT order_id FROM v_orders WITH ('max_aggregation_groups' = '-5')")
+    assert(!neg.isValid && neg.errors.exists(_.contains("max_aggregation_groups")))
+    assert(SqlValidator.validateStatement(ctx,
+      "START JOB jp AS SELECT order_id FROM v_orders WITH ('max_total_memory' = '1048576')").isValid)
+  }
+
   test("WINDOW-spec declared columns: the gate applies the executor's window-tail allowance") {
     import spark.implicits._
     ctx.register("v_ticks",

@@ -40,6 +40,19 @@ class TracingSpec extends AnyFunSuite with SparkTestSession {
     assert(tr.spans.isEmpty)
   }
 
+  test("a throwing clock does not corrupt the thread's span stack") {
+    var boom = true
+    val tr = new Tracer(clock = () => { if (boom) throw new IllegalStateException("clock"); 1000L })
+    intercept[IllegalStateException](tr.span("broken")(42))
+    boom = false
+    // the failed span must not have leaked a stack frame: the next span
+    // on this thread is a fresh ROOT (its own trace, no parent), not a
+    // child of the never-completed "broken" span
+    tr.span("after")(())
+    val after = tr.spans.last
+    assert(after.name == "after" && after.parent_id.isEmpty && after.trace_id == after.span_id)
+  }
+
   test("dialect statements trace parse/execute children; SHOW TRACES surfaces them") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
