@@ -58,12 +58,16 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"), name)
-    // The test files are single-row-group parquet → the scan is ONE task
-    // regardless of maxPartitionBytes, serializing all per-row compute.
-    // Fan out to core count for kernel-heavy tables; no-op on properly
-    // split production inputs (many files / row groups).
+    // The test files are single-row-group parquet → the scan emits all
+    // rows from ONE task, serializing the per-row compute. The guard is
+    // on FILE count, not split count: byte-range splits of a
+    // single-row-group file still deliver every row to the one split
+    // containing the row-group start, so a split-count check would be
+    // fooled exactly when the file is large enough to matter. Fan out
+    // kernel-heavy tables whenever files < cores; no-op at production
+    // scale (thousands of files ≥ cores).
     val cores = spark.sparkContext.defaultParallelism
-    if (heavyPerRow(name) && df.rdd.getNumPartitions < cores)
+    if (heavyPerRow(name) && df.inputFiles.length < cores)
       df.repartition(cores)
     else df
   }

@@ -29,9 +29,15 @@ private[graft] final class LastCallCache {
     Option(ref.getAndSet(p)).foreach { prev =>
       // defensive: the previous frame may belong to a STOPPED session
       // (suites create a session each); releasing it must not abort
-      // the first call made from the fresh session
-      try prev.unpersist(blocking = false)
-      catch { case scala.util.control.NonFatal(_) => }
+      // the first call made from the fresh session.
+      // sameResult guard: consecutive calls on the SAME input share ONE
+      // CacheManager entry (persist keys on the canonicalized plan), so
+      // unpersisting the previous frame would evict the cache just
+      // handed out — exactly when the operator repeats
+      try {
+        if (!prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+          prev.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => }
     }
     p
   }

@@ -29,11 +29,7 @@ final class SchemaRegistry(root: Path) {
   private[sources] var onBeforeWrite_forTest: () => Unit = () => ()
 
   private def subjectDir(subject: String): Path = {
-    // "." and ".." satisfy the character class but resolve OUTSIDE the
-    // registry root — a path traversal reachable straight from the HTTP
-    // server's un-normalized URI segment, so they are rejected by name
-    require(subject.matches("[A-Za-z0-9._-]+") && subject != "." && subject != "..",
-      s"invalid subject name: $subject")
+    require(SchemaRegistry.isValidSubject(subject), s"invalid subject name: $subject")
     root.resolve(subject)
   }
 
@@ -136,4 +132,14 @@ final class SchemaRegistry(root: Path) {
         if (written) next else registerAttempt(subject, parsed)
     }
   }
+}
+
+object SchemaRegistry {
+  /** The ONE subject-name rule, shared by the registry's path resolution
+    * and the HTTP layer's route guards. "." and ".." satisfy the
+    * character class but resolve OUTSIDE the registry root — a path
+    * traversal reachable straight from the HTTP server's un-normalized
+    * URI segment, so they are rejected by name. */
+  private[sources] def isValidSubject(subject: String): Boolean =
+    subject.matches("[A-Za-z0-9._-]+") && subject != "." && subject != ".."
 }

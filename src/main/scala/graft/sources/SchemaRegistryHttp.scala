@@ -65,64 +65,85 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       val parts = path.split("/").toList
+      // An INVALID subject name (fails the registry's character rule) can
+      // never exist: answering 404/422 up front keeps the registry's
+      // require(...) from surfacing as a 500 (futile-retry bait) on the
+      // GET routes, or dressed as a 409 conflict on register
+      def subjectGuard(s: String)(body: => Unit): Unit =
+        if (SchemaRegistry.isValidSubject(s)) body
+        else notFound(ex, 40401, s"Subject '$s' not found.")
       (ex.getRequestMethod, parts) match {
         case ("GET", "subjects" :: Nil) =>
           respond(ex, 200, registry.subjects().map(jstr).mkString("[", ",", "]"))
 
-        case ("GET", "subjects" :: s :: "versions" :: Nil) =>
+        case ("GET", "subjects" :: s :: "versions" :: Nil) => subjectGuard(s) {
           val vs = registry.versions(s)
           if (vs.isEmpty) notFound(ex, 40401, s"Subject '$s' not found.")
           else respond(ex, 200, vs.mkString("[", ",", "]"))
+        }
 
-        case ("GET", "subjects" :: s :: "versions" :: "latest" :: Nil) =>
+        case ("GET", "subjects" :: s :: "versions" :: "latest" :: Nil) => subjectGuard(s) {
           registry.latest(s) match {
             case Some((v, sch)) => respond(ex, 200, schemaPayload(s, v, sch))
             case None => notFound(ex, 40401, s"Subject '$s' not found.")
           }
+        }
 
-        // length cap: an all-digit version beyond Int range must be a
-        // 404 (version cannot exist), not a 500 from toInt blowing up
-        case ("GET", "subjects" :: s :: "versions" :: n :: Nil)
-            if n.nonEmpty && n.length <= 9 && n.forall(_.isDigit) =>
-          registry.get(s, n.toInt) match {
+        case ("GET", "subjects" :: s :: "versions" :: n0 :: Nil)
+            if n0.nonEmpty && n0.forall(_.isDigit) => subjectGuard(s) {
+          // normalize zero-padding ('0012' is version 12), THEN cap the
+          // digits: a version beyond Int range must be a 404 (it cannot
+          // exist), not a 500 from toInt blowing up
+          val n = n0.dropWhile(_ == '0') match { case "" => "0"; case x => x }
+          val found = if (n.length <= 9) registry.get(s, n.toInt) else None
+          found match {
             case Some(sch) => respond(ex, 200, schemaPayload(s, n.toInt, sch))
-            case None => notFound(ex, 40402, s"Version $n not found.")
+            case None => notFound(ex, 40402, s"Version $n0 not found.")
           }
-        case ("GET", "subjects" :: _ :: "versions" :: n :: Nil) if n.forall(_.isDigit) =>
-          notFound(ex, 40402, s"Version $n not found.")
+        }
 
         case ("POST", "subjects" :: s :: "versions" :: Nil) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          jsonStringField(body, "schema") match {
+          if (!SchemaRegistry.isValidSubject(s))
+            respond(ex, 422, s"""{"error_code":42201,"message":${jstr(s"invalid subject name: $s")}}""")
+          else jsonStringField(body, "schema") match {
             case None => respond(ex, 422, s"""{"error_code":42201,"message":"missing schema field"}""")
             case Some(schemaJson) =>
               try respond(ex, 200, s"""{"version":${registry.register(s, schemaJson)}}""")
               catch {
                 case e: IllegalArgumentException =>
                   respond(ex, 409, s"""{"error_code":409,"message":${jstr(e.getMessage)}}""")
-                case e: org.apache.avro.SchemaParseException =>
+                // AvroRuntimeException, not just SchemaParseException:
+                // a structurally-valid schema with an illegal default
+                // throws AvroTypeException — same client error, same 422
+                case e: org.apache.avro.AvroRuntimeException =>
                   respond(ex, 422, s"""{"error_code":42201,"message":${jstr(e.getMessage)}}""")
               }
           }
 
-        case ("POST", "compatibility" :: "subjects" :: s :: "versions" :: "latest" :: Nil) =>
+        case ("POST", "compatibility" :: "subjects" :: s :: "versions" :: "latest" :: Nil) => subjectGuard(s) {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          (jsonStringField(body, "schema"), registry.latest(s)) match {
-            case (None, _) => respond(ex, 422, s"""{"error_code":42201,"message":"missing schema field"}""")
-            case (_, None) => notFound(ex, 40401, s"Subject '$s' not found.")
-            case (Some(candidate), Some((_, prev))) =>
-              // malformed candidate schema is the CLIENT's error — the
-              // register route answers 422 for the same body, and a 500
-              // here invites clients to retry a request that can never
-              // succeed
-              try {
-                val ok = registry.incompatibilities(candidate, prev).isEmpty
-                respond(ex, 200, s"""{"is_compatible":$ok}""")
-              } catch {
-                case e: org.apache.avro.SchemaParseException =>
-                  respond(ex, 422, s"""{"error_code":42201,"message":${jstr(e.getMessage)}}""")
-              }
+          // schema-field check FIRST (nothing registry-side evaluated
+          // until the request itself is well-formed)
+          jsonStringField(body, "schema") match {
+            case None => respond(ex, 422, s"""{"error_code":42201,"message":"missing schema field"}""")
+            case Some(candidate) => registry.latest(s) match {
+              case None => notFound(ex, 40401, s"Subject '$s' not found.")
+              case Some((_, prev)) =>
+                // malformed candidate schema is the CLIENT's error — the
+                // register route answers 422 for the same body, and a 500
+                // here invites clients to retry a request that can never
+                // succeed
+                try {
+                  val ok = registry.incompatibilities(candidate, prev).isEmpty
+                  respond(ex, 200, s"""{"is_compatible":$ok}""")
+                } catch {
+                  case e: org.apache.avro.AvroRuntimeException =>
+                    respond(ex, 422, s"""{"error_code":42201,"message":${jstr(e.getMessage)}}""")
+                }
+            }
           }
+        }
 
         case _ => notFound(ex, 40401, s"no route: ${ex.getRequestMethod} $path")
       }
@@ -141,17 +162,24 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
 final class SchemaRegistryClient(baseUrl: String) {
   import SchemaRegistryHttp._
 
-  private val http = HttpClient.newHttpClient()
+  // finite timeouts: a deployed job pins its reader schema through this
+  // client at LAUNCH — a wedged registry (TCP accepted, never answers)
+  // must fail the launch, not hang the driver forever
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private val requestTimeout = java.time.Duration.ofSeconds(30)
 
   final case class RegistryException(status: Int, body: String)
     extends RuntimeException(s"registry returned $status: $body")
 
   private def get(path: String): String = send(
-    HttpRequest.newBuilder(java.net.URI.create(baseUrl + path)).GET().build())
+    HttpRequest.newBuilder(java.net.URI.create(baseUrl + path))
+      .timeout(requestTimeout).GET().build())
 
   private def post(path: String, json: String): String = send(
     HttpRequest.newBuilder(java.net.URI.create(baseUrl + path))
       .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .timeout(requestTimeout)
       .POST(HttpRequest.BodyPublishers.ofString(json)).build())
 
   private def send(req: HttpRequest): String = {

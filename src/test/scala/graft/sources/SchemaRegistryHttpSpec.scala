@@ -100,6 +100,48 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
     assert(!java.nio.file.Files.exists(registry.root_forTest.getParent.resolve("1.avsc")))
   }
 
+  private def rawSend(method: String, path: String, body: String = ""): (Int, String) = {
+    val http = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+    val req = (if (method == "GET") b.GET()
+               else b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
+    val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("invalid subject names are client errors (404/422), never 500s or fake 409s") {
+    // a name failing the registry's character rule can never exist: the
+    // GET routes answer 404, not a 500 that invites futile retries
+    assert(rawSend("GET", "/subjects/a%20b/versions")._1 == 404)
+    assert(rawSend("GET", "/subjects/a%20b/versions/latest")._1 == 404)
+    assert(rawSend("GET", "/subjects/a%20b/versions/1")._1 == 404)
+    // compat route: invalid subject is a 404 even before body inspection
+    assert(rawSend("POST", "/compatibility/subjects/a%20b/versions/latest", "{}")._1 == 404)
+    // register: 422 with the reason — NOT a 409 dressed as a compat
+    // conflict (the IllegalArgumentException arm is for real rejections)
+    val (code, respBody) = rawSend("POST", "/subjects/a%20b/versions",
+      s"""{"schema": "{\\"type\\":\\"record\\",\\"name\\":\\"X\\",\\"fields\\":[]}"}""")
+    assert(code == 422 && respBody.contains("invalid subject name"))
+  }
+
+  test("zero-padded version numerals resolve; impossible versions stay 404") {
+    client.register("zp-value", v1)
+    assert(rawSend("GET", "/subjects/zp-value/versions/001")._1 == 200)
+    // zero-padding past the 9-digit cap still resolves after stripping
+    assert(rawSend("GET", "/subjects/zp-value/versions/0000000001")._1 == 200)
+    // a genuinely out-of-Int-range version cannot exist → 404, not 500
+    assert(rawSend("GET", "/subjects/zp-value/versions/9999999999")._1 == 404)
+  }
+
+  test("a schema with an illegal field default is a 422, not a 500") {
+    // structurally-valid JSON, but Avro's default validation throws
+    // AvroTypeException (not SchemaParseException) — same client error
+    val bad = """{"schema": "{\"type\":\"record\",\"name\":\"X\",\"fields\":[{\"name\":\"id\",\"type\":\"int\",\"default\":\"oops\"}]}"}"""
+    val (code, respBody) = rawSend("POST", "/subjects/baddefault-value/versions", bad)
+    assert(code == 422, s"$code $respBody")
+  }
+
   test("end-to-end: decode old payloads under the reader schema fetched over HTTP") {
     import spark.implicits._
     val writerSchema = client.schemaAt("wire-value", 1)
