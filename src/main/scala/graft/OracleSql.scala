@@ -489,7 +489,7 @@ object OracleSql {
          bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0)
          SELECT doc_id, bench_id, COUNT(*) AS n_shared
          FROM kept JOIN bench USING (g)
-         WHERE doc_id <> bench_id
+         WHERE doc_id IS DISTINCT FROM bench_id
          GROUP BY doc_id, bench_id HAVING COUNT(*) >= 3""",
 
     // q65: keep is gated on the UNROUNDED fractions (as the operator

@@ -76,8 +76,13 @@ object Contamination {
     val keptGrams = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("g")
     val kept = candidate.join(broadcast(keptGrams), Seq("g"))
+    // null-SAFE self-pair exclusion: plain =!= evaluates to NULL when
+    // either id is NULL and where() would silently drop the pair — a
+    // null-id corpus doc sharing grams with a benchmark doc is still
+    // contamination the report must surface (oracle mirrors with
+    // IS DISTINCT FROM)
     kept.join(bg, Seq("g"))
-      .where(col("doc_id") =!= col("bench_id"))
+      .where(!(col("doc_id") <=> col("bench_id")))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }

@@ -42,6 +42,13 @@ object Sketches {
     // group, and sketch.estimateCount(null) throws on the driver —
     // exclude them consistently (the report covers non-null keys; the
     // eps·N bound uses the same non-null total the sketch saw)
+    // DELIBERATE two-pass shape: the sketch build and the exact groupBy
+    // each scan the (column-pruned) key column once. Persisting `rows`
+    // to fuse them would write the full filtered corpus to executor
+    // storage — at the 100 TB target that cache write+read costs MORE
+    // than a second single-column parquet scan, and the exact pass
+    // exists only to make the bound oracle-checkable (a production
+    // caller wanting estimates alone skips it entirely).
     val rows = df.where(col(keyCol).isNotNull)
     val sketch = rows.stat.countMinSketch(keyCol, eps, confidence, seed)
     // the sketch counts every non-null add exactly — a separate count()

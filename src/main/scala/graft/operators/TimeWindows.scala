@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object TimeWindows {
 
+  /** `window_start`/`window_end` are RESERVED output names: withColumn
+    * REPLACES a same-named column, so an input column (e.g. re-windowing
+    * a window operator's output) or an aggregate aliased to one of them
+    * would be silently overwritten by the boundary value — wrong output,
+    * no error. Same guard family as sessionize's working columns. */
+  private def requireNoReserved(df: DataFrame, op: String): Unit =
+    require(!df.columns.contains("window_start") && !df.columns.contains("window_end"),
+      s"$op input must not carry the reserved window_start/window_end columns " +
+        "(alias them away before windowing)")
+
+  private def requireNoEndAlias(agged: DataFrame, op: String): Unit =
+    require(!agged.columns.contains("window_end"),
+      s"$op key/aggregate aliases must not use the reserved name window_end")
+
+  /** The ONE epoch-bucket rule (floor to a step multiple, epoch
+    * seconds) — shared by tumbling and sliding so their bucket
+    * alignment cannot drift apart on a future timestamp-handling fix. */
+  private def epochBucket(tsCol: String, stepSeconds: Long): Column =
+    (floor(unix_timestamp(col(tsCol)) / stepSeconds) * stepSeconds).cast("long")
+
   /** TUMBLING(size): non-overlapping epoch-aligned buckets.
     * Emits `window_start`/`window_end` as epoch seconds (BIGINT) —
     * oracle-stable across engines/timezones.
@@ -28,10 +48,11 @@ object TimeWindows {
     // DIVIDE_BY_ZERO from generated code (ANSI mode), far from the bug
     require(sizeSeconds > 0, s"window size must be positive, got $sizeSeconds")
     require(aggs.nonEmpty, "tumbling needs at least one aggregate expression")
-    val bucket = (floor(unix_timestamp(col(tsCol)) / sizeSeconds) * sizeSeconds).cast("long")
-    df.groupBy(bucket.as("window_start") +: keys: _*)
+    requireNoReserved(df, "tumbling")
+    val agged = df.groupBy(epochBucket(tsCol, sizeSeconds).as("window_start") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_end", col("window_start") + lit(sizeSeconds))
+    requireNoEndAlias(agged, "tumbling")
+    agged.withColumn("window_end", col("window_start") + lit(sizeSeconds))
   }
 
   /** SLIDING(size, advance): overlapping buckets. Each event lands in
@@ -54,7 +75,8 @@ object TimeWindows {
     require(sizeSeconds > 0, s"window size must be positive, got $sizeSeconds")
     require(sizeSeconds % advanceSeconds == 0, "window size must be a multiple of advance")
     require(aggs.nonEmpty, "sliding needs at least one aggregate expression")
-    val lastStart = (floor(unix_timestamp(col(tsCol)) / advanceSeconds) * advanceSeconds).cast("long")
+    requireNoReserved(df, "sliding")
+    val lastStart = epochBucket(tsCol, advanceSeconds)
     // covering starts: lastStart, lastStart-advance, ... (n of them).
     // Negative starts are legitimate (pre-1970 events) — filtering them
     // would silently drop those events and diverge from tumbling().
@@ -66,10 +88,11 @@ object TimeWindows {
     // stays engine-replayable; event-time windows over null timestamps
     // are meaningless either way.
     val starts = sequence(lastStart - lit(sizeSeconds - advanceSeconds), lastStart, lit(advanceSeconds))
-    df.withColumn("window_start", explode(starts))
+    val agged = df.withColumn("window_start", explode(starts))
       .groupBy(col("window_start") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_end", col("window_start") + lit(sizeSeconds))
+    requireNoEndAlias(agged, "sliding")
+    agged.withColumn("window_end", col("window_start") + lit(sizeSeconds))
   }
 
   /** SESSION(gap): a new session starts when the gap to the previous
@@ -98,6 +121,15 @@ object TimeWindows {
     import org.apache.spark.sql.expressions.Window
     require(gapSeconds >= 0, s"session gap must be non-negative, got $gapSeconds")
     require(aggs.nonEmpty, "sessionize needs at least one aggregate expression")
+    // empty keys would build Window.partitionBy() — Spark moves the
+    // ENTIRE dataset to one task for an unpartitioned window, the exact
+    // scale trap this file's operators reject at the call site. Global
+    // sessionization is inherently sequential (each session boundary
+    // depends on the previous event corpus-wide); callers who truly
+    // want it on small data can pass a constant key explicitly.
+    require(keys.nonEmpty,
+      "sessionize requires at least one partition key (an unpartitioned " +
+        "window serializes the whole dataset onto one task)")
     // namespaced working columns: withColumn REPLACES a same-named input
     // column, so plain `_session_id` would silently corrupt a caller
     // re-sessionizing output that already carries one

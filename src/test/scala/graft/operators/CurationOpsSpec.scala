@@ -77,6 +77,20 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       .forall(_.getLong(2) <= 1)) // "alpha beta gamma" (df=4) never counts
   }
 
+  test("ngramOverlap: a NULL-id corpus doc is still reported (null-safe self-pair filter)") {
+    import spark.implicits._
+    // plain =!= would evaluate to NULL for the null-id row and where()
+    // would silently drop the contaminated pair
+    val benchText = "one two three four five six seven eight nine ten"
+    val corpus = Seq((Option(1L), benchText), (Option.empty[Long], benchText))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val hits = Contamination.ngramOverlap(corpus, bench, "text", "doc_id",
+      k = 3, minShared = 3).collect()
+    assert(hits.exists(_.isNullAt(0)), "null-id contaminated doc dropped from the report")
+    assert(hits.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L))
+  }
+
   test("leakageFreeSplit: a near-dup cluster lands in ONE split") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("id", "text")

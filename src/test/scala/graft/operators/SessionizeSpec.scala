@@ -75,6 +75,34 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
       .getMessage.contains("working columns"))
   }
 
+  test("reserved window names and empty-keys sessionize are rejected, not silently wrong") {
+    import spark.implicits._
+    val aggs = Seq(count(lit(1)).as("n"))
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:10"))).toDF("k", "ts")
+    // input carrying a reserved output column would be overwritten
+    // (tumbling) or destroyed by the explode (sliding) — refuse instead
+    val clash = df.withColumn("window_start", lit(0L))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(clash, "ts", 300L, Seq(col("k")), aggs))
+      .getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(clash, "ts", 300L, 300L, Seq(col("k")), aggs))
+      .getMessage.contains("reserved"))
+    // an aggregate aliased to window_end would be silently REPLACED by
+    // the boundary value after the whole pass ran
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")),
+        Seq(max(col("ts")).as("window_end")))).getMessage.contains("window_end"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(df, "ts", 600L, 300L, Seq(col("k")),
+        Seq(max(col("ts")).as("window_end")))).getMessage.contains("window_end"))
+    // empty keys = unpartitioned window = whole dataset on one task
+    val ev = Seq((1L, 1L)).toDF("id", "ep")
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sessionize(ev, "ep", 10L, Seq.empty, Seq(col("id")),
+        Seq(count(lit(1)).as("n")))).getMessage.contains("partition key"))
+  }
+
   test("null-epoch rows belong to NO session (never merged into the first one)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
