@@ -93,28 +93,32 @@ object AnnRecall {
                 greatest(col("id_a"), col("id_b")).as("pb"))
         .distinct()
 
-    val exact = SparkEntry.queries("q38_embed_dedup")(spark, sfDir)
-      .select(least(col("id_a"), col("id_b")).as("pa"),
-              greatest(col("id_a"), col("id_b")).as("pb"), col("cos"))
-      .dropDuplicates("pa", "pb").cache()
+    val exact = canonPairs(SparkEntry.queries("q38_embed_dedup")(spark, sfDir)).cache()
     val approx58 = canonPairs(SparkEntry.queries("q58_embed_dedup_lsh")(spark, sfDir)).cache()
 
     // ---- q58 planted high-sim tier (see scaladoc) ----
     import SparkEntry.Q58Config
     val emb = api.Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val twinned = withTwinVec(emb.orderBy("vec_id").limit(200), Q58Config.dim)
+    // 200 rows — cached so the TakeOrdered scan + twin transform run once
+    // (plantedTier AND augmented both consume it)
+    val twinned = withTwinVec(emb.orderBy("vec_id").limit(200), Q58Config.dim).cache()
     val plantedTier = twinned.select(col("vec_id").as("pa"), col("tid").as("pb"),
         Similarity.cosine(col("embedding"), col("tvec")).as("cos"))
       .filter(col("cos") >= 0.80).select("pa", "pb").cache()
-    val augmented = emb.unionByName(
-      twinned.select(col("tid").as("vec_id"), col("tvec").as("embedding")))
-    val approxPlanted = canonPairs(
-      Similarity.embeddingNearDupPairsLsh(augmented, "vec_id", "embedding",
-        dim = Q58Config.dim, minCos = Q58Config.minCos,
-        numBands = Q58Config.numBands, bandBits = Q58Config.bandBits))
     try {
+      // materialize the q58-all measurement BEFORE constructing the
+      // planted probe: embeddingNearDupPairsLsh rotates the shared
+      // sign-sketch persist slot (LastCallCache), so building the
+      // augmented-corpus query first would strip approx58's sketch cache
+      // and its count would re-run the kernel pass once per consumer
       val nAll = exact.count()
       val hitAll = approx58.join(exact, Seq("pa", "pb")).count()
+      val augmented = emb.unionByName(
+        twinned.select(col("tid").as("vec_id"), col("tvec").as("embedding")))
+      val approxPlanted = canonPairs(
+        Similarity.embeddingNearDupPairsLsh(augmented, "vec_id", "embedding",
+          dim = Q58Config.dim, minCos = Q58Config.minCos,
+          numBands = Q58Config.numBands, bandBits = Q58Config.bandBits))
       val nPlanted = plantedTier.count()
       val hitPlanted = approxPlanted.join(plantedTier, Seq("pa", "pb")).count()
       // floors sit ~0.1 under the minimum measured across sf0.001/0.01/
@@ -137,6 +141,7 @@ object AnnRecall {
       exact.unpersist()
       approx58.unpersist()
       plantedTier.unpersist()
+      twinned.unpersist()
     }
   }
 }

@@ -12,19 +12,28 @@ object ParseSweep {
     // minimal JSON [[file, sql], ...] parse (strings with escapes)
     val items = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var i = 0
+    // bounds-checked cursor: a truncated harvest file (partial write)
+    // must die with the offending offset, not an opaque
+    // StringIndexOutOfBoundsException from past-the-end indexing
+    def cur: Char = {
+      require(i < raw.length, s"unexpected end of input at offset $i (truncated file?)")
+      raw(i)
+    }
     def skipWs(): Unit = while (i < raw.length && raw(i).isWhitespace) i += 1
     def parseString(): String = {
       val sb = new StringBuilder
-      require(raw(i) == '"'); i += 1
-      while (raw(i) != '"') {
+      require(cur == '"', s"expected '\"' at offset $i"); i += 1
+      while (cur != '"') {
         if (raw(i) == '\\') {
           i += 1
-          raw(i) match {
+          cur match {
             case 'n' => sb.append('\n'); case 't' => sb.append('\t')
             case 'r' => sb.append('\r'); case '"' => sb.append('"')
             case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
             case '\\' => sb.append('\\'); case '/' => sb.append('/')
-            case 'u' => sb.append(Integer.parseInt(raw.substring(i + 1, i + 5), 16).toChar); i += 4
+            case 'u' =>
+              require(i + 5 <= raw.length, s"truncated \\u escape at offset $i")
+              sb.append(Integer.parseInt(raw.substring(i + 1, i + 5), 16).toChar); i += 4
             case c => sb.append(c)
           }
           i += 1
@@ -33,16 +42,16 @@ object ParseSweep {
       i += 1
       sb.toString
     }
-    skipWs(); require(raw(i) == '['); i += 1
+    skipWs(); require(cur == '[', s"expected '[' at offset $i"); i += 1
     var done = false
     while (!done) {
       skipWs()
-      if (raw(i) == ']') done = true
+      if (cur == ']') done = true
       else {
-        require(raw(i) == '['); i += 1; skipWs()
-        val f = parseString(); skipWs(); require(raw(i) == ','); i += 1; skipWs()
-        val s = parseString(); skipWs(); require(raw(i) == ']'); i += 1; skipWs()
-        if (raw(i) == ',') i += 1
+        require(cur == '[', s"expected '[' at offset $i"); i += 1; skipWs()
+        val f = parseString(); skipWs(); require(cur == ',', s"expected ',' at offset $i"); i += 1; skipWs()
+        val s = parseString(); skipWs(); require(cur == ']', s"expected ']' at offset $i"); i += 1; skipWs()
+        if (cur == ',') i += 1
         items += ((f, s))
       }
     }

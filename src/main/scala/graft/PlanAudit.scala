@@ -11,12 +11,19 @@ object PlanAudit {
     val spark = graft.api.GraftSession("local[8]", shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    val keys = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
+    // trim + filter like Bench/Verify do: "q1_agg, q4_multi_join" must
+    // not crash the whole audit on a space, and a typo'd key is reported
+    // and skipped, not a NoSuchElementException aborting the run
+    val keys = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("q1_agg", "q2_filter_project", "q4_multi_join", "q11_in_subquery",
         "q14_interval_join", "q24_dedup_minhash", "q27_ann_bruteforce", "q38_embed_dedup",
         "q40_topn_per_group", "q45_sql_agg", "q46_sql_tumbling", "q49_sql_join_in",
         "q55_asof_join", "q56_dedup_keep_best", "q58_embed_dedup_lsh", "q59_sql_distinct"))
     keys.foreach { k =>
+      if (!SparkEntry.queries.contains(k)) {
+        println(s"\n========== $k ==========\n  !! unknown query key, skipped")
+      } else {
       val df = SparkEntry.queries(k)(spark, sfDir)
       val ep = df.queryExecution.executedPlan
       ep.execute().count() // materialize THIS QueryExecution so AQE finalizes
@@ -35,6 +42,7 @@ object PlanAudit {
       println(s"exchanges: $exchanges  codegen-stages: $codegenStages")
       if (lines.exists(_.contains("CartesianProduct"))) println("  !! CartesianProduct")
       if (lines.exists(_.contains("BroadcastNestedLoopJoin"))) println("  note: BroadcastNestedLoopJoin")
+      }
     }
     spark.stop()
   }

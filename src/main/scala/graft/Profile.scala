@@ -22,8 +22,14 @@ object Profile {
       graft.operators.Dedup.shingles(col("text"), 3).as("sh")))
     val lsh = graft.operators.Dedup.minhashLsh(d, "text", "doc_id")
     t("minhashLsh full")(lsh)
-    val cand = lsh.select("id_a", "id_b")
+    // persist+materialize the candidate pairs so the next line times
+    // ngramJaccard ITSELF — without this, the stage silently re-runs the
+    // whole LSH candidate pipeline and misattributes its cost to the
+    // verify step (the one number this profiler exists to isolate)
+    val cand = lsh.select("id_a", "id_b").persist()
+    cand.count()
     t("ngramJaccard on cand")(graft.operators.Dedup.ngramJaccard(cand, d, "text", "doc_id"))
+    cand.unpersist()
     t("q24 full")(SparkEntry.queries("q24_dedup_minhash")(spark, sfDir))
     spark.stop()
   }

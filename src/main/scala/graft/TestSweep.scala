@@ -14,7 +14,10 @@ object TestSweep {
       java.nio.file.Paths.get(path)), "UTF-8")
     var dropped = 0
     val entries = raw.split(SEP2).filter(_.nonEmpty).flatMap { e =>
-      e.split(SEP1) match {
+      // limit -1: split drops trailing empty fields by default, so a
+      // well-formed entry whose SQL is EMPTY ("file") would land in
+      // the malformed bucket and understate real coverage
+      e.split(SEP1.toString, -1) match {
         case Array(f, s) => Some((f, s))
         case _ => dropped += 1; None // malformed entry: COUNT it — a silent
                                      // drop would read as full coverage

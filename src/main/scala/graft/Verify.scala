@@ -8,6 +8,13 @@ object Verify {
     f.delete(); ()
   }
   def main(args: Array[String]): Unit = {
+    // a usage line, not a bare MatchError: Verify is the correctness-gate
+    // entry point, and a driver-script quoting slip should say what it
+    // got wrong
+    if (args.length != 2) {
+      System.err.println(s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the shared session factory: the gate must run under the SAME config
