@@ -42,7 +42,11 @@ object Verify {
     // would otherwise make the driver's json.load fail and silently
     // zero the round's correctness.
     val q: String => String = JsonOut.jstr
+    // apply the SAME subset filter as the query loop: a restricted run
+    // (SPARK_GRAFT_QUERIES) must not emit oracle entries for queries it
+    // never wrote, or the checker reports phantom missing-dir failures
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the full attempted-query manifest: without it the checker can only
