@@ -180,14 +180,27 @@ object Bench {
     // queries were judged against an inflated gate and never retried. The
     // running-min baseline has tightened by now, so any query whose guard
     // exceeds the final gate gets one honest re-timing (bounded: one extra
-    // attempt per flagged query; erroring queries are left alone).
-    val results: Seq[(String, Q)] = firstPass.map { case (name, q) =>
-      if (q.r.err.isEmpty && q.guard > slowGate) {
-        val again = attempt(name)
-        if (again.r.err.isEmpty && (again.clean || again.r.sec < q.r.sec))
-          name -> Q(again.r, again.guard, q.retries + 1)
-        else name -> Q(q.r, q.guard, q.retries + 1)
-      } else name -> q
+    // attempt per flagged query per pass; erroring queries are left
+    // alone). The pass REPEATS (≤3) while its own attempts tighten the
+    // baseline further: a single sweep judges early entries against the
+    // gate as it stood mid-sweep, so an entry could end up counted in
+    // n_slow_windows by the final gate yet never re-timed.
+    var results: Seq[(String, Q)] = firstPass
+    var recheckPasses = 0
+    var gateTightened = true
+    while (gateTightened && recheckPasses < 3 && results.exists { case (_, q) =>
+        q.r.err.isEmpty && q.guard > slowGate }) {
+      recheckPasses += 1
+      val gateAtStart = slowGate
+      results = results.map { case (name, q) =>
+        if (q.r.err.isEmpty && q.guard > slowGate) {
+          val again = attempt(name)
+          if (again.r.err.isEmpty && (again.clean || again.r.sec < q.r.sec))
+            name -> Q(again.r, again.guard, q.retries + 1)
+          else name -> Q(q.r, q.guard, q.retries + 1)
+        } else name -> q
+      }
+      gateTightened = slowGate < gateAtStart - 1e-9
     }
 
     import JsonOut.{jstr, sec3}

@@ -79,6 +79,11 @@ object ScaleProbe {
     obs.get("n").asInstanceOf[Long]
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** Pipelines re-probed at the 32× tier (wrapped-alphabet replicas ≥ 26
     * add CROSS-replica exact duplicates — the denser, harder workload):
     * the collapse-correctness-critical dedup paths plus the full ANN
@@ -112,6 +117,16 @@ object ScaleProbe {
       .where(col("text").isNull || !col("text").rlike("[A-Za-z]")).count()
     require(letterFree == 0,
       s"$letterFree letter-free/null documents would break the M× replica invariant")
+    // finer-grained version of the same invariant: the Caesar translate
+    // is also the identity on every letter-free WORD (digit runs,
+    // punctuation tokens), so ≥ shingleK CONSECUTIVE such words yield a
+    // shingle shared verbatim by every replica — cross-replica candidate
+    // pairs the M×-structure interpretation does not account for
+    val letterFreeRun = docs1.where(col("text")
+      .rlike("(^|\\s)[^A-Za-z\\s]+(\\s+[^A-Za-z\\s]+){2}(\\s|$)")).count()
+    require(letterFreeRun == 0,
+      s"$letterFreeRun documents with >=3 consecutive letter-free words would " +
+        "produce replica-shared shingles and break the M× replica invariant")
 
     def pipelines(tag: String, d: DataFrame, e: DataFrame,
                   only: Option[Set[String]]): Seq[(String, Double, Long)] = {
@@ -216,29 +231,25 @@ object ScaleProbe {
     }
 
     // Trainer-cap probe: the IVF/PQ quantizer trains on a hash-ordered
-    // sample capped at 65,536 rows, so training cost must grow with the
-    // corpus only UNTIL the cap binds and plateau after it. The low
-    // tier must sit UNDER the cap and the high tier past it at ANY
-    // corpus size: multiplying up when the corpus is small, slicing
-    // DOWN (deterministic limit) when the corpus alone already exceeds
-    // the cap — without the slice, both tiers would be cap-bound and
-    // wall_ratio ≈ 1 would hold for any implementation, testing
-    // nothing. Plateau shows as wall_ratio ≈ 1 (the residual growth is
-    // the one distributed top-k sample collect, linear in rows scanned
-    // but tiny next to the Lloyd iterations).
+    // sample capped at Similarity.DefaultMaxTrainRows, so training cost
+    // must PLATEAU once the cap binds. Both tiers sit AT/PAST the cap —
+    // low = the smallest replica count reaching ≥ cap vectors, high =
+    // exactly 2× low. A working cap trains both tiers on the same
+    // cap-row sample (wall_ratio ≈ 1, the plateau; residual growth is
+    // the distributed top-k sample collect, linear in rows scanned but
+    // tiny next to the Lloyd iterations); a cap-ignoring trainer trains
+    // 2× the rows at the high tier (ratio ≈ 2). This discriminates at
+    // ANY corpus size — the previous under-cap/past-cap split had a
+    // band (nEmb just under the cap) where the broken and working
+    // ratios coincided and the probe tested nothing.
     val nEmb = emb1.count()
-    val cap = 65536L
+    require(nEmb > 0, "cannot probe the trainer cap on an empty embeddings table")
+    val cap = Similarity.DefaultMaxTrainRows.toLong
+    val mLow = math.max(1L, (cap + nEmb - 1) / nEmb).toInt
     val (lowDf, nLow): (DataFrame, Long) =
-      if (nEmb <= cap) {
-        val m = math.max(1L, cap / nEmb).toInt
-        (multiplyEmbeddings(emb1, m, 64), nEmb * m)
-      } else (emb1.limit((cap / 2).toInt), cap / 2)
+      (if (mLow == 1) emb1 else multiplyEmbeddings(emb1, mLow, 64), nEmb * mLow)
     val (highDf, nHigh): (DataFrame, Long) =
-      if (nEmb * 2 > cap) (multiplyEmbeddings(emb1, 2, 64), nEmb * 2)
-      else {
-        val m = (math.max(1L, cap / nEmb) * 2).toInt
-        (multiplyEmbeddings(emb1, m, 64), nEmb * m)
-      }
+      (multiplyEmbeddings(emb1, mLow * 2, 64), nEmb * mLow * 2)
     def trainProbe(df: DataFrame, n: Long): Double = {
       val e = df.repartition(32).persist()
       force(e)
@@ -279,9 +290,13 @@ object ScaleProbe {
           // its own disjoint type set, so group cardinality (and the
           // windowed output) grows exactly M× while the ts distribution
           // — hence watermark movement and emitted-window set per type —
-          // is identical across replicas
+          // is identical across replicas. coalesce first: concat(NULL,…)
+          // is NULL, which would collapse every replica's null-typed
+          // rows into ONE shared group and quietly break the exactly-M×
+          // cardinality premise
           (if (i == 0) col("event_type")
-           else concat(col("event_type"), lit(s"_r$i"))).as("event_type"),
+           else concat(coalesce(col("event_type"), lit("__null")), lit(s"_r$i")))
+            .as("event_type"),
           col("value"), col("props"))
       }.reduce(_ unionAll _)
     val streamSql =
@@ -315,6 +330,7 @@ object ScaleProbe {
         val out = ctx.sqlStream(streamSql)
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = spark.read.parquet(out).count()
+        deleteRecursively(new java.io.File(out)) // probe output: counted, then gone
         Thread.sleep(1000) // listener bus is async; let the tail drain
         val snap = batches.synchronized(batches.toVector).filter(_._1 > 0)
         val rps = snap.map { case (r, ms) => r * 1000.0 / math.max(1L, ms) }
@@ -331,15 +347,18 @@ object ScaleProbe {
     // count an artifact of round-robin write placement, not the query.
     def streamMinOf2(src: DataFrame): (Double, Long, Int, Double) = {
       val dir = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
-      // range-partition by ts: files (hence micro-batches) arrive in
-      // rough event-time order, the shape a real stream has — scattering
-      // rows randomly would late-drop most of the data after the first
-      // batch's watermark jump and the state would do no real work
-      src.repartitionByRange(streamFiles, col("ts"))
-        .sortWithinPartitions("ts").write.mode("overwrite").parquet(dir)
-      val a = streamProbe(dir); val b = streamProbe(dir)
-      require(a._2 == b._2, s"stream_q54 nondeterministic: rows ${a._2} != ${b._2}")
-      if (a._1 <= b._1) a else b
+      try {
+        // range-partition by ts: files (hence micro-batches) arrive in
+        // rough event-time order, the shape a real stream has — scattering
+        // rows randomly would late-drop most of the data after the first
+        // batch's watermark jump and the state would do no real work
+        src.repartitionByRange(streamFiles, col("ts"))
+          .sortWithinPartitions("ts").write.mode("overwrite").parquet(dir)
+        val a = streamProbe(dir); val b = streamProbe(dir)
+        require(a._2 == b._2, s"stream_q54 nondeterministic: rows ${a._2} != ${b._2}")
+        if (a._1 <= b._1) a else b
+      } finally deleteRecursively(new java.io.File(dir)) // a repeated probe
+      // leaves the full 1×+M× event copies on the shared VM otherwise
     }
     val (sSec1, sRows1, sBat1, sRps1) = streamMinOf2(events1)
     val (sSecM, sRowsM, sBatM, sRpsM) = streamMinOf2(multiplyEvents(events1, streamMult))

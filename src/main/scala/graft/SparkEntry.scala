@@ -61,7 +61,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: Bench/AnnRecall/Verify look entries up per
+  // attempt, and a def would rebuild the whole ~80-closure map each time
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 1. GROUP BY aggregation (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
@@ -947,14 +949,30 @@ object SparkEntry {
     * closed (detaching its listeners) and rebuilt; stopped sessions
     * are dropped so the static map can't retain them forever. */
   private val ctxCache = new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, graft.sql.VeloContext)]()
-  private def veloCtx(s: SparkSession, dir: String): graft.sql.VeloContext = {
+  private def veloCtx(s: SparkSession, dir: String): graft.sql.VeloContext = ctxCache.synchronized {
+    // plain lock, not compute(): the failure path must REMOVE the
+    // mapping, and mutating the map from inside compute's mapping
+    // function is illegal re-entrancy on ConcurrentHashMap
     ctxCache.keySet.removeIf(sess => sess.sparkContext.isStopped)
-    ctxCache.compute(s, (sess, cur) =>
-      if (cur != null && cur._1 == dir) cur
-      else {
-        if (cur != null) cur._2.close()
-        (dir, graft.sql.VeloContext.forDir(sess, dir))
-      })._2
+    val cur = ctxCache.get(s)
+    if (cur != null && cur._1 == dir) cur._2
+    else {
+      // build FIRST, close the old context only on success: forDir
+      // repoints session-global temp views as it registers, so if it
+      // throws mid-way the old (dir, ctx) entry is a lie — some views
+      // already read the NEW dir. Dropping the mapping forces the next
+      // call to rebuild fresh instead of silently serving mixed-dir
+      // data (forDir closes its own half-built context on failure).
+      val next =
+        try graft.sql.VeloContext.forDir(s, dir)
+        catch { case e: Throwable =>
+          if (cur != null) { cur._2.close(); ctxCache.remove(s) }
+          throw e
+        }
+      if (cur != null) cur._2.close()
+      ctxCache.put(s, (dir, next))
+      next
+    }
   }
 
   def oracleSql: Map[String, String] = OracleSql.sql

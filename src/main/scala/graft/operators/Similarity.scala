@@ -261,9 +261,14 @@ object Similarity {
     * it is deterministic and unbiased w.r.t. insertion order. Use
     * `trainCentroidsKMeans` when the training set itself must stay
     * distributed. */
+  /** Default trainer-sample cap — named so the trainer-cap scale probe
+    * (ScaleProbe) provably probes the SAME boundary the trainer
+    * enforces; retuning it retunes both. */
+  val DefaultMaxTrainRows: Int = 65536
+
   def trainCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, dim: Int, maxIter: Int = 10,
-                            maxTrainRows: Int = 65536): Array[Double] = {
+                            maxTrainRows: Int = DefaultMaxTrainRows): Array[Double] = {
     val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows)
     require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
     lloyd(sample, k, dim, maxIter)

@@ -681,11 +681,16 @@ object VeloContext {
     * table registered stream-like (system columns + headers). */
   def forDir(spark: SparkSession, sfDir: String): VeloContext = {
     val ctx = new VeloContext(spark, defaultTimeCol = "ts")
-    graft.api.Tables.all.foreach { t =>
-      val df = graft.api.Tables.load(spark, sfDir, t)
-      if (t == "events") ctx.registerStreamLike(t, df, "ts", "event_id")
-      else ctx.register(t, df)
-    }
-    ctx
+    // exception-safe: a half-built context (e.g. one table's parquet
+    // missing) must not leak its listeners on the shared session — the
+    // caller never gets a handle to close it
+    try {
+      graft.api.Tables.all.foreach { t =>
+        val df = graft.api.Tables.load(spark, sfDir, t)
+        if (t == "events") ctx.registerStreamLike(t, df, "ts", "event_id")
+        else ctx.register(t, df)
+      }
+      ctx
+    } catch { case e: Throwable => ctx.close(); throw e }
   }
 }
