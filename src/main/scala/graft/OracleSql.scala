@@ -168,9 +168,13 @@ object OracleSql {
                FROM events)
          GROUP BY 1, 2""",
 
+    // null-ts events are dropped BEFORE sessionization (sessionize's
+    // where(epoch.isNotNull)) — without the filter DuckDB's NULLS LAST
+    // ordering would merge a null row into the key's last session
     "q7_session" ->
       """WITH e AS (
-           SELECT user_id, event_id, epoch_ms(ts)//1000 AS ep FROM events),
+           SELECT user_id, event_id, epoch_ms(ts)//1000 AS ep
+           FROM events WHERE ts IS NOT NULL),
          f AS (
            SELECT user_id, ep, event_id,
              CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800
@@ -324,10 +328,14 @@ object OracleSql {
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY $contentKey""",
 
+    // null-text docs excluded BEFORE pairing (minhashLsh/ngramJaccard
+    // both filter text IS NOT NULL): without it the pair jaccard is
+    // 0.0/0 — NULL on DuckDB 1.0 but NaN (which sorts ABOVE all values
+    // and passes >= 0.8) under ieee_floating_point_ops in DuckDB >= 1.1
     "q24_dedup_minhash" ->
       s"""WITH sh AS (
            SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.s, b.s)) AS inter,
@@ -355,16 +363,25 @@ object OracleSql {
            CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jaccard
          FROM pairs""",
 
+    // cosine mirrors GraftKernels.cosine's DEFINED EDGES: zero-norm or
+    // non-finite → 0.0 (not NULL/NaN — NaN sorts ABOVE all values in
+    // DuckDB, which would crown a corrupt row rank-1 for every query)
     "q27_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         scored AS (
+         dotn AS (
            SELECT query_id, neighbor_id,
              list_sum(list_transform(list_zip(qv, cv),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+             list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
            FROM q, c WHERE neighbor_id <> query_id),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+           FROM dotn),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
@@ -477,9 +494,13 @@ object OracleSql {
                FROM documents) t
          GROUP BY split, lang""",
 
+    // concat_ws (null-SKIPPING, as Sampling.hashPrefix composes it),
+    // not || (null-PROPAGATING): a null-lang doc still samples under
+    // key 'graft:<id>' in the engine, and the oracle must keep it too
     "q63_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-         WHERE substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'""",
+         WHERE substr(md5(concat_ws(':', 'graft',
+                 concat_ws(':', lang, CAST(doc_id AS VARCHAR)))), 1, 4) < '3333'""",
 
     "q64_contamination" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
@@ -544,10 +565,13 @@ object OracleSql {
     // q69: the q57 closure (exact all-pairs jaccard ≥0.8 → transitive
     // closure; LSH recall is 1 on this corpus) keyed into the q62 md5
     // thresholds — near-dup clusters split by their min-id representative.
+    // sh filters null text like q24/q57 (the pairing inputs); the `rep`
+    // CTE still covers ALL docs — a null-text doc is a singleton keyed
+    // by its own id, exactly leakageFreeSplit's behavior
     "q69_leakage_split" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          $closureCtes,
          labels AS (
            SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
@@ -560,13 +584,20 @@ object OracleSql {
 
     // explicit ROWS frame: packIntoShards pins ROWS (not SQL's default
     // RANGE) so tied order keys each get their own running prefix
+    // the packing weight mirrors packIntoShards' clamp
+    // greatest(coalesce(w,0),0): a NULL/negative weight packs as 0
+    // instead of NULLing the whole shard formula (every such row would
+    // collapse into one NULL shard group); the surfaced shard_chars
+    // stays SUM(n_chars) raw — both engines' SUM skips nulls
     "q68_shard_pack" ->
-      """WITH t AS (SELECT doc_id, n_chars, doc_id % 32 AS salt FROM documents),
-         c AS (SELECT doc_id, n_chars, salt,
-                 SUM(n_chars) OVER (PARTITION BY salt ORDER BY doc_id
+      """WITH t AS (SELECT doc_id, n_chars,
+                 GREATEST(COALESCE(n_chars, 0), 0) AS w,
+                 doc_id % 32 AS salt FROM documents),
+         c AS (SELECT doc_id, n_chars, w, salt,
+                 SUM(w) OVER (PARTITION BY salt ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
          a AS (SELECT doc_id, n_chars,
-                 CAST(salt * 1099511627776 + FLOOR(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT) AS shard_id
+                 CAST(salt * 1099511627776 + FLOOR(CAST(cum - w AS DOUBLE) / 20000) AS BIGINT) AS shard_id
                FROM c)
          SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
          FROM a GROUP BY shard_id""",
@@ -640,15 +671,16 @@ object OracleSql {
     // verbatim copy would silently drift on a future rule fix)
 
     // q44: the same watermark-final rule over SESSION windows. Sessions
-    // are gaps-and-islands at full microsecond precision (Spark's
-    // session_window splits on gap ≥/> at event-ts precision; this data
-    // never ties at the µs), session end = last event + gap; emitted ⇔
-    // end ≤ final watermark (max(ts) ms-truncated, minus grace).
+    // are gaps-and-islands at full microsecond precision with the
+    // EXACT session_window boundary — a new session at gap >= 30 min
+    // (the window is [start, last+gap), so an event exactly `gap` after
+    // the last falls outside it); session end = last event + gap;
+    // emitted ⇔ end ≤ final watermark (max(ts) ms-truncated, - grace).
     "q44_session_stream" ->
       """WITH e AS (SELECT user_id, event_id, ts FROM events),
          f AS (SELECT user_id, ts, event_id,
                  CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                        (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
                       THEN 1 ELSE 0 END AS ns FROM e),
          g AS (SELECT user_id, ts,
                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -698,26 +730,40 @@ object OracleSql {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax_amt
          FROM lineitem GROUP BY l_returnflag""",
 
+    // same kernel-edge mirror as q27: zero-norm / non-finite → 0.0
+    // (NaN >= 0.3 is TRUE under DuckDB's NaN ordering — phantom pairs)
     "q38_embed_dedup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         p AS (
+         dotn AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(list_zip(a.embedding, b.embedding),
-               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+             list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         p AS (
+           SELECT id_a, id_b,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+           FROM dotn)
          SELECT id_a, id_b, ROUND(cos, 4) AS cos
          FROM p WHERE cos >= 0.3""",
 
+    // BYTE-accurate mirror of extractFeatures: n_bytes is the UTF-8
+    // byte length of the payload (0 for null — the engine's
+    // payload==null edge), and f0 sums payload BYTES at 0-based
+    // positions i%8==0, not every 8th CHARACTER (they differ on any
+    // non-ASCII text). Byte i is read out of hex(blob) — verified
+    // bit-identical to the JVM byte loop on DuckDB 1.0.
     "q39_multimodal" ->
       """SELECT doc_id AS media_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-         CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+         CAST(COALESCE(octet_length(encode(text)), 0) AS INTEGER) AS n_bytes,
          ROUND(COALESCE(list_sum(list_transform(
-           generate_series(1, LENGTH(text), 8),
-           i -> ascii(text[i]) / 255.0)), 0.0), 4) AS f0
+           generate_series(1, octet_length(encode(text)), 8),
+           i -> CAST(('0x' || substr(hex(encode(text)), (i-1)*2+1, 2)) AS INTEGER) / 255.0)), 0.0), 4) AS f0
          FROM documents""",
 
     "q71_image_decode" ->
@@ -837,7 +883,7 @@ object OracleSql {
     "q57_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, ${shinglesOf(wordsOf, 3)} AS s
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          $closureCtes
          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
          FROM reach GROUP BY u""",
