@@ -165,6 +165,13 @@ object ScaleProbe {
           // the per-doc scoring stays a narrow broadcast join
           force(graft.operators.TextAnalysis.unigramNll(d, "text", "doc_id"))
         },
+        probe("contamination") {
+          // gram-keyed semi-join + DF cap + overlap count. Replicas have
+          // disjoint shingles, so each replica's bench subset only
+          // matches its own replica's corpus — hits grow exactly M×
+          force(graft.operators.Contamination.ngramOverlap(
+            d, d.where(col("doc_id") % 50 === 0), "text", "doc_id"))
+        },
         probe("dup_spans") {
           // shingle-keyed window shuffle; replicas have disjoint shingles,
           // so per-replica dup structure (and the fractions) is constant
