@@ -170,6 +170,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   private def resolveIntoSinkPath(body: VeloStatement): Option[String] = body match {
     case CreateStreamAs(_, s, _, _) =>
       s.into.iterator.flatMap(sinkFilePath(_, s.props)).nextOption()
+    // a bare-SELECT job body carries INTO too (START JOB j AS SELECT …
+    // INTO out) — without these cases the job silently streams to its
+    // internal epoch dir and the declared sink never receives data
+    case Select(s) =>
+      s.into.iterator.flatMap(sinkFilePath(_, s.props)).nextOption()
+    case u: Union =>
+      u.selects.iterator.flatMap(s => s.into.iterator.flatMap(sinkFilePath(_, s.props)))
+        .nextOption()
+    case WithCtes(_, b, _) => resolveIntoSinkPath(b)
     case _ => None
   }
 
@@ -178,9 +187,18 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * batch INTO writes so a new key (e.g. 'uri') cannot land in one
     * and silently miss the other. */
   private def sinkFilePath(sink: String, props: Map[String, String]): Option[String] = {
-    val declared = declaredSources.get(sink).map(_._2).getOrElse(Map.empty)
+    // identifiers bind case-INSENSITIVELY everywhere in the dialect
+    // (INSERT column lists, UPDATE SET targets) — a sink name must too,
+    // or `INTO FILE_OUT` against `CREATE SINK file_out` silently skips
+    // the write with only a validator warning
+    val declared = declaredSources.collectFirst {
+      case (n, (_, p)) if n.equalsIgnoreCase(sink) => p
+    }.getOrElse(Map.empty)
+    def prop(suffix: String): Option[String] = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(s"$sink.$suffix") => v
+    }
     declared.get("path").orElse(declared.get("file"))
-      .orElse(props.get(s"$sink.path")).orElse(props.get(s"$sink.file"))
+      .orElse(prop("path")).orElse(prop("file"))
   }
 
   /** Collected `@metric` series: name → (sample-name suffix, labels,
@@ -253,9 +271,67 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       .toDF()
   }
 
+  /** Swap a mutated (INSERT/UPDATE/DELETE) view in. For tables in the
+    * `materialized` registry (CTAS products) the rebuilt frame is
+    * RE-materialized and the prior cache released — otherwise every
+    * mutation stacks another lazy union/projection layer and a long
+    * mutation sequence turns each read into an N-deep recompute
+    * (quadratic total work on a supposedly materialized table). Plain
+    * views stay lazy: they were never materialized, and persisting on
+    * every INSERT would change the caller's memory profile. */
+  private def rebindMutatedView(table: String, df: DataFrame): DataFrame = {
+    val priorKey = materialized.synchronized(materialized.keys.find(_.equalsIgnoreCase(table)))
+    priorKey match {
+      case Some(k) =>
+        // ORDER MATTERS, twice over. (1) The prior cache is released
+        // before anything else — the rebuilt plan contains the prior
+        // view's plan as a subtree, and unpersisting the prior later
+        // would take the dependent entry with it. (2) The rebuild is
+        // cached AFTER the view swap: createOrReplaceTempView
+        // invalidates cache entries that REFERENCE the replaced view
+        // (Spark's view-aware invalidation), and the rebuilt plan
+        // references it — cache-then-swap left the fresh entry
+        // silently evicted (StorageLevel.NONE on every later read,
+        // observed). Swap-then-cache leaves a fresh, stable entry.
+        materialized.synchronized {
+          materialized.get(k).foreach(_.unpersist())
+          materialized.remove(k)
+          df.createOrReplaceTempView(table)
+          materialized(table) = df
+        }
+        df.cache()
+        df.count()
+        df
+      case None =>
+        df.createOrReplaceTempView(table)
+        df
+    }
+  }
+
+  /** Every (INTO list, props) pair reachable from a query statement —
+    * a Union carries per-branch INTOs, a CTE chain's body does too. */
+  private def intoTargets(stmt: VeloStatement): Seq[(Vector[String], Map[String, String])] =
+    stmt match {
+      case Select(s) => Seq((s.into, s.props))
+      case u: Union => u.selects.map(s => (s.into, s.props))
+      case WithCtes(_, b, _) => intoTargets(b)
+      case _ => Nil
+    }
+
   private def execStatement(stmt: VeloStatement): DataFrame = stmt match {
     case q @ (Select(_) | Union(_, _, _) | WithCtes(_, _, _)) =>
-      spark.sql(renderSql(q))
+      val df = spark.sql(renderSql(q))
+      // INTO on a bare query writes the RESULT to each resolvable
+      // declared sink (batch analog of the CSAS fan-out; streaming
+      // bodies get theirs from JobManager via resolveIntoSinkPath) —
+      // previously these INTOs were parsed, validator-checked, and
+      // then silently dropped at execution
+      if (!df.isStreaming) intoTargets(q).foreach { case (into, props) =>
+        into.foreach { sink =>
+          sinkFilePath(sink, props).foreach(p => graft.sources.Serde.writeFileUri(df, p))
+        }
+      }
+      df
 
     case CreateTableAs(name, s, props, cols) =>
       // IF NOT EXISTS (threaded as a parser prop): an existing table is
@@ -264,6 +340,13 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       if (props.get("if_not_exists").contains("true") && spark.catalog.tableExists(name))
         return spark.table(name)
       var df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
+      // dialect-level error, not a raw Spark one from cache()/count()
+      // deep below — and failing BEFORE the CacheManager registration,
+      // which would otherwise keep the doomed plan. (CSAS handles
+      // streaming bodies; CTAS is a materialization and cannot.)
+      if (df.isStreaming) throw new ParseException(
+        s"CREATE TABLE $name AS over a streaming source cannot materialize — " +
+          "use CREATE STREAM ... AS or START JOB")
       // 'retention' = '7 days': keep only records inside the window
       // (reference CompactTable retention, comprehensive-sql-ctas-guide
       // .md:198) — applied against the table's event-time column
@@ -298,11 +381,14 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         case _ => df.cache()
       }
       df.count() // force the materialization, as CTAS ingestion does
-      df.createOrReplaceTempView(name)
-      // a CTAS re-run under the same name replaces the view — release
-      // the PRIOR materialization's cache blocks or repeated refreshes
-      // leak executor storage for the session's lifetime
+      // view registration and registry bookkeeping swap ATOMICALLY:
+      // with the view swap outside the monitor, two concurrent
+      // same-name CTAS could interleave so the loser unpersists the
+      // LIVE view's cache (every read recomputes) while its own cache
+      // blocks leak. The count() above stays outside — materialization
+      // must not serialize unrelated CTAS.
       materialized.synchronized {
+        df.createOrReplaceTempView(name)
         materialized.get(name).foreach(_.unpersist())
         materialized(name) = df
       }
@@ -374,10 +460,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
             if (canonical.contains(f.name)) named(f.name).cast(f.dataType).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
-        } else incoming.toDF(existing.columns.toIndexedSeq: _*)
-      val unioned = existing.unionByName(aligned)
-      unioned.createOrReplaceTempView(table)
-      unioned
+        } else {
+          // positional bind ALSO casts to the table schema: without it
+          // unionByName's set-operation widening (INT+BIGINT literal →
+          // BIGINT) silently rewrites the rebuilt view's column types —
+          // the explicit-column path already casts, this path must match
+          val named = incoming.toDF(existing.columns.toIndexedSeq: _*)
+          named.select(existing.schema.fields.toIndexedSeq.map(f =>
+            named(f.name).cast(f.dataType).as(f.name)): _*)
+        }
+      rebindMutatedView(table, existing.unionByName(aligned))
 
     case CreateSourceDecl(kind, name, props, cols) =>
       import spark.implicits._
@@ -407,22 +499,40 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       if (unknownSet.nonEmpty)
         throw new ParseException(
           s"UPDATE SET column(s) not in $table: ${unknownSet.mkString(", ")}")
+      // duplicate targets REJECT like INSERT's column list does —
+      // toMap's silent last-wins would make `SET x = 1, x = 2` (a typo
+      // for `x = 1, y = 2`) succeed having half-applied the statement
+      val loweredTargets = sets.map(_._1.toLowerCase)
+      if (loweredTargets.distinct.length != loweredTargets.length)
+        throw new ParseException(
+          s"UPDATE SET names a column twice: ${sets.map(_._1).mkString(", ")}")
       val setMap = sets.map { case (k, e) => k.toLowerCase -> e }.toMap
-      val updated = existing.select(existing.columns.toIndexedSeq.map { c =>
-        setMap.get(c.toLowerCase) match {
-          case Some(e) => when(cond, expr(render(e))).otherwise(col(c)).as(c)
-          case None => col(c)
+      val updated = existing.select(existing.schema.fields.toIndexedSeq.map { f =>
+        setMap.get(f.name.toLowerCase) match {
+          // cast back to the column's DECLARED type: when/otherwise
+          // coercion (INT column, `x / 2` → DOUBLE) would otherwise
+          // silently change the rebuilt view's schema for ALL rows —
+          // standard UPDATE assigns THROUGH the column type
+          case Some(e) => when(cond, expr(render(e))).otherwise(col(f.name))
+            .cast(f.dataType).as(f.name)
+          case None => col(f.name)
         }
       }: _*)
-      updated.createOrReplaceTempView(table)
-      updated
+      rebindMutatedView(table, updated)
 
     case Delete(table, where) =>
       val existing = spark.table(table)
-      val remaining = where.map(w => existing.where(!expr(render(w)) || expr(render(w)).isNull))
-        .getOrElse(existing.limit(0))
-      remaining.createOrReplaceTempView(table)
-      remaining
+      // the predicate is computed ONCE per row in a projection and the
+      // filter references the resulting attribute: `!p || p.isNull`
+      // with two independent expression trees would evaluate a
+      // non-deterministic predicate twice, and a row could be judged
+      // "delete" by one copy yet kept by the other
+      val pcol = "__graft_delete_pred"
+      val remaining = where.map { w =>
+        existing.withColumn(pcol, expr(render(w)))
+          .where(!col(pcol) || col(pcol).isNull).drop(pcol)
+      }.getOrElse(existing.limit(0))
+      rebindMutatedView(table, remaining)
 
     case StartJob(name, body, props) => jobManager.start(name, body, props)
     case StopJob(name, force) => jobManager.stop(name, force)

@@ -457,6 +457,92 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rows("pending") == ((185.0, 120.0)))
   }
 
+  test("INTO on a bare SELECT writes the result to the declared sink (case-insensitively)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bareinto").toString
+    ctx.register("bi_src", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // declared lowercase, referenced UPPERCASE — identifiers bind
+    // case-insensitively across the dialect, sinks included
+    ctx.sql(s"CREATE SINK bare_out WITH ('path' = 'file://$dir/bare.json')")
+    ctx.sql("SELECT id, v FROM bi_src INTO BARE_OUT")
+    val written = spark.read.json(s"$dir/bare.json")
+    assert(written.count() == 2)
+    // the CTE shape carries its INTO through too
+    ctx.sql(s"CREATE SINK cte_out WITH ('path' = 'file://$dir/cte.json')")
+    ctx.sql("WITH c AS (SELECT id FROM bi_src) SELECT id FROM c INTO cte_out")
+    assert(spark.read.json(s"$dir/cte.json").count() == 2)
+  }
+
+  test("a streaming job body's bare-SELECT INTO lands in the declared sink") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val c2 = new VeloContext(spark)
+    try {
+      c2.register("ji_events", in.toDF().toDF("id", "v"))
+      val dir = java.nio.file.Files.createTempDirectory("jobinto").toString
+      c2.sql(s"CREATE SINK job_out WITH ('path' = 'file://$dir/job_out.parquet')")
+      in.addData(Seq((1L, 10.0), (2L, 20.0)))
+      c2.sql("START JOB ji AS SELECT id, v FROM ji_events INTO job_out")
+      c2.jobManager.awaitIdle("ji")
+      c2.sql("STOP JOB ji")
+      // the declared location received the stream — not the internal
+      // epoch dir the old resolveIntoSinkPath fell back to
+      val out = spark.read.parquet(s"$dir/job_out.parquet")
+      assert(out.count() == 2)
+    } finally c2.close()
+  }
+
+  test("INSERT/UPDATE preserve the table's column types; duplicate SET targets reject") {
+    import spark.implicits._
+    ctx.register("typ_t", Seq((1, 10), (2, 20)).toDF("id", "x")) // INT columns
+    // positional INSERT of a DOUBLE-typed literal must cast to the
+    // table type, not widen the whole column via unionByName
+    ctx.sql("INSERT INTO typ_t VALUES (3, 30.5)")
+    assert(spark.table("typ_t").schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // UPDATE through an expression that coerces to DOUBLE keeps INT
+    ctx.sql("UPDATE typ_t SET x = x / 2 WHERE id = 2")
+    assert(spark.table("typ_t").schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val rows = spark.table("typ_t").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rows(2) == 10 && rows(1) == 10 && rows(3) == 30)
+    // SET x = 1, x = 2 is a statement error, not a silent last-wins
+    val e = intercept[Exception](ctx.sql("UPDATE typ_t SET x = 1, x = 2 WHERE id = 1"))
+    assert(e.getMessage.contains("twice"))
+  }
+
+  test("CTAS over a streaming source is a dialect error, not a raw Spark crash") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val c2 = new VeloContext(spark)
+    try {
+      c2.register("ctas_stream_src", in.toDF().toDF("id", "v"))
+      val e = intercept[VeloSqlParser.ParseException](
+        c2.sql("CREATE TABLE agg_t AS SELECT id, COUNT(*) AS n FROM ctas_stream_src GROUP BY id"))
+      assert(e.getMessage.contains("streaming"))
+    } finally c2.close()
+  }
+
+  test("mutating a CTAS table keeps it materialized (no unbounded lazy union stacking)") {
+    import spark.implicits._
+    ctx.register("mat_src", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    ctx.sql("CREATE TABLE mat_t AS SELECT id, v FROM mat_src")
+    ctx.sql("INSERT INTO mat_t VALUES (3, 3.0)")
+    // the rebuilt view is re-cached (registry swap), so reads don't
+    // re-execute an ever-deeper union chain
+    assert(spark.table("mat_t").storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(spark.table("mat_t").count() == 3)
+    ctx.sql("DELETE FROM mat_t WHERE id = 1")
+    assert(spark.table("mat_t").count() == 2)
+    assert(spark.table("mat_t").storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("multi-sink INTO fan-out (job_multi_source_sink_test.rs shape)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("multisink").toString
