@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming realization of the reference's streaming jobs:
   * continuous queries over an unbounded source with watermarks, time
@@ -36,8 +36,11 @@ object StreamOps {
     require(aggExprs.nonEmpty, "tumblingAgg needs at least one aggregate expression")
     // the output reserves these names — withColumn would silently
     // REPLACE an input key column of the same name after aggregation
-    // (same guard as TimeWindows.sessionize's working columns)
-    for (c <- Seq("window_start", "window_end"))
+    // (same guard as TimeWindows.sessionize's working columns).
+    // 'window' is the INTERMEDIATE struct the time-window groupBy
+    // emits: a same-named key/alias makes col("window.start") an
+    // AMBIGUOUS_REFERENCE crash instead of a clean message
+    for (c <- Seq("window_start", "window_end", "window"))
       require(!keys.contains(c) && !aggExprs.exists(_._2 == c),
         s"'$c' is a reserved output column of tumblingAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
@@ -54,7 +57,7 @@ object StreamOps {
   def sessionAgg(events: DataFrame, tsCol: String, gap: String, grace: String,
                  keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
     require(aggExprs.nonEmpty, "sessionAgg needs at least one aggregate expression")
-    for (c <- Seq("session_start", "session_end"))
+    for (c <- Seq("session_start", "session_end", "session_window"))
       require(!keys.contains(c) && !aggExprs.exists(_._2 == c),
         s"'$c' is a reserved output column of sessionAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
@@ -113,6 +116,11 @@ object StreamOps {
     // n = 0 would not fail: takeRight(0) keeps the buffer empty and every
     // record emits buf_avg = 0.0/0 = NaN — a stream of NaNs, silently
     require(n > 0, s"rows buffer size must be positive, got $n")
+    // a non-positive TTL fails DEEP in an executor task
+    // (setTimeoutDuration throws mid-stream) — fail at the call site
+    // like n does
+    require(stateTtlMs.forall(_ > 0),
+      s"stateTtlMs must be positive, got ${stateTtlMs.get}")
     val timeout =
       if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -187,9 +195,12 @@ object StreamOps {
   private def deleteRecursively(path: String): Unit = {
     import scala.util.control.NonFatal
     try {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        .sorted(java.util.Comparator.reverseOrder())
+      // walk's stream holds open directory handles — close it, or every
+      // run leaks fds until GC (the long-lived server session pattern)
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
     } catch { case NonFatal(_) => } // best-effort; never fail the query over cleanup
   }
 
@@ -205,6 +216,12 @@ object StreamOps {
     val hasData = Option(new java.io.File(out).listFiles())
       .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
     if (!hasData) {
+      // a zero-BATCH run leaves a _spark_metadata log with no committed
+      // files; readers then use MetadataLogFileIndex, which cannot see
+      // the fallback part written outside the log — the read still dies
+      // with "Unable to infer schema". Remove the empty log so the dir
+      // reads as plain parquet (it holds nothing the log describes).
+      deleteRecursively(new java.io.File(out, "_spark_metadata").toString)
       val spark = df.sparkSession
       val empty = extra.foldLeft(
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)) {
@@ -228,8 +245,11 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    deleteRecursively(ckpt)
+    // finally: a FAILING query (bad emit-mode routing, source gone)
+    // must still clean its checkpoint — awaitTermination throwing
+    // before the delete is how the per-run /tmp leak came back
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
     ensureReadable(df, out)
     out
   }
@@ -239,6 +259,12 @@ object StreamOps {
     * with the trigger's batch id. Each batch write is a distributed
     * executor-side write — the driver never materializes rows. */
   def runChangelog(df: DataFrame, prefix: String = "graft_changelog"): String = {
+    // _batch_id is the changelog's OWN tag column: withColumn would
+    // silently overwrite a same-named input column and every
+    // latest-state reader (row_number over _batch_id) would dedup on
+    // the wrong values
+    require(!df.columns.contains("_batch_id"),
+      "input must not carry the reserved _batch_id changelog column")
     val out = tmp(prefix + "_out")
     val ckpt = tmp(prefix + "_ckpt")
     val q = df.writeStream
@@ -250,23 +276,9 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    deleteRecursively(ckpt)
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
     ensureReadable(df, out, Seq("_batch_id" -> lit(0L)))
     out
-  }
-
-  /** Memory-sink runner — TEST harness only (materializes on the
-    * driver); the operator paths above are the production shapes. */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
-    df.sparkSession.catalog.dropTempView(name)
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q
   }
 }

@@ -197,6 +197,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(back.columns.contains("window_start") && back.columns.contains("n"))
   }
 
+  test("runToParquet is readable even when the source yields ZERO batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // no addData at all: the file sink commits NOTHING and leaves an
+    // empty _spark_metadata log — readers then use the metadata index,
+    // which cannot see a fallback part written outside the log, so the
+    // log must be removed before the fallback write
+    val st = MemoryStream[(Long, Long)]
+    val agg = StreamOps.tumblingAgg(
+      st.toDF().toDF("id", "ep").withColumn("ts", timestamp_seconds(col("ep"))),
+      "ts", "5 minutes", "1 hour", Seq.empty, Seq("count(1)" -> "n"))
+    val out = StreamOps.runToParquet(agg, "graft_zerobatch_stream")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0)
+    assert(back.columns.contains("window_start") && back.columns.contains("n"))
+  }
+
+  test("changelog input carrying _batch_id and non-positive buffer TTL are rejected") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val st = MemoryStream[(Long, Long)]
+    val withTag = st.toDF().toDF("k", "_batch_id")
+    assert(intercept[IllegalArgumentException](
+      StreamOps.runChangelog(withTag)).getMessage.contains("_batch_id"))
+    val ds = spark.emptyDataset[StreamOps.BufEvent]
+    assert(intercept[IllegalArgumentException](
+      StreamOps.rowsBufferAgg(ds, 3, stateTtlMs = Some(0L))).getMessage.contains("stateTtlMs"))
+  }
+
   test("multi-job: several concurrent streaming queries in one session (reference server model)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
