@@ -78,8 +78,10 @@ object VeloSqlParser {
         if (!closed) throw new ParseException(s"unterminated string starting at $s")
         if (quote == '\'')
           out += Tok(TString, sql.substring(s, i))
-        else // quoted identifier → Spark backtick form
-          out += Tok(TIdent, "`" + sb.toString + "`")
+        else // quoted identifier → Spark backtick form (re-escaping any
+          // interior backtick: the unescaped text would otherwise emit
+          // `a`b` — malformed Spark SQL from valid dialect input)
+          out += Tok(TIdent, "`" + sb.toString.replace("`", "``") + "`")
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (two == "/*") {
@@ -442,6 +444,15 @@ object VeloSqlParser {
             else CreateTableAs(name, sel, withIne(sel.props), columnDefs)
           case u: Union =>
             val merged = u.selects.flatMap(_.props.toSeq).toMap
+            // EMIT/INTO hoist from ALL branches, not just the last: a
+            // clause written on an earlier branch (the parser attaches
+            // trailing clauses to the branch it just read) would be
+            // silently dropped — conflicting EMIT modes are ambiguous
+            // and reject; INTO sinks union
+            val emits = u.selects.flatMap(_.emit).distinct
+            if (emits.length > 1)
+              throw new ParseException("UNION branches declare conflicting EMIT modes")
+            val intos = u.selects.flatMap(_.into).distinct
             // represent a union body through a derived-table wrapper so
             // downstream consumers still see one SelectStmt. PRIMARY KEY
             // annotations survive when every branch declares the SAME
@@ -453,7 +464,7 @@ object VeloSqlParser {
               from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
               fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
               having = None, window = None, namedWindows = None, orderBy = None,
-              limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
+              limit = None, emit = emits.headOption, into = intos,
               props = merged)
             if (kind == "STREAM") CreateStreamAs(name, wrapped, withIne(merged), columnDefs)
             else CreateTableAs(name, wrapped, withIne(merged), columnDefs)
@@ -678,7 +689,14 @@ object VeloSqlParser {
         // ParseException, not a NoSuchElementException on the empty rest
         if (span.length >= 3 && span(span.length - 2).isKw("PRIMARY") && span.last.isKw("KEY")) {
           span = span.dropRight(2)
-          keys :+= span.last.text
+          // the key must be a NAMED output: on an unaliased expression
+          // the trailing token is ')' — recording it would silently
+          // disable sink key routing (the bogus name matches no column)
+          if (span.last.kind != TIdent)
+            throw new ParseException(
+              "PRIMARY KEY must annotate a column or aliased select item " +
+                "(alias the expression first: expr AS name PRIMARY KEY)")
+          keys :+= span.last.text.stripPrefix("`").stripSuffix("`")
         } else if (span.length == 2 && span.head.isKw("PRIMARY") && span.last.isKw("KEY"))
           throw new ParseException("PRIMARY KEY must annotate a select item")
         fields :+= span
@@ -852,13 +870,15 @@ object VeloSqlParser {
       def need(ok: Boolean, msg: String): Unit = if (!ok) throw new ParseException(msg)
       kind match {
         case "TUMBLING" =>
-          need(durations.nonEmpty, "TUMBLING needs a size duration")
+          // exactly ONE: a second duration (user likely meant SLIDING)
+          // must not be silently discarded
+          need(durations.length == 1, "TUMBLING takes exactly one size duration")
           Tumbling(durations.head, timeCol)
         case "SLIDING" =>
           need(durations.length == 2, "SLIDING needs size and advance durations")
           Sliding(durations(0), durations(1), timeCol)
         case "SESSION" =>
-          need(durations.nonEmpty, "SESSION needs a gap duration")
+          need(durations.length == 1, "SESSION takes exactly one gap duration")
           Session(durations.head, timeCol)
         case other => throw new ParseException(s"unknown window kind $other")
       }
@@ -871,21 +891,26 @@ object VeloSqlParser {
     val ts = span.filterNot(t => t.isKw("INTERVAL"))
     if (ts.isEmpty || ts.length > 2) return None
     val numTok = ts.head
-    val num: Option[Long] = numTok.kind match {
-      case TNumber => Some(numTok.text.toDouble.toLong)
-      case TString => numTok.text.substring(1, numTok.text.length - 1).trim.toLongOption
+    // kept as DOUBLE until the unit applies: `1.5m` is a legitimate
+    // 90-second duration, and the old toDouble.toLong truncated the
+    // fraction BEFORE the unit multiply — a silently shrunk window/band
+    val num: Option[Double] = numTok.kind match {
+      case TNumber => numTok.text.toDoubleOption
+      case TString =>
+        numTok.text.substring(1, numTok.text.length - 1).trim.toLongOption.map(_.toDouble)
       case _ => None
     }
     num.flatMap { v =>
       if (ts.length == 2) {
         val u = ts(1).upper
-        // sub-second millis do NOT truncate to 0 silently: 500ms as a
+        // sub-second values do NOT truncate to 0 silently: 500ms as a
         // WITHIN band would become "<= 0 seconds apart" (exact-match
-        // join) and a 0-second window is invalid downstream — reject
-        // non-whole-second values so the caller errors loudly
-        if (u == "MS" || u.startsWith("MILLISECOND"))
-          (if (v % 1000 == 0) Some(v / 1000) else None)
-        else unitSeconds(u).map(v * _)
+        // join) and a 0-second window is invalid downstream — only
+        // whole-second results are accepted, so the caller errors loudly
+        val secs: Option[Double] =
+          if (u == "MS" || u.startsWith("MILLISECOND")) Some(v / 1000.0)
+          else unitSeconds(u).map(v * _)
+        secs.filter(s => s.isFinite && s == math.floor(s)).map(_.toLong)
       } else None
       // a lone NUMBER is ambiguous with a column reference — reject.
     }.filter(_ > 0) // a ZERO duration is degenerate everywhere it is used
@@ -907,9 +932,9 @@ object VeloSqlParser {
   private val renames: Map[String, String] = Map(
     "JSON_EXTRACT" -> "get_json_object",
     "JSON_VALUE" -> "get_json_object",
-    "STRING_AGG" -> "listagg",
-    "GROUP_CONCAT" -> "listagg",
-    "LISTAGG" -> "listagg",
+    // STRING_AGG/GROUP_CONCAT/LISTAGG are handled arg-aware in
+    // rewriteTokens (reference-default ',' separator on the single-arg
+    // form), not by this token-level map
     "COLLECT" -> "collect_list",
     "ARRAY_LENGTH" -> "array_size",
     "LEN" -> "length",
@@ -1028,26 +1053,40 @@ object VeloSqlParser {
             // element) is TRUE under the standard regardless of NULLs,
             // and the bare MIN/MAX rewrite is already standard-correct in
             // WHERE (only FALSE-vs-UNKNOWN differs, both filtered).
+            //
+            // The aggregate runs over a WRAPPED subquery: splicing
+            // MAX/MIN into the original select list hoists it ABOVE
+            // LIMIT/OFFSET, so a row-bounding LIMIT silently became a
+            // no-op on the single aggregate row — the wrap keeps every
+            // row-set-shaping clause (LIMIT, OFFSET, DISTINCT) bounding
+            // the compared set. The null-detector counts the wrapped
+            // column: count(*) = rows of the bounded set (a NULL
+            // survives DISTINCT as its own row), count(__graft_qc) =
+            // its non-nulls.
+            val qc = id("__graft_qc")
+            // strip a trailing `AS alias` so the wrapper's alias is the
+            // select item's only one
+            val selCore =
+              if (sel.length >= 2 && sel(sel.length - 2).isKw("AS") && sel.last.kind == TIdent)
+                sel.dropRight(2)
+              else sel
             out += t += sym("(") += id("SELECT")
             if (q == "ALL") {
-              // the null-detector counts the RAW column: with a DISTINCT
-              // select list, count(DISTINCT v) also collapses duplicate
-              // NON-null values, so [1,1] would read as "has nulls" and
-              // poison a comparison standard SQL answers TRUE
-              val selRaw = if (sel.headOption.exists(_.isKw("DISTINCT"))) sel.tail else sel
               out += id("CASE") += id("WHEN") += id("count") += sym("(") += sym("*") += sym(")")
-              out += sym(">") += id("count") += sym("(")
-              out ++= selRaw
-              out += sym(")") += id("THEN") += id("CAST") += sym("(") += id("NULL")
+              out += sym(">") += id("count") += sym("(") += qc += sym(")")
+              out += id("THEN") += id("CAST") += sym("(") += id("NULL")
               out += id("AS") += id("DOUBLE") += sym(")")
               out += id("ELSE")
             }
-            out += id("coalesce") += sym("(") += id(agg) += sym("(")
-            out ++= sel
+            out += id("coalesce") += sym("(") += id(agg) += sym("(") += qc
             out += sym(")") += sym(",") += id("CAST") += sym("(") += Tok(TString, s"'$inf'")
             out += id("AS") += id("DOUBLE") += sym(")") += sym(")")
             if (q == "ALL") out += id("END")
+            out += id("FROM") += sym("(") += id("SELECT")
+            out ++= selCore
+            out += id("AS") += qc
             out ++= rest
+            out += sym(")") += id("__graft_qcsub")
             out += sym(")")
           case (op, q) => throw new ParseException(s"unsupported quantified comparison $op $q")
         }
@@ -1079,6 +1118,22 @@ object VeloSqlParser {
         i = end
       } else if (t.kind == TIdent && isCall(i)) {
         up match {
+          case "GROUP_CONCAT" | "STRING_AGG" | "LISTAGG" =>
+            // the reference defaults the separator to ',' for ALL of
+            // these aliases (aggregation/functions.rs:272-285); Spark's
+            // listagg with one argument joins with the EMPTY string —
+            // the token-level rename alone silently changed every
+            // output ('alicebobcarol'). An explicit second arg passes
+            // through.
+            val (args, end) = callArgs(i + 1)
+            out += id("listagg") += sym("(")
+            args.map(rewriteTokens(_, defaultTimeCol)).zipWithIndex.foreach { case (a, ix) =>
+              if (ix > 0) out += sym(",")
+              out ++= a
+            }
+            if (args.length == 1) { out += sym(",") += Tok(TString, "','") }
+            out += sym(")")
+            i = end
           case "COUNT_DISTINCT" =>
             val (args, end) = callArgs(i + 1)
             out += id("count") += sym("(") += id("DISTINCT")
@@ -1301,6 +1356,47 @@ object VeloSqlParser {
             val p = args.head
             val overEnd = closeParen(endCall + 1)
             val overInner = span.slice(endCall + 2, overEnd - 1)
+            // buffered-window form: PERCENTILE_CONT(p) OVER (ROWS WINDOW
+            // BUFFER n ROWS ... ORDER BY v). The generic frame scan below
+            // would swallow the whole spec from its leading ROWS keyword
+            // and die on "needs ORDER BY" — the dialect's PRIMARY
+            // buffered-window OVER form could never carry a percentile.
+            // Extract the buffer's ORDER BY value and reuse
+            // rewriteRowsWindow for the OVER clause itself.
+            if (overInner.headOption.exists(_.isKw("ROWS"))
+                && overInner.lift(1).exists(_.isKw("WINDOW"))) {
+              val stops2 = Set("PARTITION", "ORDER", "ROWS", "RANGE", "EMIT", "EXPIRE")
+              var k = 0
+              var ord = Vector.empty[Tok]
+              while (k < overInner.length && ord.isEmpty) {
+                if (overInner(k).isKw("ORDER") && overInner.lift(k + 1).exists(_.isKw("BY"))) {
+                  k += 2
+                  val o = ArrayBuffer[Tok](); var d = 0
+                  while (k < overInner.length &&
+                         !(d == 0 && overInner(k).kind == TIdent && stops2.contains(overInner(k).upper))) {
+                    if (overInner(k).text == "(") d += 1
+                    if (overInner(k).text == ")") d -= 1
+                    o += overInner(k); k += 1
+                  }
+                  ord = o.toVector
+                } else k += 1
+              }
+              if (ord.isEmpty)
+                throw new ParseException(s"$up OVER (ROWS WINDOW ...) needs ORDER BY <value>")
+              val descB = ord.last.isKw("DESC")
+              val valueB = if (ord.last.isKw("ASC") || descB) ord.dropRight(1) else ord
+              out += id("percentile") += sym("(")
+              out ++= rewriteTokens(valueB, defaultTimeCol)
+              out += sym(",")
+              if (descB) {
+                out += sym("(") += Tok(TNumber, "1") += Tok(TSymbol, "-") += sym("(")
+                out ++= p
+                out += sym(")") += sym(")")
+              } else out ++= p
+              out += sym(")")
+              out ++= rewriteRowsWindow(overInner, defaultTimeCol, withFrame = true)
+              i = overEnd
+            } else {
             var j = 0
             def atj(kw: String, o: Int = 0) = overInner.lift(j + o).exists(_.isKw(kw))
             var partition = Vector.empty[Tok]; var order = Vector.empty[Tok]; var frame = Vector.empty[Tok]
@@ -1346,6 +1442,7 @@ object VeloSqlParser {
             }
             out += sym(")")
             i = overEnd
+            }
           case "PERCENTILE_CONT" | "PERCENTILE_DISC"
             if {
               val (_, e) = callArgs(i + 1)
@@ -1600,12 +1697,21 @@ object VeloSqlParser {
     * is not expressible on them). */
   private def capFrameAtBuffer(frame: Vector[Tok], n: Long): Vector[Tok] =
     if (!frame.headOption.exists(_.isKw("ROWS"))) frame
-    else frame.zipWithIndex.map { case (t, ix) =>
-      if (frame.lift(ix + 1).exists(_.isKw("PRECEDING"))) {
-        if (t.kind == TNumber) Tok(TNumber, math.min(t.text.toLong, n - 1).toString)
-        else if (t.isKw("UNBOUNDED")) Tok(TNumber, (n - 1).toString)
-        else t
-      } else t
+    else {
+      // the reference's ring is a TRAILING buffer — it never holds
+      // future rows, so a FOLLOWING end bound would aggregate rows the
+      // buffer never saw (the exact divergence this cap exists to
+      // prevent); reject instead of passing it through
+      if (frame.exists(_.isKw("FOLLOWING")))
+        throw new ParseException(
+          "a ROWS WINDOW BUFFER frame cannot reach FOLLOWING rows (the buffer is trailing)")
+      frame.zipWithIndex.map { case (t, ix) =>
+        if (frame.lift(ix + 1).exists(_.isKw("PRECEDING"))) {
+          if (t.kind == TNumber) Tok(TNumber, math.min(t.text.toLong, n - 1).toString)
+          else if (t.isKw("UNBOUNDED")) Tok(TNumber, (n - 1).toString)
+          else t
+        } else t
+      }
     }
 
   // ==================== Spark SQL emission ====================
@@ -1646,7 +1752,12 @@ object VeloSqlParser {
       sb.append(' ').append(jt).append(" JOIN ").append(j.table)
       j.alias.foreach(a => sb.append(" AS ").append(a))
       (j.on.nonEmpty, band) match {
-        case (true, Some(b)) => sb.append(" ON ").append(render(j.on)).append(" AND ").append(b)
+        // the ON clause is PARENTHESIZED before ANDing the band: AND
+        // binds tighter than OR, so `ON a = b OR c = d WITHIN 5m`
+        // rendered bare would let the OR's left disjunct escape the
+        // time constraint entirely
+        case (true, Some(b)) =>
+          sb.append(" ON (").append(render(j.on)).append(") AND ").append(b)
         case (true, None) => sb.append(" ON ").append(render(j.on))
         case (false, Some(b)) => sb.append(" ON ").append(b)
         case (false, None) => ()

@@ -457,6 +457,81 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rows("pending") == ((185.0, 120.0)))
   }
 
+  test("render fidelity: WITHIN precedence, fractional durations, GROUP_CONCAT, quantified LIMIT") {
+    import VeloSqlParser._
+    // (1) an OR-joined ON clause must not escape the WITHIN time band:
+    // the rendered ON is parenthesized before the band ANDs on
+    val rendered = ctx.explainSql(
+      "SELECT o.order_id FROM orders o JOIN shipments s ON o.order_id = s.order_id OR o.order_id = s.order_id WITHIN 5m")
+    assert(rendered.contains("ON ("), rendered)
+    // (2) fractional durations apply the unit BEFORE integralizing:
+    // 1.5m = 90 s (the old path truncated to 60 s silently)
+    ctx.parseStatement(
+      "SELECT COUNT(*) AS n FROM orders GROUP BY customer_id WINDOW TUMBLING(1.5m)") match {
+      case Select(s) => assert(s.window.contains(Tumbling(90L, None)))
+      case other => fail(s"$other")
+    }
+    // sub-second fractions stay rejected (named error, not truncation)
+    intercept[Exception](ctx.parseStatement(
+      "SELECT COUNT(*) AS n FROM orders GROUP BY customer_id WINDOW TUMBLING(1.5s)"))
+    // (3) GROUP_CONCAT defaults its separator to ',' (MySQL semantics);
+    // bare listagg would join with the empty string
+    val sts = ctx.sql(
+      "SELECT customer_id, GROUP_CONCAT(status) AS sts FROM orders WHERE customer_id = 11 GROUP BY customer_id")
+      .collect().head.getString(1)
+    assert(sts == "filled,filled", sts)
+    // ... and the reference defaults ',' for STRING_AGG/LISTAGG too
+    // (aggregation/functions.rs: one default for all the aliases)
+    val sts2 = ctx.sql(
+      "SELECT customer_id, STRING_AGG(status) AS sts FROM orders WHERE customer_id = 11 GROUP BY customer_id")
+      .collect().head.getString(1)
+    assert(sts2 == "filled,filled", sts2)
+    // (4) a row-bounding LIMIT inside a quantified comparison keeps
+    // bounding the compared set (amounts asc limit 2 = {50, 80}; the
+    // old splice hoisted MAX above the LIMIT and compared against 5000)
+    val ids = ctx.sql(
+      """SELECT order_id FROM orders
+         WHERE amount > ALL (SELECT amount FROM orders ORDER BY amount LIMIT 2)""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L), ids.toString)
+  }
+
+  test("parse fidelity: PK on expressions, window arg counts, buffer frames, unions, backticks") {
+    import VeloSqlParser._
+    // PRIMARY KEY on an unaliased expression would record ')' as the
+    // key and silently disable sink routing — named error instead
+    assert(intercept[ParseException](ctx.parseStatement(
+      "SELECT UPPER(status) PRIMARY KEY FROM orders")).getMessage.contains("alias"))
+    // a stray second duration (user meant SLIDING) rejects
+    intercept[ParseException](ctx.parseStatement(
+      "SELECT COUNT(*) AS n FROM orders GROUP BY customer_id WINDOW TUMBLING(5m, 1m)"))
+    // a FOLLOWING end bound can never be served by a trailing buffer
+    assert(intercept[ParseException](ctx.parseStatement(
+      """SELECT AVG(amount) OVER (ROWS WINDOW BUFFER 5 ROWS ORDER BY amount
+         ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS a FROM orders"""))
+      .getMessage.contains("FOLLOWING"))
+    // EMIT written on an EARLIER union branch is hoisted, not dropped
+    ctx.parseStatement(
+      "CREATE STREAM u_emit AS SELECT order_id FROM orders EMIT CHANGES UNION ALL SELECT order_id FROM orders") match {
+      case CreateStreamAs(_, s, _, _) => assert(s.emit.contains(EmitChanges))
+      case other => fail(s"$other")
+    }
+    // conflicting branch EMITs are ambiguous → reject
+    intercept[ParseException](ctx.parseStatement(
+      "CREATE STREAM u_bad AS SELECT order_id FROM orders EMIT CHANGES UNION ALL SELECT order_id FROM orders EMIT FINAL"))
+    // interior backticks re-escape on emission (valid Spark SQL out)
+    ctx.parseStatement("SELECT `a``b` FROM orders") match {
+      case Select(s) => assert(s.fields.head.head.text == "`a``b`")
+      case other => fail(s"$other")
+    }
+    // PERCENTILE_CONT composes with the dialect's buffered-window OVER
+    // form (previously always rejected with "needs ORDER BY")
+    val med = ctx.sql(
+      """SELECT order_id, PERCENTILE_CONT(0.5) OVER (ROWS WINDOW BUFFER 3 ROWS
+         PARTITION BY customer_id ORDER BY amount) AS med FROM orders""").collect()
+    assert(med.length == 5 && med.forall(!_.isNullAt(1)))
+  }
+
   test("INTO on a bare SELECT writes the result to the declared sink (case-insensitively)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bareinto").toString
