@@ -356,10 +356,21 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // only ACTIVE streaming queries consume an operation slot: a batch
       // body materializes synchronously inside start() and then only
       // serves a standing view — counting it as RUNNING forever would
-      // starve every later streaming admission until a manual STOP
-      val wouldRun = jobs.values.count(x =>
-        x.status == "RUNNING" && x.handle.isDefined && x.name != name) + 1
+      // starve every later streaming admission until a manual STOP.
+      // Admission is CONSERVATIVE for the candidate (+1): whether the
+      // body turns out batch or streaming is only knowable after
+      // analysis resolves its sources, which launch does later — a
+      // batch job rejected at a full limit can start once a streaming
+      // slot frees.
+      val running = jobs.values.count(x =>
+        x.status == "RUNNING" && x.handle.isDefined && x.name != name)
+      val wouldRun = running + 1
       metricSpecs.synchronized {
+        // admission records the DEMAND (wouldRun): a rejection
+        // deliberately reads EXHAUSTED in SHOW RESOURCES — the resource
+        // was asked for more than it has. Actual slot usage self-corrects
+        // at the next observation (it derives from running queries, and
+        // a rejected launch never increments it).
         var u = resourceState.getOrElse(("*", "concurrent_operations"), Resources.Usage())
           .observed(wouldRun.toDouble, Some(max.toDouble))
         if (wouldRun > max) u = u.violated
@@ -459,9 +470,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // INTO-sink contract for STREAMING bodies: the continuous
       // writeStream IS the sink write, so it targets the DECLARED sink
       // location (extension-derived format) when one resolves — batch
-      // bodies write theirs in execStatement. Resolved per launch:
-      // CREATE SINK declarations may change between deploys.
-      j.sinkPath = resolveSinkPath(v.body).map(_.stripPrefix("file://"))
+      // bodies write theirs in execStatement. The location is BOUND per
+      // epoch at its first launch: a sink re-declared (or dropped)
+      // between pause and resume must not switch the output mid-epoch —
+      // the resumed query would continue from batch N into a fresh dir,
+      // silently splitting the epoch's output across two locations
+      // (consumers at the new path would see only post-pause batches).
+      // Re-declarations take effect at the next epoch (DEPLOY/ROLLBACK/
+      // fresh START).
+      j.sinkPath = j.sinkStamp match {
+        case Some((ep, p)) if ep == j.epoch => Some(p)
+        case _ => resolveSinkPath(v.body).map(_.stripPrefix("file://"))
+      }
       // A declared location is FIXED across epochs while the checkpoint
       // is not: an epoch bump restarts batchIds at 0, and the declared
       // dir's _spark_metadata (written by the PREVIOUS epoch's
@@ -541,10 +561,25 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * instead of hot-looping restarts). A launch that throws records a
     * failure; health while running is recorded by `halt` (clean drain =
     * success, died-with-error = failure) and by `superviseOnce`. */
-  private def guardedLaunch(j: Job, v: Version): Unit =
-    try launch(j, v)
-    catch {
+  /** `newRecord`: v was just appended by record() for this launch (a
+    * START/DEPLOY), as opposed to relaunching an entry that already ran
+    * (rollback/resume/supervision restart). */
+  private def guardedLaunch(j: Job, v: Version, newRecord: Boolean = false): Unit =
+    try {
+      launch(j, v)
+      // redeploying an existing version string REPLACES it in history —
+      // but only NOW, after the launch succeeded. Compacting at record
+      // time let a failed redeploy replace the last-good body with the
+      // doomed one, making ROLLBACK TO <version> relaunch the very body
+      // that just failed and leaving the good body unrecoverable.
+      if (newRecord)
+        j.versions = j.versions.filterNot(e => e.version == v.version && e.seq != v.seq)
+    } catch {
       case e: Throwable =>
+        // a NEW version that never became a deployment is dropped from
+        // history, so rollback targets only versions that actually ran;
+        // a RELAUNCHED historical entry stays (it ran successfully once)
+        if (newRecord) j.versions = j.versions.filterNot(_.seq == v.seq)
         j.breaker.recordFailure()
         j.status = "FAILED"
         j.lastError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -564,15 +599,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * surfaced into the job status (`q.exception`) instead of being
     * silently discarded — a job that died with an error must not be
     * reported as a clean PAUSED/STOPPED and blindly RESUMEd. */
-  private def halt(j: Job, drain: Boolean): Unit = {
+  // draining happens OUTSIDE the monitor via preDrain (holding the
+  // lock through processAllAvailable would hang every status scrape) —
+  // halt itself only stops; it has no in-lock drain mode
+  private def halt(j: Job): Unit = {
     j.handle.foreach { q =>
-      // stop() runs in finally: processAllAvailable can throw things
-      // other than StreamingQueryException (e.g. IllegalStateException
-      // on a stopped session) and the query must still be stopped and
-      // the handle cleared — never leave a dead query reported RUNNING.
-      try {
-        if (drain) try q.processAllAvailable() catch { case _: StreamingQueryException => () }
-      } finally {
+      // stop() runs first so whatever error killed the query surfaces
+      // into the job status; the handle is cleared in finally — never
+      // leave a dead query reported RUNNING.
+      {
         try {
           q.stop()
           try q.awaitTermination() catch { case _: StreamingQueryException => () }
@@ -581,9 +616,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
               .getOrElse(e.getMessage))
           // breaker health signal: a query that died with an error is a
-          // failure; one that drained and stopped cleanly is a success
+          // failure; a clean stop is a success ONLY if it committed at
+          // least one micro-batch this run — success is COMPLETED WORK,
+          // not mere liveness (the superviseOnce invariant): crediting
+          // every idle pause/stop would let resume/pause cycles close a
+          // HALF_OPEN breaker (or keep resetting consecutiveFailures)
+          // without any work ever completing
           if (j.lastError.isDefined) j.breaker.recordFailure()
-          else j.breaker.recordSuccess()
+          else if (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= 0)
+            j.breaker.recordSuccess()
           j.handle = None
           // invariant: no handle → not RUNNING. If processAllAvailable
           // (or stop itself) threw something unexpected, the exception
@@ -601,7 +642,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                      props: Map[String, String], strategy: String): Version = {
     seqCounter += 1
     val v = Version(version, body, strategy, props, seqCounter)
-    j.versions = j.versions.filterNot(_.version == version) :+ v
+    // APPEND only — same-version-string compaction happens after a
+    // SUCCESSFUL launch (guardedLaunch), never before the outcome is
+    // known
+    j.versions = j.versions :+ v
     v
   }
 
@@ -615,14 +659,21 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   }
 
   def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = synchronized {
-    val j = jobs.getOrElseUpdate(name, new Job(name))
-    if (j.status == "RUNNING") throw new ParseException(s"job $name is already running")
+    // every gate runs BEFORE the job registers (deploy's ordering): a
+    // rejected START must not leave a phantom job in the registry —
+    // SHOW JOBS would list it, hasJob would suppress the validator's
+    // unknown-job warnings, and each rejection would leak the Job's
+    // temp directory
+    val existing = jobs.get(name)
+    if (existing.exists(_.status == "RUNNING"))
+      throw new ParseException(s"job $name is already running")
     gate("START", name, body)
-    gateBreaker(j)
+    existing.foreach(gateBreaker)
     // limit props parse + admission BEFORE any state change: a malformed
     // limit or a full cluster rejects the statement, not the job state
     val lims = Resources.Limits.fromProps(props, defaultLimits)
     gateConcurrency(name, lims)
+    val j = existing.getOrElse(jobs.getOrElseUpdate(name, new Job(name)))
     // Restarting a stopped job with a DIFFERENT body must not reuse the
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
@@ -632,7 +683,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       j.current.map(_.strategy).getOrElse("NONE"))
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
-    guardedLaunch(j, v)
+    guardedLaunch(j, v, newRecord = true)
     statusDf(Some(name))
   }
 
@@ -654,7 +705,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (!force) preDrain(name)
     synchronized {
       val j = job(name)
-      halt(j, drain = false)
+      halt(j)
       j.status = "STOPPED"
       statusDf(Some(name))
     }
@@ -665,7 +716,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     synchronized {
       val j = job(name)
       if (j.status != "RUNNING") throw new ParseException(s"job $name is not running")
-      halt(j, drain = false)
+      halt(j)
       j.status = "PAUSED"
       statusDf(Some(name))
     }
@@ -683,6 +734,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     statusDf(Some(name))
   }
 
+  /** Strategy semantics match the REFERENCE's executor
+    * (processors/job.rs:220-232): the strategy is validated, recorded,
+    * and surfaced in status, but every strategy except REPLACE executes
+    * the same drain → full-cutover transition (the reference's own
+    * "full implementation would apply the strategy" placeholder).
+    * CANARY's percentage therefore gates nothing here, as there. */
   def deploy(name: String, version: String, body: VeloStatement,
              props: Map[String, String], strategy: DeployStrategy): DataFrame = {
     // REPLACE = stop old fast; others drain — OUTSIDE the monitor (see
@@ -702,7 +759,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       case Replace => "REPLACE"
     }
     val v = record(j, version, body, props, stratStr)
-    halt(j, drain = false)
+    halt(j)
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
     // the fresh checkpoint restarts batchIds at 0 — a stale high-water
     // mark would starve breaker successes for the whole new epoch and
@@ -711,7 +768,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     resetMetricState(name) // new epoch re-reads the source — drop old totals
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
-    guardedLaunch(j, v)
+    guardedLaunch(j, v, newRecord = true)
     statusDf(Some(name))
     }
   }
@@ -725,17 +782,21 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val v = target match {
       case Some(ver) => j.versions.find(_.version == ver)
         .getOrElse(throw new ParseException(s"job $name has no version $ver"))
-      case None => j.versions.filter(_.seq < cur.seq).lastOption
-        // a FAILED deploy leaves `current` at the last-good version with
-        // the doomed version recorded AFTER it: with no earlier version
-        // to fall back to, rollback relaunches the last-good current
-        // instead of dead-ending on 'no previous version'
+      // a FAILED deploy leaves `current` at the LAST-GOOD version (the
+      // doomed version never enters history — guardedLaunch drops it):
+      // rollback must relaunch that last-good current FIRST — falling
+      // through to an earlier version would silently skip it and land
+      // the job two versions back
+      case None => (if (j.status == "FAILED") Some(cur) else None)
+        .orElse(j.versions.filter(_.seq < cur.seq).lastOption)
+        // stopped job, no earlier version: relaunching the current is
+        // still better than dead-ending on 'no previous version'
         .orElse(if (j.status != "RUNNING") Some(cur) else None)
         .getOrElse(throw new ParseException(s"job $name has no previous version"))
     }
     val lims = Resources.Limits.fromProps(v.props, defaultLimits)
     gateConcurrency(name, lims)
-    halt(j, drain = false)
+    halt(j)
     j.epoch += 1
     j.lastSeenBatch = -1L // fresh epoch, fresh batchId namespace
     resetMetricState(name) // rollback epoch re-reads the source from scratch
@@ -867,7 +928,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         }
     }
     snaps.map { case (n, st, batches, inRows, view, sinkPath, sinkDir) =>
-        val outRows = view.map(v => spark.table(v).count()).getOrElse(
+        // the batch-view count runs OUTSIDE the lock like the sink read
+        // below it, and needs the same degradation: a concurrent deploy
+        // that swaps the job to a streaming body drops the view, and an
+        // unguarded count would crash the whole metrics scrape
+        val outRows = view.map(v => try spark.table(v).count()
+            catch { case _: Throwable => 0L })
+          .getOrElse(
           try {
             sinkPath.map(p => graft.sources.Serde.readFileUri(spark, p))
               .getOrElse(spark.read.parquet(sinkDir)).count()

@@ -124,6 +124,58 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB recov")
   }
 
+  test("ROLLBACK after a failed deploy relaunches the LAST-GOOD version, not one two steps back") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("START JOB skiptest AS SELECT id, v FROM live_events")
+    ctx.jobManager.awaitIdle("skiptest")
+    ctx.sql("DEPLOY JOB skiptest VERSION '2.0.0' AS SELECT id, v * 2 AS v2 FROM live_events")
+    ctx.jobManager.awaitIdle("skiptest")
+    // v3 fails at launch — current stays at last-good v2
+    intercept[Exception](ctx.sql(
+      "DEPLOY JOB skiptest VERSION '3.0.0' AS SELECT id, v FROM live_events ORDER BY id"))
+    ctx.sql("ROLLBACK JOB skiptest")
+    val st = ctx.sql("SHOW STATUS skiptest").collect().head
+    // the old filter(_.seq < cur.seq) skipped v2 and landed on v1
+    assert(st.getAs[String]("version") == "2.0.0", st.toString)
+    assert(st.getAs[String]("status") == "RUNNING")
+    ctx.sql("STOP JOB skiptest")
+  }
+
+  test("a failed REDEPLOY of an existing version does not shadow the last-good body") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("DEPLOY JOB shadow VERSION '1.0.0' AS SELECT id, v FROM live_events")
+    ctx.jobManager.awaitIdle("shadow")
+    ctx.sql("DEPLOY JOB shadow VERSION '2.0.0' AS SELECT id, v * 2 AS v2 FROM live_events")
+    ctx.jobManager.awaitIdle("shadow")
+    // redeploy of the SAME version string with a doomed body: the old
+    // record() evicted the good 2.0.0 entry BEFORE the launch failed,
+    // leaving ROLLBACK TO '2.0.0' pointing at the doomed body forever
+    intercept[Exception](ctx.sql(
+      "DEPLOY JOB shadow VERSION '2.0.0' AS SELECT id, v FROM live_events ORDER BY id"))
+    ctx.sql("ROLLBACK JOB shadow VERSION '2.0.0'")
+    val st = ctx.sql("SHOW STATUS shadow").collect().head
+    assert(st.getAs[String]("status") == "RUNNING", st.toString)
+    assert(st.getAs[String]("version") == "2.0.0")
+    // the GOOD 2.0.0 body (v*2) is the one running
+    in.addData(Seq((2L, 5.0)))
+    ctx.jobManager.awaitIdle("shadow")
+    val out = ctx.jobManager.sinkDf("shadow")
+    assert(out.columns.contains("v2"))
+    ctx.sql("STOP JOB shadow")
+  }
+
+  test("a rejected START leaves no phantom job in the registry") {
+    val (_, ctx) = memInput()
+    intercept[Exception](ctx.sql("START JOB ghost AS SELECT nope FROM live_events"))
+    // the old ordering registered the Job (temp dir included) before the
+    // gate threw: SHOW JOBS listed it and hasJob suppressed the
+    // validator's unknown-job warnings
+    assert(!ctx.jobManager.hasJob("ghost"))
+    assert(!ctx.sql("SHOW JOBS").collect().exists(_.getAs[String]("job_name") == "ghost"))
+  }
+
   test("DEPLOY new version switches the pipeline; ROLLBACK returns to the previous one") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0), (2L, 2.0)))
