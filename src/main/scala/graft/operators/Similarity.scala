@@ -172,7 +172,10 @@ object Similarity {
     val cbCapped = cb.join(counts.where(col("_bn") <= maxBucket), Seq("band", "chunk"))
       .drop("_bn")
     val qb = banded(queries, "query_id", "qv", probe = true)
-    val cand = cbCapped.join(qb, Seq("band", "chunk"))
+    // broadcast the query side (same rationale as ivfTopK): the
+    // (band, chunk) key space is a few hundred values, so a sort-merge
+    // fallback would cap the corpus shuffle's parallelism at key count
+    val cand = cbCapped.join(broadcast(qb), Seq("band", "chunk"))
       .where(col("neighbor_id") =!= col("query_id"))
       // score IN the join row, BEFORE the pair-dedup exchange: duplicate
       // multi-band candidates carry identical vectors, so cos is the
@@ -202,6 +205,11 @@ object Similarity {
     require(blocks >= 1, s"blocks must be >= 1, got $blocks")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // DELIBERATE double scan: v feeds both self-join sides, so the
+    // (column-pruned) source is read twice. Persisting it would write
+    // the full id+vector corpus to executor storage — at the 100 TB
+    // target that cache write+read costs more than the second pruned
+    // scan (the same trade documented at cmsHeavyHitters).
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
     val cells = (for (ba <- 0 until blocks; bb <- ba until blocks) yield (ba, bb))
@@ -269,7 +277,12 @@ object Similarity {
   def trainCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, dim: Int, maxIter: Int = 10,
                             maxTrainRows: Int = DefaultMaxTrainRows): Array[Double] = {
-    val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows)
+    // SPHERICAL k-means (normalize before Lloyd): cells are ASSIGNED by
+    // cosine, and Euclidean k-means on un-normalized vectors stratifies
+    // centroids by magnitude — many distinct directions collapse into
+    // few cosine-nearest cells, skewing cell sizes and degrading probe
+    // recall. The PQ trainer already normalizes for the same reason.
+    val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows).map(normalized)
     require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
     lloyd(sample, k, dim, maxIter)
   }
@@ -368,7 +381,13 @@ object Similarity {
           GraftKernels.nearestCentroidsCol(col(v), cents, nC, dim, probes, floatElems = true)))
     val cb = cellify(corpus, "neighbor_id", "cv", assignProbes)
     val qb = cellify(queries, "query_id", "qv", nprobe)
-    val cand = cb.join(qb, Seq("cell"))
+    // broadcast the QUERY side explicitly (bruteForceTopK's shape): the
+    // cell key has only nCentroids distinct values, so if query-side
+    // stats exceed the auto-broadcast threshold Spark falls back to a
+    // sort-merge join that shuffles the full vector-carrying corpus
+    // into at most nC non-empty partitions — parallelism capped at 64
+    // and ~corpus/64 bytes per task at the 100 TB target
+    val cand = cb.join(broadcast(qb), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "cos")
@@ -456,9 +475,14 @@ object Similarity {
     * L2-normalized before training so inner product == cosine at
     * search time. Entry (sub, code) occupies
     * [(sub·256 + code)·dsub, …+dsub) of the returned array. */
+  /** Default PQ codebook training-sample cap (see DefaultMaxTrainRows
+    * for the naming rationale — ivfPqTopK's combined trainer reads
+    * this same prefix). */
+  val DefaultPqTrainRows: Int = 16384
+
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int, maxIter: Int = 10,
-                       maxTrainRows: Int = 16384): Array[Double] = {
+                       maxTrainRows: Int = DefaultPqTrainRows): Array[Double] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val sample = collectTrainSample(corpus, idCol, vecCol, dim, maxTrainRows).map(normalized)
@@ -564,6 +588,17 @@ object Similarity {
     out
   }
 
+  /** A NaN/Inf element would survive normalization as all-NaN and
+    * PQ-encode to code 0,0,…,0 — an ARBITRARY codebook point whose ADC
+    * score can evict genuine candidates from the bounded shortlist.
+    * Corrupt vectors are DROPPED at encode, the same degrade-don't-
+    * poison contract as the SQL cosine kernel's 0.0 edge. */
+  private def allFinite(v: Array[Double]): Boolean = {
+    var i = 0
+    while (i < v.length) { if (!java.lang.Double.isFinite(v(i))) return false; i += 1 }
+    true
+  }
+
   private def normalized(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -601,15 +636,20 @@ object Similarity {
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(codebooks)
-    // null ids/vectors degrade to dropped rows, not a mid-job NPE —
-    // matching the SQL-kernel operators' corrupt-record behavior
-    corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // null/uncastable ids and null or non-finite vectors degrade to
+    // DROPPED rows, not a mid-job NPE/cast error — matching the
+    // SQL-kernel operators' corrupt-record behavior (try_cast nulls on
+    // a bad id in both ANSI and legacy modes, where a plain cast would
+    // throw or NPE at getLong)
+    corpus.where(col(vecCol).isNotNull)
+      .select(expr(s"try_cast(`$idCol` AS LONG)").as("id"), col(vecCol).as("v"))
+      .where(col("id").isNotNull)
       .mapPartitions { rows =>
         val cb = bc.value
-        rows.map { r =>
-          val v = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
-          org.apache.spark.sql.Row(r.getLong(0), encodeVec(v, cb, m, dsub))
+        rows.flatMap { r =>
+          val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
+          if (!allFinite(raw)) None
+          else Some(org.apache.spark.sql.Row(r.getLong(0), encodeVec(normalized(raw), cb, m, dsub)))
         }
       }(enc)
   }
@@ -636,13 +676,19 @@ object Similarity {
              k: Int, dim: Int, m: Int = 16, refine: Int = 4,
              codebooks: Option[Array[Double]] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // refine < 1 makes keep = 0: every heap enqueue is immediately
+    // dequeued and the operator completes with ZERO rows — the silent
+    // empty result the sibling operators reject loudly
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(k >= 1, s"k must be >= 1, got $k")
     val dsub = dim / m
     val cb = codebooks.getOrElse(trainPqCodebooks(corpus, idCol, vecCol, dim, m))
     val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
     // per-query ADC tables: lut(q)(sub*256 + code) = <q_sub, centroid>
-    // (null-vector queries dropped — they have no meaningful neighbors)
-    val qRows = queries.where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    // (null-vector/bad-id queries dropped — no meaningful neighbors)
+    val qRows = queries.where(col(vecCol).isNotNull)
+      .select(expr(s"try_cast(`$idCol` AS LONG)").as("id"), col(vecCol))
+      .where(col("id").isNotNull).collect()
     val luts: Array[(Long, Array[Double])] = qRows.map { r =>
       val qv = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
       r.getLong(0) -> adcLut(qv, cb, m, dsub)
@@ -696,25 +742,37 @@ object Similarity {
                 assignProbes: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // nprobe/refine/assignProbes < 1 would all complete "successfully"
+    // with zero rows — the silent-empty failure mode this file rejects
+    // loudly everywhere else
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(assignProbes >= 1, s"assignProbes must be >= 1, got $assignProbes")
+    require(k >= 1, s"k must be >= 1, got $k")
     val dsub = dim / m
     // default models: ONE bounded sample collect feeds BOTH trainers —
     // the codebook trainer uses a deterministic prefix of the same
-    // hash-ordered sample, so no second corpus scan is paid
+    // hash-ordered sample, so no second corpus scan is paid. Sample
+    // sizes are the NAMED defaults (DefaultMaxTrainRows /
+    // DefaultPqTrainRows) so retuning them retunes this path too.
     val (cents, cb) = (centroids, codebooks) match {
       case (Some(ce), Some(code)) => (ce, code)
       case _ =>
         // size the one sample collect to its consumers: the codebook
-        // trainer only reads a 16384-row prefix, so when centroids are
-        // supplied a 65536-row collect would be 4× wasted driver memory
+        // trainer only reads a DefaultPqTrainRows prefix, so when
+        // centroids are supplied a DefaultMaxTrainRows collect would be
+        // wasted driver memory
         val sample = {
-          val rows = if (centroids.isEmpty) 65536 else 16384
+          val rows = if (centroids.isEmpty) DefaultMaxTrainRows else DefaultPqTrainRows
           val s = collectTrainSample(corpus, idCol, vecCol, dim, rows)
           require(s.nonEmpty, "cannot train a quantizer on an empty corpus")
           s
         }
-        val ce = centroids.getOrElse(lloyd(sample, nCentroids, dim, 10))
+        // spherical: the sample normalizes for BOTH trainers (cells are
+        // assigned by cosine; PQ distances assume unit vectors)
+        val ce = centroids.getOrElse(lloyd(sample.map(normalized), nCentroids, dim, 10))
         val code = codebooks.getOrElse(
-          pqCodebooksFromSample(sample.take(16384).map(normalized), dim, m, 10))
+          pqCodebooksFromSample(sample.take(DefaultPqTrainRows).map(normalized), dim, m, 10))
         (ce, code)
     }
     val nC = cents.length / dim
@@ -727,13 +785,15 @@ object Similarity {
       StructField("cell", IntegerType, nullable = false),
       StructField("code", BinaryType, nullable = false)))
     val idxEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(idxSchema)
-    val nAssign = math.min(math.max(assignProbes, 1), nC)
-    val index = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val nAssign = math.min(assignProbes, nC)
+    val index = corpus.where(col(vecCol).isNotNull)
+      .select(expr(s"try_cast(`$idCol` AS LONG)").as("id"), col(vecCol).as("v"))
+      .where(col("id").isNotNull)
       .mapPartitions { rows =>
         val (ce, code) = bcModel.value
         rows.flatMap { r =>
           val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
+          if (!allFinite(raw)) Iterator.empty else {
           val v = normalized(raw)
           // nearest coarse cells by COSINE — genuinely the same metric
           // (and tie order: descending score, ties to the lowest index)
@@ -760,11 +820,13 @@ object Similarity {
           }
           taken.iterator.take(nAssign).map(cell =>
             org.apache.spark.sql.Row(id, cell, enc))
+          }
         }
       }(idxEnc)
     // queries: probe cells + ADC table, grouped by cell for the scan
-    val qRows = queries.where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    val qRows = queries.where(col(vecCol).isNotNull)
+      .select(expr(s"try_cast(`$idCol` AS LONG)").as("id"), col(vecCol))
+      .where(col("id").isNotNull).collect()
     val probing: Map[Int, Array[(Long, Array[Double])]] = qRows.flatMap { r =>
       val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
       val lut = adcLut(normalized(raw), cb, m, dsub)
@@ -778,7 +840,15 @@ object Similarity {
     val keep = refine * k
     val cand = index.as[(Long, Int, Array[Byte])].mapPartitions { it =>
       val probe = bcProbe.value
-      val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      // heap + CURRENT-MEMBER set per query: with soft assignment the
+      // same (query, neighbor) arrives once per probed replica cell
+      // (identical score — identical code), and letting the duplicate
+      // ENTER the bounded heap evicts a genuine candidate the
+      // downstream dropDuplicates cannot restore — halving effective
+      // refine depth exactly for the border vectors soft assignment
+      // exists to keep. The set is capped at the heap size.
+      val heaps = scala.collection.mutable.Map[Long,
+        (scala.collection.mutable.PriorityQueue[(Double, Long)], scala.collection.mutable.HashSet[Long])]()
       it.foreach { case (nid, cell, code) =>
         probe.get(cell) match {
           case Some(qs) =>
@@ -788,21 +858,24 @@ object Similarity {
               if (qid != nid) {
                 var s = 0.0; var sub = 0
                 while (sub < code.length) { s += lut(sub * 256 + (code(sub) & 0xFF)); sub += 1 }
-                val h = heaps.getOrElseUpdate(qid,
-                  new scala.collection.mutable.PriorityQueue[(Double, Long)]()(adcWorstFirst))
-                h.enqueue((s, nid))
-                if (h.size > keep) h.dequeue()
+                val (h, members) = heaps.getOrElseUpdate(qid,
+                  (new scala.collection.mutable.PriorityQueue[(Double, Long)]()(adcWorstFirst),
+                    scala.collection.mutable.HashSet[Long]()))
+                if (!members.contains(nid)) {
+                  h.enqueue((s, nid)); members += nid
+                  if (h.size > keep) { val (_, evicted) = h.dequeue(); members -= evicted }
+                }
               }
               qi += 1
             }
           case None => () // no query probes this cell: the row costs one map lookup
         }
       }
-      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
+      heaps.iterator.flatMap { case (qid, (h, _)) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
     }.toDF("query_id", "neighbor_id", "cos")
-    // soft assignment can ADC-score the same (query, neighbor) in two
-    // probed cells (identical score — the code is identical); dedup the
-    // slim candidate rows so duplicates don't occupy shortlist slots
+    // cross-PARTITION duplicates remain possible (a vector's replica
+    // cells can land in different partitions): dedup the slim candidate
+    // rows before the global shortlist
     val candUnique = if (nAssign > 1) cand.dropDuplicates("query_id", "neighbor_id") else cand
     val shortlist = topKPerQuery(candUnique, keep).select("query_id", "neighbor_id")
     rerankExact(corpus, queries, idCol, vecCol, shortlist, k)
