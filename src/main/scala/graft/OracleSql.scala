@@ -77,7 +77,7 @@ object OracleSql {
   private val contentKey =
     s"""CASE WHEN text IS NULL
           THEN md5('graft' || chr(0) || 'null' || chr(0) || CAST(doc_id AS VARCHAR))
-          ELSE md5($normText) END"""
+          ELSE md5('graft' || chr(0) || 'text' || chr(0) || $normText) END"""
 
   /** Language-detection CASE over the four `s_xx` scores — mirrors
     * TextAnalysis.langId's tie-break order AND its null/empty rule

@@ -36,11 +36,17 @@ object Dedup {
     * doc gets its own id-derived group instead, matching the family
     * invariant the near-dup operators enforce by filtering
     * (null-text docs never pair). */
+  /** Domain separation: the non-null branch carries its own prefix so
+    * a document whose literal text equals a null sentinel string
+    * cannot collide with a null-text doc's group. A row with BOTH text
+    * and id null hashes NULL and all such rows group together — by
+    * design: two (null, null) records are indistinguishable tuples,
+    * and the DuckDB oracle groups them identically. */
   private def contentHash(textCol: String, idCol: String): Column = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     when(col(textCol).isNull,
       unhex(md5(concat(lit("graft\u0000null\u0000"), col(idCol).cast("string")))))
-      .otherwise(unhex(md5(norm)))
+      .otherwise(unhex(md5(concat(lit("graft\u0000text\u0000"), norm))))
   }
 
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -59,9 +65,14 @@ object Dedup {
     docs
       .withColumn("content_hash", contentHash(textCol, idCol))
       .groupBy(col("content_hash"))
-      // structs compare lexicographically: max score first, then max(-id)
-      // = min id — exact for any id magnitude / fractional score
-      .agg(max_by(col(idCol), struct(score, -col(idCol))).as("keep_id"),
+      // structs compare lexicographically: max score first, then max of
+      // the NEGATED id = min id. The negation runs in DECIMAL(38,0):
+      // -Long.MinValue overflows a bigint (wraps in legacy mode,
+      // ARITHMETIC_OVERFLOW under ANSI), flipping the documented
+      // lowest-id tie-break exactly at the extreme the comment promises
+      // to handle
+      .agg(max_by(col(idCol), struct(score,
+          -col(idCol).cast("decimal(38,0)"))).as("keep_id"),
         count(lit(1)).as("dup_count"))
   }
 
@@ -172,7 +183,12 @@ object Dedup {
     * distance with complete recall. Larger values are accepted but
     * BEST-EFFORT: a pair at hamming 4+ surfaces only when its flips
     * happen to cluster into ≤ 3 chunks, so the pair set is incomplete
-    * and unevenly so.
+    * and unevenly so. The guarantee is CONDITIONAL on the bucket cap:
+    * a chunk shared by more than `maxBucket` docs is dropped as
+    * boilerplate noise, and pairs whose every shared chunk is hot —
+    * including hamming-0 twins inside a 300-doc template cluster — are
+    * not emitted. Raise maxBucket (or pre-collapse exact duplicates)
+    * when template clusters must pair exhaustively.
     *
     * Pair generation is a capped band-bucket SELF-JOIN (hot buckets >
     * maxBucket dropped — boilerplate clusters): every stage is a
@@ -239,7 +255,14 @@ object Dedup {
     // the pointer-doubling loop below runs fully distributed; callers
     // probing the distributed path pass localThreshold = 0.
     val nEdges = edges.count()
-    if (nEdges > 0 && nEdges <= localThreshold) {
+    // the driver-local finish hard-codes LONG ids (getLong + the
+    // (Long, Long) toDF): non-bigint id columns must take the
+    // type-generic distributed path, or behavior (and output schema)
+    // would diverge purely on input SIZE — small corpora crashing with
+    // ClassCastException where production-scale runs work
+    val idsAreLong = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges > 0 && nEdges <= localThreshold && idsAreLong) {
       val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -291,6 +314,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // exhausting maxIterations without convergence means the labels are
+    // WRONG (a component split across cluster_ids) — and a downstream
+    // leakageFreeSplit would then put near-dup twins in train AND test,
+    // the exact leak clustering exists to prevent. The require() above
+    // rejects maxIterations <= 0 for "silently returning unconverged
+    // labels"; silently returning them after N rounds is the same bug.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge within $maxIterations pointer-doubling rounds " +
+          "— raise maxIterations (rounds needed grow ~log2 of the longest chain)")
     // Hand back a SELF-RECLAIMING result: materialize the (small) label
     // table into localCheckpoint blocks — freed by the ContextCleaner
     // once the caller drops the DataFrame — and release the loop's
@@ -341,9 +374,17 @@ object Dedup {
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
     // a null-text doc has no shingles to verify against: its pairs drop
     // from the (inner) join rather than computing a null jaccard (ANSI)
-    // or a -1/-1 = 1.0 false-positive perfect match (legacy sizeOfNull)
+    // or a -1/-1 = 1.0 false-positive perfect match (legacy sizeOfNull).
+    // Shingle ONLY candidate docs (semi-join on the pair ids, typically
+    // a broadcast filter): the old shape ran the shingle kernel — the
+    // file's documented dominant cost — over the FULL corpus once per
+    // join side; the verify stage only ever needs the candidates.
+    val candIds = pairs.select(col("id_a").as("_jid"))
+      .union(pairs.select(col("id_b").as("_jid"))).distinct()
     val sh = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("_jid"), shingles(col(textCol), k).as("_jsh"))
+      .select(col(idCol).as("_jid"), col(textCol).as("_jtxt"))
+      .join(candIds, Seq("_jid"), "left_semi")
+      .select(col("_jid"), shingles(col("_jtxt"), k).as("_jsh"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), "id_b")
