@@ -28,6 +28,8 @@ object Dedup {
   // one last-call persist slot per LSH-family operator (see LastCallCache)
   private val minhashSigCache = new LastCallCache
   private val simhashSigCache = new LastCallCache
+  private val jaccardPairsCache = new LastCallCache
+  private val jaccardShCache = new LastCallCache
 
   /** 128-bit content hash for the exact-dedup family. A NULL text is
     * the ABSENCE of content, not content: md5(NULL)=NULL would collapse
@@ -379,12 +381,25 @@ object Dedup {
     // a broadcast filter): the old shape ran the shingle kernel — the
     // file's documented dominant cost — over the FULL corpus once per
     // join side; the verify stage only ever needs the candidates.
-    val candIds = pairs.select(col("id_a").as("_jid"))
-      .union(pairs.select(col("id_b").as("_jid"))).distinct()
-    val sh = docs.where(col(textCol).isNotNull)
+    // The pairs frame is PERSISTED AND MATERIALIZED first: it is
+    // usually the LSH candidate pipeline's output, and its three
+    // consumers here (two candIds union arms + the verify join) would
+    // otherwise race to compute the uncached partitions inside one job
+    // — re-executing the whole candidate pipeline up to 3× (measured as
+    // a 2-3× q60 regression). Slim (id, id[, est]) rows — the count is
+    // one cheap action that pins the cache before any consumer reads.
+    val p = jaccardPairsCache(pairs)
+    p.count()
+    val candIds = p.select(col("id_a").as("_jid"))
+      .union(p.select(col("id_b").as("_jid"))).distinct()
+    // the shingled-candidates frame feeds BOTH pair-join sides (and
+    // often a downstream closure that re-reads the verify output) —
+    // cached+pinned like p, it is candidates-only and tiny
+    val sh = jaccardShCache(docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("_jid"), col(textCol).as("_jtxt"))
       .join(candIds, Seq("_jid"), "left_semi")
-      .select(col("_jid"), shingles(col("_jtxt"), k).as("_jsh"))
+      .select(col("_jid"), shingles(col("_jtxt"), k).as("_jsh")))
+    sh.count()
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), "id_b")
