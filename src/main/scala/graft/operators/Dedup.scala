@@ -244,8 +244,13 @@ object Dedup {
     // <= 0 would silently return unconverged initial labels
     require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
     require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // symmetric edge set in ONE scan of `pairs` (explode, not a union
+    // of two scans): pairs is usually an UNCACHED verify-join output,
+    // and a second scan re-executes that join end-to-end
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .distinct()
       .cache()
     // Adaptive finish: the edge set is the OUTPUT of LSH + verify —
@@ -381,26 +386,33 @@ object Dedup {
     // a broadcast filter): the old shape ran the shingle kernel — the
     // file's documented dominant cost — over the FULL corpus once per
     // join side; the verify stage only ever needs the candidates.
-    // The pairs frame is PERSISTED AND MATERIALIZED first: it is
-    // usually the LSH candidate pipeline's output, and its three
-    // consumers here (two candIds union arms + the verify join) would
-    // otherwise race to compute the uncached partitions inside one job
-    // — re-executing the whole candidate pipeline up to 3× (measured as
-    // a 2-3× q60 regression). Slim (id, id[, est]) rows — the count is
-    // one cheap action that pins the cache before any consumer reads.
-    val p = jaccardPairsCache(pairs)
-    p.count()
-    val candIds = p.select(col("id_a").as("_jid"))
-      .union(p.select(col("id_b").as("_jid"))).distinct()
+    // The pairs frame is usually the LSH candidate pipeline's output
+    // and is consumed here by candIds AND the verify join — persisted
+    // so the candidate pipeline runs once, not once per consumer
+    // (measured as a 2-3× q60 regression when unpinned). A frame the
+    // CALLER already persisted is left under the caller's management —
+    // rotating it into the shared slot would let the NEXT call evict a
+    // cache the caller still holds.
+    val p = if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      pairs else jaccardPairsCache(pairs)
+    // single pass over p (explode, not a union of two scans): a second
+    // scan of the still-uncached p inside the same job would race the
+    // first into recomputing the candidate pipeline. No distinct — the
+    // left-semi probe below dedups build keys in its hash table anyway,
+    // and the distinct was a whole extra exchange.
+    val candIds = p.select(explode(array(col("id_a"), col("id_b"))).as("_jid"))
     // the shingled-candidates frame feeds BOTH pair-join sides (and
     // often a downstream closure that re-reads the verify output) —
-    // cached+pinned like p, it is candidates-only and tiny
+    // cached, candidates-only, tiny. ONE eager action pins the whole
+    // chain: materializing sh computes p's partitions exactly once
+    // (candIds is its only consumer in this job) and caches both, so
+    // the verify join below reads only caches.
     val sh = jaccardShCache(docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("_jid"), col(textCol).as("_jtxt"))
       .join(candIds, Seq("_jid"), "left_semi")
       .select(col("_jid"), shingles(col("_jtxt"), k).as("_jsh")))
     sh.count()
-    pairs
+    p
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
