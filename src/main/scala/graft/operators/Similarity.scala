@@ -30,6 +30,27 @@ object Similarity {
   private val embedSkCache = new LastCallCache
   private val lshCorpusSkCache = new LastCallCache
 
+  /** Hard ceiling for the EXPLICIT query-side broadcast hints below —
+    * well past the auto-broadcast threshold (the hint exists precisely
+    * because a 100 MB query batch is still worth broadcasting when the
+    * alternative caps corpus parallelism at the join-key count) but
+    * safely under Spark's 8 GB broadcast hard limit / driver heap. */
+  private val MaxQueryBroadcastBytes = BigInt(1L << 30)
+
+  /** Broadcast hint gated on the planner's size estimate: the ANN query
+    * side is arbitrary caller input (corpus-as-queries all-pairs use is
+    * legitimate), and an unconditional hint on a multi-GB frame fails
+    * at the broadcast hard limit where the planner-chosen join would
+    * complete. Estimation is driver-side plan stats — no job runs. An
+    * unknown/huge estimate falls back to the unhinted join: the
+    * low-cardinality-key parallelism cap is a slowdown, the 8 GB
+    * broadcast limit is an abort. */
+  private[graft] def broadcastIfBounded(df: DataFrame): DataFrame = {
+    val est = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+              catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+    if (est >= 0 && est <= MaxQueryBroadcastBytes) broadcast(df) else df
+  }
+
   /** cosine(a, b); arrays are array<float> (`floatElems=false` for
     * array<double>). Native kernel — single fused loop per pair. */
   def cosine(a: Column, b: Column, floatElems: Boolean = true): Column =
@@ -175,7 +196,7 @@ object Similarity {
     // broadcast the query side (same rationale as ivfTopK): the
     // (band, chunk) key space is a few hundred values, so a sort-merge
     // fallback would cap the corpus shuffle's parallelism at key count
-    val cand = cbCapped.join(broadcast(qb), Seq("band", "chunk"))
+    val cand = cbCapped.join(broadcastIfBounded(qb), Seq("band", "chunk"))
       .where(col("neighbor_id") =!= col("query_id"))
       // score IN the join row, BEFORE the pair-dedup exchange: duplicate
       // multi-band candidates carry identical vectors, so cos is the
@@ -387,7 +408,7 @@ object Similarity {
     // sort-merge join that shuffles the full vector-carrying corpus
     // into at most nC non-empty partitions — parallelism capped at 64
     // and ~corpus/64 bytes per task at the 100 TB target
-    val cand = cb.join(broadcast(qb), Seq("cell"))
+    val cand = cb.join(broadcastIfBounded(qb), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "cos")
@@ -560,8 +581,8 @@ object Similarity {
                           vecCol: String, shortlist: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
-    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
+    val exact = c.join(broadcastIfBounded(shortlist), Seq("neighbor_id"))
+      .join(broadcastIfBounded(q), Seq("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
   }

@@ -63,6 +63,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // holds at most one cached frame per job
     var batchCache: Option[DataFrame] = None
     var lastError: Option[String] = None
+    // true iff the job is FAILED because a LAUNCH of a body OTHER than
+    // `current` threw (failed deploy/rollback-to-older) — the one case
+    // where `current` is still the last-good version and a bare
+    // ROLLBACK should relaunch it. Runtime deaths (supervision,
+    // resource trips, halt-discovered errors) leave this false:
+    // there `current` IS the version that just died, and relaunching
+    // it would reverse the rollback's whole purpose.
+    var launchFailed: Boolean = false
     val breaker = new CircuitBreaker(breakerConfig, breakerClock)
     var limits: Resources.Limits = defaultLimits
     val root: String = Files.createTempDirectory(s"graft_job_$name").toString
@@ -567,6 +575,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private def guardedLaunch(j: Job, v: Version, newRecord: Boolean = false): Unit =
     try {
       launch(j, v)
+      j.launchFailed = false
       // redeploying an existing version string REPLACES it in history —
       // but only NOW, after the launch succeeded. Compacting at record
       // time let a failed redeploy replace the last-good body with the
@@ -580,6 +589,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         // history, so rollback targets only versions that actually ran;
         // a RELAUNCHED historical entry stays (it ran successfully once)
         if (newRecord) j.versions = j.versions.filterNot(_.seq == v.seq)
+        // only a failure launching some OTHER body leaves `current`
+        // last-good (launch assigns current as its final step) — a
+        // failed relaunch OF current means current itself is doomed
+        j.launchFailed = !j.current.exists(_.seq == v.seq)
         j.breaker.recordFailure()
         j.status = "FAILED"
         j.lastError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -786,8 +799,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // doomed version never enters history — guardedLaunch drops it):
       // rollback must relaunch that last-good current FIRST — falling
       // through to an earlier version would silently skip it and land
-      // the job two versions back
-      case None => (if (j.status == "FAILED") Some(cur) else None)
+      // the job two versions back. Keyed on launchFailed, NOT on
+      // status == "FAILED": runtime deaths (supervision, resource
+      // trips) also set FAILED, but there `current` IS the version
+      // that just died — relaunching it would redeploy the failure.
+      case None => (if (j.launchFailed) Some(cur) else None)
         .orElse(j.versions.filter(_.seq < cur.seq).lastOption)
         // stopped job, no earlier version: relaunching the current is
         // still better than dead-ending on 'no previous version'

@@ -2,7 +2,7 @@ package graft.sql
 
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 
 import VeloSqlParser._
 
@@ -42,8 +42,10 @@ object SqlValidator {
     * file (validation must not mutate ctx.declaredSources, so
     * validateContent threads them through instead). */
   def validateStatement(ctx: VeloContext, sqlText: String, index: Int = 0,
-                        localSinkDecls: Set[String] = Set.empty): QueryValidation =
-    try validateParsed(ctx, ctx.parseStatement(sqlText), sqlText, index, localSinkDecls)
+                        localSinkDecls: Set[String] = Set.empty,
+                        analysisSession: SparkSession = null): QueryValidation =
+    try validateParsed(ctx, ctx.parseStatement(sqlText), sqlText, index, localSinkDecls,
+      analysisSession)
     catch {
       // NonFatal, not just ParseException: malformed numerics and empty
       // arg lists surface as NumberFormat/IllegalArgument/NoSuchElement
@@ -56,18 +58,24 @@ object SqlValidator {
 
   /** Validate an already-parsed statement (the hook JobManager uses to
     * reject a deployment before launching it). */
+  /** `analysisSession`: the session relations resolve against —
+    * validateContent passes a CLONE carrying its placeholder views so
+    * the shared session's catalog is never touched mid-validation;
+    * default is the context's own session. */
   def validateParsed(ctx: VeloContext, parsed: VeloStatement,
                      sqlText: String = "", index: Int = 0,
-                     localSinkDecls: Set[String] = Set.empty): QueryValidation = {
+                     localSinkDecls: Set[String] = Set.empty,
+                     analysisSession: SparkSession = null): QueryValidation = {
+    val sess = Option(analysisSession).getOrElse(ctx.spark)
     var errors = Vector.empty[String]
     var warnings = Vector.empty[String]
 
     def analyze(text: String): Seq[String] =
       // building the DataFrame runs parser+analyzer eagerly; no action
-      ctx.spark.sql(text).queryExecution.analyzed.output.map(_.name)
+      sess.sql(text).queryExecution.analyzed.output.map(_.name)
 
     def checkTable(name: String): Boolean =
-      if (ctx.spark.catalog.tableExists(name)) true
+      if (sess.catalog.tableExists(name)) true
       else { errors :+= s"unknown table or stream: $name"; false }
 
     def checkInto(s: SelectStmt): Unit =
@@ -92,7 +100,7 @@ object SqlValidator {
       * types, and illegal casts all surface at analysis, pre-deploy,
       * without re-running the analyzer on the same query text. */
     def analyzeWithDeclared(s: SelectStmt, cols: Vector[(String, String)]): Unit = {
-      val df = ctx.spark.sql(toSparkSql(s, ctx.defaultTimeCol))
+      val df = sess.sql(toSparkSql(s, ctx.defaultTimeCol))
       df.queryExecution.analyzed
       if (cols.nonEmpty) VeloContext.applyDeclaredColumns(df, cols)
       checkInto(s)
@@ -140,7 +148,7 @@ object SqlValidator {
             if (cols.length != inCols.length)
               errors :+= s"INSERT column list has ${cols.length} names but the source produces ${inCols.length}"
             if (tableOk) {
-              val byLower = ctx.spark.table(table).schema.fieldNames
+              val byLower = sess.table(table).schema.fieldNames
                 .map(f => f.toLowerCase -> f).toMap
               val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
               if (unknown.nonEmpty)
@@ -154,7 +162,7 @@ object SqlValidator {
           } else if (tableOk) {
             // no column list → executor binds positionally via toDF,
             // which requires exact width
-            val width = ctx.spark.table(table).schema.length
+            val width = sess.table(table).schema.length
             if (inCols.length != width)
               errors :+= s"INSERT source produces ${inCols.length} columns but $table has $width"
           }
@@ -209,7 +217,16 @@ object SqlValidator {
   def validateContent(ctx: VeloContext, content: String): AppValidation = {
     val appName = Option(SqlApp.parseMetadata(content).name).filter(_.nonEmpty)
     val statements = VeloContext.splitStatements(content)
-    val spark = ctx.spark
+    // placeholders register in a CLONED session (copied temp-view
+    // catalog, same SharedState): a same-name placeholder on the shared
+    // session would hand zero-row frames to any statement executing
+    // concurrently on the context (a metrics scrape, another thread's
+    // query) for the duration of the validation pass. Fallback to the
+    // shared session (with the restore bookkeeping below) only if the
+    // clone itself fails.
+    val (spark, cloned) =
+      try (GraftBridge.cloneSession(ctx.spark), true)
+      catch { case NonFatal(_) => (ctx.spark, false) }
     var localDecls = Set.empty[String]
     // newest-first: restores replay in reverse, so the OLDEST shadowed
     // relation (the pre-validation state) is what finally sticks
@@ -224,7 +241,7 @@ object SqlValidator {
       } catch { case NonFatal(_) => () }
     try {
       val results = statements.zipWithIndex.map { case (stmtText, i) =>
-        val r = validateStatement(ctx, stmtText, i, localDecls)
+        val r = validateStatement(ctx, stmtText, i, localDecls, analysisSession = spark)
         if (r.isValid)
           try ctx.parseStatement(stmtText) match {
             case CreateTableAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
@@ -238,7 +255,9 @@ object SqlValidator {
       AppValidation(appName, statements.length, results.count(_.isValid),
         results.toVector, missing, results.forall(_.isValid))
     } finally {
-      placeholders.foreach { case (name, prior) =>
+      // in a cloned session the placeholder views die with the clone —
+      // the restore replay exists only for the shared-session fallback
+      if (!cloned) placeholders.foreach { case (name, prior) =>
         spark.catalog.dropTempView(name)
         prior.foreach { df =>
           // a temp-view prior was REPLACED by the placeholder, so

@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `SparkSession.cloneSession()` (private[sql]): a session with a
+    * COPIED temp-view catalog over the same SparkContext/SharedState.
+    * Used by SqlValidator so placeholder views registered during app
+    * validation are invisible to concurrent queries on the original
+    * session — `newSession()` would not do (it starts with an EMPTY
+    * temp-view catalog, so statements reading live temp views would
+    * spuriously fail validation). */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
 }

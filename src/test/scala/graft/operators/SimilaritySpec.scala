@@ -354,4 +354,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-12))
     }
   }
+
+  test("query-side broadcast hint is gated on estimated size (8 GB hard-limit guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      // analyzed, not optimized: a hint not yet attached to a join is
+      // ELIDED by the optimizer, which would make both cases look bare
+      Similarity.broadcastIfBounded(df).queryExecution.analyzed
+        .collectFirst { case h: ResolvedHint if h.hints.strategy.isDefined => h }.isDefined
+    // a small frame keeps the hint — losing it would re-open the
+    // sort-merge fallback that caps corpus parallelism at key count
+    assert(hinted(spark.range(100).toDF("query_id")))
+    // a frame whose plan stats exceed the ceiling must NOT be hinted:
+    // range stats are exact (8 bytes/row), so 2^28 rows ≈ 2 GiB > 1 GiB
+    assert(!hinted(spark.range(1L << 28).toDF("query_id")))
+  }
 }

@@ -142,6 +142,34 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB skiptest")
   }
 
+  test("ROLLBACK after a RUNTIME death targets the previous version, not the one that died") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("DEPLOY JOB rundeath VERSION '1.0.0' AS SELECT id, v FROM live_events")
+    ctx.jobManager.awaitIdle("rundeath")
+    // v2 LAUNCHES fine (the poison row arrives later), then dies at
+    // runtime — the opposite failure mode of the failed-deploy tests
+    // above: here `current` IS the doomed version
+    ctx.sql(
+      "DEPLOY JOB rundeath VERSION '2.0.0' AS SELECT id, assert_true(v < 5.0) AS chk FROM live_events")
+    ctx.jobManager.awaitIdle("rundeath")
+    in.addData(Seq((2L, 99.0)))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.name == "graft-job-rundeath")
+      && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!spark.streams.active.exists(_.name == "graft-job-rundeath"),
+      "v2 should have died on the poison row")
+    ctx.jobManager.superviseOnce(autoRestart = false) // records the death: FAILED
+    // keying the bare-ROLLBACK fast-path on status == "FAILED" would
+    // relaunch the just-died v2; the launchFailed flag distinguishes
+    // launch failures (current = last-good) from runtime deaths
+    ctx.sql("ROLLBACK JOB rundeath")
+    val st = ctx.sql("SHOW STATUS rundeath").collect().head
+    assert(st.getAs[String]("version") == "1.0.0", st.toString)
+    assert(st.getAs[String]("status") == "RUNNING")
+    ctx.sql("STOP JOB rundeath")
+  }
+
   test("a failed REDEPLOY of an existing version does not shadow the last-good body") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))

@@ -114,6 +114,46 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     Seq("base_v", "mid_v", "base_w").foreach(t => assert(!spark.catalog.tableExists(t), t))
   }
 
+  test("validation placeholders are invisible to the shared session (cloned catalog)") {
+    import spark.implicits._
+    // mechanism: a view registered in the clone must not resolve in the
+    // original, and replacing a same-name view in the clone must leave
+    // the original relation untouched
+    val clone = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    ctx.register("iso_v", Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    clone.emptyDataFrame.createOrReplaceTempView("clone_only_v")
+    assert(!spark.catalog.tableExists("clone_only_v"))
+    clone.table("iso_v").limit(0).createOrReplaceTempView("iso_v")
+    assert(spark.table("iso_v").count() == 2, "original session saw the clone's placeholder")
+
+    // end-to-end: while validateContent replaces live_probe with a
+    // zero-row placeholder (in its clone), a concurrent reader on the
+    // SHARED session must keep seeing the real rows at every poll
+    ctx.register("live_probe", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("order_id", "v"))
+    @volatile var running = true
+    @volatile var badObservation: Option[Long] = None
+    val reader = new Thread(() => {
+      while (running && badObservation.isEmpty) {
+        val n = spark.table("live_probe").count()
+        if (n != 3) badObservation = Some(n)
+      }
+    })
+    reader.start()
+    try {
+      val res = SqlValidator.validateContent(ctx,
+        """-- SQL Application: Concurrent
+          |CREATE TABLE live_probe AS SELECT order_id FROM v_orders;
+          |SELECT order_id FROM live_probe;
+          |CREATE TABLE live_probe AS SELECT order_id, order_id + 1 AS nxt FROM v_orders;
+          |SELECT nxt FROM live_probe
+          |""".stripMargin)
+      assert(res.isValid, res.queries.flatMap(_.errors).mkString("; "))
+    } finally { running = false; reader.join(10000) }
+    assert(badObservation.isEmpty,
+      s"concurrent reader saw placeholder data: $badObservation rows")
+    assert(spark.table("live_probe").count() == 3)
+  }
+
   test("a placeholder shadowing an existing view is restored after validation") {
     import spark.implicits._
     ctx.register("keep_me", Seq((1L, "x")).toDF("id", "tag"))
