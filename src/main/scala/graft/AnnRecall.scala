@@ -122,14 +122,16 @@ object AnnRecall {
       val nPlanted = plantedTier.count()
       val hitPlanted = approxPlanted.join(plantedTier, Seq("pa", "pb")).count()
       // floors sit ~0.1 under the minimum measured across sf0.001/0.01/
-      // 0.1 at the current parameters (q28 0.82-0.86 with multi-probe,
-      // q52 0.94-0.98 and q75 0.92-0.94 at r7's nprobe=24 + 2-cell soft
-      // assignment, q74 0.86-1.0 at refine=8, q58 planted tier measured
-      // per-SF before calibration), so a param drift that meaningfully
-      // degrades recall trips them while corpus-to-corpus variance does
-      // not
+      // 0.1 at the current parameters (q28 1.0 at every SF with r8's
+      // Hamming-2 multi-probe — floor 0.85 sits ABOVE the 0.84 the old
+      // Hamming-1 probing measured, so losing the second probe ring
+      // trips it; q52 0.94-0.98 and q75 0.92-0.94 at r7's nprobe=24 +
+      // 2-cell soft assignment, q74 0.86-1.0 at refine=8, q58 planted
+      // tier measured per-SF before calibration), so a param drift that
+      // meaningfully degrades recall trips them while corpus-to-corpus
+      // variance does not
       Seq(
-        topk("q28_ann_lsh", floor = 0.7),
+        topk("q28_ann_lsh", floor = 0.85),
         topk("q52_ann_ivf", floor = 0.8),
         topk("q74_ann_pq", floor = 0.8),
         topk("q75_ann_ivfpq", floor = 0.8),

@@ -146,22 +146,24 @@ object Similarity {
     * Recall < 1 by construction; numBands × bandBits trades recall vs
     * candidate count.
     *
-    * `multiProbe` (default on) additionally probes, PER QUERY band, the
-    * buckets at Hamming distance 1 from the query's chunk (flip each of
-    * the band's bits) — the standard multi-probe LSH move: mid-cosine
-    * neighbors that land one bit off still surface, lifting measured
-    * top-k recall on near-uniform corpora from ~0.1 to ~0.9 at these
-    * defaults (AnnRecall probe, sf0.1) for a (1+bandBits)× candidate
-    * multiplier on the QUERY side only — the corpus index is untouched,
-    * so the cost scales with the query batch, not the corpus. For huge
-    * query sets, dial `multiProbe` off or shrink bands. */
+    * `probeHamming` (default 2) additionally probes, PER QUERY band,
+    * every bucket within that Hamming distance of the query's chunk —
+    * the standard multi-probe LSH move: mid-cosine neighbors that land
+    * a bit or two off still surface. Measured on the AnnRecall probe
+    * (sf0.1, these defaults): no probing ~0.1, Hamming-1 0.84,
+    * Hamming-2 ≥0.9 top-k recall. The Σ C(bandBits, i) candidate
+    * multiplier applies to the QUERY side only — the corpus index is
+    * untouched, so cost scales with the query batch, not the corpus.
+    * For huge query sets, drop to 1 or 0. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, numBands: Int = 8, bandBits: Int = 6,
-              maxBucket: Int = 4096, multiProbe: Boolean = true): DataFrame = {
+              maxBucket: Int = 4096, probeHamming: Int = 2): DataFrame = {
     // bandBits = 64 passes the sketch's own [1,64] gate but (1L << 64)
     // wraps to 1 in Java, making mask = 0 — every chunk becomes bucket 0
     // and the hot-bucket cap silently drops the whole corpus
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
+    require(probeHamming >= 0 && probeHamming <= bandBits,
+      s"probeHamming must be in [0, bandBits=$bandBits], got $probeHamming")
     val numBits = numBands * bandBits
     // fail HERE with the caller's own parameters — numBits > 64 would
     // otherwise surface as signSketch's internal [1, 64] gate, naming an
@@ -176,10 +178,14 @@ object Similarity {
       // (query side has a single consumer; leave it lazy)
       val sk = if (probe) sk0 else lshCorpusSkCache(sk0)
       val mask = (1L << bandBits) - 1
-      // probe offsets: the bucket itself, plus (query side only, when
-      // multi-probing) every single-bit flip of the band's chunk
+      // probe offsets: the bucket itself, plus (query side only) every
+      // XOR mask of popcount ≤ probeHamming — built from bit-position
+      // combinations, not a 2^bandBits enumeration, so wide bands stay
+      // cheap to set up
       val flips: Seq[Long] =
-        if (probe && multiProbe) 0L +: (0 until bandBits).map(1L << _).map(_.toLong)
+        if (probe && probeHamming > 0)
+          0L +: (1 to probeHamming).flatMap(h =>
+            (0 until bandBits).combinations(h).map(_.map(1L << _).reduce(_ | _)).toSeq)
         else Seq(0L)
       sk.select(col(id), col(v),
         explode(array((for { b <- 0 until numBands; f <- flips } yield
