@@ -52,6 +52,26 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                              strategy: String, props: Map[String, String],
                              seq: Int)
 
+  /** Durable job-state root (the reference server's restart story):
+    * when `graft.jobs.stateRoot` is set on the session, each job's
+    * checkpoint/sink tree lives at `<stateRoot>/<name>` instead of a
+    * process-private temp dir, so a NEW JobManager (new driver, new
+    * session) that STARTs the same job name resumes the highest
+    * existing checkpoint epoch offset-exact — Spark's checkpoint holds
+    * the source offsets and state-store snapshots; the registry
+    * (versions, status) is rebuilt by redeploying the app's SQL, which
+    * is the reference model (server restart replays the app file).
+    * Unset → temp dirs, exactly the old per-process behavior. */
+  private def stateRoot: Option[String] =
+    spark.conf.getOption("graft.jobs.stateRoot").filter(_.nonEmpty)
+
+  /** Stable digest of a job body, stamped next to each epoch's
+    * checkpoint under a durable root (case-class toString is
+    * deterministic for the parser's ASTs). */
+  private def bodyFingerprint(body: VeloStatement): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private final class Job(val name: String) {
     var versions: Vector[Version] = Vector.empty
     var current: Option[Version] = None
@@ -73,8 +93,27 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var launchFailed: Boolean = false
     val breaker = new CircuitBreaker(breakerConfig, breakerClock)
     var limits: Resources.Limits = defaultLimits
-    val root: String = Files.createTempDirectory(s"graft_job_$name").toString
-    var epoch: Int = 0
+    val root: String = stateRoot match {
+      case Some(sr) =>
+        val d = java.nio.file.Paths.get(sr, name)
+        Files.createDirectories(d)
+        d.toString
+      case None => Files.createTempDirectory(s"graft_job_$name").toString
+    }
+    // recover the highest on-disk checkpoint epoch (always 0 for a temp
+    // root): a restarted manager must re-enter the LATEST epoch, not
+    // restart a checkpoint an in-between DEPLOY already superseded
+    var epoch: Int = {
+      val re = "ckpt-(\\d+)".r
+      Option(new java.io.File(root).list()).toSeq.flatten
+        .collect { case re(n) => n.toInt }.foldLeft(0)(math.max)
+    }
+    // true while the current epoch's checkpoint PREDATES this manager
+    // (recovered from a durable root): its declared sink already holds
+    // the epoch's committed batches and must NOT get the blue-green
+    // reset — the resumed checkpoint continues on top of it, exactly
+    // like an in-process RESUME. Cleared on every epoch bump.
+    var recovered: Boolean = new java.io.File(s"$root/ckpt-$epoch").exists()
     def ckptDir: String = s"$root/ckpt-$epoch"
     def sinkDir: String = s"$root/out-$epoch"
     // declared INTO-sink location (re-resolved at every launch); the
@@ -502,7 +541,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // internal out-$epoch dir starting empty. A resume re-enters the
       // SAME epoch: sink + metadata are kept and the same checkpoint
       // continues offset-exact.
-      j.sinkPath.filter(p => !j.sinkStamp.contains((j.epoch, p))).foreach(clearSinkDir)
+      // a RECOVERED epoch (durable root, checkpoint from a previous
+      // manager) skips the reset like a resume does: its sink already
+      // holds this epoch's committed batches and the checkpoint
+      // continues on top of them
+      j.sinkPath.filter(p => !j.recovered && !j.sinkStamp.contains((j.epoch, p)))
+        .foreach(clearSinkDir)
       j.sinkPath.foreach(p => j.sinkStamp = Some((j.epoch, p)))
       val (sinkLoc, sinkFmt, sinkOpts) = j.sinkPath match {
         case Some(p) => val (f, o) = graft.sources.Serde.fileFormat(p); (p, f, o)
@@ -538,6 +582,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             .start()
       }
       j.handle = Some(q)
+      // stamp the epoch with its body fingerprint (durable roots only):
+      // a restarted manager STARTing a DIFFERENT body under this name
+      // must not resume this checkpoint — offsets/state belong to this
+      // query shape (see start()'s recovered-mismatch bump)
+      if (stateRoot.isDefined)
+        try Files.write(java.nio.file.Paths.get(s"${j.root}/body-${j.epoch}.fp"),
+          bodyFingerprint(v.body).getBytes("UTF-8"))
+        catch { case scala.util.control.NonFatal(_) => () }
       // a PREVIOUS batch launch of this job may have left a cached
       // materialization and a <job>_out view: release the cache (the
       // "at most one cached frame per job" contract) and drop the view
@@ -691,7 +743,21 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
     // A fresh epoch gives it clean checkpoint + sink, like deploy().
-    if (j.current.exists(_.body != body)) { j.epoch += 1; j.lastSeenBatch = -1L; resetMetricState(name) }
+    if (j.current.exists(_.body != body)) {
+      j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L; resetMetricState(name)
+    }
+    // same rule across RESTARTS (durable root, no in-process history):
+    // the recovered epoch's fingerprint names the body its checkpoint
+    // belongs to — a different body gets a fresh epoch instead of
+    // resuming foreign offsets/state
+    if (j.current.isEmpty && j.recovered) {
+      val fp = try Some(new String(Files.readAllBytes(
+          java.nio.file.Paths.get(s"${j.root}/body-${j.epoch}.fp")), "UTF-8"))
+        catch { case scala.util.control.NonFatal(_) => None }
+      if (!fp.contains(bodyFingerprint(body))) {
+        j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L; resetMetricState(name)
+      }
+    }
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
     j.limits = lims
@@ -774,6 +840,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val v = record(j, version, body, props, stratStr)
     halt(j)
     j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
+    j.recovered = false
     // the fresh checkpoint restarts batchIds at 0 — a stale high-water
     // mark would starve breaker successes for the whole new epoch and
     // let intermittent crashes trip the breaker on a healthy job
@@ -814,6 +881,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     gateConcurrency(name, lims)
     halt(j)
     j.epoch += 1
+    j.recovered = false
     j.lastSeenBatch = -1L // fresh epoch, fresh batchId namespace
     resetMetricState(name) // rollback epoch re-reads the source from scratch
     j.limits = lims

@@ -142,6 +142,57 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB skiptest")
   }
 
+  test("driver restart: a NEW context over the durable state root resumes exactly-once") {
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_restart_root").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    // "server" #1: its own session + context, durable job-state root
+    val s1 = spark.newSession()
+    s1.conf.set("graft.jobs.stateRoot", stateRoot)
+    val ctx1 = new VeloContext(s1)
+    ctx1.register("file_events", s1.readStream.schema(schema).parquet(srcDir))
+    ctx1.sql("START JOB durable AS SELECT id, v * 2 AS v2 FROM file_events")
+    ctx1.jobManager.awaitIdle("durable")
+    assert(ctx1.jobManager.sinkDf("durable").count() == 2)
+    // crash, not shutdown: kill the query OUT FROM UNDER the manager —
+    // no drain, no STOP, the registry never learns the query died
+    s1.streams.active.filter(_.name == "graft-job-durable").foreach(_.stop())
+    // data arriving while the "server" is down
+    Seq((3L, 3.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+
+    // "server" #2: fresh session, fresh context, SAME state root + body
+    val s2 = spark.newSession()
+    s2.conf.set("graft.jobs.stateRoot", stateRoot)
+    val ctx2 = new VeloContext(s2)
+    ctx2.register("file_events", s2.readStream.schema(schema).parquet(srcDir))
+    ctx2.sql("START JOB durable AS SELECT id, v * 2 AS v2 FROM file_events")
+    ctx2.jobManager.awaitIdle("durable")
+    // exactly-once continuity: the recovered checkpoint's offsets skip
+    // the already-committed file, the new file processes once — no
+    // replayed (1,2) duplicates, no dropped (3)
+    val rows = ctx2.jobManager.sinkDf("durable").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v2"))).sorted.toSeq
+    assert(rows == Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)), rows.toString)
+    ctx2.sql("STOP JOB durable")
+
+    // restart with a DIFFERENT body: the epoch fingerprint mismatches,
+    // so the job gets a FRESH epoch (re-reads the source from scratch)
+    // instead of resuming the old body's offsets/state
+    val s3 = spark.newSession()
+    s3.conf.set("graft.jobs.stateRoot", stateRoot)
+    val ctx3 = new VeloContext(s3)
+    ctx3.register("file_events", s3.readStream.schema(schema).parquet(srcDir))
+    ctx3.sql("START JOB durable AS SELECT id, v * 10 AS v10 FROM file_events")
+    ctx3.jobManager.awaitIdle("durable")
+    val fresh = ctx3.jobManager.sinkDf("durable").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v10"))).sorted.toSeq
+    assert(fresh == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), fresh.toString)
+    ctx3.sql("STOP JOB durable")
+  }
+
   test("ROLLBACK after a RUNTIME death targets the previous version, not the one that died") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))
