@@ -244,9 +244,9 @@ object Bench {
     val recallOkField = recallEntries.fold(_ => "",
       rs => s""","ann_recall_ok":${rs.forall(_.ok)}""")
     val stdoutJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"ann_recall":$recallJson$recallOkField,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"ann_recall":$recallJson$recallOkField,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"ann_recall":$recallJson$recallOkField,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"ann_recall":$recallJson$recallOkField,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

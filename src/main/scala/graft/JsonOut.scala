@@ -24,6 +24,31 @@ object JsonOut {
   def sec3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Commit hash of the repo the JVM runs in, read straight from
+    * `.git` (no subprocess): artifacts stamp this so artifact-vs-code
+    * staleness is checkable from the JSON alone — r7's scale-probe
+    * artifact silently described code two commits older than HEAD.
+    * "unknown" when not a git checkout (or a detached/packed layout
+    * this reader doesn't handle). */
+  def gitHead(repoDir: String = "."): String =
+    try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(repoDir, ".git", "HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: ")) {
+        val refPath = java.nio.file.Paths.get(repoDir, ".git", head.stripPrefix("ref: "))
+        if (java.nio.file.Files.exists(refPath))
+          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
+        else {
+          // packed-refs fallback: "<sha> <refname>" lines
+          val packed = java.nio.file.Paths.get(repoDir, ".git", "packed-refs")
+          val ref = head.stripPrefix("ref: ")
+          scala.io.Source.fromFile(packed.toFile, "UTF-8").getLines()
+            .collectFirst { case l if l.endsWith(" " + ref) => l.split(" ")(0) }
+            .getOrElse("unknown")
+        }
+      } else head // detached HEAD is the sha itself
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
   /** Extract the string value of `field` from a flat JSON object,
     * honoring escapes — the ONE copy shared by the HTTP surfaces
     * (JobServerHttp, SchemaRegistryHttp), which had drifted as twins.

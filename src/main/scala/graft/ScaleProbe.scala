@@ -91,6 +91,12 @@ object ScaleProbe {
   private val deepTier: Set[String] =
     Set("exact_dedup", "lsh_verify_cluster", "ann_ivfpq")
 
+  /** At ≥ 64× only the two collapse-critical paths run — one more point
+    * on the closure's wall curve to confirm the log-rounds (not
+    * quadratic) trend, without paying the full ANN stack at that size. */
+  private val deepestTier: Set[String] =
+    Set("exact_dedup", "lsh_verify_cluster")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val tiers = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(8))
@@ -189,7 +195,8 @@ object ScaleProbe {
     // deeper tiers (≥ 26 = wrapped alphabet → cross-replica exact dups)
     // re-probe the collapse-critical subset against the denser workload
     val tierRaw = tiers.zipWithIndex.map { case (m, ti) =>
-      val only = if (ti == 0) None else Some(deepTier)
+      val only = if (ti == 0) None
+        else if (m >= 64) Some(deepestTier) else Some(deepTier)
       // materialize the multiplied inputs once per tier (scan cost must
       // not be attributed to the pipelines under test)
       val docsM = multiplyDocs(docs1, m).repartition(32).persist()
@@ -388,7 +395,9 @@ object ScaleProbe {
     // only in SURVEY prose). One tier object per multiplier, each with
     // per-pipeline 1x/Mx walls + row counts, plus the trainer-cap probe.
     val json =
-      s"""{"sf":${jstr(sfDir)},"tiers":[${tierJson.mkString(",")}],$streamJson,$trainerJson}"""
+      s"""{"sf":${jstr(sfDir)},"head":${jstr(JsonOut.gitHead())},"generated_utc":${
+        jstr(java.time.Instant.now().toString)},"tiers":[${
+        tierJson.mkString(",")}],$streamJson,$trainerJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "scaleprobe_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     System.err.println(s"[probe] wrote $out")
