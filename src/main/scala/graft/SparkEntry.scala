@@ -37,7 +37,10 @@ object SparkEntry {
     * a precision fix applied to one inline copy would desync the rest). */
   private def dsumDisc(price: Column, discount: Column): Column =
     sum(money(price) * (lit(1).cast("decimal(18,4)") - money(discount))).cast("double")
-  private def epochS(c: Column): Column = unix_timestamp(c)
+  /** Epoch seconds via CAST (floorDiv on micros), not unix_timestamp
+    * (truncates toward zero): keeps q5/q7's bucketing consistent with
+    * TimeWindows.epochBucket for pre-1970 fractional timestamps. */
+  private def epochS(c: Column): Column = c.cast("long")
 
   /** The near-dup verified-pair pipeline shared by q57/q60/q69/q70:
     * MinHash-LSH candidates over `text`, exact n-gram jaccard verify,

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Column-name matching under the SESSION'S resolution rule — the one
+  * helper behind every reserved/working-column guard.
+  *
+  * `withColumn` and `drop` resolve names case-insensitively unless
+  * `spark.sql.caseSensitive` is true, so a guard written with the
+  * case-sensitive `columns.contains` lets a differently-cased name
+  * (`Window_End`, `__GRAFT_SESSION_ID`) slip past and be silently
+  * REPLACED by the operator's own column — the exact corruption the
+  * guards exist to prevent. Matching must follow the same resolver the
+  * replacement will use.
+  */
+private[graft] object Cols {
+
+  private def caseSensitive(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+
+  /** Does `df` carry a column that `withColumn(name, …)`/`drop(name)`
+    * would resolve? */
+  def has(df: DataFrame, name: String): Boolean =
+    if (caseSensitive(df)) df.columns.contains(name)
+    else df.columns.exists(_.equalsIgnoreCase(name))
+
+  /** How many of `df`'s columns resolve to `name` — >1 after an
+    * aggregation means a key/aggregate alias collided with an
+    * operator-generated column. */
+  def countMatching(df: DataFrame, name: String): Int =
+    if (caseSensitive(df)) df.columns.count(_ == name)
+    else df.columns.count(_.equalsIgnoreCase(name))
+}

@@ -105,7 +105,7 @@ object Sampling {
     // col("cluster_id") reference ambiguous and the final drop would
     // remove the user's column
     val repCol = "__graft_split_rep"
-    require(!df.columns.contains(repCol), s"input must not carry the $repCol working column")
+    require(!Cols.has(df, repCol), s"input must not carry the $repCol working column")
     val clusters = Dedup.clusterPairs(pairs)
       .select(col("id").as(idCol), col("cluster_id").as(repCol))
     df.join(clusters, Seq(idCol), "left")
@@ -166,7 +166,7 @@ object Sampling {
     val saltCol = "__graft_pack_salt"
     val cumCol = "__graft_pack_cum"
     for (c <- Seq(saltCol, cumCol))
-      require(!df.columns.contains(c), s"input must not carry the $c working column")
+      require(!Cols.has(df, c), s"input must not carry the $c working column")
     val p =
       if (parallelism > 0) parallelism
       else {

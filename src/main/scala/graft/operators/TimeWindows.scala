@@ -25,19 +25,32 @@ object TimeWindows {
     * would be silently overwritten by the boundary value — wrong output,
     * no error. Same guard family as sessionize's working columns. */
   private def requireNoReserved(df: DataFrame, op: String): Unit =
-    require(!df.columns.contains("window_start") && !df.columns.contains("window_end"),
+    require(!Cols.has(df, "window_start") && !Cols.has(df, "window_end"),
       s"$op input must not carry the reserved window_start/window_end columns " +
         "(alias them away before windowing)")
 
-  private def requireNoEndAlias(agged: DataFrame, op: String): Unit =
-    require(!agged.columns.contains("window_end"),
+  /** Post-aggregation guard, SYMMETRIC over both reserved names: a
+    * window_end alias would be silently replaced by withColumn below,
+    * and a key/aggregate aliased window_start duplicates the bucket
+    * column — the later `window_start + size` would die with an
+    * AMBIGUOUS_REFERENCE far from the call site, so both get the
+    * family's clear require message here. */
+  private def requireNoReservedAliases(agged: DataFrame, op: String): Unit = {
+    require(!Cols.has(agged, "window_end"),
       s"$op key/aggregate aliases must not use the reserved name window_end")
+    require(Cols.countMatching(agged, "window_start") <= 1,
+      s"$op key/aggregate aliases must not use the reserved name window_start")
+  }
 
   /** The ONE epoch-bucket rule (floor to a step multiple, epoch
     * seconds) — shared by tumbling and sliding so their bucket
-    * alignment cannot drift apart on a future timestamp-handling fix. */
+    * alignment cannot drift apart on a future timestamp-handling fix.
+    * Seconds come from cast(ts AS LONG) — a floorDiv on the micros —
+    * NOT unix_timestamp, which truncates toward zero: a pre-1970 event
+    * with a fractional second (-0.5s) would bucket one window late and
+    * diverge from the flooring DuckDB oracle (epoch_ms // 1000). */
   private def epochBucket(tsCol: String, stepSeconds: Long): Column =
-    (floor(unix_timestamp(col(tsCol)) / stepSeconds) * stepSeconds).cast("long")
+    (floor(col(tsCol).cast("long") / stepSeconds) * stepSeconds).cast("long")
 
   /** TUMBLING(size): non-overlapping epoch-aligned buckets.
     * Emits `window_start`/`window_end` as epoch seconds (BIGINT) —
@@ -51,7 +64,7 @@ object TimeWindows {
     requireNoReserved(df, "tumbling")
     val agged = df.groupBy(epochBucket(tsCol, sizeSeconds).as("window_start") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-    requireNoEndAlias(agged, "tumbling")
+    requireNoReservedAliases(agged, "tumbling")
     agged.withColumn("window_end", col("window_start") + lit(sizeSeconds))
   }
 
@@ -91,7 +104,7 @@ object TimeWindows {
     val agged = df.withColumn("window_start", explode(starts))
       .groupBy(col("window_start") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-    requireNoEndAlias(agged, "sliding")
+    requireNoReservedAliases(agged, "sliding")
     agged.withColumn("window_end", col("window_start") + lit(sizeSeconds))
   }
 
@@ -135,7 +148,7 @@ object TimeWindows {
     // re-sessionizing output that already carries one
     val nsCol = "__graft_new_session"
     val sidCol = "__graft_session_id"
-    require(!df.columns.contains(nsCol) && !df.columns.contains(sidCol),
+    require(!Cols.has(df, nsCol) && !Cols.has(df, sidCol),
       s"input must not carry the $nsCol/$sidCol working columns")
     val w = Window.partitionBy(keys: _*).orderBy(col(epochCol) +: tieBreak: _*)
     val epoch = col(epochCol)
@@ -151,9 +164,14 @@ object TimeWindows {
       .withColumn(nsCol, newSession)
       .withColumn(sidCol, sum(col(nsCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessioned
+    val agged = sessioned
       .groupBy(keys :+ col(sidCol): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .drop(sidCol)
+    // an aggregate aliased to the working name would be dropped WITH it
+    // below (drop removes every resolving column) — the caller's
+    // aggregate silently vanishing is the corruption this family rejects
+    require(Cols.countMatching(agged, sidCol) <= 1,
+      s"sessionize aggregate aliases must not use the working name $sidCol")
+    agged.drop(sidCol)
   }
 }

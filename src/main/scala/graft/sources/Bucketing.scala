@@ -28,7 +28,12 @@ object Bucketing {
     val loc = new org.apache.hadoop.fs.Path(
       classic.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(classic.sessionState.newHadoopConf())
-    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    // the delete RESULT matters: proceeding after a failed delete ends
+    // in saveAsTable's opaque "location already exists" — fail fast
+    // naming the path and the failed cleanup instead
+    if (fs.exists(loc))
+      require(fs.delete(loc, true),
+        s"could not clear orphaned managed-table location $loc before overwrite")
     df.write
       .format("parquet")
       .bucketBy(buckets, bucketCol)

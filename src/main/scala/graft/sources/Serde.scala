@@ -100,7 +100,7 @@ object Serde {
   // same-named input column and the trailing drop would delete the
   // user's data silently
   private def requireNoWorkingCol(df: DataFrame): Unit =
-    require(!df.columns.contains("__graft_decoded"),
+    require(!graft.operators.Cols.has(df, "__graft_decoded"),
       "input must not carry the __graft_decoded working column")
 
   /** Encode selected columns into one JSON-string payload column. */

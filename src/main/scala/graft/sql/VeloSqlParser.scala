@@ -1265,12 +1265,22 @@ object VeloSqlParser {
               case _ => throw new ParseException(s"$up expects (ts, duration)")
             }
             val s = dur.getOrElse(throw new ParseException(s"$up needs a duration"))
-            // (floor(unix_timestamp(ts) / S) * S) [+ S]; group-constant
-            // inside a windowed aggregation → MIN-wrapped there
+            // (floor(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) / S) * S)
+            // [+ S]; group-constant inside a windowed aggregation →
+            // MIN-wrapped there. CAST-to-BIGINT floors the epoch
+            // (floorDiv on micros) where unix_timestamp truncates
+            // toward zero — a pre-1970 fractional-second event would
+            // bucket one window late and disagree with BOTH the DuckDB
+            // oracle and TimeWindows.epochBucket (same rule, one fix).
+            // The inner TIMESTAMP cast keeps string-typed ts columns
+            // working, which unix_timestamp used to parse implicitly.
             if (aggWrap) { out += id("MIN") += sym("(") }
-            out += sym("(") += id("CAST") += sym("(") += id("floor") += sym("(") += id("unix_timestamp") += sym("(")
+            out += sym("(") += id("CAST") += sym("(") += id("floor") += sym("(")
+            out += id("CAST") += sym("(") += id("CAST") += sym("(")
             out ++= tsArg
-            out += sym(")") += Tok(TSymbol, "/") += Tok(TNumber, s.toString) += sym(")")
+            out += id("AS") += id("TIMESTAMP") += sym(")")
+            out += id("AS") += id("BIGINT") += sym(")")
+            out += Tok(TSymbol, "/") += Tok(TNumber, s.toString) += sym(")")
             out += sym("*") += Tok(TNumber, s.toString)
             if (up == "TUMBLE_END") { out += sym("+") += Tok(TNumber, s.toString) }
             out += id("AS") += id("BIGINT") += sym(")") += sym(")")

@@ -263,7 +263,7 @@ object StreamOps {
     // silently overwrite a same-named input column and every
     // latest-state reader (row_number over _batch_id) would dedup on
     // the wrong values
-    require(!df.columns.contains("_batch_id"),
+    require(!graft.operators.Cols.has(df, "_batch_id"),
       "input must not carry the reserved _batch_id changelog column")
     val out = tmp(prefix + "_out")
     val ckpt = tmp(prefix + "_ckpt")

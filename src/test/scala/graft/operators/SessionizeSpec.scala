@@ -103,6 +103,49 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
         Seq(count(lit(1)).as("n")))).getMessage.contains("partition key"))
   }
 
+  test("pre-1970 fractional-second events bucket by FLOOR, matching the DuckDB oracle") {
+    import spark.implicits._
+    // -0.5s epoch: unix_timestamp truncates it to 0 (bucket [0,300)),
+    // but the flooring oracle (epoch_ms // 1000) puts it in [-300,0)
+    val df = Seq(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(-500L)))
+      .toDF("ts").withColumn("k", lit(1))
+    val t = TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select("window_start", "window_end").collect().head
+    assert((t.getLong(0), t.getLong(1)) == (-300L, 0L), t.toString)
+    val s = TimeWindows.sliding(df, "ts", 600L, 300L, Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select("window_start").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s == Seq(-600L, -300L), s.toString)
+  }
+
+  test("reserved-name guards match case-insensitively, like withColumn resolution") {
+    import spark.implicits._
+    val aggs = Seq(count(lit(1)).as("n"))
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:10"))).toDF("k", "ts")
+    // withColumn("window_end", ...) resolves Window_End case-insensitively
+    // (spark.sql.caseSensitive=false default) and would silently replace
+    // the user's aggregate — the guard must match the same way
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")),
+        Seq(max(col("ts")).as("Window_End")))).getMessage.contains("window_end"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(df.withColumn("WINDOW_START", lit(0L)), "ts", 300L,
+        Seq(col("k")), aggs)).getMessage.contains("reserved"))
+    // a key aliased window_start duplicates the bucket column — clear
+    // require instead of a downstream AMBIGUOUS_REFERENCE
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.tumbling(df, "ts", 300L, Seq(col("k").as("window_start")), aggs))
+      .getMessage.contains("window_start"))
+    // sessionize: an aggregate aliased to the working name would vanish
+    // in the trailing drop (drop removes every resolving column)
+    val ev = Seq((1L, 1L)).toDF("id", "ep")
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sessionize(ev, "ep", 10L, Seq(col("id")), Seq.empty,
+        Seq(count(lit(1)).as("__graft_session_id")))).getMessage.contains("working name"))
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sessionize(ev.withColumn("__GRAFT_SESSION_ID", lit(1L)), "ep", 10L,
+        Seq(col("id")), Seq.empty, aggs)).getMessage.contains("working columns"))
+  }
+
   test("null-epoch rows belong to NO session (never merged into the first one)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
