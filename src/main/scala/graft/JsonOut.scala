@@ -6,16 +6,22 @@ package graft
   * already drifted by skipping escaping entirely for its sf field. */
 object JsonOut {
 
-  /** Escape backslash, quote, and ALL control chars (<0x20) — a tab or
-    * CR in builder-authored SQL (or a path) would otherwise make the
-    * driver's json.load fail and silently zero a round artifact. */
+  /** Escape backslash, quote, ALL control chars (<0x20), and every
+    * surrogate — a tab or CR in builder-authored SQL (or a path) would
+    * otherwise make the driver's json.load fail and silently zero a
+    * round artifact. Surrogates are escaped because error messages get
+    * TRUNCATED (.take(n) can split a pair) and Files.writeString throws
+    * on malformed UTF-16 — after the stdout line already printed, the
+    * file artifact would be left stale from a prior run. Escaping a
+    * VALID pair as two \\uXXXX units is still correct JSON for the
+    * same code point. */
   def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c if c < ' ' || (c >= '\ud800' && c <= '\udfff') => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
 

@@ -194,8 +194,13 @@ object ScaleProbe {
     // one tier per multiplier: the first runs the full pipeline set, the
     // deeper tiers (≥ 26 = wrapped alphabet → cross-replica exact dups)
     // re-probe the collapse-critical subset against the denser workload
-    val tierRaw = tiers.zipWithIndex.map { case (m, ti) =>
-      val only = if (ti == 0) None
+    val tierRaw = tiers.map { m =>
+      // pipeline set selected by MULTIPLIER, not position: the full set's
+      // per-pipeline invariants (disjoint shingles, exactly-M× hits)
+      // only hold below the 26× alphabet wrap — a first tier of 32
+      // would otherwise run every pipeline in the wrapped regime and
+      // record ratios against premises that did not hold for that run
+      val only = if (m < 26) None
         else if (m >= 64) Some(deepestTier) else Some(deepTier)
       // materialize the multiplied inputs once per tier (scan cost must
       // not be attributed to the pipelines under test)
@@ -321,16 +326,23 @@ object ScaleProbe {
          EMIT FINAL"""
     def streamProbe(dir: String): (Double, Long, Int, Double) = {
       val schema = spark.read.parquet(dir).schema
-      // (numInputRows, triggerExecution ms) per micro-batch; probes run
-      // one at a time, so every progress event belongs to this query
+      val expectedInput = spark.read.parquet(dir).count()
+      // (numInputRows, triggerExecution ms) per micro-batch. Events are
+      // FILTERED to queries that started while THIS probe's listener was
+      // registered: the listener bus is async and shared across the
+      // session, so a late-delivered progress event from the PREVIOUS
+      // probe's (different-id) query would otherwise be counted into
+      // this probe's batches/peak_rps
+      val startedIds = scala.collection.mutable.Set[java.util.UUID]()
       val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       import org.apache.spark.sql.streaming.StreamingQueryListener
       val listener = new StreamingQueryListener {
-        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+          batches.synchronized { startedIds += e.id; () }
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
           val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)
-          batches.synchronized { batches += ((p.numInputRows, dur)) }
+          batches.synchronized { if (startedIds.contains(p.id)) batches += ((p.numInputRows, dur)) }
         }
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
@@ -345,7 +357,13 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = spark.read.parquet(out).count()
         deleteRecursively(new java.io.File(out)) // probe output: counted, then gone
-        Thread.sleep(1000) // listener bus is async; let the tail drain
+        // deterministic drain: wait until the async bus has delivered
+        // every micro-batch (input rows sum reaches the source count),
+        // bounded — a fixed 1 s sleep lost the final batch whenever the
+        // VM's ambient stall window straddled query termination
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (batches.synchronized(batches.map(_._1).sum) < expectedInput
+          && System.nanoTime() < deadline) Thread.sleep(100)
         val snap = batches.synchronized(batches.toVector).filter(_._1 > 0)
         val rps = snap.map { case (r, ms) => r * 1000.0 / math.max(1L, ms) }
         System.err.println(f"[probe] stream_q54 $sec%7.2f s rows=$rows " +
