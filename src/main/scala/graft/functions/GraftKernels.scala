@@ -26,11 +26,21 @@ object GraftKernels {
 
   // ================= Column-level API (plan side) =================
 
-  private def invoke(rt: DataType, method: String, args: Column*): Column =
+  // inputTypes are DECLARED on the Column path too (InvokeLike mixes in
+  // ImplicitCastInputTypes): without them a bigint passed where the
+  // kernel reads UTF8String analyzes cleanly and ClassCastExceptions
+  // inside executor tasks, and an array<double> fed to a float-stride
+  // kernel reads silent garbage — the same gap the SQL registration
+  // below closes with its declared signatures.
+  private def invoke(rt: DataType, method: String,
+                     inTypes: Seq[DataType], args: Column*): Column =
     GraftBridge.column(StaticInvoke(
       GraftKernels.getClass, rt, method,
       args.map(GraftBridge.expression).toSeq,
-      inputTypes = Nil, propagateNull = true, returnNullable = false))
+      inputTypes = inTypes, propagateNull = true, returnNullable = false))
+
+  private def vecType(floatElems: Boolean): DataType =
+    if (floatElems) ArrayType(FloatType) else ArrayType(DoubleType)
 
   /** MinHash signature of the k-word-shingle set of `text`;
     * array of `numHashes` longs. numHashes is bounded by the seed-head
@@ -45,29 +55,35 @@ object GraftKernels {
     // pairs under the bucket cap, with no error anywhere downstream
     require(k >= 1, s"shingle size k must be >= 1, got $k")
     invoke(ArrayType(LongType, containsNull = false), "minhashSig",
-      text, lit(k), lit(numHashes))
+      Seq(StringType, IntegerType, IntegerType), text, lit(k), lit(numHashes))
   }
 
   /** Distinct k-word shingles of normalized `text`, first-occurrence
     * order (kernel twin of Dedup.shingles). */
   def shinglesCol(text: Column, k: Int): Column = {
     require(k >= 1, s"shingle size k must be >= 1, got $k")
-    invoke(ArrayType(StringType, containsNull = false), "shingles", text, lit(k))
+    invoke(ArrayType(StringType, containsNull = false), "shingles",
+      Seq(StringType, IntegerType), text, lit(k))
   }
 
   /** 64-bit SimHash of the word multiset of `text`. */
-  def simhashCol(text: Column): Column = invoke(LongType, "simhash", text)
+  def simhashCol(text: Column): Column =
+    invoke(LongType, "simhash", Seq(StringType), text)
 
   /** SimHash with the md5-derived (DuckDB-replayable) word hash. */
-  def simhashMd5Col(text: Column): Column = invoke(LongType, "simhashMd5", text)
+  def simhashMd5Col(text: Column): Column =
+    invoke(LongType, "simhashMd5", Seq(StringType), text)
 
   /** Polynomial rolling-hash fingerprint of normalized `text`
     * (acc*31 + codepoint, mod 1e9+7). */
-  def fingerprintCol(text: Column): Column = invoke(LongType, "fingerprint", text)
+  def fingerprintCol(text: Column): Column =
+    invoke(LongType, "fingerprint", Seq(StringType), text)
 
   /** cosine(a, b); `floatElems` = true when the arrays are array<float>. */
   def cosineCol(a: Column, b: Column, floatElems: Boolean): Column =
-    invoke(DoubleType, "cosine", a, b, lit(floatElems))
+    invoke(DoubleType, "cosine",
+      Seq(vecType(floatElems), vecType(floatElems), BooleanType),
+      a, b, lit(floatElems))
 
   /** Random-hyperplane sign sketch: bit b of the result = sign of
     * vec · planes[b]. Planes are a flattened numBits×dim literal. */
@@ -78,10 +94,12 @@ object GraftKernels {
     // onto the low word, corrupting every LSH bucket with no error
     require(numBits >= 1 && numBits <= 64,
       s"numBits must be in [1, 64] (one long of sketch bits), got $numBits")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     require(planesFlat.length == numBits * dim,
       s"planesFlat has ${planesFlat.length} values, expected numBits*dim = ${numBits * dim}")
-    invoke(LongType, "signSketch", vec, typedLit(planesFlat.toSeq),
-      lit(numBits), lit(dim), lit(floatElems))
+    invoke(LongType, "signSketch",
+      Seq(vecType(floatElems), ArrayType(DoubleType), IntegerType, IntegerType, BooleanType),
+      vec, typedLit(planesFlat.toSeq), lit(numBits), lit(dim), lit(floatElems))
   }
 
   /** Indices of the `nprobe` nearest centroids (by cosine) for `vec`;
@@ -95,10 +113,25 @@ object GraftKernels {
     // cells (empty ANN results, no error anywhere)
     require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // dim = 0 with an empty flat array satisfies the length check and
+    // silently assigns every vector cells [0..nprobe) — the exact
+    // silent-collapse class these gates reject
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     require(centroidsFlat.length == nCentroids * dim,
       s"centroidsFlat has ${centroidsFlat.length} values, expected nCentroids*dim = ${nCentroids * dim}")
+    // centroid norms are query constants — computed ONCE here instead of
+    // per corpus row (the assignment kernel is the IVF hot path: at
+    // nCentroids*dim per row the redundant norm pass roughly doubled it)
+    val norms = Array.tabulate(nCentroids) { c =>
+      var nc = 0.0; var d = 0
+      while (d < dim) { val x = centroidsFlat(c * dim + d); nc += x * x; d += 1 }
+      math.sqrt(nc)
+    }
     invoke(ArrayType(IntegerType, containsNull = false), "nearestCentroids",
-      vec, typedLit(centroidsFlat.toSeq), lit(nCentroids), lit(dim), lit(nprobe), lit(floatElems))
+      Seq(vecType(floatElems), ArrayType(DoubleType), ArrayType(DoubleType),
+        IntegerType, IntegerType, IntegerType, BooleanType),
+      vec, typedLit(centroidsFlat.toSeq), typedLit(norms.toSeq),
+      lit(nCentroids), lit(dim), lit(nprobe), lit(floatElems))
   }
 
   /** Register the kernels as SQL functions so dialect / spark.sql text
@@ -152,7 +185,17 @@ object GraftKernels {
     * other. */
   private def normText(text: UTF8String): String = {
     val replaced = WS.matcher(text.toString).replaceAll(" ")
-    UTF8String.fromString(replaced).trim().toLowerCase.toString
+    // lowering goes through the SAME entry point SQL lower() uses
+    // (CollationSupport.Lower, UTF8_BINARY, ICU mappings — Spark 4's
+    // default): UTF8String.toLowerCase is the JVM default-locale
+    // mapping, which diverges from lower() on post-Unicode-8 casings
+    // (e.g. Vithkuqi) and is -Duser.language-sensitive — the kernels
+    // would silently desync from the HOF oracles and from exact-dedup's
+    // contentHash normalization on non-ASCII text. (Deployments that
+    // set spark.sql.icu.caseMappings.enabled=false trade this parity
+    // for legacy JVM casing in lower() itself.)
+    org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .exec(UTF8String.fromString(replaced).trim(), 0, true).toString
   }
 
   private def normWords(text: UTF8String): Array[String] =
@@ -192,11 +235,15 @@ object GraftKernels {
     // clear argument error for the SQL SHINGLES path, which reaches the
     // kernel without the Column builder's gate
     require(k >= 1, s"shingle size k must be >= 1, got $k")
-    val sh = distinctShingles(normWords(text), k)
-    val out = new Array[AnyRef](sh.length)
+    new GenericArrayData(
+      toUtf8(distinctShingles(normWords(text), k)).asInstanceOf[Array[AnyRef]])
+  }
+
+  private def toUtf8(a: Array[String]): Array[UTF8String] = {
+    val out = new Array[UTF8String](a.length)
     var m = 0
-    while (m < sh.length) { out(m) = UTF8String.fromString(sh(m)); m += 1 }
-    new GenericArrayData(out)
+    while (m < a.length) { out(m) = UTF8String.fromString(a(m)); m += 1 }
+    out
   }
 
   def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
@@ -206,18 +253,15 @@ object GraftKernels {
     require(numHashes >= 1 && numHashes <= seedHeads.length,
       s"numHashes must be in [1, ${seedHeads.length}], got $numHashes")
     require(k >= 1, s"shingle size k must be >= 1, got $k")
-    val sh = distinctShingles(normWords(text), k)
-    val shingleHashHeads = new Array[UTF8String](sh.length)
-    var m = 0
-    while (m < sh.length) { shingleHashHeads(m) = UTF8String.fromString(sh(m)); m += 1 }
+    val shingleStrs = toUtf8(distinctShingles(normWords(text), k))
     val sig = new Array[Long](numHashes)
     var h = 0
     while (h < numHashes) {
       val head = seedHeads(h)
       var mn = Long.MaxValue
       var s = 0
-      while (s < shingleHashHeads.length) {
-        val v = XxHash64Function.hash(shingleHashHeads(s), StringType, head)
+      while (s < shingleStrs.length) {
+        val v = XxHash64Function.hash(shingleStrs(s), StringType, head)
         if (v < mn) mn = v
         s += 1
       }
@@ -308,6 +352,11 @@ object GraftKernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element is a corrupt embedding, same class as truncated/
+      // zero-norm: unchecked, UnsafeArrayData reads the null slot as 0.0
+      // (a plausible near-match) and a reused vectorized column vector
+      // reads STALE bytes — a nondeterministic score. Same defined edge.
+      if (a.isNullAt(i) || b.isNullAt(i)) return 0.0
       val x = elem(a, i, floatElems)
       val y = elem(b, i, floatElems)
       dot += x * y; na += x * x; nb += y * y
@@ -325,40 +374,49 @@ object GraftKernels {
     }
   }
 
-  def nearestCentroids(vec: ArrayData, centroidsFlat: ArrayData, nCentroids: Int,
-                       dim: Int, nprobe: Int, floatElems: Boolean): ArrayData = {
+  /** Copy the vector's first min(len, dim) elements; a NULL element
+    * marks the row corrupt and yields an EMPTY copy, so both consumers
+    * degrade exactly like their zero-norm/empty edge instead of reading
+    * the null slot as 0.0 (or stale column-vector bytes). */
+  private def copyVec(vec: ArrayData, dim: Int, floatElems: Boolean): Array[Double] = {
     val n = math.min(vec.numElements(), dim)
     val v = new Array[Double](n)
     var i = 0
-    while (i < n) { v(i) = elem(vec, i, floatElems); i += 1 }
+    while (i < n) {
+      if (vec.isNullAt(i)) return new Array[Double](0)
+      v(i) = elem(vec, i, floatElems)
+      i += 1
+    }
+    v
+  }
+
+  def nearestCentroids(vec: ArrayData, centroidsFlat: ArrayData, centroidNorms: ArrayData,
+                       nCentroids: Int, dim: Int, nprobe: Int, floatElems: Boolean): ArrayData = {
+    val v = copyVec(vec, dim, floatElems)
+    val n = v.length
     var nv = 0.0
-    i = 0
+    var i = 0
     while (i < n) { nv += v(i) * v(i); i += 1 }
     nv = math.sqrt(nv)
     val scores = new Array[Double](nCentroids)
     var c = 0
     while (c < nCentroids) {
-      var dot = 0.0; var nc = 0.0
+      var dot = 0.0
       val base = c * dim
       var d = 0
       while (d < n) {
-        val cd = centroidsFlat.getDouble(base + d)
-        dot += v(d) * cd; nc += cd * cd
+        dot += v(d) * centroidsFlat.getDouble(base + d)
         d += 1
       }
-      // the centroid norm covers its FULL dim even when the input vector
-      // is truncated: the driver-side twin (Similarity.centroidCosines)
-      // norms over all dim entries, and the two must assign IDENTICAL
-      // cells for a shared quantizer — including on corrupt short rows
-      while (d < dim) {
-        val cd = centroidsFlat.getDouble(base + d)
-        nc += cd * cd
-        d += 1
-      }
-      // zero-norm/empty input or degenerate centroid → NaN score; pin to
+      // centroid norms are precomputed on the driver over the FULL dim
+      // (nearestCentroidsCol), so a truncated input row still divides by
+      // the same norm the driver-side twin (Similarity.centroidCosines)
+      // uses — identical cell assignment for a shared quantizer, and no
+      // per-row recomputation of query-constant norms on the hot path.
+      // Zero-norm/empty input or degenerate centroid → NaN score; pin to
       // -inf so the selection below stays well-defined (NaN compares
       // false against everything, which would leave best = -1 and throw)
-      val s = dot / (nv * math.sqrt(nc))
+      val s = dot / (nv * centroidNorms.getDouble(c))
       scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
@@ -381,10 +439,8 @@ object GraftKernels {
 
   def signSketch(vec: ArrayData, planesFlat: ArrayData, numBits: Int,
                  dim: Int, floatElems: Boolean): Long = {
-    val n = math.min(vec.numElements(), dim)
-    val v = new Array[Double](n)
-    var i = 0
-    while (i < n) { v(i) = elem(vec, i, floatElems); i += 1 }
+    val v = copyVec(vec, dim, floatElems)
+    val n = v.length
     var out = 0L
     var b = 0
     while (b < numBits) {

@@ -27,7 +27,15 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
       "  Leading  and   trailing   spaces  ",
       "Tabs\tand\nnewlines\r\nmixed  in",
       "ALL CAPS PUNCT!!! ... ??? ",
-      "repeated repeated repeated repeated repeated"
+      "repeated repeated repeated repeated repeated",
+      // non-ASCII casings: the kernels must lower through the SAME entry
+      // point SQL lower() uses (ICU by default in Spark 4) — JVM
+      // default-locale toLowerCase diverges on post-Unicode-13 casings
+      // like Vithkuqi U+10570 (the surrogate pair below) and is
+      // -Duser.language-sensitive on dotted/dotless I
+      "İstanbul STRASSE ΣΊΣΥΦΟΣ Ünïcode",
+      "vithkuqi \ud801\udd70 capital letter", // U+10570
+      "Faß ESZETT ẞ mixed"
     ).toDF("text").withColumn("doc_id", monotonically_increasing_id())
   }
 
@@ -136,6 +144,38 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
     ).toDF("id", "a", "b")
     val out = bad.select(Similarity.cosine(col("a"), col("b")).as("cos")).collect()
     assert(out.forall(_.getDouble(0) == 0.0))
+  }
+
+  test("null vector ELEMENTS are corrupt rows: cosine 0.0, sketch/cells degrade like empty") {
+    // unchecked, UnsafeArrayData reads a null slot as 0.0 (a plausible
+    // near-match) and a reused vectorized column vector reads STALE
+    // bytes — a nondeterministic score; the defined edge is 0.0/empty
+    val df = spark.sql(
+      "SELECT array(CAST(NULL AS FLOAT), 1.0F, 2.0F) AS a, array(5.0F, 1.0F, 2.0F) AS b")
+    assert(df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0) == 0.0)
+    // sketch: identical to the empty-vector sketch (all projections 0)
+    val skNull = df.select(GraftKernels.signSketchCol(
+      col("a"), Similarity.planes(16, 3), 16, 3, floatElems = true).as("s"))
+      .collect().head.getLong(0)
+    assert(skNull == 0L)
+    // cell assignment: same deterministic pinning as a zero-norm vector
+    val cents = Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    val cellsNull = df.select(GraftKernels.nearestCentroidsCol(
+      col("a"), cents, 3, 3, 2, floatElems = true).as("c"))
+      .collect().head.getSeq[Int](0)
+    val cellsZero = spark.sql("SELECT array(0.0F, 0.0F, 0.0F) AS a")
+      .select(GraftKernels.nearestCentroidsCol(
+        col("a"), cents, 3, 3, 2, floatElems = true).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(cellsNull == cellsZero)
+  }
+
+  test("dim = 0 is rejected at plan build (empty quantizer would silently collapse ANN)") {
+    intercept[IllegalArgumentException](
+      GraftKernels.nearestCentroidsCol(col("a"), Array[Double](), 4, 0, 2, floatElems = true))
+    intercept[IllegalArgumentException](
+      GraftKernels.signSketchCol(col("a"), Array[Double](), 16, 0, floatElems = true))
   }
 
   test("SQL COSINE_SIM coerces array<double> input at analysis instead of misreading bytes") {
