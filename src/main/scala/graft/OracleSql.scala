@@ -4,8 +4,12 @@ package graft
   *
   * Parity rules (SURVEY.md §5): identical aliases; money aggregates via
   * DECIMAL(18,4) casts then CAST AS DOUBLE; timestamps surfaced as
-  * epoch-second BIGINTs (`epoch_ms(ts)//1000` == Spark's
-  * `unix_timestamp`); float stats ROUND(x,4); DuckDB regexp_replace
+  * epoch-second BIGINTs via the flooring `epochS`/`bucketS` helpers
+  * (DuckDB's bare `//` truncates toward zero and would diverge from
+  * Spark's floorDiv on pre-1970 values); float stats ROUND(x,4);
+  * integer modulo via the `pmod` helper (DuckDB's `%` keeps the
+  * dividend's sign, Spark-side partition/salt/seed math floors);
+  * DuckDB regexp_replace
   * needs the 'g' flag to match Spark's global replace; integer-sum
   * results cast BIGINT (DuckDB widens to HUGEINT otherwise).
   *
@@ -35,6 +39,31 @@ object OracleSql {
   // strips only ' ', so the order is visible on \t/\n-framed text)
   private val normText = s"trim(regexp_replace(lower(text), '$wsClass+', ' ', 'g'))"
   private val wordsOf = s"string_split($normText, ' ')"
+
+  /** DuckDB's `//` and `%` TRUNCATE toward zero (DuckDB 1.0:
+    * -1500 // 1000 = -1, -7 % 3 = -1) while the Spark side FLOORS
+    * (cast-to-long = floorDiv on micros; pmod/floorMod for
+    * partitions, salts, and media synth seeds) — so a pre-1970 event
+    * or a negative id would bucket/assign differently and fail the
+    * gate on correct engine output. Every epoch and modulo oracle
+    * therefore goes through these helpers, which subtract the
+    * POSITIVE remainder first: the dividend becomes an exact
+    * multiple, so truncation and flooring coincide, in pure integer
+    * arithmetic (no double round-trip to go subtly wrong at large
+    * epochs). */
+  private def pmod(e: String, m: Long): String = s"((($e) % $m) + $m) % $m"
+
+  /** floor(epoch_ms/1000): BIGINT epoch seconds == Spark's
+    * cast(ts AS LONG) / unix_timestamp flooring. */
+  private def epochS(ts: String): String =
+    s"((epoch_ms($ts) - ${pmod(s"epoch_ms($ts)", 1000L)}) // 1000)"
+
+  /** floor(epoch_s / step) * step — the oracle twin of
+    * TimeWindows.epochBucket (epoch-aligned bucket start, seconds). */
+  private def bucketS(ts: String, stepSeconds: Long): String = {
+    val ms = stepSeconds * 1000L
+    s"((epoch_ms($ts) - ${pmod(s"epoch_ms($ts)", ms)}) // 1000)"
+  }
 
   /** SQL string-list literal for a stopword list — single quotes in a
     * word (French elisions like "l'") must escape, or the generated
@@ -151,20 +180,20 @@ object OracleSql {
          GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "q5_tumbling" ->
-      """SELECT (epoch_ms(ts)//1000//300)*300 AS window_start, event_type,
+      s"""SELECT ${bucketS("ts", 300)} AS window_start, event_type,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-         (epoch_ms(ts)//1000//300)*300 + 300 AS window_end
+         ${bucketS("ts", 300)} + 300 AS window_end
          FROM events GROUP BY 1, 2, 5""",
 
     // no window_start >= 0 filter: negative starts are legitimate
     // (pre-1970 events), and the operator emits them like tumbling does
     "q6_sliding" ->
-      """SELECT window_start, event_type, COUNT(*) AS n_events,
+      s"""SELECT window_start, event_type, COUNT(*) AS n_events,
                 window_start + 600 AS window_end
          FROM (SELECT event_type,
-                 unnest(generate_series((epoch_ms(ts)//1000//300)*300 - 300,
-                                        (epoch_ms(ts)//1000//300)*300, 300)) AS window_start
+                 unnest(generate_series(${bucketS("ts", 300)} - 300,
+                                        ${bucketS("ts", 300)}, 300)) AS window_start
                FROM events)
          GROUP BY 1, 2""",
 
@@ -172,8 +201,8 @@ object OracleSql {
     // where(epoch.isNotNull)) — without the filter DuckDB's NULLS LAST
     // ordering would merge a null row into the key's last session
     "q7_session" ->
-      """WITH e AS (
-           SELECT user_id, event_id, epoch_ms(ts)//1000 AS ep
+      s"""WITH e AS (
+           SELECT user_id, event_id, ${epochS("ts")} AS ep
            FROM events WHERE ts IS NOT NULL),
          f AS (
            SELECT user_id, ep, event_id,
@@ -221,11 +250,16 @@ object OracleSql {
          FROM orders GROUP BY o_custkey
          HAVING COUNT(*) >= 3 AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 300000.0""",
 
+    // NOT EXISTS, not NOT IN: the Spark side is a left_anti join
+    // (null-safe per-row non-match keeps the row), while SQL NOT IN
+    // returns zero rows the moment the subquery yields one NULL key —
+    // the oracle must express the semantics the engine implements
     "q11_in_subquery" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
-           AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                                 WHERE o_orderstatus = 'F' AND o_totalprice < 50000.0)""",
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F' AND o.o_totalprice < 50000.0)""",
 
     "q12_exists" ->
       """SELECT c_custkey, c_acctbal FROM customer c
@@ -262,11 +296,17 @@ object OracleSql {
          ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2_pq
          FROM lineitem GROUP BY l_returnflag""",
 
+    // interpolated percentiles ROUND(x,4) like every other float stat:
+    // Spark's Percentile and DuckDB's percentile_cont are independent
+    // interpolation implementations that can differ in the last ulp —
+    // exact compare would make the gate engine-version-flaky, not
+    // stricter. percentile_disc picks an actual data value, so it
+    // stays exact.
     "q16_percentiles" ->
       """SELECT l_returnflag,
-         median(l_quantity) AS med_qty,
-         percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25_price,
-         percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+         ROUND(median(l_quantity), 4) AS med_qty,
+         ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25_price,
+         ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS pd50_qty
          FROM lineitem GROUP BY l_returnflag""",
 
@@ -284,15 +324,15 @@ object OracleSql {
          FROM part""",
 
     "q18_datetime_funcs" ->
-      """SELECT o_orderkey,
+      s"""SELECT o_orderkey,
          CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
          CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
          CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d,
          CAST(EXTRACT(HOUR FROM o_orderdate) AS INTEGER) AS h,
          strftime(o_orderdate, '%Y-%m-%d') AS ds,
          date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
-         epoch_ms(o_orderdate)//1000 AS epoch_s,
-         (epoch_ms(o_orderdate)//1000//86400)*86400 AS day_bucket
+         ${epochS("o_orderdate")} AS epoch_s,
+         ${bucketS("o_orderdate", 86400)} AS day_bucket
          FROM orders""",
 
     "q19_conditional" ->
@@ -318,8 +358,8 @@ object OracleSql {
          FROM lineitem GROUP BY l_returnflag""",
 
     "q22_first_last" ->
-      """SELECT o_custkey,
-         arg_min(epoch_ms(o_orderdate)//1000, o_orderkey) AS first_order_epoch,
+      s"""SELECT o_custkey,
+         arg_min(${epochS("o_orderdate")}, o_orderkey) AS first_order_epoch,
          arg_max(o_totalprice, o_orderkey) AS last_order_price,
          MIN(o_orderkey) AS first_orderkey
          FROM orders GROUP BY o_custkey""",
@@ -363,9 +403,12 @@ object OracleSql {
            CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jaccard
          FROM pairs""",
 
-    // cosine mirrors GraftKernels.cosine's DEFINED EDGES: zero-norm or
+    // cosine mirrors GraftKernels.cosine's DEFINED EDGES: empty /
+    // length-mismatched / null-element vectors, zero-norm, or
     // non-finite → 0.0 (not NULL/NaN — NaN sorts ABOVE all values in
-    // DuckDB, which would crown a corrupt row rank-1 for every query)
+    // DuckDB, which would crown a corrupt row rank-1 for every query;
+    // and list_sum SKIPS null elements, which would silently score a
+    // partial cosine where the kernel pins the corrupt row to 0.0)
     "q27_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -374,11 +417,15 @@ object OracleSql {
              list_sum(list_transform(list_zip(qv, cv),
                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
              list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-             list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+             list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb,
+             (len(qv) = 0 OR len(qv) <> len(cv)
+              OR len(list_filter(qv, x -> x IS NULL)) > 0
+              OR len(list_filter(cv, x -> x IS NULL)) > 0) AS corrupt
            FROM q, c WHERE neighbor_id <> query_id),
          scored AS (
            SELECT query_id, neighbor_id,
-             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             CASE WHEN corrupt THEN 0.0
+                  WHEN na = 0 OR nb = 0 THEN 0.0
                   WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
                   ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
            FROM dotn),
@@ -420,12 +467,17 @@ object OracleSql {
            - LENGTH(REPLACE(regexp_replace(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '#', 'g'), '#', '')) AS n_tokens_bpe
          FROM documents""",
 
+    // NULL-text guard: the kernel propagates NULL (StaticInvoke
+    // propagateNull), while list_prepend(0, NULL) = [0] would reduce
+    // to fp 0 — conflating a null doc with one whose fingerprint is
+    // genuinely 0
     "q32_fingerprint" ->
       s"""SELECT doc_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-           generate_series(1, LENGTH($normText)),
-           i -> CAST(ascii($normText[i]) AS BIGINT))),
-           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+                generate_series(1, LENGTH($normText)),
+                i -> CAST(ascii($normText[i]) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp
          FROM documents""",
 
     // q25: the benched entry pins the md5-derived word hash (lower 64
@@ -590,9 +642,9 @@ object OracleSql {
     // collapse into one NULL shard group); the surfaced shard_chars
     // stays SUM(n_chars) raw — both engines' SUM skips nulls
     "q68_shard_pack" ->
-      """WITH t AS (SELECT doc_id, n_chars,
+      s"""WITH t AS (SELECT doc_id, n_chars,
                  GREATEST(COALESCE(n_chars, 0), 0) AS w,
-                 doc_id % 32 AS salt FROM documents),
+                 ${pmod("doc_id", 32)} AS salt FROM documents),
          c AS (SELECT doc_id, n_chars, w, salt,
                  SUM(w) OVER (PARTITION BY salt ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
@@ -659,12 +711,12 @@ object OracleSql {
     // watermark is millisecond-truncated in Spark, window ends are
     // integral seconds, so the seconds-level compare below is exact.
     "q34_tumbling_stream" ->
-      """SELECT (epoch_ms(ts)//1000//300)*300 AS window_start, event_type,
+      s"""SELECT ${bucketS("ts", 300)} AS window_start, event_type,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2
-         HAVING (epoch_ms(ts)//1000//300)*300 + 300
-                <= (SELECT epoch_ms(max(ts))//1000 - 600 FROM events)""",
+         HAVING ${bucketS("ts", 300)} + 300
+                <= (SELECT ${epochS("max(ts)")} - 600 FROM events)""",
 
     // (q54_sql_stream aliases q34's oracle — see `sql` below: the two
     // queries compute the identical watermark-final windows, and a
@@ -677,7 +729,7 @@ object OracleSql {
     // the last falls outside it); session end = last event + gap;
     // emitted ⇔ end ≤ final watermark (max(ts) ms-truncated, - grace).
     "q44_session_stream" ->
-      """WITH e AS (SELECT user_id, event_id, ts FROM events),
+      s"""WITH e AS (SELECT user_id, event_id, ts FROM events),
          f AS (SELECT user_id, ts, event_id,
                  CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
@@ -689,8 +741,8 @@ object OracleSql {
          s AS (SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS t0, MAX(ts) AS t1
                FROM g GROUP BY user_id, sid)
          SELECT user_id, n_events,
-                epoch_ms(t0)//1000 AS session_start,
-                epoch_ms(t1)//1000 + 1800 AS session_end
+                ${epochS("t0")} AS session_start,
+                ${epochS("t1")} + 1800 AS session_end
          FROM s
          WHERE epoch_us(t1) + 1800000000
                <= (SELECT epoch_ms(max(ts))*1000 - 600000000 FROM events)""",
@@ -701,7 +753,7 @@ object OracleSql {
     // sums are exact regardless of association order; buf_avg is the
     // same single exactly-rounded IEEE division both engines perform.
     "q43_rows_buffer" ->
-      """WITH e AS (SELECT user_id AS key, epoch_ms(ts)//1000 AS ord,
+      s"""WITH e AS (SELECT user_id AS key, ${epochS("ts")} AS ord,
                     event_id, round(value*10000, 0) AS v FROM events),
          w AS (SELECT key, event_id,
                  COUNT(*) OVER win AS buf_n,
@@ -730,7 +782,8 @@ object OracleSql {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax_amt
          FROM lineitem GROUP BY l_returnflag""",
 
-    // same kernel-edge mirror as q27: zero-norm / non-finite → 0.0
+    // same kernel-edge mirror as q27: empty / length-mismatch /
+    // null-element / zero-norm / non-finite → 0.0
     // (NaN >= 0.3 is TRUE under DuckDB's NaN ordering — phantom pairs)
     "q38_embed_dedup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -739,11 +792,15 @@ object OracleSql {
              list_sum(list_transform(list_zip(a.embedding, b.embedding),
                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
              list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-             list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+             list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb,
+             (len(a.embedding) = 0 OR len(a.embedding) <> len(b.embedding)
+              OR len(list_filter(a.embedding, x -> x IS NULL)) > 0
+              OR len(list_filter(b.embedding, x -> x IS NULL)) > 0) AS corrupt
            FROM e a JOIN e b ON a.vec_id < b.vec_id),
          p AS (
            SELECT id_a, id_b,
-             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             CASE WHEN corrupt THEN 0.0
+                  WHEN na = 0 OR nb = 0 THEN 0.0
                   WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
                   ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
            FROM dotn)
@@ -766,36 +823,39 @@ object OracleSql {
            i -> CAST(('0x' || substr(hex(encode(text)), (i-1)*2+1, 2)) AS INTEGER) / 255.0)), 0.0), 4) AS f0
          FROM documents""",
 
+    // pmod throughout: the synth formulas these mirror derive from
+    // Math.floorMod on the JVM side (Multimodal.scala), so a negative
+    // doc_id would diverge under DuckDB's sign-preserving %
     "q71_image_decode" ->
-      """SELECT doc_id AS media_id,
-         CAST(doc_id % 13 + 4 AS INTEGER) AS header_w,
-         CAST(doc_id % 7 + 4 AS INTEGER) AS header_h,
-         CAST(doc_id % 13 + 4 AS INTEGER) AS width_px,
-         CAST(doc_id % 7 + 4 AS INTEGER) AS height_px,
-         CAST(doc_id % 13 + 3 AS DOUBLE) / 2 AS mean_r,
-         CAST(doc_id % 256 AS DOUBLE) AS mean_g,
-         CAST(n_chars % 256 AS DOUBLE) AS mean_b
+      s"""SELECT doc_id AS media_id,
+         CAST(${pmod("doc_id", 13)} + 4 AS INTEGER) AS header_w,
+         CAST(${pmod("doc_id", 7)} + 4 AS INTEGER) AS header_h,
+         CAST(${pmod("doc_id", 13)} + 4 AS INTEGER) AS width_px,
+         CAST(${pmod("doc_id", 7)} + 4 AS INTEGER) AS height_px,
+         CAST(${pmod("doc_id", 13)} + 3 AS DOUBLE) / 2 AS mean_r,
+         CAST(${pmod("doc_id", 256)} AS DOUBLE) AS mean_g,
+         CAST(${pmod("n_chars", 256)} AS DOUBLE) AS mean_b
          FROM documents""",
 
     "q72_audio_decode" ->
-      """SELECT doc_id AS media_id,
-         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS header_rate,
-         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate_hz,
-         CAST(doc_id % 100 + 50 AS BIGINT) AS n_frames,
-         CAST((n_chars % 100 + 1) * 50 AS INTEGER) AS peak,
-         CAST((n_chars % 100 + 1) * 50 AS DOUBLE) AS mean_abs
+      s"""SELECT doc_id AS media_id,
+         CAST(8000 + (${pmod("doc_id", 8)}) * 1000 AS INTEGER) AS header_rate,
+         CAST(8000 + (${pmod("doc_id", 8)}) * 1000 AS INTEGER) AS rate_hz,
+         CAST(${pmod("doc_id", 100)} + 50 AS BIGINT) AS n_frames,
+         CAST((${pmod("n_chars", 100)} + 1) * 50 AS INTEGER) AS peak,
+         CAST((${pmod("n_chars", 100)} + 1) * 50 AS DOUBLE) AS mean_abs
          FROM documents""",
 
     "q73_video_frames" ->
-      """SELECT doc_id AS media_id,
+      s"""SELECT doc_id AS media_id,
          CAST(fi AS INTEGER) AS frame_idx,
-         CAST((doc_id + fi) % 13 + 4 AS INTEGER) AS width_px,
-         CAST((doc_id + fi) % 7 + 4 AS INTEGER) AS height_px,
-         CAST((doc_id + fi) % 13 + 3 AS DOUBLE) / 2 AS mean_r,
-         CAST((doc_id + fi) % 256 AS DOUBLE) AS mean_g,
-         CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         CAST(${pmod("doc_id + fi", 13)} + 4 AS INTEGER) AS width_px,
+         CAST(${pmod("doc_id + fi", 7)} + 4 AS INTEGER) AS height_px,
+         CAST(${pmod("doc_id + fi", 13)} + 3 AS DOUBLE) / 2 AS mean_r,
+         CAST(${pmod("doc_id + fi", 256)} AS DOUBLE) AS mean_g,
+         CAST(${pmod("n_chars", 256)} AS DOUBLE) AS mean_b
          FROM documents,
-           UNNEST(generate_series(0, CAST(doc_id % 5 + 2 AS BIGINT), 2)) AS t(fi)""",
+           UNNEST(generate_series(0, CAST(${pmod("doc_id", 5)} + 2 AS BIGINT), 2)) AS t(fi)""",
 
     "q40_topn_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
@@ -811,13 +871,13 @@ object OracleSql {
            AND o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')""",
 
     "q42_headers" ->
-      """SELECT event_id,
+      s"""SELECT event_id,
          event_type AS h_source,
          FALSE AS has_trace,
          'region,schema_ver,source' AS h_keys,
          'graft' AS h_job,
          FALSE AS region_removed,
-         CAST(user_id % 8 AS INTEGER) AS _partition,
+         CAST(${pmod("user_id", 8)} AS INTEGER) AS _partition,
          event_id AS _offset,
          epoch_ms(ts) AS _timestamp
          FROM events""",
@@ -828,17 +888,17 @@ object OracleSql {
          FROM lineitem GROUP BY l_returnflag""",
 
     "q46_sql_tumbling" ->
-      """SELECT event_type, COUNT(*) AS n_events,
-         (epoch_ms(ts)//1000//300)*300 AS window_start,
-         (epoch_ms(ts)//1000//300)*300 + 300 AS window_end
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         ${bucketS("ts", 300)} AS window_start,
+         ${bucketS("ts", 300)} + 300 AS window_end
          FROM events GROUP BY 1, 3, 4""",
 
     "q47_sql_sliding" ->
-      """SELECT event_type, COUNT(*) AS n_events,
+      s"""SELECT event_type, COUNT(*) AS n_events,
                 window_start, window_start + 600 AS window_end
          FROM (SELECT event_type,
-                 unnest(generate_series((epoch_ms(ts)//1000//300)*300 - 300,
-                                        (epoch_ms(ts)//1000//300)*300, 300)) AS window_start
+                 unnest(generate_series(${bucketS("ts", 300)} - 300,
+                                        ${bucketS("ts", 300)}, 300)) AS window_start
                FROM events)
          GROUP BY 1, 3""",
 
@@ -889,8 +949,8 @@ object OracleSql {
          FROM reach GROUP BY u""",
 
     "q55_asof_join" ->
-      """SELECT a.o_orderkey,
-         epoch_ms(MAX(b.o_orderdate))//1000 AS prev_epoch
+      s"""SELECT a.o_orderkey,
+         ${epochS("MAX(b.o_orderdate)")} AS prev_epoch
          FROM orders a JOIN orders b
            ON a.o_custkey = b.o_custkey
           AND b.o_orderdate < a.o_orderdate
@@ -898,10 +958,10 @@ object OracleSql {
          GROUP BY a.o_orderkey""",
 
     "q51_sql_headers" ->
-      """SELECT event_id AS _offset, CAST(event_id % 8 AS INTEGER) AS _partition,
+      s"""SELECT event_id AS _offset, CAST(${pmod("event_id", 8)} AS INTEGER) AS _partition,
          'events' AS h_source, FALSE AS has_trace, 1 AS n_headers,
-         (epoch_ms(ts)//1000//3600)*3600 AS hour_bucket
-         FROM events WHERE event_id % 8 = 3"""
+         ${bucketS("ts", 3600)} AS hour_bucket
+         FROM events WHERE ${pmod("event_id", 8)} = 3"""
   )
 
   /** q70 forces the SAME closure as q57 down the distributed

@@ -242,13 +242,17 @@ object SparkEntry {
     //          (both price percentiles ride ONE percentile aggregate —
     //          one sorted pass over the column instead of two)
     "q16_percentiles" -> ((s, dir) => {
+      // interpolated percentiles ROUND(x,4) (matching the oracle and the
+      // float-stat parity rule): the two engines' linear interpolation
+      // can differ in the last ulp; percentile_disc is an actual data
+      // value and stays exact
       T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
         expr("median(l_quantity)").as("med_qty"),
         expr("percentile(l_extendedprice, array(0.25, 0.9))").as("_ps"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("pd50_qty"))
-        .select(col("l_returnflag"), col("med_qty"),
-          element_at(col("_ps"), 1).as("p25_price"),
-          element_at(col("_ps"), 2).as("p90_price"),
+        .select(col("l_returnflag"), round(col("med_qty"), 4).as("med_qty"),
+          round(element_at(col("_ps"), 1), 4).as("p25_price"),
+          round(element_at(col("_ps"), 2), 4).as("p90_price"),
           col("pd50_qty"))
     }),
 

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
+    // fail LOUDLY on a delete that didn't happen: the pre-run clear
+    // exists so a failing query can't green against its previous run's
+    // parquet — a silently-failed delete re-opens exactly that hole
+    if (!f.delete() && f.exists())
+      sys.error(s"could not delete stale output ${f.getAbsolutePath} — " +
+        "a broken query would silently pass against the previous run")
   }
   def main(args: Array[String]): Unit = {
     // a usage line, not a bare MatchError: Verify is the correctness-gate

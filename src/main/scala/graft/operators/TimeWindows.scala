@@ -47,8 +47,9 @@ object TimeWindows {
     * alignment cannot drift apart on a future timestamp-handling fix.
     * Seconds come from cast(ts AS LONG) — a floorDiv on the micros —
     * NOT unix_timestamp, which truncates toward zero: a pre-1970 event
-    * with a fractional second (-0.5s) would bucket one window late and
-    * diverge from the flooring DuckDB oracle (epoch_ms // 1000). */
+    * with a fractional second (-0.5s) would bucket one window late.
+    * The DuckDB oracle floors through OracleSql.epochS/bucketS (bare
+    * `//` there TRUNCATES too — both sides pin flooring explicitly). */
   private def epochBucket(tsCol: String, stepSeconds: Long): Column =
     (floor(col(tsCol).cast("long") / stepSeconds) * stepSeconds).cast("long")
 

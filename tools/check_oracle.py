@@ -25,14 +25,43 @@ def canon(df):
             df[c] = df[c].where(df[c].notna(), "\x00<NULL>\x00").astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
+def null_nan_profile(tbl):
+    """Per-column (n_null, n_nan) from an Arrow table — pandas float64
+    collapses SQL NULL and NaN both to NaN, so the row-wise compare
+    below can't tell them apart; this multiset-level profile can."""
+    import pyarrow.compute as pc
+    prof = {}
+    for i, c in enumerate(tbl.column_names):
+        col = tbl.column(i)
+        n_null = col.null_count
+        n_nan = 0
+        if pa_types.is_floating(col.type):
+            n_nan = pc.sum(pc.is_nan(pc.drop_null(col.combine_chunks()))).as_py() or 0
+        prof[c] = (n_null, n_nan)
+    return prof
+
+import pyarrow.parquet as pq_mod
+import pyarrow.types as pa_types
+
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
     try:
-        got = canon(pd.read_parquet(spark_path))
-        want = canon(con.execute(sql).df())
+        got_tbl = pq_mod.read_table(spark_path)
+        want_tbl = con.execute(sql).arrow()
+        got = canon(got_tbl.to_pandas())
+        want = canon(want_tbl.to_pandas())
     except Exception as e:
         fails.append((name, f"load/exec error: {e}"))
+        continue
+    # NULL-vs-NaN cross-check: a Spark NaN where the oracle has SQL NULL
+    # (corr on a zero-variance group, a NaN jaccard/cosine regression)
+    # is a REAL divergence the float compare below would mask
+    gp, wp = null_nan_profile(got_tbl), null_nan_profile(want_tbl)
+    nn_bad = [f"col {c}: spark(null={gp[c][0]},nan={gp[c][1]}) oracle(null={wp[c][0]},nan={wp[c][1]})"
+              for c in sorted(set(gp) & set(wp)) if gp[c] != wp[c]]
+    if nn_bad:
+        fails.append((name, f"NULL/NaN profile differs: {'; '.join(nn_bad)}"))
         continue
     if list(got.columns) != list(want.columns):
         fails.append((name, f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"))
@@ -88,4 +117,10 @@ for name in sorted(rows_only):
     except Exception as e:
         print(f"ROWS-ONLY {name}: read error {e}")
         fails.append((name, f"read error: {e}"))
+# an EMPTY run must not read as green: a typo'd SPARK_GRAFT_QUERIES
+# subset filters everything out, leaving zero oracle entries and zero
+# rows-only entries — 'PASS 0' with exit 0 would look like a passed gate
+if not oracle and not rows_only:
+    print("FAIL <gate>: zero queries checked (typo'd SPARK_GRAFT_QUERIES subset?)")
+    sys.exit(1)
 sys.exit(1 if fails else 0)
