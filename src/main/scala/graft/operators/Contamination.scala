@@ -27,10 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  // last ngramOverlap call's cached candidate subtree (see
-  // LastCallCache for the lifetime contract)
-  private val lastCandidateCache = new LastCallCache
-
   /** (doc_id, bench_id, n_shared) for every corpus×benchmark pair
     * sharing ≥ `minShared` distinct word k-grams. Self-pairs (same id
     * in both frames) are excluded.
@@ -54,28 +50,32 @@ object Contamination {
       explode(Dedup.shingles(col(textCol), k)).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
-    // Persist the candidate subtree (corpus scan + shingle explode +
-    // semi-join) ONCE: both the DF aggregation and the final join reuse
-    // it, so the corpus is never scanned twice. Size is bounded by the
-    // bench-matching gram stream, not the corpus. The previous window
-    // (`count(1).over(partitionBy g)`) was a scale trap: window functions
-    // have NO map-side partial aggregation, so every occurrence of a hot
-    // boilerplate gram — exactly what maxDf exists to drop — shuffled to
-    // ONE task before the cap could filter it. groupBy has partial
-    // aggregation (no hot task), and its result is keyed by the
-    // eval-set-bounded gram space, so joining it back broadcasts.
-    // CONTRACT: one ACTIVE result at a time (LastCallCache releases the
-    // previous call's cache at call time). Because results are lazy,
-    // interleaving two unconsumed calls (a = ngramOverlap(...); b =
-    // ngramOverlap(...); a.union(b).write) silently strips `a`'s cache
-    // and recomputes its candidate subtree — correct answers, but an
-    // extra full-corpus pass. Consume (or persist) each result before
-    // the next call; same contract as Dedup.duplicatedSpanStats.
-    val candidate = lastCandidateCache(
-      cg.join(bg.select("g").distinct(), Seq("g"), "left_semi"))
-    val keptGrams = candidate.groupBy("g").agg(count(lit(1)).as("_df"))
+    // EXPLICIT broadcast of the bench gram set: bench is often passed
+    // as a filtered slice of the corpus (q64 does exactly that), and
+    // Spark's size-only estimator passes a Filter's child size through
+    // unchanged — so the planner would estimate bg at corpus scale and
+    // sort-merge this semi-join, shuffle-writing the ENTIRE exploded
+    // corpus gram stream before AQE could downgrade it. The hint keeps
+    // the documented contract: the corpus never shuffles.
+    // Two kernel passes over the corpus by design, NO per-occurrence
+    // persist: the bench-matching occurrence stream is Σ_g∈bench DF(g)
+    // rows — corpus-proportional for common grams ('of the and' has
+    // DF ~10^8 at 10^10 docs), so materializing it to executor storage
+    // would write terabytes that the very next operation (the maxDf
+    // cap) throws away. Pass 1 aggregates DF per gram with map-side
+    // partial aggregation (the shuffle carries (gram, count), never
+    // occurrences); pass 2 re-shingles filtered to the CAPPED gram set,
+    // so the only per-occurrence rows that ever flow are the
+    // ≤ maxDf × |bench grams| survivors.
+    // The previous window (`count(1).over(partitionBy g)`) was a scale
+    // trap: window functions have NO map-side partial aggregation, so
+    // every occurrence of a hot boilerplate gram — exactly what maxDf
+    // exists to drop — shuffled to ONE task before the cap could filter.
+    val benchGrams = bg.select("g").distinct()
+    val keptGrams = cg.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("g")
-    val kept = candidate.join(broadcast(keptGrams), Seq("g"))
+    val kept = cg.join(broadcast(keptGrams), Seq("g"))
     // null-SAFE self-pair exclusion: plain =!= evaluates to NULL when
     // either id is NULL and where() would silently drop the pair — a
     // null-id corpus doc sharing grams with a benchmark doc is still

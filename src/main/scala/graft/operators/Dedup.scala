@@ -45,7 +45,7 @@ object Dedup {
     * design: two (null, null) records are indistinguishable tuples,
     * and the DuckDB oracle groups them identically. */
   private def contentHash(textCol: String, idCol: String): Column = {
-    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val norm = TextAnalysis.normText(col(textCol))
     when(col(textCol).isNull,
       unhex(md5(concat(lit("graft\u0000null\u0000"), col(idCol).cast("string")))))
       .otherwise(unhex(md5(concat(lit("graft\u0000text\u0000"), norm))))
@@ -84,7 +84,7 @@ object Dedup {
 
   /** Interpreted HOF shingles — parity-test oracle only. */
   private[graft] def shinglesHof(textCol: Column, k: Int): Column = {
-    val words = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+    val words = TextAnalysis.words(textCol)
     val n = size(words)
     // slide a k-window over words; when fewer than k words, one shingle of all
     val idx = sequence(lit(0), greatest(n - k, lit(0)))
@@ -165,7 +165,7 @@ object Dedup {
 
   /** Interpreted HOF simhash — parity-test oracle only. */
   private[graft] def simhashHof(textCol: Column): Column = {
-    val words = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+    val words = TextAnalysis.words(textCol)
     val hashes = transform(words, w => xxhash64(w))
     val bits = (0 until 64).map { i =>
       val votes = aggregate(hashes, lit(0L),

@@ -98,6 +98,12 @@ object Joins {
                leftTs: Column, rightTs: Column,
                lowerSeconds: Long, upperSeconds: Long,
                joinType: String = "inner"): DataFrame = {
+    // fail at the call site (sibling-operator convention): an inverted
+    // band — swapped arguments intending [-x, +x] — makes the condition
+    // unsatisfiable, and a multi-hour join would run to completion and
+    // report zero (inner) or all-null (outer) rows with no error
+    require(lowerSeconds <= upperSeconds,
+      s"interval band is empty: lowerSeconds ($lowerSeconds) > upperSeconds ($upperSeconds)")
     val band = rightTs >= leftTs + expr(s"INTERVAL $lowerSeconds SECOND") &&
       rightTs <= leftTs + expr(s"INTERVAL $upperSeconds SECOND")
     left.join(right, keyCond && band, joinType)
@@ -111,24 +117,41 @@ object Joins {
     * Realization: a time-band equi-join generates the bounded candidate
     * set (tolerance caps state/skew — an unbounded as-of would carry all
     * history), then a per-left-row rank keeps the latest. The rank
-    * partitions by left row id: millions of tiny partitions spread
-    * across reducers — no hot task.
+    * partitions by a minted per-ROW id (not `leftId`, which may carry
+    * duplicates or nulls): millions of tiny partitions spread across
+    * reducers — no hot task, and one output row per left input row.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, toleranceSeconds: Long,
            leftId: String, strict: Boolean = false,
            keepUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a negative tolerance makes the band unsatisfiable (same silent-
+    // empty failure the interval() guard rejects)
+    require(toleranceSeconds >= 0,
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds")
+    // reserved working column, same convention as the window operators
+    require(!left.columns.exists(_.equalsIgnoreCase("_asof_row")),
+      "asOf: left side must not carry the reserved working column _asof_row")
+    // Rank partitions by a PER-ROW id minted before the join, not by
+    // leftId: duplicate leftId values (an append/reload duplicate) or
+    // null ids (ONE window partition for all of them) would merge
+    // several left rows' candidate sets and row_number()===1 would
+    // silently collapse them into one output row — violating the
+    // 'for each left row' contract. The minted id only isolates rows
+    // (its values never reach the output), so plan-dependent id
+    // assignment cannot change the result set.
+    val leftRow = left.withColumn("_asof_row", monotonically_increasing_id())
     val upper =
-      if (strict) right(rightTs) < left(leftTs) // self-join enrichment: prior rows only
-      else right(rightTs) <= left(leftTs)
+      if (strict) right(rightTs) < leftRow(leftTs) // self-join enrichment: prior rows only
+      else right(rightTs) <= leftRow(leftTs)
     // keepUnmatched = pandas merge_asof semantics: every left row
     // survives, null-enriched when no right row lands in the tolerance
     // band. Default false preserves the inner behavior q55 oracles.
     val joinType = if (keepUnmatched) "left_outer" else "inner"
-    val cand = left.join(right,
-      left(key) === right(key) && upper &&
-        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"),
+    val cand = leftRow.join(right,
+      leftRow(key) === right(key) && upper &&
+        right(rightTs) >= leftRow(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"),
       joinType)
       .drop(right(key))
     // Equal-timestamp right rows would otherwise tie in the rank and the
@@ -150,10 +173,10 @@ object Joins {
     val tieCols = right.schema.fields
       .filter(f => f.name != key && hashable(f.dataType)).map(f => right(f.name))
     val rightTieBreak = if (tieCols.nonEmpty) xxhash64(tieCols.toSeq: _*) else lit(0L)
-    val w = Window.partitionBy(left(leftId))
+    val w = Window.partitionBy(col("_asof_row"))
       .orderBy(right(rightTs).desc_nulls_last, rightTieBreak.asc)
     cand.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1).drop("_rk")
+      .where(col("_rk") === 1).drop("_rk", "_asof_row")
   }
 
   /** Skew-safe shuffle equi-join for when one join key is hot enough to

@@ -24,13 +24,28 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
     "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"))
 
+  /** The ONE Column-side copy of the text normalization rule
+    * (lower → collapse runs of whitespace → trim) — the twin of the
+    * kernel-side GraftKernels.normText and the oracle-side
+    * OracleSql.normText. Every Column-path consumer (words,
+    * qualityMetrics, the HOF parity oracles, Dedup.contentHash) must
+    * normalize through here: hand-rolled copies had already diverged
+    * in operand order, and a future rule change applied to one copy
+    * would silently desync e.g. mean_word_len's numerator from its
+    * word-count denominator, or the parity oracles from the kernels
+    * they replay. (lower commutes with the whitespace steps — no
+    * case mapping produces or consumes whitespace — so unifying the
+    * historical orderings changes nothing.) */
+  private[graft] def normText(textCol: Column): Column =
+    trim(regexp_replace(lower(textCol), "\\s+", " "))
+
   /** NOTE: on empty / whitespace-only text this yields `[""]` (split
     * with limit -1 never returns an empty array) — every token of
     * NON-degenerate text is non-empty, but counting surfaces must use
     * [[nonEmptyWords]] or a zero-content document reports one phantom
     * word. */
   def words(textCol: Column): Column =
-    split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+    split(normText(textCol), " ")
 
   /** `words` minus the phantom empty token a zero-content document
     * produces — the correct basis for word COUNTS. */
@@ -43,28 +58,37 @@ object TextAnalysis {
     hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
   }
 
+  /** LET-BINDING via a single-element transform: evaluates `bound`
+    * ONCE per row and hands it to `body` as a lambda argument — naively
+    * referencing a shared Column `val` twice would inline its whole
+    * expression tree into every use, and the HOF trees are
+    * CodegenFallback with LambdaVariables, so neither codegen nor
+    * subexpression elimination saves the duplicate work. */
+  private def letBound(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   /** Best-scoring language, 'und' when all scores are 0. */
   def langId(textCol: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    // LET-BINDING via a single-element transform: `words()` (regex
-    // collapse + lower + trim + split) is evaluated ONCE per row and
-    // bound as the lambda argument — naively referencing a shared
-    // `words(textCol)` val would inline the whole normalization tree
-    // into all 8 uses (4 languages × filter + denominator), and the HOF
-    // trees are CodegenFallback so no subexpression elimination saves it.
+    // two nested let-bindings: words() (regex collapse + lower + trim +
+    // split) is computed once per row, AND the scored argmax struct is
+    // computed once — the final when() reads `best` twice, which
+    // without the inner binding would re-run all four language scans
+    // (the whole scoring pipeline, twice per row, on the hot path of a
+    // 100 TB curation pass).
     // array_max over struct orders lexicographically (score, then lang):
     // ties break toward the lexicographically LAST language — encode the
     // tie-break explicitly to keep the oracle trivially replayable.
-    val best = element_at(
-      transform(array(words(textCol)), ws => {
-        val scored = langs.map { l =>
-          val hits = size(filter(ws, w => stopwords(l).map(s => w === s).reduce(_ || _)))
-          struct((hits.cast("double") / greatest(size(ws), lit(1)).cast("double")).as("s"),
-            lit(l).as("l"))
-        }
-        array_max(array(scored: _*))
-      }), 1)
-    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+    letBound(words(textCol)) { ws =>
+      val scored = langs.map { l =>
+        val hits = size(filter(ws, w => stopwords(l).map(s => w === s).reduce(_ || _)))
+        struct((hits.cast("double") / greatest(size(ws), lit(1)).cast("double")).as("s"),
+          lit(l).as("l"))
+      }
+      letBound(array_max(array(scored: _*))) { best =>
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+      }
+    }
   }
 
   /** Quality metrics: length, word count, mean word length, punctuation
@@ -73,11 +97,11 @@ object TextAnalysis {
     */
   def qualityMetrics(textCol: Column): Seq[(String, Column)] = {
     val len = length(textCol).cast("double")
-    // collapse-then-trim, the SAME normalization order as words(): trim
-    // strips only ' ', so trimming BEFORE the collapse leaves a leading
-    // "\t"/"\n" as a phantom character and inflates mean_word_len on
+    // normalized through the SAME shared rule as words(): trim strips
+    // only ' ', so trimming BEFORE the collapse would leave a leading
+    // "\t"/"\n" as a phantom character and inflate mean_word_len on
     // exactly the whitespace-framed text a crawl corpus is full of
-    val nlen = length(trim(regexp_replace(lower(textCol), "\\s+", " "))).cast("double")
+    val nlen = length(normText(textCol)).cast("double")
     val ws = words(textCol)
     // counts use the non-empty basis: an empty document has 0 words, not
     // the 1 phantom token split() yields (see words() note)
@@ -108,10 +132,14 @@ object TextAnalysis {
     * oracle replays exactly this rule, so "fixing" the regex to a
     * plain \w+ run count would silently break oracle parity.
     */
-  def tokenCountBpe(textCol: Column): Column = {
-    val cleaned = regexp_replace(textCol, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]", "#")
-    length(cleaned) - length(regexp_replace(cleaned, "#", ""))
-  }
+  // regexp_count: one regex pass, no rewritten copy of the document
+  // materialized — the previous replace-then-length-diff shape ran two
+  // full regexp_replace passes per row for the same count (identical
+  // non-overlapping match semantics and NULL propagation, so the q31
+  // oracle — which keeps the independent length-diff formulation — is
+  // unaffected)
+  def tokenCountBpe(textCol: Column): Column =
+    regexp_count(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
   /** Gopher-style repetition metrics — the second tier of quality
     * filtering after `qualityMetrics`' cheap ratios: documents dominated
@@ -223,7 +251,7 @@ object TextAnalysis {
 
   /** Interpreted HOF fingerprint — parity-test oracle only. */
   private[graft] def fingerprintHof(textCol: Column): Column = {
-    val norm = lower(trim(regexp_replace(textCol, "\\s+", " ")))
+    val norm = normText(textCol)
     val codes = transform(sequence(lit(1), length(norm)),
       i => ascii(norm.substr(i, lit(1))).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)

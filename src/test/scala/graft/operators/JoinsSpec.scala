@@ -45,6 +45,37 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     assert(picks.head.size == 1 && picks.distinct.size == 1)
   }
 
+  test("asOf: duplicate and null leftId values each keep their own output row") {
+    import spark.implicits._
+    // two trades share trade_id 1 and one has a null id: the rank must
+    // partition per ROW, not per id value — keying by leftId would
+    // silently collapse all three into one enrichment row
+    val trades = Seq(
+      (Some(1L), "AAPL", ts(100)), (Some(1L), "AAPL", ts(205)), (None, "AAPL", ts(210))
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("AAPL", ts(90), 10.0), ("AAPL", ts(200), 11.0)
+    ).toDF("sym", "q_ts", "px")
+    val out = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
+      toleranceSeconds = 1000L, leftId = "trade_id")
+      .collect().map(r => (Option(r.getAs[java.lang.Long]("trade_id")).map(_.toLong),
+        r.getAs[Timestamp]("t_ts").getTime / 1000L, r.getAs[Double]("px")))
+    assert(out.toSet == Set(
+      (Some(1L), 100L, 10.0), (Some(1L), 205L, 11.0), (None, 210L, 11.0)))
+  }
+
+  test("asOf and interval reject unsatisfiable bands at the call site") {
+    import spark.implicits._
+    val df = Seq((1L, "A", ts(1))).toDF("id", "k", "t")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(df, df, "k", "t", "t", toleranceSeconds = -1L, leftId = "id")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.interval(df, df, df("k") === df("k"), df("t"), df("t"),
+        lowerSeconds = 300L, upperSeconds = -300L)
+    }
+  }
+
   test("saltedJoin rejects non-positive salt instead of silent data loss") {
     import spark.implicits._
     val f = Seq((1L, "x")).toDF("k", "v")
