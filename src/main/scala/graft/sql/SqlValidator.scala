@@ -100,7 +100,7 @@ object SqlValidator {
       * types, and illegal casts all surface at analysis, pre-deploy,
       * without re-running the analyzer on the same query text. */
     def analyzeWithDeclared(s: SelectStmt, cols: Vector[(String, String)]): Unit = {
-      val df = sess.sql(toSparkSql(s, ctx.defaultTimeCol))
+      val df = sess.sql(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol))
       df.queryExecution.analyzed
       if (cols.nonEmpty) VeloContext.applyDeclaredColumns(df, cols)
       checkInto(s)
@@ -115,7 +115,7 @@ object SqlValidator {
 
     def validateBody(stmt: VeloStatement): Unit = stmt match {
       case Select(s) =>
-        analyze(toSparkSql(s, ctx.defaultTimeCol))
+        analyze(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol))
         checkInto(s)
       // render the WHOLE union: branch-by-branch validation misses
       // column-count/type mismatches BETWEEN branches
@@ -135,7 +135,7 @@ object SqlValidator {
         // so row-arity mismatches and unresolvable VALUES expressions
         // fail here, not at execution
         val incoming: Option[Seq[String]] = selOpt match {
-          case Some(s) => Some(analyze(toSparkSql(s, ctx.defaultTimeCol)))
+          case Some(s) => Some(analyze(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol)))
           case None if values.nonEmpty =>
             val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
             val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
@@ -235,7 +235,7 @@ object SqlValidator {
       try {
         val prior = if (spark.catalog.tableExists(name)) Some(spark.table(name)) else None
         val df = VeloContext.applyDeclaredColumns(
-          spark.sql(toSparkSql(s, ctx.defaultTimeCol)), cols).limit(0)
+          spark.sql(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol)), cols).limit(0)
         df.createOrReplaceTempView(name)
         placeholders ::= (name, prior)
       } catch { case NonFatal(_) => () }

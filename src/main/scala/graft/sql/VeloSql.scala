@@ -96,12 +96,22 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   def register(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Event-time column per registered stream view — the WITHIN band
+    * renderer must reference the WATERMARKED column of each side, not
+    * the context default (names can diverge, and a same-named
+    * non-event-time column would silently band on the wrong values). */
+  private val streamTsCols = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[sql] def streamTimeCol(table: String): Option[String] =
+    streamTsCols.get(table.toLowerCase(java.util.Locale.ROOT))
+
   /** Register a STREAMING source (readStream/MemoryStream DataFrame)
     * under `name`, with the watermark the reference attaches via its
     * grace-period config (docs/sql/watermarks-time-semantics.md).
     * Dialect queries over this view produce streaming plans. */
-  def registerStream(name: String, stream: DataFrame, tsCol: String, grace: String): Unit =
+  def registerStream(name: String, stream: DataFrame, tsCol: String, grace: String): Unit = {
     stream.withWatermark(tsCol, grace).createOrReplaceTempView(name)
+    streamTsCols.put(name.toLowerCase(java.util.Locale.ROOT), tsCol)
+  }
 
   /** Execute a dialect SELECT with streaming semantics: EMIT CHANGES →
     * update-mode changelog sink, EMIT FINAL (default for windowed aggs)
@@ -109,16 +119,36 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * executors write shards directly, nothing lands on the driver. */
   def sqlStream(text: String): String = parseStatement(text) match {
     case Select(s) =>
-      var df = spark.sql(toSparkSql(s, defaultTimeCol))
+      var df = spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol))
       // Message-key routing in the streaming sink too (FR-089): explicit
       // PRIMARY KEY fields, else the GROUP BY columns auto-key (the
       // reference's fallback) — each micro-batch repartitions on the key
       // so one key's records share an output shard, in order.
       val routeKeys = VeloContext.routedKeys(s, Vector.empty).filter(df.columns.contains)
       if (routeKeys.nonEmpty) df = df.repartition(routeKeys.map(col): _*)
+      // honor a declared INTO sink: without this the stream landed only
+      // in the internal temp epoch dir and the declared sink never
+      // received a row (the exact hazard resolveIntoSinkPath documents
+      // for the JobManager path, previously unfixed on this entry point)
+      val sink = s.into.iterator.flatMap(sinkFilePath(_, s.props)).nextOption()
       s.emit match {
-        case Some(EmitChanges) => graft.streaming.StreamOps.runChangelog(df, "velo_sql")
-        case _ => graft.streaming.StreamOps.runToParquet(df, "velo_sql")
+        case Some(EmitChanges) => s.window match {
+          // Spark rejects update-mode session_window aggregation
+          // outright — route to the append/watermark-final path, which
+          // emits each session exactly once at close (a valid changelog
+          // of FINALIZED sessions; documented approximation, not a crash)
+          case Some(_: VeloSqlParser.Session) =>
+            graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink)
+          case _ => graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink)
+        }
+        case _ =>
+          // a NON-windowed continuous aggregate cannot run in append
+          // mode (no event-time window ever closes its groups — Spark
+          // throws); the reference's default emission for it is
+          // changelog-style updates, so route it there instead of dying
+          if (s.groupBy.nonEmpty && s.window.isEmpty)
+            graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink)
+          else graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink)
       }
     case other => throw new ParseException(s"sqlStream expects a SELECT, got $other")
   }
@@ -145,8 +175,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   /** Render any statement's query core to Spark SQL text. */
   private[sql] def renderSql(stmt: VeloStatement): String = stmt match {
-    case Select(s) => toSparkSql(s, defaultTimeCol)
-    case u: Union => u.render(toSparkSql(_, defaultTimeCol))
+    case Select(s) => toSparkSql(s, defaultTimeCol, streamTimeCol)
+    case u: Union => u.render(toSparkSql(_, defaultTimeCol, streamTimeCol))
     case WithCtes(ctes, body, recursive) =>
       (if (recursive) "WITH RECURSIVE " else "WITH ") +
         ctes.map { case (n, s) => s"$n AS (${renderSql(s)})" }
@@ -339,7 +369,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // one outcome the clause exists to prevent
       if (props.get("if_not_exists").contains("true") && spark.catalog.tableExists(name))
         return spark.table(name)
-      var df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
+      var df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol)), cols)
       // dialect-level error, not a raw Spark one from cache()/count()
       // deep below — and failing BEFORE the CacheManager registration,
       // which would otherwise keep the doomed plan. (CSAS handles
@@ -349,8 +379,14 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           "use CREATE STREAM ... AS or START JOB")
       // 'retention' = '7 days': keep only records inside the window
       // (reference CompactTable retention, comprehensive-sql-ctas-guide
-      // .md:198) — applied against the table's event-time column
-      props.get("retention").flatMap(VeloContext.durationSeconds).foreach { sec =>
+      // .md:198) — applied against the table's event-time column.
+      // An UNPARSEABLE retention value throws: silently skipping the
+      // filter (the old flatMap) left the table retaining all history —
+      // unbounded growth with no error anywhere
+      props.get("retention").map { r =>
+        VeloContext.durationSeconds(r).getOrElse(throw new ParseException(
+          s"unrecognized 'retention' duration '$r' (use e.g. '7 days', '30 minutes', '1h')"))
+      }.foreach { sec =>
         val tsCol = Seq(defaultTimeCol, "ts", "event_time", "_timestamp")
           .find(df.columns.contains)
         tsCol.foreach { c =>
@@ -397,7 +433,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case CreateStreamAs(name, s, props, cols) =>
       if (props.get("if_not_exists").contains("true") && spark.catalog.tableExists(name))
         return spark.table(name)
-      val df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol)), cols)
+      val df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol)), cols)
       df.createOrReplaceTempView(name)
       // INTO sink[, sink…]: fan the stream out to every named sink
       // whose path is resolvable — from its CREATE SINK declaration or
@@ -428,7 +464,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case InsertInto(table, cols, selOpt, values) =>
       val existing = spark.table(table)
       val incoming: DataFrame = selOpt match {
-        case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol))
+        case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol))
         case None =>
           val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
           val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
@@ -613,8 +649,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 
   /** The Spark SQL a statement translates to (for plan inspection). */
   def explainSql(text: String): String = parseStatement(text) match {
-    case CreateTableAs(_, s, _, _) => toSparkSql(s, defaultTimeCol)
-    case CreateStreamAs(_, s, _, _) => toSparkSql(s, defaultTimeCol)
+    case CreateTableAs(_, s, _, _) => toSparkSql(s, defaultTimeCol, streamTimeCol)
+    case CreateStreamAs(_, s, _, _) => toSparkSql(s, defaultTimeCol, streamTimeCol)
     // queries (Select, Union, WithCtes) all render — a raw AST
     // toString would break the "Spark SQL it translates to" contract
     case q @ (Select(_) | _: Union | _: WithCtes) => renderSql(q)
@@ -639,7 +675,12 @@ object VeloContext {
       }
       i += 1
     }
-    if (asIdx >= 0 && asIdx + 1 < item.length) Some(item(asIdx + 1).text)
+    // backtick-stripped to match keyFields (the parser strips PRIMARY
+    // KEY names at record time) — a quoted alias `key` would otherwise
+    // never match its routing key and silently skip the per-key
+    // repartition the FR-089 ordering contract depends on
+    if (asIdx >= 0 && asIdx + 1 < item.length)
+      Some(item(asIdx + 1).text.stripPrefix("`").stripSuffix("`"))
     else {
       // the trailing-identifier fallback only holds for a BARE column
       // ref (`id`, `o.id`): for an unaliased expression like `a + b`
@@ -650,7 +691,7 @@ object VeloContext {
         item.zipWithIndex.forall { case (t, j) =>
           if (j % 2 == 0) t.kind == VeloSqlParser.TIdent else t.text == "."
         }
-      if (isBareRef) item.lastOption.map(_.text) else None
+      if (isBareRef) item.lastOption.map(_.text.stripPrefix("`").stripSuffix("`")) else None
     }
   }
 
@@ -738,18 +779,13 @@ object VeloContext {
 
   /** '7 days' / '30 minutes' / '1 hour' → seconds (config-prop durations,
     * e.g. CTAS 'retention'). */
-  def durationSeconds(s: String): Option[Long] = {
-    val parts = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    if (parts.length != 2) return None
-    val n = try parts(0).toLong catch { case _: NumberFormatException => return None }
-    parts(1).stripSuffix("s") match {
-      case "second" | "sec" => Some(n)
-      case "minute" | "min" => Some(n * 60)
-      case "hour" => Some(n * 3600)
-      case "day" => Some(n * 86400)
-      case _ => None
-    }
-  }
+  def durationSeconds(s: String): Option[Long] =
+    // the dialect's ONE duration grammar (parseDuration): a hand-rolled
+    // two-token parser here silently rejected forms the rest of the
+    // dialect accepts ('7d', '1 week', INTERVAL quoting) — and a
+    // rejected retention prop then skipped the filter entirely
+    try VeloSqlParser.parseDuration(VeloSqlParser.tokenize(s.trim))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Split a script into statements on semicolons outside string
     * literals; drops blank/comment-only fragments. */

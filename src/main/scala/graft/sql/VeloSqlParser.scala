@@ -115,10 +115,21 @@ object VeloSqlParser {
   case object EmitChanges extends EmitMode
   case object EmitFinal extends EmitMode
 
-  sealed trait WindowSpec { def timeCol: Option[String] }
-  final case class Tumbling(sizeSec: Long, timeCol: Option[String]) extends WindowSpec
-  final case class Sliding(sizeSec: Long, advanceSec: Long, timeCol: Option[String]) extends WindowSpec
-  final case class Session(gapSec: Long, timeCol: Option[String]) extends WindowSpec
+  /** `partitionCols`: the reference's trailing partition-key window
+    * arguments (SESSION(time, gap, partition_col) — session-windows.md).
+    * They become ADDITIONAL grouping keys at lowering: silently
+    * dropping them (the old behavior) merged time-adjacent sessions
+    * ACROSS keys whenever the query carried no matching GROUP BY. */
+  sealed trait WindowSpec {
+    def timeCol: Option[String]
+    def partitionCols: Seq[String]
+  }
+  final case class Tumbling(sizeSec: Long, timeCol: Option[String],
+                            partitionCols: Seq[String] = Nil) extends WindowSpec
+  final case class Sliding(sizeSec: Long, advanceSec: Long, timeCol: Option[String],
+                           partitionCols: Seq[String] = Nil) extends WindowSpec
+  final case class Session(gapSec: Long, timeCol: Option[String],
+                           partitionCols: Seq[String] = Nil) extends WindowSpec
 
   final case class JoinClause(joinType: String, table: String, alias: Option[String], on: Vector[Tok],
                               withinSeconds: Option[Long] = None)
@@ -836,6 +847,7 @@ object VeloSqlParser {
       // args: durations and/or a time-column identifier, in either order
       var durations = Vector.empty[Long]
       var timeCol: Option[String] = None
+      var pcols = Vector.empty[String]
       var more = true
       while (more) {
         val span = exprSpan(stopAtComma = true)
@@ -850,13 +862,16 @@ object VeloSqlParser {
             // last-one-wins silently replaced it — the reference's
             // SESSION(time_expr, gap, partition_col) form made the
             // PARTITION KEY the time column). Later bare identifiers are
-            // the reference's trailing partition-key args, tolerated
-            // (partitioning comes from GROUP BY here); anything else —
-            // e.g. a typo'd duration unit like '5 MINUTS' — errors.
+            // the reference's trailing partition-key args, CAPTURED as
+            // extra grouping keys (dropping them merged time-adjacent
+            // sessions across keys when no matching GROUP BY existed);
+            // anything else — e.g. a typo'd duration unit like
+            // '5 MINUTS' — errors.
             val bareIdent = span.nonEmpty && span.head.kind == TIdent &&
               span.forall(tk => tk.kind == TIdent || tk.text == ".")
             if (timeCol.isEmpty) timeCol = Some(render(span).replace(" . ", "."))
-            else if (!bareIdent)
+            else if (bareIdent) pcols :+= render(span).replace(" . ", ".")
+            else
               throw new ParseException(
                 s"unrecognized window argument '${render(span)}' " +
                   s"(time column already set to '${timeCol.get}'; a duration must " +
@@ -873,13 +888,13 @@ object VeloSqlParser {
           // exactly ONE: a second duration (user likely meant SLIDING)
           // must not be silently discarded
           need(durations.length == 1, "TUMBLING takes exactly one size duration")
-          Tumbling(durations.head, timeCol)
+          Tumbling(durations.head, timeCol, pcols)
         case "SLIDING" =>
           need(durations.length == 2, "SLIDING needs size and advance durations")
-          Sliding(durations(0), durations(1), timeCol)
+          Sliding(durations(0), durations(1), timeCol, pcols)
         case "SESSION" =>
           need(durations.length == 1, "SESSION takes exactly one gap duration")
-          Session(durations.head, timeCol)
+          Session(durations.head, timeCol, pcols)
         case other => throw new ParseException(s"unknown window kind $other")
       }
     }
@@ -1729,8 +1744,14 @@ object VeloSqlParser {
   /** Emit Spark SQL for a parsed SELECT. A time-window spec becomes a
     * native `window()` / `session_window()` GROUP BY item with
     * `window_start` / `window_end` epoch-second output columns —
-    * Catalyst's own streaming-ready windowing, not a custom operator. */
-  def toSparkSql(s: SelectStmt, defaultTimeCol: String = "ts"): String = {
+    * Catalyst's own streaming-ready windowing, not a custom operator.
+    *
+    * `timeColOf`: each stream's registered event-time column by view
+    * name (VeloContext.streamTimeCol) — the WITHIN band must reference
+    * the WATERMARKED columns, not the context default, or the band
+    * lands on the wrong column whenever the names diverge. */
+  def toSparkSql(s: SelectStmt, defaultTimeCol: String = "ts",
+                 timeColOf: String => Option[String] = _ => None): String = {
     val sb = new StringBuilder(if (s.distinct) "SELECT DISTINCT " else "SELECT ")
     val winCols: Seq[String] = s.window match {
       case Some(_: Session) => Seq(
@@ -1748,11 +1769,23 @@ object VeloSqlParser {
     }
     s.joins.foreach { j =>
       val band = j.withinSeconds.map { sec =>
-        // time-proximity band on the two streams' event-time columns
+        // time-proximity band on the two streams' REGISTERED event-time
+        // columns (falling back to the context default). Rendered as
+        // direct interval bounds, NOT abs(unix_timestamp(l) -
+        // unix_timestamp(r)) <= N: Spark's StreamingJoinHelper can only
+        // derive a state-eviction watermark from plain +/- interval
+        // arithmetic on the watermarked columns — the abs()/
+        // unix_timestamp() form kept BOTH sides' join state forever (a
+        // continuous job grows state with total input and OOMs), and
+        // unix_timestamp's second-truncation admitted pairs just
+        // outside the band.
         val tc = defaultTimeCol.split('.').last
         val lq = s.fromAlias.getOrElse(s.from)
         val rq = j.alias.getOrElse(j.table)
-        s"abs(unix_timestamp($lq.$tc) - unix_timestamp($rq.$tc)) <= $sec"
+        val ltc = timeColOf(s.from).getOrElse(tc)
+        val rtc = timeColOf(j.table).getOrElse(tc)
+        s"$rq.$rtc >= $lq.$ltc - INTERVAL $sec SECOND AND " +
+          s"$rq.$rtc <= $lq.$ltc + INTERVAL $sec SECOND"
       }
       // a band with no ON clause (CROSS JOIN … WITHIN — the pure
       // time-proximity join) becomes the join's ON predicate; CROSS
@@ -1767,7 +1800,7 @@ object VeloSqlParser {
         // rendered bare would let the OR's left disjunct escape the
         // time constraint entirely
         case (true, Some(b)) =>
-          sb.append(" ON (").append(render(j.on)).append(") AND ").append(b)
+          sb.append(" ON (").append(render(j.on)).append(") AND (").append(b).append(')')
         case (true, None) => sb.append(" ON ").append(render(j.on))
         case (false, Some(b)) => sb.append(" ON ").append(b)
         case (false, None) => ()
@@ -1776,11 +1809,15 @@ object VeloSqlParser {
     s.where.foreach(w => sb.append(" WHERE ").append(render(w)))
     val winGroup: Option[String] = s.window.map { w =>
       val ts = w.timeCol.getOrElse(defaultTimeCol)
-      w match {
-        case Tumbling(sz, _) => s"window($ts, '$sz seconds')"
-        case Sliding(sz, adv, _) => s"window($ts, '$sz seconds', '$adv seconds')"
-        case Session(gap, _) => s"session_window($ts, '$gap seconds')"
+      val fn = w match {
+        case Tumbling(sz, _, _) => s"window($ts, '$sz seconds')"
+        case Sliding(sz, adv, _, _) => s"window($ts, '$sz seconds', '$adv seconds')"
+        case Session(gap, _, _) => s"session_window($ts, '$gap seconds')"
       }
+      // trailing partition-key window args become grouping keys ahead
+      // of the window item (a duplicate with an explicit GROUP BY key
+      // is harmless — SQL tolerates repeated grouping expressions)
+      (w.partitionCols :+ fn).mkString(", ")
     }
     (s.groupBy, winGroup) match {
       case (Some(g), Some(w)) => sb.append(" GROUP BY ").append(render(g)).append(", ").append(w)

@@ -212,9 +212,16 @@ object StreamOps {
     * schema instead, honoring the "returns a readable directory"
     * contract. */
   private def ensureReadable(df: DataFrame, out: String,
-                             extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
+                             extra: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                             fmt: String = "parquet",
+                             opts: Map[String, String] = Map.empty): Unit = {
+    // "data file" = any non-hidden, non-metadata file: the sink format
+    // follows the declared path's extension, so .parquet-only matching
+    // would re-write the fallback part into a json/csv sink that
+    // already holds data
     val hasData = Option(new java.io.File(out).listFiles())
-      .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+      .exists(_.exists(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
     if (!hasData) {
       // a zero-BATCH run leaves a _spark_metadata log with no committed
       // files; readers then use MetadataLogFileIndex, which cannot see
@@ -227,20 +234,34 @@ object StreamOps {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      empty.coalesce(1).write.mode("append").parquet(out)
+      empty.coalesce(1).write.mode("append").options(opts).format(fmt).save(out)
     }
   }
+
+  /** Resolve the output directory + file format for a runner: a
+    * declared sink path (INTO … — format by extension, the same rule
+    * as Serde.writeFileUri) or a fresh temp dir in parquet. */
+  private def sinkOr(prefix: String, sinkPath: Option[String]): (String, String, Map[String, String]) =
+    sinkPath match {
+      case Some(p0) =>
+        val p = p0.stripPrefix("file://")
+        val (f, o) = graft.sources.Serde.fileFormat(p)
+        (p, f, o)
+      case None => (tmp(prefix + "_out"), "parquet", Map.empty)
+    }
 
   /** EMIT FINAL production path: parquet FILE sink (append mode +
     * watermark). Returns the output directory to read results from.
     * Scale: executors write shards directly; the driver only tracks
     * file-sink metadata. */
-  def runToParquet(df: DataFrame, prefix: String = "graft_stream"): String = {
-    val out = tmp(prefix + "_out")
+  def runToParquet(df: DataFrame, prefix: String = "graft_stream",
+                   sinkPath: Option[String] = None): String = {
+    val (out, fmt, opts) = sinkOr(prefix, sinkPath)
     val ckpt = tmp(prefix + "_ckpt")
     val q = df.writeStream
       .outputMode(OutputMode.Append())
-      .format("parquet")
+      .format(fmt)
+      .options(opts)
       .option("path", out)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -250,7 +271,7 @@ object StreamOps {
     // before the delete is how the per-run /tmp leak came back
     try q.awaitTermination()
     finally deleteRecursively(ckpt)
-    ensureReadable(df, out)
+    ensureReadable(df, out, fmt = fmt, opts = opts)
     out
   }
 
@@ -258,27 +279,28 @@ object StreamOps {
     * parquet via foreachBatch (the Kafka/Delta-changelog analog), tagged
     * with the trigger's batch id. Each batch write is a distributed
     * executor-side write — the driver never materializes rows. */
-  def runChangelog(df: DataFrame, prefix: String = "graft_changelog"): String = {
+  def runChangelog(df: DataFrame, prefix: String = "graft_changelog",
+                   sinkPath: Option[String] = None): String = {
     // _batch_id is the changelog's OWN tag column: withColumn would
     // silently overwrite a same-named input column and every
     // latest-state reader (row_number over _batch_id) would dedup on
     // the wrong values
     require(!graft.operators.Cols.has(df, "_batch_id"),
       "input must not carry the reserved _batch_id changelog column")
-    val out = tmp(prefix + "_out")
+    val (out, fmt, opts) = sinkOr(prefix, sinkPath)
     val ckpt = tmp(prefix + "_ckpt")
     val q = df.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(out)
+          .write.mode("append").options(opts).format(fmt).save(out)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally deleteRecursively(ckpt)
-    ensureReadable(df, out, Seq("_batch_id" -> lit(0L)))
+    ensureReadable(df, out, Seq("_batch_id" -> lit(0L)), fmt = fmt, opts = opts)
     out
   }
 }

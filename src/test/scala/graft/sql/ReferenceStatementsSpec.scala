@@ -82,7 +82,7 @@ class ReferenceStatementsSpec extends AnyFunSuite with SparkTestSession {
          WITH (kafka_sink.type='kafka_sink')""")
       .asInstanceOf[VeloSqlParser.CreateStreamAs]
     assert(csas.select.window.exists {
-      case VeloSqlParser.Tumbling(sizeSec, _) => sizeSec == 3600L
+      case VeloSqlParser.Tumbling(sizeSec, _, _) => sizeSec == 3600L
       case _ => false
     })
     assert(csas.select.having.isDefined && csas.select.joins.nonEmpty)

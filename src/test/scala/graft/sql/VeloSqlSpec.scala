@@ -1041,4 +1041,80 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
       assert(rows.map(_.getAs[String]("file")).distinct.length == 1, s"$sym split across files")
     }
   }
+
+  test("SESSION partition-key window arg becomes a grouping key (reference session-windows.md)") {
+    // SESSION(time, gap, partition_col): the trailing key must land in
+    // GROUP BY — dropped, time-adjacent events of DIFFERENT users would
+    // merge into one global session
+    val rendered = ctx.explainSql(
+      "SELECT COUNT(*) AS n FROM clicks WINDOW SESSION(event_time, INTERVAL '10' MINUTE, user_id)")
+    assert(rendered.contains("GROUP BY user_id, session_window("), rendered)
+  }
+
+  test("WITHIN band renders as interval bounds on the registered event-time columns") {
+    import spark.implicits._
+    // abs(unix_timestamp(l) - unix_timestamp(r)) <= N is opaque to
+    // Spark's StreamingJoinHelper — join state would never evict; the
+    // direct-interval form is the state-bounded one, on each stream's
+    // REGISTERED watermark column 'etime' (NOT the context default
+    // 'timestamp', which these streams do not even carry)
+    val t0 = new java.sql.Timestamp(0L)
+    ctx.registerStream("wq_left", Seq((1L, t0)).toDF("lid", "etime"), "etime", "10 minutes")
+    ctx.registerStream("wq_right", Seq((1L, t0)).toDF("rid", "etime"), "etime", "10 minutes")
+    val rendered = ctx.explainSql(
+      "SELECT l.lid FROM wq_left l JOIN wq_right r ON l.lid = r.rid WITHIN 5m")
+    assert(!rendered.contains("abs("), rendered)
+    assert(rendered.contains("r.etime >= l.etime - INTERVAL 300 SECOND"), rendered)
+    assert(rendered.contains("r.etime <= l.etime + INTERVAL 300 SECOND"), rendered)
+  }
+
+  test("non-windowed streaming aggregate without EMIT routes to the changelog path") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ctx.registerStream("agg_trades",
+      in.toDF().toDF("ep", "symbol").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    in.addData(Seq((100L, "AAPL"), (200L, "AAPL"), (300L, "MSFT")))
+    // no EMIT and no window: append mode would throw AnalysisException
+    // (no event-time window closes the groups) — the dialect's default
+    // continuous aggregate is changelog-style updates
+    val outDir = ctx.sqlStream(
+      "SELECT symbol, COUNT(*) AS n FROM agg_trades GROUP BY symbol")
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[String]("symbol"), r.getAs[Long]("n"))).toSet
+    assert(rows == Set(("AAPL", 2L), ("MSFT", 1L)))
+  }
+
+  test("sqlStream honors a declared INTO sink path") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val dir = java.nio.file.Files.createTempDirectory("velo_into_stream").toString
+    ctx.sql(s"CREATE SINK stream_sink WITH ('path' = 'file://$dir/into_out')")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    ctx.registerStream("sink_src",
+      in.toDF().toDF("oid", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    in.addData(Seq((1L, 100L), (2L, 200L)))
+    // the returned dir IS the declared sink: before the fix the stream
+    // landed only in the internal temp dir and the sink stayed empty
+    val outDir = ctx.sqlStream("SELECT oid FROM sink_src INTO stream_sink")
+    assert(outDir == s"$dir/into_out", outDir)
+    val got = spark.read.parquet(outDir).collect().map(_.getAs[Long]("oid")).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("retention accepts the dialect's full duration grammar and rejects garbage loudly") {
+    assert(VeloContext.durationSeconds("7d").contains(7L * 86400))
+    assert(VeloContext.durationSeconds("1 week").contains(604800L))
+    assert(VeloContext.durationSeconds("30 minutes").contains(1800L))
+    assert(VeloContext.durationSeconds("sometimes").isEmpty)
+    // an unparseable retention prop must throw, not silently retain
+    // all history
+    intercept[VeloSqlParser.ParseException] {
+      ctx.sql("CREATE TABLE rt_bad AS SELECT order_id FROM orders WITH ('retention' = 'sometimes')")
+    }
+  }
 }
