@@ -108,10 +108,21 @@ final class SchemaRegistry(root: Path) {
     // (latest() would re-list and the equality/compat checks re-parse)
     val vs = versions(subject)
     val prevParsed = vs.lastOption.map(v => v -> new Schema.Parser().parse(get(subject, v).get))
-    prevParsed match {
-      case Some((v, prev)) if prev == parsed => v
-      case prevOpt =>
-        prevOpt.foreach { case (v, prev) =>
+    // idempotent re-register of ANY live version, not just the latest:
+    // the standard registry looks the schema up under the subject first
+    // and returns its existing version — comparing only against latest
+    // would push a redeployed OLDER (but legally evolved-away-from)
+    // schema into the compat gate and 409 a schema that literally IS
+    // version k of the subject.
+    val existing = prevParsed.collect { case (v, prev) if prev == parsed => v }
+      .orElse(vs.dropRight(1).find { v =>
+        try new Schema.Parser().parse(get(subject, v).get) == parsed
+        catch { case scala.util.control.NonFatal(_) => false }
+      })
+    existing match {
+      case Some(v) => v
+      case None =>
+        prevParsed.foreach { case (v, prev) =>
           val problems = incompatList(parsed, prev)
           if (problems.nonEmpty)
             throw new IllegalArgumentException(
@@ -120,14 +131,36 @@ final class SchemaRegistry(root: Path) {
         val d = subjectDir(subject)
         Files.createDirectories(d)
         val next = vs.lastOption.getOrElse(0) + 1
+        // ATOMIC publication with CREATE_NEW race semantics: write the
+        // full content to a temp name, then HARD-LINK it into place —
+        // link(2) is atomic (a reader can never observe an empty or
+        // partial version file, which a direct CREATE_NEW+write exposes
+        // between the create and the write) and fails with
+        // FileAlreadyExistsException when a rival committed the same
+        // version first (ATOMIC_MOVE would silently REPLACE the
+        // rival's file and lose the race detection).
         val written =
           try {
             onBeforeWrite_forTest()
-            Files.writeString(d.resolve(s"$next.avsc"), parsed.toString(true),
-              java.nio.file.StandardOpenOption.CREATE_NEW)
-            true
+            val tmp = Files.createTempFile(d, s".$next", ".tmp")
+            try {
+              Files.writeString(tmp, parsed.toString(true))
+              try { Files.createLink(d.resolve(s"$next.avsc"), tmp); true }
+              catch { case _: java.nio.file.FileAlreadyExistsException => false }
+            } finally { Files.deleteIfExists(tmp); () }
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
+            case e: Throwable =>
+              // a failed FIRST write must not leave an empty subject
+              // directory behind: subjects() would list it while
+              // versions() 404s — permanently inconsistent state.
+              // deleteIfExists only removes an EMPTY dir (a rival's
+              // committed version throws DirectoryNotEmptyException,
+              // swallowed — the dir is then legitimately occupied).
+              if (vs.isEmpty)
+                try { Files.deleteIfExists(d); () }
+                catch { case scala.util.control.NonFatal(_) => }
+              throw e
           }
         if (written) next else registerAttempt(subject, parsed)
     }

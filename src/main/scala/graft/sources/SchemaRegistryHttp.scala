@@ -164,10 +164,23 @@ final class SchemaRegistryClient(baseUrl: String) {
 
   // finite timeouts: a deployed job pins its reader schema through this
   // client at LAUNCH — a wedged registry (TCP accepted, never answers)
-  // must fail the launch, not hang the driver forever
+  // must fail the launch, not hang the driver forever.
+  // The request executor is OWNED so close() can release it: every JDK
+  // HttpClient spawns worker threads that otherwise live until GC, and
+  // a long-lived driver launching many jobs would accumulate idle
+  // HTTP threads with no deterministic release (JDK 17 HttpClient has
+  // no close(); shutting down the owned executor is the releasable
+  // part — the selector thread exits once the client is unreachable).
+  private val httpExec = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "schema-registry-client"); t.setDaemon(true); t
+  })
   private val http = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .executor(httpExec).build()
   private val requestTimeout = java.time.Duration.ofSeconds(30)
+
+  /** Release the client's worker threads. The client is unusable after. */
+  def close(): Unit = { httpExec.shutdown(); () }
 
   final case class RegistryException(status: Int, body: String)
     extends RuntimeException(s"registry returned $status: $body")

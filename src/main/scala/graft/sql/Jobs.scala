@@ -158,6 +158,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       metricSpecs.synchronized { metricSpecs(name) = specs }
     }
   }
+  /** Remove a name's attached metric specs + job config — the undo for
+    * a failed annotated launch: SqlApp attaches BEFORE executing the
+    * statement, and without a detach the stale specs/config survive the
+    * failure and silently apply to the next (unannotated) launch of the
+    * same job name. */
+  def detachStatementState(name: String): Unit = synchronized {
+    metricSpecs.synchronized { metricSpecs.remove(name) }
+    jobConfigs.remove(name)
+    ()
+  }
+
   private var listenerRegistered = false
   private def ensureListener(): Unit =
     if (!listenerRegistered) { spark.streams.addListener(metricListener); listenerRegistered = true }

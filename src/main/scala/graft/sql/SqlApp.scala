@@ -141,25 +141,21 @@ object SqlApp {
     catch { case _: Throwable => None }
 
   private def resolveVarSpec(spec: String, env: String => Option[String]): String = {
-    val chain = spec.split('|')
-    var idx = 0
-    while (idx < chain.length) {
-      val part = chain(idx)
-      val isLast = idx == chain.length - 1
-      val (varName, default) = part.indexOf(':') match {
-        case -1 => (part, None)
+    val links = spec.split('|').toSeq.map { part =>
+      part.indexOf(':') match {
+        case -1 => (part, Option.empty[String])
         case c => (part.substring(0, c), Some(part.substring(c + 1)))
       }
-      env(varName) match {
-        case Some(v) => return v
-        case None if varName == "NODE_ID" =>
-          return hostname().orElse(default).getOrElse("node-local")
-        case None if isLast && default.isDefined => return default.get
-        case None => // fall through to next link
-      }
-      idx += 1
     }
-    spec
+    // first SET variable wins — across the WHOLE chain before any
+    // fallback applies. The NODE_ID hostname is a fallback, not a set
+    // variable: resolving it mid-chain would shadow a set variable in
+    // a later link, and a mid-chain default must not short-circuit
+    // either (only the LAST link's default is the chain fallback).
+    links.collectFirst { case (n, _) if env(n).isDefined => env(n).get }
+      .orElse(if (links.exists(_._1 == "NODE_ID")) hostname() else None)
+      .orElse(links.last._2)
+      .getOrElse(if (links.exists(_._1 == "NODE_ID")) "node-local" else spec)
   }
 
   private def tail(line: String, prefix: String): String =
@@ -173,11 +169,15 @@ object SqlApp {
   /** Quote state after scanning one line of SQL text (comment-aware). */
   private def quoteStateAfter(s: String, q0: Char): Char = {
     var i = 0
-    var quote: Char = q0
+    var quote: Char = q0 // same encoding as splitIndexFrom ('*' = block comment)
     while (i < s.length) {
       val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote == '*') {
+        if (c == '*' && i + 1 < s.length && s(i + 1) == '/') { quote = 0; i += 1 }
+      }
+      else if (quote != 0) { if (c == quote) quote = 0 }
       else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return quote
+      else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { quote = '*'; i += 1 }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       i += 1
     }
@@ -277,7 +277,16 @@ object SqlApp {
     def flush(): Unit = {
       val sqlText = cur.toString.trim
       cur.clear()
-      if (sqlText.nonEmpty) {
+      // a comment-only fragment (an inline `-- done` after the file's
+      // final ';') is not a statement: tokenize strips comments, and
+      // zero tokens means nothing to execute — emitting it would fail
+      // the whole app run on ParseException("empty statement"). A
+      // tokenizer ERROR still counts as a statement so the parse error
+      // surfaces with its text, not silently dropped here.
+      val isStatement = sqlText.nonEmpty &&
+        (try VeloSqlParser.tokenize(sqlText).nonEmpty
+         catch { case _: Exception => true })
+      if (isStatement) {
         // reference validate_annotation: gauge/histogram need a field
         curMetrics.foreach { m =>
           if ((m.metricType == "gauge" || m.metricType == "histogram") && m.field.isEmpty)
@@ -443,11 +452,20 @@ object SqlApp {
     * at end of line). */
   private def splitIndexFrom(s: String, q0: Char): (Int, Char) = {
     var i = 0
+    // 0 = bare, quote char = inside that literal, '*' = inside a
+    // /* */ BLOCK comment (which the dialect tokenizer accepts, so the
+    // splitter must track it too: a ';' or apostrophe inside one would
+    // otherwise split the statement / poison the quote state for every
+    // following line)
     var quote: Char = q0
     while (i < s.length) {
       val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote == '*') {
+        if (c == '*' && i + 1 < s.length && s(i + 1) == '/') { quote = 0; i += 1 }
+      }
+      else if (quote != 0) { if (c == quote) quote = 0 }
       else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return (-1, 0) // comment runs to EOL
+      else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { quote = '*'; i += 1 }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return (i, 0)
       i += 1
@@ -498,7 +516,16 @@ object SqlApp {
         if (s.metrics.nonEmpty) ctx.jobManager.attachMetrics(n, s.metrics)
         jobCfg.foreach(ctx.jobManager.attachJobConfig(n, _))
       }
-      val df = ctx.sql(s.sql)
+      // detach on failure: the attach happens BEFORE execution, and a
+      // failed statement must not leave its specs/config registered —
+      // a later manual launch of the same job name would silently pick
+      // up the dead statement's partitioning and metrics
+      val df =
+        try ctx.sql(s.sql)
+        catch { case t: Throwable =>
+          jobName.foreach(ctx.jobManager.detachStatementState)
+          throw t
+        }
       val target: Option[DataFrame] = jobName match {
         case Some(n) => // batch-bodied job → its standing output view
           val view = s"${n}_out"
@@ -582,9 +609,17 @@ object SqlApp {
     def ctasOf(s: AppStatement): Option[String] =
       if (s.metrics.nonEmpty || s.partitionCount.nonEmpty || s.jobMode.nonEmpty
         || s.batchSize.nonEmpty || s.numPartitions.nonEmpty || s.partitioningStrategy.nonEmpty) None
+      // backtick-stripped: the parser stores a QUOTED declaration name
+      // in its quoted form, but `identifiers()` extracts bare words —
+      // unstripped, a dependent of `CREATE TABLE "orders" AS …` never
+      // matches and schedules into the same wave as its producer (and
+      // the duplicate-producer run guard treats `t` and `` `t` `` as
+      // distinct, racing two writers of one view)
       else try VeloSqlParser.parse(s.sql) match {
-        case VeloSqlParser.CreateTableAs(n, _, _, _) => Some(n)
-        case VeloSqlParser.CreateStreamAs(n, _, _, _) => Some(n)
+        case VeloSqlParser.CreateTableAs(n, _, _, _) =>
+          Some(n.stripPrefix("`").stripSuffix("`"))
+        case VeloSqlParser.CreateStreamAs(n, _, _, _) =>
+          Some(n.stripPrefix("`").stripSuffix("`"))
         case _ => None
       } catch { case _: ParseException => None }
     def identifiers(sql: String): Set[String] =
@@ -667,7 +702,14 @@ object SqlApp {
                 results(c.idx) = df
                 recordLoad(c.produces, waveNo, df, sec)
               }
-            } finally pool.shutdown()
+            } finally
+              // shutdownNow, not shutdown: on a wave-member failure the
+              // plain shutdown() would let already-submitted siblings
+              // keep running Spark jobs after run() has thrown —
+              // mutating the session catalog and pinning caches nothing
+              // releases. On success every future is already awaited,
+              // so cancelling is a no-op and this just stops the pool.
+              pool.shutdownNow()
           } else {
             waveNo += 1
             onWave(waveNo, Seq(first))

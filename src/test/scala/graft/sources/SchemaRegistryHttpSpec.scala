@@ -153,4 +153,39 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score")))
     assert(rows.toSeq == Seq((7L, "a", 0.5), (8L, "b", 0.5)))
   }
+
+  test("re-registering an OLDER live version is idempotent, not a 409 (redeploy of a pinned schema)") {
+    val reg = new SchemaRegistry(java.nio.file.Files.createTempDirectory("graft_reg_idem"))
+    val w1 =
+      """{"type":"record","name":"Ev","fields":[
+           {"name":"id","type":"int"},
+           {"name":"extra","type":"string"}]}"""
+    // legal BACKWARD evolution that DROPS the no-default field: v1 can
+    // no longer pass the compat gate against v2 — but a redeployed job
+    // re-POSTing its pinned v1 must get version 1 back, not a 409
+    val w2 =
+      """{"type":"record","name":"Ev","fields":[
+           {"name":"id","type":"int"}]}"""
+    assert(reg.register("idem-value", w1) == 1)
+    assert(reg.register("idem-value", w2) == 2)
+    assert(reg.register("idem-value", w1) == 1)
+    assert(reg.versions("idem-value") == Vector(1, 2))
+  }
+
+  test("version files publish atomically: a committed version is never empty/partial") {
+    val reg = new SchemaRegistry(java.nio.file.Files.createTempDirectory("graft_reg_atomic"))
+    val s =
+      """{"type":"record","name":"Ev","fields":[{"name":"id","type":"int"}]}"""
+    assert(reg.register("atomic-value", s) == 1)
+    // the committed file parses standalone (non-atomic CREATE_NEW+write
+    // exposed an empty file between the create and the content write)
+    val txt = reg.get("atomic-value", 1).get
+    assert(new org.apache.avro.Schema.Parser().parse(txt).getName == "Ev")
+    // no temp droppings survive a successful publish
+    val dir = java.nio.file.Files.list(reg.root_forTest.resolve("atomic-value"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(dir.iterator().asScala.map(_.getFileName.toString).toVector == Vector("1.avsc"))
+    } finally dir.close()
+  }
 }

@@ -619,4 +619,44 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(metricValue().contains(2.0)) // amounts 10 and 30 match; 3 does not
     ctx.sql("STOP JOB condjob")
   }
+
+  test("block comments hide ';' and quotes from the splitter; trailing inline comment is not a statement") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("bc_src", Seq(Tuple1(1L)).toDF("id"))
+    // a ';' and an apostrophe inside /* */ must not split the statement
+    // or poison the quote state of later lines; the inline '-- done'
+    // after the final ';' must not become a bogus empty statement
+    val (_, results) = SqlApp.run(ctx,
+      "-- SQL Application: Block Comment App\n" +
+        "\n" +
+        "CREATE TABLE bc_t AS SELECT id /* don't; split */ FROM bc_src;\n" +
+        "SELECT id FROM bc_t; -- done\n", lookup)
+    assert(results.length == 2)
+    assert(spark.table("bc_t").count() == 1)
+  }
+
+  test("a dependent of a QUOTED ctas name waits for its producer's wave") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("qd_src", Seq(Tuple1(1L), Tuple1(2L)).toDF("id"))
+    // producer declared with a backtick-quoted name; the dependent
+    // references it bare — unstripped, both land in wave 0 and race
+    var waves = Vector.empty[Seq[String]]
+    val (_, results) = SqlApp.run(ctx,
+      "-- SQL Application: Quoted Dep App\n\n" +
+        "CREATE TABLE `qd_base` AS SELECT id FROM qd_src;\n" +
+        "CREATE TABLE qd_child AS SELECT id FROM qd_base;\n", lookup,
+      onWave = (_, members) => waves.synchronized { waves :+= members })
+    assert(results.length == 2)
+    // two waves, child strictly after its producer
+    assert(waves.length == 2, waves.toString)
+    assert(spark.table("qd_child").count() == 2)
+  }
+
+  test("NODE_ID mid-chain does not shadow a SET later link; mid-chain default does not short-circuit") {
+    assert(SqlApp.resolvePattern("${NODE_ID|TEST_CLUSTER}", lookup) == "cluster1")
+    // mid-chain default must not win over the last link's default
+    assert(SqlApp.resolvePattern("${MISSING_VAR:mid|OTHER_MISSING:last}", lookup) == "last")
+  }
 }
