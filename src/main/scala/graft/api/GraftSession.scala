@@ -33,7 +33,15 @@ object GraftSession {
       "spark.sql.session.timeZone" -> "UTC",
       // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's
       // vectorized reader rejects; read as long and convert in the loader.
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // bound plan-STRING rendering (default ~2 GiB): iterative
+      // operators (pointer-doubling closure) self-join their own
+      // lineage, so the plan TREE doubles per round — the execution is
+      // fine, but the plan description Spark renders for every
+      // SQL-execution event can alone OOM the driver at deep tiers
+      // (observed: 64x closure probe, heap death inside explainString).
+      // 1 MiB keeps plans debuggable and the driver alive.
+      "spark.sql.maxPlanStringLength" -> "1048576"
     ).foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     // the engine's native kernels are part of its SQL surface

@@ -246,13 +246,22 @@ object Dedup {
     require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     // symmetric edge set in ONE scan of `pairs` (explode, not a union
     // of two scans): pairs is usually an UNCACHED verify-join output,
-    // and a second scan re-executes that join end-to-end
+    // and a second scan re-executes that join end-to-end.
+    // localCheckpoint, not cache: every loop round below references
+    // edges, and each round's pointer-doubling SELF-JOIN doubles the
+    // plan tree — with edges carrying the whole verify pipeline's
+    // lineage (at probe scale, a 64-way replica union under several
+    // joins), the PLAN STRING Spark renders per execution event grows
+    // to GiB and OOMs the driver long before any task struggles.
+    // Checkpointing collapses edges to a leaf; blocks are freed by the
+    // ContextCleaner once the frame is unreachable (same contract as
+    // the label table hand-back below).
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("u"), col("id_b").as("v")),
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("_e"))
       .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     // Adaptive finish: the edge set is the OUTPUT of LSH + verify —
     // near-dup graphs are tiny relative to the corpus (sf0.1: 41 edges
     // from 5k docs). Below the threshold the transitive closure is
@@ -271,7 +280,8 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     if (nEdges > 0 && nEdges <= localThreshold && idsAreLong) {
       val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
+      // checkpoint blocks are ContextCleaner-reclaimed once `edges`
+      // goes unreachable — nothing to unpersist explicitly
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -320,7 +330,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     // exhausting maxIterations without convergence means the labels are
     // WRONG (a component split across cluster_ids) — and a downstream
     // leakageFreeSplit would then put near-dup twins in train AND test,
