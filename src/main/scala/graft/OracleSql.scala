@@ -140,10 +140,13 @@ object OracleSql {
 
   /** md5-prefix train/val/test CASE over an id expression — the ONE
     * copy of the split-threshold rule (q62/q69). round(0.8*65536)=
-    * 52429=0xcccd, round(0.9*65536)=58982=0xe666. */
+    * 52429=0xcccd, round(0.9*65536)=58982=0xe666. Preimage is the
+    * engine's length-prefixed form '<len>:<salt>:<key>'
+    * (Sampling.hashPrefix — the bare ':' delimiter let distinct
+    * (salt, key) pairs collide across the boundary). */
   private def splitCase(idExpr: String): String =
-    s"""CASE WHEN substr(md5('graft:' || CAST($idExpr AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-         WHEN substr(md5('graft:' || CAST($idExpr AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+    s"""CASE WHEN substr(md5('5:graft:' || CAST($idExpr AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+         WHEN substr(md5('5:graft:' || CAST($idExpr AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
          ELSE 'test' END"""
 
   private val base: Map[String, String] = Map(
@@ -548,10 +551,11 @@ object OracleSql {
 
     // concat_ws (null-SKIPPING, as Sampling.hashPrefix composes it),
     // not || (null-PROPAGATING): a null-lang doc still samples under
-    // key 'graft:<id>' in the engine, and the oracle must keep it too
+    // key '5:graft:<id>' in the engine, and the oracle must keep it
+    // too (the '5:' is the length-prefixed salt — see splitCase)
     "q63_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-         WHERE substr(md5(concat_ws(':', 'graft',
+         WHERE substr(md5(concat_ws(':', '5', 'graft',
                  concat_ws(':', lang, CAST(doc_id AS VARCHAR)))), 1, 4) < '3333'""",
 
     "q64_contamination" ->

@@ -166,6 +166,27 @@ object GraftKernels {
         inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType), BooleanType),
         propagateNull = true, returnNullable = false),
       "scala_udf")
+    // Reference-parity string functions the renames map routes to
+    // (functions.rs edge semantics Spark's built-ins diverge from —
+    // see VeloFunctions for the Column-API twins):
+    // SPLIT(str, delim) = FIRST part as a string
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      registry.createOrReplaceTempFunction("velo_split",
+        args => SubstringIndex(args(0), args(1), Literal(1)), "scala_udf")
+      // JOIN(delim, v1, v2, …) — variadic, delimiter first, NULL
+      // rendered as the literal 'NULL' (concat_ws would skip it)
+      registry.createOrReplaceTempFunction("velo_join",
+        args => ConcatWs(Cast(args.head, StringType) +:
+          args.tail.map(a => Coalesce(Seq(Cast(a, StringType), Literal("NULL"))))),
+        "scala_udf")
+      // TRIM family strips ALL Unicode whitespace (Rust str::trim)
+      def utrim(pat: String): Seq[Expression] => Expression =
+        args => RegExpReplace(args.head, Literal(pat), Literal(""))
+      registry.createOrReplaceTempFunction("velo_trim", utrim("(?U)^\\s+|(?U)\\s+$"), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_ltrim", utrim("(?U)^\\s+"), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_rtrim", utrim("(?U)\\s+$"), "scala_udf")
+    }
   }
 
   // ================= JVM kernels (executor side) =================

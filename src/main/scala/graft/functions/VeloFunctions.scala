@@ -25,27 +25,64 @@ object VeloFunctions {
   def veloLeast(cs: Column*): Column = least(cs: _*)
   def veloGreatest(cs: Column*): Column = greatest(cs: _*)
 
-  // ---- String (reference: string function table) ----
+  // ---- String (reference: string function table; edge semantics
+  //      mirror functions.rs — the observable behavior a reference
+  //      user's queries depend on, including its usize-wrap edges) ----
   def veloUpper(c: Column): Column = upper(c)
   def veloLower(c: Column): Column = lower(c)
-  /** 1-based SUBSTRING(str, pos, len) — same semantics as the reference. */
-  def veloSubstring(c: Column, pos: Int, len: Int): Column = substring(c, pos, len)
+  /** 1-based SUBSTRING(str, pos, len) — reference edge semantics
+    * (functions.rs substring_function): `start as usize` wraps a
+    * NEGATIVE pos to a huge skip → EMPTY string (Spark's substring
+    * counts negatives from the END — a silent row-level divergence);
+    * a negative len wraps to take-everything → rest of string;
+    * pos 0 saturates to 1. */
+  def veloSubstring(c: Column, pos: Int, len: Int): Column =
+    if (pos < 0) when(c.isNull, lit(null).cast("string")).otherwise(lit(""))
+    else if (len < 0) substring(c, math.max(pos, 1), Int.MaxValue)
+    else substring(c, math.max(pos, 1), len)
   // literal substring replace: the built-in StringReplace, not a
   // quoted-pattern trip through the regex engine
   def veloReplace(c: Column, find: String, repl: String): Column =
     replace(c, lit(find), lit(repl))
-  def veloTrim(c: Column): Column = trim(c)
-  def veloLtrim(c: Column): Column = ltrim(c)
-  def veloRtrim(c: Column): Column = rtrim(c)
-  def veloLength(c: Column): Column = length(c)
+  /** TRIM family strips ALL Unicode whitespace (Rust str::trim /
+    * char::is_whitespace — functions.rs:740), not just ASCII space
+    * like Spark's trim: '\thello\n' must trim to 'hello' on both
+    * engines. (?U) = Java UNICODE_CHARACTER_CLASS, whose \s is the
+    * same White_Space property Rust uses. */
+  def veloTrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+|(?U)\\s+$", "")
+  def veloLtrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+", "")
+  def veloRtrim(c: Column): Column = regexp_replace(c, "(?U)\\s+$", "")
+  /** LENGTH is BYTE length (reference: s.len() over UTF-8 bytes,
+    * functions.rs:915) — 'héllo' is 6, not 5. */
+  def veloLength(c: Column): Column = octet_length(c)
   def veloConcat(cs: Column*): Column = concat(cs: _*)
-  def veloSplit(c: Column, sep: String): Column = split(c, java.util.regex.Pattern.quote(sep))
-  /** JOIN(array, sep) — reference's array-join. */
-  def veloJoin(c: Column, sep: String): Column = array_join(c, sep)
-  def veloLeft(c: Column, n: Int): Column = left(c, lit(n))
-  def veloRight(c: Column, n: Int): Column = right(c, lit(n))
-  /** 1-based POSITION(needle IN haystack); 0 when absent. */
-  def veloPosition(needle: String, haystack: Column): Column = instr(haystack, needle)
+  /** SPLIT(str, delim) returns the FIRST part as a STRING — the
+    * reference's documented behavior (functions.rs split_function:
+    * 'Return first part for simplicity'); an array-returning split
+    * would change both type and value of ported queries. The full
+    * array remains available as [[veloSplitParts]]. */
+  def veloSplit(c: Column, sep: String): Column = substring_index(c, sep, 1)
+  /** All parts (Spark-native extension; not the reference's SPLIT). */
+  def veloSplitParts(c: Column, sep: String): Column =
+    split(c, java.util.regex.Pattern.quote(sep))
+  /** JOIN(delim, v1, v2, …) — the reference's VARIADIC scalar join
+    * (functions.rs join_function): delimiter FIRST, non-strings
+    * stringified, NULL rendered as the literal 'NULL' (concat_ws
+    * alone would silently SKIP nulls). */
+  def veloJoin(sep: String, parts: Column*): Column =
+    concat_ws(sep, parts.map(p => coalesce(p.cast("string"), lit("NULL"))): _*)
+  /** LEFT/RIGHT with a NEGATIVE n return the WHOLE string (reference:
+    * `n as usize` wraps to take-everything — Spark returns empty). */
+  def veloLeft(c: Column, n: Int): Column = if (n < 0) c else left(c, lit(n))
+  def veloRight(c: Column, n: Int): Column = if (n < 0) c else right(c, lit(n))
+  /** 1-based BYTE position of needle (reference: str::find byte
+    * offsets, functions.rs:2517 — 'l' in 'héllo' is 4, not 3);
+    * 0 when absent. */
+  def veloPosition(needle: String, haystack: Column): Column = {
+    val charPos = instr(haystack, needle)
+    when(charPos === 0, lit(0))
+      .otherwise(octet_length(substring(haystack, lit(1), charPos - 1)) + 1)
+  }
   /** REGEXP(str, pattern) — true when the pattern matches anywhere. */
   def veloRegexp(c: Column, pattern: String): Column = c.rlike(pattern)
 

@@ -35,9 +35,16 @@ object Sampling {
   // the ELSE arm (last split), and sampleFilter never selects them —
   // exactly what the DuckDB oracle's 'graft:'||CAST(id AS VARCHAR)
   // (NULL-propagating ||) computes, so the two engines agree.
+  // length-prefixed salt: '<len>:<salt>:<key>' parses unambiguously —
+  // a bare ':' delimiter made (salt, key) pairs collide across the
+  // boundary (salt 'graft:en' + key '42' == salt 'graft' + key
+  // 'en:42'), so two logically distinct strata could draw the SAME
+  // member set instead of independent samples. The oracle (splitCase /
+  // q63) pins the identical preimage.
   private def hashPrefix(key: Column, salt: String): Column =
     when(key.isNull, lit(null).cast("string"))
-      .otherwise(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4))
+      .otherwise(substring(md5(concat_ws(":",
+        lit(salt.length.toString), lit(salt), key.cast("string"))), 1, 4))
 
   /** Split-label column: assigns each key to the named splits by
     * cumulative md5-prefix thresholds. Fractions must sum to ~1; the
@@ -170,18 +177,33 @@ object Sampling {
     val p =
       if (parallelism > 0) parallelism
       else {
+        // auto-size from PLAN STATISTICS ONLY (a constant floor, never
+        // defaultParallelism): the salt-stream count determines every
+        // shard id, and deriving it from cluster core count would pack
+        // the identical corpus into different shard ids on a 16-core
+        // vs 64-core cluster — shard ids must be a function of the
+        // data, per the determinism contract below
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val perStream = BigInt(1L << 30) // target ≤ ~1 GiB sorted per salt stream
         val bySize = ((bytes + perStream - 1) / perStream).min(BigInt(1 << 20)).toInt
-        math.max(df.sparkSession.sparkContext.defaultParallelism, bySize)
+        math.max(32, bySize)
       }
     // explicit ROWS frame: the default frame is RANGE, under which rows
     // TIED on idCol share one inclusive cumsum — two 600-weight docs
     // with the same id under a 1000 budget would both read cum=1200 and
     // land (overfull) in the same shard. ROWS gives each row its own
-    // running prefix regardless of ties (identical when idCol is
-    // unique, which nothing here enforces).
-    val w = Window.partitionBy(col(saltCol)).orderBy(col(idCol))
+    // running prefix regardless of ties. Weight rides as a SECONDARY
+    // order key: under a ROWS frame the running sum of idCol-tied rows
+    // depends on their arrival order, so without the tiebreak a retry
+    // or re-layout could swap which tied doc crosses a shard boundary.
+    // DETERMINISM CONTRACT: shard membership is a pure function of the
+    // data when (idCol, weight) pairs are unique per salt stream —
+    // idCol unique (the normal primary-key case) suffices; rows fully
+    // tied on BOTH keys are mutually interchangeable (shard SIZES stay
+    // deterministic, membership among the indistinguishable-by-key
+    // rows does not).
+    val w = Window.partitionBy(col(saltCol))
+      .orderBy(col(idCol), coalesce(col(weightCol), lit(0L)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null weight = unweighted doc (weighs 0): the window sum SKIPS
     // nulls, but `cum - weight` would go null and the row would fall

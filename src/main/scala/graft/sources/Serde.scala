@@ -166,6 +166,25 @@ object Serde {
     * READER schema. */
   def decodeAvro(df: DataFrame, payloadCol: String, schemaJson: String,
                  readerSchemaJson: Option[String]): DataFrame = {
+    // DRIVER-side resolution check (the encodeAvro/encodeProtobuf
+    // pattern): the per-row decode below is deliberately permissive
+    // (one poison message → all-null row, not a dead stream), which
+    // means a SYSTEMATICALLY incompatible reader schema — an added
+    // field with no default — would silently decode the ENTIRE corpus
+    // to all-null columns with zero errors. Incompatibility is a
+    // configuration fact knowable before any task runs: fail here.
+    readerSchemaJson.foreach { readerJson =>
+      import org.apache.avro.{Schema, SchemaCompatibility}
+      val writer = new Schema.Parser().parse(schemaJson)
+      val reader = new Schema.Parser().parse(readerJson)
+      val res = SchemaCompatibility.checkReaderWriterCompatibility(reader, writer).getResult
+      require(res.getCompatibility == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE, {
+        import scala.jdk.CollectionConverters._
+        "reader schema cannot resolve payloads written with the writer schema: " +
+          res.getIncompatibilities.asScala.map(i => s"${i.getType} at ${i.getLocation}")
+            .mkString("; ")
+      })
+    }
     val effectiveJson = readerSchemaJson.getOrElse(schemaJson)
     val valueSchema = avroSchemaToSpark(effectiveJson)
     decodeWithPayload(df, payloadCol, valueSchema, "avro") { () =>

@@ -952,9 +952,20 @@ object VeloSqlParser {
     // form), not by this token-level map
     "COLLECT" -> "collect_list",
     "ARRAY_LENGTH" -> "array_size",
-    "LEN" -> "length",
+    // LENGTH/LEN are BYTE length in the reference (s.len() over UTF-8);
+    // Spark's length counts characters — divergent on any multibyte text
+    "LEN" -> "octet_length",
+    "LENGTH" -> "octet_length",
     "REGEXP" -> "regexp_like",
-    "JOIN" -> "array_join")
+    // reference-parity functions registered by GraftKernels: SPLIT
+    // returns the FIRST part (functions.rs 'for simplicity'), JOIN is
+    // variadic delimiter-first with NULL rendered literally, TRIM
+    // family strips Unicode whitespace like Rust str::trim
+    "SPLIT" -> "velo_split",
+    "JOIN" -> "velo_join",
+    "TRIM" -> "velo_trim",
+    "LTRIM" -> "velo_ltrim",
+    "RTRIM" -> "velo_rtrim")
 
   /** Rewrite one clause's token span to Spark SQL:
     *  - function renames (see `renames`)

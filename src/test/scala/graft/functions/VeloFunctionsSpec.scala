@@ -45,11 +45,40 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(veloRtrim(col("s"))) == " Hello World")
     assert(one(veloLength(veloTrim(col("s")))) == 11)
     assert(one(veloConcat(lit("a"), lit("-"), lit("b"))) == "a-b")
-    assert(one(veloJoin(veloSplit(veloTrim(col("s")), " "), "_")) == "Hello_World")
+    // reference SPLIT returns the FIRST part as a string
+    // (functions.rs split_function); the full array is the
+    // Spark-native veloSplitParts extension
+    assert(one(veloSplit(veloTrim(col("s")), " ")) == "Hello")
+    assert(one(size(veloSplitParts(veloTrim(col("s")), " "))) == 2)
+    assert(one(veloJoin("_", lit("Hello"), lit("World"))) == "Hello_World")
     assert(one(veloLeft(veloTrim(col("s")), 2)) == "He")
     assert(one(veloRight(veloTrim(col("s")), 2)) == "ld")
     assert(one(veloPosition("World", veloTrim(col("s")))) == 7)
     assert(one(veloRegexp(veloTrim(col("s")), "^Hel")) == true)
+  }
+
+  test("reference edge parity: usize wraps, byte lengths, Unicode trim, variadic JOIN (functions.rs)") {
+    import spark.implicits._
+    val df = Seq(Tuple1("héllo")).toDF("u")
+    def one[T](c: org.apache.spark.sql.Column): T =
+      df.select(c).collect().head.get(0).asInstanceOf[T]
+    // negative SUBSTRING start wraps to a huge skip → empty (NOT
+    // Spark's count-from-the-end); negative len → rest of string
+    assert(one[String](veloSubstring(col("u"), -3, 3)) == "")
+    assert(one[String](veloSubstring(col("u"), 2, -1)) == "éllo")
+    // negative LEFT/RIGHT n wraps to take-everything → whole string
+    assert(one[String](veloLeft(col("u"), -1)) == "héllo")
+    assert(one[String](veloRight(col("u"), -1)) == "héllo")
+    // LENGTH is UTF-8 BYTES (é = 2 bytes); POSITION is 1-based bytes
+    assert(one[Int](veloLength(col("u"))) == 6)
+    assert(one[Int](veloPosition("l", col("u"))) == 4)
+    // TRIM strips all Unicode whitespace like Rust str::trim
+    assert(one[String](veloTrim(lit("\thello\n"))) == "hello")
+    assert(one[String](veloLtrim(lit(" x "))) == "x ")
+    assert(one[String](veloRtrim(lit(" x\r\n"))) == " x")
+    // JOIN(delim, v1, v2, …): delimiter FIRST, non-strings
+    // stringified, NULL rendered as the literal 'NULL'
+    assert(one[String](veloJoin(",", lit("a"), lit(null).cast("string"), lit(7))) == "a,NULL,7")
   }
 
   test("date/time surface") {

@@ -73,12 +73,25 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("string function surface") {
+    // SPLIT returns the FIRST part (a string) and JOIN is variadic
+    // delimiter-first — the reference's functions.rs semantics
     runs("""SELECT UPPER(symbol), LOWER(symbol), SUBSTRING(symbol, 1, 2),
             REPLACE(symbol, 'A', 'X'), TRIM(symbol), LTRIM(symbol), RTRIM(symbol),
             LENGTH(symbol), LEN(symbol), CONCAT(symbol, '-', symbol),
-            SPLIT(symbol, 'A'), JOIN(SPLIT(symbol, 'A'), '_'),
+            SPLIT(symbol, 'A'), JOIN('_', SPLIT(symbol, 'A'), symbol),
             LEFT(symbol, 2), RIGHT(symbol, 2), POSITION('A', symbol),
             REGEXP(symbol, '^[A-M]') FROM t""")
+  }
+
+  test("string parity edges through the dialect: byte LENGTH, first-part SPLIT, NULL in JOIN") {
+    val r = ctx.sql(
+      """SELECT LENGTH('héllo') AS blen, SPLIT('a,b,c', ',') AS first_part,
+         JOIN(',', 'a', CAST(NULL AS STRING), 7) AS joined,
+         TRIM('	tabbed	') AS utrimmed FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Int]("blen") == 6)           // bytes, not chars
+    assert(r.getAs[String]("first_part") == "a")
+    assert(r.getAs[String]("joined") == "a,NULL,7")
+    assert(r.getAs[String]("utrimmed") == "tabbed")
   }
 
   test("date/time function surface") {
