@@ -43,6 +43,18 @@ object Bench {
   def slowGateFor(baseline: Double): Double =
     math.max(2.5 * baseline, baseline + 0.15)
 
+  /** Cross-run min-merge choice for ONE query, given each run's
+    * (error, seconds): the fastest error-free run wins — ambient stalls
+    * only ever add time, so the minimum over independently-scheduled
+    * runs is the least noise-sensitive estimator — and an error is
+    * committed only when every run errored (kept at run 0 so the
+    * failure stays reported rather than vanishing into a merge).
+    */
+  def chooseRun(attempts: Seq[(Option[String], Double)]): Int = {
+    val ok = attempts.zipWithIndex.filter(_._1._1.isEmpty)
+    if (ok.nonEmpty) ok.minBy(_._1._2)._2 else 0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,9 +105,15 @@ object Bench {
     // query that was judged against the earlier, looser gate.
     val calibrationBaseline = (1 to 3).map(_ => sentinel()).min
     var sentinelBaseline = calibrationBaseline
+    // per-RUN sentinel trace (cross-run min-merge mode): the baseline is a
+    // process-wide running min, but each full measurement run records the
+    // sentinels observed DURING that run so a uniformly-slow run is
+    // tellable from the artifact even when no per-query window tripped.
+    val runSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     def observedSentinel(): Double = {
       val s = sentinel()
       if (s < sentinelBaseline) sentinelBaseline = s
+      runSentinels += s
       s
     }
     // A window is "slow" when the probe runs well above baseline.
@@ -162,6 +180,10 @@ object Bench {
     // corrects to the real cost, a genuinely slow query is simply
     // measured twice and keeps its honest minimum.
     val minOf2Gate = sys.env.getOrElse("SPARK_GRAFT_MIN_OF_2_GATE", "2.5").toDouble
+
+    // One FULL measurement pass over every query: first pass with
+    // slow-window retries, then the final-gate re-check sweep.
+    def measureOnce(): Seq[(String, Q)] = {
     val firstPass: Seq[(String, Q)] = names.map { name =>
       var best = attempt(name)
       var retries = 0
@@ -223,6 +245,45 @@ object Bench {
       }
       gateTightened = slowGate < gateAtStart - 1e-9
     }
+    results
+    }
+
+    // AMBIENT-PROOFING (cross-run min-merge): the sentinel gate detects
+    // per-query stall WINDOWS, but a uniformly ~25-35% slow VM run passes
+    // with n_slow_windows=0 and inflates every number at once (observed
+    // r8: committed total 87.9 s vs 65.4-74.1 s same-HEAD re-runs).
+    // SPARK_GRAFT_BENCH_RUNS=N repeats the FULL measurement pass N times
+    // and commits the per-query MINIMUM across runs — a minimum over
+    // independently-scheduled runs is the estimator least sensitive to
+    // one-sided ambient noise (stalls only ever ADD time). Each run's own
+    // sentinel trace and total ride the artifact so a run that was
+    // entirely inside a slow window is visible, not silently averaged in.
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    case class RunStats(total: Double, sentinelMin: Double, sentinelMed: Double,
+        sentinelMax: Double, nSlow: Int)
+    val runStats = scala.collection.mutable.ArrayBuffer.empty[RunStats]
+    val allRuns: Seq[Seq[(String, Q)]] = (1 to nRuns).map { runIdx =>
+      runSentinels.clear()
+      val rs = measureOnce()
+      val sents = runSentinels.toSeq.sorted
+      val med = if (sents.isEmpty) 0.0 else sents(sents.size / 2)
+      val stats = RunStats(
+        rs.collect { case (_, q) if q.r.err.isEmpty => q.r.sec }.sum,
+        if (sents.isEmpty) 0.0 else sents.head, med,
+        if (sents.isEmpty) 0.0 else sents.last,
+        rs.count(_._2.guard > slowGate))
+      runStats += stats
+      System.err.println(f"[bench] run $runIdx/$nRuns total=${stats.total}%.2f s sentinel_med=${stats.sentinelMed}%.3f n_slow=${stats.nSlow}")
+      rs
+    }
+    // Merge: per query keep the fastest SUCCESSFUL timing across runs
+    // (an error in one run must not shadow a clean timing in another);
+    // if every run errored, keep the first error so it stays reported.
+    val results: Seq[(String, Q)] = names.map { name =>
+      val qs = allRuns.map(_.find(_._1 == name).get._2)
+      val idx = Bench.chooseRun(qs.map(q => (q.r.err, q.r.sec)))
+      name -> qs(idx).copy(retries = qs.map(_.retries).sum)
+    }
 
     import JsonOut.{jstr, sec3}
 
@@ -263,7 +324,13 @@ object Bench {
     // the artifact, not only from the invoking shell's history
     val configJson =
       s""""config":{"cpus":${jstr(cpus)},"min_of_2_gate":${sec3(minOf2Gate)},""" +
-        s""""max_retries":$maxRetries,"subset":${only.isDefined}}"""
+        s""""max_retries":$maxRetries,"n_runs":$nRuns,"subset":${only.isDefined}}"""
+    // Per-run evidence for the min-merge: totals + sentinel trace summary.
+    // Compact enough for the stdout line (N is small), so a truncated
+    // file artifact still shows whether any run saw a clean window.
+    val runsJson = runStats.zipWithIndex.map { case (s, i) =>
+      s"""{"run":${i + 1},"total":${sec3(s.total)},"sentinel_min":${sec3(s.sentinelMin)},"sentinel_med":${sec3(s.sentinelMed)},"sentinel_max":${sec3(s.sentinelMax)},"n_slow_windows":${s.nSlow}}"""
+    }.mkString("[", ",", "]")
     // stdout line stays COMPACT (rounded secs, no rows/error detail): the
     // driver only captures the last few KB of stdout, and a long line gets
     // cut mid-object → unparseable. Full detail goes to bench_out.json.
@@ -280,9 +347,9 @@ object Bench {
     val recallOkField = recallEntries.fold(_ => "",
       rs => s""","ann_recall_ok":${rs.forall(_.ok)}""")
     val stdoutJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"error_queries":$errNames,"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"error_queries":$errNames,"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"runs":$runsJson,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"runs":$runsJson,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -28,6 +28,13 @@ object PlanAudit {
       val ep = df.queryExecution.executedPlan
       ep.execute().count() // materialize THIS QueryExecution so AQE finalizes
       val plan = ep.toString
+      // SPARK_GRAFT_PLAN_FULL=1: dump the whole executed plan per query —
+      // the summary below hides expression-level differences (the q48-vs-q9
+      // dialect gap was invisible at exchange/codegen granularity)
+      if (sys.env.get("SPARK_GRAFT_PLAN_FULL").contains("1")) {
+        println(s"\n========== $k (full) ==========")
+        println(plan)
+      }
       val lines = plan.linesIterator.toSeq
       def grep(p: String) = lines.filter(_.contains(p)).map(_.trim.take(200))
       println(s"\n========== $k ==========")

@@ -42,6 +42,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(0.2 > gate)   // ...but a 200 ms stall still trips it
   }
 
+  test("min-merge commits the fastest error-free run") {
+    // r8 replay: committed total 87.9 s on a uniformly ~26%-slow window
+    // vs 65.4 s on a clean same-HEAD run — with n_slow_windows=0, the
+    // per-window gate cannot see uniform slowness. The min-merge must
+    // pick the clean run's timing.
+    assert(Bench.chooseRun(Seq((None, 1.38), (None, 0.72))) === 1)
+    // an error in one run must not shadow a clean timing in another
+    assert(Bench.chooseRun(Seq((Some("boom"), 0.01), (None, 2.5))) === 1)
+    // ...regardless of order
+    assert(Bench.chooseRun(Seq((None, 2.5), (Some("boom"), 0.01))) === 0)
+    // every run errored → keep run 0 so the failure stays reported
+    assert(Bench.chooseRun(Seq((Some("a"), 1.0), (Some("b"), 0.5))) === 0)
+  }
+
   test("large baselines scale multiplicatively, not by the floor") {
     // On a loaded VM where the best-observed sentinel is already 0.5 s,
     // the 2.5x term governs — the floor never loosens a large gate.
