@@ -186,6 +186,36 @@ object GraftKernels {
       registry.createOrReplaceTempFunction("velo_trim", utrim("(?U)^\\s+|(?U)\\s+$"), "scala_udf")
       registry.createOrReplaceTempFunction("velo_ltrim", utrim("(?U)^\\s+"), "scala_udf")
       registry.createOrReplaceTempFunction("velo_rtrim", utrim("(?U)\\s+$"), "scala_udf")
+      // POSITION is BYTE-based in the reference (str::find over UTF-8
+      // bytes — functions.rs:2489; the optional 3rd arg is a byte start
+      // offset, clamped to >= 1, NULL start → NULL). A latin1 round-trip
+      // makes chars == bytes, so the codegen'd StringLocate does the
+      // byte math; a valid-UTF-8 needle can only match on char
+      // boundaries, so the result is identical to Rust's byte find.
+      def lat1(e: Expression): Expression =
+        new StringDecode(new Encode(e, Literal("UTF-8")), Literal("ISO-8859-1"))
+      registry.createOrReplaceTempFunction("velo_position",
+        args => {
+          if (args.length < 2 || args.length > 3)
+            throw new IllegalArgumentException("POSITION expects (substring, string[, start])")
+          val loc = StringLocate(lat1(args(0)), lat1(args(1)),
+            if (args.length == 3) Greatest(Seq(Cast(args(2), IntegerType), Literal(1)))
+            else Literal(1))
+          if (args.length == 3) If(IsNull(args(2)), Literal(null, IntegerType), loc)
+          else loc
+        }, "scala_udf")
+      // type-dispatched reference-parity expressions (VeloExprs): the
+      // evaluator branches on runtime type; these branch ONCE at
+      // analysis via RuntimeReplaceable and lower to codegen'd builtins
+      registry.createOrReplaceTempFunction("velo_round",
+        args => VeloExprs.VeloRound(args(0),
+          if (args.length > 1) args(1) else Literal(0)), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_array_length",
+        args => VeloExprs.VeloArrayLength(args(0)), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_map_keys",
+        args => VeloExprs.VeloMapKeys(args(0)), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_array_contains",
+        args => VeloExprs.VeloArrayContains(args(0), args(1)), "scala_udf")
     }
   }
 

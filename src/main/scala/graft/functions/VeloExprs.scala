@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.variant.{SchemaOfVariant, VariantGet}
+import org.apache.spark.sql.types._
+
+/** Type-dispatched reference-parity expressions, registered as SQL
+  * functions by [[GraftKernels.registerSqlFunctions]].
+  *
+  * The reference evaluator dispatches several functions on the RUNTIME
+  * type of the value (src/velostream/sql/execution/expression/
+  * functions.rs): ROUND goes through f64 multiply-round-divide for
+  * floats but leaves integers untouched; ARRAY_LENGTH / MAP_KEYS /
+  * ARRAY_CONTAINS accept a JSON STRING and operate on the parsed value.
+  * Spark resolves types statically, so the same dispatch happens once at
+  * analysis: each expression here is RuntimeReplaceable and picks its
+  * replacement from the resolved child type — the replacement is always
+  * built-in, codegen'd operators, never an interpreted shim.
+  */
+object VeloExprs {
+
+  /** ROUND — functions.rs:424. Floats round through f64
+    * `(f * 10^p).round() / 10^p` (NOT exact-decimal HALF_UP: the
+    * reference reads the BINARY value, so ROUND(2.675, 2) = 2.67 where
+    * decimal-exact engines say 2.68); integers pass through unchanged
+    * whatever the precision; ScaledInteger (decimal) keeps its scale.
+    * Spark's Round(product, 0) rounds the exact decimal expansion of the
+    * f64 product with HALF_UP — identical to Rust `f64::round` on every
+    * input, because the product's fraction is exactly representable. */
+  case class VeloRound(child: Expression, scaleArg: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child, scaleArg)
+    override lazy val replacement: Expression = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => child
+      case _: DecimalType => Round(child, scaleArg)
+      case _ =>
+        val m = Pow(Literal(10.0), Cast(scaleArg, DoubleType))
+        Divide(Round(Multiply(Cast(child, DoubleType), m), Literal(0)), m)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0), scaleArg = c(1))
+  }
+
+  /** ARRAY_LENGTH — functions.rs:1388. A string argument is parsed as a
+    * JSON array and its length returned (streaming payloads are JSON
+    * text); NULL → NULL. Spark's size() would reject the string at
+    * analysis. Non-array JSON reads NULL here where the reference
+    * errors — a soft landing for the same misuse. */
+  case class VeloArrayLength(child: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child)
+    override lazy val replacement: Expression = child.dataType match {
+      case _: StringType => LengthOfJsonArray(child)
+      case _ => Size(child, legacySizeOfNull = false)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0))
+  }
+
+  /** MAP_KEYS — functions.rs:1722. Maps and structs yield their keys /
+    * field names; a string argument is parsed as a JSON object and its
+    * keys returned. */
+  case class VeloMapKeys(child: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child)
+    override lazy val replacement: Expression = child.dataType match {
+      case _: MapType => MapKeys(child)
+      case st: StructType =>
+        If(IsNull(child),
+          Literal.create(null, ArrayType(StringType, containsNull = false)),
+          CreateArray(st.fieldNames.toSeq.map(Literal(_))))
+      case _: StringType => JsonObjectKeys(child)
+      case _ => MapKeys(child) // let analysis report the type error
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0))
+  }
+
+  /** ARRAY_CONTAINS — functions.rs:1611 with values_equal:1679 semantics.
+    * Element comparison is NULL-SAFE (`values_equal(Null, Null)` is
+    * true, so searching NULL finds a null element) and an array that
+    * lacks the value reads FALSE even when it contains nulls — Spark's
+    * array_contains returns NULL for both. A string argument is parsed
+    * as a JSON array; elements compare by JSON type (String("1") never
+    * equals Integer(1), but Integer and Float cross-compare). */
+  case class VeloArrayContains(child: Expression, value: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child, value)
+    // the analyzer never visits a RuntimeReplaceable's replacement, so
+    // the lambda must be PRE-BOUND: a resolved NamedLambdaVariable of
+    // the array's element type, not an UnresolvedNamedLambdaVariable
+    private def boundExists(arr: Expression, body: Expression => Expression): Expression = {
+      val (et, cn) = arr.dataType match {
+        case ArrayType(e, c) => (e, c)
+        case other => (other, true)
+      }
+      val x = NamedLambdaVariable("velo_ac_x", et, cn)
+      ArrayExists(arr, LambdaFunction(body(x), Seq(x)), false)
+    }
+    override lazy val replacement: Expression = child.dataType match {
+      case _: StringType =>
+        // parse as JSON array of variants; gate each element on its JSON
+        // type so "1" (STRING) never matches 1 (BIGINT), like values_equal
+        // timeZoneId must be pre-filled: the analyzer's ResolveTimeZone
+        // never visits a RuntimeReplaceable's replacement either
+        val parsed = JsonToStructs(ArrayType(VariantType), Map.empty[String, String], child,
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        // plain Cast never resolves FROM variant — extraction goes
+        // through VariantGet with the identity path, like Spark's own
+        // cast-of-variant lowering (failOnError=false → NULL on
+        // type mismatch, which the schema gate already excludes)
+        def vget(x: Expression, dt: DataType): Expression =
+          new VariantGet(x, Literal("$"), dt, false,
+            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        val pred: Expression => Expression = value.dataType match {
+          case _: StringType => x =>
+            And(EqualTo(SchemaOfVariant(x), Literal("STRING")),
+              EqualTo(vget(x, StringType), value))
+          case _: NumericType => x =>
+            And(In(SchemaOfVariant(x), Seq(Literal("BIGINT"), Literal("DOUBLE"))),
+              EqualTo(vget(x, DoubleType), Cast(value, DoubleType)))
+          case _: BooleanType => x =>
+            And(EqualTo(SchemaOfVariant(x), Literal("BOOLEAN")),
+              EqualTo(vget(x, BooleanType), value))
+          case _: NullType => x => EqualTo(SchemaOfVariant(x), Literal("VOID"))
+          case _ => _ => Literal(false)
+        }
+        boundExists(parsed, pred)
+      case _ =>
+        boundExists(child, x => EqualNullSafe(x, value))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0), value = c(1))
+  }
+}

@@ -55,7 +55,12 @@ object VeloFunctions {
   /** LENGTH is BYTE length (reference: s.len() over UTF-8 bytes,
     * functions.rs:915) — 'héllo' is 6, not 5. */
   def veloLength(c: Column): Column = octet_length(c)
-  def veloConcat(cs: Column*): Column = concat(cs: _*)
+  /** CONCAT skips NULL arguments and stringifies non-strings
+    * (functions.rs:1419 concat_function: `FieldValue::Null => {}`) —
+    * Spark's concat NULLs the whole result if ANY argument is NULL, a
+    * silent row-level divergence on ported queries. concat_ws with an
+    * empty separator has exactly the skip-NULLs semantics. */
+  def veloConcat(cs: Column*): Column = concat_ws("", cs.map(_.cast("string")): _*)
   /** SPLIT(str, delim) returns the FIRST part as a STRING — the
     * reference's documented behavior (functions.rs split_function:
     * 'Return first part for simplicity'); an array-returning split
@@ -111,9 +116,106 @@ object VeloFunctions {
     case "NANOSECOND"  => (pmod(unix_micros(ts), lit(1000000L)) * 1000L).cast("long")
     case other    => throw new IllegalArgumentException(s"EXTRACT field $other")
   }
-  def veloDateFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
+  /** DATE_FORMAT accepts the reference's chrono/strftime patterns
+    * (functions.rs:2403 formats through `dt.format(&format)` — every
+    * reference demo/doc query writes '%Y-%m-%d'-style patterns, which
+    * Java's DateTimeFormatter would render as garbage: 'Y' and 'd' are
+    * pattern letters, '%' a literal). A '%' in the pattern selects
+    * strftime translation; otherwise the string is passed through as a
+    * Spark pattern, so both worlds work. */
+  def veloDateFormat(ts: Column, fmt: String): Column =
+    date_format(ts, if (fmt.contains('%')) strftimeToSpark(fmt) else fmt)
+
+  /** chrono strftime → Spark DateTimeFormatter pattern. Supports the
+    * directives reference queries use; anything untranslatable fails AT
+    * PLAN TIME with the directive named (chrono would render an error
+    * marker per row — failing the build is the honest Spark analog).
+    * Literal runs containing letters or quotes are single-quoted. */
+  def strftimeToSpark(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    def dir(s: String): Unit = { flushLit(); out.append(s) }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        val (spec, w) = fmt(i + 1) match {
+          // %.3f / %.6f / %.9f — fraction with leading dot; %3f/%6f/%9f fixed
+          case '.' if i + 3 < fmt.length && fmt(i + 3) == 'f' && "369".contains(fmt(i + 2)) =>
+            ("." + "S" * (fmt(i + 2) - '0'), 4)
+          case d if "369".contains(d) && i + 2 < fmt.length && fmt(i + 2) == 'f' =>
+            ("S" * (d - '0'), 3)
+          case ':' if i + 2 < fmt.length && fmt(i + 2) == 'z' => ("xxx", 3)
+          case c =>
+            val s = c match {
+              case 'Y' => "yyyy"; case 'y' => "yy"
+              case 'm' => "MM"; case 'd' => "dd"; case 'e' => "d"
+              case 'H' => "HH"; case 'I' => "hh"
+              case 'M' => "mm"; case 'S' => "ss"
+              case 'p' => "a"
+              case 'a' => "EEE"; case 'A' => "EEEE"
+              case 'b' | 'h' => "MMM"; case 'B' => "MMMM"
+              case 'j' => "DDD"
+              case 'F' => "yyyy-MM-dd"; case 'D' => "MM/dd/yy"
+              case 'T' => "HH:mm:ss"; case 'R' => "HH:mm"; case 'r' => "hh:mm:ss a"
+              case 'f' => "SSSSSSSSS"
+              case 'z' => "xx"; case 'Z' => "zzz"
+              case '%' => null // literal percent
+              case other => throw new IllegalArgumentException(
+                s"unsupported strftime directive %$other in DATE_FORMAT pattern '$fmt'")
+            }
+            (s, 2)
+        }
+        if (spec == null) lit.append('%') else dir(spec)
+        i += w
+      } else { lit.append(fmt(i)); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
   /** DATEDIFF in whole days (b - a). */
   def veloDateDiff(a: Column, b: Column): Column = datediff(b, a)
+
+  /** Three-arg DATEDIFF(unit, a, b) — the reference evaluator's
+    * semantics (functions.rs:1977-2005), which are calendar-COMPONENT
+    * diffs, not elapsed periods: years = year(b)-year(a) (Dec 31 → Jan 1
+    * is 1); months = 12·Δyear+Δmonth regardless of day-of-month;
+    * quarters likewise; weeks = 52·Δ(ISO week-year)+Δ(ISO week); days
+    * compares calendar DATES ignoring time-of-day; hours divides raw
+    * elapsed millis (truncating toward zero, Rust `/`). The docs/demos
+    * also use minutes/seconds/milliseconds (the evaluator rejects them —
+    * catalog drift): lowered as the natural extension of the hours arm. */
+  def veloDateDiffUnit(unit: String, a: Column, b: Column): Column = {
+    def millisDiv(d: Long): Column =
+      ((unix_millis(b.cast("timestamp")) - unix_millis(a.cast("timestamp")))
+        .cast("long") / lit(d)).cast("long") // Spark double-div then cast truncates toward zero like Rust /
+    val r = unit.toLowerCase(java.util.Locale.ROOT).stripSuffix("s") match {
+      case "year" => year(b) - year(a)
+      case "month" => (year(b) - year(a)) * lit(12) + (month(b) - month(a))
+      case "quarter" => (year(b) - year(a)) * lit(4) + (quarter(b) - quarter(a))
+      case "week" =>
+        (isoWeekYear(b) - isoWeekYear(a)) * lit(52) + (weekofyear(b) - weekofyear(a))
+      case "day" => datediff(b, a)
+      case "hour" => millisDiv(3600000L)
+      case "minute" => millisDiv(60000L)
+      case "second" => millisDiv(1000L)
+      case "millisecond" | "milli" | "m" => millisDiv(1L)
+      case other => throw new IllegalArgumentException(s"DATEDIFF unit $other")
+    }
+    r.cast("long")
+  }
+  /** ISO week-based year (chrono `iso_week().year()`): the year of the
+    * Thursday in the row's ISO week. weekday() is Monday=0, so Thursday
+    * of the week is d + (3 - weekday(d)) days. */
+  private def isoWeekYear(c: Column): Column =
+    year(date_add(c.cast("date"), lit(3) - weekday(c.cast("date"))))
   def veloUnixTimestamp(ts: Column): Column = unix_timestamp(ts)
   // timestamp_seconds: direct arithmetic cast — to_timestamp(from_unixtime(..))
   // would pay a per-row format-then-parse string round-trip for the same value
@@ -134,10 +236,43 @@ object VeloFunctions {
   def veloCast(c: Column, to: String): Column = c.cast(to)
 
   // ---- JSON (reference: JSON_EXTRACT / JSON_VALUE over payload strings) ----
-  /** JSON_EXTRACT(json, '$.path') — JSON text of the matched node. */
-  def jsonExtract(c: Column, path: String): Column = get_json_object(c, path)
-  /** JSON_VALUE — scalar string value at path (same as extract for scalars). */
-  def jsonValue(c: Column, path: String): Column = get_json_object(c, path)
+  /** The reference's path language (functions.rs:1215 parse_json_path)
+    * is dot-SEGMENTS only: array indices are dot-numeric (`$.arr.0.name`,
+    * never `$.arr[0].name`) and a bare path without `$.` is accepted
+    * (`k` ≡ `$.k`). Spark's get_json_object wants `$.arr[0].name` — a
+    * ported reference path silently returns NULL without translation. */
+  def jsonPathToSpark(path: String): String = {
+    val t = path.trim
+    if (t.isEmpty || t == "$") "$"
+    else {
+      val stripped =
+        if (t.startsWith("$.")) t.drop(2)
+        else if (t.startsWith("$")) t.drop(1)
+        else t
+      val segs = stripped.split('.').filter(_.nonEmpty)
+      "$" + segs.map { s =>
+        if (s.forall(_.isDigit)) s"[$s]" else s".$s"
+      }.mkString
+    }
+  }
+  /** JSON_EXTRACT(json, path) — JSON text of the matched node
+    * (functions.rs:1250 extract_json_value; invalid JSON → NULL). */
+  def jsonExtract(c: Column, path: String): Column =
+    get_json_object(c, jsonPathToSpark(path))
+  /** JSON_VALUE — the reference implements it as the SAME function as
+    * JSON_EXTRACT (functions.rs:1073 calls extract_json_value too). */
+  def jsonValue(c: Column, path: String): Column = jsonExtract(c, path)
+  /** JSON_EXISTS — reference semantics (functions.rs:1099): NULL inputs
+    * → NULL; unparseable JSON → false; a key holding JSON null EXISTS
+    * (walk returns Some(Null)). get_json_object cannot tell a JSON null
+    * from a missing key — variant can: try_variant_get returns a
+    * non-NULL variant for a JSON null and SQL NULL for a missing path. */
+  def jsonExists(c: Column, path: String): Column = {
+    val parsed = try_parse_json(c)
+    when(c.isNull, lit(null).cast("boolean"))
+      .when(parsed.isNull, lit(false))
+      .otherwise(try_variant_get(parsed, jsonPathToSpark(path), "variant").isNotNull)
+  }
 
   // ---- Array / Map ----
   def veloArray(cs: Column*): Column = array(cs: _*)

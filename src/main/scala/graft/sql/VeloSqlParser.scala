@@ -945,13 +945,20 @@ object VeloSqlParser {
   /** Spark-native names for the reference's function surface
     * (FUNCTION_CATALOG.md). Only names that differ are listed. */
   private val renames: Map[String, String] = Map(
-    "JSON_EXTRACT" -> "get_json_object",
-    "JSON_VALUE" -> "get_json_object",
+    // JSON_EXTRACT / JSON_VALUE are lowered arg-aware in rewriteTokens
+    // (reference dot-numeric path translation), not by this map
     // STRING_AGG/GROUP_CONCAT/LISTAGG are handled arg-aware in
     // rewriteTokens (reference-default ',' separator on the single-arg
     // form), not by this token-level map
     "COLLECT" -> "collect_list",
-    "ARRAY_LENGTH" -> "array_size",
+    // type-dispatched in VeloExprs: the evaluator accepts JSON STRINGS
+    // for array/map ops (functions.rs:1388,1611,1722), ROUND branches
+    // int-passthrough / f64-multiply / decimal (functions.rs:424), and
+    // ARRAY_CONTAINS compares null-safe (values_equal:1679)
+    "ARRAY_LENGTH" -> "velo_array_length",
+    "ARRAY_CONTAINS" -> "velo_array_contains",
+    "MAP_KEYS" -> "velo_map_keys",
+    "ROUND" -> "velo_round",
     // LENGTH/LEN are BYTE length in the reference (s.len() over UTF-8);
     // Spark's length counts characters — divergent on any multibyte text
     "LEN" -> "octet_length",
@@ -1003,6 +1010,25 @@ object VeloSqlParser {
       }
       throw new ParseException("unbalanced parens")
     }
+    // splice a Spark-SQL text template: __ARG1__/__ARG2__/… markers are
+    // replaced by already-rewritten token spans. Keeps multi-function
+    // lowerings (DATEDIFF calendar units, JSON_EXISTS) readable instead
+    // of 30 lines of token pushes each.
+    def emitTpl(template: String, argSpans: Vector[Tok]*): Unit =
+      VeloSqlParser.tokenize(template).foreach {
+        case tk @ Tok(TIdent, s) if s.startsWith("__ARG") && s.endsWith("__") =>
+          out ++= argSpans(s.stripPrefix("__ARG").stripSuffix("__").toInt - 1)
+        case tk => out += tk
+      }
+    // literal JSON paths get the reference dot-segment language
+    // translated to Spark JSONPath; non-literal paths pass through
+    def normalizedPathToks(arg: Vector[Tok]): Vector[Tok] =
+      if (arg.length == 1 && arg.head.kind == TString) {
+        val raw = arg.head.text
+        val p = graft.functions.VeloFunctions.jsonPathToSpark(
+          raw.substring(1, raw.length - 1).replace("''", "'"))
+        Vector(Tok(TString, "'" + p.replace("'", "''") + "'"))
+      } else rewriteTokens(arg, defaultTimeCol)
     // split top-level comma args of the call whose '(' is at `open`
     def callArgs(open: Int): (Vector[Vector[Tok]], Int) = {
       val end = closeParen(open)
@@ -1201,16 +1227,45 @@ object VeloSqlParser {
             out ++= a
             out += sym(")") += sym(")")
             i = end
-          case "JSON_EXISTS" =>
-            // JSON_EXISTS(json, path) → path resolves to a value
-            // (reference functions.rs:1098)
+          case "JSON_EXTRACT" | "JSON_VALUE" =>
+            // both are the SAME evaluator function in the reference
+            // (functions.rs:1073 json_value_function calls
+            // extract_json_value too). Literal paths get the reference's
+            // dot-segment language translated (`$.arr.0.b` → `$.arr[0].b`,
+            // bare `k` → `$.k` — functions.rs:1215 parse_json_path);
+            // non-literal paths pass through untouched.
             val (args, end) = callArgs(i + 1)
-            if (args.length != 2) throw new ParseException("JSON_EXISTS expects (json, path)")
-            out += sym("(") += id("get_json_object") += sym("(")
+            if (args.length != 2) throw new ParseException(s"$up expects (json, path)")
+            out += id("get_json_object") += sym("(")
             out ++= rewriteTokens(args(0), defaultTimeCol)
             out += sym(",")
-            out ++= args(1)
-            out += sym(")") += id("IS") += id("NOT") += id("NULL") += sym(")")
+            out ++= normalizedPathToks(args(1))
+            out += sym(")")
+            i = end
+          case "JSON_EXISTS" =>
+            // reference semantics (functions.rs:1099): NULL json or path
+            // → NULL; unparseable JSON → false; a key holding JSON null
+            // EXISTS (the path walk returns Some(Null)). get_json_object
+            // cannot tell JSON null from a missing key — variant can:
+            // try_variant_get yields a non-NULL variant for JSON null
+            // and SQL NULL only for a missing path.
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 2) throw new ParseException("JSON_EXISTS expects (json, path)")
+            val j = rewriteTokens(args(0), defaultTimeCol)
+            val p = normalizedPathToks(args(1))
+            if (p.length == 1 && p.head.kind == TString)
+              emitTpl(
+                """(CASE WHEN __ARG1__ IS NULL THEN CAST(NULL AS BOOLEAN)
+                   WHEN try_parse_json(__ARG1__) IS NULL THEN false
+                   ELSE try_variant_get(try_parse_json(__ARG1__), __ARG2__) IS NOT NULL END)""",
+                j, p)
+            else { // dynamic path: fall back to the value probe
+              out += sym("(") += id("get_json_object") += sym("(")
+              out ++= j
+              out += sym(",")
+              out ++= p
+              out += sym(")") += id("IS") += id("NOT") += id("NULL") += sym(")")
+            }
             i = end
           case "JSON_QUERY" =>
             // JSON_QUERY(json, path) → nested objects/arrays as JSON
@@ -1221,7 +1276,7 @@ object VeloSqlParser {
               out += id("get_json_object") += sym("(")
               out ++= rewriteTokens(args(0), defaultTimeCol)
               out += sym(",")
-              out ++= args(1)
+              out ++= normalizedPathToks(args(1))
               out += sym(")")
             }
             out += id("CASE") += id("WHEN")
@@ -1511,22 +1566,106 @@ object VeloSqlParser {
           case "DATEDIFF" if {
             val (a, _) = callArgs(i + 1); a.length == 3 && a.head.length == 1 && a.head.head.kind == TString
           } =>
-            // three-arg unit form (docs/sql/examples): DATEDIFF('days', a, b)
-            // → timestampdiff(DAY, a, b)
+            // three-arg unit form: DATEDIFF('days', a, b). Reference
+            // EVALUATOR semantics (functions.rs:1977-2005) are calendar-
+            // COMPONENT diffs, not elapsed periods: years is
+            // year(b)-year(a) (Dec 31 → Jan 1 reads 1, where Spark's
+            // timestampdiff(YEAR,…) reads 0); months/quarters likewise
+            // ignore day-of-month; weeks is 52·Δ(ISO week-year)+Δ(ISO
+            // week); days compares calendar DATES ignoring time-of-day
+            // (timestampdiff(DAY,…) counts full 24 h periods); hours
+            // divides raw elapsed millis truncating toward zero. Docs
+            // and demos also use minutes/seconds/milliseconds (the
+            // evaluator rejects them — catalog drift): lowered as the
+            // natural extension of the hours arm.
             val (args, end) = callArgs(i + 1)
-            // explicit unit map: a blanket stripSuffix("S") would mangle
-            // 'ms' into the invalid unit M
             val rawUnit = args.head.head.text.stripPrefix("'").stripSuffix("'")
-              .toUpperCase(java.util.Locale.ROOT)
-            val unit = rawUnit match {
-              case "MS" | "MILLIS" | "MILLISECOND" | "MILLISECONDS" => "MILLISECOND"
-              case "US" | "MICROS" | "MICROSECOND" | "MICROSECONDS" => "MICROSECOND"
-              case u => u.stripSuffix("S")
+              .toLowerCase(java.util.Locale.ROOT)
+            val a = rewriteTokens(args(1), defaultTimeCol)
+            val b = rewriteTokens(args(2), defaultTimeCol)
+            // ISO week-based year = year of the Thursday in the row's
+            // ISO week; weekday() is Monday=0, so Thursday is +(3-wd).
+            def iwy(arg: String) =
+              s"year(date_add(CAST($arg AS DATE), 3 - weekday(CAST($arg AS DATE))))"
+            def millisDiv(d: Long) =
+              s"CAST((unix_millis(CAST(__ARG2__ AS TIMESTAMP)) - unix_millis(CAST(__ARG1__ AS TIMESTAMP))) div $d AS BIGINT)"
+            val tpl = rawUnit.stripSuffix("s") match {
+              case "year" => "CAST(year(__ARG2__) - year(__ARG1__) AS BIGINT)"
+              case "month" =>
+                "CAST((year(__ARG2__) - year(__ARG1__)) * 12 + (month(__ARG2__) - month(__ARG1__)) AS BIGINT)"
+              case "quarter" =>
+                "CAST((year(__ARG2__) - year(__ARG1__)) * 4 + (quarter(__ARG2__) - quarter(__ARG1__)) AS BIGINT)"
+              case "week" =>
+                s"CAST((${iwy("__ARG2__")} - ${iwy("__ARG1__")}) * 52 + (weekofyear(__ARG2__) - weekofyear(__ARG1__)) AS BIGINT)"
+              case "day" => "CAST(datediff(__ARG2__, __ARG1__) AS BIGINT)"
+              case "hour" => millisDiv(3600000L)
+              case "minute" => millisDiv(60000L)
+              case "second" => millisDiv(1000L)
+              case "millisecond" | "milli" | "m" => millisDiv(1L)
+              case "u" | "micro" | "microsecond" =>
+                "CAST(unix_micros(CAST(__ARG2__ AS TIMESTAMP)) - unix_micros(CAST(__ARG1__ AS TIMESTAMP)) AS BIGINT)"
+              case other => throw new ParseException(s"unsupported DATEDIFF unit: $rawUnit")
             }
-            out += id("timestampdiff") += sym("(") += id(unit) += sym(",")
-            out ++= rewriteTokens(args(1), defaultTimeCol)
-            out += sym(",")
-            out ++= rewriteTokens(args(2), defaultTimeCol)
+            emitTpl(tpl, a, b)
+            i = end
+          case "DATE_FORMAT" if {
+            val (a, _) = callArgs(i + 1)
+            a.length == 2 && a(1).length == 1 && a(1).head.kind == TString &&
+              a(1).head.text.contains("%")
+          } =>
+            // the reference formats through chrono strftime
+            // (functions.rs:2403 `dt.format(&format)`) — every demo/doc
+            // query writes '%Y-%m-%d'-style patterns, which Java's
+            // DateTimeFormatter would render as garbage ('Y'/'d' are
+            // pattern letters, '%' a literal). Translate the literal at
+            // plan time; non-% patterns pass through as Spark patterns.
+            val (args, end) = callArgs(i + 1)
+            val raw = args(1).head.text
+            val fmt = raw.substring(1, raw.length - 1).replace("''", "'")
+            val sparkFmt = graft.functions.VeloFunctions.strftimeToSpark(fmt)
+            out += id("date_format") += sym("(")
+            out ++= rewriteTokens(args(0), defaultTimeCol)
+            out += sym(",") += Tok(TString, "'" + sparkFmt.replace("'", "''") + "'") += sym(")")
+            i = end
+          case "POSITION" =>
+            // byte-based with an optional byte start offset
+            // (functions.rs:2489) — Spark's builtin counts chars. Both
+            // the call form POSITION(sub, str[, start]) and the SQL
+            // standard POSITION(sub IN str) lower to velo_position.
+            val (args0, end) = callArgs(i + 1)
+            val args: Vector[Vector[Tok]] =
+              if (args0.length == 1) {
+                val a = args0.head
+                val inIx = {
+                  var d = 0; var f = -1
+                  a.zipWithIndex.foreach { case (x, ix) =>
+                    if (x.text == "(") d += 1
+                    if (x.text == ")") d -= 1
+                    if (d == 0 && x.isKw("IN") && f < 0) f = ix
+                  }
+                  f
+                }
+                if (inIx < 0) throw new ParseException("POSITION expects (sub, str[, start]) or (sub IN str)")
+                Vector(a.take(inIx), a.drop(inIx + 1))
+              } else args0
+            out += id("velo_position") += sym("(")
+            args.zipWithIndex.foreach { case (arg, ix) =>
+              if (ix > 0) out += sym(",")
+              out ++= rewriteTokens(arg, defaultTimeCol)
+            }
+            out += sym(")")
+            i = end
+          case "CONCAT" =>
+            // CONCAT skips NULL arguments and stringifies non-strings
+            // (functions.rs:1419 `FieldValue::Null => {}`) — Spark's
+            // concat NULLs the whole result on any NULL argument.
+            val (args, end) = callArgs(i + 1)
+            out += id("concat_ws") += sym("(") += Tok(TString, "''")
+            args.foreach { arg =>
+              out += sym(",") += id("CAST") += sym("(")
+              out ++= rewriteTokens(arg, defaultTimeCol)
+              out += id("AS") += id("STRING") += sym(")")
+            }
             out += sym(")")
             i = end
           case "EXTRACT" =>

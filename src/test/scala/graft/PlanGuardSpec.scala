@@ -114,6 +114,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestSession {
       s"pair-dedup exchange missing — first-band-only emission drops capped-bucket pairs:\n$p")
   }
 
+  test("q48 dialect rows-window emits the same plan shape as hand-written q9") {
+    // r8 flagged q48 at ~1.6x q9; the full-plan diff showed IDENTICAL
+    // structure (one hash exchange on l_suppkey, one sort, one Window —
+    // q48 even carries one window function to q9's two) and min-merged
+    // timings at parity (0.71 vs 0.74 s at sf0.1). Lock the shape so a
+    // parser change that adds an exchange or a wider projection fails
+    // here instead of surfacing as a bench mystery.
+    def shape(p: String): (Int, Int, Int) = {
+      val lines = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      (lines.count(_.contains("Exchange")),
+        lines.count(l => l.trim.startsWith("+- Window") || l.trim.startsWith("Window")),
+        lines.count(_.contains("FileScan")))
+    }
+    val p9 = shape(plan("q9_rows_frame"))
+    val p48 = shape(plan("q48_sql_rows_window"))
+    assert(p48 === p9, s"q48 plan shape $p48 diverged from q9 $p9")
+    // and the q48 scan must stay pruned to the 5 referenced columns
+    assert(!plan("q48_sql_rows_window").contains("l_comment"),
+      "dialect path reads columns the query never touches")
+  }
+
   test("dialect queries follow a dir SWITCH within one session (ctx cache rebuilds)") {
     // temp views are SESSION-global: a (session, dir)-keyed context
     // cache would hand back a context whose views a later dir silently

@@ -118,6 +118,148 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("ns") == 123000000L)
   }
 
+  test("DATE_FORMAT accepts chrono strftime patterns (functions.rs:2403)") {
+    // the reference formats through chrono — every demo/doc query writes
+    // '%Y-%m-%d'; Java patterns would render '2024' for 'yyyy' but
+    // garbage for '%Y' ('%' literal + week-based-year 'Y')
+    val r = ctx.sql(
+      """SELECT DATE_FORMAT(event_time, '%Y-%m-%d %H:00:00') AS hr,
+         DATE_FORMAT(event_time, '%Y-%m') AS mo,
+         DATE_FORMAT(event_time, '%H:%M:%S') AS tod,
+         DATE_FORMAT(event_time, 'yyyy-MM-dd') AS javaStyle
+         FROM t WHERE id = 1""").collect().head
+    assert(r.getAs[String]("hr") == "2024-03-05 10:00:00")
+    assert(r.getAs[String]("mo") == "2024-03")
+    assert(r.getAs[String]("tod") == "10:00:00")
+    assert(r.getAs[String]("javaStyle") == "2024-03-05") // both worlds work
+  }
+
+  test("DATEDIFF units are calendar-component diffs (functions.rs:1977-2005)") {
+    val r = ctx.sql(
+      """SELECT
+         DATEDIFF('years', TIMESTAMP '2023-12-31 23:00:00', TIMESTAMP '2024-01-01 01:00:00') AS y,
+         DATEDIFF('months', TIMESTAMP '2024-01-31 00:00:00', TIMESTAMP '2024-02-01 00:00:00') AS mo,
+         DATEDIFF('quarters', TIMESTAMP '2023-12-15 00:00:00', TIMESTAMP '2024-01-15 00:00:00') AS q,
+         DATEDIFF('days', TIMESTAMP '2024-01-01 23:00:00', TIMESTAMP '2024-01-02 01:00:00') AS d,
+         DATEDIFF('hours', TIMESTAMP '2024-01-01 23:00:00', TIMESTAMP '2024-01-02 01:00:00') AS h,
+         DATEDIFF('minutes', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:01:30') AS mi,
+         DATEDIFF('weeks', TIMESTAMP '2019-12-30 00:00:00', TIMESTAMP '2020-01-06 00:00:00') AS w1,
+         DATEDIFF('weeks', TIMESTAMP '2021-01-01 00:00:00', TIMESTAMP '2021-01-04 00:00:00') AS w2
+         FROM t LIMIT 1""").collect().head
+    // component diffs, NOT elapsed periods (timestampdiff would say 0/0/0)
+    assert(r.getAs[Long]("y") == 1L,  "Dec 31 -> Jan 1 is 1 year in the reference")
+    assert(r.getAs[Long]("mo") == 1L, "Jan 31 -> Feb 1 is 1 month (day-of-month ignored)")
+    assert(r.getAs[Long]("q") == 1L,  "Q4 -> Q1 across the year boundary")
+    assert(r.getAs[Long]("d") == 1L,  "calendar-DATE diff, not full 24h periods")
+    assert(r.getAs[Long]("h") == 2L,  "hours divide raw elapsed millis")
+    assert(r.getAs[Long]("mi") == 1L, "docs use minutes; elapsed millis div, truncated")
+    // weeks = 52*delta(ISO week-year) + delta(ISO week): 2019-12-30 is
+    // week 1 OF 2020, so one week apart reads 1; 2021-01-01 is week 53
+    // OF 2020 and 2021-01-04 week 1 of 2021 -> (1)*52 + (1-53) = 0
+    assert(r.getAs[Long]("w1") == 1L)
+    assert(r.getAs[Long]("w2") == 0L)
+  }
+
+  test("JSON paths use the reference dot-segment language (functions.rs:1215)") {
+    val r = ctx.sql(
+      """SELECT JSON_EXTRACT('{"a":[{"b":7},{"b":9}]}', '$.a.1.b') AS idx,
+         JSON_EXTRACT('{"k":42}', 'k') AS bare,
+         JSON_VALUE('{"a":{"b":"x"}}', '$.a.b') AS nested,
+         JSON_EXTRACT('not json', '$.k') AS bad
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[String]("idx") == "9",  "array index as dot-numeric segment")
+    assert(r.getAs[String]("bare") == "42", "bare path without $. accepted")
+    assert(r.getAs[String]("nested") == "x")
+    assert(r.get(r.fieldIndex("bad")) == null, "invalid JSON is NULL, not an error")
+  }
+
+  test("JSON_EXISTS: JSON-null-valued key EXISTS; invalid JSON false; NULL in NULL out (functions.rs:1099)") {
+    val r = ctx.sql(
+      """SELECT JSON_EXISTS('{"k": null}', '$.k') AS nullkey,
+         JSON_EXISTS('{"k": null}', '$.missing') AS missing,
+         JSON_EXISTS('not json', '$.k') AS badjson,
+         JSON_EXISTS(CAST(NULL AS STRING), '$.k') AS nulljson,
+         JSON_EXISTS('{"a":[{"b":1}]}', '$.a.0.b') AS dotidx
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Boolean]("nullkey"), "a key holding JSON null exists")
+    assert(!r.getAs[Boolean]("missing"))
+    assert(!r.getAs[Boolean]("badjson"))
+    assert(r.get(r.fieldIndex("nulljson")) == null)
+    assert(r.getAs[Boolean]("dotidx"))
+  }
+
+  test("CONCAT skips NULL arguments (functions.rs:1419) and stringifies") {
+    val r = ctx.sql(
+      """SELECT CONCAT('a', CAST(NULL AS STRING), 'b') AS skipped,
+         CONCAT(symbol, '-', volume) AS mixed
+         FROM t WHERE id = 1""").collect().head
+    assert(r.getAs[String]("skipped") == "ab", "Spark concat would NULL the whole result")
+    assert(r.getAs[String]("mixed") == "AAPL-10")
+  }
+
+  test("POSITION is byte-based with a byte start offset (functions.rs:2489)") {
+    val r = ctx.sql(
+      """SELECT POSITION('l', 'héllo') AS bytepos,
+         POSITION('l', 'héllo', 5) AS from5,
+         POSITION('A', 'ABCA', 2) AS threeArg,
+         POSITION('A', 'ABCA', CAST(NULL AS INT)) AS nullStart,
+         POSITION('zz', 'abc') AS absent
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Int]("bytepos") == 4, "'l' in 'héllo' is byte 4 (char 3)")
+    assert(r.getAs[Int]("from5") == 5)
+    assert(r.getAs[Int]("threeArg") == 4)
+    assert(r.get(r.fieldIndex("nullStart")) == null)
+    assert(r.getAs[Int]("absent") == 0)
+  }
+
+  test("ROUND branches on type: int passthrough, floats via f64 multiply (functions.rs:424)") {
+    val r = ctx.sql(
+      """SELECT ROUND(CAST(1.005 AS DOUBLE), 2) AS edge,
+         ROUND(volume, 2) AS intPass,
+         ROUND(CAST(2.5 AS DOUBLE)) AS half,
+         ROUND(CAST(-2.5 AS DOUBLE)) AS negHalf,
+         ROUND(CAST(NULL AS DOUBLE), 2) AS nul
+         FROM t WHERE id = 1""").collect().head
+    // the reference rounds the BINARY value: 1.005 is
+    // 1.00499999999999989…, so ×100 = 100.49999999999999 which rounds
+    // DOWN to 1.0 — decimal-exact engines (Spark's builtin round,
+    // DuckDB) read the shortest representation "1.005" and say 1.01.
+    assert(r.getAs[Double]("edge") == 1.0)
+    assert(r.getAs[Long]("intPass") == 10L, "integers pass through ROUND unchanged")
+    assert(r.getAs[Double]("half") == 3.0)
+    assert(r.getAs[Double]("negHalf") == -3.0, "half away from zero, like Rust f64::round")
+    assert(r.get(r.fieldIndex("nul")) == null)
+  }
+
+  test("ARRAY_LENGTH / MAP_KEYS / ARRAY_CONTAINS accept JSON strings (functions.rs:1388,1611,1722)") {
+    val r = ctx.sql(
+      """SELECT ARRAY_LENGTH('[1,2,3]') AS jlen,
+         ARRAY_LENGTH(ARRAY(1,2)) AS alen,
+         MAP_KEYS('{"a":1,"b":2}') AS jkeys,
+         ARRAY_CONTAINS('[1,2,3]', 2) AS jhit,
+         ARRAY_CONTAINS('["1","2"]', 2) AS typeGate,
+         ARRAY_CONTAINS('[1.0, 2]', 2) AS crossNum
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Int]("jlen") == 3)
+    assert(r.getAs[Int]("alen") == 2)
+    assert(r.getAs[scala.collection.Seq[String]]("jkeys").sorted.toSeq == Seq("a", "b"))
+    assert(r.getAs[Boolean]("jhit"))
+    assert(!r.getAs[Boolean]("typeGate"), "String(\"2\") never equals Integer(2) in values_equal")
+    assert(r.getAs[Boolean]("crossNum"), "Integer and Float cross-compare in values_equal")
+  }
+
+  test("ARRAY_CONTAINS is null-safe (values_equal:1679 — NULL==NULL true, no-match is false not NULL)") {
+    val r = ctx.sql(
+      """SELECT ARRAY_CONTAINS(ARRAY(1, CAST(NULL AS INT)), CAST(NULL AS INT)) AS nullHit,
+         ARRAY_CONTAINS(ARRAY(1, CAST(NULL AS INT)), 9) AS noMatchWithNulls,
+         ARRAY_CONTAINS(CAST(NULL AS ARRAY<INT>), 1) AS nullArr
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Boolean]("nullHit"), "searching NULL finds a null element")
+    assert(!r.getAs[Boolean]("noMatchWithNulls"),
+      "Spark's array_contains reads NULL here; the reference says false")
+    assert(r.get(r.fieldIndex("nullArr")) == null)
+  }
+
   test("conditional + JSON + array/map + header surface") {
     runs("""SELECT COALESCE(NULL, symbol), NULLIF(symbol, 'AAPL'),
             CAST(price AS BIGINT),
