@@ -126,14 +126,17 @@ object AnnRecall {
       // Hamming-2 multi-probe — floor 0.85 sits ABOVE the 0.84 the old
       // Hamming-1 probing measured, so losing the second probe ring
       // trips it; q52 0.94-0.98 and q75 0.92-0.94 at r7's nprobe=24 +
-      // 2-cell soft assignment, q74 0.86-1.0 at refine=8, q58 planted
+      // 2-cell soft assignment, q74 1.00 at m=16/refine=12 (r10), q58 planted
       // tier measured per-SF before calibration), so a param drift that
       // meaningfully degrades recall trips them while corpus-to-corpus
       // variance does not
       Seq(
         topk("q28_ann_lsh", floor = 0.85),
         topk("q52_ann_ivf", floor = 0.8),
-        topk("q74_ann_pq", floor = 0.8),
+        // r10: m 8→16 + refine 8→12 lifted q74 from 0.86 to 1.00 at every
+        // SF; floor 0.9 per the ~0.1-under-minimum convention — a revert
+        // to m=8 (measured 0.86-1.0) trips it, ambient variance does not
+        topk("q74_ann_pq", floor = 0.9),
         topk("q75_ann_ivfpq", floor = 0.8),
         Entry("q58_embed_dedup_lsh",
           if (nPlanted == 0) 0.0 else hitPlanted.toDouble / nPlanted, 0.95, nPlanted),

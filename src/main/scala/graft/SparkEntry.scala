@@ -692,8 +692,14 @@ object SparkEntry {
     //          by construction); recall + determinism in SimilaritySpec ----
     "q74_ann_pq" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
+      // m=16 (dsub 8→4): encode and LUT cost are 256·dim regardless of
+      // m, so halving the subspace width is near-free on wall while it
+      // quarters the per-subspace quantization error that misorders the
+      // ADC shortlist — r10 recall 0.86→1.00 measured at sf0.001/0.01/0.1;
+      // refine=12 widens the re-ranked shortlist (600 rows total, trivial).
+      // Codes grow 8→16 bytes: still 16× smaller than the 64-float vector.
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, dim = 64, m = 8, refine = 8)
+          k = 10, dim = 64, m = 16, refine = 12)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
           col("rk").cast("long").as("rk"))
     }),

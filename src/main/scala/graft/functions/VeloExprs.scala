@@ -19,23 +19,34 @@ import org.apache.spark.sql.types._
   */
 object VeloExprs {
 
-  /** ROUND — functions.rs:424. Floats round through f64
-    * `(f * 10^p).round() / 10^p` (NOT exact-decimal HALF_UP: the
-    * reference reads the BINARY value, so ROUND(2.675, 2) = 2.67 where
-    * decimal-exact engines say 2.68); integers pass through unchanged
-    * whatever the precision; ScaledInteger (decimal) keeps its scale.
-    * Spark's Round(product, 0) rounds the exact decimal expansion of the
-    * f64 product with HALF_UP — identical to Rust `f64::round` on every
-    * input, because the product's fraction is exactly representable. */
+  /** ROUND — functions.rs:424. A NULL precision reads NULL for EVERY
+    * input type (the reference evaluates precision before the value
+    * match); floats round through f64 `(f * 10^p).round() / 10^p`
+    * (NOT exact-decimal HALF_UP: the reference reads the BINARY value,
+    * so ROUND(1.005, 2) = 1.0 — ×100 is 100.49999999999999 — where
+    * decimal-exact engines read the shortest form and say 1.01);
+    * integers pass through unchanged whatever the precision;
+    * ScaledInteger (decimal) keeps its scale. Spark's Round(product, 0)
+    * rounds the exact decimal expansion of the f64 product with
+    * HALF_UP — identical to Rust `f64::round` on every input, because
+    * the product's fraction is exactly representable. */
   case class VeloRound(child: Expression, scaleArg: Expression)
       extends Expression with RuntimeReplaceable {
     override def children: Seq[Expression] = Seq(child, scaleArg)
-    override lazy val replacement: Expression = child.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => child
-      case _: DecimalType => Round(child, scaleArg)
-      case _ =>
-        val m = Pow(Literal(10.0), Cast(scaleArg, DoubleType))
-        Divide(Round(Multiply(Cast(child, DoubleType), m), Literal(0)), m)
+    override lazy val replacement: Expression = {
+      // a literal NULL precision must short-circuit at plan time:
+      // Spark's Round demands a foldable non-null scale, so the arm
+      // below would otherwise fail analysis instead of reading NULL
+      val scaleIsNullLit = scaleArg.foldable && scaleArg.eval(null) == null
+      if (scaleIsNullLit) Literal.create(null, child.dataType)
+      else child.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          If(IsNull(scaleArg), Literal.create(null, child.dataType), child)
+        case _: DecimalType => Round(child, scaleArg)
+        case _ =>
+          val m = Pow(Literal(10.0), Cast(scaleArg, DoubleType))
+          Divide(Round(Multiply(Cast(child, DoubleType), m), Literal(0)), m)
+      }
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(child = c(0), scaleArg = c(1))
@@ -117,8 +128,23 @@ object VeloExprs {
             And(EqualTo(SchemaOfVariant(x), Literal("STRING")),
               EqualTo(vget(x, StringType), value))
           case _: NumericType => x =>
-            And(In(SchemaOfVariant(x), Seq(Literal("BIGINT"), Literal("DOUBLE"))),
-              EqualTo(vget(x, DoubleType), Cast(value, DoubleType)))
+            // variant types non-exponent JSON decimals ('[2.5]') as
+            // DECIMAL(p,s), not DOUBLE — the numeric gate must admit all
+            // three or ARRAY_CONTAINS('[2.5]', 2.5) silently reads false
+            val sv = SchemaOfVariant(x)
+            val floatish = Or(EqualTo(sv, Literal("DOUBLE")),
+              StartsWith(sv, Literal("DECIMAL")))
+            val dblEq = EqualTo(vget(x, DoubleType), Cast(value, DoubleType))
+            value.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                // values_equal compares Integer==Integer as exact i64;
+                // only the Integer-vs-Float cross-compare goes through f64
+                Or(And(EqualTo(sv, Literal("BIGINT")),
+                    EqualTo(vget(x, LongType), Cast(value, LongType))),
+                  And(floatish, dblEq))
+              case _ =>
+                And(Or(EqualTo(sv, Literal("BIGINT")), floatish), dblEq)
+            }
           case _: BooleanType => x =>
             And(EqualTo(SchemaOfVariant(x), Literal("BOOLEAN")),
               EqualTo(vget(x, BooleanType), value))

@@ -196,7 +196,12 @@ object VeloFunctions {
     def millisDiv(d: Long): Column =
       ((unix_millis(b.cast("timestamp")) - unix_millis(a.cast("timestamp")))
         .cast("long") / lit(d)).cast("long") // Spark double-div then cast truncates toward zero like Rust /
-    val r = unit.toLowerCase(java.util.Locale.ROOT).stripSuffix("s") match {
+    val lower = unit.toLowerCase(java.util.Locale.ROOT)
+    // 'ms' must be caught BEFORE the plural strip ('ms'.stripSuffix("s")
+    // is 'm' — and a bare 'm' conventionally means month or minute, so
+    // it must ERROR like the reference's unsupported-unit arm, not
+    // silently read milliseconds)
+    val r = (if (lower == "ms") "millisecond" else lower.stripSuffix("s")) match {
       case "year" => year(b) - year(a)
       case "month" => (year(b) - year(a)) * lit(12) + (month(b) - month(a))
       case "quarter" => (year(b) - year(a)) * lit(4) + (quarter(b) - quarter(a))
@@ -206,7 +211,7 @@ object VeloFunctions {
       case "hour" => millisDiv(3600000L)
       case "minute" => millisDiv(60000L)
       case "second" => millisDiv(1000L)
-      case "millisecond" | "milli" | "m" => millisDiv(1L)
+      case "millisecond" | "milli" => millisDiv(1L)
       case other => throw new IllegalArgumentException(s"DATEDIFF unit $other")
     }
     r.cast("long")
@@ -241,24 +246,48 @@ object VeloFunctions {
     * never `$.arr[0].name`) and a bare path without `$.` is accepted
     * (`k` ≡ `$.k`). Spark's get_json_object wants `$.arr[0].name` — a
     * ported reference path silently returns NULL without translation. */
-  def jsonPathToSpark(path: String): String = {
+  def jsonPathToSpark(path: String): String = jsonPathCandidates(path).head
+
+  /** All Spark-path readings of a reference path. The reference's
+    * walk_json_path (functions.rs:1192) decides each all-digit segment
+    * PER NODE at runtime: an array index on an array, an object KEY on
+    * an object (`$.2024` finds the key "2024"). Spark paths are static,
+    * but both readings are expressible (`$[n]` indexes only arrays,
+    * `$.n` keys only objects — verified on 4.1.2: the wrong reading
+    * returns NULL, never errors), so callers COALESCE over the
+    * combinations. Capped at 3 digit segments (8 paths); beyond that
+    * only the two uniform readings are probed — mixed index/key paths
+    * deeper than 3 numeric hops aren't seen in any reference query. */
+  def jsonPathCandidates(path: String): Seq[String] = {
     val t = path.trim
-    if (t.isEmpty || t == "$") "$"
+    if (t.isEmpty || t == "$") Seq("$")
     else {
       val stripped =
         if (t.startsWith("$.")) t.drop(2)
         else if (t.startsWith("$")) t.drop(1)
         else t
-      val segs = stripped.split('.').filter(_.nonEmpty)
-      "$" + segs.map { s =>
-        if (s.forall(_.isDigit)) s"[$s]" else s".$s"
-      }.mkString
+      val segs = stripped.split('.').filter(_.nonEmpty).toSeq
+      val digitIdx = segs.indices.filter(i => segs(i).forall(_.isDigit))
+      def render(asIndex: Set[Int]): String =
+        "$" + segs.zipWithIndex.map { case (s, i) =>
+          if (asIndex(i)) s"[$s]" else s".$s"
+        }.mkString
+      if (digitIdx.isEmpty) Seq(render(Set.empty))
+      else if (digitIdx.size <= 3)
+        // every index/key combination, all-index (the common case) first
+        digitIdx.foldLeft(Seq(Set.empty[Int])) { (acc, i) =>
+          acc.flatMap(s => Seq(s + i, s))
+        }.map(render)
+      else Seq(render(digitIdx.toSet), render(Set.empty))
     }
   }
   /** JSON_EXTRACT(json, path) — JSON text of the matched node
     * (functions.rs:1250 extract_json_value; invalid JSON → NULL). */
   def jsonExtract(c: Column, path: String): Column =
-    get_json_object(c, jsonPathToSpark(path))
+    jsonPathCandidates(path).map(get_json_object(c, _)) match {
+      case Seq(one) => one
+      case many => coalesce(many: _*)
+    }
   /** JSON_VALUE — the reference implements it as the SAME function as
     * JSON_EXTRACT (functions.rs:1073 calls extract_json_value too). */
   def jsonValue(c: Column, path: String): Column = jsonExtract(c, path)
@@ -269,9 +298,12 @@ object VeloFunctions {
     * non-NULL variant for a JSON null and SQL NULL for a missing path. */
   def jsonExists(c: Column, path: String): Column = {
     val parsed = try_parse_json(c)
+    val hit = jsonPathCandidates(path)
+      .map(p => try_variant_get(parsed, p, "variant").isNotNull)
+      .reduce(_ || _)
     when(c.isNull, lit(null).cast("boolean"))
       .when(parsed.isNull, lit(false))
-      .otherwise(try_variant_get(parsed, jsonPathToSpark(path), "variant").isNotNull)
+      .otherwise(hit)
   }
 
   // ---- Array / Map ----

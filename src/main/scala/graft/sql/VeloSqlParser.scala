@@ -1021,14 +1021,18 @@ object VeloSqlParser {
         case tk => out += tk
       }
     // literal JSON paths get the reference dot-segment language
-    // translated to Spark JSONPath; non-literal paths pass through
-    def normalizedPathToks(arg: Vector[Tok]): Vector[Tok] =
+    // translated to Spark JSONPath — ALL readings of it: walk_json_path
+    // (functions.rs:1192) decides digit segments per node at runtime
+    // (array index vs numeric object key), so a literal path expands to
+    // one candidate per static reading and the call site COALESCEs.
+    // Non-literal paths pass through as a single dynamic candidate.
+    def pathCandidateToks(arg: Vector[Tok]): Vector[Vector[Tok]] =
       if (arg.length == 1 && arg.head.kind == TString) {
         val raw = arg.head.text
-        val p = graft.functions.VeloFunctions.jsonPathToSpark(
-          raw.substring(1, raw.length - 1).replace("''", "'"))
-        Vector(Tok(TString, "'" + p.replace("'", "''") + "'"))
-      } else rewriteTokens(arg, defaultTimeCol)
+        graft.functions.VeloFunctions.jsonPathCandidates(
+          raw.substring(1, raw.length - 1).replace("''", "'")).toVector
+          .map(p => Vector(Tok(TString, "'" + p.replace("'", "''") + "'")))
+      } else Vector(rewriteTokens(arg, defaultTimeCol))
     // split top-level comma args of the call whose '(' is at `open`
     def callArgs(open: Int): (Vector[Vector[Tok]], Int) = {
       val end = closeParen(open)
@@ -1236,11 +1240,24 @@ object VeloSqlParser {
             // non-literal paths pass through untouched.
             val (args, end) = callArgs(i + 1)
             if (args.length != 2) throw new ParseException(s"$up expects (json, path)")
-            out += id("get_json_object") += sym("(")
-            out ++= rewriteTokens(args(0), defaultTimeCol)
-            out += sym(",")
-            out ++= normalizedPathToks(args(1))
-            out += sym(")")
+            val j = rewriteTokens(args(0), defaultTimeCol)
+            val cands = pathCandidateToks(args(1))
+            def gjo(p: Vector[Tok]): Unit = {
+              out += id("get_json_object") += sym("(")
+              out ++= j
+              out += sym(",")
+              out ++= p
+              out += sym(")")
+            }
+            if (cands.length == 1) gjo(cands.head)
+            else {
+              out += id("coalesce") += sym("(")
+              cands.zipWithIndex.foreach { case (p, k) =>
+                if (k > 0) out += sym(",")
+                gjo(p)
+              }
+              out += sym(")")
+            }
             i = end
           case "JSON_EXISTS" =>
             // reference semantics (functions.rs:1099): NULL json or path
@@ -1252,18 +1269,22 @@ object VeloSqlParser {
             val (args, end) = callArgs(i + 1)
             if (args.length != 2) throw new ParseException("JSON_EXISTS expects (json, path)")
             val j = rewriteTokens(args(0), defaultTimeCol)
-            val p = normalizedPathToks(args(1))
-            if (p.length == 1 && p.head.kind == TString)
+            val cands = pathCandidateToks(args(1))
+            if (cands.forall(p => p.length == 1 && p.head.kind == TString)) {
+              // any static reading of the path hitting = the node exists
+              val probes = cands.indices.map(k =>
+                s"try_variant_get(try_parse_json(__ARG1__), __ARG${k + 2}__) IS NOT NULL")
+                .mkString(" OR ")
               emitTpl(
-                """(CASE WHEN __ARG1__ IS NULL THEN CAST(NULL AS BOOLEAN)
+                s"""(CASE WHEN __ARG1__ IS NULL THEN CAST(NULL AS BOOLEAN)
                    WHEN try_parse_json(__ARG1__) IS NULL THEN false
-                   ELSE try_variant_get(try_parse_json(__ARG1__), __ARG2__) IS NOT NULL END)""",
-                j, p)
-            else { // dynamic path: fall back to the value probe
+                   ELSE ($probes) END)""",
+                (j +: cands): _*)
+            } else { // dynamic path: fall back to the value probe
               out += sym("(") += id("get_json_object") += sym("(")
               out ++= j
               out += sym(",")
-              out ++= p
+              out ++= cands.head
               out += sym(")") += id("IS") += id("NOT") += id("NULL") += sym(")")
             }
             i = end
@@ -1272,12 +1293,19 @@ object VeloSqlParser {
             // text; scalars → NULL (reference functions.rs:1138,1184)
             val (args, end) = callArgs(i + 1)
             if (args.length != 2) throw new ParseException("JSON_QUERY expects (json, path)")
+            val jq = rewriteTokens(args(0), defaultTimeCol)
+            val jqCands = pathCandidateToks(args(1))
             def extract(): Unit = {
-              out += id("get_json_object") += sym("(")
-              out ++= rewriteTokens(args(0), defaultTimeCol)
-              out += sym(",")
-              out ++= normalizedPathToks(args(1))
-              out += sym(")")
+              if (jqCands.length > 1) out += id("coalesce") += sym("(")
+              jqCands.zipWithIndex.foreach { case (p, k) =>
+                if (k > 0) out += sym(",")
+                out += id("get_json_object") += sym("(")
+                out ++= jq
+                out += sym(",")
+                out ++= p
+                out += sym(")")
+              }
+              if (jqCands.length > 1) out += sym(")")
             }
             out += id("CASE") += id("WHEN")
             extract()
@@ -1589,7 +1617,10 @@ object VeloSqlParser {
               s"year(date_add(CAST($arg AS DATE), 3 - weekday(CAST($arg AS DATE))))"
             def millisDiv(d: Long) =
               s"CAST((unix_millis(CAST(__ARG2__ AS TIMESTAMP)) - unix_millis(CAST(__ARG1__ AS TIMESTAMP))) div $d AS BIGINT)"
-            val tpl = rawUnit.stripSuffix("s") match {
+            // 'ms' before the plural strip; a bare 'm' (month/minute by
+            // convention elsewhere) errors like the reference evaluator
+            val tpl = (if (rawUnit == "ms") "millisecond"
+                       else rawUnit.stripSuffix("s")) match {
               case "year" => "CAST(year(__ARG2__) - year(__ARG1__) AS BIGINT)"
               case "month" =>
                 "CAST((year(__ARG2__) - year(__ARG1__)) * 12 + (month(__ARG2__) - month(__ARG1__)) AS BIGINT)"
@@ -1601,7 +1632,7 @@ object VeloSqlParser {
               case "hour" => millisDiv(3600000L)
               case "minute" => millisDiv(60000L)
               case "second" => millisDiv(1000L)
-              case "millisecond" | "milli" | "m" => millisDiv(1L)
+              case "millisecond" | "milli" => millisDiv(1L)
               case "u" | "micro" | "microsecond" =>
                 "CAST(unix_micros(CAST(__ARG2__ AS TIMESTAMP)) - unix_micros(CAST(__ARG1__ AS TIMESTAMP)) AS BIGINT)"
               case other => throw new ParseException(s"unsupported DATEDIFF unit: $rawUnit")

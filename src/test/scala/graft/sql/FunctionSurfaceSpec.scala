@@ -248,6 +248,65 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Boolean]("crossNum"), "Integer and Float cross-compare in values_equal")
   }
 
+  test("ARRAY_CONTAINS numeric gate admits DECIMAL variants and compares integers exactly (values_equal:1679)") {
+    // variant types '[2.5]' as DECIMAL(2,1), not DOUBLE — the gate must
+    // admit it or the reference's Integer/Float cross-compare is lost;
+    // and Integer==Integer is an exact i64 compare, so 2^53+1 must not
+    // collapse onto its f64 neighbour
+    val r = ctx.sql(
+      """SELECT ARRAY_CONTAINS('[2.5]', 2.5) AS decForm,
+         ARRAY_CONTAINS('[2.5e0]', 2.5) AS expForm,
+         ARRAY_CONTAINS('[2.5]', 2) AS decMiss,
+         ARRAY_CONTAINS('[9007199254740993]', 9007199254740993) AS bigHit,
+         ARRAY_CONTAINS('[9007199254740993]', 9007199254740992) AS bigMiss
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Boolean]("decForm"), "decimal-form float element must match")
+    assert(r.getAs[Boolean]("expForm"))
+    assert(!r.getAs[Boolean]("decMiss"))
+    assert(r.getAs[Boolean]("bigHit"))
+    assert(!r.getAs[Boolean]("bigMiss"),
+      "i64 compare is exact; a Double-cast compare would alias 2^53+1 to 2^53")
+  }
+
+  test("ROUND with NULL precision is NULL for every input type (functions.rs:435)") {
+    val r = ctx.sql(
+      """SELECT ROUND(volume, CAST(NULL AS INT)) AS intNull,
+         ROUND(price, CAST(NULL AS INT)) AS dblNull,
+         ROUND(volume, 2) AS intPass
+         FROM t WHERE id = 1""").collect().head
+    assert(r.get(r.fieldIndex("intNull")) == null,
+      "the reference evaluates precision BEFORE the value-type match")
+    assert(r.get(r.fieldIndex("dblNull")) == null)
+    assert(r.getAs[Long]("intPass") == 10L)
+  }
+
+  test("DATEDIFF accepts 'ms' but rejects bare 'm' like the reference evaluator") {
+    val r = ctx.sql(
+      """SELECT DATEDIFF('ms', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:01') AS ms
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Long]("ms") == 1000L)
+    // bare 'm' means month (T-SQL) or minute elsewhere — silently
+    // reading milliseconds would corrupt results; it must error
+    intercept[Exception] {
+      ctx.sql("SELECT DATEDIFF('m', event_time, event_time) FROM t").collect()
+    }
+  }
+
+  test("all-digit JSON segments read numeric OBJECT keys too (walk_json_path functions.rs:1192)") {
+    val r = ctx.sql(
+      """SELECT JSON_EXTRACT('{"2024": 5}', '$.2024') AS numKey,
+         JSON_EXTRACT('[7, 8]', '$.1') AS stillIdx,
+         JSON_EXTRACT('{"a": [{"2024": 3}]}', '$.a.0.2024') AS mixed,
+         JSON_EXISTS('{"2024": null}', '$.2024') AS nullNumKey,
+         JSON_QUERY('{"2024": {"b": 1}}', '$.2024') AS qNumKey
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[String]("numKey") == "5", "digit segment as object key on an object node")
+    assert(r.getAs[String]("stillIdx") == "8", "digit segment as index on an array node")
+    assert(r.getAs[String]("mixed") == "3", "index then key in one path")
+    assert(r.getAs[Boolean]("nullNumKey"))
+    assert(r.getAs[String]("qNumKey") == """{"b":1}""")
+  }
+
   test("ARRAY_CONTAINS is null-safe (values_equal:1679 — NULL==NULL true, no-match is false not NULL)") {
     val r = ctx.sql(
       """SELECT ARRAY_CONTAINS(ARRAY(1, CAST(NULL AS INT)), CAST(NULL AS INT)) AS nullHit,
