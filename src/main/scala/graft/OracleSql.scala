@@ -963,7 +963,7 @@ object OracleSql {
 
     "q51_sql_headers" ->
       s"""SELECT event_id AS _offset, CAST(${pmod("event_id", 8)} AS INTEGER) AS _partition,
-         'events' AS h_source, FALSE AS has_trace, 1 AS n_headers,
+         'events' AS h_source, FALSE AS has_trace, 'source' AS h_keys,
          ${bucketS("ts", 3600)} AS hour_bucket
          FROM events WHERE ${pmod("event_id", 8)} = 3"""
   )

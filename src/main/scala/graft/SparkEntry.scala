@@ -659,10 +659,13 @@ object SparkEntry {
     }),
 
     "q51_sql_headers" -> ((s, dir) => {
+      // HEADER_KEYS() is a comma-joined STRING in the reference
+      // (functions.rs:375) — the registered source carries one header
+      // ('source'), so the column reads the literal key name
       veloCtx(s, dir).sql(
         """SELECT _offset, _partition, HEADER('source') AS h_source,
            HAS_HEADER('trace') AS has_trace,
-           ARRAY_LENGTH(HEADER_KEYS()) AS n_headers,
+           HEADER_KEYS() AS h_keys,
            TUMBLE_START(ts, INTERVAL '1' HOUR) AS hour_bucket
            FROM events WHERE _partition = 3""")
     }),

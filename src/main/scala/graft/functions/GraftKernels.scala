@@ -134,6 +134,15 @@ object GraftKernels {
       lit(nCentroids), lit(dim), lit(nprobe), lit(floatElems))
   }
 
+  /** Reference value→string rendering as a Column (VeloExprs.VeloStr):
+    * floats through the Rust-Display kernel, all else Spark cast. */
+  def veloStrCol(c: Column): Column =
+    GraftBridge.column(VeloExprs.VeloStr(GraftBridge.expression(c)))
+
+  /** Reference NULLIF as a Column (VeloExprs.VeloNullIf). */
+  def veloNullIfCol(a: Column, b: Column): Column =
+    GraftBridge.column(VeloExprs.VeloNullIf(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Register the kernels as SQL functions so dialect / spark.sql text
     * can call them directly: SIMHASH(text), FINGERPRINT(text),
     * MINHASH_SIG(text, k, numHashes), COSINE_SIM(a, b) on float arrays,
@@ -175,11 +184,21 @@ object GraftKernels {
       registry.createOrReplaceTempFunction("velo_split",
         args => SubstringIndex(args(0), args(1), Literal(1)), "scala_udf")
       // JOIN(delim, v1, v2, …) — variadic, delimiter first, NULL
-      // rendered as the literal 'NULL' (concat_ws would skip it)
+      // rendered as the literal 'NULL' (concat_ws would skip it);
+      // values stringify through the reference rendering (floats as
+      // Rust Display — functions.rs:1027 f.to_string())
       registry.createOrReplaceTempFunction("velo_join",
         args => ConcatWs(Cast(args.head, StringType) +:
-          args.tail.map(a => Coalesce(Seq(Cast(a, StringType), Literal("NULL"))))),
+          args.tail.map(a => Coalesce(Seq(VeloExprs.VeloStr(a), Literal("NULL"))))),
         "scala_udf")
+      // reference value→string rendering (see VeloExprs.VeloStr) —
+      // CONCAT / STRING_AGG / SET_HEADER lowerings build on it
+      registry.createOrReplaceTempFunction("velo_str",
+        args => VeloExprs.VeloStr(args(0)), "scala_udf")
+      // NULLIF through values_equal's type-dispatch (epsilon floats;
+      // timestamp/date/decimal pairs NEVER null — see VeloExprs)
+      registry.createOrReplaceTempFunction("velo_nullif",
+        args => VeloExprs.VeloNullIf(args(0), args(1)), "scala_udf")
       // TRIM family strips ALL Unicode whitespace (Rust str::trim)
       def utrim(pat: String): Seq[Expression] => Expression =
         args => RegExpReplace(args.head, Literal(pat), Literal(""))
@@ -222,6 +241,29 @@ object GraftKernels {
   // ================= JVM kernels (executor side) =================
   // Methods take catalyst-internal types (UTF8String / ArrayData) and are
   // resolved by StaticInvoke against these exact signatures.
+
+  /** Rust `Display<f64>` rendering — the float stringification every
+    * reference string-building path uses (accumulator.rs:299,
+    * functions.rs:1430,1027,2616 all call `f.to_string()`): shortest
+    * round-trip digits in positional notation (1e21 renders as
+    * "1000000000000000000000", never scientific), integral values with
+    * no ".0" ("100"), "NaN"/"inf"/"-inf", and "-0" keeps its sign.
+    * Java's Double.toString differs on every one of those points. */
+  def rustDouble(d: Double): UTF8String = {
+    val s =
+      if (java.lang.Double.isNaN(d)) "NaN"
+      else if (d == Double.PositiveInfinity) "inf"
+      else if (d == Double.NegativeInfinity) "-inf"
+      else if (d == 0.0) { if (1.0 / d < 0.0) "-0" else "0" }
+      else if (d == Math.rint(d) && Math.abs(d) < 9.007199254740992e15)
+        java.lang.Long.toString(d.toLong) // fast integral path, exact below 2^53
+      else
+        // Double.toString is already shortest-round-trip; BigDecimal
+        // re-renders it positionally and drops any trailing ".0"
+        new java.math.BigDecimal(java.lang.Double.toString(d))
+          .stripTrailingZeros().toPlainString
+    UTF8String.fromString(s)
+  }
 
   private val MOD = 1000000007L
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.expressions.variant.{SchemaOfVariant, VariantGet}
 import org.apache.spark.sql.types._
 
@@ -157,5 +158,70 @@ object VeloExprs {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(child = c(0), value = c(1))
+  }
+
+  /** The reference's value→string rendering, shared by CONCAT
+    * (functions.rs:1430), JOIN (functions.rs:1027), STRING_AGG
+    * (aggregation/accumulator.rs:294 field_value_to_string) and
+    * SET_HEADER (functions.rs:2599): Rust `Display` formatting. For
+    * floats that means the shortest round-trip decimal in POSITIONAL
+    * notation with no forced fraction — "100", "101.5",
+    * "1000000000000000000000" — where Spark's cast renders "100.0" and
+    * "1.0E21". Strings pass through; integers, booleans and timestamps
+    * already render identically through cast. */
+  case class VeloStr(child: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child)
+    override lazy val replacement: Expression = child.dataType match {
+      case _: StringType => child
+      case DoubleType | FloatType =>
+        StaticInvoke(GraftKernels.getClass, StringType, "rustDouble",
+          Seq(Cast(child, DoubleType)), inputTypes = Seq(DoubleType),
+          propagateNull = true, returnNullable = false)
+      case _ => Cast(child, StringType)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0))
+  }
+
+  /** NULLIF — functions.rs:1768 through values_equal:1679. values_equal
+    * has arms ONLY for String / Integer / Float / Boolean (plus the
+    * Integer×Float cross-compare) and Array/Struct recursion; every
+    * other pairing — Timestamp==Timestamp, Date==Date, Decimal==Decimal,
+    * string-vs-number — falls to `_ => false`, so NULLIF on those NEVER
+    * yields NULL: the left value passes through untouched. Float
+    * equality is `|a-b| < f64::EPSILON` (2.22e-16, ABSOLUTE), so
+    * NULLIF(0.1+0.2, 0.3) IS NULL in the reference where decimal-exact
+    * engines keep the value. Maps: values_equal recurses, but Spark
+    * cannot compare MapType with `=` — lowered as passthrough (the one
+    * knowingly-divergent arm, unreachable from the dialect's sources). */
+  case class VeloNullIf(left: Expression, right: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(left, right)
+    private def ifEq(cond: Expression): Expression =
+      If(cond, Literal.create(null, left.dataType), left)
+    private def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    private def floaty(dt: DataType): Boolean =
+      dt == FloatType || dt == DoubleType
+    // the analyzer never type-coerces inside a RuntimeReplaceable's
+    // replacement, so mixed-width compares must be cast explicitly
+    override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+      case (l, r) if integral(l) && integral(r) =>
+        ifEq(EqualTo(Cast(left, LongType), Cast(right, LongType)))
+      case (l, r) if (integral(l) || floaty(l)) && (integral(r) || floaty(r)) =>
+        ifEq(LessThan(
+          Abs(Subtract(Cast(left, DoubleType), Cast(right, DoubleType))),
+          Literal(2.220446049250313e-16)))
+      case (_: StringType, _: StringType) => ifEq(EqualTo(left, right))
+      case (BooleanType, BooleanType) => ifEq(EqualTo(left, right))
+      case (l: ArrayType, r: ArrayType) if l == r => ifEq(EqualTo(left, right))
+      case (l: StructType, r: StructType) if l == r => ifEq(EqualTo(left, right))
+      case _ => left // no values_equal arm: never NULL
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(left = c(0), right = c(1))
   }
 }

@@ -60,7 +60,8 @@ object VeloFunctions {
     * Spark's concat NULLs the whole result if ANY argument is NULL, a
     * silent row-level divergence on ported queries. concat_ws with an
     * empty separator has exactly the skip-NULLs semantics. */
-  def veloConcat(cs: Column*): Column = concat_ws("", cs.map(_.cast("string")): _*)
+  def veloConcat(cs: Column*): Column =
+    concat_ws("", cs.map(GraftKernels.veloStrCol): _*)
   /** SPLIT(str, delim) returns the FIRST part as a STRING — the
     * reference's documented behavior (functions.rs split_function:
     * 'Return first part for simplicity'); an array-returning split
@@ -236,8 +237,17 @@ object VeloFunctions {
     tumbleStart(ts, sizeSeconds) + lit(sizeSeconds)
 
   // ---- Conditional ----
+  /** COALESCE — functions.rs:1447: first non-NULL, returned AS-IS. The
+    * function's "type coercion ladder" (are_types_compatible /
+    * coerce_to_compatible_type) is DEAD CODE — `expected_type` is
+    * initialized to None and never assigned, so the first non-NULL
+    * value always takes the `None =>` early return. Heterogeneous
+    * per-row result types are inexpressible in a statically-typed
+    * plan; Spark's common-type coercion is the faithful lowering. */
   def veloCoalesce(cs: Column*): Column = coalesce(cs: _*)
-  def veloNullif(a: Column, b: Column): Column = nullif(a, b)
+  /** NULLIF with values_equal's type dispatch (see VeloExprs.VeloNullIf:
+    * epsilon float compare; timestamp/date/decimal pairs never NULL). */
+  def veloNullif(a: Column, b: Column): Column = GraftKernels.veloNullIfCol(a, b)
   def veloCast(c: Column, to: String): Column = c.cast(to)
 
   // ---- JSON (reference: JSON_EXTRACT / JSON_VALUE over payload strings) ----

@@ -947,10 +947,13 @@ object VeloSqlParser {
   private val renames: Map[String, String] = Map(
     // JSON_EXTRACT / JSON_VALUE are lowered arg-aware in rewriteTokens
     // (reference dot-numeric path translation), not by this map
-    // STRING_AGG/GROUP_CONCAT/LISTAGG are handled arg-aware in
-    // rewriteTokens (reference-default ',' separator on the single-arg
-    // form), not by this token-level map
-    "COLLECT" -> "collect_list",
+    // STRING_AGG/GROUP_CONCAT/LISTAGG/COLLECT are handled arg-aware in
+    // rewriteTokens (reference-default ',' separator, velo_str value
+    // rendering; COLLECT is a STRING_AGG alias in the reference —
+    // aggregation/functions.rs:46 — returning a joined STRING)
+    // NULLIF goes through values_equal's type dispatch (epsilon float
+    // compare; timestamp/date/decimal pairs NEVER null — VeloExprs)
+    "NULLIF" -> "velo_nullif",
     // type-dispatched in VeloExprs: the evaluator accepts JSON STRINGS
     // for array/map ops (functions.rs:1388,1611,1722), ROUND branches
     // int-passthrough / f64-multiply / decimal (functions.rs:424), and
@@ -1174,20 +1177,28 @@ object VeloSqlParser {
         i = end
       } else if (t.kind == TIdent && isCall(i)) {
         up match {
-          case "GROUP_CONCAT" | "STRING_AGG" | "LISTAGG" =>
-            // the reference defaults the separator to ',' for ALL of
-            // these aliases (aggregation/functions.rs:272-285); Spark's
-            // listagg with one argument joins with the EMPTY string —
-            // the token-level rename alone silently changed every
-            // output ('alicebobcarol'). An explicit second arg passes
-            // through.
+          case "GROUP_CONCAT" | "STRING_AGG" | "LISTAGG" | "COLLECT" =>
+            // ONE aggregate behind four names (aggregation/functions.rs:46
+            // routes all of them to compute_string_agg_aggregate) — so
+            // COLLECT returns a JOINED STRING, not an array. The
+            // separator defaults to ',' (Spark's one-arg listagg joins
+            // with the EMPTY string), and a NON-LITERAL separator also
+            // falls back to ',' (the reference reads the literal out of
+            // the AST — aggregation/functions.rs:272 — and defaults
+            // otherwise). Values stringify through the reference
+            // rendering (accumulator.rs:294 field_value_to_string →
+            // velo_str; NULLs are skipped, which listagg does natively).
             val (args, end) = callArgs(i + 1)
             out += id("listagg") += sym("(")
-            args.map(rewriteTokens(_, defaultTimeCol)).zipWithIndex.foreach { case (a, ix) =>
-              if (ix > 0) out += sym(",")
-              out ++= a
-            }
-            if (args.length == 1) { out += sym(",") += Tok(TString, "','") }
+            val v0 = args(0)
+            val (distinctKw, vExpr) =
+              if (v0.nonEmpty && v0.head.isKw("DISTINCT")) (true, v0.tail) else (false, v0)
+            if (distinctKw) out += id("DISTINCT")
+            out += id("velo_str") += sym("(")
+            out ++= rewriteTokens(vExpr, defaultTimeCol)
+            out += sym(")") += sym(",")
+            out += (if (args.length >= 2 && args(1).length == 1 && args(1).head.kind == TString)
+              args(1).head else Tok(TString, "','"))
             out += sym(")")
             i = end
           case "COUNT_DISTINCT" =>
@@ -1413,10 +1424,14 @@ object VeloSqlParser {
             out += sym(")")
             i = end
           case "HEADER_KEYS" =>
+            // a comma-joined STRING, not an array — functions.rs:375
+            // `keys.join(",")` (headers_test.rs asserts the joined
+            // form). The reference iterates a HashMap (arbitrary
+            // order); map insertion order here is deterministic.
             val (_, end) = callArgs(i + 1)
-            out += id("map_keys") += sym("(")
+            out += id("array_join") += sym("(") += id("map_keys") += sym("(")
             emitHeadersOrEmpty(out)
-            out += sym(")")
+            out += sym(")") += sym(",") += Tok(TString, "','") += sym(")")
             i = end
           case "SET_HEADER" =>
             val (args, end) = callArgs(i + 1)
@@ -1435,7 +1450,12 @@ object VeloSqlParser {
             out += id("__hk") += sym("!=")
             out ++= k0
             out += sym(")") += sym(",") += id("map") += sym("(")
-            out ++= k0; out += sym(","); out ++= v0
+            out ++= k0
+            // header VALUES are strings: the reference stringifies the
+            // value (functions.rs:2613 — Rust rendering, NULL → "null")
+            out += sym(",") += id("coalesce") += sym("(") += id("velo_str") += sym("(")
+            out ++= v0
+            out += sym(")") += sym(",") += Tok(TString, "'null'") += sym(")")
             out += sym(")") += sym(")")
             i = end
           case "REMOVE_HEADER" =>
@@ -1689,13 +1709,15 @@ object VeloSqlParser {
           case "CONCAT" =>
             // CONCAT skips NULL arguments and stringifies non-strings
             // (functions.rs:1419 `FieldValue::Null => {}`) — Spark's
-            // concat NULLs the whole result on any NULL argument.
+            // concat NULLs the whole result on any NULL argument. The
+            // stringification is the reference rendering (velo_str):
+            // floats as Rust Display — "100", not cast's "100.0".
             val (args, end) = callArgs(i + 1)
             out += id("concat_ws") += sym("(") += Tok(TString, "''")
             args.foreach { arg =>
-              out += sym(",") += id("CAST") += sym("(")
+              out += sym(",") += id("velo_str") += sym("(")
               out ++= rewriteTokens(arg, defaultTimeCol)
-              out += id("AS") += id("STRING") += sym(")")
+              out += sym(")")
             }
             out += sym(")")
             i = end

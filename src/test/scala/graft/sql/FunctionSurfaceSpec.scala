@@ -340,6 +340,95 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(vs == Seq("restamped"))
   }
 
+  test("STRING_AGG family stringifies floats Rust-style, and COLLECT is a STRING alias (aggregation/functions.rs:46)") {
+    // one aggregate behind four names: STRING_AGG / GROUP_CONCAT /
+    // LISTAGG / COLLECT all join the STRINGIFIED values — floats render
+    // through Rust Display ("100", never cast's "100.0"); COLLECT
+    // therefore returns a joined STRING with the ',' default, not an
+    // array; a NON-LITERAL separator falls back to ',' (the reference
+    // reads the separator out of the AST literal only)
+    val r = ctx.sql(
+      """SELECT STRING_AGG(price, ',') AS sa, COLLECT(price) AS co,
+         STRING_AGG(symbol, symbol) AS dynSep
+         FROM t WHERE symbol = 'AAPL' GROUP BY symbol""").collect().head
+    assert(r.getAs[String]("sa").split(",").sorted.toSeq == Seq("100", "101.5"),
+      "floats render as Rust Display: 100.0 is '100'")
+    assert(r.getAs[String]("co").split(",").sorted.toSeq == Seq("100", "101.5"),
+      "COLLECT is a STRING_AGG alias returning a joined string")
+    assert(r.getAs[String]("dynSep").split(",").sorted.toSeq == Seq("AAPL", "AAPL"),
+      "non-literal separator defaults to ','")
+  }
+
+  test("CONCAT / JOIN stringify floats Rust-style (functions.rs:1430,1027 f.to_string())") {
+    val r = ctx.sql(
+      """SELECT CONCAT('p=', price) AS c1, CONCAT('v=', price / 2) AS c2,
+         JOIN('|', price, volume) AS j1
+         FROM t WHERE id = 1""").collect().head
+    assert(r.getAs[String]("c1") == "p=100", "cast would render 'p=100.0'")
+    assert(r.getAs[String]("c2") == "v=50")
+    assert(r.getAs[String]("j1") == "100|10")
+  }
+
+  test("aggregate edge parity: sample n<2 is NULL, population n=1 is 0, MEDIAN interpolates (aggregation/compute.rs:70-127)") {
+    val r = ctx.sql(
+      """SELECT STDDEV(price) AS sd, STDDEV_POP(price) AS sdp,
+         VARIANCE(price) AS va, VAR_POP(price) AS vap,
+         MEDIAN(price) AS me
+         FROM t WHERE id = 1""").collect().head
+    assert(r.get(r.fieldIndex("sd")) == null, "sample stddev of one value is NULL (count < 2)")
+    assert(r.getAs[Double]("sdp") == 0.0, "population stddev of one value is 0.0")
+    assert(r.get(r.fieldIndex("va")) == null)
+    assert(r.getAs[Double]("vap") == 0.0)
+    assert(r.getAs[Double]("me") == 100.0)
+    // even-count MEDIAN averages the two middle values (compute.rs:115)
+    val m2 = ctx.sql("SELECT MEDIAN(price) AS me FROM t WHERE symbol = 'AAPL'")
+      .collect().head.getAs[Double]("me")
+    assert(m2 == 100.75)
+  }
+
+  test("NULLIF type dispatch (values_equal:1679): epsilon floats; timestamp/decimal pairs never NULL") {
+    // literal typing matters: BOTH engines parse decimal-point literals
+    // as exact decimals (reference: LiteralValue::Decimal →
+    // ScaledInteger, parser/expressions.rs:809), and values_equal has
+    // NO ScaledInteger arm — so a decimal literal on either side means
+    // NULLIF never nulls. The epsilon Float compare needs real doubles.
+    val r = ctx.sql(
+      """SELECT NULLIF(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE)) AS eps,
+         NULLIF(price, CAST(100.0 AS DOUBLE)) AS dblHit,
+         NULLIF(price, CAST(99.0 AS DOUBLE)) AS dblMiss,
+         NULLIF(price, 100.0) AS decCross,
+         NULLIF(1.5, 1.5) AS decPair,
+         NULLIF(volume, 10) AS intHit,
+         NULLIF(event_time, event_time) AS tsPair,
+         NULLIF(symbol, volume) AS crossType
+         FROM t WHERE id = 1""").collect().head
+    assert(r.get(r.fieldIndex("eps")) == null,
+      "|0.30000000000000004 - 0.3| < f64::EPSILON — the reference's absolute-epsilon compare nulls it")
+    assert(r.get(r.fieldIndex("dblHit")) == null)
+    assert(r.getAs[Double]("dblMiss") == 100.0)
+    assert(r.getAs[Double]("decCross") == 100.0,
+      "Float-vs-ScaledInteger has no values_equal arm — never NULL, even when numerically equal")
+    assert(r.get(r.fieldIndex("decPair")) != null,
+      "values_equal has NO ScaledInteger arm — equal decimal literals never NULL")
+    assert(r.get(r.fieldIndex("intHit")) == null, "Integer==Integer is an exact i64 compare")
+    assert(r.get(r.fieldIndex("tsPair")) != null,
+      "values_equal has NO Timestamp arm — equal timestamps never NULL")
+    assert(r.getAs[String]("crossType") == "AAPL",
+      "String never equals Integer in values_equal")
+  }
+
+  test("HEADER_KEYS is a comma-joined string; SET_HEADER stringifies values (functions.rs:375,2613)") {
+    val r2 = ctx.sql(
+      """SELECT HEADER_KEYS() AS hk, SET_HEADER('n', price) AS h,
+         SET_HEADER('z', CAST(NULL AS STRING)) AS hz
+         FROM t WHERE id = 1""").collect().head
+    assert(r2.getAs[String]("hk") == "source", "comma-joined STRING, not an array")
+    assert(r2.getAs[scala.collection.Map[String, String]]("h").get("n").contains("100"),
+      "header value stringified Rust-style (100.0 → '100')")
+    assert(r2.getAs[scala.collection.Map[String, String]]("hz").get("z").contains("null"),
+      "NULL header value renders as the string 'null' (functions.rs:2619)")
+  }
+
   test("DELTA aggregate: max-min spread per group (functions.rs:1807)") {
     val rows = ctx.sql("SELECT symbol, DELTA(price) AS spread FROM t GROUP BY symbol")
       .collect().map(r => r.getAs[String]("symbol") -> r.getAs[Double]("spread")).toMap

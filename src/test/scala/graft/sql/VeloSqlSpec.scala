@@ -250,11 +250,13 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
   test("system columns and header functions (system-columns.md)") {
     val df = ctx.sql(
       """SELECT _offset, _partition, HEADER('source') AS src,
-                HAS_HEADER('trace') AS tr, ARRAY_LENGTH(HEADER_KEYS()) AS nh,
+                HAS_HEADER('trace') AS tr, HEADER_KEYS() AS hk,
                 TUMBLE_START(event_time, INTERVAL '1' HOUR) AS bucket
          FROM orders WHERE _offset = 1""")
     val r = df.collect().head
-    assert(r.getLong(0) == 1L && r.getString(2) == "orders" && !r.getBoolean(3) && r.getInt(4) == 1)
+    // HEADER_KEYS() is a comma-joined STRING (functions.rs:375)
+    assert(r.getLong(0) == 1L && r.getString(2) == "orders" && !r.getBoolean(3)
+      && r.getString(4) == "source")
     assert(r.getLong(5) % 3600 == 0)
   }
 
@@ -937,11 +939,11 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
       .withColumn("_headers", org.apache.spark.sql.functions.lit(null).cast("map<string,string>"))
     ctx.register("headerless_t", hl)
     val r = ctx.sql(
-      """SELECT HAS_HEADER('k') AS has, ARRAY_LENGTH(HEADER_KEYS()) AS nk,
+      """SELECT HAS_HEADER('k') AS has, HEADER_KEYS() AS hk,
                 SET_HEADER('job', 'graft') AS h,
                 ARRAY_LENGTH(MAP_KEYS(REMOVE_HEADER('k'))) AS nr
          FROM headerless_t""").collect().head
-    assert(!r.getBoolean(0) && r.getInt(1) == 0 && r.getInt(3) == 0)
+    assert(!r.getBoolean(0) && r.getString(1) == "" && r.getInt(3) == 0)
     assert(r.getAs[scala.collection.Map[String, String]]("h").get("job").contains("graft"))
   }
 
