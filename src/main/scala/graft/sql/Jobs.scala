@@ -734,6 +734,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       throw new ParseException(s"$verb JOB $name rejected: ${errors.mkString("; ")}")
   }
 
+  /** Does the recovered epoch's on-disk fingerprint stamp name `body`?
+    * Meaningful only for a job with no in-process history whose epoch
+    * was recovered from a durable root — a missing/unreadable stamp
+    * reads false (fresh epoch, never foreign offsets). */
+  private def recoveredBodyMatches(j: Job, body: VeloStatement): Boolean = {
+    val fp = try Some(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"${j.root}/body-${j.epoch}.fp")), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    fp.contains(bodyFingerprint(body))
+  }
+
   def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = synchronized {
     // every gate runs BEFORE the job registers (deploy's ordering): a
     // rejected START must not leave a phantom job in the registry —
@@ -761,13 +772,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // the recovered epoch's fingerprint names the body its checkpoint
     // belongs to — a different body gets a fresh epoch instead of
     // resuming foreign offsets/state
-    if (j.current.isEmpty && j.recovered) {
-      val fp = try Some(new String(Files.readAllBytes(
-          java.nio.file.Paths.get(s"${j.root}/body-${j.epoch}.fp")), "UTF-8"))
-        catch { case scala.util.control.NonFatal(_) => None }
-      if (!fp.contains(bodyFingerprint(body))) {
-        j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L; resetMetricState(name)
-      }
+    if (j.current.isEmpty && j.recovered && !recoveredBodyMatches(j, body)) {
+      j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L; resetMetricState(name)
     }
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
@@ -848,15 +854,29 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       case Rolling => "ROLLING"
       case Replace => "REPLACE"
     }
+    // APPLICATION restart continuity (the reference's deployment
+    // recovery: a restarted server re-deploys the same app and each
+    // job's consumer group resumes from its COMMITTED offsets —
+    // stream_job_server.rs's shutdown waits for offset commits
+    // precisely so the next deploy continues there, not from the
+    // beginning of the topic). A DEPLOY reaching a RECOVERED epoch
+    // (fresh manager over a durable root, no in-process history) whose
+    // body matches the epoch's fingerprint stamp IS that restart:
+    // resume the epoch's checkpoint offset-exact instead of opening a
+    // fresh blue-green epoch and re-reading the source from scratch.
+    // Evaluated BEFORE record() — record sets j.current.
+    val resumesRecovered = j.current.isEmpty && j.recovered && recoveredBodyMatches(j, body)
     val v = record(j, version, body, props, stratStr)
     halt(j)
-    j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
-    j.recovered = false
-    // the fresh checkpoint restarts batchIds at 0 — a stale high-water
-    // mark would starve breaker successes for the whole new epoch and
-    // let intermittent crashes trip the breaker on a healthy job
-    j.lastSeenBatch = -1L
-    resetMetricState(name) // new epoch re-reads the source — drop old totals
+    if (!resumesRecovered) {
+      j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
+      j.recovered = false
+      // the fresh checkpoint restarts batchIds at 0 — a stale high-water
+      // mark would starve breaker successes for the whole new epoch and
+      // let intermittent crashes trip the breaker on a healthy job
+      j.lastSeenBatch = -1L
+      resetMetricState(name) // new epoch re-reads the source — drop old totals
+    }
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
     guardedLaunch(j, v, newRecord = true)

@@ -399,6 +399,79 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     ctx.sql("STOP JOB app_monitor")
   }
 
+  test("application restart continuity: re-running the app over a durable root RESUMES each job exactly-once (stream_job_server.rs deployment recovery)") {
+    import spark.implicits._
+    // the reference's server restart re-deploys the whole application
+    // and each job's consumer group resumes from its committed offsets;
+    // here the same app text re-run over the same graft.jobs.stateRoot
+    // must RESUME each DEPLOY'd job's checkpoint epoch — not open a
+    // fresh blue-green epoch and re-read the source from scratch
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_app_restart").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_app_restart_src").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val appText =
+      """-- SQL Application: RestartContinuity
+        |-- Version: 1.0.0
+        |
+        |-- Name: doubler
+        |DEPLOY JOB app_double VERSION '1.0.0' AS SELECT id, v * 2 AS v2 FROM app_events;
+        |
+        |-- Name: summer
+        |DEPLOY JOB app_sum VERSION '1.0.0' AS SELECT id, v + 100 AS v100 FROM app_events
+        |""".stripMargin
+    def newServer(): (org.apache.spark.sql.SparkSession, VeloContext) = {
+      val s = spark.newSession()
+      s.conf.set("graft.jobs.stateRoot", stateRoot)
+      val c = new VeloContext(s)
+      c.register("app_events", s.readStream.schema(schema).parquet(srcDir))
+      (s, c)
+    }
+    def sink(c: VeloContext, name: String, col2: String): Seq[(Long, Double)] =
+      c.jobManager.sinkDf(name).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double](col2))).sorted.toSeq
+
+    // "server" #1: deploy the app, commit the first two rows, then CRASH
+    // (queries killed out from under the manager — no drain, no STOP)
+    val (s1, ctx1) = newServer()
+    SqlApp.run(ctx1, appText)
+    ctx1.jobManager.awaitIdle("app_double"); ctx1.jobManager.awaitIdle("app_sum")
+    assert(sink(ctx1, "app_double", "v2") == Seq((1L, 2.0), (2L, 4.0)))
+    s1.streams.active.filter(q => Option(q.name).exists(_.startsWith("graft-job-app_")))
+      .foreach(_.stop())
+    // data arriving while the "server" is down
+    Seq((3L, 3.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+
+    // "server" #2: SAME app text — each job resumes its epoch: the
+    // already-committed file is skipped, the new file processes once
+    val (_, ctx2) = newServer()
+    SqlApp.run(ctx2, appText)
+    ctx2.jobManager.awaitIdle("app_double"); ctx2.jobManager.awaitIdle("app_sum")
+    assert(sink(ctx2, "app_double", "v2") == Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+    assert(sink(ctx2, "app_sum", "v100") == Seq((1L, 101.0), (2L, 102.0), (3L, 103.0)))
+    // and the epoch did NOT bump: the app's first deploy opened ckpt-1
+    // (a job's very first DEPLOY bumps from the initial epoch 0); the
+    // re-run must still be on it — a fresh blue-green deploy would have
+    // opened ckpt-2
+    for (n <- Seq("app_double", "app_sum")) {
+      assert(new java.io.File(s"$stateRoot/$n/ckpt-1").exists)
+      assert(!new java.io.File(s"$stateRoot/$n/ckpt-2").exists,
+        s"$n redeployed a fresh epoch instead of resuming the recovered one")
+    }
+    Seq("app_double", "app_sum").foreach(n => ctx2.sql(s"STOP JOB $n"))
+
+    // "server" #3: ONE job's body changed — that job (and only it) gets
+    // a fresh epoch and re-reads from scratch; the other still resumes
+    val (_, ctx3) = newServer()
+    SqlApp.run(ctx3, appText.replace("v * 2", "v * 10"))
+    ctx3.jobManager.awaitIdle("app_double"); ctx3.jobManager.awaitIdle("app_sum")
+    assert(sink(ctx3, "app_double", "v2") == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(new java.io.File(s"$stateRoot/app_double/ckpt-2").exists,
+      "a changed body must NOT resume the old body's offsets/state")
+    assert(!new java.io.File(s"$stateRoot/app_sum/ckpt-2").exists)
+    Seq("app_double", "app_sum").foreach(n => ctx3.sql(s"STOP JOB $n"))
+  }
+
   test("diamond CTAS dependencies load in parallel waves, results identical to sequential (parallel_loader.rs)") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
