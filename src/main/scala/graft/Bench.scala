@@ -258,7 +258,12 @@ object Bench {
     // one-sided ambient noise (stalls only ever ADD time). Each run's own
     // sentinel trace and total ride the artifact so a run that was
     // entirely inside a slow window is visible, not silently averaged in.
-    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    // DEFAULT 2 since r10: the committed per-round artifact must be a
+    // min-merge (r9 shipped the machinery but sealed from a single
+    // run); a subset run (SPARK_GRAFT_QUERIES) stays single-pass for
+    // fast iteration unless the env overrides.
+    val nRuns = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+      .getOrElse(if (only.isDefined) 1 else 2))
     case class RunStats(total: Double, sentinelMin: Double, sentinelMed: Double,
         sentinelMax: Double, nSlow: Int)
     val runStats = scala.collection.mutable.ArrayBuffer.empty[RunStats]

@@ -166,7 +166,12 @@ object Multimodal {
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory codec buffers, no temp-file I/O
-        rows.map { r => Row(r.getLong(0), synthPng(r.getLong(0), r.getLong(1))) }
+        // n_chars is NULLABLE in the documents schema — getLong on a
+        // null NPEs through all retries; a null-text doc degrades to
+        // the 0-length synth payload, same contract as extractFeatures
+        rows.map { r =>
+          Row(r.getLong(0), synthPng(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        }
       }(enc)
   }
 
@@ -307,7 +312,10 @@ object Multimodal {
     val enc = ExpressionEncoder(schema)
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
-        rows.map { r => Row(r.getLong(0), synthWav(r.getLong(0), r.getLong(1))) }
+        // null n_chars degrades like the PNG path — no NPE mid-task
+        rows.map { r =>
+          Row(r.getLong(0), synthWav(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        }
       }(enc)
   }
 
@@ -337,10 +345,11 @@ object Multimodal {
         if (b(off.toInt) == 'f' && b(off.toInt + 1) == 'm'
           && b(off.toInt + 2) == 't' && b(off.toInt + 3) == ' ')
           // the declared chunk size must actually COVER the sample-rate
-          // field (bytes 8..11 of the fmt body): a degenerate size < 12
+          // field — bytes 4..7 of the fmt BODY (format(2) + channels(2)
+          // precede it; absolute offset off+12): a degenerate size < 8
           // means those 4 bytes belong to the NEXT chunk — garbage, the
           // exact reading this parser exists to avoid
-          return if (size >= 12 && off + 16 <= b.length)
+          return if (size >= 8 && off + 16 <= b.length)
             Integer.valueOf(le32(b, off.toInt + 12)) else null
         off += 8 + size + (size & 1) // chunks pad to even length
       }
@@ -357,7 +366,12 @@ object Multimodal {
             else try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             catch { case scala.util.control.NonFatal(_) => null }
-          if (ais == null) Row(r.getLong(0), null, null, null, null, null)
+          // header_rate is byte-derived — a payload the DECODER rejects
+          // can still carry a readable fmt chunk (fmtSampleRate is
+          // bounds-safe on any bytes, null payload included via guard)
+          if (ais == null)
+            Row(r.getLong(0), if (bytes == null) null else fmtSampleRate(bytes),
+              null, null, null, null)
           else try {
             val fmt = ais.getFormat
             val nFrames = ais.getFrameLength
@@ -417,10 +431,13 @@ object Multimodal {
           } catch {
             // the read/decode path sits behind the SAME bad-record
             // contract as header parsing: one poison payload must yield
-            // a null-feature row, never kill the stage through retries
+            // a null-feature row, never kill the stage through retries.
+            // header_rate stays POPULATED — it is byte-derived,
+            // independent of the failed decoder, and the frame-size
+            // guard branch above emits it for its failure mode too
             case scala.util.control.NonFatal(_) =>
               try ais.close() catch { case scala.util.control.NonFatal(_) => () }
-              Row(r.getLong(0), null, null, null, null, null)
+              Row(r.getLong(0), fmtSampleRate(bytes), null, null, null, null)
           }
         }
       }(enc)
@@ -466,7 +483,10 @@ object Multimodal {
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.map { r => Row(r.getLong(0), synthVideo(r.getLong(0), r.getLong(1))) }
+        // null n_chars degrades like the PNG path — no NPE mid-task
+        rows.map { r =>
+          Row(r.getLong(0), synthVideo(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        }
       }(enc)
   }
 

@@ -72,6 +72,13 @@ object ProtoWire {
             if (n < 1 || n > MaxFieldNumber)
               throw new IllegalArgumentException(
                 s"proto field number must be in [1, $MaxFieldNumber]: $line")
+            // protoc also rejects the reserved range — a schema that
+            // parses here but cannot compile for standard consumers
+            // would strand the data it wrote (same fail-at-parse intent
+            // as the range check above)
+            if (n >= 19000 && n <= 19999)
+              throw new IllegalArgumentException(
+                s"proto field numbers 19000-19999 are reserved: $line")
             Field(n.toInt, name,
               typeMap.getOrElse(t, throw new IllegalArgumentException(s"unsupported proto type $t")))
           case _ =>
@@ -109,12 +116,11 @@ object ProtoWire {
   private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
   private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
-  private def wireType(t: PType): Int = t match {
-    case PDouble => 1
-    case PFloat => 5
-    case PString | PBytes => 2
-    case _ => 0
-  }
+  // the ONE type→wire-type mapping, used by BOTH encode (tag emission)
+  // and decode (mismatch-skip classification): two hand-maintained
+  // copies could drift, making the decoder silently skip every value
+  // the encoder writes — all-null columns with no error anywhere
+  private def wireType(t: PType): Int = expectedWireType(t)
 
   /** Encode one row (values aligned with `fields`) to message bytes.
     * Null values are simply omitted (proto3 absent-field semantics). */

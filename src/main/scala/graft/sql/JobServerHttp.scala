@@ -38,6 +38,14 @@ import VeloSqlParser.ParseException
 final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
   import JobServerHttp._
 
+  // The JDK server defaults to NO request/response time bound: a client
+  // that opens a POST and never sends its body parks a pool thread in
+  // readNBytes forever — four such connections exhaust the fixed pool
+  // and permanently black out /health and /metrics. These properties
+  // are the documented JDK knobs, read once at server creation; set
+  // only if the deployment hasn't chosen its own values.
+  JobServerHttp.ensureRequestTimeouts()
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -248,6 +256,17 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
 }
 
 object JobServerHttp {
+  /** See the instance-side comment: bound request-read and
+    * response-write time for every HttpServer in this JVM. Idempotent;
+    * respects values the deployment already set. The JDK reads these
+    * once per server creation (sun.net.httpserver.ServerConfig). */
+  private def ensureRequestTimeouts(): Unit = synchronized {
+    if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
+      System.setProperty("sun.net.httpserver.maxReqTime", "30")   // seconds
+    if (System.getProperty("sun.net.httpserver.maxRspTime") == null)
+      System.setProperty("sun.net.httpserver.maxRspTime", "120")
+  }
+
   private final case class JobRow(name: String, status: String, version: String,
                                   strategy: String, isActive: Boolean, error: String,
                                   breaker: String)

@@ -66,11 +66,47 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     spark.conf.getOption("graft.jobs.stateRoot").filter(_.nonEmpty)
 
   /** Stable digest of a job body, stamped next to each epoch's
-    * checkpoint under a durable root (case-class toString is
-    * deterministic for the parser's ASTs). */
+    * checkpoint under a durable root (injective canonical rendering —
+    * see JobManager.canonical). */
   private def bodyFingerprint(body: VeloStatement): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(body.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(JobManager.canonical(body).getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** All durable-root METADATA I/O resolves through the same Hadoop
+    * filesystem Spark resolves the un-schemed checkpointLocation string
+    * against (fs.defaultFS): java.io against the driver's local disk
+    * would silently miss the real checkpoint tree on any cluster whose
+    * default filesystem is not file:// — epoch recovery and the
+    * fingerprint guard would be bypassed and a restarted job could
+    * attach a different body to a foreign checkpoint. */
+  private def rootFs(p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+  private def writeMeta(p: String, content: String): Unit = {
+    val (fs, path) = rootFs(p)
+    val out = fs.create(path, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+  private def readMeta(p: String): Option[String] =
+    try {
+      val (fs, path) = rootFs(p)
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bytes.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Identity for durable-root ownership FENCING (see superviseOnce):
+    * the last manager to launch a job under a shared root owns it. */
+  private val managerId = java.util.UUID.randomUUID().toString
 
   private final class Job(val name: String) {
     var versions: Vector[Version] = Vector.empty
@@ -95,25 +131,37 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     var limits: Resources.Limits = defaultLimits
     val root: String = stateRoot match {
       case Some(sr) =>
-        val d = java.nio.file.Paths.get(sr, name)
-        Files.createDirectories(d)
-        d.toString
+        // plain string join, not Paths.get — the root may carry a
+        // scheme (hdfs://, s3a://) that java.nio would mangle
+        val r = s"${sr.stripSuffix("/")}/$name"
+        val (fs, p) = rootFs(r)
+        fs.mkdirs(p)
+        r
       case None => Files.createTempDirectory(s"graft_job_$name").toString
     }
     // recover the highest on-disk checkpoint epoch (always 0 for a temp
     // root): a restarted manager must re-enter the LATEST epoch, not
-    // restart a checkpoint an in-between DEPLOY already superseded
+    // restart a checkpoint an in-between DEPLOY already superseded.
+    // Listed through the root's RESOLVED filesystem — the same one
+    // Spark writes the checkpoint to (see rootFs).
     var epoch: Int = {
       val re = "ckpt-(\\d+)".r
-      Option(new java.io.File(root).list()).toSeq.flatten
-        .collect { case re(n) => n.toInt }.foldLeft(0)(math.max)
+      val entries: Seq[String] =
+        if (stateRoot.isEmpty) Option(new java.io.File(root).list()).toSeq.flatten.toSeq
+        else try { val (fs, p) = rootFs(root); fs.listStatus(p).toSeq.map(_.getPath.getName) }
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      entries.collect { case re(n) => n.toInt }.foldLeft(0)(math.max)
     }
     // true while the current epoch's checkpoint PREDATES this manager
     // (recovered from a durable root): its declared sink already holds
     // the epoch's committed batches and must NOT get the blue-green
     // reset — the resumed checkpoint continues on top of it, exactly
     // like an in-process RESUME. Cleared on every epoch bump.
-    var recovered: Boolean = new java.io.File(s"$root/ckpt-$epoch").exists()
+    var recovered: Boolean = stateRoot.isDefined && {
+      try { val (fs, _) = rootFs(root)
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/ckpt-$epoch")) }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
     def ckptDir: String = s"$root/ckpt-$epoch"
     def sinkDir: String = s"$root/out-$epoch"
     // declared INTO-sink location (re-resolved at every launch); the
@@ -124,8 +172,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // RE-DECLARED path within an epoch (a reused dir's stale
     // _spark_metadata would claim the resumed batch ids committed and
     // Spark would silently drop them); a resume re-entering the same
-    // (epoch, path) keeps sink + metadata for exactly-once
-    var sinkStamp: Option[(Int, String)] = None
+    // (epoch, path) keeps sink + metadata for exactly-once. For a
+    // RECOVERED epoch the pin is reloaded from its durable stamp: an
+    // INTO declaration re-pointed while the process was down must not
+    // split the resumed epoch's output across two directories —
+    // re-declarations take effect at the next epoch, like in-process
+    var sinkStamp: Option[(Int, String)] =
+      if (recovered) readMeta(s"$root/sink-$epoch.path").map(p => (epoch, p)) else None
     // highest micro-batch id supervision has credited as a breaker
     // success — liveness alone is NOT success (see superviseOnce)
     var lastSeenBatch: Long = -1L
@@ -572,8 +625,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           df.writeStream
             .outputMode(OutputMode.Update())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              // IDEMPOTENT per-batch write: a crash between this write
+              // and the checkpoint commit makes Spark RE-RUN the batch
+              // on restart — a blind append would duplicate its rows in
+              // the sink (breaking the recovered path's exactly-once
+              // claim); dynamic partition overwrite on _batch_id
+              // replaces exactly the re-run batch's partition instead
               def sink(): Unit = batch.withColumn("_batch_id", lit(batchId))
-                .write.mode("append").options(sinkOpts).format(sinkFmt).save(out)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .options(sinkOpts).format(sinkFmt).save(out)
               if (hasLabeled) {
                 batch.persist()
                 try { sink(); collectLabeled(jobName, batch) } finally batch.unpersist()
@@ -597,10 +659,19 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // a restarted manager STARTing a DIFFERENT body under this name
       // must not resume this checkpoint — offsets/state belong to this
       // query shape (see start()'s recovered-mismatch bump)
-      if (stateRoot.isDefined)
-        try Files.write(java.nio.file.Paths.get(s"${j.root}/body-${j.epoch}.fp"),
-          bodyFingerprint(v.body).getBytes("UTF-8"))
+      if (stateRoot.isDefined) {
+        try writeMeta(s"${j.root}/body-${j.epoch}.fp", bodyFingerprint(v.body))
         catch { case scala.util.control.NonFatal(_) => () }
+        // ownership stamp for restart fencing (see superviseOnce): the
+        // last manager to launch under this root owns the job
+        try writeMeta(s"${j.root}/owner", managerId)
+        catch { case scala.util.control.NonFatal(_) => () }
+        // durable twin of sinkStamp (see Job.sinkStamp preload)
+        j.sinkPath.foreach { p =>
+          try writeMeta(s"${j.root}/sink-${j.epoch}.path", p)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
       // a PREVIOUS batch launch of this job may have left a cached
       // materialization and a <job>_out view: release the cache (the
       // "at most one cached frame per job" contract) and drop the view
@@ -729,6 +800,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * body that fails semantic analysis never reaches `launch`, so a bad
     * DEPLOY leaves the running version untouched. */
   private def gate(verb: String, name: String, body: VeloStatement): Unit = {
+    // the name becomes a PATH SEGMENT under the state root, and
+    // backtick-quoted identifiers can carry arbitrary characters — a
+    // name with separators or '..' would checkpoint OUTSIDE the root
+    if (name.isEmpty || name.contains("/") || name.contains("\\")
+      || name.contains("..") || name.contains(" "))
+      throw new ParseException(
+        s"$verb JOB rejected: job name must be a single path-safe segment, got `$name`")
     val errors = validate(body)
     if (errors.nonEmpty)
       throw new ParseException(s"$verb JOB $name rejected: ${errors.mkString("; ")}")
@@ -738,12 +816,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * Meaningful only for a job with no in-process history whose epoch
     * was recovered from a durable root — a missing/unreadable stamp
     * reads false (fresh epoch, never foreign offsets). */
-  private def recoveredBodyMatches(j: Job, body: VeloStatement): Boolean = {
-    val fp = try Some(new String(Files.readAllBytes(
-        java.nio.file.Paths.get(s"${j.root}/body-${j.epoch}.fp")), "UTF-8"))
-      catch { case scala.util.control.NonFatal(_) => None }
-    fp.contains(bodyFingerprint(body))
-  }
+  private def recoveredBodyMatches(j: Job, body: VeloStatement): Boolean =
+    readMeta(s"${j.root}/body-${j.epoch}.fp").contains(bodyFingerprint(body))
 
   def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = synchronized {
     // every gate runs BEFORE the job registers (deploy's ordering): a
@@ -760,7 +834,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // limit or a full cluster rejects the statement, not the job state
     val lims = Resources.Limits.fromProps(props, defaultLimits)
     gateConcurrency(name, lims)
-    val j = existing.getOrElse(jobs.getOrElseUpdate(name, new Job(name)))
+    val j = jobs.getOrElseUpdate(name, new Job(name))
     // Restarting a stopped job with a DIFFERENT body must not reuse the
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
@@ -934,16 +1008,31 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     jobs.values.foreach { j =>
       j.handle match {
         case Some(q) if j.status == "RUNNING" && !q.isActive =>
-          j.lastError = q.exception.map(e =>
-            Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
-              .getOrElse(e.getMessage)).orElse(Some("query terminated unexpectedly"))
-          j.handle = None
-          j.breaker.recordFailure()
-          j.status = "FAILED"
-          if (autoRestart && j.breaker.allowsLaunch)
-            j.current.foreach { v =>
-              try guardedLaunch(j, v) catch { case _: Throwable => () }
-            }
+          // FENCING over a shared durable root: if another manager has
+          // launched this job since (its owner stamp replaced ours),
+          // our query was stopped by the takeover, not a crash — an
+          // auto-restart here would stop THEIR query in turn
+          // (spark.sql.streaming.stopActiveRunOnRestart) and the two
+          // supervisors would ping-pong restarts until both breakers
+          // burned OPEN. The superseded manager stands down instead.
+          val fenced = stateRoot.isDefined &&
+            readMeta(s"${j.root}/owner").exists(_ != managerId)
+          if (fenced) {
+            j.handle = None
+            j.status = "STOPPED"
+            j.lastError = Some("fenced: job state root taken over by another manager")
+          } else {
+            j.lastError = q.exception.map(e =>
+              Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
+                .getOrElse(e.getMessage)).orElse(Some("query terminated unexpectedly"))
+            j.handle = None
+            j.breaker.recordFailure()
+            j.status = "FAILED"
+            if (autoRestart && j.breaker.allowsLaunch)
+              j.current.foreach { v =>
+                try guardedLaunch(j, v) catch { case _: Throwable => () }
+              }
+          }
         case Some(q) if j.status == "RUNNING" && q.isActive =>
           // a breaker success is COMPLETED WORK (a newly committed
           // micro-batch), not mere liveness: crediting "still alive"
@@ -1130,6 +1219,24 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 }
 
 object JobManager {
+
+  /** Injective rendering of a statement tree for fingerprinting.
+    * Case-class toString is delimiter-ambiguous — Map("a" -> "x, b -> y")
+    * and Map("a" -> "x", "b" -> "y") render the same characters — so two
+    * DIFFERENT bodies could share a fingerprint and the restart logic
+    * would resume a checkpoint belonging to a different statement.
+    * Strings are length-prefixed so no content can fake a delimiter;
+    * maps sort their entries so iteration order cannot flip the hash. */
+  private[sql] def canonical(x: Any): String = x match {
+    case s: String => s"${s.length}:$s"
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, v) => canonical(k) + "=" + canonical(v) }
+        .sorted.mkString("M{", ";", "}")
+    case it: Iterable[_] => it.map(canonical).mkString("I[", ";", "]")
+    case p: Product =>
+      p.productPrefix + p.productIterator.map(canonical).mkString("(", ";", ")")
+    case other => String.valueOf(other)
+  }
 
   /** Driver-side status snapshot row (see JobManager.statusRows). */
   final case class JobStatusRow(name: String, status: String, version: String,

@@ -109,6 +109,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("null n_chars degrades to a zero-length synth payload in every encoder (nullable documents schema)") {
+    // documents.n_chars is nullable; getLong on a null row NPEs through
+    // all task retries — each encoder must degrade instead
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, null), org.apache.spark.sql.Row(2L, 50L))
+    val docs = spark.createDataFrame(rows, schema)
+    assert(Multimodal.pngMediaFromDocuments(docs).count() == 2)
+    assert(Multimodal.wavMediaFromDocuments(docs).count() == 2)
+    assert(Multimodal.videoMediaFromDocuments(docs).count() == 2)
+  }
+
   test("real WAV round-trip: encode on executors, decode recovers exact PCM stats") {
     import spark.implicits._
     val docs = Seq((0L, 100L), (7L, 999L), (13L, 1L), (106L, 42L))
@@ -192,16 +208,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       if (fmtSize >= 16) {
         le16(1); le16(channels); le32(8000); le32(8000 * channels * 2)
         le16(channels * 2); le16(16)
+      } else if (fmtSize >= 8) {
+        // partial fmt body that still COVERS the sample-rate field
+        // (bytes 4..7 of the body)
+        le16(1); le16(channels); le32(8000)
+        (8 until fmtSize).foreach(_ => bos.write(0))
       }
-      bos.write("data".getBytes); le32(8); (0 until 8).foreach(_ => bos.write(0))
+      // payload must clear the 44-byte canonical-header gate in
+      // decodeAudioFeatures, or the chunk walk under test never runs
+      bos.write("data".getBytes); le32(16); (0 until 16).foreach(_ => bos.write(0))
       bos.toByteArray
     }
+    assert(wavWithFmt(channels = 1, fmtSize = 0).length >= 44,
+      "fixture must reach the chunk walk, not die at the header-length gate")
     val rows = Seq(
       (1L, wavWithFmt(channels = 65535, fmtSize = 16)), // monster frame size
-      (2L, wavWithFmt(channels = 1, fmtSize = 0))       // degenerate fmt chunk
+      (2L, wavWithFmt(channels = 1, fmtSize = 0)),      // degenerate fmt chunk
+      (3L, wavWithFmt(channels = 1, fmtSize = 8))       // minimal body covering the rate
     ).toDF("media_id", "payload")
     val out = Multimodal.decodeAudioFeatures(rows).collect()
-    assert(out.length == 2)
+    assert(out.length == 3)
     val monster = out.find(_.getLong(0) == 1L).get
     assert(monster.isNullAt(monster.fieldIndex("peak")),
       "oversized-frame WAV must yield null stats, not decode (or hang)")
@@ -209,6 +235,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     // chunk's bytes read as a sample rate
     val degen = out.find(_.getLong(0) == 2L).get
     assert(degen.isNullAt(degen.fieldIndex("header_rate")))
+    // a size-8 body DOES cover the rate field — the cover check must
+    // not over-reject by demanding the full 16-byte canonical body
+    val minimal = out.find(_.getLong(0) == 3L).get
+    assert(minimal.getAs[Int]("header_rate") == 8000)
   }
 
   test("resize: a factor larger than the payload emits one byte, not a silent empty array") {

@@ -99,6 +99,13 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
 
     val noBlock = intercept[IllegalArgumentException](ProtoSchema.parse("int64 id = 1;"))
     assert(noBlock.getMessage.contains("message"))
+
+    // protoc rejects 19000-19999 (reserved) — a schema that parses here
+    // but can't compile for standard consumers would strand its data
+    val reserved = intercept[IllegalArgumentException](
+      ProtoSchema.parse("message M { int64 id = 19000; }"))
+    assert(reserved.getMessage.contains("reserved"))
+    assert(ProtoSchema.parse("message M { int64 id = 20000; }").head.number == 20000)
   }
 
   test("round-trip property: random rows over every type survive encode→decode (ScalaCheck)") {

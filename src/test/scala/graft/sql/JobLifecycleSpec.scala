@@ -193,6 +193,63 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx3.sql("STOP JOB durable")
   }
 
+  test("takeover fencing: the superseded manager stands down instead of restart ping-pong") {
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_fence_root").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fence_src").toString
+    Seq((1L, 1.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def newServer(): (org.apache.spark.sql.SparkSession, VeloContext) = {
+      val s = spark.newSession()
+      s.conf.set("graft.jobs.stateRoot", stateRoot)
+      val c = new VeloContext(s)
+      c.register("fence_events", s.readStream.schema(schema).parquet(srcDir))
+      (s, c)
+    }
+    val (_, ctx1) = newServer()
+    ctx1.sql("START JOB fencer AS SELECT id, v FROM fence_events")
+    ctx1.jobManager.awaitIdle("fencer")
+    // manager B takes over the same root + body: its launch stamps the
+    // owner file and (same fingerprint) resumes the epoch; Spark's
+    // stopActiveRunOnRestart stops A's run on the shared checkpoint
+    val (_, ctx2) = newServer()
+    ctx2.sql("START JOB fencer AS SELECT id, v FROM fence_events")
+    ctx2.jobManager.awaitIdle("fencer")
+    // A's supervision must FENCE (stand down), not auto-restart — a
+    // restart would stop B's query and the two would ping-pong
+    ctx1.jobManager.superviseOnce(autoRestart = true)
+    val stA = ctx1.sql("SHOW STATUS fencer").collect().head
+    assert(stA.getAs[String]("status") == "STOPPED", stA.toString)
+    assert(Option(stA.getAs[String]("error")).exists(_.contains("fenced")), stA.toString)
+    // B's query is still the live one
+    val stB = ctx2.sql("SHOW STATUS fencer").collect().head
+    assert(stB.getAs[String]("status") == "RUNNING")
+    ctx2.sql("STOP JOB fencer")
+  }
+
+  test("job names are path segments: separators and '..' are rejected at the gate") {
+    val (_, ctx) = memInput()
+    for (bad <- Seq("`../evil`", "`a/b`", "`a\\\\b`")) {
+      val e = intercept[ParseException](
+        ctx.sql(s"START JOB $bad AS SELECT id, v FROM live_events"))
+      assert(e.getMessage.contains("path-safe"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("body fingerprints are injective: delimiter-ambiguous prop maps do not collide (canonical rendering)") {
+    // toString renders both of these as `Map(a -> x, b -> y)` — a
+    // collision would let a DIFFERENT statement resume a recovered
+    // checkpoint on restart
+    val m1 = Map("a" -> "x, b -> y")
+    val m2 = Map("a" -> "x", "b" -> "y")
+    assert(m1.toString == m2.toString, "precondition: toString really is ambiguous here")
+    assert(JobManager.canonical(m1) != JobManager.canonical(m2))
+    // and stays order-insensitive for maps (iteration order must not
+    // flip the fingerprint across JVMs)
+    assert(JobManager.canonical(Map("k1" -> "v1", "k2" -> "v2"))
+      == JobManager.canonical(Map("k2" -> "v2", "k1" -> "v1")))
+  }
+
   test("ROLLBACK after a RUNTIME death targets the previous version, not the one that died") {
     val (in, ctx) = memInput()
     in.addData(Seq((1L, 1.0)))
