@@ -931,6 +931,22 @@ object VeloSqlParser {
     }.filter(_ > 0) // a ZERO duration is degenerate everywhere it is used
   }
 
+  /** Units whose value-context INTERVAL literal must be rewritten to a
+    * fixed-duration Spark literal to match the reference's
+    * interval_to_millis (types.rs:1402): quantity transform + target
+    * unit. See the rewriteTokens branch for the full rationale. */
+  private val fixedIntervalRewrite: Map[String, (Long => Long, String)] = {
+    val month: Long => Long = _ * 30L
+    val year: Long => Long = _ * 365L
+    val nano: Long => Long = _ / 1000000L  // i64 division truncates toward 0, like Rust
+    val micro: Long => Long = _ / 1000L
+    Map(
+      "MONTH" -> (month, "DAY"), "MONTHS" -> (month, "DAY"),
+      "YEAR" -> (year, "DAY"), "YEARS" -> (year, "DAY"),
+      "NANOSECOND" -> (nano, "MILLISECOND"), "NANOSECONDS" -> (nano, "MILLISECOND"),
+      "MICROSECOND" -> (micro, "MILLISECOND"), "MICROSECONDS" -> (micro, "MILLISECOND"))
+  }
+
   private def unitSeconds(u: String): Option[Long] = u.toUpperCase(java.util.Locale.ROOT) match {
     case "SECOND" | "SECONDS" | "S" | "SEC" | "SECS" => Some(1L)
     case "MINUTE" | "MINUTES" | "M" | "MIN" | "MINS" => Some(60L)
@@ -1175,6 +1191,41 @@ object VeloSqlParser {
         val withFrame = !precedingFn.exists(noFrameFns.contains)
         out ++= rewriteRowsWindow(span.slice(i + 2, end - 1), defaultTimeCol, withFrame)
         i = end
+      }
+      // Value-context INTERVAL literals: the reference evaluator
+      // collapses EVERY interval to fixed milliseconds before doing
+      // timestamp arithmetic (types.rs:1402 interval_to_millis) —
+      // MONTH is exactly 30 days and YEAR exactly 365, NOT calendar
+      // units, and NANOSECOND/MICROSECOND truncate to whole millis by
+      // integer division. Spark's own MONTH/YEAR intervals are
+      // calendar-aware (ts + INTERVAL 1 MONTH lands on the same
+      // day-of-month) and it has no NANOSECOND unit at all, so these
+      // four lower to the equivalent fixed DAY/MILLISECOND literal.
+      // Second-and-below units (DAY..MILLISECOND, WEEK) are already
+      // fixed-duration in both engines and pass through untouched.
+      // interval ± interval (which the reference evaluates to an
+      // INTEGER of millis, types.rs:1110) is left to Spark's interval
+      // algebra: a plan column can't be millis-int on one row shape
+      // and interval on another under static typing, and no reference
+      // test exercises the form.
+      else if (t.isKw("INTERVAL")
+          && span.lift(i + 1).exists(x => x.kind == TNumber || x.kind == TString)
+          && span.lift(i + 2).exists(x => fixedIntervalRewrite.contains(x.upper))) {
+        val numTok = span(i + 1)
+        val raw =
+          if (numTok.kind == TString) numTok.text.substring(1, numTok.text.length - 1).trim
+          else numTok.text
+        raw.toLongOption match {
+          case Some(n) =>
+            val (toFixed, unit) = fixedIntervalRewrite(span(i + 2).upper)
+            out += id("INTERVAL") += Tok(TString, s"'${toFixed(n)}'") += id(unit)
+            i += 3
+          case None =>
+            // non-i64 quantity: the reference parser only admits i64
+            // interval values — pass through and let Spark's own
+            // interval parsing accept or reject it
+            out += t; i += 1
+        }
       } else if (t.kind == TIdent && isCall(i)) {
         up match {
           case "GROUP_CONCAT" | "STRING_AGG" | "LISTAGG" | "COLLECT" =>

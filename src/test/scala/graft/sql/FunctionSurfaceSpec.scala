@@ -474,6 +474,26 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[java.sql.Timestamp]("plus_1d").getTime == base + 86400000L)
   }
 
+  test("INTERVAL MONTH/YEAR are fixed 30/365 days; NANO/MICRO truncate to millis (types.rs:1402)") {
+    // the reference collapses every interval to fixed millis BEFORE the
+    // timestamp add (interval_to_millis) — a calendar-aware MONTH (what
+    // Spark's own interval would do: 2024-03-05 + 1 MONTH = 2024-04-05,
+    // 31 days later) would diverge by a day here
+    val r = ctx.sql(
+      """SELECT id,
+         event_time + INTERVAL '1' MONTH AS plus_1mo,
+         event_time - INTERVAL '2' YEARS AS minus_2y,
+         event_time + INTERVAL '2500000' NANOSECONDS AS plus_ns,
+         event_time + INTERVAL '1500' MICROSECONDS AS plus_us
+         FROM t WHERE id = 1""").collect().head
+    val base = java.sql.Timestamp.valueOf("2024-03-05 10:00:00").getTime
+    assert(r.getAs[java.sql.Timestamp]("plus_1mo").getTime == base + 30L * 86400000L)
+    assert(r.getAs[java.sql.Timestamp]("minus_2y").getTime == base - 2L * 365L * 86400000L)
+    // 2,500,000 ns → 2 ms (i64 division truncates); 1500 µs → 1 ms, not 1.5
+    assert(r.getAs[java.sql.Timestamp]("plus_ns").getTime == base + 2L)
+    assert(r.getAs[java.sql.Timestamp]("plus_us").getTime == base + 1L)
+  }
+
   test("SELECT-clause alias reuse (SELECT-ALIAS-REUSE.md) via Spark's lateral column aliases") {
     val r = ctx.sql(
       """SELECT price / volume AS unit_price,
