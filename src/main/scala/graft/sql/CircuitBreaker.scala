@@ -26,6 +26,18 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
   private var consecutiveFailures = 0
   private var consecutiveSuccesses = 0
   private var openedAt = 0L
+  // true while a HALF_OPEN trial launch is in flight. Outcomes in
+  // HALF_OPEN only count when a trial was actually admitted
+  // (beginLaunch): launches here report their results ASYNCHRONOUSLY
+  // (unlike the reference's execute() wrapper, circuit_breaker.rs:171,
+  // where an outcome is intrinsically tied to an admitted call), so a
+  // straggler report from a pre-trip launch can land exactly when the
+  // recovery timeout flips OPEN→HALF_OPEN — and without this token a
+  // stale failure would re-trip the breaker with no trial ever run
+  // (extending the outage forever), while stale successes could CLOSE
+  // it without any trial. It also bounds HALF_OPEN to a single probe:
+  // allowsLaunch reports false while the trial is unresolved.
+  private var trialInFlight = false
 
   /** Current state, applying the OPEN → HALF_OPEN transition when the
     * recovery timeout has elapsed. */
@@ -33,11 +45,35 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
     if (state == CircuitBreaker.Open && clock() - openedAt >= config.recoveryTimeoutMs) {
       state = CircuitBreaker.HalfOpen
       consecutiveSuccesses = 0
+      trialInFlight = false
     }
     state
   }
 
-  def allowsLaunch: Boolean = currentState != CircuitBreaker.Open
+  def allowsLaunch: Boolean = synchronized {
+    currentState match {
+      case CircuitBreaker.Open => false
+      case CircuitBreaker.HalfOpen => !trialInFlight // single probe at a time
+      case _ => true
+    }
+  }
+
+  /** A launch this breaker admitted is actually starting. In HALF_OPEN
+    * this marks the trial in flight — subsequent outcome reports are
+    * credited to it, and further launches are rejected until it
+    * resolves (success-threshold close, failure re-trip, or
+    * abandonTrial). */
+  def beginLaunch(): Unit = synchronized {
+    if (currentState == CircuitBreaker.HalfOpen) trialInFlight = true
+  }
+
+  /** The in-flight HALF_OPEN trial ended with NO health signal (e.g.
+    * the job was stopped cleanly before committing any batch, or the
+    * manager lost ownership of it): clear the token so the next launch
+    * can run a real trial instead of deadlocking behind a phantom one. */
+  def abandonTrial(): Unit = synchronized {
+    if (state == CircuitBreaker.HalfOpen) trialInFlight = false
+  }
 
   /** Milliseconds until the next trial launch is allowed; 0 when not OPEN. */
   def retryInMs: Long = synchronized {
@@ -47,12 +83,17 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
 
   def recordSuccess(): Unit = synchronized {
     currentState match {
-      case CircuitBreaker.HalfOpen =>
+      // only the admitted trial's successes count toward closing — a
+      // stale success from a pre-trip launch must not close the breaker
+      // without a trial ever running (see trialInFlight)
+      case CircuitBreaker.HalfOpen if trialInFlight =>
         consecutiveSuccesses += 1
         if (consecutiveSuccesses >= config.successThreshold) {
           state = CircuitBreaker.Closed
           consecutiveFailures = 0
+          trialInFlight = false
         }
+      case CircuitBreaker.HalfOpen => () // straggler — no trial to credit
       case _ =>
         consecutiveFailures = 0
     }
@@ -60,13 +101,16 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
 
   def recordFailure(): Unit = synchronized {
     currentState match {
-      case CircuitBreaker.HalfOpen => trip() // the trial failed — back to OPEN
-      // already OPEN: straggler reports from launches that predate the
-      // trip must not extend the outage — without this (and the counter
-      // reset in trip()) a trickle of late failures arriving faster than
-      // the recovery timeout would re-trip forever and HALF_OPEN would
-      // never be reached
-      case CircuitBreaker.Open => ()
+      case CircuitBreaker.HalfOpen if trialInFlight => trip() // the trial failed — back to OPEN
+      // HALF_OPEN with no trial admitted, or already OPEN: straggler
+      // reports from launches that predate the trip must not extend the
+      // outage — without this (and the counter reset in trip()) a
+      // trickle of late failures arriving faster than the recovery
+      // timeout would re-trip forever (the OPEN→HALF_OPEN transition
+      // happens as a side effect of the currentState READ, so a
+      // straggler landing at/after the timeout boundary would otherwise
+      // be misread as a failed trial) and a real trial would never run
+      case CircuitBreaker.HalfOpen | CircuitBreaker.Open => ()
       case _ =>
         consecutiveFailures += 1
         if (consecutiveFailures >= config.failureThreshold) trip()
@@ -78,6 +122,7 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
     openedAt = clock()
     consecutiveFailures = 0
     consecutiveSuccesses = 0
+    trialInFlight = false
   }
 
   /** Manual reset (the operator fixed the root cause). */
@@ -85,6 +130,7 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
     state = CircuitBreaker.Closed
     consecutiveFailures = 0
     consecutiveSuccesses = 0
+    trialInFlight = false
   }
 }
 

@@ -708,6 +708,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * (rollback/resume/supervision restart). */
   private def guardedLaunch(j: Job, v: Version, newRecord: Boolean = false): Unit =
     try {
+      // tell the breaker an admitted launch is actually starting: in
+      // HALF_OPEN this claims the single trial slot, so async outcome
+      // reports are credited to THIS launch and stale reports from
+      // pre-trip launches are ignored (CircuitBreaker.trialInFlight)
+      j.breaker.beginLaunch()
       launch(j, v)
       j.launchFailed = false
       // redeploying an existing version string REPLACES it in history —
@@ -736,10 +741,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   /** Reject a launch while the job's breaker is OPEN — the fail-fast
     * path that protects the cluster from a doomed restart loop. */
   private def gateBreaker(j: Job): Unit =
-    if (!j.breaker.allowsLaunch)
+    if (!j.breaker.allowsLaunch) {
+      val st = j.breaker.currentState
       throw new ParseException(
-        s"job ${j.name} circuit breaker is OPEN after repeated failures; " +
-          s"retry in ${j.breaker.retryInMs} ms or reset it")
+        if (st == CircuitBreaker.HalfOpen)
+          s"job ${j.name} circuit breaker is HALF_OPEN with a trial launch in " +
+            "flight; wait for the trial to resolve or reset the breaker"
+        else
+          s"job ${j.name} circuit breaker is OPEN after repeated failures; " +
+            s"retry in ${j.breaker.retryInMs} ms or reset it")
+    }
 
   /** Stop the job's streaming query. Only the EXPECTED termination
     * exception is caught; whatever error actually killed the query is
@@ -772,6 +783,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           if (j.lastError.isDefined) j.breaker.recordFailure()
           else if (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= 0)
             j.breaker.recordSuccess()
+          // clean stop with NO committed batch: no health signal either
+          // way — if this launch held the HALF_OPEN trial slot, release
+          // it so the next launch can run a real trial instead of
+          // deadlocking behind a phantom one
+          else j.breaker.abandonTrial()
           j.handle = None
           // invariant: no handle → not RUNNING. If processAllAvailable
           // (or stop itself) threw something unexpected, the exception
@@ -1021,6 +1037,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             j.handle = None
             j.status = "STOPPED"
             j.lastError = Some("fenced: job state root taken over by another manager")
+            // losing ownership is not a health outcome for OUR breaker —
+            // but it does end any HALF_OPEN trial this launch was running
+            j.breaker.abandonTrial()
           } else {
             j.lastError = q.exception.map(e =>
               Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")

@@ -44,6 +44,23 @@ object Resources {
       warningPct: Double = 0.8,
       criticalPct: Double = 0.95) {
 
+    // the positive/finite invariant must hold for EVERY construction,
+    // not just fromProps-parsed ones: a programmatic Limits (e.g.
+    // JobManager's defaultLimits parameter) with a zero/negative limit
+    // would make enforcement kill a job on its first progress event
+    // while level() (which guards l > 0) reports the same row OK
+    require(maxAggregationGroups.forall(_ > 0),
+      s"maxAggregationGroups must be positive, got $maxAggregationGroups")
+    require(maxTotalMemory.forall(_ > 0),
+      s"maxTotalMemory must be positive, got $maxTotalMemory")
+    require(maxProcessingTimePerRecordMs.forall(v => !v.isNaN && !v.isInfinite && v > 0),
+      s"maxProcessingTimePerRecordMs must be positive and finite, got $maxProcessingTimePerRecordMs")
+    require(maxConcurrentOperations.forall(_ > 0),
+      s"maxConcurrentOperations must be positive, got $maxConcurrentOperations")
+    require(!warningPct.isNaN && !criticalPct.isNaN
+        && warningPct > 0 && warningPct <= criticalPct,
+      s"thresholds must satisfy 0 < warningPct <= criticalPct, got $warningPct/$criticalPct")
+
     def limitFor(resource: String): Option[Double] = resource match {
       case "aggregation_groups" => maxAggregationGroups.map(_.toDouble)
       case "total_memory" => maxTotalMemory.map(_.toDouble)
@@ -66,7 +83,18 @@ object Resources {
     def fromProps(props: Map[String, String], base: Limits): Limits = {
       // the dialect is case-insensitive everywhere else, so a user
       // writing WITH (MAX_TOTAL_MEMORY = ...) must hit the limit, not
-      // silently run unlimited — match keys case-insensitively
+      // silently run unlimited — match keys case-insensitively. Two
+      // case variants of the SAME limit key with DIFFERENT values is a
+      // statement error, not a map-iteration-order lottery: the user
+      // who believes they tightened a limit must not silently run with
+      // the loose one.
+      val limitKeys = Set("max_aggregation_groups", "max_total_memory",
+        "max_processing_time_per_record", "max_concurrent_operations")
+      props.keys.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+        .filter { case (lk, ks) => limitKeys(lk) && ks.toSeq.map(props).distinct.length > 1 }
+        .foreach { case (lk, ks) =>
+          throw new VeloSqlParser.ParseException(
+            s"conflicting values for $lk: case variants ${ks.mkString(", ")} disagree") }
       val p = props.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
       // a limit must be a POSITIVE number: zero/negative would make
       // enforcement kill the job on its first progress event while

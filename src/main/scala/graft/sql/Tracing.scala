@@ -55,6 +55,14 @@ final class Tracer(capacity: Int = 8192,
         (System.nanoTime() - nano0) / 1000000L, "OK", "", attrs))
       out
     } catch {
+      // control-flow throwables (a non-local `return` inside the body,
+      // scala.util.control.Breaks) mean the body EXITED normally from
+      // the caller's point of view — recording them as ERROR would make
+      // SHOW TRACES report failures for statements that succeeded
+      case e: scala.util.control.ControlThrowable =>
+        record(SpanRow(traceId, id, parent, name, t0,
+          (System.nanoTime() - nano0) / 1000000L, "OK", "", attrs))
+        throw e
       case e: Throwable =>
         record(SpanRow(traceId, id, parent, name, t0,
           (System.nanoTime() - nano0) / 1000000L, "ERROR",

@@ -33,14 +33,17 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     now = 1000L
     assert(cb.currentState == CircuitBreaker.HalfOpen && cb.allowsLaunch)
 
-    // a failed trial re-opens AND restarts the recovery timer
+    // a failed trial (admitted via beginLaunch) re-opens AND restarts
+    // the recovery timer
+    cb.beginLaunch()
     cb.recordFailure()
     assert(cb.currentState == CircuitBreaker.Open)
     assert(cb.retryInMs == 1000L)
 
-    // next window: two successes (successThreshold) close it
+    // next window: two successes (successThreshold) of the trial close it
     now = 2000L
     assert(cb.currentState == CircuitBreaker.HalfOpen)
+    cb.beginLaunch()
     cb.recordSuccess()
     assert(cb.currentState == CircuitBreaker.HalfOpen)
     cb.recordSuccess()
@@ -69,9 +72,60 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.currentState == CircuitBreaker.HalfOpen) // recovery reached
     // and the trial window starts with a clean failure counter: one
     // sub-threshold failure after the trial re-trip, then recovery again
+    cb.beginLaunch()
     cb.recordFailure() // trial failed → OPEN again (trip resets counter)
     now = 2000L
     assert(cb.currentState == CircuitBreaker.HalfOpen)
+    cb.beginLaunch()
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.Closed)
+  }
+
+  test("stragglers landing AT the recovery boundary are not misread as trial outcomes") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 2, recoveryTimeoutMs = 1000L, successThreshold = 2),
+      () => now)
+    cb.recordFailure(); cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.Open)
+    // a stale failure report arriving exactly when the timeout elapses
+    // lands in the just-transitioned HALF_OPEN state (the OPEN→HALF_OPEN
+    // move is a side effect of the currentState READ inside record*) —
+    // with no trial admitted it must be ignored, not re-trip the breaker
+    // with no trial ever run
+    now = 1000L; cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.HalfOpen,
+      "boundary straggler re-tripped the breaker without a trial")
+    assert(cb.allowsLaunch)
+    // symmetric: stale SUCCESSES from pre-trip launches must not close
+    // the breaker without any trial launch either
+    cb.recordSuccess(); cb.recordSuccess(); cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.HalfOpen,
+      "stale successes closed the breaker without a trial")
+    // a real trial still works end-to-end
+    cb.beginLaunch()
+    cb.recordSuccess(); cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.Closed)
+  }
+
+  test("HALF_OPEN admits a single probe; an abandoned trial releases the slot") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 1, recoveryTimeoutMs = 1000L, successThreshold = 1),
+      () => now)
+    cb.recordFailure()
+    now = 1000L
+    assert(cb.allowsLaunch)
+    cb.beginLaunch()
+    // while the trial is unresolved no second launch is admitted —
+    // N concurrent launches of a doomed body is exactly the burn the
+    // breaker exists to bound
+    assert(!cb.allowsLaunch, "second concurrent HALF_OPEN probe admitted")
+    // a trial that ends with no health signal (clean stop, no committed
+    // batch) releases the slot instead of deadlocking behind a phantom
+    cb.abandonTrial()
+    assert(cb.allowsLaunch)
+    cb.beginLaunch()
     cb.recordSuccess()
     assert(cb.currentState == CircuitBreaker.Closed)
   }

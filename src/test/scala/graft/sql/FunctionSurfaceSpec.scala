@@ -66,6 +66,36 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
             FROM t WINDOW w AS (PARTITION BY symbol ORDER BY event_time)""")
   }
 
+  test("ranking ties are STANDARD SQL, diverging from the reference's position-based evaluator (documented)") {
+    // Audit conclusion for window_functions.rs (the last evaluator
+    // family): its RANK/DENSE_RANK are row_number-like — position in
+    // the sorted buffer, NO tie handling — and the file SAYS so
+    // ("For simplified implementation, DENSE_RANK behaves like RANK.
+    // In a complete implementation, this would count distinct values",
+    // window_functions.rs:586; PERCENT_RANK/CUME_DIST:714,749 and
+    // NTILE's ceil-tiling:775 are position-based the same way). The
+    // reference's own tests pin none of the tie/tiling details (
+    // enhanced_window_functions_test.rs asserts is_ok), and its docs
+    // describe standard SQL ranking — so this library implements the
+    // DOCUMENTED semantics (standard, tie-aware, DuckDB-verified in
+    // q8/q40), not the acknowledged-incomplete evaluator positions.
+    import spark.implicits._
+    val ties = Seq((1L, "A", 10.0), (2L, "A", 10.0), (3L, "A", 20.0), (4L, "A", 20.0),
+      (5L, "A", 30.0)).toDF("tid", "g", "v")
+    ctx.register("tie_t", ties)
+    val r = ctx.sql(
+      """SELECT tid, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,
+         PERCENT_RANK() OVER w AS prk, CUME_DIST() OVER w AS cd
+         FROM tie_t WINDOW w AS (PARTITION BY g ORDER BY v)""")
+      .collect().map(x => x.getAs[Long]("tid") -> x).toMap
+    assert(r(1L).getAs[Int]("rk") == 1 && r(2L).getAs[Int]("rk") == 1,
+      "tied values share a rank (standard), not buffer positions 1,2 (reference evaluator)")
+    assert(r(3L).getAs[Int]("rk") == 3, "rank after a 2-way tie skips (standard gaps)")
+    assert(r(3L).getAs[Int]("drk") == 2, "dense rank counts distinct values")
+    assert(r(1L).getAs[Double]("prk") == 0.0 && r(2L).getAs[Double]("prk") == 0.0)
+    assert(r(2L).getAs[Double]("cd") == 0.4, "CUME_DIST counts rows <= value, not position")
+  }
+
   test("math function surface") {
     runs("""SELECT ABS(-price), ROUND(price, 1), CEIL(price), CEILING(price),
             FLOOR(price), SQRT(price), POWER(price, 2), POW(2, 3),

@@ -73,6 +73,37 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("conflicting case variants of one limit key are a statement error, not a lottery") {
+    val base = Resources.Limits()
+    // which variant wins depends on Map iteration order — the user who
+    // believes they tightened the limit must not silently run loose
+    val e = intercept[ParseException] {
+      Resources.Limits.fromProps(
+        Map("max_total_memory" -> "1000", "MAX_TOTAL_MEMORY" -> "999999999"), base)
+    }
+    assert(e.getMessage.contains("conflicting"))
+    // same value under two cases is harmless redundancy, not a conflict
+    val ok = Resources.Limits.fromProps(
+      Map("max_total_memory" -> "4096", "MAX_TOTAL_MEMORY" -> "4096"), base)
+    assert(ok.maxTotalMemory.contains(4096L))
+  }
+
+  test("the positive-limit invariant holds for PROGRAMMATIC Limits construction too") {
+    // fromProps guards parsed limits, but JobManager(defaultLimits = ...)
+    // takes a raw Limits — a nonpositive limit there would kill every
+    // monitored job on its first progress event while level() says OK
+    intercept[IllegalArgumentException] {
+      Resources.Limits(maxTotalMemory = Some(-1L))
+    }
+    intercept[IllegalArgumentException] {
+      Resources.Limits(maxProcessingTimePerRecordMs = Some(Double.PositiveInfinity))
+    }
+    intercept[IllegalArgumentException] {
+      Resources.Limits(warningPct = 0.99, criticalPct = 0.5) // warn above crit
+    }
+    assert(Resources.Limits(maxAggregationGroups = Some(1L)).maxAggregationGroups.contains(1L))
+  }
+
   test("Usage.observed takes the CURRENT limit — a removed limit must not linger as EXHAUSTED") {
     val u1 = Resources.Usage().observed(500.0, Some(1000.0))
     assert(u1.limit.contains(1000.0))

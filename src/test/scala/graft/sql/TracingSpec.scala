@@ -40,6 +40,18 @@ class TracingSpec extends AnyFunSuite with SparkTestSession {
     assert(tr.spans.isEmpty)
   }
 
+  test("a non-local return inside a span body records OK, not ERROR") {
+    val tr = new Tracer(clock = () => 1000L)
+    // the non-local `return` unwinds via NonLocalReturnControl — from
+    // the caller's point of view the body SUCCEEDED; recording ERROR
+    // would make SHOW TRACES report failures for healthy statements
+    def f(): Int = tr.span("work") { if (true) return 7; 0 }
+    assert(f() == 7)
+    val w = tr.spans.last
+    assert(w.name == "work" && w.status == "OK" && w.error == "",
+      s"control-flow throwable misrecorded: $w")
+  }
+
   test("a throwing clock does not corrupt the thread's span stack") {
     var boom = true
     val tr = new Tracer(clock = () => { if (boom) throw new IllegalStateException("clock"); 1000L })
