@@ -240,12 +240,24 @@ object StreamOps {
 
   /** Resolve the output directory + file format for a runner: a
     * declared sink path (INTO … — format by extension, the same rule
-    * as Serde.writeFileUri) or a fresh temp dir in parquet. */
+    * as Serde.writeFileUri) or a fresh temp dir in parquet.
+    *
+    * A REUSED declared sink is reset first. Every run here is a
+    * one-shot query on a FRESH temp checkpoint, so its batch ids
+    * restart at 0 — against a dir still holding a previous run's
+    * `_spark_metadata`, FileStreamSink would read batch 0 as already
+    * committed and silently write NOTHING (the caller then reads the
+    * previous run's rows believing they are this run's), and the
+    * changelog path would append recycled `_batch_id` values across
+    * generations, corrupting every latest-state row_number reader.
+    * Same hazard JobManager.clearSinkDir guards on the job path; a
+    * one-shot statement's declared sink holds THAT statement's output. */
   private def sinkOr(prefix: String, sinkPath: Option[String]): (String, String, Map[String, String]) =
     sinkPath match {
       case Some(p0) =>
         val p = p0.stripPrefix("file://")
         val (f, o) = graft.sources.Serde.fileFormat(p)
+        deleteRecursively(p)
         (p, f, o)
       case None => (tmp(prefix + "_out"), "parquet", Map.empty)
     }
