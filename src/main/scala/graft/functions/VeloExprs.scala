@@ -217,6 +217,29 @@ object VeloExprs {
           Literal(2.220446049250313e-16)))
       case (_: StringType, _: StringType) => ifEq(EqualTo(left, right))
       case (BooleanType, BooleanType) => ifEq(EqualTo(left, right))
+      case (l: ArrayType, r: ArrayType) if l == r && floaty(l.elementType) =>
+        // values_equal recurses element-wise (functions.rs:1690-1700):
+        // float ELEMENTS use the same absolute-epsilon compare as
+        // top-level floats, Null==Null is true (functions.rs:1681),
+        // and a length mismatch is false — so [0.1+0.2] vs [0.3] IS
+        // equal (→ NULL) where exact array equality would keep it.
+        // Built by hand as resolved lambdas: RuntimeReplaceable
+        // replacements materialize after lambda-variable resolution.
+        val a = NamedLambdaVariable("a", l.elementType, nullable = true)
+        val b = NamedLambdaVariable("b", l.elementType, nullable = true)
+        val pairEq = Or(
+          And(IsNull(a), IsNull(b)),
+          And(And(IsNotNull(a), IsNotNull(b)),
+            LessThan(Abs(Subtract(Cast(a, DoubleType), Cast(b, DoubleType))),
+              Literal(2.220446049250313e-16))))
+        val x = NamedLambdaVariable("x", BooleanType, nullable = false)
+        val allEq = ArrayForAll(
+          ZipWith(left, right, LambdaFunction(pairEq, Seq(a, b))),
+          LambdaFunction(x, Seq(x)))
+        // Size equality first: zip_with pads the shorter array with
+        // nulls, and a padded null against a null ELEMENT would read
+        // equal despite the length mismatch
+        ifEq(And(EqualTo(Size(left), Size(right)), allEq))
       case (l: ArrayType, r: ArrayType) if l == r => ifEq(EqualTo(left, right))
       case (l: StructType, r: StructType) if l == r => ifEq(EqualTo(left, right))
       case _ => left // no values_equal arm: never NULL

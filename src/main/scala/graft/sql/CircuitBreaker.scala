@@ -58,13 +58,24 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
     }
   }
 
-  /** A launch this breaker admitted is actually starting. In HALF_OPEN
-    * this marks the trial in flight — subsequent outcome reports are
-    * credited to it, and further launches are rejected until it
-    * resolves (success-threshold close, failure re-trip, or
-    * abandonTrial). */
-  def beginLaunch(): Unit = synchronized {
-    if (currentState == CircuitBreaker.HalfOpen) trialInFlight = true
+  /** Atomic check-and-claim admission. Returns false when a launch must
+    * be rejected (OPEN, or HALF_OPEN with the trial slot already
+    * taken); otherwise admits the launch — and in HALF_OPEN claims the
+    * single trial slot in the SAME synchronized step, so subsequent
+    * outcome reports are credited to it and further launches are
+    * rejected until it resolves (success-threshold close, failure
+    * re-trip, or abandonTrial). This replaces the former
+    * allowsLaunch-then-beginLaunch() pair, which was a TOCTOU: two
+    * threads could both read allowsLaunch=true in HALF_OPEN before
+    * either marked the trial, admitting two probes. */
+  def tryBeginLaunch(): Boolean = synchronized {
+    currentState match {
+      case CircuitBreaker.Open => false
+      case CircuitBreaker.HalfOpen =>
+        if (trialInFlight) false
+        else { trialInFlight = true; true }
+      case _ => true
+    }
   }
 
   /** The in-flight HALF_OPEN trial ended with NO health signal (e.g.

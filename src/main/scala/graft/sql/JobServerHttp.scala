@@ -150,12 +150,55 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           s""","metrics":$metricsJson,"resources":${resources.mkString("[", ",", "]")}"""))
     }
 
+  /** Bounded body read with an IN-PROCESS timeout. The JDK knobs set by
+    * ensureRequestTimeouts are read ONCE PER JVM, in
+    * sun.net.httpserver.ServerConfig's static initializer — if any
+    * HttpServer was created earlier in this JVM (first server wins),
+    * those properties are silently ignored, and they are a
+    * process-global mutation besides. So the slow-POST guard is ALSO
+    * enforced here: the read runs on a side pool with a hard wait, and
+    * on timeout the dispatch thread answers 408 and moves on — a client
+    * that opens a POST and never sends its body can park a disposable
+    * reader thread, never one of the four dispatch threads. */
+  private def readBodyBounded(ex: HttpExchange): Option[Array[Byte]] = {
+    val task = JobServerHttp.bodyReaders.submit(
+      new java.util.concurrent.Callable[Array[Byte]] {
+        def call(): Array[Byte] = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+      })
+    try Some(task.get(JobServerHttp.BodyReadTimeoutMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // respond + close on the side pool too: closing an exchange
+        // whose body never arrived can itself block in the JDK's
+        // drain-on-close, and that park must not land on a dispatch
+        // thread. The socket close then unblocks the stuck reader.
+        JobServerHttp.bodyReaders.submit(new Runnable {
+          def run(): Unit = {
+            try {
+              ex.getResponseHeaders.set("Connection", "close")
+              val msg = """{"error":"request body read timed out"}""".getBytes(UTF_8)
+              ex.sendResponseHeaders(408, msg.length)
+              ex.getResponseBody.write(msg)
+            } catch { case _: java.io.IOException => () }
+            finally { try ex.close() catch { case _: java.io.IOException => () } }
+          }
+        })
+        None
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
   private def deploy(ex: HttpExchange, name: String): Unit = {
     if (!name.matches("[A-Za-z0-9_]+")) { err(ex, 400, s"invalid job name: $name"); return }
     // bounded read: queries are short SQL strings, and an uncapped
     // readAllBytes buffers an arbitrary client body into the DRIVER
     // heap (which also hosts every running job) before any validation
-    val raw = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    val raw = readBodyBounded(ex) match {
+      case None => return // timed out — 408 already dispatched
+      case Some(b) => b
+    }
     if (raw.length > MaxBodyBytes) { err(ex, 413, s"body exceeds $MaxBodyBytes bytes"); return }
     val body = new String(raw, UTF_8)
     val query = jsonStringField(body, "query")
@@ -258,8 +301,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
 object JobServerHttp {
   /** See the instance-side comment: bound request-read and
     * response-write time for every HttpServer in this JVM. Idempotent;
-    * respects values the deployment already set. The JDK reads these
-    * once per server creation (sun.net.httpserver.ServerConfig). */
+    * respects values the deployment already set. LIMITATION: the JDK
+    * reads these once per JVM in ServerConfig's STATIC initializer —
+    * if any HttpServer was created earlier in the process, these sets
+    * are silently ignored (first server wins). readBodyBounded is the
+    * in-process guard that holds either way; this is best-effort
+    * defense in depth for the response-write side. */
   private def ensureRequestTimeouts(): Unit = synchronized {
     if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
       System.setProperty("sun.net.httpserver.maxReqTime", "30")   // seconds
@@ -274,6 +321,14 @@ object JobServerHttp {
   /** Request bodies carry short SQL strings; anything larger is a
     * client error, not a legitimate deploy. */
   private[sql] val MaxBodyBytes: Int = 1 << 20
+
+  private[sql] val BodyReadTimeoutMs: Long = 30000L
+
+  // side pool for in-process body-read timeouts (readBodyBounded):
+  // cached + daemon — a reader parked on a silent client lingers only
+  // until its socket dies, and never occupies a dispatch thread
+  private val bodyReaders = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-job-http-read"); t.setDaemon(true); t })
 
   // the ONE shared JSON text surface (graft.JsonOut) — these were
   // byte-for-byte twins of SchemaRegistryHttp's private helpers, and

@@ -706,13 +706,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   /** `newRecord`: v was just appended by record() for this launch (a
     * START/DEPLOY), as opposed to relaunching an entry that already ran
     * (rollback/resume/supervision restart). */
-  private def guardedLaunch(j: Job, v: Version, newRecord: Boolean = false): Unit =
+  private def guardedLaunch(j: Job, v: Version, newRecord: Boolean = false): Unit = {
+    // ATOMIC admission: check-and-claim in one breaker-synchronized
+    // step. In HALF_OPEN this claims the single trial slot, so async
+    // outcome reports are credited to THIS launch and stale reports
+    // from pre-trip launches are ignored (CircuitBreaker.trialInFlight).
+    // gateBreaker's earlier read is only the fail-fast UX path — two
+    // concurrent launches could both pass it, so the slot is claimed
+    // HERE, and a rejected admission is NOT a health failure.
+    if (!j.breaker.tryBeginLaunch()) throw breakerRejection(j)
     try {
-      // tell the breaker an admitted launch is actually starting: in
-      // HALF_OPEN this claims the single trial slot, so async outcome
-      // reports are credited to THIS launch and stale reports from
-      // pre-trip launches are ignored (CircuitBreaker.trialInFlight)
-      j.breaker.beginLaunch()
       launch(j, v)
       j.launchFailed = false
       // redeploying an existing version string REPLACES it in history —
@@ -737,20 +740,25 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         j.lastError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         throw e
     }
+  }
+
+  private def breakerRejection(j: Job): ParseException = {
+    val st = j.breaker.currentState
+    new ParseException(
+      if (st == CircuitBreaker.HalfOpen)
+        s"job ${j.name} circuit breaker is HALF_OPEN with a trial launch in " +
+          "flight; wait for the trial to resolve or reset the breaker"
+      else
+        s"job ${j.name} circuit breaker is OPEN after repeated failures; " +
+          s"retry in ${j.breaker.retryInMs} ms or reset it")
+  }
 
   /** Reject a launch while the job's breaker is OPEN — the fail-fast
-    * path that protects the cluster from a doomed restart loop. */
+    * UX path that rejects a statement before any stop/teardown work.
+    * Advisory only: the authoritative (atomic) admission is
+    * tryBeginLaunch() inside guardedLaunch. */
   private def gateBreaker(j: Job): Unit =
-    if (!j.breaker.allowsLaunch) {
-      val st = j.breaker.currentState
-      throw new ParseException(
-        if (st == CircuitBreaker.HalfOpen)
-          s"job ${j.name} circuit breaker is HALF_OPEN with a trial launch in " +
-            "flight; wait for the trial to resolve or reset the breaker"
-        else
-          s"job ${j.name} circuit breaker is OPEN after repeated failures; " +
-            s"retry in ${j.breaker.retryInMs} ms or reset it")
-    }
+    if (!j.breaker.allowsLaunch) throw breakerRejection(j)
 
   /** Stop the job's streaming query. Only the EXPECTED termination
     * exception is caught; whatever error actually killed the query is
@@ -828,12 +836,25 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       throw new ParseException(s"$verb JOB $name rejected: ${errors.mkString("; ")}")
   }
 
+  /** Legacy digest formula (MD5 of the statement's toString) used by
+    * builds before the injective canonical() rendering. Accepted as a
+    * FALLBACK match only: without it, the first restart over a durable
+    * root stamped by an earlier build would read a false mismatch,
+    * epoch-bump, and silently re-read the source from scratch — the
+    * exact re-read the offset-exact resume exists to prevent. New
+    * stamps are always written with the canonical fingerprint. */
+  private def legacyFingerprint(body: VeloStatement): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Does the recovered epoch's on-disk fingerprint stamp name `body`?
     * Meaningful only for a job with no in-process history whose epoch
     * was recovered from a durable root — a missing/unreadable stamp
     * reads false (fresh epoch, never foreign offsets). */
-  private def recoveredBodyMatches(j: Job, body: VeloStatement): Boolean =
-    readMeta(s"${j.root}/body-${j.epoch}.fp").contains(bodyFingerprint(body))
+  private def recoveredBodyMatches(j: Job, body: VeloStatement): Boolean = {
+    val stamp = readMeta(s"${j.root}/body-${j.epoch}.fp")
+    stamp.contains(bodyFingerprint(body)) || stamp.contains(legacyFingerprint(body))
+  }
 
   def start(name: String, body: VeloStatement, props: Map[String, String]): DataFrame = synchronized {
     // every gate runs BEFORE the job registers (deploy's ordering): a

@@ -212,6 +212,14 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case _ => None
   }
 
+  /** The stdout debug writer (reference: datasource/stdout_writer.rs —
+    * one JSON object per record). Driver-side BY DEFINITION — stdout IS
+    * the driver's console — but streamed partition-at-a-time via
+    * toLocalIterator, never a full collect: a debug surface pointed at
+    * a big result degrades to slow printing, not an OOM. */
+  private def printStdout(df: DataFrame): Unit =
+    df.toJSON.toLocalIterator().forEachRemaining(s => println(s))
+
   /** The ONE sink-path resolution chain (declared path/file, then the
     * statement's dotted props) — shared by streaming job sinks and
     * batch INTO writes so a new key (e.g. 'uri') cannot land in one
@@ -358,7 +366,14 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // then silently dropped at execution
       if (!df.isStreaming) intoTargets(q).foreach { case (into, props) =>
         into.foreach { sink =>
-          sinkFilePath(sink, props).foreach(p => graft.sources.Serde.writeFileUri(df, p))
+          sinkFilePath(sink, props) match {
+            case Some(p) => graft.sources.Serde.writeFileUri(df, p)
+            // the reference's debug sink (datasource/stdout_writer.rs:10):
+            // an undeclared `stdout` target prints JSON records instead
+            // of silently dropping the INTO
+            case None if sink.equalsIgnoreCase("stdout") => printStdout(df)
+            case None => ()
+          }
         }
       }
       df
@@ -460,6 +475,25 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           .foreach { p => graft.sources.Serde.writeFileUri(sinkDf, p) }
       }
       df
+
+    case InsertInto(table, cols, selOpt, values)
+        if table.equalsIgnoreCase("stdout") && !spark.catalog.tableExists(table) =>
+      // the reference's stdout debug sink (datasource/stdout_writer.rs:10
+      // — StdoutWriter renders each record as a JSON object; the server
+      // also falls back to it when a job declares no sink,
+      // server/processors/common.rs:1748). Addressed as the pseudo-table
+      // `stdout` unless a REAL table of that name exists (which then
+      // wins — never shadow user data with a debug sink).
+      val incoming: DataFrame = selOpt match {
+        case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol))
+        case None =>
+          val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
+          val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
+          spark.sql(s"SELECT * FROM VALUES $rowsSql AS t$colList")
+      }
+      val named = if (cols.nonEmpty) incoming.toDF(cols.toIndexedSeq: _*) else incoming
+      printStdout(named)
+      named
 
     case InsertInto(table, cols, selOpt, values) =>
       val existing = spark.table(table)

@@ -1240,6 +1240,8 @@ object VeloSqlParser {
             // rendering (accumulator.rs:294 field_value_to_string →
             // velo_str; NULLs are skipped, which listagg does natively).
             val (args, end) = callArgs(i + 1)
+            if (args.isEmpty || args.head.isEmpty)
+              throw new ParseException(s"$up expects (value[, separator])")
             out += id("listagg") += sym("(")
             val v0 = args(0)
             val (distinctKw, vExpr) =

@@ -238,28 +238,63 @@ object StreamOps {
     }
   }
 
-  /** Resolve the output directory + file format for a runner: a
+  /** Resolve the output directory + file format for a runner: for a
     * declared sink path (INTO … — format by extension, the same rule
-    * as Serde.writeFileUri) or a fresh temp dir in parquet.
+    * as Serde.writeFileUri) a fresh STAGING dir next to it; otherwise
+    * a fresh temp dir in parquet. Returns
+    * (writeDir, fmt, opts, declaredPath).
     *
-    * A REUSED declared sink is reset first. Every run here is a
-    * one-shot query on a FRESH temp checkpoint, so its batch ids
-    * restart at 0 — against a dir still holding a previous run's
-    * `_spark_metadata`, FileStreamSink would read batch 0 as already
-    * committed and silently write NOTHING (the caller then reads the
-    * previous run's rows believing they are this run's), and the
-    * changelog path would append recycled `_batch_id` values across
+    * A declared INTO sink holds exactly ONE statement's output. Every
+    * run here is a one-shot query on a FRESH temp checkpoint, so its
+    * batch ids restart at 0 — against a dir still holding a previous
+    * run's `_spark_metadata`, FileStreamSink would read batch 0 as
+    * already committed and silently write NOTHING (the caller then
+    * reads the previous run's rows believing they are this run's), and
+    * the changelog path would append recycled `_batch_id` values across
     * generations, corrupting every latest-state row_number reader.
-    * Same hazard JobManager.clearSinkDir guards on the job path; a
-    * one-shot statement's declared sink holds THAT statement's output. */
-  private def sinkOr(prefix: String, sinkPath: Option[String]): (String, String, Map[String, String]) =
+    * Same hazard JobManager.clearSinkDir guards on the job path.
+    *
+    * The reset is therefore a WHOLESALE REPLACE — but it is deferred to
+    * `publish`, AFTER the query ran to completion: the run writes into
+    * a staging dir on the same filesystem (publish is then a rename),
+    * so a statement that fails analysis or dies mid-run leaves the
+    * sink's previous contents untouched, and a statement that reads
+    * from the very path it writes keeps its input for the whole run. */
+  private def sinkOr(prefix: String, sinkPath: Option[String])
+      : (String, String, Map[String, String], Option[String]) =
     sinkPath match {
       case Some(p0) =>
         val p = p0.stripPrefix("file://")
         val (f, o) = graft.sources.Serde.fileFormat(p)
+        val parent = Option(new java.io.File(p).getAbsoluteFile.getParentFile)
+          .getOrElse(new java.io.File("/"))
+        java.nio.file.Files.createDirectories(parent.toPath)
+        val stage = java.nio.file.Files
+          .createTempDirectory(parent.toPath, "." + new java.io.File(p).getName + ".staging")
+          .toString
+        (stage, f, o, Some(p))
+      case None => (tmp(prefix + "_out"), "parquet", Map.empty, None)
+    }
+
+  /** The destructive step of a declared sink, run only after success:
+    * replace the declared path with the finished staging dir (a
+    * same-filesystem rename — sinkOr staged next to the target).
+    * Returns the directory the caller should read from. */
+  private def publish(staging: String, declared: Option[String]): String =
+    declared match {
+      case None => staging
+      case Some(p) =>
+        // the FileStreamSink log records ABSOLUTE file paths — after the
+        // rename they'd point at the vanished staging dir and readers
+        // using MetadataLogFileIndex would see nothing. The published
+        // sink is a finished batch artifact, not a streaming-sink
+        // continuation (each run restarts on a fresh checkpoint), so the
+        // log carries no information the plain directory listing lacks.
+        deleteRecursively(new java.io.File(staging, "_spark_metadata").toString)
         deleteRecursively(p)
-        (p, f, o)
-      case None => (tmp(prefix + "_out"), "parquet", Map.empty)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(staging), java.nio.file.Paths.get(p))
+        p
     }
 
   /** EMIT FINAL production path: parquet FILE sink (append mode +
@@ -268,23 +303,30 @@ object StreamOps {
     * file-sink metadata. */
   def runToParquet(df: DataFrame, prefix: String = "graft_stream",
                    sinkPath: Option[String] = None): String = {
-    val (out, fmt, opts) = sinkOr(prefix, sinkPath)
+    val (out, fmt, opts, declared) = sinkOr(prefix, sinkPath)
     val ckpt = tmp(prefix + "_ckpt")
-    val q = df.writeStream
-      .outputMode(OutputMode.Append())
-      .format(fmt)
-      .options(opts)
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    // finally: a FAILING query (bad emit-mode routing, source gone)
-    // must still clean its checkpoint — awaitTermination throwing
-    // before the delete is how the per-run /tmp leak came back
-    try q.awaitTermination()
-    finally deleteRecursively(ckpt)
-    ensureReadable(df, out, fmt = fmt, opts = opts)
-    out
+    var ok = false
+    try {
+      val q = df.writeStream
+        .outputMode(OutputMode.Append())
+        .format(fmt)
+        .options(opts)
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ensureReadable(df, out, fmt = fmt, opts = opts)
+      ok = true
+      publish(out, declared)
+    } finally {
+      // a FAILING query (bad emit-mode routing, source gone) must still
+      // clean its checkpoint AND its staging dir — and must NOT touch
+      // the declared sink, whose previous contents stay exactly as they
+      // were (the swap in publish only runs on success)
+      deleteRecursively(ckpt)
+      if (!ok && declared.isDefined) deleteRecursively(out)
+    }
   }
 
   /** EMIT CHANGES production path: per-trigger changelog appended to
@@ -299,20 +341,26 @@ object StreamOps {
     // the wrong values
     require(!graft.operators.Cols.has(df, "_batch_id"),
       "input must not carry the reserved _batch_id changelog column")
-    val (out, fmt, opts) = sinkOr(prefix, sinkPath)
+    val (out, fmt, opts, declared) = sinkOr(prefix, sinkPath)
     val ckpt = tmp(prefix + "_ckpt")
-    val q = df.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("append").options(opts).format(fmt).save(out)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally deleteRecursively(ckpt)
-    ensureReadable(df, out, Seq("_batch_id" -> lit(0L)), fmt = fmt, opts = opts)
-    out
+    var ok = false
+    try {
+      val q = df.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").options(opts).format(fmt).save(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ensureReadable(df, out, Seq("_batch_id" -> lit(0L)), fmt = fmt, opts = opts)
+      ok = true
+      publish(out, declared)
+    } finally {
+      deleteRecursively(ckpt)
+      if (!ok && declared.isDefined) deleteRecursively(out)
+    }
   }
 }

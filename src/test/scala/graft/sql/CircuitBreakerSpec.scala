@@ -33,9 +33,9 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     now = 1000L
     assert(cb.currentState == CircuitBreaker.HalfOpen && cb.allowsLaunch)
 
-    // a failed trial (admitted via beginLaunch) re-opens AND restarts
-    // the recovery timer
-    cb.beginLaunch()
+    // a failed trial (admitted via tryBeginLaunch) re-opens AND
+    // restarts the recovery timer
+    assert(cb.tryBeginLaunch())
     cb.recordFailure()
     assert(cb.currentState == CircuitBreaker.Open)
     assert(cb.retryInMs == 1000L)
@@ -43,7 +43,7 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     // next window: two successes (successThreshold) of the trial close it
     now = 2000L
     assert(cb.currentState == CircuitBreaker.HalfOpen)
-    cb.beginLaunch()
+    assert(cb.tryBeginLaunch())
     cb.recordSuccess()
     assert(cb.currentState == CircuitBreaker.HalfOpen)
     cb.recordSuccess()
@@ -72,11 +72,11 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.currentState == CircuitBreaker.HalfOpen) // recovery reached
     // and the trial window starts with a clean failure counter: one
     // sub-threshold failure after the trial re-trip, then recovery again
-    cb.beginLaunch()
+    assert(cb.tryBeginLaunch())
     cb.recordFailure() // trial failed → OPEN again (trip resets counter)
     now = 2000L
     assert(cb.currentState == CircuitBreaker.HalfOpen)
-    cb.beginLaunch()
+    assert(cb.tryBeginLaunch())
     cb.recordSuccess()
     assert(cb.currentState == CircuitBreaker.Closed)
   }
@@ -103,7 +103,7 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.currentState == CircuitBreaker.HalfOpen,
       "stale successes closed the breaker without a trial")
     // a real trial still works end-to-end
-    cb.beginLaunch()
+    assert(cb.tryBeginLaunch())
     cb.recordSuccess(); cb.recordSuccess()
     assert(cb.currentState == CircuitBreaker.Closed)
   }
@@ -116,16 +116,44 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     cb.recordFailure()
     now = 1000L
     assert(cb.allowsLaunch)
-    cb.beginLaunch()
+    assert(cb.tryBeginLaunch())
     // while the trial is unresolved no second launch is admitted —
     // N concurrent launches of a doomed body is exactly the burn the
     // breaker exists to bound
     assert(!cb.allowsLaunch, "second concurrent HALF_OPEN probe admitted")
+    assert(!cb.tryBeginLaunch(), "second HALF_OPEN admission claimed the slot")
     // a trial that ends with no health signal (clean stop, no committed
     // batch) releases the slot instead of deadlocking behind a phantom
     cb.abandonTrial()
     assert(cb.allowsLaunch)
-    cb.beginLaunch()
+    assert(cb.tryBeginLaunch())
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.Closed)
+  }
+
+  test("concurrent HALF_OPEN admissions: exactly one wins the trial slot") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 1, recoveryTimeoutMs = 1000L, successThreshold = 1),
+      () => now)
+    cb.recordFailure()
+    now = 1000L // HALF_OPEN on next state read
+    // the old allowsLaunch-then-beginLaunch() pair was a TOCTOU: both
+    // racers could read allowsLaunch=true before either marked the
+    // trial. tryBeginLaunch is check-and-claim in one synchronized
+    // step — under a real thread race exactly one admission wins.
+    val threads = 16
+    val ready = new java.util.concurrent.CyclicBarrier(threads)
+    val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val racers = (1 to threads).map { _ =>
+      new Thread(() => {
+        ready.await()
+        if (cb.tryBeginLaunch()) admitted.incrementAndGet()
+      })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(admitted.get() == 1, s"${admitted.get()} concurrent HALF_OPEN probes admitted")
+    // the winning trial resolves normally
     cb.recordSuccess()
     assert(cb.currentState == CircuitBreaker.Closed)
   }

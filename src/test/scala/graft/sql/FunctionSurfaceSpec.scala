@@ -447,6 +447,23 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
       "String never equals Integer in values_equal")
   }
 
+  test("NULLIF on float arrays recurses element-wise with the epsilon compare (values_equal:1690)") {
+    val r = ctx.sql(
+      """SELECT NULLIF(ARRAY(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)),
+                       ARRAY(CAST(0.3 AS DOUBLE))) AS epsArr,
+         NULLIF(ARRAY(CAST(1.0 AS DOUBLE)), ARRAY(CAST(2.0 AS DOUBLE))) AS missArr,
+         NULLIF(ARRAY(CAST(1.0 AS DOUBLE)),
+                ARRAY(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS lenArr,
+         NULLIF(ARRAY(CAST(NULL AS DOUBLE)), ARRAY(CAST(NULL AS DOUBLE))) AS nullArr
+         FROM t WHERE id = 1""").collect().head
+    assert(r.get(r.fieldIndex("epsArr")) == null,
+      "values_equal recurses into arrays — float ELEMENTS use the absolute-epsilon compare")
+    assert(r.get(r.fieldIndex("missArr")) != null)
+    assert(r.get(r.fieldIndex("lenArr")) != null, "length mismatch is never equal")
+    assert(r.get(r.fieldIndex("nullArr")) == null,
+      "Null==Null is true inside array recursion (values_equal:1681)")
+  }
+
   test("HEADER_KEYS is a comma-joined string; SET_HEADER stringifies values (functions.rs:375,2613)") {
     val r2 = ctx.sql(
       """SELECT HEADER_KEYS() AS hk, SET_HEADER('n', price) AS h,

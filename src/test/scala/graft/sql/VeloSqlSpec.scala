@@ -1108,6 +1108,31 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq(1L, 2L))
   }
 
+  test("stdout debug sink: INSERT INTO stdout and bare INTO stdout print JSON records") {
+    // the reference's StdoutWriter (datasource/stdout_writer.rs:10) —
+    // addressed as the pseudo-table / pseudo-sink `stdout`
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      ctx.sql("INSERT INTO stdout SELECT order_id, status FROM orders WHERE order_id = 1")
+      ctx.sql("SELECT order_id FROM orders WHERE order_id = 2 INTO stdout")
+    }
+    val printed = buf.toString("UTF-8")
+    assert(printed.contains("\"order_id\":1") && printed.contains("\"status\":\"pending\""),
+      printed)
+    assert(printed.contains("\"order_id\":2"), printed)
+    // a REAL table named stdout wins over the debug sink
+    ctx.sql("CREATE TABLE stdout AS SELECT order_id FROM orders WHERE order_id = 3")
+    ctx.sql("INSERT INTO stdout VALUES (9)")
+    assert(spark.table("stdout").count() == 2)
+    spark.catalog.dropTempView("stdout")
+  }
+
+  test("zero-argument COLLECT/STRING_AGG is a parse error, not an internal crash") {
+    val e = intercept[VeloSqlParser.ParseException](
+      ctx.sql("SELECT COLLECT() FROM orders"))
+    assert(e.getMessage.contains("expects"), e.getMessage)
+  }
+
   test("retention accepts the dialect's full duration grammar and rejects garbage loudly") {
     assert(VeloContext.durationSeconds("7d").contains(7L * 86400))
     assert(VeloContext.durationSeconds("1 week").contains(604800L))

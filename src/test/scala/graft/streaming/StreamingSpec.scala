@@ -248,6 +248,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a declared sink survives a FAILED run; a successful run replaces it wholesale") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val sink = s"$dir/swap_out"
+    // generation 1: a successful run populates the declared sink
+    val in1 = MemoryStream[Long]
+    in1.addData(Seq(1L, 2L))
+    assert(StreamOps.runToParquet(in1.toDF().toDF("v"), sinkPath = Some(sink)) == sink)
+    assert(spark.read.parquet(sink).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a run that dies mid-stream leaves the previous contents EXACTLY
+    // as they were: the destructive swap is deferred until success
+    // (before the staging fix, the sink was wiped BEFORE the run — a
+    // failing statement destroyed the old output and wrote nothing)
+    val in2 = MemoryStream[Long]
+    in2.addData(Seq(-1L))
+    val doomed = in2.toDF().toDF("v").selectExpr("v", "assert_true(v > 0) AS chk")
+    intercept[Exception](StreamOps.runToParquet(doomed, sinkPath = Some(sink)))
+    assert(spark.read.parquet(sink).select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "failed run must not touch the declared sink")
+    // and the failure cleaned its staging dir — no litter next to the sink
+    val litter = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.contains("staging"))
+    assert(litter.isEmpty, litter.mkString(","))
+    // generation 2 REPLACES generation 1 (batch ids restart per run, so
+    // merging generations would corrupt _spark_metadata readers)
+    val in3 = MemoryStream[Long]
+    in3.addData(Seq(7L))
+    StreamOps.runToParquet(in3.toDF().toDF("v"), sinkPath = Some(sink))
+    assert(spark.read.parquet(sink).as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("session streaming: merged session windows via session_window") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
