@@ -118,7 +118,8 @@ object AnnRecall {
       val approxPlanted = canonPairs(
         Similarity.embeddingNearDupPairsLsh(augmented, "vec_id", "embedding",
           dim = Q58Config.dim, minCos = Q58Config.minCos,
-          numBands = Q58Config.numBands, bandBits = Q58Config.bandBits))
+          numBands = Q58Config.numBands, bandBits = Q58Config.bandBits,
+          probeBits = Q58Config.probeBits))
       val nPlanted = plantedTier.count()
       val hitPlanted = approxPlanted.join(plantedTier, Seq("pa", "pb")).count()
       // floors sit ~0.1 under the minimum measured across sf0.001/0.01/
@@ -140,8 +141,14 @@ object AnnRecall {
         topk("q75_ann_ivfpq", floor = 0.8),
         Entry("q58_embed_dedup_lsh",
           if (nPlanted == 0) 0.0 else hitPlanted.toDouble / nPlanted, 0.95, nPlanted),
+        // the BROAD tier (all exact pairs at the shipped minCos=0.3) is
+        // the production-meaning recall. r11's Hamming-1 band
+        // multi-probe lifted it 0.407 → 0.94-0.95 measured across
+        // sf0.001/0.01/0.1; floor 0.85 per the ~0.1-under-minimum
+        // convention — losing the probe ring (exact bands measure ~0.4)
+        // trips it, corpus-to-corpus variance does not
         Entry("q58_embed_dedup_lsh_all",
-          if (nAll == 0) 1.0 else hitAll.toDouble / nAll, 0.0, nAll))
+          if (nAll == 0) 1.0 else hitAll.toDouble / nAll, 0.85, nAll))
     } finally {
       exact.unpersist()
       approx58.unpersist()

@@ -23,6 +23,10 @@ object SparkEntry {
     val minCos = 0.3
     val numBands = 10
     val bandBits = 6
+    // Hamming-1 band multi-probe: at this BROAD threshold exact bands
+    // find only ~0.4 of true pairs (r10); probing each band's
+    // single-bit flips lifts the measured broad recall to ~0.9
+    val probeBits = 1
   }
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
@@ -927,7 +931,8 @@ object SparkEntry {
     "q58_embed_dedup_lsh" -> ((s, dir) => {
       Similarity.embeddingNearDupPairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
           dim = Q58Config.dim, minCos = Q58Config.minCos,
-          numBands = Q58Config.numBands, bandBits = Q58Config.bandBits)
+          numBands = Q58Config.numBands, bandBits = Q58Config.bandBits,
+          probeBits = Q58Config.probeBits)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 

@@ -429,60 +429,102 @@ object Similarity {
     topKPerQuery(deduped, k)
   }
 
-  /** LSH near-duplicate pairs for HIGH thresholds (minCos ≥ ~0.9, where
-    * sign-sketch band recall is near 1): banded buckets, hot buckets
-    * capped at maxBucket (dropped — at near-dup thresholds an over-full
-    * bucket is a boilerplate cluster; the exact grid join is the
-    * recall-1 fallback), pairs generated only within buckets via a
-    * capped band-bucket SELF-JOIN — every stage is a codegen'd
-    * join/agg, no collect_list rows holding whole buckets, no
-    * interpreted per-bucket expansion (same shape as Dedup.minhashLsh).
+  /** LSH near-duplicate pairs: sign-sketch banding with (by default)
+    * Hamming-1 band MULTI-PROBE, a capped slim band-bucket join, and an
+    * exact-cosine verify once per unique candidate pair.
     *
-    * A pair co-occurring in several bands is emitted once: cosine is
-    * computed IN the join row (where both vectors are present — the
-    * vectors never shuffle; at dim=1024 that's 8 KB/row saved), and the
-    * slim (id_a, id_b, cos) rows dedup on the pair key. NOTE a pure
-    * "emit only from the first sketch-matching band" filter — tempting,
-    * it would drop the dedup exchange entirely — is UNSOUND under the
-    * bucket cap: a pair whose first matching band lies in a capped
-    * bucket has no join row AT that band, so every surviving row fails
-    * the filter and the pair vanishes. Capped buckets are exactly the
-    * boilerplate clusters near-dups concentrate in, so the lost pairs
-    * would be the skew hot-spots, invisible to uniform-corpus recall
-    * tests (r5 review finding).
+    * RECALL GEOMETRY: a band of `bandBits` hyperplane bits matches with
+    * probability p^bandBits where p = 1 − θ/π. At near-dup thresholds
+    * (cos ≥ 0.9, p ≈ 0.86) ten 6-bit bands reach ~0.99 — but at a BROAD
+    * threshold like cos ≥ 0.3 (p ≈ 0.60, p⁶ ≈ 0.045) the same bands
+    * find only ~0.37 of true pairs (r10's measured 0.407). Probing each
+    * band's single-bit-flip neighbors lifts the per-band hit rate to
+    * p⁶ + 6·p⁵(1−p) (≈0.23 at cos 0.3) → ~0.93 over ten bands — the
+    * same Hamming-probe trick that took lshTopK's recall 0.10 → 1.00
+    * (q28, r8). `probeBits = 0` restores exact-band matching.
+    *
+    * SCALE SHAPE: the band join moves only slim (band, chunk, id) rows
+    * — a probe fan-out of (1 + bandBits) entries per band costs ~16
+    * bytes each, NOT a vector copy (at dim=1024 a vector is 4 KB; the
+    * old plan shuffled one per band entry). Candidate pairs dedup on
+    * the slim pair key FIRST, then exactly two hash joins fetch the
+    * vectors and the cosine verify runs once per unique pair. Hot
+    * buckets above `maxBucket` are dropped from the INDEX side (at
+    * near-dup thresholds an over-full bucket is a boilerplate cluster;
+    * the exact grid join is the recall-1 fallback) — every stage is a
+    * codegen'd join/agg, no collect_list rows holding whole buckets
+    * (same shape as Dedup.minhashLsh).
+    *
+    * NOTE a pure "emit only from the first sketch-matching band" filter
+    * — tempting, it would drop the pair-dedup exchange entirely — is
+    * UNSOUND under the bucket cap: a pair whose first matching band
+    * lies in a capped bucket has no join row AT that band, so every
+    * surviving row fails the filter and the pair vanishes. Capped
+    * buckets are exactly the boilerplate clusters near-dups concentrate
+    * in, so the lost pairs would be the skew hot-spots, invisible to
+    * uniform-corpus recall tests (r5 review finding).
     */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                dim: Int, minCos: Double = 0.9,
                                numBands: Int = 10, bandBits: Int = 6,
-                               maxBucket: Int = 1024): DataFrame = {
+                               maxBucket: Int = 1024,
+                               probeBits: Int = 1): DataFrame = {
     val numBits = numBands * bandBits
     require(numBits <= 64,
       s"sign sketch is a single long: numBands*bandBits must be <= 64, got $numBits")
     // < 64: (1L << 64) wraps to 1, mask 0, every chunk → bucket 0
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits supports 0 (exact bands) or 1 (Hamming-1 multi-probe), got $probeBits")
     val mask = (1L << bandBits) - 1
-    // persisted: the banded frame feeds bucket counts AND both self-join
-    // sides — uncached, the sketch pass (and the vector scan under it)
-    // runs once per consumer over the full corpus
+    // persisted: the sketch pass (and the vector scan under it) feeds
+    // the index side, the probe side, and both vector-fetch joins
     val sk = embedSkCache(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signSketch(col(vecCol), numBits, dim).as("sk")))
-    val banded = sk.select(col("id"), col("v"),
+    def bandChunk(b: Int): Column = shiftright(col("sk"), b * bandBits).bitwiseAND(mask)
+    // index side: one EXACT chunk per band — slim (id, band, chunk)
+    val indexed = sk.select(col("id"),
       explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sk"), b * bandBits).bitwiseAND(mask).as("chunk"))): _*)).as("bc"))
-      .select(col("id"), col("v"), col("bc.band"), col("bc.chunk"))
-    val counts = banded.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
-    val capped = banded.join(counts.where(col("_bn").between(2, maxBucket)), Seq("band", "chunk"))
+        struct(lit(b).as("band"), bandChunk(b).as("chunk"))): _*)).as("bc"))
+      .select(col("id"), col("bc.band"), col("bc.chunk"))
+    val counts = indexed.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
+    // without probing a 1-row bucket can never pair (lower bound 2, as
+    // before); WITH probing a neighbor's probe can reach it, so it stays
+    val lower = if (probeBits == 0) 2 else 1
+    val idx = indexed
+      .join(counts.where(col("_bn").between(lower, maxBucket)), Seq("band", "chunk"))
       .drop("_bn")
-    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("va"))
-    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    // probe side: the exact chunk plus (probeBits = 1) each single-bit
+    // flip — the Hamming-1 neighborhood within the band
+    val probed =
+      if (probeBits == 0) indexed
+      else sk.select(col("id"),
+        explode(flatten(array((0 until numBands).map { b =>
+          val base = bandChunk(b)
+          array((-1 until bandBits).map { bit =>
+            val c = if (bit < 0) base else base.bitwiseXOR(lit(1L << bit))
+            struct(lit(b).as("band"), c.as("chunk"))
+          }: _*)
+        }: _*))).as("bc"))
+        .select(col("id"), col("bc.band"), col("bc.chunk"))
+    // the probe→index join is ASYMMETRIC (a pair can surface with only
+    // one endpoint's bucket uncapped), so pairs canonicalize via
+    // least/greatest rather than an id_a < id_b filter that would keep
+    // or drop them by id order
+    val cand = probed.select(col("band"), col("chunk"), col("id").as("pid"))
+      .join(idx.select(col("band"), col("chunk"), col("id").as("iid")), Seq("band", "chunk"))
+      .where(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+              greatest(col("pid"), col("iid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // verify: two hash joins fetch each unique pair's vectors, cosine
+    // runs once per pair — vector bytes move O(pairs), never O(probes)
+    cand
+      .join(sk.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= minCos)
-      // score computed pre-exchange: only (id_a, id_b, cos) shuffles here
       .select(col("id_a"), col("id_b"), col("cos"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- Product quantization (PQ) — the MEMORY-scale ANN path. At

@@ -122,9 +122,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .filter(p => cos(vecs(p._1), vecs(p._2)) >= minCos)
     assert(expected.nonEmpty, "oracle found no surviving pairs — corpus too uniform for the test")
     val got = Similarity.embeddingNearDupPairsLsh(skewed, "vec_id", "embedding",
-      dim, minCos = minCos, numBands = numBands, bandBits = bandBits, maxBucket = maxBucket)
+      dim, minCos = minCos, numBands = numBands, bandBits = bandBits, maxBucket = maxBucket,
+      probeBits = 0) // exact-band path pinned here; probing has its own oracle below
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"missing: ${(expected -- got).take(5)} extra: ${(got -- expected).take(5)}")
+
+    // ---- Hamming-1 multi-probe oracle on the SAME skewed corpus:
+    // index side = exact buckets within the cap (size ≥ 1 — a 1-row
+    // bucket is reachable by a neighbor's probe), probe side = exact
+    // chunk plus each single-bit flip; a pair is a candidate when ANY
+    // probe of one endpoint lands in the other's surviving bucket ----
+    val idxBuckets: Map[(Int, Long), Seq[Long]] =
+      buckets.filter { case (_, ids) => ids.size <= maxBucket }
+    val expectedProbe: Set[(Long, Long)] = sk.keys.toSeq.flatMap { id =>
+      (0 until numBands).flatMap { b =>
+        val base = (sk(id) >> (b * bandBits)) & mask
+        val probes = base +: (0 until bandBits).map(bit => base ^ (1L << bit))
+        probes.flatMap(c => idxBuckets.getOrElse((b, c), Seq.empty))
+          .filter(_ != id)
+          .map(other => (math.min(id, other), math.max(id, other)))
+      }
+    }.toSet.filter(p => cos(vecs(p._1), vecs(p._2)) >= minCos)
+    val gotProbe = Similarity.embeddingNearDupPairsLsh(skewed, "vec_id", "embedding",
+      dim, minCos = minCos, numBands = numBands, bandBits = bandBits, maxBucket = maxBucket,
+      probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotProbe == expectedProbe,
+      s"missing: ${(expectedProbe -- gotProbe).take(5)} extra: ${(gotProbe -- expectedProbe).take(5)}")
+    // probing only ADDS candidates over the exact-band path
+    assert(expected.subsetOf(expectedProbe))
   }
 
   test("IVF top-k: planted near-dups recovered at rank 1, scores exact") {
