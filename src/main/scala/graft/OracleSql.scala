@@ -6,7 +6,14 @@ package graft
   * DECIMAL(18,4) casts then CAST AS DOUBLE; timestamps surfaced as
   * epoch-second BIGINTs via the flooring `epochS`/`bucketS` helpers
   * (DuckDB's bare `//` truncates toward zero and would diverge from
-  * Spark's floorDiv on pre-1970 values); float stats ROUND(x,4);
+  * Spark's floorDiv on pre-1970 values). The ENGINE side upholds the
+  * matching convention: every epoch surface goes through cast-to-long
+  * (floorDiv on micros, SparkEntry.epochS) — never unix_timestamp,
+  * whose toward-zero truncation is one second off on pre-1970
+  * fractional timestamps (r11 audit removed the last four truncating
+  * surfaces: q34/q43/q44/q55; the one deliberate exception is Spark's
+  * internal WATERMARK, which ms-TRUNCATES, mirrored as epoch_ms-based
+  * micro compares in q34/q44/q54). Float stats ROUND(x,4);
   * integer modulo via the `pmod` helper (DuckDB's `%` keeps the
   * dividend's sign, Spark-side partition/salt/seed math floors);
   * DuckDB regexp_replace
@@ -53,17 +60,51 @@ object OracleSql {
     * epochs). */
   private def pmod(e: String, m: Long): String = s"((($e) % $m) + $m) % $m"
 
-  /** floor(epoch_ms/1000): BIGINT epoch seconds == Spark's
-    * cast(ts AS LONG) / unix_timestamp flooring. */
+  /** floor(epoch_us/1e6): BIGINT epoch seconds == Spark's
+    * cast(ts AS LONG) flooring (floorDiv on MICROS). Built on epoch_us,
+    * not epoch_ms: epoch_ms itself truncates the sub-millisecond part
+    * toward zero, so flooring the ms value still reads one second high
+    * for a negative timestamp with a non-zero sub-ms fraction
+    * (t = -10.000001 s: floor(trunc_ms/1000) = -10, floorDiv micros
+    * = -11) — the us-based floor matches the engine exactly. */
   private def epochS(ts: String): String =
-    s"((epoch_ms($ts) - ${pmod(s"epoch_ms($ts)", 1000L)}) // 1000)"
+    s"((epoch_us($ts) - ${pmod(s"epoch_us($ts)", 1000000L)}) // 1000000)"
+
+  /** floor(epoch_us/1000): BIGINT epoch MILLIS == Spark's
+    * unix_millis (floorDiv on micros) — q42's `_timestamp` system
+    * column. DuckDB's epoch_ms truncates toward zero instead. */
+  private def epochMsFloor(ts: String): String =
+    s"((epoch_us($ts) - ${pmod(s"epoch_us($ts)", 1000L)}) // 1000)"
 
   /** floor(epoch_s / step) * step — the oracle twin of
-    * TimeWindows.epochBucket (epoch-aligned bucket start, seconds). */
+    * TimeWindows.epochBucket (epoch-aligned bucket start, seconds).
+    * us-based for the same sub-millisecond reason as epochS. */
   private def bucketS(ts: String, stepSeconds: Long): String = {
-    val ms = stepSeconds * 1000L
-    s"((epoch_ms($ts) - ${pmod(s"epoch_ms($ts)", ms)}) // 1000)"
+    val us = stepSeconds * 1000000L
+    s"((epoch_us($ts) - ${pmod(s"epoch_us($ts)", us)}) // 1000000)"
   }
+
+  /** Cosine with the engine's corrupt-row edges (GraftKernels.cosine):
+    * empty / length-mismatched / null-element vectors, zero norms, and
+    * non-finite quotients all pin to 0.0. ONE copy shared by q27 and
+    * q38 — a verbatim duplicate would silently drift on a future edge
+    * fix (the shinglesOf/closureCtes convention). Emits the
+    * dot/na/nb/corrupt select fragment; pair with [[cosineCase]]. */
+  private def cosineCols(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+       list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb,
+       (len($a) = 0 OR len($a) <> len($b)
+        OR len(list_filter($a, x -> x IS NULL)) > 0
+        OR len(list_filter($b, x -> x IS NULL)) > 0) AS corrupt"""
+
+  /** The 0.0-pinning score CASE over cosineCols' dot/na/nb/corrupt. */
+  private val cosineCase: String =
+    """CASE WHEN corrupt THEN 0.0
+       WHEN na = 0 OR nb = 0 THEN 0.0
+       WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
+       ELSE dot / (sqrt(na) * sqrt(nb)) END"""
 
   /** SQL string-list literal for a stopword list — single quotes in a
     * word (French elisions like "l'") must escape, or the generated
@@ -413,24 +454,14 @@ object OracleSql {
     // and list_sum SKIPS null elements, which would silently score a
     // partial cosine where the kernel pins the corrupt row to 0.0)
     "q27_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          dotn AS (
            SELECT query_id, neighbor_id,
-             list_sum(list_transform(list_zip(qv, cv),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
-             list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-             list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb,
-             (len(qv) = 0 OR len(qv) <> len(cv)
-              OR len(list_filter(qv, x -> x IS NULL)) > 0
-              OR len(list_filter(cv, x -> x IS NULL)) > 0) AS corrupt
+             ${cosineCols("qv", "cv")}
            FROM q, c WHERE neighbor_id <> query_id),
          scored AS (
-           SELECT query_id, neighbor_id,
-             CASE WHEN corrupt THEN 0.0
-                  WHEN na = 0 OR nb = 0 THEN 0.0
-                  WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
-                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+           SELECT query_id, neighbor_id, $cosineCase AS cos
            FROM dotn),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
@@ -650,7 +681,8 @@ object OracleSql {
                  GREATEST(COALESCE(n_chars, 0), 0) AS w,
                  ${pmod("doc_id", 32)} AS salt FROM documents),
          c AS (SELECT doc_id, n_chars, w, salt,
-                 SUM(w) OVER (PARTITION BY salt ORDER BY doc_id
+                 SUM(w) OVER (PARTITION BY salt
+                   ORDER BY doc_id, COALESCE(n_chars, 0)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
          a AS (SELECT doc_id, n_chars,
                  CAST(salt * 1099511627776 + FLOOR(CAST(cum - w AS DOUBLE) / 20000) AS BIGINT) AS shard_id
@@ -712,15 +744,19 @@ object OracleSql {
     // input is one micro-batch (nothing is ever late), so the append-
     // mode file sink holds exactly the batch tumbling windows whose end
     // has been passed by the final watermark = max(ts) - grace. The
-    // watermark is millisecond-truncated in Spark, window ends are
-    // integral seconds, so the seconds-level compare below is exact.
+    // watermark is millisecond-TRUNCATED in Spark (max event-time
+    // micros / 1000, a toward-zero Long division), so the threshold is
+    // compared in MICROS off epoch_ms — the same construction as q44;
+    // a flooring epochS(max) here would sit one second LOW for a
+    // pre-1970 sub-millisecond max(ts) and exclude a window the engine
+    // correctly emits (r11 oracle audit).
     "q34_tumbling_stream" ->
       s"""SELECT ${bucketS("ts", 300)} AS window_start, event_type,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2
-         HAVING ${bucketS("ts", 300)} + 300
-                <= (SELECT ${epochS("max(ts)")} - 600 FROM events)""",
+         HAVING (${bucketS("ts", 300)} + 300) * 1000000
+                <= (SELECT epoch_ms(max(ts))*1000 - 600000000 FROM events)""",
 
     // (q54_sql_stream aliases q34's oracle — see `sql` below: the two
     // queries compute the identical watermark-final windows, and a
@@ -790,23 +826,13 @@ object OracleSql {
     // null-element / zero-norm / non-finite → 0.0
     // (NaN >= 0.3 is TRUE under DuckDB's NaN ordering — phantom pairs)
     "q38_embed_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          dotn AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
-             list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-             list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb,
-             (len(a.embedding) = 0 OR len(a.embedding) <> len(b.embedding)
-              OR len(list_filter(a.embedding, x -> x IS NULL)) > 0
-              OR len(list_filter(b.embedding, x -> x IS NULL)) > 0) AS corrupt
+             ${cosineCols("a.embedding", "b.embedding")}
            FROM e a JOIN e b ON a.vec_id < b.vec_id),
          p AS (
-           SELECT id_a, id_b,
-             CASE WHEN corrupt THEN 0.0
-                  WHEN na = 0 OR nb = 0 THEN 0.0
-                  WHEN NOT isfinite(dot / (sqrt(na) * sqrt(nb))) THEN 0.0
-                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+           SELECT id_a, id_b, $cosineCase AS cos
            FROM dotn)
          SELECT id_a, id_b, ROUND(cos, 4) AS cos
          FROM p WHERE cos >= 0.3""",
@@ -883,7 +909,7 @@ object OracleSql {
          FALSE AS region_removed,
          CAST(${pmod("user_id", 8)} AS INTEGER) AS _partition,
          event_id AS _offset,
-         epoch_ms(ts) AS _timestamp
+         ${epochMsFloor("ts")} AS _timestamp
          FROM events""",
 
     "q45_sql_agg" ->
@@ -891,11 +917,15 @@ object OracleSql {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
 
+    // WHERE ts IS NOT NULL: q46's engine path is the dialect's native
+    // Spark window(), whose TimeWindowing rule FILTERS null timestamps
+    // — unlike q5, whose TimeWindows.tumbling deliberately keeps the
+    // null group (and whose oracle rightly has no filter).
     "q46_sql_tumbling" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          ${bucketS("ts", 300)} AS window_start,
          ${bucketS("ts", 300)} + 300 AS window_end
-         FROM events GROUP BY 1, 3, 4""",
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 3, 4""",
 
     "q47_sql_sliding" ->
       s"""SELECT event_type, COUNT(*) AS n_events,

@@ -443,7 +443,7 @@ object SparkEntry {
         Seq("count(1)" -> "n", "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)" -> "total"))
       val out = graft.streaming.StreamOps.runToParquet(agg, "q34")
       s.read.parquet(out)
-        .select(unix_timestamp(col("window_start")).as("window_start"), col("event_type"), col("n"), col("total"))
+        .select(epochS(col("window_start")).as("window_start"), col("event_type"), col("n"), col("total"))
     }),
 
     // ---- 35. JSON functions ----
@@ -584,7 +584,7 @@ object SparkEntry {
     "q43_rows_buffer" -> ((s, dir) => {
       import s.implicits._
       val ev = T(s, dir, "events").select(
-        col("user_id").as("k"), unix_timestamp(col("ts")).as("ord"),
+        col("user_id").as("k"), epochS(col("ts")).as("ord"),
         col("event_id").as("id"), round(col("value") * 10000, 0).as("v"))
         .as[graft.streaming.StreamOps.BufEvent]
       graft.streaming.StreamOps.rowsBufferAgg(ev, 5).toDF()
@@ -603,8 +603,8 @@ object SparkEntry {
         Seq("user_id"), Seq("count(1)" -> "n_events"))
       val out = graft.streaming.StreamOps.runToParquet(agg, "q44")
       s.read.parquet(out).select(col("user_id"), col("n_events"),
-        unix_timestamp(col("session_start")).as("session_start"),
-        unix_timestamp(col("session_end")).as("session_end"))
+        epochS(col("session_start")).as("session_start"),
+        epochS(col("session_end")).as("session_end"))
     }),
 
     // ---- 45-51: velostream SQL DIALECT front-end — reference-grammar
@@ -770,7 +770,7 @@ object SparkEntry {
       val prev = o.select(col("o_custkey"), col("o_orderdate").as("prev_date"))
       Joins.asOf(o, prev, "o_custkey", "o_orderdate", "prev_date",
           toleranceSeconds = 365L * 86400L, leftId = "o_orderkey", strict = true)
-        .select(col("o_orderkey"), unix_timestamp(col("prev_date")).as("prev_epoch"))
+        .select(col("o_orderkey"), epochS(col("prev_date")).as("prev_epoch"))
     }),
 
     // ---- 61. Count-Min sketch heavy hitters (oracled: exact top-k

@@ -222,7 +222,12 @@ object VeloFunctions {
     * of the week is d + (3 - weekday(d)) days. */
   private def isoWeekYear(c: Column): Column =
     year(date_add(c.cast("date"), lit(3) - weekday(c.cast("date"))))
-  def veloUnixTimestamp(ts: Column): Column = unix_timestamp(ts)
+  // CAST, not Spark's unix_timestamp: the reference goes through
+  // chrono's timestamp() (functions.rs:2470 dt.and_utc().timestamp()),
+  // which is a EUCLIDEAN floor — cast-to-long is floorDiv on micros and
+  // matches it on pre-1970 fractional timestamps where unix_timestamp's
+  // truncation toward zero is off by one second (r11 oracle audit)
+  def veloUnixTimestamp(ts: Column): Column = ts.cast("long")
   // timestamp_seconds: direct arithmetic cast — to_timestamp(from_unixtime(..))
   // would pay a per-row format-then-parse string round-trip for the same value
   def veloFromUnixtime(epoch: Column): Column = timestamp_seconds(epoch)
@@ -231,7 +236,11 @@ object VeloFunctions {
     // size 0 would divide by zero → every row lands in one silent NULL
     // bucket (non-ANSI) or throws mid-job (ANSI); reject at plan build
     require(sizeSeconds >= 1, s"window size must be >= 1 second, got $sizeSeconds")
-    (floor(unix_timestamp(ts) / sizeSeconds) * sizeSeconds).cast("long")
+    // cast-to-long (floorDiv on micros), not unix_timestamp: the
+    // dialect parser's TUMBLE_START lowering already made this switch
+    // (VeloSqlParser) — this is the other copy, and a pre-1970
+    // fractional ts would bucket one second apart between the two
+    (floor(ts.cast("long") / sizeSeconds) * sizeSeconds).cast("long")
   }
   def tumbleEnd(ts: Column, sizeSeconds: Long): Column =
     tumbleStart(ts, sizeSeconds) + lit(sizeSeconds)

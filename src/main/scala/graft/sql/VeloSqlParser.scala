@@ -1428,6 +1428,23 @@ object VeloSqlParser {
             out ++= tsArg
             out += sym(",") += Tok(TString, s"'$g seconds'") += sym(")")
             i = end
+          case "UNIX_TIMESTAMP" if span.lift(i + 1).exists(_.text == "(") &&
+              callArgs(i + 1)._1.nonEmpty =>
+            // one-arg form: CAST-to-BIGINT (floorDiv on micros), not
+            // Spark's unix_timestamp — the reference goes through
+            // chrono's timestamp(), a euclidean FLOOR (functions.rs:
+            // 2470), so a pre-1970 fractional timestamp must read one
+            // second LOWER than toward-zero truncation would give.
+            // Zero-arg UNIX_TIMESTAMP() (current time) passes through:
+            // "now" is positive, truncate == floor.
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 1)
+              throw new ParseException("UNIX_TIMESTAMP expects () or (timestamp)")
+            out += id("CAST") += sym("(") += id("CAST") += sym("(")
+            out ++= rewriteTokens(args(0), defaultTimeCol)
+            out += id("AS") += id("TIMESTAMP") += sym(")")
+            out += id("AS") += id("BIGINT") += sym(")")
+            i = end
           case "TUMBLE_START" | "TUMBLE_END" =>
             val (args0, end) = callArgs(i + 1)
             val args = args0.map(rewriteTokens(_, defaultTimeCol))
@@ -1818,17 +1835,25 @@ object VeloSqlParser {
                   // unix_timestamp(INTERVAL …) — an analysis error
                   val rhsIsInterval =
                     minusIx > 0 && inner.lift(minusIx + 1).exists(_.isKw("INTERVAL"))
+                  // CAST, not unix_timestamp: the reference's EPOCH is
+                  // chrono timestamp() — a euclidean FLOOR (functions.rs
+                  // :1919) — and cast-to-long floors micros where
+                  // unix_timestamp truncates toward zero (pre-1970
+                  // fractional seconds read one second apart)
+                  def castLong(ts: Iterable[Tok]): Unit = {
+                    out += id("CAST") += sym("(")
+                    out ++= ts
+                    out += id("AS") += id("BIGINT") += sym(")")
+                  }
                   if (minusIx > 0 && !rhsIsInterval) {
                     // epoch of a timestamp difference, in seconds
-                    out += sym("(") += id("unix_timestamp") += sym("(")
-                    out ++= inner.take(minusIx)
-                    out += sym(")") += Tok(TSymbol, "-") += id("unix_timestamp") += sym("(")
-                    out ++= inner.drop(minusIx + 1)
-                    out += sym(")") += sym(")")
-                  } else {
-                    out += id("unix_timestamp") += sym("(")
-                    out ++= inner
+                    out += sym("(")
+                    castLong(inner.take(minusIx))
+                    out += Tok(TSymbol, "-")
+                    castLong(inner.drop(minusIx + 1))
                     out += sym(")")
+                  } else {
+                    castLong(inner)
                   }
                 case "DOW" =>
                   // 0=Sunday (postgres/duckdb convention, VeloFunctions.veloExtract)
@@ -2009,13 +2034,17 @@ object VeloSqlParser {
   def toSparkSql(s: SelectStmt, defaultTimeCol: String = "ts",
                  timeColOf: String => Option[String] = _ => None): String = {
     val sb = new StringBuilder(if (s.distinct) "SELECT DISTINCT " else "SELECT ")
+    // direct CAST (floorDiv on micros), not unix_timestamp(…): tumbling
+    // boundaries are integral seconds either way, but SESSION boundaries
+    // are raw event timestamps — a pre-1970 fractional session start
+    // would surface one second apart under truncation (r11 oracle audit)
     val winCols: Seq[String] = s.window match {
       case Some(_: Session) => Seq(
-        "CAST(unix_timestamp(session_window.start) AS BIGINT) AS window_start",
-        "CAST(unix_timestamp(session_window.end) AS BIGINT) AS window_end")
+        "CAST(session_window.start AS BIGINT) AS window_start",
+        "CAST(session_window.end AS BIGINT) AS window_end")
       case Some(_) => Seq(
-        "CAST(unix_timestamp(window.start) AS BIGINT) AS window_start",
-        "CAST(unix_timestamp(window.end) AS BIGINT) AS window_end")
+        "CAST(window.start AS BIGINT) AS window_start",
+        "CAST(window.end AS BIGINT) AS window_end")
       case None => Nil
     }
     sb.append((s.fields.map(render) ++ winCols).mkString(", "))

@@ -134,6 +134,32 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
             FROM_UNIXTIME(1700000000), UNIX_TIMESTAMP(event_time) FROM t""")
   }
 
+  test("epoch surfaces FLOOR pre-1970 fractional timestamps (chrono timestamp() parity)") {
+    // the reference's UNIX_TIMESTAMP / EXTRACT(EPOCH) go through
+    // chrono's timestamp() — a euclidean floor — so -0.5 s reads -1,
+    // where Spark's unix_timestamp truncates toward zero and reads 0
+    // (r11 oracle audit: four engine surfaces carried the truncating
+    // form and the oracle's flooring helpers would have tripped on the
+    // first pre-1970 fractional row)
+    val r = ctx.sql(
+      """SELECT UNIX_TIMESTAMP(CAST('1969-12-31 23:59:59.5' AS TIMESTAMP)) AS u,
+         EXTRACT(EPOCH FROM CAST('1969-12-31 23:59:59.5' AS TIMESTAMP)) AS e,
+         TUMBLE_START(CAST('1969-12-31 23:59:59.5' AS TIMESTAMP), INTERVAL '5' MINUTE) AS tb,
+         UNIX_TIMESTAMP() AS nowish
+         FROM t LIMIT 1""").collect().head
+    assert(r.getAs[Long]("u") == -1L, s"UNIX_TIMESTAMP truncated: ${r.getAs[Long]("u")}")
+    assert(r.getAs[Long]("e") == -1L, s"EXTRACT(EPOCH) truncated: ${r.getAs[Long]("e")}")
+    assert(r.getAs[Long]("tb") == -300L, s"TUMBLE_START bucketed late: ${r.getAs[Long]("tb")}")
+    assert(r.getAs[Long]("nowish") > 1700000000L) // zero-arg form still the current time
+    // the library-level helpers floor the same way
+    import graft.functions.VeloFunctions
+    import spark.implicits._
+    val df = Seq(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")).toDF("ts")
+    val h = df.select(VeloFunctions.veloUnixTimestamp(col("ts")).as("u"),
+      VeloFunctions.tumbleStart(col("ts"), 300L).as("tb")).collect().head
+    assert(h.getAs[Long]("u") == -1L && h.getAs[Long]("tb") == -300L)
+  }
+
   test("EXTRACT sub-second parts (functions.rs:1921-1923: the fraction, not postgres)") {
     // Spark's own extract() has no MILLISECOND/MICROSECOND/NANOSECOND —
     // the dialect must rewrite them, or a reference-valid statement
