@@ -36,10 +36,13 @@ import graft.operators.Similarity
   * shipped config measures 0.978–0.994 across sf0.001/0.01/0.1;
   * deliberate regressions measure 0.900–0.924 (numBands 10→5 and
   * bandBits 6→8, both SFs) — the floor demonstrably trips on either.
-  * `q58…_all` still records recall against ALL natural exact pairs
-  * ≥ 0.3 — informational (floor 0): a 10-band/6-bit hyperplane LSH is
-  * TUNED for high-cosine near-dups, and its theoretical collision rate
-  * at cos≈0.3 is ~0.4.
+  * `q58…_all` records recall against ALL natural exact pairs at the
+  * shipped threshold (Q58Config.minCos) — the production-meaning
+  * number, GATED at floor 0.85 since r11: exact 6-bit band matching at
+  * cos≈0.3 collides at only ~0.4 (r10's measured 0.407), and the
+  * Hamming-1 band multi-probe (Q58Config.probeBits) lifts the measured
+  * broad recall to 0.94–0.95 across sf0.001/0.01/0.1. Losing the probe
+  * ring trips this floor; corpus variance does not.
   */
 object AnnRecall {
 
@@ -57,9 +60,6 @@ object AnnRecall {
     * regressions. Deterministic (xxhash64 of (id, dim index)): the same
     * twins every round, so the measurement is comparable across rounds.
     */
-  private[graft] def twinsForProbe(bases: DataFrame, dim: Int): DataFrame =
-    withTwinVec(bases, dim)
-
   private def withTwinVec(bases: DataFrame, dim: Int): DataFrame =
     bases.select(col("vec_id"), col("embedding"),
       (col("vec_id") + lit(TwinOffset)).as("tid"),
@@ -87,11 +87,16 @@ object AnnRecall {
     }
 
     // exact near-dup pair set (distributed joins — the pair sets scale
-    // with the corpus, so nothing here lands on the driver)
+    // with the corpus, so nothing here lands on the driver). NO
+    // .distinct(): both producers already emit canonical, deduplicated
+    // pairs (exactCosineSelfJoin's block grid emits each id_a<id_b pair
+    // exactly once; embeddingNearDupPairsLsh least/greatest-canonicalizes
+    // and dropDuplicates on the pair key), so a distinct here would be a
+    // pure wasted full exchange over every corpus-scale pair set (r11
+    // review). The least/greatest rename is narrow and free.
     def canonPairs(df: DataFrame): DataFrame =
       df.select(least(col("id_a"), col("id_b")).as("pa"),
                 greatest(col("id_a"), col("id_b")).as("pb"))
-        .distinct()
 
     val exact = canonPairs(SparkEntry.queries("q38_embed_dedup")(spark, sfDir)).cache()
     val approx58 = canonPairs(SparkEntry.queries("q58_embed_dedup_lsh")(spark, sfDir)).cache()

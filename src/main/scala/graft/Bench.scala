@@ -192,10 +192,16 @@ object Bench {
       while (!best.clean && best.r.err.isEmpty && retries < maxRetries) {
         retries += 1
         val again = attempt(name)
-        // prefer a clean window — but never replace a successful timing
-        // with an erroring retry; among equals keep the faster run
-        if (again.r.err.isEmpty
-          && (again.clean || (!best.clean && again.r.sec < best.r.sec))) best = again
+        // stalls only ever ADD time, so the committed seconds are the
+        // MINIMUM — a clean-but-slower retry must not replace a faster
+        // flagged timing (it would inflate the artifact; r11 review).
+        // It does CONFIRM the flagged number (a clean window measured
+        // >= it), so its guard is adopted as the window verdict and
+        // the retry loop ends.
+        if (again.r.err.isEmpty) {
+          if (again.r.sec < best.r.sec) best = again
+          else if (again.clean) best = best.copy(guard = again.guard)
+        }
       }
       if (best.r.err.isEmpty && best.r.sec > minOf2Gate) {
         retries += 1
@@ -238,8 +244,13 @@ object Bench {
             val confirm = attempt(name)
             if (confirm.r.err.isEmpty && confirm.r.sec < again.r.sec) again = confirm
           }
-          if (again.r.err.isEmpty && (again.clean || again.r.sec < q.r.sec))
+          // same minimum rule as the first pass: adopt the retry's
+          // seconds only when faster; a clean-but-slower retry confirms
+          // the existing timing and clears only the window flag
+          if (again.r.err.isEmpty && again.r.sec < q.r.sec)
             name -> Q(again.r, again.guard, q.retries + extra)
+          else if (again.r.err.isEmpty && again.clean)
+            name -> Q(q.r, again.guard, q.retries + extra)
           else name -> Q(q.r, q.guard, q.retries + extra)
         } else name -> q
       }
@@ -333,8 +344,14 @@ object Bench {
     // Per-run evidence for the min-merge: totals + sentinel trace summary.
     // Compact enough for the stdout line (N is small), so a truncated
     // file artifact still shows whether any run saw a clean window.
-    val runsJson = runStats.zipWithIndex.map { case (s, i) =>
-      s"""{"run":${i + 1},"total":${sec3(s.total)},"sentinel_min":${sec3(s.sentinelMin)},"sentinel_med":${sec3(s.sentinelMed)},"sentinel_max":${sec3(s.sentinelMax)},"n_slow_windows":${s.nSlow}}"""
+    // Per-run slow counts are judged against the FINAL gate, not the
+    // gate as it stood at that run's end: a run executed entirely
+    // inside an ambient window keeps an inflated running-min baseline
+    // mid-run and would read n_slow_windows=0 exactly when the
+    // evidence matters (r11 review).
+    val runsJson = runStats.toSeq.zip(allRuns).zipWithIndex.map { case ((s, rs), i) =>
+      val slowFinal = rs.count(_._2.guard > slowGate)
+      s"""{"run":${i + 1},"total":${sec3(s.total)},"sentinel_min":${sec3(s.sentinelMin)},"sentinel_med":${sec3(s.sentinelMed)},"sentinel_max":${sec3(s.sentinelMax)},"n_slow_windows":$slowFinal}"""
     }.mkString("[", ",", "]")
     // stdout line stays COMPACT (rounded secs, no rows/error detail): the
     // driver only captures the last few KB of stdout, and a long line gets

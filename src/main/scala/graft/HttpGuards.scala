@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.HttpExchange
+
+/** Shared slow-client defenses for the JDK-native HTTP servers
+  * (JobServerHttp, SchemaRegistryServer). ONE copy: the registry server
+  * originally lacked every guard the job server had grown (unbounded
+  * untimed readAllBytes on its single dispatch thread — one stalled
+  * POST wedged the whole registry; r11 review), and a second hand-kept
+  * copy would drift the same way again.
+  */
+private[graft] object HttpGuards {
+
+  /** Bound request-read and response-write time for JDK HttpServers.
+    * Idempotent; respects values the deployment already set.
+    * LIMITATION: the JDK reads these once per JVM in
+    * sun.net.httpserver.ServerConfig's STATIC initializer — first
+    * server created wins — which is exactly why EVERY server in this
+    * codebase must call this BEFORE its HttpServer.create (a registry
+    * server starting first would otherwise silently disarm the job
+    * server's knobs). readBodyBounded is the in-process guard that
+    * holds either way; this is defense in depth for the response-write
+    * side. */
+  def ensureRequestTimeouts(): Unit = synchronized {
+    if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
+      System.setProperty("sun.net.httpserver.maxReqTime", "30")   // seconds
+    if (System.getProperty("sun.net.httpserver.maxRspTime") == null)
+      System.setProperty("sun.net.httpserver.maxRspTime", "120")
+  }
+
+  // side pool for in-process body-read timeouts: cached + daemon — a
+  // reader parked on a silent client lingers only until its socket
+  // dies, and never occupies a dispatch thread
+  private val bodyReaders = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-http-body-read"); t.setDaemon(true); t })
+
+  val DefaultBodyTimeoutMs: Long = 30000L
+
+  /** Bounded body read with an IN-PROCESS timeout: the read runs on the
+    * side pool with a hard wait, so a client that opens a POST and
+    * never sends its body can park a disposable reader thread, never a
+    * dispatch thread. Returns None on timeout, after answering 408 on
+    * the exchange.
+    *
+    * The timeout path deliberately does NOT call ex.close(): the JDK's
+    * close drains the remaining request body — a blocking read on a
+    * socket that never delivers — so closing from here would park a
+    * SECOND thread per slow connection (r11 review; the reader thread
+    * itself stays parked until the client's socket dies either way —
+    * that residual one-thread cost is why maxReqTime stays set as
+    * defense in depth). The 408 bytes are flushed explicitly so the
+    * client sees the rejection without the exchange completing. */
+  def readBodyBounded(ex: HttpExchange, maxBytes: Int,
+                      timeoutMs: Long = DefaultBodyTimeoutMs): Option[Array[Byte]] = {
+    val task = bodyReaders.submit(
+      new java.util.concurrent.Callable[Array[Byte]] {
+        def call(): Array[Byte] = ex.getRequestBody.readNBytes(maxBytes + 1)
+      })
+    try Some(task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        try {
+          ex.getResponseHeaders.set("Connection", "close")
+          val msg = """{"error":"request body read timed out"}""".getBytes(UTF_8)
+          ex.sendResponseHeaders(408, msg.length)
+          val os = ex.getResponseBody
+          os.write(msg)
+          os.flush()
+        } catch { case _: java.io.IOException => () }
+        None
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+}

@@ -480,7 +480,12 @@ object SparkEntry {
     //          near-dup thresholds; its recall is measured in
     //          SimilaritySpec ----
     "q38_embed_dedup" -> ((s, dir) => {
-      Similarity.exactCosineSelfJoin(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      // threshold = Q58Config.minCos, NOT a second literal: q38 is the
+      // exact recall-1 baseline the q58 broad-tier recall gate divides
+      // by — a drift between the two would silently measure q58 against
+      // the wrong pair universe (r11 review)
+      Similarity.exactCosineSelfJoin(T(s, dir, "embeddings"), "vec_id", "embedding",
+          Q58Config.minCos)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 

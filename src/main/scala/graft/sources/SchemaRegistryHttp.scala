@@ -42,6 +42,12 @@ object SchemaRegistryHttp {
 final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
   import SchemaRegistryHttp._
 
+  // BEFORE HttpServer.create: the JDK reads its request/response time
+  // bounds once per JVM, first server wins (graft.HttpGuards) — a
+  // registry server starting before the job server would otherwise
+  // silently disarm the job server's knobs too
+  graft.HttpGuards.ensureRequestTimeouts()
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -51,9 +57,23 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     val bytes = json.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/vnd.schemaregistry.v1+json")
     ex.sendResponseHeaders(status, bytes.length)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+    // finally-close (the JobServerHttp shape): a client disconnect
+    // mid-write would otherwise skip close() AND let the dispatch-level
+    // catch call sendResponseHeaders a second time ("headers already
+    // sent" masking the real error)
+    try ex.getResponseBody.write(bytes)
+    finally ex.close()
   }
+
+  /** Bounded, in-process-timed body read (graft.HttpGuards): this
+    * server runs on ONE dispatch thread, so a client that opens a POST
+    * and never sends its body would otherwise wedge the whole registry
+    * — every job launch pinning its reader schema hangs until restart —
+    * and an uncapped readAllBytes would buffer an arbitrary body into
+    * the driver heap before any validation (r11 review). Schemas are a
+    * few KB; 1 MiB is generous. */
+  private def readBody(ex: HttpExchange): Option[String] =
+    graft.HttpGuards.readBodyBounded(ex, 1 << 20).map(new String(_, UTF_8))
 
   private def notFound(ex: HttpExchange, code: Int, msg: String): Unit =
     respond(ex, 404, s"""{"error_code":$code,"message":${jstr(msg)}}""")
@@ -102,8 +122,9 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
           }
         }
 
-        case ("POST", "subjects" :: s :: "versions" :: Nil) =>
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        // readBody.foreach: a timed-out body (None — 408 already sent)
+        // simply ends the route
+        case ("POST", "subjects" :: s :: "versions" :: Nil) => readBody(ex).foreach { body =>
           if (!SchemaRegistry.isValidSubject(s))
             respond(ex, 422, s"""{"error_code":42201,"message":${jstr(s"invalid subject name: $s")}}""")
           else jsonStringField(body, "schema") match {
@@ -112,17 +133,18 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
               try respond(ex, 200, s"""{"version":${registry.register(s, schemaJson)}}""")
               catch {
                 case e: IllegalArgumentException =>
-                  respond(ex, 409, s"""{"error_code":409,"message":${jstr(e.getMessage)}}""")
+                  respond(ex, 409, s"""{"error_code":409,"message":${jstr(String.valueOf(e.getMessage))}}""")
                 // AvroRuntimeException, not just SchemaParseException:
                 // a structurally-valid schema with an illegal default
                 // throws AvroTypeException — same client error, same 422
                 case e: org.apache.avro.AvroRuntimeException =>
-                  respond(ex, 422, s"""{"error_code":42201,"message":${jstr(e.getMessage)}}""")
+                  respond(ex, 422, s"""{"error_code":42201,"message":${jstr(String.valueOf(e.getMessage))}}""")
               }
           }
+        }
 
         case ("POST", "compatibility" :: "subjects" :: s :: "versions" :: "latest" :: Nil) => subjectGuard(s) {
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          readBody(ex).foreach { body =>
           // schema-field check FIRST (nothing registry-side evaluated
           // until the request itself is well-formed)
           jsonStringField(body, "schema") match {
@@ -139,16 +161,21 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
                   respond(ex, 200, s"""{"is_compatible":$ok}""")
                 } catch {
                   case e: org.apache.avro.AvroRuntimeException =>
-                    respond(ex, 422, s"""{"error_code":42201,"message":${jstr(e.getMessage)}}""")
+                    respond(ex, 422, s"""{"error_code":42201,"message":${jstr(String.valueOf(e.getMessage))}}""")
                 }
             }
+          }
           }
         }
 
         case _ => notFound(ex, 40401, s"no route: ${ex.getRequestMethod} $path")
       }
     } catch {
-      case e: Exception => respond(ex, 500, s"""{"error_code":500,"message":${jstr(String.valueOf(e.getMessage))}}""")
+      // tolerate an already-committed response (write failed mid-body):
+      // the exchange is closed, there is nothing more to send
+      case e: Exception =>
+        try respond(ex, 500, s"""{"error_code":500,"message":${jstr(String.valueOf(e.getMessage))}}""")
+        catch { case _: java.io.IOException => }
     }
   })
   server.setExecutor(null)
@@ -212,7 +239,12 @@ final class SchemaRegistryClient(baseUrl: String) {
 
   def register(subject: String, schemaJson: String): Int = {
     val body = post(s"/subjects/$subject/versions", s"""{"schema":${jstr(schemaJson)}}""")
-    body.replaceAll("""[^0-9]""", "").toInt
+    // targeted field extraction, not digit-stripping over the whole
+    // body: a response that ever grows a second numeric field (an id,
+    // an echoed error_code) would otherwise concatenate into a garbage
+    // version and silently pin the wrong schema (r11 review)
+    "\"version\":(\\d+)".r.findFirstMatchIn(body)
+      .getOrElse(throw RegistryException(200, body)).group(1).toInt
   }
 
   def latest(subject: String): (Int, String) = parseSchemaPayload(

@@ -42,9 +42,11 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
   // that opens a POST and never sends its body parks a pool thread in
   // readNBytes forever — four such connections exhaust the fixed pool
   // and permanently black out /health and /metrics. These properties
-  // are the documented JDK knobs, read once at server creation; set
-  // only if the deployment hasn't chosen its own values.
-  JobServerHttp.ensureRequestTimeouts()
+  // are the documented JDK knobs, read once per JVM (first server
+  // wins — see graft.HttpGuards); set only if the deployment hasn't
+  // chosen its own values. In-process guards (readBodyBounded) are
+  // the defense that holds regardless.
+  graft.HttpGuards.ensureRequestTimeouts()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -112,14 +114,34 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       s""""warnings":${warnings.map(jstr).mkString("[", ",", "]")},"job_count":${rows.size}}"""
   }
 
+  /** Per-job metrics behind a short TTL cache: /jobs/{name} and
+    * /report are natural polling targets, but metricsDf's sink_rows is
+    * a full Spark scan of everything the job ever wrote — unbounded
+    * I/O per poll, growing with the sink, competing with the jobs
+    * themselves (r11 review). A dashboard polling every few seconds
+    * reads the cache; numbers refresh within MetricsTtlMs. */
+  private val metricsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Long, Long, Long)])]()
+
+  private def cachedMetrics(name: String): Option[(Long, Long, Long)] = {
+    val now = System.nanoTime()
+    Option(metricsCache.get(name))
+      .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L) match {
+      case Some((_, v)) => v
+      case None =>
+        val v = ctx.jobManager.metricsDf(Some(name)).collect().headOption.map(r =>
+          (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
+            r.getAs[Long]("sink_rows")))
+        metricsCache.put(name, (now, v))
+        v
+    }
+  }
+
   private def reportText(): String = {
     val rows = jobRows(None)
-    val metrics = ctx.jobManager.metricsDf(None).collect().toIndexedSeq
-      .map(r => r.getAs[String]("job_name") ->
-        (r.getAs[Long]("last_batch_id"), r.getAs[Long]("sink_rows"))).toMap
     val sb = new StringBuilder(s"graft multi-job server report — ${rows.size} job(s)\n")
     rows.foreach { j =>
-      val (batch, sunk) = metrics.getOrElse(j.name, (-1L, 0L))
+      val (batch, _, sunk) = cachedMetrics(j.name).getOrElse((-1L, 0L, 0L))
       sb.append(f"  ${j.name}%-24s ${j.status}%-8s v${j.version}%-8s " +
         f"breaker=${j.breaker}%-9s last_batch=$batch%-4d sink_rows=$sunk%d\n")
       if (j.error.nonEmpty) sb.append(s"    error: ${j.error}\n")
@@ -131,11 +153,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     jobRows(Some(name)).headOption match {
       case None => err(ex, 404, s"unknown job: $name")
       case Some(j) =>
-        val m = ctx.jobManager.metricsDf(Some(name)).collect().headOption
-        val metricsJson = m.map(r =>
-          s"""{"last_batch_id":${r.getAs[Long]("last_batch_id")},""" +
-            s""""last_batch_input_rows":${r.getAs[Long]("last_batch_input_rows")},""" +
-            s""""sink_rows":${r.getAs[Long]("sink_rows")}}""").getOrElse("null")
+        val metricsJson = cachedMetrics(name).map { case (batch, inRows, sunk) =>
+          s"""{"last_batch_id":$batch,""" +
+            s""""last_batch_input_rows":$inRows,""" +
+            s""""sink_rows":$sunk}""" }.getOrElse("null")
         // real job rows only, same rule as healthJson: resourceRows(name)
         // also returns the global '*' admission row, whose violations
         // counter is monotonic telemetry no job-scoped reset clears —
@@ -150,53 +171,16 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           s""","metrics":$metricsJson,"resources":${resources.mkString("[", ",", "]")}"""))
     }
 
-  /** Bounded body read with an IN-PROCESS timeout. The JDK knobs set by
-    * ensureRequestTimeouts are read ONCE PER JVM, in
-    * sun.net.httpserver.ServerConfig's static initializer — if any
-    * HttpServer was created earlier in this JVM (first server wins),
-    * those properties are silently ignored, and they are a
-    * process-global mutation besides. So the slow-POST guard is ALSO
-    * enforced here: the read runs on a side pool with a hard wait, and
-    * on timeout the dispatch thread answers 408 and moves on — a client
-    * that opens a POST and never sends its body can park a disposable
-    * reader thread, never one of the four dispatch threads. */
-  private def readBodyBounded(ex: HttpExchange): Option[Array[Byte]] = {
-    val task = JobServerHttp.bodyReaders.submit(
-      new java.util.concurrent.Callable[Array[Byte]] {
-        def call(): Array[Byte] = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
-      })
-    try Some(task.get(JobServerHttp.BodyReadTimeoutMs,
-      java.util.concurrent.TimeUnit.MILLISECONDS))
-    catch {
-      case _: java.util.concurrent.TimeoutException =>
-        // respond + close on the side pool too: closing an exchange
-        // whose body never arrived can itself block in the JDK's
-        // drain-on-close, and that park must not land on a dispatch
-        // thread. The socket close then unblocks the stuck reader.
-        JobServerHttp.bodyReaders.submit(new Runnable {
-          def run(): Unit = {
-            try {
-              ex.getResponseHeaders.set("Connection", "close")
-              val msg = """{"error":"request body read timed out"}""".getBytes(UTF_8)
-              ex.sendResponseHeaders(408, msg.length)
-              ex.getResponseBody.write(msg)
-            } catch { case _: java.io.IOException => () }
-            finally { try ex.close() catch { case _: java.io.IOException => () } }
-          }
-        })
-        None
-      case e: java.util.concurrent.ExecutionException =>
-        throw Option(e.getCause).getOrElse(e)
-    }
-  }
-
   private def deploy(ex: HttpExchange, name: String): Unit = {
     if (!name.matches("[A-Za-z0-9_]+")) { err(ex, 400, s"invalid job name: $name"); return }
-    // bounded read: queries are short SQL strings, and an uncapped
-    // readAllBytes buffers an arbitrary client body into the DRIVER
-    // heap (which also hosts every running job) before any validation
-    val raw = readBodyBounded(ex) match {
-      case None => return // timed out — 408 already dispatched
+    // bounded read with an in-process timeout (graft.HttpGuards — the
+    // JDK maxReqTime knob is first-server-wins per JVM, so it cannot be
+    // the only guard): queries are short SQL strings, and an uncapped
+    // readAllBytes would buffer an arbitrary client body into the
+    // DRIVER heap (which also hosts every running job), while an
+    // unbounded read would park a dispatch thread on a silent client
+    val raw = graft.HttpGuards.readBodyBounded(ex, MaxBodyBytes) match {
+      case None => return // timed out — 408 already sent
       case Some(b) => b
     }
     if (raw.length > MaxBodyBytes) { err(ex, 413, s"body exceeds $MaxBodyBytes bytes"); return }
@@ -218,10 +202,15 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
         } catch {
           case e: ParseException =>
             val msg = String.valueOf(e.getMessage)
-            // breaker-open / admission-exhausted are TRANSIENT server
-            // states, not client errors: a 400 tells retry middleware
-            // "do not retry" and automated redeploys give up for good
+            // breaker-open / half-open-trial / admission-exhausted are
+            // TRANSIENT server states, not client errors: a 400 tells
+            // retry middleware "do not retry" and automated redeploys
+            // give up for good. HALF_OPEN matters as much as OPEN —
+            // its trial resolves within seconds and a retry succeeds
+            // (r11 review: the old check matched only "is OPEN" and
+            // 400'd the half-open message)
             val transient = msg.contains("circuit breaker is OPEN") ||
+              msg.contains("circuit breaker is HALF_OPEN") ||
               msg.contains("resource exhausted")
             err(ex, if (transient) 503 else 400, msg)
         }
@@ -299,21 +288,6 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
 }
 
 object JobServerHttp {
-  /** See the instance-side comment: bound request-read and
-    * response-write time for every HttpServer in this JVM. Idempotent;
-    * respects values the deployment already set. LIMITATION: the JDK
-    * reads these once per JVM in ServerConfig's STATIC initializer —
-    * if any HttpServer was created earlier in the process, these sets
-    * are silently ignored (first server wins). readBodyBounded is the
-    * in-process guard that holds either way; this is best-effort
-    * defense in depth for the response-write side. */
-  private def ensureRequestTimeouts(): Unit = synchronized {
-    if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
-      System.setProperty("sun.net.httpserver.maxReqTime", "30")   // seconds
-    if (System.getProperty("sun.net.httpserver.maxRspTime") == null)
-      System.setProperty("sun.net.httpserver.maxRspTime", "120")
-  }
-
   private final case class JobRow(name: String, status: String, version: String,
                                   strategy: String, isActive: Boolean, error: String,
                                   breaker: String)
@@ -322,13 +296,8 @@ object JobServerHttp {
     * client error, not a legitimate deploy. */
   private[sql] val MaxBodyBytes: Int = 1 << 20
 
-  private[sql] val BodyReadTimeoutMs: Long = 30000L
-
-  // side pool for in-process body-read timeouts (readBodyBounded):
-  // cached + daemon — a reader parked on a silent client lingers only
-  // until its socket dies, and never occupies a dispatch thread
-  private val bodyReaders = java.util.concurrent.Executors.newCachedThreadPool(
-    (r: Runnable) => { val t = new Thread(r, "graft-job-http-read"); t.setDaemon(true); t })
+  /** How stale /jobs/{name} and /report metrics may read (ms). */
+  private[sql] val MetricsTtlMs: Long = 5000L
 
   // the ONE shared JSON text surface (graft.JsonOut) — these were
   // byte-for-byte twins of SchemaRegistryHttp's private helpers, and
