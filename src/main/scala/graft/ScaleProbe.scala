@@ -108,16 +108,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val tiers = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(8))
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // same driver-survival bound as GraftSession: the deep closure
-      // tiers' self-joined lineage renders multi-GiB plan strings
-      .config("spark.sql.maxPlanStringLength", "1048576")
-      .getOrCreate()
+    // the ONE session builder (Verify.scala's convention): the probe
+    // must measure under the SAME config the engine ships — a
+    // hand-rolled builder here had already drifted (missing adaptive
+    // coalesce/skew flags and kernel SQL registration; r11 review)
+    val spark = graft.api.GraftSession("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
 
     val docs1 = graft.api.Tables.load(spark, sfDir, "documents")
@@ -144,6 +139,18 @@ object ScaleProbe {
     require(letterFreeRun == 0,
       s"$letterFreeRun documents with >=3 consecutive letter-free words would " +
         "produce replica-shared shingles and break the M× replica invariant")
+    // replica id ranges must be DISJOINT: ids at/above the replica
+    // offset would collide across replicas — clusterPairs would merge
+    // unrelated cross-replica components and pair sets would dedup
+    // across replicas, silently corrupting every Mx row count (the
+    // exact_dedup assertion groups by content, not id, and cannot
+    // catch it). Fail loudly instead (r11 review).
+    def maxIdOf(df: DataFrame, c: String): Long =
+      Option(df.agg(max(col(c))).head.get(0)).map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
+    require(maxIdOf(docs1, "doc_id") < 100000000L,
+      "doc_id >= 1e8 would collide with replica id offsets")
+    require(maxIdOf(emb1, "vec_id") < 100000000L,
+      "vec_id >= 1e8 would collide with replica id offsets")
 
     def pipelines(tag: String, d: DataFrame, e: DataFrame,
                   only: Option[Set[String]]): Seq[(String, Double, Long)] = {
@@ -198,8 +205,19 @@ object ScaleProbe {
 
     import JsonOut.{jstr, sec3 => s3}
 
+    // operator persist slots are dropped before every timed pass: a
+    // pass whose plans equal the previous pass's is otherwise served
+    // its persisted kernel frames and times only the pipeline tail —
+    // the 1x baseline would ride the warmup's caches and min-of-2
+    // retimes would ride the first pass's (r11 review)
+    def coldPass(tag: String, d: DataFrame, e: DataFrame,
+                 only: Option[Set[String]]): Seq[(String, Double, Long)] = {
+      graft.operators.LastCallCache.releaseAll()
+      pipelines(tag, d, e, only)
+    }
+
     val warm = pipelines("warmup", docs1, emb1, None) // JIT + codegen warmup
-    val base1 = pipelines("1x", docs1, emb1, None)
+    val base1 = coldPass("1x", docs1, emb1, None)
     val _ = warm
 
     // one tier per multiplier: the first runs the full pipeline set, the
@@ -222,8 +240,8 @@ object ScaleProbe {
       // two timed passes, keep the per-pipeline min — one slow ambient
       // window (this VM drifts by multiple ×) must not masquerade as a
       // scaling regression in the tier's numerators
-      val bigA = pipelines(s"${m}x", docsM, embM, only)
-      val bigB = pipelines(s"${m}x_retime", docsM, embM, only)
+      val bigA = coldPass(s"${m}x", docsM, embM, only)
+      val bigB = coldPass(s"${m}x_retime", docsM, embM, only)
       val big = bigA.zip(bigB).map { case ((l, s1, r1), (_, s2, r2)) =>
         require(r1 == r2, s"$l nondeterministic: rows $r1 != $r2")
         (l, math.min(s1, s2), r1)
@@ -255,7 +273,7 @@ object ScaleProbe {
     // problem the bench harness solved with its retime pass. The M×
     // numerators stay single-run: a slow window there inflates one tier
     // entry, visibly, instead of silently skewing the whole artifact.
-    val base2 = pipelines("1x_retime", docs1, emb1, None)
+    val base2 = coldPass("1x_retime", docs1, emb1, None)
     val base = base1.zip(base2).map { case ((l, s1, r1), (_, s2, r2)) =>
       require(r1 == r2, s"$l nondeterministic: rows $r1 != $r2")
       (l, math.min(s1, s2), r1)
@@ -293,6 +311,14 @@ object ScaleProbe {
     require(nEmb > 0, "cannot probe the trainer cap on an empty embeddings table")
     val cap = Similarity.DefaultMaxTrainRows.toLong
     val mLow = math.max(1L, (cap + nEmb - 1) / nEmb).toInt
+    // bound the union fan-out: a tiny corpus would need hundreds of
+    // replicas to reach the cap, and Catalyst analysis over a
+    // multi-hundred-branch union stalls the driver before any timing
+    // runs — at that point the plateau measurement is meaningless
+    // anyway (the trainer would be sampling nearly the whole corpus)
+    require(mLow <= 64,
+      s"embeddings table too small to probe the trainer cap ($nEmb rows would " +
+        s"need $mLow replicas to reach $cap); run the probe at a larger SF")
     val (lowDf, nLow): (DataFrame, Long) =
       (if (mLow == 1) emb1 else multiplyEmbeddings(emb1, mLow, 64), nEmb * mLow)
     val (highDf, nHigh): (DataFrame, Long) =
@@ -392,6 +418,14 @@ object ScaleProbe {
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         while (batches.synchronized(batches.map(_._1).sum) < expectedInput
           && System.nanoTime() < deadline) Thread.sleep(100)
+        // fail-loud, like every other probe invariant: the async bus can
+        // DROP progress events under queue saturation, and publishing
+        // batches/peak_rps from a partial trace would silently misstate
+        // the per-micro-batch throughput row (r11 review)
+        val seen = batches.synchronized(batches.map(_._1).sum)
+        require(seen == expectedInput,
+          s"stream probe listener delivered $seen of $expectedInput input rows " +
+            "within 30s — progress events lost; batches/peak_rps would be wrong")
         val snap = batches.synchronized(batches.toVector).filter(_._1 > 0)
         val rps = snap.map { case (r, ms) => r * 1000.0 / math.max(1L, ms) }
         System.err.println(f"[probe] stream_q54 $sec%7.2f s rows=$rows " +
@@ -420,6 +454,14 @@ object ScaleProbe {
       } finally deleteRecursively(new java.io.File(dir)) // a repeated probe
       // leaves the full 1×+M× event copies on the shared VM otherwise
     }
+    // replica type-suffix disjointness: an ORIGINAL event_type that
+    // already ends in a replica suffix (…_r3) would collide with a
+    // generated one and merge two replicas' groups — same hazard class
+    // as the coalesce('__null') guard above (r11 review)
+    val suffixy = events1.where(col("event_type").rlike("_r[0-9]+$")).count()
+    require(suffixy == 0,
+      s"$suffixy events carry an event_type ending in a replica suffix (_rN) — " +
+        "replica group sets would not be disjoint")
     val (sSec1, sRows1, sBat1, sRps1) = streamMinOf2(events1)
     val (sSecM, sRowsM, sBatM, sRpsM) = streamMinOf2(multiplyEvents(events1, streamMult))
     val streamJson =

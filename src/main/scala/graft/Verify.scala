@@ -27,8 +27,19 @@ object Verify {
     // a hand-rolled builder here already drifted once
     val spark = graft.api.GraftSession(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    // optional subset for local iteration (driver sets no filter)
+    // optional subset for local iteration (driver sets no filter). A name
+    // that matches NO query is a typo, and a typo must not filter the run
+    // to zero queries and exit green — an empty-but-consistent manifest
+    // reads as a clean gate (r11 review; Bench has the same guard)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -23,7 +23,16 @@ import org.apache.spark.storage.StorageLevel
   * safe — Spark recomputes evicted partitions.
   */
 private[graft] final class LastCallCache {
+  LastCallCache.register(this)
   private val ref = new AtomicReference[DataFrame](null)
+
+  /** Drop this slot's pinned frame (see LastCallCache.releaseAll). */
+  def release(): Unit =
+    Option(ref.getAndSet(null)).foreach { prev =>
+      try prev.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+
   def apply(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     Option(ref.getAndSet(p)).foreach { prev =>
@@ -41,4 +50,20 @@ private[graft] final class LastCallCache {
     }
     p
   }
+}
+
+private[graft] object LastCallCache {
+  // every slot ever constructed (operators hold them as static vals, so
+  // this is a handful of entries, never growth-unbounded)
+  private val all = new java.util.concurrent.CopyOnWriteArrayList[LastCallCache]()
+  private def register(c: LastCallCache): Unit = { all.add(c); () }
+
+  /** Release EVERY slot's pinned frame. Measurement hygiene for timing
+    * harnesses (ScaleProbe): a retime pass whose plan equals the
+    * previous pass's would otherwise be served the previous pass's
+    * persisted kernel frames and time only the tail of the pipeline —
+    * a min-of-2 built on such a pass can erase exactly the super-linear
+    * stage regression the probe exists to catch (r11 review). Normal
+    * sessions never need this; evicted frames recompute on next use. */
+  def releaseAll(): Unit = all.forEach(_.release())
 }
