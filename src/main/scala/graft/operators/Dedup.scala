@@ -64,18 +64,40 @@ object Dedup {
     * 128-bit-hash shape as `exact`. */
   def exactKeepBest(docs: DataFrame, textCol: String, idCol: String,
                     score: Column): DataFrame = {
-    docs
-      .withColumn("content_hash", contentHash(textCol, idCol))
-      .groupBy(col("content_hash"))
-      // structs compare lexicographically: max score first, then max of
-      // the NEGATED id = min id. The negation runs in DECIMAL(38,0):
-      // -Long.MinValue overflows a bigint (wraps in legacy mode,
-      // ARITHMETIC_OVERFLOW under ANSI), flipping the documented
-      // lowest-id tie-break exactly at the extreme the comment promises
-      // to handle
-      .agg(max_by(col(idCol), struct(score,
-          -col(idCol).cast("decimal(38,0)"))).as("keep_id"),
-        count(lit(1)).as("dup_count"))
+    val numericId = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericId)
+      docs
+        .withColumn("content_hash", contentHash(textCol, idCol))
+        .groupBy(col("content_hash"))
+        // structs compare lexicographically: max score first, then max of
+        // the NEGATED id = min id. The negation runs in DECIMAL(38,0):
+        // -Long.MinValue overflows a bigint (wraps in legacy mode,
+        // ARITHMETIC_OVERFLOW under ANSI), flipping the documented
+        // lowest-id tie-break exactly at the extreme the comment promises
+        // to handle
+        .agg(max_by(col(idCol), struct(score,
+            -col(idCol).cast("decimal(38,0)"))).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+    else {
+      // non-numeric (string/date/…) ids have no generic negation for a
+      // MAX-aggregate tie-break — the decimal cast would throw under
+      // ANSI or null out the documented lowest-id rule in legacy mode
+      // (r11 review). Two-phase instead: per-group best score, then the
+      // MIN id among the tied best rows. Null-safe compare: a group
+      // whose scores are all NULL keeps its lowest id, as the numeric
+      // path's struct ordering does.
+      val hashed = docs.withColumn("content_hash", contentHash(textCol, idCol))
+        .withColumn("__graft_keep_score", score)
+      val best = hashed.groupBy(col("content_hash"))
+        .agg(max(col("__graft_keep_score")).as("__graft_best"),
+          count(lit(1)).as("dup_count"))
+      hashed.join(best, Seq("content_hash"))
+        .where(col("__graft_keep_score") <=> col("__graft_best"))
+        .groupBy(col("content_hash"), col("dup_count"))
+        .agg(min(col(idCol)).as("keep_id"))
+        .select(col("content_hash"), col("keep_id"), col("dup_count"))
+    }
   }
 
   /** Word k-shingles of the normalized text (distinct, first-occurrence
@@ -131,6 +153,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
                  maxBucket: Int = 64): DataFrame = {
+    // maxBucket=0 drops every band bucket — the job completes with an
+    // empty candidate set instead of failing (silent-empty mode)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val numHashes = numBands * rowsPerBand
     // null-text docs carry no content to near-dup: left in, they all
     // hash to ONE shared per-band bucket (xxhash64 skips a null slice)
@@ -200,6 +225,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256,
                    replayableHash: Boolean = false): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     // replayableHash swaps the per-word hash from Spark-private xxhash64
     // to the lower 64 bits of md5 (= DuckDB's md5_number_lower), making
     // the WHOLE pipeline — fingerprints, bands, bucket cap, hamming —

@@ -108,11 +108,19 @@ object Similarity {
     // local heap ranks it WORST but the global window's desc sort ranks
     // NaN ABOVE every real score, so one corrupt corpus vector would
     // become every query's rank-1 neighbor, partition-dependently
+    // try_cast + null drop on the IDS too: a non-numeric string id
+    // passes the operators' pre-cast self-match filters, and a plain
+    // cast would turn it into a null that NPEs the primitive tuple
+    // decode mid-job (legacy mode) or aborts under ANSI — degrade like
+    // the PQ paths, don't throw (r11 review)
     val ds = scored
       .where(col("cos").isNotNull && !isnan(col("cos")))
       .select(
-      col("query_id").cast("long"), col("neighbor_id").cast("long"),
-      col("cos").cast("double")).as[(Long, Long, Double)]
+        expr("try_cast(query_id AS LONG)").as("query_id"),
+        expr("try_cast(neighbor_id AS LONG)").as("neighbor_id"),
+        col("cos").cast("double").as("cos"))
+      .where(col("query_id").isNotNull && col("neighbor_id").isNotNull)
+      .as[(Long, Long, Double)]
     // min-heap head = worst kept candidate (lowest cos, then largest id)
     val local = ds.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
@@ -132,9 +140,14 @@ object Similarity {
   /** Exact top-k neighbors for each query vector: broadcast queries,
     * one corpus scan, two-phase top-k. Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // k=0 silently empties every query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
+    // size-gated hint (not an unconditional broadcast): corpus-as-queries
+    // all-pairs use is legitimate caller input, and a query frame past
+    // Spark's 8 GB broadcast hard limit must degrade to an unhinted
+    // join, not abort the exact baseline (r11 review)
+    val scored = c.crossJoin(broadcastIfBounded(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKPerQuery(scored.select("query_id", "neighbor_id", "cos"), k)
@@ -164,6 +177,10 @@ object Similarity {
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     require(probeHamming >= 0 && probeHamming <= bandBits,
       s"probeHamming must be in [0, bandBits=$bandBits], got $probeHamming")
+    // k=0 completes with zero rows; maxBucket=0 drops every corpus
+    // bucket — both the silent-empty mode this file rejects loudly
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val numBits = numBands * bandBits
     // fail HERE with the caller's own parameters — numBits > 64 would
     // otherwise surface as signSketch's internal [1, 64] gate, naming an
@@ -273,7 +290,20 @@ object Similarity {
     // was a full extra scan of the uncached source purely to size the
     // coalesce; counting the cached features materializes the cache the
     // fit needs anyway, and coalesce-after-persist reads cached blocks
-    val feat0 = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // same corrupt-row and metric discipline as trainCentroidsSampled
+    // (r11 review): null vectors are DROPPED (array_to_vector(null)
+    // fails the fit mid-job), and vectors NORMALIZE first — spherical
+    // k-means, because cells are ASSIGNED by cosine and Euclidean
+    // centroids over raw magnitudes stratify by norm, collapsing many
+    // directions into few cosine-nearest cells. Zero-norm / non-finite
+    // vectors drop with the nulls (one NaN would poison its centroid
+    // permanently: NaN distances never win an argmin).
+    val feat0 = corpus
+      .where(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("arr"))
+      .withColumn("nrm", sqrt(aggregate(col("arr"), lit(0.0d), (acc, x) => acc + x * x)))
+      .where(col("nrm") > 0 && !isnan(col("nrm")) && col("nrm") < lit(Double.MaxValue))
+      .select(array_to_vector(transform(col("arr"), x => x / col("nrm"))).as("features"))
       .persist()
     try {
       val cnt = feat0.count()
@@ -327,6 +357,13 @@ object Similarity {
       .orderBy("h").limit(maxTrainRows)
       .select("v").collect()
       .map(r => toVec(r.getAs[scala.collection.Seq[Any]](0), dim))
+      // drop non-finite vectors too, not only nulls: one NaN element
+      // survives normalized() as an all-NaN vector, whose distances in
+      // lloyd() never win an argmin — it pins to cluster 0 and poisons
+      // that centroid permanently (the allFinite degrade-don't-poison
+      // contract the encode path already honors; r11 review). May
+      // shrink the sample slightly below the cap — harmless.
+      .filter(v => v.forall(java.lang.Double.isFinite))
 
   /** Driver-local Lloyd k-means (the quantizer-training inner loop —
     * pure CPU on the bounded sample, zero per-iteration job overhead). */
@@ -399,6 +436,7 @@ object Similarity {
               k: Int, dim: Int, nCentroids: Int = 64, nprobe: Int = 8,
               centroids: Option[Array[Double]] = None,
               assignProbes: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // k=0 silently empties every query
     val cents: Array[Double] = centroids.getOrElse(
       collectTrainSample(corpus, idCol, vecCol, dim, nCentroids).flatten)
     val nC = cents.length / dim
@@ -476,6 +514,9 @@ object Similarity {
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     require(probeBits == 0 || probeBits == 1,
       s"probeBits supports 0 (exact bands) or 1 (Hamming-1 multi-probe), got $probeBits")
+    // maxBucket=0 drops every index bucket — the job completes with an
+    // empty pair set instead of failing (the silent-empty mode)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val mask = (1L << bandBits) - 1
     // persisted: the sketch pass (and the vector scan under it) feeds
     // the index side, the probe side, and both vector-fetch joins
@@ -627,8 +668,14 @@ object Similarity {
     * two-phase top-k. */
   private def rerankExact(corpus: DataFrame, queries: DataFrame, idCol: String,
                           vecCol: String, shortlist: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    // try_cast, like pqEncode and the query collect upstream: the whole
+    // PQ pipeline silently DROPS a non-numeric id — a plain cast here
+    // would let the expensive ADC scan complete and then abort the
+    // final re-rank stage under ANSI (r11 review)
+    val q = queries.select(expr(s"try_cast(`$idCol` AS LONG)").as("query_id"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(expr(s"try_cast(`$idCol` AS LONG)").as("neighbor_id"),
+      col(vecCol).as("cv"))
     val exact = c.join(broadcastIfBounded(shortlist), Seq("neighbor_id"))
       .join(broadcastIfBounded(q), Seq("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))

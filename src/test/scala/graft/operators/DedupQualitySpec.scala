@@ -78,6 +78,25 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(out == Set((2000000000L, 2L), (3000000000L, 2L)))
   }
 
+  test("exactKeepBest: STRING ids take the two-phase path — ties break to the lexicographic min") {
+    import spark.implicits._
+    // the numeric path's decimal-negation tie-break would throw under
+    // ANSI (or null the tie-break in legacy mode) on string ids
+    val docs = Seq(
+      ("doc-b", "same doc", 5.0),
+      ("doc-a", "same doc", 5.0),   // tie → lexicographic min wins
+      ("doc-z", "same doc", 1.0),
+      ("doc-q", "other doc", 2.0)).toDF("doc_id", "text", "q")
+    val out = Dedup.exactKeepBest(docs, "text", "doc_id", col("q"))
+      .collect().map(r => (r.getAs[String]("keep_id"), r.getAs[Long]("dup_count"))).toSet
+    assert(out == Set(("doc-a", 3L), ("doc-q", 1L)))
+    // all-NULL scores keep the lowest id instead of dropping the group
+    val nulls = Seq(("n2", "x", null.asInstanceOf[java.lang.Double]),
+      ("n1", "x", null.asInstanceOf[java.lang.Double])).toDF("doc_id", "text", "q")
+    val kept = Dedup.exactKeepBest(nulls, "text", "doc_id", col("q")).collect()
+    assert(kept.length == 1 && kept.head.getAs[String]("keep_id") == "n1")
+  }
+
   test("clusterPairs: 1000-node path graph converges to one cluster within 15 rounds") {
     import spark.implicits._
     // adversarial diameter: plain min-propagation needs ~999 rounds;

@@ -338,6 +338,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(pq.where(col("neighbor_id") === 9001L).count() == 0)
   }
 
+  test("k <= 0 and maxBucket <= 0 are rejected loudly, not silently empty") {
+    val queries = corpus.where(col("vec_id") < 2)
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 0))
+    intercept[IllegalArgumentException](
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 0, dim))
+    intercept[IllegalArgumentException](
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3, dim, maxBucket = 0))
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 0, dim))
+    intercept[IllegalArgumentException](
+      Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", dim, maxBucket = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.minhashLsh(
+        spark.emptyDataFrame.selectExpr("'' AS text", "0L AS doc_id"), "text", "doc_id",
+        maxBucket = 0))
+  }
+
   test("bandBits = 64 is rejected: the mod-64 shift would collapse every chunk to bucket 0") {
     val queries = corpus.where(col("vec_id") < 2)
     intercept[IllegalArgumentException](
