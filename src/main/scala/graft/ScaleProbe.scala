@@ -79,10 +79,7 @@ object ScaleProbe {
     obs.get("n").asInstanceOf[Long]
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit = graft.Fs.deleteRecursively(f)
 
   /** Pipelines re-probed at the 32× tier (wrapped-alphabet replicas ≥ 26
     * add CROSS-replica exact duplicates — the denser, harder workload):

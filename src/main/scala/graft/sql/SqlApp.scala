@@ -532,12 +532,26 @@ object SqlApp {
           if (ctx.spark.catalog.tableExists(view)) Some(ctx.spark.table(view)) else None
         case None => if (df.isStreaming) None else Some(df)
       }
+      // a @metric on a STREAMING non-job statement has no batch result
+      // to aggregate — warn instead of silently dropping the user's
+      // declared metric (jobs get observe()-based streaming metrics;
+      // r11 review)
+      if (target.isEmpty && jobName.isEmpty && s.metrics.nonEmpty && df.isStreaming)
+        System.err.println(s"[sqlapp] WARNING: @metric annotations on a streaming " +
+          s"non-job statement are not collected (${s.metrics.map(_.name).mkString(", ")}); " +
+          "wrap the statement in START JOB / DEPLOY JOB for streaming metrics")
       target.withFilter(_ => s.metrics.nonEmpty).foreach { df =>
         val specs = s.metrics
         // The statement plan executes ONCE into the cache; every metric
         // (and label series) is then a cheap scan of the cached result
-        // instead of a full re-execution per metric.
-        df.persist()
+        // instead of a full re-execution per metric. A df that is
+        // ALREADY cached (a CTAS materialization, a batch job's
+        // <name>_out cache) must keep its entry: persist() would no-op
+        // and the paired unpersist() would DROP the CacheManager entry,
+        // leaving the "materialized" table lazy and source-drifting for
+        // every later reader (r11 review).
+        val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        if (!preCached) df.persist()
         try specs.foreach { m =>
           def num(v: Any): Double = v match {
             case null => 0.0
@@ -585,7 +599,7 @@ object SqlApp {
               ctx.recordMetricSeries(m.name, m.metricType, m.help, series)
             case _ => // unknown type already filtered at parse
           }
-        } finally df.unpersist()
+        } finally { if (!preCached) df.unpersist(); () }
       }
       s.partitionCount match {
         case Some(n) if !df.isStreaming => df.repartition(n)
@@ -617,13 +631,23 @@ object SqlApp {
       // distinct, racing two writers of one view)
       else try VeloSqlParser.parse(s.sql) match {
         case VeloSqlParser.CreateTableAs(n, _, _, _) =>
-          Some(n.stripPrefix("`").stripSuffix("`"))
+          Some(n.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\""))
         case VeloSqlParser.CreateStreamAs(n, _, _, _) =>
-          Some(n.stripPrefix("`").stripSuffix("`"))
+          Some(n.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\""))
         case _ => None
       } catch { case _: ParseException => None }
-    def identifiers(sql: String): Set[String] =
-      "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def identifiers(sql: String): Set[String] = {
+      val bare = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      // quoted identifiers may contain non-word characters (`my-table`,
+      // "my table") the bare-word regex cannot see — without these a
+      // consumer of a quoted producer builds no RAW edge and schedules
+      // into the producer's wave (r11 review)
+      val quoted = ("`([^`]+)`".r.findAllMatchIn(sql) ++
+          "\"([^\"]+)\"".r.findAllMatchIn(sql))
+        .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+      (bare ++ quoted).toSet
+    }
 
     val results = new Array[DataFrame](app.statements.length)
     var waveNo = 0

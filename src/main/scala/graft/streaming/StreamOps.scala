@@ -126,24 +126,36 @@ object StreamOps {
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.k).flatMapGroupsWithState(
       OutputMode.Update(), timeout) {
-      (key: Long, it: Iterator[BufEvent], state: GroupState[List[Double]]) =>
+      (key: Long, it: Iterator[BufEvent], state: GroupState[(List[Double], Double)]) =>
         if (state.hasTimedOut) {
           state.remove() // idle key: ring buffer evicted, no emission
           Iterator.empty
         } else {
-          var buf = state.getOption.getOrElse(List.empty[Double])
+          // state = (oldest-first buffer, RUNNING sum): the old
+          // List :+ / takeRight / buf.sum did O(n) work per EVENT (a
+          // full list copy plus a rescan) — O(batch·n) per hot key per
+          // trigger. Vector append/drop are effectively O(1), and the
+          // sum adds the arrival and subtracts the eviction: exact for
+          // integral-quantized values (q43's ×10⁴ contract) and for
+          // any exactly-representable inputs; the avg stays the same
+          // single IEEE division (r11 review).
+          val (buf0, sum0) = state.getOption.getOrElse((List.empty[Double], 0.0))
+          var buf = buf0.toVector
+          var sum = sum0
           // flatMapGroupsWithState gives NO order guarantee within a group
           // (a multi-partition batch interleaves arbitrarily) — the ring
           // buffer's "last n" is only meaningful in `ord` order, so sort
           // the batch's events first (ties by id for determinism). The
           // sort is per-key-per-batch, tiny and executor-local.
           val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
-            buf = (buf :+ e.v).takeRight(n)
+            buf = buf :+ e.v
+            sum += e.v
+            if (buf.size > n) { sum -= buf.head; buf = buf.drop(1) }
             if (!emitOnFull || buf.size == n)
-              Some(BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size))
+              Some(BufEmit(key, e.id, buf.size, sum, sum / buf.size))
             else None
           }.toList
-          state.update(buf)
+          state.update((buf.toList, sum))
           stateTtlMs.foreach(state.setTimeoutDuration)
           out.iterator
         }
@@ -191,18 +203,9 @@ object StreamOps {
 
   /** Recursive delete of a finished run's checkpoint dir — pure waste
     * once the query terminated (the output dir is the return value and
-    * stays); without this every run leaks a checkpoint tree into /tmp. */
-  private def deleteRecursively(path: String): Unit = {
-    import scala.util.control.NonFatal
-    try {
-      // walk's stream holds open directory handles — close it, or every
-      // run leaks fds until GC (the long-lived server session pattern)
-      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally stream.close()
-    } catch { case NonFatal(_) => } // best-effort; never fail the query over cleanup
-  }
+    * stays); without this every run leaks a checkpoint tree into /tmp.
+    * Shared fd-closing best-effort implementation (graft.Fs). */
+  private def deleteRecursively(path: String): Unit = graft.Fs.deleteRecursively(path)
 
   /** Ensure `out` is readable as parquet even when the stream emitted
     * ZERO rows (append + watermark where no window ever closed): the
@@ -210,7 +213,14 @@ object StreamOps {
     * spark.read.parquet(out) would die with an unrelated-looking
     * "Unable to infer schema" — write one empty part with the sink
     * schema instead, honoring the "returns a readable directory"
-    * contract. */
+    * contract.
+    *
+    * LIMITATION (declared json/csv sinks): only parquet embeds a schema
+    * in the file, so a ZERO-ROW json/csv sink is readable only with an
+    * explicit reader schema — an empty json part carries nothing
+    * schema inference can use. The empty part is still written (the
+    * dir exists, explicit-schema readers succeed); a schema-inferring
+    * read of a zero-row json/csv sink fails by nature of the format. */
   private def ensureReadable(df: DataFrame, out: String,
                              extra: Seq[(String, org.apache.spark.sql.Column)] = Nil,
                              fmt: String = "parquet",
@@ -292,6 +302,15 @@ object StreamOps {
         // log carries no information the plain directory listing lacks.
         deleteRecursively(new java.io.File(staging, "_spark_metadata").toString)
         deleteRecursively(p)
+        // fail LOUDLY if the clear was partial (deleteRecursively is
+        // best-effort — an NFS silly-rename or a held-open part file can
+        // survive it): Files.move would throw anyway, but with the sink
+        // half-deleted and no pointer to the new output. The staging dir
+        // is deliberately PRESERVED here (ok was set before publish), so
+        // the message can name where the finished run's output lives.
+        if (new java.io.File(p).exists())
+          throw new java.io.IOException(
+            s"could not fully clear declared sink $p; this run's output is preserved at $staging")
         java.nio.file.Files.move(
           java.nio.file.Paths.get(staging), java.nio.file.Paths.get(p))
         p
@@ -321,11 +340,14 @@ object StreamOps {
       publish(out, declared)
     } finally {
       // a FAILING query (bad emit-mode routing, source gone) must still
-      // clean its checkpoint AND its staging dir — and must NOT touch
+      // clean its checkpoint AND its output dir — staging OR temp, both
+      // leak into /tmp per failed run otherwise — and must NOT touch
       // the declared sink, whose previous contents stay exactly as they
-      // were (the swap in publish only runs on success)
+      // were (the swap in publish only runs on success; a publish
+      // failure sets ok=true first, so the staging dir survives for the
+      // error message to point at)
       deleteRecursively(ckpt)
-      if (!ok && declared.isDefined) deleteRecursively(out)
+      if (!ok) deleteRecursively(out)
     }
   }
 
@@ -360,7 +382,7 @@ object StreamOps {
       publish(out, declared)
     } finally {
       deleteRecursively(ckpt)
-      if (!ok && declared.isDefined) deleteRecursively(out)
+      if (!ok) deleteRecursively(out)
     }
   }
 }
