@@ -229,10 +229,16 @@ object ProtoWire {
       }) ()
       acc
     }
-    // length-delimited payload length: non-negative and inside the buffer
+    // length-delimited payload length: non-negative and inside the buffer.
+    // Compare as `n > remaining`, NOT `p + n > length`: a crafted 9-byte
+    // varint can carry Long.MaxValue, and p + n would overflow NEGATIVE,
+    // slipping past both checks — n.toInt = -1 then throws raw
+    // StringIndexOutOfBounds (escaping permissive mode's
+    // ProtoDecodeException catch, one poison message crash-looping the
+    // stream) or walks the skip cursor BACKWARDS (r11 review)
     def lenPrefix(): Int = {
       val n = varint()
-      if (n < 0 || p + n > bytes.length) fail(s"length-delimited field of $n bytes overruns buffer")
+      if (n < 0 || n > bytes.length - p) fail(s"length-delimited field of $n bytes overruns buffer")
       n.toInt
     }
     def needFixed(n: Int): Unit = if (p + n > bytes.length) fail(s"truncated fixed$n field")
@@ -302,7 +308,17 @@ object ProtoWire {
     * corrupt payload decodes to all-null columns (decodeAvro's
     * standing behavior), because a strict decode on a stream turns one
     * poison Kafka message into a checkpoint-pinned crash loop: the
-    * failed task re-reads the same offset forever. */
+    * failed task re-reads the same offset forever.
+    *
+    * PROTO3 INTEROP NOTE: absent fields surface as NULL. Standard
+    * proto3 encoders OMIT default-valued scalars (0 / "" / false) from
+    * the wire, so data written by protoc-generated code decodes those
+    * values as NULL here, not as the default — `WHERE count = 0` will
+    * not match them (use `coalesce(count, 0)` when consuming external
+    * proto3 data). Round-trips through this module's own encodeRow are
+    * unaffected: it writes explicit values for every field. NULL is
+    * kept deliberately — it preserves the absent-vs-default distinction
+    * SQL can express and proto3 cannot. */
   def decodeProtobuf(df: DataFrame, payloadCol: String, proto: String,
                      permissive: Boolean = false): DataFrame = {
     val fields = ProtoSchema.parse(proto)
@@ -330,25 +346,11 @@ object ProtoWire {
           s"(cast the column before encoding)")
     }
     val idxs = fields.map(f => inSchema.fieldIndex(f.name))
-    // an existing payload column is REPLACED IN PLACE (the
-    // encodeAvro/encodeJson semantics — the normal raw-Kafka re-encode
-    // rewriting its `value`); a blind append would materialize a
-    // duplicate name that explodes on the next select-by-name, with
-    // positional consumers silently reading the stale old column
-    val hasPayload = inSchema.fieldNames.contains(payloadCol)
-    val outFields =
-      if (hasPayload) inSchema.fields.map(f =>
-        if (f.name == payloadCol) StructField(payloadCol, BinaryType, nullable = false) else f)
-      else inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false)
-    val outSchema = StructType(outFields)
-    val srcIdx = outFields.map(f =>
-      if (f.name == payloadCol) -1 else inSchema.fieldIndex(f.name)).toIndexedSeq
-    val res = df.mapPartitions { it =>
-      it.map { row =>
-        val payload = encodeRow(idxs.map(row.get), fields)
-        Row.fromSeq(srcIdx.map(i => if (i < 0) payload else row.get(i)))
-      }
-    }(Encoders.row(outSchema))
-    res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+    // replace-in-place / append semantics live in the ONE shared
+    // scaffolding (Serde.encodeWithPayload, the encode twin of
+    // decodeWithPayload) — this copy and encodeAvro's had already
+    // started to diverge (r11 review)
+    Serde.encodeWithPayload(df, payloadCol,
+      () => row => encodeRow(idxs.map(row.get), fields))
   }
 }

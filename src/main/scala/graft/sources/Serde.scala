@@ -66,7 +66,9 @@ object Serde {
     // tombstone (null payload) nulls ALL of them
     val outSchema = StructType(passthrough ++ valueSchema.fields.map(_.copy(nullable = true)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name))
+    // hoisted ONCE: wrapping the index array per ROW re-allocated an
+    // identical IndexedSeq for every record of a high-throughput decode
+    val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name)).toIndexedSeq
     val nFields = valueSchema.fields.length
     val res = df.mapPartitions { it =>
       val rowFn = init()
@@ -76,7 +78,7 @@ object Serde {
         // (decoding null would NPE and kill the stream on one
         // compacted-topic delete marker)
         val decoded = if (bytes == null) new Array[Any](nFields) else rowFn(bytes)
-        Row.fromSeq(passIdx.toIndexedSeq.map(row.get) ++ decoded)
+        Row.fromSeq(passIdx.map(row.get) ++ decoded)
       }
     }(Encoders.row(outSchema))
     res.toDF(outSchema.fieldNames.toIndexedSeq: _*)
@@ -91,6 +93,7 @@ object Serde {
   def decodeJson(df: DataFrame, payloadCol: String, schema: StructType): DataFrame = {
     requireNoClash(df, payloadCol, schema, "json")
     requireNoWorkingCol(df)
+    requireNoWorkingField(schema)
     df.withColumn("__graft_decoded", from_json(col(payloadCol), schema))
       .drop(payloadCol)
       .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
@@ -103,6 +106,13 @@ object Serde {
     require(!graft.operators.Cols.has(df, "__graft_decoded"),
       "input must not carry the __graft_decoded working column")
 
+  // the SCHEMA side of the same guard: the trailing drop removes ALL
+  // columns named __graft_decoded, so a decoded field of that name
+  // would splat out and be silently deleted (r11 review)
+  private def requireNoWorkingField(schema: org.apache.spark.sql.types.StructType): Unit =
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("__graft_decoded")),
+      "decoded schema must not declare the __graft_decoded working column")
+
   /** Encode selected columns into one JSON-string payload column. */
   def encodeJson(df: DataFrame, cols: Seq[String], payloadCol: String = "value"): DataFrame =
     df.withColumn(payloadCol, to_json(struct(cols.map(col): _*)))
@@ -111,6 +121,7 @@ object Serde {
                 options: Map[String, String] = Map.empty): DataFrame = {
     requireNoClash(df, payloadCol, schema, "csv")
     requireNoWorkingCol(df)
+    requireNoWorkingField(schema)
     df.withColumn("__graft_decoded", from_csv(col(payloadCol), schema, options))
       .drop(payloadCol)
       .select(col("*"), col("__graft_decoded.*")).drop("__graft_decoded")
@@ -224,9 +235,12 @@ object Serde {
     }
   }
 
-  /** Encode `cols` into one binary-Avro payload column per `schemaJson`
-    * (field order = schema order; Spark values must match the schema's
-    * types). Narrow map, executor-side only. */
+  /** Encode the avro SCHEMA's fields (taken from `schemaJson` — there
+    * is deliberately no `cols` parameter like encodeJson/encodeCsv
+    * have: the avro record defines its own field set, and every schema
+    * field must exist in the frame or the encode fails loudly) into one
+    * binary-Avro payload column. Field order = schema order. Narrow
+    * map, executor-side only. */
   def encodeAvro(df: DataFrame, schemaJson: String, payloadCol: String = "value"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -243,21 +257,7 @@ object Serde {
         s"column '${f.name}' is $actual but the avro schema expects ${f.dataType} " +
           s"(cast the column before encoding)")
     }
-    // an existing payload column is REPLACED IN PLACE (encodeJson's
-    // withColumn semantics — the normal re-encode of a raw Kafka frame
-    // rewriting its `value`); moving it to the end would give positional
-    // consumers a different layout depending on which encoder ran, and
-    // appending would materialize a duplicate name
-    val hasPayload = inSchema.fieldNames.contains(payloadCol)
-    val outFields =
-      if (hasPayload) inSchema.fields.map(f =>
-        if (f.name == payloadCol) StructField(payloadCol, BinaryType, nullable = false) else f)
-      else inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false)
-    val outSchema = StructType(outFields)
-    // -1 marks the payload slot; every other slot copies its input index
-    val srcIdx = outFields.map(f =>
-      if (f.name == payloadCol) -1 else inSchema.fieldIndex(f.name)).toIndexedSeq
-    val res = df.mapPartitions { it =>
+    encodeWithPayload(df, payloadCol, () => {
       import scala.jdk.CollectionConverters._
       import org.apache.avro.Schema
       import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -268,7 +268,7 @@ object Serde {
       var encoder: org.apache.avro.io.BinaryEncoder = null
       val fields = schema.getFields.asScala.toArray
       val idxs = fields.map(f => inSchema.fieldIndex(f.name()))
-      it.map { row =>
+      row => {
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < fields.length) {
@@ -295,7 +295,44 @@ object Serde {
               else ""}: ${e.getMessage}", e)
         }
         encoder.flush()
-        Row.fromSeq(srcIdx.map(i2 => if (i2 < 0) bos.toByteArray else row.get(i2)))
+        bos.toByteArray
+      }
+    })
+  }
+
+  /** The encode twin of `decodeWithPayload` — replace-in-place (or
+    * append) binary payload scaffolding shared by `encodeAvro` and
+    * `ProtoWire.encodeProtobuf`, so the replace-in-place semantics,
+    * nullable flag, and column ordering cannot drift between codecs
+    * (the decode side was centralized for exactly that reason; the
+    * encode twins had already started to duplicate — r11 review).
+    *
+    * An existing payload column is REPLACED IN PLACE (encodeJson's
+    * withColumn semantics — the normal re-encode of a raw Kafka frame
+    * rewriting its `value`); moving it to the end would give positional
+    * consumers a different layout depending on which encoder ran, and
+    * appending would materialize a duplicate name. `init` builds the
+    * per-partition encoder closure (codec state like stream buffers
+    * lives there, one per task). */
+  private[sources] def encodeWithPayload(df: DataFrame, payloadCol: String,
+      init: () => org.apache.spark.sql.Row => Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val hasPayload = inSchema.fieldNames.contains(payloadCol)
+    val outFields =
+      if (hasPayload) inSchema.fields.map(f =>
+        if (f.name == payloadCol) StructField(payloadCol, BinaryType, nullable = false) else f)
+      else inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false)
+    val outSchema = StructType(outFields)
+    // -1 marks the payload slot; every other slot copies its input index
+    val srcIdx = outFields.map(f =>
+      if (f.name == payloadCol) -1 else inSchema.fieldIndex(f.name)).toIndexedSeq
+    val res = df.mapPartitions { it =>
+      val enc = init()
+      it.map { row =>
+        val payload = enc(row)
+        Row.fromSeq(srcIdx.map(i => if (i < 0) payload else row.get(i)))
       }
     }(Encoders.row(outSchema))
     res.toDF(outSchema.fieldNames.toIndexedSeq: _*)

@@ -238,6 +238,21 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("k").collect()
     assert(rows(0).getAs[Long]("n") == 5L && rows(0).getAs[String]("s") == "ok")
     assert(rows(1).isNullAt(rows(1).fieldIndex("n")) && rows(1).isNullAt(rows(1).fieldIndex("s")))
+
+    // a length prefix of Long.MaxValue (9-byte varint) used to overflow
+    // the `p + n` bounds check NEGATIVE and escape permissive mode as a
+    // raw StringIndexOutOfBoundsException — it must be ordinary
+    // corruption: nulls in permissive mode, ProtoDecodeException strict
+    val hugeLen = Array[Byte](0x12, // field 2 (s), wire type 2
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)
+    val frames2 = Seq((1L, good), (2L, hugeLen)).toDF("k", "value")
+    val rows2 = ProtoWire.decodeProtobuf(frames2, "value", proto, permissive = true)
+      .orderBy("k").collect()
+    assert(rows2(1).isNullAt(rows2(1).fieldIndex("s")),
+      "huge length prefix must null out in permissive mode, not throw past the catch")
+    intercept[org.apache.spark.SparkException](
+      ProtoWire.decodeProtobuf(frames2, "value", proto).collect())
   }
 
   test("driver-side validation: encode type mismatch and decode name collision fail before launch") {
