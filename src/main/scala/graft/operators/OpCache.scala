@@ -23,8 +23,12 @@ import org.apache.spark.storage.StorageLevel
   * safe — Spark recomputes evicted partitions.
   */
 private[graft] final class LastCallCache {
-  LastCallCache.register(this)
   private val ref = new AtomicReference[DataFrame](null)
+  // register AFTER `ref` is initialized: the registry is global, and a
+  // concurrent releaseAll() (a probe pass racing another thread's
+  // operator construction) must never observe a half-built slot and NPE
+  // on ref.getAndSet (r11 advisor)
+  LastCallCache.register(this)
 
   /** Drop this slot's pinned frame (see LastCallCache.releaseAll). */
   def release(): Unit =

@@ -532,29 +532,61 @@ object Similarity {
     // without probing a 1-row bucket can never pair (lower bound 2, as
     // before); WITH probing a neighbor's probe can reach it, so it stays
     val lower = if (probeBits == 0) 2 else 1
-    val idx = indexed
-      .join(counts.where(col("_bn").between(lower, maxBucket)), Seq("band", "chunk"))
-      .drop("_bn")
+    // ONE bucket-size attach: the size-gated broadcast hint turns the
+    // survivor filter into a map-side hash join instead of re-exchanging
+    // `indexed`, and both derived frames (surviving index, over-cap own
+    // buckets) filter THIS join's output — the counts aggregate is one
+    // subplan, not two optimizer-hopefully-reused copies
+    val bCounts = broadcastIfBounded(counts)
+    val idx = indexed.join(bCounts, Seq("band", "chunk"))
+      .where(col("_bn").between(lower, maxBucket)).drop("_bn")
     // probe side: the exact chunk plus (probeBits = 1) each single-bit
-    // flip — the Hamming-1 neighborhood within the band
+    // flip — the Hamming-1 neighborhood within the band, tagged with the
+    // prober's own BASE bucket's over-cap flag for the mirror-drop
+    // below. The flag joins the SAME bCounts subplan as the index-side
+    // filter (on base instead of chunk) so the bucket-size aggregate is
+    // one exchange and one broadcast, reused — not built per consumer.
+    // Over-cap buckets are rare by construction (≤ rows/maxBucket skew
+    // hot-spots), and a base chunk absent from counts cannot happen (the
+    // prober itself lives in it), so the left join's null arm is purely
+    // defensive.
     val probed =
-      if (probeBits == 0) indexed
+      if (probeBits == 0) indexed.withColumn("own_capped", lit(false))
       else sk.select(col("id"),
-        explode(flatten(array((0 until numBands).map { b =>
-          val base = bandChunk(b)
-          array((-1 until bandBits).map { bit =>
-            val c = if (bit < 0) base else base.bitwiseXOR(lit(1L << bit))
-            struct(lit(b).as("band"), c.as("chunk"))
-          }: _*)
-        }: _*))).as("bc"))
-        .select(col("id"), col("bc.band"), col("bc.chunk"))
-    // the probe→index join is ASYMMETRIC (a pair can surface with only
-    // one endpoint's bucket uncapped), so pairs canonicalize via
-    // least/greatest rather than an id_a < id_b filter that would keep
-    // or drop them by id order
-    val cand = probed.select(col("band"), col("chunk"), col("id").as("pid"))
-      .join(idx.select(col("band"), col("chunk"), col("id").as("iid")), Seq("band", "chunk"))
-      .where(col("pid") =!= col("iid"))
+          explode(flatten(array((0 until numBands).map { b =>
+            val base = bandChunk(b)
+            array((-1 until bandBits).map { bit =>
+              val c = if (bit < 0) base else base.bitwiseXOR(lit(1L << bit))
+              struct(lit(b).as("band"), c.as("chunk"), base.as("base"))
+            }: _*)
+          }: _*))).as("bc"))
+          .select(col("id"), col("bc.band"), col("bc.chunk"), col("bc.base"))
+        .join(bCounts.withColumnRenamed("chunk", "base"), Seq("band", "base"), "left")
+        .select(col("id"), col("band"), col("chunk"),
+          coalesce(col("_bn") > maxBucket, lit(false)).as("own_capped"))
+    // MIRROR-DROP (r12): every unordered collision used to produce TWO
+    // ordered join rows (a probes into b's bucket AND b probes into
+    // a's), both surviving to the pair dedup. The mirror of row
+    // (pid → iid) exists iff pid's OWN base bucket is in idx (iid's
+    // symmetric fan-out reaches it) — so keeping a row only when
+    // `pid < iid OR own_capped` retains exactly one row per collision
+    // without changing the candidate SET: both buckets alive → the
+    // pid < iid direction survives; only the target bucket alive → that
+    // single direction survives via own_capped. Exact-chunk collisions
+    // share one bucket (cap symmetric), so pid < iid alone is sound for
+    // them — and for the whole probeBits = 0 path. Halves the rows
+    // entering the dedup exchange. least/greatest (not id_a = pid)
+    // stays: own_capped rows arrive in either order.
+    // size-gated hint on the INDEX side: it is (1 + bandBits)× slimmer
+    // than the probe fan-out (one row per band vs one per band·flip), so
+    // when the planner materializes one side it must be this one — the
+    // unhinted planner has been observed building the probe side from
+    // explode-blind estimates. At 100 TB both sides scale with the
+    // corpus and the hint degrades to the shuffle join.
+    val cand = probed.select(col("band"), col("chunk"), col("id").as("pid"), col("own_capped"))
+      .join(broadcastIfBounded(idx.select(col("band"), col("chunk"), col("id").as("iid"))),
+        Seq("band", "chunk"))
+      .where(col("pid") =!= col("iid") && (col("pid") < col("iid") || col("own_capped")))
       .select(least(col("pid"), col("iid")).as("id_a"),
               greatest(col("pid"), col("iid")).as("id_b"))
       .dropDuplicates("id_a", "id_b")

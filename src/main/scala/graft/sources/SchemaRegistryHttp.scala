@@ -72,8 +72,20 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     * and an uncapped readAllBytes would buffer an arbitrary body into
     * the driver heap before any validation (r11 review). Schemas are a
     * few KB; 1 MiB is generous. */
-  private def readBody(ex: HttpExchange): Option[String] =
-    graft.HttpGuards.readBodyBounded(ex, 1 << 20).map(new String(_, UTF_8))
+  private def readBody(ex: HttpExchange): Option[String] = {
+    val max = 1 << 20
+    graft.HttpGuards.readBodyBounded(ex, max) match {
+      case None => None // timed out — 408 already sent
+      case Some(b) if b.length > max =>
+        // readBodyBounded reads max+1 bytes so oversize is detectable;
+        // without this check a >1 MiB schema parses TRUNCATED and
+        // surfaces as a misleading 422 "missing schema field" instead
+        // of 413 (mirrors JobServerHttp.deploy; r11 advisor)
+        respond(ex, 413, s"""{"error_code":413,"message":"request body exceeds $max bytes"}""")
+        None
+      case Some(b) => Some(new String(b, UTF_8))
+    }
+  }
 
   private def notFound(ex: HttpExchange, code: Int, msg: String): Unit =
     respond(ex, 404, s"""{"error_code":$code,"message":${jstr(msg)}}""")

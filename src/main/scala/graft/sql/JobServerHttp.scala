@@ -137,11 +137,37 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     }
   }
 
+  /** Metrics for ALL the given jobs, cache-first. If every entry is
+    * fresh this touches no Spark; otherwise ONE metricsDf(None) scan
+    * refreshes the whole map — the per-name path would run N full sink
+    * scans per cold /report poll with N jobs (r11 advisor). */
+  private def cachedMetricsAll(names: Seq[String]): Map[String, Option[(Long, Long, Long)]] = {
+    val now = System.nanoTime()
+    val fresh = names.flatMap { n =>
+      Option(metricsCache.get(n))
+        .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L)
+        .map(n -> _._2)
+    }.toMap
+    if (fresh.size == names.size) fresh
+    else {
+      val scanned = ctx.jobManager.metricsDf(None).collect().map(r =>
+        r.getAs[String]("job_name") ->
+          (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
+            r.getAs[Long]("sink_rows"))).toMap
+      names.map { n =>
+        val v = scanned.get(n)
+        metricsCache.put(n, (now, v))
+        n -> v
+      }.toMap
+    }
+  }
+
   private def reportText(): String = {
     val rows = jobRows(None)
+    val metrics = cachedMetricsAll(rows.map(_.name))
     val sb = new StringBuilder(s"graft multi-job server report — ${rows.size} job(s)\n")
     rows.foreach { j =>
-      val (batch, _, sunk) = cachedMetrics(j.name).getOrElse((-1L, 0L, 0L))
+      val (batch, _, sunk) = metrics.getOrElse(j.name, None).getOrElse((-1L, 0L, 0L))
       sb.append(f"  ${j.name}%-24s ${j.status}%-8s v${j.version}%-8s " +
         f"breaker=${j.breaker}%-9s last_batch=$batch%-4d sink_rows=$sunk%d\n")
       if (j.error.nonEmpty) sb.append(s"    error: ${j.error}\n")
@@ -195,6 +221,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
         // admission control all apply exactly as for a SQL DEPLOY
         try {
           ctx.sql(s"DEPLOY JOB $name VERSION '$version' AS $q")
+          // new generation: the previous deployment's cached
+          // last_batch_id/sink_rows must never be served as this one's
+          // numbers for up to MetricsTtlMs (r11 advisor)
+          metricsCache.remove(name)
           jobRows(Some(name)).headOption match {
             case Some(j) => respond(ex, 200, jobJson(j))
             case None => err(ex, 500, "deploy did not register the job")
@@ -227,6 +257,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       .exists(kv => kv.length == 2 && kv(0) == "force" && kv(1) == "true")
     try {
       ctx.sql(s"STOP JOB $name${if (force) " FORCE" else ""}")
+      // evict on stop so a stopped (and possibly soon-undeployed) job's
+      // entry doesn't linger in the map, and a redeploy under the same
+      // name starts from a cold cache (r11 advisor)
+      metricsCache.remove(name)
       respond(ex, 200, jobJson(jobRows(Some(name)).head))
     } catch {
       case e: ParseException =>
