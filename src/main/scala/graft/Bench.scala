@@ -376,6 +376,17 @@ object Bench {
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), fullJson + "\n")
+    // Tracked full-artifact copy (r12): the driver's BENCH_rN `tail`
+    // truncates before q1-q42, and bench_out.json is untracked AND
+    // overwritten by any subset run — the full per-query history was
+    // not diffable from git alone. At seal time the round number is
+    // exported and the FULL json also lands in BENCHFULL_r<N>.json
+    // (same head stamp as the stdout line), committed with the round.
+    // Subset runs never write it: a one-query artifact is not a round
+    // record.
+    sys.env.get("SPARK_GRAFT_BENCHFULL_ROUND").filter(_ => only.isEmpty).foreach { n =>
+      Files.writeString(Paths.get(s"BENCHFULL_r$n.json"), fullJson + "\n")
+    }
     spark.stop()
   }
 }

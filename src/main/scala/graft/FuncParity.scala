@@ -87,8 +87,11 @@ object FuncParity {
       "parity-verified", "q1_agg oracle"),
     "APPROX_COUNT_DISTINCT" -> Ledger(
       "SELECT symbol, APPROX_COUNT_DISTINCT(volume) AS a FROM t GROUP BY symbol",
-      "implemented", "q21_approx_distinct oracle (exact at test scale)",
-      "approximation algorithm is engine-specific (Spark HLL++); the reference keeps a HashSet"),
+      "divergence-documented", "q21_approx_distinct oracle (exact at test scale)",
+      "the reference's 'approx' is an EXACT HashSet (aggregation/functions.rs) — " +
+        "unbounded per-group memory at scale; this engine uses Spark's HLL++ sketch " +
+        "(bounded memory, the operator's reason to exist). Values agree at test scale, " +
+        "oracled in q21"),
     "COUNT_DISTINCT" -> Ledger(
       "SELECT symbol, COUNT_DISTINCT(volume) AS c FROM t GROUP BY symbol",
       "parity-verified", "q21_approx_distinct oracle"),
@@ -138,20 +141,37 @@ object FuncParity {
     "REGR_R2" -> Ledger("SELECT REGR_R2(price, volume) AS r FROM t",
       "parity-verified", "q15_stats oracle"),
     // ---- math ----
-    "ABS" -> Ledger("SELECT ABS(-price) AS a FROM t", "implemented", s"$FS math surface"),
+    "ABS" -> Ledger("SELECT ABS(-price) AS a FROM t",
+      "parity-verified", s"$FS 'math parity edges' (functions.rs:405-422)",
+      "keeps the input kind: Integer→Integer, Float→Float, NULL→NULL"),
     "ROUND" -> Ledger("SELECT ROUND(price, 1) AS r FROM t",
       "parity-verified", s"$FS 'ROUND branches on type' + NULL-precision (functions.rs:424,435)",
       "int passthrough; floats via f64 multiply-round-divide; NULL precision is NULL for every type"),
     "CEIL" -> Ledger("SELECT CEIL(price) AS c, CEILING(price) AS c2 FROM t",
-      "implemented", s"$FS math surface"),
-    "FLOOR" -> Ledger("SELECT FLOOR(price) AS f FROM t", "implemented", s"$FS math surface"),
-    "SQRT" -> Ledger("SELECT SQRT(price) AS s FROM t", "implemented", s"$FS math surface"),
+      "parity-verified", s"$FS 'math parity edges' (functions.rs:474-491)",
+      "a Float input returns an INTEGER (f.ceil() as i64 == Spark's bigint); int passthrough"),
+    "FLOOR" -> Ledger("SELECT FLOOR(price) AS f FROM t",
+      "parity-verified", s"$FS 'math parity edges' (functions.rs:493-511)",
+      "Float→Integer like CEIL; floor(-1.2) = -2 pinned"),
+    "SQRT" -> Ledger("SELECT SQRT(price) AS s FROM t",
+      "divergence-documented", s"$FS 'math parity edges' (functions.rs:512-547)",
+      "the reference ERRORS the query on a negative input; this engine keeps IEEE NaN " +
+        "(degrade-don't-throw at 100 TB) — pinned by spec"),
     "POWER" -> Ledger("SELECT POWER(price, 2) AS p, POW(2, 3) AS p2 FROM t",
-      "implemented", s"$FS math surface"),
-    "MOD" -> Ledger("SELECT MOD(volume, 3) AS m FROM t", "implemented", s"$FS math surface"),
-    "LEAST" -> Ledger("SELECT LEAST(price, 50) AS l FROM t", "implemented", s"$FS math surface"),
+      "parity-verified", s"$FS 'math parity edges' (functions.rs:549-577)",
+      "ALWAYS returns Float, including Integer^Integer — POWER(2,3) = 8.0 double pinned"),
+    "MOD" -> Ledger("SELECT MOD(volume, 3) AS m FROM t",
+      "parity-verified", s"$FS 'MOD truncates toward zero' (functions.rs:578-620)",
+      "Rust % truncation == Spark %: MOD(-7,3) = -1, MOD(7,-3) = 1 pinned. Divisor 0: " +
+        "the reference errors; here ANSI mode governs (error under Spark 4's ANSI default, " +
+        "NULL in legacy mode). Mixed Integer/Float args: reference errors, Spark coerces"),
+    "LEAST" -> Ledger("SELECT LEAST(price, 50) AS l FROM t",
+      "parity-verified", s"$FS 'LEAST/GREATEST skip NULLs' (functions.rs:2531-2557,2216-2297)",
+      "NULL never wins (all-NULL → NULL) and Integer promotes to Float when mixed — both " +
+        "pinned; cross-type string/number args: reference errors, Spark coerces"),
     "GREATEST" -> Ledger("SELECT GREATEST(price, 50) AS g FROM t",
-      "implemented", s"$FS math surface"),
+      "parity-verified", s"$FS 'LEAST/GREATEST skip NULLs' (functions.rs:2559-2586)",
+      "same NULL-skip and numeric-promotion pins as LEAST"),
     // ---- string ----
     "UPPER" -> Ledger("SELECT UPPER(symbol) AS u FROM t",
       "parity-verified", "q17_string_funcs oracle"),
@@ -188,14 +208,24 @@ object FuncParity {
     "REGEXP" -> Ledger("SELECT REGEXP(symbol, '^[A-M]') AS m FROM t",
       "parity-verified", "q17_string_funcs oracle"),
     "REGEXP_REPLACE" -> Ledger("SELECT REGEXP_REPLACE(symbol, 'A+', 'x') AS r FROM t",
-      "implemented", s"$FS string surface (Spark native; Rust regex dialect differences possible)"),
+      "parity-verified",
+      s"$FS 'REGEXP_REPLACE replaces FIRST match by default' (functions.rs:784-868)",
+      "first-match-only default (Rust Regex::replace), 'g' = replace all, 'i' = " +
+        "case-insensitive — lowered to the velo_regexp_replace kernel, NOT Spark's " +
+        "replace-all builtin. Residual divergence: Java vs Rust regex syntax corners " +
+        "($$-escaping in replacements, exotic classes)"),
     "SPLIT_PART" -> Ledger("SELECT SPLIT_PART('a-b-c', '-', 2) AS p FROM t",
       "parity-verified", s"$FS 'SPLIT_PART and POSITION forms pass through to Spark natives'"),
     // ---- datetime ----
-    "NOW" -> Ledger("SELECT NOW() AS n FROM t", "implemented", s"$FS date/time surface",
-      "nondeterministic — probe checks execution only"),
+    "NOW" -> Ledger("SELECT NOW() AS n FROM t",
+      "divergence-documented", s"$FS 'NOW/CURRENT_TIMESTAMP surface as TIMESTAMP' (functions.rs:2319-2329)",
+      "the reference returns Integer epoch-MILLIS; this engine keeps TIMESTAMP so " +
+        "event-time comparisons and interval arithmetic type-check — epoch millis are " +
+        "UNIX_TIMESTAMP()*1000 away. Type choice pinned by spec"),
     "CURRENT_TIMESTAMP" -> Ledger("SELECT CURRENT_TIMESTAMP AS c FROM t",
-      "implemented", s"$FS date/time surface"),
+      "divergence-documented", s"$FS 'NOW/CURRENT_TIMESTAMP surface as TIMESTAMP' (functions.rs:2331-2337)",
+      "alias of NOW in the reference (same epoch-millis Integer) — same documented " +
+        "TIMESTAMP-type divergence"),
     "TIMESTAMP" -> Ledger("SELECT TIMESTAMP() AS ts FROM t",
       "parity-verified", s"$FS date/time surface",
       "zero-arg form reads the record's event time (the reference's _timestamp)"),
@@ -215,7 +245,10 @@ object FuncParity {
       "SELECT TUMBLE_END(event_time, INTERVAL '5' MINUTE) AS w FROM t",
       "parity-verified", "q46_sql_tumbling oracle"),
     "FROM_UNIXTIME" -> Ledger("SELECT FROM_UNIXTIME(1700000000) AS f FROM t",
-      "implemented", s"$FS date/time surface"),
+      "parity-verified",
+      s"$FS 'FROM_UNIXTIME returns a TIMESTAMP value' (functions.rs:2413-2447)",
+      "returns TIMESTAMP (chrono from_timestamp), not Spark's formatted string — lowered " +
+        "to timestamp_seconds; the Float arm keeps sub-second precision; NULL→NULL"),
     "UNIX_TIMESTAMP" -> Ledger("SELECT UNIX_TIMESTAMP(event_time) AS u FROM t",
       "parity-verified", "q18_datetime_funcs oracle"),
     // ---- conditional ----
@@ -240,11 +273,24 @@ object FuncParity {
       "parity-verified", s"$FS 'JSON_EXISTS / JSON_QUERY semantics' (functions.rs:1138)"),
     // ---- array / map / struct ----
     "ARRAY" -> Ledger("SELECT ARRAY(price, volume) AS a FROM t",
-      "implemented", s"$FS conditional+array surface; q36_array_map oracle"),
+      "divergence-documented",
+      s"$FS 'STRUCT name/value-pair and positional arms' spec; q36_array_map oracle (functions.rs:1306-1314)",
+      "constructor pinned for homogeneous elements (the relational case); the reference's " +
+        "arrays are heterogeneous FieldValue vectors — mixed incompatible element types " +
+        "are an analysis error here (fixed element type is what makes columnar scans work)"),
     "STRUCT" -> Ledger("SELECT STRUCT(symbol, price) AS s FROM t",
-      "implemented", s"$FS conditional+array surface"),
+      "parity-verified",
+      s"$FS 'STRUCT name/value-pair and positional arms' (functions.rs:1316-1350)",
+      "even arg count with literal names → named pairs (named_struct), odd count → " +
+        "positional field0..fieldN — both pinned. Even-count NON-literal names are " +
+        "per-record field names in the reference (HashMap structs) — unrepresentable in a " +
+        "fixed schema, falls back to positional struct() (documented divergence)"),
     "MAP" -> Ledger("SELECT MAP('s', symbol) AS m FROM t",
-      "implemented", s"$FS conditional+array surface"),
+      "parity-verified",
+      s"$FS 'MAP stringifies integer keys' (functions.rs:1352-1383)",
+      "keys route through velo_str so integer keys stringify (MAP(1,'x') = {\"1\":\"x\"}) — " +
+        "every reference map is string-keyed; odd arg counts error in both engines. " +
+        "Float/other key types: reference errors, here they stringify via velo_str"),
     "ARRAY_LENGTH" -> Ledger(
       "SELECT ARRAY_LENGTH(ARRAY(1, 2, 3)) AS al, ARRAY_LENGTH('[1,2,3]') AS jl FROM t",
       "parity-verified",
@@ -392,6 +438,11 @@ object FuncParity {
       val nDiverged = rows.count(_._5 == "divergence-documented")
       val nImpl = rows.count(_._5 == "implemented")
       val nUnknown = rows.count(_._5 == "unknown")
+      // "pinned" = evidence stronger than an execution probe: a
+      // cross-evaluator spec/oracle anchor (parity-verified) or a
+      // spec-pinned documented divergence. The driver diffs this count
+      // round-over-round; bare-'implemented' rows are the gap.
+      val nPinned = nVerified + nDiverged
       val nProbeFail = rows.count(r => r._2.isDefined && !r._3)
       val head = try {
         new String(java.lang.Runtime.getRuntime
@@ -403,6 +454,7 @@ object FuncParity {
            |"total":${rows.size},
            |"parity_verified":$nVerified,
            |"divergence_documented":$nDiverged,
+           |"pinned":$nPinned,
            |"implemented":$nImpl,
            |"unknown":$nUnknown,
            |"probe_failures":$nProbeFail,
@@ -411,7 +463,7 @@ object FuncParity {
            |]}""".stripMargin
       Files.writeString(Paths.get(outPath), json)
       println(s"FUNCPARITY: ${rows.size} functions, $nVerified verified, " +
-        s"$nDiverged documented divergences, $nImpl implemented, " +
+        s"$nDiverged documented divergences ($nPinned pinned), $nImpl implemented, " +
         s"$nUnknown unknown, $nProbeFail probe failures -> $outPath")
       if (unknown.nonEmpty) {
         System.err.println(s"UNKNOWN (no ledger entry): ${unknown.mkString(", ")}")

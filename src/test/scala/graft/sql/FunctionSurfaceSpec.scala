@@ -649,4 +649,135 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     // rows 1+2 share the 10:00-10:05 bucket
     assert(df.count() == 3)
   }
+
+  // ---- r12: cross-evaluator pins for the last bare-'implemented'
+  //      FUNCPARITY rows (each test reads the referenced Rust arm) ----
+
+  test("math parity edges: ABS/CEIL/FLOOR/POWER types and values (functions.rs:405-577)") {
+    val r = ctx.sql(
+      """SELECT ABS(0 - 5) AS ai, ABS(CAST(0.0 - 5.5 AS DOUBLE)) AS af,
+         CEIL(CAST(1.2 AS DOUBLE)) AS c1, CEIL(CAST(0.0 - 1.2 AS DOUBLE)) AS c2,
+         CEILING(CAST(3.0 AS DOUBLE)) AS c3,
+         FLOOR(CAST(1.8 AS DOUBLE)) AS f1, FLOOR(CAST(0.0 - 1.2 AS DOUBLE)) AS f2,
+         POWER(2, 3) AS p1, POW(2.0, 0.5) AS p2,
+         SQRT(CAST(4.0 AS DOUBLE)) AS sq, SQRT(CAST(0 - 1 AS DOUBLE)) AS sqneg
+         FROM t WHERE id = 1""")
+    val row = r.collect().head
+    val tp = r.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    // ABS keeps the input kind (Integer→Integer, Float→Float,
+    // functions.rs:405-422)
+    assert(!tp("ai").contains("double") && row.getAs[Number]("ai").longValue == 5L)
+    assert(tp("af") == "double" && row.getAs[Double]("af") == 5.5)
+    // CEIL/FLOOR of a float return an INTEGER (i64), not a float
+    // (functions.rs:474-511: `f.ceil() as i64`) — Spark's bigint result
+    // is the same shape
+    assert(tp("c1") == "bigint" && row.getAs[Long]("c1") == 2L)
+    assert(row.getAs[Long]("c2") == -1L && row.getAs[Long]("c3") == 3L)
+    assert(tp("f1") == "bigint" && row.getAs[Long]("f1") == 1L)
+    assert(row.getAs[Long]("f2") == -2L)
+    // POWER always returns Float, including Integer^Integer
+    // (functions.rs:549-577: `(b as f64).powf(e as f64)`)
+    assert(tp("p1") == "double" && row.getAs[Double]("p1") == 8.0)
+    assert(math.abs(row.getAs[Double]("p2") - math.sqrt(2.0)) < 1e-12)
+    assert(row.getAs[Double]("sq") == 2.0)
+    // DOCUMENTED DIVERGENCE: the reference ERRORS the whole query on a
+    // negative SQRT input (functions.rs:512-547); a 100 TB batch dying
+    // on one bad row is the wrong trade, so this engine keeps IEEE NaN
+    // (degrade-don't-throw). Pinned so a silent change trips a test.
+    assert(java.lang.Double.isNaN(row.getAs[Double]("sqneg")))
+  }
+
+  test("MOD truncates toward zero like the reference; LEAST/GREATEST skip NULLs and promote numerics (functions.rs:578-620,2531-2586)") {
+    val r = ctx.sql(
+      """SELECT MOD(0 - 7, 3) AS m1, MOD(7, 0 - 3) AS m2,
+         MOD(CAST(7.5 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS mf,
+         LEAST(2, CAST(1.5 AS DOUBLE)) AS l1, LEAST(NULL, 5) AS l2, LEAST('b', 'a') AS l3,
+         GREATEST(2, CAST(2.5 AS DOUBLE)) AS g1, GREATEST(NULL, 5) AS g2
+         FROM t WHERE id = 1""")
+    val row = r.collect().head
+    // Rust % truncates toward zero: -7 % 3 = -1, 7 % -3 = 1 — Spark's
+    // % is the same convention (NOT pmod)
+    assert(row.getAs[Number]("m1").longValue == -1L)
+    assert(row.getAs[Number]("m2").longValue == 1L)
+    assert(row.getAs[Double]("mf") == 1.5)
+    // promote_numeric_types: Integer promotes to Float when mixed
+    // (functions.rs:2249); NULL never wins min/max (compare_values_*
+    // 2216-2246: "anything is less than NULL") — Spark's least/greatest
+    // skip NULLs identically
+    assert(row.getAs[Double]("l1") == 1.5)
+    assert(row.getAs[Number]("l2").longValue == 5L)
+    assert(row.getAs[String]("l3") == "a")
+    assert(row.getAs[Double]("g1") == 2.5)
+    assert(row.getAs[Number]("g2").longValue == 5L)
+  }
+
+  test("FROM_UNIXTIME returns a TIMESTAMP value, not a formatted string (functions.rs:2413-2447)") {
+    val r = ctx.sql(
+      """SELECT FROM_UNIXTIME(1700000000) AS ft, FROM_UNIXTIME(1.5) AS ff,
+         FROM_UNIXTIME(NULL) AS fn FROM t WHERE id = 1""")
+    val tp = r.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(tp("ft") == "timestamp" && tp("ff") == "timestamp")
+    val row = r.collect().head
+    // chrono from_timestamp(1700000000, 0).naive_utc() — session zone
+    // is pinned UTC, so the rendered wall-clock matches
+    assert(row.getAs[Timestamp]("ft").toString == "2023-11-14 22:13:20.0")
+    // the Float arm keeps sub-second precision (nanos in the reference,
+    // micros here — Spark's native precision)
+    assert(row.getAs[Timestamp]("ff").toString == "1970-01-01 00:00:01.5")
+    assert(row.isNullAt(row.fieldIndex("fn")))
+  }
+
+  test("REGEXP_REPLACE replaces FIRST match by default; 'g' replaces all, 'i' case-insensitive (functions.rs:784-868)") {
+    val r = ctx.sql(
+      """SELECT REGEXP_REPLACE('aaa', 'a', 'b') AS first_only,
+         REGEXP_REPLACE('aaa', 'a', 'b', 'g') AS all_g,
+         REGEXP_REPLACE('AaA', 'a', 'b', 'gi') AS ci,
+         REGEXP_REPLACE('x1y2', '[0-9]', '#', 'g') AS digits,
+         REGEXP_REPLACE(NULL, 'a', 'b') AS rnull
+         FROM t WHERE id = 1""")
+    val row = r.collect().head
+    // Rust Regex::replace (no flag) rewrites only the first match —
+    // Spark's builtin would give 'bbb' here
+    assert(row.getAs[String]("first_only") == "baa")
+    assert(row.getAs[String]("all_g") == "bbb")
+    assert(row.getAs[String]("ci") == "bbb")
+    assert(row.getAs[String]("digits") == "x#y#")
+    assert(row.isNullAt(row.fieldIndex("rnull")))
+  }
+
+  test("STRUCT name/value-pair and positional arms; ARRAY constructor; MAP stringifies integer keys (functions.rs:1306-1383)") {
+    val r = ctx.sql(
+      """SELECT STRUCT('a', 1, 'b', symbol) AS s_named,
+         STRUCT(symbol, price, volume) AS s_pos,
+         ARRAY(1, 2, 3) AS arr,
+         MAP(1, 'x', 'k', 'y') AS m
+         FROM t WHERE id = 1""")
+    val row = r.collect().head
+    val sNamed = row.getAs[org.apache.spark.sql.Row]("s_named")
+    // even argument count = name/value pairs (functions.rs:1324-1343)
+    assert(sNamed.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(sNamed.getAs[Number]("a").longValue == 1L && sNamed.getAs[String]("b") == "AAPL")
+    // odd argument count = positional field0..fieldN (functions.rs:1345-1350)
+    val sPos = row.getAs[org.apache.spark.sql.Row]("s_pos")
+    assert(sPos.schema.fieldNames.toSeq == Seq("field0", "field1", "field2"))
+    assert(sPos.getAs[String]("field0") == "AAPL")
+    assert(row.getAs[scala.collection.Seq[Any]]("arr").map(_.asInstanceOf[Number].longValue) ==
+      Seq(1L, 2L, 3L))
+    // MAP keys must be strings or integers and integers STRINGIFY
+    // (functions.rs:1369-1379) — every reference map is string-keyed
+    val m = row.getAs[Map[String, String]]("m")
+    assert(m == Map("1" -> "x", "k" -> "y"))
+  }
+
+  test("NOW/CURRENT_TIMESTAMP surface as TIMESTAMP here — documented divergence from the reference's epoch-millis Integer (functions.rs:2319-2337)") {
+    // The reference returns Integer milliseconds since epoch from both.
+    // This engine keeps TIMESTAMP so event-time comparisons and
+    // interval arithmetic type-check (`event_time > NOW() - INTERVAL
+    // …`); epoch millis are one UNIX_TIMESTAMP()*1000 away. The pin
+    // here is the TYPE CHOICE, so a silent change trips a test.
+    val r = ctx.sql("SELECT NOW() AS n, CURRENT_TIMESTAMP AS c FROM t WHERE id = 1")
+    val tp = r.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(tp("n") == "timestamp" && tp("c") == "timestamp")
+    assert(r.collect().nonEmpty)
+  }
 }
