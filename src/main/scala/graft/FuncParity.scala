@@ -40,28 +40,56 @@ object FuncParity {
 
   final case class Ledger(probe: String, status: String, evidence: String, note: String = "")
 
-  /** `register_sql_function!` blocks → (name, aliases, category, flags). */
+  /** `register_sql_function!` blocks → (name, aliases, category, flags).
+    * FAIL-LOUD sanity: the structured regex demands the macro's exact
+    * 5-field shape, so a future reference version that reorders or
+    * extends the fields would silently drop registrations — the scrape
+    * therefore cross-checks against a count of raw invocation heads
+    * (`register_sql_function!(`, which a doc-comment mention does not
+    * match) and aborts on any mismatch (r12 review). */
   private[graft] def scrapeRegistry(path: String): Seq[RefFn] = {
     val src = Files.readString(Paths.get(path))
     val block = ("""register_sql_function!\s*\(\s*name:\s*"([^"]+)",\s*""" +
       """aliases:\s*\[([^\]]*)\],\s*category:\s*FunctionCategory::(\w+),\s*""" +
       """aggregate:\s*(\w+),\s*window:\s*(\w+)""").r
-    block.findAllMatchIn(src).map { m =>
+    val out = block.findAllMatchIn(src).map { m =>
       val aliases = m.group(2).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq
       RefFn(m.group(1), aliases, m.group(3),
         m.group(4) == "true", m.group(5) == "true", Set("expression/functions.rs"))
     }.toSeq
+    val rawInvocations = """register_sql_function!\(""".r.findAllIn(src).length
+    if (rawInvocations != out.length) {
+      System.err.println(s"FUNCPARITY SCRAPE MISMATCH: $rawInvocations raw " +
+        s"register_sql_function!( invocations but only ${out.length} parsed — " +
+        "the macro shape changed; update the scrape regex")
+      sys.exit(1)
+    }
+    out
   }
 
   /** Match-arm heads of the form `"NAME" => …` or `"A" | "B" => …` —
     * the dispatch style of window_functions.rs and
     * aggregation/functions.rs. Only ALL-CAPS quoted names count;
-    * error-message strings are mixed case and never match. */
+    * error-message strings are mixed case and never match. Character
+    * classes admit digits after the first letter (REGR_R2-style names
+    * were silently invisible to the old [A-Z_]-only classes), and
+    * rustfmt-wrapped multi-alternative arms are rejoined before the
+    * line match so a reformat cannot silently drop a whole arm
+    * (r12 review). */
   private[graft] def scrapeArmNames(path: String): Seq[String] = {
-    val armHead = """^\s*(?:"[A-Z_]+"\s*\|\s*)*"[A-Z_]+"\s*=>""".r
-    val name = "\"([A-Z_]{2,})\"".r
-    Files.readAllLines(Paths.get(path)).toArray(Array.empty[String]).toSeq
+    val armHead = """^\s*(?:"[A-Z][A-Z0-9_]*"\s*\|\s*)*"[A-Z][A-Z0-9_]*"\s*=>""".r
+    val name = "\"([A-Z][A-Z0-9_]+)\"".r
+    val raw = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String]).toSeq
+    // rejoin wrapped arms: a line ending in '|' continues, and a line
+    // starting with '|' continues the previous one
+    val joined = raw.foldLeft(Vector.empty[String]) { (acc, l) =>
+      val t = l.trim
+      if (acc.nonEmpty && (acc.last.trim.endsWith("|") || t.startsWith("|")))
+        acc.init :+ (acc.last + " " + t)
+      else acc :+ l
+    }
+    joined
       .filter(l => armHead.findFirstIn(l).isDefined)
       .flatMap(l => name.findAllMatchIn(l).map(_.group(1)))
       .distinct
@@ -212,8 +240,10 @@ object FuncParity {
       s"$FS 'REGEXP_REPLACE replaces FIRST match by default' (functions.rs:784-868)",
       "first-match-only default (Rust Regex::replace), 'g' = replace all, 'i' = " +
         "case-insensitive — lowered to the velo_regexp_replace kernel, NOT Spark's " +
-        "replace-all builtin. Residual divergence: Java vs Rust regex syntax corners " +
-        "($$-escaping in replacements, exotic classes)"),
+        "replace-all builtin. Kernel also carries Rust replacement semantics (missing " +
+        "group refs expand EMPTY, never throw; $$ and lone $ literal; backslash literal), " +
+        "(?U) Unicode classes/case-folding, and (?P<name> translation. Residual " +
+        "divergence: exotic Rust-only pattern syntax"),
     "SPLIT_PART" -> Ledger("SELECT SPLIT_PART('a-b-c', '-', 2) AS p FROM t",
       "parity-verified", s"$FS 'SPLIT_PART and POSITION forms pass through to Spark natives'"),
     // ---- datetime ----
@@ -248,7 +278,11 @@ object FuncParity {
       "parity-verified",
       s"$FS 'FROM_UNIXTIME returns a TIMESTAMP value' (functions.rs:2413-2447)",
       "returns TIMESTAMP (chrono from_timestamp), not Spark's formatted string — lowered " +
-        "to timestamp_seconds; the Float arm keeps sub-second precision; NULL→NULL"),
+        "to timestamp_seconds; the Float arm keeps sub-second precision; NULL→NULL. " +
+        "Input-domain corners diverge: negative fractional seconds are exact here where " +
+        "the reference's `as u32` nanos cast saturates to the whole second, and a " +
+        "non-numeric string coerces (NULL/error per ANSI mode) where the reference " +
+        "always errors"),
     "UNIX_TIMESTAMP" -> Ledger("SELECT UNIX_TIMESTAMP(event_time) AS u FROM t",
       "parity-verified", "q18_datetime_funcs oracle"),
     // ---- conditional ----
@@ -288,9 +322,10 @@ object FuncParity {
     "MAP" -> Ledger("SELECT MAP('s', symbol) AS m FROM t",
       "parity-verified",
       s"$FS 'MAP stringifies integer keys' (functions.rs:1352-1383)",
-      "keys route through velo_str so integer keys stringify (MAP(1,'x') = {\"1\":\"x\"}) — " +
-        "every reference map is string-keyed; odd arg counts error in both engines. " +
-        "Float/other key types: reference errors, here they stringify via velo_str"),
+      "keys route through velo_map_key: integer keys stringify (MAP(1,'x') = {\"1\":\"x\"} " +
+        "— every reference map is string-keyed), any other key type is REJECTED at " +
+        "analysis where the reference rejects it per record at run time; odd arg counts " +
+        "error in both engines"),
     "ARRAY_LENGTH" -> Ledger(
       "SELECT ARRAY_LENGTH(ARRAY(1, 2, 3)) AS al, ARRAY_LENGTH('[1,2,3]') AS jl FROM t",
       "parity-verified",
@@ -353,14 +388,13 @@ object FuncParity {
       "parity-verified", s"$FS window surface; q9_rows_frame oracle exercises frames")
   )
 
-  /** Names that appear in a dispatch file as arms of an inner helper
-    * match, not functions of the SQL surface (EXTRACT's part names,
-    * DATEDIFF's unit names) — scraping them as functions would be
-    * false census rows. Everything here is lowercase-or-part-name in
-    * the reference and unreachable as a call. */
-  private val notFunctions: Set[String] = Set(
-    "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "DOW", "DOY", "WEEK",
-    "EPOCH", "QUARTER", "MILLISECOND", "MICROSECOND", "NANOSECOND")
+  // (r12 review) an earlier notFunctions suppression set filtered
+  // EXTRACT-part names (YEAR, WEEK, …) out of the arm scrape — grep
+  // shows NO such arm heads exist in either dispatch file, so the
+  // filter removed nothing today and would have silently swallowed a
+  // future real function with one of those names. Removed: an
+  // unexpected scraped name now surfaces as `unknown` → exit 1, and a
+  // human classifies it.
 
   def main(args: Array[String]): Unit = {
     val refRoot = args.headOption.getOrElse("/root/reference/src/velostream/sql/execution")
@@ -368,18 +402,23 @@ object FuncParity {
 
     val registry = scrapeRegistry(s"$refRoot/expression/functions.rs")
     val windowNames = scrapeArmNames(s"$refRoot/expression/window_functions.rs")
-      .filterNot(notFunctions)
     val aggNames = scrapeArmNames(s"$refRoot/aggregation/functions.rs")
-      .filterNot(notFunctions)
 
     val primaryOf: Map[String, String] =
       registry.flatMap(f => (f.name +: f.aliases).map(_ -> f.name)).toMap
     val byName = scala.collection.mutable.LinkedHashMap[String, RefFn]()
     registry.foreach(f => byName(f.name) = f)
+    // registry rows keep their registry-declared flags (authoritative);
+    // a SYNTHESIZED row seen in both dispatch files must OR its flags —
+    // source-only folding left window=false on a row whose sources
+    // included window_functions.rs (r12 review)
+    val registryNames = registry.map(_.name).toSet
     def fold(names: Seq[String], src: String, window: Boolean): Unit = names.foreach { n =>
       val p = primaryOf.getOrElse(n, n)
       byName.get(p) match {
-        case Some(f) => byName(p) = f.copy(sources = f.sources + src)
+        case Some(f) if registryNames(p) => byName(p) = f.copy(sources = f.sources + src)
+        case Some(f) => byName(p) = f.copy(sources = f.sources + src,
+          aggregate = f.aggregate || !window, window = f.window || window)
         case None => byName(p) = RefFn(p, Nil, if (window) "Window" else "Aggregate",
           aggregate = !window, window = window, Set(src))
       }
@@ -444,10 +483,10 @@ object FuncParity {
       // round-over-round; bare-'implemented' rows are the gap.
       val nPinned = nVerified + nDiverged
       val nProbeFail = rows.count(r => r._2.isDefined && !r._3)
-      val head = try {
-        new String(java.lang.Runtime.getRuntime
-          .exec(Array("git", "rev-parse", "--short", "HEAD")).getInputStream.readAllBytes()).trim
-      } catch { case _: Throwable => "unknown" }
+      // the ONE head-stamp implementation (no subprocess, packed-refs
+      // aware, "unknown" on failure) — a Runtime.exec copy here emitted
+      // "" outside a checkout and leaked process streams (r12 review)
+      val head = JsonOut.gitHead()
       val json =
         s"""{"head":${JsonOut.jstr(head)},
            |"ref_root":${JsonOut.jstr(refRoot)},

@@ -237,6 +237,9 @@ object GraftKernels {
         args => VeloExprs.VeloMapKeys(args(0)), "scala_udf")
       registry.createOrReplaceTempFunction("velo_array_contains",
         args => VeloExprs.VeloArrayContains(args(0), args(1)), "scala_udf")
+      // MAP key gate + stringification (functions.rs:1369-1379)
+      registry.createOrReplaceTempFunction("velo_map_key",
+        args => VeloExprs.VeloMapKey(args(0)), "scala_udf")
     }
   }
 
@@ -273,24 +276,90 @@ object GraftKernels {
     * prepends `(?i)`. Spark's built-in replaces every match and has no
     * flags argument — routing the dialect here keeps the
     * first-match-only default users of the reference depend on (the
-    * SPLIT-returns-first-part quirk class). Patterns compile once per
-    * (pattern, i-flag) and cache, mirroring the reference's
-    * get_cached_regex; the cache clears past a bound so dynamically
-    * generated patterns cannot grow the executor heap. Group
-    * references in the replacement use Java's `$1` syntax (Rust's is
-    * compatible for numbered groups; `$$`-escaping differs — documented
-    * divergence). */
-  private val veloRegexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+    * SPLIT-returns-first-part quirk class).
+    *
+    * Rust-parity details beyond the flags:
+    *  - `(?U)` makes Java's `\d`/`\w`/`\s` and `(?i)` case-folding
+    *    Unicode, matching the Rust regex crate's default (the same
+    *    reason velo_trim prepends it);
+    *  - `(?P<name>` — Rust's classic named-group spelling — translates
+    *    to Java's `(?<name>`;
+    *  - replacement strings follow Rust expansion: a reference to a
+    *    group the pattern does not define expands to the EMPTY string
+    *    (Java would throw per row), `$$` is a literal dollar, a lone or
+    *    trailing `$` is literal, and backslashes are literal.
+    *
+    * Patterns compile once per (pattern, i-flag) and cache, mirroring
+    * the reference's get_cached_regex; past the bound, new patterns
+    * compile uncached (hot static patterns stay cached — clearing the
+    * whole map would turn every row into a Pattern.compile). */
+  private val veloRegexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.regex.Pattern, Set[String])]()
+
+  private val NamedGroupSyntax = java.util.regex.Pattern.compile(
+    """\(\?P?<([A-Za-z][A-Za-z0-9_]*)>""")
+
+  private def compileVelo(pat: String): (java.util.regex.Pattern, Set[String]) = {
+    val javaPat = pat.replace("(?P<", "(?<")
+    val names = {
+      val m = NamedGroupSyntax.matcher(pat)
+      val b = Set.newBuilder[String]
+      while (m.find()) b += m.group(1)
+      b.result()
+    }
+    (java.util.regex.Pattern.compile(javaPat), names)
+  }
+
+  /** Rust replacement-string → Java replacement-string, bound to the
+    * pattern's group inventory so Java's throw-on-missing-group can
+    * never fire: `$N`/`${N}` survive (as `$N`) when group N exists and
+    * vanish when it does not; `$name`/`${name}` survive (as `${name}`)
+    * when the named group exists and vanish when it does not; `$$` →
+    * literal `$`; `$` before punctuation or at end → literal `$`;
+    * `\` → literal backslash. */
+  private def rustReplacement(repl: String, groupCount: Int, names: Set[String]): String = {
+    val sb = new java.lang.StringBuilder(repl.length + 8)
+    var i = 0
+    def isWord(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '\\') { sb.append("\\\\"); i += 1 }
+      else if (c != '$') { sb.append(c); i += 1 }
+      else if (i + 1 >= repl.length) { sb.append("\\$"); i += 1 }
+      else if (repl.charAt(i + 1) == '$') { sb.append("\\$"); i += 2 }
+      else {
+        val braced = repl.charAt(i + 1) == '{'
+        val start = if (braced) i + 2 else i + 1
+        var j = start
+        while (j < repl.length && isWord(repl.charAt(j))) j += 1
+        val word = repl.substring(start, j)
+        val closed = !braced || (j < repl.length && repl.charAt(j) == '}')
+        if (word.isEmpty || !closed) { sb.append("\\$"); i += 1 }
+        else {
+          if (word.forall(_.isDigit)) {
+            if (word.length <= 9 && word.toInt <= groupCount)
+              sb.append('$').append(word)
+            // else: missing numbered group — Rust expands to ""
+          } else if (names.contains(word))
+            sb.append("${").append(word).append('}')
+          // else: missing named group — Rust expands to ""
+          i = if (braced) j + 1 else j
+        }
+      }
+    }
+    sb.toString
+  }
 
   def veloRegexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
                         flags: UTF8String): UTF8String = {
     val f = flags.toString
-    val pat = (if (f.indexOf('i') >= 0) "(?i)" else "") + p.toString
-    if (veloRegexCache.size > 1024) veloRegexCache.clear()
-    val compiled = veloRegexCache.computeIfAbsent(pat, java.util.regex.Pattern.compile(_))
+    val pat = (if (f.indexOf('i') >= 0) "(?U)(?i)" else "(?U)") + p.toString
+    val (compiled, names) =
+      if (veloRegexCache.size > 1024)
+        Option(veloRegexCache.get(pat)).getOrElse(compileVelo(pat))
+      else veloRegexCache.computeIfAbsent(pat, compileVelo(_))
     val m = compiled.matcher(s.toString)
-    val repl = r.toString
+    val repl = rustReplacement(r.toString, m.groupCount(), names)
     UTF8String.fromString(
       if (f.indexOf('g') >= 0) m.replaceAll(repl) else m.replaceFirst(repl))
   }

@@ -43,7 +43,17 @@ object VeloExprs {
       else child.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           If(IsNull(scaleArg), Literal.create(null, child.dataType), child)
-        case _: DecimalType => Round(child, scaleArg)
+        case dt: DecimalType if scaleArg.foldable => Round(child, scaleArg)
+        case dt: DecimalType =>
+          // per-record precision on a decimal column: Spark's Round
+          // demands a FOLDABLE scale, but the reference evaluates
+          // precision per record (functions.rs:424) — and its
+          // ScaledInteger arm rounds through f64 anyway
+          // (`value as f64 / divisor`), so the double path IS the
+          // reference arithmetic; the outer cast restores the column's
+          // declared scale like the reference keeps its scale
+          val m = Pow(Literal(10.0), Cast(scaleArg, DoubleType))
+          Cast(Divide(Round(Multiply(Cast(child, DoubleType), m), Literal(0)), m), dt)
         case _ =>
           val m = Pow(Literal(10.0), Cast(scaleArg, DoubleType))
           Divide(Round(Multiply(Cast(child, DoubleType), m), Literal(0)), m)
@@ -160,6 +170,34 @@ object VeloExprs {
       copy(child = c(0), value = c(1))
   }
 
+  /** MAP key lowering (functions.rs:1369-1379): keys must be STRINGS or
+    * INTEGERS — integer keys stringify (every reference map is
+    * string-keyed), any other key type is an error. The reference
+    * raises it per record at run time; here the same rejection surfaces
+    * once at analysis, before anything executes. */
+  case class VeloMapKey(child: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child)
+    private def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt if integral(dt) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MAP keys must be strings or integers, got ${dt.simpleString}")
+      }
+    override lazy val replacement: Expression = child.dataType match {
+      case _: StringType => child
+      case _ => Cast(child, StringType)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0))
+  }
+
   /** The reference's value→string rendering, shared by CONCAT
     * (functions.rs:1430), JOIN (functions.rs:1027), STRING_AGG
     * (aggregation/accumulator.rs:294 field_value_to_string) and
@@ -217,16 +255,20 @@ object VeloExprs {
           Literal(2.220446049250313e-16)))
       case (_: StringType, _: StringType) => ifEq(EqualTo(left, right))
       case (BooleanType, BooleanType) => ifEq(EqualTo(left, right))
-      case (l: ArrayType, r: ArrayType) if l == r && floaty(l.elementType) =>
+      case (l: ArrayType, r: ArrayType) if floaty(l.elementType) && floaty(r.elementType) =>
         // values_equal recurses element-wise (functions.rs:1690-1700):
         // float ELEMENTS use the same absolute-epsilon compare as
         // top-level floats, Null==Null is true (functions.rs:1681),
         // and a length mismatch is false — so [0.1+0.2] vs [0.3] IS
         // equal (→ NULL) where exact array equality would keep it.
-        // Built by hand as resolved lambdas: RuntimeReplaceable
-        // replacements materialize after lambda-variable resolution.
+        // Guard on ELEMENT kind only: an exact-DataType guard silently
+        // missed the common column-vs-literal pairing (containsNull
+        // true vs false) and fell to the never-NULL passthrough
+        // (r12 review). Built by hand as resolved lambdas:
+        // RuntimeReplaceable replacements materialize after
+        // lambda-variable resolution.
         val a = NamedLambdaVariable("a", l.elementType, nullable = true)
-        val b = NamedLambdaVariable("b", l.elementType, nullable = true)
+        val b = NamedLambdaVariable("b", r.elementType, nullable = true)
         val pairEq = Or(
           And(IsNull(a), IsNull(b)),
           And(And(IsNotNull(a), IsNotNull(b)),
@@ -240,11 +282,34 @@ object VeloExprs {
         // nulls, and a padded null against a null ELEMENT would read
         // equal despite the length mismatch
         ifEq(And(EqualTo(Size(left), Size(right)), allEq))
-      case (l: ArrayType, r: ArrayType) if l == r => ifEq(EqualTo(left, right))
-      case (l: StructType, r: StructType) if l == r => ifEq(EqualTo(left, right))
+      // nullability-blind comparison instead of ==: a nullable column
+      // vs a non-null literal is the same comparison in the reference;
+      // differing struct FIELD NAMES stay in the passthrough arm —
+      // the reference's HashMap equality needs matching keys anyway.
+      // The cast reconciles the nullability flags EqualTo insists on.
+      case (l: ArrayType, r: ArrayType) if VeloNullIf.sameIgnoreNull(l, r) =>
+        ifEq(EqualTo(left, Cast(right, l)))
+      case (l: StructType, r: StructType) if VeloNullIf.sameIgnoreNull(l, r) =>
+        ifEq(EqualTo(left, Cast(right, l)))
       case _ => left // no values_equal arm: never NULL
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(left = c(0), right = c(1))
+  }
+
+  object VeloNullIf {
+    /** Structural type equality ignoring nullability flags but keeping
+      * struct field NAMES (Spark's sameType is private; its public
+      * equalsStructurally ignores names, which the HashMap-keyed
+      * reference semantics must not). */
+    private[VeloExprs] def sameIgnoreNull(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: ArrayType, y: ArrayType) => sameIgnoreNull(x.elementType, y.elementType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameIgnoreNull(f.dataType, g.dataType) }
+      case (x: MapType, y: MapType) =>
+        sameIgnoreNull(x.keyType, y.keyType) && sameIgnoreNull(x.valueType, y.valueType)
+      case (x, y) => x == y
+    }
   }
 }

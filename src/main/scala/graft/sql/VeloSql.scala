@@ -171,7 +171,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     register(name, d)
   }
 
-  def parseStatement(sql: String): VeloStatement = VeloSqlParser.parse(sql, defaultTimeCol)
+  def parseStatement(sql: String): VeloStatement =
+    VeloSqlParser.parse(sql, defaultTimeCol, streamTimeCol)
 
   /** Render any statement's query core to Spark SQL text. */
   private[sql] def renderSql(stmt: VeloStatement): String = stmt match {

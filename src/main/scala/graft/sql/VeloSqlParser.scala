@@ -232,7 +232,8 @@ object VeloSqlParser {
   /** Parse one statement (trailing ';' tolerated). `defaultTimeCol` is
     * the event-time column used when a window spec / ROWS WINDOW omits
     * one (the reference uses the record timestamp). */
-  def parse(sql: String, defaultTimeCol: String = "ts"): VeloStatement = {
+  def parse(sql: String, defaultTimeCol: String = "ts",
+            timeColOf: String => Option[String] = _ => None): VeloStatement = {
     // every malformed-but-lexable input must surface as a ParseException:
     // callers (job server 400s, SqlApp's is-this-a-job probe, the
     // validator's parse-error bucket) catch ONLY ParseException, and a
@@ -242,7 +243,7 @@ object VeloSqlParser {
       val toks0 = tokenize(sql)
       val toks = if (toks0.nonEmpty && toks0.last.text == ";") toks0.dropRight(1) else toks0
       if (toks.isEmpty) throw new ParseException("empty statement")
-      val p = new P(toks, defaultTimeCol)
+      val p = new P(toks, defaultTimeCol, timeColOf)
       val stmt = p.statement()
       p.expectEof()
       stmt
@@ -254,7 +255,13 @@ object VeloSqlParser {
     }
   }
 
-  private final class P(toks: Vector[Tok], defaultTimeCol: String) {
+  // timeColOf threads the context's per-stream event-time resolver into
+  // the NESTED renders (derived tables, union wrappers) that flatten to
+  // SQL text at parse time: rendered with the bare default, a WITHIN
+  // band inside a subquery bound to the context default time column
+  // instead of each stream's registered one (r12 review).
+  private final class P(toks: Vector[Tok], defaultTimeCol: String,
+                        timeColOf: String => Option[String] = _ => None) {
     private var pos = 0
     /** Context-dependent clause stops (e.g. STRATEGY while inside a
       * DEPLOY JOB body) — checked by exprSpan alongside clauseStarts. */
@@ -472,7 +479,7 @@ object VeloSqlParser {
             // disagreeing branches stay unkeyed (ambiguous).
             val wrapped = SelectStmt(
               fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = unionKeys(u),
-              from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
+              from = "(" + u.render(toSparkSql(_, defaultTimeCol, timeColOf)) + ")",
               fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
               having = None, window = None, namedWindows = None, orderBy = None,
               limit = None, emit = emits.headOption, into = intos,
@@ -492,16 +499,24 @@ object VeloSqlParser {
     }
 
     /** A UNION body in a single-SelectStmt position (INSERT INTO …
-      * SELECT): wrapped as a derived table, same as CTAS union bodies. */
+      * SELECT): wrapped as a derived table, same as CTAS union bodies —
+      * including the CTAS path's ALL-branch EMIT/INTO hoist: the parser
+      * attaches trailing clauses to the branch it just read, so a
+      * last-branch-only read silently dropped sink wiring and emit mode
+      * written before the UNION keyword (r12 review). */
     private def asInsertBody(stmt: VeloStatement): SelectStmt = stmt match {
       case Select(s) => s
       case u: Union =>
+        val emits = u.selects.flatMap(_.emit).distinct
+        if (emits.length > 1)
+          throw new ParseException("UNION branches declare conflicting EMIT modes")
         SelectStmt(
           fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = unionKeys(u),
-          from = "(" + u.render(toSparkSql(_, defaultTimeCol)) + ")",
+          from = "(" + u.render(toSparkSql(_, defaultTimeCol, timeColOf)) + ")",
           fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
           having = None, window = None, namedWindows = None, orderBy = None,
-          limit = None, emit = u.selects.last.emit, into = u.selects.last.into,
+          limit = None, emit = emits.headOption,
+          into = u.selects.flatMap(_.into).distinct,
           props = u.selects.flatMap(_.props.toSeq).toMap)
       case other => throw new ParseException(s"unsupported INSERT body: $other")
     }
@@ -650,7 +665,7 @@ object VeloSqlParser {
 
     /** Collect a balanced-paren token span until a top-level comma,
       * clause keyword, or EOF. */
-    private def exprSpan(stopAtComma: Boolean, extraStops: Set[String] = Set.empty): Vector[Tok] = {
+    private def exprSpan(stopAtComma: Boolean): Vector[Tok] = {
       val out = ArrayBuffer[Tok]()
       var depth = 0
       var done = false
@@ -664,7 +679,7 @@ object VeloSqlParser {
         // would parse "… WHERE x > 0; SELECT b" as one statement with a
         // garbage WHERE, and validity probes would admit it
         else if (depth == 0 && t.kind == TSymbol && t.text == ";") done = true
-        else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || extraStops.contains(t.upper) || dynStops.contains(t.upper))
+        else if (depth == 0 && t.kind == TIdent && (clauseStarts.contains(t.upper) || dynStops.contains(t.upper))
                  // JOIN/LEFT/RIGHT are also catalog FUNCTIONS — a '('
                  // right after means a call, not a clause boundary
                  && !(Set("JOIN", "LEFT", "RIGHT").contains(t.upper) && peek(1).exists(_.text == "("))
@@ -724,8 +739,8 @@ object VeloSqlParser {
           val sub = selectOrUnion()
           expectSym(")")
           val rendered = sub match {
-            case Select(s) => toSparkSql(s, defaultTimeCol)
-            case u: Union => u.render(toSparkSql(_, defaultTimeCol))
+            case Select(s) => toSparkSql(s, defaultTimeCol, timeColOf)
+            case u: Union => u.render(toSparkSql(_, defaultTimeCol, timeColOf))
             case other => throw new ParseException(s"unsupported derived table: $other")
           }
           "(" + rendered + ")"
@@ -803,7 +818,7 @@ object VeloSqlParser {
           if (peek(1).exists(t => Set("TUMBLING", "SLIDING", "SESSION").contains(t.upper))) {
             take(); window = Some(windowSpec())
           } else {
-            take(); namedWindows = Some(exprSpan(stopAtComma = false, extraStops = Set("ORDER", "LIMIT", "EMIT")))
+            take(); namedWindows = Some(exprSpan(stopAtComma = false))
           }
         }
         else scanning2 = false
@@ -836,7 +851,12 @@ object VeloSqlParser {
       SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol, aggWrap)), keys, from, fromAlias,
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
-        having.map(rewriteTokens(_, defaultTimeCol, aggWrap)), window, namedWindows,
+        // namedWindows go through the rewriter like every other clause:
+        // captured raw they reached Catalyst verbatim, so a dialect form
+        // inside WINDOW w AS (PARTITION BY LEN(x) …) — legal everywhere
+        // else — died as an undefined function (r12 review)
+        having.map(rewriteTokens(_, defaultTimeCol, aggWrap)), window,
+        namedWindows.map(rewriteTokens(_, defaultTimeCol)),
         orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into,
         srcProps ++ props, distinct)
     }
@@ -869,6 +889,18 @@ object VeloSqlParser {
             // '5 MINUTS' — errors.
             val bareIdent = span.nonEmpty && span.head.kind == TIdent &&
               span.forall(tk => tk.kind == TIdent || tk.text == ".")
+            // a non-duration span that STARTS like a duration (number or
+            // INTERVAL) is a malformed duration — a typo'd unit
+            // ('5 MINUTS') or a unit parseDuration lacks (MONTH/YEAR are
+            // not fixed-length windows). Silently making it the "time
+            // column" violated the parse-don't-pass contract: the
+            // garbage died only inside spark.sql(), past the validator's
+            // parse gate (r12 review).
+            if (span.head.kind == TNumber || span.head.isKw("INTERVAL"))
+              throw new ParseException(
+                s"malformed window duration '${render(span)}' (use e.g. " +
+                  "INTERVAL '5' MINUTE, 5 MINUTES, or 5m; MONTH/YEAR are not " +
+                  "fixed-length window sizes)")
             if (timeCol.isEmpty) timeCol = Some(render(span).replace(" . ", "."))
             else if (bareIdent) pcols :+= render(span).replace(" . ", ".")
             else
@@ -1344,12 +1376,19 @@ object VeloSqlParser {
                    WHEN try_parse_json(__ARG1__) IS NULL THEN false
                    ELSE ($probes) END)""",
                 (j +: cands): _*)
-            } else { // dynamic path: fall back to the value probe
-              out += sym("(") += id("get_json_object") += sym("(")
-              out ++= j
-              out += sym(",")
-              out ++= cands.head
-              out += sym(")") += id("IS") += id("NOT") += id("NULL") += sym(")")
+            } else {
+              // dynamic path: variant_get demands a LITERAL path, so the
+              // value probe via get_json_object is the fallback — but
+              // the reference NULL rules still apply where expressible:
+              // NULL json → NULL and NULL path → NULL (a bare IS NOT
+              // NULL probe read both as false, r12 review). The one
+              // corner get_json_object cannot express remains: a key
+              // holding JSON null reads false here, true in the
+              // reference (the static-path variant probe gets it right).
+              emitTpl(
+                """(CASE WHEN __ARG1__ IS NULL OR __ARG2__ IS NULL THEN CAST(NULL AS BOOLEAN)
+                   ELSE get_json_object(__ARG1__, __ARG2__) IS NOT NULL END)""",
+                j, cands.head)
             }
             i = end
           case "JSON_QUERY" =>
@@ -1828,7 +1867,7 @@ object VeloSqlParser {
             } else out += Tok(TString, "''")
             out += sym(")")
             i = end
-          case "STRUCT" if span.lift(i + 1).exists(_.text == "(") =>
+          case "STRUCT" =>
             // reference STRUCT (functions.rs:1316): an EVEN argument
             // count is name/value pairs, an ODD count is positional
             // field0..fieldN — both lower to named_struct. Even-count
@@ -1841,10 +1880,23 @@ object VeloSqlParser {
             val namedPairs = args.nonEmpty && args.length % 2 == 0 &&
               args.grouped(2).forall(p => p.head.length == 1 && p.head.head.kind == TString)
             if (namedPairs) {
+              // duplicate names: the reference's HashMap keeps ONE field
+              // per name, last insert wins (first position kept here for
+              // a deterministic schema — the reference has no field
+              // order at all); un-deduped named_struct would emit
+              // struct<a:…,a:…> and make every later `.a` access an
+              // ambiguous-reference error
+              val deduped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Tok]]
+              args.grouped(2).foreach { p =>
+                deduped(p.head.head.text) = p(1)
+              }
               out += id("named_struct") += sym("(")
-              args.zipWithIndex.foreach { case (a, ix) =>
-                if (ix > 0) out += sym(",")
-                out ++= rewriteTokens(a, defaultTimeCol)
+              var first = true
+              deduped.foreach { case (name, value) =>
+                if (!first) out += sym(",")
+                first = false
+                out += Tok(TString, name) += sym(",")
+                out ++= rewriteTokens(value, defaultTimeCol)
               }
               out += sym(")")
             } else if (args.length % 2 == 1) {
@@ -1864,19 +1916,22 @@ object VeloSqlParser {
               out += sym(")")
             }
             i = end
-          case "MAP" if span.lift(i + 1).exists(_.text == "(") &&
-              !out.lastOption.exists(_.isKw("AS")) =>
-            // reference MAP keys must be strings or integers and integer
-            // keys are STRINGIFIED (functions.rs:1352-1383) — every
-            // reference map is string-keyed. Keys route through velo_str
-            // so MAP(1, 'x') builds {"1": "x"} here too. The AS guard
-            // keeps CAST(x AS MAP(...)) type positions out of this arm.
+          case "MAP" =>
+            // reference MAP keys must be STRINGS or INTEGERS, and
+            // integer keys are STRINGIFIED (functions.rs:1352-1383) —
+            // every reference map is string-keyed. Keys route through
+            // velo_map_key, which stringifies integers (MAP(1,'x') =
+            // {"1":"x"}) and rejects any other key type at analysis
+            // (the reference rejects them per record at run time).
+            // Expression position only: the dialect's CAST grammar
+            // takes a single-identifier type, so MAP here is always the
+            // constructor call.
             val (args, end) = callArgs(i + 1)
             out += id("map") += sym("(")
             args.zipWithIndex.foreach { case (a, ix) =>
               if (ix > 0) out += sym(",")
               if (ix % 2 == 0) {
-                out += id("velo_str") += sym("(")
+                out += id("velo_map_key") += sym("(")
                 out ++= rewriteTokens(a, defaultTimeCol)
                 out += sym(")")
               } else out ++= rewriteTokens(a, defaultTimeCol)
@@ -1931,10 +1986,15 @@ object VeloSqlParser {
                   // chrono timestamp() — a euclidean FLOOR (functions.rs
                   // :1919) — and cast-to-long floors micros where
                   // unix_timestamp truncates toward zero (pre-1970
-                  // fractional seconds read one second apart)
+                  // fractional seconds read one second apart). The inner
+                  // TIMESTAMP cast keeps string-typed ts columns working
+                  // (the UNIX_TIMESTAMP arm's rationale): without it a
+                  // string column casts '2024-…' straight to BIGINT —
+                  // NULL on every row, silently.
                   def castLong(ts: Iterable[Tok]): Unit = {
-                    out += id("CAST") += sym("(")
+                    out += id("CAST") += sym("(") += id("CAST") += sym("(")
                     out ++= ts
+                    out += id("AS") += id("TIMESTAMP") += sym(")")
                     out += id("AS") += id("BIGINT") += sym(")")
                   }
                   if (minusIx > 0 && !rhsIsInterval) {

@@ -745,6 +745,44 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(row.isNullAt(row.fieldIndex("rnull")))
   }
 
+  test("REGEXP_REPLACE replacement/pattern corners follow Rust: missing groups empty, literal $, Unicode classes") {
+    val r = ctx.sql(
+      """SELECT REGEXP_REPLACE('aaa', 'a', '$1') AS missing_group,
+         REGEXP_REPLACE('cost', 't', 'US$', 'g') AS trailing_dollar,
+         REGEXP_REPLACE('ab', '(a)', '[$1]') AS real_group,
+         REGEXP_REPLACE('price', 'p', '$$') AS dollar_escape,
+         REGEXP_REPLACE('ÉCLAIR', 'é', 'x', 'i') AS uni_fold
+         FROM t WHERE id = 1""")
+    val row = r.collect().head
+    // Rust expands a reference to a group the pattern does not define
+    // to the EMPTY string; Java's Matcher would throw
+    // IndexOutOfBoundsException per row and kill the whole job
+    assert(row.getAs[String]("missing_group") == "aa")
+    // a lone/trailing '$' is literal in Rust; Java alone would throw
+    // 'Illegal group reference'
+    assert(row.getAs[String]("trailing_dollar") == "cosUS$")
+    assert(row.getAs[String]("real_group") == "[a]b")
+    assert(row.getAs[String]("dollar_escape") == "$rice")
+    // Rust regex case-folding is Unicode by default; Java's (?i) is
+    // ASCII-only without (?U) (the velo_trim precedent)
+    assert(row.getAs[String]("uni_fold") == "xCLAIR")
+  }
+
+  test("STRUCT duplicate literal names keep ONE field (reference HashMap semantics); MAP rejects non-string/integer keys at analysis") {
+    val r = ctx.sql("SELECT STRUCT('a', 1, 'a', 2) AS s FROM t WHERE id = 1")
+    val s = r.collect().head.getAs[org.apache.spark.sql.Row]("s")
+    // the reference's HashMap keeps one 'a' (last insert wins);
+    // un-deduped named_struct would make `.a` access ambiguous
+    assert(s.schema.fieldNames.toSeq == Seq("a"))
+    assert(s.getAs[Number]("a").longValue == 2L)
+    // reference: "MAP keys must be strings or integers" (runtime error
+    // there, analysis-time rejection here)
+    val e = intercept[Exception](
+      ctx.sql("SELECT MAP(CAST(1.5 AS DOUBLE), 'x') AS m FROM t").collect())
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("map keys") ||
+      String.valueOf(e.getMessage).contains("DATATYPE_MISMATCH"))
+  }
+
   test("STRUCT name/value-pair and positional arms; ARRAY constructor; MAP stringifies integer keys (functions.rs:1306-1383)") {
     val r = ctx.sql(
       """SELECT STRUCT('a', 1, 'b', symbol) AS s_named,
@@ -767,6 +805,49 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     // (functions.rs:1369-1379) — every reference map is string-keyed
     val m = row.getAs[Map[String, String]]("m")
     assert(m == Map("1" -> "x", "k" -> "y"))
+  }
+
+  test("r12 review batch: EPOCH on string ts, NULLIF array literal, dynamic-precision decimal ROUND, named WINDOW rewrite, JSON_EXISTS dynamic-path NULLs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-06-01 10:00:00", 2.5, java.math.BigDecimal.valueOf(12345, 2), 1,
+        Seq(0.1 + 0.2), "{\"k\": 1}", "$.k"),
+      (2L, "2024-06-01 11:00:00", 7.5, java.math.BigDecimal.valueOf(98765, 2), 0,
+        Seq(0.5), null, "$.k")
+    ).toDF("rid", "sts", "d", "dec", "prec", "farr", "payload", "pathc")
+    ctx.register("r12_t", rows)
+    // EXTRACT(EPOCH FROM <string ts>) casts through TIMESTAMP — a bare
+    // BIGINT cast of the string read NULL on every row (silent wrong
+    // output)
+    val ep = ctx.sql("SELECT EXTRACT(EPOCH FROM sts) AS e FROM r12_t WHERE rid = 1")
+      .collect().head
+    assert(!ep.isNullAt(0) && ep.getAs[Long]("e") == 1717236000L)
+    // NULLIF(float-array COLUMN, array literal): containsNull mismatch
+    // must not skip the element-wise epsilon compare — [0.1+0.2] vs
+    // [0.3] IS equal in the reference (absolute-epsilon floats)
+    val nf = ctx.sql("SELECT NULLIF(farr, ARRAY(CAST(0.3 AS DOUBLE))) AS n FROM r12_t")
+      .collect().map(r => r.isNullAt(0))
+    assert(nf.toSeq == Seq(true, false))
+    // decimal column + per-record precision: the reference evaluates
+    // precision per record; Spark's Round demands a foldable scale, so
+    // the dynamic path goes through the f64 arithmetic the reference's
+    // ScaledInteger arm uses anyway
+    val dr = ctx.sql("SELECT ROUND(dec, prec) AS r FROM r12_t ORDER BY rid")
+      .collect().map(_.getAs[java.math.BigDecimal]("r").doubleValue)
+    assert(dr.toSeq == Seq(123.5, 988.0))
+    // named WINDOW clause goes through the dialect rewriter: LEN is a
+    // dialect name (byte length) that reaches Catalyst as velo-lowered
+    // code, not an undefined function
+    val nw = ctx.sql(
+      """SELECT rid, COUNT(*) OVER w AS c FROM r12_t
+         WINDOW w AS (PARTITION BY LEN(sts))""")
+    assert(nw.collect().length == 2)
+    // JSON_EXISTS with a DYNAMIC path keeps the reference NULL rules
+    // where expressible: NULL json → NULL (a bare IS-NOT-NULL probe
+    // read it as false)
+    val je = ctx.sql("SELECT JSON_EXISTS(payload, pathc) AS x FROM r12_t ORDER BY rid")
+      .collect()
+    assert(je(0).getAs[Boolean]("x") && je(1).isNullAt(0))
   }
 
   test("NOW/CURRENT_TIMESTAMP surface as TIMESTAMP here — documented divergence from the reference's epoch-millis Integer (functions.rs:2319-2337)") {

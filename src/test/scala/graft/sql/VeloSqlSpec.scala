@@ -843,7 +843,16 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     // and the FIRST time column survives
     val e = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
       "SELECT COUNT(*) FROM t GROUP BY k WINDOW TUMBLING(ts, 5 MINUTS)"))
-    assert(e.getMessage.contains("unrecognized window argument"))
+    assert(e.getMessage.contains("malformed window duration"))
+    // …and in FIRST position too: the old first-non-duration-wins rule
+    // made '5 MINUTS' the "time column" and the garbage died only
+    // inside spark.sql(), past the validator's parse gate (r12 review)
+    val eFirst = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT COUNT(*) FROM t GROUP BY k WINDOW TUMBLING(5 MINUTS, ts)"))
+    assert(eFirst.getMessage.contains("malformed window duration"))
+    val eMonth = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "SELECT COUNT(*) FROM t GROUP BY k WINDOW TUMBLING(INTERVAL '1' MONTH)"))
+    assert(eMonth.getMessage.contains("malformed window duration"))
     val sess = VeloSqlParser.parse(
       "SELECT COUNT(*) FROM t GROUP BY k WINDOW SESSION(event_time, INTERVAL '1' HOUR, dev_id)")
       .asInstanceOf[VeloSqlParser.Select].s.window.get.asInstanceOf[VeloSqlParser.Session]
