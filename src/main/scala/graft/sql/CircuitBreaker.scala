@@ -110,6 +110,26 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
     }
   }
 
+  /** A launch ran to FULL, successful completion (a batch body's
+    * one-shot materialization): the strongest health signal there is.
+    * In HALF_OPEN this closes the breaker outright — demanding
+    * `successThreshold` micro-batch successes of a body that completes
+    * in one synchronous step would leave the trial slot claimed forever
+    * (no further signals can ever arrive), wedging every future launch
+    * behind a phantom trial (r12 review). Elsewhere it resets the
+    * failure streak like any success. */
+  def recordCompletion(): Unit = synchronized {
+    currentState match {
+      case CircuitBreaker.HalfOpen if trialInFlight =>
+        state = CircuitBreaker.Closed
+        consecutiveFailures = 0
+        consecutiveSuccesses = 0
+        trialInFlight = false
+      case CircuitBreaker.HalfOpen => () // straggler — no trial to credit
+      case _ => consecutiveFailures = 0
+    }
+  }
+
   def recordFailure(): Unit = synchronized {
     currentState match {
       case CircuitBreaker.HalfOpen if trialInFlight => trip() // the trial failed — back to OPEN

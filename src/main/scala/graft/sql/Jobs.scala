@@ -250,10 +250,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private val resourceState = scala.collection.mutable.Map[(String, String), Resources.Usage]()
 
   private def collectLabeled(jobName: String, batch: DataFrame): Unit = {
+    // counters AND field-bearing gauges: a labeled gauge on a streaming
+    // job was accepted by attachMetrics but collected by NOTHING
+    // (observable() excludes labeled specs, and this path kept only
+    // counters) — the metric silently never appeared (r12 review).
+    // Gauge semantics are last-write-wins per label combo.
     val specs = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
-      .filter(m => m.labels.nonEmpty && m.metricType == "counter")
+      .filter(m => m.labels.nonEmpty &&
+        (m.metricType == "counter" || (m.metricType == "gauge" && m.field.isDefined)))
     specs.foreach { m =>
-      val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
+      val agg =
+        if (m.metricType == "gauge") last(col(m.field.get).cast("double"))
+        else m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
       val rows = SqlApp.metricInput(batch, m)
         .groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
       // series snapshots across ALL jobs (not this job's slice: the
@@ -266,12 +274,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         rows.foreach { r =>
           val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
           val key = (jobName, m.name, labels)
-          labeledState(key) = labeledState.getOrElse(key, 0.0) +
-            (r.get(m.labels.length) match {
-              case null => 0.0
-              case n: java.lang.Number => n.doubleValue()
-              case other => other.toString.toDouble
-            })
+          val v = r.get(m.labels.length) match {
+            case null => 0.0
+            case n: java.lang.Number => n.doubleValue()
+            case other => other.toString.toDouble
+          }
+          // counters ACCUMULATE across micro-batches; gauges overwrite
+          labeledState(key) =
+            if (m.metricType == "gauge") v
+            else labeledState.getOrElse(key, 0.0) + v
         }
         labeledState.collect {
           case ((_, n, ls), v) if n == m.name => (("", ls, v))
@@ -450,6 +461,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                 j.status = "FAILED"
                 j.lastError = Some(
                   s"resource exhausted: $res ${v.toLong} exceeds limit ${l.toLong}")
+                // breaker health signal: a resource-limit kill is a
+                // FAILED run. Without it, a limit trip during a
+                // HALF_OPEN trial ended the trial with no signal at all
+                // — trialInFlight stayed claimed with no query left to
+                // resolve it, rejecting every future launch until a
+                // manual resetBreaker (r12 review)
+                j.breaker.recordFailure()
               }
             }
           }
@@ -477,11 +495,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         x.status == "RUNNING" && x.handle.isDefined && x.name != name)
       val wouldRun = running + 1
       metricSpecs.synchronized {
-        // admission records the DEMAND (wouldRun): a rejection
-        // deliberately reads EXHAUSTED in SHOW RESOURCES — the resource
-        // was asked for more than it has. Actual slot usage self-corrects
-        // at the next observation (it derives from running queries, and
-        // a rejected launch never increments it).
+        // admission records the DEMAND (wouldRun) so a rejection leaves
+        // its mark in PEAK and the violations counter; the row's CURRENT
+        // self-corrects to live usage at every resourceRows read (r12:
+        // the demand reading otherwise lingered as a stale EXHAUSTED
+        // level indefinitely after jobs stopped).
         var u = resourceState.getOrElse(("*", "concurrent_operations"), Resources.Usage())
           .observed(wouldRun.toDouble, Some(max.toDouble))
         if (wouldRun > max) u = u.violated
@@ -686,12 +704,31 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // every SHOW METRICS / HTTP report scrape)
       val view = s"${j.name}_out"
       j.batchCache.foreach(_.unpersist(blocking = false)) // replaced materialization
+      j.batchCache = None
       df.cache()
-      df.count()
+      // failed materialization must not leak: without the catch the new
+      // frame stayed marked persistent (holding whatever partitions
+      // count() cached before dying, re-leaked on every retry) and the
+      // OLD view kept serving stale pre-deploy data — now uncached, so
+      // every scrape re-executed the old plan (r12 review)
+      try df.count()
+      catch {
+        case e: Throwable =>
+          df.unpersist(blocking = false)
+          j.batchView.foreach(v0 => try spark.catalog.dropTempView(v0)
+            catch { case scala.util.control.NonFatal(_) => () })
+          j.batchView = None
+          throw e
+      }
       df.createOrReplaceTempView(view)
       j.batchView = Some(view)
       j.batchCache = Some(df)
       j.handle = None
+      // full, successful one-shot completion: resolves a HALF_OPEN
+      // trial outright — no micro-batch signals will ever arrive from a
+      // body with no streaming query, so the ordinary success path
+      // could never release the trial slot (r12 review)
+      j.breaker.recordCompletion()
     }
     j.current = Some(v)
     j.status = "RUNNING"
@@ -714,7 +751,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // gateBreaker's earlier read is only the fail-fast UX path — two
     // concurrent launches could both pass it, so the slot is claimed
     // HERE, and a rejected admission is NOT a health failure.
-    if (!j.breaker.tryBeginLaunch()) throw breakerRejection(j)
+    if (!j.breaker.tryBeginLaunch()) {
+      // same never-launched-version cleanup as the catch below: deploy
+      // records the version BEFORE the halt of the old query, and that
+      // halt's own recordFailure can trip the breaker — without this,
+      // the rejection threw before the catch's cleanup and the
+      // never-run version leaked into history, making ROLLBACK target a
+      // body that never ran (r12 review)
+      if (newRecord) j.versions = j.versions.filterNot(_.seq == v.seq)
+      throw breakerRejection(j)
+    }
     try {
       launch(j, v)
       j.launchFailed = false
@@ -773,40 +819,49 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // stop() runs first so whatever error killed the query surfaces
       // into the job status; the handle is cleared in finally — never
       // leave a dead query reported RUNNING.
-      {
-        try {
-          q.stop()
-          try q.awaitTermination() catch { case _: StreamingQueryException => () }
-        } finally {
-          j.lastError = q.exception.map(e =>
-            Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
-              .getOrElse(e.getMessage))
-          // breaker health signal: a query that died with an error is a
-          // failure; a clean stop is a success ONLY if it committed at
-          // least one micro-batch this run — success is COMPLETED WORK,
-          // not mere liveness (the superviseOnce invariant): crediting
-          // every idle pause/stop would let resume/pause cycles close a
-          // HALF_OPEN breaker (or keep resetting consecutiveFailures)
-          // without any work ever completing
-          if (j.lastError.isDefined) j.breaker.recordFailure()
-          else if (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= 0)
-            j.breaker.recordSuccess()
-          // clean stop with NO committed batch: no health signal either
-          // way — if this launch held the HALF_OPEN trial slot, release
-          // it so the next launch can run a real trial instead of
-          // deadlocking behind a phantom one
-          else j.breaker.abandonTrial()
+      var stopped = false
+      try {
+        q.stop()
+        try q.awaitTermination() catch { case _: StreamingQueryException => () }
+        stopped = true
+      } finally {
+        j.lastError = q.exception.map(e =>
+          Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
+            .getOrElse(e.getMessage))
+        if (j.lastError.isDefined) {
+          // the query DIED with an error — stop() throwing is moot
+          j.breaker.recordFailure()
           j.handle = None
-          // invariant: no handle → not RUNNING. If processAllAvailable
-          // (or stop itself) threw something unexpected, the exception
-          // propagates BEFORE the caller sets its final status — without
-          // this, the job wedges as RUNNING-with-no-handle: un-startable,
-          // un-supervisable, and counted against the concurrency limit.
+          if (j.status == "RUNNING") j.status = "STOPPED"
+        } else if (stopped) {
+          // breaker health signal: success is COMPLETED WORK, not mere
+          // liveness (the superviseOnce invariant) — and the SAME
+          // NEWLY-committed guard supervision uses: crediting
+          // lastProgress.batchId >= 0 re-credited already-credited
+          // batches on every clean stop, and Spark's no-data progress
+          // events let idle pause/resume cycles close a HALF_OPEN
+          // breaker with zero new work (r12 review)
+          val batch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (batch > j.lastSeenBatch) {
+            j.lastSeenBatch = batch
+            j.breaker.recordSuccess()
+          }
+          // the query is STOPPED: no further signals can arrive, so any
+          // still-unresolved HALF_OPEN trial must release its slot NOW
+          // (a partial trial — fewer than successThreshold batches —
+          // otherwise wedged every future launch behind it; no-op
+          // unless a trial is actually in flight, r12 review)
+          j.breaker.abandonTrial()
+          j.handle = None
           if (j.status == "RUNNING") j.status = "STOPPED"
         }
+        // stop() itself threw and the query has NOT died: the stream may
+        // still be running. Keep the handle — supervision still owns the
+        // live query (clearing it would orphan an active writer that
+        // nothing tracks or enforces, r12 review); the exception
+        // propagates to the caller.
       }
     }
-    j.handle = None
   }
 
   private def record(j: Job, version: String, body: VeloStatement,
@@ -1198,6 +1253,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   /** Pure driver-side resource snapshot (same scrape-path rationale as
     * [[statusRows]]). */
   def resourceRows(name: Option[String]): Seq[JobManager.ResourceRow] = synchronized {
+    // the '*' admission row is only WRITTEN at launch attempts, so after
+    // jobs stop it kept reporting the last attempt's demand (a rejected
+    // launch read EXHAUSTED forever with zero jobs running). Reads are
+    // the surface that matters — refresh `current` from the live
+    // RUNNING count here, keeping the recorded limit/peak/violations
+    // (r12 review)
+    metricSpecs.synchronized {
+      resourceState.get(("*", "concurrent_operations")).foreach { u =>
+        val running = jobs.values.count(x => x.status == "RUNNING" && x.handle.isDefined)
+        resourceState(("*", "concurrent_operations")) = u.observed(running.toDouble, u.limit)
+      }
+    }
     val snapshot = metricSpecs.synchronized(resourceState.toVector)
     snapshot
       .filter { case ((jn, _), _) => name.forall(n => jn == n || jn == "*") }

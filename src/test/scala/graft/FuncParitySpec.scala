@@ -31,12 +31,27 @@ class FuncParitySpec extends AnyFunSuite {
     val primaryOf = reg.flatMap(f => (f.name +: f.aliases).map(_ -> f.name)).toMap
     val win = FuncParity.scrapeArmNames(s"$refRoot/expression/window_functions.rs")
     val agg = FuncParity.scrapeArmNames(s"$refRoot/aggregation/functions.rs")
-    val parts = Set("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "DOW", "DOY",
-      "WEEK", "EPOCH", "QUARTER", "MILLISECOND", "MICROSECOND", "NANOSECOND")
-    val all = (reg.map(_.name) ++ (win ++ agg).filterNot(parts).map(n => primaryOf.getOrElse(n, n)))
+    // NO suppression filter (r12): grep shows no EXTRACT-part arm heads
+    // exist in either dispatch file, so any unexpected scraped name is
+    // a real census gap that must fail here, not be silently dropped
+    val all = (reg.map(_.name) ++ (win ++ agg).map(n => primaryOf.getOrElse(n, n)))
       .distinct
     val missing = all.filterNot(FuncParity.ledger.contains).sorted
     assert(missing.isEmpty, s"functions with no ledger entry: ${missing.mkString(", ")}")
+  }
+
+  test("every ledger row is PINNED: no bare-'implemented' evidence remains (r12)") {
+    val bare = FuncParity.ledger.collect {
+      case (n, l) if l.status == "implemented" => n
+    }.toSeq.sorted
+    assert(bare.isEmpty,
+      s"rows whose only evidence is an execution probe: ${bare.mkString(", ")}")
+    // and every status is one of the three documented values
+    val badStatus = FuncParity.ledger.collect {
+      case (n, l) if !Set("parity-verified", "divergence-documented", "implemented")
+        .contains(l.status) => s"$n=${l.status}"
+    }
+    assert(badStatus.isEmpty, s"unknown statuses: ${badStatus.mkString(", ")}")
   }
 
   test("window dispatch scrape finds the OVER-clause families") {

@@ -214,6 +214,42 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
       .getAs[String]("breaker") == CircuitBreaker.Closed)
   }
 
+  test("recordCompletion resolves a HALF_OPEN trial outright; partial trials release on abandon (r12 trial-wedge fixes)") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 2, recoveryTimeoutMs = 1000L, successThreshold = 3),
+      () => now)
+    cb.recordFailure(); cb.recordFailure()
+    assert(cb.currentState == CircuitBreaker.Open)
+    now = 1000L
+    // a batch body's one-shot materialization is FULL completion: the
+    // trial closes outright — demanding successThreshold micro-batches
+    // of a body with no streaming query would wedge the slot forever
+    assert(cb.tryBeginLaunch())
+    cb.recordCompletion()
+    assert(cb.currentState == CircuitBreaker.Closed && cb.allowsLaunch)
+
+    // partial trial (1 of 3 successes) then the query is stopped: the
+    // slot must release (abandonTrial) so the NEXT launch can trial —
+    // previously it stayed claimed forever with no query to resolve it
+    cb.recordFailure(); cb.recordFailure()
+    now = 2000L
+    assert(cb.tryBeginLaunch())
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.HalfOpen && !cb.allowsLaunch)
+    cb.abandonTrial()
+    assert(cb.allowsLaunch, "released partial trial must admit the next launch")
+
+    // completion as a straggler (no trial admitted) must not close
+    assert(cb.tryBeginLaunch()) // fresh trial after the abandon
+    cb.recordFailure() // trial failure → re-trip
+    assert(cb.currentState == CircuitBreaker.Open)
+    now = 3000L
+    assert(cb.currentState == CircuitBreaker.HalfOpen)
+    cb.recordCompletion() // straggler: no trial in flight
+    assert(cb.currentState == CircuitBreaker.HalfOpen)
+  }
+
   test("supervision restarts continue exactly-once on the same sink") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =

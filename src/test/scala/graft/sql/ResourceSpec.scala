@@ -209,14 +209,27 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
                  WITH ('max_concurrent_operations' = '1')""")
     }
     assert(e.getMessage.contains("resource exhausted: concurrent_operations"))
-    // admission violation is on record under the global job "*"
+    // admission violation is on record under the global job "*"; the
+    // row's CURRENT reads live usage (1 running / limit 1 → CRITICAL,
+    // not the rejected demand: r12 review made reads refresh from the
+    // live RUNNING count so a stale EXHAUSTED cannot linger after jobs
+    // stop — the rejection itself is the violations counter and peak)
     val row = ctx.sql("SHOW RESOURCES").collect()
       .find(r => r.getAs[String]("job_name") == "*" &&
         r.getAs[String]("resource") == "concurrent_operations").get
     assert(row.getAs[Long]("violations") == 1L)
-    assert(row.getAs[String]("level") == "EXHAUSTED")
-    // room for one more → admitted
+    assert(row.getAs[Double]("current") == 1.0)
+    assert(row.getAs[Double]("peak") == 2.0) // the rejected demand
+    assert(row.getAs[String]("level") == "CRITICAL")
+    // after the only job stops, the row decays to 0/1 OK instead of
+    // reporting the last attempt's demand forever
     ctx.sql("STOP JOB first")
+    val after = ctx.sql("SHOW RESOURCES").collect()
+      .find(r => r.getAs[String]("job_name") == "*" &&
+        r.getAs[String]("resource") == "concurrent_operations").get
+    assert(after.getAs[Double]("current") == 0.0)
+    assert(after.getAs[String]("level") == "OK")
+    // room for one more (first already stopped above) → admitted
     ctx.sql("""START JOB second AS SELECT id, v FROM live_events
                WITH ('max_concurrent_operations' = '1')""")
     assert(ctx.sql("SHOW STATUS second").collect().head.getAs[String]("status") == "RUNNING")
