@@ -558,15 +558,15 @@ object SparkEntry {
     //          Headers are synthesized deterministically from event
     //          fields, so the oracle can replay every op's result ----
     "q42_headers" -> ((s, dir) => {
-      val e = T(s, dir, "events")
+      // system columns come from the ONE shared definition the dialect's
+      // registerStreamLike uses (partition keys on user_id, the message
+      // key); only the per-row header synthesis is query-specific
+      val e = graft.sql.VeloContext.withSystemColumns(
+          T(s, dir, "events"), "ts", "event_id", keyCol = Some("user_id"))
         .withColumn("_headers", veloMap(
           lit("source"), col("event_type"),
           lit("region"), concat(lit("r"), pmod(col("user_id"), lit(4))),
           lit("schema_ver"), lit("v2")))
-        .withColumn("_partition", pmod(col("user_id"), lit(8)).cast("int"))
-        .withColumn("_offset", col("event_id"))
-        // INT64 epoch-millis, per reference docs/sql/system-columns.md
-        .withColumn("_timestamp", unix_millis(col("ts")))
       e.select(
         col("event_id"),
         header(col("_headers"), "source").as("h_source"),

@@ -77,12 +77,31 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   def close(): Unit = {
     spark.streams.removeListener(batchSpanListener)
     jobManager.detachListeners()
+    // release this context's CTAS materializations: the views stay
+    // registered (they belong to the session) but their cache blocks
+    // belong to the discarded context — left persisted they pin
+    // executor storage for the rest of the session (reads recompute
+    // lazily after this, which is correct for an abandoned context)
+    materialized.synchronized {
+      materialized.values.foreach(_.unpersist(blocking = false))
+      materialized.clear()
+    }
   }
 
   /** Registered CTAS materializations (name → cached DataFrame). */
   // CTAS statements may execute CONCURRENTLY (SqlApp's dependency-wave
   // loader), so this registry is guarded by its own monitor
   private val materialized = scala.collection.mutable.Map[String, DataFrame]()
+
+  /** Per-table mutation monitor. INSERT/UPDATE/DELETE are read-modify-
+    * write over the registered view (read `existing` → build the new
+    * plan → rebind); two CONCURRENT mutations of the same table would
+    * both read the same base and the later rebind would silently erase
+    * the earlier statement's rows. Serialized per lowercased table name
+    * — mutations of different tables never contend. */
+  private val mutationLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def mutationLock(table: String): Object =
+    mutationLocks.getOrElseUpdate(table.toLowerCase(java.util.Locale.ROOT), new Object)
 
   /** Declared external sources/sinks (CREATE STREAM|SINK name WITH …):
     * config metadata the deployment layer resolves (config files,
@@ -123,8 +142,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // Message-key routing in the streaming sink too (FR-089): explicit
       // PRIMARY KEY fields, else the GROUP BY columns auto-key (the
       // reference's fallback) — each micro-batch repartitions on the key
-      // so one key's records share an output shard, in order.
-      val routeKeys = VeloContext.routedKeys(s, Vector.empty).filter(df.columns.contains)
+      // so one key's records share an output shard, in order. Keys bind
+      // case-INSENSITIVELY (the dialect rule): `GROUP BY EVENT_TYPE`
+      // must still route Spark's `event_type` output column.
+      val routeKeys = VeloContext.routedKeys(s, Vector.empty)
+        .flatMap(k => df.columns.find(_.equalsIgnoreCase(k)))
       if (routeKeys.nonEmpty) df = df.repartition(routeKeys.map(col): _*)
       // honor a declared INTO sink: without this the stream landed only
       // in the internal temp epoch dir and the declared sink never
@@ -159,12 +181,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * (key-hash partition), `_headers` (map<string,string>). */
   def registerStreamLike(name: String, df: DataFrame, tsCol: String, idCol: String,
                          partitions: Int = 8, headers: Map[String, String] = Map.empty): Unit = {
-    var d = df
-      // INT64 epoch-millis, per the reference's system-columns.md
-      .withColumn("_timestamp", unix_millis(col(tsCol)))
-      .withColumn("_event_time", unix_millis(col(tsCol)))
-      .withColumn("_offset", col(idCol))
-      .withColumn("_partition", pmod(col(idCol), lit(partitions)).cast("int"))
+    var d = VeloContext.withSystemColumns(df, tsCol, idCol, partitions = partitions)
     val hdrs = if (headers.isEmpty) Map("source" -> name) else headers
     d = d.withColumn("_headers",
       map(hdrs.toSeq.sorted.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
@@ -347,33 +364,49 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     }
   }
 
-  /** Every (INTO list, props) pair reachable from a query statement —
-    * a Union carries per-branch INTOs, a CTE chain's body does too. */
-  private def intoTargets(stmt: VeloStatement): Seq[(Vector[String], Map[String, String])] =
+  /** Every (branch frame, INTO list, props) triple reachable from a
+    * query statement. A Union carries per-BRANCH INTOs, and each sink
+    * must receive ITS branch's rows, not the whole union (`SELECT a
+    * FROM t1 INTO s1 UNION ALL SELECT a FROM t2 INTO s2` writes t1's
+    * rows to s1) — the branch is re-rendered alone, wrapped in the
+    * enclosing CTEs so CTE references still resolve. The frame is
+    * lazy: branches with no INTO never materialize. */
+  private def intoWrites(stmt: VeloStatement,
+                         wrap: VeloStatement => VeloStatement = identity)
+      : Seq[(() => DataFrame, Vector[String], Map[String, String])] =
     stmt match {
-      case Select(s) => Seq((s.into, s.props))
-      case u: Union => u.selects.map(s => (s.into, s.props))
-      case WithCtes(_, b, _) => intoTargets(b)
+      case Select(s) =>
+        Seq((() => spark.sql(renderSql(wrap(Select(s)))), s.into, s.props))
+      case u: Union => u.selects.map(s =>
+        (() => spark.sql(renderSql(wrap(Select(s)))), s.into, s.props))
+      case WithCtes(ctes, b, rec) =>
+        intoWrites(b, inner => WithCtes(ctes, wrap(inner), rec))
       case _ => Nil
     }
 
   private def execStatement(stmt: VeloStatement): DataFrame = stmt match {
     case q @ (Select(_) | Union(_, _, _) | WithCtes(_, _, _)) =>
       val df = spark.sql(renderSql(q))
-      // INTO on a bare query writes the RESULT to each resolvable
-      // declared sink (batch analog of the CSAS fan-out; streaming
-      // bodies get theirs from JobManager via resolveIntoSinkPath) —
-      // previously these INTOs were parsed, validator-checked, and
-      // then silently dropped at execution
-      if (!df.isStreaming) intoTargets(q).foreach { case (into, props) =>
-        into.foreach { sink =>
-          sinkFilePath(sink, props) match {
-            case Some(p) => graft.sources.Serde.writeFileUri(df, p)
-            // the reference's debug sink (datasource/stdout_writer.rs:10):
-            // an undeclared `stdout` target prints JSON records instead
-            // of silently dropping the INTO
-            case None if sink.equalsIgnoreCase("stdout") => printStdout(df)
-            case None => ()
+      // INTO on a bare query writes each branch's RESULT to its own
+      // resolvable declared sinks (batch analog of the CSAS fan-out;
+      // streaming bodies get theirs from JobManager via
+      // resolveIntoSinkPath) — previously these INTOs were parsed,
+      // validator-checked, and then silently dropped at execution
+      val writes = intoWrites(q)
+      if (!df.isStreaming) writes.foreach { case (branch, into, props) =>
+        if (into.nonEmpty) {
+          // a single branch IS the whole statement — reuse the already-
+          // built frame instead of re-rendering the query
+          val bdf = if (writes.length == 1) df else branch()
+          into.foreach { sink =>
+            sinkFilePath(sink, props) match {
+              case Some(p) => graft.sources.Serde.writeFileUri(bdf, p)
+              // the reference's debug sink (datasource/stdout_writer.rs:10):
+              // an undeclared `stdout` target prints JSON records instead
+              // of silently dropping the INTO
+              case None if sink.equalsIgnoreCase("stdout") => printStdout(bdf)
+              case None => ()
+            }
           }
         }
       }
@@ -406,22 +439,26 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         val tsCol = Seq(defaultTimeCol, "ts", "event_time", "_timestamp")
           .find(df.columns.contains)
         tsCol.foreach { c =>
-          // `_timestamp` (and any integral time column) is INT64
-          // epoch-MILLIS per system-columns.md — comparing it to a
-          // timestamp would be a bigint-vs-timestamp mismatch, so the
-          // cutoff is computed in the column's own unit. A 32-bit INT
-          // cannot hold epoch-millis (max ~2.1e9 ≈ 1970-01-25), so an
-          // IntegerType time column is necessarily epoch-SECONDS —
-          // treating it as millis would put the cutoff above every
-          // value and silently empty the table.
-          val cutoff = df.schema(c).dataType match {
+          // An integral time column's UNIT is ambiguous: `_timestamp`
+          // is INT64 epoch-MILLIS per system-columns.md, but a user
+          // BIGINT time column following the engine's own epoch-seconds
+          // convention is ~1.7e9 — comparing it to a millis cutoff
+          // (~1.77e12) is false for EVERY row and silently empties the
+          // table. The unit is decided per VALUE, not per type: ≥1e11
+          // → millis (1e11 ms ≈ 1973-03; 1e11 s ≈ year 5138, far past
+          // any live data), else seconds. A 32-bit INT cannot hold
+          // epoch-millis at all, so IntegerType is always seconds.
+          val keep = df.schema(c).dataType match {
             case org.apache.spark.sql.types.LongType =>
-              unix_millis(current_timestamp()) - lit(sec * 1000L)
+              val cutMs = unix_millis(current_timestamp()) - lit(sec * 1000L)
+              val cutS = unix_seconds(current_timestamp()) - lit(sec)
+              when(col(c) >= lit(100000000000L), col(c) >= cutMs)
+                .otherwise(col(c) >= cutS)
             case org.apache.spark.sql.types.IntegerType =>
-              unix_seconds(current_timestamp()) - lit(sec)
-            case _ => current_timestamp() - expr(s"INTERVAL $sec SECOND")
+              col(c) >= unix_seconds(current_timestamp()) - lit(sec)
+            case _ => col(c) >= current_timestamp() - expr(s"INTERVAL $sec SECOND")
           }
-          df = df.where(col(c) >= cutoff)
+          df = df.where(keep)
         }
       }
       // 'table_model' = 'compact': serialized, spillable storage — the
@@ -462,8 +499,10 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // realized Spark-native.
       // routedKeys translates PRIMARY KEY names through the declared-
       // column rename — `(a INT, …) AS SELECT id PRIMARY KEY …` routes
-      // on `a`, the key's post-rename name
-      val routeKeys = VeloContext.routedKeys(s, cols).filter(df.columns.contains)
+      // on `a`, the key's post-rename name. Case-insensitive binding,
+      // like every other identifier in the dialect.
+      val routeKeys = VeloContext.routedKeys(s, cols)
+        .flatMap(k => df.columns.find(_.equalsIgnoreCase(k)))
       val sinkDf =
         if (routeKeys.nonEmpty) df.repartition(routeKeys.map(col): _*) else df
       // file-sink writes here are BATCH writes: a streaming CSAS body
@@ -496,7 +535,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       printStdout(named)
       named
 
-    case InsertInto(table, cols, selOpt, values) =>
+    case InsertInto(table, cols, selOpt, values) => mutationLock(table).synchronized {
       val existing = spark.table(table)
       val incoming: DataFrame = selOpt match {
         case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol))
@@ -541,6 +580,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
             named(f.name).cast(f.dataType).as(f.name)): _*)
         }
       rebindMutatedView(table, existing.unionByName(aligned))
+    }
 
     case CreateSourceDecl(kind, name, props, cols) =>
       import spark.implicits._
@@ -554,7 +594,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       declaredSources(name) = (kind, withSchema)
       withSchema.toSeq.sorted.toDF("key", "value")
 
-    case Update(table, sets, where) =>
+    case Update(table, sets, where) => mutationLock(table).synchronized {
       // view-rebuild semantics over the registered relation (the
       // reference mutates its materialized Table the same way:
       // processors/update.rs): matched rows get the SET expressions.
@@ -590,8 +630,9 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         }
       }: _*)
       rebindMutatedView(table, updated)
+    }
 
-    case Delete(table, where) =>
+    case Delete(table, where) => mutationLock(table).synchronized {
       val existing = spark.table(table)
       // the predicate is computed ONCE per row in a projection and the
       // filter references the resulting attribute: `!p || p.isNull`
@@ -604,6 +645,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           .where(!col(pcol) || col(pcol).isNull).drop(pcol)
       }.getOrElse(existing.limit(0))
       rebindMutatedView(table, remaining)
+    }
 
     case StartJob(name, body, props) => jobManager.start(name, body, props)
     case StopJob(name, force) => jobManager.stop(name, force)
@@ -647,7 +689,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           arg.getOrElse(throw new ParseException("SHOW SCHEMA needs a relation name")))
         case "PROPERTIES" =>
           val n = arg.getOrElse(throw new ParseException("SHOW PROPERTIES needs a name"))
-          declaredSources.get(n).map(_._2).getOrElse(Map.empty[String, String])
+          // case-insensitive, like sinkFilePath resolves the same names:
+          // a sink INTO can reach must also be SHOW-able by any casing
+          declaredSources.collectFirst {
+            case (dn, (_, p)) if dn.equalsIgnoreCase(n) => p
+          }.getOrElse(Map.empty[String, String])
             .toSeq.sorted.toDF("key", "value")
         case "PARTITIONS" =>
           // Kafka-partition analog: distribution over the `_partition`
@@ -694,6 +740,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 }
 
 object VeloContext {
+  /** Kafka-analog system columns (reference docs/sql/system-columns.md):
+    * `_timestamp`/`_event_time` INT64 epoch-MILLIS, `_offset` the
+    * monotone id, `_partition` = key hash mod partition count. ONE
+    * definition shared by registerStreamLike and any hand-built
+    * stream-like frame so the formulas cannot drift (q42's copy had
+    * already missed `_event_time`). `keyCol` is the message-key column
+    * the partition derives from — defaults to the offset id. */
+  def withSystemColumns(df: DataFrame, tsCol: String, idCol: String,
+                        keyCol: Option[String] = None, partitions: Int = 8): DataFrame =
+    df.withColumn("_timestamp", unix_millis(col(tsCol)))
+      .withColumn("_event_time", unix_millis(col(tsCol)))
+      .withColumn("_offset", col(idCol))
+      .withColumn("_partition",
+        pmod(col(keyCol.getOrElse(idCol)), lit(partitions)).cast("int"))
+
   /** A select item's output column name: the TOP-LEVEL AS alias when
     * present (an AS inside parens is CAST(x AS TYPE) syntax, not an
     * alias), else the trailing identifier (covers `id` and `o.id`); an
@@ -745,8 +806,10 @@ object VeloContext {
     else base.flatMap { k =>
       // an AMBIGUOUS name (two items produce the same output column)
       // drops out: routing on a guessed item could scatter the real
-      // key's records across shards, worse than not routing at all
-      s.fields.zipWithIndex.filter { case (f, _) => outputNameOf(f).contains(k) } match {
+      // key's records across shards, worse than not routing at all.
+      // Case-insensitive, like the identifiers the names came from.
+      s.fields.zipWithIndex.filter { case (f, _) =>
+        outputNameOf(f).exists(_.equalsIgnoreCase(k)) } match {
         case Vector((_, idx)) if idx < cols.length => Some(cols(idx)._1)
         case _ => None
       }
@@ -774,7 +837,12 @@ object VeloContext {
       }
       if (cur.nonEmpty) groups += cur
       groups.result().collect {
-        case Vector(t) if t.text.matches("[A-Za-z_][A-Za-z0-9_]*") => t.text
+        // backtick-stripped, like outputNameOf: `GROUP BY \`event_type\``
+        // is the same routable column as the bare form — the unstripped
+        // text fails the identifier test and silently disabled routing
+        case Vector(t) if t.text.stripPrefix("`").stripSuffix("`")
+          .matches("[A-Za-z_][A-Za-z0-9_]*") =>
+          t.text.stripPrefix("`").stripSuffix("`")
       }
     }
 

@@ -1142,6 +1142,79 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("expects"), e.getMessage)
   }
 
+  test("retention on a BIGINT epoch-seconds column keeps recent rows (r12 review: unit by value scale)") {
+    import spark.implicits._
+    val nowS = System.currentTimeMillis() / 1000
+    // epoch-seconds BIGINT (the engine's own epochS convention) — the
+    // old LongType-means-millis rule compared ~1.7e9 values to a
+    // ~1.77e12 cutoff and silently emptied the table
+    Seq((1L, nowS - 3600), (2L, nowS - 10L * 86400), (3L, nowS))
+      .toDF("rid", "ts").createOrReplaceTempView("ret_bigint_s")
+    ctx.sql(
+      """CREATE TABLE recent_bigint_s AS SELECT rid, ts FROM ret_bigint_s
+         WITH ('retention' = '7 days')""")
+    assert(spark.table("recent_bigint_s").collect().map(_.getAs[Long]("rid")).sorted.toSeq
+      == Seq(1L, 3L))
+    // and epoch-millis BIGINT values still prune in their own unit
+    val nowMs = System.currentTimeMillis()
+    Seq((1L, nowMs - 3600 * 1000L), (2L, nowMs - 10L * 86400 * 1000L), (3L, nowMs))
+      .toDF("rid", "ts").createOrReplaceTempView("ret_bigint_ms")
+    ctx.sql(
+      """CREATE TABLE recent_bigint_ms AS SELECT rid, ts FROM ret_bigint_ms
+         WITH ('retention' = '7 days')""")
+    assert(spark.table("recent_bigint_ms").collect().map(_.getAs[Long]("rid")).sorted.toSeq
+      == Seq(1L, 3L))
+  }
+
+  test("UNION with per-branch INTO writes each branch's OWN rows to its sink (r12 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_union_into").toString
+    ctx.sql(s"CREATE SINK u_s1 WITH (path = 'file://$dir/b1.parquet')")
+    ctx.sql(s"CREATE SINK u_s2 WITH (path = 'file://$dir/b2.parquet')")
+    ctx.sql("""SELECT order_id FROM orders WHERE order_id = 1 INTO u_s1
+               UNION ALL SELECT order_id FROM orders WHERE order_id = 2 INTO u_s2""")
+    val r1 = spark.read.parquet(s"$dir/b1.parquet").collect().map(_.getLong(0)).toSeq
+    val r2 = spark.read.parquet(s"$dir/b2.parquet").collect().map(_.getLong(0)).toSeq
+    assert(r1 == Seq(1L), s"sink u_s1 got $r1 — must receive only its own branch")
+    assert(r2 == Seq(2L), s"sink u_s2 got $r2 — must receive only its own branch")
+  }
+
+  test("SHOW PROPERTIES and route keys bind case-insensitively; backtick GROUP BY keys route (r12 review)") {
+    ctx.sql("CREATE SINK Mixed_Case_Sink WITH (path = 'file:///tmp/graft_mc.parquet', format = 'parquet')")
+    val props = ctx.sql("SHOW PROPERTIES mixed_case_sink").collect()
+    assert(props.exists(r => r.getString(0) == "path"),
+      "SHOW PROPERTIES must resolve declared names case-insensitively")
+    // GROUP BY with a different casing / backticks still yields route keys
+    val s1 = VeloSqlParser.parse("SELECT status, COUNT(*) AS n FROM orders GROUP BY STATUS",
+      "timestamp", _ => None) match { case VeloSqlParser.Select(s) => s; case o => fail(o.toString) }
+    assert(VeloContext.routedKeys(s1, Vector.empty).map(_.toLowerCase) == Vector("status"))
+    val s2 = VeloSqlParser.parse("SELECT `status`, COUNT(*) AS n FROM orders GROUP BY `status`",
+      "timestamp", _ => None) match { case VeloSqlParser.Select(s) => s; case o => fail(o.toString) }
+    assert(VeloContext.routedKeys(s2, Vector.empty) == Vector("status"),
+      "backtick-quoted GROUP BY keys must still be routable")
+  }
+
+  test("concurrent INSERTs into one table lose no rows (r12 review: per-table mutation lock)") {
+    import spark.implicits._
+    Seq((0L, "seed")).toDF("id", "tag").createOrReplaceTempView("mut_t")
+    val threads = (1 to 4).map { i =>
+      new Thread(() => ctx.sql(s"INSERT INTO mut_t VALUES ($i, 'w$i')"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val ids = spark.table("mut_t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L, 3L, 4L),
+      s"every concurrent INSERT must survive the rebind, got $ids")
+  }
+
+  test("close() releases CTAS materialization caches (r12 review)") {
+    val c2 = new VeloContext(spark, defaultTimeCol = "timestamp")
+    val df = c2.sql("CREATE TABLE close_mat AS SELECT order_id FROM orders")
+    assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    c2.close()
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "a discarded context must not pin its materializations in executor storage")
+    spark.catalog.dropTempView("close_mat")
+  }
+
   test("retention accepts the dialect's full duration grammar and rejects garbage loudly") {
     assert(VeloContext.durationSeconds("7d").contains(7L * 86400))
     assert(VeloContext.durationSeconds("1 week").contains(604800L))
