@@ -589,9 +589,14 @@ object OracleSql {
          WHERE substr(md5(concat_ws(':', '5', 'graft',
                  concat_ws(':', lang, CAST(doc_id AS VARCHAR)))), 1, 4) < '3333'""",
 
+    // the empty-gram filter mirrors the operator (r12): a blank doc
+    // shingles to [""] under the sub-k whole-text rule, and blank
+    // corpus docs must not pair with blank bench docs as contamination
     "q64_contamination" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
-         sh AS (SELECT doc_id, unnest(${shinglesOf("ws", 3)}) AS g FROM w),
+         sh AS (SELECT doc_id, g FROM
+                  (SELECT doc_id, unnest(${shinglesOf("ws", 3)}) AS g FROM w)
+                WHERE length(g) > 0),
          gdf AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
          kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN gdf USING (g) WHERE df <= 1000),
          bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0)

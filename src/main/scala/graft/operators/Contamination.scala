@@ -48,8 +48,15 @@ object Contamination {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val cg = corpus.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
+      // drop the EMPTY gram: a blank/whitespace-only doc shingles to
+      // [""] (the kernel's sub-k whole-text rule over normWords("") =
+      // [""]), so unrelated blank corpus and bench docs would pair as
+      // "contamination" sharing no actual text — and "" would be the
+      // hottest join key until blank-doc count exceeds maxDf
+      .where(length(col("g")) > 0)
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
+      .where(length(col("g")) > 0)
     // EXPLICIT broadcast of the bench gram set: bench is often passed
     // as a filtered slice of the corpus (q64 does exactly that), and
     // Spark's size-only estimator passes a Filter's child size through

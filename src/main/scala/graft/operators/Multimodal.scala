@@ -381,9 +381,14 @@ object Multimodal {
             // forever and readAllBytes SPINS (its outer loop continues
             // on n >= 0). Real PCM frames are a few bytes; 4096 is
             // generous. Oversized → null-feature row, not a hung task.
-            if (fmt.getFrameSize <= 0 || fmt.getFrameSize > 4096)
+            if (fmt.getFrameSize <= 0 || fmt.getFrameSize > 4096) {
+              // close on THIS path too (the happy path and the catch
+              // both do): today's ByteArrayInputStream backing makes it
+              // GC-only, but a future native codec slotted in here
+              // would leak one handle per hostile record
+              ais.close()
               Row(r.getLong(0), fmtSampleRate(bytes), null, null, null, null)
-            else {
+            } else {
             val pcm = ais.readAllBytes()
             ais.close()
             // decode per the container's ACTUAL format — 8/16-bit PCM

@@ -60,6 +60,25 @@ object Sampling {
     require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1 (got $total)")
     val h = hashPrefix(key, salt)
     val cum = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    // sub-resolution guard, same rule as sampleFilter: a positive
+    // fraction whose cumulative threshold ROUNDS onto its neighbor's
+    // owns an empty slice of the 2^-16 space and silently receives
+    // zero rows — the exact no-error wrong-split the negative-fraction
+    // require above documents. Fixed-width lowercase hex compares
+    // numerically, so string order is the threshold order.
+    var prevTh = "0000"
+    splits.init.zip(cum.map(hexThreshold)).foreach { case ((name, f), th) =>
+      if (f > 0.0) require(th > prevTh,
+        s"split '$name' (fraction $f) rounds to an empty slice at the " +
+          "sampler's 2^-16 resolution — it would receive zero rows silently")
+      prevTh = th
+    }
+    // the LAST split is the remainder arm: below resolution it would
+    // receive only the ffff clamp sliver (~1/65536 of keys) — rows its
+    // declared ~0 fraction never asked for
+    require(math.round(splits.last._2 * 65536L) >= 1,
+      s"last split '${splits.last._1}' (fraction ${splits.last._2}) is below " +
+        "the sampler's 2^-16 resolution")
     val first = when(h < lit(hexThreshold(cum.head)), lit(splits.head._1))
     splits.init.drop(1).zip(cum.drop(1))
       .foldLeft(first) { case (acc, ((name, _), cf)) =>
@@ -68,12 +87,24 @@ object Sampling {
       .otherwise(lit(splits.last._1))
   }
 
+  /** TZ-independent hash preimage: a TIMESTAMP key under the plain
+    * string cast renders via `spark.sql.session.timeZone`, so the SAME
+    * physical row would land in a different split when the session TZ
+    * changes (or vs another engine) — silent train/test migration
+    * across reruns. Normalized to epoch micros, which every engine
+    * renders identically. Dates and all other types cast stably. */
+  private def stableKey(df: DataFrame, key: Column): Column =
+    df.select(key).schema.head.dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(key)
+      case _ => key
+    }
+
   /** Deterministic train/val/test assignment keyed on `idCol`. */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)] =
                   Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                 outCol: String = "split", salt: String = "graft"): DataFrame =
-    df.withColumn(outCol, splitColumn(col(idCol), splits, salt))
+    df.withColumn(outCol, splitColumn(stableKey(df, col(idCol)), splits, salt))
 
   /** Membership predicate for a deterministic `fraction` sample keyed
     * on `key` (stratify by putting the stratum in the key or the salt).
@@ -92,7 +123,7 @@ object Sampling {
     * every rerun and every cluster layout. */
   def deterministicSample(df: DataFrame, keyCol: Column, fraction: Double,
                           salt: String = "graft"): DataFrame =
-    df.where(sampleFilter(keyCol, fraction, salt))
+    df.where(sampleFilter(stableKey(df, keyCol), fraction, salt))
 
   /** LEAKAGE-FREE train/val/test split: near-duplicate documents must
     * land in the SAME split — hashing each doc independently puts one
@@ -185,8 +216,20 @@ object Sampling {
         // data, per the determinism contract below
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val perStream = BigInt(1L << 30) // target ≤ ~1 GiB sorted per salt stream
-        val bySize = ((bytes + perStream - 1) / perStream).min(BigInt(1 << 20)).toInt
-        math.max(32, bySize)
+        // UNUSABLE stats guard: an RDD-backed frame reports
+        // defaultSizeInBytes (Long.MaxValue) and size-only join
+        // estimation MULTIPLIES child sizes — either way `bytes` is a
+        // fiction ≥ exbibytes, and trusting it degenerates to the 2^20
+        // cap: ~1 doc per salt stream, floor(cumsum/budget)=0
+        // everywhere, packing silently a no-op while the window
+        // shuffles into a million partitions. Real inputs at the 100 TB
+        // design point are < 2^50; anything ≥ 2^60 is estimator
+        // garbage → fall back to the constant floor (callers that know
+        // their scale pass `parallelism` explicitly).
+        val bySize =
+          if (bytes >= (BigInt(1L) << 60)) BigInt(0)
+          else ((bytes + perStream - 1) / perStream).min(BigInt(1 << 20))
+        math.max(32, bySize.toInt)
       }
     // explicit ROWS frame: the default frame is RANGE, under which rows
     // TIED on idCol share one inclusive cumsum — two 600-weight docs

@@ -35,8 +35,17 @@ object Sketches {
     // (or k=0 silently returns an empty report)
     require(k >= 1, s"heavy-hitter count k must be >= 1, got $k")
     // the report reserves these two output names — a key column named
-    // 'n' would yield two ambiguous 'n' columns AFTER the full pass ran
-    require(keyCol != "n" && keyCol != "est_ok",
+    // 'n' would yield two ambiguous 'n' columns AFTER the full pass
+    // ran. Matching follows the SESSION resolver (the Cols guard
+    // convention): under default case-insensitive resolution a key
+    // named 'N' collides exactly the same way, and the raw != check
+    // let it through to fail only after the scan
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val collides =
+      if (caseSensitive) keyCol == "n" || keyCol == "est_ok"
+      else keyCol.equalsIgnoreCase("n") || keyCol.equalsIgnoreCase("est_ok")
+    require(!collides,
       s"key column '$keyCol' collides with a report column name")
     // nulls: the CMS builder skips them but groupBy reports the null
     // group, and sketch.estimateCount(null) throws on the driver —
@@ -63,7 +72,14 @@ object Sketches {
       val key = r.get(0)
       val exact = r.getAs[Long]("n")
       val est = sketch.estimateCount(key)
-      (String.valueOf(key), exact, est >= exact && est <= exact + bound)
+      // BINARY keys render as lowercase hex: String.valueOf on a byte
+      // array is the JVM identity string ("[B@1a2b3c") — different on
+      // every run and unjoinable back to the source
+      val keyStr = key match {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case other => String.valueOf(other)
+      }
+      (keyStr, exact, est >= exact && est <= exact + bound)
     }.toDF(keyCol, "n", "est_ok")
   }
 }

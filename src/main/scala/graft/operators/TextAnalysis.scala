@@ -52,11 +52,16 @@ object TextAnalysis {
   def nonEmptyWords(textCol: Column): Column =
     filter(words(textCol), w => length(w) > 0)
 
-  def langScore(textCol: Column, lang: String): Column = {
-    val ws = words(textCol)
-    val hits = size(filter(ws, w => stopwords(lang).map(s => w === s).reduce(_ || _)))
-    hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
-  }
+  def langScore(textCol: Column, lang: String): Column =
+    // let-bound: the naive `val ws` inlined the whole normalize+split
+    // tree into BOTH the filter and the size denominator — the HOF
+    // trees are CodegenFallback, so nothing deduplicates the copies
+    // and every scored row paid the pipeline twice (langId already
+    // binds; the standalone scorer must too)
+    letBound(words(textCol)) { ws =>
+      val hits = size(filter(ws, w => stopwords(lang).map(s => w === s).reduce(_ || _)))
+      hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
+    }
 
   /** LET-BINDING via a single-element transform: evaluates `bound`
     * ONCE per row and hands it to `body` as a lambda argument — naively

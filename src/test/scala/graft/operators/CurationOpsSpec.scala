@@ -153,6 +153,67 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       Sketches.cmsHeavyHitters(docs, "id", k = 0)).getMessage.contains("k"))
   }
 
+  test("r12 review: sub-resolution splits reject, timestamp keys split TZ-stably, blank docs don't contaminate, garbage stats don't degenerate packing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a positive fraction that rounds onto its neighbor's threshold
+    // would silently receive ZERO rows — reject like sampleFilter does
+    intercept[IllegalArgumentException](
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.5, "cal" -> 1e-6, "test" -> 0.499999)))
+    // a below-resolution LAST split would receive only the ffff clamp sliver
+    intercept[IllegalArgumentException](
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.5, "test" -> (0.5 - 1e-7), "z" -> 1e-7)))
+    // the normal case still passes
+    Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+    // TIMESTAMP split keys: same physical row, same split, ANY session
+    // timezone (string-cast rendering was TZ-dependent — silent
+    // train/test migration across engines/sessions)
+    val ts = Seq.tabulate(64)(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
+      .toDF("rid", "etime")
+    val tzConf = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzConf)
+    val utc = try {
+      spark.conf.set(tzConf, "UTC")
+      Sampling.hashSplit(ts, "etime").select("rid", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    } finally spark.conf.set(tzConf, prior)
+    val la = try {
+      spark.conf.set(tzConf, "America/Los_Angeles")
+      Sampling.hashSplit(ts, "etime").select("rid", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    } finally spark.conf.set(tzConf, prior)
+    assert(utc == la, "timestamp-keyed split membership must not depend on session TZ")
+
+    // blank/whitespace-only docs: the "" gram must not pair unrelated
+    // blank corpus and bench docs as contamination
+    val corpus = Seq((1L, "   "), (2L, ""), (3L, "real shared gram text here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((50L, " "), (51L, "real shared gram text here")).toDF("doc_id", "text")
+    val hits = Contamination.ngramOverlap(corpus, bench, "text", "doc_id",
+      k = 3, minShared = 1, maxDf = 100L).collect()
+    assert(!hits.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L),
+      s"blank docs must not register as contamination: ${hits.mkString(",")}")
+    assert(hits.exists(r => r.getLong(0) == 3L && r.getLong(1) == 51L))
+
+    // an RDD-backed frame reports defaultSizeInBytes (Long.MaxValue):
+    // auto-parallelism must fall back to the floor, not the 2^20 cap
+    // (which packs ~1 doc per salt stream — a silent no-op packing)
+    val rdd = spark.sparkContext.parallelize((0L until 200L).map(i =>
+      org.apache.spark.sql.Row(i, 10L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType)))
+    val rddDf = spark.createDataFrame(rdd, schema)
+    assert(rddDf.queryExecution.optimizedPlan.stats.sizeInBytes > (BigInt(1L) << 60),
+      "precondition: the RDD-backed frame reports garbage stats")
+    val packed = Sampling.packIntoShards(rddDf, "id", "w", budget = 10000L)
+    val nShards = packed.select("shard_id").distinct().count()
+    assert(nShards <= 32L,
+      s"garbage plan stats must fall back to the 32-stream floor, got $nShards shards")
+  }
+
   test("sampling/packing edge guards: null keys, tiny fractions, weights, id types") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -20,6 +20,26 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(out.forall(_.getAs[Boolean]("est_ok")))
   }
 
+  test("cmsHeavyHitters: reserved-name guard follows the session resolver; binary keys render hex (r12 review)") {
+    import spark.implicits._
+    // under default case-INSENSITIVE resolution a key named 'N'
+    // collides with the report's 'n' after the full scan — reject now
+    val df = Seq(1L, 1L, 2L).toDF("N")
+    assert(intercept[IllegalArgumentException](
+      Sketches.cmsHeavyHitters(df, "N", 2)).getMessage.contains("collides"))
+    val df2 = Seq(1L).toDF("EST_OK")
+    assert(intercept[IllegalArgumentException](
+      Sketches.cmsHeavyHitters(df2, "EST_OK", 1)).getMessage.contains("collides"))
+    // a BINARY key reports lowercase hex (stable, joinable), never the
+    // JVM identity string ("[B@...")
+    val bin = Seq(Array[Byte](0x0a, 0x7f), Array[Byte](0x0a, 0x7f), Array[Byte](1))
+      .toDF("payload_key")
+    val out = Sketches.cmsHeavyHitters(bin, "payload_key", 2).collect()
+    assert(out.map(_.getAs[String]("payload_key")).toSeq == Seq("0a7f", "01"), out.mkString(","))
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+    assert(out.forall(_.getAs[Boolean]("est_ok")))
+  }
+
   test("cmsHeavyHitters: null keys are excluded, not a driver crash") {
     import spark.implicits._
     val df = (Seq.fill(50)(Some(7L)) ++ Seq.fill(100)(Option.empty[Long]) ++
