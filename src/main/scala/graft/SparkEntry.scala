@@ -774,7 +774,7 @@ object SparkEntry {
       val o = T(s, dir, "orders")
       val prev = o.select(col("o_custkey"), col("o_orderdate").as("prev_date"))
       Joins.asOf(o, prev, "o_custkey", "o_orderdate", "prev_date",
-          toleranceSeconds = 365L * 86400L, leftId = "o_orderkey", strict = true)
+          toleranceSeconds = 365L * 86400L, strict = true)
         .select(col("o_orderkey"), epochS(col("prev_date")).as("prev_epoch"))
     }),
 

@@ -76,7 +76,12 @@ object VeloFunctions {
     * stringified, NULL rendered as the literal 'NULL' (concat_ws
     * alone would silently SKIP nulls). */
   def veloJoin(sep: String, parts: Column*): Column =
-    concat_ws(sep, parts.map(p => coalesce(p.cast("string"), lit("NULL"))): _*)
+    // stringify through the SAME Rust-Display kernel CONCAT uses
+    // (functions.rs:1027 renders Float via f.to_string(): 1234567.0 →
+    // "1234567") — a plain cast("string") rendered the same value
+    // differently in JOIN vs CONCAT (r12 review)
+    concat_ws(sep, parts.map(p =>
+      coalesce(GraftKernels.veloStrCol(p), lit("NULL"))): _*)
   /** LEFT/RIGHT with a NEGATIVE n return the WHOLE string (reference:
     * `n as usize` wraps to take-everything — Spark returns empty). */
   def veloLeft(c: Column, n: Int): Column = if (n < 0) c else left(c, lit(n))
@@ -111,7 +116,13 @@ object VeloFunctions {
     // the fraction non-negative pre-1970, matching chrono's accessors
     // (Java % would yield -877 for 1969-12-31 23:59:59.123).
     case "QUARTER"     => quarter(ts)
-    case "EPOCH"       => unix_timestamp(ts)
+    // cast-to-long, NOT unix_timestamp: the cast FLOORS (euclidean),
+    // unix_timestamp truncates toward zero — they disagree by one
+    // second on every pre-1970 fractional timestamp, and the floor is
+    // what the reference's chrono timestamp(), veloUnixTimestamp, and
+    // the dialect's EXTRACT(EPOCH) lowering all compute (r12 review).
+    // The timestamp hop keeps string time columns working.
+    case "EPOCH"       => ts.cast("timestamp").cast("long")
     case "MILLISECOND" => pmod(unix_millis(ts), lit(1000L)).cast("int")
     case "MICROSECOND" => pmod(unix_micros(ts), lit(1000000L)).cast("int")
     case "NANOSECOND"  => (pmod(unix_micros(ts), lit(1000000L)) * 1000L).cast("long")
@@ -125,7 +136,24 @@ object VeloFunctions {
     * strftime translation; otherwise the string is passed through as a
     * Spark pattern, so both worlds work. */
   def veloDateFormat(ts: Column, fmt: String): Column =
-    date_format(ts, if (fmt.contains('%')) strftimeToSpark(fmt) else fmt)
+    if (!fmt.contains('%')) date_format(ts, fmt)
+    else {
+      val p = strftimeToSpark(fmt)
+      val base = date_format(ts, p)
+      // %e (chrono: SPACE-padded day-of-month) has no Java pattern
+      // letter — strftimeToSpark emits a sentinel literal, replaced
+      // here with the padded day ("Jan  5", not "Jan 5"; r12 review)
+      if (p.indexOf(EDaySentinel) >= 0)
+        regexp_replace(base, lit(EDaySentinel.toString),
+          lpad(dayofmonth(ts.cast("timestamp")).cast("string"), 2, " "))
+      else base
+    }
+
+  /** Placeholder `strftimeToSpark` emits for chrono's %e (space-padded
+    * day-of-month, which Java's DateTimeFormatter cannot express) —
+    * callers must post-replace it with lpad(day, 2, ' '). A control
+    * char: never a pattern letter, never in real literal text. */
+  val EDaySentinel: Char = '\u0001'
 
   /** chrono strftime → Spark DateTimeFormatter pattern. Supports the
     * directives reference queries use; anything untranslatable fails AT
@@ -137,7 +165,10 @@ object VeloFunctions {
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
       val s = lit.toString
-      if (s.exists(c => c.isLetter || c == '\''))
+      // quote on '#'/'{'/'}' too: Java reserves them and throws
+      // IllegalArgumentException on an unquoted occurrence — a pattern
+      // chrono renders fine must not crash here (r12 review)
+      if (s.exists(c => c.isLetter || c == '\'' || c == '#' || c == '{' || c == '}'))
         out.append('\'').append(s.replace("'", "''")).append('\'')
       else out.append(s)
       lit.clear()
@@ -156,7 +187,10 @@ object VeloFunctions {
           case c =>
             val s = c match {
               case 'Y' => "yyyy"; case 'y' => "yy"
-              case 'm' => "MM"; case 'd' => "dd"; case 'e' => "d"
+              case 'm' => "MM"; case 'd' => "dd"
+              // chrono %e is SPACE-padded ("Jan  5"); Java has no such
+              // letter — emit the sentinel for the caller to post-fill
+              case 'e' => EDaySentinel.toString
               case 'H' => "HH"; case 'I' => "hh"
               case 'M' => "mm"; case 'S' => "ss"
               case 'p' => "a"

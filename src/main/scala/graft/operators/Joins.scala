@@ -55,15 +55,27 @@ object Joins {
   def streamTableDegraded(fact: DataFrame, dim: DataFrame, cond: Column,
                           strategy: MissingDataStrategy): DataFrame = {
     import MissingDataStrategy._
+    // reserved working column, same convention as the window operators:
+    // withColumn would silently REPLACE (then drop) a same-named caller
+    // column on the dim side, and a fact-side copy dies later with
+    // AMBIGUOUS_REFERENCE far from the call site (r12 review)
+    for (d <- Seq(fact, dim))
+      require(!Cols.has(d, "__graft_matched"),
+        "streamTableDegraded: inputs must not carry the reserved working column __graft_matched")
     strategy match {
       case SkipRecord => fact.join(broadcast(dim), cond, "inner")
       case EmitWithNulls => fact.join(broadcast(dim), cond, "left_outer")
       case UseDefaults(defaults) =>
-        val missing = defaults.keySet.filterNot(dim.columns.contains)
+        // Cols (the session resolver), not columns.contains: a
+        // differently-cased default name resolves fine at runtime and
+        // must not be rejected, and a differently-cased fact-side clash
+        // dies with AMBIGUOUS_REFERENCE far from the call site (r12
+        // review — exactly the escape Cols.scala documents)
+        val missing = defaults.keySet.filterNot(Cols.has(dim, _))
         require(missing.isEmpty, s"UseDefaults names non-table columns: ${missing.mkString(", ")}")
         // a defaulted name also present on the stream side would make
         // col(c) ambiguous at runtime — reject up front
-        val clash = defaults.keySet.filter(fact.columns.contains)
+        val clash = defaults.keySet.filter(Cols.has(fact, _))
         require(clash.isEmpty,
           s"UseDefaults columns also exist on the stream side: ${clash.mkString(", ")}")
         // defaults apply ONLY when the lookup found no table row — a
@@ -117,25 +129,32 @@ object Joins {
     * Realization: a time-band equi-join generates the bounded candidate
     * set (tolerance caps state/skew — an unbounded as-of would carry all
     * history), then a per-left-row rank keeps the latest. The rank
-    * partitions by a minted per-ROW id (not `leftId`, which may carry
+    * partitions by a minted per-ROW id (a user id column may carry
     * duplicates or nulls): millions of tiny partitions spread across
     * reducers — no hot task, and one output row per left input row.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, toleranceSeconds: Long,
-           leftId: String, strict: Boolean = false,
+           strict: Boolean = false,
            keepUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // a negative tolerance makes the band unsatisfiable (same silent-
-    // empty failure the interval() guard rejects)
+    // empty failure the interval() guard rejects) — and so does
+    // strict with tolerance 0: rightTs ∈ [leftTs, leftTs) is EMPTY,
+    // the whole join would run and return nothing with no error (r12)
     require(toleranceSeconds >= 0,
       s"toleranceSeconds must be >= 0, got $toleranceSeconds")
-    // reserved working column, same convention as the window operators
-    require(!left.columns.exists(_.equalsIgnoreCase("_asof_row")),
-      "asOf: left side must not carry the reserved working column _asof_row")
+    require(!(strict && toleranceSeconds == 0),
+      "asOf with strict=true and toleranceSeconds=0 is an empty band " +
+        "(rightTs >= leftTs AND rightTs < leftTs) — no row can ever match")
+    // reserved working columns, same convention as the window operators
+    // (the right side can carry them into the joined frame too — r12)
+    for ((d, side) <- Seq((left, "left"), (right, "right")); c <- Seq("_asof_row", "_rk"))
+      require(!Cols.has(d, c),
+        s"asOf: $side side must not carry the reserved working column $c")
     // Rank partitions by a PER-ROW id minted before the join, not by
-    // leftId: duplicate leftId values (an append/reload duplicate) or
-    // null ids (ONE window partition for all of them) would merge
+    // a user id column: duplicate id values (an append/reload duplicate)
+    // or null ids (ONE window partition for all of them) would merge
     // several left rows' candidate sets and row_number()===1 would
     // silently collapse them into one output row — violating the
     // 'for each left row' contract. The minted id only isolates rows
@@ -203,6 +222,12 @@ object Joins {
     // side and sequence(0, salt-1) still emits rows, so the join silently
     // returns zero (inner) or all-null-padded (left) rows
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    // reserved working column: withColumn would silently REPLACE a
+    // same-named caller column with the computed salt, then drop it —
+    // the caller's data vanishes from the output (r12 review)
+    for ((d, side) <- Seq((fact, "fact"), (other, "other")))
+      require(!Cols.has(d, "_salt"),
+        s"saltedJoin: $side side must not carry the reserved working column _salt")
     val saltedFact = fact.withColumn("_salt", pmod(xxhash64(factSaltSource), lit(salt)).cast("int"))
     val replicated = other
       .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))

@@ -1783,9 +1783,27 @@ object VeloSqlParser {
             val raw = args(1).head.text
             val fmt = raw.substring(1, raw.length - 1).replace("''", "'")
             val sparkFmt = graft.functions.VeloFunctions.strftimeToSpark(fmt)
-            out += id("date_format") += sym("(")
-            out ++= rewriteTokens(args(0), defaultTimeCol)
-            out += sym(",") += Tok(TString, "'" + sparkFmt.replace("'", "''") + "'") += sym(")")
+            val eDay = graft.functions.VeloFunctions.EDaySentinel.toString
+            // %e (chrono: SPACE-padded day) has no Java pattern letter —
+            // strftimeToSpark emits a sentinel, post-replaced here with
+            // lpad(day, 2, ' ') so 'Jan  5' renders like the reference
+            if (sparkFmt.contains(eDay)) {
+              out += id("regexp_replace") += sym("(")
+              out += id("date_format") += sym("(")
+              out ++= rewriteTokens(args(0), defaultTimeCol)
+              out += sym(",") += Tok(TString, "'" + sparkFmt.replace("'", "''") + "'") += sym(")")
+              out += sym(",") += Tok(TString, "'" + eDay + "'")
+              out += sym(",") += id("lpad") += sym("(")
+              out += id("cast") += sym("(") += id("day") += sym("(")
+              out ++= rewriteTokens(args(0), defaultTimeCol)
+              out += sym(")") += id("AS") += id("string") += sym(")")
+              out += sym(",") += Tok(TNumber, "2") += sym(",") += Tok(TString, "' '")
+              out += sym(")") += sym(")")
+            } else {
+              out += id("date_format") += sym("(")
+              out ++= rewriteTokens(args(0), defaultTimeCol)
+              out += sym(",") += Tok(TString, "'" + sparkFmt.replace("'", "''") + "'") += sym(")")
+            }
             i = end
           case "POSITION" =>
             // byte-based with an optional byte start offset

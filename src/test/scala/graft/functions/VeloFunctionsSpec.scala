@@ -174,4 +174,26 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     val exact = m.agg(sum(money(col("v"))).cast("double")).collect().head.getDouble(0)
     assert(exact == 0.6)
   }
+
+  test("r12 review: EPOCH floors pre-1970, JOIN renders floats like CONCAT, %e space-pads, '#' literal survives") {
+    // EXTRACT(EPOCH): cast-to-long FLOORS — unix_timestamp truncates
+    // toward zero and read 0 for this pre-1970 fractional instant,
+    // disagreeing with veloUnixTimestamp and the dialect lowering
+    assert(one(veloExtract("EPOCH",
+      lit("1969-12-31 23:59:59.5").cast("timestamp"))) == -1L)
+    assert(one(veloExtract("EPOCH", lit("2024-03-05 00:00:01"))) == 1709596801L)
+    // JOIN stringifies through the SAME Rust-Display kernel as CONCAT:
+    // 1234567.0 renders "1234567" (f.to_string()), not Spark's "1234567.0"
+    assert(one(veloJoin(",", lit(1234567.0), lit("x"))) == "1234567,x")
+    assert(one(veloConcat(lit(1234567.0))) == "1234567")
+    // chrono %e is SPACE-padded day-of-month: "Jan  5", not "Jan 5"
+    assert(one(veloDateFormat(lit("2026-01-05 10:00:00").cast("timestamp"),
+      "%b %e")) == "Jan  5")
+    assert(one(veloDateFormat(lit("2026-01-15 10:00:00").cast("timestamp"),
+      "%b %e")) == "Jan 15")
+    // '#' is reserved by Java's DateTimeFormatter — unquoted it throws;
+    // chrono renders it literally
+    assert(one(veloDateFormat(lit("2026-01-05 10:00:00").cast("timestamp"),
+      "%Y#%m")) == "2026#01")
+  }
 }

@@ -24,7 +24,7 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     ).toDF("sym", "q_ts", "px")
 
     val joined = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
-      toleranceSeconds = 100L, leftId = "trade_id")
+      toleranceSeconds = 100L)
     val byTrade = joined.collect().map(r => r.getAs[Long]("trade_id") -> r.getAs[Double]("px")).toMap
     assert(byTrade == Map(1L -> 10.0, 2L -> 11.0)) // trade 3: nearest quote 300s stale; trade 4: 140s stale
   }
@@ -39,7 +39,7 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     ).toDF("sym", "q_ts", "px").repartition(4)
     val picks = (1 to 3).map { _ =>
       Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
-        toleranceSeconds = 100L, leftId = "trade_id")
+        toleranceSeconds = 100L)
         .collect().map(_.getAs[Double]("px")).toSeq
     }
     assert(picks.head.size == 1 && picks.distinct.size == 1)
@@ -57,7 +57,7 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
       ("AAPL", ts(90), 10.0), ("AAPL", ts(200), 11.0)
     ).toDF("sym", "q_ts", "px")
     val out = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
-      toleranceSeconds = 1000L, leftId = "trade_id")
+      toleranceSeconds = 1000L)
       .collect().map(r => (Option(r.getAs[java.lang.Long]("trade_id")).map(_.toLong),
         r.getAs[Timestamp]("t_ts").getTime / 1000L, r.getAs[Double]("px")))
     assert(out.toSet == Set(
@@ -68,12 +68,38 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     val df = Seq((1L, "A", ts(1))).toDF("id", "k", "t")
     intercept[IllegalArgumentException] {
-      Joins.asOf(df, df, "k", "t", "t", toleranceSeconds = -1L, leftId = "id")
+      Joins.asOf(df, df, "k", "t", "t", toleranceSeconds = -1L)
     }
     intercept[IllegalArgumentException] {
       Joins.interval(df, df, df("k") === df("k"), df("t"), df("t"),
         lowerSeconds = 300L, upperSeconds = -300L)
     }
+    // strict + tolerance 0 = rightTs in [leftTs, leftTs): empty band,
+    // the whole join would run and return nothing with no error
+    intercept[IllegalArgumentException] {
+      Joins.asOf(df, df, "k", "t", "t", toleranceSeconds = 0L, strict = true)
+    }
+  }
+
+  test("r12 review: working-column guards reject inputs carrying _salt / __graft_matched / _rk") {
+    import spark.implicits._
+    val df = Seq((1L, "A", ts(1))).toDF("id", "k", "t")
+    // saltedJoin would silently REPLACE then DROP a caller's _salt
+    val withSalt = df.withColumn("_salt", lit(9))
+    assert(intercept[IllegalArgumentException](
+      Joins.saltedJoin(withSalt, df, "k", col("id"))).getMessage.contains("_salt"))
+    assert(intercept[IllegalArgumentException](
+      Joins.saltedJoin(df, withSalt, "k", col("id"))).getMessage.contains("_salt"))
+    // streamTableDegraded's match marker, ANY casing (resolver-aware)
+    val withMark = df.withColumn("__GRAFT_MATCHED", lit(false))
+    assert(intercept[IllegalArgumentException](
+      Joins.streamTableDegraded(df, withMark, df("k") === withMark("k"),
+        Joins.MissingDataStrategy.FailFast)).getMessage.contains("__graft_matched"))
+    // asOf's rank column on the RIGHT side reaches the joined frame too
+    val withRk = df.withColumn("_rk", lit(1))
+    assert(intercept[IllegalArgumentException](
+      Joins.asOf(df, withRk, "k", "t", "t", toleranceSeconds = 10L))
+      .getMessage.contains("_rk"))
   }
 
   test("saltedJoin rejects non-positive salt instead of silent data loss") {
@@ -159,7 +185,7 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
       .withColumn("q_ts", col("q_ts").cast("timestamp"))
       .withColumn("attrs", map(lit("venue"), lit("X"))) // MapType: hash() rejects it
     val out = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
-      toleranceSeconds = 60, leftId = "trade_id").collect()
+      toleranceSeconds = 60).collect()
     assert(out.length == 1 && out.head.getAs[Double]("px") == 2.0)
   }
 }

@@ -188,6 +188,14 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[String]("mo") == "2024-03")
     assert(r.getAs[String]("tod") == "10:00:00")
     assert(r.getAs[String]("javaStyle") == "2024-03-05") // both worlds work
+    // %e: chrono SPACE-pads single-digit days ("Mar  5") — Java has no
+    // such pattern letter; the lowering post-fills via lpad (r12)
+    val e = ctx.sql(
+      """SELECT DATE_FORMAT(event_time, '%b %e') AS be,
+         DATE_FORMAT(event_time, '%Y#%m') AS hash
+         FROM t WHERE id = 1""").collect().head
+    assert(e.getAs[String]("be") == "Mar  5", e.getAs[String]("be"))
+    assert(e.getAs[String]("hash") == "2024#03") // '#' is Java-reserved; quoted
   }
 
   test("DATEDIFF units are calendar-component diffs (functions.rs:1977-2005)") {
