@@ -295,11 +295,12 @@ object Bench {
     // Merge: per query keep the fastest SUCCESSFUL timing across runs
     // (an error in one run must not shadow a clean timing in another);
     // if every run errored, keep the first error so it stays reported.
-    val results: Seq[(String, Q)] = names.map { name =>
+    val merged: Seq[(String, Q, Int)] = names.map { name =>
       val qs = allRuns.map(_.find(_._1 == name).get._2)
       val idx = Bench.chooseRun(qs.map(q => (q.r.err, q.r.sec)))
-      name -> qs(idx).copy(retries = qs.map(_.retries).sum)
+      (name, qs(idx).copy(retries = qs.map(_.retries).sum), idx)
     }
+    val results: Seq[(String, Q)] = merged.map { case (n, q, _) => n -> q }
 
     import JsonOut.{jstr, sec3}
 
@@ -323,6 +324,20 @@ object Bench {
       .mkString("{", ",", "}")
     val guards = results.map { case (k, q) => s"${jstr(k)}:${sec3(q.guard)}" }.mkString("{", ",", "}")
     val retimed = results.collect { case (k, q) if q.retries > 0 => s"${jstr(k)}:${q.retries}" }
+      .mkString("{", ",", "}")
+    // SELF-ADJUDICATION vs ambient (r13): wall seconds normalized by the
+    // sentinel-median of the RUN each timing was chosen from. Two
+    // artifacts taken in differently-loaded windows disagree on wall
+    // time but agree on this ratio — a seal-vs-driver divergence like
+    // r12's q58 (2.233 driver vs 1.710 sealed, driver run uniformly
+    // inflated) resolves from the artifacts alone. The chosen run index
+    // rides alongside so the denominator is auditable against "runs".
+    val qsNorm = merged.map { case (k, q, idx) =>
+      val med = runStats(idx).sentinelMed
+      val norm = if (med > 0) q.r.sec / med else -1.0
+      s"${jstr(k)}:${sec3(norm)}"
+    }.mkString("{", ",", "}")
+    val qRun = merged.map { case (k, _, idx) => s"${jstr(k)}:${idx + 1}" }
       .mkString("{", ",", "}")
     // the headline total sums SUCCESSFUL timings only: an erroring
     // query's time-to-failure is not a measurement, and summing it in
@@ -371,7 +386,7 @@ object Bench {
     val stdoutJson =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"error_queries":$errNames,"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"runs":$runsJson,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"runs":$runsJson,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"query_run":$qRun,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"runs":$runsJson,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -290,11 +290,15 @@ object GraftKernels {
     *    trailing `$` is literal, and backslashes are literal.
     *
     * Patterns compile once per (pattern, i-flag) and cache, mirroring
-    * the reference's get_cached_regex; past the bound, new patterns
-    * compile uncached (hot static patterns stay cached — clearing the
-    * whole map would turn every row into a Pattern.compile). */
+    * the reference's get_cached_regex; at the bound a new pattern
+    * evicts one resident entry and still caches (the former
+    * compile-uncached fallback made every pattern past #1024 a
+    * per-ROW Pattern.compile forever; evicted hot patterns just
+    * recompile once on next use — r13 advice). */
   private val veloRegexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (java.util.regex.Pattern, Set[String])]()
+
+  private[graft] def regexCacheSize: Int = veloRegexCache.size
 
   private val NamedGroupSyntax = java.util.regex.Pattern.compile(
     """\(\?P?<([A-Za-z][A-Za-z0-9_]*)>""")
@@ -354,10 +358,21 @@ object GraftKernels {
                         flags: UTF8String): UTF8String = {
     val f = flags.toString
     val pat = (if (f.indexOf('i') >= 0) "(?U)(?i)" else "(?U)") + p.toString
-    val (compiled, names) =
-      if (veloRegexCache.size > 1024)
-        Option(veloRegexCache.get(pat)).getOrElse(compileVelo(pat))
-      else veloRegexCache.computeIfAbsent(pat, compileVelo(_))
+    val (compiled, names) = {
+      val hit = veloRegexCache.get(pat)
+      if (hit != null) hit
+      else {
+        // evict-one-on-insert at the cap: ConcurrentHashMap iteration
+        // order is effectively arbitrary, so this is a cheap random
+        // eviction; a racing thread evicting concurrently only costs a
+        // transient dip below the cap, never unbounded growth
+        if (veloRegexCache.size >= 1024) {
+          val it = veloRegexCache.keySet.iterator()
+          if (it.hasNext) veloRegexCache.remove(it.next())
+        }
+        veloRegexCache.computeIfAbsent(pat, compileVelo(_))
+      }
+    }
     val m = compiled.matcher(s.toString)
     val repl = rustReplacement(r.toString, m.groupCount(), names)
     UTF8String.fromString(

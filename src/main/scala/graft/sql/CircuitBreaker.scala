@@ -83,7 +83,13 @@ final class CircuitBreaker(config: CircuitBreaker.Config = CircuitBreaker.Config
     * manager lost ownership of it): clear the token so the next launch
     * can run a real trial instead of deadlocking behind a phantom one. */
   def abandonTrial(): Unit = synchronized {
-    if (state == CircuitBreaker.HalfOpen) trialInFlight = false
+    if (state == CircuitBreaker.HalfOpen) {
+      trialInFlight = false
+      // partial-trial credit must NOT carry into the next trial: a
+      // later HALF_OPEN trial could otherwise close the breaker with
+      // fewer fresh successes than successThreshold (r13 advice)
+      consecutiveSuccesses = 0
+    }
   }
 
   /** Milliseconds until the next trial launch is allowed; 0 when not OPEN. */

@@ -822,8 +822,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       var stopped = false
       try {
         q.stop()
-        try q.awaitTermination() catch { case _: StreamingQueryException => () }
+        // stop() returned: the query IS stopped. Mark it BEFORE the
+        // await — an interrupt (or any non-SQE failure) during
+        // awaitTermination must not leave a stopped query reported
+        // RUNNING with its handle kept (r13 advice)
         stopped = true
+        try q.awaitTermination() catch { case _: StreamingQueryException => () }
       } finally {
         j.lastError = q.exception.map(e =>
           Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")

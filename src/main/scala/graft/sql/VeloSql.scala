@@ -448,12 +448,27 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // → millis (1e11 ms ≈ 1973-03; 1e11 s ≈ year 5138, far past
           // any live data), else seconds. A 32-bit INT cannot hold
           // epoch-millis at all, so IntegerType is always seconds.
+          // 'retention_unit' = 'millis'|'seconds' overrides the
+          // per-value guess — a BIGINT epoch-millis column holding
+          // pre-1973 values (< 1e11) would otherwise be read as
+          // seconds and never expire (r13 advice)
+          val unitOverride = props.get("retention_unit").map {
+            case "millis" | "ms" | "milliseconds" => "millis"
+            case "seconds" | "s" | "secs"         => "seconds"
+            case other => throw new ParseException(
+              s"unrecognized 'retention_unit' '$other' (use 'millis' or 'seconds')")
+          }
           val keep = df.schema(c).dataType match {
             case org.apache.spark.sql.types.LongType =>
               val cutMs = unix_millis(current_timestamp()) - lit(sec * 1000L)
               val cutS = unix_seconds(current_timestamp()) - lit(sec)
-              when(col(c) >= lit(100000000000L), col(c) >= cutMs)
-                .otherwise(col(c) >= cutS)
+              unitOverride match {
+                case Some("millis")  => col(c) >= cutMs
+                case Some("seconds") => col(c) >= cutS
+                case _ =>
+                  when(col(c) >= lit(100000000000L), col(c) >= cutMs)
+                    .otherwise(col(c) >= cutS)
+              }
             case org.apache.spark.sql.types.IntegerType =>
               col(c) >= unix_seconds(current_timestamp()) - lit(sec)
             case _ => col(c) >= current_timestamp() - expr(s"INTERVAL $sec SECOND")

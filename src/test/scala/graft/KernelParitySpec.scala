@@ -206,6 +206,26 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
       GraftKernels.nearestCentroidsCol(col("e"), flat, nCentroids = 0, dim = 8, nprobe = 2, floatElems = true))
   }
 
+  test("regex cache stays bounded past 1024 distinct patterns and keeps caching (r13 advice)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    // flood past the cap with distinct literal patterns
+    (0 until 1100).foreach { i =>
+      GraftKernels.veloRegexpReplace(u(s"pat$i end"), u(s"pat$i"), u("X"), u(""))
+    }
+    assert(GraftKernels.regexCacheSize <= 1024,
+      s"cache grew past the cap: ${GraftKernels.regexCacheSize}")
+    // a NEW pattern arriving at the cap must still produce correct
+    // results (and gets cached via evict-one, not compiled per row)
+    val before = GraftKernels.regexCacheSize
+    val r = GraftKernels.veloRegexpReplace(u("abcabc"), u("b(c)"), u("[$1]"), u("g"))
+    assert(r.toString == "a[c]a[c]")
+    assert(GraftKernels.regexCacheSize <= 1024 && GraftKernels.regexCacheSize >= before - 1)
+    // and the pattern IS resident now — a second call hits the cache
+    val r2 = GraftKernels.veloRegexpReplace(u("bc"), u("b(c)"), u("<$1>"), u(""))
+    assert(r2.toString == "<c>")
+  }
+
   test("kernels run inside whole-stage codegen (no interpreted fallback)") {
     val plan = docs.select(GraftKernels.simhashCol(col("text"))).queryExecution.executedPlan
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage

@@ -250,6 +250,26 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.currentState == CircuitBreaker.HalfOpen)
   }
 
+  test("abandonTrial drops partial-trial credit — the next trial must earn the full threshold (r13 advice)") {
+    var now = 0L
+    val cb = new CircuitBreaker(
+      CircuitBreaker.Config(failureThreshold = 2, recoveryTimeoutMs = 1000L, successThreshold = 3),
+      () => now)
+    cb.recordFailure(); cb.recordFailure()
+    now = 1000L
+    assert(cb.tryBeginLaunch())
+    cb.recordSuccess(); cb.recordSuccess() // 2 of 3, then the query stops
+    cb.abandonTrial()
+    assert(cb.currentState == CircuitBreaker.HalfOpen)
+    // fresh trial: one success must NOT close (2 stale + 1 fresh ≠ 3 fresh)
+    assert(cb.tryBeginLaunch())
+    cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.HalfOpen,
+      "stale partial-trial successes must not count toward closing")
+    cb.recordSuccess(); cb.recordSuccess()
+    assert(cb.currentState == CircuitBreaker.Closed)
+  }
+
   test("supervision restarts continue exactly-once on the same sink") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =

@@ -1166,6 +1166,26 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
       == Seq(1L, 3L))
   }
 
+  test("retention_unit prop overrides the per-value unit guess (r13 advice)") {
+    import spark.implicits._
+    // epoch-MILLIS values below 1e11 (pre-1973 data): the per-value
+    // guess reads them as seconds and never expires them — the
+    // explicit unit makes the old rows prune
+    val nowMs = System.currentTimeMillis()
+    Seq((1L, 50000000000L), (2L, nowMs - 3600 * 1000L))
+      .toDF("rid", "ts").createOrReplaceTempView("ret_unit_ms")
+    ctx.sql(
+      """CREATE TABLE ret_unit_forced AS SELECT rid, ts FROM ret_unit_ms
+         WITH ('retention' = '7 days', 'retention_unit' = 'millis')""")
+    assert(spark.table("ret_unit_forced").collect().map(_.getAs[Long]("rid")).toSeq
+      == Seq(2L), "pre-1973 millis rows must expire under the forced unit")
+    // and a garbage unit fails loudly
+    val e = intercept[VeloSqlParser.ParseException](ctx.sql(
+      """CREATE TABLE ret_unit_bad AS SELECT rid, ts FROM ret_unit_ms
+         WITH ('retention' = '7 days', 'retention_unit' = 'fortnights')"""))
+    assert(e.getMessage.contains("retention_unit"))
+  }
+
   test("UNION with per-branch INTO writes each branch's OWN rows to its sink (r12 review)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_union_into").toString
     ctx.sql(s"CREATE SINK u_s1 WITH (path = 'file://$dir/b1.parquet')")
