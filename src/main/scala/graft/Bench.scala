@@ -79,6 +79,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // same driver-survival bound as GraftSession (see comment there)
       .config("spark.sql.maxPlanStringLength", "1048576")
+      // same rationale as GraftSession: ${var} substitution corrupts
+      // ${...} inside dialect string literals
+      .config("spark.sql.variable.substitute", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -41,7 +41,15 @@ object GraftSession {
       // SQL-execution event can alone OOM the driver at deep tiers
       // (observed: 64x closure probe, heap death inside explainString).
       // 1 MiB keeps plans debuggable and the driver alive.
-      "spark.sql.maxPlanStringLength" -> "1048576"
+      "spark.sql.maxPlanStringLength" -> "1048576",
+      // Spark's Hive-style ${var} substitution rewrites ${...} INSIDE
+      // SQL string literals before any function sees them — an
+      // undefined var silently becomes "" (observed: the Rust-parity
+      // replacement '${1}0' reached the regex kernel as '0'). The
+      // reference dialect has no such in-statement substitution; its
+      // ${VAR} application-header resolution is implemented separately
+      // in SqlApp.resolvePattern (r13 review).
+      "spark.sql.variable.substitute" -> "false"
     ).foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     // the engine's native kernels are part of its SQL surface

@@ -102,6 +102,42 @@ object GraftKernels {
       vec, typedLit(planesFlat.toSeq), lit(numBits), lit(dim), lit(floatElems))
   }
 
+  /** Per-BAND sign-sketch chunks: element b = the bandBits-bit LSH
+    * bucket of band b, where bit i of band b is the sign of
+    * vec · planes[b*bandBits + i]. Unlike signSketchCol the total bit
+    * count numBands*bandBits is NOT bounded by 64 — the wide-band path
+    * adaptive LSH needs at large corpora (bucket space 2^bandBits must
+    * grow with N or every bucket saturates the cap). For
+    * numBands*bandBits <= 64 the chunks equal the shiftright windows of
+    * signSketchCol over the same planes (parity-tested). */
+  def bandChunksCol(vec: Column, planesFlat: Array[Double], numBands: Int,
+                    bandBits: Int, dim: Int, floatElems: Boolean): Column = {
+    require(numBands >= 1, s"numBands must be >= 1, got $numBands")
+    // 63: chunk bits 0..62 stay in a long's sign-free range — the same
+    // bound the callers' own [1, 63] gates promise (r13 review)
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits must be in [1, 63] (chunk fits a long), got $bandBits")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    // Long product: an Int overflow here could wrap to match a small
+    // planesFlat.length and bypass the gate (r13 review)
+    require(planesFlat.length.toLong == numBands.toLong * bandBits * dim,
+      s"planesFlat has ${planesFlat.length} values, expected numBands*bandBits*dim = " +
+        s"${numBands.toLong * bandBits * dim}")
+    invoke(ArrayType(LongType, containsNull = false), "bandChunks",
+      Seq(vecType(floatElems), ArrayType(DoubleType), IntegerType, IntegerType,
+        IntegerType, BooleanType),
+      vec, typedLit(planesFlat.toSeq), lit(numBands), lit(bandBits), lit(dim), lit(floatElems))
+  }
+
+  /** Total Hamming distance between two equal-length long arrays
+    * (sketch chunk vectors): Σ popcount(a(i) ^ b(i)). Used by the
+    * embed-LSH sketch prefilter — candidate pairs whose sketch Hamming
+    * distance exceeds the threshold implied by the requested cosine
+    * never fetch vectors or enter the pair-dedup exchange. */
+  def hammingBitsCol(a: Column, b: Column): Column =
+    invoke(IntegerType, "hammingBits",
+      Seq(ArrayType(LongType), ArrayType(LongType)), a, b)
+
   /** Indices of the `nprobe` nearest centroids (by cosine) for `vec`;
     * centroids are a flattened nCentroids×dim literal (IVF coarse
     * quantizer). */
@@ -117,8 +153,9 @@ object GraftKernels {
     // silently assigns every vector cells [0..nprobe) — the exact
     // silent-collapse class these gates reject
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    require(centroidsFlat.length == nCentroids * dim,
-      s"centroidsFlat has ${centroidsFlat.length} values, expected nCentroids*dim = ${nCentroids * dim}")
+    // Long product — same overflow-bypass hazard as bandChunksCol's gate
+    require(centroidsFlat.length.toLong == nCentroids.toLong * dim,
+      s"centroidsFlat has ${centroidsFlat.length} values, expected nCentroids*dim = ${nCentroids.toLong * dim}")
     // centroid norms are query constants — computed ONCE here instead of
     // per corpus row (the assignment kernel is the IVF hot path: at
     // nCentroids*dim per row the redundant norm pass roughly doubled it)
@@ -186,11 +223,13 @@ object GraftKernels {
       registry.createOrReplaceTempFunction("velo_split",
         args => SubstringIndex(args(0), args(1), Literal(1)), "scala_udf")
       // JOIN(delim, v1, v2, …) — variadic, delimiter first, NULL
-      // rendered as the literal 'NULL' (concat_ws would skip it);
+      // VALUE rendered as the literal 'NULL' (concat_ws would skip it);
       // values stringify through the reference rendering (floats as
-      // Rust Display — functions.rs:1027 f.to_string())
+      // Rust Display — functions.rs:1027 f.to_string()). The DELIMITER
+      // is strict: non-string type or null value errors, as the
+      // reference does (functions.rs:1011-1019; see VeloJoinDelim)
       registry.createOrReplaceTempFunction("velo_join",
-        args => ConcatWs(Cast(args.head, StringType) +:
+        args => ConcatWs(VeloExprs.VeloJoinDelim(args.head) +:
           args.tail.map(a => Coalesce(Seq(VeloExprs.VeloStr(a), Literal("NULL"))))),
         "scala_udf")
       // reference value→string rendering (see VeloExprs.VeloStr) —
@@ -314,23 +353,35 @@ object GraftKernels {
     (java.util.regex.Pattern.compile(javaPat), names)
   }
 
-  /** Rust replacement-string → Java replacement-string, bound to the
-    * pattern's group inventory so Java's throw-on-missing-group can
-    * never fire: `$N`/`${N}` survive (as `$N`) when group N exists and
-    * vanish when it does not; `$name`/`${name}` survive (as `${name}`)
-    * when the named group exists and vanish when it does not; `$$` →
-    * literal `$`; `$` before punctuation or at end → literal `$`;
-    * `\` → literal backslash. */
-  private def rustReplacement(repl: String, groupCount: Int, names: Set[String]): String = {
-    val sb = new java.lang.StringBuilder(repl.length + 8)
+  /** Rust replacement-string semantics, parsed ONCE per (pattern,
+    * replacement) into tokens and expanded manually per match — NOT
+    * translated into Java's replacement syntax. The former translation
+    * had a structural hole: `${1}0` (Rust: group 1 + literal "0") was
+    * emitted as `$10`, which Java's greedy group-number parse reads as
+    * group 10 whenever the pattern has that many groups (r13 review).
+    * Manual expansion also makes the rest of the contract direct:
+    * a reference to a group the pattern does not define — or one that
+    * did not participate in the match — expands to the EMPTY string,
+    * `$$` is a literal dollar, a lone/trailing `$` is literal, and
+    * backslashes are literal. */
+  private sealed trait ReplTok
+  private final case class LitTok(s: String) extends ReplTok
+  private final case class NumTok(n: Int) extends ReplTok
+  private final case class NameTok(n: String) extends ReplTok
+
+  private def parseReplacement(repl: String, groupCount: Int,
+                               names: Set[String]): Array[ReplTok] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[ReplTok]
+    val lit = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (lit.length > 0) { toks += LitTok(lit.toString); lit.setLength(0) }
     var i = 0
     def isWord(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     while (i < repl.length) {
       val c = repl.charAt(i)
-      if (c == '\\') { sb.append("\\\\"); i += 1 }
-      else if (c != '$') { sb.append(c); i += 1 }
-      else if (i + 1 >= repl.length) { sb.append("\\$"); i += 1 }
-      else if (repl.charAt(i + 1) == '$') { sb.append("\\$"); i += 2 }
+      if (c != '$') { lit.append(c); i += 1 }
+      else if (i + 1 >= repl.length) { lit.append('$'); i += 1 }
+      else if (repl.charAt(i + 1) == '$') { lit.append('$'); i += 2 }
       else {
         val braced = repl.charAt(i + 1) == '{'
         val start = if (braced) i + 2 else i + 1
@@ -338,21 +389,27 @@ object GraftKernels {
         while (j < repl.length && isWord(repl.charAt(j))) j += 1
         val word = repl.substring(start, j)
         val closed = !braced || (j < repl.length && repl.charAt(j) == '}')
-        if (word.isEmpty || !closed) { sb.append("\\$"); i += 1 }
+        if (word.isEmpty || !closed) { lit.append('$'); i += 1 }
         else {
+          flush()
           if (word.forall(_.isDigit)) {
-            if (word.length <= 9 && word.toInt <= groupCount)
-              sb.append('$').append(word)
+            if (word.length <= 9 && word.toInt <= groupCount) toks += NumTok(word.toInt)
             // else: missing numbered group — Rust expands to ""
-          } else if (names.contains(word))
-            sb.append("${").append(word).append('}')
+          } else if (names.contains(word)) toks += NameTok(word)
           // else: missing named group — Rust expands to ""
           i = if (braced) j + 1 else j
         }
       }
     }
-    sb.toString
+    flush()
+    toks.toArray
   }
+
+  // parsed replacements cache: same bound + evict-one policy as the
+  // pattern cache; keyed on (flagged pattern, replacement) since group
+  // existence is resolved at parse time
+  private val veloReplCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[ReplTok]]()
 
   def veloRegexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
                         flags: UTF8String): UTF8String = {
@@ -373,10 +430,44 @@ object GraftKernels {
         veloRegexCache.computeIfAbsent(pat, compileVelo(_))
       }
     }
-    val m = compiled.matcher(s.toString)
-    val repl = rustReplacement(r.toString, m.groupCount(), names)
-    UTF8String.fromString(
-      if (f.indexOf('g') >= 0) m.replaceAll(repl) else m.replaceFirst(repl))
+    val input = s.toString
+    val m = compiled.matcher(input)
+    val toks = {
+      val key = (pat, r.toString)
+      val hit = veloReplCache.get(key)
+      if (hit != null) hit
+      else {
+        if (veloReplCache.size >= 1024) {
+          val it = veloReplCache.keySet.iterator()
+          if (it.hasNext) veloReplCache.remove(it.next())
+        }
+        veloReplCache.computeIfAbsent(key,
+          k => parseReplacement(k._2, m.groupCount(), names))
+      }
+    }
+    // manual find/append loop (see parseReplacement): Matcher.find()
+    // self-advances past empty matches, so zero-width patterns behave
+    // exactly as replaceAll's internal loop does
+    val global = f.indexOf('g') >= 0
+    val sb = new java.lang.StringBuilder(input.length + 16)
+    var last = 0
+    var found = m.find()
+    while (found) {
+      sb.append(input, last, m.start())
+      var t = 0
+      while (t < toks.length) {
+        toks(t) match {
+          case LitTok(l)  => sb.append(l)
+          case NumTok(n)  => val g = m.group(n); if (g != null) sb.append(g)
+          case NameTok(n) => val g = m.group(n); if (g != null) sb.append(g)
+        }
+        t += 1
+      }
+      last = m.end()
+      found = global && m.find()
+    }
+    sb.append(input, last, input.length)
+    UTF8String.fromString(sb.toString)
   }
 
   private val MOD = 1000000007L
@@ -640,6 +731,48 @@ object GraftKernels {
       }
       taken(best) = true; out(j) = best
       j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def joinDelim(s: UTF8String): UTF8String = {
+    // reference functions.rs:1015: a delimiter that is not a String —
+    // including NULL — is an execution error, never a silent skip
+    if (s == null) throw new IllegalArgumentException(
+      "JOIN delimiter must be a string (got NULL)")
+    s
+  }
+
+  def hammingBits(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var out = 0
+    var i = 0
+    while (i < n) {
+      out += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    out
+  }
+
+  def bandChunks(vec: ArrayData, planesFlat: ArrayData, numBands: Int,
+                 bandBits: Int, dim: Int, floatElems: Boolean): ArrayData = {
+    val v = copyVec(vec, dim, floatElems)
+    val n = v.length
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var chunk = 0L
+      var i = 0
+      while (i < bandBits) {
+        var proj = 0.0
+        val base = (b * bandBits + i) * dim
+        var d = 0
+        while (d < n) { proj += v(d) * planesFlat.getDouble(base + d); d += 1 }
+        if (proj > 0) chunk |= (1L << i)
+        i += 1
+      }
+      out(b) = chunk
+      b += 1
     }
     new GenericArrayData(out)
   }

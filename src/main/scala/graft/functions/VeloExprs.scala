@@ -222,6 +222,31 @@ object VeloExprs {
       copy(child = c(0))
   }
 
+  /** JOIN's delimiter — functions.rs:1011-1019: the reference REQUIRES
+    * a String delimiter ("JOIN delimiter must be a string") and a NULL
+    * FieldValue is not a String, so both a non-string-typed delimiter
+    * and a null delimiter value are errors there — not a silent cast
+    * (which rendered e.g. a double 1e21 delimiter differently from the
+    * same value in a value slot) and not a swallowed-to-NULL result
+    * (ConcatWs nulls the whole row on a null delimiter; r13 review).
+    * The type error surfaces at plan time; the null error per value. */
+  case class VeloJoinDelim(child: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(child)
+    override lazy val replacement: Expression = child.dataType match {
+      case _: StringType =>
+        // propagateNull = false: a NULL delimiter must reach the kernel
+        // and throw the reference's error, not skip the call
+        StaticInvoke(GraftKernels.getClass, StringType, "joinDelim",
+          Seq(child), inputTypes = Seq(StringType),
+          propagateNull = false, returnNullable = false)
+      case other => throw new IllegalArgumentException(
+        s"JOIN delimiter must be a string, got ${other.simpleString}")
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0))
+  }
+
   /** NULLIF — functions.rs:1768 through values_equal:1679. values_equal
     * has arms ONLY for String / Integer / Float / Boolean (plus the
     * Integer×Float cross-compare) and Array/Struct recursion; every

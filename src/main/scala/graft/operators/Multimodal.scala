@@ -108,7 +108,14 @@ object Multimodal {
             }
           def scaled(field: String): Integer = {
             val v = r.getAs[Integer](field)
-            if (v == null) null else Integer.valueOf(math.max(1, v / factor))
+            // a degenerate source dimension (<= 0) stays as-is: the
+            // min-1 clamp applies only to REAL dimensions shrinking
+            // below a pixel — promoting 0 to 1 erased the 0-vs-1
+            // distinction downstream degenerate-media filters key on
+            // (r13 review)
+            if (v == null) null
+            else if (v <= 0) v
+            else Integer.valueOf(math.max(1, v / factor))
           }
           Row(r.getLong(0), r.getString(1), small, scaled("width"), scaled("height"))
         }
@@ -374,7 +381,12 @@ object Multimodal {
               null, null, null, null)
           else try {
             val fmt = ais.getFormat
-            val nFrames = ais.getFrameLength
+            // AudioSystem.NOT_SPECIFIED (-1) is "length unknown" (legal
+            // 0xFFFFFFFF data-size field) — emit null, not a -1 that
+            // poisons downstream frame aggregates (r13 review)
+            val rawFrames = ais.getFrameLength
+            val nFrames: java.lang.Long =
+              if (rawFrames < 0) null else java.lang.Long.valueOf(rawFrames)
             // hostile-header guard BEFORE the read: a fmt chunk can
             // declare e.g. 65535 channels, making the frame size exceed
             // the read buffer — AudioInputStream.read then returns 0

@@ -73,6 +73,96 @@ object Similarity {
     Array.fill(numBits * dim)(if (rnd.nextBoolean()) 1.0d else -1.0d)
   }
 
+  /** Per-band LSH chunks over the SAME fixed-seed hyperplanes as
+    * signSketch (band b bit i = plane b*bandBits+i) — but with no
+    * 64-bit total bound, the representation the wide-band adaptive
+    * path needs. For numBands*bandBits <= 64 this equals the
+    * shiftright band windows of signSketch bit-for-bit. */
+  private[graft] def bandChunksSketch(vec: Column, numBands: Int, bandBits: Int,
+                                      dim: Int, floatElems: Boolean = true): Column =
+    GraftKernels.bandChunksCol(vec, planes(numBands * bandBits, dim),
+      numBands, bandBits, dim, floatElems)
+
+  /** Adaptive LSH band plan for `embeddingNearDupPairsLsh`. The fixed
+    * (bands, bits) default saturates at scale: 2^bits buckets per band
+    * means expected bucket load n/2^bits grows LINEARLY with the
+    * corpus, so candidate generation is quadratic until the hot-bucket
+    * cap binds — and past that the cap drops ever-more of the corpus
+    * (at ~67M vectors with 6-bit bands EVERY bucket exceeds a 1024 cap
+    * and recall silently collapses to zero). The plan instead:
+    *
+    *  - widens bands so expected load stays ~`targetLoad`:
+    *    bits = ceil(log2(n / targetLoad)) — candidate volume per probe
+    *    row is then corpus-size-independent;
+    *  - adds bands to hold the recall the CALLER'S OWN plan predicts
+    *    at the requested threshold: a band of b bits matches with
+    *    probability h(b) = p^b + b·p^(b-1)(1−p) under Hamming-1
+    *    probing (p = 1 − acos(minCos)/π), so the target is
+    *    R = 1 − (1 − h(baseBits))^baseBands (clamped at 0.995 — past
+    *    ~3 nines the implied band count is noise chasing) and the plan
+    *    takes the smallest band count with 1 − (1−h(bits))^bands ≥ R.
+    *    The model checks out against measurement: it predicts 0.926
+    *    for the shipped q58 plan at minCos 0.3, vs 0.938 measured.
+    *
+    * Caller values are FLOORS — at small corpora (n ≤ targetLoad·2^baseBits)
+    * the plan is exactly (baseBands, baseBits), so test/bench-scale
+    * behavior and the pinned recall gates are unchanged. Bands cap at
+    * 64: at near-dup thresholds (minCos ≥ 0.9, p ≈ 0.86) band growth
+    * is gentle (~N^0.22) and the cap is never near; at broad
+    * thresholds the classic LSH exponent dominates (p ≈ 0.6 →
+    * ~N^0.74 bands) and the cap bounds cost at the price of recall —
+    * the honest tradeoff of a sign-sketch family, vs the fixed plan
+    * whose recall collapses to ZERO once every bucket exceeds the cap
+    * (~67M vectors at 6 bits). */
+  private[graft] def adaptiveBandPlan(n: Long, minCos: Double, baseBands: Int,
+                                      baseBits: Int, probeBits: Int,
+                                      targetLoad: Int = 64): (Int, Int) = {
+    require(n >= 0 && targetLoad >= 1)
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val wantBits =
+      if (n <= targetLoad) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / targetLoad)
+    val bits = math.max(baseBits, math.min(30, wantBits))
+    if (bits == baseBits) (baseBands, baseBits) // exact floor — no fp drift
+    else {
+      def h(b: Int): Double = {
+        val exact = math.pow(p, b)
+        if (probeBits >= 1) exact + b * math.pow(p, b - 1) * (1 - p) else exact
+      }
+      val target = math.min(0.995, 1.0 - math.pow(1.0 - h(baseBits), baseBands))
+      val hw = h(bits)
+      val needed =
+        if (hw >= 1.0 - 1e-12) 1
+        else if (hw <= 1e-12) 64
+        else math.ceil(math.log(1.0 - target) / math.log(1.0 - hw)).toInt
+      (math.max(baseBands, math.min(64, needed)), bits)
+    }
+  }
+
+  /** Sketch-Hamming prefilter decision for `embeddingNearDupPairsLsh`:
+    * Some(thresholdBits) when the sketch can statistically separate
+    * pairs at `minCos` from noise collisions, else None.
+    *
+    * A pair at angle θ disagrees on each sketch bit with probability
+    * θ/π, so its Hamming distance over totalBits is ~Binomial; the
+    * threshold sits 4σ above the mean at θ = acos(minCos) — a true
+    * pair is dropped with probability ≤ ~3e-5. A NOISE pair (the
+    * near-orthogonal bucket collisions that dominate candidate volume
+    * at scale) sits near totalBits/2 — minus one band's worth of bits
+    * (candidates collided in ≥ 1 band by construction). The filter
+    * engages only when the threshold clears that biased noise floor by
+    * a 3%-of-bits margin: at near-dup thresholds (minCos ≥ ~0.7) it
+    * kills ≥ 99.99% of noise BEFORE the pair-dedup exchange and the
+    * vector fetch; at broad thresholds (e.g. q58's shipped 0.3) it
+    * cannot discriminate and the plan is unchanged. */
+  private[graft] def hamPrefilter(effBands: Int, effBits: Int, minCos: Double): Option[Int] = {
+    val totalBits = effBands * effBits
+    val f = math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val thr = totalBits * f + 4.0 * math.sqrt(totalBits * f * (1.0 - f))
+    val noiseFloor = 0.5 * (totalBits - effBits)
+    if (thr <= noiseFloor - 0.03 * totalBits) Some(math.ceil(thr).toInt) else None
+  }
+
   /** Random-hyperplane sign sketch (native kernel). The sketch is one
     * long, so at most 64 bits — requesting more would silently alias
     * band windows through Java's mod-64 shift semantics. */
@@ -493,6 +583,18 @@ object Similarity {
     * codegen'd join/agg, no collect_list rows holding whole buckets
     * (same shape as Dedup.minhashLsh).
     *
+    * ADAPTIVE BANDS (r13): the caller's (numBands, bandBits) are
+    * treated as FLOORS of a corpus-size-adaptive plan — see
+    * adaptiveBandPlan. With fixed 6-bit bands the 64-bucket-per-band
+    * space makes expected bucket load grow linearly with the corpus
+    * (candidate generation quadratic until the cap binds, then recall
+    * decays as the cap drops ever-more buckets, reaching ZERO once
+    * every bucket exceeds it). The adaptive plan widens bands so load
+    * stays ~targetLoad and adds bands to hold the caller plan's own
+    * predicted recall; chunks come from the wide bandChunks kernel, so
+    * total bits may exceed 64. Callers that know the corpus size pass
+    * `corpusSize` to skip the sizing count.
+    *
     * NOTE a pure "emit only from the first sketch-matching band" filter
     * — tempting, it would drop the pair-dedup exchange entirely — is
     * UNSOUND under the bucket cap: a pair whose first matching band
@@ -506,28 +608,50 @@ object Similarity {
                                dim: Int, minCos: Double = 0.9,
                                numBands: Int = 10, bandBits: Int = 6,
                                maxBucket: Int = 1024,
-                               probeBits: Int = 1): DataFrame = {
-    val numBits = numBands * bandBits
-    require(numBits <= 64,
-      s"sign sketch is a single long: numBands*bandBits must be <= 64, got $numBits")
-    // < 64: (1L << 64) wraps to 1, mask 0, every chunk → bucket 0
+                               probeBits: Int = 1,
+                               corpusSize: Option[Long] = None): DataFrame = {
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     require(probeBits == 0 || probeBits == 1,
       s"probeBits supports 0 (exact bands) or 1 (Hamming-1 multi-probe), got $probeBits")
     // maxBucket=0 drops every index bucket — the job completes with an
     // empty pair set instead of failing (the silent-empty mode)
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val mask = (1L << bandBits) - 1
+    // ADAPTIVE BAND PLAN (r13): caller (bands, bits) are floors; at
+    // large corpora bands widen so bucket load stays bounded and band
+    // count grows to hold recall at the requested threshold (see
+    // adaptiveBandPlan — the fixed plan's 2^bits bucket space otherwise
+    // saturates the cap and recall collapses at scale). The corpus size
+    // comes from a column-pruned count unless the caller knows it.
+    val n = corpusSize.getOrElse(corpus.select(col(idCol)).count())
+    val (effBands, effBits) =
+      adaptiveBandPlan(n, minCos, numBands, bandBits, probeBits)
     // persisted: the sketch pass (and the vector scan under it) feeds
-    // the index side, the probe side, and both vector-fetch joins
+    // the index side, the probe side, and both vector-fetch joins.
+    // Chunks are per-band array elements (not one long): the wide plan
+    // can exceed 64 total bits.
     val sk = embedSkCache(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signSketch(col(vecCol), numBits, dim).as("sk")))
-    def bandChunk(b: Int): Column = shiftright(col("sk"), b * bandBits).bitwiseAND(mask)
-    // index side: one EXACT chunk per band — slim (id, band, chunk)
+      bandChunksSketch(col(vecCol), effBands, effBits, dim).as("chunks")))
+    def bandChunk(b: Int): Column = element_at(col("chunks"), b + 1)
+    // sketch-Hamming prefilter (r13): when the requested threshold is
+    // separable from noise in sketch space, candidate pairs die on a
+    // popcount INSIDE the band join — before the pair-dedup exchange
+    // and the vector fetch. At scale the candidate stream is dominated
+    // by near-orthogonal bucket collisions (measured: the production-
+    // threshold 32x probe row spent minutes deduping + vector-verifying
+    // pairs a 10-instruction popcount rejects). Cost: both join sides
+    // carry their chunk arrays (8·bands bytes) instead of being
+    // maximally slim — still nowhere near a vector copy. Disengaged at
+    // broad thresholds (q58's shipped 0.3) where sketch Hamming cannot
+    // discriminate: the plan is then exactly the slim one.
+    val ham = hamPrefilter(effBands, effBits, minCos)
+    val carry = if (ham.isDefined) Seq(col("chunks")) else Nil
+    // index side: one EXACT chunk per band — slim (id, band, chunk),
+    // plus the chunk array only when the prefilter is engaged
     val indexed = sk.select(col("id"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"), bandChunk(b).as("chunk"))): _*)).as("bc"))
-      .select(col("id"), col("bc.band"), col("bc.chunk"))
+        explode(array((0 until effBands).map(b =>
+          struct(lit(b).as("band"), bandChunk(b).as("chunk"))): _*)).as("bc"),
+        col("chunks"))
+      .select(Seq(col("id"), col("bc.band"), col("bc.chunk")) ++ carry: _*)
     val counts = indexed.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
     // without probing a 1-row bucket can never pair (lower bound 2, as
     // before); WITH probing a neighbor's probe can reach it, so it stays
@@ -553,17 +677,18 @@ object Similarity {
     val probed =
       if (probeBits == 0) indexed.withColumn("own_capped", lit(false))
       else sk.select(col("id"),
-          explode(flatten(array((0 until numBands).map { b =>
+          explode(flatten(array((0 until effBands).map { b =>
             val base = bandChunk(b)
-            array((-1 until bandBits).map { bit =>
+            array((-1 until effBits).map { bit =>
               val c = if (bit < 0) base else base.bitwiseXOR(lit(1L << bit))
               struct(lit(b).as("band"), c.as("chunk"), base.as("base"))
             }: _*)
-          }: _*))).as("bc"))
-          .select(col("id"), col("bc.band"), col("bc.chunk"), col("bc.base"))
+          }: _*))).as("bc"),
+          col("chunks"))
+          .select(Seq(col("id"), col("bc.band"), col("bc.chunk"), col("bc.base")) ++ carry: _*)
         .join(bCounts.withColumnRenamed("chunk", "base"), Seq("band", "base"), "left")
-        .select(col("id"), col("band"), col("chunk"),
-          coalesce(col("_bn") > maxBucket, lit(false)).as("own_capped"))
+        .select(Seq(col("id"), col("band"), col("chunk"),
+          coalesce(col("_bn") > maxBucket, lit(false)).as("own_capped")) ++ carry: _*)
     // MIRROR-DROP (r12): every unordered collision used to produce TWO
     // ordered join rows (a probes into b's bucket AND b probes into
     // a's), both surviving to the pair dedup. The mirror of row
@@ -577,16 +702,27 @@ object Similarity {
     // them — and for the whole probeBits = 0 path. Halves the rows
     // entering the dedup exchange. least/greatest (not id_a = pid)
     // stays: own_capped rows arrive in either order.
-    // size-gated hint on the INDEX side: it is (1 + bandBits)× slimmer
+    // size-gated hint on the INDEX side: it is (1 + effBits)× slimmer
     // than the probe fan-out (one row per band vs one per band·flip), so
     // when the planner materializes one side it must be this one — the
     // unhinted planner has been observed building the probe side from
     // explode-blind estimates. At 100 TB both sides scale with the
     // corpus and the hint degrades to the shuffle join.
-    val cand = probed.select(col("band"), col("chunk"), col("id").as("pid"), col("own_capped"))
-      .join(broadcastIfBounded(idx.select(col("band"), col("chunk"), col("id").as("iid"))),
-        Seq("band", "chunk"))
+    val pSel = Seq(col("band"), col("chunk"), col("id").as("pid"), col("own_capped")) ++
+      (if (ham.isDefined) Seq(col("chunks").as("pch")) else Nil)
+    val iSel = Seq(col("band"), col("chunk"), col("id").as("iid")) ++
+      (if (ham.isDefined) Seq(col("chunks").as("ich")) else Nil)
+    val joined = probed.select(pSel: _*)
+      .join(broadcastIfBounded(idx.select(iSel: _*)), Seq("band", "chunk"))
       .where(col("pid") =!= col("iid") && (col("pid") < col("iid") || col("own_capped")))
+    // the prefilter runs BEFORE least/greatest + dropDuplicates: noise
+    // pairs never enter the dedup exchange at all
+    val survivors = ham match {
+      case Some(thr) =>
+        joined.where(GraftKernels.hammingBitsCol(col("pch"), col("ich")) <= lit(thr))
+      case None => joined
+    }
+    val cand = survivors
       .select(least(col("pid"), col("iid")).as("id_a"),
               greatest(col("pid"), col("iid")).as("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -20,6 +20,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same rationale as GraftSession: Hive-style ${var} substitution
+      // corrupts ${...} inside dialect string literals
+      .config("spark.sql.variable.substitute", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -53,9 +53,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val r3 = out(3L)
     assert(r3.getAs[Array[Byte]]("payload").length == (320 + 3) / 4)
     assert(r3.getAs[Int]("width") == 160 && r3.getAs[Int]("height") == 80)
-    // empty payload survives
+    // empty payload survives; a DEGENERATE source dimension (0) stays
+    // 0 — the min-1 clamp is for real dims shrinking below a pixel,
+    // not for promoting degenerate media to plausible-looking 1px
+    // (r13 review)
     assert(out(2L).getAs[Array[Byte]]("payload").length == 0)
-    assert(out(2L).getAs[Int]("height") == 1) // floor-clamped metadata
+    assert(out(2L).getAs[Int]("height") == 0)
+    assert(out(2L).getAs[Int]("width") == 0)
   }
 
   test("sampleChunks emits every stride-th fixed-size chunk") {
@@ -285,6 +289,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       java.util.Arrays.asList(org.apache.spark.sql.Row(8L, riff.toByteArray)), schema))
       .collect().head
     assert(audio.isNullAt(audio.fieldIndex("rate_hz")))
+  }
+
+  test("AU payload with unknown data size yields null n_frames, not -1 (r13 review)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    // AU header: ".snd", hdr size 24, data size 0xFFFFFFFF (= length
+    // unknown, legal), encoding 2 (8-bit linear PCM), 8 kHz, mono —
+    // javax.sound reports getFrameLength == NOT_SPECIFIED (-1) for it
+    val o = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(o)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(0xFFFFFFFF)
+    d.writeInt(2); d.writeInt(8000); d.writeInt(1)
+    d.write(new Array[Byte](40))
+    val r = Multimodal.decodeAudioFeatures(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, o.toByteArray)), schema))
+      .collect().head
+    assert(r.getAs[Int]("rate_hz") == 8000)
+    assert(r.isNullAt(r.fieldIndex("n_frames")),
+      "NOT_SPECIFIED frame length must surface as null, not -1")
+    // the PCM stats still compute from the samples actually read
+    assert(!r.isNullAt(r.fieldIndex("peak")))
   }
 
   test("real codecs survive null and corrupt payloads (one bad record must not kill the stage)") {

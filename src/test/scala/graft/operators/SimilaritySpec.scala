@@ -63,6 +63,105 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(bf.size >= 15) // the planted near-dups are all ≥ 0.9
   }
 
+  test("bandChunks kernel == shiftright band windows of signSketch (wide-path parity)") {
+    val (numBands, bandBits) = (10, 6)
+    val mask = (1L << bandBits) - 1
+    val rows = corpus.select(col("vec_id"),
+        Similarity.signSketch(col("embedding"), numBands * bandBits, dim).as("sk"),
+        Similarity.bandChunksSketch(col("embedding"), numBands, bandBits, dim).as("chunks"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sk = r.getLong(1)
+      val chunks = r.getAs[scala.collection.Seq[Long]](2)
+      assert(chunks.length == numBands)
+      (0 until numBands).foreach { b =>
+        assert(chunks(b) == ((sk >>> (b * bandBits)) & mask),
+          s"vec ${r.getLong(0)} band $b: chunk ${chunks(b)} != sketch window")
+      }
+    }
+  }
+
+  test("adaptiveBandPlan: caller plan is a floor; bits track load; bands hold predicted recall") {
+    import Similarity.adaptiveBandPlan
+    // small corpora: exactly the caller's plan, any threshold
+    assert(adaptiveBandPlan(2000, 0.3, 10, 6, 1) == ((10, 6)))
+    assert(adaptiveBandPlan(500, 0.9, 10, 6, 1) == ((10, 6)))
+    assert(adaptiveBandPlan(0, 0.9, 10, 6, 1) == ((10, 6)))
+    // load tracking: bits = ceil(log2(n / 64)) once past the floor
+    assert(adaptiveBandPlan(64L * 256, 0.9, 10, 6, 1)._2 == 8)
+    assert(adaptiveBandPlan(64L * 256 + 1, 0.9, 10, 6, 1)._2 == 9)
+    assert(adaptiveBandPlan(64L * 1024, 0.9, 10, 6, 1)._2 == 10)
+    // near-dup threshold: band growth is gentle (never near the cap
+    // at realistic sizes); broad threshold: bands grow faster (the
+    // LSH-exponent tradeoff) but recall is HELD, not silently dropped
+    val (bandsProd, bitsProd) = adaptiveBandPlan(64000, 0.9, 10, 6, 1)
+    assert(bitsProd == 10 && bandsProd >= 10 && bandsProd <= 16, s"($bandsProd, $bitsProd)")
+    val (bandsBroad, bitsBroad) = adaptiveBandPlan(64000, 0.3, 10, 6, 1)
+    assert(bitsBroad == 10 && bandsBroad > bandsProd && bandsBroad <= 64,
+      s"($bandsBroad, $bitsBroad)")
+    // monotone: more data never shrinks the plan
+    val (b1, w1) = adaptiveBandPlan(16000, 0.3, 10, 6, 1)
+    assert(w1 <= bitsBroad && b1 <= bandsBroad)
+    // bands cap at 64 (bounded cost at extreme breadth)
+    assert(adaptiveBandPlan(100000000L, 0.1, 10, 6, 1)._1 <= 64)
+  }
+
+  test("hamPrefilter: engaged at near-dup thresholds, disengaged at broad ones") {
+    import Similarity.hamPrefilter
+    // (10, 6) sketch, minCos 0.9: mean ham 60·0.144 ≈ 8.6, +4σ ≈ 19.5
+    val prod = hamPrefilter(10, 6, 0.9)
+    assert(prod.exists(t => t >= 15 && t <= 24), s"got $prod")
+    // q58's shipped broad threshold: sketch Hamming cannot separate —
+    // the prefilter must NOT engage (plan stays the sealed slim one)
+    assert(hamPrefilter(10, 6, 0.3).isEmpty)
+    assert(hamPrefilter(10, 6, 0.4).isEmpty)
+    // wide plans keep the separation at near-dup thresholds
+    assert(hamPrefilter(10, 10, 0.9).isDefined)
+    assert(hamPrefilter(25, 20, 0.9).isDefined)
+  }
+
+  test("hammingBits kernel == driver-side popcount over chunk arrays") {
+    import spark.implicits._
+    import graft.functions.GraftKernels
+    val rows = Seq(
+      (Seq(0L, 0L), Seq(0L, 0L)),
+      (Seq(-1L, 0L), Seq(0L, -1L)),
+      (Seq(0x5555555555555555L, 123L), Seq(0xAAAAAAAAAAAAAAAAL, 124L)))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), GraftKernels.hammingBitsCol(col("a"), col("b")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Long]](0)
+      val b = r.getAs[scala.collection.Seq[Long]](1)
+      val want = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(r.getInt(2) == want)
+    }
+  }
+
+  test("LSH near-dup pairs: wide adaptive plan (total bits > 64) still finds planted twins") {
+    // corpusSize hint forces the wide path on the small test corpus:
+    // bits = ceil(log2(2^20)) = 20, bands >= 10 → total bits >= 200
+    val planted = (0L until 15L).map(i => (i, 1000L + i)).toSet
+    val got = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",
+      dim, minCos = 0.9, numBands = 10, bandBits = 6,
+      corpusSize = Some(64L << 20))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(got.contains).toDouble / planted.size
+    assert(recall >= 0.85, s"wide-plan LSH recall $recall")
+    // no false positives (exact cosine verify is threshold-exact)
+    val vecs = corpus.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    got.foreach { case (x, y) =>
+      assert(cosD(vecs(x), vecs(y)) >= 0.9 - 1e-9, s"false positive ($x,$y)")
+    }
+  }
+
   test("LSH near-dup pairs: high recall on planted near-duplicates at 0.9") {
     val planted = (0L until 15L).map(i => (i, 1000L + i)).toSet
     val got = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",

@@ -753,6 +753,40 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(row.isNullAt(row.fieldIndex("rnull")))
   }
 
+  test("REGEXP_REPLACE ${N} braced refs do not absorb trailing digits (Rust ${1}0 = group 1 + literal 0)") {
+    val r = ctx.sql(
+      """SELECT REGEXP_REPLACE('abcdefghijkl', '(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)(l)', '${1}0') AS braced,
+         REGEXP_REPLACE('abcdefghijkl', '(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)(l)', '$10') AS unbraced,
+         REGEXP_REPLACE('xy', '(x)(y)', '${1}23') AS braced_23
+         FROM t WHERE id = 1""")
+    val row = r.collect().head
+    // Rust: ${1}0 is group 1 then literal "0" — the old Java-syntax
+    // translation emitted $10, which Java greedily parsed as group 10
+    assert(row.getAs[String]("braced") == "a0")
+    // UNBRACED $10 is the ambiguous spelling: Rust parses the longest
+    // digit run as the group NAME/number → group 10 ("j")
+    assert(row.getAs[String]("unbraced") == "j")
+    assert(row.getAs[String]("braced_23") == "x23")
+  }
+
+  test("JOIN delimiter is strict: non-string type and NULL value error as the reference does (functions.rs:1011-1019)") {
+    // non-string-typed delimiter → error at plan/analysis time
+    val e1 = intercept[Throwable](ctx.sql(
+      "SELECT JOIN(1, 'a', 'b') AS j FROM t WHERE id = 1").collect())
+    assert(e1.getMessage != null)
+    // NULL delimiter value → per-row error, not a silently-NULL row
+    val e2 = intercept[Throwable](ctx.sql(
+      "SELECT JOIN(CAST(NULL AS STRING), 'a', 'b') AS j FROM t WHERE id = 1").collect())
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(messages(e2).exists(_.contains("JOIN delimiter must be a string")), messages(e2))
+    // string delimiters still work, with NULL VALUES rendered 'NULL'
+    val ok = ctx.sql("SELECT JOIN('-', 'a', NULL, 'b') AS j FROM t WHERE id = 1")
+      .collect().head.getAs[String]("j")
+    assert(ok == "a-NULL-b")
+  }
+
   test("REGEXP_REPLACE replacement/pattern corners follow Rust: missing groups empty, literal $, Unicode classes") {
     val r = ctx.sql(
       """SELECT REGEXP_REPLACE('aaa', 'a', '$1') AS missing_group,
