@@ -392,8 +392,12 @@ object SparkEntry {
     // ---- 30. text quality scoring ----
     "q30_text_quality" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val metrics = TextAnalysis.qualityMetrics(col("text"))
-      d.select(col("doc_id") +: metrics.map { case (n, c) => round(c, 4).as(n) }: _*)
+      // struct-once form: the shared normalize+split pipeline runs ONE
+      // time per row (qualityMetrics' per-column twin re-inlines it
+      // ~4x; QualityMetricsSpec pins the two equal)
+      d.select(col("doc_id"), TextAnalysis.qualityStruct(col("text")).as("_q"))
+        .select(col("doc_id") +:
+          TextAnalysis.qualityMetricNames.map(n => round(col("_q")(n), 4).as(n)): _*)
     }),
 
     // ---- 31. token counting (whitespace + BPE-ish) ----

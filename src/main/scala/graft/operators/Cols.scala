@@ -18,6 +18,12 @@ private[graft] object Cols {
   private def caseSensitive(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
 
+  /** Would two NAMES collide under the session's resolution rule?
+    * For guards comparing a caller-supplied name against a reserved
+    * literal (no DataFrame column to resolve yet). */
+  def sameName(df: DataFrame, a: String, b: String): Boolean =
+    if (caseSensitive(df)) a == b else a.equalsIgnoreCase(b)
+
   /** Does `df` carry a column that `withColumn(name, …)`/`drop(name)`
     * would resolve? */
   def has(df: DataFrame, name: String): Boolean =

@@ -36,38 +36,41 @@ object Sketches {
     require(k >= 1, s"heavy-hitter count k must be >= 1, got $k")
     // the report reserves these two output names — a key column named
     // 'n' would yield two ambiguous 'n' columns AFTER the full pass
-    // ran. Matching follows the SESSION resolver (the Cols guard
-    // convention): under default case-insensitive resolution a key
-    // named 'N' collides exactly the same way, and the raw != check
-    // let it through to fail only after the scan
-    val caseSensitive =
-      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    val collides =
-      if (caseSensitive) keyCol == "n" || keyCol == "est_ok"
-      else keyCol.equalsIgnoreCase("n") || keyCol.equalsIgnoreCase("est_ok")
-    require(!collides,
+    // ran. Matching follows the SESSION resolver via the shared Cols
+    // helper (hand-rolling the conf read here drifted once already;
+    // r13 review)
+    require(!Cols.sameName(df, keyCol, "n") && !Cols.sameName(df, keyCol, "est_ok"),
       s"key column '$keyCol' collides with a report column name")
     // nulls: the CMS builder skips them but groupBy reports the null
     // group, and sketch.estimateCount(null) throws on the driver —
     // exclude them consistently (the report covers non-null keys; the
     // eps·N bound uses the same non-null total the sketch saw)
-    // DELIBERATE two-pass shape: the sketch build and the exact groupBy
-    // each scan the (column-pruned) key column once. Persisting `rows`
-    // to fuse them would write the full filtered corpus to executor
-    // storage — at the 100 TB target that cache write+read costs MORE
-    // than a second single-column parquet scan, and the exact pass
-    // exists only to make the bound oracle-checkable (a production
-    // caller wanting estimates alone skips it entirely).
-    val rows = df.where(col(keyCol).isNotNull)
-    val sketch = rows.stat.countMinSketch(keyCol, eps, confidence, seed)
-    // the sketch counts every non-null add exactly — a separate count()
-    // scan of the input would recompute the same number at full I/O cost
-    val total = sketch.totalCount()
-    val top = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col(keyCol))
-      .limit(k)
-      .collect() // ≤ k rows — the heavy-hitter report itself
-    val bound = (eps * total).ceil.toLong
+    // ONE corpus scan (r13 review): the former shape scanned the
+    // key column twice — once for the sketch, once for the exact
+    // groupBy — and the two passes could see DIFFERENT data on a live
+    // source (an append between them makes exact > est, an est_ok=false
+    // row reporting a mathematically impossible CMS-bound violation
+    // that is really input drift). CMS is additive over weighted adds,
+    // so building the sketch FROM the aggregated (key, n) pairs is
+    // bit-identical to raw adds; the persisted aggregate (distinct-key
+    // sized, not corpus sized) serves both the sketch and the top-k
+    // from one consistent snapshot.
+    val agg = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val sketch = agg.select(col(keyCol), col("n")).rdd.treeAggregate(
+        org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed))(
+        (s, row) => { s.add(row.get(0), row.getLong(1)); s },
+        (a, b) => { a.mergeInPlace(b); a })
+      // the sketch counts every non-null add exactly — a separate count()
+      // scan of the input would recompute the same number at full I/O cost
+      val total = sketch.totalCount()
+      val top = agg
+        .orderBy(col("n").desc, col(keyCol))
+        .limit(k)
+        .collect() // ≤ k rows — the heavy-hitter report itself
+      val bound = (eps * total).ceil.toLong
     top.toSeq.map { r =>
       val key = r.get(0)
       val exact = r.getAs[Long]("n")
@@ -81,5 +84,6 @@ object Sketches {
       }
       (keyStr, exact, est >= exact && est <= exact + bound)
     }.toDF(keyCol, "n", "est_ok")
+    } finally agg.unpersist()
   }
 }

@@ -52,7 +52,12 @@ object TextAnalysis {
   def nonEmptyWords(textCol: Column): Column =
     filter(words(textCol), w => length(w) > 0)
 
-  def langScore(textCol: Column, lang: String): Column =
+  def langScore(textCol: Column, lang: String): Column = {
+    // fail at the call site with the supported set — stopwords(lang)
+    // alone threw a bare NoSuchElementException from deep inside
+    // Column construction (r13 review)
+    require(stopwords.contains(lang),
+      s"unsupported language '$lang' (supported: ${stopwords.keys.toSeq.sorted.mkString(", ")})")
     // let-bound: the naive `val ws` inlined the whole normalize+split
     // tree into BOTH the filter and the size denominator — the HOF
     // trees are CodegenFallback, so nothing deduplicates the copies
@@ -62,6 +67,7 @@ object TextAnalysis {
       val hits = size(filter(ws, w => stopwords(lang).map(s => w === s).reduce(_ || _)))
       hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
     }
+  }
 
   /** LET-BINDING via a single-element transform: evaluates `bound`
     * ONCE per row and hands it to `body` as a lambda argument — naively
@@ -124,6 +130,50 @@ object TextAnalysis {
       "punct_ratio" -> punct / greatest(len, lit(1.0d)),
       "upper_ratio" -> upper0 / greatest(len, lit(1.0d)),
       "stopword_ratio" -> stopHits / greatest(nWords, lit(1.0d)))
+  }
+
+  /** The metric names `qualityStruct` emits, in field order — shared
+    * so a caller expanding the struct cannot drift from it. */
+  val qualityMetricNames: Seq[String] = Seq(
+    "n_chars_m", "n_words", "mean_word_len",
+    "punct_ratio", "upper_ratio", "stopword_ratio")
+
+  /** All quality metrics as ONE struct computed in a single pass: the
+    * shared normalize+split pipeline is let-bound so it runs ONCE per
+    * row. `qualityMetrics`' independent per-metric Columns each
+    * re-inline that pipeline (~4 copies per row across the projection —
+    * HOF trees are CodegenFallback and LambdaVariable trees are skipped
+    * by subexpression elimination, so nothing dedups them; the langId
+    * letBound precedent, r13 review). Callers select the struct in one
+    * projection and expand fields in a second — CollapseProject leaves
+    * a non-cheap multiply-referenced alias alone, so the struct is
+    * evaluated once per row. This is the form the 100 TB first-pass
+    * scan should use; `qualityMetrics` stays as the simple per-column
+    * twin (and its spec pins the two equal). */
+  def qualityStruct(textCol: Column): Column = {
+    val len = length(textCol).cast("double")
+    val punct = length(regexp_replace(textCol, "[^.,;:!?'\"()]", "")).cast("double")
+    val upper0 = length(regexp_replace(textCol, "[^A-Z]", "")).cast("double")
+    val enStops = stopwords("en")
+    // bind the normalized text, then the word array derived from it:
+    // nlen, the counts, and the stopword filter all read the SAME
+    // evaluation instead of re-running collapse+lower+trim(+split)
+    letBound(normText(textCol)) { nt =>
+      letBound(split(nt, " ")) { ws0 =>
+        val nlen = length(nt).cast("double")
+        val nWords = size(filter(ws0, w => length(w) > 0)).cast("double")
+        val stopHits = size(filter(ws0,
+          w => length(w) > 0 && enStops.map(s => w === s).reduce(_ || _))).cast("double")
+        struct(
+          len.as("n_chars_m"),
+          nWords.as("n_words"),
+          ((nlen - greatest(nWords - 1, lit(0.0d))) / greatest(nWords, lit(1.0d)))
+            .as("mean_word_len"),
+          (punct / greatest(len, lit(1.0d))).as("punct_ratio"),
+          (upper0 / greatest(len, lit(1.0d))).as("upper_ratio"),
+          (stopHits / greatest(nWords, lit(1.0d))).as("stopword_ratio"))
+      }
+    }
   }
 
   /** Whitespace token count — 0 for an empty or whitespace-only

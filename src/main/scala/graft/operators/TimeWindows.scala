@@ -45,13 +45,19 @@ object TimeWindows {
   /** The ONE epoch-bucket rule (floor to a step multiple, epoch
     * seconds) — shared by tumbling and sliding so their bucket
     * alignment cannot drift apart on a future timestamp-handling fix.
-    * Seconds come from cast(ts AS LONG) — a floorDiv on the micros —
-    * NOT unix_timestamp, which truncates toward zero: a pre-1970 event
-    * with a fractional second (-0.5s) would bucket one window late.
-    * The DuckDB oracle floors through OracleSql.epochS/bucketS (bare
-    * `//` there TRUNCATES too — both sides pin flooring explicitly). */
+    * Seconds come from cast(ts AS TIMESTAMP AS LONG) — a floorDiv on
+    * the micros — NOT unix_timestamp, which truncates toward zero: a
+    * pre-1970 event with a fractional second (-0.5s) would bucket one
+    * window late. The inner TIMESTAMP cast matters for NUMERIC ts
+    * columns too: cast(DOUBLE AS LONG) truncates toward zero directly
+    * (-0.5 → 0, one window late again), while DOUBLE → TIMESTAMP →
+    * LONG floors — the same guard the SQL-translation path inserts
+    * (VeloSqlParser TUMBLE_START rewrite), so the Column API and the
+    * dialect cannot disagree on a bucket (r13 review). The DuckDB
+    * oracle floors through OracleSql.epochS/bucketS (bare `//` there
+    * TRUNCATES too — both sides pin flooring explicitly). */
   private def epochBucket(tsCol: String, stepSeconds: Long): Column =
-    (floor(col(tsCol).cast("long") / stepSeconds) * stepSeconds).cast("long")
+    (floor(col(tsCol).cast("timestamp").cast("long") / stepSeconds) * stepSeconds).cast("long")
 
   /** TUMBLING(size): non-overlapping epoch-aligned buckets.
     * Emits `window_start`/`window_end` as epoch seconds (BIGINT) —

@@ -40,8 +40,11 @@ object StreamOps {
     // 'window' is the INTERMEDIATE struct the time-window groupBy
     // emits: a same-named key/alias makes col("window.start") an
     // AMBIGUOUS_REFERENCE crash instead of a clean message
+    // case-INSENSITIVE, matching how withColumn/col resolve under the
+    // default analyzer: a key named 'Window_Start' would pass a
+    // case-sensitive guard and then be silently REPLACED (r13 review)
     for (c <- Seq("window_start", "window_end", "window"))
-      require(!keys.contains(c) && !aggExprs.exists(_._2 == c),
+      require(!keys.exists(_.equalsIgnoreCase(c)) && !aggExprs.exists(_._2.equalsIgnoreCase(c)),
         s"'$c' is a reserved output column of tumblingAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
@@ -57,8 +60,9 @@ object StreamOps {
   def sessionAgg(events: DataFrame, tsCol: String, gap: String, grace: String,
                  keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
     require(aggExprs.nonEmpty, "sessionAgg needs at least one aggregate expression")
+    // case-insensitive for the same reason as tumblingAgg's guard
     for (c <- Seq("session_start", "session_end", "session_window"))
-      require(!keys.contains(c) && !aggExprs.exists(_._2 == c),
+      require(!keys.exists(_.equalsIgnoreCase(c)) && !aggExprs.exists(_._2.equalsIgnoreCase(c)),
         s"'$c' is a reserved output column of sessionAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
@@ -126,22 +130,46 @@ object StreamOps {
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.k).flatMapGroupsWithState(
       OutputMode.Update(), timeout) {
-      (key: Long, it: Iterator[BufEvent], state: GroupState[(List[Double], Double)]) =>
+      (key: Long, it: Iterator[BufEvent],
+       state: GroupState[(Vector[Double], Double, Double, Int, Int, Int)]) =>
         if (state.hasTimedOut) {
           state.remove() // idle key: ring buffer evicted, no emission
           Iterator.empty
         } else {
-          // state = (oldest-first buffer, RUNNING sum): the old
-          // List :+ / takeRight / buf.sum did O(n) work per EVENT (a
-          // full list copy plus a rescan) — O(batch·n) per hot key per
-          // trigger. Vector append/drop are effectively O(1), and the
-          // sum adds the arrival and subtracts the eviction: exact for
-          // integral-quantized values (q43's ×10⁴ contract) and for
-          // any exactly-representable inputs; the avg stays the same
-          // single IEEE division (r11 review).
-          val (buf0, sum0) = state.getOption.getOrElse((List.empty[Double], 0.0))
-          var buf = buf0.toVector
-          var sum = sum0
+          // state = (oldest-first buffer, Kahan sum + compensation of
+          // the FINITE values, NaN/+Inf/-Inf counts). The old
+          // List :+ / takeRight / buf.sum did O(n) work per EVENT; the
+          // running sum fixed that but (a) a single NaN/Inf poisoned it
+          // FOREVER (NaN - NaN = NaN on evict, persisted across every
+          // later trigger) and (b) uncompensated +=/-= drifted without
+          // bound on non-quantized doubles. Non-finite values are
+          // bookkept as counts (the IEEE outcome of a multiset sum
+          // depends only on their presence: any NaN — or both
+          // infinities — is NaN, else the surviving infinity, else the
+          // finite sum), so the bad value's effect ends the moment it
+          // leaves the ring; Kahan compensation bounds finite drift
+          // (r13 review). Vector state also drops the per-trigger
+          // List↔Vector copies the old shape paid.
+          val (buf0, sum0, comp0, nan0, pinf0, ninf0) =
+            state.getOption.getOrElse((Vector.empty[Double], 0.0, 0.0, 0, 0, 0))
+          var buf = buf0
+          var sum = sum0; var comp = comp0
+          var nan = nan0; var pinf = pinf0; var ninf = ninf0
+          def add(x: Double): Unit =
+            if (java.lang.Double.isNaN(x)) nan += 1
+            else if (x == Double.PositiveInfinity) pinf += 1
+            else if (x == Double.NegativeInfinity) ninf += 1
+            else { val y = x - comp; val t = sum + y; comp = (t - sum) - y; sum = t }
+          def drop(x: Double): Unit =
+            if (java.lang.Double.isNaN(x)) nan -= 1
+            else if (x == Double.PositiveInfinity) pinf -= 1
+            else if (x == Double.NegativeInfinity) ninf -= 1
+            else { val y = -x - comp; val t = sum + y; comp = (t - sum) - y; sum = t }
+          def emitSum: Double =
+            if (nan > 0 || (pinf > 0 && ninf > 0)) Double.NaN
+            else if (pinf > 0) Double.PositiveInfinity
+            else if (ninf > 0) Double.NegativeInfinity
+            else sum
           // flatMapGroupsWithState gives NO order guarantee within a group
           // (a multi-partition batch interleaves arbitrarily) — the ring
           // buffer's "last n" is only meaningful in `ord` order, so sort
@@ -149,13 +177,14 @@ object StreamOps {
           // sort is per-key-per-batch, tiny and executor-local.
           val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
             buf = buf :+ e.v
-            sum += e.v
-            if (buf.size > n) { sum -= buf.head; buf = buf.drop(1) }
-            if (!emitOnFull || buf.size == n)
-              Some(BufEmit(key, e.id, buf.size, sum, sum / buf.size))
-            else None
+            add(e.v)
+            if (buf.size > n) { drop(buf.head); buf = buf.drop(1) }
+            if (!emitOnFull || buf.size == n) {
+              val s = emitSum
+              Some(BufEmit(key, e.id, buf.size, s, s / buf.size))
+            } else None
           }.toList
-          state.update((buf.toList, sum))
+          state.update((buf, sum, comp, nan, pinf, ninf))
           stateTtlMs.foreach(state.setTimeoutDuration)
           out.iterator
         }

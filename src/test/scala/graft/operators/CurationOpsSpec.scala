@@ -320,4 +320,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet
     assert(reps == Set(3L)) // nothing to measure on wordless docs
   }
+
+  test("qualityStruct == qualityMetrics on every metric (single-eval twin parity; r13 review)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox, it JUMPED over the lazy dog!"),
+      (2L, ""),
+      (3L, " \t spaced\nout\ttext with the and of stop words "),
+      (4L, "UPPER.CASE;PUNCT'S \"quoted\" (parens)?!"),
+      (5L, "wörds wíth ünïcode and the usual stop words a an of"))
+      .toDF("doc_id", "text")
+    val names = TextAnalysis.qualityMetricNames
+    val viaCols = docs.select(
+      col("doc_id") +: TextAnalysis.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> names.map(n => r.getAs[Double](n))).toMap
+    val viaStruct = docs
+      .select(col("doc_id"), TextAnalysis.qualityStruct(col("text")).as("_q"))
+      .select(col("doc_id") +: names.map(n => col("_q")(n).as(n)): _*)
+      .collect().map(r => r.getLong(0) -> names.map(n => r.getAs[Double](n))).toMap
+    assert(viaStruct == viaCols,
+      s"struct twin diverged: ${viaStruct.toSeq.diff(viaCols.toSeq)}")
+    // the struct names cover exactly the per-column metric names
+    assert(TextAnalysis.qualityMetrics(col("text")).map(_._1) == names)
+  }
+
+  test("langScore rejects an unsupported language at the call site (r13 review)") {
+    val e = intercept[IllegalArgumentException](TextAnalysis.langScore(col("text"), "it"))
+    assert(e.getMessage.contains("supported"), e.getMessage)
+  }
 }

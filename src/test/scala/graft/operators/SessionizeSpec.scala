@@ -117,6 +117,17 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
     assert(s == Seq(-600L, -300L), s.toString)
   }
 
+  test("a DOUBLE epoch-seconds ts column floors too (cast via TIMESTAMP, not direct truncation; r13 review)") {
+    import spark.implicits._
+    // cast(DOUBLE AS LONG) truncates toward zero: -0.5 → 0 → bucket
+    // [0,300) — one window late. The inner TIMESTAMP cast floors,
+    // matching the SQL-translation path's TUMBLE_START guard.
+    val df = Seq(-0.5d).toDF("ts").withColumn("k", lit(1))
+    val t = TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select("window_start", "window_end").collect().head
+    assert((t.getLong(0), t.getLong(1)) == (-300L, 0L), t.toString)
+  }
+
   test("reserved-name guards match case-insensitively, like withColumn resolution") {
     import spark.implicits._
     val aggs = Seq(count(lit(1)).as("n"))

@@ -96,6 +96,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       (104L, 90.0), (105L, 120.0), (106L, 150.0)))
   }
 
+  test("rows buffer recovers from NaN/Infinity once the bad value leaves the ring (r13 review)") {
+    import spark.implicits._
+    // ord 1: 10, ord 2: NaN, ord 3: +Inf, ord 4..6: finite. With n=3
+    // the NaN leaves the ring at ord 5 and the Inf at ord 6 — the old
+    // running sum stayed NaN forever (NaN - NaN = NaN persisted in
+    // state); the count-bookkept sum must recover exactly
+    val events = Seq(
+      StreamOps.BufEvent(1, 1L, 101L, 10.0),
+      StreamOps.BufEvent(1, 2L, 102L, Double.NaN),
+      StreamOps.BufEvent(1, 3L, 103L, Double.PositiveInfinity),
+      StreamOps.BufEvent(1, 4L, 104L, 40.0),
+      StreamOps.BufEvent(1, 5L, 105L, 50.0),
+      StreamOps.BufEvent(1, 6L, 106L, 60.0))
+    val out = StreamOps.rowsBufferAgg(spark.createDataset(events), n = 3).collect()
+      .sortBy(_.event_id).map(e => (e.event_id, e.buf_sum)).toSeq
+    assert(out(0) == ((101L, 10.0)))
+    assert(out(1)._2.isNaN)                      // NaN in ring
+    assert(out(2)._2.isNaN)                      // NaN dominates Inf
+    assert(out(3)._2.isNaN)                      // ring = NaN, Inf, 40
+    assert(out(4)._2 == Double.PositiveInfinity) // ring = Inf, 40, 50
+    assert(out(5) == ((106L, 150.0)),            // fully recovered
+      s"sum must recover once non-finite values leave the ring: $out")
+  }
+
+  test("rows buffer reserved-name guards are case-insensitive like the resolver (r13 review)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val st = MemoryStream[(Long, Long)]
+    val df = st.toDF().toDF("id", "ep").withColumn("ts", timestamp_seconds(col("ep")))
+    // withColumn resolves case-insensitively, so 'Window_Start' WOULD
+    // be silently replaced — the guard must catch the cased spelling
+    intercept[IllegalArgumentException](
+      StreamOps.tumblingAgg(df.withColumnRenamed("id", "Window_Start"),
+        "ts", "5 minutes", "10 minutes", Seq("Window_Start"), Seq("count(1)" -> "n")))
+    intercept[IllegalArgumentException](
+      StreamOps.sessionAgg(df, "ts", "30 minutes", "10 minutes",
+        Seq("id"), Seq("count(1)" -> "SESSION_END")))
+  }
+
   test("rows buffer rejects a non-positive size instead of emitting NaN averages") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(StreamOps.BufEvent(1, 1L, 1L, 1.0)))
