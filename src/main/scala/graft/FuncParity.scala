@@ -79,7 +79,10 @@ object FuncParity {
     * (r12 review). */
   private[graft] def scrapeArmNames(path: String): Seq[String] = {
     val armHead = """^\s*(?:"[A-Z][A-Z0-9_]*"\s*\|\s*)*"[A-Z][A-Z0-9_]*"\s*=>""".r
-    val name = "\"([A-Z][A-Z0-9_]+)\"".r
+    // single-letter names admitted ([A-Z0-9_]* not +): armHead accepts
+    // them, so the extractor dropping them was a silent census short
+    // (r13 review)
+    val name = "\"([A-Z][A-Z0-9_]*)\"".r
     val raw = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String]).toSeq
     // rejoin wrapped arms: a line ending in '|' continues, and a line
     // starting with '|' continues the previous one
@@ -90,8 +93,12 @@ object FuncParity {
       else acc :+ l
     }
     joined
-      .filter(l => armHead.findFirstIn(l).isDefined)
-      .flatMap(l => name.findAllMatchIn(l).map(_.group(1)))
+      // names scraped from the arm HEAD only (before '=>'): an
+      // ALL-CAPS string literal in the arm BODY would otherwise be
+      // censused as a function name — a wrong source/flag fold on an
+      // existing name or a spurious 'unknown' exit (r13 review)
+      .flatMap(l => armHead.findFirstIn(l))
+      .flatMap(h => name.findAllMatchIn(h).map(_.group(1)))
       .distinct
   }
 
@@ -403,6 +410,16 @@ object FuncParity {
     val registry = scrapeRegistry(s"$refRoot/expression/functions.rs")
     val windowNames = scrapeArmNames(s"$refRoot/expression/window_functions.rs")
     val aggNames = scrapeArmNames(s"$refRoot/aggregation/functions.rs")
+    // fail-loud for the arm scrape too (scrapeRegistry's raw-invocation
+    // cross-check precedent): a dispatch-style rewrite or reformat the
+    // regex misses would silently drop every window/agg-only row from
+    // the census with exit 0 (r13 review)
+    if (windowNames.isEmpty || aggNames.isEmpty) {
+      System.err.println(s"FUNCPARITY SCRAPE MISMATCH: arm scrape found " +
+        s"${windowNames.size} window + ${aggNames.size} aggregate dispatch names — " +
+        "the reference dispatch shape changed; update scrapeArmNames")
+      sys.exit(1)
+    }
 
     val primaryOf: Map[String, String] =
       registry.flatMap(f => (f.name +: f.aliases).map(_ -> f.name)).toMap

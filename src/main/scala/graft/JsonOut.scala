@@ -26,9 +26,14 @@ object JsonOut {
   } + "\""
 
   /** Locale.ROOT %.3f: a comma-decimal default locale would emit
-    * "0,123" and make the JSON unparseable. */
+    * "0,123" and make the JSON unparseable. Non-finite values emit
+    * JSON null — %.3f would print the bare tokens NaN/Infinity, which
+    * strict parsers (json.loads, jq, JSON.parse) reject wholesale,
+    * zeroing the round artifact this module exists to keep parseable
+    * (r13 review). */
   def sec3(d: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) "null"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   /** Commit hash of the repo the JVM runs in, read straight from
     * `.git` (no subprocess): artifacts stamp this so artifact-vs-code
@@ -38,19 +43,42 @@ object JsonOut {
     * this reader doesn't handle). */
   def gitHead(repoDir: String = "."): String =
     try {
-      val head = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(repoDir, ".git", "HEAD")), "UTF-8").trim
-      if (head.startsWith("ref: ")) {
-        val refPath = java.nio.file.Paths.get(repoDir, ".git", head.stripPrefix("ref: "))
-        if (java.nio.file.Files.exists(refPath))
-          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
+      import java.nio.file.{Files, Path, Paths}
+      def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8").trim
+      // a linked `git worktree` checkout has .git as a FILE holding
+      // "gitdir: <path>" — readAllBytes on the directory path threw and
+      // every artifact stamped "unknown", silently disabling the
+      // staleness check the field exists for (r13 review)
+      val dotGit = Paths.get(repoDir, ".git")
+      val gitDir: Path =
+        if (Files.isDirectory(dotGit)) dotGit
         else {
-          // packed-refs fallback: "<sha> <refname>" lines
-          val packed = java.nio.file.Paths.get(repoDir, ".git", "packed-refs")
-          val ref = head.stripPrefix("ref: ")
-          scala.io.Source.fromFile(packed.toFile, "UTF-8").getLines()
-            .collectFirst { case l if l.endsWith(" " + ref) => l.split(" ")(0) }
-            .getOrElse("unknown")
+          val target = read(dotGit).stripPrefix("gitdir:").trim
+          val p = Paths.get(target)
+          if (p.isAbsolute) p else Paths.get(repoDir).resolve(p).normalize()
+        }
+      // shared refs/packed-refs live in the COMMON dir (the main
+      // repo's .git) when this is a worktree gitdir
+      val commonDir: Path = {
+        val cd = gitDir.resolve("commondir")
+        if (Files.exists(cd)) {
+          val t = Paths.get(read(cd))
+          if (t.isAbsolute) t else gitDir.resolve(t).normalize()
+        } else gitDir
+      }
+      val head = read(gitDir.resolve("HEAD"))
+      if (head.startsWith("ref: ")) {
+        val ref = head.stripPrefix("ref: ")
+        Seq(gitDir.resolve(ref), commonDir.resolve(ref)).find(Files.exists(_)) match {
+          case Some(refPath) => read(refPath)
+          case None =>
+            // packed-refs fallback: "<sha> <refname>" lines.
+            // Files.readAllLines closes the file — the old
+            // Source.fromFile leaked its fd on every call (r13 review)
+            import scala.jdk.CollectionConverters._
+            Files.readAllLines(commonDir.resolve("packed-refs")).asScala
+              .collectFirst { case l if l.endsWith(" " + ref) => l.split(" ")(0) }
+              .getOrElse("unknown")
         }
       } else head // detached HEAD is the sha itself
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
@@ -59,52 +87,67 @@ object JsonOut {
     * honoring escapes — the ONE copy shared by the HTTP surfaces
     * (JobServerHttp, SchemaRegistryHttp), which had drifted as twins.
     *
-    * A candidate match counts as a KEY only when the preceding
-    * non-whitespace char is `{` or `,` and the following one is `:` —
-    * a bare indexOf would match a string VALUE equal to the key text
-    * (`{"note":"query","other":"SELECT 99","query":"SELECT 1"}`) and
-    * then extract the NEXT field's value: the server would silently
-    * deploy the wrong SQL. Escaped quotes cannot fake a key position:
-    * inside a JSON string every `"` is preceded by `\`, so the raw
-    * `"field"` byte sequence never occurs within a value. */
+    * The scan tracks STRING state and NESTING DEPTH: a candidate
+    * counts as the key only when it is a string starting at depth 1
+    * (the top-level object) and is followed by `:`. The previous
+    * preceded-by-`{`-or-`,` heuristic rejected string-VALUE fakes but
+    * not NESTED-object keys — `{"metadata":{"query":"SELECT evil"},
+    * "query":"SELECT real"}` matched the inner key first and the
+    * server would silently deploy the wrong SQL (r13 review). */
   def jsonStringField(body: String, field: String): Option[String] = {
     val key = "\"" + field + "\""
-    var at = body.indexOf(key)
-    while (at >= 0) {
-      var p = at - 1
-      while (p >= 0 && body(p).isWhitespace) p -= 1
-      var n = at + key.length
-      while (n < body.length && body(n).isWhitespace) n += 1
-      val isKey = p >= 0 && (body(p) == '{' || body(p) == ',') &&
-        n < body.length && body(n) == ':'
-      if (isKey) {
-        var i = n + 1
-        while (i < body.length && body(i).isWhitespace) i += 1
-        if (i >= body.length || body(i) != '"') return None
-        i += 1
-        val sb = new StringBuilder
-        while (i < body.length && body(i) != '"') {
-          body(i) match {
-            case '\\' if i + 1 < body.length =>
-              body(i + 1) match {
-                case 'n' => sb += '\n'; i += 2
-                case 'r' => sb += '\r'; i += 2
-                case 't' => sb += '\t'; i += 2
-                case 'b' => sb += '\b'; i += 2
-                case 'f' => sb += '\f'; i += 2
-                case 'u' if i + 5 < body.length
-                    && body.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
-                  // hex validated FIRST: \uZZZZ in a client body must be
-                  // a malformed-input 4xx, not a NumberFormatException 500
-                  sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6
-                case c => sb += c; i += 2
-              }
-            case c => sb += c; i += 1
+    var i = 0
+    var depth = 0
+    while (i < body.length) {
+      body(i) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          val isKey = depth == 1 && body.startsWith(key, i) && {
+            var n = i + key.length
+            while (n < body.length && body(n).isWhitespace) n += 1
+            n < body.length && body(n) == ':'
           }
-        }
-        return if (i >= body.length) None else Some(sb.toString)
+          if (isKey) {
+            var j = i + key.length
+            while (j < body.length && body(j) != ':') j += 1
+            j += 1
+            while (j < body.length && body(j).isWhitespace) j += 1
+            if (j >= body.length || body(j) != '"') return None
+            j += 1
+            val sb = new StringBuilder
+            while (j < body.length && body(j) != '"') {
+              body(j) match {
+                case '\\' if j + 1 < body.length =>
+                  body(j + 1) match {
+                    case 'n' => sb += '\n'; j += 2
+                    case 'r' => sb += '\r'; j += 2
+                    case 't' => sb += '\t'; j += 2
+                    case 'b' => sb += '\b'; j += 2
+                    case 'f' => sb += '\f'; j += 2
+                    case 'u' if j + 5 < body.length
+                        && body.substring(j + 2, j + 6).forall(h => Character.digit(h, 16) >= 0) =>
+                      // hex validated FIRST: \uZZZZ in a client body must be
+                      // a malformed-input 4xx, not a NumberFormatException 500
+                      sb += Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar; j += 6
+                    case c => sb += c; j += 2
+                  }
+                case c => sb += c; j += 1
+              }
+            }
+            return if (j >= body.length) None else Some(sb.toString)
+          } else {
+            // skip the whole string, honoring escapes — keys and
+            // values inside it can never be mistaken for the field
+            i += 1
+            while (i < body.length && body(i) != '"') {
+              if (body(i) == '\\') i += 1
+              i += 1
+            }
+            i += 1
+          }
+        case _ => i += 1
       }
-      at = body.indexOf(key, at + 1)
     }
     None
   }

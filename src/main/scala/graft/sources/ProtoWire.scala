@@ -125,8 +125,27 @@ object ProtoWire {
   /** Encode one row (values aligned with `fields`) to message bytes.
     * Null values are simply omitted (proto3 absent-field semantics). */
   def encodeRow(values: Seq[Any], fields: Seq[Field]): Array[Byte] = {
+    // zip would silently TRUNCATE a short values seq — trailing fields
+    // vanish from the wire and decode as all-NULL columns with no
+    // error anywhere (r13 review; the module's contract is fail-loud)
+    require(values.length == fields.length,
+      s"encodeRow got ${values.length} values for ${fields.length} fields")
     val out = new java.io.ByteArrayOutputStream()
-    fields.zip(values).foreach { case (f, v) =>
+    encodeInto(out, values.toIndexedSeq, fields.toIndexedSeq)
+    out.toByteArray
+  }
+
+  /** The encode loop against a caller-owned buffer — the DataFrame
+    * path reuses ONE reset() buffer and value array per partition
+    * (the encodeAvro hoist pattern) instead of allocating a stream,
+    * an index seq, and zip tuples per record (r13 review). */
+  private[sources] def encodeInto(out: java.io.ByteArrayOutputStream,
+                                  values: IndexedSeq[Any],
+                                  fields: IndexedSeq[Field]): Unit = {
+    var j = 0
+    while (j < fields.length) {
+      val f = fields(j)
+      val v = values(j)
       if (v != null) {
         writeVarint(out, ((f.number.toLong << 3) | wireType(f.ptype)))
         f.ptype match {
@@ -160,8 +179,8 @@ object ProtoWire {
             writeVarint(out, b.length.toLong); out.write(b)
         }
       }
+      j += 1
     }
-    out.toByteArray
   }
 
   /** Field-number → output-slot lookup as a flat array, built ONCE per
@@ -259,7 +278,16 @@ object ProtoWire {
           f.ptype match {
             case PInt32 => out(i) = varint().toInt
             case PInt64 => out(i) = varint()
-            case PUInt32 => out(i) = varint() & 0xFFFFFFFFL
+            case PUInt32 =>
+              // fail, don't mask: a varint past 2^32 silently aliased
+              // onto a DIFFERENT in-range number — the exact class the
+              // encoder's own range check and the field-number gate
+              // reject (r13 review; protobuf-java truncates here, but
+              // this module's strict contract is fail-on-corrupt)
+              val u = varint()
+              if (u < 0L || u > 0xFFFFFFFFL)
+                fail(s"uint32 field '${fidx.farr(i).name}' varint $u outside [0, 4294967295]")
+              out(i) = u
             case PSInt32 => out(i) = unzigzag(varint()).toInt
             case PSInt64 => out(i) = unzigzag(varint())
             case PBool => out(i) = varint() != 0L
@@ -274,8 +302,22 @@ object ProtoWire {
               (0 until 4).foreach(k => { bits |= (bytes(p).toInt & 0xFF) << (8 * k); p += 1 })
               out(i) = java.lang.Float.intBitsToFloat(bits)
             case PString =>
+              // proto3 requires string fields to be VALID UTF-8
+              // (protobuf-java throws InvalidProtocolBufferException);
+              // the replacement-char decode fabricated U+FFFD text from
+              // corrupt bytes in the mode documented to fail loudly
+              // (r13 review). Permissive mode catches the
+              // ProtoDecodeException upstream → null row, as for every
+              // other corruption class.
               val n = lenPrefix()
-              out(i) = new String(bytes, p, n, "UTF-8"); p += n
+              val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+                .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+                .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+              out(i) =
+                try dec.decode(java.nio.ByteBuffer.wrap(bytes, p, n)).toString
+                catch { case _: java.nio.charset.CharacterCodingException =>
+                  fail(s"string field '${fidx.farr(i).name}' carries invalid UTF-8") }
+              p += n
             case PBytes =>
               val n = lenPrefix()
               out(i) = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
@@ -350,7 +392,24 @@ object ProtoWire {
     // scaffolding (Serde.encodeWithPayload, the encode twin of
     // decodeWithPayload) — this copy and encodeAvro's had already
     // started to diverge (r11 review)
-    Serde.encodeWithPayload(df, payloadCol,
-      () => row => encodeRow(idxs.map(row.get), fields))
+    // per-PARTITION buffer + value array, reset per row (the encodeAvro
+    // hoist pattern): the old per-row encodeRow(idxs.map(...)) paid a
+    // fresh stream, an index seq, and zip tuples per record (r13 review)
+    Serde.encodeWithPayload(df, payloadCol, () => {
+      val farr = fields.toIndexedSeq
+      val iarr = idxs.toArray
+      val out = new java.io.ByteArrayOutputStream()
+      val vals = new Array[Any](iarr.length)
+      // one wrapper for the partition's lifetime — it views the SAME
+      // mutable array the row loop refills
+      val valsSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)
+      row => {
+        out.reset()
+        var j = 0
+        while (j < iarr.length) { vals(j) = row.get(iarr(j)); j += 1 }
+        encodeInto(out, valsSeq, farr)
+        out.toByteArray
+      }
+    })
   }
 }

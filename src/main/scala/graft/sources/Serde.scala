@@ -36,8 +36,15 @@ object Serde {
     * this guard so they cannot drift on the semantics. */
   private[sources] def requireNoClash(df: DataFrame, payloadCol: String,
                                       valueSchema: StructType, what: String): Unit = {
-    val clash = df.schema.fieldNames.filterNot(_ == payloadCol).toSet
-      .intersect(valueSchema.fieldNames.toSet)
+    // SESSION-resolver matching (Cols.sameName): under default
+    // case-insensitive resolution a decoded field 'amount' collides
+    // with frame column 'Amount' exactly as an exact match does — the
+    // old exact-name intersect let it through to the deferred
+    // AMBIGUOUS_REFERENCE this guard exists to prevent (r13 review)
+    val frameCols = df.schema.fieldNames
+      .filterNot(graft.operators.Cols.sameName(df, _, payloadCol))
+    val clash = valueSchema.fieldNames
+      .filter(v => frameCols.exists(graft.operators.Cols.sameName(df, _, v)))
     require(clash.isEmpty,
       s"decoded $what fields collide with frame columns: ${clash.mkString(", ")} " +
         s"(rename or drop the frame columns before decoding)")
@@ -288,7 +295,11 @@ object Serde {
         catch {
           case e @ (_: NullPointerException | _: org.apache.avro.AvroTypeException
                     | _: org.apache.avro.AvroRuntimeException) =>
-            val nullFields = fields.filter(f => rec.get(f.pos()) == null).map(_.name())
+            // only NON-NULLABLE fields are culpable: a nullable-union
+            // field legitimately holds null, and naming it misdirects
+            // the user away from the real offender (r13 review)
+            val nullFields = fields.filter(f =>
+              rec.get(f.pos()) == null && !f.schema().isNullable).map(_.name())
             throw new IllegalArgumentException(
               s"avro encode failed${if (nullFields.nonEmpty)
                 s" (NULL in non-nullable field(s): ${nullFields.mkString(", ")})"
@@ -319,10 +330,15 @@ object Serde {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val inSchema = df.schema
-    val hasPayload = inSchema.fieldNames.contains(payloadCol)
+    // session-resolver matching: a frame column 'Value' IS the payload
+    // column 'value' under default resolution — the exact-name check
+    // appended a duplicate instead of replacing in place (r13 review)
+    def isPayload(name: String): Boolean =
+      graft.operators.Cols.sameName(df, name, payloadCol)
+    val hasPayload = inSchema.fieldNames.exists(isPayload)
     val outFields =
       if (hasPayload) inSchema.fields.map(f =>
-        if (f.name == payloadCol) StructField(payloadCol, BinaryType, nullable = false) else f)
+        if (isPayload(f.name)) StructField(payloadCol, BinaryType, nullable = false) else f)
       else inSchema.fields :+ StructField(payloadCol, BinaryType, nullable = false)
     val outSchema = StructType(outFields)
     // -1 marks the payload slot; every other slot copies its input index
@@ -378,8 +394,11 @@ object Serde {
     // requireNoClash covers it): a payload field named like a system
     // column would splat a duplicate that only explodes on the next
     // select-by-name
-    val sys = Set("_headers", "_timestamp", "_offset", "_partition")
-    val clash = schema.fieldNames.toSet.intersect(sys)
+    val sys = Seq("_headers", "_timestamp", "_offset", "_partition")
+    // resolver matching: a schema field '_Headers' collides with the
+    // generated '_headers' under default resolution (r13 review)
+    val clash = schema.fieldNames
+      .filter(f => sys.exists(graft.operators.Cols.sameName(frames, f, _)))
     require(clash.isEmpty,
       s"decoded json fields collide with system columns: ${clash.mkString(", ")}")
     frames

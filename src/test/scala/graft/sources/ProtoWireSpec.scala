@@ -183,6 +183,36 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     intercept[ProtoWire.ProtoDecodeException](decodeRow(Array[Byte](0, 1), fields))
   }
 
+  test("strict decode rejects invalid UTF-8 strings and out-of-range uint32 varints (r13 review)") {
+    def vint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    // string field with invalid UTF-8 bytes: proto3 requires valid
+    // UTF-8; replacement-char decode would fabricate U+FFFD text
+    val sFields = ProtoSchema.parse("message S { string s = 1; }")
+    val bad = new java.io.ByteArrayOutputStream()
+    vint(bad, (1L << 3) | 2); vint(bad, 2L); bad.write(0xFF); bad.write(0xFE)
+    val e1 = intercept[ProtoWire.ProtoDecodeException](decodeRow(bad.toByteArray, sFields))
+    assert(e1.getMessage.contains("invalid UTF-8"), e1.getMessage)
+    // uint32 varint past 2^32: masking would alias 2^32+5 onto 5
+    val uFields = ProtoSchema.parse("message U { uint32 u = 1; }")
+    val over = new java.io.ByteArrayOutputStream()
+    vint(over, (1L << 3) | 0); vint(over, (1L << 32) + 5L)
+    val e2 = intercept[ProtoWire.ProtoDecodeException](decodeRow(over.toByteArray, uFields))
+    assert(e2.getMessage.contains("4294967295"), e2.getMessage)
+    // and permissive mode nulls the row for both, never fabricates
+    // (covered structurally: both throw ProtoDecodeException, the type
+    // the permissive catch handles)
+  }
+
+  test("encodeRow rejects a values/fields length mismatch instead of truncating the wire (r13 review)") {
+    val fields = ProtoSchema.parse("message M { int64 a = 1; string b = 2; int32 c = 3; }")
+    val e = intercept[IllegalArgumentException](encodeRow(Seq(1L, "x"), fields))
+    assert(e.getMessage.contains("2 values for 3 fields"))
+  }
+
   test("schema parser rejects out-of-range field numbers (0, >2^29-1, >Long digits)") {
     // wire-illegal numbers must fail at schema parse, not produce bytes
     // every standard protobuf consumer rejects

@@ -135,6 +135,49 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(ea.getMessage.contains("collide") && ea.getMessage.contains("doc_id"))
   }
 
+  test("clash/payload matching follows the session resolver: differently-cased names collide too (r13 review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // decoded field 'Doc_Id' vs frame column 'doc_id': under default
+    // case-insensitive resolution these collide — the exact-name
+    // intersect let it slip to a deferred AMBIGUOUS_REFERENCE
+    val frames = Seq((7L, "{\"Doc_Id\": 1}")).toDF("doc_id", "value")
+    val sch = StructType(Seq(StructField("Doc_Id", LongType)))
+    val ej = intercept[IllegalArgumentException](Serde.decodeJson(frames, "value", sch))
+    assert(ej.getMessage.contains("collide"), ej.getMessage)
+    // encode: a frame column 'Value' IS payload 'value' — replaced in
+    // place, never appended as a duplicate
+    val schemaJson =
+      """{"type":"record","name":"T","fields":[{"name":"n","type":"long"}]}"""
+    val df = Seq((5L, "old")).toDF("n", "Value")
+    val out = Serde.encodeAvro(df, schemaJson, "value")
+    assert(out.columns.count(_.equalsIgnoreCase("value")) == 1, out.columns.toSeq)
+    // envelope: schema field '_Headers' collides with generated _headers
+    val e2 = intercept[IllegalArgumentException](Serde.fromKafkaEnvelope(
+      Seq((Array[Byte](), Array[Byte](), 0L, 0L, new java.sql.Timestamp(0), "t",
+        Array.empty[Byte]))
+        .toDF("key", "value", "offset", "partition", "timestamp", "topic", "headers"),
+      StructType(Seq(StructField("_Headers", StringType)))))
+    assert(e2.getMessage.contains("collide"), e2.getMessage)
+  }
+
+  test("avro null-field diagnostic names only NON-NULLABLE fields (r13 review)") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"T","fields":[
+         {"name":"a","type":"long"},
+         {"name":"b","type":["null","string"],"default":null}]}"""
+    val df = Seq((Option.empty[Long], Option.empty[String])).toDF("a", "b")
+      .selectExpr("CAST(a AS LONG) AS a", "CAST(b AS STRING) AS b")
+    val e = intercept[Exception](Serde.encodeAvro(df, schemaJson).collect())
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    val m = msgs(e)
+    assert(m.contains("non-nullable field(s): a"), m)
+    assert(!m.contains("a, b"), s"nullable field b must not be blamed: $m")
+  }
+
   test("encodeAvro replaces an existing payload column and validates on the driver") {
     import spark.implicits._
     val schemaJson =

@@ -109,6 +109,32 @@ class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAnd
   }
   private def JsonOut_jsonStringField(b: String, f: String) = graft.JsonOut.jsonStringField(b, f)
 
+  test("body parsing: a key inside a NESTED object cannot hijack extraction (r13 review)") {
+    // the inner metadata.query must not win over the top-level key —
+    // the preceded-by-{-or-, heuristic matched it and the server would
+    // deploy the wrong SQL
+    val q = JsonOut_jsonStringField(
+      """{"metadata":{"query":"SELECT evil"},"query":"SELECT real"}""", "query")
+    assert(q.contains("SELECT real"), q)
+    // key present ONLY nested → None (no top-level field of that name)
+    assert(JsonOut_jsonStringField(
+      """{"metadata":{"query":"SELECT evil"}}""", "query").isEmpty)
+    // arrays of objects don't leak their keys to the top level either
+    assert(JsonOut_jsonStringField(
+      """{"items":[{"query":"SELECT a"}],"query":"SELECT b"}""", "query")
+      .contains("SELECT b"))
+    // escaped quote inside a preceding value cannot desync the scan
+    assert(JsonOut_jsonStringField(
+      """{"note":"a \" quote","query":"SELECT c"}""", "query").contains("SELECT c"))
+  }
+
+  test("sec3 emits JSON null for non-finite values, never bare NaN/Infinity (r13 review)") {
+    assert(graft.JsonOut.sec3(Double.NaN) == "null")
+    assert(graft.JsonOut.sec3(Double.PositiveInfinity) == "null")
+    assert(graft.JsonOut.sec3(Double.NegativeInfinity) == "null")
+    assert(graft.JsonOut.sec3(1.23456) == "1.235")
+  }
+
   test("HTTP semantics: 405 on wrong method, 413 on oversized body") {
     // wrong VERB on a known path must not read as "job absent" (404 is
     // the jobDetail not-found contract)
