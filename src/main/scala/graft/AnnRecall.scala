@@ -152,8 +152,12 @@ object AnnRecall {
         // sf0.001/0.01/0.1; floor 0.85 per the ~0.1-under-minimum
         // convention — losing the probe ring (exact bands measure ~0.4)
         // trips it, corpus-to-corpus variance does not
+        // nAll == 0 fails LOUD (0.0), like the planted tier above: a
+        // vacuous 1.0 would silently disarm the floor forever if a
+        // corpus/threshold change emptied the exact pair set (r13
+        // review) — n_exact in the artifact would be the only tell
         Entry("q58_embed_dedup_lsh_all",
-          if (nAll == 0) 1.0 else hitAll.toDouble / nAll, 0.85, nAll))
+          if (nAll == 0) 0.0 else hitAll.toDouble / nAll, 0.85, nAll))
     } finally {
       exact.unpersist()
       approx58.unpersist()

@@ -64,8 +64,18 @@ object Dedup {
     * 128-bit-hash shape as `exact`. */
   def exactKeepBest(docs: DataFrame, textCol: String, idCol: String,
                     score: Column): DataFrame = {
-    val numericId = docs.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // INTEGRAL ids only on the fast single-agg path: the decimal(38,0)
+    // negation ROUNDS fractional ids (7.1 and 7.2 both negate to -7 —
+    // arbitrary tie-break instead of the documented lowest id) and a
+    // double >= 1e38 overflows the cast. Fractional/huge numerics take
+    // the type-generic two-phase path, whose min(id) is exact for any
+    // orderable type (r13 review)
+    val numericId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     if (numericId)
       docs
         .withColumn("content_hash", contentHash(textCol, idCol))
@@ -87,15 +97,25 @@ object Dedup {
       // MIN id among the tied best rows. Null-safe compare: a group
       // whose scores are all NULL keeps its lowest id, as the numeric
       // path's struct ordering does.
-      val hashed = docs.withColumn("content_hash", contentHash(textCol, idCol))
-        .withColumn("__graft_keep_score", score)
+      // PROJECTED to the three working columns: carrying docs' own
+      // columns through the join made a pre-existing dup_count (e.g. a
+      // frame re-deduped after exact()) an ambiguous reference (r13
+      // review). score is evaluated against docs BEFORE the projection.
+      val hashed = docs
+        .select(contentHash(textCol, idCol).as("content_hash"),
+          col(idCol).as("__graft_id"), score.as("__graft_keep_score"))
       val best = hashed.groupBy(col("content_hash"))
         .agg(max(col("__graft_keep_score")).as("__graft_best"),
           count(lit(1)).as("dup_count"))
-      hashed.join(best, Seq("content_hash"))
+        .withColumnRenamed("content_hash", "__graft_ch")
+      // NULL-SAFE hash join: the (null text, null id) group hashes
+      // NULL by design, and a Seq("content_hash") USING join silently
+      // DROPPED it on this path while the numeric path kept it —
+      // output diverged purely on id type (r13 review)
+      hashed.join(best, col("content_hash") <=> col("__graft_ch"))
         .where(col("__graft_keep_score") <=> col("__graft_best"))
         .groupBy(col("content_hash"), col("dup_count"))
-        .agg(min(col(idCol)).as("keep_id"))
+        .agg(min(col("__graft_id")).as("keep_id"))
         .select(col("content_hash"), col("keep_id"), col("dup_count"))
     }
   }
@@ -156,6 +176,13 @@ object Dedup {
     // maxBucket=0 drops every band bucket — the job completes with an
     // empty candidate set instead of failing (silent-empty mode)
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // non-positive band geometry is silent garbage, not an error:
+    // rowsPerBand=0 gives every doc an EMPTY signature slice (one
+    // shared bucket per band → O(n²) pairs with 0/0 est_jaccard);
+    // numBands=0 makes sequence() auto-step DOWN to band -1, slicing
+    // from the array END (r13 review)
+    require(numBands >= 1, s"numBands must be >= 1, got $numBands")
+    require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
     val numHashes = numBands * rowsPerBand
     // null-text docs carry no content to near-dup: left in, they all
     // hash to ONE shared per-band bucket (xxhash64 skips a null slice)
@@ -282,7 +309,15 @@ object Dedup {
     // Checkpointing collapses edges to a leaf; blocks are freed by the
     // ContextCleaner once the frame is unreachable (same contract as
     // the label table hand-back below).
-    val edges = pairs.select(explode(array(
+    // null-endpoint edges dropped UP FRONT, uniformly: an edge with a
+    // null id is meaningless, the distributed joins would silently
+    // ignore it anyway, and the driver-local finish crashed on it
+    // (Row.getLong NPE) — behavior diverging purely on input SIZE,
+    // the exact divergence the idsAreLong guard below exists to
+    // prevent (r13 review)
+    val edges = pairs
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(explode(array(
         struct(col("id_a").as("u"), col("id_b").as("v")),
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("_e"))
       .select(col("_e.u").as("u"), col("_e.v").as("v"))

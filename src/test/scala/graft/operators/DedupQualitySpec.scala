@@ -97,6 +97,66 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(kept.length == 1 && kept.head.getAs[String]("keep_id") == "n1")
   }
 
+  test("exactKeepBest r13 review fixes: null-hash group survives string path; fractional ids tie-break exactly; working-column names don't collide") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // (null text, null id) group: hashes NULL by design — the old
+    // null-unsafe USING join dropped it on the STRING-id path while
+    // the numeric path kept it (output diverged on id type)
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = true),
+      StructField("text", StringType, nullable = true),
+      StructField("q", DoubleType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, null, 1.0),
+      org.apache.spark.sql.Row(null, null, 2.0),
+      org.apache.spark.sql.Row("a", "real", 3.0))
+    val out = Dedup.exactKeepBest(spark.createDataFrame(rows, schema), "text", "doc_id", col("q"))
+      .collect()
+    assert(out.length == 2, s"null-hash group must survive: ${out.toSeq}")
+    assert(out.exists(r => r.isNullAt(r.fieldIndex("content_hash")) && r.getAs[Long]("dup_count") == 2L))
+    // fractional DOUBLE ids: 7.1 vs 7.2 at equal score must keep 7.1
+    // (the decimal(38,0) negation rounded both to -7 → arbitrary)
+    val frac = Seq((7.2, "same", 5.0), (7.1, "same", 5.0)).toDF("doc_id", "text", "q")
+    val keptF = Dedup.exactKeepBest(frac, "text", "doc_id", col("q")).collect()
+    assert(keptF.length == 1 && keptF.head.getAs[Double]("keep_id") == 7.1)
+    // a frame ALREADY carrying dup_count (re-dedup after exact()) must
+    // not become an ambiguous reference on the two-phase path
+    val redo = Seq(("a", "t", 1.0, 9L), ("b", "t", 2.0, 9L))
+      .toDF("doc_id", "text", "q", "dup_count")
+    val keptR = Dedup.exactKeepBest(redo, "text", "doc_id", col("q")).collect()
+    assert(keptR.length == 1 && keptR.head.getAs[String]("keep_id") == "b")
+  }
+
+  test("clusterPairs drops null-endpoint edges uniformly — driver-local path must not NPE (r13 review)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType, nullable = true),
+      StructField("id_b", LongType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 2L),
+      org.apache.spark.sql.Row(null, 3L),
+      org.apache.spark.sql.Row(4L, null))
+    val pairs = spark.createDataFrame(rows, schema)
+    // below the local threshold: used to crash with NPE in getLong
+    val local = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == Set((1L, 1L), (2L, 1L)), local)
+    // distributed path agrees
+    val dist = Dedup.clusterPairs(pairs, localThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == local)
+  }
+
+  test("minhashLsh rejects non-positive band geometry loudly (r13 review)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "text", "doc_id", numBands = 0)).getMessage.contains("numBands"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "text", "doc_id", rowsPerBand = 0)).getMessage.contains("rowsPerBand"))
+  }
+
   test("clusterPairs: 1000-node path graph converges to one cluster within 15 rounds") {
     import spark.implicits._
     // adversarial diameter: plain min-propagation needs ~999 rounds;
