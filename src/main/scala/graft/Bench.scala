@@ -58,8 +58,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // empty tokens dropped; an all-empty value is NO filter (same
+    // benign-input rule as Verify, r13 review)
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
     // a misspelled query name would silently yield an empty artifact
     // with value 0.000 and exit 0 — fail loudly instead

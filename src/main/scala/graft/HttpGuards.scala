@@ -47,29 +47,39 @@ private[graft] object HttpGuards {
     * The timeout path deliberately does NOT call ex.close(): the JDK's
     * close drains the remaining request body — a blocking read on a
     * socket that never delivers — so closing from here would park a
-    * SECOND thread per slow connection (r11 review; the reader thread
-    * itself stays parked until the client's socket dies either way —
-    * that residual one-thread cost is why maxReqTime stays set as
-    * defense in depth). The 408 bytes are flushed explicitly so the
-    * client sees the rejection without the exchange completing. */
+    * SECOND thread per slow connection (r11 review). The 408 is
+    * written BEFORE task.cancel(true): interrupting a thread blocked
+    * in the server's SocketChannel.read CLOSES the channel
+    * (InterruptibleChannel semantics), so a cancel-first order made
+    * the 408 write throw into the silent catch and the client saw a
+    * bare reset instead of the documented rejection (r13 review).
+    * After the 408, the interrupt doubles as cleanup: it releases the
+    * parked reader thread along with the channel. The 408 bytes are
+    * flushed explicitly so the client sees the rejection without the
+    * exchange completing. */
   def readBodyBounded(ex: HttpExchange, maxBytes: Int,
                       timeoutMs: Long = DefaultBodyTimeoutMs): Option[Array[Byte]] = {
+    // overflow guard: maxBytes + 1 at Int.MaxValue wraps negative and
+    // readNBytes throws for every request on the route (r13 review)
+    val limit = if (maxBytes >= Int.MaxValue) Int.MaxValue else maxBytes + 1
     val task = bodyReaders.submit(
       new java.util.concurrent.Callable[Array[Byte]] {
-        def call(): Array[Byte] = ex.getRequestBody.readNBytes(maxBytes + 1)
+        def call(): Array[Byte] = ex.getRequestBody.readNBytes(limit)
       })
     try Some(task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        task.cancel(true)
         try {
           ex.getResponseHeaders.set("Connection", "close")
+          // Content-Type like every other JSON error both servers emit
+          ex.getResponseHeaders.set("Content-Type", "application/json")
           val msg = """{"error":"request body read timed out"}""".getBytes(UTF_8)
           ex.sendResponseHeaders(408, msg.length)
           val os = ex.getResponseBody
           os.write(msg)
           os.flush()
         } catch { case _: java.io.IOException => () }
+        task.cancel(true)
         None
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)

@@ -31,7 +31,13 @@ object Verify {
     // that matches NO query is a typo, and a typo must not filter the run
     // to zero queries and exit green — an empty-but-consistent manifest
     // reads as a clean gate (r11 review; Bench has the same guard)
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // empty tokens dropped and an all-empty value treated as NO filter:
+    // SPARK_GRAFT_QUERIES="" or a trailing comma used to produce
+    // Set("") and abort with an unreadable 'unknown queries:' message
+    // naming an invisible empty string (r13 review)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
       if (unknown.nonEmpty) {
@@ -47,9 +53,17 @@ object Verify {
       // not leave the previous run's parquet behind — the DuckDB compare
       // would silently PASS on stale data and green a broken query
       deleteRecursively(new java.io.File(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce collapses the WHOLE
+      // final stage to one task back to the previous shuffle boundary,
+      // serializing the scan+kernels of shuffle-free queries; the
+      // explicit shuffle keeps upstream compute parallel and funnels
+      // only the small verify output (r13 review)
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal: an OOM/interrupt must kill the gate run nonzero,
+        // not read as one query's stderr line in a corrupted JVM
+        // followed by a green exit (r13 review)
         System.err.println(s"[verify] $name failed: " +
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }

@@ -25,6 +25,15 @@ object GraftSession {
     // window results; missing nanosAsLong fails the events scan). Every
     // conf the engine depends on is a runtime-settable SQL conf, so pin
     // them on the session explicitly, whoever created it.
+    // The MASTER is not runtime-settable: a pre-existing session on a
+    // different master silently breaks the cores/shuffle sizing
+    // contract (bench/probe timings invalid) — warn loudly, since
+    // failing here would break legitimate embedders that own their
+    // session (r13 review)
+    if (spark.sparkContext.master != master)
+      System.err.println(s"[graft] WARNING: GraftSession requested master=$master but " +
+        s"an existing session runs on ${spark.sparkContext.master} — timing/sizing " +
+        "assumptions (shuffle partitions, parallelism) may not hold")
     Seq(
       "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
       "spark.sql.adaptive.enabled" -> "true",
