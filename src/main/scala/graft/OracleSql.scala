@@ -357,13 +357,18 @@ object OracleSql {
     "q17_string_funcs" ->
       """SELECT p_partkey,
          UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
-         SUBSTRING(p_name, 1, 5) AS name5, LENGTH(p_name) AS name_len,
+         SUBSTRING(p_name, 1, 5) AS name5,
+         octet_length(encode(p_name)) AS name_len,
          CONCAT(p_brand, '-', p_type) AS brand_type,
          REPLACE(p_type, ' ', '_') AS type_u,
          SUBSTRING(p_name, 1, 3) AS l3,
          CASE WHEN LENGTH(p_name) >= 3 THEN SUBSTRING(p_name, LENGTH(p_name) - 2, 3) ELSE p_name END AS r3,
-         STRPOS(p_name, 'a') AS pos_a,
-         TRIM(p_name) AS trimmed,
+         CASE WHEN STRPOS(p_name, 'a') = 0 THEN 0
+              ELSE octet_length(encode(SUBSTRING(p_name, 1, STRPOS(p_name, 'a') - 1))) + 1
+         END AS pos_a,
+         regexp_replace(p_name,
+           '^[\s\p{Zs}\x{85}\x{2028}\x{2029}]+|[\s\p{Zs}\x{85}\x{2028}\x{2029}]+$',
+           '', 'g') AS trimmed,
          regexp_matches(p_name, '^[a-m]') AS starts_am
          FROM part""",
 
@@ -454,8 +459,15 @@ object OracleSql {
     // and list_sum SKIPS null elements, which would silently score a
     // partial cosine where the kernel pins the corrupt row to 0.0)
     "q27_ann_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      // embedding IS NOT NULL on BOTH sides: a literal NULL array is
+      // the one corrupt shape cosineCase leaves NULL (not 0.0), and
+      // the engine (topKPerQuery) filters null cosines BEFORE ranking —
+      // DuckDB's NULLS-LAST row_number would otherwise rank such rows
+      // into a short query's top-10 (r13 review)
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                     WHERE vec_id < 5 AND embedding IS NOT NULL),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+               WHERE embedding IS NOT NULL),
          dotn AS (
            SELECT query_id, neighbor_id,
              ${cosineCols("qv", "cv")}
@@ -774,7 +786,10 @@ object OracleSql {
     // the last falls outside it); session end = last event + gap;
     // emitted ⇔ end ≤ final watermark (max(ts) ms-truncated, - grace).
     "q44_session_stream" ->
-      s"""WITH e AS (SELECT user_id, event_id, ts FROM events),
+      // ts IS NOT NULL: session_window drops null event-times (the q7
+      // rule — a null-ts event would otherwise sort NULLS-LAST into a
+      // key's final session and silently inflate it; r13 review)
+      s"""WITH e AS (SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL),
          f AS (SELECT user_id, ts, event_id,
                  CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
@@ -798,8 +813,13 @@ object OracleSql {
     // sums are exact regardless of association order; buf_avg is the
     // same single exactly-rounded IEEE division both engines perform.
     "q43_rows_buffer" ->
+      // ts IS NOT NULL: the engine path encodes into BufEvent whose
+      // primitive Long ord cannot hold a null — the oracle must not
+      // emit buffer rows for events the engine's contract excludes
+      // (r13 review; q7's null rule)
       s"""WITH e AS (SELECT user_id AS key, ${epochS("ts")} AS ord,
-                    event_id, round(value*10000, 0) AS v FROM events),
+                    event_id, round(value*10000, 0) AS v
+                    FROM events WHERE ts IS NOT NULL),
          w AS (SELECT key, event_id,
                  COUNT(*) OVER win AS buf_n,
                  SUM(v) OVER win AS buf_sum
@@ -869,7 +889,7 @@ object OracleSql {
          CAST(${pmod("doc_id", 7)} + 4 AS INTEGER) AS height_px,
          CAST(${pmod("doc_id", 13)} + 3 AS DOUBLE) / 2 AS mean_r,
          CAST(${pmod("doc_id", 256)} AS DOUBLE) AS mean_g,
-         CAST(${pmod("n_chars", 256)} AS DOUBLE) AS mean_b
+         CAST(${pmod("coalesce(n_chars, 0)", 256)} AS DOUBLE) AS mean_b
          FROM documents""",
 
     "q72_audio_decode" ->
@@ -877,8 +897,8 @@ object OracleSql {
          CAST(8000 + (${pmod("doc_id", 8)}) * 1000 AS INTEGER) AS header_rate,
          CAST(8000 + (${pmod("doc_id", 8)}) * 1000 AS INTEGER) AS rate_hz,
          CAST(${pmod("doc_id", 100)} + 50 AS BIGINT) AS n_frames,
-         CAST((${pmod("n_chars", 100)} + 1) * 50 AS INTEGER) AS peak,
-         CAST((${pmod("n_chars", 100)} + 1) * 50 AS DOUBLE) AS mean_abs
+         CAST((${pmod("coalesce(n_chars, 0)", 100)} + 1) * 50 AS INTEGER) AS peak,
+         CAST((${pmod("coalesce(n_chars, 0)", 100)} + 1) * 50 AS DOUBLE) AS mean_abs
          FROM documents""",
 
     "q73_video_frames" ->
@@ -888,7 +908,7 @@ object OracleSql {
          CAST(${pmod("doc_id + fi", 7)} + 4 AS INTEGER) AS height_px,
          CAST(${pmod("doc_id + fi", 13)} + 3 AS DOUBLE) / 2 AS mean_r,
          CAST(${pmod("doc_id + fi", 256)} AS DOUBLE) AS mean_g,
-         CAST(${pmod("n_chars", 256)} AS DOUBLE) AS mean_b
+         CAST(${pmod("coalesce(n_chars, 0)", 256)} AS DOUBLE) AS mean_b
          FROM documents,
            UNNEST(generate_series(0, CAST(${pmod("doc_id", 5)} + 2 AS BIGINT), 2)) AS t(fi)""",
 
@@ -901,9 +921,17 @@ object OracleSql {
          WHERE rk <= 3""",
 
     "q41_any_all" ->
+      // the engine's ALL/ANY rewrite IGNORES null subquery values
+      // (coalesce(max(...), -inf) / min analog) — bare SQL ALL under
+      // three-valued logic would exclude every row above the non-null
+      // max whenever one 'P' order has a NULL price. The oracle must
+      // express the semantics the engine implements (the q11 rule;
+      // r13 review)
       """SELECT o_orderkey, o_totalprice FROM orders
-         WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P')
-           AND o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')""",
+         WHERE o_totalprice > (SELECT COALESCE(MAX(o_totalprice), -1e308)
+                               FROM orders WHERE o_orderstatus = 'P')
+           AND o_totalprice > (SELECT COALESCE(MIN(o_totalprice), 1e308)
+                               FROM orders WHERE o_orderpriority = '1-URGENT')""",
 
     "q42_headers" ->
       s"""SELECT event_id,

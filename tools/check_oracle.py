@@ -15,7 +15,24 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def canon(df):
+def canon(tbl, float_both=frozenset()):
+    """Canonicalize an Arrow table to a sorted pandas frame. For float
+    columns present on BOTH sides, a parallel tag column ('null'/'nan'/
+    '') is derived from the Arrow nullity BEFORE pandas collapses SQL
+    NULL and NaN to one value — the multiset profile below cannot see a
+    POSITIONAL swap (spark NULL where oracle NaN on row k and vice
+    versa on row j), but the tag rides the row through the sort and the
+    row-wise compare catches it (r13 review)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    df = tbl.to_pandas()
+    for i, c in enumerate(tbl.column_names):
+        if c not in float_both:
+            continue
+        col = tbl.column(i).combine_chunks()
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        nan_mask = pc.is_nan(pc.fill_null(col, 0.0)).to_numpy(zero_copy_only=False)
+        df["\x00nn\x00" + c] = np.where(null_mask, "null", np.where(nan_mask, "nan", ""))
     df = df[sorted(df.columns)]
     for c in df.columns:
         if df[c].dtype == object:
@@ -23,7 +40,14 @@ def canon(df):
             # the 4-char string 'None', so a real NULL on one side and the
             # literal string 'None' on the other would compare equal
             df[c] = df[c].where(df[c].notna(), "\x00<NULL>\x00").astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # sort by the REAL columns first, tag columns only as FINAL
+    # tiebreakers: a tag in the primary sort keys would re-align rows
+    # by tag and hide exactly the positional swap it exists to catch;
+    # as a trailing tiebreaker it only reorders rows whose real columns
+    # are fully equal — where a swap is not a real divergence
+    real = [c for c in df.columns if not c.startswith("\x00nn\x00")]
+    tags = [c for c in df.columns if c.startswith("\x00nn\x00")]
+    return df.sort_values(by=real + tags).reset_index(drop=True)
 
 def null_nan_profile(tbl):
     """Per-column (n_null, n_nan) from an Arrow table — pandas float64
@@ -49,8 +73,15 @@ for name, sql in sorted(oracle.items()):
     try:
         got_tbl = pq_mod.read_table(spark_path)
         want_tbl = con.execute(sql).arrow()
-        got = canon(got_tbl.to_pandas())
-        want = canon(want_tbl.to_pandas())
+        # tag columns only where BOTH sides are floating — a one-sided
+        # tag would trip the columns-differ check on a dtype mismatch
+        # that the dtype-aware compare below already reports properly
+        float_both = frozenset(
+            c for c in got_tbl.column_names if c in want_tbl.column_names
+            and pa_types.is_floating(got_tbl.schema.field(c).type)
+            and pa_types.is_floating(want_tbl.schema.field(c).type))
+        got = canon(got_tbl, float_both)
+        want = canon(want_tbl, float_both)
     except Exception as e:
         fails.append((name, f"load/exec error: {e}"))
         continue
