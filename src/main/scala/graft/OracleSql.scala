@@ -367,7 +367,7 @@ object OracleSql {
               ELSE octet_length(encode(SUBSTRING(p_name, 1, STRPOS(p_name, 'a') - 1))) + 1
          END AS pos_a,
          regexp_replace(p_name,
-           '^[\s\p{Zs}\x{85}\x{2028}\x{2029}]+|[\s\p{Zs}\x{85}\x{2028}\x{2029}]+$',
+           '^[\s\x{0B}\x{1C}-\x{1F}\p{Zs}\x{85}\x{2028}\x{2029}]+|[\s\x{0B}\x{1C}-\x{1F}\p{Zs}\x{85}\x{2028}\x{2029}]+$',
            '', 'g') AS trimmed,
          regexp_matches(p_name, '^[a-m]') AS starts_am
          FROM part""",

@@ -744,7 +744,12 @@ object GraftKernels {
   }
 
   def hammingBits(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    // fail-loud, matching the module's convention (cf. the uint32 and
+    // bandChunksCol gates): a silent min-length compare would UNDERCOUNT
+    // distance for mismatched chunk arrays (r14 advice)
+    if (a.numElements() != b.numElements()) throw new IllegalArgumentException(
+      s"hammingBits: length mismatch (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var out = 0
     var i = 0
     while (i < n) {

@@ -592,8 +592,13 @@ object Similarity {
     * every bucket exceeds it). The adaptive plan widens bands so load
     * stays ~targetLoad and adds bands to hold the caller plan's own
     * predicted recall; chunks come from the wide bandChunks kernel, so
-    * total bits may exceed 64. Callers that know the corpus size pass
-    * `corpusSize` to skip the sizing count.
+    * total bits may exceed 64. NOTE the sizing is an EXTRA Spark action:
+    * when `corpusSize` is None the plan runs one column-pruned
+    * `count()` over the corpus before the pipeline proper — callers that
+    * know the size pass `corpusSize` to skip it, and callers that need
+    * the EXACT requested geometry (no sizing action, no adaptive
+    * override — e.g. a calibrated bench plan) pass `adaptive = false`
+    * (r14 advice).
     *
     * NOTE a pure "emit only from the first sketch-matching band" filter
     * — tempting, it would drop the pair-dedup exchange entirely — is
@@ -609,7 +614,8 @@ object Similarity {
                                numBands: Int = 10, bandBits: Int = 6,
                                maxBucket: Int = 1024,
                                probeBits: Int = 1,
-                               corpusSize: Option[Long] = None): DataFrame = {
+                               corpusSize: Option[Long] = None,
+                               adaptive: Boolean = true): DataFrame = {
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     require(probeBits == 0 || probeBits == 1,
       s"probeBits supports 0 (exact bands) or 1 (Hamming-1 multi-probe), got $probeBits")
@@ -621,10 +627,15 @@ object Similarity {
     // count grows to hold recall at the requested threshold (see
     // adaptiveBandPlan — the fixed plan's 2^bits bucket space otherwise
     // saturates the cap and recall collapses at scale). The corpus size
-    // comes from a column-pruned count unless the caller knows it.
-    val n = corpusSize.getOrElse(corpus.select(col(idCol)).count())
+    // comes from a column-pruned count unless the caller knows it;
+    // adaptive = false pins the caller's exact geometry and skips the
+    // sizing action entirely (r14 advice).
     val (effBands, effBits) =
-      adaptiveBandPlan(n, minCos, numBands, bandBits, probeBits)
+      if (!adaptive) (numBands, bandBits)
+      else {
+        val n = corpusSize.getOrElse(corpus.select(col(idCol)).count())
+        adaptiveBandPlan(n, minCos, numBands, bandBits, probeBits)
+      }
     // persisted: the sketch pass (and the vector scan under it) feeds
     // the index side, the probe side, and both vector-fetch joins.
     // Chunks are per-band array elements (not one long): the wide plan

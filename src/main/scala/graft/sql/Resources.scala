@@ -90,8 +90,16 @@ object Resources {
       // the loose one.
       val limitKeys = Set("max_aggregation_groups", "max_total_memory",
         "max_processing_time_per_record", "max_concurrent_operations")
+      // compare NORMALIZED values, not raw strings: ' 4096' vs '4096'
+      // (or '1.5' vs '1.50') is the same limit twice, not a conflict
+      // (r14 review). Unparseable values fall back to trimmed-string
+      // compare; the per-key parsers below still reject them loudly.
+      def normVal(v: String): String =
+        try new java.math.BigDecimal(v.trim).stripTrailingZeros.toPlainString
+        catch { case _: NumberFormatException => v.trim }
       props.keys.groupBy(_.toLowerCase(java.util.Locale.ROOT))
-        .filter { case (lk, ks) => limitKeys(lk) && ks.toSeq.map(props).distinct.length > 1 }
+        .filter { case (lk, ks) =>
+          limitKeys(lk) && ks.toSeq.map(k => normVal(props(k))).distinct.length > 1 }
         .foreach { case (lk, ks) =>
           throw new VeloSqlParser.ParseException(
             s"conflicting values for $lk: case variants ${ks.mkString(", ")} disagree") }

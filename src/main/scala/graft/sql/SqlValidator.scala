@@ -29,7 +29,12 @@ object SqlValidator {
 
   final case class QueryValidation(index: Int, statement: String, isValid: Boolean,
                                    errors: Vector[String] = Vector.empty,
-                                   warnings: Vector[String] = Vector.empty)
+                                   warnings: Vector[String] = Vector.empty,
+                                   // structured record of undeclared INTO
+                                   // sinks — missingConfigurations derives
+                                   // from THIS, not from substring-matching
+                                   // warning text (r14 review)
+                                   missingSinks: Vector[String] = Vector.empty)
 
   final case class AppValidation(applicationName: Option[String], totalQueries: Int,
                                  validQueries: Int, queries: Vector[QueryValidation],
@@ -69,6 +74,7 @@ object SqlValidator {
     val sess = Option(analysisSession).getOrElse(ctx.spark)
     var errors = Vector.empty[String]
     var warnings = Vector.empty[String]
+    var missingSinks = Vector.empty[String]
 
     def analyze(text: String): Seq[String] =
       // building the DataFrame runs parser+analyzer eagerly; no action
@@ -80,8 +86,14 @@ object SqlValidator {
 
     def checkInto(s: SelectStmt): Unit =
       s.into.foreach { sink =>
-        if (!ctx.declaredSources.contains(sink) && !localSinkDecls.contains(sink))
+        // `stdout` is the executor's built-in debug sink — it needs no
+        // declaration, so warning on it would be validator/executor
+        // drift (same exemption as the InsertInto arm below)
+        if (!ctx.declaredSources.contains(sink) && !localSinkDecls.contains(sink)
+            && !sink.equalsIgnoreCase("stdout")) {
           warnings :+= s"INTO sink '$sink' has no CREATE SINK declaration"
+          missingSinks :+= sink
+        }
       }
 
     // every SELECT core reachable from a query statement — a Union
@@ -128,47 +140,46 @@ object SqlValidator {
         selectCores(w.body).foreach(checkInto)
       case CreateTableAs(_, s, _, cols) => analyzeWithDeclared(s, cols)
       case CreateStreamAs(_, s, _, cols) => analyzeWithDeclared(s, cols)
+      // INSERT/UPDATE/DELETE validate by ANALYZING the very frames the
+      // executor materializes (MutationChecks — one implementation, zero
+      // drift): column binding, unknown/duplicate names, positional
+      // width, SET-target membership, WHERE resolution, and declared-
+      // type casts all surface pre-deploy. The helper's semantic checks
+      // throw ParseException; those become the statement's errors here
+      // while genuine analysis failures (unresolved columns, illegal
+      // casts) fall through to the outer analysis-error handler.
+      case InsertInto(table, cols, selOpt, values)
+          if MutationChecks.isStdoutSink(sess, table) =>
+        // the executor's stdout debug sink needs no table — validate
+        // only the incoming relation and the executor's toDF width bind
+        // (r13 post-seal finding: this arm used to reject valid apps)
+        if (selOpt.nonEmpty || values.nonEmpty) {
+          val inc = MutationChecks.incomingFrame(sess, selOpt, values, cols,
+            toSparkSql(_, ctx.defaultTimeCol, ctx.streamTimeCol))
+          inc.queryExecution.analyzed
+          if (cols.nonEmpty && cols.length != inc.columns.length)
+            errors :+= s"INSERT column list has ${cols.length} names but the source produces ${inc.columns.length}"
+        }
       case InsertInto(table, cols, selOpt, values) =>
         val tableOk = checkTable(table)
-        // analyze the INCOMING relation exactly as execStatement builds
-        // it (a VALUES list becomes the same SELECT * FROM VALUES text),
-        // so row-arity mismatches and unresolvable VALUES expressions
-        // fail here, not at execution
-        val incoming: Option[Seq[String]] = selOpt match {
-          case Some(s) => Some(analyze(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol)))
-          case None if values.nonEmpty =>
-            val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
-            val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
-            Some(analyze(s"SELECT * FROM VALUES $rowsSql AS t$colList"))
-          case None => None
+        if (selOpt.nonEmpty || values.nonEmpty) {
+          val inc = MutationChecks.incomingFrame(sess, selOpt, values, cols,
+            toSparkSql(_, ctx.defaultTimeCol, ctx.streamTimeCol))
+          inc.queryExecution.analyzed
+          if (tableOk)
+            try MutationChecks.alignInsert(table, sess.table(table), cols, inc)
+              .queryExecution.analyzed
+            catch { case e: ParseException => errors :+= e.getMessage }
         }
-        incoming.foreach { inCols =>
-          if (cols.nonEmpty) {
-            // mirrors execStatement's explicit-column-list checks
-            if (cols.length != inCols.length)
-              errors :+= s"INSERT column list has ${cols.length} names but the source produces ${inCols.length}"
-            if (tableOk) {
-              val byLower = sess.table(table).schema.fieldNames
-                .map(f => f.toLowerCase -> f).toMap
-              val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
-              if (unknown.nonEmpty)
-                errors :+= s"INSERT column(s) not in $table: ${unknown.mkString(", ")}"
-              else {
-                val canonical = cols.map(c => byLower(c.toLowerCase))
-                if (canonical.distinct.length != canonical.length)
-                  errors :+= s"INSERT column list names a column twice: ${cols.mkString(", ")}"
-              }
-            }
-          } else if (tableOk) {
-            // no column list → executor binds positionally via toDF,
-            // which requires exact width
-            val width = sess.table(table).schema.length
-            if (inCols.length != width)
-              errors :+= s"INSERT source produces ${inCols.length} columns but $table has $width"
-          }
-        }
-      case Update(table, _, _) => checkTable(table); ()
-      case Delete(table, _) => checkTable(table); ()
+      case Update(table, sets, where) =>
+        if (checkTable(table))
+          try MutationChecks.updateFrame(table, sess.table(table), sets, where)
+            .queryExecution.analyzed
+          catch { case e: ParseException => errors :+= e.getMessage }
+      case Delete(table, where) =>
+        if (checkTable(table))
+          MutationChecks.deleteFrame(sess.table(table), where)
+            .queryExecution.analyzed
       case CreateSourceDecl(_, _, props, _) =>
         if (props.isEmpty) warnings :+= "source/sink declaration has no properties"
       case StartJob(_, body, props) =>
@@ -199,7 +210,8 @@ object SqlValidator {
       case NonFatal(e) =>
         errors :+= s"analysis error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator.take(2).mkString(" ").take(300)}"
     }
-    QueryValidation(index, sqlText.trim.take(120), errors.isEmpty, errors, warnings)
+    QueryValidation(index, sqlText.trim.take(120), errors.isEmpty, errors, warnings,
+      missingSinks)
   }
 
   /** Validate a whole application text (the StreamJobServer's
@@ -241,17 +253,30 @@ object SqlValidator {
       } catch { case NonFatal(_) => () }
     try {
       val results = statements.zipWithIndex.map { case (stmtText, i) =>
-        val r = validateStatement(ctx, stmtText, i, localDecls, analysisSession = spark)
-        if (r.isValid)
-          try ctx.parseStatement(stmtText) match {
-            case CreateTableAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
-            case CreateStreamAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
-            case CreateSourceDecl(_, name, _, _) => localDecls += name
-            case _ => ()
-          } catch { case NonFatal(_) => () }
+        // parse ONCE — validateParsed and the placeholder registration
+        // both consume the same parse (r14 review: this used to parse
+        // every statement twice). The Left arm mirrors
+        // validateStatement's parse-error result exactly.
+        val parsed: Either[QueryValidation, VeloStatement] =
+          try Right(ctx.parseStatement(stmtText))
+          catch {
+            case NonFatal(e) => Left(QueryValidation(i, stmtText.trim.take(120),
+              isValid = false, Vector(s"parse error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")))
+          }
+        val r = parsed.fold(identity,
+          p => validateParsed(ctx, p, stmtText, i, localDecls, analysisSession = spark))
+        if (r.isValid) parsed.foreach {
+          case CreateTableAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
+          case CreateStreamAs(name, sel, _, cols) => registerPlaceholder(name, sel, cols)
+          case CreateSourceDecl(_, name, _, _) => localDecls += name
+          case _ => ()
+        }
         r
       }
-      val missing = results.flatMap(_.warnings).filter(_.contains("no CREATE SINK")).toVector
+      // derived from the structured per-statement record, not from
+      // substring-matching warning text (r14 review)
+      val missing = results.flatMap(_.missingSinks).toVector
+        .map(s => s"INTO sink '$s' has no CREATE SINK declaration")
       AppValidation(appName, statements.length, results.count(_.isValid),
         results.toVector, missing, results.forall(_.isValid))
     } finally {

@@ -27,6 +27,10 @@ final case class SpanRow(trace_id: Long, span_id: Long, parent_id: Option[Long],
 final class Tracer(capacity: Int = 8192,
                    clock: () => Long = () => System.currentTimeMillis()) {
 
+  // capacity <= 0 would make the eviction loop below discard EVERY span
+  // at record time — a tracer that silently traces nothing (r14 review)
+  require(capacity >= 1, s"Tracer capacity must be >= 1, got $capacity")
+
   private val buf = new scala.collection.mutable.ArrayDeque[SpanRow]()
   private var nextId = 0L
   private val stack = new ThreadLocal[List[(Long, Long)]] { // (traceId, spanId)

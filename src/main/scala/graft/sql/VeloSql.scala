@@ -452,12 +452,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // per-value guess — a BIGINT epoch-millis column holding
           // pre-1973 values (< 1e11) would otherwise be read as
           // seconds and never expire (r13 advice)
-          val unitOverride = props.get("retention_unit").map {
-            case "millis" | "ms" | "milliseconds" => "millis"
-            case "seconds" | "s" | "secs"         => "seconds"
-            case other => throw new ParseException(
-              s"unrecognized 'retention_unit' '$other' (use 'millis' or 'seconds')")
-          }
+          // property VALUES are case-insensitive like the rest of the
+          // dialect — 'MILLIS' or 'Seconds' must not throw (r14 advice)
+          val unitOverride = props.get("retention_unit")
+            .map(_.trim.toLowerCase(java.util.Locale.ROOT)).map {
+              case "millis" | "ms" | "milliseconds" => "millis"
+              case "seconds" | "s" | "secs"         => "seconds"
+              case other => throw new ParseException(
+                s"unrecognized 'retention_unit' '$other' (use 'millis' or 'seconds')")
+            }
           val keep = df.schema(c).dataType match {
             case org.apache.spark.sql.types.LongType =>
               val cutMs = unix_millis(current_timestamp()) - lit(sec * 1000L)
@@ -532,69 +535,26 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       df
 
     case InsertInto(table, cols, selOpt, values)
-        if table.equalsIgnoreCase("stdout") && !spark.catalog.tableExists(table) =>
-      // the reference's stdout debug sink (datasource/stdout_writer.rs:10
-      // — StdoutWriter renders each record as a JSON object; the server
-      // also falls back to it when a job declares no sink,
-      // server/processors/common.rs:1748). Addressed as the pseudo-table
-      // `stdout` unless a REAL table of that name exists (which then
-      // wins — never shadow user data with a debug sink).
-      val incoming: DataFrame = selOpt match {
-        case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol))
-        case None =>
-          val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
-          val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
-          spark.sql(s"SELECT * FROM VALUES $rowsSql AS t$colList")
-      }
+        if MutationChecks.isStdoutSink(spark, table) =>
+      // the reference's stdout debug sink — semantics in
+      // MutationChecks.isStdoutSink (shared with the validator's
+      // exemption, r14: the two had drifted)
+      val incoming = MutationChecks.incomingFrame(spark, selOpt, values, cols,
+        toSparkSql(_, defaultTimeCol, streamTimeCol))
       val named = if (cols.nonEmpty) incoming.toDF(cols.toIndexedSeq: _*) else incoming
       printStdout(named)
       named
 
     case InsertInto(table, cols, selOpt, values) => mutationLock(table).synchronized {
       val existing = spark.table(table)
-      val incoming: DataFrame = selOpt match {
-        case Some(s) => spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol))
-        case None =>
-          val rowsSql = values.map(r => r.map(render).mkString("(", ", ", ")")).mkString(", ")
-          val colList = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
-          spark.sql(s"SELECT * FROM VALUES $rowsSql AS t$colList")
-      }
-      // An explicit column list BINDS the incoming columns by the listed
-      // names — `INSERT INTO t (b, a) VALUES (1, 2)` must write b=1,
-      // a=2. A blind positional rename to the table's order would
-      // silently swap values into the wrong columns. Unlisted table
-      // columns null-fill, per SQL semantics.
-      val aligned =
-        if (cols.nonEmpty) {
-          require(cols.length == incoming.columns.length,
-            s"INSERT column list has ${cols.length} names but the source produces ${incoming.columns.length}")
-          // dialect identifiers are case-INSENSITIVE (as is Spark's own
-          // resolution): bind each listed name to its table column by
-          // lowercase, and REJECT unknown names — a typo'd column would
-          // otherwise silently null-fill and drop the inserted value
-          val byLower = existing.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
-          val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
-          if (unknown.nonEmpty)
-            throw new ParseException(
-              s"INSERT column(s) not in $table: ${unknown.mkString(", ")}")
-          val canonical = cols.map(c => byLower(c.toLowerCase))
-          require(canonical.distinct.length == canonical.length,
-            s"INSERT column list names a column twice: ${cols.mkString(", ")}")
-          val named = incoming.toDF(canonical.toIndexedSeq: _*)
-          named.select(existing.schema.fields.toIndexedSeq.map { f =>
-            if (canonical.contains(f.name)) named(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
-        } else {
-          // positional bind ALSO casts to the table schema: without it
-          // unionByName's set-operation widening (INT+BIGINT literal →
-          // BIGINT) silently rewrites the rebuilt view's column types —
-          // the explicit-column path already casts, this path must match
-          val named = incoming.toDF(existing.columns.toIndexedSeq: _*)
-          named.select(existing.schema.fields.toIndexedSeq.map(f =>
-            named(f.name).cast(f.dataType).as(f.name)): _*)
-        }
-      rebindMutatedView(table, existing.unionByName(aligned))
+      val incoming = MutationChecks.incomingFrame(spark, selOpt, values, cols,
+        toSparkSql(_, defaultTimeCol, streamTimeCol))
+      // column binding, unknown/duplicate rejection, and declared-type
+      // casts live in MutationChecks.alignInsert — the SAME code the
+      // pre-deployment gate analyzes, so a statement that passes
+      // validation cannot fail here on those axes
+      rebindMutatedView(table,
+        existing.unionByName(MutationChecks.alignInsert(table, existing, cols, incoming)))
     }
 
     case CreateSourceDecl(kind, name, props, cols) =>
@@ -610,56 +570,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       withSchema.toSeq.sorted.toDF("key", "value")
 
     case Update(table, sets, where) => mutationLock(table).synchronized {
-      // view-rebuild semantics over the registered relation (the
-      // reference mutates its materialized Table the same way:
-      // processors/update.rs): matched rows get the SET expressions.
-      val existing = spark.table(table)
-      val cond = where.map(w => expr(render(w))).getOrElse(lit(true))
-      // all SET right-hand sides evaluate against the OLD row (standard
-      // UPDATE semantics) → one projection, not a sequential fold.
-      // Targets bind case-INSENSITIVELY and unknown columns REJECT: a
-      // case mismatch or typo would otherwise make the whole assignment
-      // silently vanish (statement succeeds, zero rows changed)
-      val known = existing.columns.map(_.toLowerCase).toSet
-      val unknownSet = sets.map(_._1).filterNot(k => known.contains(k.toLowerCase))
-      if (unknownSet.nonEmpty)
-        throw new ParseException(
-          s"UPDATE SET column(s) not in $table: ${unknownSet.mkString(", ")}")
-      // duplicate targets REJECT like INSERT's column list does —
-      // toMap's silent last-wins would make `SET x = 1, x = 2` (a typo
-      // for `x = 1, y = 2`) succeed having half-applied the statement
-      val loweredTargets = sets.map(_._1.toLowerCase)
-      if (loweredTargets.distinct.length != loweredTargets.length)
-        throw new ParseException(
-          s"UPDATE SET names a column twice: ${sets.map(_._1).mkString(", ")}")
-      val setMap = sets.map { case (k, e) => k.toLowerCase -> e }.toMap
-      val updated = existing.select(existing.schema.fields.toIndexedSeq.map { f =>
-        setMap.get(f.name.toLowerCase) match {
-          // cast back to the column's DECLARED type: when/otherwise
-          // coercion (INT column, `x / 2` → DOUBLE) would otherwise
-          // silently change the rebuilt view's schema for ALL rows —
-          // standard UPDATE assigns THROUGH the column type
-          case Some(e) => when(cond, expr(render(e))).otherwise(col(f.name))
-            .cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
-      rebindMutatedView(table, updated)
+      // view-rebuild semantics over the registered relation; SET-target
+      // checks and the old-row projection live in
+      // MutationChecks.updateFrame (shared with the validator)
+      rebindMutatedView(table,
+        MutationChecks.updateFrame(table, spark.table(table), sets, where))
     }
 
     case Delete(table, where) => mutationLock(table).synchronized {
-      val existing = spark.table(table)
-      // the predicate is computed ONCE per row in a projection and the
-      // filter references the resulting attribute: `!p || p.isNull`
-      // with two independent expression trees would evaluate a
-      // non-deterministic predicate twice, and a row could be judged
-      // "delete" by one copy yet kept by the other
-      val pcol = "__graft_delete_pred"
-      val remaining = where.map { w =>
-        existing.withColumn(pcol, expr(render(w)))
-          .where(!col(pcol) || col(pcol).isNull).drop(pcol)
-      }.getOrElse(existing.limit(0))
-      rebindMutatedView(table, remaining)
+      rebindMutatedView(table,
+        MutationChecks.deleteFrame(spark.table(table), where))
     }
 
     case StartJob(name, body, props) => jobManager.start(name, body, props)

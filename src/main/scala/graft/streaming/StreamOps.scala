@@ -40,11 +40,13 @@ object StreamOps {
     // 'window' is the INTERMEDIATE struct the time-window groupBy
     // emits: a same-named key/alias makes col("window.start") an
     // AMBIGUOUS_REFERENCE crash instead of a clean message
-    // case-INSENSITIVE, matching how withColumn/col resolve under the
-    // default analyzer: a key named 'Window_Start' would pass a
-    // case-sensitive guard and then be silently REPLACED (r13 review)
+    // match under the SESSION's resolver (Cols.sameName), not hardcoded
+    // equalsIgnoreCase: in a case-sensitive session a legitimately
+    // distinct alias like 'Window_Start' is a different column and must
+    // not be rejected (r14 advice)
     for (c <- Seq("window_start", "window_end", "window"))
-      require(!keys.exists(_.equalsIgnoreCase(c)) && !aggExprs.exists(_._2.equalsIgnoreCase(c)),
+      require(!keys.exists(graft.operators.Cols.sameName(events, _, c))
+          && !aggExprs.exists(a => graft.operators.Cols.sameName(events, a._2, c)),
         s"'$c' is a reserved output column of tumblingAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events
@@ -60,9 +62,10 @@ object StreamOps {
   def sessionAgg(events: DataFrame, tsCol: String, gap: String, grace: String,
                  keys: Seq[String], aggExprs: Seq[(String, String)]): DataFrame = {
     require(aggExprs.nonEmpty, "sessionAgg needs at least one aggregate expression")
-    // case-insensitive for the same reason as tumblingAgg's guard
+    // session-resolver-aware for the same reason as tumblingAgg's guard
     for (c <- Seq("session_start", "session_end", "session_window"))
-      require(!keys.exists(_.equalsIgnoreCase(c)) && !aggExprs.exists(_._2.equalsIgnoreCase(c)),
+      require(!keys.exists(graft.operators.Cols.sameName(events, _, c))
+          && !aggExprs.exists(a => graft.operators.Cols.sameName(events, a._2, c)),
         s"'$c' is a reserved output column of sessionAgg")
     val aggs = aggExprs.map { case (e, alias) => expr(e).as(alias) }
     events

@@ -231,4 +231,14 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
     assert(plan.toString.contains("*(1) Project [static_invoke(graft.functions.GraftKernels.simhash"))
   }
+
+  test("hammingBitsCol rejects length-mismatched chunk arrays (r14 advice)") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.select(GraftKernels.hammingBitsCol(col("a"), col("b"))).collect())
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("length mismatch")), messages(e).mkString(" | "))
+  }
 }

@@ -235,4 +235,20 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
     assert(ctx.sql("SHOW STATUS second").collect().head.getAs[String]("status") == "RUNNING")
     ctx.sql("STOP JOB second")
   }
+
+  test("case-variant limit values compare NORMALIZED, not raw (r14 review)") {
+    // ' 4096' vs '4096' is the same limit twice — not a conflict
+    val l = Resources.Limits.fromProps(
+      Map("max_total_memory" -> " 4096", "MAX_TOTAL_MEMORY" -> "4096"), Resources.Limits())
+    assert(l.maxTotalMemory.contains(4096L))
+    // numeric-equal spellings of a fractional limit agree too
+    val f = Resources.Limits.fromProps(
+      Map("max_processing_time_per_record" -> "1.5",
+          "MAX_PROCESSING_TIME_PER_RECORD" -> "1.50"), Resources.Limits())
+    assert(f.maxProcessingTimePerRecordMs.contains(1.5))
+    // genuinely different values still conflict
+    val e = intercept[VeloSqlParser.ParseException](Resources.Limits.fromProps(
+      Map("max_total_memory" -> "4096", "MAX_TOTAL_MEMORY" -> "8192"), Resources.Limits()))
+    assert(e.getMessage.contains("conflicting"))
+  }
 }

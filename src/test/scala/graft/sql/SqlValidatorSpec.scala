@@ -265,4 +265,37 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     // the gate analyzed, never executed
     assert(!spark.catalog.tableExists("win_gate"))
   }
+
+  test("mutation statements validate through the executor's own semantics (r14 shared helper)") {
+    import spark.implicits._
+    ctx.register("v_mut", Seq((1L, 10.0)).toDF("id", "x"))
+    // stdout pseudo-table: the executor's built-in debug sink needs no
+    // declaration and no table — the gate must not reject it (r13
+    // post-seal finding)
+    assert(SqlValidator.validateStatement(ctx,
+      "INSERT INTO stdout SELECT order_id FROM v_orders").isValid)
+    assert(SqlValidator.validateStatement(ctx, "INSERT INTO stdout VALUES (1, 'a')").isValid)
+    // ... and the INTO form neither warns nor counts as a missing sink
+    val intoStdout = SqlValidator.validateStatement(ctx,
+      "SELECT order_id FROM v_orders INTO stdout")
+    assert(intoStdout.isValid && intoStdout.warnings.isEmpty && intoStdout.missingSinks.isEmpty)
+    // a typo'd SET column fails PRE-deploy, not at execution
+    val badSet = SqlValidator.validateStatement(ctx, "UPDATE v_mut SET xx = 1 WHERE id = 1")
+    assert(!badSet.isValid && badSet.errors.exists(_.contains("not in v_mut")), badSet.toString)
+    // duplicate SET targets (case-insensitive, like the executor)
+    val dupSet = SqlValidator.validateStatement(ctx, "UPDATE v_mut SET x = 1, X = 2")
+    assert(!dupSet.isValid && dupSet.errors.exists(_.contains("twice")), dupSet.toString)
+    // unresolvable WHERE columns fail analysis for UPDATE and DELETE
+    assert(!SqlValidator.validateStatement(ctx, "UPDATE v_mut SET x = 1 WHERE nope = 3").isValid)
+    assert(!SqlValidator.validateStatement(ctx, "DELETE FROM v_mut WHERE nope = 3").isValid)
+    // INSERT cast incompatibility: an array cannot cast to DOUBLE — the
+    // executor casts eagerly, so the gate must reject it too
+    val badCast = SqlValidator.validateStatement(ctx,
+      "INSERT INTO v_mut SELECT order_id, ARRAY(1, 2) FROM v_orders")
+    assert(!badCast.isValid, badCast.toString)
+    // well-formed mutations still pass, and NOTHING executed
+    assert(SqlValidator.validateStatement(ctx, "UPDATE v_mut SET x = x * 2 WHERE id = 1").isValid)
+    assert(SqlValidator.validateStatement(ctx, "DELETE FROM v_mut WHERE x > 100").isValid)
+    assert(spark.table("v_mut").count() == 1)
+  }
 }

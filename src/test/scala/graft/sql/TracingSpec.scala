@@ -107,4 +107,9 @@ class TracingSpec extends AnyFunSuite with SparkTestSession {
     assert(batches.exists(_.attrs("input_rows") == "2"))
     assert(batches.forall(_.attrs.contains("batch_id")))
   }
+
+  test("Tracer capacity must be positive — a 0-capacity tracer would silently drop every span (r14 review)") {
+    intercept[IllegalArgumentException](new Tracer(capacity = 0))
+    intercept[IllegalArgumentException](new Tracer(capacity = -3))
+  }
 }

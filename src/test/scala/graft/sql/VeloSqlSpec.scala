@@ -1179,11 +1179,25 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
          WITH ('retention' = '7 days', 'retention_unit' = 'millis')""")
     assert(spark.table("ret_unit_forced").collect().map(_.getAs[Long]("rid")).toSeq
       == Seq(2L), "pre-1973 millis rows must expire under the forced unit")
+    // the unit VALUE is case-insensitive like the rest of the dialect
+    // (r14 advice: 'MILLIS' must not throw)
+    ctx.sql(
+      """CREATE TABLE ret_unit_cased AS SELECT rid, ts FROM ret_unit_ms
+         WITH ('retention' = '7 days', 'retention_unit' = 'MILLIS')""")
+    assert(spark.table("ret_unit_cased").collect().map(_.getAs[Long]("rid")).toSeq
+      == Seq(2L), "cased unit value must behave exactly like the lowercase one")
     // and a garbage unit fails loudly
     val e = intercept[VeloSqlParser.ParseException](ctx.sql(
       """CREATE TABLE ret_unit_bad AS SELECT rid, ts FROM ret_unit_ms
          WITH ('retention' = '7 days', 'retention_unit' = 'fortnights')"""))
     assert(e.getMessage.contains("retention_unit"))
+  }
+
+  test("INSERT positional width mismatch fails loudly with the shared-helper message (r14)") {
+    ctx.sql("CREATE TABLE ins_w AS SELECT order_id, amount FROM orders")
+    val e = intercept[VeloSqlParser.ParseException](
+      ctx.sql("INSERT INTO ins_w SELECT order_id FROM orders"))
+    assert(e.getMessage.contains("produces 1 columns but ins_w has 2"), e.getMessage)
   }
 
   test("UNION with per-branch INTO writes each branch's OWN rows to its sink (r12 review)") {
