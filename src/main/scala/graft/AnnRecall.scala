@@ -59,10 +59,14 @@ object AnnRecall {
     * the hard end is what makes the recall floor sensitive to banding
     * regressions. Deterministic (xxhash64 of (id, dim index)): the same
     * twins every round, so the measurement is comparable across rounds.
+    * `idOffset` must clear every id in the target corpus — ScaleProbe's
+    * adapted-plan tier plants into a MULTIPLIED corpus whose replica
+    * offsets already occupy the default TwinOffset range (r14).
     */
-  private def withTwinVec(bases: DataFrame, dim: Int): DataFrame =
+  private[graft] def withTwinVec(bases: DataFrame, dim: Int,
+                                 idOffset: Long = TwinOffset): DataFrame =
     bases.select(col("vec_id"), col("embedding"),
-      (col("vec_id") + lit(TwinOffset)).as("tid"),
+      (col("vec_id") + lit(idOffset)).as("tid"),
       expr(
         s"""transform(embedding, (x, i) -> cast(
               x + (0.5 + 1.0 * (vec_id % 10) / 10.0)

@@ -334,4 +334,62 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val sessions = out.orderBy("session_start").collect().map(_.getAs[Long]("n"))
     assert(sessions.take(2).toSeq == Seq(3L, 1L))
   }
+
+  test("pre-r13 rows-buffer checkpoint fails LOUD on restart — never silent wrong sums (MIGRATING r13 note)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_oldstate").toString
+    try {
+      // phase 1: a query with the PRE-r13 state tuple (List[Double],
+      // Double) commits state into the checkpoint — the old shape
+      // MIGRATING.md documents, run through the same
+      // groupByKey/flatMapGroupsWithState pipeline
+      val in1 = MemoryStream[StreamOps.BufEvent]
+      val oldShaped = in1.toDS().groupByKey(_.k).flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[StreamOps.BufEvent],
+         state: GroupState[(List[Double], Double)]) =>
+          val (buf0, _) = state.getOption.getOrElse((List.empty[Double], 0.0))
+          var buf = buf0
+          val out = it.toSeq.sortBy(e => (e.ord, e.id)).map { e =>
+            buf = (buf :+ e.v).takeRight(3)
+            StreamOps.BufEmit(key, e.id, buf.size, buf.sum, buf.sum / buf.size)
+          }
+          state.update((buf, buf.sum))
+          out.iterator
+      }
+      val q1 = oldShaped.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", ckpt).start()
+      in1.addData(StreamOps.BufEvent(1, 1, 101, 10.0))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // phase 2: the r13-shaped operator restarts on the SAME checkpoint.
+      // The new MemoryStream replays the committed offset (one element),
+      // then the next batch must hit the state-schema gate — the
+      // documented failure mode is a loud state-incompatibility error,
+      // NOT a silently-misdecoded buffer emitting wrong sums.
+      val in2 = MemoryStream[StreamOps.BufEvent]
+      in2.addData(StreamOps.BufEvent(1, 1, 101, 10.0))
+      val q2 = StreamOps.rowsBufferAgg(in2.toDS(), n = 3).toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", ckpt).start()
+      val e = intercept[Exception] {
+        in2.addData(StreamOps.BufEvent(1, 2, 102, 20.0))
+        q2.processAllAvailable()
+        // belt-and-braces: if no exception surfaced through
+        // processAllAvailable, the query must at least have died
+        q2.awaitTermination(10000)
+        assert(q2.exception.isDefined, "restart on an old-shape checkpoint MUST fail")
+        throw q2.exception.get
+      }
+      try q2.stop() catch { case _: Throwable => () }
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+      val all = msgs(e).mkString(" | ").toLowerCase(java.util.Locale.ROOT)
+      assert(all.contains("state") && (all.contains("schema") || all.contains("compatib")),
+        s"expected a state-schema incompatibility error, got: $all")
+    } finally graft.Fs.deleteRecursively(new java.io.File(ckpt))
+  }
 }
