@@ -31,7 +31,14 @@ object VeloSqlParser {
     def upper: String = text.toUpperCase(java.util.Locale.ROOT)
   }
 
-  final class ParseException(msg: String) extends RuntimeException(msg)
+  class ParseException(msg: String) extends RuntimeException(msg)
+  /** A TRANSIENT rejection (circuit breaker open/half-open, admission
+    * capacity exhausted): retrying can succeed, so the HTTP layer maps
+    * this to 503. A structured subtype, because classifying by message
+    * SUBSTRING was spoofable — user query text echoed into a parse
+    * error ("unexpected trailing tokens: resource exhausted") flipped a
+    * permanent 400 into a retry-forever 503 (r14 review). */
+  final class TransientRejectionException(msg: String) extends ParseException(msg)
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
@@ -77,7 +84,16 @@ object VeloSqlParser {
         }
         if (!closed) throw new ParseException(s"unterminated string starting at $s")
         if (quote == '\'')
-          out += Tok(TString, sql.substring(s, i))
+          // the dialect's ONLY string escape is '' (standard SQL; the
+          // reference's sqlparser does the same) — backslash is an
+          // ordinary character. The token is re-emitted into spark.sql()
+          // where the DEFAULT parser escape-processes backslashes, so
+          // 'C:\tmp' would silently become "C:<TAB>mp" and a trailing
+          // backslash would be a Catalyst parse error far from the
+          // dialect gate. Store the token SPARK-ESCAPED (backslashes
+          // doubled); unquoteString collapses them back when code needs
+          // the VALUE (r14 review).
+          out += Tok(TString, sql.substring(s, i).replace("\\", "\\\\"))
         else // quoted identifier → Spark backtick form (re-escaping any
           // interior backtick: the unescaped text would otherwise emit
           // `a`b` — malformed Spark SQL from valid dialect input)
@@ -99,6 +115,18 @@ object VeloSqlParser {
     }
     out.toVector
   }
+
+  /** Decode a tokenized single-quoted literal to its VALUE. Tokens are
+    * stored Spark-escaped (see tokenize), so this collapses the doubled
+    * backslashes as well as the '' quote escape. */
+  def unquoteString(text: String): String =
+    text.substring(1, text.length - 1).replace("''", "'").replace("\\\\", "\\")
+
+  /** Encode a VALUE as a Spark-SQL single-quoted literal token text
+    * (backslashes doubled for Spark's default escape-processing parser,
+    * quotes doubled per standard SQL). */
+  def quoteString(value: String): String =
+    "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
 
   def render(tokens: Seq[Tok]): String = {
     val sb = new StringBuilder
@@ -581,7 +609,17 @@ object VeloSqlParser {
         val kb = new StringBuilder(unquote(take()))
         while (peek().exists(_.text == ".")) { take(); kb.append('.').append(unquote(take())) }
         expectSym("=")
-        val v = unquote(take())
+        // an unquoted negative number is two tokens ('-', '1') — the
+        // Kafka-style `replication = -1` form; reading one token made
+        // the trailing digit a misleading "expected ')'" error (r14
+        // review). A '+' sign is tolerated for symmetry.
+        val v = peek() match {
+          case Some(t) if t.kind == TSymbol && (t.text == "-" || t.text == "+")
+              && peek(1).exists(_.kind == TNumber) =>
+            val sign = take().text
+            (if (sign == "-") "-" else "") + take().text
+          case _ => unquote(take())
+        }
         m += kb.toString -> v
         if (peek().exists(_.text == ",")) take() else done = true
       }
@@ -590,7 +628,7 @@ object VeloSqlParser {
     }
 
     private def unquote(t: Tok): String =
-      if (t.kind == TString) t.text.substring(1, t.text.length - 1).replace("''", "'")
+      if (t.kind == TString) unquoteString(t.text)
       else t.text.stripPrefix("`").stripSuffix("`")
 
     private def emitMode(): EmitMode = {
@@ -689,7 +727,15 @@ object VeloSqlParser {
                  && !(Set("ORDER", "GROUP").contains(t.upper) && !peek(1).exists(_.isKw("BY")))
                  // WITHIN GROUP (ORDER BY …) is part of an inverse-
                  // distribution aggregate, not the stream-join WITHIN
-                 && !(t.upper == "WITHIN" && peek(1).exists(_.isKw("GROUP")))) done = true
+                 && !(t.upper == "WITHIN" && peek(1).exists(_.isKw("GROUP")))
+                 // STRATEGY is a clause boundary only when what follows
+                 // is an actual strategy form (BLUE_GREEN/ROLLING/
+                 // REPLACE/CANARY) — a column named `strategy` inside a
+                 // DEPLOY body must stay an ordinary identifier (r14
+                 // review: `SELECT strategy, count(*) … GROUP BY
+                 // strategy` read as an empty select item)
+                 && !(t.upper == "STRATEGY" && !peek(1).exists(n =>
+                      Set("BLUE_GREEN", "ROLLING", "REPLACE", "CANARY").contains(n.upper)))) done = true
         else out += take()
       }
       out.toVector
@@ -901,7 +947,16 @@ object VeloSqlParser {
                 s"malformed window duration '${render(span)}' (use e.g. " +
                   "INTERVAL '5' MINUTE, 5 MINUTES, or 5m; MONTH/YEAR are not " +
                   "fixed-length window sizes)")
-            if (timeCol.isEmpty) timeCol = Some(render(span).replace(" . ", "."))
+            // the time column is an EXPRESSION position: run the dialect
+            // function rewrites before capturing its text, like every
+            // other expression span — raw capture let FROM_UNIXTIME(e)
+            // reach Catalyst as Spark's native from_unixtime (a STRING
+            // with second precision, silently truncating sub-second
+            // event times before bucketing) and dialect-only forms die
+            // unresolved inside spark.sql() (r14 review)
+            if (timeCol.isEmpty)
+              timeCol = Some(render(rewriteTokens(span.toVector, defaultTimeCol))
+                .replace(" . ", "."))
             else if (bareIdent) pcols :+= render(span).replace(" . ", ".")
             else
               throw new ParseException(
@@ -1079,13 +1134,22 @@ object VeloSqlParser {
     // Non-literal paths pass through as a single dynamic candidate.
     def pathCandidateToks(arg: Vector[Tok]): Vector[Vector[Tok]] =
       if (arg.length == 1 && arg.head.kind == TString) {
-        val raw = arg.head.text
         graft.functions.VeloFunctions.jsonPathCandidates(
-          raw.substring(1, raw.length - 1).replace("''", "'")).toVector
-          .map(p => Vector(Tok(TString, "'" + p.replace("'", "''") + "'")))
+          unquoteString(arg.head.text)).toVector
+          .map(p => Vector(Tok(TString, quoteString(p))))
       } else Vector(rewriteTokens(arg, defaultTimeCol))
-    // split top-level comma args of the call whose '(' is at `open`
+    // split top-level comma args of the call whose '(' is at `open`.
+    // One-slot memo: several rewrite branches scan the SAME call twice —
+    // once in the pattern guard, again in the body (DATEDIFF,
+    // DATE_FORMAT, UNIX_TIMESTAMP, the PERCENTILE_* guards) — and the
+    // balanced-paren walk is O(call length) each time (r14 review).
+    // callArgsScan is pure over `span`, so caching by `open` is safe.
+    var callArgsMemo: (Int, (Vector[Vector[Tok]], Int)) = (-1, null)
     def callArgs(open: Int): (Vector[Vector[Tok]], Int) = {
+      if (callArgsMemo._1 != open) callArgsMemo = (open, callArgsScan(open))
+      callArgsMemo._2
+    }
+    def callArgsScan(open: Int): (Vector[Vector[Tok]], Int) = {
       val end = closeParen(open)
       val inner = span.slice(open + 1, end - 1)
       val args = ArrayBuffer[Vector[Tok]]()
@@ -1618,15 +1682,8 @@ object VeloSqlParser {
               var ord = Vector.empty[Tok]
               while (k < overInner.length && ord.isEmpty) {
                 if (overInner(k).isKw("ORDER") && overInner.lift(k + 1).exists(_.isKw("BY"))) {
-                  k += 2
-                  val o = ArrayBuffer[Tok](); var d = 0
-                  while (k < overInner.length &&
-                         !(d == 0 && overInner(k).kind == TIdent && stops2.contains(overInner(k).upper))) {
-                    if (overInner(k).text == "(") d += 1
-                    if (overInner(k).text == ")") d -= 1
-                    o += overInner(k); k += 1
-                  }
-                  ord = o.toVector
+                  val (s, nk) = spanUntilKw(overInner, k + 2, stops2)
+                  ord = s; k = nk
                 } else k += 1
               }
               if (ord.isEmpty)
@@ -1649,14 +1706,7 @@ object VeloSqlParser {
             def atj(kw: String, o: Int = 0) = overInner.lift(j + o).exists(_.isKw(kw))
             var partition = Vector.empty[Tok]; var order = Vector.empty[Tok]; var frame = Vector.empty[Tok]
             def spanUntil2(stops: Set[String]): Vector[Tok] = {
-              val o = ArrayBuffer[Tok](); var d = 0
-              while (j < overInner.length &&
-                     !(d == 0 && overInner(j).kind == TIdent && stops.contains(overInner(j).upper))) {
-                if (overInner(j).text == "(") d += 1
-                if (overInner(j).text == ")") d -= 1
-                o += overInner(j); j += 1
-              }
-              o.toVector
+              val (s, nj) = spanUntilKw(overInner, j, stops); j = nj; s
             }
             while (j < overInner.length) {
               if (atj("PARTITION") && atj("BY", 1)) { j += 2; partition = spanUntil2(Set("ORDER", "ROWS", "RANGE")) }
@@ -1683,9 +1733,15 @@ object VeloSqlParser {
               out += sym(")") += sym(")")
             } else out ++= p
             out += sym(")") += id("OVER") += sym("(")
-            if (partition.nonEmpty) { out += id("PARTITION") += id("BY"); out ++= partition }
+            // rewrite the PARTITION BY / ORDER BY expression spans —
+            // same raw-emission bug as rewriteRowsWindow (r14 review)
+            if (partition.nonEmpty) {
+              out += id("PARTITION") += id("BY")
+              out ++= rewriteTokens(partition, defaultTimeCol)
+            }
             if (frame.nonEmpty) {
-              out += id("ORDER") += id("BY"); out ++= order
+              out += id("ORDER") += id("BY")
+              out ++= rewriteTokens(order, defaultTimeCol)
               out ++= frame
             }
             out += sym(")")
@@ -1780,8 +1836,7 @@ object VeloSqlParser {
             // pattern letters, '%' a literal). Translate the literal at
             // plan time; non-% patterns pass through as Spark patterns.
             val (args, end) = callArgs(i + 1)
-            val raw = args(1).head.text
-            val fmt = raw.substring(1, raw.length - 1).replace("''", "'")
+            val fmt = unquoteString(args(1).head.text)
             val sparkFmt = graft.functions.VeloFunctions.strftimeToSpark(fmt)
             val eDay = graft.functions.VeloFunctions.EDaySentinel.toString
             // %e (chrono: SPACE-padded day) has no Java pattern letter —
@@ -1791,7 +1846,7 @@ object VeloSqlParser {
               out += id("regexp_replace") += sym("(")
               out += id("date_format") += sym("(")
               out ++= rewriteTokens(args(0), defaultTimeCol)
-              out += sym(",") += Tok(TString, "'" + sparkFmt.replace("'", "''") + "'") += sym(")")
+              out += sym(",") += Tok(TString, quoteString(sparkFmt)) += sym(")")
               out += sym(",") += Tok(TString, "'" + eDay + "'")
               out += sym(",") += id("lpad") += sym("(")
               out += id("cast") += sym("(") += id("day") += sym("(")
@@ -1802,7 +1857,7 @@ object VeloSqlParser {
             } else {
               out += id("date_format") += sym("(")
               out ++= rewriteTokens(args(0), defaultTimeCol)
-              out += sym(",") += Tok(TString, "'" + sparkFmt.replace("'", "''") + "'") += sym(")")
+              out += sym(",") += Tok(TString, quoteString(sparkFmt)) += sym(")")
             }
             i = end
           case "POSITION" =>
@@ -2083,6 +2138,28 @@ object VeloSqlParser {
     * continuous EMIT mode is the streaming runner's concern
     * (StreamOps.rowsBufferAgg). A missing ORDER BY (arrival order in the
     * reference) becomes ORDER BY the default time column. */
+  /** Scan `toks` from `start` until a top-level identifier in `stops`
+    * (paren depth tracked); returns (span, index after span). The ONE
+    * scanner behind every OVER / ROWS-WINDOW clause splitter — three
+    * hand-rolled copies of this loop had divergent stop sets to keep in
+    * sync (r14 review). Stop-set DIFFERENCES between call sites are
+    * semantic (EMIT/EXPIRE exist only inside ROWS WINDOW specs) and stay
+    * at the call sites.
+    */
+  private def spanUntilKw(toks: Vector[Tok], start: Int,
+                          stops: Set[String]): (Vector[Tok], Int) = {
+    val out = ArrayBuffer[Tok]()
+    var j = start
+    var d = 0
+    while (j < toks.length &&
+           !(d == 0 && toks(j).kind == TIdent && stops.contains(toks(j).upper))) {
+      if (toks(j).text == "(") d += 1
+      if (toks(j).text == ")") d -= 1
+      out += toks(j); j += 1
+    }
+    (out.toVector, j)
+  }
+
   private def rewriteRowsWindow(inner: Vector[Tok], defaultTimeCol: String,
                                 withFrame: Boolean = true): Vector[Tok] = {
     var i = 0
@@ -2098,15 +2175,7 @@ object VeloSqlParser {
     if (!at("ROWS")) throw new ParseException("expected ROWS after BUFFER n")
     i += 1
     def spanUntil(stops: Set[String]): Vector[Tok] = {
-      val out = ArrayBuffer[Tok]()
-      var d = 0
-      while (i < inner.length &&
-             !(d == 0 && inner(i).kind == TIdent && stops.contains(inner(i).upper))) {
-        if (inner(i).text == "(") d += 1
-        if (inner(i).text == ")") d -= 1
-        out += inner(i); i += 1
-      }
-      out.toVector
+      val (s, nj) = spanUntilKw(inner, i, stops); i = nj; s
     }
     var partition = Vector.empty[Tok]
     var order = Vector.empty[Tok]
@@ -2150,9 +2219,19 @@ object VeloSqlParser {
     val out = ArrayBuffer[Tok]()
     def id(s: String) = Tok(TIdent, s)
     out += id("OVER") += Tok(TSymbol, "(")
-    if (partition.nonEmpty) { out += id("PARTITION") += id("BY"); out ++= partition }
+    // PARTITION BY / ORDER BY spans are EXPRESSIONS — they must pass
+    // through the dialect function rewrites like every other expression
+    // position (raw emission left LEN un-renamed — silently
+    // char-counting via Spark's native len — and dialect-only forms
+    // like JSON_VALUE dying as undefined functions; r14 review, the
+    // same bug class the r12 namedWindows fix addressed)
+    if (partition.nonEmpty) {
+      out += id("PARTITION") += id("BY")
+      out ++= rewriteTokens(partition, defaultTimeCol)
+    }
     out += id("ORDER") += id("BY")
-    if (order.nonEmpty) out ++= order else out += id(defaultTimeCol)
+    if (order.nonEmpty) out ++= rewriteTokens(order, defaultTimeCol)
+    else out += id(defaultTimeCol)
     if (withFrame) {
       if (frame.nonEmpty) out ++= capFrameAtBuffer(frame, n)
       else {
@@ -2237,6 +2316,16 @@ object VeloSqlParser {
         val tc = defaultTimeCol.split('.').last
         val lq = s.fromAlias.getOrElse(s.from)
         val rq = j.alias.getOrElse(j.table)
+        // an unaliased DERIVED table has no name the band can qualify:
+        // the fallback would render "( SELECT … ).ts" — a Catalyst parse
+        // error far from the dialect input. Require the alias with a
+        // clear message instead (r14 review).
+        if (lq.trim.startsWith("("))
+          throw new ParseException(
+            "WITHIN needs an alias on the derived left table: FROM (SELECT …) AS name")
+        if (rq.trim.startsWith("("))
+          throw new ParseException(
+            "WITHIN needs an alias on the derived join table: JOIN (SELECT …) AS name")
         val ltc = timeColOf(s.from).getOrElse(tc)
         val rtc = timeColOf(j.table).getOrElse(tc)
         s"$rq.$rtc >= $lq.$ltc - INTERVAL $sec SECOND AND " +

@@ -1260,4 +1260,65 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
       ctx.sql("CREATE TABLE rt_bad AS SELECT order_id FROM orders WITH ('retention' = 'sometimes')")
     }
   }
+
+  test("parser r14 review: backslash literals, OVER-span rewrites, window time-expr, WITHIN alias, strategy column, negative props") {
+    import spark.implicits._
+    // (1) backslash is an ORDINARY character in dialect literals (the
+    // reference's sqlparser / standard SQL): the value must survive the
+    // round trip into spark.sql() unmangled
+    val bs = ctx.sql("SELECT 'C:\\tmp' AS p, 'a\\\\b' AS q FROM orders WHERE order_id = 1").collect().head
+    assert(bs.getString(0) == "C:\\tmp", s"got '${bs.getString(0)}' — backslash-t must stay two chars")
+    assert(bs.getString(1) == "a\\\\b", "two backslashes in the dialect stay two backslashes")
+    // ... and property VALUES decode to the written value
+    ctx.sql("CREATE SINK bs_sink WITH (tag = 'x\\y')")
+    val tag = ctx.sql("SHOW PROPERTIES bs_sink").collect()
+      .find(_.getString(0) == "tag").map(_.getString(1))
+    assert(tag.contains("x\\y"), s"property value decoded to $tag")
+
+    // (2) PARTITION BY inside OVER clauses passes through the dialect
+    // rewrites: LEN is BYTE length ('é' is 2 bytes = len('ab')), so both
+    // rows share one partition in both the rows-window and percentile
+    // OVER paths
+    Seq(("\u00e9", 1.0), ("ab", 3.0)).toDF("s", "v").createOrReplaceTempView("uni_t")
+    val sums = ctx.sql(
+      "SELECT SUM(v) OVER (ROWS WINDOW BUFFER 10 ROWS PARTITION BY LEN(s) ORDER BY v) AS sm FROM uni_t")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(sums == Seq(1.0, 4.0), s"byte-length partitioning must group both rows together, got $sums")
+    val meds = ctx.sql(
+      "SELECT PERCENTILE_CONT(0.5) OVER (PARTITION BY LEN(s) ORDER BY v) AS p FROM uni_t")
+      .collect().map(_.getDouble(0)).toSet
+    assert(meds == Set(2.0), s"both rows must see the shared-partition median, got $meds")
+
+    // (3) the WINDOW spec's time expression is rewritten like any other
+    // expression position: FROM_UNIXTIME must become timestamp_seconds
+    Seq((100L, 1.0), (200L, 1.0), (4000L, 1.0)).toDF("ep", "v").createOrReplaceTempView("ep_t")
+    val win = ctx.sql(
+      "SELECT COUNT(*) AS n FROM ep_t WINDOW TUMBLING(FROM_UNIXTIME(ep), 5m)")
+      .collect().map(r => (r.getAs[Long]("window_start"), r.getAs[Long]("n"))).toMap
+    assert(win == Map(0L -> 2L, 3900L -> 1L), s"got $win")
+
+    // (4) WITHIN over an unaliased derived table is a clear parse-time
+    // error, not malformed Catalyst SQL
+    val e4 = intercept[VeloSqlParser.ParseException](ctx.sql(
+      "SELECT * FROM (SELECT * FROM orders) JOIN orders o ON order_id = o.order_id WITHIN 5 MINUTES"))
+    assert(e4.getMessage.contains("alias"), e4.getMessage)
+
+    // (5) a column named `strategy` inside a DEPLOY body is an ordinary
+    // identifier; the STRATEGY clause still parses after the body
+    val dep = VeloSqlParser.parse(
+      "DEPLOY JOB dj_strat AS SELECT strategy, COUNT(*) AS n FROM decisions GROUP BY strategy STRATEGY BLUE_GREEN",
+      "timestamp", _ => None)
+    dep match {
+      case VeloSqlParser.DeployJob(_, _, VeloSqlParser.Select(sel), _, strat) =>
+        assert(strat == VeloSqlParser.BlueGreen)
+        assert(sel.fields.nonEmpty && VeloSqlParser.render(sel.fields.head).toLowerCase.contains("strategy"))
+      case o => fail(s"unexpected parse: $o")
+    }
+
+    // (6) unquoted negative numbers are valid property values
+    ctx.sql("CREATE SINK neg_sink WITH (replication = -1)")
+    val rep = ctx.sql("SHOW PROPERTIES neg_sink").collect()
+      .find(_.getString(0) == "replication").map(_.getString(1))
+    assert(rep.contains("-1"), s"got $rep")
+  }
 }
