@@ -57,6 +57,23 @@ private[graft] object HttpGuards {
     * parked reader thread along with the channel. The 408 bytes are
     * flushed explicitly so the client sees the rejection without the
     * exchange completing. */
+  /** readBodyBounded plus the oversize step, sequenced ONCE for every
+    * server: readBodyBounded reads max+1 bytes so oversize is
+    * DETECTABLE (a silent truncation would parse a cut-off body and
+    * fail with a misleading downstream error); `tooLarge` lets each
+    * caller answer 413 in its own error dialect — the two hand-kept
+    * copies of this sequence had already diverged in body shape (r14
+    * review). Returns None when the route is already answered (408
+    * timeout or the caller's 413). */
+  def readBodyChecked(ex: HttpExchange, maxBytes: Int,
+                      timeoutMs: Long = DefaultBodyTimeoutMs)
+                     (tooLarge: Int => Unit): Option[Array[Byte]] =
+    readBodyBounded(ex, maxBytes, timeoutMs) match {
+      case None => None // timed out — 408 already sent
+      case Some(b) if b.length > maxBytes => tooLarge(maxBytes); None
+      case some => some
+    }
+
   def readBodyBounded(ex: HttpExchange, maxBytes: Int,
                       timeoutMs: Long = DefaultBodyTimeoutMs): Option[Array[Byte]] = {
     // overflow guard: maxBytes + 1 at Int.MaxValue wraps negative and

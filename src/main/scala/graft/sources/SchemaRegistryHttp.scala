@@ -72,23 +72,22 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     * and an uncapped readAllBytes would buffer an arbitrary body into
     * the driver heap before any validation (r11 review). Schemas are a
     * few KB; 1 MiB is generous. */
-  private def readBody(ex: HttpExchange): Option[String] = {
-    val max = 1 << 20
-    graft.HttpGuards.readBodyBounded(ex, max) match {
-      case None => None // timed out — 408 already sent
-      case Some(b) if b.length > max =>
-        // readBodyBounded reads max+1 bytes so oversize is detectable;
-        // without this check a >1 MiB schema parses TRUNCATED and
-        // surfaces as a misleading 422 "missing schema field" instead
-        // of 413 (mirrors JobServerHttp.deploy; r11 advisor)
-        respond(ex, 413, s"""{"error_code":413,"message":"request body exceeds $max bytes"}""")
-        None
-      case Some(b) => Some(new String(b, UTF_8))
-    }
-  }
+  private def readBody(ex: HttpExchange): Option[String] =
+    // bounded read + oversize-413 sequencing shared via HttpGuards
+    // (r14 review: the hand-kept copy here had drifted from
+    // JobServerHttp's); only the 413 body's DIALECT stays local
+    graft.HttpGuards.readBodyChecked(ex, 1 << 20) { max =>
+      respond(ex, 413, s"""{"error_code":413,"message":"request body exceeds $max bytes"}""")
+    }.map(new String(_, UTF_8))
 
   private def notFound(ex: HttpExchange, code: Int, msg: String): Unit =
     respond(ex, 404, s"""{"error_code":$code,"message":${jstr(msg)}}""")
+
+  private def methodNotAllowed(ex: HttpExchange, m: String, allow: String): Unit = {
+    ex.getResponseHeaders.set("Allow", allow)
+    respond(ex, 405,
+      s"""{"error_code":405,"message":${jstr(s"method $m not allowed; Allow: $allow")}}""")
+  }
 
   private def schemaPayload(subject: String, version: Int, schema: String): String =
     s"""{"subject":${jstr(subject)},"version":$version,"schema":${jstr(schema)}}"""
@@ -180,6 +179,23 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
           }
         }
 
+        // a GET version segment that is neither 'latest' nor digits is a
+        // MALFORMED version, not a missing subject: answering 40401 told
+        // registry clients the subject does not exist (r14 review;
+        // 42202 is the registry convention's invalid-version code)
+        case ("GET", "subjects" :: s :: "versions" :: n0 :: Nil) => subjectGuard(s) {
+          respond(ex, 422, s"""{"error_code":42202,"message":${jstr(s"invalid version: $n0")}}""")
+        }
+        // wrong METHOD on a known route is 405 + Allow, not 404/40401 —
+        // a client probing subject existence by status/error code would
+        // read the subject-not-found code as "absent" when only the
+        // verb was wrong (same rationale as JobServerHttp's 405
+        // handling; r14 review)
+        case (m, "subjects" :: Nil) => methodNotAllowed(ex, m, "GET")
+        case (m, "subjects" :: _ :: "versions" :: Nil) => methodNotAllowed(ex, m, "GET, POST")
+        case (m, "subjects" :: _ :: "versions" :: _ :: Nil) => methodNotAllowed(ex, m, "GET")
+        case (m, "compatibility" :: "subjects" :: _ :: "versions" :: "latest" :: Nil) =>
+          methodNotAllowed(ex, m, "POST")
         case _ => notFound(ex, 40401, s"no route: ${ex.getRequestMethod} $path")
       }
     } catch {
@@ -245,12 +261,23 @@ final class SchemaRegistryClient(baseUrl: String) {
     get("/subjects").stripPrefix("[").stripSuffix("]").split(",").toVector
       .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
 
+  /** Mirror the SERVER's subject rule before building the URI: an
+    * invalid subject can never exist registry-side, and raw
+    * interpolation either threw IllegalArgumentException from
+    * URI.create (space) or silently truncated the path at a '#'
+    * fragment and asked about the WRONG resource (r14 review). The
+    * valid alphabet is URI-safe, so no percent-encoding is needed
+    * after the gate. */
+  private def subjectSeg(subject: String): String =
+    if (SchemaRegistry.isValidSubject(subject)) subject
+    else throw RegistryException(400, s"invalid subject name: $subject")
+
   def versions(subject: String): Vector[Int] =
-    get(s"/subjects/$subject/versions").stripPrefix("[").stripSuffix("]")
+    get(s"/subjects/${subjectSeg(subject)}/versions").stripPrefix("[").stripSuffix("]")
       .split(",").toVector.map(_.trim).filter(_.nonEmpty).map(_.toInt)
 
   def register(subject: String, schemaJson: String): Int = {
-    val body = post(s"/subjects/$subject/versions", s"""{"schema":${jstr(schemaJson)}}""")
+    val body = post(s"/subjects/${subjectSeg(subject)}/versions", s"""{"schema":${jstr(schemaJson)}}""")
     // targeted field extraction, not digit-stripping over the whole
     // body: a response that ever grows a second numeric field (an id,
     // an echoed error_code) would otherwise concatenate into a garbage
@@ -260,13 +287,13 @@ final class SchemaRegistryClient(baseUrl: String) {
   }
 
   def latest(subject: String): (Int, String) = parseSchemaPayload(
-    get(s"/subjects/$subject/versions/latest"))
+    get(s"/subjects/${subjectSeg(subject)}/versions/latest"))
 
   def schemaAt(subject: String, version: Int): String =
-    parseSchemaPayload(get(s"/subjects/$subject/versions/$version"))._2
+    parseSchemaPayload(get(s"/subjects/${subjectSeg(subject)}/versions/$version"))._2
 
   def isCompatible(subject: String, schemaJson: String): Boolean =
-    post(s"/compatibility/subjects/$subject/versions/latest",
+    post(s"/compatibility/subjects/${subjectSeg(subject)}/versions/latest",
       s"""{"schema":${jstr(schemaJson)}}""").contains("true")
 
   private def parseSchemaPayload(body: String): (Int, String) = {

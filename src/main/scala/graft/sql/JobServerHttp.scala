@@ -122,6 +122,14 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     * reads the cache; numbers refresh within MetricsTtlMs. */
   private val metricsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Long, Long, Long)])]()
+  // generation guard for the cache: a cold metrics SCAN can be in
+  // flight while deploy/stop evicts the name — its late put() would
+  // re-cache the PREVIOUS generation's numbers with a fresh timestamp,
+  // exactly the staleness the eviction exists to prevent (r14 review).
+  // Writers record the epoch at scan START and only put if no
+  // deploy/stop happened since; a lost put costs one extra scan, never
+  // stale data.
+  private val metricsEpoch = new java.util.concurrent.atomic.AtomicLong()
 
   private def cachedMetrics(name: String): Option[(Long, Long, Long)] = {
     val now = System.nanoTime()
@@ -129,10 +137,11 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L) match {
       case Some((_, v)) => v
       case None =>
+        val epoch0 = metricsEpoch.get()
         val v = ctx.jobManager.metricsDf(Some(name)).collect().headOption.map(r =>
           (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
             r.getAs[Long]("sink_rows")))
-        metricsCache.put(name, (now, v))
+        if (metricsEpoch.get() == epoch0) metricsCache.put(name, (now, v))
         v
     }
   }
@@ -150,13 +159,15 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     }.toMap
     if (fresh.size == names.size) fresh
     else {
+      val epoch0 = metricsEpoch.get()
       val scanned = ctx.jobManager.metricsDf(None).collect().map(r =>
         r.getAs[String]("job_name") ->
           (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
             r.getAs[Long]("sink_rows"))).toMap
+      val stillCurrent = metricsEpoch.get() == epoch0
       names.map { n =>
         val v = scanned.get(n)
-        metricsCache.put(n, (now, v))
+        if (stillCurrent) metricsCache.put(n, (now, v))
         n -> v
       }.toMap
     }
@@ -205,11 +216,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     // readAllBytes would buffer an arbitrary client body into the
     // DRIVER heap (which also hosts every running job), while an
     // unbounded read would park a dispatch thread on a silent client
-    val raw = graft.HttpGuards.readBodyBounded(ex, MaxBodyBytes) match {
-      case None => return // timed out — 408 already sent
+    val raw = graft.HttpGuards.readBodyChecked(ex, MaxBodyBytes) { max =>
+      err(ex, 413, s"body exceeds $max bytes")
+    } match {
+      case None => return // answered: 408 timeout or 413 oversize
       case Some(b) => b
     }
-    if (raw.length > MaxBodyBytes) { err(ex, 413, s"body exceeds $MaxBodyBytes bytes"); return }
     val body = new String(raw, UTF_8)
     val query = jsonStringField(body, "query")
     val version = jsonStringField(body, "version").getOrElse("1.0.0")
@@ -223,26 +235,25 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           ctx.sql(s"DEPLOY JOB $name VERSION '$version' AS $q")
           // new generation: the previous deployment's cached
           // last_batch_id/sink_rows must never be served as this one's
-          // numbers for up to MetricsTtlMs (r11 advisor)
+          // numbers for up to MetricsTtlMs (r11 advisor); the epoch bump
+          // also invalidates any scan already in flight (r14 review)
           metricsCache.remove(name)
+          metricsEpoch.incrementAndGet()
           jobRows(Some(name)).headOption match {
             case Some(j) => respond(ex, 200, jobJson(j))
             case None => err(ex, 500, "deploy did not register the job")
           }
         } catch {
+          // breaker-open / half-open-trial / admission-exhausted are
+          // TRANSIENT server states, not client errors: a 400 tells
+          // retry middleware "do not retry" and automated redeploys
+          // give up for good. Classified by STRUCTURED exception type,
+          // not message substrings — echoed query text could spoof the
+          // substring check into a retry-forever 503 (r14 review).
+          case e: VeloSqlParser.TransientRejectionException =>
+            err(ex, 503, String.valueOf(e.getMessage))
           case e: ParseException =>
-            val msg = String.valueOf(e.getMessage)
-            // breaker-open / half-open-trial / admission-exhausted are
-            // TRANSIENT server states, not client errors: a 400 tells
-            // retry middleware "do not retry" and automated redeploys
-            // give up for good. HALF_OPEN matters as much as OPEN —
-            // its trial resolves within seconds and a retry succeeds
-            // (r11 review: the old check matched only "is OPEN" and
-            // 400'd the half-open message)
-            val transient = msg.contains("circuit breaker is OPEN") ||
-              msg.contains("circuit breaker is HALF_OPEN") ||
-              msg.contains("resource exhausted")
-            err(ex, if (transient) 503 else 400, msg)
+            err(ex, 400, String.valueOf(e.getMessage))
         }
     }
   }
@@ -259,8 +270,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       ctx.sql(s"STOP JOB $name${if (force) " FORCE" else ""}")
       // evict on stop so a stopped (and possibly soon-undeployed) job's
       // entry doesn't linger in the map, and a redeploy under the same
-      // name starts from a cold cache (r11 advisor)
+      // name starts from a cold cache (r11 advisor); epoch bump kills
+      // in-flight scans' late puts (r14 review)
       metricsCache.remove(name)
+      metricsEpoch.incrementAndGet()
       respond(ex, 200, jobJson(jobRows(Some(name)).head))
     } catch {
       case e: ParseException =>

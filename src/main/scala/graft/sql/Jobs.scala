@@ -506,7 +506,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         resourceState(("*", "concurrent_operations")) = u
       }
       if (wouldRun > max)
-        throw new ParseException(
+        // transient: capacity frees when a job stops — structured type
+        // so the HTTP layer can answer 503 without substring matching
+        throw new VeloSqlParser.TransientRejectionException(
           s"resource exhausted: concurrent_operations $wouldRun exceeds limit $max " +
             s"(job $name admission rejected)")
     }
@@ -790,7 +792,9 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 
   private def breakerRejection(j: Job): ParseException = {
     val st = j.breaker.currentState
-    new ParseException(
+    // transient by definition (the breaker exists to make callers retry
+    // later) — structured subtype for the HTTP layer's 503 mapping
+    new VeloSqlParser.TransientRejectionException(
       if (st == CircuitBreaker.HalfOpen)
         s"job ${j.name} circuit breaker is HALF_OPEN with a trial launch in " +
           "flight; wait for the trial to resolve or reset the breaker"

@@ -188,4 +188,40 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
       assert(dir.iterator().asScala.map(_.getFileName.toString).toVector == Vector("1.avsc"))
     } finally dir.close()
   }
+
+  test("wrong verb on a known route is 405 + Allow; malformed version is 422, never subject-not-found (r14 review)") {
+    client.register("m405-value", v1)
+    val http = java.net.http.HttpClient.newHttpClient()
+    def sendMethod(method: String, path: String): (Int, String, String) = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+        .method(method, java.net.http.HttpRequest.BodyPublishers.noBody()).build()
+      val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body(), r.headers().firstValue("Allow").orElse(""))
+    }
+    // a registry client probing existence by error code must NOT see
+    // 40401 subject-not-found when only the verb was wrong
+    val (c1, b1, allow1) = sendMethod("DELETE", "/subjects/m405-value/versions")
+    assert(c1 == 405 && !b1.contains("40401") && allow1 == "GET, POST", s"$c1 $b1 '$allow1'")
+    val (c2, _, allow2) = sendMethod("DELETE", "/subjects")
+    assert(c2 == 405 && allow2 == "GET")
+    val (c3, _, allow3) = sendMethod("PUT", "/subjects/m405-value/versions/latest")
+    assert(c3 == 405 && allow3 == "GET")
+    val (c4, _, allow4) = sendMethod("GET", "/compatibility/subjects/m405-value/versions/latest")
+    assert(c4 == 405 && allow4 == "POST")
+    // a malformed version segment is an invalid-version client error,
+    // not a missing subject
+    val (vc, vb) = rawSend("GET", "/subjects/m405-value/versions/1x")
+    assert(vc == 422 && vb.contains("42202") && vb.contains("invalid version"), s"$vc $vb")
+  }
+
+  test("client validates subject names before any request goes on the wire (r14 review)") {
+    // a space would throw IllegalArgumentException from URI.create; a
+    // '#' would silently query the WRONG resource via a URI fragment
+    val e1 = intercept[client.RegistryException](client.latest("a b"))
+    assert(e1.getMessage.contains("invalid subject name"), e1.getMessage)
+    val e2 = intercept[client.RegistryException](client.versions("a#b"))
+    assert(e2.getMessage.contains("invalid subject name"))
+    val e3 = intercept[client.RegistryException](client.register("..", v1))
+    assert(e3.getMessage.contains("invalid subject name"))
+  }
 }

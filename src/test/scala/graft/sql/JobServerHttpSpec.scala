@@ -167,4 +167,17 @@ class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAnd
     assert(health.contains("http_fragile"))
     delete("/jobs/http_fragile")
   }
+
+  test("transient 503 classification is structured, not spoofable by echoed query text (r14 review)") {
+    // a malformed query whose TRAILING TOKENS echo the breaker/admission
+    // phrases must stay a permanent 400 — the old substring check read
+    // the echoed text and answered 503, making retry middleware redeploy
+    // a never-valid query forever
+    val (c1, b1) = post("/jobs/spoof1",
+      """{"query": "SELECT 1 resource exhausted"}""")
+    assert(c1 == 400, s"$c1 $b1")
+    val (c2, b2) = post("/jobs/spoof2",
+      """{"query": "SELECT 1 circuit breaker is OPEN"}""")
+    assert(c2 == 400, s"$c2 $b2")
+  }
 }
