@@ -596,9 +596,12 @@ object OracleSql {
     // not || (null-PROPAGATING): a null-lang doc still samples under
     // key '5:graft:<id>' in the engine, and the oracle must keep it
     // too (the '5:' is the length-prefixed salt — see splitCase)
+    // 'sample.'-prefixed salt: sampleFilter domain-separates its
+    // preimage from splitColumn's so default-salted sample∘split is
+    // not degenerate (r14 review)
     "q63_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-         WHERE substr(md5(concat_ws(':', '5', 'graft',
+         WHERE substr(md5(concat_ws(':', '12', 'sample.graft',
                  concat_ws(':', lang, CAST(doc_id AS VARCHAR)))), 1, 4) < '3333'""",
 
     // the empty-gram filter mirrors the operator (r12): a blank doc
@@ -609,13 +612,13 @@ object OracleSql {
          sh AS (SELECT doc_id, g FROM
                   (SELECT doc_id, unnest(${shinglesOf("ws", 3)}) AS g FROM w)
                 WHERE length(g) > 0),
-         gdf AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+         gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g),
          kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN gdf USING (g) WHERE df <= 1000),
          bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0)
-         SELECT doc_id, bench_id, COUNT(*) AS n_shared
+         SELECT doc_id, bench_id, COUNT(DISTINCT g) AS n_shared
          FROM kept JOIN bench USING (g)
-         WHERE doc_id IS DISTINCT FROM bench_id
-         GROUP BY doc_id, bench_id HAVING COUNT(*) >= 3""",
+         WHERE (doc_id IS NULL OR bench_id IS NULL OR doc_id <> bench_id)
+         GROUP BY doc_id, bench_id HAVING COUNT(DISTINCT g) >= 3""",
 
     // q65: keep is gated on the UNROUNDED fractions (as the operator
     // does); only the surfaced fractions are ROUND(x,4).

@@ -36,4 +36,15 @@ private[graft] object Cols {
   def countMatching(df: DataFrame, name: String): Int =
     if (caseSensitive(df)) df.columns.count(_ == name)
     else df.columns.count(_.equalsIgnoreCase(name))
+
+  /** The schema field `name` resolves to under the session's rule — the
+    * resolver-aware twin of `df.schema(name)`, whose exact
+    * always-case-sensitive lookup throws for names col() resolves fine
+    * (r14 review). First match wins on case-variant duplicates (type
+    * checks only need A resolved field; the operator's own col()
+    * reference surfaces genuine ambiguity). */
+  def fieldOf(df: DataFrame, name: String): org.apache.spark.sql.types.StructField =
+    df.schema.fields.find(f => sameName(df, f.name, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found in [${df.columns.mkString(", ")}]"))
 }

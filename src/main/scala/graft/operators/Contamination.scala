@@ -79,18 +79,28 @@ object Contamination {
     // every occurrence of a hot boilerplate gram — exactly what maxDf
     // exists to drop — shuffled to ONE task before the cap could filter.
     val benchGrams = bg.select("g").distinct()
+    // DF counts DISTINCT corpus docs per gram, not occurrence rows: a
+    // corpus accidentally unioned twice (duplicate doc_id rows — a
+    // common ingest bug) would double every DF, pushing genuine grams
+    // over the maxDf cap (r14 review). With unique ids the two counts
+    // are identical.
     val keptGrams = cg.join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .groupBy("g").agg(count(lit(1)).as("_df"))
+      .groupBy("g").agg(countDistinct(col("doc_id")).as("_df"))
       .where(col("_df") <= maxDf).select("g")
     val kept = cg.join(broadcast(keptGrams), Seq("g"))
-    // null-SAFE self-pair exclusion: plain =!= evaluates to NULL when
-    // either id is NULL and where() would silently drop the pair — a
-    // null-id corpus doc sharing grams with a benchmark doc is still
-    // contamination the report must surface (oracle mirrors with
-    // IS DISTINCT FROM)
+    // self-pair exclusion requires KNOWN identity: a null-id corpus doc
+    // and a null-id bench doc are not provably the same document, so
+    // the old null-safe equality (null <=> null = true) silently
+    // dropped their pair — missed contamination. Pairs with a null id
+    // on either side always SURFACE (the report's contract); note the
+    // groupBy necessarily merges all null-id docs into one row — ids
+    // are the caller's identity key (r14 review; oracle mirrors).
     kept.join(bg, Seq("g"))
-      .where(!(col("doc_id") <=> col("bench_id")))
-      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("doc_id").isNull || col("bench_id").isNull
+        || col("doc_id") =!= col("bench_id"))
+      // n_shared = DISTINCT shared grams (the scaladoc's contract):
+      // count(1) double-counted every gram under duplicate doc_id rows
+      .groupBy("doc_id", "bench_id").agg(countDistinct(col("g")).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
 }

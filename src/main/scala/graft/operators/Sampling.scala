@@ -99,6 +99,8 @@ object Sampling {
       case _ => key
     }
 
+  private def fieldOf(df: DataFrame, name: String) = Cols.fieldOf(df, name)
+
   /** Deterministic train/val/test assignment keyed on `idCol`. */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)] =
@@ -108,15 +110,31 @@ object Sampling {
 
   /** Membership predicate for a deterministic `fraction` sample keyed
     * on `key` (stratify by putting the stratum in the key or the salt).
+    *
+    * DOMAIN SEPARATION: the effective salt is `"sample." + salt`, so a
+    * default-salted sample composed with a default-salted split is NOT
+    * degenerate — with a shared preimage the 10% sample would be
+    * exactly the lowest-hash slice and lie entirely inside the FIRST
+    * split (val/test of a sampled corpus receive ZERO rows, silently;
+    * r14 review). The q63 oracle pins the 'sample.'-prefixed preimage.
     */
   def sampleFilter(key: Column, fraction: Double, salt: String = "graft"): Column = {
+    // a NEGATIVE fraction (a sign bug in target/total arithmetic) would
+    // clamp to the 0000 threshold — an always-false predicate after the
+    // full scan; splitColumn rejects the equivalent input loudly, so
+    // this sibling must too (r14 review). fraction == 0.0 stays legal:
+    // it explicitly asks for the empty sample.
+    require(fraction >= 0.0, s"negative sample fraction $fraction")
     // a fraction below the sampler's 2^-16 resolution rounds to the
     // 0000 threshold — an "everything filtered" sample with no error
-    require(fraction <= 0.0 || fraction >= 1.0 || math.round(fraction * 65536L) >= 1,
+    require(fraction == 0.0 || fraction >= 1.0 || math.round(fraction * 65536L) >= 1,
       s"fraction $fraction is below the sampler's 2^-16 resolution " +
         "(smallest non-empty sample is ~1.53e-5); hash on a wider prefix instead")
-    if (fraction >= 1.0) lit(true)
-    else hashPrefix(key, salt) < lit(hexThreshold(fraction))
+    // fraction >= 1 still NEVER selects null keys — lit(true) made
+    // membership discontinuous at 1.0 vs the null-propagating contract
+    // every fraction < 1 (and the oracle) follows (r14 review)
+    if (fraction >= 1.0) key.isNotNull
+    else hashPrefix(key, "sample." + salt) < lit(hexThreshold(fraction))
   }
 
   /** Deterministic sample: keeps ~`fraction` of rows, same rows on
@@ -146,9 +164,13 @@ object Sampling {
     require(!Cols.has(df, repCol), s"input must not carry the $repCol working column")
     val clusters = Dedup.clusterPairs(pairs)
       .select(col("id").as(idCol), col("cluster_id").as(repCol))
-    df.join(clusters, Seq(idCol), "left")
-      .withColumn(outCol,
-        splitColumn(coalesce(col(repCol), col(idCol)), splits, salt))
+    val joined = df.join(clusters, Seq(idCol), "left")
+    // stableKey, like hashSplit/deterministicSample: a TIMESTAMP id
+    // would otherwise hash via its session-TZ string rendering — the
+    // exact TZ-dependent split-migration bug r12 fixed for the sibling
+    // paths resurfaced here (r14 review)
+    joined.withColumn(outCol,
+        splitColumn(stableKey(joined, coalesce(col(repCol), col(idCol))), splits, salt))
       .drop(repCol)
   }
 
@@ -192,11 +214,15 @@ object Sampling {
     // the salt is id % parallelism — pmod over a non-numeric id would
     // be a per-row ANSI cast error (or an all-null salt collapsing the
     // corpus into ONE sort partition, the exact straggler salting
-    // prevents)
+    // prevents). Field lookup follows the SESSION resolver (fieldOf),
+    // not df.schema(name)'s always-case-sensitive exact match — a
+    // case-mismatched name col() resolves fine would otherwise throw a
+    // spurious "field does not exist" here (r14 review).
+    val idType = fieldOf(df, idCol).dataType
     require({
       import org.apache.spark.sql.types._
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
-    }, s"packIntoShards needs an integral id column, '$idCol' is ${df.schema(idCol).dataType}")
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)
+    }, s"packIntoShards needs an integral id column, '$idCol' is $idType")
     // graft-prefixed + guarded working columns (the leakageFreeSplit /
     // sessionize convention): bare `_salt`/`_cum` would silently
     // REPLACE same-named input columns (an upstream salting stage's
@@ -253,9 +279,28 @@ object Sampling {
     // out of every shard silently — coalesce keeps it packed. Negative
     // weights (corrupt rows) clamp to 0 for the same reason: a negative
     // cumsum prefix floors to shard -1, numerically inside the PREVIOUS
-    // salt stream's id space — silent cross-stream merges
-    val weight = greatest(coalesce(col(weightCol), lit(0L)), lit(0L))
-    df.withColumn(saltCol, pmod(col(idCol), lit(p)))
+    // salt stream's id space — silent cross-stream merges. NaN (a
+    // floating weight column's corruption mode) is bookkept the same
+    // way: greatest() propagates NaN (Spark orders NaN greatest), the
+    // running sum goes NaN for the REST of the stream, and floor(NaN)=0
+    // packs every later doc into one unbounded mega-shard (r14 review)
+    val rawW = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      fieldOf(df, weightCol).dataType match {
+        case DoubleType | FloatType =>
+          coalesce(nanvl(col(weightCol).cast("double"), lit(null)), lit(0.0))
+        case _ => coalesce(col(weightCol), lit(0L))
+      }
+    }
+    val weight = greatest(rawW, lit(0L))
+    // a NULL id has no salt (pmod propagates null) — those rows would
+    // carry shard_id NULL and fall out of every shard silently, the
+    // exact failure the null-weight coalesce above exists to prevent.
+    // They pack into a DEDICATED stream (index p, one past the real
+    // salts — inside the 2^20 namespace bound since p <= 2^20), ordered
+    // by the weight tiebreak; all-null ids are fully tied on idCol, so
+    // the determinism caveat above applies to them (r14 review).
+    df.withColumn(saltCol, coalesce(pmod(col(idCol), lit(p)), lit(p)))
       .withColumn(cumCol, sum(weight).over(w))
       .withColumn(outCol,
         // 2^40 shard ids per salt stream: a 10^6 namespace would wrap

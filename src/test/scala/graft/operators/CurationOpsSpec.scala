@@ -348,4 +348,90 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[IllegalArgumentException](TextAnalysis.langScore(col("text"), "it"))
     assert(e.getMessage.contains("supported"), e.getMessage)
   }
+
+  test("r14 review batch: sample domain separation, null-id packing, NaN weights, dup-row contamination") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    // (1) default-salted sample composed with default-salted split is
+    // NOT degenerate: before domain separation the sample was exactly
+    // the lowest-hash slice, entirely inside the FIRST split (empty
+    // val/test with no error)
+    val sampled = Sampling.deterministicSample(ids, col("id"), 0.1)
+    val comp = Sampling.hashSplit(sampled, "id").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(comp.getOrElse("val", 0L) > 0 && comp.getOrElse("test", 0L) > 0,
+      s"sample-then-split must populate every split, got $comp")
+
+    // (2) fraction >= 1.0 still never selects null keys (membership was
+    // discontinuous at 1.0)
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    assert(withNull.where(Sampling.sampleFilter(col("id"), 1.0)).count() == 2)
+    // (3) negative fractions reject loudly
+    intercept[IllegalArgumentException](Sampling.sampleFilter(col("id"), -0.05))
+
+    // (4) null-id rows pack into a DEDICATED salt stream instead of
+    // silently carrying shard_id NULL
+    val nullIds = Seq((Some(1L), 10L), (None, 10L), (None, 10L)).toDF("doc_id", "w")
+    val packedN = Sampling.packIntoShards(nullIds, "doc_id", "w", budget = 1000L, parallelism = 4)
+    assert(packedN.where(col("shard_id").isNull).count() == 0,
+      "null-id rows must still receive a shard")
+    assert(packedN.where(col("doc_id").isNull).select("shard_id").distinct().count() == 1)
+
+    // (5) a NaN weight is bookkept like null (weight 0), not a poison
+    // that floors every later doc in the stream into shard 0
+    val nanW = Seq((0L, 600.0), (4L, Double.NaN), (8L, 600.0), (12L, 600.0))
+      .toDF("doc_id", "w")
+    val packedNaN = Sampling.packIntoShards(nanW, "doc_id", "w", budget = 1000L, parallelism = 1)
+    val shardsByDoc = packedNaN.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exclusive-cumsum starts: 0, 600, 600(NaN->0), 1200 -> shards
+    // 0,0,0,1. Under the poison, doc 12's start would be NaN -> shard 0.
+    assert(shardsByDoc(4L) == shardsByDoc(0L) && shardsByDoc(12L) != shardsByDoc(0L),
+      s"NaN weight must not poison the running sum: $shardsByDoc")
+
+    // (6) id-column lookup follows the session resolver, not an exact
+    // case-sensitive schema lookup
+    val cased = Seq((1L, 10L)).toDF("Doc_Id", "w")
+    assert(Sampling.packIntoShards(cased, "doc_id", "w", budget = 100L, parallelism = 2)
+      .count() == 1)
+
+    // (7) duplicate corpus rows must not double-count shared grams or
+    // document frequency
+    val doc = "alpha beta gamma delta epsilon zeta"
+    val corpusDup = Seq((1L, doc), (1L, doc), (2L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((50L, doc)).toDF("doc_id", "text")
+    val hits = Contamination.ngramOverlap(corpusDup, bench, "text", "doc_id",
+      k = 3, minShared = 1, maxDf = 1L).collect()
+    // maxDf = 1: with row-counted DF the duplicated rows read df=2 and
+    // every gram would be capped away (false negative); with distinct-
+    // doc DF the overlap survives, and n_shared counts DISTINCT grams
+    val hit1 = hits.filter(r => r.getLong(0) == 1L && r.getLong(1) == 50L)
+    assert(hit1.length == 1, s"expected one (1,50) pair, got ${hits.mkString(",")}")
+    assert(hit1.head.getLong(2) == 4L, s"4 distinct shared 3-grams, got ${hit1.head.getLong(2)}")
+
+    // (8) null-vs-null ids are NOT assumed to be a self-pair — the
+    // contamination must surface (identity is unknowable without ids)
+    val corpusN = Seq((Option.empty[Long], doc)).toDF("doc_id", "text")
+    val benchN = Seq((Option.empty[Long], doc)).toDF("doc_id", "text")
+    val hitsN = Contamination.ngramOverlap(corpusN, benchN, "text", "doc_id",
+      k = 3, minShared = 1, maxDf = 10L).collect()
+    assert(hitsN.length == 1 && hitsN.head.isNullAt(0) && hitsN.head.isNullAt(1),
+      s"null-id contamination must surface, got ${hitsN.mkString(",")}")
+
+    // (9) leakageFreeSplit is TZ-stable on timestamp ids (same rule as
+    // hashSplit — the rep/id coalesce goes through stableKey now)
+    val tsIds = Seq.tabulate(32)(i =>
+      new java.sql.Timestamp(1700000000000L + i * 3600000L)).toDF("etime")
+    val noPairs = Seq.empty[(java.sql.Timestamp, java.sql.Timestamp)].toDF("id_a", "id_b")
+    val tzConf = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzConf)
+    def splitsUnder(tz: String) = try {
+      spark.conf.set(tzConf, tz)
+      Sampling.leakageFreeSplit(tsIds, "etime", noPairs)
+        .select(col("etime").cast("long"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    } finally spark.conf.set(tzConf, prior)
+    assert(splitsUnder("UTC") == splitsUnder("America/Los_Angeles"),
+      "leakage-free split membership must not depend on session TZ")
+  }
 }
