@@ -72,21 +72,11 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // same driver-survival bound as GraftSession (see comment there)
-      .config("spark.sql.maxPlanStringLength", "1048576")
-      // same rationale as GraftSession: ${var} substitution corrupts
-      // ${...} inside dialect string literals
-      .config("spark.sql.variable.substitute", "false")
-      .getOrCreate()
+    // the ONE session factory (ScaleProbe/Verify convention since r11):
+    // the bench must measure under the SAME config the engine ships — a
+    // hand-rolled builder here had already drifted once and would again
+    // the next time GraftSession grows a conf (r14 review)
+    val spark = graft.api.GraftSession(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup so the first timed query doesn't absorb ~5 s of

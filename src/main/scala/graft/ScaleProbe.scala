@@ -168,13 +168,41 @@ object ScaleProbe {
     // writes scaleprobe_subset.json by default so it can never
     // overwrite the committed round artifact with a partial one
     val onlyEnv: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    // a misspelled probe name would silently skip EVERY pipeline and
+    // write an empty artifact with exit 0 — the exact hazard Bench
+    // guards loudly for SPARK_GRAFT_QUERIES; same rule here, and
+    // all-empty tokens mean NO filter, as there (r14 review)
+    val knownProbes = Set("exact_dedup", "minhash_lsh", "lsh_verify_cluster",
+      "simhash_pairs", "embed_lsh_pairs", "embed_lsh_pairs_prod", "ann_ivf",
+      "ann_ivfpq", "unigram_nll", "contamination", "dup_spans",
+      "stream_q54", "trainer_cap", "embed_lsh_recall_adapted")
+    onlyEnv.foreach { o =>
+      val unknown = o -- knownProbes
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBE_ONLY names unknown probes: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
 
     def pipelines(tag: String, d: DataFrame, e: DataFrame,
                   only: Option[Set[String]]): Seq[(String, Double, Long)] = {
       def probe(name: String)(f: => Long): Option[(String, Double, Long)] =
-        if (only.forall(_.contains(name)) && onlyEnv.forall(_.contains(name)))
-          Some(time(s"${name}_$tag")(f)) else None
+        if (only.forall(_.contains(name)) && onlyEnv.forall(_.contains(name))) {
+          // COLD per probe (r14 review): a probe whose pipeline starts
+          // with the same kernel plan as the PREVIOUS probe's
+          // (lsh_verify_cluster after minhash_lsh, the prod embed row
+          // after embed_lsh_pairs) was served that probe's persisted
+          // kernel frame via LastCallCache — but the ≥26× tiers run
+          // WITHOUT the priming probes, so their numerators paid the
+          // kernel pass the 1× denominator skipped, inflating exactly
+          // the deep-tier ratios the probe exists to gate. Releasing
+          // before EVERY timed probe makes each row the FULL pipeline's
+          // cost at every tier (intra-pipeline reuse stays — that is
+          // the operator's own composition).
+          graft.operators.LastCallCache.releaseAll()
+          Some(time(s"${name}_$tag")(f))
+        } else None
       Seq(
         probe("exact_dedup") { force(Dedup.exact(d, "text", "doc_id")) },
         probe("minhash_lsh") { force(Dedup.minhashLsh(d, "text", "doc_id")) },
@@ -338,40 +366,47 @@ object ScaleProbe {
     // ratios coincided and the probe tested nothing.
     val runTrainer = onlyEnv.forall(_.contains("trainer_cap"))
     val runStream = onlyEnv.forall(_.contains("stream_q54"))
-    val nEmb = emb1.count()
-    require(nEmb > 0, "cannot probe the trainer cap on an empty embeddings table")
-    val cap = Similarity.DefaultMaxTrainRows.toLong
-    val mLow = math.max(1L, (cap + nEmb - 1) / nEmb).toInt
-    // bound the union fan-out: a tiny corpus would need hundreds of
-    // replicas to reach the cap, and Catalyst analysis over a
-    // multi-hundred-branch union stalls the driver before any timing
-    // runs — at that point the plateau measurement is meaningless
-    // anyway (the trainer would be sampling nearly the whole corpus)
-    require(mLow <= 64,
-      s"embeddings table too small to probe the trainer cap ($nEmb rows would " +
-        s"need $mLow replicas to reach $cap); run the probe at a larger SF")
-    val (lowDf, nLow): (DataFrame, Long) =
-      (if (mLow == 1) emb1 else multiplyEmbeddings(emb1, mLow, 64), nEmb * mLow)
-    val (highDf, nHigh): (DataFrame, Long) =
-      (multiplyEmbeddings(emb1, mLow * 2, 64), nEmb * mLow * 2)
-    def trainProbe(df: DataFrame, n: Long): Double = {
-      val e = df.repartition(32).persist()
-      force(e)
-      val t0 = System.nanoTime()
-      val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
-      val sec = (System.nanoTime() - t0) / 1e9
-      require(cents.length == 64 * 64)
-      e.unpersist()
-      System.err.println(f"[probe] trainer ($n vecs) $sec%7.2f s")
-      sec
-    }
-    // two timed runs each, keep the min — same ambient-window defense
-    // as the 1× baseline retime
-    def minOf2(df: DataFrame, n: Long): Double = {
-      val a = trainProbe(df, n); math.min(a, trainProbe(df, n))
-    }
-    val (secLow, secHigh) =
-      if (runTrainer) (minOf2(lowDf, nLow), minOf2(highDf, nHigh)) else (0.0, 0.0)
+    // the whole block — including its corpus-size preconditions — runs
+    // only when the trainer probe is selected: the requires used to run
+    // unconditionally, so a subset run that EXCLUDED trainer_cap still
+    // aborted on a small corpus with no artifact at all (r14 review)
+    val trainerStats: Option[(Long, Long, Long, Double, Double)] =
+      if (!runTrainer) None
+      else {
+        val nEmb = emb1.count()
+        require(nEmb > 0, "cannot probe the trainer cap on an empty embeddings table")
+        val cap = Similarity.DefaultMaxTrainRows.toLong
+        val mLow = math.max(1L, (cap + nEmb - 1) / nEmb).toInt
+        // bound the union fan-out: a tiny corpus would need hundreds of
+        // replicas to reach the cap, and Catalyst analysis over a
+        // multi-hundred-branch union stalls the driver before any timing
+        // runs — at that point the plateau measurement is meaningless
+        // anyway (the trainer would be sampling nearly the whole corpus)
+        require(mLow <= 64,
+          s"embeddings table too small to probe the trainer cap ($nEmb rows would " +
+            s"need $mLow replicas to reach $cap); run the probe at a larger SF")
+        val (lowDf, nLow): (DataFrame, Long) =
+          (if (mLow == 1) emb1 else multiplyEmbeddings(emb1, mLow, 64), nEmb * mLow)
+        val (highDf, nHigh): (DataFrame, Long) =
+          (multiplyEmbeddings(emb1, mLow * 2, 64), nEmb * mLow * 2)
+        def trainProbe(df: DataFrame, n: Long): Double = {
+          val e = df.repartition(32).persist()
+          force(e)
+          val t0 = System.nanoTime()
+          val cents = Similarity.trainCentroidsSampled(e, "vec_id", "embedding", 64, 64)
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(cents.length == 64 * 64)
+          e.unpersist()
+          System.err.println(f"[probe] trainer ($n vecs) $sec%7.2f s")
+          sec
+        }
+        // two timed runs each, keep the min — same ambient-window
+        // defense as the 1× baseline retime
+        def minOf2(df: DataFrame, n: Long): Double = {
+          val a = trainProbe(df, n); math.min(a, trainProbe(df, n))
+        }
+        Some((cap, nLow, nHigh, minOf2(lowDf, nLow), minOf2(highDf, nHigh)))
+      }
 
     // ---- Streaming-at-scale probe (the q54 shape): dialect SQL text →
     // watermarked stream → EMIT FINAL file sink, at 1× and M× events.
@@ -565,11 +600,14 @@ object ScaleProbe {
         .stripMargin.replace("\n", "")
     }
 
-    val trainerJson = if (!runTrainer) """"trainer_cap":null""" else
-      s""""trainer_cap":{"cap":$cap,"dim":64,"n_centroids":64,
-         |"vectors_low":$nLow,"sec_low":${s3(secLow)},
-         |"vectors_high":$nHigh,"sec_high":${s3(secHigh)},
-         |"wall_ratio":${s3(secHigh / secLow)}}""".stripMargin.replace("\n", "")
+    val trainerJson = trainerStats match {
+      case None => """"trainer_cap":null"""
+      case Some((cap, nLow, nHigh, secLow, secHigh)) =>
+        s""""trainer_cap":{"cap":$cap,"dim":64,"n_centroids":64,
+           |"vectors_low":$nLow,"sec_low":${s3(secLow)},
+           |"vectors_high":$nHigh,"sec_high":${s3(secHigh)},
+           |"wall_ratio":${s3(secHigh / secLow)}}""".stripMargin.replace("\n", "")
+    }
 
     // JSON artifact: the scaling shape is a per-round regression surface
     // (a pipeline going quadratic must show up in checkable JSON, not
