@@ -241,6 +241,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * collect only unlabeled metrics via observe(). */
   private val labeledState = scala.collection.mutable.Map[(String, String, Map[String, String]), Double]()
 
+  // last micro-batch id ACCUMULATED per job, one map per collection
+  // path: a crash between the batch's side effects and the checkpoint
+  // commit makes Spark RE-RUN the batch on relaunch, and re-adding its
+  // counter values would drift totals above the exactly-once sink —
+  // the same re-credit hazard lastSeenBatch guards for breaker
+  // successes (r14 review). Epoch-scoped like all metric state
+  // (batchIds restart at 0 on an epoch bump); guarded by metricSpecs.
+  private val labeledSeenBatch = scala.collection.mutable.Map[String, Long]()
+  private val observedSeenBatch = scala.collection.mutable.Map[String, Long]()
+
   // ---- resource tracking (reference: sql/execution/resource_manager.rs —
   //      named resources with limits, peak/violation tracking, hard
   //      enforcement). Usage feeds from StreamingQueryProgress, so the
@@ -249,7 +259,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   //      job "*". Guarded by the metricSpecs lock like all metric state. ----
   private val resourceState = scala.collection.mutable.Map[(String, String), Resources.Usage]()
 
-  private def collectLabeled(jobName: String, batch: DataFrame): Unit = {
+  private def collectLabeled(jobName: String, batch: DataFrame, batchId: Long): Unit = {
+    // replayed batch (crash-loop relaunch re-runs the uncommitted
+    // batch): its values are already in the totals — skip, like the
+    // idempotent sink write effectively does (r14 review)
+    val replay = metricSpecs.synchronized {
+      val seen = labeledSeenBatch.getOrElse(jobName, -1L)
+      if (batchId <= seen) true
+      else { labeledSeenBatch(jobName) = batchId; false }
+    }
+    if (replay) return
     // counters AND field-bearing gauges: a labeled gauge on a streaming
     // job was accepted by attachMetrics but collected by NOTHING
     // (observable() excludes labeled specs, and this path kept only
@@ -260,7 +279,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         (m.metricType == "counter" || (m.metricType == "gauge" && m.field.isDefined)))
     specs.foreach { m =>
       val agg =
-        if (m.metricType == "gauge") last(col(m.field.get).cast("double"))
+        // ignoreNulls, like the observe path's gauge: a group whose last
+        // record carries a null field must RETAIN the gauge's prior
+        // value, not report null (which the row handler below skips)
+        if (m.metricType == "gauge") last(col(m.field.get).cast("double"), ignoreNulls = true)
         else m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
       val rows = SqlApp.metricInput(batch, m)
         .groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
@@ -274,15 +296,21 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         rows.foreach { r =>
           val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
           val key = (jobName, m.name, labels)
-          val v = r.get(m.labels.length) match {
-            case null => 0.0
-            case n: java.lang.Number => n.doubleValue()
-            case other => other.toString.toDouble
+          val raw = r.get(m.labels.length)
+          // an all-null gauge group keeps its last REAL value (the
+          // observe path's rule) — writing 0.0 reset the gauge on any
+          // batch whose group carried only null fields (r14 review)
+          if (!(raw == null && m.metricType == "gauge")) {
+            val v = raw match {
+              case null => 0.0
+              case n: java.lang.Number => n.doubleValue()
+              case other => other.toString.toDouble
+            }
+            // counters ACCUMULATE across micro-batches; gauges overwrite
+            labeledState(key) =
+              if (m.metricType == "gauge") v
+              else labeledState.getOrElse(key, 0.0) + v
           }
-          // counters ACCUMULATE across micro-batches; gauges overwrite
-          labeledState(key) =
-            if (m.metricType == "gauge") v
-            else labeledState.getOrElse(key, 0.0) + v
         }
         labeledState.collect {
           case ((_, n, ls), v) if n == m.name => (("", ls, v))
@@ -308,7 +336,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         val gate: Option[Column] = {
           val cond = m.condition.map(expr)
           val samp = if (m.sampleRate < 1.0)
-            Some(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))
+            // sampleHashCols, not every column: xxhash64 over a MapType
+            // (the _headers map) fails analysis and would kill the
+            // whole launch (r14 review; same formula as metricInput)
+            Some(pmod(xxhash64(SqlApp.sampleHashCols(df): _*), lit(1000000L))
               < lit((m.sampleRate * 1000000L).toLong))
           else None
           (cond, samp) match {
@@ -339,6 +370,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private def resetMetricState(jobName: String): Unit = metricSpecs.synchronized {
     counterState.filterInPlace { case ((j, _), _) => j != jobName }
     labeledState.filterInPlace { case ((j, _, _), _) => j != jobName }
+    // the replay guards are batchId high-water marks — a fresh epoch
+    // restarts batchIds at 0, so a stale mark would silently drop the
+    // whole new epoch's accumulation
+    labeledSeenBatch.remove(jobName)
+    observedSeenBatch.remove(jobName)
     // resource usage is epoch-scoped for the same reason: a fresh epoch's
     // query rebuilds state from scratch, so the old current/peak describe
     // a query that no longer exists
@@ -370,7 +406,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         (String, String, Option[String], Vector[(String, Map[String, String], Double)])]()
       metricSpecs.synchronized {
         metricSpecs.foreach { case (jobName, specs) =>
-          Option(om.get(s"graft-metrics-$jobName")).filter(_ => owned(jobName)).foreach { row =>
+          // a replayed micro-batch (crash-loop relaunch) fires its
+          // progress event AGAIN — its observed values are already in
+          // the totals, so re-crediting would drift counters above the
+          // exactly-once sink (r14 review; same high-water rule as
+          // lastSeenBatch for breaker successes)
+          val batchId = e.progress.batchId
+          val fresh = owned(jobName) && {
+            val seen = observedSeenBatch.getOrElse(jobName, -1L)
+            if (batchId <= seen) false
+            else { observedSeenBatch(jobName) = batchId; true }
+          }
+          Option(om.get(s"graft-metrics-$jobName")).filter(_ => fresh).foreach { row =>
             // the observed row reflects the specs the RUNNING query was
             // built with — a spec attached after launch is absent until
             // relaunch; fieldIndex on it would throw inside the listener
@@ -611,6 +658,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // fresh START).
       j.sinkPath = j.sinkStamp match {
         case Some((ep, p)) if ep == j.epoch => Some(p)
+        // a RECOVERED epoch's location comes ONLY from its durable
+        // stamp: no stamp means the epoch ran to the INTERNAL dir, and
+        // resolving a sink declared while the process was down would
+        // split the epoch's output across two directories mid-epoch —
+        // the exact violation the per-epoch binding rule above forbids
+        // (r14 review). The new declaration takes effect at the next
+        // epoch, like an in-process re-declaration.
+        case _ if j.recovered => None
         case _ => resolveSinkPath(v.body).map(_.stripPrefix("file://"))
       }
       // A declared location is FIXED across epochs while the checkpoint
@@ -640,8 +695,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         case Some(EmitChanges) =>
           val out = sinkLoc
           val jobName = j.name
+          // the gate must match collectLabeled's OWN filter (counter OR
+          // field-bearing gauge): checking counters only re-created the
+          // r12 bug for a job whose sole labeled metric is a gauge —
+          // accepted by attachMetrics, collected by nothing (r14 review)
           val hasLabeled = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
-            .exists(m => m.labels.nonEmpty && m.metricType == "counter")
+            .exists(m => m.labels.nonEmpty &&
+              (m.metricType == "counter" || (m.metricType == "gauge" && m.field.isDefined)))
           df.writeStream
             .outputMode(OutputMode.Update())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -658,7 +718,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                 .options(sinkOpts).format(sinkFmt).save(out)
               if (hasLabeled) {
                 batch.persist()
-                try { sink(); collectLabeled(jobName, batch) } finally batch.unpersist()
+                try { sink(); collectLabeled(jobName, batch, batchId) } finally batch.unpersist()
               } else sink()
             }
             .option("checkpointLocation", j.ckptDir)
@@ -818,6 +878,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   // draining happens OUTSIDE the monitor via preDrain (holding the
   // lock through processAllAvailable would hang every status scrape) —
   // halt itself only stops; it has no in-lock drain mode
+  /** The error a dead query carried, root cause surfaced — ONE copy,
+    * shared by halt() and superviseOnce() (r14 review: the two verbatim
+    * copies had to change in lockstep). */
+  private def deathError(q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+    q.exception.map(e =>
+      Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
+        .getOrElse(e.getMessage))
+
   private def halt(j: Job): Unit = {
     j.handle.foreach { q =>
       // stop() runs first so whatever error killed the query surfaces
@@ -833,9 +901,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         stopped = true
         try q.awaitTermination() catch { case _: StreamingQueryException => () }
       } finally {
-        j.lastError = q.exception.map(e =>
-          Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
-            .getOrElse(e.getMessage))
+        j.lastError = deathError(q)
         if (j.lastError.isDefined) {
           // the query DIED with an error — stop() throwing is moot
           j.breaker.recordFailure()
@@ -935,25 +1001,52 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val lims = Resources.Limits.fromProps(props, defaultLimits)
     gateConcurrency(name, lims)
     val j = jobs.getOrElseUpdate(name, new Job(name))
+    // The epoch bump is SPECULATIVE until the launch succeeds (r14
+    // review): bumping eagerly and then failing the launch abandoned
+    // the old body's INTACT checkpoint — a re-START of the ORIGINAL
+    // body (j.current is unchanged on failure, so no further bump)
+    // would run on the failed epoch's empty/part-written checkpoint and
+    // re-read the source from scratch, real data loss on a source whose
+    // retention expired. On failure the bump reverts and the failed
+    // epoch's part-written dirs/stamps are deleted so the next bump
+    // (same number) starts clean. Metric state is wiped at bump time
+    // and not restorable — epoch-scoped telemetry restarts; offsets
+    // must not.
+    val prior = (j.epoch, j.recovered, j.lastSeenBatch, j.sinkPath, j.sinkStamp)
+    var bumped = false
+    def bumpEpoch(): Unit = {
+      j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L
+      resetMetricState(name); bumped = true
+    }
     // Restarting a stopped job with a DIFFERENT body must not reuse the
     // old checkpoint (offsets/state belong to the old query — resuming a
     // new query on them is unsupported) or append into the old sink dir.
     // A fresh epoch gives it clean checkpoint + sink, like deploy().
-    if (j.current.exists(_.body != body)) {
-      j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L; resetMetricState(name)
-    }
+    if (j.current.exists(_.body != body)) bumpEpoch()
     // same rule across RESTARTS (durable root, no in-process history):
     // the recovered epoch's fingerprint names the body its checkpoint
     // belongs to — a different body gets a fresh epoch instead of
     // resuming foreign offsets/state
-    if (j.current.isEmpty && j.recovered && !recoveredBodyMatches(j, body)) {
-      j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L; resetMetricState(name)
-    }
+    if (j.current.isEmpty && j.recovered && !recoveredBodyMatches(j, body)) bumpEpoch()
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
-    guardedLaunch(j, v, newRecord = true)
+    try guardedLaunch(j, v, newRecord = true)
+    catch { case e: Throwable =>
+      if (bumped) {
+        def dropPath(p: String): Unit =
+          try { val (fs, hp) = rootFs(p); if (fs.exists(hp)) { fs.delete(hp, true); () } }
+          catch { case scala.util.control.NonFatal(_) => () }
+        Seq(j.ckptDir, j.sinkDir,
+          s"${j.root}/body-${j.epoch}.fp", s"${j.root}/sink-${j.epoch}.path")
+          .foreach(dropPath)
+        val (ep, rec, lsb, sp, ss) = prior
+        j.epoch = ep; j.recovered = rec; j.lastSeenBatch = lsb
+        j.sinkPath = sp; j.sinkStamp = ss
+      }
+      throw e
+    }
     statusDf(Some(name))
   }
 
@@ -1041,7 +1134,16 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // Evaluated BEFORE record() — record sets j.current.
     val resumesRecovered = j.current.isEmpty && j.recovered && recoveredBodyMatches(j, body)
     val v = record(j, version, body, props, stratStr)
-    halt(j)
+    // halt() can throw with the OLD query still alive (stop() failed,
+    // documented keep-handle path): the NEW version then never reaches
+    // guardedLaunch, whose newRecord cleanup is the only thing keeping
+    // never-run bodies out of ROLLBACK history — drop it here too (r14
+    // review; same rule as guardedLaunch's breaker-rejection arm)
+    try halt(j)
+    catch { case e: Throwable =>
+      j.versions = j.versions.filterNot(_.seq == v.seq)
+      throw e
+    }
     if (!resumesRecovered) {
       j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
       j.recovered = false
@@ -1125,9 +1227,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             // but it does end any HALF_OPEN trial this launch was running
             j.breaker.abandonTrial()
           } else {
-            j.lastError = q.exception.map(e =>
-              Option(e.cause).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}")
-                .getOrElse(e.getMessage)).orElse(Some("query terminated unexpectedly"))
+            j.lastError = deathError(q).orElse(Some("query terminated unexpectedly"))
             j.handle = None
             j.breaker.recordFailure()
             j.status = "FAILED"

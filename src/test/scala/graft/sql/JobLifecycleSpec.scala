@@ -653,4 +653,31 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     // DISTINCT composes with the dialect's windowed GROUP BY machinery
     assert(ctx.explainSql("SELECT DISTINCT k FROM dup_t").startsWith("SELECT DISTINCT"))
   }
+
+  test("a FAILED start with a new body does not abandon the old body's checkpoint (r14 review)") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    ctx.sql("START JOB resilient AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("resilient")
+    assert(ctx.jobManager.sinkDf("resilient").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0))
+    ctx.sql("STOP JOB resilient")
+
+    // a DIFFERENT body that fails at launch (unknown column): before the
+    // r14 fix the epoch had already bumped, so the next start of the
+    // ORIGINAL body ran on the failed epoch's empty checkpoint and
+    // re-read the source from scratch
+    intercept[Exception](
+      ctx.sql("START JOB resilient AS SELECT id, no_such_col AS o FROM live_events"))
+
+    // the ORIGINAL body resumes its intact epoch offset-exact: only the
+    // NEW record is reprocessed, pre-failure sink rows survive
+    in.addData(Seq((3L, 3.0)))
+    ctx.sql("START JOB resilient AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("resilient")
+    assert(ctx.jobManager.sinkDf("resilient").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0, 6.0),
+      "the original body must continue its own epoch, not reprocess from scratch on a fresh one")
+    ctx.sql("STOP JOB resilient")
+  }
 }

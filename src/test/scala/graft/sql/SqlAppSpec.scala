@@ -732,4 +732,66 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     // mid-chain default must not win over the last link's default
     assert(SqlApp.resolvePattern("${MISSING_VAR:mid|OTHER_MISSING:last}", lookup) == "last")
   }
+
+  test("a labeled GAUGE on a changelog job is collected (r14 review: the foreachBatch gate matched counters only)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("gauge_events", in.toDF().toDF("symbol", "amount"))
+    in.addData(Seq(("AAPL", 1.0), ("AAPL", 3.0), ("MSFT", 7.0)))
+    SqlApp.run(ctx,
+      """-- SQL Application: LabeledGauge
+        |-- @metric: last_amount_by_symbol
+        |-- @metric_type: gauge
+        |-- @metric_field: amount
+        |-- @metric_labels: symbol
+        |START JOB gauger AS SELECT symbol, amount FROM gauge_events EMIT CHANGES
+        |""".stripMargin, lookup)
+    def series: Map[String, Double] = {
+      val re = """last_amount_by_symbol\{job="gauger",symbol="([A-Z]+)"\} ([0-9.]+)""".r
+      re.findAllMatchIn(ctx.prometheusText).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    ctx.jobManager.awaitIdle("gauger")
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (series.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(series.get("MSFT").contains(7.0),
+      s"the labeled gauge must be collected, got $series")
+    ctx.sql("STOP JOB gauger")
+  }
+
+  test("sampled metrics over a map-bearing result; cased label names (r14 review)") {
+    import spark.implicits._
+    val ctx2 = new VeloContext(spark)
+    // _headers-style MAP column + @metric_sample_rate: the sampling hash
+    // must skip the unhashable map instead of failing analysis
+    ctx2.register("hdr_src",
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "Region")
+        .withColumn("_headers", org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("k"), org.apache.spark.sql.functions.lit("v"))))
+    val res = SqlApp.run(ctx2,
+      """-- SQL Application: MapSample
+        |-- @metric: sampled_rows
+        |-- @metric_type: counter
+        |-- @metric_sample_rate: 0.5
+        |CREATE TABLE hdr_snap AS SELECT id, Region, _headers FROM hdr_src
+        |""".stripMargin, lookup)
+    assert(res._2.nonEmpty)
+    assert(ctx2.prometheusText.contains("sampled_rows"),
+      "the sampled metric must be collected over a map-bearing result")
+
+    // a @metric_labels casing variant of the column must not crash the
+    // collection after the aggregation already succeeded
+    val res2 = SqlApp.run(ctx2,
+      """-- SQL Application: CasedLabel
+        |-- @metric: rows_by_region
+        |-- @metric_type: counter
+        |-- @metric_labels: REGION
+        |CREATE TABLE lbl_snap AS SELECT id, Region FROM hdr_src
+        |""".stripMargin, lookup)
+    assert(res2._2.nonEmpty)
+    val text = ctx2.prometheusText
+    assert(text.contains("rows_by_region"), "cased label collection must succeed")
+  }
 }
