@@ -433,12 +433,33 @@ object SqlApp {
     * against rate·10⁶, so a replayed batch samples the identical subset
     * (the reference samples randomly for overhead; determinism is
     * strictly stronger and keeps the count oracle-able). */
+  /** The columns the deterministic sampling hash covers: every column
+    * whose type xxhash64 CAN hash — MapType (e.g. the `_headers` map
+    * registerStreamLike attaches) fails analysis outright, so a result
+    * carrying one would abort the whole run at metric time (r14
+    * review). Excluding maps keeps the hash deterministic on the
+    * remaining columns; an (improbable) all-map row set degrades to a
+    * constant hash — all-or-nothing sampling, never a crash. Shared
+    * with JobManager's observe-gate, which embeds the same test. */
+  private[sql] def sampleHashCols(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    def hashable(t: DataType): Boolean = t match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cs = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => org.apache.spark.sql.functions.col(f.name)).toSeq
+    if (cs.nonEmpty) cs else Seq(org.apache.spark.sql.functions.lit(1))
+  }
+
   private[sql] def metricInput(df: DataFrame, m: MetricSpec): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{expr, lit, pmod, xxhash64}
     var d = df
     m.condition.foreach(c => d = d.where(expr(c)))
     if (m.sampleRate < 1.0)
-      d = d.where(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))
+      d = d.where(pmod(xxhash64(sampleHashCols(df): _*), lit(1000000L))
         < lit((m.sampleRate * 1000000L).toLong))
     d
   }
@@ -507,7 +528,10 @@ object SqlApp {
           s.partitioningStrategy))
       val jobName: Option[String] =
         if (s.metrics.isEmpty && jobCfg.isEmpty) None
-        else try VeloSqlParser.parse(s.sql) match {
+        // the CONTEXT's parser, not VeloSqlParser.parse's global
+        // defaults: this probe must see the same defaultTimeCol/
+        // registered stream time columns the executor will (r14 review)
+        else try ctx.parseStatement(s.sql) match {
           case VeloSqlParser.StartJob(n, _, _) => Some(n)
           case VeloSqlParser.DeployJob(n, _, _, _, _) => Some(n)
           case _ => None
@@ -568,11 +592,19 @@ object SqlApp {
             if (m.labels.isEmpty)
               in.agg(aggs.head, aggs.tail: _*).collect().toVector
                 .map(r => Map.empty[String, String] -> aggs.indices.map(i => num(r.get(i))))
-            else in.groupBy(m.labels.map(col): _*).agg(aggs.head, aggs.tail: _*)
-              .collect().toVector.map { r =>
-                m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap ->
+            else {
+              val out = in.groupBy(m.labels.map(col): _*).agg(aggs.head, aggs.tail: _*)
+              // label values read by POSITION, not getAs: groupBy
+              // resolves a @metric_labels casing variant fine, but the
+              // output field keeps the column's DEFINED name and the
+              // case-sensitive getAs then crashed a statement whose
+              // aggregation had already succeeded (r14 review)
+              out.collect().toVector.map { r =>
+                m.labels.zipWithIndex.map { case (l, ix) =>
+                  l -> String.valueOf(r.get(ix)) }.toMap ->
                   aggs.indices.map(i => num(r.get(m.labels.length + i)))
               }
+            }
           def fmtLe(b: Double): String =
             if (b.isWhole) b.toLong.toString else b.toString
           m.metricType match {
@@ -660,9 +692,17 @@ object SqlApp {
     var loadRows = Vector.empty[(String, Map[String, String], Double)]
     var loadSecs = Vector.empty[(String, Map[String, String], Double)]
     def recordLoad(table: String, wave: Int, df: DataFrame, sec: Double): Unit = {
-      // CTAS results are already materialized+cached by execStatement, so
-      // the count is a cheap cached scan; a streaming body reports -1
-      val rows = try df.count().toDouble catch { case _: Throwable => -1.0 }
+      // CTAS results are already materialized+cached by execStatement,
+      // so the count is a cheap cached scan. An UNCACHED frame (CSAS
+      // registers a plain view) would RE-EXECUTE its entire plan just
+      // for this gauge — roughly doubling a CSAS-heavy app's wall clock
+      // — so it reports -1 like streaming bodies do (r14 review)
+      val rows =
+        try {
+          if (df.isStreaming
+            || df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) -1.0
+          else df.count().toDouble
+        } catch { case _: Throwable => -1.0 }
       val labels = Map("table" -> table, "wave" -> wave.toString)
       loadRows :+= (("", labels, rows))
       loadSecs :+= (("", labels, sec))

@@ -436,8 +436,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         VeloContext.durationSeconds(r).getOrElse(throw new ParseException(
           s"unrecognized 'retention' duration '$r' (use e.g. '7 days', '30 minutes', '1h')"))
       }.foreach { sec =>
+        // case-INSENSITIVE candidate match (dialect identifier rule),
+        // and NO recognized time column is an ERROR: silently skipping
+        // the filter left the table retaining all history — the exact
+        // unbounded-growth-with-no-error failure the unparseable-
+        // duration throw above exists to prevent (r14 review)
         val tsCol = Seq(defaultTimeCol, "ts", "event_time", "_timestamp")
-          .find(df.columns.contains)
+          .flatMap(c => df.columns.find(_.equalsIgnoreCase(c))).headOption
+        if (tsCol.isEmpty) throw new ParseException(
+          s"'retention' needs an event-time column (one of: $defaultTimeCol, ts, " +
+            s"event_time, _timestamp) — table $name has [${df.columns.mkString(", ")}]")
         tsCol.foreach { c =>
           // An integral time column's UNIT is ambiguous: `_timestamp`
           // is INT64 epoch-MILLIS per system-columns.md, but a user
@@ -529,8 +537,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // declared sink location via resolveIntoSinkPath — df.write on a
       // streaming frame would throw
       if (!df.isStreaming) s.into.foreach { sink =>
-        sinkFilePath(sink, s.props)
-          .foreach { p => graft.sources.Serde.writeFileUri(sinkDf, p) }
+        sinkFilePath(sink, s.props) match {
+          case Some(p) => graft.sources.Serde.writeFileUri(sinkDf, p)
+          // the stdout debug sink, same fallback as the bare-query arm:
+          // the validator exempts stdout for EVERY statement shape, so
+          // silently dropping it here was executor/validator drift —
+          // the declared debug output just never appeared (r14 review)
+          case None if MutationChecks.isStdoutSink(spark, sink) => printStdout(sinkDf)
+          case None => ()
+        }
       }
       df
 
@@ -541,6 +556,12 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // exemption, r14: the two had drifted)
       val incoming = MutationChecks.incomingFrame(spark, selOpt, values, cols,
         toSparkSql(_, defaultTimeCol, streamTimeCol))
+      // same width check the validator runs for this arm: a bare toDF
+      // threw Spark's IllegalArgumentException, which the HTTP layer
+      // maps to 500 instead of the dialect error's 400 (r14 review)
+      if (cols.nonEmpty && cols.length != incoming.columns.length)
+        throw new ParseException(
+          s"INSERT column list has ${cols.length} names but the source produces ${incoming.columns.length}")
       val named = if (cols.nonEmpty) incoming.toDF(cols.toIndexedSeq: _*) else incoming
       printStdout(named)
       named
@@ -566,6 +587,12 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       val withSchema =
         if (cols.isEmpty || props.contains("schema")) props
         else props + ("schema" -> cols.map { case (n, t) => s"$n $t" }.mkString(", "))
+      // last declaration WINS deterministically: every read is case-
+      // insensitive, so a re-declaration under different casing would
+      // otherwise leave TWO live entries and `INTO sink` could keep
+      // resolving the stale path by iteration-order luck (r14 review)
+      declaredSources.keys.filter(k => k != name && k.equalsIgnoreCase(name))
+        .foreach(declaredSources.remove)
       declaredSources(name) = (kind, withSchema)
       withSchema.toSeq.sorted.toDF("key", "value")
 
@@ -677,18 +704,29 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
 object VeloContext {
   /** Kafka-analog system columns (reference docs/sql/system-columns.md):
     * `_timestamp`/`_event_time` INT64 epoch-MILLIS, `_offset` the
-    * monotone id, `_partition` = key hash mod partition count. ONE
-    * definition shared by registerStreamLike and any hand-built
-    * stream-like frame so the formulas cannot drift (q42's copy had
-    * already missed `_event_time`). `keyCol` is the message-key column
-    * the partition derives from — defaults to the offset id. */
+    * monotone id, `_partition` = key mod partition count for NUMERIC
+    * keys (engine-portable — the q42/q51 oracles replay it verbatim)
+    * and md5-prefix mod for any other key type (pmod over a string key
+    * was a per-row analysis error; r14 review). ONE definition shared
+    * by registerStreamLike and any hand-built stream-like frame so the
+    * formulas cannot drift (q42's copy had already missed
+    * `_event_time`). `keyCol` is the message-key column the partition
+    * derives from — defaults to the offset id. */
   def withSystemColumns(df: DataFrame, tsCol: String, idCol: String,
-                        keyCol: Option[String] = None, partitions: Int = 8): DataFrame =
+                        keyCol: Option[String] = None, partitions: Int = 8): DataFrame = {
+    val key = keyCol.getOrElse(idCol)
+    val numericKey = df.schema.fields
+      .find(f => f.name.equalsIgnoreCase(key))
+      .forall(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val part =
+      if (numericKey) pmod(col(key), lit(partitions))
+      else pmod(conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(partitions))
     df.withColumn("_timestamp", unix_millis(col(tsCol)))
       .withColumn("_event_time", unix_millis(col(tsCol)))
       .withColumn("_offset", col(idCol))
-      .withColumn("_partition",
-        pmod(col(keyCol.getOrElse(idCol)), lit(partitions)).cast("int"))
+      .withColumn("_partition", part.cast("int"))
+  }
 
   /** A select item's output column name: the TOP-LEVEL AS alias when
     * present (an AS inside parens is CAST(x AS TYPE) syntax, not an

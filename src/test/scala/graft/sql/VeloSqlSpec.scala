@@ -1321,4 +1321,48 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
       .find(_.getString(0) == "replication").map(_.getString(1))
     assert(rep.contains("-1"), s"got $rep")
   }
+
+  test("executor r14 review: retention needs a time column, string keys partition, stdout arms, sink redeclaration") {
+    import spark.implicits._
+    // (1) retention over a table with NO recognized event-time column is
+    // an ERROR, not a silently-unbounded table
+    Seq((1L, "a")).toDF("rid", "v").createOrReplaceTempView("no_ts_src")
+    val e1 = intercept[VeloSqlParser.ParseException](ctx.sql(
+      """CREATE TABLE ret_nots AS SELECT rid, v FROM no_ts_src
+         WITH ('retention' = '7 days')"""))
+    assert(e1.getMessage.contains("event-time column"), e1.getMessage)
+
+    // (2) a STRING message key partitions via the md5 path instead of a
+    // per-row pmod analysis error; numeric keys keep the oracle-pinned
+    // value-mod
+    val strKeys = Seq(("k1", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+                      ("k2", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02")))
+      .toDF("mkey", "rid", "ts")
+    val sys = VeloContext.withSystemColumns(strKeys, "ts", "rid", keyCol = Some("mkey"))
+    val parts = sys.select("_partition").collect().map(_.getInt(0))
+    assert(parts.forall(p => p >= 0 && p < 8))
+
+    // (3) batch CSAS INTO stdout prints instead of silently dropping
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos)) {
+      ctx.sql("CREATE STREAM stdout_csas AS SELECT order_id FROM orders WHERE order_id = 1 INTO stdout")
+    }
+    assert(baos.toString.contains("order_id"),
+      s"CSAS INTO stdout must print records, got: ${baos.toString.take(100)}")
+
+    // (4) stdout INSERT width mismatch is a dialect error (400), not a
+    // raw IllegalArgumentException (500)
+    val e4 = intercept[VeloSqlParser.ParseException](
+      ctx.sql("INSERT INTO stdout (a, b) SELECT 1"))
+    assert(e4.getMessage.contains("2 names"), e4.getMessage)
+
+    // (5) re-declaring a sink under different casing REPLACES it —
+    // resolution must not depend on map iteration order
+    ctx.sql("CREATE SINK cased_sink WITH (path = '/tmp/graft_a.parquet')")
+    ctx.sql("CREATE SINK CASED_SINK WITH (path = '/tmp/graft_b.parquet')")
+    val paths = ctx.sql("SHOW PROPERTIES cased_sink").collect()
+      .filter(_.getString(0) == "path").map(_.getString(1))
+    assert(paths.toSeq == Seq("/tmp/graft_b.parquet"),
+      s"last declaration must win deterministically, got ${paths.mkString(",")}")
+  }
 }
