@@ -57,21 +57,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // empty tokens dropped; an all-empty value is NO filter (same
-    // benign-input rule as Verify, r13 review)
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_QUERIES")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
+    require(cpus.toIntOption.isDefined,
+      s"SPARK_GRAFT_CPUS must be an integer, got '$cpus'")
+    // parsed + validated by the ONE shared helper (r14 review: Verify
+    // and Bench kept diverging copies); a misspelled name fails loudly
+    // instead of writing an empty artifact with value 0.000 and exit 0
+    val only: Option[Set[String]] = SparkEntry.querySubsetFromEnv()
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
-    // a misspelled query name would silently yield an empty artifact
-    // with value 0.000 and exit 0 — fail loudly instead
-    only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
     // the ONE session factory (ScaleProbe/Verify convention since r11):
     // the bench must measure under the SAME config the engine ships — a
     // hand-rolled builder here had already drifted once and would again

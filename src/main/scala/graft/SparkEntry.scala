@@ -15,6 +15,27 @@ import graft.operators.{Contamination, Dedup, Joins, Multimodal, Sampling, Simil
   */
 object SparkEntry {
 
+  /** The SPARK_GRAFT_QUERIES subset knob, parsed and validated in ONE
+    * place (r14 review: Verify and Bench each hand-kept the split/trim/
+    * drop-empty/unknown-name sequence and their failure modes had
+    * already diverged; the r13 empty-token fix had to land twice).
+    * Empty tokens are dropped and an all-empty value means NO filter;
+    * unknown names throw IllegalArgumentException with the typo'd
+    * names — a misspelled subset must never filter a run to zero
+    * queries and exit green. */
+  def querySubsetFromEnv(envVal: Option[String] = sys.env.get("SPARK_GRAFT_QUERIES"))
+      : Option[Set[String]] = {
+    val only = envVal
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names.diff(queries.keySet)
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    only
+  }
+
   /** q58's shipped LSH configuration. AnnRecall's planted-twin probe
     * measures THESE parameters, so the benched entry and the per-round
     * recall measurement cannot drift apart. */

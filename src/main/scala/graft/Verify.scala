@@ -21,33 +21,51 @@ object Verify {
       sys.exit(2)
     }
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // the shared session factory: the gate must run under the SAME config
-    // (AQE, timezone, nanos handling, registered kernels) as production —
-    // a hand-rolled builder here already drifted once
+    // knobs validate BEFORE the session builds (Bench's ordering): a
+    // typo'd subset or a quoting slip in CPUS must not pay tens of
+    // seconds of session startup + kernel registration first (r14
+    // review). SparkEntry.queries needs no session.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
+    if (cpus.toIntOption.isEmpty) {
+      System.err.println(s"SPARK_GRAFT_CPUS must be an integer, got '$cpus'")
+      sys.exit(2)
+    }
+    val only =
+      try SparkEntry.querySubsetFromEnv()
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2); None
+      }
+    // ONE subset predicate for the query loop, the oracle json, and the
+    // attempted manifest: three hand-written copies of the filter could
+    // drift and desynchronize outputs the checker assumes are
+    // consistent (r14 review)
+    val keep: String => Boolean = name => only.forall(_.contains(name))
     val spark = graft.api.GraftSession(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    // optional subset for local iteration (driver sets no filter). A name
-    // that matches NO query is a typo, and a typo must not filter the run
-    // to zero queries and exit green — an empty-but-consistent manifest
-    // reads as a clean gate (r11 review; Bench has the same guard)
-    // empty tokens dropped and an all-empty value treated as NO filter:
-    // SPARK_GRAFT_QUERIES="" or a trailing comma used to produce
-    // Set("") and abort with an unreadable 'unknown queries:' message
-    // naming an invisible empty string (r13 review)
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      if (unknown.nonEmpty) {
-        System.err.println(
-          s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
-        sys.exit(2)
-      }
-    }
+    // manifests are written BEFORE the query loop: written after, a
+    // fatal mid-run death (OOM propagates by design) left the PREVIOUS
+    // run's consistent manifests in place — a hand-run checker (or a
+    // driver script not &&-ing on the exit code) would green a query
+    // that never produced output (r14 review). Shared escaper (JsonOut):
+    // a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    val q: String => String = JsonOut.jstr
+    // the SAME subset filter as the query loop: a restricted run
+    // (SPARK_GRAFT_QUERIES) must not emit oracle entries for queries it
+    // never wrote, or the checker reports phantom missing-dir failures
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => keep(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full attempted-query manifest: without it the checker can only
+    // see directories that EXIST, so a rows-only query that failed (its
+    // target was cleared below, and nothing was written) simply vanishes
+    // from the report and the run exits green
+    val attempted = SparkEntry.queries.keys.toSeq.sorted.filter(keep)
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => keep(name) }
       .foreach { case (name, fn) =>
       // clear the target FIRST: a query that fails before its write must
       // not leave the previous run's parquet behind — the DuckDB compare
@@ -68,25 +86,6 @@ object Verify {
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
-    // shared escaper (JsonOut): a tab or CR in builder-authored SQL
-    // would otherwise make the driver's json.load fail and silently
-    // zero the round's correctness.
-    val q: String => String = JsonOut.jstr
-    // apply the SAME subset filter as the query loop: a restricted run
-    // (SPARK_GRAFT_QUERIES) must not emit oracle entries for queries it
-    // never wrote, or the checker reports phantom missing-dir failures
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // the full attempted-query manifest: without it the checker can only
-    // see directories that EXIST, so a rows-only query that failed (its
-    // target was cleared above, and nothing was written) simply vanishes
-    // from the report and the run exits green
-    val attempted = SparkEntry.queries.keys.toSeq.sorted
-      .filter(name => only.forall(_.contains(name)))
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
-      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

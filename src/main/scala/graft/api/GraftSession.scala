@@ -40,6 +40,12 @@ object GraftSession {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.session.timeZone" -> "UTC",
+      // ANSI semantics are what every oracle gate validated (Spark 4's
+      // default, pinned explicitly): an embedder session created with
+      // ANSI OFF would silently shift cast-overflow/div-zero from
+      // errors to NULLs — engine results diverging from the
+      // DuckDB-validated behavior with no warning (r14 review)
+      "spark.sql.ansi.enabled" -> "true",
       // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's
       // vectorized reader rejects; read as long and convert in the loader.
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
