@@ -612,7 +612,9 @@ object OracleSql {
          sh AS (SELECT doc_id, g FROM
                   (SELECT doc_id, unnest(${shinglesOf("ws", 3)}) AS g FROM w)
                 WHERE length(g) > 0),
-         gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+         gdf AS (SELECT g, COUNT(DISTINCT doc_id)
+                      + COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS df
+                 FROM sh GROUP BY g),
          kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN gdf USING (g) WHERE df <= 1000),
          bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0)
          SELECT doc_id, bench_id, COUNT(DISTINCT g) AS n_shared

@@ -174,11 +174,17 @@ object ScaleProbe {
     // a misspelled probe name would silently skip EVERY pipeline and
     // write an empty artifact with exit 0 — the exact hazard Bench
     // guards loudly for SPARK_GRAFT_QUERIES; same rule here, and
-    // all-empty tokens mean NO filter, as there (r14 review)
-    val knownProbes = Set("exact_dedup", "minhash_lsh", "lsh_verify_cluster",
+    // all-empty tokens mean NO filter, as there (r14 review).
+    // ONE registry (r14 follow-up): pipelineProbes is checked AGAINST
+    // the probe() calls at run time — every run's warmup pass executes
+    // every pipeline, so a probe added to pipelines() without a
+    // registry entry (or renamed without updating it) fails the first
+    // run loudly instead of silently drifting the PROBE_ONLY guard.
+    val pipelineProbes = Set("exact_dedup", "minhash_lsh", "lsh_verify_cluster",
       "simhash_pairs", "embed_lsh_pairs", "embed_lsh_pairs_prod", "ann_ivf",
-      "ann_ivfpq", "unigram_nll", "contamination", "dup_spans",
-      "stream_q54", "trainer_cap", "embed_lsh_recall_adapted")
+      "ann_ivfpq", "unigram_nll", "contamination", "dup_spans")
+    val knownProbes = pipelineProbes ++
+      Set("stream_q54", "trainer_cap", "embed_lsh_recall_adapted")
     onlyEnv.foreach { o =>
       val unknown = o -- knownProbes
       require(unknown.isEmpty,
@@ -187,7 +193,10 @@ object ScaleProbe {
 
     def pipelines(tag: String, d: DataFrame, e: DataFrame,
                   only: Option[Set[String]]): Seq[(String, Double, Long)] = {
-      def probe(name: String)(f: => Long): Option[(String, Double, Long)] =
+      def probe(name: String)(f: => Long): Option[(String, Double, Long)] = {
+        require(pipelineProbes.contains(name),
+          s"probe '$name' is not in the pipelineProbes registry — add it so " +
+            "SPARK_GRAFT_PROBE_ONLY validation stays in sync")
         if (only.forall(_.contains(name)) && onlyEnv.forall(_.contains(name))) {
           // COLD per probe (r14 review): a probe whose pipeline starts
           // with the same kernel plan as the PREVIOUS probe's
@@ -203,6 +212,7 @@ object ScaleProbe {
           graft.operators.LastCallCache.releaseAll()
           Some(time(s"${name}_$tag")(f))
         } else None
+      }
       Seq(
         probe("exact_dedup") { force(Dedup.exact(d, "text", "doc_id")) },
         probe("minhash_lsh") { force(Dedup.minhashLsh(d, "text", "doc_id")) },

@@ -84,8 +84,15 @@ object Contamination {
     // common ingest bug) would double every DF, pushing genuine grams
     // over the maxDf cap (r14 review). With unique ids the two counts
     // are identical.
+    // null-id docs count per OCCURRENCE row (the shingle kernel dedups
+    // grams per document, so each null-id row is one distinct doc's
+    // occurrence): countDistinct alone skips nulls, reading _df = 0 for
+    // a gram living only in null-id docs — a hot boilerplate gram there
+    // would bypass the cap entirely, re-opening the skew blowup the cap
+    // exists to prevent (r14 review follow-up; oracle mirrors)
     val keptGrams = cg.join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .groupBy("g").agg(countDistinct(col("doc_id")).as("_df"))
+      .groupBy("g").agg((countDistinct(col("doc_id")) +
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L))).as("_df"))
       .where(col("_df") <= maxDf).select("g")
     val kept = cg.join(broadcast(keptGrams), Seq("g"))
     // self-pair exclusion requires KNOWN identity: a null-id corpus doc

@@ -141,7 +141,14 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
         val v = ctx.jobManager.metricsDf(Some(name)).collect().headOption.map(r =>
           (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
             r.getAs[Long]("sink_rows")))
-        if (metricsEpoch.get() == epoch0) metricsCache.put(name, (now, v))
+        // put-then-recheck-and-remove, not check-then-put: the naked
+        // check left a window (check passes, evictor bumps, our stale
+        // put lands) — with evictors bumping BEFORE their remove, every
+        // interleaving now ends with the stale entry gone (r14
+        // follow-up: either our recheck sees the bump, or the evictor's
+        // remove runs after our put)
+        metricsCache.put(name, (now, v))
+        if (metricsEpoch.get() != epoch0) metricsCache.remove(name)
         v
     }
   }
@@ -164,12 +171,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
         r.getAs[String]("job_name") ->
           (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
             r.getAs[Long]("sink_rows"))).toMap
-      val stillCurrent = metricsEpoch.get() == epoch0
-      names.map { n =>
-        val v = scanned.get(n)
-        if (stillCurrent) metricsCache.put(n, (now, v))
-        n -> v
-      }.toMap
+      // same put-then-recheck discipline as cachedMetrics (one recheck
+      // AFTER all puts: a bump seen by it removes every entry this scan
+      // wrote — over-eviction costs one extra scan, never stale data)
+      names.foreach(n => metricsCache.put(n, (now, scanned.get(n))))
+      if (metricsEpoch.get() != epoch0) names.foreach(metricsCache.remove)
+      names.map(n => n -> scanned.get(n)).toMap
     }
   }
 
@@ -236,9 +243,14 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
           // new generation: the previous deployment's cached
           // last_batch_id/sink_rows must never be served as this one's
           // numbers for up to MetricsTtlMs (r11 advisor); the epoch bump
-          // also invalidates any scan already in flight (r14 review)
-          metricsCache.remove(name)
+          // also invalidates any scan already in flight (r14 review).
+          // Bump BEFORE the remove: with remove-first, an in-flight
+          // scanner could put-and-recheck entirely inside the
+          // remove→bump gap and keep its stale entry — bump-first means
+          // either the scanner's recheck sees the new epoch (removes its
+          // own put) or our remove lands after its put (r14 follow-up)
           metricsEpoch.incrementAndGet()
+          metricsCache.remove(name)
           jobRows(Some(name)).headOption match {
             case Some(j) => respond(ex, 200, jobJson(j))
             case None => err(ex, 500, "deploy did not register the job")
@@ -271,9 +283,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       // evict on stop so a stopped (and possibly soon-undeployed) job's
       // entry doesn't linger in the map, and a redeploy under the same
       // name starts from a cold cache (r11 advisor); epoch bump kills
-      // in-flight scans' late puts (r14 review)
-      metricsCache.remove(name)
+      // in-flight scans' late puts (r14 review; bump-first ordering —
+      // see the deploy arm's comment)
       metricsEpoch.incrementAndGet()
+      metricsCache.remove(name)
       respond(ex, 200, jobJson(jobRows(Some(name)).head))
     } catch {
       case e: ParseException =>

@@ -263,12 +263,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // replayed batch (crash-loop relaunch re-runs the uncommitted
     // batch): its values are already in the totals — skip, like the
     // idempotent sink write effectively does (r14 review)
-    val replay = metricSpecs.synchronized {
-      val seen = labeledSeenBatch.getOrElse(jobName, -1L)
-      if (batchId <= seen) true
-      else { labeledSeenBatch(jobName) = batchId; false }
-    }
-    if (replay) return
+    val seen = metricSpecs.synchronized(labeledSeenBatch.getOrElse(jobName, -1L))
+    if (batchId <= seen) return
     // counters AND field-bearing gauges: a labeled gauge on a streaming
     // job was accepted by attachMetrics but collected by NOTHING
     // (observable() excludes labeled specs, and this path kept only
@@ -277,47 +273,65 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val specs = metricSpecs.synchronized(metricSpecs.getOrElse(jobName, Vector.empty))
       .filter(m => m.labels.nonEmpty &&
         (m.metricType == "counter" || (m.metricType == "gauge" && m.field.isDefined)))
-    specs.foreach { m =>
+    // PHASE 1 — every Spark action runs BEFORE any state mutates: a
+    // transient collect() failure (executor loss) aborts with the
+    // high-water mark UNMOVED and the totals untouched, so Spark's
+    // replay of this batchId accumulates cleanly. Marking first lost
+    // the batch forever (undercount); accumulating spec-by-spec would
+    // double-count the earlier specs on the replay (r14 review
+    // follow-up).
+    val collected = specs.map { m =>
       val agg =
         // ignoreNulls, like the observe path's gauge: a group whose last
         // record carries a null field must RETAIN the gauge's prior
         // value, not report null (which the row handler below skips)
         if (m.metricType == "gauge") last(col(m.field.get).cast("double"), ignoreNulls = true)
         else m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)).cast("double"))
-      val rows = SqlApp.metricInput(batch, m)
+      m -> SqlApp.metricInput(batch, m)
         .groupBy(m.labels.map(col): _*).agg(agg.as("_v")).collect()
-      // series snapshots across ALL jobs (not this job's slice: the
-      // sink REPLACES the named series wholesale, so a one-job push
-      // would erase every other job's same-named counter), and the sink
-      // is invoked OUTSIDE the metricSpecs lock — the documented order
-      // is JobManager → metricSpecs, and an external sink that touches
-      // the manager from under metricSpecs would be an AB/BA deadlock
-      val series = metricSpecs.synchronized {
-        rows.foreach { r =>
-          val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
-          val key = (jobName, m.name, labels)
-          val raw = r.get(m.labels.length)
-          // an all-null gauge group keeps its last REAL value (the
-          // observe path's rule) — writing 0.0 reset the gauge on any
-          // batch whose group carried only null fields (r14 review)
-          if (!(raw == null && m.metricType == "gauge")) {
-            val v = raw match {
-              case null => 0.0
-              case n: java.lang.Number => n.doubleValue()
-              case other => other.toString.toDouble
-            }
-            // counters ACCUMULATE across micro-batches; gauges overwrite
-            labeledState(key) =
-              if (m.metricType == "gauge") v
-              else labeledState.getOrElse(key, 0.0) + v
-          }
-        }
-        labeledState.collect {
-          case ((_, n, ls), v) if n == m.name => (("", ls, v))
-        }.toVector
-      }
-      metricSink(m.name, m.metricType, m.help, series)
     }
+    // PHASE 2 — commit all mutations and the high-water mark in ONE
+    // lock acquisition (pure in-memory; nothing here can fail partway).
+    // Series snapshots across ALL jobs (not this job's slice: the sink
+    // REPLACES the named series wholesale, so a one-job push would
+    // erase every other job's same-named counter); the sink is invoked
+    // OUTSIDE the metricSpecs lock — the documented order is
+    // JobManager → metricSpecs, and an external sink that touches the
+    // manager from under metricSpecs would be an AB/BA deadlock
+    val pushes = metricSpecs.synchronized {
+      // re-check under the lock: foreachBatch calls for ONE query are
+      // serial, but a concurrent epoch reset must not be overwritten
+      if (batchId <= labeledSeenBatch.getOrElse(jobName, -1L)) Vector.empty
+      else {
+        labeledSeenBatch(jobName) = batchId
+        collected.map { case (m, rows) =>
+          rows.foreach { r =>
+            val labels = m.labels.map(l => l -> String.valueOf(r.getAs[Any](l))).toMap + ("job" -> jobName)
+            val key = (jobName, m.name, labels)
+            val raw = r.get(m.labels.length)
+            // an all-null gauge group keeps its last REAL value (the
+            // observe path's rule) — writing 0.0 reset the gauge on any
+            // batch whose group carried only null fields (r14 review)
+            if (!(raw == null && m.metricType == "gauge")) {
+              val v = raw match {
+                case null => 0.0
+                case n: java.lang.Number => n.doubleValue()
+                case other => other.toString.toDouble
+              }
+              // counters ACCUMULATE across micro-batches; gauges overwrite
+              labeledState(key) =
+                if (m.metricType == "gauge") v
+                else labeledState.getOrElse(key, 0.0) + v
+            }
+          }
+          val series = labeledState.collect {
+            case ((_, n, ls), v) if n == m.name => (("", ls, v))
+          }.toVector
+          (m.name, m.metricType, m.help, series)
+        }
+      }
+    }
+    pushes.foreach { case (n, t, h, s) => metricSink(n, t, h, s) }
   }
 
   private def observedDf(jobName: String, df: DataFrame): DataFrame = {
@@ -1012,7 +1026,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // (same number) starts clean. Metric state is wiped at bump time
     // and not restorable — epoch-scoped telemetry restarts; offsets
     // must not.
-    val prior = (j.epoch, j.recovered, j.lastSeenBatch, j.sinkPath, j.sinkStamp)
+    val prior = priorEpochState(j)
     var bumped = false
     def bumpEpoch(): Unit = {
       j.epoch += 1; j.recovered = false; j.lastSeenBatch = -1L
@@ -1034,20 +1048,38 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (lims.monitorsProgress) ensureListener()
     try guardedLaunch(j, v, newRecord = true)
     catch { case e: Throwable =>
-      if (bumped) {
-        def dropPath(p: String): Unit =
-          try { val (fs, hp) = rootFs(p); if (fs.exists(hp)) { fs.delete(hp, true); () } }
-          catch { case scala.util.control.NonFatal(_) => () }
-        Seq(j.ckptDir, j.sinkDir,
-          s"${j.root}/body-${j.epoch}.fp", s"${j.root}/sink-${j.epoch}.path")
-          .foreach(dropPath)
-        val (ep, rec, lsb, sp, ss) = prior
-        j.epoch = ep; j.recovered = rec; j.lastSeenBatch = lsb
-        j.sinkPath = sp; j.sinkStamp = ss
-      }
+      if (bumped) revertEpochBump(j, prior)
       throw e
     }
     statusDf(Some(name))
+  }
+
+  /** The job state a speculative epoch bump must be able to restore. */
+  private def priorEpochState(j: Job)
+      : (Int, Boolean, Long, Option[String], Option[(Int, String)]) =
+    (j.epoch, j.recovered, j.lastSeenBatch, j.sinkPath, j.sinkStamp)
+
+  /** Revert a speculative epoch bump after a FAILED launch: delete the
+    * failed epoch's part-written checkpoint/sink dirs and stamps, then
+    * restore the prior epoch state — so restarting the ORIGINAL body
+    * resumes its own intact checkpoint instead of an empty one (source
+    * re-read from scratch, real data loss once retention expired).
+    * Shared by start()/deploy()/rollback(): the r14 review fixed
+    * start() and left the identical eager-bump hazard reachable via a
+    * failed DEPLOY or ROLLBACK. Metric state was wiped at bump time and
+    * is not restorable — epoch-scoped telemetry restarts; offsets must
+    * not. */
+  private def revertEpochBump(j: Job,
+      prior: (Int, Boolean, Long, Option[String], Option[(Int, String)])): Unit = {
+    def dropPath(p: String): Unit =
+      try { val (fs, hp) = rootFs(p); if (fs.exists(hp)) { fs.delete(hp, true); () } }
+      catch { case scala.util.control.NonFatal(_) => () }
+    Seq(j.ckptDir, j.sinkDir,
+      s"${j.root}/body-${j.epoch}.fp", s"${j.root}/sink-${j.epoch}.path")
+      .foreach(dropPath)
+    val (ep, rec, lsb, sp, ss) = prior
+    j.epoch = ep; j.recovered = rec; j.lastSeenBatch = lsb
+    j.sinkPath = sp; j.sinkStamp = ss
   }
 
   /** Best-effort drain OUTSIDE the JobManager monitor:
@@ -1144,6 +1176,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       j.versions = j.versions.filterNot(_.seq == v.seq)
       throw e
     }
+    // the bump is SPECULATIVE like start()'s (r14 review follow-up): a
+    // failed launch of the new body reverts it, so the job's last-good
+    // body can re-START/RESUME on its own intact checkpoint instead of
+    // the failed epoch's empty one
+    val prior = priorEpochState(j)
     if (!resumesRecovered) {
       j.epoch += 1 // fresh sink+checkpoint epoch; old sink survives for rollback
       j.recovered = false
@@ -1155,7 +1192,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     }
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
-    guardedLaunch(j, v, newRecord = true)
+    try guardedLaunch(j, v, newRecord = true)
+    catch { case e: Throwable =>
+      if (!resumesRecovered) revertEpochBump(j, prior)
+      throw e
+    }
     statusDf(Some(name))
     }
   }
@@ -1187,13 +1228,20 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val lims = Resources.Limits.fromProps(v.props, defaultLimits)
     gateConcurrency(name, lims)
     halt(j)
+    // speculative bump, like start()/deploy(): a failed relaunch of the
+    // rollback target must not strand the job on an empty epoch
+    val prior = priorEpochState(j)
     j.epoch += 1
     j.recovered = false
     j.lastSeenBatch = -1L // fresh epoch, fresh batchId namespace
     resetMetricState(name) // rollback epoch re-reads the source from scratch
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
-    guardedLaunch(j, v)
+    try guardedLaunch(j, v)
+    catch { case e: Throwable =>
+      revertEpochBump(j, prior)
+      throw e
+    }
     statusDf(Some(name))
     }
   }

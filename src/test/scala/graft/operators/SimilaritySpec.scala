@@ -162,6 +162,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("LSH near-dup pairs: adaptive = false pins the caller's exact geometry") {
+    // with a corpus-size hint large enough that the adaptive plan would
+    // widen the bands (the wide-plan case above), adaptive = false must
+    // run the CALLER's (10, 6) geometry untouched — bit-identical output
+    // to the default run at bench scale, where the adaptive plan leaves
+    // the floors in place (r14 review: the flag had no caller and the
+    // pinned-geometry branch could silently rot)
+    val pinned = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",
+      dim, minCos = 0.9, numBands = 10, bandBits = 6,
+      corpusSize = Some(64L << 20), adaptive = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floors = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",
+      dim, minCos = 0.9, numBands = 10, bandBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinned == floors,
+      s"adaptive=false diverged from the floor plan: ${pinned.size} vs ${floors.size} pairs")
+    assert(pinned.nonEmpty)
+  }
+
   test("LSH near-dup pairs: high recall on planted near-duplicates at 0.9") {
     val planted = (0L until 15L).map(i => (i, 1000L + i)).toSet
     val got = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",

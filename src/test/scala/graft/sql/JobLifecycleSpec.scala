@@ -663,12 +663,17 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
       == Seq(2.0, 4.0))
     ctx.sql("STOP JOB resilient")
 
-    // a DIFFERENT body that fails at launch (unknown column): before the
-    // r14 fix the epoch had already bumped, so the next start of the
-    // ORIGINAL body ran on the failed epoch's empty checkpoint and
-    // re-read the source from scratch
-    intercept[Exception](
-      ctx.sql("START JOB resilient AS SELECT id, no_such_col AS o FROM live_events"))
+    // a DIFFERENT body that fails AT LAUNCH: before the r14 fix the
+    // epoch had already bumped, so the next start of the ORIGINAL body
+    // ran on the failed epoch's empty checkpoint and re-read the source
+    // from scratch. The body must pass the VALIDATOR gate (which runs
+    // before any state change — an unresolved column never reaches the
+    // bump) and die in launch itself: an INTO sink whose path cannot be
+    // created does exactly that (ParentNotDirectoryException from
+    // writeStream.start)
+    ctx.sql("CREATE SINK start_bad_sink WITH (path = 'file:///dev/null/nope.parquet')")
+    intercept[Exception](ctx.sql(
+      "START JOB resilient AS SELECT id, v * 3 AS o FROM live_events INTO start_bad_sink"))
 
     // the ORIGINAL body resumes its intact epoch offset-exact: only the
     // NEW record is reprocessed, pre-failure sink rows survive
@@ -679,5 +684,98 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
       == Seq(2.0, 4.0, 6.0),
       "the original body must continue its own epoch, not reprocess from scratch on a fresh one")
     ctx.sql("STOP JOB resilient")
+  }
+
+  /** Epoch directories under a durable job root — the DIRECT witness of
+    * a reverted (or leaked) speculative epoch bump; the sink VALUES
+    * alone cannot discriminate (an abandoned-checkpoint re-read of a
+    * deterministic body reproduces the same output in the new epoch's
+    * sink). */
+  private def ckptEpochs(stateRoot: String, job: String): Seq[String] =
+    Option(new java.io.File(stateRoot, job).list()).toSeq.flatten
+      .filter(_.startsWith("ckpt-")).sorted
+
+  test("a FAILED deploy does not abandon the old body's checkpoint (r14 review follow-up)") {
+    import spark.implicits._
+    val s = spark.newSession()
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_depfail_root").toString
+    s.conf.set("graft.jobs.stateRoot", stateRoot)
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(s)
+    ctx.register("live_events", in.toDF().toDF("id", "v"))
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    ctx.sql("DEPLOY JOB dep_res VERSION '1.0.0' AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("dep_res")
+    assert(ctx.jobManager.sinkDf("dep_res").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0))
+    val epochsBefore = ckptEpochs(stateRoot, "dep_res")
+
+    // DEPLOY of a body that fails AT LAUNCH (gate-passing — the
+    // validator runs before any state change, so a gate rejection never
+    // reaches the bump: an uncreatable INTO sink path dies in
+    // writeStream.start itself): start() got the speculative-bump
+    // revert in r14, but deploy() still bumped eagerly — the last-good
+    // body's intact checkpoint was abandoned and its next START re-read
+    // the source from scratch
+    ctx.sql("CREATE SINK dep_bad_sink WITH (path = 'file:///dev/null/nope.parquet')")
+    intercept[Exception](ctx.sql(
+      "DEPLOY JOB dep_res VERSION '2.0.0' AS SELECT id, v * 3 AS o FROM live_events INTO dep_bad_sink"))
+
+    // the last-good body (current is unchanged on a failed launch)
+    // resumes ITS OWN epoch offset-exact: only the new record processes,
+    // and NO new epoch directory appears — pre-fix, the recovery START
+    // ran on the failed bump's fresh ckpt and re-read from scratch
+    in.addData(Seq((3L, 3.0)))
+    ctx.sql("START JOB dep_res AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("dep_res")
+    assert(ctx.jobManager.sinkDf("dep_res").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0, 6.0))
+    assert(ckptEpochs(stateRoot, "dep_res") == epochsBefore,
+      "a failed DEPLOY must revert its epoch bump — the recovery START opened a fresh epoch")
+    ctx.sql("STOP JOB dep_res")
+  }
+
+  test("a FAILED rollback target does not strand the job on an empty epoch (r14 review follow-up)") {
+    import spark.implicits._
+    val s = spark.newSession()
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_rbfail_root").toString
+    s.conf.set("graft.jobs.stateRoot", stateRoot)
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Double)]
+    val in2 = MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(s)
+    ctx.register("live_events", in.toDF().toDF("id", "v"))
+    // v1 reads a SECOND view whose schema will change out from under it
+    ctx.register("rb_extra", in2.toDF().toDF("id", "x"))
+    in2.addData(Seq((1L, 10.0)))
+    ctx.sql("DEPLOY JOB rb_res VERSION '1.0.0' AS SELECT id, x FROM rb_extra")
+    ctx.jobManager.awaitIdle("rb_res")
+    in.addData(Seq((1L, 1.0), (2L, 2.0)))
+    ctx.sql("DEPLOY JOB rb_res VERSION '2.0.0' AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("rb_res")
+    assert(ctx.jobManager.sinkDf("rb_res").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0))
+    ctx.sql("STOP JOB rb_res")
+    val epochsBefore = ckptEpochs(stateRoot, "rb_res")
+
+    // v1's source view loses the column it selects — the rollback
+    // target now fails at launch (ROLLBACK has no validator gate, so
+    // this exercises guardedLaunch directly); the unconditional
+    // rollback epoch bump must revert so v2's checkpoint is not
+    // abandoned
+    ctx.register("rb_extra", in2.toDF().toDF("id", "renamed"))
+    intercept[Exception](ctx.sql("ROLLBACK JOB rb_res"))
+
+    in.addData(Seq((3L, 3.0)))
+    ctx.sql("START JOB rb_res AS SELECT id, v * 2 AS o FROM live_events")
+    ctx.jobManager.awaitIdle("rb_res")
+    assert(ctx.jobManager.sinkDf("rb_res").collect().map(_.getAs[Double]("o")).sorted.toSeq
+      == Seq(2.0, 4.0, 6.0))
+    assert(ckptEpochs(stateRoot, "rb_res") == epochsBefore,
+      "a failed ROLLBACK must revert its epoch bump — v2's checkpoint was abandoned")
+    ctx.sql("STOP JOB rb_res")
   }
 }

@@ -19,11 +19,25 @@ import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--allow")]
-    allow = set()
-    for a in sys.argv[1:]:
-        if a.startswith("--allow"):
-            allow = {q.strip() for q in a.split("=", 1)[-1].split(",") if q.strip()}
+    # both --allow=q63,q64 and --allow q63,q64 (the docstring's form)
+    # must parse; the old prefix-filter dropped only the flag token, so
+    # the space form left its VALUE in args and exited 2 on "usage"
+    argv = sys.argv[1:]
+    args, allow, i = [], set(), 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--allow":
+            if i + 1 >= len(argv):
+                print("--allow requires a value (comma-separated query keys)")
+                return 2
+            allow |= {q.strip() for q in argv[i + 1].split(",") if q.strip()}
+            i += 2
+        elif a.startswith("--allow="):
+            allow |= {q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()}
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
