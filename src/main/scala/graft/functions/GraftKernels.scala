@@ -718,21 +718,37 @@ object GraftKernels {
       scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
-    val k = math.min(nprobe, nCentroids)
+    new GenericArrayData(selectTopCells(scores, nprobe))
+  }
+
+  /** Greedy top-`n` indices by DESCENDING score, ties to the LOWEST
+    * index — THE cell-selection rule, shared by the nearestCentroids
+    * kernel, ivfPqTopK's index build, and its query-side probe pick.
+    * Three independent copies previously encoded the same tie order,
+    * kept in sync only by comments — a change to one would silently
+    * desync ivfPqTopK's cells from ivfTopK's for a shared quantizer
+    * (r14 review). NaN scores read as -inf INSIDE the helper (a NaN
+    * bestScore would poison every later comparison and hand the pick to
+    * whichever NaN came first), so callers may pass raw cosine scores;
+    * an all-NaN row selects 0..n-1 deterministically. */
+  def selectTopCells(scores: Array[Double], n: Int): Array[Int] = {
+    val k = math.min(n, scores.length)
     val out = new Array[Int](k)
-    val taken = new Array[Boolean](nCentroids)
+    val taken = new Array[Boolean](scores.length)
     var j = 0
     while (j < k) {
       var best = -1; var bestScore = Double.NegativeInfinity
-      var c2 = 0
-      while (c2 < nCentroids) {
-        if (!taken(c2) && (best < 0 || scores(c2) > bestScore)) { best = c2; bestScore = scores(c2) }
-        c2 += 1
+      var c = 0
+      while (c < scores.length) {
+        val s0 = scores(c)
+        val s = if (java.lang.Double.isNaN(s0)) Double.NegativeInfinity else s0
+        if (!taken(c) && (best < 0 || s > bestScore)) { best = c; bestScore = s }
+        c += 1
       }
       taken(best) = true; out(j) = best
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   def joinDelim(s: UTF8String): UTF8String = {

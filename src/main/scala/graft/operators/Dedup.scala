@@ -173,9 +173,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
                  maxBucket: Int = 64): DataFrame = {
-    // maxBucket=0 drops every band bucket — the job completes with an
-    // empty candidate set instead of failing (silent-empty mode)
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // a pair needs a bucket of at least 2: maxBucket <= 1 drops EVERY
+    // band bucket (the survivor filter is between(2, maxBucket)) — the
+    // job completes with an empty candidate set instead of failing
+    // (silent-empty mode; >= 1 still admitted the degenerate 1, r14
+    // review)
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // non-positive band geometry is silent garbage, not an error:
     // rowsPerBand=0 gives every doc an EMPTY signature slice (one
     // shared bucket per band → O(n²) pairs with 0/0 est_jaccard);
@@ -184,6 +187,13 @@ object Dedup {
     require(numBands >= 1, s"numBands must be >= 1, got $numBands")
     require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
     val numHashes = numBands * rowsPerBand
+    // fail with the CALLER's parameters (the lshTopK convention): the
+    // signature kernel's seed cache caps numHashes at 256, and letting
+    // the inner gate throw names a parameter the caller never passed
+    // (r14 review)
+    require(numHashes <= 256,
+      s"numBands * rowsPerBand must be <= 256 (signature kernel seed-cache " +
+        s"bound), got $numBands * $rowsPerBand = $numHashes")
     // null-text docs carry no content to near-dup: left in, they all
     // hash to ONE shared per-band bucket (xxhash64 skips a null slice)
     // and pair up with null est_jaccard — drop them up front.
@@ -252,7 +262,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256,
                    replayableHash: Boolean = false): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // >= 2, not >= 1: the bucket survivor filter is between(2, maxBucket),
+    // so 1 drops every bucket — silent-empty (r14 review)
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // replayableHash swaps the per-word hash from Spark-private xxhash64
     // to the lower 64 bits of md5 (= DuckDB's md5_number_lower), making
     // the WHOLE pipeline — fingerprints, bands, bucket cap, hamming —

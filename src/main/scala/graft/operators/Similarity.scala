@@ -529,6 +529,10 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k") // k=0 silently empties every query
     val cents: Array[Double] = centroids.getOrElse(
       collectTrainSample(corpus, idCol, vecCol, dim, nCentroids).flatten)
+    // the sibling trainers' clear error, not the kernel's internal
+    // 'nCentroids must be >= 1' naming a parameter the caller never
+    // passed (r14 review: an all-null-vector corpus reached cellify)
+    require(cents.nonEmpty, "cannot train a quantizer on an empty corpus")
     val nC = cents.length / dim
     def cellify(df: DataFrame, id: String, v: String, probes: Int) =
       df.select(col(idCol).as(id), col(vecCol).as(v))
@@ -619,9 +623,12 @@ object Similarity {
     require(bandBits >= 1 && bandBits < 64, s"bandBits must be in [1, 63], got $bandBits")
     require(probeBits == 0 || probeBits == 1,
       s"probeBits supports 0 (exact bands) or 1 (Hamming-1 multi-probe), got $probeBits")
-    // maxBucket=0 drops every index bucket — the job completes with an
-    // empty pair set instead of failing (the silent-empty mode)
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // maxBucket <= 1 is the silent-empty mode: without probing the
+    // survivor lower bound is 2 so EVERY bucket drops; with probing the
+    // exact-twin buckets (size 2, the pairs that matter most) drop — the
+    // job completes with an empty or twin-less pair set instead of
+    // failing (r14 review: >= 1 still admitted the degenerate 1)
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // ADAPTIVE BAND PLAN (r13): caller (bands, bits) are floors; at
     // large corpora bands widen so bucket load stays bounded and band
     // count grows to hold recall at the requested threshold (see
@@ -630,17 +637,24 @@ object Similarity {
     // comes from a column-pruned count unless the caller knows it;
     // adaptive = false pins the caller's exact geometry and skips the
     // sizing action entirely (r14 advice).
+    // null-vector rows carry nothing to near-dup (the minhashLsh /
+    // simhashPairs rule): left in, they inflate the adaptive sizing
+    // count (widening the plan for vectors that do not exist) and fan
+    // out null chunks through the persisted sketch cache and both
+    // explode sides before join-null semantics finally discard them
+    // (r14 review)
+    val vecs0 = corpus.where(col(vecCol).isNotNull)
     val (effBands, effBits) =
       if (!adaptive) (numBands, bandBits)
       else {
-        val n = corpusSize.getOrElse(corpus.select(col(idCol)).count())
+        val n = corpusSize.getOrElse(vecs0.select(col(idCol)).count())
         adaptiveBandPlan(n, minCos, numBands, bandBits, probeBits)
       }
     // persisted: the sketch pass (and the vector scan under it) feeds
     // the index side, the probe side, and both vector-fetch joins.
     // Chunks are per-band array elements (not one long): the wide plan
     // can exceed 64 total bits.
-    val sk = embedSkCache(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sk = embedSkCache(vecs0.select(col(idCol).as("id"), col(vecCol).as("v"),
       bandChunksSketch(col(vecCol), effBands, effBits, dim).as("chunks")))
     def bandChunk(b: Int): Column = element_at(col("chunks"), b + 1)
     // sketch-Hamming prefilter (r13): when the requested threshold is
@@ -1100,20 +1114,9 @@ object Similarity {
           val scores = centroidCosines(raw, ce, nC, dim)
           val enc = encodeVec(v, code, m, dsub)
           val id = r.getLong(0)
-          val taken = new Array[Int](nAssign)
-          var a = 0
-          while (a < nAssign) {
-            var best = -1; var c = 0
-            while (c < nC) {
-              var used = false; var t = 0
-              while (t < a) { if (taken(t) == c) used = true; t += 1 }
-              if (!used && (best < 0 || scores(c) > scores(best))) best = c
-              c += 1
-            }
-            taken(a) = best
-            a += 1
-          }
-          taken.iterator.take(nAssign).map(cell =>
+          // THE shared selection rule (GraftKernels.selectTopCells) —
+          // not a local re-implementation the kernel could drift from
+          GraftKernels.selectTopCells(scores, nAssign).iterator.map(cell =>
             org.apache.spark.sql.Row(id, cell, enc))
           }
         }
@@ -1125,11 +1128,10 @@ object Similarity {
     val probing: Map[Int, Array[(Long, Array[Double])]] = qRows.flatMap { r =>
       val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
       val lut = adcLut(normalized(raw), cb, m, dsub)
-      // nprobe nearest cells by cosine, descending — same selection
-      // order as the kernel (ties to the lowest cell index)
+      // nprobe nearest cells via THE shared selection rule — identical
+      // cells to the kernel and the index build for a shared quantizer
       val scores = centroidCosines(raw, cents, nC, dim)
-      Array.tabulate(nC)(identity).sortBy(c => (-scores(c), c))
-        .take(math.min(nprobe, nC)).map(c => c -> (r.getLong(0), lut))
+      GraftKernels.selectTopCells(scores, nprobe).map(c => c -> (r.getLong(0), lut))
     }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcProbe = spark.sparkContext.broadcast(probing)
     val keep = refine * k

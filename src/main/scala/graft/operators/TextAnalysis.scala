@@ -64,7 +64,10 @@ object TextAnalysis {
     // and every scored row paid the pipeline twice (langId already
     // binds; the standalone scorer must too)
     letBound(words(textCol)) { ws =>
-      val hits = size(filter(ws, w => stopwords(lang).map(s => w === s).reduce(_ || _)))
+      // isin = ONE In node per word, not a 10-term Or(EqualTo) chain
+      // inside a CodegenFallback HOF on the 100 TB hot path (r14
+      // review; no nulls in either operand set, so semantics match)
+      val hits = size(filter(ws, w => w.isin(stopwords(lang): _*)))
       hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
     }
   }
@@ -92,7 +95,7 @@ object TextAnalysis {
     // tie-break explicitly to keep the oracle trivially replayable.
     letBound(words(textCol)) { ws =>
       val scored = langs.map { l =>
-        val hits = size(filter(ws, w => stopwords(l).map(s => w === s).reduce(_ || _)))
+        val hits = size(filter(ws, w => w.isin(stopwords(l): _*)))
         struct((hits.cast("double") / greatest(size(ws), lit(1)).cast("double")).as("s"),
           lit(l).as("l"))
       }
@@ -120,7 +123,7 @@ object TextAnalysis {
     val punct = length(regexp_replace(textCol, "[^.,;:!?'\"()]", "")).cast("double")
     val upper0 = length(regexp_replace(textCol, "[^A-Z]", "")).cast("double")
     val enStops = stopwords("en")
-    val stopHits = size(filter(ws, w => enStops.map(s => w === s).reduce(_ || _))).cast("double")
+    val stopHits = size(filter(ws, w => w.isin(enStops: _*))).cast("double")
     Seq(
       "n_chars_m" -> len,
       "n_words" -> nWords,
@@ -163,7 +166,7 @@ object TextAnalysis {
         val nlen = length(nt).cast("double")
         val nWords = size(filter(ws0, w => length(w) > 0)).cast("double")
         val stopHits = size(filter(ws0,
-          w => length(w) > 0 && enStops.map(s => w === s).reduce(_ || _))).cast("double")
+          w => length(w) > 0 && w.isin(enStops: _*))).cast("double")
         struct(
           len.as("n_chars_m"),
           nWords.as("n_words"),
@@ -231,20 +234,29 @@ object TextAnalysis {
   def repetitionMetrics(docs: DataFrame, textCol: String, idCol: String,
                         maxTopWordFrac: Double = 0.20,
                         maxDup2gramFrac: Double = 0.20): DataFrame = {
+    // n_2grams (the TOTAL count, the dup-frac denominator) is derived
+    // AFTER the aggregation from n_words: every emitted doc has a
+    // non-empty word list (the explode filter drops the phantom empty
+    // token and empty docs produce no row), so total 2-grams =
+    // max(words-1, 1) = greatest(n_words - 1, 1) exactly. Computing it
+    // up front re-evaluated the whole CodegenFallback normalize+split
+    // pipeline a second time per document and carried a third grouping
+    // key through both shuffles (r14 review; oracle derives the same
+    // way).
     val wordStats = docs
       .select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), 2)).cast("long").as("n_distinct_2grams"),
-        greatest(size(words(col(textCol))) - 1, lit(1)).cast("long").as("n_2grams"),
         words(col(textCol)).as("__graft_ws"))
-      .select(col("doc_id"), col("n_distinct_2grams"), col("n_2grams"),
+      .select(col("doc_id"), col("n_distinct_2grams"),
         explode(col("__graft_ws")).as("w"))
       .where(col("w") =!= "")
-      .groupBy("doc_id", "n_distinct_2grams", "n_2grams", "w")
+      .groupBy("doc_id", "n_distinct_2grams", "w")
       .agg(count(lit(1)).as("wn"))
-      .groupBy("doc_id", "n_distinct_2grams", "n_2grams").agg(
+      .groupBy("doc_id", "n_distinct_2grams").agg(
         sum("wn").as("n_words"),
         count(lit(1)).as("n_distinct_words"),
         max("wn").as("top_word_n"))
+      .withColumn("n_2grams", greatest(col("n_words") - 1, lit(1L)))
     wordStats
       .select(col("doc_id"), col("n_words"),
         (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),

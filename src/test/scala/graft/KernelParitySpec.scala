@@ -232,6 +232,20 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
     assert(plan.toString.contains("*(1) Project [static_invoke(graft.functions.GraftKernels.simhash"))
   }
 
+  test("selectTopCells: descending score, ties to lowest index, NaN never preferred (r14 review)") {
+    import GraftKernels.selectTopCells
+    // plain descending
+    assert(selectTopCells(Array(0.1, 0.9, 0.5), 2).toSeq == Seq(1, 2))
+    // ties break toward the LOWEST index
+    assert(selectTopCells(Array(0.5, 0.9, 0.9, 0.5), 3).toSeq == Seq(1, 2, 0))
+    // n past the score count clamps
+    assert(selectTopCells(Array(0.3, 0.7), 5).toSeq == Seq(1, 0))
+    // NaN is never preferred over a real score; an all-NaN row still
+    // selects deterministically (0..n-1), matching the kernel's -inf pin
+    assert(selectTopCells(Array(Double.NaN, 0.1, Double.NaN), 2).toSeq == Seq(1, 0))
+    assert(selectTopCells(Array(Double.NaN, Double.NaN), 2).toSeq == Seq(0, 1))
+  }
+
   test("hammingBitsCol rejects length-mismatched chunk arrays (r14 advice)") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
