@@ -22,6 +22,18 @@ import VeloSqlParser._
   */
 object MutationChecks {
 
+  /** Parser identifiers keep their backtick quoting (the tokenizer
+    * emits quoted identifiers in Spark backtick form so expression
+    * spans render verbatim) — but HERE names bind against bare schema
+    * field names, so the quoting must come off or `INSERT INTO t
+    * (`amount`) …` / `UPDATE t SET `amount` = …` falsely reject a
+    * column that exists (r14 review; SqlApp.ctasOf strips for the same
+    * reason). Interior doubled backticks unescape. */
+  private def bare(name: String): String =
+    if (name.length >= 2 && name.startsWith("`") && name.endsWith("`"))
+      name.substring(1, name.length - 1).replace("``", "`")
+    else name
+
   /** The reference's stdout debug sink (datasource/stdout_writer.rs:10;
     * the server also falls back to it when a job declares no sink,
     * server/processors/common.rs:1748): `stdout` addresses the
@@ -66,11 +78,11 @@ object MutationChecks {
         throw new ParseException(
           s"INSERT column list has ${cols.length} names but the source produces ${incoming.columns.length}")
       val byLower = existing.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
-      val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
+      val unknown = cols.filterNot(c => byLower.contains(bare(c).toLowerCase))
       if (unknown.nonEmpty)
         throw new ParseException(
           s"INSERT column(s) not in $table: ${unknown.mkString(", ")}")
-      val canonical = cols.map(c => byLower(c.toLowerCase))
+      val canonical = cols.map(c => byLower(bare(c).toLowerCase))
       if (canonical.distinct.length != canonical.length)
         throw new ParseException(
           s"INSERT column list names a column twice: ${cols.mkString(", ")}")
@@ -106,18 +118,26 @@ object MutationChecks {
                   where: Option[Vector[Tok]]): DataFrame = {
     val cond = where.map(w => expr(render(w))).getOrElse(lit(true))
     val known = existing.columns.map(_.toLowerCase).toSet
-    val unknownSet = sets.map(_._1).filterNot(k => known.contains(k.toLowerCase))
+    val unknownSet = sets.map(_._1).filterNot(k => known.contains(bare(k).toLowerCase))
     if (unknownSet.nonEmpty)
       throw new ParseException(
         s"UPDATE SET column(s) not in $table: ${unknownSet.mkString(", ")}")
-    val loweredTargets = sets.map(_._1.toLowerCase)
+    val loweredTargets = sets.map(s => bare(s._1).toLowerCase)
     if (loweredTargets.distinct.length != loweredTargets.length)
       throw new ParseException(
         s"UPDATE SET names a column twice: ${sets.map(_._1).mkString(", ")}")
-    val setMap = sets.map { case (k, e) => k.toLowerCase -> e }.toMap
-    existing.select(existing.schema.fields.toIndexedSeq.map { f =>
+    val setMap = sets.map { case (k, e) => bare(k).toLowerCase -> e }.toMap
+    // the WHERE predicate is materialized ONCE (deleteFrame's rule): a
+    // non-deterministic predicate evaluated independently per SET
+    // column could judge a row "update" for x and "keep" for y —
+    // tearing a multi-column assignment (r14 review). when(null-pred)
+    // falls to otherwise, same as the direct form.
+    val pcol = "__graft_update_pred"
+    require(!existing.columns.exists(_.equalsIgnoreCase(pcol)),
+      s"UPDATE target must not carry the reserved working column $pcol")
+    existing.withColumn(pcol, cond).select(existing.schema.fields.toIndexedSeq.map { f =>
       setMap.get(f.name.toLowerCase) match {
-        case Some(e) => when(cond, expr(render(e))).otherwise(col(f.name))
+        case Some(e) => when(col(pcol), expr(render(e))).otherwise(col(f.name))
           .cast(f.dataType).as(f.name)
         case None => col(f.name)
       }
@@ -132,6 +152,11 @@ object MutationChecks {
     * yet kept by the other. No WHERE deletes every row. */
   def deleteFrame(existing: DataFrame, where: Option[Vector[Tok]]): DataFrame = {
     val pcol = "__graft_delete_pred"
+    // withColumn REPLACES a same-named user column and the trailing
+    // drop would delete the user's data silently (the sibling
+    // operators' reserved-working-column rule; r14 review)
+    require(!existing.columns.exists(_.equalsIgnoreCase(pcol)),
+      s"DELETE target must not carry the reserved working column $pcol")
     where.map { w =>
       existing.withColumn(pcol, expr(render(w)))
         .where(!col(pcol) || col(pcol).isNull).drop(pcol)

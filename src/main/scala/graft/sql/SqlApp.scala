@@ -166,22 +166,17 @@ object SqlApp {
     * `-- @name:` / `-- Property: k = v` annotations attached to the
     * NEXT statement. Missing `-- SQL Application:` header is an error
     * (reference parity); missing version defaults to 1.0.0. */
-  /** Quote state after scanning one line of SQL text (comment-aware). */
+  /** Quote state after scanning one line of SQL text (comment-aware) —
+    * expressed as a loop over splitIndexFrom so there is exactly ONE
+    * quote/comment state machine (r14 review: the two near-identical
+    * scanners could silently diverge metadata classification from
+    * statement splitting on a future escape/comment-rule fix). A found
+    * ';' resumes scanning after it in the bare state, which is what the
+    * inline scan did by treating ';' as a plain character. */
+  @annotation.tailrec
   private def quoteStateAfter(s: String, q0: Char): Char = {
-    var i = 0
-    var quote: Char = q0 // same encoding as splitIndexFrom ('*' = block comment)
-    while (i < s.length) {
-      val c = s(i)
-      if (quote == '*') {
-        if (c == '*' && i + 1 < s.length && s(i + 1) == '/') { quote = 0; i += 1 }
-      }
-      else if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return quote
-      else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { quote = '*'; i += 1 }
-      else if (c == '\'' || c == '"' || c == '`') quote = c
-      i += 1
-    }
-    quote
+    val (idx, q1) = splitIndexFrom(s, q0)
+    if (idx < 0) q1 else quoteStateAfter(s.substring(idx + 1), 0)
   }
 
   /** The metadata pass alone (quote-aware, no name-required check) —
@@ -242,7 +237,12 @@ object SqlApp {
       else if (has("-- @deployment.region:"))
         md = md.copy(deploymentRegion = Some(resolvePattern(tail(line, "-- @deployment.region:"), env)))
       else if (!inLiteral && line.startsWith("-- @") && line.contains(":")
-               && !line.startsWith("-- @name:") && !line.startsWith("-- @metric")
+               // exclude exactly the metric-spec forms ('@metric:' and
+               // '@metric_*:') — the bare '@metric' prefix also swallowed
+               // unrelated keys like '@metrics.port', which then matched
+               // no specific arm either and vanished entirely (r14 review)
+               && !line.startsWith("-- @name:") && !line.startsWith("-- @metric:")
+               && !line.startsWith("-- @metric_")
                && !line.startsWith("-- @partition-count:")
                && !line.startsWith("-- @sticky-partition-id:")) {
         val body = line.stripPrefix("-- @")

@@ -86,11 +86,17 @@ object SqlValidator {
 
     def checkInto(s: SelectStmt): Unit =
       s.into.foreach { sink =>
-        // `stdout` is the executor's built-in debug sink — it needs no
-        // declaration, so warning on it would be validator/executor
-        // drift (same exemption as the InsertInto arm below)
-        if (!ctx.declaredSources.contains(sink) && !localSinkDecls.contains(sink)
-            && !sink.equalsIgnoreCase("stdout")) {
+        // declarations bind case-INSENSITIVELY, like the executor's
+        // sinkFilePath resolution — an exact-match check warned on
+        // 'INTO FILE_OUT' against 'CREATE SINK file_out' that executes
+        // fine (r14 review). The `stdout` exemption is CATALOG-AWARE
+        // via the shared isStdoutSink (the InsertInto arm's rule): a
+        // real table named stdout shadows the debug sink, and INTO it
+        // with no declaration is the silent-no-write case the warning
+        // exists for.
+        val declared = ctx.declaredSources.keys.exists(_.equalsIgnoreCase(sink)) ||
+          localSinkDecls.exists(_.equalsIgnoreCase(sink))
+        if (!declared && !MutationChecks.isStdoutSink(sess, sink)) {
           warnings :+= s"INTO sink '$sink' has no CREATE SINK declaration"
           missingSinks :+= sink
         }
@@ -228,7 +234,13 @@ object SqlValidator {
     * shadowed: validation never leaves catalog residue. */
   def validateContent(ctx: VeloContext, content: String): AppValidation = {
     val appName = Option(SqlApp.parseMetadata(content).name).filter(_.nonEmpty)
-    val statements = VeloContext.splitStatements(content)
+    // the SAME ${VAR} resolution SqlApp.run applies before executing
+    // (SqlApp.resolvePattern): validating the raw text rejected
+    // deployable apps at tokenize ('unexpected character $') — the
+    // exact validator/executor drift this gate promises not to have
+    // (r14 review). Unresolvable specs keep their text, as run() does —
+    // both sides then fail identically.
+    val statements = VeloContext.splitStatements(content).map(SqlApp.resolvePattern(_))
     // placeholders register in a CLONED session (copied temp-view
     // catalog, same SharedState): a same-name placeholder on the shared
     // session would hand zero-row frames to any statement executing
@@ -274,8 +286,10 @@ object SqlValidator {
         r
       }
       // derived from the structured per-statement record, not from
-      // substring-matching warning text (r14 review)
-      val missing = results.flatMap(_.missingSinks).toVector
+      // substring-matching warning text (r14 review); DISTINCT — one
+      // undeclared sink referenced by N statements is ONE missing
+      // configuration, not N copies of the same line
+      val missing = results.flatMap(_.missingSinks).toVector.distinct
         .map(s => s"INTO sink '$s' has no CREATE SINK declaration")
       AppValidation(appName, statements.length, results.count(_.isValid),
         results.toVector, missing, results.forall(_.isValid))

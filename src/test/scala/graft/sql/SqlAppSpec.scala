@@ -537,6 +537,17 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
       "-- SQL Application: Closer App\n\nCREATE TABLE t AS SELECT 'x\n-- @owner: hacker'\n AS c FROM s;\n",
       lookup)
     assert(!app2.metadata.extra.contains("owner"))
+    // a non-metric annotation whose key merely STARTS with 'metric'
+    // ('-- @metrics.port') must land in extra like '@job.port' would —
+    // the old bare '-- @metric' exclusion swallowed it entirely (r14
+    // review); the true metric-spec forms stay excluded
+    val app3 = SqlApp.parse(
+      "-- SQL Application: Metricish App\n-- @metrics.port: 9090\n" +
+        "-- @metric: orders_total\n-- @metric_help: h\n\nSELECT 1;\n",
+      lookup)
+    assert(app3.metadata.extra.get("metrics.port").contains("9090"), app3.metadata.extra.toString)
+    assert(!app3.metadata.extra.keys.exists(_.startsWith("metric:")))
+    assert(!app3.metadata.extra.contains("metric_help"))
   }
 
   test("a CTAS re-creating a table stays strictly ordered (write-after-read barrier)") {

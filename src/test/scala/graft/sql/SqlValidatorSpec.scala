@@ -298,4 +298,62 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     assert(SqlValidator.validateStatement(ctx, "DELETE FROM v_mut WHERE x > 100").isValid)
     assert(spark.table("v_mut").count() == 1)
   }
+  test("r14 review follow-ups: ${VAR} apps validate, sinks bind case-insensitively, annotations survive") {
+    // the gate applies the SAME ${VAR} resolution SqlApp.run does — a
+    // deployable app using substitution must not be rejected at tokenize
+    val app =
+      """-- SQL Application: subst_app
+        |CREATE SINK file_out WITH (path = 'file:///tmp/graft_subst_out.parquet');
+        |SELECT order_id FROM ${GRAFT_NO_SUCH_VAR:v_orders} INTO FILE_OUT;
+        |""".stripMargin
+    val v = SqlValidator.validateContent(ctx, app)
+    assert(v.isValid, v.toString)
+    // INTO FILE_OUT bound the sink declared as file_out (the executor's
+    // case-insensitive rule) — no missing-sink record
+    assert(v.missingConfigurations.isEmpty, v.toString)
+
+    // one undeclared sink referenced twice is ONE missing configuration
+    val dup =
+      """-- SQL Application: dup_sink_app
+        |SELECT order_id FROM v_orders INTO nowhere;
+        |SELECT amount FROM v_orders INTO nowhere;
+        |""".stripMargin
+    val dv = SqlValidator.validateContent(ctx, dup)
+    assert(dv.missingConfigurations.length == 1, dv.missingConfigurations.toString)
+
+    // INTO stdout when a REAL table named stdout exists is the
+    // silent-no-write case — the catalog-aware exemption must WARN
+    import spark.implicits._
+    ctx.register("stdout", Seq((1, "x")).toDF("id", "v"))
+    try {
+      val shadowed = SqlValidator.validateStatement(ctx,
+        "SELECT order_id FROM v_orders INTO stdout")
+      assert(shadowed.missingSinks == Vector("stdout"), shadowed.toString)
+    } finally spark.catalog.dropTempView("stdout")
+  }
+
+  test("backtick-quoted INSERT/UPDATE column targets bind to bare schema names (r14 review)") {
+    import spark.implicits._
+    val ctx2 = new VeloContext(spark)
+    ctx2.register("bt_t", Seq((1L, 10.0)).toDF("id", "amount"))
+    ctx2.sql("CREATE TABLE bt_m AS SELECT * FROM bt_t")
+    ctx2.sql("INSERT INTO bt_m (`amount`, `id`) VALUES (20.0, 2)")
+    assert(ctx2.sql("SELECT COUNT(*) AS n FROM bt_m").collect().head.getLong(0) == 2)
+    ctx2.sql("UPDATE bt_m SET `amount` = 99.0 WHERE id = 2")
+    val got = ctx2.sql("SELECT amount FROM bt_m WHERE id = 2").collect().head.getDouble(0)
+    assert(got == 99.0)
+  }
+
+  test("multi-column UPDATE under a non-deterministic WHERE cannot tear (r14 review)") {
+    import spark.implicits._
+    val ctx2 = new VeloContext(spark)
+    ctx2.register("nd_t", (1 to 200).map(i => (i.toLong, 0L, 0L)).toDF("id", "x", "y"))
+    ctx2.sql("CREATE TABLE nd_m AS SELECT * FROM nd_t")
+    ctx2.sql("UPDATE nd_m SET x = 1, y = 1 WHERE rand() < 0.5")
+    // the predicate is materialized once per row: x and y always agree —
+    // per-column evaluation would disagree on ~half the selected rows
+    val torn = ctx2.sql("SELECT COUNT(*) AS n FROM nd_m WHERE x <> y")
+      .collect().head.getLong(0)
+    assert(torn == 0L, s"$torn rows updated x without y (or vice versa)")
+  }
 }
