@@ -64,7 +64,18 @@ object AnnRecall {
     * offsets already occupy the default TwinOffset range (r14).
     */
   private[graft] def withTwinVec(bases: DataFrame, dim: Int,
-                                 idOffset: Long = TwinOffset): DataFrame =
+                                 idOffset: Long = TwinOffset): DataFrame = {
+    // ENFORCED, not just documented (r14 review): a corpus id at/above
+    // the offset collides with a planted twin id — two different
+    // vectors under one id make the pair identity ambiguous, and the
+    // recall floor reads a silently corrupted number. One driver-scale
+    // max() agg per measurement; the measurement already collects
+    // pair sets, so this costs nothing visible.
+    val maxId = Option(bases.agg(max(col("vec_id"))).head.get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
+    require(maxId < idOffset,
+      s"twin idOffset $idOffset does not clear the corpus (max vec_id $maxId) — " +
+        "planted ids would collide with real vectors and corrupt the recall measurement")
     bases.select(col("vec_id"), col("embedding"),
       (col("vec_id") + lit(idOffset)).as("tid"),
       expr(
@@ -74,6 +85,7 @@ object AnnRecall {
                                  (a, y) -> a + cast(y as double) * cast(y as double)) / $dim)
                 * ((pmod(xxhash64(vec_id, i), 2000) / 1000.0) - 1.0)
             as float))""").as("tvec"))
+  }
 
   def measure(spark: SparkSession, sfDir: String): Seq[Entry] = {
     // exact top-10 per query (5 queries × k=10 — a driver-scale set)

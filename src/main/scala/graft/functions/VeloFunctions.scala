@@ -83,9 +83,14 @@ object VeloFunctions {
     concat_ws(sep, parts.map(p =>
       coalesce(GraftKernels.veloStrCol(p), lit("NULL"))): _*)
   /** LEFT/RIGHT with a NEGATIVE n return the WHOLE string (reference:
-    * `n as usize` wraps to take-everything — Spark returns empty). */
-  def veloLeft(c: Column, n: Int): Column = if (n < 0) c else left(c, lit(n))
-  def veloRight(c: Column, n: Int): Column = if (n < 0) c else right(c, lit(n))
+    * `n as usize` wraps to take-everything — Spark returns empty). The
+    * negative arm STRINGIFIES like left()/right() do for non-string
+    * inputs (analysis inserts the same cast there): returning the raw
+    * column made the result TYPE flip with the sign of n (r14 review). */
+  def veloLeft(c: Column, n: Int): Column =
+    if (n < 0) c.cast("string") else left(c, lit(n))
+  def veloRight(c: Column, n: Int): Column =
+    if (n < 0) c.cast("string") else right(c, lit(n))
   /** 1-based BYTE position of needle (reference: str::find byte
     * offsets, functions.rs:2517 — 'l' in 'héllo' is 4, not 3);
     * 0 when absent. */
@@ -167,8 +172,12 @@ object VeloFunctions {
       val s = lit.toString
       // quote on '#'/'{'/'}' too: Java reserves them and throws
       // IllegalArgumentException on an unquoted occurrence — a pattern
-      // chrono renders fine must not crash here (r12 review)
-      if (s.exists(c => c.isLetter || c == '\'' || c == '#' || c == '{' || c == '}'))
+      // chrono renders fine must not crash here (r12 review). '[' and
+      // ']' are ACTIVE syntax (optional sections): unquoted they either
+      // silently vanish from the output or throw on imbalance (r14
+      // review) — same quoting rule.
+      if (s.exists(c => c.isLetter || c == '\'' || c == '#' || c == '{' || c == '}'
+          || c == '[' || c == ']'))
         out.append('\'').append(s.replace("'", "''")).append('\'')
       else out.append(s)
       lit.clear()
@@ -261,7 +270,11 @@ object VeloFunctions {
   // which is a EUCLIDEAN floor — cast-to-long is floorDiv on micros and
   // matches it on pre-1970 fractional timestamps where unix_timestamp's
   // truncation toward zero is off by one second (r11 oracle audit)
-  def veloUnixTimestamp(ts: Column): Column = ts.cast("long")
+  // The timestamp hop keeps STRING time columns working (the dialect
+  // parser's UNIX_TIMESTAMP lowering and EXTRACT(EPOCH) both carry it;
+  // a bare cast read a digit-string as a bogus epoch and NULLed/threw
+  // on '2024-03-01 …' — r14 review). Timestamp inputs are unchanged.
+  def veloUnixTimestamp(ts: Column): Column = ts.cast("timestamp").cast("long")
   // timestamp_seconds: direct arithmetic cast — to_timestamp(from_unixtime(..))
   // would pay a per-row format-then-parse string round-trip for the same value
   def veloFromUnixtime(epoch: Column): Column = timestamp_seconds(epoch)
@@ -274,7 +287,10 @@ object VeloFunctions {
     // dialect parser's TUMBLE_START lowering already made this switch
     // (VeloSqlParser) — this is the other copy, and a pre-1970
     // fractional ts would bucket one second apart between the two
-    (floor(ts.cast("long") / sizeSeconds) * sizeSeconds).cast("long")
+    // timestamp hop like veloUnixTimestamp (r14 review): string time
+    // columns must bucket, not NULL/throw; the dialect's TUMBLE_START
+    // lowering and TimeWindows.epochBucket both carry it already
+    (floor(ts.cast("timestamp").cast("long") / sizeSeconds) * sizeSeconds).cast("long")
   }
   def tumbleEnd(ts: Column, sizeSeconds: Long): Column =
     tumbleStart(ts, sizeSeconds) + lit(sizeSeconds)

@@ -173,6 +173,37 @@ object StreamOps {
             else if (pinf > 0) Double.PositiveInfinity
             else if (ninf > 0) Double.NegativeInfinity
             else sum
+          // finite-sum OVERFLOW recovery (r14 review): the non-finite
+          // COUNTS only cover non-finite INPUTS — when the finite
+          // values' own running sum overflows to ±Inf, comp goes
+          // Inf/NaN and every later add/drop stays NaN, re-creating
+          // exactly the persisted-poisoning the counts eliminated.
+          // Rebuild the Kahan pair from the ring whenever it turns
+          // non-finite: while the window GENUINELY overflows this costs
+          // O(window) per event (the honest emitted value is ±Inf —
+          // IEEE's own answer for that content); the moment the big
+          // values leave the ring, one rebuild restores a finite exact
+          // sum. State shape is unchanged (no checkpoint break).
+          def rebuild(): Unit = {
+            sum = 0.0; comp = 0.0
+            var i = 0
+            while (i < buf.length) {
+              val x = buf(i)
+              if (java.lang.Double.isFinite(x)) {
+                val y = x - comp; val t = sum + y; comp = (t - sum) - y; sum = t
+                // pin PER STEP: the overflow can happen mid-rebuild
+                // (comp = Inf-big = Inf), and the next iteration's
+                // y = x - Inf would turn the whole rebuild NaN. With
+                // comp pinned finite, sum stays in {finite, ±Inf} —
+                // t = ±Inf + finite never produces NaN.
+                if (!java.lang.Double.isFinite(comp)) comp = 0.0
+              }
+              i += 1
+            }
+          }
+          def rebuildIfPoisoned(): Unit =
+            if (!java.lang.Double.isFinite(sum) || !java.lang.Double.isFinite(comp))
+              rebuild()
           // flatMapGroupsWithState gives NO order guarantee within a group
           // (a multi-partition batch interleaves arbitrarily) — the ring
           // buffer's "last n" is only meaningful in `ord` order, so sort
@@ -181,7 +212,21 @@ object StreamOps {
           val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
             buf = buf :+ e.v
             add(e.v)
-            if (buf.size > n) { drop(buf.head); buf = buf.drop(1) }
+            if (buf.size > n) {
+              val dropped = buf.head
+              drop(dropped); buf = buf.drop(1)
+              // MAGNITUDE COLLAPSE (r14 review): when the dropped value
+              // dwarfed the rest of the ring, the small contributions
+              // were rounded away while it was resident and comp's
+              // partial record cannot restore them exactly — the
+              // running sum would read ~0 where the true window sum is
+              // the surviving values'. One O(window) rebuild per such
+              // drop (rare: requires ≥ ~40 bits of magnitude spread)
+              // restores the exact Kahan sum of what remains.
+              if (java.lang.Double.isFinite(dropped) && java.lang.Double.isFinite(sum)
+                  && math.abs(dropped) > math.abs(sum) * 1e12) rebuild()
+            }
+            rebuildIfPoisoned()
             if (!emitOnFull || buf.size == n) {
               val s = emitSum
               Some(BufEmit(key, e.id, buf.size, s, s / buf.size))

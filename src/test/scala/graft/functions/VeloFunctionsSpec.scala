@@ -196,4 +196,26 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(veloDateFormat(lit("2026-01-05 10:00:00").cast("timestamp"),
       "%Y#%m")) == "2026#01")
   }
+
+  test("r14 review: '[' ']' literals survive, string ts epoch/bucket, negative LEFT stringifies") {
+    def one(c: org.apache.spark.sql.Column): Any =
+      spark.range(1).select(c).collect().head.get(0)
+    // '[' / ']' open DateTimeFormatter OPTIONAL SECTIONS — unquoted
+    // they silently vanish from the output (balanced) or throw
+    // (unbalanced); chrono renders them literally
+    assert(one(veloDateFormat(lit("2024-03-05 10:00:00").cast("timestamp"),
+      "%Y[%m]")) == "2024[03]")
+    assert(one(veloDateFormat(lit("2024-03-05 10:00:00").cast("timestamp"),
+      "%H]")) == "10]")
+    // STRING time columns work through the timestamp hop, like the
+    // dialect's UNIX_TIMESTAMP/TUMBLE_START lowerings and EXTRACT(EPOCH)
+    assert(one(veloUnixTimestamp(lit("1970-01-01 00:01:00"))) == 60L)
+    assert(one(tumbleStart(lit("1970-01-01 00:01:07"), 60L)) == 60L)
+    // timestamp inputs unchanged (pre-1970 fractional still FLOORS)
+    assert(one(veloUnixTimestamp(lit("1969-12-31 23:59:59.5").cast("timestamp"))) == -1L)
+    // negative LEFT/RIGHT on a NON-string column stringifies like the
+    // positive arm does — the result type must not flip with n's sign
+    assert(one(veloLeft(lit(12345), -1)) == "12345")
+    assert(one(veloRight(lit(12345), 2)) == "45")
+  }
 }

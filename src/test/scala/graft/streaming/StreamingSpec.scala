@@ -120,6 +120,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       s"sum must recover once non-finite values leave the ring: $out")
   }
 
+  test("rows buffer recovers from FINITE-sum overflow once the big values leave the ring (r14 review)") {
+    import spark.implicits._
+    // two finite values whose sum overflows double: the ring sum is
+    // honestly +Inf while they cohabit (IEEE's own answer), but the
+    // Kahan compensation turns NaN at the overflow — without the
+    // rebuild, every later sum (and the state, forever) read NaN even
+    // after the big values left the ring
+    val big = 1.7e308
+    val events = Seq(
+      StreamOps.BufEvent(1, 1L, 101L, big),
+      StreamOps.BufEvent(1, 2L, 102L, big),
+      StreamOps.BufEvent(1, 3L, 103L, 30.0),
+      StreamOps.BufEvent(1, 4L, 104L, 40.0),
+      StreamOps.BufEvent(1, 5L, 105L, 50.0),
+      StreamOps.BufEvent(1, 6L, 106L, 60.0))
+    val out = StreamOps.rowsBufferAgg(spark.createDataset(events), n = 3).collect()
+      .sortBy(_.event_id).map(e => (e.event_id, e.buf_sum)).toSeq
+    assert(out(0) == ((101L, big)))
+    assert(out(1)._2 == Double.PositiveInfinity) // big + big overflows
+    assert(out(2)._2 == Double.PositiveInfinity) // ring = big, big, 30
+    assert(out(3)._2 == big,                     // ring = big, 30, 40 — FINITE again
+      s"one big value no longer overflows; the rebuild must restore a finite sum: $out")
+    assert(out(4) == ((105L, 120.0)),            // ring = 30, 40, 50 — exact
+      s"sum must recover once the overflow leaves the ring: $out")
+    assert(out(5) == ((106L, 150.0)), out.toString)
+  }
+
   test("rows buffer reserved-name guards are case-insensitive like the resolver (r13 review)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
