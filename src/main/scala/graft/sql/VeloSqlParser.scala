@@ -294,6 +294,22 @@ object VeloSqlParser {
     /** Context-dependent clause stops (e.g. STRATEGY while inside a
       * DEPLOY JOB body) — checked by exprSpan alongside clauseStarts. */
     private var dynStops: Set[String] = Set.empty
+    /** The valid deployment-strategy forms — ONE constant shared by the
+      * exprSpan clause boundary, the alias gate (isClauseTok), and
+      * strategyClause's own match (r14 review: the boundary's inline
+      * Set literal would silently desync from a newly added strategy,
+      * swallowing its clause into the body's last span). */
+    private val StrategyForms = Set("BLUE_GREEN", "ROLLING", "REPLACE", "CANARY")
+    /** Is a STRATEGY token at a clause boundary, judged by what follows
+      * (next, nextNext)? A valid form is; so is a lone trailing
+      * identifier at the very END of the statement — that is a strategy
+      * clause with a TYPO'd form, and stopping here lets strategyClause
+      * report 'unknown deployment strategy <word>' instead of a deep
+      * Catalyst error on the silently swallowed span (r14 review). A
+      * column/alias named `strategy` mid-query stays an identifier. */
+    private def strategyBoundary(next: Option[Tok], nextNext: Option[Tok]): Boolean =
+      next.exists(n => StrategyForms.contains(n.upper)) ||
+        (next.exists(_.kind == TIdent) && nextNext.isEmpty)
     private def peek(o: Int = 0): Option[Tok] = if (pos + o < toks.length) Some(toks(pos + o)) else None
     private def at(kw: String, o: Int = 0): Boolean = peek(o).exists(_.isKw(kw))
     private def take(): Tok = {
@@ -388,6 +404,8 @@ object VeloSqlParser {
             val pct = take().text.toInt // validation is the deployer's job (reference parity)
             expectSym(")")
             Canary(pct)
+          // the match arms above ARE StrategyForms — a new strategy must
+          // land in both (the shared constant keeps the BOUNDARY in sync)
           case other => throw new ParseException(s"unknown deployment strategy $other")
         })
       }
@@ -629,7 +647,10 @@ object VeloSqlParser {
 
     private def unquote(t: Tok): String =
       if (t.kind == TString) unquoteString(t.text)
-      else t.text.stripPrefix("`").stripSuffix("`")
+      // collapse the doubled interior backticks tokenize re-escapes —
+      // `a``b` must decode to a`b, the inverse of the encode (r14
+      // review: the TString branch round-trips; this one did not)
+      else t.text.stripPrefix("`").stripSuffix("`").replace("``", "`")
 
     private def emitMode(): EmitMode = {
       val t = take()
@@ -728,14 +749,13 @@ object VeloSqlParser {
                  // WITHIN GROUP (ORDER BY …) is part of an inverse-
                  // distribution aggregate, not the stream-join WITHIN
                  && !(t.upper == "WITHIN" && peek(1).exists(_.isKw("GROUP")))
-                 // STRATEGY is a clause boundary only when what follows
-                 // is an actual strategy form (BLUE_GREEN/ROLLING/
-                 // REPLACE/CANARY) — a column named `strategy` inside a
-                 // DEPLOY body must stay an ordinary identifier (r14
+                 // STRATEGY is a clause boundary only per
+                 // strategyBoundary — a column named `strategy` inside
+                 // a DEPLOY body must stay an ordinary identifier (r14
                  // review: `SELECT strategy, count(*) … GROUP BY
-                 // strategy` read as an empty select item)
-                 && !(t.upper == "STRATEGY" && !peek(1).exists(n =>
-                      Set("BLUE_GREEN", "ROLLING", "REPLACE", "CANARY").contains(n.upper)))) done = true
+                 // strategy` read as an empty select item), while a
+                 // trailing typo'd form still gets the clear error
+                 && !(t.upper == "STRATEGY" && !strategyBoundary(peek(1), peek(2)))) done = true
         else out += take()
       }
       out.toVector
@@ -768,7 +788,7 @@ object VeloSqlParser {
             throw new ParseException(
               "PRIMARY KEY must annotate a column or aliased select item " +
                 "(alias the expression first: expr AS name PRIMARY KEY)")
-          keys :+= span.last.text.stripPrefix("`").stripSuffix("`")
+          keys :+= span.last.text.stripPrefix("`").stripSuffix("`").replace("``", "`")
         } else if (span.length == 2 && span.head.isKw("PRIMARY") && span.last.isKw("KEY"))
           throw new ParseException("PRIMARY KEY must annotate a select item")
         fields :+= span
@@ -791,8 +811,13 @@ object VeloSqlParser {
           }
           "(" + rendered + ")"
         } else ident()
+      // the SAME STRATEGY lookahead as exprSpan's boundary: without it
+      // a FROM/JOIN alias named `strategy` was rejected as an alias and
+      // the leftover token misfed strategyClause (r14 review). These
+      // gates run on peek(), so the following tokens are peek(1)/peek(2).
       def isClauseTok(t: Tok): Boolean =
-        clauseStarts.contains(t.upper) || dynStops.contains(t.upper)
+        (clauseStarts.contains(t.upper) || dynStops.contains(t.upper)) &&
+          !(t.upper == "STRATEGY" && !strategyBoundary(peek(1), peek(2)))
       // `FROM src WITH ('config_file' = '…')` — the reference attaches
       // source configs directly to the FROM/JOIN source, with query
       // clauses (WHERE/GROUP BY/EMIT…) continuing after
@@ -955,7 +980,7 @@ object VeloSqlParser {
             // event times before bucketing) and dialect-only forms die
             // unresolved inside spark.sql() (r14 review)
             if (timeCol.isEmpty)
-              timeCol = Some(render(rewriteTokens(span.toVector, defaultTimeCol))
+              timeCol = Some(render(rewriteTokens(span, defaultTimeCol))
                 .replace(" . ", "."))
             else if (bareIdent) pcols :+= render(span).replace(" . ", ".")
             else

@@ -1320,6 +1320,32 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     val rep = ctx.sql("SHOW PROPERTIES neg_sink").collect()
       .find(_.getString(0) == "replication").map(_.getString(1))
     assert(rep.contains("-1"), s"got $rep")
+
+    // (7) a TYPO'd strategy form still gets the CLEAR parser error, not
+    // a deep Catalyst failure on a silently swallowed span (the
+    // trailing-identifier boundary in strategyBoundary)
+    val e7 = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "DEPLOY JOB dj_typo AS SELECT strategy FROM decisions GROUP BY strategy STRATEGY BLUEGREEN",
+      "timestamp", _ => None))
+    assert(e7.getMessage.contains("unknown deployment strategy"), e7.getMessage)
+
+    // (8) a FROM alias named `strategy` inside a DEPLOY body parses —
+    // the alias gate shares exprSpan's STRATEGY lookahead
+    VeloSqlParser.parse(
+      "DEPLOY JOB dj_alias AS SELECT strategy.amount FROM decisions strategy STRATEGY ROLLING",
+      "timestamp", _ => None) match {
+      case VeloSqlParser.DeployJob(_, _, VeloSqlParser.Select(sel), _, strat) =>
+        assert(strat == VeloSqlParser.Rolling)
+        assert(sel.fromAlias.contains("strategy"), sel.fromAlias.toString)
+      case o => fail(s"unexpected parse: $o")
+    }
+
+    // (9) backtick-quoted identifiers with an INTERIOR backtick decode
+    // through unquote's collapse — the inverse of tokenize's re-escape
+    ctx.sql("CREATE SINK bt_sink WITH (`a``b` = 'x')")
+    val btv = ctx.sql("SHOW PROPERTIES bt_sink").collect()
+      .find(_.getString(0) == "a`b").map(_.getString(1))
+    assert(btv.contains("x"), s"got $btv")
   }
 
   test("executor r14 review: retention needs a time column, string keys partition, stdout arms, sink redeclaration") {
