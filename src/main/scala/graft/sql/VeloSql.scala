@@ -167,8 +167,17 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // a NON-windowed continuous aggregate cannot run in append
           // mode (no event-time window ever closes its groups — Spark
           // throws); the reference's default emission for it is
-          // changelog-style updates, so route it there instead of dying
-          if (s.groupBy.nonEmpty && s.window.isEmpty)
+          // changelog-style updates, so route it there instead of dying.
+          // Judged from the ANALYZED PLAN, not just s.groupBy: a GLOBAL
+          // aggregate (SELECT COUNT(*) FROM stream — no GROUP BY) and
+          // SELECT DISTINCT lower to a streaming Aggregate too, and the
+          // groupBy-only guard sent exactly those to the append arm it
+          // exists to rescue them from (r14 review)
+          val aggregates = df.queryExecution.analyzed.exists {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+            case _ => false
+          }
+          if (s.window.isEmpty && aggregates)
             graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink)
           else graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink)
       }
@@ -285,7 +294,13 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   /** Integral values render without a decimal point (counter parity
     * with the reference's integer counters). */
   private def fmtMetric(v: Double): String =
-    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    // Prometheus exposition spells non-finite values +Inf/-Inf/NaN —
+    // Scala's "Infinity" makes the WHOLE scrape unparseable, the same
+    // failure class escLabel guards (r14 review)
+    if (v.isNaN) "NaN"
+    else if (v == Double.PositiveInfinity) "+Inf"
+    else if (v == Double.NegativeInfinity) "-Inf"
+    else if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   /** Prometheus exposition text for everything in the registry. */
   def prometheusText: String = metricsRegistry.synchronized {
@@ -349,13 +364,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         // references it — cache-then-swap left the fresh entry
         // silently evicted (StorageLevel.NONE on every later read,
         // observed). Swap-then-cache leaves a fresh, stable entry.
+        // the prior frame's storage level survives the rebuild: a
+        // 'table_model' = 'compact' (MEMORY_AND_DISK_SER) table must
+        // not silently inflate to the default deserialized cache on
+        // its first INSERT (r14 review). NONE (shouldn't happen for a
+        // registry entry) falls back to cache()'s default level.
+        val priorLevel = materialized.synchronized(materialized.get(k)).map(_.storageLevel)
+          .filter(_ != org.apache.spark.storage.StorageLevel.NONE)
+          .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         materialized.synchronized {
           materialized.get(k).foreach(_.unpersist())
           materialized.remove(k)
           df.createOrReplaceTempView(table)
           materialized(table) = df
         }
-        df.cache()
+        df.persist(priorLevel)
         df.count()
         df
       case None =>
@@ -403,8 +426,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
               case Some(p) => graft.sources.Serde.writeFileUri(bdf, p)
               // the reference's debug sink (datasource/stdout_writer.rs:10):
               // an undeclared `stdout` target prints JSON records instead
-              // of silently dropping the INTO
-              case None if sink.equalsIgnoreCase("stdout") => printStdout(bdf)
+              // of silently dropping the INTO. Catalog-aware via the
+              // SHARED helper like the CSAS/InsertInto arms and the
+              // validator — a real table named stdout shadows the debug
+              // sink on every statement shape (r14 review)
+              case None if MutationChecks.isStdoutSink(spark, sink) => printStdout(bdf)
               case None => ()
             }
           }
@@ -504,7 +530,16 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // must not serialize unrelated CTAS.
       materialized.synchronized {
         df.createOrReplaceTempView(name)
-        materialized.get(name).foreach(_.unpersist())
+        // case-INSENSITIVE prior lookup, like rebindMutatedView: the
+        // temp-view swap above is case-insensitive, so a re-CTAS under
+        // different casing replaced the view while the exact-match get
+        // missed the old registry entry — its cache blocks stayed
+        // pinned for the session and the registry held two live
+        // entries for one view (r14 review)
+        materialized.keys.find(_.equalsIgnoreCase(name)).foreach { k =>
+          materialized(k).unpersist()
+          materialized.remove(k)
+        }
         materialized(name) = df
       }
       df
@@ -809,13 +844,21 @@ object VeloContext {
         }
       }
       if (cur.nonEmpty) groups += cur
+      def bare(t: VeloSqlParser.Tok): String =
+        t.text.stripPrefix("`").stripSuffix("`")
+      def isIdent(t: VeloSqlParser.Tok): Boolean =
+        bare(t).matches("[A-Za-z_][A-Za-z0-9_]*")
       groups.result().collect {
         // backtick-stripped, like outputNameOf: `GROUP BY \`event_type\``
         // is the same routable column as the bare form — the unstripped
         // text fails the identifier test and silently disabled routing
-        case Vector(t) if t.text.stripPrefix("`").stripSuffix("`")
-          .matches("[A-Za-z_][A-Za-z0-9_]*") =>
-          t.text.stripPrefix("`").stripSuffix("`")
+        case Vector(t) if isIdent(t) => bare(t)
+        // a QUALIFIED key (GROUP BY o.user_id) routes on its output
+        // name, exactly as outputNameOf resolves the same dotted ref in
+        // the select list — the single-token-only collect silently
+        // disabled the per-key routing contract for qualified keys
+        // (r14 review)
+        case Vector(q, d, t) if d.text == "." && isIdent(q) && isIdent(t) => bare(t)
       }
     }
 
@@ -846,7 +889,12 @@ object VeloContext {
       // columns positionally and pass the window columns through
       // (declaring them explicitly also works — then the list covers
       // every column). Anything else is a genuine arity error.
-      declaredArityError(df.columns.toSeq, cols.length).foreach(e => throw new IllegalArgumentException(e))
+      // ParseException, not IllegalArgumentException: a malformed
+      // declared list is a DIALECT error — the HTTP layer maps
+      // ParseException to 400 and everything else to 500 (r14 review;
+      // same status-class fix the INSERT width check already got)
+      declaredArityError(df.columns.toSeq, cols.length)
+        .foreach(e => throw new VeloSqlParser.ParseException(e))
       val extras = df.columns.drop(cols.length)
       val renamed = df.toDF(cols.map(_._1) ++ extras: _*)
       renamed.select(cols.map { case (n, t) => col(n).cast(t).as(n) } ++ extras.map(col): _*)

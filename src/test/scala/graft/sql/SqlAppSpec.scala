@@ -249,6 +249,16 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(metricValue("metered_amount_total").contains(42.5))
     assert(metricValue("metered_last_amount").contains(2.5))
     assert(ctx.prometheusText.contains("# TYPE metered_rows_total counter"))
+    // non-finite values spell Prometheus's +Inf/-Inf/NaN — Scala's
+    // "Infinity" rendering made the whole scrape unparseable (r14 review)
+    ctx.recordMetricSeries("inf_gauge", "gauge", None,
+      Vector(("", Map("k" -> "a"), Double.PositiveInfinity),
+        ("", Map("k" -> "b"), Double.NegativeInfinity),
+        ("", Map("k" -> "c"), Double.NaN)))
+    val nfText = ctx.prometheusText
+    assert(nfText.contains("""inf_gauge{k="a"} +Inf"""), nfText.linesIterator.filter(_.contains("inf_gauge")).mkString("|"))
+    assert(nfText.contains("""inf_gauge{k="b"} -Inf"""))
+    assert(nfText.contains("""inf_gauge{k="c"} NaN"""))
     ctx.sql("STOP JOB meter")
   }
 

@@ -101,6 +101,57 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(aapl.exists(r => !r.isNullAt(2)))
   }
 
+  test("r14 review: global streaming aggregate routes to changelog; qualified GROUP BY routes; arity is a dialect error") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // (1) SELECT COUNT(*) with NO GROUP BY over a stream lowers to a
+    // streaming Aggregate — append mode rejects it; the plan-judged
+    // routing must send it to the changelog arm instead of crashing
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    ctx.registerStream("glob_stream",
+      in.toDF().toDF("id", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    in.addData(Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+    val outDir = ctx.sqlStream("SELECT COUNT(*) AS n FROM glob_stream")
+    val ns = spark.read.parquet(outDir).collect().map(_.getAs[Long]("n"))
+    assert(ns.nonEmpty && ns.max == 3L, ns.toSeq.toString)
+
+    // (2) a QUALIFIED GROUP BY key is a routable output column, like
+    // the same dotted ref in the select list
+    VeloSqlParser.parse(
+      "SELECT o.user_id, COUNT(*) AS n FROM orders o GROUP BY o.user_id",
+      "timestamp", _ => None) match {
+      case VeloSqlParser.Select(sel) =>
+        assert(VeloContext.groupByOutputNames(sel) == Vector("user_id"))
+      case o => fail(s"$o")
+    }
+
+    // (3) a declared-column arity mismatch is a DIALECT error
+    // (ParseException → HTTP 400), not an IllegalArgumentException 500
+    intercept[VeloSqlParser.ParseException](
+      ctx.sql("CREATE TABLE arity_t (a INT) AS SELECT order_id, amount FROM orders"))
+  }
+
+  test("r14 review: case-variant re-CTAS releases the prior cache; compact model survives INSERT") {
+    // (1) re-CTAS under different casing: the view swap is
+    // case-insensitive, so the registry bookkeeping must be too — the
+    // surviving table is the NEW body and mutations bind to it
+    ctx.sql("CREATE TABLE case_t AS SELECT order_id, amount FROM orders")
+    ctx.sql("CREATE TABLE CASE_T AS SELECT order_id FROM orders WHERE amount > 1000")
+    val n0 = ctx.sql("SELECT COUNT(*) AS n FROM case_t").collect().head.getLong(0)
+    ctx.sql("INSERT INTO case_t VALUES (999)")
+    assert(ctx.sql("SELECT COUNT(*) AS n FROM case_t").collect().head.getLong(0) == n0 + 1)
+
+    // (2) a 'compact' (MEMORY_AND_DISK_SER) table keeps its storage
+    // level across the INSERT re-materialization — rebind used to
+    // silently re-cache at the default deserialized level
+    ctx.sql("CREATE TABLE compact_t AS SELECT order_id, amount FROM orders WITH ('table_model' = 'compact')")
+    ctx.sql("INSERT INTO compact_t VALUES (1000, 5.0)")
+    val lvl = spark.table("compact_t").storageLevel
+    assert(lvl == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER, lvl.toString)
+  }
+
   test("ROWS WINDOW moving aggregate uses a bounded trailing frame") {
     val df = ctx.sql(
       """SELECT symbol, price,
