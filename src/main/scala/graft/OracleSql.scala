@@ -698,10 +698,14 @@ object OracleSql {
     // instead of NULLing the whole shard formula (every such row would
     // collapse into one NULL shard group); the surfaced shard_chars
     // stays SUM(n_chars) raw — both engines' SUM skips nulls
+    // salt mirrors the engine's NULL-id fallback (Sampling.scala: null
+    // ids pack into the DEDICATED stream p=32) — bare pmod would NULL
+    // the salt and merge every null-id doc into one unbounded shard
+    // group the engine never produces (r14 review)
     "q68_shard_pack" ->
       s"""WITH t AS (SELECT doc_id, n_chars,
                  GREATEST(COALESCE(n_chars, 0), 0) AS w,
-                 ${pmod("doc_id", 32)} AS salt FROM documents),
+                 COALESCE(${pmod("doc_id", 32)}, 32) AS salt FROM documents),
          c AS (SELECT doc_id, n_chars, w, salt,
                  SUM(w) OVER (PARTITION BY salt
                    ORDER BY doc_id, COALESCE(n_chars, 0)

@@ -1020,8 +1020,12 @@ object SparkEntry {
           if (cur != null) { cur._2.close(); ctxCache.remove(s) }
           throw e
         }
-      if (cur != null) cur._2.close()
-      ctxCache.put(s, (dir, next))
+      // install the new mapping REGARDLESS of close() throwing: the
+      // temp views already point at the new dir, so a surviving stale
+      // (oldDir -> closed ctx) entry would serve the NEW dir's data to
+      // a later veloCtx(s, oldDir) via the fast path (r14 review)
+      try { if (cur != null) cur._2.close() }
+      finally ctxCache.put(s, (dir, next))
       next
     }
   }
