@@ -46,7 +46,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                        // a streaming body's continuous writeStream lands THERE,
                        // honoring the INTO contract batch bodies fulfill in
                        // execStatement. None → the job's internal epoch dir.
-                       resolveSinkPath: VeloStatement => Option[String] = _ => None) {
+                       resolveSinkPath: VeloStatement => Option[String] = _ => None,
+                       // does the job body declare the stdout DEBUG sink
+                       // (INTO stdout with no resolvable file path —
+                       // MutationChecks.isStdoutSink semantics, resolved by
+                       // the owning context)? A streaming body then prints
+                       // each batch's records as JSON in addition to its
+                       // internal epoch-dir write (reference:
+                       // datasource/stdout_writer.rs:10).
+                       resolveStdoutSink: VeloStatement => Boolean = _ => false) {
 
   private case class Version(version: String, body: VeloStatement,
                              strategy: String, props: Map[String, String],
@@ -705,6 +713,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         case Some(p) => val (f, o) = graft.sources.Serde.fileFormat(p); (p, f, o)
         case None => (j.sinkDir, "parquet", Map.empty[String, String])
       }
+      // stdout DEBUG sink (reference: datasource/stdout_writer.rs:10;
+      // the server falls back to it when a job declares no sink,
+      // server/processors/common.rs:1748): each batch also prints its
+      // records as JSON. The console stream is captured HERE, on the
+      // launching thread — foreachBatch runs on the stream-execution
+      // thread where Console redirection (tests, embedding apps) is
+      // invisible. Printing is at-least-once: a crash-re-run batch
+      // re-prints, as console lines cannot be retracted.
+      val console = if (resolveStdoutSink(v.body)) Some(Console.out) else None
       val q = emitOf(v.body) match {
         case Some(EmitChanges) =>
           val out = sinkLoc
@@ -719,6 +736,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           df.writeStream
             .outputMode(OutputMode.Update())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              console.foreach(graft.streaming.StreamOps.printJsonRows(batch, _))
               // IDEMPOTENT per-batch write: a crash between this write
               // and the checkpoint commit makes Spark RE-RUN the batch
               // on restart — a blind append would duplicate its rows in
@@ -739,11 +757,23 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             .queryName(s"graft-job-${j.name}")
             .start()
         case _ =>
-          df.writeStream
-            .outputMode(OutputMode.Append())
-            .format(sinkFmt)
-            .options(sinkOpts)
-            .option("path", sinkLoc)
+          val base = df.writeStream.outputMode(OutputMode.Append())
+          val sunk = console match {
+            // a debug-sink job trades the file sink's exactly-once
+            // commit log for the console write (one query cannot serve
+            // both a file sink and foreachBatch): a crash-re-run batch
+            // re-appends alongside its re-print — at-least-once in the
+            // INTERNAL mirror dir only, for a sink whose primary output
+            // (the console) is at-least-once by nature anyway.
+            case Some(o) =>
+              base.foreachBatch { (batch: DataFrame, _: Long) =>
+                graft.streaming.StreamOps.printJsonRows(batch, o)
+                batch.write.mode("append").options(sinkOpts).format(sinkFmt).save(sinkLoc)
+              }
+            case None =>
+              base.format(sinkFmt).options(sinkOpts).option("path", sinkLoc)
+          }
+          sunk
             .option("checkpointLocation", j.ckptDir)
             .queryName(s"graft-job-${j.name}")
             .start()

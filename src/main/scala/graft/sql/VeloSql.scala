@@ -153,6 +153,13 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // received a row (the exact hazard resolveIntoSinkPath documents
       // for the JobManager path, previously unfixed on this entry point)
       val sink = s.into.iterator.flatMap(sinkFilePath(_, s.props)).nextOption()
+      // the reference's stdout debug sink on the STREAMING entry point
+      // too (datasource/stdout_writer.rs:10) — pre-r15 only the batch
+      // arms honored it, so a streaming `INTO stdout` validated clean
+      // and then streamed only to its internal epoch dir with no
+      // console output. Resolution is the batch arms' exact rule via
+      // the SHARED helper: file path wins, then catalog-aware stdout.
+      val toStdout = intoStdout(s)
       s.emit match {
         case Some(EmitChanges) => s.window match {
           // Spark rejects update-mode session_window aggregation
@@ -160,8 +167,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // emits each session exactly once at close (a valid changelog
           // of FINALIZED sessions; documented approximation, not a crash)
           case Some(_: VeloSqlParser.Session) =>
-            graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink)
-          case _ => graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink)
+            graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink, stdout = toStdout)
+          case _ => graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink, stdout = toStdout)
         }
         case _ =>
           // a NON-windowed continuous aggregate cannot run in append
@@ -172,14 +179,19 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // aggregate (SELECT COUNT(*) FROM stream — no GROUP BY) and
           // SELECT DISTINCT lower to a streaming Aggregate too, and the
           // groupBy-only guard sent exactly those to the append arm it
-          // exists to rescue them from (r14 review)
+          // exists to rescue them from (r14 review). Only STREAMING
+          // aggregates force update mode: a windowless stream-static
+          // join whose STATIC side contains an Aggregate (an aggregating
+          // view/CTAS) is append-safe, and matching any Aggregate sent
+          // exactly that query to the changelog sink — its output
+          // silently gained a _batch_id column (r14 advice).
           val aggregates = df.queryExecution.analyzed.exists {
-            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.isStreaming
             case _ => false
           }
           if (s.window.isEmpty && aggregates)
-            graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink)
-          else graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink)
+            graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink, stdout = toStdout)
+          else graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink, stdout = toStdout)
       }
     case other => throw new ParseException(s"sqlStream expects a SELECT, got $other")
   }
@@ -217,7 +229,8 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   val jobManager = new JobManager(spark, execStatement,
     body => SqlValidator.validateParsed(this, body).errors,
     (n, t, h, s) => recordMetricSeries(n, t, h, s),
-    resolveSinkPath = resolveIntoSinkPath)
+    resolveSinkPath = resolveIntoSinkPath,
+    resolveStdoutSink = resolveIntoStdoutSink)
 
   /** First resolvable INTO-sink file path of a job body (CREATE SINK
     * declaration or the statement's own dotted props) — the streaming
@@ -239,13 +252,31 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     case _ => None
   }
 
-  /** The stdout debug writer (reference: datasource/stdout_writer.rs —
-    * one JSON object per record). Driver-side BY DEFINITION — stdout IS
-    * the driver's console — but streamed partition-at-a-time via
-    * toLocalIterator, never a full collect: a debug surface pointed at
-    * a big result degrades to slow printing, not an OOM. */
+  /** Does this SELECT declare the stdout debug sink? Same precedence as
+    * the batch INTO arms: a resolvable FILE path wins (a declared sink
+    * named `stdout` with a path is a file sink), then the catalog-aware
+    * stdout rule via the SHARED helper (a real table named stdout
+    * shadows the debug sink — MutationChecks.isStdoutSink). */
+  private def intoStdout(s: SelectStmt): Boolean =
+    s.into.exists(n =>
+      sinkFilePath(n, s.props).isEmpty && MutationChecks.isStdoutSink(spark, n))
+
+  /** Streaming-job analog of resolveIntoSinkPath for the stdout debug
+    * sink — pre-r15 a streaming job body declaring `INTO stdout`
+    * validated clean (the validator's exemption is shape-complete) but
+    * produced no console output because only file paths resolved. */
+  private def resolveIntoStdoutSink(body: VeloStatement): Boolean = body match {
+    case CreateStreamAs(_, s, _, _) => intoStdout(s)
+    case Select(s) => intoStdout(s)
+    case u: Union => u.selects.exists(intoStdout)
+    case WithCtes(_, b, _) => resolveIntoStdoutSink(b)
+    case _ => false
+  }
+
+  /** The stdout debug writer — shared streaming/batch implementation in
+    * StreamOps.printJsonRows (reference: datasource/stdout_writer.rs). */
   private def printStdout(df: DataFrame): Unit =
-    df.toJSON.toLocalIterator().forEachRemaining(s => println(s))
+    graft.streaming.StreamOps.printJsonRows(df, Console.out)
 
   /** The ONE sink-path resolution chain (declared path/file, then the
     * statement's dotted props) — shared by streaming job sinks and

@@ -393,21 +393,51 @@ object StreamOps {
         p
     }
 
+  /** The stdout debug writer (reference: datasource/stdout_writer.rs:10
+    * — one JSON object per record). Driver-side BY DEFINITION — stdout
+    * IS the driver's console — but streamed partition-at-a-time via
+    * toLocalIterator, never a full collect: a debug surface pointed at
+    * a big result degrades to slow printing, not an OOM. Shared by the
+    * batch INTO-stdout arms (VeloSql) and the streaming foreachBatch
+    * writers below so the sink semantics cannot drift between them. */
+  def printJsonRows(df: DataFrame, out: java.io.PrintStream): Unit = {
+    df.toJSON.toLocalIterator().forEachRemaining(s => out.println(s))
+    out.flush()
+  }
+
   /** EMIT FINAL production path: parquet FILE sink (append mode +
     * watermark). Returns the output directory to read results from.
     * Scale: executors write shards directly; the driver only tracks
-    * file-sink metadata. */
+    * file-sink metadata.
+    *
+    * `stdout=true` declares the reference's stdout debug sink
+    * (MutationChecks.isStdoutSink resolved by the caller): each batch
+    * prints its records as JSON in ADDITION to the file write, which
+    * then runs through foreachBatch (a file sink cannot share its query
+    * with a console writer). The console stream is captured on the
+    * CALLER's thread — foreachBatch runs on the stream-execution thread
+    * where Console.withOut redirection (tests, embedding apps) would
+    * not be visible. Printing is at-least-once by nature: a batch
+    * re-run after a crash re-prints, because console lines cannot be
+    * retracted — the same semantics as the reference's stdout writer
+    * replaying from its input. */
   def runToParquet(df: DataFrame, prefix: String = "graft_stream",
-                   sinkPath: Option[String] = None): String = {
+                   sinkPath: Option[String] = None,
+                   stdout: Boolean = false): String = {
     val (out, fmt, opts, declared) = sinkOr(prefix, sinkPath)
+    val console = if (stdout) Some(Console.out) else None
     val ckpt = tmp(prefix + "_ckpt")
     var ok = false
     try {
-      val q = df.writeStream
-        .outputMode(OutputMode.Append())
-        .format(fmt)
-        .options(opts)
-        .option("path", out)
+      val base = df.writeStream.outputMode(OutputMode.Append())
+      val sunk = console match {
+        case Some(o) => base.foreachBatch { (batch: DataFrame, _: Long) =>
+          printJsonRows(batch, o)
+          batch.write.mode("append").options(opts).format(fmt).save(out)
+        }
+        case None => base.format(fmt).options(opts).option("path", out)
+      }
+      val q = sunk
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -433,7 +463,8 @@ object StreamOps {
     * with the trigger's batch id. Each batch write is a distributed
     * executor-side write — the driver never materializes rows. */
   def runChangelog(df: DataFrame, prefix: String = "graft_changelog",
-                   sinkPath: Option[String] = None): String = {
+                   sinkPath: Option[String] = None,
+                   stdout: Boolean = false): String = {
     // _batch_id is the changelog's OWN tag column: withColumn would
     // silently overwrite a same-named input column and every
     // latest-state reader (row_number over _batch_id) would dedup on
@@ -441,12 +472,18 @@ object StreamOps {
     require(!graft.operators.Cols.has(df, "_batch_id"),
       "input must not carry the reserved _batch_id changelog column")
     val (out, fmt, opts, declared) = sinkOr(prefix, sinkPath)
+    // stdout debug sink: caller-thread capture + at-least-once print
+    // semantics, exactly as documented on runToParquet. The RAW batch
+    // records print (what the query emitted), not the engine's internal
+    // _batch_id tag column.
+    val console = if (stdout) Some(Console.out) else None
     val ckpt = tmp(prefix + "_ckpt")
     var ok = false
     try {
       val q = df.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          console.foreach(printJsonRows(batch, _))
           batch.withColumn("_batch_id", lit(batchId))
             .write.mode("append").options(opts).format(fmt).save(out)
         }

@@ -1187,6 +1187,85 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     spark.catalog.dropTempView("stdout")
   }
 
+  test("r15: STREAMING INTO stdout prints JSON records on both emit arms") {
+    // pre-r15 gap: the batch arms honored the stdout debug sink but a
+    // streaming query INTO stdout validated clean and streamed only to
+    // its internal epoch dir — no console output
+    // (datasource/stdout_writer.rs:10)
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    ctx.registerStream("so_stream",
+      in.toDF().toDF("oid", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    in.addData(Seq((1L, 100L), (2L, 200L)))
+    // (1) append arm (non-aggregating SELECT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val outDir = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      ctx.sqlStream("SELECT oid FROM so_stream INTO stdout")
+    }
+    val printed = buf.toString("UTF-8")
+    assert(printed.contains("\"oid\":1") && printed.contains("\"oid\":2"), printed)
+    // the internal materialization still serves downstream readers
+    assert(spark.read.parquet(outDir).count() == 2)
+    // (2) changelog arm (global aggregate EMIT CHANGES) — the RAW
+    // records print, without the engine's internal _batch_id tag
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      ctx.sqlStream("SELECT COUNT(*) AS n FROM so_stream INTO stdout EMIT CHANGES")
+    }
+    val printed2 = buf2.toString("UTF-8")
+    assert(printed2.contains("\"n\":2"), printed2)
+    assert(!printed2.contains("_batch_id"), printed2)
+  }
+
+  test("r15: a streaming JOB body INTO stdout prints its batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val c2 = new VeloContext(spark)
+    try {
+      c2.register("jso_events", in.toDF().toDF("id", "v"))
+      in.addData(Seq((1L, 10.5), (2L, 20.5)))
+      val buf = new java.io.ByteArrayOutputStream()
+      // the console stream is captured at LAUNCH (this thread);
+      // foreachBatch prints from the stream-execution thread into the
+      // captured stream, so awaitIdle may sit outside the redirect
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        c2.sql("START JOB jso AS SELECT id, v FROM jso_events INTO stdout")
+      }
+      c2.jobManager.awaitIdle("jso")
+      c2.sql("STOP JOB jso")
+      val printed = buf.toString("UTF-8")
+      assert(printed.contains("\"id\":1") && printed.contains("\"v\":20.5"), printed)
+    } finally c2.close()
+  }
+
+  test("r15 advice: stream-static join over an aggregating STATIC view stays append") {
+    // matching ANY Aggregate in the analyzed plan rerouted this
+    // append-safe query to the changelog sink — its output silently
+    // gained a _batch_id column; only a STREAMING Aggregate forces
+    // update mode
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctx.sql("CREATE TABLE cust_counts AS SELECT customer_id, COUNT(*) AS cnt FROM orders GROUP BY customer_id")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    ctx.registerStream("adv_stream",
+      in.toDF().toDF("customer_id", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    in.addData(Seq((10L, 100L), (11L, 200L)))
+    val outDir = ctx.sqlStream(
+      """SELECT s.customer_id AS customer_id, c.cnt AS cnt
+         FROM adv_stream s JOIN cust_counts c ON s.customer_id = c.customer_id""")
+    val res = spark.read.parquet(outDir)
+    assert(!res.columns.contains("_batch_id"), res.columns.toSeq.toString)
+    assert(res.count() == 2)
+    spark.catalog.dropTempView("cust_counts")
+  }
+
   test("zero-argument COLLECT/STRING_AGG is a parse error, not an internal crash") {
     val e = intercept[VeloSqlParser.ParseException](
       ctx.sql("SELECT COLLECT() FROM orders"))
