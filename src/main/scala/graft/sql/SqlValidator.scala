@@ -232,15 +232,21 @@ object SqlValidator {
     * loader exists for exactly those) must not be reported invalid.
     * Placeholders are torn down afterwards, restoring any relation they
     * shadowed: validation never leaves catalog residue. */
-  def validateContent(ctx: VeloContext, content: String): AppValidation = {
-    val appName = Option(SqlApp.parseMetadata(content).name).filter(_.nonEmpty)
+  def validateContent(ctx: VeloContext, content: String,
+                      env: String => Option[String] = sys.env.get): AppValidation = {
+    val appName = Option(SqlApp.parseMetadata(content, env).name).filter(_.nonEmpty)
     // the SAME ${VAR} resolution SqlApp.run applies before executing
     // (SqlApp.resolvePattern): validating the raw text rejected
     // deployable apps at tokenize ('unexpected character $') — the
     // exact validator/executor drift this gate promises not to have
     // (r14 review). Unresolvable specs keep their text, as run() does —
-    // both sides then fail identically.
-    val statements = VeloContext.splitStatements(content).map(SqlApp.resolvePattern(_))
+    // both sides then fail identically. The CALLER's env lookup threads
+    // through like SqlApp.run/parse take it: resolving with the default
+    // sys.env while execution resolves a custom lookup would have the
+    // validator analyzing DIFFERENT statement text than the executor
+    // runs — the narrow validator/executor drift this gate exists to
+    // make impossible (r14 advice).
+    val statements = VeloContext.splitStatements(content).map(SqlApp.resolvePattern(_, env))
     // placeholders register in a CLONED session (copied temp-view
     // catalog, same SharedState): a same-name placeholder on the shared
     // session would hand zero-row frames to any statement executing

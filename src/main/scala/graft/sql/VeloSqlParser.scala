@@ -306,10 +306,15 @@ object VeloSqlParser {
       * clause with a TYPO'd form, and stopping here lets strategyClause
       * report 'unknown deployment strategy <word>' instead of a deep
       * Catalyst error on the silently swallowed span (r14 review). A
-      * column/alias named `strategy` mid-query stays an identifier. */
+      * column/alias named `strategy` mid-query stays an identifier —
+      * including one whose trailing token is an expression-tail keyword
+      * (`ORDER BY strategy DESC`), which the typo heuristic previously
+      * swallowed as 'unknown deployment strategy DESC' (r14 advice). */
+    private val ExprTailKws = Set("DESC", "ASC", "NULLS", "FIRST", "LAST")
     private def strategyBoundary(next: Option[Tok], nextNext: Option[Tok]): Boolean =
       next.exists(n => StrategyForms.contains(n.upper)) ||
-        (next.exists(_.kind == TIdent) && nextNext.isEmpty)
+        (next.exists(n => n.kind == TIdent && !ExprTailKws.contains(n.upper)) &&
+          nextNext.isEmpty)
     private def peek(o: Int = 0): Option[Tok] = if (pos + o < toks.length) Some(toks(pos + o)) else None
     private def at(kw: String, o: Int = 0): Boolean = peek(o).exists(_.isKw(kw))
     private def take(): Tok = {

@@ -158,6 +158,16 @@ object StreamOps {
           var buf = buf0
           var sum = sum0; var comp = comp0
           var nan = nan0; var pinf = pinf0; var ninf = ninf0
+          // magnitude scale of the ring's finite values (plain sum of
+          // |v| — a GATE, not an emitted quantity, so drift is fine).
+          // Rebuilt from buf once per key-batch (same order as the
+          // state deserialization that just produced buf) and tracked
+          // incrementally within the batch; NOT part of the persisted
+          // state tuple, so the checkpoint shape is unchanged.
+          var absSum = { var a = 0.0; var i = 0
+            while (i < buf.length) {
+              val x = buf(i); if (java.lang.Double.isFinite(x)) a += math.abs(x); i += 1 }
+            a }
           def add(x: Double): Unit =
             if (java.lang.Double.isNaN(x)) nan += 1
             else if (x == Double.PositiveInfinity) pinf += 1
@@ -185,11 +195,16 @@ object StreamOps {
           // values leave the ring, one rebuild restores a finite exact
           // sum. State shape is unchanged (no checkpoint break).
           def rebuild(): Unit = {
-            sum = 0.0; comp = 0.0
+            sum = 0.0; comp = 0.0; absSum = 0.0
             var i = 0
             while (i < buf.length) {
               val x = buf(i)
               if (java.lang.Double.isFinite(x)) {
+                // absSum re-derives here too: after a collapse the
+                // incrementally-tracked value reads ~0 (the same
+                // rounding that corrupted sum), and left stale it would
+                // re-fire the rebuild gate on every later drop
+                absSum += math.abs(x)
                 val y = x - comp; val t = sum + y; comp = (t - sum) - y; sum = t
                 // pin PER STEP: the overflow can happen mid-rebuild
                 // (comp = Inf-big = Inf), and the next iteration's
@@ -212,9 +227,14 @@ object StreamOps {
           val out = it.toArray.sortBy(e => (e.ord, e.id)).iterator.flatMap { e =>
             buf = buf :+ e.v
             add(e.v)
+            if (java.lang.Double.isFinite(e.v)) absSum += math.abs(e.v)
             if (buf.size > n) {
               val dropped = buf.head
               drop(dropped); buf = buf.drop(1)
+              if (java.lang.Double.isFinite(dropped)) {
+                absSum -= math.abs(dropped)
+                if (absSum < 0) absSum = 0.0
+              }
               // MAGNITUDE COLLAPSE (r14 review): when the dropped value
               // dwarfed the rest of the ring, the small contributions
               // were rounded away while it was resident and comp's
@@ -222,9 +242,16 @@ object StreamOps {
               // running sum would read ~0 where the true window sum is
               // the surviving values'. One O(window) rebuild per such
               // drop (rare: requires ≥ ~40 bits of magnitude spread)
-              // restores the exact Kahan sum of what remains.
+              // restores the exact Kahan sum of what remains. Gated on
+              // the ring's ABSOLUTE scale as well as the signed sum
+              // (r14 advice): a symmetric window (+x/−x pairs) keeps
+              // sum ≈ 0 with NO collapse — the signed test alone fired
+              // a full O(window) rebuild on every drop there, degrading
+              // ordinary data to O(n·window). |dropped| must dwarf the
+              // REMAINING magnitudes, not just their cancellation.
               if (java.lang.Double.isFinite(dropped) && java.lang.Double.isFinite(sum)
-                  && math.abs(dropped) > math.abs(sum) * 1e12) rebuild()
+                  && math.abs(dropped) > math.abs(sum) * 1e12
+                  && math.abs(dropped) > absSum * 1e12) rebuild()
             }
             rebuildIfPoisoned()
             if (!emitOnFull || buf.size == n) {

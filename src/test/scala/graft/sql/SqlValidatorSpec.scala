@@ -53,6 +53,22 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     assert(!spark.catalog.tableExists("t2"))
   }
 
+  test("r15 advice: validateContent resolves ${VAR} with the CALLER's env lookup, like SqlApp.run") {
+    // a custom lookup (SqlApp.run/parse take one) must produce the SAME
+    // resolved statement text on the validator side — resolving with the
+    // default sys.env here had the gate analyzing different text than
+    // the executor runs
+    val content =
+      """-- SQL Application: Env Demo
+        |SELECT ${COL} FROM v_orders;
+        |""".stripMargin
+    val ok = SqlValidator.validateContent(ctx, content, Map("COL" -> "order_id").get)
+    assert(ok.isValid, ok.queries.flatMap(_.errors).toString)
+    // an unresolvable spec keeps its text and fails identically to run()
+    val bad = SqlValidator.validateContent(ctx, content, _ => None)
+    assert(!bad.isValid)
+  }
+
   test("application-level validation: counts, header name, missing sink configs") {
     val res = SqlValidator.validateContent(ctx,
       """-- SQL Application: Validation Demo

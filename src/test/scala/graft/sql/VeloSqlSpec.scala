@@ -1266,6 +1266,24 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     spark.catalog.dropTempView("cust_counts")
   }
 
+  test("r15 advice: ORDER BY strategy DESC in a DEPLOY body is a column ref, not a typo'd STRATEGY") {
+    // the trailing-identifier typo heuristic treated ANY statement tail
+    // of `strategy <ident>` as a strategy clause — `ORDER BY strategy
+    // DESC` threw 'unknown deployment strategy DESC'
+    VeloSqlParser.parse(
+      "DEPLOY JOB dj_ord AS SELECT strategy, COUNT(*) AS n FROM decisions GROUP BY strategy ORDER BY strategy DESC",
+      "timestamp", _ => None) match {
+      case VeloSqlParser.DeployJob(_, _, VeloSqlParser.Select(sel), _, _) =>
+        assert(sel.orderBy.exists(t =>
+          VeloSqlParser.render(t).toUpperCase.contains("DESC")), sel.orderBy.toString)
+      case o => fail(s"unexpected parse: $o")
+    }
+    // the typo heuristic itself still fires on a genuine lone trailer
+    val e = intercept[VeloSqlParser.ParseException](VeloSqlParser.parse(
+      "DEPLOY JOB dj_t AS SELECT a FROM t STRATEGY BLUEGREEN", "timestamp", _ => None))
+    assert(e.getMessage.contains("unknown deployment strategy"), e.getMessage)
+  }
+
   test("zero-argument COLLECT/STRING_AGG is a parse error, not an internal crash") {
     val e = intercept[VeloSqlParser.ParseException](
       ctx.sql("SELECT COLLECT() FROM orders"))

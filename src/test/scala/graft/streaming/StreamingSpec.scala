@@ -147,6 +147,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out(5) == ((106L, 150.0)), out.toString)
   }
 
+  test("rows buffer magnitude-collapse rebuild: exact sum after a dwarfing value leaves (r14/r15)") {
+    import spark.implicits._
+    // 1e20 dwarfs the rest: while resident, 1/2/4 are rounded away and
+    // the signed sum collapses to 0 when it drops — the rebuild must
+    // restore the exact Kahan sum of the survivors. The r15 gate also
+    // requires |dropped| to dwarf the ring's ABSOLUTE scale (a
+    // symmetric ±x window keeps sum ≈ 0 with no collapse and must NOT
+    // pay an O(window) rebuild per drop) — this case crosses both.
+    val events = Seq(
+      StreamOps.BufEvent(1, 1L, 101L, 1e20),
+      StreamOps.BufEvent(1, 2L, 102L, 1.0),
+      StreamOps.BufEvent(1, 3L, 103L, 2.0),
+      StreamOps.BufEvent(1, 4L, 104L, 4.0),
+      StreamOps.BufEvent(1, 5L, 105L, 8.0))
+    val out = StreamOps.rowsBufferAgg(spark.createDataset(events), n = 3).collect()
+      .sortBy(_.event_id).map(e => (e.event_id, e.buf_sum)).toSeq
+    assert(out(0) == ((101L, 1e20)))
+    assert(out(3) == ((104L, 7.0)), // ring = 1, 2, 4 — collapse rebuilt
+      s"the collapse rebuild must restore the survivors' exact sum: $out")
+    assert(out(4) == ((105L, 14.0)), out.toString) // ring = 2, 4, 8
+    // symmetric ±x ring: running sum ≈ 0 on every drop, no collapse —
+    // sums stay exact with the absolute-scale gate declining the rebuild
+    val sym = Seq(1e5, -1e5, 1e5, -1e5, 3.0, 5.0).zipWithIndex.map { case (v, i) =>
+      StreamOps.BufEvent(2, i + 1L, 201L + i, v) }
+    val symOut = StreamOps.rowsBufferAgg(spark.createDataset(sym), n = 2).collect()
+      .sortBy(_.event_id).map(_.buf_sum).toSeq
+    assert(symOut == Seq(1e5, 0.0, 0.0, 0.0, -1e5 + 3.0, 8.0), symOut.toString)
+  }
+
   test("rows buffer reserved-name guards are case-insensitive like the resolver (r13 review)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext = spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
