@@ -86,13 +86,26 @@ object Contamination {
     // are identical.
     // null-id docs count per OCCURRENCE row (the shingle kernel dedups
     // grams per document, so each null-id row is one distinct doc's
-    // occurrence): countDistinct alone skips nulls, reading _df = 0 for
-    // a gram living only in null-id docs — a hot boilerplate gram there
-    // would bypass the cap entirely, re-opening the skew blowup the cap
-    // exists to prevent (r14 review follow-up; oracle mirrors)
-    val keptGrams = cg.join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .groupBy("g").agg((countDistinct(col("doc_id")) +
-        sum(when(col("doc_id").isNull, 1L).otherwise(0L))).as("_df"))
+    // occurrence): a distinct count alone skips nulls, reading _df = 0
+    // for a gram living only in null-id docs — a hot boilerplate gram
+    // there would bypass the cap entirely, re-opening the skew blowup
+    // the cap exists to prevent (r14 review follow-up; oracle mirrors).
+    //
+    // r15 plan shape: ONE regular aggregation keyed (g, doc_id)
+    // replaces r14's two-phase distinct aggregate (countDistinct +
+    // conditional sum planned as an Expand ×2 over the whole
+    // bench-matching stream — the round's one real perf regression).
+    // The (g, doc_id) groupBy dedups dup-ingest rows (the shingle
+    // kernel already dedups grams per doc, so for unique ids it is a
+    // semantic no-op) while `_occ` preserves the per-occurrence
+    // bookkeeping the null-id group needs; the outer per-gram sum then
+    // has full map-side partial aggregation, so a hot gram's DF
+    // arrives as per-partition partials, never as raw rows on one
+    // reducer.
+    val docGrams = cg.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("_occ"))
+    val keptGrams = docGrams.groupBy("g")
+      .agg(sum(when(col("doc_id").isNull, col("_occ")).otherwise(1L)).as("_df"))
       .where(col("_df") <= maxDf).select("g")
     val kept = cg.join(broadcast(keptGrams), Seq("g"))
     // self-pair exclusion requires KNOWN identity: a null-id corpus doc
@@ -102,12 +115,21 @@ object Contamination {
     // on either side always SURFACE (the report's contract); note the
     // groupBy necessarily merges all null-id docs into one row — ids
     // are the caller's identity key (r14 review; oracle mirrors).
-    kept.join(bg, Seq("g"))
+    //
+    // n_shared = DISTINCT shared grams (the scaladoc's contract). Both
+    // pair inputs dedup on (gram, id) first — nulls merge, exactly as
+    // the pair groupBy merges them — so each shared gram yields exactly
+    // ONE row per (doc group, bench group) and a plain count IS the
+    // distinct-gram count, with no Expand over the pair stream. Both
+    // dedups run on CAPPED streams (≤ maxDf docs per gram; bench is
+    // eval-set-sized), so the extra exchange is bounded, not
+    // corpus-proportional.
+    val ddPairs = kept.dropDuplicates("g", "doc_id")
+    val bgd = bg.dropDuplicates("g", "bench_id")
+    ddPairs.join(bgd, Seq("g"))
       .where(col("doc_id").isNull || col("bench_id").isNull
         || col("doc_id") =!= col("bench_id"))
-      // n_shared = DISTINCT shared grams (the scaladoc's contract):
-      // count(1) double-counted every gram under duplicate doc_id rows
-      .groupBy("doc_id", "bench_id").agg(countDistinct(col("g")).as("n_shared"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
 }
