@@ -349,6 +349,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("supported"), e.getMessage)
   }
 
+  test("r15: split-then-sample composition keeps EVERY split populated (q63 salt-domain gate)") {
+    import spark.implicits._
+    // the composed-pipeline property the r14 domain separation exists
+    // for, gated in BOTH orders (sample-then-split is case (1) of the
+    // r14 batch test below): with a shared hash preimage the sample
+    // would be exactly the lowest-hash slice — i.e. a strict subset of
+    // the FIRST split — so sampling a split corpus would silently
+    // empty val and test
+    val ids = (0L until 10000L).toDF("id")
+    val sampledSplits = Sampling.hashSplit(ids, "id")
+      .where(Sampling.sampleFilter(col("id"), 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("train", "val", "test"))
+      assert(sampledSplits.getOrElse(s, 0L) > 0,
+        s"split '$s' lost every row under a default-salted sample: $sampledSplits")
+  }
+
   test("r14 review batch: sample domain separation, null-id packing, NaN weights, dup-row contamination") {
     import spark.implicits._
     val ids = (0L until 10000L).toDF("id")
