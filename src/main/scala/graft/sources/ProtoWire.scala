@@ -237,6 +237,20 @@ object ProtoWire {
   private[sources] def decodeRow(bytes: Array[Byte], fidx: FieldIndex): Array[Any] = {
     val out = new Array[Any](fidx.farr.length)
     var p = 0
+    // ONE strict UTF-8 decoder per row, created only if a string field
+    // occurs (r15 review: a fresh CharsetDecoder per string FIELD put
+    // millions of short-lived allocations in the hot path this module
+    // elsewhere hoists — the passIdx/encode-buffer pattern). reset()
+    // before reuse; CharsetDecoder is single-thread like `out`/`p`.
+    var utf8: java.nio.charset.CharsetDecoder = null
+    def utf8Decoder(): java.nio.charset.CharsetDecoder = {
+      if (utf8 == null)
+        utf8 = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      else utf8.reset()
+      utf8
+    }
     def fail(what: String): Nothing =
       throw new ProtoDecodeException(s"$what at byte $p of ${bytes.length}")
     def varint(): Long = {
@@ -276,7 +290,16 @@ object ProtoWire {
       if (i >= 0 && wt == expectedWireType(fidx.farr(i).ptype)) {
           val f = fidx.farr(i)
           f.ptype match {
-            case PInt32 => out(i) = varint().toInt
+            case PInt32 =>
+              // fail, don't mask (the uint32 rule below): a conformant
+              // int32 encoder emits either the value (0..2^31-1) or its
+              // 64-bit sign extension, so a varint outside Int range can
+              // only be corruption or a silently evolved int64 — .toInt
+              // aliased it onto a DIFFERENT in-range number (r15 review)
+              val v = varint()
+              if (v < Int.MinValue || v > Int.MaxValue)
+                fail(s"int32 field '${f.name}' varint $v outside Int range")
+              out(i) = v.toInt
             case PInt64 => out(i) = varint()
             case PUInt32 =>
               // fail, don't mask: a varint past 2^32 silently aliased
@@ -288,7 +311,13 @@ object ProtoWire {
               if (u < 0L || u > 0xFFFFFFFFL)
                 fail(s"uint32 field '${fidx.farr(i).name}' varint $u outside [0, 4294967295]")
               out(i) = u
-            case PSInt32 => out(i) = unzigzag(varint()).toInt
+            case PSInt32 =>
+              // same aliasing class as int32: a zigzag varint whose
+              // decoded value exceeds Int range is a sint64/corruption
+              val z = unzigzag(varint())
+              if (z < Int.MinValue || z > Int.MaxValue)
+                fail(s"sint32 field '${f.name}' decodes to $z outside Int range")
+              out(i) = z.toInt
             case PSInt64 => out(i) = unzigzag(varint())
             case PBool => out(i) = varint() != 0L
             case PDouble =>
@@ -310,11 +339,8 @@ object ProtoWire {
               // ProtoDecodeException upstream → null row, as for every
               // other corruption class.
               val n = lenPrefix()
-              val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-                .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-                .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
               out(i) =
-                try dec.decode(java.nio.ByteBuffer.wrap(bytes, p, n)).toString
+                try utf8Decoder().decode(java.nio.ByteBuffer.wrap(bytes, p, n)).toString
                 catch { case _: java.nio.charset.CharacterCodingException =>
                   fail(s"string field '${fidx.farr(i).name}' carries invalid UTF-8") }
               p += n
@@ -380,14 +406,19 @@ object ProtoWire {
     val fields = ProtoSchema.parse(proto)
     val inSchema = df.schema
     // validate types on the DRIVER: a mismatch would otherwise surface
-    // as a per-row ClassCastException inside mapPartitions, mid-job
+    // as a per-row ClassCastException inside mapPartitions, mid-job.
+    // SESSION-resolver lookups (Cols.fieldOf): an exact inSchema(name)
+    // threw a raw 'Field does not exist' for a case-variant column the
+    // session resolves — while the encodeWithPayload scaffolding this
+    // feeds is deliberately resolver-aware (r15 review)
     fields.foreach { f =>
-      val actual = inSchema(f.name).dataType
+      val actual = graft.operators.Cols.fieldOf(df, f.name).dataType
       require(actual == f.ptype.dataType,
         s"column '${f.name}' is $actual but proto field expects ${f.ptype.dataType} " +
           s"(cast the column before encoding)")
     }
-    val idxs = fields.map(f => inSchema.fieldIndex(f.name))
+    val idxs = fields.map(f =>
+      inSchema.fieldIndex(graft.operators.Cols.fieldOf(df, f.name).name))
     // replace-in-place / append semantics live in the ONE shared
     // scaffolding (Serde.encodeWithPayload, the encode twin of
     // decodeWithPayload) — this copy and encodeAvro's had already

@@ -146,7 +146,27 @@ final class SchemaRegistry(root: Path) {
             try {
               Files.writeString(tmp, parsed.toString(true))
               try { Files.createLink(d.resolve(s"$next.avsc"), tmp); true }
-              catch { case _: java.nio.file.FileAlreadyExistsException => false }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException => false
+                // filesystems without hard links (FAT/exFAT, some FUSE
+                // object-store and SMB mounts — exactly the shared
+                // mounts the class doc invites): fall back to an
+                // exclusive CREATE_NEW write. Race detection survives
+                // (CREATE_NEW throws FileAlreadyExists when a rival
+                // committed first); the cost is a microsecond window
+                // where a reader can observe a partial version file —
+                // accepted only on link-less filesystems, where no
+                // atomic-publish-with-race-detection primitive exists
+                // (ATOMIC_MOVE would silently REPLACE a rival's win).
+                case _: UnsupportedOperationException
+                    | _: java.nio.file.FileSystemException =>
+                  try {
+                    Files.write(d.resolve(s"$next.avsc"), Files.readAllBytes(tmp),
+                      java.nio.file.StandardOpenOption.CREATE_NEW,
+                      java.nio.file.StandardOpenOption.WRITE)
+                    true
+                  } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+              }
             } finally { Files.deleteIfExists(tmp); () }
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false

@@ -83,11 +83,26 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
   private def notFound(ex: HttpExchange, code: Int, msg: String): Unit =
     respond(ex, 404, s"""{"error_code":$code,"message":${jstr(msg)}}""")
 
-  private def methodNotAllowed(ex: HttpExchange, m: String, allow: String): Unit = {
-    ex.getResponseHeaders.set("Allow", allow)
-    respond(ex, 405,
-      s"""{"error_code":405,"message":${jstr(s"method $m not allowed; Allow: $allow")}}""")
-  }
+  /** Routes that answer WITHOUT consuming a body-carrying request must
+    * drain the body on the side pool first: respond's ex.close()
+    * otherwise drains it INLINE — a blocking read on the single
+    * dispatch thread, so one stalled POST to a guard-rejected route
+    * (405, bad subject, no route) wedged the whole registry for the
+    * JDK reaper interval — the exact hazard readBody exists to avoid
+    * (r15 review). A drain that timed out or overflowed has already
+    * answered (408/413), so the guard response is skipped. */
+  private def drained(ex: HttpExchange)(body: => Unit): Unit =
+    ex.getRequestMethod match {
+      case "POST" | "PUT" | "PATCH" => if (readBody(ex).isDefined) body
+      case _ => body
+    }
+
+  private def methodNotAllowed(ex: HttpExchange, m: String, allow: String): Unit =
+    drained(ex) {
+      ex.getResponseHeaders.set("Allow", allow)
+      respond(ex, 405,
+        s"""{"error_code":405,"message":${jstr(s"method $m not allowed; Allow: $allow")}}""")
+    }
 
   private def schemaPayload(subject: String, version: Int, schema: String): String =
     s"""{"subject":${jstr(subject)},"version":$version,"schema":${jstr(schema)}}"""
@@ -154,8 +169,12 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
           }
         }
 
-        case ("POST", "compatibility" :: "subjects" :: s :: "versions" :: "latest" :: Nil) => subjectGuard(s) {
-          readBody(ex).foreach { body =>
+        // body read BEFORE the subject guard (the register route's
+        // shape): a 404 sent with the body unread would drain it
+        // inline on close — the dispatch-thread wedge `drained`
+        // documents (r15 review)
+        case ("POST", "compatibility" :: "subjects" :: s :: "versions" :: "latest" :: Nil) =>
+          readBody(ex).foreach { body => subjectGuard(s) {
           // schema-field check FIRST (nothing registry-side evaluated
           // until the request itself is well-formed)
           jsonStringField(body, "schema") match {
@@ -196,7 +215,7 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
         case (m, "subjects" :: _ :: "versions" :: _ :: Nil) => methodNotAllowed(ex, m, "GET")
         case (m, "compatibility" :: "subjects" :: _ :: "versions" :: "latest" :: Nil) =>
           methodNotAllowed(ex, m, "POST")
-        case _ => notFound(ex, 40401, s"no route: ${ex.getRequestMethod} $path")
+        case _ => drained(ex)(notFound(ex, 40401, s"no route: ${ex.getRequestMethod} $path"))
       }
     } catch {
       // tolerate an already-committed response (write failed mid-body):

@@ -62,17 +62,23 @@ object Serde {
       init: () => Array[Byte] => Array[Any]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     requireNoClash(df, payloadCol, valueSchema, what)
+    // SESSION-resolver payload lookup (Cols.fieldOf): requireNoClash
+    // and the JSON/CSV decode twins already resolve case-insensitively
+    // under the default session, so an exact df.schema(payloadCol) here
+    // threw a raw 'Field does not exist' for a case-variant name the
+    // rest of the module accepts (r15 review)
+    val payloadField = graft.operators.Cols.fieldOf(df, payloadCol)
     // fail fast on the DRIVER: a non-binary payload (e.g. a string
     // column) would otherwise ClassCastException per-row inside
     // executor tasks with an opaque stack trace
-    require(df.schema(payloadCol).dataType == org.apache.spark.sql.types.BinaryType,
+    require(payloadField.dataType == org.apache.spark.sql.types.BinaryType,
       s"payload column '$payloadCol' must be BINARY for $what decode, " +
-        s"is ${df.schema(payloadCol).dataType}")
-    val passthrough = df.schema.fields.filterNot(_.name == payloadCol)
+        s"is ${payloadField.dataType}")
+    val passthrough = df.schema.fields.filterNot(_.name == payloadField.name)
     // decoded fields are nullable regardless of the codec schema: a
     // tombstone (null payload) nulls ALL of them
     val outSchema = StructType(passthrough ++ valueSchema.fields.map(_.copy(nullable = true)))
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val payloadIdx = df.schema.fieldIndex(payloadField.name)
     // hoisted ONCE: wrapping the index array per ROW re-allocated an
     // identical IndexedSeq for every record of a high-throughput decode
     val passIdx = passthrough.map(f => df.schema.fieldIndex(f.name)).toIndexedSeq
@@ -256,13 +262,27 @@ object Serde {
     // field presence, and column types — a mismatch would otherwise burn
     // a job's worth of task retries to report a per-row
     // ClassCastException from inside mapPartitions
+    // SESSION-resolver field lookups (Cols.has/fieldOf): exact-case
+    // checks rejected case-variant columns SQL itself resolves, and
+    // reported them as a raw 'Field does not exist' instead of the
+    // friendly messages below (r15 review; encodeWithPayload was
+    // already resolver-aware, so the module's two halves disagreed)
     avroSchemaToSpark(schemaJson).fields.foreach { f =>
-      require(inSchema.fieldNames.contains(f.name),
+      require(graft.operators.Cols.has(df, f.name),
         s"column '${f.name}' required by the avro schema is missing from the frame")
-      val actual = inSchema(f.name).dataType
+      val actual = graft.operators.Cols.fieldOf(df, f.name).dataType
       require(actual == f.dataType,
         s"column '${f.name}' is $actual but the avro schema expects ${f.dataType} " +
           s"(cast the column before encoding)")
+    }
+    // resolved on the DRIVER (the init closure runs on executors, where
+    // neither df nor the session resolver exists): schema-field name →
+    // frame ordinal under the session rule
+    val schemaIdxs = {
+      import scala.jdk.CollectionConverters._
+      new org.apache.avro.Schema.Parser().parse(schemaJson).getFields.asScala
+        .map(f => inSchema.fieldIndex(graft.operators.Cols.fieldOf(df, f.name()).name))
+        .toArray
     }
     encodeWithPayload(df, payloadCol, () => {
       import scala.jdk.CollectionConverters._
@@ -274,7 +294,7 @@ object Serde {
       val bos = new java.io.ByteArrayOutputStream()
       var encoder: org.apache.avro.io.BinaryEncoder = null
       val fields = schema.getFields.asScala.toArray
-      val idxs = fields.map(f => inSchema.fieldIndex(f.name()))
+      val idxs = schemaIdxs
       row => {
         val rec = new GenericData.Record(schema)
         var i = 0

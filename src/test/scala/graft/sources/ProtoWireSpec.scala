@@ -207,6 +207,36 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     // the permissive catch handles)
   }
 
+  test("r15 review: int32/sint32 varints outside Int range fail instead of aliasing via .toInt") {
+    def vint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    // int32 varint 2^32+5 (an evolved int64 or a bit flip): .toInt
+    // silently decoded it as 5 — the aliasing class the uint32 gate
+    // already rejects
+    val iFields = ProtoSchema.parse("message I { int32 x = 1; }")
+    val over = new java.io.ByteArrayOutputStream()
+    vint(over, (1L << 3) | 0); vint(over, (1L << 32) + 5L)
+    val e1 = intercept[ProtoWire.ProtoDecodeException](decodeRow(over.toByteArray, iFields))
+    assert(e1.getMessage.contains("int32"), e1.getMessage)
+    // sint32 whose zigzag decode exceeds Int range
+    val sFields = ProtoSchema.parse("message S { sint32 x = 1; }")
+    val zover = new java.io.ByteArrayOutputStream()
+    vint(zover, (1L << 3) | 0); vint(zover, (1L << 33) + 2L) // unzigzags to 2^32+1
+    val e2 = intercept[ProtoWire.ProtoDecodeException](decodeRow(zover.toByteArray, sFields))
+    assert(e2.getMessage.contains("sint32"), e2.getMessage)
+    // conformant encodings stay legal: a negative int32 arrives as its
+    // 64-bit sign extension and must decode exactly
+    val neg = new java.io.ByteArrayOutputStream()
+    vint(neg, (1L << 3) | 0); vint(neg, -7L)
+    assert(decodeRow(neg.toByteArray, iFields).head == -7)
+    val zneg = new java.io.ByteArrayOutputStream()
+    vint(zneg, (1L << 3) | 0); vint(zneg, 13L) // zigzag(-7) = 13
+    assert(decodeRow(zneg.toByteArray, sFields).head == -7)
+  }
+
   test("encodeRow rejects a values/fields length mismatch instead of truncating the wire (r13 review)") {
     val fields = ProtoSchema.parse("message M { int64 a = 1; string b = 2; int32 c = 3; }")
     val e = intercept[IllegalArgumentException](encodeRow(Seq(1L, "x"), fields))

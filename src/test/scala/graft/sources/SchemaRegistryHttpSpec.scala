@@ -214,6 +214,21 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
     assert(vc == 422 && vb.contains("42202") && vb.contains("invalid version"), s"$vc $vb")
   }
 
+  test("r15 review: guard-rejected POSTs with bodies drain, answer, and leave the server live") {
+    // routes that answer without consuming the body (405, no-route 404,
+    // compat-route subject guard) now drain it on the side pool first —
+    // ex.close() otherwise drained inline on the single dispatch thread
+    val (c1, b1) = rawSend("POST", "/subjects", """{"x":"y"}""")
+    assert(c1 == 405, s"$c1 $b1")
+    val (c2, _) = rawSend("POST", "/no/such/route", """{"x":"y"}""")
+    assert(c2 == 404)
+    val (c3, _) = rawSend("POST", "/compatibility/subjects/a%20b/versions/latest",
+      """{"schema":"{}"}""")
+    assert(c3 == 404)
+    // the dispatch thread survived all three — a normal request works
+    assert(rawSend("GET", "/subjects")._1 == 200)
+  }
+
   test("client validates subject names before any request goes on the wire (r14 review)") {
     // a space would throw IllegalArgumentException from URI.create; a
     // '#' would silently query the WRONG resource via a URI fragment

@@ -178,6 +178,34 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(!m.contains("a, b"), s"nullable field b must not be blamed: $m")
   }
 
+  test("r15 review: case-variant payload/field names resolve like the session resolver") {
+    import spark.implicits._
+    // default case-INSENSITIVE session: SQL resolves 'Value' for
+    // "value", so the binary codecs must too — the exact
+    // df.schema(name) lookups threw a raw 'Field does not exist' for
+    // names every other path in the module accepts
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val df = Seq((1L, "a")).toDF("Id", "Name") // case-variant columns
+    // encodeAvro: schema field 'id' binds the frame's 'Id'
+    val enc = Serde.encodeAvro(df, schemaJson, "value")
+    // decode through a case-variant payload name
+    val renamed = enc.withColumnRenamed("value", "Value")
+      .drop("Id", "Name")
+    val dec = Serde.decodeAvro(renamed, "value", schemaJson)
+    assert(dec.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a")))
+    // protobuf twin: encode binds case-variant columns, decode resolves
+    // a case-variant payload
+    val encP = ProtoWire.encodeProtobuf(df, "message M { int64 id = 1; string name = 2; }", "value")
+    val decP = ProtoWire.decodeProtobuf(
+      encP.withColumnRenamed("value", "VALUE").drop("Id", "Name"),
+      "value", "message M { int64 id = 1; string name = 2; }")
+    assert(decP.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a")))
+  }
+
   test("encodeAvro replaces an existing payload column and validates on the driver") {
     import spark.implicits._
     val schemaJson =
