@@ -163,9 +163,18 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** documents → a real-PNG media table: one narrow mapPartitions doing
-    * the encode (the write-side codec), payload is a decodable PNG. */
-  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+  /** The ONE documents→synth-media builder behind the three write-side
+    * codecs (PNG/WAV/framed video) — the schema, the null-n_chars
+    * degrade rule, and the in-memory-ImageIO setting were stated three
+    * times and had already drifted (setUseCache was absent from the WAV
+    * copy; r15 review — the same hazard pixelStats' comment names).
+    * n_chars is NULLABLE in the documents schema — getLong on a null
+    * NPEs through all retries; a null-text doc degrades to the 0-length
+    * synth payload, same contract as extractFeatures. setUseCache
+    * disables ImageIO's temp-file cache for the PNG/video encoders and
+    * is inert for WAV. */
+  private def synthMediaFromDocuments(docs: DataFrame)(
+      synth: (Long, Long) => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -173,14 +182,16 @@ object Multimodal {
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory codec buffers, no temp-file I/O
-        // n_chars is NULLABLE in the documents schema — getLong on a
-        // null NPEs through all retries; a null-text doc degrades to
-        // the 0-length synth payload, same contract as extractFeatures
         rows.map { r =>
-          Row(r.getLong(0), synthPng(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+          Row(r.getLong(0), synth(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
         }
       }(enc)
   }
+
+  /** documents → a real-PNG media table: one narrow mapPartitions doing
+    * the encode (the write-side codec), payload is a decodable PNG. */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame =
+    synthMediaFromDocuments(docs)(synthPng)
 
   /** Decompression-bomb cap: declared pixel count above which a payload
     * is treated as a bad record instead of decoded. A few-KB valid PNG
@@ -199,11 +210,18 @@ object Multimodal {
   private def pixelStats(img: java.awt.image.BufferedImage): (Int, Int, Double, Double, Double) = {
     val w = img.getWidth; val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L
+    // BULK row reads (r15 review): per-pixel getRGB(x, y) pays a bounds
+    // check plus a ColorModel conversion call per pixel — ~10× slower
+    // near the MaxDecodePixels cap, on the hot per-record path of both
+    // the image and video-frame decoders. One reused row buffer keeps
+    // the allocation O(width), not O(pixels).
+    val rowBuf = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = rowBuf(x)
         sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
         x += 1
       }
@@ -312,19 +330,8 @@ object Multimodal {
   }
 
   /** documents → a real-WAV media table (write-side audio codec). */
-  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = ExpressionEncoder(schema)
-    docs.select(col("doc_id"), col("n_chars").cast("long"))
-      .mapPartitions { rows =>
-        // null n_chars degrades like the PNG path — no NPE mid-task
-        rows.map { r =>
-          Row(r.getLong(0), synthWav(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
-        }
-      }(enc)
-  }
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame =
+    synthMediaFromDocuments(docs)(synthWav)
 
   /** Read-side audio codec: AudioSystem-decode each payload and extract
     * frame statistics, plus the sample rate parsed straight from the
@@ -368,8 +375,14 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           // null / non-WAV / truncated payloads → null-feature row (the
           // decoder throws UnsupportedAudioFileException or IOException)
+          // 24 = the shortest decodable container header (AU's .snd
+          // header; WAV's canonical header is 44) — the old WAV-specific
+          // 44-byte floor silently nulled valid short AU payloads the
+          // decoder below handles (r15 review). Shorter garbage still
+          // short-circuits; 24-43-byte garbage just pays one rejected
+          // getAudioInputStream call.
           val ais =
-            if (bytes == null || bytes.length < 44) null // canonical header is 44 bytes
+            if (bytes == null || bytes.length < 24) null
             else try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             catch { case scala.util.control.NonFatal(_) => null }
@@ -387,6 +400,15 @@ object Multimodal {
             val rawFrames = ais.getFrameLength
             val nFrames: java.lang.Long =
               if (rawFrames < 0) null else java.lang.Long.valueOf(rawFrames)
+            // same poisoned-sentinel rule for the DECODER's rate
+            // (r15 review: the r13 n_frames guard was applied to one of
+            // the two header-derived stats): NOT_SPECIFIED (-1) or a
+            // degenerate 0 emits null, never a sentinel that poisons
+            // downstream min/avg rate aggregates
+            val rateHz: Integer = {
+              val r = fmt.getSampleRate
+              if (r > 0f && !r.isNaN) Integer.valueOf(r.toInt) else null
+            }
             // hostile-header guard BEFORE the read: a fmt chunk can
             // declare e.g. 65535 channels, making the frame size exceed
             // the read buffer — AudioInputStream.read then returns 0
@@ -415,7 +437,7 @@ object Multimodal {
             val signed = enc0 == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
             val unsigned = enc0 == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
             if (!(signed || unsigned) || (bits != 8 && bits != 16))
-              Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, null, null)
+              Row(r.getLong(0), fmtSampleRate(bytes), rateHz, nFrames, null, null)
             else {
               val big = fmt.isBigEndian
               var peak = 0; var sumAbs = 0L; var nSamples = 0L
@@ -442,7 +464,7 @@ object Multimodal {
               }
               // zero-length audio: mean over no samples is 0, not NaN
               val mean = if (nSamples > 0) sumAbs.toDouble / nSamples else 0.0
-              Row(r.getLong(0), fmtSampleRate(bytes), fmt.getSampleRate.toInt, nFrames, peak, mean)
+              Row(r.getLong(0), fmtSampleRate(bytes), rateHz, nFrames, peak, mean)
             }
             }
           } catch {
@@ -492,20 +514,8 @@ object Multimodal {
   }
 
   /** documents → a framed-PNG video table (write-side mux). */
-  def videoMediaFromDocuments(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = ExpressionEncoder(schema)
-    docs.select(col("doc_id"), col("n_chars").cast("long"))
-      .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        // null n_chars degrades like the PNG path — no NPE mid-task
-        rows.map { r =>
-          Row(r.getLong(0), synthVideo(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
-        }
-      }(enc)
-  }
+  def videoMediaFromDocuments(docs: DataFrame): DataFrame =
+    synthMediaFromDocuments(docs)(synthVideo)
 
   /** Frame-sampling + decode: demux the container sequentially, decode
     * every `stride`-th frame with the real image codec, one feature row
@@ -569,8 +579,14 @@ object Multimodal {
       // would emit a short chunk for payloads under chunkBytes but
       // silently drop the tail of longer ones
       .where(col("payload").isNotNull && length(col("payload")) > 0)
+      // LONG arithmetic for the ceil: the Int (+chunkBytes-1) form is
+      // the exact overflow resize's comment documents avoiding — at
+      // chunkBytes near Int.MaxValue the sum wrapped negative and
+      // sequence() threw 'Illegal sequence boundaries', killing the
+      // stage on one row (r15 review)
       .withColumn("n_chunks",
-        ((length(col("payload")) + chunkBytes - 1) / chunkBytes).cast("int"))
+        ((length(col("payload")).cast("long") + lit(chunkBytes.toLong) - 1L) / chunkBytes)
+          .cast("int"))
       .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1, lit(stride))))
       .withColumn("chunk", expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
       .select(col("media_id"), col("media_type"), col("chunk_idx"), col("chunk"))

@@ -314,6 +314,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(!r.isNullAt(r.fieldIndex("peak")))
   }
 
+  test("r15 review: short AU decodes, degenerate rate is null, huge chunkBytes doesn't overflow") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    // (1) a 28-byte AU (24-byte .snd header + 4 samples of 8-bit PCM):
+    // the WAV-specific 44-byte floor silently nulled it even though the
+    // decoder handles it
+    val o = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(o)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(4)
+    d.writeInt(2); d.writeInt(8000); d.writeInt(1)
+    d.write(Array[Byte](10, -10, 20, -20))
+    assert(o.size() == 28, o.size().toString)
+    val r = Multimodal.decodeAudioFeatures(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, o.toByteArray)), schema))
+      .collect().head
+    assert(r.getAs[Int]("rate_hz") == 8000, r.toString)
+    assert(!r.isNullAt(r.fieldIndex("peak")), r.toString)
+    // (2) a declared sample rate of 0 must surface as null, not a 0
+    // that poisons downstream min/avg rate aggregates (the n_frames
+    // NOT_SPECIFIED rule, applied symmetrically)
+    val z = new java.io.ByteArrayOutputStream()
+    val dz = new java.io.DataOutputStream(z)
+    dz.writeBytes(".snd"); dz.writeInt(24); dz.writeInt(4)
+    dz.writeInt(2); dz.writeInt(0); dz.writeInt(1)
+    dz.write(Array[Byte](1, 2, 3, 4))
+    val rz = Multimodal.decodeAudioFeatures(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(2L, z.toByteArray)), schema))
+      .collect().head
+    assert(rz.isNullAt(rz.fieldIndex("rate_hz")),
+      s"rate 0 must emit null, not a poisoned sentinel: $rz")
+    // (3) chunkBytes near Int.MaxValue: the Int ceil wrapped negative
+    // and sequence() threw 'Illegal sequence boundaries'
+    import spark.implicits._
+    val chunkDocs = Seq((1L, "alpha beta", 10L), (2L, "gamma", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.mediaFromDocuments(chunkDocs)
+    val chunks = Multimodal.sampleChunks(media, chunkBytes = Int.MaxValue)
+    assert(chunks.groupBy("media_id").count().collect().forall(_.getLong(1) == 1L),
+      "a payload shorter than one huge chunk is exactly one chunk")
+  }
+
   test("real codecs survive null and corrupt payloads (one bad record must not kill the stage)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
