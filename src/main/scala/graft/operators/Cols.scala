@@ -47,4 +47,14 @@ private[graft] object Cols {
     df.schema.fields.find(f => sameName(df, f.name, name)).getOrElse(
       throw new IllegalArgumentException(
         s"column '$name' not found in [${df.columns.mkString(", ")}]"))
+
+  /** Reject inputs that carry an operator's reserved working columns —
+    * the ONE copy of the guard loop asOf/saltedJoin/streamTableDegraded
+    * each hand-rolled with drifting wording (r15 review). Resolver-aware
+    * via `has`, like every check in this object. */
+  def requireAbsent(op: String, sides: Seq[(String, DataFrame)],
+                    names: Seq[String]): Unit =
+    for ((side, d) <- sides; c <- names)
+      require(!has(d, c),
+        s"$op: $side side must not carry the reserved working column $c")
 }

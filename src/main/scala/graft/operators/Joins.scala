@@ -59,9 +59,8 @@ object Joins {
     // withColumn would silently REPLACE (then drop) a same-named caller
     // column on the dim side, and a fact-side copy dies later with
     // AMBIGUOUS_REFERENCE far from the call site (r12 review)
-    for (d <- Seq(fact, dim))
-      require(!Cols.has(d, "__graft_matched"),
-        "streamTableDegraded: inputs must not carry the reserved working column __graft_matched")
+    Cols.requireAbsent("streamTableDegraded", Seq("fact" -> fact, "dim" -> dim),
+      Seq("__graft_matched"))
     strategy match {
       case SkipRecord => fact.join(broadcast(dim), cond, "inner")
       case EmitWithNulls => fact.join(broadcast(dim), cond, "left_outer")
@@ -73,6 +72,16 @@ object Joins {
         // review — exactly the escape Cols.scala documents)
         val missing = defaults.keySet.filterNot(Cols.has(dim, _))
         require(missing.isEmpty, s"UseDefaults names non-table columns: ${missing.mkString(", ")}")
+        // case-variant DUPLICATE default keys resolve to the same dim
+        // column: the foldLeft's withColumn would silently overwrite one
+        // default with the other, the winner following Map iteration
+        // order — reject like every other resolver-level collision in
+        // this family (r15 review)
+        val dup = defaults.keySet.toSeq.combinations(2).collectFirst {
+          case Seq(a, b) if Cols.sameName(dim, a, b) => s"$a / $b"
+        }
+        require(dup.isEmpty,
+          s"UseDefaults keys resolve to the same column: ${dup.getOrElse("")}")
         // a defaulted name also present on the stream side would make
         // col(c) ambiguous at runtime — reject up front
         val clash = defaults.keySet.filter(Cols.has(fact, _))
@@ -148,10 +157,11 @@ object Joins {
       "asOf with strict=true and toleranceSeconds=0 is an empty band " +
         "(rightTs >= leftTs AND rightTs < leftTs) — no row can ever match")
     // reserved working columns, same convention as the window operators
-    // (the right side can carry them into the joined frame too — r12)
-    for ((d, side) <- Seq((left, "left"), (right, "right")); c <- Seq("_asof_row", "_rk"))
-      require(!Cols.has(d, c),
-        s"asOf: $side side must not carry the reserved working column $c")
+    // (the right side can carry them into the joined frame too — r12);
+    // __graft-namespaced like sessionize's, so a caller's ad-hoc _rk
+    // column no longer collides (r15 review)
+    Cols.requireAbsent("asOf", Seq("left" -> left, "right" -> right),
+      Seq("__graft_asof_row", "__graft_rk"))
     // Rank partitions by a PER-ROW id minted before the join, not by
     // a user id column: duplicate id values (an append/reload duplicate)
     // or null ids (ONE window partition for all of them) would merge
@@ -160,19 +170,33 @@ object Joins {
     // 'for each left row' contract. The minted id only isolates rows
     // (its values never reach the output), so plan-dependent id
     // assignment cannot change the result set.
-    val leftRow = left.withColumn("_asof_row", monotonically_increasing_id())
+    val leftRow = left.withColumn("__graft_asof_row", monotonically_increasing_id())
+    // SUBQUERY-ALIASED sides (r15 review): the old pre-join df(col)
+    // attribute references used AFTER the join (drop(right(key)), the
+    // window's orderBy(right(rightTs)), the tie hash) mis-bind when
+    // `right` shares lineage with `left` — the self-join enrichment
+    // shape this scaladoc advertises. DeduplicateRelations re-aliases
+    // the right subtree's exprIds and only the join CONDITION is fixed
+    // up by dataset-id tags, so a post-join right(key) reference
+    // semantically matched the LEFT attribute (or tripped
+    // AMBIGUOUS_SELF_JOIN). Name-qualified references through fresh
+    // subquery aliases bind by plan position, never by exprId, and
+    // cannot cross sides.
+    val L = "__graft_asof_l"; val R = "__graft_asof_r"
+    def q(side: String, c: String): Column =
+      col(s"$side.`${c.replace("`", "``")}`")
     val upper =
-      if (strict) right(rightTs) < leftRow(leftTs) // self-join enrichment: prior rows only
-      else right(rightTs) <= leftRow(leftTs)
+      if (strict) q(R, rightTs) < q(L, leftTs) // self-join enrichment: prior rows only
+      else q(R, rightTs) <= q(L, leftTs)
     // keepUnmatched = pandas merge_asof semantics: every left row
     // survives, null-enriched when no right row lands in the tolerance
     // band. Default false preserves the inner behavior q55 oracles.
     val joinType = if (keepUnmatched) "left_outer" else "inner"
-    val cand = leftRow.join(right,
-      leftRow(key) === right(key) && upper &&
-        right(rightTs) >= leftRow(leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"),
+    val cand = leftRow.alias(L).join(right.alias(R),
+      q(L, key) === q(R, key) && upper &&
+        q(R, rightTs) >= q(L, leftTs) - expr(s"INTERVAL $toleranceSeconds SECOND"),
       joinType)
-      .drop(right(key))
+      .drop(q(R, key))
     // Equal-timestamp right rows would otherwise tie in the rank and the
     // kept enrichment row would follow shuffle order — different columns
     // on different reruns/cluster layouts. Break ties by a content hash
@@ -189,13 +213,18 @@ object Joins {
       case a: ArrayType => hashable(a.elementType)
       case _ => true
     }
+    // Cols.sameName, not !=: a case-variant key column under the
+    // default resolver was dropped by the join but KEPT by this filter,
+    // so the tie hash referenced a dropped attribute — an eager
+    // AnalysisException far from the cause (r15 review)
     val tieCols = right.schema.fields
-      .filter(f => f.name != key && hashable(f.dataType)).map(f => right(f.name))
+      .filter(f => !Cols.sameName(right, f.name, key) && hashable(f.dataType))
+      .map(f => q(R, f.name))
     val rightTieBreak = if (tieCols.nonEmpty) xxhash64(tieCols.toSeq: _*) else lit(0L)
-    val w = Window.partitionBy(col("_asof_row"))
-      .orderBy(right(rightTs).desc_nulls_last, rightTieBreak.asc)
-    cand.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1).drop("_rk", "_asof_row")
+    val w = Window.partitionBy(col("__graft_asof_row"))
+      .orderBy(q(R, rightTs).desc_nulls_last, rightTieBreak.asc)
+    cand.withColumn("__graft_rk", row_number().over(w))
+      .where(col("__graft_rk") === 1).drop("__graft_rk", "__graft_asof_row")
   }
 
   /** Skew-safe shuffle equi-join for when one join key is hot enough to
@@ -224,14 +253,18 @@ object Joins {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     // reserved working column: withColumn would silently REPLACE a
     // same-named caller column with the computed salt, then drop it —
-    // the caller's data vanishes from the output (r12 review)
-    for ((d, side) <- Seq((fact, "fact"), (other, "other")))
-      require(!Cols.has(d, "_salt"),
-        s"saltedJoin: $side side must not carry the reserved working column _salt")
-    val saltedFact = fact.withColumn("_salt", pmod(xxhash64(factSaltSource), lit(salt)).cast("int"))
+    // the caller's data vanishes from the output (r12 review);
+    // __graft-namespaced so a caller's ad-hoc _salt column no longer
+    // collides (r15 review)
+    Cols.requireAbsent("saltedJoin", Seq("fact" -> fact, "other" -> other),
+      Seq("__graft_salt"))
+    val saltedFact = fact.withColumn("__graft_salt",
+      pmod(xxhash64(factSaltSource), lit(salt)).cast("int"))
+    // sequence of int literals already yields IntegerType elements — no
+    // cast needed on the replicated side (r15 review: the old re-cast
+    // was a dead projection)
     val replicated = other
-      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
-      .withColumn("_salt", col("_salt").cast("int"))
-    saltedFact.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+      .withColumn("__graft_salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(replicated, Seq(key, "__graft_salt"), joinType).drop("__graft_salt")
   }
 }

@@ -94,6 +94,16 @@ object TimeWindows {
     // exact failure tumbling() rejects at the call site
     require(sizeSeconds > 0, s"window size must be positive, got $sizeSeconds")
     require(sizeSeconds % advanceSeconds == 0, "window size must be a multiple of advance")
+    // each event explodes into size/advance rows BEFORE the groupBy: a
+    // units mistake (a week-long window advancing by the second —
+    // 604,800×) OOMs executors hours into the job with nothing pointing
+    // at the parameter. Real sliding windows overlap by a small
+    // constant; reject pathological ratios at the call site like every
+    // other scale trap in this file (r15 review)
+    require(sizeSeconds / advanceSeconds <= 8192,
+      s"sliding explodes each event into size/advance = " +
+        s"${sizeSeconds / advanceSeconds} rows (cap 8192) — check the " +
+        "size/advance units, or tumble + roll up instead")
     require(aggs.nonEmpty, "sliding needs at least one aggregate expression")
     requireNoReserved(df, "sliding")
     val lastStart = epochBucket(tsCol, advanceSeconds)

@@ -81,25 +81,63 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("r12 review: working-column guards reject inputs carrying _salt / __graft_matched / _rk") {
+  test("r12 review: working-column guards reject inputs carrying __graft_salt / __graft_matched / __graft_rk") {
     import spark.implicits._
     val df = Seq((1L, "A", ts(1))).toDF("id", "k", "t")
-    // saltedJoin would silently REPLACE then DROP a caller's _salt
-    val withSalt = df.withColumn("_salt", lit(9))
+    // saltedJoin would silently REPLACE then DROP a caller's column
+    // (r15: reserved names are __graft-namespaced, so an ad-hoc _salt
+    // caller column no longer collides at all)
+    val withSalt = df.withColumn("__graft_salt", lit(9))
     assert(intercept[IllegalArgumentException](
-      Joins.saltedJoin(withSalt, df, "k", col("id"))).getMessage.contains("_salt"))
+      Joins.saltedJoin(withSalt, df, "k", col("id"))).getMessage.contains("__graft_salt"))
     assert(intercept[IllegalArgumentException](
-      Joins.saltedJoin(df, withSalt, "k", col("id"))).getMessage.contains("_salt"))
+      Joins.saltedJoin(df, withSalt, "k", col("id"))).getMessage.contains("__graft_salt"))
+    // a plain _salt column is CALLER data now — the join must accept it
+    assert(Joins.saltedJoin(df.withColumn("_salt", lit(9)), df, "k", col("id"))
+      .columns.contains("_salt"))
     // streamTableDegraded's match marker, ANY casing (resolver-aware)
     val withMark = df.withColumn("__GRAFT_MATCHED", lit(false))
     assert(intercept[IllegalArgumentException](
       Joins.streamTableDegraded(df, withMark, df("k") === withMark("k"),
         Joins.MissingDataStrategy.FailFast)).getMessage.contains("__graft_matched"))
     // asOf's rank column on the RIGHT side reaches the joined frame too
-    val withRk = df.withColumn("_rk", lit(1))
+    val withRk = df.withColumn("__graft_rk", lit(1))
     assert(intercept[IllegalArgumentException](
       Joins.asOf(df, withRk, "k", "t", "t", toleranceSeconds = 10L))
-      .getMessage.contains("_rk"))
+      .getMessage.contains("__graft_rk"))
+  }
+
+  test("r15 review: asOf binds per side when right shares lineage with left (self-join enrichment)") {
+    import spark.implicits._
+    // right derived FROM left with the SAME column names — the shape
+    // where pre-join df(col) references mis-bound after exprId dedup:
+    // drop(right(key)) dropped the LEFT key and the window ordered by
+    // the LEFT timestamp (constant per partition), so 'latest' fell to
+    // the hash tie-break
+    val trades = Seq(
+      (1L, "A", ts(100), 10.0), (2L, "A", ts(200), 20.0),
+      (3L, "A", ts(300), 30.0), (4L, "B", ts(250), 99.0)
+    ).toDF("id", "k", "t", "v")
+    val prior = trades.select("k", "t", "v") // shares lineage, same names
+    val out = Joins.asOf(trades, prior, "k", "t", "t",
+      toleranceSeconds = 1000L, strict = true)
+    // columns: id, k, t, v (left) ++ t, v (right minus key)
+    val got = out.collect().map(r => (r.getLong(0), r.getDouble(5))).sorted.toSeq
+    // each trade enriched with the LATEST strictly-earlier v on its key;
+    // trades 1 and 4 have no earlier row → dropped (inner)
+    assert(got == Seq((2L, 10.0), (3L, 20.0)), got.toString)
+    // the left key survives in the output (the mis-bound drop removed it)
+    assert(out.columns.count(_ == "k") == 1 && out.select("k").collect().nonEmpty)
+  }
+
+  test("r15 review: UseDefaults rejects case-variant duplicate default keys") {
+    import spark.implicits._
+    val fact = Seq((1L, "A")).toDF("id", "k")
+    val dim = Seq(("A", 5.0)).toDF("k", "Price")
+    val e = intercept[IllegalArgumentException](
+      Joins.streamTableDegraded(fact, dim, fact("k") === dim("k"),
+        Joins.MissingDataStrategy.UseDefaults(Map("Price" -> 0.0, "price" -> -1.0))))
+    assert(e.getMessage.contains("resolve to the same column"), e.getMessage)
   }
 
   test("saltedJoin rejects non-positive salt instead of silent data loss") {

@@ -67,6 +67,12 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
       TimeWindows.tumbling(df, "ts", 300L, Seq(col("k")), Seq.empty)).getMessage.contains("aggregate"))
     assert(intercept[IllegalArgumentException](
       TimeWindows.sliding(df, "ts", 600L, 300L, Seq(col("k")), Seq.empty)).getMessage.contains("aggregate"))
+    // r15: a pathological size/advance ratio (a units mistake) explodes
+    // every event size/advance-fold BEFORE the groupBy — reject at the
+    // call site instead of OOMing executors hours in
+    assert(intercept[IllegalArgumentException](
+      TimeWindows.sliding(df, "ts", 604800L, 1L, Seq(col("k")), aggs))
+      .getMessage.contains("size/advance"))
     // sessionize refuses inputs carrying its working columns instead of
     // silently overwriting them
     val clash = Seq((1L, 1L)).toDF("ep", "__graft_session_id")
