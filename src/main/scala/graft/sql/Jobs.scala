@@ -736,7 +736,6 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           df.writeStream
             .outputMode(OutputMode.Update())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              console.foreach(graft.streaming.StreamOps.printJsonRows(batch, _))
               // IDEMPOTENT per-batch write: a crash between this write
               // and the checkpoint commit makes Spark RE-RUN the batch
               // on restart — a blind append would duplicate its rows in
@@ -748,9 +747,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
                 .options(sinkOpts).format(sinkFmt).save(out)
-              if (hasLabeled) {
+              // persist whenever MORE THAN ONE action reads the batch
+              // (labeled metric collection and/or the console print) —
+              // each extra action otherwise re-reads source offsets and
+              // state per trigger; the print sits INSIDE the persisted
+              // scope so the cache actually serves it (r15 review)
+              if (hasLabeled || console.isDefined) {
                 batch.persist()
-                try { sink(); collectLabeled(jobName, batch, batchId) } finally batch.unpersist()
+                try {
+                  console.foreach(graft.streaming.StreamOps.printJsonRows(batch, _))
+                  sink()
+                  if (hasLabeled) collectLabeled(jobName, batch, batchId)
+                } finally batch.unpersist()
               } else sink()
             }
             .option("checkpointLocation", j.ckptDir)
@@ -767,8 +775,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             // (the console) is at-least-once by nature anyway.
             case Some(o) =>
               base.foreachBatch { (batch: DataFrame, _: Long) =>
-                graft.streaming.StreamOps.printJsonRows(batch, o)
-                batch.write.mode("append").options(sinkOpts).format(sinkFmt).save(sinkLoc)
+                // persist across print + write (the StreamOps rule)
+                batch.persist()
+                try {
+                  graft.streaming.StreamOps.printJsonRows(batch, o)
+                  batch.write.mode("append").options(sinkOpts).format(sinkFmt).save(sinkLoc)
+                } finally { batch.unpersist(); () }
               }
             case None =>
               base.format(sinkFmt).options(sinkOpts).option("path", sinkLoc)

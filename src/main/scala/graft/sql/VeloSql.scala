@@ -112,8 +112,15 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   val declaredSources: scala.collection.mutable.Map[String, (String, Map[String, String])] =
     scala.collection.concurrent.TrieMap.empty
 
-  def register(name: String, df: DataFrame): Unit =
+  def register(name: String, df: DataFrame): Unit = {
     df.createOrReplaceTempView(name)
+    // a prior registerStream under this name left its event-time
+    // mapping behind: a later WITHIN band would render against the
+    // replaced view's column — failing analysis, or silently banding on
+    // a same-named non-event-time column, the exact hazard streamTsCols
+    // exists to prevent (r15 review)
+    streamTsCols.remove(name.toLowerCase(java.util.Locale.ROOT))
+  }
 
   /** Event-time column per registered stream view — the WITHIN band
     * renderer must reference the WATERMARKED column of each side, not
@@ -152,7 +159,9 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // in the internal temp epoch dir and the declared sink never
       // received a row (the exact hazard resolveIntoSinkPath documents
       // for the JobManager path, previously unfixed on this entry point)
-      val sink = s.into.iterator.flatMap(sinkFilePath(_, s.props)).nextOption()
+      // the ONE INTO-resolution chain (resolveIntoSinkPath) — an inline
+      // copy of its Select arm had already crept back in (r15 review)
+      val sink = resolveIntoSinkPath(Select(s))
       // the reference's stdout debug sink on the STREAMING entry point
       // too (datasource/stdout_writer.rs:10) — pre-r15 only the batch
       // arms honored it, so a streaming `INTO stdout` validated clean
@@ -189,9 +198,19 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
             case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.isStreaming
             case _ => false
           }
-          if (s.window.isEmpty && aggregates)
+          if (s.window.isEmpty && aggregates) {
+            // the changelog reroute is the DEFAULT-emission rescue; a
+            // user who EXPLICITLY asked for FINAL emission on a
+            // windowless streaming aggregate would silently receive
+            // update-mode changelog rows with an extra _batch_id column
+            // — a dialect error beats a silently different sink shape
+            // (r15 review)
+            if (s.emit.contains(EmitFinal)) throw new ParseException(
+              "EMIT FINAL on a non-windowed streaming aggregate never " +
+                "finalizes (no event-time window closes its groups) — " +
+                "use EMIT CHANGES or add a WINDOW clause")
             graft.streaming.StreamOps.runChangelog(df, "velo_sql", sink, stdout = toStdout)
-          else graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink, stdout = toStdout)
+          } else graft.streaming.StreamOps.runToParquet(df, "velo_sql", sink, stdout = toStdout)
       }
     case other => throw new ParseException(s"sqlStream expects a SELECT, got $other")
   }
@@ -293,9 +312,22 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     def prop(suffix: String): Option[String] = props.collectFirst {
       case (k, v) if k.equalsIgnoreCase(s"$sink.$suffix") => v
     }
-    declared.get("path").orElse(declared.get("file"))
+    // declared-map keys bind case-insensitively too: an exact get()
+    // here silently skipped the write for CREATE SINK ... ('Path' = …)
+    // while the dotted-prop branch above already matched loosely —
+    // drift inside the one function that exists to prevent it (r15
+    // review)
+    propCI(declared, "path").orElse(propCI(declared, "file"))
       .orElse(prop("path")).orElse(prop("file"))
   }
+
+  /** Case-insensitive property lookup — the dialect's identifier rule:
+    * an unquoted WITH key keeps its source casing through propMap, so
+    * an exact props.get() silently disabled the feature the key names
+    * (RETENTION = '7 days' kept all history with no error; r15
+    * review). */
+  private def propCI(props: Map[String, String], key: String): Option[String] =
+    props.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   /** Collected `@metric` series: name → (sample-name suffix, labels,
     * value). Counters/gauges use the empty suffix; histograms record
@@ -489,7 +521,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // An UNPARSEABLE retention value throws: silently skipping the
       // filter (the old flatMap) left the table retaining all history —
       // unbounded growth with no error anywhere
-      props.get("retention").map { r =>
+      propCI(props, "retention").map { r =>
         VeloContext.durationSeconds(r).getOrElse(throw new ParseException(
           s"unrecognized 'retention' duration '$r' (use e.g. '7 days', '30 minutes', '1h')"))
       }.foreach { sec =>
@@ -519,7 +551,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
           // seconds and never expire (r13 advice)
           // property VALUES are case-insensitive like the rest of the
           // dialect — 'MILLIS' or 'Seconds' must not throw (r14 advice)
-          val unitOverride = props.get("retention_unit")
+          val unitOverride = propCI(props, "retention_unit")
             .map(_.trim.toLowerCase(java.util.Locale.ROOT)).map {
               case "millis" | "ms" | "milliseconds" => "millis"
               case "seconds" | "s" | "secs"         => "seconds"
@@ -547,10 +579,17 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       // 'table_model' = 'compact': serialized, spillable storage — the
       // Spark analog of CompactTable's memory-lean representation;
       // default model = Spark's compressed columnar cache
-      df = props.get("table_model") match {
+      // key AND value bind case-insensitively (the retention_unit rule,
+      // r14 advice), and an unknown value THROWS: 'compactt' silently
+      // got the default cache — the exact silent-feature-skip failure
+      // the retention arm rejects loudly (r15 review)
+      df = propCI(props, "table_model")
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
         case Some("compact") =>
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        case _ => df.cache()
+        case Some("normal") | Some("standard") | None => df.cache()
+        case Some(other) => throw new ParseException(
+          s"unrecognized 'table_model' '$other' (use 'compact' or 'normal')")
       }
       df.count() // force the materialization, as CTAS ingestion does
       // view registration and registry bookkeeping swap ATOMICALLY:
@@ -927,6 +966,18 @@ object VeloContext {
       declaredArityError(df.columns.toSeq, cols.length)
         .foreach(e => throw new VeloSqlParser.ParseException(e))
       val extras = df.columns.drop(cols.length)
+      // a declared name colliding with a passthrough window-tail column
+      // (CREATE TABLE t (window_start BIGINT) AS ... WINDOW ...) would
+      // build a duplicate-named frame whose very next select dies with
+      // Spark's raw AMBIGUOUS_REFERENCE (HTTP 500) — a malformed
+      // declared list is a DIALECT error like the arity check above
+      // (r15 review)
+      val clash = cols.map(_._1)
+        .filter(n => extras.exists(graft.operators.Cols.sameName(df, _, n)))
+      if (clash.nonEmpty) throw new VeloSqlParser.ParseException(
+        s"declared column(s) ${clash.mkString(", ")} collide with the " +
+          s"passthrough window columns [${extras.mkString(", ")}] — declare " +
+          "the full column list (covering the window columns) or rename")
       val renamed = df.toDF(cols.map(_._1) ++ extras: _*)
       renamed.select(cols.map { case (n, t) => col(n).cast(t).as(n) } ++ extras.map(col): _*)
     }

@@ -459,8 +459,13 @@ object StreamOps {
       val base = df.writeStream.outputMode(OutputMode.Append())
       val sunk = console match {
         case Some(o) => base.foreachBatch { (batch: DataFrame, _: Long) =>
-          printJsonRows(batch, o)
-          batch.write.mode("append").options(opts).format(fmt).save(out)
+          // persist across the two actions: print + write would
+          // otherwise each re-read the batch's source offsets and
+          // state, doubling per-trigger work (r15 review)
+          batch.persist()
+          try { printJsonRows(batch, o)
+            batch.write.mode("append").options(opts).format(fmt).save(out)
+          } finally { batch.unpersist(); () }
         }
         case None => base.format(fmt).options(opts).option("path", out)
       }
@@ -510,9 +515,13 @@ object StreamOps {
       val q = df.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          console.foreach(printJsonRows(batch, _))
-          batch.withColumn("_batch_id", lit(batchId))
-            .write.mode("append").options(opts).format(fmt).save(out)
+          // persist only when BOTH actions run (the runToParquet rule)
+          console.foreach(_ => batch.persist())
+          try {
+            console.foreach(printJsonRows(batch, _))
+            batch.withColumn("_batch_id", lit(batchId))
+              .write.mode("append").options(opts).format(fmt).save(out)
+          } finally console.foreach(_ => { batch.unpersist(); () })
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())

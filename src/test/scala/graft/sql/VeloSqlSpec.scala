@@ -1284,6 +1284,58 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("unknown deployment strategy"), e.getMessage)
   }
 
+  test("r15 review: prop keys/values bind case-insensitively; malformed shapes are dialect errors") {
+    import spark.implicits._
+    // (1) RETENTION key in any casing prunes — an exact get() silently
+    // kept all history
+    val nowS = System.currentTimeMillis() / 1000
+    ctx.register("ret_ci", Seq((1L, nowS), (2L, nowS - 86400L * 30)).toDF("id", "ts"))
+    ctx.sql("CREATE TABLE ret_ci_t AS SELECT id, ts FROM ret_ci WITH (RETENTION = '7 days')")
+    assert(spark.table("ret_ci_t").count() == 1)
+    // (2) table_model: case-variant value works; unknown value THROWS
+    // instead of silently defaulting (the retention_unit rule)
+    ctx.sql("CREATE TABLE tm_ci AS SELECT order_id FROM orders WITH ('table_model' = 'Compact')")
+    assert(spark.table("tm_ci").count() == 5)
+    val e2 = intercept[VeloSqlParser.ParseException](
+      ctx.sql("CREATE TABLE tm_bad AS SELECT order_id FROM orders WITH ('table_model' = 'compactt')"))
+    assert(e2.getMessage.contains("table_model"), e2.getMessage)
+    // (3) a declared sink's case-variant 'Path' key still receives the
+    // write (the dotted-prop branch already matched loosely)
+    val dir = java.nio.file.Files.createTempDirectory("sinkci").toString
+    ctx.sql(s"CREATE SINK ci_out WITH ('Path' = 'file://$dir/ci.json')")
+    ctx.sql("SELECT order_id FROM orders WHERE order_id = 1 INTO ci_out")
+    assert(spark.read.json(s"$dir/ci.json").count() == 1)
+    // (4) a declared column colliding with the passthrough window tail
+    // is a clean dialect error, not a raw AMBIGUOUS_REFERENCE
+    val e4 = intercept[VeloSqlParser.ParseException](ctx.sql(
+      """CREATE TABLE wc (window_start BIGINT) AS
+         SELECT symbol FROM market_data GROUP BY symbol
+         WINDOW TUMBLING(timestamp, INTERVAL '5' MINUTE)"""))
+    assert(e4.getMessage.contains("window"), e4.getMessage)
+  }
+
+  test("r15 review: explicit EMIT FINAL on a windowless stream aggregate errors; register() clears the stream time mapping") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    ctx.registerStream("ef_stream",
+      in.toDF().toDF("id", "ep").withColumn("event_time", timestamp_seconds(col("ep"))),
+      "event_time", "10 minutes")
+    in.addData(Seq((1L, 100L)))
+    // pre-r15 this silently rerouted to the update-mode changelog sink
+    // (extra _batch_id column) for a user who explicitly asked FINAL
+    val e = intercept[VeloSqlParser.ParseException](
+      ctx.sqlStream("SELECT COUNT(*) AS n FROM ef_stream EMIT FINAL"))
+    assert(e.getMessage.contains("EMIT FINAL"), e.getMessage)
+    // re-registering the name as a BATCH view must clear the stale
+    // event-time mapping a later WITHIN band would silently bind to
+    assert(ctx.streamTimeCol("ef_stream").contains("event_time"))
+    ctx.register("ef_stream", Seq((1L, 2L)).toDF("id", "v"))
+    assert(ctx.streamTimeCol("ef_stream").isEmpty,
+      "register() must clear a stale registerStream time mapping")
+  }
+
   test("zero-argument COLLECT/STRING_AGG is a parse error, not an internal crash") {
     val e = intercept[VeloSqlParser.ParseException](
       ctx.sql("SELECT COLLECT() FROM orders"))
