@@ -41,6 +41,19 @@ object Sketches {
     // r13 review)
     require(!Cols.sameName(df, keyCol, "n") && !Cols.sameName(df, keyCol, "est_ok"),
       s"key column '$keyCol' collides with a report column name")
+    // CountMinSketch.add handles string/binary/integral keys ONLY
+    // (Utils.integralToLong throws for everything else) — a double or
+    // timestamp key would pay the full distributed pass and then die
+    // inside executor tasks with an opaque IllegalArgumentException;
+    // fail HERE like every other parameter (r15 review)
+    val keyType = Cols.fieldOf(df, keyCol).dataType
+    require(keyType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType
+         | org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }, s"cmsHeavyHitters key column '$keyCol' is $keyType — Count-Min supports " +
+      "string, binary, and integral keys (cast the column first)")
     // nulls: the CMS builder skips them but groupBy reports the null
     // group, and sketch.estimateCount(null) throws on the driver —
     // exclude them consistently (the report covers non-null keys; the
@@ -55,11 +68,18 @@ object Sketches {
     // bit-identical to raw adds; the persisted aggregate (distinct-key
     // sized, not corpus sized) serves both the sketch and the top-k
     // from one consistent snapshot.
+    // localCheckpoint (eager), NOT persist: a cache partition lost to
+    // executor failure under persist RECOMPUTES from lineage against
+    // the live source — silently resurrecting the sketch-vs-exact
+    // drift this single-scan shape exists to prevent, as an
+    // est_ok=false row claiming an impossible CMS-bound violation.
+    // With lineage truncated, a lost partition fails LOUDLY instead
+    // (the Dedup closure's rule; blocks are freed by the
+    // ContextCleaner once the frame is unreachable) (r15 review).
     val agg = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val sketch = agg.select(col(keyCol), col("n")).rdd.treeAggregate(
+      .localCheckpoint()
+    val sketch = agg.rdd.treeAggregate(
         org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed))(
         (s, row) => { s.add(row.get(0), row.getLong(1)); s },
         (a, b) => { a.mergeInPlace(b); a })
@@ -84,6 +104,5 @@ object Sketches {
       }
       (keyStr, exact, est >= exact && est <= exact + bound)
     }.toDF(keyCol, "n", "est_ok")
-    } finally agg.unpersist()
   }
 }

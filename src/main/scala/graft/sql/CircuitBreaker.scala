@@ -181,5 +181,17 @@ object CircuitBreaker {
     * recovery, 3 half-open successes close. */
   final case class Config(failureThreshold: Int = 5,
                           recoveryTimeoutMs: Long = 60000L,
-                          successThreshold: Int = 3)
+                          successThreshold: Int = 3) {
+    // validated like Limits/Tracer in this package (r15 review): a
+    // zero/negative recovery timeout silently NEUTERS the OPEN state —
+    // every state read instantly flips OPEN→HALF_OPEN, re-admitting a
+    // crash-looping job a trial on every supervision tick, the exact
+    // doomed-restart burn the breaker exists to bound
+    require(failureThreshold >= 1,
+      s"failureThreshold must be >= 1, got $failureThreshold")
+    require(recoveryTimeoutMs > 0,
+      s"recoveryTimeoutMs must be positive, got $recoveryTimeoutMs")
+    require(successThreshold >= 1,
+      s"successThreshold must be >= 1, got $successThreshold")
+  }
 }

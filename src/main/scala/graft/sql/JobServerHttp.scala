@@ -71,6 +71,24 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     try respond(ex, status, s"""{"error":${jstr(msg)}}""")
     catch { case _: java.io.IOException => }
 
+  /** Routes that answer WITHOUT consuming a body-carrying request drain
+    * it on the side pool first (the SchemaRegistryServer r15 rule):
+    * respond's ex.close() otherwise drains the unread body INLINE on a
+    * pool thread — four stalled guard-rejected POSTs would exhaust the
+    * fixed pool and black out /health and /metrics, the exact wedge the
+    * bounded body read exists to prevent. A drain that timed out or
+    * overflowed has already answered (408/413); the guard response is
+    * then skipped. */
+  private def drained(ex: HttpExchange)(body: => Unit): Unit =
+    ex.getRequestMethod match {
+      case "POST" | "PUT" | "PATCH" | "DELETE" =>
+        val ok = graft.HttpGuards.readBodyChecked(ex, MaxBodyBytes) { max =>
+          err(ex, 413, s"body exceeds $max bytes")
+        }.isDefined
+        if (ok) body
+      case _ => body
+    }
+
   // one registry snapshot per request — the pure driver-side accessor,
   // NOT statusDf: scrape endpoints are polled continuously, and a
   // DataFrame build+collect per poll pays Spark analysis/planning (and
@@ -120,8 +138,15 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     * I/O per poll, growing with the sink, competing with the jobs
     * themselves (r11 review). A dashboard polling every few seconds
     * reads the cache; numbers refresh within MetricsTtlMs. */
+  // entries carry the job's GENERATION stamp at scan time
+  // (JobManager.generationOf): a DEPLOY/ROLLBACK/STOP issued through
+  // the SQL surface bypasses this layer's evictions entirely, and a
+  // TTL-fresh entry would serve the previous deployment's numbers as
+  // the new one's for up to MetricsTtlMs — the exact staleness the
+  // r11 eviction exists to prevent (r15 review). A generation mismatch
+  // on read is a cache miss.
   private val metricsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Long, Long, Long)])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[String], Option[(Long, Long, Long)])]()
   // generation guard for the cache: a cold metrics SCAN can be in
   // flight while deploy/stop evicts the name — its late put() would
   // re-cache the PREVIOUS generation's numbers with a fresh timestamp,
@@ -133,9 +158,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
 
   private def cachedMetrics(name: String): Option[(Long, Long, Long)] = {
     val now = System.nanoTime()
+    val gen = ctx.jobManager.generationOf(name)
     Option(metricsCache.get(name))
-      .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L) match {
-      case Some((_, v)) => v
+      .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L && e._2 == gen) match {
+      case Some((_, _, v)) => v
       case None =>
         val epoch0 = metricsEpoch.get()
         val v = ctx.jobManager.metricsDf(Some(name)).collect().headOption.map(r =>
@@ -147,7 +173,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
         // interleaving now ends with the stale entry gone (r14
         // follow-up: either our recheck sees the bump, or the evictor's
         // remove runs after our put)
-        metricsCache.put(name, (now, v))
+        // the entry stores the generation read BEFORE the scan — a
+        // transition DURING the scan reads as a mismatch on the next
+        // poll, costing one extra scan, never stale data
+        metricsCache.put(name, (now, gen, v))
         if (metricsEpoch.get() != epoch0) metricsCache.remove(name)
         v
     }
@@ -159,10 +188,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     * scans per cold /report poll with N jobs (r11 advisor). */
   private def cachedMetricsAll(names: Seq[String]): Map[String, Option[(Long, Long, Long)]] = {
     val now = System.nanoTime()
+    val gens = names.map(n => n -> ctx.jobManager.generationOf(n)).toMap
     val fresh = names.flatMap { n =>
       Option(metricsCache.get(n))
-        .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L)
-        .map(n -> _._2)
+        .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L
+          && e._2 == gens(n))
+        .map(n -> _._3)
     }.toMap
     if (fresh.size == names.size) fresh
     else {
@@ -174,7 +205,7 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       // same put-then-recheck discipline as cachedMetrics (one recheck
       // AFTER all puts: a bump seen by it removes every entry this scan
       // wrote — over-eviction costs one extra scan, never stale data)
-      names.foreach(n => metricsCache.put(n, (now, scanned.get(n))))
+      names.foreach(n => metricsCache.put(n, (now, gens(n), scanned.get(n))))
       if (metricsEpoch.get() != epoch0) names.foreach(metricsCache.remove)
       names.map(n => n -> scanned.get(n)).toMap
     }
@@ -216,7 +247,9 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     }
 
   private def deploy(ex: HttpExchange, name: String): Unit = {
-    if (!name.matches("[A-Za-z0-9_]+")) { err(ex, 400, s"invalid job name: $name"); return }
+    if (!name.matches("[A-Za-z0-9_]+")) {
+      drained(ex)(err(ex, 400, s"invalid job name: $name")); return
+    }
     // bounded read with an in-process timeout (graft.HttpGuards — the
     // JDK maxReqTime knob is first-server-wins per JVM, so it cannot be
     // the only guard): queries are short SQL strings, and an uncapped
@@ -266,11 +299,19 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
             err(ex, 503, String.valueOf(e.getMessage))
           case e: ParseException =>
             err(ex, 400, String.valueOf(e.getMessage))
+          // a semantically invalid query the static gate could not see
+          // (launch-time analysis failure) is the CLIENT's error: a 500
+          // invites retry middleware to re-submit a request that can
+          // never succeed, burning breaker failures until even a
+          // corrected deploy is 503-rejected for the recovery window
+          // (r15 review)
+          case e: org.apache.spark.sql.AnalysisException =>
+            err(ex, 400, String.valueOf(e.getMessage))
         }
     }
   }
 
-  private def stopJob(ex: HttpExchange, name: String): Unit = {
+  private def stopJob(ex: HttpExchange, name: String): Unit = drained(ex) {
     if (!name.matches("[A-Za-z0-9_]+")) { err(ex, 400, s"invalid job name: $name"); return }
     // parse the query string properly: a substring test would let any
     // parameter merely CONTAINING 'force=true' (e.g. unforce=true)
@@ -289,9 +330,14 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       metricsCache.remove(name)
       respond(ex, 200, jobJson(jobRows(Some(name)).head))
     } catch {
+      // classified by STRUCTURED type like the deploy arm (r15 review):
+      // the old message-substring check turned any future engine
+      // message merely CONTAINING 'unknown job' into a 404, and a
+      // renamed message into a 400
+      case e: VeloSqlParser.UnknownJobException =>
+        err(ex, 404, String.valueOf(e.getMessage))
       case e: ParseException =>
-        val msg = String.valueOf(e.getMessage)
-        err(ex, if (msg.contains("unknown job")) 404 else 400, msg)
+        err(ex, 400, String.valueOf(e.getMessage))
     }
   }
 
@@ -317,14 +363,16 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
         // wrong METHOD on a known path is 405, not 404 — a client
         // probing job existence by status code would read 404 as
         // "job absent" when only the verb was wrong
-        case (m, "jobs" :: _ :: Nil) =>
+        case (m, "jobs" :: _ :: Nil) => drained(ex) {
           ex.getResponseHeaders.set("Allow", "GET, POST, DELETE")
           err(ex, 405, s"method $m not allowed; Allow: GET, POST, DELETE")
+        }
         case (m, p) if p == Nil || (p.lengthCompare(1) == 0 &&
-            Set("health", "metrics", "report", "jobs").contains(p.head)) =>
+            Set("health", "metrics", "report", "jobs").contains(p.head)) => drained(ex) {
           ex.getResponseHeaders.set("Allow", "GET")
           err(ex, 405, s"method $m not allowed; Allow: GET")
-        case _ => err(ex, 404, s"no route: ${ex.getRequestMethod} /$path")
+        }
+        case _ => drained(ex)(err(ex, 404, s"no route: ${ex.getRequestMethod} /$path"))
       }
     } catch {
       case e: Exception => err(ex, 500, String.valueOf(e.getMessage))

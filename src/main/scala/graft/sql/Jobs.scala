@@ -583,7 +583,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     }
 
   private def job(name: String): Job =
-    jobs.getOrElse(name, throw new ParseException(s"unknown job: $name"))
+    jobs.getOrElse(name,
+      throw new VeloSqlParser.UnknownJobException(s"unknown job: $name"))
 
   private def emitOf(stmt: VeloStatement): Option[EmitMode] = stmt match {
     case Select(s) => s.emit
@@ -1350,6 +1351,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   /** Whether this manager owns a job of that name (listener guards use
     * it to scope shared-session events to their own context's jobs). */
   def hasJob(name: String): Boolean = synchronized(jobs.contains(name))
+
+  /** Cheap per-job generation stamp — changes on every lifecycle
+    * transition that can change what the job's metrics MEAN
+    * (START/DEPLOY/ROLLBACK bump the epoch or append a version;
+    * STOP/PAUSE/RESUME flip status). The HTTP layer keys its metrics
+    * cache on this, so a DEPLOY/ROLLBACK issued through the SQL
+    * surface — bypassing the HTTP arms' own eviction — invalidates
+    * cached numbers too instead of serving the previous generation's
+    * last_batch_id/sink_rows for a TTL window (r15 review). */
+  def generationOf(name: String): Option[String] = synchronized(
+    jobs.get(name).map(j =>
+      s"${j.epoch}:${j.versions.length}:${j.status}:${j.current.map(_.version).getOrElse("")}"))
 
   /** Remove this manager's progress listener from the shared session
     * (VeloContext.close) — a discarded manager must not stay on the

@@ -57,9 +57,15 @@ object Resources {
       s"maxProcessingTimePerRecordMs must be positive and finite, got $maxProcessingTimePerRecordMs")
     require(maxConcurrentOperations.forall(_ > 0),
       s"maxConcurrentOperations must be positive, got $maxConcurrentOperations")
+    // the UPPER bound matters too: criticalPct = 1.5 (a 0.15 typo) or
+    // 95 (a percent-vs-fraction mixup) passed the old check, silently
+    // emptying the CRITICAL band — any usage past the limit is already
+    // EXHAUSTED, so crit·limit > limit is unreachable and the job jumps
+    // from OK straight to a kill with no early-warning tier (Infinity
+    // also evaded the NaN-only finiteness check) (r15 review)
     require(!warningPct.isNaN && !criticalPct.isNaN
-        && warningPct > 0 && warningPct <= criticalPct,
-      s"thresholds must satisfy 0 < warningPct <= criticalPct, got $warningPct/$criticalPct")
+        && warningPct > 0 && warningPct <= criticalPct && criticalPct <= 1.0,
+      s"thresholds must satisfy 0 < warningPct <= criticalPct <= 1, got $warningPct/$criticalPct")
 
     def limitFor(resource: String): Option[Double] = resource match {
       case "aggregation_groups" => maxAggregationGroups.map(_.toDouble)

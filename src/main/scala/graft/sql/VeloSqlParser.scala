@@ -39,6 +39,11 @@ object VeloSqlParser {
     * error ("unexpected trailing tokens: resource exhausted") flipped a
     * permanent 400 into a retry-forever 503 (r14 review). */
   final class TransientRejectionException(msg: String) extends ParseException(msg)
+  /** Structured unknown-job rejection (STOP/PAUSE/RESUME/ROLLBACK of a
+    * name the manager does not hold) — the HTTP layer maps it to 404 by
+    * TYPE; a message-substring check was the exact fragile pattern the
+    * r14 review removed from the deploy arm (r15 review). */
+  final class UnknownJobException(msg: String) extends ParseException(msg)
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()

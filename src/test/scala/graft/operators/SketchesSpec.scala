@@ -40,6 +40,20 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(out.forall(_.getAs[Boolean]("est_ok")))
   }
 
+  test("r15 review: unsupported key type fails at the call site, not mid-scan in executors") {
+    import spark.implicits._
+    // CountMinSketch.add handles string/binary/integral keys only — a
+    // DOUBLE key used to pay the full pass and die with an opaque
+    // executor IllegalArgumentException
+    val df = Seq((1.5, "x"), (2.5, "y")).toDF("price", "v")
+    val e = intercept[IllegalArgumentException](
+      Sketches.cmsHeavyHitters(df, "price", 5))
+    assert(e.getMessage.contains("Count-Min supports"), e.getMessage)
+    // integral keys stay legal
+    assert(Sketches.cmsHeavyHitters(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"), "k", 2).count() == 2)
+  }
+
   test("cmsHeavyHitters: null keys are excluded, not a driver crash") {
     import spark.implicits._
     val df = (Seq.fill(50)(Some(7L)) ++ Seq.fill(100)(Option.empty[Long]) ++

@@ -270,6 +270,17 @@ class CircuitBreakerSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.currentState == CircuitBreaker.Closed)
   }
 
+  test("r15 review: degenerate Config values reject at construction") {
+    // recoveryTimeoutMs <= 0 silently neutered the OPEN state: every
+    // state read instantly flipped OPEN -> HALF_OPEN, re-admitting a
+    // crash-looping job a trial on every supervision tick
+    intercept[IllegalArgumentException](CircuitBreaker.Config(recoveryTimeoutMs = 0L))
+    intercept[IllegalArgumentException](CircuitBreaker.Config(recoveryTimeoutMs = -5L))
+    intercept[IllegalArgumentException](CircuitBreaker.Config(failureThreshold = 0))
+    intercept[IllegalArgumentException](CircuitBreaker.Config(successThreshold = 0))
+    assert(CircuitBreaker.Config().recoveryTimeoutMs == 60000L)
+  }
+
   test("supervision restarts continue exactly-once on the same sink") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =

@@ -96,6 +96,33 @@ class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAnd
     assert(!ctx.jobManager.hasJob("badjob"))
   }
 
+  test("r15 review: metrics cache keys on the job GENERATION — SQL-surface deploys invalidate") {
+    import spark.implicits._
+    ctx.register("gen_src", Seq(1, 2, 3).toDF("a"))
+    ctx.sql("START JOB genjob AS SELECT a FROM gen_src") // batch body: 3 rows
+    val (c1, d1) = get("/jobs/genjob")
+    assert(c1 == 200 && d1.contains("\"sink_rows\":3"), d1)
+    // a DEPLOY through the SQL surface bypasses the HTTP arms' own
+    // eviction — the TTL-fresh cache entry used to serve the previous
+    // deployment's numbers as the new one's
+    ctx.sql("DEPLOY JOB genjob VERSION '2.0' AS SELECT a FROM gen_src WHERE a = 1")
+    val (c2, d2) = get("/jobs/genjob") // immediately, inside the TTL
+    assert(c2 == 200 && d2.contains("\"sink_rows\":1"),
+      s"stale previous-generation metrics served after a SQL-surface deploy: $d2")
+    ctx.sql("STOP JOB genjob")
+  }
+
+  test("r15 review: unknown-job 404 is classified by TYPE; guard-rejected POSTs drain bodies") {
+    // structured UnknownJobException, not a message-substring match
+    assert(delete("/jobs/never_was")._1 == 404)
+    // guard-rejected routes with bodies drain on the side pool and
+    // still answer; the pool stays live for a follow-up request
+    assert(post("/jobs/bad.name", """{"query":"SELECT 1"}""")._1 == 400)
+    assert(post("/health", """{"x":"y"}""")._1 == 405)
+    assert(post("/no/route", """{"x":"y"}""")._1 == 404)
+    assert(get("/health")._1 == 200)
+  }
+
   test("body parsing: a string VALUE equal to a key name cannot hijack extraction") {
     // a bare indexOf would match the "note" VALUE 'query' and extract
     // the NEXT field — deploying 'SELECT 99' with a 200, silently

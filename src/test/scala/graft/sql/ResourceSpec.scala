@@ -101,6 +101,18 @@ class ResourceSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       Resources.Limits(warningPct = 0.99, criticalPct = 0.5) // warn above crit
     }
+    // r15: thresholds above 1 silently emptied the CRITICAL band (any
+    // usage past the limit is already EXHAUSTED, so crit*limit > limit
+    // is unreachable); Infinity evaded the NaN-only check too
+    intercept[IllegalArgumentException] {
+      Resources.Limits(criticalPct = 1.5) // percent-vs-fraction typo
+    }
+    intercept[IllegalArgumentException] {
+      Resources.Limits(warningPct = 80, criticalPct = 95)
+    }
+    intercept[IllegalArgumentException] {
+      Resources.Limits(criticalPct = Double.PositiveInfinity)
+    }
     assert(Resources.Limits(maxAggregationGroups = Some(1L)).maxAggregationGroups.contains(1L))
   }
 
