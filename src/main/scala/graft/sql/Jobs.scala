@@ -224,10 +224,22 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * statement, and without a detach the stale specs/config survive the
     * failure and silently apply to the next (unannotated) launch of the
     * same job name. */
-  def detachStatementState(name: String): Unit = synchronized {
-    metricSpecs.synchronized { metricSpecs.remove(name) }
-    jobConfigs.remove(name)
-    ()
+  /** Spec probe: is a metric spec / job config currently attached?
+    * (the maps are private; the r15 granular-detach spec needs to
+    * observe what a failed statement's cleanup removed). */
+  private[sql] def hasAttachedMetrics(name: String): Boolean =
+    metricSpecs.synchronized(metricSpecs.contains(name))
+  private[sql] def hasAttachedJobConfig(name: String): Boolean =
+    synchronized(jobConfigs.contains(name))
+
+  /** Remove the metric specs and/or job config a FAILED statement
+    * attached — SCOPED to what that statement actually attached: the
+    * old unconditional wipe clobbered state a previous successful
+    * statement installed for the same job name (r15 review). */
+  def detachStatementState(name: String, metrics: Boolean = true,
+                           config: Boolean = true): Unit = synchronized {
+    if (metrics) metricSpecs.synchronized { metricSpecs.remove(name); () }
+    if (config) { jobConfigs.remove(name); () }
   }
 
   private var listenerRegistered = false

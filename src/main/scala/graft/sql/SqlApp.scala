@@ -361,7 +361,11 @@ object SqlApp {
         if (f.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(field = Some(f))
       }
       else if (trimmed.startsWith("-- @metric_condition:") && curMetrics.nonEmpty && !curMetricDropped) {
-        val c = tail(trimmed, "-- @metric_condition:")
+        // ${VAR} resolves here like it does for statement SQL and the
+        // deployment.* metadata — stored verbatim, a variable-bearing
+        // condition parsed as a string LITERAL and silently matched
+        // zero rows (r15 review)
+        val c = resolvePattern(tail(trimmed, "-- @metric_condition:"), env)
         if (c.nonEmpty) curMetrics = curMetrics.init :+ curMetrics.last.copy(condition = Some(c))
       }
       else if (trimmed.startsWith("-- @metric_sample_rate:") && curMetrics.nonEmpty && !curMetricDropped) {
@@ -384,8 +388,13 @@ object SqlApp {
           }
         }.toVector
         // the reference validates positive ascending boundaries (Prometheus requirement)
-        if (bs.exists(_ <= 0.0) || bs.zip(bs.drop(1)).exists { case (a, b) => a >= b })
-          throw new ParseException(s"histogram buckets must be positive and ascending: $raw")
+        // NaN defeats ordering checks (every comparison is false) and
+        // 'Infinity' collides with the canonical +Inf bucket the
+        // renderer appends — both are finite-positive violations, not
+        // orderable boundaries (r15 review)
+        if (bs.exists(b => b.isNaN || b.isInfinite || b <= 0.0)
+            || bs.zip(bs.drop(1)).exists { case (a, b) => a >= b })
+          throw new ParseException(s"histogram buckets must be positive, finite and ascending: $raw")
         curMetrics = curMetrics.init :+ curMetrics.last.copy(buckets = bs)
       }
       else if (trimmed.startsWith("-- @partition-count:"))
@@ -449,8 +458,11 @@ object SqlApp {
       case a: ArrayType => hashable(a.elementType)
       case _ => true
     }
+    // backtick-quoted: a bare col("a.b") parses as nested access and
+    // dies (or mis-resolves) for column names carrying dots (r15 review)
     val cs = df.schema.fields.filter(f => hashable(f.dataType))
-      .map(f => org.apache.spark.sql.functions.col(f.name)).toSeq
+      .map(f => org.apache.spark.sql.functions.col(
+        s"`${f.name.replace("`", "``")}`")).toSeq
     if (cs.nonEmpty) cs else Seq(org.apache.spark.sql.functions.lit(1))
   }
 
@@ -485,7 +497,28 @@ object SqlApp {
         if (c == '*' && i + 1 < s.length && s(i + 1) == '/') { quote = 0; i += 1 }
       }
       else if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') return (-1, 0) // comment runs to EOL
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-'
+          // NOT a comment inside a kafka://… / file://… URI token: the
+          // dialect tokenizer consumes '-' as a URI character there
+          // ('--' is legal in Kafka topic names), so treating it as a
+          // comment here desynchronized the splitter from the tokenizer
+          // — the rest of the line (including a real ';') vanished and
+          // two statements silently merged (r15 review). A URI runs
+          // from a '://' to the first non-URI character.
+          && !{
+            // scan back over URI characters; a URI demands "://" right
+            // before the span, preceded by the kafka/file scheme word
+            // (the tokenizer's exact rule)
+            var j = i - 1
+            while (j >= 0 && (s(j).isLetterOrDigit || "._/-".indexOf(s(j)) >= 0)) j -= 1
+            j >= 0 && s(j) == ':' && i >= j + 3 &&
+              s(j + 1) == '/' && s(j + 2) == '/' && {
+                var w = j - 1
+                while (w >= 0 && (s(w).isLetterOrDigit || s(w) == '_')) w -= 1
+                val word = s.substring(w + 1, j).toLowerCase(java.util.Locale.ROOT)
+                word == "kafka" || word == "file"
+              }
+          }) return (-1, 0) // comment runs to EOL
       else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { quote = '*'; i += 1 }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return (i, 0)
@@ -513,7 +546,7 @@ object SqlApp {
           env: String => Option[String] = sys.env.get,
           onWave: (Int, Seq[String]) => Unit = (_, _) => ()): (SqlApplication, Seq[DataFrame]) = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{col, count, expr, last, lit, pmod, sum, when, xxhash64}
+    import org.apache.spark.sql.functions.{col, count, last, lit, sum, when}
     val app = parse(content, env)
     def execOne(s: AppStatement): DataFrame = {
       // metrics on a JOB statement belong to the job's data, not to the
@@ -547,7 +580,11 @@ object SqlApp {
       val df =
         try ctx.sql(s.sql)
         catch { case t: Throwable =>
-          jobName.foreach(ctx.jobManager.detachStatementState)
+          // scoped to what THIS statement attached: an unconditional
+          // wipe clobbered specs/config an earlier SUCCESSFUL statement
+          // installed for the same job name (r15 review)
+          jobName.foreach(ctx.jobManager.detachStatementState(_,
+            metrics = s.metrics.nonEmpty, config = jobCfg.isDefined))
           throw t
         }
       val target: Option[DataFrame] = jobName match {
@@ -652,6 +689,14 @@ object SqlApp {
     //      sequentially, so results are identical to sequential
     //      execution by construction. ----
     final case class CtasInfo(idx: Int, produces: String)
+    // ONE unquote (doubled-backtick collapse included, matching the
+    // parser's canonical rule) — two identical strip lambdas had
+    // already drifted from it (r15 review)
+    def unquote(n: String): String =
+      if (n.length >= 2 && ((n.startsWith("`") && n.endsWith("`"))
+          || (n.startsWith("\"") && n.endsWith("\""))))
+        n.substring(1, n.length - 1).replace("``", "`")
+      else n
     def ctasOf(s: AppStatement): Option[String] =
       if (s.metrics.nonEmpty || s.partitionCount.nonEmpty || s.jobMode.nonEmpty
         || s.batchSize.nonEmpty || s.numPartitions.nonEmpty || s.partitioningStrategy.nonEmpty) None
@@ -662,10 +707,8 @@ object SqlApp {
       // the duplicate-producer run guard treats `t` and `` `t` `` as
       // distinct, racing two writers of one view)
       else try VeloSqlParser.parse(s.sql) match {
-        case VeloSqlParser.CreateTableAs(n, _, _, _) =>
-          Some(n.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\""))
-        case VeloSqlParser.CreateStreamAs(n, _, _, _) =>
-          Some(n.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\""))
+        case VeloSqlParser.CreateTableAs(n, _, _, _) => Some(unquote(n))
+        case VeloSqlParser.CreateStreamAs(n, _, _, _) => Some(unquote(n))
         case _ => None
       } catch { case _: ParseException => None }
     def identifiers(sql: String): Set[String] = {

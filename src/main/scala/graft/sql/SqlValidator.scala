@@ -235,18 +235,26 @@ object SqlValidator {
   def validateContent(ctx: VeloContext, content: String,
                       env: String => Option[String] = sys.env.get): AppValidation = {
     val appName = Option(SqlApp.parseMetadata(content, env).name).filter(_.nonEmpty)
-    // the SAME ${VAR} resolution SqlApp.run applies before executing
-    // (SqlApp.resolvePattern): validating the raw text rejected
-    // deployable apps at tokenize ('unexpected character $') — the
-    // exact validator/executor drift this gate promises not to have
-    // (r14 review). Unresolvable specs keep their text, as run() does —
-    // both sides then fail identically. The CALLER's env lookup threads
-    // through like SqlApp.run/parse take it: resolving with the default
-    // sys.env while execution resolves a custom lookup would have the
-    // validator analyzing DIFFERENT statement text than the executor
-    // runs — the narrow validator/executor drift this gate exists to
-    // make impossible (r14 advice).
-    val statements = VeloContext.splitStatements(content).map(SqlApp.resolvePattern(_, env))
+    // the EXECUTOR's OWN splitter + resolver (SqlApp.parse with the
+    // caller's env, exactly what run() consumes) — not a third
+    // independent quote/comment scanner: VeloContext.splitStatements
+    // was a separate hand-rolled machine over the same text, so any
+    // future statement-boundary fix in one silently reintroduced
+    // validator/executor drift, and file-level annotation errors
+    // (malformed @metric_buckets, out-of-range @metric_sample_rate)
+    // that run() throws were INVISIBLE to the gate, which only ever
+    // saw the comment-stripped statement text (r15 review; r14 advice
+    // threaded env for the same reason).
+    val app =
+      try SqlApp.parse(content, env)
+      catch {
+        case NonFatal(e) =>
+          return AppValidation(appName, 0, 0, Vector(QueryValidation(0,
+            content.trim.take(120), isValid = false,
+            Vector(s"application error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))),
+            Vector.empty, isValid = false)
+      }
+    val statements = app.statements.map(_.sql)
     // placeholders register in a CLONED session (copied temp-view
     // catalog, same SharedState): a same-name placeholder on the shared
     // session would hand zero-row frames to any statement executing

@@ -730,6 +730,56 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table("bc_t").count() == 1)
   }
 
+  test("r15 review: '--' inside a kafka:// URI is not a comment; condition resolves \\${VAR}; NaN buckets reject") {
+    // (1) double dash is legal in Kafka topic names and the dialect
+    // tokenizer consumes it as a URI character — the splitter treated
+    // it as a comment, merging the two statements
+    val app = SqlApp.parse(
+      "-- SQL Application: Uri App\n" +
+        "CREATE STREAM s1 AS SELECT * FROM kafka://my--topic; SELECT 1 AS x;\n")
+    assert(app.statements.length == 2, app.statements.map(_.sql).toString)
+    assert(!app.statements.head.sql.contains("SELECT 1"), app.statements.head.sql)
+    // a NON-URI double dash is still a comment (tokenizer parity): the
+    // ';' inside it must NOT split — one statement, comment text kept
+    // verbatim for the tokenizer to strip
+    val app2 = SqlApp.parse("-- SQL Application: C\nSELECT 1 AS x -- note; SELECT 2\n;")
+    assert(app2.statements.length == 1, app2.statements.map(_.sql).toString)
+    // (2) @metric_condition resolves ${VAR} like statement SQL does
+    val appC = SqlApp.parse(
+      "-- SQL Application: Cond\n" +
+        "-- @metric: m\n" +
+        "-- @metric_condition: region = '${TEST_CLUSTER}'\n" +
+        "SELECT 1 AS region;\n", lookup)
+    assert(appC.statements.head.metrics.head.condition.contains("region = 'cluster1'"),
+      appC.statements.head.metrics.toString)
+    // (3) NaN/Infinity bucket boundaries reject (every NaN comparison
+    // is false, so the ascending check silently passed)
+    for (bad <- Seq("100, NaN, 500", "1, Infinity"))
+      assert(intercept[ParseException](SqlApp.parse(
+        s"-- SQL Application: B\n-- @metric: h\n-- @metric_type: histogram\n" +
+          s"-- @metric_buckets: $bad\nSELECT 1 AS v;\n"))
+        .getMessage.contains("buckets"), bad)
+  }
+
+  test("r15 review: a failed statement detaches only what IT attached") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("det_src", Seq(Tuple1(1L)).toDF("id"))
+    // stmt 1: metrics attached by a SUCCESSFUL job statement
+    SqlApp.run(ctx,
+      "-- SQL Application: Det\n-- @metric: det_m\nSTART JOB detjob AS SELECT id FROM det_src;\n")
+    assert(ctx.jobManager.hasAttachedMetrics("detjob"))
+    // stmt 2: a FAILING statement that attaches only a job config must
+    // not wipe the earlier metrics on cleanup
+    intercept[Exception](SqlApp.run(ctx,
+      "-- SQL Application: Det2\n-- @num_partitions: 2\nSTART JOB detjob AS SELECT bogus FROM det_src;\n"))
+    assert(!ctx.jobManager.hasAttachedJobConfig("detjob"),
+      "the failed statement's own config must detach")
+    assert(ctx.jobManager.hasAttachedMetrics("detjob"),
+      "metrics attached by an earlier successful statement must survive")
+    ctx.sql("STOP JOB detjob")
+  }
+
   test("a dependent of a QUOTED ctas name waits for its producer's wave") {
     import spark.implicits._
     val ctx = new VeloContext(spark)
