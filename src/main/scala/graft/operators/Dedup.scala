@@ -27,6 +27,7 @@ object Dedup {
     */
   // one last-call persist slot per LSH-family operator (see LastCallCache)
   private val minhashSigCache = new LastCallCache
+  private val keepBestHashCache = new LastCallCache
   private val simhashSigCache = new LastCallCache
   private val jaccardPairsCache = new LastCallCache
   private val jaccardShCache = new LastCallCache
@@ -70,7 +71,10 @@ object Dedup {
     // double >= 1e38 overflows the cast. Fractional/huge numerics take
     // the type-generic two-phase path, whose min(id) is exact for any
     // orderable type (r13 review)
-    val numericId = docs.schema(idCol).dataType match {
+    // Cols.fieldOf, not docs.schema(idCol): the exact lookup threw for
+    // case-variant names the session resolver accepts — the r14
+    // packIntoShards fix, which missed this sweep (r15 review)
+    val numericId = Cols.fieldOf(docs, idCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
@@ -101,9 +105,15 @@ object Dedup {
       // columns through the join made a pre-existing dup_count (e.g. a
       // frame re-deduped after exact()) an ambiguous reference (r13
       // review). score is evaluated against docs BEFORE the projection.
-      val hashed = docs
+      // LastCallCache slot (the minhashSigCache pattern): `hashed` —
+      // a full-corpus scan + normText + md5 per row, the operator's
+      // dominant cost — feeds BOTH the best-score aggregate and the
+      // verify join, and the two exchanges differ so ReuseExchange
+      // cannot dedupe them; uncached, the corpus was scanned and
+      // hashed twice (r15 review)
+      val hashed = keepBestHashCache(docs
         .select(contentHash(textCol, idCol).as("content_hash"),
-          col(idCol).as("__graft_id"), score.as("__graft_keep_score"))
+          col(idCol).as("__graft_id"), score.as("__graft_keep_score")))
       val best = hashed.groupBy(col("content_hash"))
         .agg(max(col("__graft_keep_score")).as("__graft_best"),
           count(lit(1)).as("dup_count"))
@@ -265,6 +275,11 @@ object Dedup {
     // >= 2, not >= 1: the bucket survivor filter is between(2, maxBucket),
     // so 1 drops every bucket — silent-empty (r14 review)
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // a negative maxHamming (caller sign/arithmetic bug) runs the FULL
+    // kernel + banding + self-join and then filters every pair — the
+    // silent-empty mode the sibling requires exist to reject (r15
+    // review). 0 stays legal: exact-fingerprint duplicates.
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     // replayableHash swaps the per-word hash from Spark-private xxhash64
     // to the lower 64 bits of md5 (= DuckDB's md5_number_lower), making
     // the WHOLE pipeline — fingerprints, bands, bucket cap, hamming —
@@ -448,6 +463,13 @@ object Dedup {
 
   def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 5): DataFrame = {
+    // NULL-id docs merge into ONE stats row (SQL group semantics; the
+    // q77 oracle derives identically): ids are the caller's identity
+    // key here, same contract as contamination's pair report — unlike
+    // the dedup-decision operators, whose contentHash keeps null-id
+    // docs distinct because a MERGE there silently deletes data. A
+    // span-stats row is a report, not a keep/drop decision (r15
+    // review: documented, deliberately unchanged).
     val sh = lastSpanCache(docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("g")))
     val dfCounts = sh.groupBy("g").agg(count(lit(1)).as("_df"))

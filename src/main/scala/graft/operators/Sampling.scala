@@ -125,6 +125,11 @@ object Sampling {
     // this sibling must too (r14 review). fraction == 0.0 stays legal:
     // it explicitly asks for the empty sample.
     require(fraction >= 0.0, s"negative sample fraction $fraction")
+    // the >1 overshoot from the same target/total arithmetic-bug class
+    // fails loudly too: silently treating 1.7 as keep-all let a
+    // pipeline train on the whole corpus believing it sampled (r15
+    // review). fraction == 1.0 stays legal (explicit keep-all).
+    require(fraction <= 1.0, s"sample fraction $fraction exceeds 1.0")
     // a fraction below the sampler's 2^-16 resolution rounds to the
     // 0000 threshold — an "everything filtered" sample with no error
     require(fraction == 0.0 || fraction >= 1.0 || math.round(fraction * 65536L) >= 1,
@@ -288,7 +293,16 @@ object Sampling {
       import org.apache.spark.sql.types.{DoubleType, FloatType}
       fieldOf(df, weightCol).dataType match {
         case DoubleType | FloatType =>
-          coalesce(nanvl(col(weightCol).cast("double"), lit(null)), lit(0.0))
+          // non-finite, not just NaN (r15 review): +Infinity passes
+          // nanvl/greatest, poisons the running sum for the REST of the
+          // stream (floor(Inf/budget) = Long.MaxValue overflows the
+          // salt*2^40 + shard arithmetic — ANSI crash, or a legacy wrap
+          // into OTHER streams' shard namespaces), and the Inf row
+          // itself lands on floor(Inf-Inf = NaN) = shard 0. Corrupt
+          // weights bookkeep as 0 like NaN/null/negative.
+          val w = col(weightCol).cast("double")
+          coalesce(when(w.isNaN || w === Double.PositiveInfinity
+            || w === Double.NegativeInfinity, lit(null)).otherwise(w), lit(0.0))
         case _ => coalesce(col(weightCol), lit(0L))
       }
     }

@@ -367,6 +367,28 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
         s"split '$s' lost every row under a default-salted sample: $sampledSplits")
   }
 
+  test("r15 review: Infinity weights bookkeep as 0; fractions above 1.0 reject") {
+    import spark.implicits._
+    // +Infinity passed the NaN-only guard: the running sum went Inf for
+    // the rest of the stream and floor(Inf/budget) overflowed the
+    // salt-stream shard arithmetic
+    val infW = Seq((0L, 600.0), (4L, Double.PositiveInfinity), (8L, 600.0), (12L, 600.0))
+      .toDF("doc_id", "w")
+    val packed = Sampling.packIntoShards(infW, "doc_id", "w", budget = 1000L, parallelism = 1)
+    val shards = packed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exclusive-cumsum starts: 0, 600, 600 (Inf->0), 1200 -> shards 0,0,0,1
+    assert(shards(4L) == shards(0L) && shards(12L) != shards(0L),
+      s"an Infinity weight must not poison the running sum: $shards")
+    assert(packed.where(col("shard_id") < 0).count() == 0)
+    // a fraction above 1.0 (target/total arithmetic bug) silently
+    // became keep-all — the pipeline trained on the whole corpus
+    // believing it sampled
+    val e = intercept[IllegalArgumentException](Sampling.sampleFilter(col("doc_id"), 1.7))
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    assert(Seq(Tuple1(1L)).toDF("id")
+      .where(Sampling.sampleFilter(col("id"), 1.0)).count() == 1) // keep-all stays legal
+  }
+
   test("r14 review batch: sample domain separation, null-id packing, NaN weights, dup-row contamination") {
     import spark.implicits._
     val ids = (0L until 10000L).toDF("id")

@@ -247,6 +247,21 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](Dedup.clusterPairs(pairs, maxIterations = 0))
   }
 
+  test("r15 review: case-variant idCol resolves; negative maxHamming rejects at the call site") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text here", 0.5), (2L, "same text here", 0.9))
+      .toDF("doc_id", "text", "q")
+    // the exact docs.schema(idCol) lookup threw for a case the session
+    // resolver accepts (the r14 packIntoShards fix, applied here)
+    val out = Dedup.exactKeepBest(docs, "text", "DOC_ID", col("q")).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("keep_id") == 2L, out.toSeq.toString)
+    // a negative maxHamming ran the full kernel + self-join and then
+    // filtered every pair — silent empty
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = -1))
+    assert(e.getMessage.contains("maxHamming"), e.getMessage)
+  }
+
   test("minhash est_jaccard tracks true jaccard within the sampling bound") {
     import spark.implicits._
     val base = Seq.fill(40)(doc(120))
