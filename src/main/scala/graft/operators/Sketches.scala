@@ -74,35 +74,45 @@ object Sketches {
     // drift this single-scan shape exists to prevent, as an
     // est_ok=false row claiming an impossible CMS-bound violation.
     // With lineage truncated, a lost partition fails LOUDLY instead
-    // (the Dedup closure's rule; blocks are freed by the
-    // ContextCleaner once the frame is unreachable) (r15 review).
-    val agg = df.where(col(keyCol).isNotNull)
+    // (the Dedup closure's rule) (r15 review). RDD-level, not
+    // Dataset.localCheckpoint: the Dataset form silently changed the
+    // storage level to the deserialized default and left no handle to
+    // release the blocks — they lingered until GC + ContextCleaner,
+    // including when treeAggregate/collect threw (r15 advice). Here
+    // the level stays MEMORY_AND_DISK_SER and the finally frees the
+    // snapshot deterministically once the ≤k report is on the driver.
+    val aggDf = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val sketch = agg.rdd.treeAggregate(
-        org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed))(
-        (s, row) => { s.add(row.get(0), row.getLong(1)); s },
-        (a, b) => { a.mergeInPlace(b); a })
+    val aggRdd = aggDf.rdd // external Rows — safe to persist as a snapshot
+    aggRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    aggRdd.localCheckpoint() // keeps the level already set; must precede any job
+    try {
+      aggRdd.count() // eager: truncate lineage NOW, while the source is this scan
+      val sketch = aggRdd.treeAggregate(
+          org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed))(
+          (s, row) => { s.add(row.get(0), row.getLong(1)); s },
+          (a, b) => { a.mergeInPlace(b); a })
       // the sketch counts every non-null add exactly — a separate count()
       // scan of the input would recompute the same number at full I/O cost
       val total = sketch.totalCount()
-      val top = agg
+      val top = df.sparkSession.createDataFrame(aggRdd, aggDf.schema)
         .orderBy(col("n").desc, col(keyCol))
         .limit(k)
         .collect() // ≤ k rows — the heavy-hitter report itself
       val bound = (eps * total).ceil.toLong
-    top.toSeq.map { r =>
-      val key = r.get(0)
-      val exact = r.getAs[Long]("n")
-      val est = sketch.estimateCount(key)
-      // BINARY keys render as lowercase hex: String.valueOf on a byte
-      // array is the JVM identity string ("[B@1a2b3c") — different on
-      // every run and unjoinable back to the source
-      val keyStr = key match {
-        case b: Array[Byte] => b.map("%02x".format(_)).mkString
-        case other => String.valueOf(other)
-      }
-      (keyStr, exact, est >= exact && est <= exact + bound)
-    }.toDF(keyCol, "n", "est_ok")
+      top.toSeq.map { r =>
+        val key = r.get(0)
+        val exact = r.getAs[Long]("n")
+        val est = sketch.estimateCount(key)
+        // BINARY keys render as lowercase hex: String.valueOf on a byte
+        // array is the JVM identity string ("[B@1a2b3c") — different on
+        // every run and unjoinable back to the source
+        val keyStr = key match {
+          case b: Array[Byte] => b.map("%02x".format(_)).mkString
+          case other => String.valueOf(other)
+        }
+        (keyStr, exact, est >= exact && est <= exact + bound)
+      }.toDF(keyCol, "n", "est_ok")
+    } finally aggRdd.unpersist(blocking = false)
   }
 }

@@ -291,15 +291,21 @@ object ProtoWire {
           val f = fidx.farr(i)
           f.ptype match {
             case PInt32 =>
-              // fail, don't mask (the uint32 rule below): a conformant
-              // int32 encoder emits either the value (0..2^31-1) or its
-              // 64-bit sign extension, so a varint outside Int range can
-              // only be corruption or a silently evolved int64 — .toInt
-              // aliased it onto a DIFFERENT in-range number (r15 review)
+              // TWO conformant encodings exist for a negative int32:
+              // the 64-bit sign extension (spec canonical; varint()
+              // reads it back as the negative Long) and the
+              // non-sign-extended 32-bit form in [2^31, 2^32) that
+              // lenient encoders emit and canonical parsers (prost,
+              // protobuf-java) accept by truncating to 32 bits — r15's
+              // range check rejected the latter as corruption (r15
+              // advice). Accept both; fail only OUTSIDE both forms,
+              // where .toInt would alias onto a DIFFERENT in-range
+              // number (silently evolved int64 / corruption).
               val v = varint()
-              if (v < Int.MinValue || v > Int.MaxValue)
-                fail(s"int32 field '${f.name}' varint $v outside Int range")
-              out(i) = v.toInt
+              if ((v >= Int.MinValue && v <= Int.MaxValue) ||
+                  (v >= 0x80000000L && v <= 0xFFFFFFFFL))
+                out(i) = v.toInt
+              else fail(s"int32 field '${f.name}' varint $v outside both 32-bit forms")
             case PInt64 => out(i) = varint()
             case PUInt32 =>
               // fail, don't mask: a varint past 2^32 silently aliased
@@ -312,8 +318,12 @@ object ProtoWire {
                 fail(s"uint32 field '${fidx.farr(i).name}' varint $u outside [0, 4294967295]")
               out(i) = u
             case PSInt32 =>
-              // same aliasing class as int32: a zigzag varint whose
-              // decoded value exceeds Int range is a sint64/corruption
+              // same aliasing class as int32 — but UNLIKE int32, no
+              // second conformant form exists: zigzag32(n) ==
+              // zigzag64(n) for every int32 n (both give 2|n|-1 / 2n
+              // < 2^32), so a raw varint ≥ 2^32 here is sint64 data or
+              // corruption under every conformant encoder, lenient
+              // included (r15 advice adjudication)
               val z = unzigzag(varint())
               if (z < Int.MinValue || z > Int.MaxValue)
                 fail(s"sint32 field '${f.name}' decodes to $z outside Int range")

@@ -93,7 +93,12 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     * answered (408/413), so the guard response is skipped. */
   private def drained(ex: HttpExchange)(body: => Unit): Unit =
     ex.getRequestMethod match {
-      case "POST" | "PUT" | "PATCH" => if (readBody(ex).isDefined) body
+      // DELETE too (r15 advice, mirroring JobServerHttp): a stalled
+      // DELETE-with-body to an unrouted path (Confluent-style
+      // DELETE /subjects/{s}) otherwise drains inline via ex.close()
+      // on the single dispatch thread — the exact wedge this guard
+      // exists to prevent for POST
+      case "POST" | "PUT" | "PATCH" | "DELETE" => if (readBody(ex).isDefined) body
       case _ => body
     }
 

@@ -1026,7 +1026,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // backtick-quoted identifiers can carry arbitrary characters — a
     // name with separators or '..' would checkpoint OUTSIDE the root
     if (name.isEmpty || name.contains("/") || name.contains("\\")
-      || name.contains("..") || name.contains(" "))
+      || name.contains("..") || name.contains("\u0000"))
       throw new ParseException(
         s"$verb JOB rejected: job name must be a single path-safe segment, got `$name`")
     val errors = validate(body)

@@ -503,22 +503,10 @@ object SqlApp {
           // ('--' is legal in Kafka topic names), so treating it as a
           // comment here desynchronized the splitter from the tokenizer
           // — the rest of the line (including a real ';') vanished and
-          // two statements silently merged (r15 review). A URI runs
-          // from a '://' to the first non-URI character.
-          && !{
-            // scan back over URI characters; a URI demands "://" right
-            // before the span, preceded by the kafka/file scheme word
-            // (the tokenizer's exact rule)
-            var j = i - 1
-            while (j >= 0 && (s(j).isLetterOrDigit || "._/-".indexOf(s(j)) >= 0)) j -= 1
-            j >= 0 && s(j) == ':' && i >= j + 3 &&
-              s(j + 1) == '/' && s(j + 2) == '/' && {
-                var w = j - 1
-                while (w >= 0 && (s(w).isLetterOrDigit || s(w) == '_')) w -= 1
-                val word = s.substring(w + 1, j).toLowerCase(java.util.Locale.ROOT)
-                word == "kafka" || word == "file"
-              }
-          }) return (-1, 0) // comment runs to EOL
+          // two statements silently merged (r15 review). The rule lives
+          // in ONE place (the tokenizer's owner) shared with
+          // VeloContext.splitStatements (r15 advice).
+          && !VeloSqlParser.dashesInsideUri(s, i)) return (-1, 0) // comment runs to EOL
       else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { quote = '*'; i += 1 }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return (i, 0)

@@ -1010,7 +1010,13 @@ object VeloContext {
         }
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur.append(c)
-        case '-' if i + 1 < script.length && script(i + 1) == '-' =>
+        case '-' if i + 1 < script.length && script(i + 1) == '-'
+            // '--' inside a kafka://…/file://… URI token is topic text,
+            // not a comment (the tokenizer consumes '-' as a URI char);
+            // the r15 fix landed only in SqlApp's splitter, so this
+            // path (runScript) kept swallowing the rest of the line and
+            // silently merging statements (r15 advice). One shared rule.
+            && !VeloSqlParser.dashesInsideUri(script, i) =>
           while (i < script.length && script(i) != '\n') i += 1
           cur.append('\n')
         case '/' if i + 1 < script.length && script(i + 1) == '*' =>

@@ -45,6 +45,27 @@ object VeloSqlParser {
     * r14 review removed from the deploy arm (r15 review). */
   final class UnknownJobException(msg: String) extends ParseException(msg)
 
+  /** True when the `--` at `s(i)` sits INSIDE a kafka://… / file://…
+    * URI token per tokenize's rule below: the tokenizer consumes '-'
+    * as a URI character there ('--' is legal in Kafka topic names), so
+    * any statement splitter must NOT treat it as a line comment — the
+    * two boundary machines (SqlApp's line splitter and
+    * VeloContext.splitStatements) both delegate here so they cannot
+    * desync from the tokenizer again (r15 advice). A URI runs from a
+    * "://" to the first non-URI character, and the "://" must be
+    * preceded by the kafka/file scheme word. */
+  def dashesInsideUri(s: String, i: Int): Boolean = {
+    var j = i - 1
+    while (j >= 0 && (s(j).isLetterOrDigit || "._/-".indexOf(s(j)) >= 0)) j -= 1
+    j >= 0 && s(j) == ':' && i >= j + 3 &&
+      s(j + 1) == '/' && s(j + 2) == '/' && {
+        var w = j - 1
+        while (w >= 0 && (s(w).isLetterOrDigit || s(w) == '_')) w -= 1
+        val word = s.substring(w + 1, j).toLowerCase(java.util.Locale.ROOT)
+        word == "kafka" || word == "file"
+      }
+  }
+
   def tokenize(sql: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
     var i = 0

@@ -54,6 +54,29 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"), "k", 2).count() == 2)
   }
 
+  test("r16 advice: the snapshot's blocks release deterministically, serialized level") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (0L until 200L).map(_ % 7L).toDF("user_id")
+    val out = Sketches.cmsHeavyHitters(df, "user_id", 3).collect()
+    assert(out.length == 3)
+    // Dataset.localCheckpoint left its blocks pinned until GC +
+    // ContextCleaner (r15 advice); the RDD-level form unpersists in a
+    // finally, so no persisted RDD outlives the call. blocking=false:
+    // poll briefly for the async release.
+    val deadline = System.nanoTime() + 10_000_000_000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"persisted RDDs leaked: $leaked")
+    // a failure AFTER the snapshot is pinned (bad eps throws inside
+    // CountMinSketch.create, past persist + count) must still release
+    // — the finally path; pre-fix these blocks outlived the exception
+    intercept[IllegalArgumentException](
+      Sketches.cmsHeavyHitters(df, "user_id", 3, eps = -1.0))
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"persisted RDDs leaked on the failure path: $leaked")
+  }
+
   test("cmsHeavyHitters: null keys are excluded, not a driver crash") {
     import spark.implicits._
     val df = (Seq.fill(50)(Some(7L)) ++ Seq.fill(100)(Option.empty[Long]) ++

@@ -235,6 +235,16 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
     val zneg = new java.io.ByteArrayOutputStream()
     vint(zneg, (1L << 3) | 0); vint(zneg, 13L) // zigzag(-7) = 13
     assert(decodeRow(zneg.toByteArray, sFields).head == -7)
+    // r16 advice: the SECOND conformant int32 form — a lenient encoder's
+    // non-sign-extended negative in [2^31, 2^32) (prost/protobuf-java
+    // accept it by truncating to 32 bits) — must decode to the
+    // two's-complement negative, not reject as corruption
+    val trunc = new java.io.ByteArrayOutputStream()
+    vint(trunc, (1L << 3) | 0); vint(trunc, 0xFFFFFFFBL) // 2^32-5 = trunc32(-5)
+    assert(decodeRow(trunc.toByteArray, iFields).head == -5)
+    val minT = new java.io.ByteArrayOutputStream()
+    vint(minT, (1L << 3) | 0); vint(minT, 0x80000000L) // trunc32(Int.MinValue)
+    assert(decodeRow(minT.toByteArray, iFields).head == Int.MinValue)
   }
 
   test("encodeRow rejects a values/fields length mismatch instead of truncating the wire (r13 review)") {

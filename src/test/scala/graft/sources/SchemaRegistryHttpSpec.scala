@@ -229,6 +229,30 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
     assert(rawSend("GET", "/subjects")._1 == 200)
   }
 
+  test("r16 advice: DELETE-with-body guard routes drain like POST (413 on oversize, live after)") {
+    val http = java.net.http.HttpClient.newHttpClient()
+    def del(path: String, body: String): (Int, String) = {
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(server.baseUrl + path))
+        .method("DELETE", java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // oversize body on an unrouted DELETE must be seen by the drain
+    // machinery (413), not the route guard (404): pre-fix, DELETE
+    // bypassed drained()'s body-carrying arm entirely, leaving the
+    // inline ex.close() drain on the single dispatch thread — the
+    // wedge the guard exists to prevent (Confluent-style
+    // DELETE /subjects/{s} is a body-carrying client reality)
+    val (cBig, bBig) = del("/subjects/somesubj", "x" * ((1 << 20) + 1))
+    assert(cBig == 413, s"$cBig $bBig")
+    // a small-body DELETE still reaches the guard response
+    assert(del("/no/such/route", """{"x":"y"}""")._1 == 404)
+    assert(del("/subjects/m405-value/versions", """{"x":"y"}""")._1 == 405)
+    // the dispatch thread survived — a normal request works
+    assert(rawSend("GET", "/subjects")._1 == 200)
+  }
+
   test("client validates subject names before any request goes on the wire (r14 review)") {
     // a space would throw IllegalArgumentException from URI.create; a
     // '#' would silently query the WRONG resource via a URI fragment

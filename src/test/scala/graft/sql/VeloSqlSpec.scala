@@ -966,6 +966,25 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(rs.length == 2 && rs.forall(_.count() > 0))
   }
 
+  test("r16 advice: '--' inside a kafka://file:// URI does not swallow the line in splitStatements") {
+    // the r15 fix landed only in SqlApp's line splitter; runScript's
+    // path (VeloContext.splitStatements) kept the unconditional
+    // '--'-to-EOL rule — the rest of the line vanished and the two
+    // statements silently merged
+    val stmts = VeloContext.splitStatements(
+      "CREATE STREAM s1 AS SELECT * FROM kafka://my--topic; SELECT 1 AS x")
+    assert(stmts.length == 2, stmts.toString)
+    assert(stmts.head.contains("kafka://my--topic"), stmts.head)
+    assert(stmts(1) == "SELECT 1 AS x", stmts(1))
+    // tokenizer parity both ways: a NON-URI '--' is still a comment
+    // (its ';' must not split), and file:// URIs get the same pass
+    val c = VeloContext.splitStatements("SELECT 1 AS x -- note; SELECT 2\n")
+    assert(c.length == 1 && !c.head.contains("SELECT 2"), c.toString)
+    val f = VeloContext.splitStatements(
+      "CREATE TABLE t AS SELECT * FROM file:///tmp/a--b.parquet; SELECT 2 AS y")
+    assert(f.length == 2 && f.head.contains("a--b.parquet"), f.toString)
+  }
+
   test("explainSql renders UNION and WITH queries to Spark SQL, not AST dumps") {
     val u = ctx.explainSql("SELECT order_id FROM orders UNION SELECT order_id FROM orders")
     assert(u.toUpperCase.contains("UNION") && !u.contains("SelectStmt"))
