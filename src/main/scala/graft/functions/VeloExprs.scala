@@ -43,15 +43,34 @@ object VeloExprs {
       else child.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           If(IsNull(scaleArg), Literal.create(null, child.dataType), child)
-        case dt: DecimalType if scaleArg.foldable => Round(child, scaleArg)
+        case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+          // the reference's ScaledInteger arm (functions.rs:452-463)
+          // divides the UNSCALED i64 by 10^(scale-p) through f64,
+          // rounds half away from zero, multiplies back in INTEGER
+          // space, and KEEPS the declared scale (p >= scale is a
+          // no-op). Neither of the former arms matched: exact-decimal
+          // HALF_UP rescaled to p (reads 1.01 where the reference
+          // keeps 1.010) and the full-value f64 multiply inherited the
+          // double's representation error — 1.005@3 is the exact
+          // integer 1005 there, and 1005/10 = 100.5 rounds UP where
+          // 1.005*100 = 100.4999… rounded down; the foldable and
+          // per-record arms also disagreed with each other (r16
+          // review). One lowering for both now.
+          val pI = Cast(scaleArg, IntegerType)
+          val divD = Pow(Literal(10.0), Cast(Subtract(Literal(dt.scale), pI), DoubleType))
+          val rounded = Cast(Round(
+            Divide(Cast(UnscaledValue(child), DoubleType), divD), Literal(0)), LongType)
+          // 10^k is exact in f64 for k ≤ 18, so the Long cast is exact;
+          // the multiply stays ≤ the original unscaled magnitude
+          val rebuilt = MakeDecimal(Multiply(rounded, Cast(divD, LongType)),
+            dt.precision, dt.scale)
+          If(IsNull(scaleArg), Literal.create(null, dt),
+            If(GreaterThanOrEqual(pI, Literal(dt.scale)), child, rebuilt))
         case dt: DecimalType =>
-          // per-record precision on a decimal column: Spark's Round
-          // demands a FOLDABLE scale, but the reference evaluates
-          // precision per record (functions.rs:424) — and its
-          // ScaledInteger arm rounds through f64 anyway
-          // (`value as f64 / divisor`), so the double path IS the
-          // reference arithmetic; the outer cast restores the column's
-          // declared scale like the reference keeps its scale
+          // precision > 18: no long-backed unscaled value exists (the
+          // reference's ScaledInteger is i64-backed, so such a column
+          // has no reference counterpart) — full-value f64 path, outer
+          // cast restores the declared scale
           val m = Pow(Literal(10.0), Cast(scaleArg, DoubleType))
           Cast(Divide(Round(Multiply(Cast(child, DoubleType), m), Literal(0)), m), dt)
         case _ =>
@@ -134,7 +153,7 @@ object VeloExprs {
         def vget(x: Expression, dt: DataType): Expression =
           new VariantGet(x, Literal("$"), dt, false,
             Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-        val pred: Expression => Expression = value.dataType match {
+        val basePred: Expression => Expression = value.dataType match {
           case _: StringType => x =>
             And(EqualTo(SchemaOfVariant(x), Literal("STRING")),
               EqualTo(vget(x, StringType), value))
@@ -145,7 +164,13 @@ object VeloExprs {
             val sv = SchemaOfVariant(x)
             val floatish = Or(EqualTo(sv, Literal("DOUBLE")),
               StartsWith(sv, Literal("DECIMAL")))
-            val dblEq = EqualTo(vget(x, DoubleType), Cast(value, DoubleType))
+            // absolute-epsilon, not exact f64 equality: values_equal's
+            // Float arm is |a-b| < f64::EPSILON (functions.rs:1685), so
+            // ARRAY_CONTAINS('[0.30000000000000004]', 0.1+0.2) is TRUE
+            // in the reference; exact EqualTo read false (r16 review)
+            val dblEq = LessThan(
+              Abs(Subtract(vget(x, DoubleType), Cast(value, DoubleType))),
+              Literal(2.220446049250313e-16))
             value.dataType match {
               case ByteType | ShortType | IntegerType | LongType =>
                 // values_equal compares Integer==Integer as exact i64;
@@ -162,9 +187,55 @@ object VeloExprs {
           case _: NullType => x => EqualTo(SchemaOfVariant(x), Literal("VOID"))
           case _ => _ => Literal(false)
         }
+        // a RUNTIME null search value (nullable column holding NULL)
+        // must find a JSON null element — values_equal(Null, Null) is
+        // true — but the typed arms above evaluate EqualTo(…, NULL) →
+        // NULL, which ArrayExists collapses to false; only the
+        // statically-typed NULL literal took the VOID arm (r16 review)
+        val pred: Expression => Expression =
+          if (value.dataType == NullType || !value.nullable) basePred
+          else x => If(IsNull(value),
+            EqualTo(SchemaOfVariant(x), Literal("VOID")), basePred(x))
         boundExists(parsed, pred)
       case _ =>
-        boundExists(child, x => EqualNullSafe(x, value))
+        // the native-array arm mirrors values_equal's kind dispatch too:
+        // a bare EqualNullSafe(element, value) had NO type
+        // reconciliation — the analyzer never coerces inside a
+        // RuntimeReplaceable replacement (the VeloNullIf rule), so
+        // ARRAY_CONTAINS(double_arr, 2) died with a datatype-mismatch
+        // internal error where the reference cross-compares Integer and
+        // Float via f64 (r16 review)
+        def integralT(dt: DataType): Boolean = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        def floatyT(dt: DataType): Boolean = dt == FloatType || dt == DoubleType
+        val et = child.dataType match {
+          case ArrayType(e, _) => e
+          case other => other
+        }
+        val vt = value.dataType
+        def bothNull(x: Expression): Expression = And(IsNull(x), IsNull(value))
+        val pred: Expression => Expression =
+          if (vt == NullType) x => IsNull(x)
+          else if (integralT(et) && integralT(vt))
+            x => EqualNullSafe(Cast(x, LongType), Cast(value, LongType))
+          else if ((integralT(et) || floatyT(et)) && (integralT(vt) || floatyT(vt)))
+            // the values_equal float arm: absolute-epsilon, Null==Null
+            x => Or(bothNull(x),
+              And(And(IsNotNull(x), IsNotNull(value)),
+                LessThan(Abs(Subtract(Cast(x, DoubleType), Cast(value, DoubleType))),
+                  Literal(2.220446049250313e-16))))
+          else if (VeloNullIf.sameIgnoreNull(et, vt))
+            // same kind (strings, booleans, matching complex types):
+            // null-safe exact equality; the cast reconciles the
+            // nullability flags EqualNullSafe insists on
+            x => EqualNullSafe(x, Cast(value, et))
+          else
+            // kind mismatch: values_equal says false — except the
+            // Null==Null pairing, which runtime nulls can still hit
+            x => bothNull(x)
+        boundExists(child, pred)
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(child = c(0), value = c(1))

@@ -61,7 +61,14 @@ object VeloSqlParser {
       s(j + 1) == '/' && s(j + 2) == '/' && {
         var w = j - 1
         while (w >= 0 && (s(w).isLetterOrDigit || s(w) == '_')) w -= 1
-        val word = s.substring(w + 1, j).toLowerCase(java.util.Locale.ROOT)
+        // tokenize lexes a leading digit run as its own NUMBER token and
+        // the ident starts at the first letter ('1kafka://t--x' is
+        // number 1 + scheme kafka there), so the back-scanned word must
+        // drop that digit prefix or the splitter desyncs on exactly the
+        // inputs this helper exists for (r16 review); a letter-prefixed
+        // word ('xkafka') stays whole — ONE ident ≠ kafka in tokenize
+        val word = s.substring(w + 1, j).dropWhile(_.isDigit)
+          .toLowerCase(java.util.Locale.ROOT)
         word == "kafka" || word == "file"
       }
   }
@@ -403,7 +410,12 @@ object VeloSqlParser {
       // select's trailing-clause loop — recurse, or resource limits on
       // a CTE/UNION job body are silently dropped at admission
       case WithCtes(_, b, _) => liftProps(b)
-      case u: Union => u.selects.lastOption.map(_.props).getOrElse(Map.empty)
+      // ALL branches, not just the last (the CTAS/INSERT hoist rule):
+      // the trailing-clause loop attaches a WITH to the branch it just
+      // read, so `SELECT … WITH ('max.memory'='1g') UNION SELECT …`
+      // put the props on branch 0 and a last-branch read silently
+      // dropped the resource limit at admission (r16 review)
+      case u: Union => u.selects.flatMap(_.props.toSeq).toMap
       case _ => Map.empty
     }
 
@@ -538,31 +550,15 @@ object VeloSqlParser {
             if (kind == "STREAM") CreateStreamAs(name, sel, withIne(sel.props), columnDefs)
             else CreateTableAs(name, sel, withIne(sel.props), columnDefs)
           case u: Union =>
-            val merged = u.selects.flatMap(_.props.toSeq).toMap
-            // EMIT/INTO hoist from ALL branches, not just the last: a
-            // clause written on an earlier branch (the parser attaches
-            // trailing clauses to the branch it just read) would be
-            // silently dropped — conflicting EMIT modes are ambiguous
-            // and reject; INTO sinks union
-            val emits = u.selects.flatMap(_.emit).distinct
-            if (emits.length > 1)
-              throw new ParseException("UNION branches declare conflicting EMIT modes")
-            val intos = u.selects.flatMap(_.into).distinct
-            // represent a union body through a derived-table wrapper so
-            // downstream consumers still see one SelectStmt. PRIMARY KEY
-            // annotations survive when every branch declares the SAME
-            // keys (the union's output key) — an empty vector here would
-            // silently disable sink key routing for the whole job;
-            // disagreeing branches stay unkeyed (ambiguous).
-            val wrapped = SelectStmt(
-              fields = Vector(Vector(Tok(TSymbol, "*"))), keyFields = unionKeys(u),
-              from = "(" + u.render(toSparkSql(_, defaultTimeCol, timeColOf)) + ")",
-              fromAlias = Some("_u"), joins = Vector.empty, where = None, groupBy = None,
-              having = None, window = None, namedWindows = None, orderBy = None,
-              limit = None, emit = emits.headOption, into = intos,
-              props = merged)
-            if (kind == "STREAM") CreateStreamAs(name, wrapped, withIne(merged), columnDefs)
-            else CreateTableAs(name, wrapped, withIne(merged), columnDefs)
+            // ONE derived-table wrapper (asInsertBody) for both the
+            // CTAS and INSERT union paths: the two were line-for-line
+            // twins — same ALL-branch EMIT/INTO/props hoist, same
+            // unionKeys — and a fix to one hoist had to land twice or
+            // the paths silently diverged (r16 review; the r12 EMIT/
+            // INTO fix was exactly that class)
+            val wrapped = asInsertBody(u)
+            if (kind == "STREAM") CreateStreamAs(name, wrapped, withIne(wrapped.props), columnDefs)
+            else CreateTableAs(name, wrapped, withIne(wrapped.props), columnDefs)
           case other => throw new ParseException(s"unsupported CREATE body: $other")
         }
       }
@@ -1161,6 +1157,32 @@ object VeloSqlParser {
       buf += id("coalesce") += sym("(") += id("_headers") += sym(",")
       buf += id("map") += sym("(") += sym(")") += sym(")")
     }
+    // ORDER-BY span → `percentile(value, p | (1-(p)))`, shared by the
+    // buffered-window and generic OVER percentile arms (two hand-kept
+    // copies of the strip-tail + DESC-inversion logic had already
+    // drifted; r16 review). Strips a trailing NULLS FIRST/LAST too —
+    // percentile ignores nulls, and leaving the tail inside the value
+    // expression was a downstream parse error on `ORDER BY v DESC
+    // NULLS LAST`. DESC inverts the quantile: PERCENTILE_CONT(p) over
+    // a DESC ordering is the value p of the way down from the TOP,
+    // i.e. the (1-p) quantile ascending — dropping the DESC without
+    // inverting silently returned the wrong percentile.
+    def emitPercentileCall(ord: Vector[Tok], p: Vector[Tok]): Unit = {
+      var v = ord
+      if (v.length >= 2 && (v.last.isKw("FIRST") || v.last.isKw("LAST"))
+          && v(v.length - 2).isKw("NULLS")) v = v.dropRight(2)
+      val desc = v.nonEmpty && v.last.isKw("DESC")
+      val value = if (v.nonEmpty && (v.last.isKw("ASC") || desc)) v.dropRight(1) else v
+      out += id("percentile") += sym("(")
+      out ++= rewriteTokens(value, defaultTimeCol)
+      out += sym(",")
+      if (desc) {
+        out += sym("(") += Tok(TNumber, "1") += Tok(TSymbol, "-") += sym("(")
+        out ++= p
+        out += sym(")") += sym(")")
+      } else out ++= p
+      out += sym(")")
+    }
     def isCall(o: Int) = span.lift(o + 1).exists(t => t.kind == TSymbol && t.text == "(")
     // span of a balanced (...) starting at `open` (index of '('); returns index after ')'
     def closeParen(open: Int): Int = {
@@ -1744,17 +1766,7 @@ object VeloSqlParser {
               }
               if (ord.isEmpty)
                 throw new ParseException(s"$up OVER (ROWS WINDOW ...) needs ORDER BY <value>")
-              val descB = ord.last.isKw("DESC")
-              val valueB = if (ord.last.isKw("ASC") || descB) ord.dropRight(1) else ord
-              out += id("percentile") += sym("(")
-              out ++= rewriteTokens(valueB, defaultTimeCol)
-              out += sym(",")
-              if (descB) {
-                out += sym("(") += Tok(TNumber, "1") += Tok(TSymbol, "-") += sym("(")
-                out ++= p
-                out += sym(")") += sym(")")
-              } else out ++= p
-              out += sym(")")
+              emitPercentileCall(ord, p)
               out ++= rewriteRowsWindow(overInner, defaultTimeCol, withFrame = true)
               i = overEnd
             } else {
@@ -1773,22 +1785,8 @@ object VeloSqlParser {
               else j += 1
             }
             if (order.isEmpty) throw new ParseException(s"$up OVER (...) needs ORDER BY <value>")
-            // strip a trailing ASC/DESC from the value expression; DESC
-            // inverts the quantile — PERCENTILE_CONT(p) over a DESC
-            // ordering is the value p of the way down from the TOP,
-            // i.e. the (1-p) quantile ascending. Dropping the DESC
-            // without inverting silently returned the wrong percentile.
-            val desc = order.last.isKw("DESC")
-            val value = if (order.last.isKw("ASC") || desc) order.dropRight(1) else order
-            out += id("percentile") += sym("(")
-            out ++= rewriteTokens(value, defaultTimeCol)
-            out += sym(",")
-            if (desc) {
-              out += sym("(") += Tok(TNumber, "1") += Tok(TSymbol, "-") += sym("(")
-              out ++= p
-              out += sym(")") += sym(")")
-            } else out ++= p
-            out += sym(")") += id("OVER") += sym("(")
+            emitPercentileCall(order, p)
+            out += id("OVER") += sym("(")
             // rewrite the PARTITION BY / ORDER BY expression spans —
             // same raw-emission bug as rewriteRowsWindow (r14 review)
             if (partition.nonEmpty) {
@@ -2073,17 +2071,21 @@ object VeloSqlParser {
             //  EXTRACT('FIELD', x)        — legacy two-arg
             //  EXTRACT(EPOCH FROM (a-b))  — epoch-seconds of a difference
             val (args, end) = callArgs(i + 1)
-            val (field, valueToks): (String, Vector[Tok]) =
+            // Option, not an empty-string sentinel: EXTRACT('', x) made
+            // the two-arg branch produce field = "" WITHOUT running the
+            // unknown-shape passthrough — neither arm emitted a token or
+            // advanced i, and the rewrite loop spun forever (one
+            // malformed statement hung the server thread; r16 review).
+            val parsedForm: Option[(String, Vector[Tok])] =
               if (args.length == 2 && args(0).length == 1 && args(0).head.kind == TString)
-                (args(0).head.text.stripPrefix("'").stripSuffix("'").toUpperCase(java.util.Locale.ROOT),
-                  rewriteTokens(args(1), defaultTimeCol))
+                Some((args(0).head.text.stripPrefix("'").stripSuffix("'")
+                  .toUpperCase(java.util.Locale.ROOT),
+                  rewriteTokens(args(1), defaultTimeCol)))
               else if (args.length == 1 && args.head.length >= 3 && args.head(1).isKw("FROM"))
-                (args.head.head.upper, rewriteTokens(args.head.drop(2), defaultTimeCol))
-              else { // unknown shape — pass through untouched
-                out += t
-                i += 1
-                ("", Vector.empty)
-              }
+                Some((args.head.head.upper, rewriteTokens(args.head.drop(2), defaultTimeCol)))
+              else None // unknown shape — pass through untouched
+            val (field, valueToks) = parsedForm.filter(_._1.nonEmpty)
+              .getOrElse { out += t; i += 1; ("", Vector.empty) }
             if (field.nonEmpty) {
               field match {
                 case "EPOCH" =>

@@ -58,6 +58,81 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(m == 100.75) // interpolated between 100 and 101.5
   }
 
+  test("r16 review: EXTRACT('') terminates as a passthrough, not an infinite rewrite loop") {
+    // the two-arg branch computed field = "" and then neither emitted a
+    // token nor advanced the cursor — the rewrite loop spun forever and
+    // one malformed statement hung the server thread. Run on a daemon
+    // thread so a regression fails the assert instead of the suite.
+    @volatile var done = false
+    val th = new Thread(() => {
+      try ctx.sql("SELECT EXTRACT('', id) AS z FROM t").collect()
+      catch { case _: Throwable => () } // any error is fine; the pin is termination
+      done = true
+    })
+    th.setDaemon(true); th.start(); th.join(60000)
+    assert(done, "EXTRACT('') hung the token rewrite")
+  }
+
+  test("r16 review: ROUND on DECIMAL follows the ScaledInteger arm (unscaled/f64, keeps scale)") {
+    val r = ctx.sql(
+      """SELECT ROUND(CAST(1.005 AS DECIMAL(10,3)), 2) AS up,
+         ROUND(CAST(1.004 AS DECIMAL(10,3)), 2) AS down,
+         ROUND(CAST(1.005 AS DECIMAL(10,3)), 5) AS noop,
+         ROUND(CAST(-2.5 AS DECIMAL(10,1)), 0) AS negHalf,
+         ROUND(CAST(NULL AS DECIMAL(10,2)), 1) AS nul
+         FROM t WHERE id = 1""").collect().head
+    // the reference divides the UNSCALED integer: 1005/10 = 100.5
+    // exactly in f64 → rounds half AWAY to 101 → ScaledInteger(1010, 3)
+    // = 1.010 at the ORIGINAL scale. The former exact-decimal arm said
+    // 1.01@2 and the former full-value f64 arm said 1.000 (1.005*100 =
+    // 100.4999…) — both wrong, and they disagreed with each other.
+    val up = r.getAs[java.math.BigDecimal]("up")
+    assert(up.compareTo(new java.math.BigDecimal("1.010")) == 0, up.toString)
+    assert(up.scale == 3, s"scale must be kept, got ${up.scale}")
+    assert(r.getAs[java.math.BigDecimal]("down")
+      .compareTo(new java.math.BigDecimal("1.000")) == 0)
+    // precision >= scale is a no-op (functions.rs:455)
+    assert(r.getAs[java.math.BigDecimal]("noop")
+      .compareTo(new java.math.BigDecimal("1.005")) == 0)
+    assert(r.getAs[java.math.BigDecimal]("negHalf")
+      .compareTo(new java.math.BigDecimal("-3")) == 0, "half away from zero")
+    assert(r.get(r.fieldIndex("nul")) == null)
+  }
+
+  test("r16 review: ARRAY_CONTAINS reconciles native-arm types and uses the values_equal epsilon") {
+    val r = ctx.sql(
+      """SELECT ARRAY_CONTAINS(ARRAY(CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)), 2) AS crossNative,
+         ARRAY_CONTAINS(ARRAY(1, 2, 3), CAST(2 AS BIGINT)) AS widthNative,
+         ARRAY_CONTAINS(ARRAY(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)), CAST(0.3 AS DOUBLE)) AS epsNative,
+         ARRAY_CONTAINS('[0.30000000000000004]', CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)) AS epsJson,
+         ARRAY_CONTAINS(ARRAY('a', 'b'), 1) AS kindMiss
+         FROM t WHERE id = 1""").collect().head
+    // the bare EqualNullSafe arm had no type reconciliation: a
+    // double-array vs INT literal died with a datatype-mismatch
+    // internal error (the analyzer never coerces inside a
+    // RuntimeReplaceable replacement) where values_equal:1687
+    // cross-compares Integer and Float via f64
+    assert(r.getAs[Boolean]("crossNative"), "Integer-vs-Float cross-compare")
+    assert(r.getAs[Boolean]("widthNative"), "int element vs BIGINT value")
+    // values_equal:1685 float equality is |a-b| < f64::EPSILON, so
+    // 0.1+0.2 equals 0.3 in the reference; exact EqualTo read false
+    assert(r.getAs[Boolean]("epsNative"), "native-arm epsilon")
+    assert(r.getAs[Boolean]("epsJson"), "JSON-arm epsilon")
+    // kind mismatch stays false (values_equal falls through)
+    assert(!r.getAs[Boolean]("kindMiss"))
+  }
+
+  test("r16 review: percentile OVER with a NULLS FIRST/LAST tail parses; DESC still inverts") {
+    val r = ctx.sql(
+      """SELECT PERCENTILE_CONT(0.95)
+           OVER (PARTITION BY symbol ORDER BY price DESC NULLS LAST) AS lo
+         FROM t WHERE symbol = 'AAPL'""").collect().head
+    // the NULLS LAST tail used to ride into the value expression (a
+    // downstream parse error); stripped, the DESC inversion applies:
+    // 0.95 of the way DOWN {100, 101.5} = the 0.05 ascending quantile
+    assert(math.abs(r.getAs[Double]("lo") - 100.075) < 1e-9, r.toString)
+  }
+
   test("window function surface (LAG/LEAD/ranks/values)") {
     runs("""SELECT id, LAG(price, 1) OVER w, LEAD(price, 1) OVER w,
             ROW_NUMBER() OVER w, RANK() OVER w, DENSE_RANK() OVER w,

@@ -983,6 +983,25 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     val f = VeloContext.splitStatements(
       "CREATE TABLE t AS SELECT * FROM file:///tmp/a--b.parquet; SELECT 2 AS y")
     assert(f.length == 2 && f.head.contains("a--b.parquet"), f.toString)
+    // digit-prefixed scheme: the tokenizer lexes '1kafka' as number 1 +
+    // ident kafka (a URI), so the splitter must too (r16 review); a
+    // LETTER-prefixed word is one ident != kafka — a real comment
+    val d = VeloContext.splitStatements("SELECT * FROM 1kafka://t--x; SELECT 2 AS y")
+    assert(d.length == 2, d.toString)
+    val x = VeloContext.splitStatements("SELECT 1 AS a xkafka://t--x; SELECT 2\n")
+    assert(x.length == 1, x.toString)
+  }
+
+  test("r16 review: a WITH() on an earlier UNION branch reaches START JOB props") {
+    // the trailing-clause loop attaches the WITH to the branch it just
+    // read; liftProps read only the LAST branch and silently dropped
+    // the resource limit at admission (CTAS/INSERT already merged all
+    // branches — the job path now shares that rule)
+    val s = VeloSqlParser.parse(
+      "START JOB j16p AS SELECT order_id FROM orders WITH ('max.memory'='1g') " +
+        "UNION ALL SELECT order_id FROM orders")
+      .asInstanceOf[VeloSqlParser.StartJob]
+    assert(s.props.get("max.memory").contains("1g"), s.props.toString)
   }
 
   test("explainSql renders UNION and WITH queries to Spark SQL, not AST dumps") {
