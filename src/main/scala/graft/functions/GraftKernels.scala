@@ -180,6 +180,15 @@ object GraftKernels {
   def veloNullIfCol(a: Column, b: Column): Column =
     GraftBridge.column(VeloExprs.VeloNullIf(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Reference REGEXP as a Column — the veloRegexpLike kernel (Unicode
+    * classes + (?P<…> spelling + shared pattern cache), so the Column
+    * API cannot diverge from the dialect's velo_regexp (r16 review). */
+  def veloRegexpCol(c: Column, pattern: Column): Column =
+    GraftBridge.column(StaticInvoke(GraftKernels.getClass, BooleanType, "veloRegexpLike",
+      Seq(GraftBridge.expression(c), GraftBridge.expression(pattern)),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true, returnNullable = false))
+
   /** Register the kernels as SQL functions so dialect / spark.sql text
     * can call them directly: SIMHASH(text), FINGERPRINT(text),
     * MINHASH_SIG(text, k, numHashes), COSINE_SIM(a, b) on float arrays,
@@ -201,6 +210,11 @@ object GraftKernels {
     reg("simhash", LongType, "simhash", Seq(StringType))
     reg("velo_regexp_replace", StringType, "veloRegexpReplace",
       Seq(StringType, StringType, StringType, StringType))
+    // REGEXP through the same cache/Unicode/named-group machinery —
+    // Spark's regexp_like compiled with Java defaults (ASCII \w/\s,
+    // no (?P<…> spelling), diverging from the Rust regex crate the
+    // reference uses (r16 review)
+    reg("velo_regexp", BooleanType, "veloRegexpLike", Seq(StringType, StringType))
     reg("fingerprint", LongType, "fingerprint", Seq(StringType))
     reg("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig",
       Seq(StringType, IntegerType, IntegerType))
@@ -240,12 +254,14 @@ object GraftKernels {
       // timestamp/date/decimal pairs NEVER null — see VeloExprs)
       registry.createOrReplaceTempFunction("velo_nullif",
         args => VeloExprs.VeloNullIf(args(0), args(1)), "scala_udf")
-      // TRIM family strips ALL Unicode whitespace (Rust str::trim)
+      // TRIM family strips ALL Unicode whitespace (Rust str::trim) —
+      // pattern constants shared with VeloFunctions' trim trio, which
+      // was a hand-kept copy (r16 review)
       def utrim(pat: String): Seq[Expression] => Expression =
         args => RegExpReplace(args.head, Literal(pat), Literal(""))
-      registry.createOrReplaceTempFunction("velo_trim", utrim("(?U)^\\s+|(?U)\\s+$"), "scala_udf")
-      registry.createOrReplaceTempFunction("velo_ltrim", utrim("(?U)^\\s+"), "scala_udf")
-      registry.createOrReplaceTempFunction("velo_rtrim", utrim("(?U)\\s+$"), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_trim", utrim(TrimBothPat), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_ltrim", utrim(TrimLeftPat), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_rtrim", utrim(TrimRightPat), "scala_udf")
       // POSITION is BYTE-based in the reference (str::find over UTF-8
       // bytes — functions.rs:2489; the optional 3rd arg is a byte start
       // offset, clamped to >= 1, NULL start → NULL). A latin1 round-trip
@@ -339,19 +355,73 @@ object GraftKernels {
 
   private[graft] def regexCacheSize: Int = veloRegexCache.size
 
+  /** The ONE spelling of the reference's Unicode trim patterns (Rust
+    * str::trim via (?U) \s), shared by the SQL registrations below and
+    * VeloFunctions' Column-API trim trio (r16 review: two hand-kept
+    * copies). */
+  private[functions] val TrimBothPat = "(?U)^\\s+|(?U)\\s+$"
+  private[functions] val TrimLeftPat = "(?U)^\\s+"
+  private[functions] val TrimRightPat = "(?U)\\s+$"
+
   private val NamedGroupSyntax = java.util.regex.Pattern.compile(
     """\(\?P?<([A-Za-z][A-Za-z0-9_]*)>""")
 
   private def compileVelo(pat: String): (java.util.regex.Pattern, Set[String]) = {
-    val javaPat = pat.replace("(?P<", "(?<")
-    val names = {
-      val m = NamedGroupSyntax.matcher(pat)
-      val b = Set.newBuilder[String]
-      while (m.find()) b += m.group(1)
-      b.result()
+    // rewrite (?P< → (?< and collect group names ONLY at real group
+    // opens — a '(' that is backslash-escaped or inside a character
+    // class is literal text. The former blind String.replace rewrote
+    // literal occurrences (`\(?P<x>y` lost its 'P' and matched
+    // different text) and the name scan recorded groups the compiled
+    // pattern does not have, so the first matching row threw
+    // IllegalArgumentException from m.group(name) (r16 review).
+    val sb = new java.lang.StringBuilder(pat.length)
+    val b = Set.newBuilder[String]
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == '\\' && i + 1 < pat.length) { sb.append(c).append(pat.charAt(i + 1)); i += 2 }
+      else if (inClass) { if (c == ']') inClass = false; sb.append(c); i += 1 }
+      else if (c == '[') { inClass = true; sb.append(c); i += 1 }
+      else if (c == '(') {
+        val m = NamedGroupSyntax.matcher(pat).region(i, pat.length)
+        if (m.lookingAt()) {
+          b += m.group(1)
+          sb.append("(?<").append(m.group(1)).append('>')
+          i = m.end()
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
     }
-    (java.util.regex.Pattern.compile(javaPat), names)
+    (java.util.regex.Pattern.compile(sb.toString), b.result())
   }
+
+  /** Cache-or-compile for the FLAGGED pattern string (the shared
+    * bound/evict-one policy): one lookup path for REGEXP_REPLACE and
+    * REGEXP — two inline copies would drift like every other hand-kept
+    * twin in this module. */
+  private def cachedVelo(pat: String): (java.util.regex.Pattern, Set[String]) = {
+    val hit = veloRegexCache.get(pat)
+    if (hit != null) hit
+    else {
+      // evict-one-on-insert at the cap: ConcurrentHashMap iteration
+      // order is effectively arbitrary, so this is a cheap random
+      // eviction; a racing thread evicting concurrently only costs a
+      // transient dip below the cap, never unbounded growth
+      if (veloRegexCache.size >= 1024) {
+        val it = veloRegexCache.keySet.iterator()
+        if (it.hasNext) veloRegexCache.remove(it.next())
+      }
+      veloRegexCache.computeIfAbsent(pat, compileVelo(_))
+    }
+  }
+
+  /** REGEXP(string, pattern) — reference regexp_function
+    * (functions.rs:750): Rust regex `is_match`, i.e. find-anywhere,
+    * with Unicode character classes (Rust's \w/\s are Unicode by
+    * default where Java's are ASCII — the exact divergence the (?U)
+    * prefix exists to close for REGEXP_REPLACE). */
+  def veloRegexpLike(s: UTF8String, p: UTF8String): Boolean =
+    cachedVelo("(?U)" + p.toString)._1.matcher(s.toString).find()
 
   /** Rust replacement-string semantics, parsed ONCE per (pattern,
     * replacement) into tokens and expanded manually per match — NOT
@@ -415,21 +485,7 @@ object GraftKernels {
                         flags: UTF8String): UTF8String = {
     val f = flags.toString
     val pat = (if (f.indexOf('i') >= 0) "(?U)(?i)" else "(?U)") + p.toString
-    val (compiled, names) = {
-      val hit = veloRegexCache.get(pat)
-      if (hit != null) hit
-      else {
-        // evict-one-on-insert at the cap: ConcurrentHashMap iteration
-        // order is effectively arbitrary, so this is a cheap random
-        // eviction; a racing thread evicting concurrently only costs a
-        // transient dip below the cap, never unbounded growth
-        if (veloRegexCache.size >= 1024) {
-          val it = veloRegexCache.keySet.iterator()
-          if (it.hasNext) veloRegexCache.remove(it.next())
-        }
-        veloRegexCache.computeIfAbsent(pat, compileVelo(_))
-      }
-    }
+    val (compiled, names) = cachedVelo(pat)
     val input = s.toString
     val m = compiled.matcher(input)
     val toks = {
@@ -769,6 +825,13 @@ object GraftKernels {
     var out = 0
     var i = 0
     while (i < n) {
+      // fail-loud on null chunk slots too: getLong on a null element
+      // reads 0 (or stale column-vector bytes) — a silently
+      // undercounted, potentially nondeterministic distance that lets
+      // a corrupt pair through the embed-LSH prefilter, the exact
+      // class cosine()/copyVec() already gate (r16 review)
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"hammingBits: null chunk element at index $i")
       out += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
       i += 1
     }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** The reference engine's scalar/aggregate function surface, re-expressed
@@ -16,7 +16,14 @@ object VeloFunctions {
 
   // ---- Math (reference: FUNCTION_CATALOG.md "Math Functions") ----
   def veloAbs(c: Column): Column = abs(c)
-  def veloRound(c: Column, scale: Int = 0): Column = round(c, scale)
+  // VeloExprs.VeloRound, not Spark's exact-decimal HALF_UP round: the
+  // Column API and the dialect's velo_round must answer identically
+  // (ROUND(8.835, 2) is 8.84 through the reference's f64 product but
+  // 8.83 exact-decimal; integers pass through at ANY precision;
+  // decimals keep their declared scale) (r16 review)
+  def veloRound(c: Column, scale: Int = 0): Column =
+    GraftBridge.column(VeloExprs.VeloRound(
+      GraftBridge.expression(c), GraftBridge.expression(lit(scale))))
   def veloCeil(c: Column): Column = ceil(c)
   def veloFloor(c: Column): Column = floor(c)
   def veloSqrt(c: Column): Column = sqrt(c)
@@ -49,9 +56,9 @@ object VeloFunctions {
     * like Spark's trim: '\thello\n' must trim to 'hello' on both
     * engines. (?U) = Java UNICODE_CHARACTER_CLASS, whose \s is the
     * same White_Space property Rust uses. */
-  def veloTrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+|(?U)\\s+$", "")
-  def veloLtrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+", "")
-  def veloRtrim(c: Column): Column = regexp_replace(c, "(?U)\\s+$", "")
+  def veloTrim(c: Column): Column = regexp_replace(c, GraftKernels.TrimBothPat, "")
+  def veloLtrim(c: Column): Column = regexp_replace(c, GraftKernels.TrimLeftPat, "")
+  def veloRtrim(c: Column): Column = regexp_replace(c, GraftKernels.TrimRightPat, "")
   /** LENGTH is BYTE length (reference: s.len() over UTF-8 bytes,
     * functions.rs:915) — 'héllo' is 6, not 5. */
   def veloLength(c: Column): Column = octet_length(c)
@@ -99,8 +106,12 @@ object VeloFunctions {
     when(charPos === 0, lit(0))
       .otherwise(octet_length(substring(haystack, lit(1), charPos - 1)) + 1)
   }
-  /** REGEXP(str, pattern) — true when the pattern matches anywhere. */
-  def veloRegexp(c: Column, pattern: String): Column = c.rlike(pattern)
+  /** REGEXP(str, pattern) — true when the pattern matches anywhere.
+    * Through the kernel, not rlike: Java-default classes (ASCII \w/\s,
+    * no (?P<…>) diverged from the Rust regex crate the reference
+    * compiles (r16 review). */
+  def veloRegexp(c: Column, pattern: String): Column =
+    GraftKernels.veloRegexpCol(c, lit(pattern))
 
   // ---- Date/Time (reference: date/time table) ----
   def veloNow(): Column = current_timestamp()
@@ -128,9 +139,14 @@ object VeloFunctions {
     // the dialect's EXTRACT(EPOCH) lowering all compute (r12 review).
     // The timestamp hop keeps string time columns working.
     case "EPOCH"       => ts.cast("timestamp").cast("long")
-    case "MILLISECOND" => pmod(unix_millis(ts), lit(1000L)).cast("int")
-    case "MICROSECOND" => pmod(unix_micros(ts), lit(1000000L)).cast("int")
-    case "NANOSECOND"  => (pmod(unix_micros(ts), lit(1000000L)) * 1000L).cast("long")
+    // the same timestamp hop as EPOCH: unix_millis/unix_micros are
+    // ExpectsInputTypes-only (no implicit string/date cast), so these
+    // three arms failed analysis on string time columns where every
+    // other field worked (r16 review)
+    case "MILLISECOND" => pmod(unix_millis(ts.cast("timestamp")), lit(1000L)).cast("int")
+    case "MICROSECOND" => pmod(unix_micros(ts.cast("timestamp")), lit(1000000L)).cast("int")
+    case "NANOSECOND"  =>
+      (pmod(unix_micros(ts.cast("timestamp")), lit(1000000L)) * 1000L).cast("long")
     case other    => throw new IllegalArgumentException(s"EXTRACT field $other")
   }
   /** DATE_FORMAT accepts the reference's chrono/strftime patterns
@@ -379,9 +395,20 @@ object VeloFunctions {
   def veloArray(cs: Column*): Column = array(cs: _*)
   def veloStruct(cs: Column*): Column = struct(cs: _*)
   def veloMap(cs: Column*): Column = map(cs: _*)
-  def arrayLength(c: Column): Column = size(c)
-  def arrayContains(c: Column, v: Any): Column = array_contains(c, v)
-  def mapKeys(c: Column): Column = map_keys(c)
+  // the Velo expressions, not Spark's size/array_contains/map_keys:
+  // the Column API must answer exactly like the SQL dialect's
+  // velo_array_length/velo_array_contains/velo_map_keys — JSON-string
+  // payloads parse instead of failing analysis, ARRAY_CONTAINS is
+  // null-safe with the values_equal epsilon (Spark's returns NULL
+  // where the reference says false — a filter silently dropped the
+  // row), and MAP_KEYS accepts structs (r16 review)
+  def arrayLength(c: Column): Column =
+    GraftBridge.column(VeloExprs.VeloArrayLength(GraftBridge.expression(c)))
+  def arrayContains(c: Column, v: Any): Column =
+    GraftBridge.column(VeloExprs.VeloArrayContains(
+      GraftBridge.expression(c), GraftBridge.expression(lit(v))))
+  def mapKeys(c: Column): Column =
+    GraftBridge.column(VeloExprs.VeloMapKeys(GraftBridge.expression(c)))
   def mapValues(c: Column): Column = map_values(c)
 
   // ---- Kafka-header analogs ----

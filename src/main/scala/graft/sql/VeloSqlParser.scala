@@ -1121,7 +1121,11 @@ object VeloSqlParser {
     // Spark's length counts characters — divergent on any multibyte text
     "LEN" -> "octet_length",
     "LENGTH" -> "octet_length",
-    "REGEXP" -> "regexp_like",
+    // velo_regexp, not regexp_like: Spark compiles Java-default
+    // classes (ASCII \w/\s, no (?P<…> spelling) where the reference's
+    // Rust regex crate is Unicode-first — same kernel + pattern cache
+    // as REGEXP_REPLACE (r16 review)
+    "REGEXP" -> "velo_regexp",
     // reference-parity functions registered by GraftKernels: SPLIT
     // returns the FIRST part (functions.rs 'for simplicity'), JOIN is
     // variadic delimiter-first with NULL rendered literally, TRIM
@@ -2156,8 +2160,15 @@ object VeloSqlParser {
                     case "MICROSECOND" => ("unix_micros", "1000000", "")
                     case _             => ("unix_micros", "1000000", " * 1000")
                   }
+                  // the EPOCH arm's TIMESTAMP hop, here too: unix_millis/
+                  // unix_micros take no implicit string/date cast, so a
+                  // string time column failed analysis on exactly these
+                  // three fields (r16 review; VeloFunctions.veloExtract
+                  // shared the gap)
                   out += sym("(") += id("pmod") += sym("(") += id(unit) += sym("(")
+                  out += id("CAST") += sym("(")
                   out ++= valueToks
+                  out += id("AS") += id("TIMESTAMP") += sym(")")
                   out += sym(")") += sym(",") += Tok(TNumber, modulus) += sym(")")
                   if (scale.nonEmpty)
                     out += Tok(TSymbol, "*") += Tok(TNumber, "1000")

@@ -255,4 +255,17 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
       if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("length mismatch")), messages(e).mkString(" | "))
   }
+
+  test("r16 review: hammingBits fails loud on a null chunk element, not a silent 0-read") {
+    import spark.implicits._
+    // getLong on a null slot reads 0 (or stale column-vector bytes) —
+    // a silently undercounted distance that lets a corrupt pair
+    // through the embed-LSH prefilter
+    val df = spark.sql("SELECT array(1L, CAST(NULL AS BIGINT)) AS a, array(1L, 2L) AS b")
+    val e = intercept[Exception](
+      df.select(GraftKernels.hammingBitsCol(col("a"), col("b"))).collect())
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null chunk element")), messages(e).mkString(" | "))
+  }
 }

@@ -218,4 +218,33 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(one(veloLeft(lit(12345), -1)) == "12345")
     assert(one(veloRight(lit(12345), 2)) == "45")
   }
+
+  test("r16 review: Column API routes through the Velo expressions, not the Spark builtins") {
+    // veloRound must answer like velo_round: 1.005's f64 product is
+    // 100.4999… → 1.0 through the reference's multiply-round-divide,
+    // where Spark's round reads the shortest decimal form and says
+    // 1.01 — the divergence pin; 8.835 agrees both ways (its binary
+    // value sits ABOVE the edge) and just checks the path works
+    assert(one(veloRound(lit(1.005), 2)) == 1.0, "binary 1.005 rounds down through f64")
+    assert(one(veloRound(lit(8.835), 2)) == 8.84)
+    // integers pass through at ANY precision (the reference's arm)
+    assert(one(veloRound(lit(127L), -1)) == 127L)
+    // arrayContains: null-safe false (not NULL) on no-match-with-nulls,
+    // epsilon floats, JSON-string payloads — the velo_array_contains rules
+    assert(one(arrayContains(array(lit(1.0), lit(null).cast("double")), 3.0))
+      == false, "reference says false; Spark's array_contains says NULL")
+    assert(one(arrayContains(array(lit(0.1) + lit(0.2)), 0.3)) == true, "epsilon compare")
+    assert(one(arrayContains(lit("[1,2,3]"), 2)) == true, "JSON-string payload")
+    // arrayLength / mapKeys accept the reference's JSON-text payloads
+    assert(one(arrayLength(lit("[1,2,3]"))) == 3)
+    assert(one(mapKeys(lit("""{"a":1,"b":2}""")))
+      .asInstanceOf[scala.collection.Seq[_]] == Seq("a", "b"))
+    assert(one(mapKeys(struct(lit(1).as("f1"), lit(2).as("f2"))))
+      .asInstanceOf[scala.collection.Seq[_]] == Seq("f1", "f2"))
+    // veloRegexp compiles Unicode classes + Rust named-group spelling
+    assert(one(veloRegexp(lit("héllo"), "^\\w+$")) == true, "Rust \\w is Unicode")
+    assert(one(veloRegexp(lit("hello"), "(?P<g>ell)")) == true, "(?P<…> spelling")
+    // sub-second EXTRACT works on STRING time columns (the EPOCH hop)
+    assert(one(veloExtract("MILLISECOND", lit("2024-03-05 10:30:44.123"))) == 123)
+  }
 }

@@ -122,6 +122,28 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(!r.getAs[Boolean]("kindMiss"))
   }
 
+  test("r16 review: REGEXP is Unicode-first; literal (?P< sequences survive; string-ts sub-second EXTRACT") {
+    val r = ctx.sql(
+      """SELECT REGEXP('héllo', '^\w+$') AS uni,
+         REGEXP('hello', '(?P<g>ell)') AS named,
+         REGEXP_REPLACE('P<x>y', '\(?P<x>y', '$x') AS litSeq,
+         REGEXP_REPLACE('P', '[(?P<x>]', 'Z') AS inClass,
+         EXTRACT(MILLISECOND FROM '2024-03-05 10:30:44.123') AS msStr
+         FROM t WHERE id = 1""").collect().head
+    // REGEXP used to lower to Spark's regexp_like (Java-default ASCII
+    // \w, no (?P<…> spelling) — the Rust regex crate is Unicode-first
+    assert(r.getAs[Boolean]("uni"), "Rust \\w matches é")
+    assert(r.getAs[Boolean]("named"), "(?P<…> spelling compiles")
+    // the blind (?P< rewrite dropped a literal 'P' (matching different
+    // text) and registered a group the compiled pattern lacks, so '$x'
+    // threw IllegalArgumentException per matching row; as a literal
+    // sequence the missing-group reference expands to "" like Rust
+    assert(r.getAs[String]("litSeq") == "", r.getAs[String]("litSeq"))
+    assert(r.getAs[String]("inClass") == "Z", "char-class 'P' must still match")
+    // the sub-second arms now take the EPOCH arm's TIMESTAMP hop
+    assert(r.getAs[Long]("msStr") == 123L, "string time column works")
+  }
+
   test("r16 review: percentile OVER with a NULLS FIRST/LAST tail parses; DESC still inverts") {
     val r = ctx.sql(
       """SELECT PERCENTILE_CONT(0.95)
