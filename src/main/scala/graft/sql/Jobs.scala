@@ -219,11 +219,6 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       metricSpecs.synchronized { metricSpecs(name) = specs }
     }
   }
-  /** Remove a name's attached metric specs + job config — the undo for
-    * a failed annotated launch: SqlApp attaches BEFORE executing the
-    * statement, and without a detach the stale specs/config survive the
-    * failure and silently apply to the next (unannotated) launch of the
-    * same job name. */
   /** Spec probe: is a metric spec / job config currently attached?
     * (the maps are private; the r15 granular-detach spec needs to
     * observe what a failed statement's cleanup removed). */
@@ -425,10 +420,15 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // Scope to queries THIS manager launched: several managers can
       // share one session (one listener bus), and a same-named job in
       // another manager would otherwise double-count into our state.
-      // Captured BEFORE the metricSpecs lock — lock order is
-      // JobManager → metricSpecs, never the reverse.
+      // runId, NOT id: the query id is stable across checkpoint
+      // restarts, so under a shared durable stateRoot a superseded
+      // manager's stale handle matched the SUCCESSOR's progress events
+      // and double-credited its batches until fencing caught up (r16
+      // review); runId is unique per run. Captured BEFORE the
+      // metricSpecs lock — lock order is JobManager → metricSpecs,
+      // never the reverse.
       val owned: Set[String] = JobManager.this.synchronized {
-        jobs.collect { case (n, j) if j.handle.exists(_.id == e.progress.id) => n }.toSet
+        jobs.collect { case (n, j) if j.handle.exists(_.runId == e.progress.runId) => n }.toSet
       }
       // pushes buffered under the lock, sink invoked OUTSIDE it (lock
       // order JobManager → metricSpecs; an external sink must never run
@@ -514,9 +514,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         JobManager.this.synchronized {
           // ownership check: only the manager whose handle launched this
           // query may account/enforce — a same-named job in another
-          // manager sharing the session must not be stopped for OUR limits
+          // manager sharing the session must not be stopped for OUR
+          // limits. runId, not the checkpoint-stable id (see the
+          // metricListener scope note): the stale-handle match would
+          // otherwise enforce OUR limits against the successor's run
           jobs.get(name).filter(j => j.limits.monitorsProgress
-            && j.handle.exists(_.id == p.id)).foreach { j =>
+            && j.handle.exists(_.runId == p.runId)).foreach { j =>
             val rows = p.stateOperators.map(_.numRowsTotal).sum.toDouble
             val mem = p.stateOperators.map(_.memoryUsedBytes).sum.toDouble
             val perRec = Option(p.durationMs.get("triggerExecution"))
@@ -607,7 +610,19 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // output mode — AnalysisException at start, or final-only rows
     // with no changelog)
     case WithCtes(_, body, _) => emitOf(body)
-    case u: Union => u.selects.last.emit
+    // ALL branches, not just the last (the asInsertBody/liftProps
+    // hoist rule): the parser attaches a trailing EMIT to the branch
+    // it just read, so `… EMIT CHANGES UNION ALL …` landed the mode on
+    // branch 0 and a last-branch read silently fell to the append-sink
+    // arm (AnalysisException on an aggregating body, or lost changelog
+    // semantics on a non-aggregating one); conflicting branch modes
+    // reject like asInsertBody does (r16 review)
+    case u: Union =>
+      val emits = u.selects.flatMap(_.emit).distinct
+      if (emits.length > 1)
+        throw new VeloSqlParser.ParseException(
+          "UNION branches declare conflicting EMIT modes")
+      emits.headOption
     case _ => None
   }
 
@@ -720,7 +735,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // holds this epoch's committed batches and the checkpoint
       // continues on top of them
       j.sinkPath.filter(p => !j.recovered && !j.sinkStamp.contains((j.epoch, p)))
-        .foreach(clearSinkDir)
+        .foreach(stashSinkDir(_, j.epoch))
       j.sinkPath.foreach(p => j.sinkStamp = Some((j.epoch, p)))
       val (sinkLoc, sinkFmt, sinkOpts) = j.sinkPath match {
         case Some(p) => val (f, o) = graft.sources.Serde.fileFormat(p); (p, f, o)
@@ -735,6 +750,31 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // invisible. Printing is at-least-once: a crash-re-run batch
       // re-prints, as console lines cannot be retracted.
       val console = if (resolveStdoutSink(v.body)) Some(Console.out) else None
+      // durable stamps BEFORE start(), not after (r16 review): a crash
+      // in the window between a successful start and a post-start stamp
+      // write left a recovered epoch with committed batches in the
+      // declared dir but NO sink stamp — recovery then routed the
+      // resumed query to the internal out-$epoch dir, permanently
+      // splitting the epoch's output across two directories (the exact
+      // split the stamp exists to prevent). A FAILED start is safe the
+      // other way round: revertEpochBump deletes all three stamps.
+      if (stateRoot.isDefined) {
+        // body fingerprint: a restarted manager STARTing a DIFFERENT
+        // body under this name must not resume this checkpoint —
+        // offsets/state belong to this query shape (see start()'s
+        // recovered-mismatch bump)
+        try writeMeta(s"${j.root}/body-${j.epoch}.fp", bodyFingerprint(v.body))
+        catch { case scala.util.control.NonFatal(_) => () }
+        // ownership stamp for restart fencing (see superviseOnce): the
+        // last manager to launch under this root owns the job
+        try writeMeta(s"${j.root}/owner", managerId)
+        catch { case scala.util.control.NonFatal(_) => () }
+        // durable twin of sinkStamp (see Job.sinkStamp preload)
+        j.sinkPath.foreach { p =>
+          try writeMeta(s"${j.root}/sink-${j.epoch}.path", p)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
       val q = emitOf(v.body) match {
         case Some(EmitChanges) =>
           val out = sinkLoc
@@ -804,23 +844,6 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             .start()
       }
       j.handle = Some(q)
-      // stamp the epoch with its body fingerprint (durable roots only):
-      // a restarted manager STARTing a DIFFERENT body under this name
-      // must not resume this checkpoint — offsets/state belong to this
-      // query shape (see start()'s recovered-mismatch bump)
-      if (stateRoot.isDefined) {
-        try writeMeta(s"${j.root}/body-${j.epoch}.fp", bodyFingerprint(v.body))
-        catch { case scala.util.control.NonFatal(_) => () }
-        // ownership stamp for restart fencing (see superviseOnce): the
-        // last manager to launch under this root owns the job
-        try writeMeta(s"${j.root}/owner", managerId)
-        catch { case scala.util.control.NonFatal(_) => () }
-        // durable twin of sinkStamp (see Job.sinkStamp preload)
-        j.sinkPath.foreach { p =>
-          try writeMeta(s"${j.root}/sink-${j.epoch}.path", p)
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
-      }
       // a PREVIOUS batch launch of this job may have left a cached
       // materialization and a <job>_out view: release the cache (the
       // "at most one cached frame per job" contract) and drop the view
@@ -864,6 +887,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     j.current = Some(v)
     j.status = "RUNNING"
     j.lastError = None
+    // the launch is known-good: commit the declared-sink reset (the
+    // stash was only insurance against a failed start — see
+    // stashSinkDir)
+    j.sinkPath.foreach(dropSinkTrash(_, j.epoch))
   }
 
   /** Launch wrapped in the job's circuit breaker (reference:
@@ -1126,6 +1153,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * not. */
   private def revertEpochBump(j: Job,
       prior: (Int, Boolean, Long, Option[String], Option[(Int, String)])): Unit = {
+    // restore a stashed declared-sink reset FIRST (j.sinkPath/j.epoch
+    // still carry the failed attempt's values here): the stash holds
+    // the LAST-GOOD epoch's committed output — launch moves it aside
+    // instead of deleting precisely so this revert can bring it back
+    // (r16 review)
+    j.sinkPath.foreach(p => try restoreSinkTrash(p, j.epoch)
+      catch { case scala.util.control.NonFatal(_) => () })
     def dropPath(p: String): Unit =
       try { val (fs, hp) = rootFs(p); if (fs.exists(hp)) { fs.delete(hp, true); () } }
       catch { case scala.util.control.NonFatal(_) => () }
@@ -1156,6 +1190,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     synchronized {
       val j = job(name)
       halt(j)
+      // a STOPPED batch job must not pin its materialization in
+      // executor memory for the rest of the session — only a relaunch
+      // ever released it (r16 review). The <job>_out view stays
+      // registered: post-stop scrapes recompute lazily, the same rule
+      // VeloContext.close() applies to abandoned materializations.
+      j.batchCache.foreach(_.unpersist(blocking = false))
+      j.batchCache = None
       j.status = "STOPPED"
       statusDf(Some(name))
     }
@@ -1522,14 +1563,20 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
 
   /** The job's current output: batch view or executor-written sink
     * (the declared INTO location when one resolved, else the epoch dir). */
-  def sinkDf(name: String): DataFrame = synchronized {
-    val j = job(name)
-    j.batchView.map(spark.table).getOrElse(readSink(j))
-  }
-
-  private def readSink(j: Job): DataFrame = j.sinkPath match {
-    case Some(p) => graft.sources.Serde.readFileUri(spark, p)
-    case None => spark.read.parquet(j.sinkDir)
+  def sinkDf(name: String): DataFrame = {
+    // snapshot under the lock, ANALYZE outside it (the metricsDf/
+    // statusRows rule): spark.read schema inference lists files and
+    // reads footers — seconds on object stores — and holding the
+    // monitor through it stalled the listener-bus callbacks and every
+    // START/STOP/status call for the duration (r16 review)
+    val (view, sinkPath, sinkDir) = synchronized {
+      val j = job(name)
+      (j.batchView, j.sinkPath, j.sinkDir)
+    }
+    view.map(spark.table).getOrElse(sinkPath match {
+      case Some(p) => graft.sources.Serde.readFileUri(spark, p)
+      case None => spark.read.parquet(sinkDir)
+    })
   }
 
   /** Declared-sink reset through the Hadoop FileSystem API: a
@@ -1537,14 +1584,65 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * sinks (Paths.get of a URI is never a local directory), leaving the
     * previous epoch's _spark_metadata to swallow the new epoch's
     * restarted batch ids — the exact corruption the reset prevents.
-    * Hadoop's local filesystem covers plain paths through the same code
-    * path. Deletes CONTENTS only (the dir itself, whose existence and
-    * permissions the user may own, stays). */
-  private def clearSinkDir(path: String): Unit = {
+    * Hadoop's local filesystem covers plain paths through the same
+    * code path. Touches CONTENTS only (the dir itself, whose existence
+    * and permissions the user may own, stays).
+    *
+    * The reset MOVES entries
+    * aside into a dot-prefixed trash child (hidden from Spark/Hadoop
+    * readers) rather than deleting them: launch can still fail AFTER
+    * the reset (start() analysis errors), and revertEpochBump cannot
+    * restore deleted data — the delete form meant a failed DEPLOY
+    * permanently destroyed the last-good epoch's committed output at
+    * the declared location (r16 review). The stash is dropped once the
+    * launch succeeds and restored by revertEpochBump on failure. A
+    * stash orphaned by a crash between reset and stamp is left in
+    * place (hidden, manual recovery) — deleting it on the next launch
+    * would re-create the unrecoverable-loss window. */
+  private def stashSinkDir(path: String, epoch: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      val entries = fs.listStatus(p)
+        .filterNot(_.getPath.getName.startsWith(".graft-trash"))
+      if (entries.nonEmpty) {
+        val trash = new org.apache.hadoop.fs.Path(p, s".graft-trash-$epoch")
+        fs.mkdirs(trash)
+        entries.foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(trash, st.getPath.getName)
+          if (fs.exists(dst)) fs.delete(dst, true) // retried launch, stale stash entry
+          fs.rename(st.getPath, dst)
+        }
+      }
+    }
+  }
+
+  /** Commit a sink reset: the new epoch's query is up, the stash is
+    * garbage. Best-effort — a surviving trash dir is hidden and only
+    * costs disk. */
+  private def dropSinkTrash(path: String, epoch: Int): Unit =
+    try {
+      val trash = new org.apache.hadoop.fs.Path(path, s".graft-trash-$epoch")
+      val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(trash)) { fs.delete(trash, true); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Undo a sink reset after a failed launch: move the stashed entries
+    * back (the failed attempt's leftovers, if any, are the garbage —
+    * the stash is the last-good data) and drop the trash dir. */
+  private def restoreSinkTrash(path: String, epoch: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(p, s".graft-trash-$epoch")
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+      fs.delete(trash, true)
+      ()
+    }
   }
 }
 

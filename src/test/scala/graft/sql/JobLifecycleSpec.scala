@@ -778,4 +778,73 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
       "a failed ROLLBACK must revert its epoch bump — v2's checkpoint was abandoned")
     ctx.sql("STOP JOB rb_res")
   }
+
+  test("r16 review: a FAILED deploy cannot destroy the declared sink's last-good output") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 10.0), (2L, 20.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stash").toString
+    ctx.sql(s"CREATE SINK stash_out WITH (path = 'file://$dir/out.parquet')")
+    ctx.sql("START JOB stash_job AS SELECT id, v FROM live_events INTO stash_out")
+    ctx.jobManager.awaitIdle("stash_job")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
+    ctx.sql("STOP JOB stash_job")
+    // DEPLOY of a body that analyzes but dies at writeStream.start()
+    // (append-mode streaming aggregation with no watermark) — AFTER the
+    // declared dir was reset for the new epoch: the delete-form reset
+    // destroyed the last-good epoch's committed output and the epoch
+    // revert could not bring it back; the stash form restores it
+    intercept[Exception](ctx.sql(
+      "DEPLOY JOB stash_job VERSION '2.0.0' AS " +
+        "SELECT v, COUNT(*) AS c FROM live_events GROUP BY v INTO stash_out"))
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.count() == 2, "failed DEPLOY destroyed the declared sink's output")
+    // the revert also cleans its hidden trash dir back out
+    val leftover = new java.io.File(s"$dir/out.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith(".graft-trash"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+    // the last-good body relaunches over its restored sink
+    in.addData(Seq((3L, 30.0)))
+    ctx.sql("START JOB stash_job AS SELECT id, v FROM live_events INTO stash_out")
+    ctx.jobManager.awaitIdle("stash_job")
+    assert(ctx.jobManager.sinkDf("stash_job").count() == 3)
+    ctx.sql("STOP JOB stash_job")
+  }
+
+  test("r16 review: EMIT CHANGES on an earlier UNION branch takes the changelog path") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    // the parser attaches the trailing EMIT to the branch it just read
+    // — a last-branch-only emitOf silently fell to the append arm,
+    // losing the Update/changelog (_batch_id-partitioned) semantics
+    ctx.sql("START JOB uemit AS SELECT id, v FROM live_events EMIT CHANGES " +
+      "UNION ALL SELECT id, v FROM live_events")
+    ctx.jobManager.awaitIdle("uemit")
+    try {
+      val out = ctx.jobManager.sinkDf("uemit")
+      assert(out.columns.contains("_batch_id"),
+        s"changelog arm not taken: ${out.columns.toSeq}")
+      // conflicting branch modes reject like asInsertBody's hoist does
+      val e = intercept[Exception](ctx.sql(
+        "START JOB uemit2 AS SELECT id, v FROM live_events EMIT CHANGES " +
+          "UNION ALL SELECT id, v FROM live_events EMIT FINAL"))
+      assert(e.getMessage.contains("conflicting EMIT"), e.getMessage)
+    } finally ctx.sql("STOP JOB uemit")
+  }
+
+  test("r16 review: STOP of a batch job releases its cached materialization") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("bstop_src", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    ctx.sql("START JOB bstop AS SELECT id, v * 2 AS o FROM bstop_src")
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "batch launch should cache its materialization")
+    ctx.sql("STOP JOB bstop")
+    // only a relaunch ever released the cache before; STOP must too
+    // (unpersist is async — poll briefly)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.intersect(pinned)
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"STOPPED batch job still pins cache: $leaked")
+  }
 }
