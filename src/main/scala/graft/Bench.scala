@@ -55,6 +55,38 @@ object Bench {
     if (ok.nonEmpty) ok.minBy(_._1._2)._2 else 0
   }
 
+  /** sibling_seals carry-forward (r15 verdict task 7): given the
+    * PREVIOUS same-round BENCHFULL artifact text (None on first seal),
+    * the JSON array of superseded seals' headlines — its own carried
+    * siblings plus its (total, sentinel-normalized per-query median,
+    * head). Entries are FLAT objects so this regex extraction stays
+    * robust across re-seals. */
+  def siblingSeals(prevArtifact: Option[String]): String = prevArtifact match {
+    case None => "[]"
+    case Some(prev) =>
+      def f(re: scala.util.matching.Regex): Option[String] =
+        re.findFirstMatchIn(prev).map(_.group(1))
+      val prevInner = f(""""sibling_seals":\[([^\]]*)\]""".r).getOrElse("")
+      val entry = for {
+        t <- f(""""value":([-0-9.eE]+)""".r)
+        h <- f(""""head":"([^"]*)"""".r)
+      } yield {
+        val norms = f(""""queries_norm":\{([^}]*)\}""".r).toSeq
+          .flatMap(_.split(",").toSeq)
+          .flatMap(_.split(":").lastOption)
+          .flatMap(_.toDoubleOption)
+          .filter(_ >= 0).sorted
+        val med = if (norms.isEmpty) -1.0 else norms(norms.size / 2)
+        s"""{"total":$t,"norm_median":${"%.3f".format(med)},"head":"$h"}"""
+      }
+      (prevInner, entry) match {
+        case ("", None)    => "[]"
+        case (s, None)     => s"[$s]"
+        case ("", Some(e)) => s"[$e]"
+        case (s, Some(e))  => s"[$s,$e]"
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
@@ -64,7 +96,24 @@ object Bench {
     // and Bench kept diverging copies); a misspelled name fails loudly
     // instead of writing an empty artifact with value 0.000 and exit 0
     val only: Option[Set[String]] = SparkEntry.querySubsetFromEnv()
-    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // every numeric knob validates HERE, before the session builds (the
+    // Verify rule): a typo'd value must fail in milliseconds naming its
+    // variable, not as a bare NumberFormatException after ~10 s of
+    // session + warmup + sentinel calibration (r16 review)
+    def intKnob(name: String, default: Int): Int = {
+      val raw = sys.env.getOrElse(name, default.toString).trim
+      raw.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"$name must be an integer, got '$raw'"))
+    }
+    def doubleKnob(name: String, default: Double): Double = {
+      val raw = sys.env.getOrElse(name, default.toString).trim
+      raw.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(s"$name must be a number, got '$raw'"))
+    }
+    val maxRetries = intKnob("SPARK_GRAFT_BENCH_RETRIES", 2)
+    val minOf2GateKnob = doubleKnob("SPARK_GRAFT_MIN_OF_2_GATE", 2.5)
+    val nRunsKnob = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_ =>
+      intKnob("SPARK_GRAFT_BENCH_RUNS", 2))
     // the ONE session factory (ScaleProbe/Verify convention since r11):
     // the bench must measure under the SAME config the engine ships — a
     // hand-rolled builder here had already drifted once and would again
@@ -77,7 +126,7 @@ object Bench {
     try {
       spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // fatal must kill the run
 
     // Environment probe: fixed CPU-bound codegen job, no I/O, no shuffle.
     // Identical work every call → its wall time varies only with the VM.
@@ -146,7 +195,11 @@ object Bench {
           val rows = obs.get("n") match { case l: Long => l; case x => x.toString.toLong }
           R((System.nanoTime() - t0) / 1e9, rows, None)
         } catch {
-          case e: Throwable =>
+          // NonFatal ONLY (Verify's r13 rule): an OOM/interrupt must
+          // kill the bench nonzero — timings taken in a heap-corrupted
+          // JVM after a swallowed fatal would seal a green artifact of
+          // GC-storm numbers (r16 review)
+          case scala.util.control.NonFatal(e) =>
             R((System.nanoTime() - t0) / 1e9, -1L,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
         } finally {
@@ -154,7 +207,8 @@ object Bench {
           // cached table/DF (CTAS materializations, cluster labels).
           // Temp VIEWS stay — they are metadata the shared VeloContext
           // relies on; only their cached data is contamination.
-          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          try spark.catalog.clearCache()
+          catch { case scala.util.control.NonFatal(_) => () }
         }
       val post = observedSentinel()
       Attempt(r, math.max(pre, post), gcMs() - gc0, jitMs() - jit0)
@@ -169,7 +223,7 @@ object Bench {
     // above this gate gets one confirming re-run — the stalled case
     // corrects to the real cost, a genuinely slow query is simply
     // measured twice and keeps its honest minimum.
-    val minOf2Gate = sys.env.getOrElse("SPARK_GRAFT_MIN_OF_2_GATE", "2.5").toDouble
+    val minOf2Gate = minOf2GateKnob // validated pre-session (r16 review)
 
     // One FULL measurement pass over every query: first pass with
     // slow-window retries, then the final-gate re-check sweep.
@@ -263,7 +317,7 @@ object Bench {
     // min-merge (r9 shipped the machinery but sealed from a single
     // run); a subset run (SPARK_GRAFT_QUERIES) stays single-pass for
     // fast iteration unless the env overrides.
-    val nRuns = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+    val nRuns = math.max(1, nRunsKnob
       .getOrElse(if (only.isDefined) 1 else 2))
     case class RunStats(total: Double, sentinelMin: Double, sentinelMed: Double,
         sentinelMax: Double, nSlow: Int)
@@ -306,7 +360,7 @@ object Bench {
       if (only.isDefined) Left("skipped: subset run (SPARK_GRAFT_QUERIES)")
       else if (sys.env.get("SPARK_GRAFT_RECALL").contains("0")) Left("disabled")
       else try Right(AnnRecall.measure(spark, sfDir))
-      catch { case e: Throwable =>
+      catch { case e if scala.util.control.NonFatal(e) =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     val qs = results.map { case (k, q) => s"${jstr(k)}:${sec3(q.r.sec)}" }.mkString("{", ",", "}")
     val rowsJson = results.map { case (k, q) => s"${jstr(k)}:${q.r.rows}" }.mkString("{", ",", "}")
@@ -390,7 +444,19 @@ object Bench {
     // Subset runs never write it: a one-query artifact is not a round
     // record.
     sys.env.get("SPARK_GRAFT_BENCHFULL_ROUND").filter(_ => only.isEmpty).foreach { n =>
-      Files.writeString(Paths.get(s"BENCHFULL_r$n.json"), fullJson + "\n")
+      val path = Paths.get(s"BENCHFULL_r$n.json")
+      // sibling_seals (r15 verdict task 7): a re-seal within one round
+      // OVERWROTE the previous artifact, so the same-code-family band —
+      // the evidence behind the ambient-window adjudication — survived
+      // only in SURVEY prose. Each re-seal now carries the superseded
+      // seal's headline (total, sentinel-normalized per-query median,
+      // head) forward, making the band machine-checkable from the final
+      // artifact alone. Entries are FLAT objects so the carry-forward
+      // regex stays robust.
+      val siblings = siblingSeals(
+        if (Files.exists(path)) Some(Files.readString(path)) else None)
+      Files.writeString(path,
+        fullJson.dropRight(1) + s""","sibling_seals":$siblings}""" + "\n")
     }
     spark.stop()
   }

@@ -1017,7 +1017,15 @@ object SparkEntry {
       val next =
         try graft.sql.VeloContext.forDir(s, dir)
         catch { case e: Throwable =>
-          if (cur != null) { cur._2.close(); ctxCache.remove(s) }
+          // close() can itself throw on a degraded session: the stale
+          // mapping must drop REGARDLESS (a surviving entry serves
+          // mixed-dir data via the fast path) and forDir's exception —
+          // not close()'s — must stay the one reported (r16 review)
+          if (cur != null) {
+            try cur._2.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+            finally ctxCache.remove(s)
+          }
           throw e
         }
       // install the new mapping REGARDLESS of close() throwing: the

@@ -61,4 +61,29 @@ class BenchGateSpec extends AnyFunSuite {
     // the 2.5x term governs — the floor never loosens a large gate.
     assert(Bench.slowGateFor(0.5) === 1.25)
   }
+
+  test("r16: sibling_seals carries every superseded same-round seal's headline forward") {
+    // first seal of a round: nothing to carry
+    assert(Bench.siblingSeals(None) == "[]")
+    // a prior seal with no siblings of its own: one entry, with the
+    // norm median computed from its queries_norm map
+    val seal1 =
+      """{"metric":"total","value":60.09,"unit":"sec","queries":{"q1":1.0},""" +
+        """"queries_norm":{"q1":0.8,"q2":1.0,"q3":1.2},"head":"abc123","sf":"sf0.1"}"""
+    val one = Bench.siblingSeals(Some(seal1))
+    assert(one == """[{"total":60.09,"norm_median":1.000,"head":"abc123"}]""", one)
+    // a re-re-seal: the previous artifact's own sibling rides along,
+    // so the final artifact holds the WHOLE same-round band
+    val seal2 = seal1.dropRight(1) +
+      ""","sibling_seals":[{"total":58.00,"norm_median":0.990,"head":"abc122"}]}"""
+    val two = Bench.siblingSeals(Some(seal2))
+    assert(two == """[{"total":58.00,"norm_median":0.990,"head":"abc122"},""" +
+      """{"total":60.09,"norm_median":1.000,"head":"abc123"}]""", two)
+    // negative sentinel-norm placeholders (-1.0 = no sentinel) are
+    // excluded from the median, not averaged in
+    val seal3 =
+      """{"value":10.0,"queries_norm":{"q1":-1.0,"q2":0.5},"head":"ff"}"""
+    assert(Bench.siblingSeals(Some(seal3))
+      == """[{"total":10.0,"norm_median":0.500,"head":"ff"}]""")
+  }
 }
