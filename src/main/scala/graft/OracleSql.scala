@@ -623,9 +623,12 @@ object OracleSql {
          GROUP BY doc_id, bench_id HAVING COUNT(DISTINCT g) >= 3""",
 
     // q65: keep is gated on the UNROUNDED fractions (as the operator
-    // does); only the surfaced fractions are ROUND(x,4).
+    // does); only the surfaced fractions are ROUND(x,4). NULL-id docs
+    // are excluded EXPLICITLY, mirroring the operator's identity
+    // contract (r16) — the stats/grams inner join silently dropped
+    // them anyway, but the filter keeps the mirror honest.
     "q65_repetition" ->
-      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents WHERE doc_id IS NOT NULL),
          wc AS (SELECT * FROM (SELECT doc_id, unnest(ws) AS word FROM w) WHERE word <> ''),
          stats AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
                      COUNT(*) AS nd, MAX(cnt) AS topn

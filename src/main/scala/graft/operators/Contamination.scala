@@ -69,10 +69,15 @@ object Contamination {
     // rows — corpus-proportional for common grams ('of the and' has
     // DF ~10^8 at 10^10 docs), so materializing it to executor storage
     // would write terabytes that the very next operation (the maxDf
-    // cap) throws away. Pass 1 aggregates DF per gram with map-side
-    // partial aggregation (the shuffle carries (gram, count), never
-    // occurrences); pass 2 re-shingles filtered to the CAPPED gram set,
-    // so the only per-occurrence rows that ever flow are the
+    // cap) throws away. Pass 1's first exchange is keyed (g, doc_id)
+    // since the r15 rewrite — each key is one (gram, doc) pair, so for
+    // a hot gram the shuffle DOES carry its full bench-matching doc
+    // stream, hash-SPREAD across reducers by doc_id (never one task);
+    // the outer per-gram sum then gets full map-side partials. Size
+    // that first exchange for the occurrence stream, not for (gram,
+    // count) rows (r16 review: the old comment predated the rewrite).
+    // Pass 2 re-shingles filtered to the CAPPED gram set, so the only
+    // per-occurrence rows that flow beyond pass 1 are the
     // ≤ maxDf × |bench grams| survivors.
     // The previous window (`count(1).over(partitionBy g)`) was a scale
     // trap: window functions have NO map-side partial aggregation, so
@@ -126,7 +131,12 @@ object Contamination {
     // corpus-proportional.
     val ddPairs = kept.dropDuplicates("g", "doc_id")
     val bgd = bg.dropDuplicates("g", "bench_id")
-    ddPairs.join(bgd, Seq("g"))
+    // EXPLICIT broadcast, same reasoning as benchGrams above: bgd is
+    // eval-set-sized by contract, but when bench is a filtered corpus
+    // slice the size-only estimator sees it at exploded-corpus scale
+    // and sort-merge-joins — shuffle-writing the whole capped corpus
+    // pair stream plus sorts on both sides (r16 review)
+    ddPairs.join(broadcast(bgd), Seq("g"))
       .where(col("doc_id").isNull || col("bench_id").isNull
         || col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))

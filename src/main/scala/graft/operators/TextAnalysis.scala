@@ -63,13 +63,20 @@ object TextAnalysis {
     // trees are CodegenFallback, so nothing deduplicates the copies
     // and every scored row paid the pipeline twice (langId already
     // binds; the standalone scorer must too)
-    letBound(words(textCol)) { ws =>
-      // isin = ONE In node per word, not a 10-term Or(EqualTo) chain
-      // inside a CodegenFallback HOF on the 100 TB hot path (r14
-      // review; no nulls in either operand set, so semantics match)
-      val hits = size(filter(ws, w => w.isin(stopwords(lang): _*)))
-      hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
-    }
+    letBound(words(textCol))(scoreExpr(_, lang))
+  }
+
+  /** The ONE stopword-hit scoring rule over a let-bound word array —
+    * shared by langScore and langId's argmax, which had inlined
+    * identical copies (the normText two-copy drift shape: a future
+    * rule change applied to one would silently disagree with the
+    * other's winner; r16 review). isin = ONE In node per word, not a
+    * 10-term Or(EqualTo) chain inside a CodegenFallback HOF on the
+    * 100 TB hot path (r14 review; no nulls in either operand set, so
+    * semantics match). */
+  private def scoreExpr(ws: Column, lang: String): Column = {
+    val hits = size(filter(ws, w => w.isin(stopwords(lang): _*)))
+    hits.cast("double") / greatest(size(ws), lit(1)).cast("double")
   }
 
   /** LET-BINDING via a single-element transform: evaluates `bound`
@@ -95,9 +102,7 @@ object TextAnalysis {
     // tie-break explicitly to keep the oracle trivially replayable.
     letBound(words(textCol)) { ws =>
       val scored = langs.map { l =>
-        val hits = size(filter(ws, w => w.isin(stopwords(l): _*)))
-        struct((hits.cast("double") / greatest(size(ws), lit(1)).cast("double")).as("s"),
-          lit(l).as("l"))
+        struct(scoreExpr(ws, l).as("s"), lit(l).as("l"))
       }
       letBound(array_max(array(scored: _*))) { best =>
         when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
@@ -243,7 +248,21 @@ object TextAnalysis {
     // pipeline a second time per document and carried a third grouping
     // key through both shuffles (r14 review; oracle derives the same
     // way).
+    //
+    // Identity contract: a per-document metric needs a document
+    // identity, so NULL-id docs are excluded — the doc_id grouping
+    // would otherwise pool every null-id doc that happens to share an
+    // n_distinct_2grams value into one pseudo-document whose fractions
+    // describe nothing, and the oracle's doc_id join drops those rows
+    // anyway (a silent Spark/oracle divergence; r16 review —
+    // Contamination documents its per-occurrence null rule the same
+    // way). Duplicate doc_id rows remain the caller's contract (run
+    // exact dedup upstream, as the q60 capstone does): deduping here
+    // would cost a full-corpus shuffle keyed by text on every call to
+    // defend against an ingest bug a cheaper upstream operator exists
+    // to fix.
     val wordStats = docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), 2)).cast("long").as("n_distinct_2grams"),
         words(col(textCol)).as("__graft_ws"))

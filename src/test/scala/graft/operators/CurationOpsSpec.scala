@@ -284,6 +284,46 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(m(3L)._1 <= 0.2 && m(3L)._2 <= 0.2 && m(3L)._3)
   }
 
+  test("r16 review: the contamination pair join broadcasts the bench side (no sort-merge)") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"alpha bravo charlie delta echo foxtrot golf hotel item$i"))
+      .toDF("doc_id", "text")
+    val bench = docs.where($"doc_id" % 50 === 0) // the q64 shape: a filtered slice
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thr)
+    try {
+      // auto-broadcast off: only EXPLICIT hints survive. Pre-fix, the
+      // final pair join sort-merged exactly when bench is a filtered
+      // corpus slice (the size-only estimator passes the Filter's
+      // child size through unchanged), shuffle-writing the whole
+      // capped pair stream the scaladoc promises never shuffles.
+      spark.conf.set(thr, "-1")
+      val plan = Contamination.ngramOverlap(docs, bench, "text", "doc_id",
+        k = 3, minShared = 1, maxDf = 100L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.conf.set(thr, prior)
+  }
+
+  test("r16 review: repetitionMetrics excludes NULL-id docs instead of pooling them") {
+    import spark.implicits._
+    // two null-id docs that SHARE an n_distinct_2grams value (3 each):
+    // the doc_id grouping pooled them into one pseudo-document whose
+    // fractions described nothing — and the oracle's doc_id join drops
+    // them, so the gate silently diverged the moment a corpus gained a
+    // null-id doc. A per-document metric needs identity: excluded.
+    val docs = Seq(
+      (Option.empty[Long], "a b a b"),
+      (Option.empty[Long], "c d c d"),
+      (Some(7L), "a genuinely varied sentence with many distinct words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(docs, "text", "doc_id").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 7L,
+      out.map(_.toString).mkString(","))
+  }
+
   test("unigramNll: exact hand-computed scores, OOV floor, vocab cut determinism") {
     import spark.implicits._
     // corpus word counts: "a" ×4, "b" ×3, "z" ×1 → total 8
