@@ -45,10 +45,18 @@ object Similarity {
     * unknown/huge estimate falls back to the unhinted join: the
     * low-cardinality-key parallelism cap is a slowdown, the 8 GB
     * broadcast limit is an abort. */
-  private[graft] def broadcastIfBounded(df: DataFrame): DataFrame = {
+  /** Size-gated broadcast hint. `fanout` multiplies the plan estimate
+    * before the gate: Spark's stats visitor passes a child's
+    * sizeInBytes through Generate unchanged, so a POST-explode frame's
+    * estimate ignores the fan-out entirely — a query frame whose
+    * pre-explode estimate passed the 1 GB gate materialized
+    * ~(bands·probes)× larger and aborted at the 8 GB broadcast hard
+    * limit, the exact failure the gate exists to prevent (r16 review).
+    * Callers hinting an exploded frame pass the known multiplier. */
+  private[graft] def broadcastIfBounded(df: DataFrame, fanout: Long = 1L): DataFrame = {
     val est = try df.queryExecution.optimizedPlan.stats.sizeInBytes
               catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
-    if (est >= 0 && est <= MaxQueryBroadcastBytes) broadcast(df) else df
+    if (est >= 0 && est * fanout <= MaxQueryBroadcastBytes) broadcast(df) else df
   }
 
   /** cosine(a, b); arrays are array<float> (`floatElems=false` for
@@ -278,8 +286,14 @@ object Similarity {
     require(numBits <= 64,
       s"numBands * bandBits must be <= 64 (a long's width), got $numBands * $bandBits = $numBits")
     def banded(df: DataFrame, id: String, v: String, probe: Boolean) = {
-      val sk0 = df.select(col(idCol).as(id), col(vecCol).as(v),
-        signSketch(col(vecCol), numBits, dim).as("sk"))
+      // null-vector rows out BEFORE sketching (the sibling
+      // embeddingNearDupPairsLsh's r14 rule, same rationale): a null
+      // embedding fans out ×(bands·probes) through the persisted
+      // sketch frame, the explode, and the counts aggregate before
+      // join null-key semantics finally discard it (r16 review)
+      val sk0 = df.where(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), col(vecCol).as(v),
+          signSketch(col(vecCol), numBits, dim).as("sk"))
       // corpus side feeds bucket counts AND the capped join — persist so
       // the sketch pass over the full corpus runs once, not per consumer
       // (query side has a single consumer; leave it lazy)
@@ -303,13 +317,24 @@ object Similarity {
     }
     val cb = banded(corpus, "neighbor_id", "cv", probe = false)
     val counts = cb.groupBy("band", "chunk").agg(count(lit(1)).as("_bn"))
-    val cbCapped = cb.join(counts.where(col("_bn") <= maxBucket), Seq("band", "chunk"))
+    // size-gated hint on the bucket-count side (the sibling
+    // embeddingNearDupPairsLsh's bCounts rule): without it the planner's
+    // corpus-derived estimate can re-exchange the vector-carrying cb
+    // fan-out purely to apply a ≤ maxBucket filter against a table
+    // bounded by the (band, chunk) key space (r16 review)
+    val cbCapped = cb.join(
+        broadcastIfBounded(counts.where(col("_bn") <= maxBucket)), Seq("band", "chunk"))
       .drop("_bn")
     val qb = banded(queries, "query_id", "qv", probe = true)
     // broadcast the query side (same rationale as ivfTopK): the
     // (band, chunk) key space is a few hundred values, so a sort-merge
-    // fallback would cap the corpus shuffle's parallelism at key count
-    val cand = cbCapped.join(broadcastIfBounded(qb), Seq("band", "chunk"))
+    // fallback would cap the corpus shuffle's parallelism at key count.
+    // The gate must see the EXPLODE fan-out (bands × probe flips per
+    // query, each row carrying qv) — the plan estimate alone is the
+    // pre-explode size (r16 review)
+    val qbFanout = numBands.toLong * (1L + (1 to probeHamming).map(h =>
+      (0 until bandBits).combinations(h).size.toLong).sum)
+    val cand = cbCapped.join(broadcastIfBounded(qb, qbFanout), Seq("band", "chunk"))
       .where(col("neighbor_id") =!= col("query_id"))
       // score IN the join row, BEFORE the pair-dedup exchange: duplicate
       // multi-band candidates carry identical vectors, so cos is the
@@ -344,7 +369,14 @@ object Similarity {
     // the full id+vector corpus to executor storage — at the 100 TB
     // target that cache write+read costs more than the second pruned
     // scan (the same trade documented at cmsHeavyHitters).
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // null-id rows out (the siblings' rule): Spark hashes NULL to the
+    // seed, so a null-id vector lands in a real block, and a
+    // CROSS-block pair reaches the output through the `ba < bb` arm
+    // with the id comparison never consulted — least/greatest then
+    // skip the null, fabricating a degenerate (x, x) self-pair in the
+    // exact baseline (r16 review)
+    val v = corpus.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
     val cells = (for (ba <- 0 until blocks; bb <- ba until blocks) yield (ba, bb))
       .toDF("ba", "bb")
@@ -545,8 +577,10 @@ object Similarity {
     // stats exceed the auto-broadcast threshold Spark falls back to a
     // sort-merge join that shuffles the full vector-carrying corpus
     // into at most nC non-empty partitions — parallelism capped at 64
-    // and ~corpus/64 bytes per task at the 100 TB target
-    val cand = cb.join(broadcastIfBounded(qb), Seq("cell"))
+    // and ~corpus/64 bytes per task at the 100 TB target. nprobe is
+    // the query side's explode fan-out, invisible to the plan estimate
+    // (r16 review)
+    val cand = cb.join(broadcastIfBounded(qb, nprobe.toLong), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "cos")
@@ -738,7 +772,9 @@ object Similarity {
     val iSel = Seq(col("band"), col("chunk"), col("id").as("iid")) ++
       (if (ham.isDefined) Seq(col("chunks").as("ich")) else Nil)
     val joined = probed.select(pSel: _*)
-      .join(broadcastIfBounded(idx.select(iSel: _*)), Seq("band", "chunk"))
+      // effBands = the index side's explode fan-out, invisible to the
+      // plan estimate (r16 review)
+      .join(broadcastIfBounded(idx.select(iSel: _*), effBands.toLong), Seq("band", "chunk"))
       .where(col("pid") =!= col("iid") && (col("pid") < col("iid") || col("own_capped")))
     // the prefilter runs BEFORE least/greatest + dropDuplicates: noise
     // pairs never enter the dedup exchange at all
@@ -869,8 +905,16 @@ object Similarity {
       col(vecCol).as("qv"))
     val c = corpus.select(expr(s"try_cast(`$idCol` AS LONG)").as("neighbor_id"),
       col(vecCol).as("cv"))
-    val exact = c.join(broadcastIfBounded(shortlist), Seq("neighbor_id"))
-      .join(broadcastIfBounded(q), Seq("query_id"))
+    // UNCONDITIONAL broadcasts: the shortlist is ≤ queries·refine·k
+    // rows of two longs and q is the query batch — both bounded by the
+    // PQ design (the LUT build collects queries to the driver), while
+    // their PLAN estimates are the corpus-scan size propagated through
+    // the mapPartitions/Window chain, so the size gate could never
+    // engage and the documented 'broadcast semi-join pulls the
+    // candidates' vectors' silently degraded to a full-corpus
+    // vector-carrying shuffle (r16 review)
+    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKPerQuery(exact.select("query_id", "neighbor_id", "cos"), k)
   }
@@ -998,9 +1042,15 @@ object Similarity {
     val qRows = queries.where(col(vecCol).isNotNull)
       .select(expr(s"try_cast(`$idCol` AS LONG)").as("id"), col(vecCol))
       .where(col("id").isNotNull).collect()
-    val luts: Array[(Long, Array[Double])] = qRows.map { r =>
-      val qv = normalized(toVec(r.getAs[scala.collection.Seq[Any]](1), dim))
-      r.getLong(0) -> adcLut(qv, cb, m, dsub)
+    val luts: Array[(Long, Array[Double])] = qRows.flatMap { r =>
+      val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
+      // the corpus side's allFinite gate, applied to QUERIES too: a
+      // NaN/Inf query element built an all-NaN ADC LUT, paid the full
+      // code scan, and then vanished from the output through the topK
+      // isnan filter — the documented corrupt-row drop, but only after
+      // the scan (r16 review). Dropped HERE like null-vector queries.
+      if (!allFinite(raw)) None
+      else Some(r.getLong(0) -> adcLut(normalized(raw), cb, m, dsub))
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1127,11 +1177,16 @@ object Similarity {
       .where(col("id").isNotNull).collect()
     val probing: Map[Int, Array[(Long, Array[Double])]] = qRows.flatMap { r =>
       val raw = toVec(r.getAs[scala.collection.Seq[Any]](1), dim)
+      // the pqTopK query gate (r16 review): a non-finite query would
+      // otherwise ADC-scan its probed cells with an all-NaN LUT and
+      // silently vanish after paying for the scan
+      if (!allFinite(raw)) Array.empty[(Int, (Long, Array[Double]))] else {
       val lut = adcLut(normalized(raw), cb, m, dsub)
       // nprobe nearest cells via THE shared selection rule — identical
       // cells to the kernel and the index build for a shared quantizer
       val scores = centroidCosines(raw, cents, nC, dim)
       GraftKernels.selectTopCells(scores, nprobe).map(c => c -> (r.getLong(0), lut))
+      }
     }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcProbe = spark.sparkContext.broadcast(probing)
     val keep = refine * k

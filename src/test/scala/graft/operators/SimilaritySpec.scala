@@ -531,4 +531,54 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // range stats are exact (8 bytes/row), so 2^28 rows ≈ 2 GiB > 1 GiB
     assert(!hinted(spark.range(1L << 28).toDF("query_id")))
   }
+
+  test("r16 review: the broadcast gate accounts for a declared explode fan-out") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hinted(df: org.apache.spark.sql.DataFrame, fanout: Long): Boolean =
+      Similarity.broadcastIfBounded(df, fanout).queryExecution.analyzed
+        .collectFirst { case h: ResolvedHint if h.hints.strategy.isDefined => h }.isDefined
+    // Spark's stats visitor passes the child size through Generate
+    // unchanged, so the hinting call sites pass the known fan-out: an
+    // ~8 MiB query frame exploded ×4096 materializes ~32 GiB — past
+    // the 8 GB broadcast hard limit the gate exists to respect
+    val f = spark.range(1L << 20).toDF("query_id")
+    assert(hinted(f, 1L))
+    assert(!hinted(f, 1L << 12))
+  }
+
+  test("r16 review: the exact baseline never fabricates self-pairs from null-id rows") {
+    import spark.implicits._
+    // a null-id vector identical to many real ids: a CROSS-block pair
+    // reaches the output through the `ba < bb` arm with the id guard
+    // never consulted, and least/greatest skip the null — fabricating
+    // degenerate (x, x) rows in the exact baseline pre-fix
+    val base = Seq.fill(dim)(1.0f)
+    val rows = (1L to 20L).map(i => (Option(i), base)) :+ ((Option.empty[Long], base))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.exactCosineSelfJoin(df, "vec_id", "embedding", 0.9, blocks = 5)
+      .collect()
+    val selfPairs = out.filter(r => r.getLong(0) == r.getLong(1))
+    assert(selfPairs.isEmpty, selfPairs.mkString(","))
+    // the 20 real identical vectors still pair exhaustively
+    assert(out.length == 20 * 19 / 2, out.length.toString)
+  }
+
+  test("r16 review: lshTopK tolerates null-vector rows; non-finite PQ queries drop upfront") {
+    import spark.implicits._
+    val withNull = corpus.unionByName(
+      Seq((5000L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"))
+    val clean = Similarity.lshTopK(corpus, corpus.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, dim = dim).collect().map(_.toSeq).toSet
+    val dirty = Similarity.lshTopK(withNull, withNull.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, dim = dim).collect().map(_.toSeq).toSet
+    assert(clean == dirty, "a null embedding row must not change lshTopK's output")
+    // one NaN query: dropped (the documented corrupt-query rule, now
+    // BEFORE the code scan), the healthy query still answered
+    val nanVec = Seq.fill(dim)(Float.NaN)
+    val qs = Seq((0L, Seq.fill(dim)(1.0f)), (99L, nanVec)).toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(corpus, qs, "vec_id", "embedding",
+      k = 2, dim = dim, m = 4).collect()
+    assert(pq.forall(_.getAs[Long]("query_id") == 0L), pq.mkString(","))
+    assert(pq.nonEmpty)
+  }
 }
