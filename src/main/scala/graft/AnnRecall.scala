@@ -64,14 +64,21 @@ object AnnRecall {
     * offsets already occupy the default TwinOffset range (r14).
     */
   private[graft] def withTwinVec(bases: DataFrame, dim: Int,
-                                 idOffset: Long = TwinOffset): DataFrame = {
+                                 idOffset: Long = TwinOffset,
+                                 guardTarget: Option[DataFrame] = None): DataFrame = {
     // ENFORCED, not just documented (r14 review): a corpus id at/above
     // the offset collides with a planted twin id — two different
     // vectors under one id make the pair identity ambiguous, and the
-    // recall floor reads a silently corrupted number. One driver-scale
-    // max() agg per measurement; the measurement already collects
-    // pair sets, so this costs nothing visible.
-    val maxId = Option(bases.agg(max(col("vec_id"))).head.get(0))
+    // recall floor reads a silently corrupted number. The guard runs
+    // over `guardTarget` — the corpus the twins are UNIONED INTO — not
+    // over `bases`: both callers pass the 200 SMALLEST ids as bases,
+    // so a bases-max check could essentially never trip and would miss
+    // exactly the r14-class collision it was added for (a corpus whose
+    // real ids reach the offset; r16 review). One aggregation per
+    // measurement; the measurement already collects pair sets, so this
+    // costs nothing visible.
+    val guard = guardTarget.getOrElse(bases)
+    val maxId = Option(guard.agg(max(col("vec_id"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
     require(maxId < idOffset,
       s"twin idOffset $idOffset does not clear the corpus (max vec_id $maxId) — " +
@@ -114,19 +121,32 @@ object AnnRecall {
       df.select(least(col("id_a"), col("id_b")).as("pa"),
                 greatest(col("id_a"), col("id_b")).as("pb"))
 
-    val exact = canonPairs(SparkEntry.queries("q38_embed_dedup")(spark, sfDir)).cache()
-    val approx58 = canonPairs(SparkEntry.queries("q58_embed_dedup_lsh")(spark, sfDir)).cache()
+    val exact = canonPairs(SparkEntry.queries("q38_embed_dedup")(spark, sfDir))
+    // approx58 is NOT cached: it has exactly one consuming action (the
+    // hitAll join-count) — a MEMORY_AND_DISK materialization of the
+    // broad-threshold pair set, the largest in the measurement, was a
+    // pure corpus-scale waste pinned with zero reuse (r16 review)
+    val approx58 = canonPairs(SparkEntry.queries("q58_embed_dedup_lsh")(spark, sfDir))
 
     // ---- q58 planted high-sim tier (see scaladoc) ----
     import SparkEntry.Q58Config
     val emb = api.Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
     // 200 rows — cached so the TakeOrdered scan + twin transform run once
-    // (plantedTier AND augmented both consume it)
-    val twinned = withTwinVec(emb.orderBy("vec_id").limit(200), Q58Config.dim).cache()
+    // (plantedTier AND augmented both consume it). Twins union into the
+    // FULL corpus, so the collision guard checks emb, not the bases.
+    val twinned = withTwinVec(emb.orderBy("vec_id").limit(200), Q58Config.dim,
+      guardTarget = Some(emb))
     val plantedTier = twinned.select(col("vec_id").as("pa"), col("tid").as("pb"),
         Similarity.cosine(col("embedding"), col("tvec")).as("cos"))
-      .filter(col("cos") >= 0.80).select("pa", "pb").cache()
+      .filter(col("cos") >= 0.80).select("pa", "pb")
     try {
+      // cache registrations INSIDE the try: registered before it, a
+      // failure in the frame construction above (including the
+      // collision require itself firing) skipped the finally and
+      // leaked the registrations for the session's remaining lifetime
+      // — Bench catches NonFatal and keeps the session alive for the
+      // artifact (r16 review)
+      exact.cache(); twinned.cache(); plantedTier.cache()
       // materialize the q58-all measurement BEFORE constructing the
       // planted probe: embeddingNearDupPairsLsh rotates the shared
       // sign-sketch persist slot (LastCallCache), so building the
@@ -154,12 +174,19 @@ object AnnRecall {
       // variance does not
       Seq(
         topk("q28_ann_lsh", floor = 0.85),
-        topk("q52_ann_ivf", floor = 0.8),
+        // q52/q75 floors raised to the stated ~0.1-under-minimum
+        // convention (r16 review): at 0.8 they sat ~0.15 under their
+        // measured minima (q52 0.94-0.98, q75 0.92-0.94), so a drift
+        // larger than the one the floors were calibrated to catch
+        // (r7's nprobe revert measured 0.68-0.76) could pass. The
+        // measurements are deterministic per corpus (fixed seeds), so
+        // the tightened floors do not add ambient flake.
+        topk("q52_ann_ivf", floor = 0.85),
         // r10: m 8→16 + refine 8→12 lifted q74 from 0.86 to 1.00 at every
         // SF; floor 0.9 per the ~0.1-under-minimum convention — a revert
         // to m=8 (measured 0.86-1.0) trips it, ambient variance does not
         topk("q74_ann_pq", floor = 0.9),
-        topk("q75_ann_ivfpq", floor = 0.8),
+        topk("q75_ann_ivfpq", floor = 0.82),
         Entry("q58_embed_dedup_lsh",
           if (nPlanted == 0) 0.0 else hitPlanted.toDouble / nPlanted, 0.95, nPlanted),
         // the BROAD tier (all exact pairs at the shipped minCos=0.3) is

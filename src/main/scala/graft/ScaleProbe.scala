@@ -616,15 +616,20 @@ object ScaleProbe {
       val mAd = 32
       val minCosAd = 0.9
       // twin ids at 1e10 — above every replica offset (31×1e8), so the
-      // planted ids cannot collide with the multiplied id space
+      // planted ids cannot collide with the multiplied id space. The
+      // collision guard checks the MULTIPLIED corpus the twins union
+      // into (r16 review: a bases-max guard could never trip here —
+      // raising mAd past 100 would silently collide instead of failing)
+      val multipliedAd = multiplyEmbeddings(emb1, mAd, 64)
       val twinned = AnnRecall.withTwinVec(
-        emb1.orderBy("vec_id").limit(200), 64, idOffset = 10000000000L).persist()
+        emb1.orderBy("vec_id").limit(200), 64, idOffset = 10000000000L,
+        guardTarget = Some(multipliedAd)).persist()
       val planted = twinned.select(col("vec_id").as("pa"), col("tid").as("pb"),
           Similarity.cosine(col("embedding"), col("tvec")).as("cos"))
         .filter(col("cos") >= minCosAd).select("pa", "pb").persist()
       val nPlanted = planted.count()
       require(nPlanted > 0, "no planted twins reached the adapted operating point")
-      val augmented = multiplyEmbeddings(emb1, mAd, 64)
+      val augmented = multipliedAd
         .unionByName(twinned.select(col("tid").as("vec_id"), col("tvec").as("embedding")))
         .repartition(32).persist()
       val corpusN = augmented.count()
