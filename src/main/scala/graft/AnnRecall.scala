@@ -165,7 +165,7 @@ object AnnRecall {
       val hitPlanted = approxPlanted.join(plantedTier, Seq("pa", "pb")).count()
       // floors sit ~0.1 under the minimum measured across sf0.001/0.01/
       // 0.1 at the current parameters (q28 1.0 at every SF with r8's
-      // Hamming-2 multi-probe — floor 0.85 sits ABOVE the 0.84 the old
+      // Hamming-2 multi-probe — floor 0.90 sits ABOVE the 0.84 the old
       // Hamming-1 probing measured, so losing the second probe ring
       // trips it; q52 0.94-0.98 and q75 0.92-0.94 at r7's nprobe=24 +
       // 2-cell soft assignment, q74 1.00 at m=16/refine=12 (r10), q58 planted
@@ -173,7 +173,12 @@ object AnnRecall {
       // meaningfully degrades recall trips them while corpus-to-corpus
       // variance does not
       Seq(
-        topk("q28_ann_lsh", floor = 0.85),
+        // q28 tightened 0.85 → 0.90 (r16 verdict task 6): measured 1.00
+        // for four consecutive rounds; the ~0.1-under-minimum convention
+        // keeps the tripwire honest — r8's Hamming-2 multi-probe is
+        // load-bearing (Hamming-1 measured 0.84, exact bands lower), so
+        // losing a probe ring still trips while ambient variance cannot
+        topk("q28_ann_lsh", floor = 0.90),
         // q52/q75 floors raised to the stated ~0.1-under-minimum
         // convention (r16 review): at 0.8 they sat ~0.15 under their
         // measured minima (q52 0.94-0.98, q75 0.92-0.94), so a drift

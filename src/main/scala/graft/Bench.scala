@@ -77,7 +77,10 @@ object Bench {
           .flatMap(_.toDoubleOption)
           .filter(_ >= 0).sorted
         val med = if (norms.isEmpty) -1.0 else norms(norms.size / 2)
-        s"""{"total":$t,"norm_median":${"%.3f".format(med)},"head":"$h"}"""
+        // JsonOut.sec3, NOT "%.3f".format: format uses the default JVM
+        // locale, and a comma-decimal locale would emit invalid JSON
+        // into the sealed artifact (r16 advice)
+        s"""{"total":$t,"norm_median":${JsonOut.sec3(med)},"head":"$h"}"""
       }
       (prevInner, entry) match {
         case ("", None)    => "[]"

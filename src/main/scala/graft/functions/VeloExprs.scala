@@ -60,12 +60,26 @@ object VeloExprs {
           val divD = Pow(Literal(10.0), Cast(Subtract(Literal(dt.scale), pI), DoubleType))
           val rounded = Cast(Round(
             Divide(Cast(UnscaledValue(child), DoubleType), divD), Literal(0)), LongType)
-          // 10^k is exact in f64 for k ≤ 18, so the Long cast is exact;
-          // the multiply stays ≤ the original unscaled magnitude
+          // boundary round-up gains one digit — ROUND(9.99@(3,2), 0)
+          // rebuilds unscaled 1000, which MakeDecimal at the declared
+          // precision nulls out where the reference's i64 (which has no
+          // precision to overflow) reads 10.00 — so the result widens
+          // one digit (value parity over type parity; r16 advice).
+          // outP ≤ 19 still long-backed-constructible.
+          val outDt = DecimalType(dt.precision + 1, dt.scale)
+          // 10^k is exact in f64 for k ≤ 18, so the Long cast is exact
+          // on the rebuilt arm (the zero arm below keeps k ≥ 19 — where
+          // the cast WOULD saturate — out of it); the multiply stays
+          // within one digit of the original unscaled magnitude
           val rebuilt = MakeDecimal(Multiply(rounded, Cast(divD, LongType)),
-            dt.precision, dt.scale)
-          If(IsNull(scaleArg), Literal.create(null, dt),
-            If(GreaterThanOrEqual(pI, Literal(dt.scale)), child, rebuilt))
+            outDt.precision, outDt.scale)
+          // scale - p ≥ 19 ⇒ divisor ≥ 10×10^18 > 2×|unscaled| for any
+          // precision ≤ 18 value, so the quotient rounds to exactly 0
+          // (the reference's 10i64.pow overflows there — soft landing)
+          val zero = MakeDecimal(Literal(0L), outDt.precision, outDt.scale)
+          If(IsNull(scaleArg), Literal.create(null, outDt),
+            If(GreaterThanOrEqual(pI, Literal(dt.scale)), Cast(child, outDt),
+              If(LessThanOrEqual(pI, Literal(dt.scale - 19)), zero, rebuilt)))
         case dt: DecimalType =>
           // precision > 18: no long-backed unscaled value exists (the
           // reference's ScaledInteger is i64-backed, so such a column

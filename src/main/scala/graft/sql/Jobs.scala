@@ -750,24 +750,26 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       // invisible. Printing is at-least-once: a crash-re-run batch
       // re-prints, as console lines cannot be retracted.
       val console = if (resolveStdoutSink(v.body)) Some(Console.out) else None
-      // durable stamps BEFORE start(), not after (r16 review): a crash
-      // in the window between a successful start and a post-start stamp
-      // write left a recovered epoch with committed batches in the
-      // declared dir but NO sink stamp — recovery then routed the
-      // resumed query to the internal out-$epoch dir, permanently
-      // splitting the epoch's output across two directories (the exact
-      // split the stamp exists to prevent). A FAILED start is safe the
-      // other way round: revertEpochBump deletes all three stamps.
+      // epoch-scoped durable stamps BEFORE start(), not after (r16
+      // review): a crash in the window between a successful start and a
+      // post-start stamp write left a recovered epoch with committed
+      // batches in the declared dir but NO sink stamp — recovery then
+      // routed the resumed query to the internal out-$epoch dir,
+      // permanently splitting the epoch's output across two directories
+      // (the exact split the stamp exists to prevent). A FAILED start is
+      // safe the other way round: revertEpochBump deletes both
+      // epoch-scoped stamps. The OWNER stamp is NOT part of this
+      // crash-window fix and is written only after start() succeeds (see
+      // the known-good tail below): it has no epoch to scope it, so a
+      // revert cannot delete it — a pre-start write by a doomed launch
+      // OVERWROTE another manager's ownership and permanently fenced the
+      // live owner out of superviseOnce auto-restart (r16 advice).
       if (stateRoot.isDefined) {
         // body fingerprint: a restarted manager STARTing a DIFFERENT
         // body under this name must not resume this checkpoint —
         // offsets/state belong to this query shape (see start()'s
         // recovered-mismatch bump)
         try writeMeta(s"${j.root}/body-${j.epoch}.fp", bodyFingerprint(v.body))
-        catch { case scala.util.control.NonFatal(_) => () }
-        // ownership stamp for restart fencing (see superviseOnce): the
-        // last manager to launch under this root owns the job
-        try writeMeta(s"${j.root}/owner", managerId)
         catch { case scala.util.control.NonFatal(_) => () }
         // durable twin of sinkStamp (see Job.sinkStamp preload)
         j.sinkPath.foreach { p =>
@@ -891,6 +893,19 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // stash was only insurance against a failed start — see
     // stashSinkDir)
     j.sinkPath.foreach(dropSinkTrash(_, j.epoch))
+    // ownership stamp for restart fencing (see superviseOnce): the last
+    // manager to SUCCESSFULLY launch under this root owns the job.
+    // Written only now — a failed launch must not take ownership
+    // (revertEpochBump cannot restore the prior owner, so a pre-start
+    // write by manager B's doomed DEPLOY permanently fenced the live
+    // owner A out of auto-restart; r16 advice). A crash between start()
+    // and this write leaves the PREVIOUS owner stamped — harmless: the
+    // crashed manager is gone and the stamped manager's supervision
+    // restarting the job is exactly the desired recovery.
+    if (stateRoot.isDefined) {
+      try writeMeta(s"${j.root}/owner", managerId)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Launch wrapped in the job's circuit breaker (reference:
@@ -1131,6 +1146,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     try guardedLaunch(j, v, newRecord = true)
     catch { case e: Throwable =>
       if (bumped) revertEpochBump(j, prior)
+      // a brand-new job's FIRST START never bumps, yet it DOES reset a
+      // pre-existing declared sink dir — without this arm the stash was
+      // neither restored nor surfaced, and the next successful launch's
+      // dropSinkTrash silently deleted the user's pre-existing data
+      // (r16 advice)
+      else revertSinkReset(j, prior)
       throw e
     }
     statusDf(Some(name))
@@ -1168,6 +1189,38 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       .foreach(dropPath)
     val (ep, rec, lsb, sp, ss) = prior
     j.epoch = ep; j.recovered = rec; j.lastSeenBatch = lsb
+    j.sinkPath = sp; j.sinkStamp = ss
+  }
+
+  /** Undo a declared-sink reset after a failed launch that did NOT bump
+    * the epoch (a brand-new job's first START — the only non-bumped
+    * path that can stash: a same-body re-START's sink stamp already
+    * matches and skips the reset). Restores the stashed pre-existing
+    * sink entries and reverts the launch's in-memory + durable sink
+    * binding so a RETRY stashes again instead of starting over
+    * pre-existing files (the sink stamp set by the failed attempt would
+    * have skipped the reset). The durable stamp is dropped only when
+    * the same (epoch, path) binding did not predate this launch — a
+    * failed re-START of a body that already ran this epoch must keep
+    * its real stamp for crash recovery. */
+  private def revertSinkReset(j: Job,
+      prior: (Int, Boolean, Long, Option[String], Option[(Int, String)])): Unit = {
+    val (_, _, _, sp, ss) = prior
+    // restore ONLY when THIS launch could have stashed — the exact
+    // mirror of launch's stash condition against the PRE-launch stamp.
+    // A failure that never reached the reset (breaker rejection) or a
+    // recovered epoch (never stashes) must not move an ORPHANED crash
+    // stash back over the epoch's committed batches; orphans stay in
+    // place for manual recovery by design.
+    val stashed = j.sinkPath.filter(p => !j.recovered && !ss.contains((j.epoch, p)))
+    stashed.foreach(p => try restoreSinkTrash(p, j.epoch)
+      catch { case scala.util.control.NonFatal(_) => () })
+    stashed.foreach { _ =>
+      try {
+        val (fs, hp) = rootFs(s"${j.root}/sink-${j.epoch}.path")
+        if (fs.exists(hp)) { fs.delete(hp, false); () }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     j.sinkPath = sp; j.sinkStamp = ss
   }
 
@@ -1611,7 +1664,14 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         entries.foreach { st =>
           val dst = new org.apache.hadoop.fs.Path(trash, st.getPath.getName)
           if (fs.exists(dst)) fs.delete(dst, true) // retried launch, stale stash entry
-          fs.rename(st.getPath, dst)
+          // rename reports failure as FALSE, not an exception (object
+          // stores and cross-fs moves commonly do) — a swallowed false
+          // leaves stale files + _spark_metadata in the sink dir, the
+          // exact corruption this reset exists to prevent; fail the
+          // launch loudly instead (r16 advice)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"declared-sink reset: failed to move ${st.getPath} aside to $dst")
         }
       }
     }
@@ -1635,10 +1695,25 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trash = new org.apache.hadoop.fs.Path(p, s".graft-trash-$epoch")
     if (fs.exists(trash)) {
+      // the failed attempt may have left entries of its own — the
+      // doomed FileStreamSink creates an empty _spark_metadata before
+      // start() throws — and a leftover the stash does not happen to
+      // shadow corrupts the restored dir (an empty metadata log makes
+      // readers see zero files). The stash holds the COMPLETE pre-launch
+      // contents, so everything else here is the failed attempt's
+      // garbage (r17: found by the first-START restore spec).
+      fs.listStatus(p).map(_.getPath)
+        .filterNot(_.getName.startsWith(".graft-trash"))
+        .foreach(g => { fs.delete(g, true); () })
       fs.listStatus(trash).foreach { st =>
         val dst = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
         if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(st.getPath, dst)
+        // a false rename here means the entry is STILL IN THE TRASH —
+        // throwing (before the trash delete below) keeps it recoverable
+        // instead of silently deleting the last-good data (r16 advice)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"sink-reset revert: failed to move ${st.getPath} back to $dst")
       }
       fs.delete(trash, true)
       ()

@@ -86,4 +86,16 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.siblingSeals(Some(seal3))
       == """[{"total":10.0,"norm_median":0.500,"head":"ff"}]""")
   }
+
+  test("r17 advice: sibling_seals norm_median is locale-proof (sec3, not default-locale %.3f)") {
+    // "%.3f".format uses the default JVM locale — under a comma-decimal
+    // locale the sealed artifact got "norm_median":0,750: invalid JSON
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      val seal = """{"value":10.0,"queries_norm":{"q1":0.5,"q2":0.75,"q3":1.0},"head":"ff"}"""
+      val out = Bench.siblingSeals(Some(seal))
+      assert(out == """[{"total":10.0,"norm_median":0.750,"head":"ff"}]""", out)
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

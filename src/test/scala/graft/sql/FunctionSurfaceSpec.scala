@@ -99,6 +99,33 @@ class FunctionSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(r.get(r.fieldIndex("nul")) == null)
   }
 
+  test("r17 advice: decimal ROUND boundary round-up widens one digit instead of nulling") {
+    // ROUND(9.99@(3,2), 0) rebuilds unscaled 1000 — MakeDecimal at the
+    // DECLARED precision 3 nulled it out under non-ANSI, where the
+    // reference's i64-backed ScaledInteger (no precision to overflow)
+    // reads 10.00; the result type widens one digit so the boundary
+    // value survives (value parity over type parity)
+    val r = ctx.sql(
+      """SELECT ROUND(CAST(9.99 AS DECIMAL(3,2)), 0) AS up,
+         ROUND(CAST(-9.99 AS DECIMAL(3,2)), 0) AS dn,
+         ROUND(CAST(9.5 AS DECIMAL(2,1)), 0) AS half,
+         ROUND(CAST(1.23 AS DECIMAL(3,2)), -25) AS tiny
+         FROM t WHERE id = 1""").collect().head
+    val up = r.getAs[java.math.BigDecimal]("up")
+    assert(up != null && up.compareTo(new java.math.BigDecimal("10.00")) == 0,
+      s"boundary round-up must read 10.00, got $up")
+    assert(up.scale == 2, s"scale must be kept, got ${up.scale}")
+    assert(r.getAs[java.math.BigDecimal]("dn")
+      .compareTo(new java.math.BigDecimal("-10.00")) == 0, "negative boundary")
+    assert(r.getAs[java.math.BigDecimal]("half")
+      .compareTo(new java.math.BigDecimal("10.0")) == 0, "half away from zero at boundary")
+    // scale - p >= 19: the divisor exceeds Long range (the former
+    // Cast(divD, LongType) overflowed); the quotient provably rounds
+    // to 0, so that is the answer — not saturation garbage
+    assert(r.getAs[java.math.BigDecimal]("tiny")
+      .compareTo(java.math.BigDecimal.ZERO) == 0, "huge negative precision rounds to zero")
+  }
+
   test("r16 review: ARRAY_CONTAINS reconciles native-arm types and uses the values_equal epsilon") {
     val r = ctx.sql(
       """SELECT ARRAY_CONTAINS(ARRAY(CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)), 2) AS crossNative,

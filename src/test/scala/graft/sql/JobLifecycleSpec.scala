@@ -276,6 +276,45 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx2.sql("STOP JOB fencer")
   }
 
+  test("r17 advice: a FAILED launch does not take ownership (owner stamped post-success only)") {
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_ownfence_root").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ownfence_src").toString
+    Seq((1L, 1.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def newServer(): (org.apache.spark.sql.SparkSession, VeloContext) = {
+      val s = spark.newSession()
+      s.conf.set("graft.jobs.stateRoot", stateRoot)
+      val c = new VeloContext(s)
+      c.register("own_events", s.readStream.schema(schema).parquet(srcDir))
+      (s, c)
+    }
+    val (s1, ctx1) = newServer()
+    ctx1.sql("START JOB ownfence AS SELECT id, v FROM own_events")
+    ctx1.jobManager.awaitIdle("ownfence")
+    val ownerFile = java.nio.file.Paths.get(stateRoot, "ownfence", "owner")
+    assert(java.nio.file.Files.exists(ownerFile), "successful launch must stamp ownership")
+    val ownerA = new String(java.nio.file.Files.readAllBytes(ownerFile))
+    // manager B recovers the same root and STARTs a DIFFERENT body that
+    // dies at writeStream.start() (append-mode agg, no watermark).
+    // Pre-fix the owner stamp was written BEFORE start(), and
+    // revertEpochBump does not restore it — B's doomed launch
+    // permanently fenced the live owner A out of auto-restart.
+    val (_, ctx2) = newServer()
+    intercept[Exception](ctx2.sql(
+      "START JOB ownfence AS SELECT v, COUNT(*) AS c FROM own_events GROUP BY v"))
+    assert(new String(java.nio.file.Files.readAllBytes(ownerFile)) == ownerA,
+      "a FAILED launch overwrote the live manager's ownership stamp")
+    // and A really does keep supervision rights: kill its query out
+    // from under it — superviseOnce must auto-restart, not stand down
+    s1.streams.active.find(_.name == "graft-job-ownfence").foreach(_.stop())
+    ctx1.jobManager.superviseOnce(autoRestart = true)
+    val stA = ctx1.sql("SHOW STATUS ownfence").collect().head
+    assert(stA.getAs[String]("status") == "RUNNING",
+      s"live owner was fenced out of auto-restart: $stA")
+    ctx1.sql("STOP JOB ownfence")
+  }
+
   test("job names are path segments: separators and '..' are rejected at the gate") {
     val (_, ctx) = memInput()
     for (bad <- Seq("`../evil`", "`a/b`", "`a\\\\b`")) {
@@ -808,6 +847,39 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     ctx.jobManager.awaitIdle("stash_job")
     assert(ctx.jobManager.sinkDf("stash_job").count() == 3)
     ctx.sql("STOP JOB stash_job")
+  }
+
+  test("r17 advice: a FAILED first START does not eat the declared sink's pre-existing files") {
+    import spark.implicits._
+    val (in, ctx) = memInput()
+    val dir = java.nio.file.Files.createTempDirectory("graft_stash_first").toString
+    // pre-existing user data at the declared location (single-column
+    // schema distinct from the job's output, so replacement is visible)
+    Seq(("keep-a"), ("keep-b")).toDF("legacy").write.parquet(s"$dir/out.parquet")
+    ctx.sql(s"CREATE SINK first_out WITH (path = 'file://$dir/out.parquet')")
+    // brand-new job, first START: no epoch bump happens, yet the launch
+    // RESETS the declared dir — the body dies at writeStream.start()
+    // (append-mode agg, no watermark). Pre-fix the failure path only
+    // ran revertEpochBump when bumped, so the stash was never restored
+    // and the next successful launch's dropSinkTrash deleted it.
+    intercept[Exception](ctx.sql(
+      "START JOB firststash AS SELECT v, COUNT(*) AS c FROM live_events GROUP BY v INTO first_out"))
+    val restored = spark.read.parquet(s"$dir/out.parquet")
+    assert(restored.columns.toSeq == Seq("legacy") && restored.count() == 2,
+      "failed first START lost the pre-existing sink data")
+    val leftover = new java.io.File(s"$dir/out.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith(".graft-trash"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+    // the retry must RESET the dir again (the failed attempt's sink
+    // stamp was reverted — a stale stamp would skip the stash and start
+    // the FileStreamSink over foreign files + no metadata)
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("START JOB firststash AS SELECT id, v FROM live_events INTO first_out")
+    ctx.jobManager.awaitIdle("firststash")
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    assert(out.columns.toSeq == Seq("id", "v") && out.count() == 1,
+      s"retry did not reset the declared dir: ${out.columns.toSeq}")
+    ctx.sql("STOP JOB firststash")
   }
 
   test("r16 review: EMIT CHANGES on an earlier UNION branch takes the changelog path") {
