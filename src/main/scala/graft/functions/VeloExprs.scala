@@ -230,6 +230,26 @@ object VeloExprs {
         }
         val vt = value.dataType
         def bothNull(x: Expression): Expression = And(IsNull(x), IsNull(value))
+        // CODEGEN FAST PATH (r17: the lambda arm cost q36 ~70% at
+        // sf0.1 — higher-order ArrayExists sits outside whole-stage
+        // codegen). When the search value can never be null at runtime
+        // and compares EXACTLY (same atomic type, no epsilon float
+        // rule), the reference semantics reduce to builtins:
+        // null array → NULL; found → TRUE; not found → FALSE even with
+        // null elements (coalesce absorbs array_contains' null-element
+        // NULL). values_equal(Null, Null)=true is unreachable with a
+        // non-nullable value, and same-type exact equality is Spark's
+        // own — so this arm is bit-identical to the lambda arm below.
+        def exactAtomic(dt: DataType): Boolean = dt match {
+          case _: StringType | BooleanType | ByteType | ShortType | IntegerType
+               | LongType | DateType | TimestampType | BinaryType => true
+          case _: DecimalType => true
+          case _ => false // floats keep the epsilon rule — lambda arm
+        }
+        if (!value.nullable && et == vt && exactAtomic(et))
+          If(IsNull(child), Literal.create(null, BooleanType),
+            Coalesce(Seq(ArrayContains(child, value), Literal(false))))
+        else {
         val pred: Expression => Expression =
           if (vt == NullType) x => IsNull(x)
           else if (integralT(et) && integralT(vt))
@@ -250,6 +270,7 @@ object VeloExprs {
             // Null==Null pairing, which runtime nulls can still hit
             x => bothNull(x)
         boundExists(child, pred)
+        }
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(child = c(0), value = c(1))

@@ -233,6 +233,15 @@ class VeloFunctionsSpec extends AnyFunSuite with SparkTestSession {
     // epsilon floats, JSON-string payloads — the velo_array_contains rules
     assert(one(arrayContains(array(lit(1.0), lit(null).cast("double")), 3.0))
       == false, "reference says false; Spark's array_contains says NULL")
+    // r17: the non-nullable same-type search takes a codegen fast arm
+    // (builtin array_contains + coalesce) — its answers must be
+    // bit-identical to the lambda arm on all three edges: found,
+    // no-match-with-null-element (FALSE, not NULL), null array (NULL)
+    assert(one(arrayContains(array(lit("R"), lit("O")), "R")) == true)
+    assert(one(arrayContains(array(lit("N"), lit(null).cast("string")), "R"))
+      == false, "fast arm: no-match with null element reads FALSE")
+    assert(one(arrayContains(lit(null).cast("array<string>"), "R")) == null,
+      "fast arm: NULL array reads NULL")
     assert(one(arrayContains(array(lit(0.1) + lit(0.2)), 0.3)) == true, "epsilon compare")
     assert(one(arrayContains(lit("[1,2,3]"), 2)) == true, "JSON-string payload")
     // arrayLength / mapKeys accept the reference's JSON-text payloads
