@@ -250,18 +250,24 @@ object OracleSql {
            FROM events WHERE ts IS NOT NULL),
          f AS (
            SELECT user_id, ep, event_id,
-             CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800
+             CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id NULLS FIRST) > 1800
                   THEN 1 ELSE 0 END AS ns
            FROM e),
          g AS (
            SELECT user_id, ep,
-             SUM(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id NULLS FIRST
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM f)
          SELECT user_id, COUNT(*) AS n_events, MIN(ep) AS session_start,
                 MAX(ep) AS session_end
          FROM g GROUP BY user_id, sid""",
 
+    // every ASC window sort pins NULLS FIRST: the engine (Spark's
+    // asc default) and the reference (order.rs:106 — Null sorts Less
+    // than everything) both put nulls first, while DuckDB defaults to
+    // NULLS LAST — a NULL o_orderdate row shifted every LAG/LEAD/
+    // ROW_NUMBER in its partition (r17 oracle review, edge-corpus
+    // validated). DESC stays NULLS LAST — all three agree there.
     "q8_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
          ROW_NUMBER() OVER bydate AS rn,
@@ -272,20 +278,25 @@ object OracleSql {
          NTILE(4) OVER bydate AS bucket,
          ROUND(PERCENT_RANK() OVER byprice, 4) AS prk,
          ROUND(CUME_DIST() OVER byprice, 4) AS cd,
-         NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
          FIRST_VALUE(o_totalprice) OVER bydate AS first_price,
-         LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last
          FROM orders
-         WINDOW bydate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                byprice AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+         WINDOW bydate AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST),
+                byprice AS (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST)""",
 
     "q9_rows_frame" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_qty
          FROM lineitem
-         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         WINDOW w AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
 
     "q10_having" ->
@@ -354,6 +365,11 @@ object OracleSql {
          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS pd50_qty
          FROM lineitem GROUP BY l_returnflag""",
 
+    // trimmed: NO \x{1C}-\x{1F} in the class — the engine trims Java
+    // (?U)\s = the Unicode White_Space property (like Rust str::trim),
+    // which EXCLUDES the information separators U+001C-001F; the old
+    // class stripped them where the engine keeps them (r17 oracle
+    // review, JVM-verified: Pattern "(?U)\\s" does not match \u001C)
     "q17_string_funcs" ->
       """SELECT p_partkey,
          UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
@@ -367,7 +383,7 @@ object OracleSql {
               ELSE octet_length(encode(SUBSTRING(p_name, 1, STRPOS(p_name, 'a') - 1))) + 1
          END AS pos_a,
          regexp_replace(p_name,
-           '^[\s\x{0B}\x{1C}-\x{1F}\p{Zs}\x{85}\x{2028}\x{2029}]+|[\s\x{0B}\x{1C}-\x{1F}\p{Zs}\x{85}\x{2028}\x{2029}]+$',
+           '^[\s\x{0B}\p{Zs}\x{85}\x{2028}\x{2029}]+|[\s\x{0B}\p{Zs}\x{85}\x{2028}\x{2029}]+$',
            '', 'g') AS trimmed,
          regexp_matches(p_name, '^[a-m]') AS starts_am
          FROM part""",
@@ -406,12 +422,29 @@ object OracleSql {
          TRUE AS approx_ok
          FROM lineitem GROUP BY l_returnflag""",
 
+    // rank construction, NOT arg_min/arg_max: DuckDB's arg_min SKIPS
+    // rows whose ARG is NULL (verified: arg_min over (NULL,1),(7,2)
+    // reads 7), while Spark's min_by returns the value AT the extreme
+    // key even when it is NULL — a customer whose lowest-orderkey row
+    // carries a NULL o_orderdate must read NULL, not the next row's
+    // date (r17 oracle review). The (o_orderkey IS NULL) sort prefix
+    // pins nulls last like min_by's null-ordering-row skip; the CASE
+    // guard keeps an all-null-key group NULL on both sides.
     "q22_first_last" ->
-      s"""SELECT o_custkey,
-         arg_min(${epochS("o_orderdate")}, o_orderkey) AS first_order_epoch,
-         arg_max(o_totalprice, o_orderkey) AS last_order_price,
-         MIN(o_orderkey) AS first_orderkey
-         FROM orders GROUP BY o_custkey""",
+      s"""WITH r AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY (o_orderkey IS NULL), o_orderkey) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY (o_orderkey IS NULL), o_orderkey DESC) AS rn_d
+           FROM orders)
+         SELECT o_custkey,
+           MAX(CASE WHEN rn_a = 1 AND o_orderkey IS NOT NULL
+                    THEN ${epochS("o_orderdate")} END) AS first_order_epoch,
+           MAX(CASE WHEN rn_d = 1 AND o_orderkey IS NOT NULL
+                    THEN o_totalprice END) AS last_order_price,
+           MIN(o_orderkey) AS first_orderkey
+         FROM r GROUP BY o_custkey""",
 
     "q23_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
@@ -804,10 +837,10 @@ object OracleSql {
       s"""WITH e AS (SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL),
          f AS (SELECT user_id, ts, event_id,
                  CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                        (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)) >= 1800000000
                       THEN 1 ELSE 0 END AS ns FROM e),
          g AS (SELECT user_id, ts,
-                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
                FROM f),
          s AS (SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS t0, MAX(ts) AS t1
@@ -829,9 +862,15 @@ object OracleSql {
       // primitive Long ord cannot hold a null — the oracle must not
       // emit buffer rows for events the engine's contract excludes
       // (r13 review; q7's null rule)
+      // ALL FOUR null filters, not just ts: every BufEvent field is a
+      // primitive on the engine side, so a null user_id/event_id/value
+      // is excluded by the encoding contract like a null ts (r17
+      // oracle review — the engine formerly CRASHED on them)
       s"""WITH e AS (SELECT user_id AS key, ${epochS("ts")} AS ord,
                     event_id, round(value*10000, 0) AS v
-                    FROM events WHERE ts IS NOT NULL),
+                    FROM events WHERE ts IS NOT NULL
+                      AND user_id IS NOT NULL AND event_id IS NOT NULL
+                      AND value IS NOT NULL),
          w AS (SELECT key, event_id,
                  COUNT(*) OVER win AS buf_n,
                  SUM(v) OVER win AS buf_sum
@@ -985,7 +1024,7 @@ object OracleSql {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
            PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS msum
          FROM lineitem""",
 

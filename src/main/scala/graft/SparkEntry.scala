@@ -613,7 +613,14 @@ object SparkEntry {
     //          StreamingSpec) ----
     "q43_rows_buffer" -> ((s, dir) => {
       import s.implicits._
-      val ev = T(s, dir, "events").select(
+      // ALL FOUR BufEvent fields are primitives — a null in ANY of them
+      // does not drop the row, it kills the query (AssertNotNull inside
+      // .as[BufEvent]); the r13 null rule filtered only ts (r17 oracle
+      // review). The oracle mirrors the full contract.
+      val ev = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id").isNotNull && col("value").isNotNull)
+        .select(
         col("user_id").as("k"), epochS(col("ts")).as("ord"),
         col("event_id").as("id"), round(col("value") * 10000, 0).as("v"))
         .as[graft.streaming.StreamOps.BufEvent]

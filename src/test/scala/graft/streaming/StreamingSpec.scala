@@ -81,6 +81,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out.where(col("key") === 2).collect().map(_.getAs[Int]("buf_n")).toSeq == Seq(1))
   }
 
+  test("r17 oracle review: q43 drops null-field events instead of dying in the BufEvent encode") {
+    import spark.implicits._
+    // ALL FOUR BufEvent fields are primitives — a null in ANY of them
+    // used to kill the query (AssertNotNull), not drop the row; the
+    // oracle (and the reference's typed-record contract) excludes them
+    val dir = java.nio.file.Files.createTempDirectory("graft_q43_nulls").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    Seq[(java.lang.Long, java.sql.Timestamp, java.lang.Long, String, java.lang.Double, String)](
+      (1L, ts0, 7L, "click", 1.5, null),                // clean
+      (2L, null, 7L, "click", 2.5, null),               // null ts
+      (3L, ts0, null, "click", 3.5, null),              // null user_id
+      (4L, ts0, 7L, "click", null, null),               // null value
+      (null, ts0, 7L, "click", 4.5, null)               // null event_id
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q43_rows_buffer")(spark, dir).collect()
+    // only the clean row survives the primitive-field contract
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(1L), out.mkString(","))
+  }
+
   test("ROWS WINDOW buffers in ord order regardless of input partitioning/arrival order") {
     import spark.implicits._
     // flatMapGroupsWithState gives no within-group order guarantee; feed
