@@ -79,6 +79,13 @@ object ProtoWire {
             if (n >= 19000 && n <= 19999)
               throw new IllegalArgumentException(
                 s"proto field numbers 19000-19999 are reserved: $line")
+            // protoc's identifier rule — a name like 'foo-bar' or '0bad'
+            // parses here but cannot compile for standard consumers,
+            // stranding the data it wrote (the same fail-at-parse intent
+            // as the number checks above; r17 review)
+            if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              throw new IllegalArgumentException(
+                s"proto field name must be an identifier ([A-Za-z_][A-Za-z0-9_]*): $line")
             Field(n.toInt, name,
               typeMap.getOrElse(t, throw new IllegalArgumentException(s"unsupported proto type $t")))
           case _ =>

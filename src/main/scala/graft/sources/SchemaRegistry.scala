@@ -45,8 +45,13 @@ final class SchemaRegistry(root: Path) {
       try stream.iterator().asScala
         .map(_.getFileName.toString)
         // ≤9 digits: a longer run overflows Int in toInt and THROWS —
-        // exactly the stray-file breakage this filter exists to prevent
-        .filter(_.matches("""\d{1,9}\.avsc"""))
+        // exactly the stray-file breakage this filter exists to prevent.
+        // CANONICAL form only (no zero-padding): '01.avsc' would list as
+        // version 1 that get() — which reconstructs '1.avsc' — cannot
+        // read back, making latest()/register crash on a version this
+        // same listing reported to exist (r17 review). A zero-padded
+        // file is stray noise, like any other non-canonical name.
+        .filter(_.matches("""(0|[1-9]\d{0,8})\.avsc"""))
         .map(_.stripSuffix(".avsc").toInt).toVector.sorted
       finally stream.close()
     }

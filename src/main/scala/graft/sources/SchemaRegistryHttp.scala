@@ -241,6 +241,11 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
 final class SchemaRegistryClient(baseUrl: String) {
   import SchemaRegistryHttp._
 
+  // a trailing slash — the normal way a copied URL arrives — would
+  // double every path separator, and the server's split('/') routing
+  // turns '//subjects' into a no-route 404 on EVERY call (r17 review)
+  private val base = baseUrl.stripSuffix("/")
+
   // finite timeouts: a deployed job pins its reader schema through this
   // client at LAUNCH — a wedged registry (TCP accepted, never answers)
   // must fail the launch, not hang the driver forever.
@@ -265,11 +270,11 @@ final class SchemaRegistryClient(baseUrl: String) {
     extends RuntimeException(s"registry returned $status: $body")
 
   private def get(path: String): String = send(
-    HttpRequest.newBuilder(java.net.URI.create(baseUrl + path))
+    HttpRequest.newBuilder(java.net.URI.create(base + path))
       .timeout(requestTimeout).GET().build())
 
   private def post(path: String, json: String): String = send(
-    HttpRequest.newBuilder(java.net.URI.create(baseUrl + path))
+    HttpRequest.newBuilder(java.net.URI.create(base + path))
       .header("Content-Type", "application/vnd.schemaregistry.v1+json")
       .timeout(requestTimeout)
       .POST(HttpRequest.BodyPublishers.ofString(json)).build())
@@ -316,9 +321,17 @@ final class SchemaRegistryClient(baseUrl: String) {
   def schemaAt(subject: String, version: Int): String =
     parseSchemaPayload(get(s"/subjects/${subjectSeg(subject)}/versions/$version"))._2
 
-  def isCompatible(subject: String, schemaJson: String): Boolean =
-    post(s"/compatibility/subjects/${subjectSeg(subject)}/versions/latest",
-      s"""{"schema":${jstr(schemaJson)}}""").contains("true")
+  def isCompatible(subject: String, schemaJson: String): Boolean = {
+    // extract the FIELD, never substring-scan the body: a verbose
+    // registry reply ({"is_compatible":false,"messages":["...default=
+    // true..."]}) would read incompatible as compatible and deploy a
+    // reader that cannot decode the subject's data (r17 review; the
+    // register() "version" extraction is the same rule)
+    val body = post(s"/compatibility/subjects/${subjectSeg(subject)}/versions/latest",
+      s"""{"schema":${jstr(schemaJson)}}""")
+    """"is_compatible"\s*:\s*(true|false)""".r.findFirstMatchIn(body)
+      .getOrElse(throw RegistryException(200, body)).group(1) == "true"
+  }
 
   private def parseSchemaPayload(body: String): (Int, String) = {
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(body)

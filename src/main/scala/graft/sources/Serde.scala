@@ -232,6 +232,14 @@ object Serde {
         try {
           decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
           val rec = reader.read(null, decoder)
+          // leftover bytes = a MIS-FRAMED payload that happened to parse
+          // as a prefix (a Confluent wire-format record's 5-byte
+          // magic/schema-id header decodes as zigzag 0 + empty string and
+          // read() returns fabricated values with no error) — route it to
+          // the same all-null landing as a throwing decode instead of
+          // emitting plausible garbage rows (r17 review)
+          if (!decoder.isEnd)
+            throw new java.io.IOException("avro payload has trailing bytes (mis-framed)")
           fields.map { f =>
             rec.get(f.pos()) match {
               case null => null

@@ -106,6 +106,16 @@ class ProtoWireSpec extends AnyFunSuite with SparkTestSession {
       ProtoSchema.parse("message M { int64 id = 19000; }"))
     assert(reserved.getMessage.contains("reserved"))
     assert(ProtoSchema.parse("message M { int64 id = 20000; }").head.number == 20000)
+
+    // protoc's identifier rule (r17 review): 'foo-bar'/'0bad' parsed
+    // here but cannot compile for standard consumers — the same
+    // stranded-data outcome the reserved-range gate exists to prevent
+    for (bad <- Seq("foo-bar", "0bad", "café")) {
+      val e = intercept[IllegalArgumentException](
+        ProtoSchema.parse(s"message M { int32 $bad = 1; }"))
+      assert(e.getMessage.contains("identifier"), s"$bad: ${e.getMessage}")
+    }
+    assert(ProtoSchema.parse("message M { int32 _ok2 = 1; }").head.name == "_ok2")
   }
 
   test("round-trip property: random rows over every type survive encode→decode (ScalaCheck)") {

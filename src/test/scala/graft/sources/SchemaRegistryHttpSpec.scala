@@ -253,6 +253,54 @@ class SchemaRegistryHttpSpec extends AnyFunSuite with SparkTestSession with Befo
     assert(rawSend("GET", "/subjects")._1 == 200)
   }
 
+  test("r17 review: a trailing slash in the client baseUrl must not 404 every route") {
+    // copied URLs routinely end in '/': pre-fix, every path got a double
+    // slash and the server's split('/') routing saw a no-route
+    val slashed = new SchemaRegistryClient(server.baseUrl + "/")
+    try {
+      slashed.register("slash-value", v1)
+      assert(slashed.subjects().contains("slash-value"))
+      assert(slashed.versions("slash-value") == Vector(1))
+    } finally slashed.close()
+  }
+
+  test("r17 review: zero-padded version files are stray noise, not unreadable versions") {
+    // '01.avsc' used to LIST as version 1 that get() (which reconstructs
+    // '1.avsc') could not read back — latest()/register then crashed
+    // with NoSuchElementException on a version the listing reported
+    val root = java.nio.file.Files.createTempDirectory("graft_reg_zeropad")
+    val reg = new SchemaRegistry(root)
+    val d = root.resolve("padded-value")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("01.avsc"), v1)
+    assert(reg.versions("padded-value").isEmpty, "zero-padded name is not a canonical version")
+    assert(reg.latest("padded-value").isEmpty) // pre-fix: NoSuchElementException
+    // registration still works alongside the stray file
+    assert(reg.register("padded-value", v1) == 1)
+    assert(reg.versions("padded-value") == Vector(1))
+  }
+
+  test("r17 review: isCompatible extracts the field, never substring-scans the body") {
+    // a verbose registry reply carrying 'true' OUTSIDE is_compatible
+    // (Confluent answers {"is_compatible":false,"messages":[...]}) used
+    // to read as compatible — deploying a reader that cannot decode
+    val stub = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    stub.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val body =
+        """{"is_compatible": false, "messages": ["reader lacks field with default=true"]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    stub.start()
+    val c = new SchemaRegistryClient(s"http://127.0.0.1:${stub.getAddress.getPort}")
+    try assert(!c.isCompatible("any-value", v1),
+      "verbose incompatible reply must read INCOMPATIBLE")
+    finally { c.close(); stub.stop(0) }
+  }
+
   test("client validates subject names before any request goes on the wire (r14 review)") {
     // a space would throw IllegalArgumentException from URI.create; a
     // '#' would silently query the WRONG resource via a URI fragment

@@ -135,6 +135,29 @@ class SerdeSpec extends AnyFunSuite with SparkTestSession {
     assert(ea.getMessage.contains("collide") && ea.getMessage.contains("doc_id"))
   }
 
+  test("r17 review: a mis-framed avro payload (trailing bytes) decodes to nulls, not fabricated values") {
+    import spark.implicits._
+    // a Confluent wire-format record = 5-byte magic/schema-id header +
+    // avro body: the header alone parses as (zigzag 0, empty string), so
+    // reader.read returned id=0/name="" with the REAL payload unread —
+    // plausible garbage on every row, zero errors (r17 review)
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[
+           {"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+    val good = Serde.encodeAvro(Seq((7L, "real")).toDF("id", "name"), schemaJson, "value")
+      .select("value").collect().head.getAs[Array[Byte]](0)
+    val confluentFramed = Array[Byte](0, 0, 0, 0, 1) ++ good
+    val rows = Serde.decodeAvro(
+      Seq(Tuple1(confluentFramed)).toDF("value"), "value", schemaJson).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(rows.head.fieldIndex("id"))
+      && rows.head.isNullAt(rows.head.fieldIndex("name")),
+      s"mis-framed payload must land all-null, got ${rows.head}")
+    // a correctly framed payload still decodes
+    val ok = Serde.decodeAvro(Seq(Tuple1(good)).toDF("value"), "value", schemaJson)
+      .collect().head
+    assert(ok.getAs[Long]("id") == 7L && ok.getAs[String]("name") == "real")
+  }
+
   test("clash/payload matching follows the session resolver: differently-cased names collide too (r13 review)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
