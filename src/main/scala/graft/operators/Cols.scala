@@ -57,4 +57,19 @@ private[graft] object Cols {
     for ((side, d) <- sides; c <- names)
       require(!has(d, c),
         s"$op: $side side must not carry the reserved working column $c")
+
+  /** Can xxhash64/hash digest this type? The ONE copy of the rule
+    * (r17 review: Joins.asOf and SqlApp.sampleHashCols kept verbatim
+    * twins — a future fix to what the hash supports must not land in
+    * one and miss the other). Maps are unhashable (hash over MapType
+    * is rejected at analysis); structs/arrays recurse. */
+  def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+  }
 }

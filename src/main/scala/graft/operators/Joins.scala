@@ -20,10 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Stream-table join: broadcast the (small) table side. */
+  /** Stream-table join: broadcast the (small) table side.
+    *
+    * The hint applies only where a dim-side hash build EXISTS: a
+    * right/full outer join cannot build its right side (every Spark
+    * broadcast join strategy rejects it), so the planner silently
+    * dropped the hint and shuffled the fact anyway — the scaladoc's
+    * "zero shuffle of the fact" was a lie for those types (r17 review).
+    * They still JOIN (the reference grammar allows all four types); the
+    * hint is simply omitted, and the shuffle is the honest cost of
+    * keeping unmatched dim rows visible across all fact partitions. */
   def streamTable(fact: DataFrame, dim: DataFrame, cond: Column,
-                  joinType: String = "inner"): DataFrame =
-    fact.join(broadcast(dim), cond, joinType)
+                  joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
+    org.apache.spark.sql.catalyst.plans.JoinType(joinType) match {
+      case RightOuter | FullOuter => fact.join(dim, cond, joinType)
+      case _ => fact.join(broadcast(dim), cond, joinType)
+    }
+  }
 
   /** Missing-table-data strategies for stream-table enrichment
     * (reference: server/graceful_degradation.rs:16-41 — what happens
@@ -61,6 +75,11 @@ object Joins {
     // AMBIGUOUS_REFERENCE far from the call site (r12 review)
     Cols.requireAbsent("streamTableDegraded", Seq("fact" -> fact, "dim" -> dim),
       Seq("__graft_matched"))
+    // the ONE marked-dim join shape FailFast and UseDefaults share —
+    // the two verbatim copies could drift on a future marker change
+    // (r17 review)
+    def markedJoin(f: DataFrame, d: DataFrame, c: Column): DataFrame =
+      f.join(broadcast(d.withColumn("__graft_matched", lit(true))), c, "left_outer")
     strategy match {
       case SkipRecord => fact.join(broadcast(dim), cond, "inner")
       case EmitWithNulls => fact.join(broadcast(dim), cond, "left_outer")
@@ -87,15 +106,33 @@ object Joins {
         val clash = defaults.keySet.filter(Cols.has(fact, _))
         require(clash.isEmpty,
           s"UseDefaults columns also exist on the stream side: ${clash.mkString(", ")}")
+        // the default must FIT the dim column's type: when/otherwise
+        // coerces to the common type, so a string default on an int
+        // column silently widened the enriched column to STRING for
+        // EVERY row, matched ones included — a changed output schema
+        // far from the call site (r17 review). Up-castable literals
+        // (Int default for a LONG column) are cast to the dim type so
+        // the output schema is exactly the input dim schema.
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        val badType = defaults.toSeq.map { case (c, v) =>
+          (c, Cols.fieldOf(dim, c).dataType, Literal(v).dataType)
+        }.collectFirst {
+          case (c, dimT, litT) if litT != dimT && !Cast.canUpCast(litT, dimT) =>
+            s"$c (table column is $dimT, default is $litT)"
+        }
+        require(badType.isEmpty,
+          s"UseDefaults value type does not fit the table column: ${badType.getOrElse("")}")
         // defaults apply ONLY when the lookup found no table row — a
         // matched row whose dim value is genuinely NULL keeps its NULL
         // (coalesce cannot tell the two apart), so route through the
-        // same match marker the FailFast branch uses
-        val marked = dim.withColumn("__graft_matched", lit(true))
-        val joined = fact.join(broadcast(marked), cond, "left_outer")
-        defaults.foldLeft(joined) { case (d, (c, v)) =>
-          d.withColumn(c, when(col("__graft_matched").isNull, lit(v)).otherwise(col(c)))
-        }.drop("__graft_matched")
+        // same match marker the FailFast branch uses. ONE projection
+        // (withColumns), not a withColumn per default: each fold step
+        // stacked a Project plus a full analysis pass (r17 review).
+        val joined = markedJoin(fact, dim, cond)
+        joined.withColumns(defaults.map { case (c, v) =>
+          val dimT = Cols.fieldOf(dim, c).dataType
+          c -> when(col("__graft_matched").isNull, lit(v).cast(dimT)).otherwise(col(c))
+        }).drop("__graft_matched")
       case FailFast =>
         // left join + a match marker asserted in a FILTER: an unmatched
         // record raises AT EXECUTION with a named error. The assert must
@@ -103,8 +140,7 @@ object Joins {
         // would be pruned by the optimizer and never evaluated.
         // assert_true returns null on success, so `.isNull` keeps every
         // surviving row; the matched path is one codegen'd branch.
-        val marked = dim.withColumn("__graft_matched", lit(true))
-        fact.join(broadcast(marked), cond, "left_outer")
+        markedJoin(fact, dim, cond)
           .where(assert_true(col("__graft_matched").isNotNull,
             lit("stream-table join: missing table data for stream record " +
               "(FailFast strategy; use SkipRecord/EmitWithNulls/UseDefaults to degrade)")).isNull)
@@ -206,19 +242,12 @@ object Joins {
     // must not crash because the reference table carries an attributes
     // map. Rows differing ONLY in unhashable columns still tie — there
     // is nothing deterministic left to order them by.
-    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
-    def hashable(dt: DataType): Boolean = dt match {
-      case _: MapType => false
-      case s: StructType => s.fields.forall(f => hashable(f.dataType))
-      case a: ArrayType => hashable(a.elementType)
-      case _ => true
-    }
     // Cols.sameName, not !=: a case-variant key column under the
     // default resolver was dropped by the join but KEPT by this filter,
     // so the tie hash referenced a dropped attribute — an eager
     // AnalysisException far from the cause (r15 review)
     val tieCols = right.schema.fields
-      .filter(f => !Cols.sameName(right, f.name, key) && hashable(f.dataType))
+      .filter(f => !Cols.sameName(right, f.name, key) && Cols.hashable(f.dataType))
       .map(f => q(R, f.name))
     val rightTieBreak = if (tieCols.nonEmpty) xxhash64(tieCols.toSeq: _*) else lit(0L)
     val w = Window.partitionBy(col("__graft_asof_row"))

@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * SESSION` clauses (reference: docs/sql/PARSER_GRAMMAR.md "Time-Based
   * Windows"; src/velostream/sql/execution/window_v2/).
   *
-  * Identical code paths work in batch and Structured Streaming —
-  * `window()` / `session_window()` are stream-ready; in streaming, add
-  * `.withWatermark(tsCol, grace)` upstream (the reference's watermark +
-  * grace-period semantics, src/velostream/sql/execution/watermarks.rs).
+  * These are the BATCH realizations. For streaming frames use
+  * graft.streaming.StreamOps (window()/session_window() + watermark —
+  * the reference's watermark + grace semantics, src/velostream/sql/
+  * execution/watermarks.rs): sessionize's window functions are
+  * unsupported on streaming DataFrames, and tumbling/sliding group on a
+  * plain epoch-bucket expression that a watermark would never evict —
+  * state would grow unboundedly (r17 review; the header formerly
+  * claimed identical batch/streaming paths).
   *
   * Scale: windowed groupBy shuffles on (window, keys) — partial
   * aggregation is map-side, so the shuffle carries one row per
@@ -165,8 +169,9 @@ object TimeWindows {
     // re-sessionizing output that already carries one
     val nsCol = "__graft_new_session"
     val sidCol = "__graft_session_id"
-    require(!Cols.has(df, nsCol) && !Cols.has(df, sidCol),
-      s"input must not carry the $nsCol/$sidCol working columns")
+    // the shared guard (r17 review: this was the last hand-rolled copy
+    // of the loop Cols.requireAbsent was created to replace)
+    Cols.requireAbsent("sessionize", Seq("input" -> df), Seq(nsCol, sidCol))
     val w = Window.partitionBy(keys: _*).orderBy(col(epochCol) +: tieBreak: _*)
     val epoch = col(epochCol)
     val newSession = when(epoch - lag(epoch, 1).over(w) > gapSeconds, 1).otherwise(0)

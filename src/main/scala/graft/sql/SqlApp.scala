@@ -451,16 +451,9 @@ object SqlApp {
     * constant hash — all-or-nothing sampling, never a crash. Shared
     * with JobManager's observe-gate, which embeds the same test. */
   private[sql] def sampleHashCols(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.types._
-    def hashable(t: DataType): Boolean = t match {
-      case _: MapType => false
-      case s: StructType => s.fields.forall(f => hashable(f.dataType))
-      case a: ArrayType => hashable(a.elementType)
-      case _ => true
-    }
     // backtick-quoted: a bare col("a.b") parses as nested access and
     // dies (or mis-resolves) for column names carrying dots (r15 review)
-    val cs = df.schema.fields.filter(f => hashable(f.dataType))
+    val cs = df.schema.fields.filter(f => graft.operators.Cols.hashable(f.dataType))
       .map(f => org.apache.spark.sql.functions.col(
         s"`${f.name.replace("`", "``")}`")).toSeq
     if (cs.nonEmpty) cs else Seq(org.apache.spark.sql.functions.lit(1))

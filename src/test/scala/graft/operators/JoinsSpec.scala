@@ -215,6 +215,52 @@ class JoinsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("r17 review: asOf keepUnmatched keeps every left row, null-enriched (merge_asof semantics)") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, "AAPL", ts(100)), (2L, "MSFT", ts(150)), (3L, "NVDA", ts(200))
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("AAPL", ts(90), 10.0),  // in band for trade 1
+      ("MSFT", ts(10), 50.0)   // 140s stale — outside tolerance for trade 2
+    ).toDF("sym", "q_ts", "px")
+    val out = Joins.asOf(trades, quotes, "sym", "t_ts", "q_ts",
+      toleranceSeconds = 100L, keepUnmatched = true).collect()
+    // one output row per left row — unmatched ones survive null-enriched
+    assert(out.length == 3, out.mkString(","))
+    val byTrade = out.map(r =>
+      r.getAs[Long]("trade_id") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) None else Some(r.getAs[Double]("px")))).toMap
+    assert(byTrade == Map(1L -> Some(10.0), 2L -> None, 3L -> None))
+  }
+
+  test("r17 review: UseDefaults rejects a default whose type cannot fit the table column") {
+    import spark.implicits._
+    import Joins.MissingDataStrategy.UseDefaults
+    val fact = Seq((1L, "a")).toDF("id", "k")
+    val dim = Seq(("a", 5)).toDF("k2", "qty")
+    // a STRING default on an INT column used to silently widen qty to
+    // STRING for EVERY output row, matched ones included
+    val e = intercept[IllegalArgumentException](Joins.streamTableDegraded(
+      fact, dim, col("k") === col("k2"), UseDefaults(Map("qty" -> "0"))))
+    assert(e.getMessage.contains("does not fit"), e.getMessage)
+    // an up-castable default (Int for the INT column) keeps the dim type
+    val ok = Joins.streamTableDegraded(
+      fact, dim.withColumn("qty", col("qty").cast("long")),
+      col("k") === col("k2"), UseDefaults(Map("qty" -> 7)))
+    assert(ok.schema("qty").dataType.typeName == "long", ok.schema.treeString)
+  }
+
+  test("r17 review: streamTable right/full outer still joins (broadcast hint has no dim-side build there)") {
+    import spark.implicits._
+    val fact = Seq((1L, "a")).toDF("id", "k")
+    val dim = Seq(("a", 5), ("b", 6)).toDF("k2", "qty")
+    val r = Joins.streamTable(fact, dim, col("k") === col("k2"), "right_outer").collect()
+    assert(r.length == 2) // unmatched dim row 'b' survives
+    val f = Joins.streamTable(fact, dim, col("k") === col("k2"), "full_outer").collect()
+    assert(f.length == 2)
+  }
+
   test("asOf tolerates unhashable (map) right columns in the tie-break") {
     import spark.implicits._
     val trades = Seq((1L, "A", 100L)).toDF("trade_id", "sym", "t_ts")

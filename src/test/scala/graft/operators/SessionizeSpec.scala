@@ -78,7 +78,7 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
     val clash = Seq((1L, 1L)).toDF("ep", "__graft_session_id")
     assert(intercept[IllegalArgumentException](
       TimeWindows.sessionize(clash, "ep", 100L, Seq(col("ep")), Seq.empty, aggs))
-      .getMessage.contains("working columns"))
+      .getMessage.contains("reserved working column"))
   }
 
   test("reserved window names and empty-keys sessionize are rejected, not silently wrong") {
@@ -160,7 +160,7 @@ class SessionizeSpec extends AnyFunSuite with SparkTestSession {
         Seq(count(lit(1)).as("__graft_session_id")))).getMessage.contains("working name"))
     assert(intercept[IllegalArgumentException](
       TimeWindows.sessionize(ev.withColumn("__GRAFT_SESSION_ID", lit(1L)), "ep", 10L,
-        Seq(col("id")), Seq.empty, aggs)).getMessage.contains("working columns"))
+        Seq(col("id")), Seq.empty, aggs)).getMessage.contains("reserved working column"))
   }
 
   test("null-epoch rows belong to NO session (never merged into the first one)") {
