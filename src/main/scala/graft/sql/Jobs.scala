@@ -807,14 +807,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
               // each extra action otherwise re-reads source offsets and
               // state per trigger; the print sits INSIDE the persisted
               // scope so the cache actually serves it (r15 review)
-              if (hasLabeled || console.isDefined) {
-                batch.persist()
-                try {
+              if (hasLabeled || console.isDefined)
+                graft.streaming.StreamOps.withPersistedBatch(batch) {
                   console.foreach(graft.streaming.StreamOps.printJsonRows(batch, _))
                   sink()
                   if (hasLabeled) collectLabeled(jobName, batch, batchId)
-                } finally batch.unpersist()
-              } else sink()
+                }
+              else sink()
             }
             .option("checkpointLocation", j.ckptDir)
             .queryName(s"graft-job-${j.name}")
@@ -831,11 +830,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
             case Some(o) =>
               base.foreachBatch { (batch: DataFrame, _: Long) =>
                 // persist across print + write (the StreamOps rule)
-                batch.persist()
-                try {
+                graft.streaming.StreamOps.withPersistedBatch(batch) {
                   graft.streaming.StreamOps.printJsonRows(batch, o)
                   batch.write.mode("append").options(sinkOpts).format(sinkFmt).save(sinkLoc)
-                } finally { batch.unpersist(); () }
+                }
               }
             case None =>
               base.format(sinkFmt).options(sinkOpts).option("path", sinkLoc)

@@ -93,8 +93,16 @@ object StreamOps {
     * the warm-up produces nothing (batch-like, fewer outputs than
     * inputs). Works identically on a batch Dataset (one "micro-batch").
     *
-    * Scale: state per key is O(n) values; keys shard across executors by
-    * the groupBy shuffle — no global state, no driver involvement.
+    * Scale: PERSISTED state per key is O(n) values; keys shard across
+    * executors by the groupBy shuffle — no global state, no driver
+    * involvement. TRANSIENT memory, however, is O(events per key per
+    * trigger): the per-group normalization sort below materializes the
+    * trigger's whole event set for a key, and under AvailableNow /
+    * plain-batch execution one "trigger" is the ENTIRE source — a hot
+    * key with tens of millions of events allocates them on one executor
+    * thread before the ring bounds anything (r17 review). One-shot
+    * callers over unbounded hot keys should pre-bucket or feed real
+    * micro-batches.
     */
   /** ORDERING CONTRACT: the buffer appends in ARRIVAL order — the
     * reference's semantics exactly (its ring buffer fills in Kafka
@@ -390,6 +398,33 @@ object StreamOps {
       case None => (tmp(prefix + "_out"), "parquet", Map.empty, None)
     }
 
+  /** Delete data files the FileStreamSink manifest does not name. A
+    * failed task attempt (retry/speculation) writes its part file
+    * directly into the sink dir and only the successful attempt enters
+    * the manifest — publish's rename would otherwise PROMOTE the orphan
+    * into the published result, duplicating every row of the failed
+    * attempt (r17 review). An absent/empty/unparseable manifest deletes
+    * nothing (conservative: ensureReadable's zero-batch fallback part is
+    * written OUTSIDE the log, after the empty log was removed). */
+  private[streaming] def dropUncommittedOrphans(staging: String): Unit = {
+    val meta = new java.io.File(staging, "_spark_metadata")
+    if (meta.isDirectory) {
+      val committed: Set[String] =
+        Option(meta.listFiles()).getOrElse(Array.empty).filter(_.isFile).flatMap { f =>
+          val txt = try java.nio.file.Files.readString(f.toPath)
+                    catch { case scala.util.control.NonFatal(_) => "" }
+          // SinkFileStatus JSON lines; part basenames are task-UUID-unique
+          """"path":"([^"]+)"""".r.findAllMatchIn(txt)
+            .map(_.group(1).split('/').last)
+        }.toSet
+      if (committed.nonEmpty)
+        Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".") && !committed.contains(f.getName))
+          .foreach(f => { f.delete(); () })
+    }
+  }
+
   /** The destructive step of a declared sink, run only after success:
     * replace the declared path with the finished staging dir (a
     * same-filesystem rename — sinkOr staged next to the target).
@@ -400,10 +435,15 @@ object StreamOps {
       case Some(p) =>
         // the FileStreamSink log records ABSOLUTE file paths — after the
         // rename they'd point at the vanished staging dir and readers
-        // using MetadataLogFileIndex would see nothing. The published
-        // sink is a finished batch artifact, not a streaming-sink
-        // continuation (each run restarts on a fresh checkpoint), so the
-        // log carries no information the plain directory listing lacks.
+        // using MetadataLogFileIndex would see nothing, so the log is
+        // dropped before the rename. But FIRST it serves the one purpose
+        // a plain directory listing cannot: naming the COMMITTED files.
+        // A failed task attempt (retry/speculation) writes its part file
+        // directly into the dir and only the successful attempt enters
+        // the manifest — promoting orphans into the published sink would
+        // duplicate every row of the failed attempt (r17 review). Files
+        // the manifest does not name are deleted before the log goes.
+        dropUncommittedOrphans(staging)
         deleteRecursively(new java.io.File(staging, "_spark_metadata").toString)
         deleteRecursively(p)
         // fail LOUDLY if the clear was partial (deleteRecursively is
@@ -415,8 +455,17 @@ object StreamOps {
         if (new java.io.File(p).exists())
           throw new java.io.IOException(
             s"could not fully clear declared sink $p; this run's output is preserved at $staging")
-        java.nio.file.Files.move(
+        // any move failure (TOCTOU re-creation of p by a concurrent run,
+        // I/O error on the rename) must also name the preserved staging
+        // dir — the bare FileSystemException gave the user no pointer to
+        // where this run's finished output lives (r17 review)
+        try java.nio.file.Files.move(
           java.nio.file.Paths.get(staging), java.nio.file.Paths.get(p))
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"could not publish into declared sink $p (${e.getMessage}); " +
+              s"this run's output is preserved at $staging", e)
+        }
         p
     }
 
@@ -430,6 +479,17 @@ object StreamOps {
   def printJsonRows(df: DataFrame, out: java.io.PrintStream): Unit = {
     df.toJSON.toLocalIterator().forEachRemaining(s => out.println(s))
     out.flush()
+  }
+
+  /** The ONE persist-for-multiple-actions scope every foreachBatch
+    * writer shares (r17 review: four hand-rolled persist/try/unpersist
+    * copies across StreamOps and Jobs had begun to drift): whenever
+    * more than one action reads a streaming batch (console print +
+    * file write, metric collection), each extra action otherwise
+    * re-reads the batch's source offsets and state per trigger. */
+  def withPersistedBatch(batch: DataFrame)(body: => Unit): Unit = {
+    batch.persist()
+    try body finally { batch.unpersist(); () }
   }
 
   /** EMIT FINAL production path: parquet FILE sink (append mode +
@@ -459,13 +519,13 @@ object StreamOps {
       val base = df.writeStream.outputMode(OutputMode.Append())
       val sunk = console match {
         case Some(o) => base.foreachBatch { (batch: DataFrame, _: Long) =>
-          // persist across the two actions: print + write would
-          // otherwise each re-read the batch's source offsets and
-          // state, doubling per-trigger work (r15 review)
-          batch.persist()
-          try { printJsonRows(batch, o)
+          // persist across the two actions (withPersistedBatch; r15):
+          // print + write would otherwise each re-read the batch's
+          // source offsets and state, doubling per-trigger work
+          withPersistedBatch(batch) {
+            printJsonRows(batch, o)
             batch.write.mode("append").options(opts).format(fmt).save(out)
-          } finally { batch.unpersist(); () }
+          }
         }
         case None => base.format(fmt).options(opts).option("path", out)
       }
@@ -515,13 +575,13 @@ object StreamOps {
       val q = df.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // persist only when BOTH actions run (the runToParquet rule)
-          console.foreach(_ => batch.persist())
-          try {
-            console.foreach(printJsonRows(batch, _))
-            batch.withColumn("_batch_id", lit(batchId))
-              .write.mode("append").options(opts).format(fmt).save(out)
-          } finally console.foreach(_ => { batch.unpersist(); () })
+          def write(): Unit = batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").options(opts).format(fmt).save(out)
+          console match {
+            // persist only when BOTH actions run (the runToParquet rule)
+            case Some(o) => withPersistedBatch(batch) { printJsonRows(batch, o); write() }
+            case None => write()
+          }
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())

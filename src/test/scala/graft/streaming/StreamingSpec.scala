@@ -81,6 +81,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out.where(col("key") === 2).collect().map(_.getAs[Int]("buf_n")).toSeq == Seq(1))
   }
 
+  test("r17 review: publish drops part files the sink manifest does not name (failed-attempt orphans)") {
+    // a failed task attempt's part file sits in the staging dir but only
+    // the successful attempt enters the FileStreamSink manifest —
+    // pre-fix, publish deleted the manifest and renamed the dir, so the
+    // published sink listed BOTH files and duplicated the failed
+    // attempt's rows
+    val staging = java.nio.file.Files.createTempDirectory("graft_orphan").toString
+    val meta = new java.io.File(staging, "_spark_metadata")
+    assert(meta.mkdirs())
+    java.nio.file.Files.writeString(new java.io.File(meta, "0").toPath,
+      "v1\n" + s"""{"path":"file://$staging/part-committed.parquet","size":10,"isDir":false,"modificationTime":1,"blockReplication":1,"blockSize":1,"action":"add"}""")
+    java.nio.file.Files.writeString(new java.io.File(staging, "part-committed.parquet").toPath, "C")
+    java.nio.file.Files.writeString(new java.io.File(staging, "part-orphan.parquet").toPath, "O")
+    StreamOps.dropUncommittedOrphans(staging)
+    val left = new java.io.File(staging).listFiles().filter(_.isFile).map(_.getName).toSet
+    assert(left == Set("part-committed.parquet"), left.mkString(","))
+    // an EMPTY manifest deletes nothing (the zero-batch fallback part is
+    // written outside the log — it must survive)
+    val staging2 = java.nio.file.Files.createTempDirectory("graft_orphan2").toString
+    val meta2 = new java.io.File(staging2, "_spark_metadata")
+    assert(meta2.mkdirs())
+    java.nio.file.Files.writeString(new java.io.File(meta2, "0").toPath, "v1\n")
+    java.nio.file.Files.writeString(new java.io.File(staging2, "part-fallback.parquet").toPath, "F")
+    StreamOps.dropUncommittedOrphans(staging2)
+    assert(new java.io.File(staging2, "part-fallback.parquet").exists())
+  }
+
   test("r17 oracle review: q43 drops null-field events instead of dying in the BufEvent encode") {
     import spark.implicits._
     // ALL FOUR BufEvent fields are primitives — a null in ANY of them
