@@ -29,7 +29,7 @@ object MutationChecks {
     * (`amount`) …` / `UPDATE t SET `amount` = …` falsely reject a
     * column that exists (r14 review; SqlApp.ctasOf strips for the same
     * reason). Interior doubled backticks unescape. */
-  private def bare(name: String): String =
+  private[sql] def bare(name: String): String =
     if (name.length >= 2 && name.startsWith("`") && name.endsWith("`"))
       name.substring(1, name.length - 1).replace("``", "`")
     else name

@@ -96,7 +96,13 @@ object SqlValidator {
         // exists for.
         val declared = ctx.declaredSources.keys.exists(_.equalsIgnoreCase(sink)) ||
           localSinkDecls.exists(_.equalsIgnoreCase(sink))
-        if (!declared && !MutationChecks.isStdoutSink(sess, sink)) {
+        // the statement's OWN dotted props make the sink resolvable too
+        // (the executor's sinkFilePath chain): warning on
+        // `INTO out WITH ('out.path' = ...)` flagged a correctly-writing
+        // app as missing configuration (r17 review)
+        val propResolvable = s.props.keys.exists(k =>
+          k.equalsIgnoreCase(s"$sink.path") || k.equalsIgnoreCase(s"$sink.file"))
+        if (!declared && !propResolvable && !MutationChecks.isStdoutSink(sess, sink)) {
           warnings :+= s"INTO sink '$sink' has no CREATE SINK declaration"
           missingSinks :+= sink
         }
@@ -117,9 +123,17 @@ object SqlValidator {
       * positional rename + cast): arity mismatches, invalid declared
       * types, and illegal casts all surface at analysis, pre-deploy,
       * without re-running the analyzer on the same query text. */
-    def analyzeWithDeclared(s: SelectStmt, cols: Vector[(String, String)]): Unit = {
+    def analyzeWithDeclared(s: SelectStmt, cols: Vector[(String, String)],
+                            materializes: Boolean = false): Unit = {
       val df = sess.sql(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol))
       df.queryExecution.analyzed
+      // the executor's CTAS arm is GUARANTEED to reject a streaming
+      // source ("cannot materialize") — the gate has the analyzed plan
+      // in hand and must surface it pre-deploy, not let the deploy die
+      // at execution (r17 review; validator/executor drift)
+      if (materializes && df.isStreaming)
+        errors :+= "CREATE TABLE ... AS over a streaming source cannot " +
+          "materialize — use CREATE STREAM ... AS or START JOB"
       if (cols.nonEmpty) VeloContext.applyDeclaredColumns(df, cols)
       checkInto(s)
     }
@@ -144,7 +158,7 @@ object SqlValidator {
         // render the whole CTE chain — the analyzer resolves CTE refs
         analyze(ctx.renderSql(w))
         selectCores(w.body).foreach(checkInto)
-      case CreateTableAs(_, s, _, cols) => analyzeWithDeclared(s, cols)
+      case CreateTableAs(_, s, _, cols) => analyzeWithDeclared(s, cols, materializes = true)
       case CreateStreamAs(_, s, _, cols) => analyzeWithDeclared(s, cols)
       // INSERT/UPDATE/DELETE validate by ANALYZING the very frames the
       // executor materializes (MutationChecks — one implementation, zero
@@ -190,6 +204,7 @@ object SqlValidator {
         if (props.isEmpty) warnings :+= "source/sink declaration has no properties"
       case StartJob(_, body, props) =>
         validateBody(body)
+        warnAppendModeAgg(body)
         checkJobProps(props)
       case DeployJob(_, _, body, props, strategy) =>
         strategy match {
@@ -198,12 +213,36 @@ object SqlValidator {
           case _ =>
         }
         validateBody(body)
+        warnAppendModeAgg(body)
         checkJobProps(props)
       case StopJob(name, _) => warnIfUnknownJob(name)
       case PauseJob(name) => warnIfUnknownJob(name)
       case ResumeJob(name) => warnIfUnknownJob(name)
       case RollbackJob(name, _) => warnIfUnknownJob(name)
       case Show(_, _) | Describe(_) => ()
+    }
+
+    /** A non-windowed STREAMING aggregate job body with default/FINAL
+      * emission is guaranteed to die at writeStream.start() — the job
+      * path routes by EMIT only (append mode needs a watermark-evicted
+      * window), unlike sqlStream's changelog rescue. A WARNING, not an
+      * error: launch-time failure semantics are load-bearing (the
+      * revert/stash machinery is tested through exactly such bodies),
+      * but the author should hear about it pre-deploy (r17 review). */
+    def warnAppendModeAgg(body: VeloStatement): Unit = body match {
+      case Select(s) if !s.emit.contains(EmitChanges) && s.window.isEmpty =>
+        try {
+          val df = sess.sql(toSparkSql(s, ctx.defaultTimeCol, ctx.streamTimeCol))
+          val streamingAgg = df.queryExecution.analyzed.exists {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.isStreaming
+            case _ => false
+          }
+          if (streamingAgg)
+            warnings :+= "job body is a non-windowed streaming aggregate " +
+              "without EMIT CHANGES — append mode will fail at launch " +
+              "(add EMIT CHANGES or a WINDOW clause)"
+        } catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
     }
 
     def warnIfUnknownJob(name: String): Unit =

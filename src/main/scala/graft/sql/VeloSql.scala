@@ -415,7 +415,7 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * every INSERT would change the caller's memory profile. */
   private def rebindMutatedView(table: String, df: DataFrame): DataFrame = {
     val priorKey = materialized.synchronized(materialized.keys.find(_.equalsIgnoreCase(table)))
-    priorKey match {
+    val rebound = priorKey match {
       case Some(k) =>
         // ORDER MATTERS, twice over. (1) The prior cache is released
         // before anything else — the rebuilt plan contains the prior
@@ -448,6 +448,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         df.createOrReplaceTempView(table)
         df
     }
+    // the register() rule on the mutation path too: a mutated view that
+    // replaced a registered stream must not keep the stream's stale
+    // event-time mapping (r17 review)
+    streamTsCols.remove(table.toLowerCase(java.util.Locale.ROOT))
+    rebound
   }
 
   /** Every (branch frame, INTO list, props) triple reachable from a
@@ -612,6 +617,28 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         }
         materialized(name) = df
       }
+      // the register() rule (r15), applied to THIS view swap too: a
+      // prior registerStream under this name left its event-time
+      // mapping behind, and a later WITHIN would band against the
+      // replaced view's column (r17 review)
+      streamTsCols.remove(name.toLowerCase(java.util.Locale.ROOT))
+      // INTO sink[, sink...]: the CTAS arm used to DROP these silently —
+      // parsed, validator-checked, never written (r17 review; the exact
+      // failure class the bare-query arm's fix documents). Same fan-out
+      // as CSAS, including the PRIMARY KEY routing repartition.
+      locally {
+        val routeKeys = VeloContext.routedKeys(s, cols)
+          .flatMap(k => df.columns.find(_.equalsIgnoreCase(k)))
+        val sinkDf =
+          if (routeKeys.nonEmpty) df.repartition(routeKeys.map(col): _*) else df
+        s.into.foreach { sink =>
+          sinkFilePath(sink, s.props) match {
+            case Some(p) => graft.sources.Serde.writeFileUri(sinkDf, p)
+            case None if MutationChecks.isStdoutSink(spark, sink) => printStdout(sinkDf)
+            case None => ()
+          }
+        }
+      }
       df
 
     case CreateStreamAs(name, s, props, cols) =>
@@ -619,6 +646,9 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
         return spark.table(name)
       val df = VeloContext.applyDeclaredColumns(spark.sql(toSparkSql(s, defaultTimeCol, streamTimeCol)), cols)
       df.createOrReplaceTempView(name)
+      // the register() rule: drop a replaced stream's stale event-time
+      // mapping (r17 review — CSAS swapped the view but kept the map)
+      streamTsCols.remove(name.toLowerCase(java.util.Locale.ROOT))
       // INTO sink[, sink…]: fan the stream out to every named sink
       // whose path is resolvable — from its CREATE SINK declaration or
       // from the statement's own dotted props ('file_sink.path' = …).
@@ -667,7 +697,18 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
       if (cols.nonEmpty && cols.length != incoming.columns.length)
         throw new ParseException(
           s"INSERT column list has ${cols.length} names but the source produces ${incoming.columns.length}")
-      val named = if (cols.nonEmpty) incoming.toDF(cols.toIndexedSeq: _*) else incoming
+      // the real-table path's rules apply to the debug sink's column
+      // list too (r17 review): backtick quoting comes OFF (toDF would
+      // otherwise mint a column literally named `amount`, printed as
+      // {"`amount`":5}), and duplicates are a dialect error like
+      // alignInsert's, not duplicate JSON keys
+      val names = cols.map(MutationChecks.bare)
+      val dup = names.combinations(2).collectFirst {
+        case Seq(a, b) if graft.operators.Cols.sameName(incoming, a, b) => s"$a / $b"
+      }
+      if (dup.nonEmpty) throw new ParseException(
+        s"INSERT column list names the same column twice: ${dup.get}")
+      val named = if (names.nonEmpty) incoming.toDF(names.toIndexedSeq: _*) else incoming
       printStdout(named)
       named
 
@@ -972,6 +1013,16 @@ object VeloContext {
       // Spark's raw AMBIGUOUS_REFERENCE (HTTP 500) — a malformed
       // declared list is a DIALECT error like the arity check above
       // (r15 review)
+      // duplicate names WITHIN the declared list build a duplicate-named
+      // frame whose very next select dies with Spark's raw
+      // AMBIGUOUS_REFERENCE (HTTP 500) — a dialect error like the arity
+      // and window-tail checks, and consistent with alignInsert (r17
+      // review). Resolver-aware, like every identifier in the dialect.
+      val dupDecl = cols.map(_._1).combinations(2).collectFirst {
+        case Seq(a, b) if graft.operators.Cols.sameName(df, a, b) => s"$a / $b"
+      }
+      if (dupDecl.nonEmpty) throw new VeloSqlParser.ParseException(
+        s"declared column list names the same column twice: ${dupDecl.get}")
       val clash = cols.map(_._1)
         .filter(n => extras.exists(graft.operators.Cols.sameName(df, _, n)))
       if (clash.nonEmpty) throw new VeloSqlParser.ParseException(

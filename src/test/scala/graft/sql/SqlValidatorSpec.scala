@@ -108,6 +108,41 @@ class SqlValidatorSpec extends AnyFunSuite with SparkTestSession {
     assert(c.errors.exists(_.contains("declared 2 columns")))
   }
 
+  test("r17 review: the gate catches CTAS-over-streaming and warns on append-doomed job bodies") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    ctx.registerStream("val_stream", in.toDF().toDF("ts", "v"), "ts", "10 minutes")
+    // the executor's CTAS arm is guaranteed to throw 'cannot
+    // materialize' — the gate must surface it pre-deploy
+    val c = SqlValidator.validateStatement(ctx,
+      "CREATE TABLE snap AS SELECT v FROM val_stream")
+    assert(!c.isValid && c.errors.exists(_.contains("cannot materialize")), c.toString)
+    // a non-windowed streaming aggregate without EMIT CHANGES dies at
+    // writeStream.start() in append mode — warned, not errored (the
+    // launch-failure semantics are load-bearing for the revert tests)
+    val j = SqlValidator.validateStatement(ctx,
+      "START JOB j9 AS SELECT v, COUNT(*) AS n FROM val_stream GROUP BY v")
+    assert(j.isValid && j.warnings.exists(_.contains("fail at launch")), j.toString)
+    val ok = SqlValidator.validateStatement(ctx,
+      "START JOB j9 AS SELECT v, COUNT(*) AS n FROM val_stream GROUP BY v EMIT CHANGES")
+    assert(ok.isValid && !ok.warnings.exists(_.contains("fail at launch")), ok.toString)
+  }
+
+  test("r17 review: INTO resolvable from the statement's own dotted props is not missing config") {
+    // the executor's sinkFilePath resolves '<sink>.path' from s.props —
+    // warning here flagged a correctly-writing app as misconfigured
+    val r = SqlValidator.validateStatement(ctx,
+      "SELECT order_id FROM v_orders INTO propsink " +
+        "WITH ('propsink.path' = '/tmp/graft_props_out.parquet')")
+    assert(r.isValid && !r.warnings.exists(_.contains("propsink")), r.toString)
+    // a bare undeclared sink still warns
+    val w = SqlValidator.validateStatement(ctx, "SELECT order_id FROM v_orders INTO baresink")
+    assert(w.warnings.exists(_.contains("baresink")), w.toString)
+  }
+
   test("app validation resolves intra-file dependencies and leaves no catalog residue") {
     // statement 2 reads statement 1's CTAS output; statement 3 reads 2's
     // — the wave loader executes this fine, so the gate must accept it

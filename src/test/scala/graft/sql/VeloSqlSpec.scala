@@ -601,6 +601,56 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.json(s"$dir/cte.json").count() == 2)
   }
 
+  test("r17 review: CTAS honors its INTO sink instead of silently dropping it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ctasinto").toString
+    ctx.register("ci_src", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ctx.sql(s"CREATE SINK ctas_out WITH ('path' = 'file://$dir/ctas.json')")
+    // pre-fix: the table materialized, the validator approved, and the
+    // sink never received a row with no error anywhere
+    ctx.sql("CREATE TABLE ctas_into_t AS SELECT id, v FROM ci_src INTO ctas_out")
+    assert(spark.read.json(s"$dir/ctas.json").count() == 2)
+    assert(spark.table("ctas_into_t").count() == 2)
+  }
+
+  test("r17 review: view replacement drops a replaced stream's stale event-time mapping") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Double)]
+    val c2 = new VeloContext(spark)
+    c2.register("repl_src", Seq((1L, "x")).toDF("id", "v"))
+    c2.registerStream("repl_v", in.toDF().toDF("etime", "value"), "etime", "10 minutes")
+    assert(c2.streamTimeCol("repl_v").contains("etime"))
+    // CTAS replaces the view — the WITHIN renderer must not keep banding
+    // against the vanished stream's event-time column
+    c2.sql("CREATE TABLE repl_v AS SELECT id, v FROM repl_src")
+    assert(c2.streamTimeCol("repl_v").isEmpty,
+      "CTAS view swap kept the replaced stream's event-time mapping")
+    c2.registerStream("repl_w", in.toDF().toDF("etime", "value"), "etime", "10 minutes")
+    c2.sql("CREATE STREAM repl_w AS SELECT id, v FROM repl_src")
+    assert(c2.streamTimeCol("repl_w").isEmpty, "CSAS kept the stale mapping")
+  }
+
+  test("r17 review: duplicate declared column names are a dialect error, not AMBIGUOUS_REFERENCE") {
+    import spark.implicits._
+    ctx.register("dup_src", Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[VeloSqlParser.ParseException](ctx.sql(
+      "CREATE TABLE dup_t (a INT, A STRING) AS SELECT id, v FROM dup_src"))
+    assert(e.getMessage.contains("same column twice"), e.getMessage)
+  }
+
+  test("r17 review: stdout INSERT column lists unquote and reject duplicates like the table path") {
+    import spark.implicits._
+    // backtick-quoted name must come OFF before toDF — pre-fix the debug
+    // JSON printed a column literally named `amount`
+    val named = ctx.sql("INSERT INTO stdout (`amount`) VALUES (5)")
+    assert(named.columns.toSeq == Seq("amount"), named.columns.mkString(","))
+    val e = intercept[VeloSqlParser.ParseException](
+      ctx.sql("INSERT INTO stdout (a, a) VALUES (1, 2)"))
+    assert(e.getMessage.contains("same column twice"), e.getMessage)
+  }
+
   test("a streaming job body's bare-SELECT INTO lands in the declared sink") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
