@@ -72,4 +72,18 @@ private[graft] object Cols {
       case _ => true
     }
   }
+
+  /** Is this a machine-integral id type (safe for pmod salting and the
+    * decimal(38,0)-negation tie-break without rounding or overflow)?
+    * The ONE copy of the rule, like `hashable` (r17 review:
+    * Dedup.exactKeepBest and Sampling.packIntoShards kept verbatim
+    * four-type twins — a future widening, e.g. scale-0 decimals for
+    * shard salting, must not land in one and miss the other). */
+  def isIntegralId(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
 }

@@ -75,10 +75,8 @@ object Dedup {
     // case-variant names the session resolver accepts — the r14
     // packIntoShards fix, which missed this sweep (r15 review)
     val numericId = Cols.fieldOf(docs, idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
-      case _ => false
+      case dt => Cols.isIntegralId(dt)
     }
     if (numericId)
       docs
@@ -196,14 +194,23 @@ object Dedup {
     // from the array END (r13 review)
     require(numBands >= 1, s"numBands must be >= 1, got $numBands")
     require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
-    val numHashes = numBands * rowsPerBand
+    // gate the product in LONG: an Int product can wrap past this gate
+    // (128 * 33554433 = 2^32 + 128 reads 128) and past the kernel's own
+    // [1,256] require — the kernel would then build a wrapped-size
+    // signature while banding still slices with the caller's huge
+    // rowsPerBand, overflowing the slice-start column mid-job (ANSI) or
+    // slicing from the array END (legacy: silently wrong buckets, near-
+    // zero recall) — the silent-garbage class these gates exist to
+    // reject (r17 review)
+    val numHashesL = numBands.toLong * rowsPerBand
     // fail with the CALLER's parameters (the lshTopK convention): the
     // signature kernel's seed cache caps numHashes at 256, and letting
     // the inner gate throw names a parameter the caller never passed
     // (r14 review)
-    require(numHashes <= 256,
+    require(numHashesL <= 256,
       s"numBands * rowsPerBand must be <= 256 (signature kernel seed-cache " +
-        s"bound), got $numBands * $rowsPerBand = $numHashes")
+        s"bound), got $numBands * $rowsPerBand = $numHashesL")
+    val numHashes = numHashesL.toInt
     // null-text docs carry no content to near-dup: left in, they all
     // hash to ONE shared per-band bucket (xxhash64 skips a null slice)
     // and pair up with null est_jaccard — drop them up front.
@@ -470,6 +477,12 @@ object Dedup {
     // docs distinct because a MERGE there silently deletes data. A
     // span-stats row is a report, not a keep/drop decision (r15
     // review: documented, deliberately unchanged).
+    // NULL-TEXT docs get NO stats row (not n_spans=0): the shingle
+    // kernel propagates null and explode drops the row — same exclusion
+    // as minhashLsh/simhashPairs/ngramJaccard, stated here because a
+    // downstream join of stats back onto the corpus (or a corpus-wide
+    // avg(dup_span_frac)) must know those ids are absent, not zero
+    // (r17 review: behavior unchanged, contract documented).
     val sh = lastSpanCache(docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("g")))
     val dfCounts = sh.groupBy("g").agg(count(lit(1)).as("_df"))

@@ -160,14 +160,23 @@ object Sampling {
   def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                        splits: Seq[(String, Double)] =
                          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-                       outCol: String = "split", salt: String = "graft"): DataFrame = {
+                       outCol: String = "split", salt: String = "graft",
+                       // clusterPairs pass-throughs (r17 review: its
+                       // non-convergence exception says "raise
+                       // maxIterations" — this entry point must expose
+                       // the knob the advice names; localThreshold rides
+                       // along so the distributed closure can be forced
+                       // from here like direct clusterPairs callers do)
+                       maxIterations: Int = 20,
+                       localThreshold: Long = 200000L): DataFrame = {
     // internal name: df plausibly ALREADY carries a cluster_id from an
     // upstream dedup stage — joining another one in would make every
     // col("cluster_id") reference ambiguous and the final drop would
     // remove the user's column
     val repCol = "__graft_split_rep"
     require(!Cols.has(df, repCol), s"input must not carry the $repCol working column")
-    val clusters = Dedup.clusterPairs(pairs)
+    val clusters = Dedup.clusterPairs(pairs, maxIterations = maxIterations,
+        localThreshold = localThreshold)
       .select(col("id").as(idCol), col("cluster_id").as(repCol))
     val joined = df.join(clusters, Seq(idCol), "left")
     // stableKey, like hashSplit/deterministicSample: a TIMESTAMP id
@@ -224,10 +233,19 @@ object Sampling {
     // case-mismatched name col() resolves fine would otherwise throw a
     // spurious "field does not exist" here (r14 review).
     val idType = fieldOf(df, idCol).dataType
-    require({
-      import org.apache.spark.sql.types._
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)
-    }, s"packIntoShards needs an integral id column, '$idCol' is $idType")
+    require(Cols.isIntegralId(idType),
+      s"packIntoShards needs an integral id column, '$idCol' is $idType")
+    // the weight must be NUMERIC for the null/NaN/negative sanitization
+    // layer below to mean anything: a string weight would bypass it and
+    // implicitly cast inside the window sum — under ANSI a corrupt value
+    // throws deep in executor tasks AFTER the shuffle; in legacy mode it
+    // casts to null, cum goes null, and the row falls out of every shard
+    // silently — the exact failure the coalesce below promises to
+    // prevent. Reject at the call site like budget/idCol/parallelism
+    // (r17 review)
+    val weightType = fieldOf(df, weightCol).dataType
+    require(weightType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packIntoShards needs a numeric weight column, '$weightCol' is $weightType")
     // graft-prefixed + guarded working columns (the leakageFreeSplit /
     // sessionize convention): bare `_salt`/`_cum` would silently
     // REPLACE same-named input columns (an upstream salting stage's

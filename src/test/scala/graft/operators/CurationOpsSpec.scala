@@ -106,6 +106,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().head.getAs[String]("split"))
   }
 
+  test("r17 review: non-numeric weight rejects at the call site; leakageFreeSplit exposes the closure knobs") {
+    import spark.implicits._
+    // a STRING weight bypassed the whole null/NaN/negative sanitization
+    // layer pre-fix: legacy-mode cast-to-null sent the row's cumsum null
+    // and it fell out of every shard silently
+    val badW = Seq((1L, "N/A"), (2L, "300")).toDF("id", "w")
+    val e = intercept[IllegalArgumentException](
+      Sampling.packIntoShards(badW, "id", "w", budget = 1000L, parallelism = 2))
+    assert(e.getMessage.contains("numeric weight"))
+    assert(e.getMessage.contains("StringType"))
+
+    // clusterPairs' non-convergence advice says "raise maxIterations" —
+    // the knob must be reachable from this entry point. A 6-chain needs
+    // ~3 doubling rounds; maxIterations=1 on the FORCED distributed path
+    // must surface clusterPairs' failure, and the forced path with ample
+    // iterations must agree with the default adaptive path.
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val chain = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException](
+      Sampling.leakageFreeSplit(docs, "id", chain,
+        maxIterations = 1, localThreshold = 0L).collect())
+    val forced = Sampling.leakageFreeSplit(docs, "id", chain, localThreshold = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val default = Sampling.leakageFreeSplit(docs, "id", chain)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(forced == default)
+    assert((0L until 6L).map(forced).toSet.size == 1) // the chain is one cluster
+  }
+
   test("packIntoShards: budget bound holds, assignment layout-independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

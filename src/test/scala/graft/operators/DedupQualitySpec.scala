@@ -157,6 +157,20 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
       Dedup.minhashLsh(docs, "text", "doc_id", rowsPerBand = 0)).getMessage.contains("rowsPerBand"))
   }
 
+  test("r17 review: band-geometry product gated in Long — an Int-wrapping product rejects") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    // 128 * 33554433 = 2^32 + 128, which wraps to 128 in Int arithmetic
+    // and sailed past the <= 256 gate pre-fix (the kernel then built a
+    // 128-hash signature while banding sliced with the caller's huge
+    // rowsPerBand — silent wrong buckets in legacy, mid-job overflow
+    // under ANSI). The gate must fire with the CALLER's parameters.
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "text", "doc_id", numBands = 128, rowsPerBand = 33554433))
+    assert(e.getMessage.contains("33554433"))
+    assert(e.getMessage.contains("256"))
+  }
+
   test("clusterPairs: 1000-node path graph converges to one cluster within 15 rounds") {
     import spark.implicits._
     // adversarial diameter: plain min-propagation needs ~999 rounds;
