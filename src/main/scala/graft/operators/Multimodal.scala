@@ -73,7 +73,10 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          // positional, like the decoders: the select two lines up pins
+          // the layout, and a name lookup here is a per-row fieldIndex
+          // map hit on the 100 TB hot path (r17 review)
+          val payload = r.getAs[Array[Byte]](2)
           val n = if (payload == null) 0 else payload.length
           Row(r.getLong(0), r.getString(1), n,
             decodeStub(payload, dim).toSeq)
@@ -93,7 +96,9 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"), col("payload"), col("width"), col("height"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          // positional like extractFeatures — the select above pins the
+          // layout (media_id, media_type, payload, width, height)
+          val payload = r.getAs[Array[Byte]](2)
           val small: Array[Byte] =
             if (payload == null) null
             else {
@@ -106,8 +111,8 @@ object Multimodal {
               while (i < out.length) { out(i) = payload(i * factor); i += 1 }
               out
             }
-          def scaled(field: String): Integer = {
-            val v = r.getAs[Integer](field)
+          def scaled(ordinal: Int): Integer = {
+            val v = r.getAs[Integer](ordinal)
             // a degenerate source dimension (<= 0) stays as-is: the
             // min-1 clamp applies only to REAL dimensions shrinking
             // below a pixel — promoting 0 to 1 erased the 0-vs-1
@@ -117,7 +122,7 @@ object Multimodal {
             else if (v <= 0) v
             else Integer.valueOf(math.max(1, v / factor))
           }
-          Row(r.getLong(0), r.getString(1), small, scaled("width"), scaled("height"))
+          Row(r.getLong(0), r.getString(1), small, scaled(3), scaled(4))
         }
       }(enc)
   }
@@ -281,7 +286,11 @@ object Multimodal {
             // a decodable JPEG/GIF/BMP would otherwise report arbitrary
             // header bytes as "dimensions" next to correct pixel stats
             // (the audio twin validates RIFF/WAVE magic the same way)
-            val isPng = bytes.length >= 24 &&
+            // no length re-check: img != null already implies the
+            // line-above guard passed bytes.length >= 24, so be32(16/20)
+            // is in bounds whenever isPng — the dead clause obscured
+            // which check actually protects the reads (r17 review)
+            val isPng =
               (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
             val headerW: Any = if (isPng) be32(bytes, 16) else null
             val headerH: Any = if (isPng) be32(bytes, 20) else null
@@ -406,8 +415,12 @@ object Multimodal {
             // degenerate 0 emits null, never a sentinel that poisons
             // downstream min/avg rate aggregates
             val rateHz: Integer = {
-              val r = fmt.getSampleRate
-              if (r > 0f && !r.isNaN) Integer.valueOf(r.toInt) else null
+              // sr, not r: the enclosing lambda's `r` is the Spark Row
+              // (r.getLong(0) below) — shadowing it with a Float here
+              // is a trap for any future edit in this branch-heavy
+              // block (r17 review)
+              val sr = fmt.getSampleRate
+              if (sr > 0f && !sr.isNaN) Integer.valueOf(sr.toInt) else null
             }
             // hostile-header guard BEFORE the read: a fmt chunk can
             // declare e.g. 65535 channels, making the frame size exceed
@@ -421,7 +434,13 @@ object Multimodal {
               // GC-only, but a future native codec slotted in here
               // would leak one handle per hostile record
               ais.close()
-              Row(r.getLong(0), fmtSampleRate(bytes), null, null, null, null)
+              // rate_hz/n_frames are header-derived and already
+              // computed — emit them like the unsupported-encoding
+              // branch below does; only the SAMPLE stats are unreadable
+              // here. Pre-fix this path nulled all four, so two records
+              // with equally-readable headers got inconsistent coverage
+              // in downstream rate/frame aggregates (r17 review).
+              Row(r.getLong(0), fmtSampleRate(bytes), rateHz, nFrames, null, null)
             } else {
             val pcm = ais.readAllBytes()
             ais.close()

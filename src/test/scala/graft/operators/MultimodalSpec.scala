@@ -228,13 +228,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val rows = Seq(
       (1L, wavWithFmt(channels = 65535, fmtSize = 16)), // monster frame size
       (2L, wavWithFmt(channels = 1, fmtSize = 0)),      // degenerate fmt chunk
-      (3L, wavWithFmt(channels = 1, fmtSize = 8))       // minimal body covering the rate
+      (3L, wavWithFmt(channels = 1, fmtSize = 8)),      // minimal body covering the rate
+      // 2500 ch: ACCEPTED by the JDK reader (65535 is rejected at
+      // getAudioInputStream, so row 1 exercises the ais==null path, not
+      // the guard) with frameSize 5000 > 4096 — the row that actually
+      // reaches the hostile-frame-size guard (r17 review)
+      (4L, wavWithFmt(channels = 2500, fmtSize = 16))
     ).toDF("media_id", "payload")
     val out = Multimodal.decodeAudioFeatures(rows).collect()
-    assert(out.length == 3)
+    assert(out.length == 4)
     val monster = out.find(_.getLong(0) == 1L).get
     assert(monster.isNullAt(monster.fieldIndex("peak")),
       "oversized-frame WAV must yield null stats, not decode (or hang)")
+    // r17 review: the hostile-frame guard nulls only the SAMPLE stats —
+    // rate_hz/n_frames are decoder/header-derived and already computed,
+    // and the unsupported-encoding branch emits them, so this branch
+    // must too (two records with equally-readable headers must get
+    // consistent coverage in downstream rate/frame aggregates)
+    val guarded = out.find(_.getLong(0) == 4L).get
+    assert(guarded.isNullAt(guarded.fieldIndex("peak")),
+      "guard row must yield null stats, not decode (or hang)")
+    assert(guarded.getAs[Int]("rate_hz") == 8000,
+      "decoder-readable rate must survive the hostile-frame guard")
+    assert(guarded.getAs[Long]("n_frames") == 0L,
+      "header-derived frame count must survive the hostile-frame guard")
     // degenerate fmt chunk: header_rate must be null, not the next
     // chunk's bytes read as a sample rate
     val degen = out.find(_.getLong(0) == 2L).get
