@@ -227,6 +227,32 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
   private[sql] def hasAttachedJobConfig(name: String): Boolean =
     synchronized(jobConfigs.contains(name))
 
+  /** Current attached state, for a caller that must SNAPSHOT before
+    * overwriting and restore on failure (SqlApp's statement runner —
+    * r17 review: the kind-scoped detach still lost a previous
+    * successful statement's same-kind state). */
+  private[sql] def attachedMetrics(name: String): Option[Vector[SqlApp.MetricSpec]] =
+    metricSpecs.synchronized(metricSpecs.get(name))
+  private[sql] def attachedJobConfig(name: String): Option[JobManager.JobConfig] =
+    synchronized(jobConfigs.get(name))
+
+  /** Put back the snapshotted pre-statement state after a FAILED
+    * statement: for each kind, `Some(Some(v))` restores the prior
+    * value, `Some(None)` removes (nothing was attached before), `None`
+    * leaves the kind untouched (this statement never overwrote it). */
+  def restoreStatementState(name: String,
+                            metrics: Option[Option[Vector[SqlApp.MetricSpec]]],
+                            config: Option[Option[JobManager.JobConfig]]): Unit = synchronized {
+    metrics.foreach {
+      case Some(v) => metricSpecs.synchronized { metricSpecs(name) = v; () }
+      case None => metricSpecs.synchronized { metricSpecs.remove(name); () }
+    }
+    config.foreach {
+      case Some(v) => jobConfigs(name) = v; ()
+      case None => jobConfigs.remove(name); ()
+    }
+  }
+
   /** Remove the metric specs and/or job config a FAILED statement
     * attached — SCOPED to what that statement actually attached: the
     * old unconditional wipe clobbered state a previous successful
@@ -777,7 +803,28 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }
-      val q = emitOf(v.body) match {
+      // a spec NO streaming path collects must be named, not silently
+      // dropped (the r11/r12 class, still open for two shapes):
+      // histograms exist only on the batch-collection path, and labeled
+      // specs are collected solely by the EMIT CHANGES foreachBatch —
+      // an append-sink job's labeled specs and any job's histograms
+      // were accepted by attachMetrics and then never appeared in
+      // /metrics with no signal (r17 review)
+      val emit = emitOf(v.body)
+      locally {
+        val specs = metricSpecs.synchronized(metricSpecs.getOrElse(j.name, Vector.empty))
+        val isEmitChanges = emit.contains(EmitChanges)
+        val uncollected = specs.filterNot(m => observable(m) ||
+          (isEmitChanges && m.labels.nonEmpty &&
+            (m.metricType == "counter" || (m.metricType == "gauge" && m.field.isDefined))))
+        if (uncollected.nonEmpty)
+          System.err.println(s"[jobs] WARNING: metric spec(s) " +
+            s"${uncollected.map(_.name).mkString(", ")} on streaming job '${j.name}' " +
+            "will not be collected: histograms are batch-only, and labeled " +
+            "counters/gauges require EMIT CHANGES (append-sink jobs collect only " +
+            "unlabeled counter / field-gauge specs via observe())")
+      }
+      val q = emit match {
         case Some(EmitChanges) =>
           val out = sinkLoc
           val jobName = j.name

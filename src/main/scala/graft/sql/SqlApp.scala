@@ -141,6 +141,12 @@ object SqlApp {
     catch { case _: Throwable => None }
 
   private def resolveVarSpec(spec: String, env: String => Option[String]): String = {
+    // split drops trailing empty strings, so a spec of only '|' chars
+    // ('${|}') yields ZERO links — links.last below would then throw
+    // NoSuchElementException (not ParseException) straight through the
+    // validator's pre-deploy gate instead of the documented keep-the-
+    // spec-text behavior (r17 review)
+    if (spec.forall(_ == '|')) return spec
     val links = spec.split('|').toSeq.map { part =>
       part.indexOf(':') match {
         case -1 => (part, Option.empty[String])
@@ -499,8 +505,16 @@ object SqlApp {
           // two statements silently merged (r15 review). The rule lives
           // in ONE place (the tokenizer's owner) shared with
           // VeloContext.splitStatements (r15 advice).
-          && !VeloSqlParser.dashesInsideUri(s, i)) return (-1, 0) // comment runs to EOL
-      else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { quote = '*'; i += 1 }
+          && !VeloSqlParser.insideUriToken(s, i)) return (-1, 0) // comment runs to EOL
+      // NOT a comment when the '/' sits inside a kafka://…/file://… URI
+      // token (a path ending in '/' followed by a glob-style '*'): the
+      // tokenizer consumed that '/' as a URI character, so entering
+      // block-comment state here swallows ';' and quotes to the next
+      // '*/' — the same splitter/tokenizer desync class as the r15
+      // '--'-in-URI fix one arm above, shared with
+      // VeloContext.splitStatements (r17 review)
+      else if (c == '/' && i + 1 < s.length && s(i + 1) == '*'
+          && !VeloSqlParser.insideUriToken(s, i)) { quote = '*'; i += 1 }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return (i, 0)
       i += 1
@@ -529,7 +543,7 @@ object SqlApp {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, count, last, lit, sum, when}
     val app = parse(content, env)
-    def execOne(s: AppStatement): DataFrame = {
+    def execOne(s: AppStatement, idx: Int): DataFrame = {
       // metrics on a JOB statement belong to the job's data, not to the
       // status frame ctx.sql returns: streaming jobs observe them on
       // their own micro-batches (observe() + listener in JobManager,
@@ -550,22 +564,33 @@ object SqlApp {
           case VeloSqlParser.DeployJob(n, _, _, _, _) => Some(n)
           case _ => None
         } catch { case _: ParseException => None }
+      // snapshot what a PREVIOUS successful statement attached under
+      // this job name BEFORE overwriting it: the failure path must put
+      // the prior state back, not merely remove this statement's — a
+      // failed DEPLOY's kind-scoped detach otherwise deletes the specs
+      // the still-running query's listener iterates, silently stopping
+      // its metric accumulation (r17 review; the r15 granular detach
+      // fixed cross-KIND clobber but still lost same-kind prior state)
+      val prior = jobName.map(n =>
+        (ctx.jobManager.attachedMetrics(n), ctx.jobManager.attachedJobConfig(n)))
       jobName.foreach { n =>
         if (s.metrics.nonEmpty) ctx.jobManager.attachMetrics(n, s.metrics)
         jobCfg.foreach(ctx.jobManager.attachJobConfig(n, _))
       }
-      // detach on failure: the attach happens BEFORE execution, and a
+      // restore on failure: the attach happens BEFORE execution, and a
       // failed statement must not leave its specs/config registered —
       // a later manual launch of the same job name would silently pick
       // up the dead statement's partitioning and metrics
       val df =
         try ctx.sql(s.sql)
         catch { case t: Throwable =>
-          // scoped to what THIS statement attached: an unconditional
-          // wipe clobbered specs/config an earlier SUCCESSFUL statement
-          // installed for the same job name (r15 review)
-          jobName.foreach(ctx.jobManager.detachStatementState(_,
-            metrics = s.metrics.nonEmpty, config = jobCfg.isDefined))
+          // scoped to what THIS statement attached (r15 review), and
+          // RESTORING the prior value rather than removing (r17)
+          jobName.zip(prior).foreach { case (n, (pm, pc)) =>
+            ctx.jobManager.restoreStatementState(n,
+              metrics = if (s.metrics.nonEmpty) Some(pm) else None,
+              config = if (jobCfg.isDefined) Some(pc) else None)
+          }
           throw t
         }
       val target: Option[DataFrame] = jobName match {
@@ -595,10 +620,17 @@ object SqlApp {
         val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
         if (!preCached) df.persist()
         try specs.foreach { m =>
-          def num(v: Any): Double = v match {
-            case null => 0.0
-            case n: java.lang.Number => n.doubleValue()
-            case other => other.toString.toDouble
+          // Option, not a null→0.0 coercion: an unlabeled GAUGE whose
+          // input has zero rows (or an all-null field) must emit NO
+          // series, not a fabricated 0 that was never in the data — the
+          // streaming listener states the same rule ('a GAUGE must
+          // RETAIN its last real value, not be reset to 0'). Counters
+          // and histogram counts keep 0 (a count of nothing IS 0)
+          // (r17 review).
+          def num(v: Any): Option[Double] = v match {
+            case null => None
+            case n: java.lang.Number => Some(n.doubleValue())
+            case other => Some(other.toString.toDouble)
           }
           // the metric's input: the (cached) result narrowed by its
           // @metric_condition, then deterministically sampled — a
@@ -606,7 +638,7 @@ object SqlApp {
           // oracle see the identical subset
           val in = SqlApp.metricInput(df, m)
           // one aggregation pass per metric, grouped by its label columns
-          def collectAgg(aggs: Seq[Column]): Vector[(Map[String, String], Seq[Double])] =
+          def collectAgg(aggs: Seq[Column]): Vector[(Map[String, String], Seq[Option[Double]])] =
             if (m.labels.isEmpty)
               in.agg(aggs.head, aggs.tail: _*).collect().toVector
                 .map(r => Map.empty[String, String] -> aggs.indices.map(i => num(r.get(i))))
@@ -625,28 +657,39 @@ object SqlApp {
             }
           def fmtLe(b: Double): String =
             if (b.isWhole) b.toLong.toString else b.toString
+          // each statement pushes into its OWN registry slice: the
+          // registry replaces per slice, so two statements (or a
+          // statement and a streaming job) declaring the same metric
+          // name no longer erase each other's series (r17 review)
+          val slice = s"stmt$idx"
           m.metricType match {
             case "counter" =>
               val agg = m.field.map(f => sum(col(f).cast("double"))).getOrElse(count(lit(1)))
-              ctx.recordMetricSeries(m.name, m.metricType, m.help,
-                collectAgg(Seq(agg)).map { case (ls, vs) => ("", ls, vs.head) })
+              ctx.recordMetricSlice(m.name, slice, m.metricType, m.help,
+                // a count of nothing IS 0; a field-sum over zero rows
+                // likewise honestly reports 0 increments
+                collectAgg(Seq(agg)).map { case (ls, vs) => ("", ls, vs.head.getOrElse(0.0)) })
             case "gauge" =>
               val agg = last(col(m.field.get).cast("double"), ignoreNulls = true)
-              ctx.recordMetricSeries(m.name, m.metricType, m.help,
-                collectAgg(Seq(agg)).map { case (ls, vs) => ("", ls, vs.head) })
+              ctx.recordMetricSlice(m.name, slice, m.metricType, m.help,
+                // a null aggregate (zero rows / all-null field) emits NO
+                // series — never a fabricated 0 (see num)
+                collectAgg(Seq(agg)).flatMap { case (ls, vs) =>
+                  vs.head.map(v => ("", ls, v)) })
             case "histogram" =>
               val f = col(m.field.get).cast("double")
               val aggs = Seq(count(f), sum(f)) ++
                 m.buckets.map(b => sum(when(f <= b, 1L).otherwise(0L)))
               val series = collectAgg(aggs).flatMap { case (ls, vs) =>
-                val (cnt, total) = (vs(0), vs(1))
+                val cnt = vs(0).getOrElse(0.0)
+                val total = vs(1).getOrElse(0.0)
                 m.buckets.zipWithIndex.map { case (b, i) =>
-                  ("_bucket", ls + ("le" -> fmtLe(b)), vs(2 + i))
+                  ("_bucket", ls + ("le" -> fmtLe(b)), vs(2 + i).getOrElse(0.0))
                 } ++ Vector(
                   ("_bucket", ls + ("le" -> "+Inf"), cnt),
                   ("_sum", ls, total), ("_count", ls, cnt))
               }
-              ctx.recordMetricSeries(m.name, m.metricType, m.help, series)
+              ctx.recordMetricSlice(m.name, slice, m.metricType, m.help, series)
             case _ => // unknown type already filtered at parse
           }
         } finally { if (!preCached) df.unpersist(); () }
@@ -687,7 +730,14 @@ object SqlApp {
       // matches and schedules into the same wave as its producer (and
       // the duplicate-producer run guard treats `t` and `` `t` `` as
       // distinct, racing two writers of one view)
-      else try VeloSqlParser.parse(s.sql) match {
+      // the CONTEXT's parser, not VeloSqlParser.parse's global
+      // defaults — the same drift the r14 review fixed for execOne's
+      // jobName probe: a CTAS whose body only parses under the
+      // context's defaultTimeCol/registered stream time columns would
+      // throw under the global-defaults parse, classify non-CTAS, and
+      // silently fall out of the parallel wave scheduler (losing
+      // wave parallelism and its load-progress gauges) (r17 review)
+      else try ctx.parseStatement(s.sql) match {
         case VeloSqlParser.CreateTableAs(n, _, _, _) => Some(unquote(n))
         case VeloSqlParser.CreateStreamAs(n, _, _, _) => Some(unquote(n))
         case _ => None
@@ -739,7 +789,7 @@ object SqlApp {
       val s = app.statements(i)
       ctasOf(s) match {
         case None =>
-          results(i) = execOne(s)
+          results(i) = execOne(s, i)
           i += 1
         case Some(first) =>
           // maximal run of consecutive plain CTAS statements with
@@ -776,7 +826,7 @@ object SqlApp {
                 pool.submit(new java.util.concurrent.Callable[(DataFrame, Double)] {
                   def call(): (DataFrame, Double) = {
                     val t0 = System.nanoTime()
-                    val df = execOne(app.statements(c.idx))
+                    val df = execOne(app.statements(c.idx), c.idx)
                     (df, (System.nanoTime() - t0) / 1e9)
                   }
                 })
@@ -802,7 +852,7 @@ object SqlApp {
             waveNo += 1
             onWave(waveNo, Seq(first))
             val t0 = System.nanoTime()
-            results(i) = execOne(s)
+            results(i) = execOne(s, i)
             recordLoad(first, waveNo, results(i), (System.nanoTime() - t0) / 1e9)
           }
           i = j

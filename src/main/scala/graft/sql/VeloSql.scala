@@ -247,7 +247,11 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     * Job bodies pass SqlValidator's analyzer gate before launching. */
   val jobManager = new JobManager(spark, execStatement,
     body => SqlValidator.validateParsed(this, body).errors,
-    (n, t, h, s) => recordMetricSeries(n, t, h, s),
+    // the listener's own slice: its pushes carry the complete per-name
+    // series ACROSS JOBS (Jobs.scala builds them that way), but a batch
+    // statement's same-named series lives in a different slice and must
+    // survive every micro-batch push (r17 review)
+    (n, t, h, s) => recordMetricSlice(n, "streaming", t, h, s),
     resolveSinkPath = resolveIntoSinkPath,
     resolveStdoutSink = resolveIntoStdoutSink)
 
@@ -329,13 +333,25 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   private def propCI(props: Map[String, String], key: String): Option[String] =
     props.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  /** Collected `@metric` series: name → (sample-name suffix, labels,
-    * value). Counters/gauges use the empty suffix; histograms record
-    * their `_bucket`/`_sum`/`_count` samples under the base name, as
-    * the Prometheus exposition format requires. Populated by
-    * `SqlApp.run`; rendered by `prometheusText` in the exposition
-    * format the reference's /metrics endpoint serves. */
-  val metricsRegistry: scala.collection.mutable.LinkedHashMap[String, Vector[(String, Map[String, String], Double)]] =
+  /** Collected `@metric` series: name → slice → (sample-name suffix,
+    * labels, value). Counters/gauges use the empty suffix; histograms
+    * record their `_bucket`/`_sum`/`_count` samples under the base
+    * name, as the Prometheus exposition format requires. A SLICE is one
+    * independent producer — a batch statement, the streaming listener's
+    * cross-job push, the wave loader — and each push replaces only its
+    * own slice: replace-wholesale per producer keeps scrape idempotence
+    * (a re-run statement re-reports, never double-counts), while two
+    * producers sharing a metric NAME no longer erase each other's
+    * series on every push (r17 review: a batch statement's series
+    * vanished from /metrics on the next same-named batch statement, and
+    * on every micro-batch of a same-named streaming-job metric —
+    * Jobs.scala's listener documents exactly this erase hazard and
+    * guards it across jobs, but cross-DOMAIN pushes still collided).
+    * Populated by `SqlApp.run` and the job listener; rendered by
+    * `prometheusText` in the exposition format the reference's /metrics
+    * endpoint serves. */
+  val metricsRegistry: scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String, Vector[(String, Map[String, String], Double)]]] =
     scala.collection.mutable.LinkedHashMap.empty
   private val metricsHelp = scala.collection.mutable.Map[String, (String, String)]()
 
@@ -344,13 +360,21 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
     recordMetricSeries(name, metricType, help,
       series.map { case (labels, v) => ("", labels, v.toDouble) })
 
+  /** Record into the DEFAULT slice — callers that own their metric name
+    * outright (the wave loader's load gauges, ad-hoc recorders). */
+  def recordMetricSeries(name: String, metricType: String, help: Option[String],
+                         series: Vector[(String, Map[String, String], Double)]): Unit =
+    recordMetricSlice(name, "", metricType, help, series)
+
   // writers include streaming threads (the progress listener, foreachBatch)
   // while prometheusText reads from the caller's thread — registry access
   // synchronizes on the map itself.
-  def recordMetricSeries(name: String, metricType: String, help: Option[String],
-                         series: Vector[(String, Map[String, String], Double)]): Unit =
+  def recordMetricSlice(name: String, slice: String, metricType: String,
+                        help: Option[String],
+                        series: Vector[(String, Map[String, String], Double)]): Unit =
     metricsRegistry.synchronized {
-      metricsRegistry(name) = series
+      metricsRegistry.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty)(slice) = series
       metricsHelp(name) = (metricType, help.getOrElse(""))
     }
 
@@ -368,7 +392,10 @@ final class VeloContext(val spark: SparkSession, val defaultTimeCol: String = "t
   /** Prometheus exposition text for everything in the registry. */
   def prometheusText: String = metricsRegistry.synchronized {
     val sb = new StringBuilder
-    metricsRegistry.foreach { case (name, series) =>
+    metricsRegistry.foreach { case (name, slices) =>
+      // slices concatenate in first-push order under ONE header block —
+      // the exposition format requires all samples of a name together
+      val series = slices.values.flatten
       val (typ, help) = metricsHelp.getOrElse(name, ("counter", ""))
       // exposition-format escaping: label values escape \, " and
       // newline; HELP text escapes \ and newline — a data-derived label
@@ -1067,10 +1094,18 @@ object VeloContext {
             // the r15 fix landed only in SqlApp's splitter, so this
             // path (runScript) kept swallowing the rest of the line and
             // silently merging statements (r15 advice). One shared rule.
-            && !VeloSqlParser.dashesInsideUri(script, i) =>
+            && !VeloSqlParser.insideUriToken(script, i) =>
           while (i < script.length && script(i) != '\n') i += 1
           cur.append('\n')
-        case '/' if i + 1 < script.length && script(i + 1) == '*' =>
+        case '/' if i + 1 < script.length && script(i + 1) == '*'
+            // NOT a comment when the '/' sits inside a kafka://…/
+            // file://… URI token (a path ending in '/' followed by a
+            // glob-style '*'): the tokenizer consumed that '/' as a URI
+            // character, so treating '/*' as a comment here swallows
+            // the rest of the script — the same splitter/tokenizer
+            // desync class as the r15 '--'-in-URI fix, which guarded
+            // only the line-comment arm (r17 review)
+            && !VeloSqlParser.insideUriToken(script, i) =>
           // block comment: the tokenizer accepts /* */, so a ';' inside
           // one must not split the script mid-comment (the fragment
           // would die with "unterminated block comment")

@@ -45,16 +45,19 @@ object VeloSqlParser {
     * r14 review removed from the deploy arm (r15 review). */
   final class UnknownJobException(msg: String) extends ParseException(msg)
 
-  /** True when the `--` at `s(i)` sits INSIDE a kafka://… / file://…
-    * URI token per tokenize's rule below: the tokenizer consumes '-'
-    * as a URI character there ('--' is legal in Kafka topic names), so
-    * any statement splitter must NOT treat it as a line comment — the
-    * two boundary machines (SqlApp's line splitter and
-    * VeloContext.splitStatements) both delegate here so they cannot
-    * desync from the tokenizer again (r15 advice). A URI runs from a
-    * "://" to the first non-URI character, and the "://" must be
-    * preceded by the kafka/file scheme word. */
-  def dashesInsideUri(s: String, i: Int): Boolean = {
+  /** True when the character at `s(i)` (the first '-' of a would-be
+    * '--' line comment, or the '/' of a would-be slash-star block
+    * comment) sits INSIDE a kafka://… / file://… URI token per
+    * tokenize's rule below: the tokenizer consumes '-' and '/' as URI
+    * characters there ('--' is legal in Kafka topic names; a path can
+    * end in '/' right before a glob '*'), so any statement splitter
+    * must NOT open a comment — the two boundary machines (SqlApp's
+    * line splitter and VeloContext.splitStatements) both delegate here
+    * so they cannot desync from the tokenizer again (r15 advice;
+    * block-comment arm r17 review). A URI runs from a "://" to the
+    * first non-URI character, and the "://" must be preceded by the
+    * kafka/file scheme word. */
+  def insideUriToken(s: String, i: Int): Boolean = {
     var j = i - 1
     while (j >= 0 && (s(j).isLetterOrDigit || "._/-".indexOf(s(j)) >= 0)) j -= 1
     j >= 0 && s(j) == ':' && i >= j + 3 &&

@@ -865,4 +865,127 @@ class SqlAppSpec extends AnyFunSuite with SparkTestSession {
     val text = ctx2.prometheusText
     assert(text.contains("rows_by_region"), "cased label collection must succeed")
   }
+
+  test("r17 review: two statements sharing a metric NAME keep both series (registry slices)") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("slice_src", Seq(("eu", 1L), ("us", 2L), ("us", 3L)).toDF("region", "id"))
+    // pre-fix the second statement's push REPLACED the first's series
+    // wholesale (same metric name), so region="eu" vanished from
+    // /metrics the moment the second statement ran
+    SqlApp.run(ctx,
+      """-- SQL Application: Slices
+        |-- @metric: slice_rows_total
+        |-- @metric_labels: region
+        |-- @metric_condition: region = 'eu'
+        |CREATE TABLE slice_eu AS SELECT * FROM slice_src WHERE region = 'eu';
+        |
+        |-- @metric: slice_rows_total
+        |-- @metric_labels: region
+        |-- @metric_condition: region = 'us'
+        |CREATE TABLE slice_us AS SELECT * FROM slice_src WHERE region = 'us';
+        |""".stripMargin, lookup)
+    val text = ctx.prometheusText
+    assert(text.contains("""slice_rows_total{region="eu"} 1"""), text)
+    assert(text.contains("""slice_rows_total{region="us"} 2"""), text)
+    // ONE header block for the shared name (exposition format rule)
+    assert("# TYPE slice_rows_total".r.findAllIn(text).length == 1)
+  }
+
+  test("r17 review: a failed statement RESTORES the prior attach under the same kind") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("rst_src", Seq(Tuple1(1L)).toDF("id"))
+    SqlApp.run(ctx,
+      "-- SQL Application: Rst\n-- @metric: rst_m1\nSTART JOB rstjob AS SELECT id FROM rst_src;\n")
+    assert(ctx.jobManager.attachedMetrics("rstjob").exists(_.exists(_.name == "rst_m1")))
+    // a FAILING statement that attaches metrics m2 for the SAME job:
+    // pre-fix the kind-scoped detach REMOVED the specs entirely, so the
+    // live job's listener silently stopped accumulating rst_m1
+    intercept[Exception](SqlApp.run(ctx,
+      "-- SQL Application: Rst2\n-- @metric: rst_m2\nSTART JOB rstjob AS SELECT bogus FROM rst_src;\n"))
+    val specs = ctx.jobManager.attachedMetrics("rstjob")
+    assert(specs.exists(_.exists(_.name == "rst_m1")),
+      s"prior metrics must be restored, got $specs")
+    assert(!specs.exists(_.exists(_.name == "rst_m2")),
+      "the failed statement's own specs must not survive")
+    ctx.sql("STOP JOB rstjob")
+  }
+
+  test("r17 review: an unlabeled gauge over zero matching rows emits NO series, not 0") {
+    import spark.implicits._
+    val ctx = new VeloContext(spark)
+    ctx.register("g0_src", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "depth"))
+    SqlApp.run(ctx,
+      """-- SQL Application: GaugeEmpty
+        |-- @metric: g0_depth
+        |-- @metric_type: gauge
+        |-- @metric_field: depth
+        |-- @metric_condition: id > 100
+        |CREATE TABLE g0_out AS SELECT * FROM g0_src;
+        |""".stripMargin, lookup)
+    val text = ctx.prometheusText
+    // pre-fix: num(null) => 0.0 fabricated `g0_depth 0` — a value never
+    // present in the data (the streaming listener's stated gauge rule:
+    // retain, never reset to 0)
+    assert(!text.contains("g0_depth 0"), text)
+    // a counter over the same empty input IS honestly 0 — only gauges
+    // must stay silent
+  }
+
+  test("r17 review: resolvePattern survives an all-bar var spec (keeps the spec text)") {
+    // pre-fix: "|".split('|') is EMPTY and links.last threw
+    // NoSuchElementException through the validator's pre-deploy gate
+    assert(SqlApp.resolvePattern("x${|}y", lookup) == "x|y")
+    assert(SqlApp.resolvePattern("${||}", lookup) == "||")
+  }
+
+  test("r17 review: a URI path glob '/' + '*' does not open a block comment in the splitters") {
+    // 'file://sink_dir/*': the tokenizer consumes the '/' as a URI
+    // character, so the splitter must not swallow the rest of the app
+    // as comment text — pre-fix the ';' vanished and both statements
+    // merged (the r15 '--'-in-URI class, block-comment arm)
+    val app = SqlApp.parse(
+      "-- SQL Application: Glob\n" +
+        "SELECT 1 AS a FROM file://sink_dir/*;\n" +
+        "SELECT 2 AS b;\n")
+    assert(app.statements.length == 2, app.statements.map(_.sql))
+    assert(app.statements(1).sql.trim == "SELECT 2 AS b")
+    val split = VeloContext.splitStatements(
+      "SELECT 1 AS a FROM file://sink_dir/*; SELECT 2 AS b")
+    assert(split == Seq("SELECT 1 AS a FROM file://sink_dir/*", "SELECT 2 AS b"), split)
+    // a REAL block comment separated from the URI still comments
+    val split2 = VeloContext.splitStatements(
+      "SELECT 1 AS a FROM file://d /* c; */; SELECT 2 AS b")
+    assert(split2.length == 2, split2)
+  }
+
+  test("r17 review: uncollectable streaming-job metric specs warn at launch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val ctx = new VeloContext(spark)
+    ctx.register("warn_events", in.toDF().toDF("id", "ms"))
+    in.addData(Seq((1L, 10.0)))
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    // a histogram on a STREAMING job is collected by nothing (observe()
+    // and the foreachBatch path both exclude it) — pre-fix it was
+    // accepted silently and never appeared in /metrics
+    try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      SqlApp.run(ctx,
+        """-- SQL Application: WarnHist
+          |-- @metric: warn_latency
+          |-- @metric_type: histogram
+          |-- @metric_field: ms
+          |-- @metric_buckets: 100, 500
+          |START JOB warnjob AS SELECT id, ms FROM warn_events
+          |""".stripMargin, lookup)
+    } finally System.setErr(prev)
+    ctx.sql("STOP JOB warnjob")
+    val err = buf.toString
+    assert(err.contains("warn_latency") && err.contains("will not be collected"), err)
+  }
 }
