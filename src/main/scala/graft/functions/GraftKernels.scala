@@ -184,10 +184,10 @@ object GraftKernels {
     * classes + (?P<…> spelling + shared pattern cache), so the Column
     * API cannot diverge from the dialect's velo_regexp (r16 review). */
   def veloRegexpCol(c: Column, pattern: Column): Column =
-    GraftBridge.column(StaticInvoke(GraftKernels.getClass, BooleanType, "veloRegexpLike",
-      Seq(GraftBridge.expression(c), GraftBridge.expression(pattern)),
-      inputTypes = Seq(StringType, StringType),
-      propagateNull = true, returnNullable = false))
+    // through the shared invoke() (r17 review: a hand-spelled
+    // StaticInvoke twin here would miss a future null/type-policy
+    // change to the helper — the module's own drift hazard)
+    invoke(BooleanType, "veloRegexpLike", Seq(StringType, StringType), c, pattern)
 
   /** Register the kernels as SQL functions so dialect / spark.sql text
     * can call them directly: SIMHASH(text), FINGERPRINT(text),
@@ -234,8 +234,26 @@ object GraftKernels {
     // SPLIT(str, delim) = FIRST part as a string
     locally {
       import org.apache.spark.sql.catalyst.expressions._
+      // arity gate for the expression-builder registrations (r17
+      // review): these build from fixed arg positions, so without the
+      // gate SPLIT(s, d, 2) silently DROPPED its third argument and
+      // returned part 1 (the Spark-split caller expected part 3), and
+      // a missing argument threw a raw IndexOutOfBoundsException —
+      // velo_position below had the fail-loud pattern, the rest
+      // lacked it. Errors name the DIALECT spelling the user typed.
+      def checked(dialectName: String, lo: Int, hi: Int)(
+          build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+        args => {
+          if (args.length < lo || args.length > hi) {
+            val want = if (lo == hi) s"$lo" else s"$lo to $hi"
+            throw new IllegalArgumentException(
+              s"$dialectName expects $want argument(s), got ${args.length}")
+          }
+          build(args)
+        }
       registry.createOrReplaceTempFunction("velo_split",
-        args => SubstringIndex(args(0), args(1), Literal(1)), "scala_udf")
+        checked("SPLIT", 2, 2)(args => SubstringIndex(args(0), args(1), Literal(1))),
+        "scala_udf")
       // JOIN(delim, v1, v2, …) — variadic, delimiter first, NULL
       // VALUE rendered as the literal 'NULL' (concat_ws would skip it);
       // values stringify through the reference rendering (floats as
@@ -243,25 +261,26 @@ object GraftKernels {
       // is strict: non-string type or null value errors, as the
       // reference does (functions.rs:1011-1019; see VeloJoinDelim)
       registry.createOrReplaceTempFunction("velo_join",
-        args => ConcatWs(VeloExprs.VeloJoinDelim(args.head) +:
-          args.tail.map(a => Coalesce(Seq(VeloExprs.VeloStr(a), Literal("NULL"))))),
+        checked("JOIN", 2, Int.MaxValue)(args =>
+          ConcatWs(VeloExprs.VeloJoinDelim(args.head) +:
+            args.tail.map(a => Coalesce(Seq(VeloExprs.VeloStr(a), Literal("NULL")))))),
         "scala_udf")
       // reference value→string rendering (see VeloExprs.VeloStr) —
       // CONCAT / STRING_AGG / SET_HEADER lowerings build on it
       registry.createOrReplaceTempFunction("velo_str",
-        args => VeloExprs.VeloStr(args(0)), "scala_udf")
+        checked("STR", 1, 1)(args => VeloExprs.VeloStr(args(0))), "scala_udf")
       // NULLIF through values_equal's type-dispatch (epsilon floats;
       // timestamp/date/decimal pairs NEVER null — see VeloExprs)
       registry.createOrReplaceTempFunction("velo_nullif",
-        args => VeloExprs.VeloNullIf(args(0), args(1)), "scala_udf")
+        checked("NULLIF", 2, 2)(args => VeloExprs.VeloNullIf(args(0), args(1))), "scala_udf")
       // TRIM family strips ALL Unicode whitespace (Rust str::trim) —
       // pattern constants shared with VeloFunctions' trim trio, which
       // was a hand-kept copy (r16 review)
-      def utrim(pat: String): Seq[Expression] => Expression =
-        args => RegExpReplace(args.head, Literal(pat), Literal(""))
-      registry.createOrReplaceTempFunction("velo_trim", utrim(TrimBothPat), "scala_udf")
-      registry.createOrReplaceTempFunction("velo_ltrim", utrim(TrimLeftPat), "scala_udf")
-      registry.createOrReplaceTempFunction("velo_rtrim", utrim(TrimRightPat), "scala_udf")
+      def utrim(name: String, pat: String): Seq[Expression] => Expression =
+        checked(name, 1, 1)(args => RegExpReplace(args.head, Literal(pat), Literal("")))
+      registry.createOrReplaceTempFunction("velo_trim", utrim("TRIM", TrimBothPat), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_ltrim", utrim("LTRIM", TrimLeftPat), "scala_udf")
+      registry.createOrReplaceTempFunction("velo_rtrim", utrim("RTRIM", TrimRightPat), "scala_udf")
       // POSITION is BYTE-based in the reference (str::find over UTF-8
       // bytes — functions.rs:2489; the optional 3rd arg is a byte start
       // offset, clamped to >= 1, NULL start → NULL). A latin1 round-trip
@@ -284,17 +303,18 @@ object GraftKernels {
       // evaluator branches on runtime type; these branch ONCE at
       // analysis via RuntimeReplaceable and lower to codegen'd builtins
       registry.createOrReplaceTempFunction("velo_round",
-        args => VeloExprs.VeloRound(args(0),
-          if (args.length > 1) args(1) else Literal(0)), "scala_udf")
+        checked("ROUND", 1, 2)(args => VeloExprs.VeloRound(args(0),
+          if (args.length > 1) args(1) else Literal(0))), "scala_udf")
       registry.createOrReplaceTempFunction("velo_array_length",
-        args => VeloExprs.VeloArrayLength(args(0)), "scala_udf")
+        checked("ARRAY_LENGTH", 1, 1)(args => VeloExprs.VeloArrayLength(args(0))), "scala_udf")
       registry.createOrReplaceTempFunction("velo_map_keys",
-        args => VeloExprs.VeloMapKeys(args(0)), "scala_udf")
+        checked("MAP_KEYS", 1, 1)(args => VeloExprs.VeloMapKeys(args(0))), "scala_udf")
       registry.createOrReplaceTempFunction("velo_array_contains",
-        args => VeloExprs.VeloArrayContains(args(0), args(1)), "scala_udf")
+        checked("ARRAY_CONTAINS", 2, 2)(args =>
+          VeloExprs.VeloArrayContains(args(0), args(1))), "scala_udf")
       // MAP key gate + stringification (functions.rs:1369-1379)
       registry.createOrReplaceTempFunction("velo_map_key",
-        args => VeloExprs.VeloMapKey(args(0)), "scala_udf")
+        checked("velo_map_key", 1, 1)(args => VeloExprs.VeloMapKey(args(0))), "scala_udf")
     }
   }
 
@@ -318,11 +338,45 @@ object GraftKernels {
       else if (d == Math.rint(d) && Math.abs(d) < 9.007199254740992e15)
         java.lang.Long.toString(d.toLong) // fast integral path, exact below 2^53
       else
-        // Double.toString is already shortest-round-trip; BigDecimal
-        // re-renders it positionally and drops any trailing ".0"
-        new java.math.BigDecimal(java.lang.Double.toString(d))
+        // BigDecimal re-renders the shortest digits positionally and
+        // drops any trailing ".0"
+        new java.math.BigDecimal(shortestDigits(d))
           .stripTrailingZeros().toPlainString
     UTF8String.fromString(s)
+  }
+
+  /** Shortest round-tripping decimal form of a non-zero finite double.
+    * JDK 17's Double.toString is round-trip but NOT always shortest
+    * (JDK-4511638, fixed only in JDK 19's Ryu port): toString(1e23) is
+    * "9.999999999999999E22", 17 significant digits where 1 suffices —
+    * and Rust's f64 Display (the parity contract here) prints the
+    * SHORTEST digits, "1e23" → "100000000000000000000000". Walk DOWN
+    * from toString's digit count while the shorter correctly-rounded
+    * form still parses back to the same double; data-typical doubles
+    * fail the first probe immediately, so the common cost is one
+    * format+parse on top of toString (r17 review). */
+  private def shortestDigits(d: Double): String = {
+    val js = java.lang.Double.toString(d)
+    // significant digits of the toString mantissa (digits before 'E',
+    // ignoring sign/point; toString never emits leading zeros)
+    var sig = 0
+    var k = 0
+    var done = false
+    while (k < js.length && !done) {
+      val c = js.charAt(k)
+      if (c == 'E' || c == 'e') done = true
+      else { if (c >= '0' && c <= '9') sig += 1; k += 1 }
+    }
+    var best = js
+    var p = sig - 1
+    var shrinking = p >= 1
+    while (shrinking) {
+      val cand = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
+        java.lang.Double.valueOf(d))
+      if (java.lang.Double.parseDouble(cand) == d) { best = cand; p -= 1; shrinking = p >= 1 }
+      else shrinking = false
+    }
+    best
   }
 
   /** REGEXP_REPLACE with the reference's flag semantics
@@ -351,7 +405,7 @@ object GraftKernels {
     * per-ROW Pattern.compile forever; evicted hot patterns just
     * recompile once on next use — r13 advice). */
   private val veloRegexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.util.regex.Pattern, Set[String])]()
+    String, (java.util.regex.Pattern, Map[String, String])]()
 
   private[graft] def regexCacheSize: Int = veloRegexCache.size
 
@@ -366,7 +420,7 @@ object GraftKernels {
   private val NamedGroupSyntax = java.util.regex.Pattern.compile(
     """\(\?P?<([A-Za-z][A-Za-z0-9_]*)>""")
 
-  private def compileVelo(pat: String): (java.util.regex.Pattern, Set[String]) = {
+  private def compileVelo(pat: String): (java.util.regex.Pattern, Map[String, String]) = {
     // rewrite (?P< → (?< and collect group names ONLY at real group
     // opens — a '(' that is backslash-escaped or inside a character
     // class is literal text. The former blind String.replace rewrote
@@ -374,8 +428,18 @@ object GraftKernels {
     // different text) and the name scan recorded groups the compiled
     // pattern does not have, so the first matching row threw
     // IllegalArgumentException from m.group(name) (r16 review).
+    // Every named group compiles under a SYNTHETIC Java name g1, g2, …
+    // (returned map: caller's name → java name): Rust group names
+    // admit '_' ([A-Za-z][A-Za-z0-9_]*) but Java's are letter+alnum
+    // only, so compiling `(?<word_id>` verbatim threw
+    // PatternSyntaxException on every row of a valid Rust pattern
+    // (r17 review). Renaming is safe because the Rust regex crate has
+    // no in-pattern backreferences (`\k<name>` cannot occur), and
+    // renaming ALL named groups keeps the synthetic names collision-
+    // free against user names. Group NUMBERS are unchanged.
     val sb = new java.lang.StringBuilder(pat.length)
-    val b = Set.newBuilder[String]
+    val b = Map.newBuilder[String, String]
+    var named = 0
     var i = 0
     var inClass = false
     while (i < pat.length) {
@@ -386,8 +450,10 @@ object GraftKernels {
       else if (c == '(') {
         val m = NamedGroupSyntax.matcher(pat).region(i, pat.length)
         if (m.lookingAt()) {
-          b += m.group(1)
-          sb.append("(?<").append(m.group(1)).append('>')
+          named += 1
+          val java = "g" + named
+          b += m.group(1) -> java
+          sb.append("(?<").append(java).append('>')
           i = m.end()
         } else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
@@ -395,25 +461,31 @@ object GraftKernels {
     (java.util.regex.Pattern.compile(sb.toString), b.result())
   }
 
-  /** Cache-or-compile for the FLAGGED pattern string (the shared
-    * bound/evict-one policy): one lookup path for REGEXP_REPLACE and
-    * REGEXP — two inline copies would drift like every other hand-kept
-    * twin in this module. */
-  private def cachedVelo(pat: String): (java.util.regex.Pattern, Set[String]) = {
-    val hit = veloRegexCache.get(pat)
+  /** The ONE bounded cache-or-compute policy, shared by the pattern
+    * and replacement-token caches (r17 review: the evict block lived
+    * as two line-for-line copies — the exact drift class this module's
+    * comments keep warning about). Evict-one-on-insert at the cap:
+    * ConcurrentHashMap iteration order is effectively arbitrary, so
+    * this is a cheap random eviction; a racing thread evicting
+    * concurrently only costs a transient dip below the cap, never
+    * unbounded growth. */
+  private def getOrCompute[K, V](cache: java.util.concurrent.ConcurrentHashMap[K, V],
+                                 key: K)(compute: K => V): V = {
+    val hit = cache.get(key)
     if (hit != null) hit
     else {
-      // evict-one-on-insert at the cap: ConcurrentHashMap iteration
-      // order is effectively arbitrary, so this is a cheap random
-      // eviction; a racing thread evicting concurrently only costs a
-      // transient dip below the cap, never unbounded growth
-      if (veloRegexCache.size >= 1024) {
-        val it = veloRegexCache.keySet.iterator()
-        if (it.hasNext) veloRegexCache.remove(it.next())
+      if (cache.size >= 1024) {
+        val it = cache.keySet.iterator()
+        if (it.hasNext) cache.remove(it.next())
       }
-      veloRegexCache.computeIfAbsent(pat, compileVelo(_))
+      cache.computeIfAbsent(key, k => compute(k))
     }
   }
+
+  /** Cache-or-compile for the FLAGGED pattern string: one lookup path
+    * for REGEXP_REPLACE and REGEXP. */
+  private def cachedVelo(pat: String): (java.util.regex.Pattern, Map[String, String]) =
+    getOrCompute(veloRegexCache, pat)(compileVelo)
 
   /** REGEXP(string, pattern) — reference regexp_function
     * (functions.rs:750): Rust regex `is_match`, i.e. find-anywhere,
@@ -485,29 +557,24 @@ object GraftKernels {
                         flags: UTF8String): UTF8String = {
     val f = flags.toString
     val pat = (if (f.indexOf('i') >= 0) "(?U)(?i)" else "(?U)") + p.toString
-    val (compiled, names) = cachedVelo(pat)
+    val (compiled, nameMap) = cachedVelo(pat)
     val input = s.toString
     val m = compiled.matcher(input)
-    val toks = {
-      val key = (pat, r.toString)
-      val hit = veloReplCache.get(key)
-      if (hit != null) hit
-      else {
-        if (veloReplCache.size >= 1024) {
-          val it = veloReplCache.keySet.iterator()
-          if (it.hasNext) veloReplCache.remove(it.next())
-        }
-        veloReplCache.computeIfAbsent(key,
-          k => parseReplacement(k._2, m.groupCount(), names))
-      }
-    }
+    // no-match fast path (r17 review): for the common mostly-non-
+    // matching corpus this skips the replacement-token cache traffic
+    // (parsing and caching a token array that would never be used) AND
+    // the full copy of the input through a fresh builder — the
+    // unchanged input is returned as-is.
+    if (!m.find()) return s
+    val toks = getOrCompute(veloReplCache, (pat, r.toString))(
+      k => parseReplacement(k._2, m.groupCount(), nameMap.keySet))
     // manual find/append loop (see parseReplacement): Matcher.find()
     // self-advances past empty matches, so zero-width patterns behave
     // exactly as replaceAll's internal loop does
     val global = f.indexOf('g') >= 0
     val sb = new java.lang.StringBuilder(input.length + 16)
     var last = 0
-    var found = m.find()
+    var found = true
     while (found) {
       sb.append(input, last, m.start())
       var t = 0
@@ -515,7 +582,9 @@ object GraftKernels {
         toks(t) match {
           case LitTok(l)  => sb.append(l)
           case NumTok(n)  => val g = m.group(n); if (g != null) sb.append(g)
-          case NameTok(n) => val g = m.group(n); if (g != null) sb.append(g)
+          // through the synthetic-name map: the compiled pattern's
+          // groups carry java-legal names, the tokens the caller's
+          case NameTok(n) => val g = m.group(nameMap(n)); if (g != null) sb.append(g)
         }
         t += 1
       }

@@ -268,4 +268,75 @@ class KernelParitySpec extends AnyFunSuite with SparkTestSession {
       if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("null chunk element")), messages(e).mkString(" | "))
   }
+
+  test("r17 review: rustDouble prints SHORTEST round-trip digits on JDK 17 (1e23 class)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def rd(d: Double): String = GraftKernels.rustDouble(d).toString
+    // JDK 17's Double.toString(1e23) is "9.999999999999999E22" (round-
+    // trip but NOT shortest, JDK-4511638) — Rust f64 Display prints the
+    // shortest digits, so the pre-fix render silently diverged from the
+    // reference on every such double
+    assert(rd(1e23) == "100000000000000000000000")
+    assert(rd(-1e23) == "-100000000000000000000000")
+    // values where toString IS already shortest must be unchanged
+    assert(rd(0.1) == "0.1")
+    assert(rd(1.5) == "1.5")
+    assert(rd(3.141592653589793) == "3.141592653589793")
+    assert(rd(1.0) == "1")
+    assert(rd(6.02e23) == "602000000000000000000000")
+    // round-trip safety: parse back equals the input for a digit sweep
+    for (d <- Seq(1e23, 9.9e22, 1.2345678901234567e8, 2.2250738585072014e-308))
+      assert(java.lang.Double.parseDouble(
+        new java.math.BigDecimal(rd(d)).toString) == d, d.toString)
+  }
+
+  test("r17 review: Rust named groups with underscores compile and expand (synthetic java names)") {
+    GraftKernels.registerSqlFunctions(spark)
+    import spark.implicits._
+    // (?P<word_id>...) is a valid Rust regex-crate pattern; Java group
+    // names reject '_', so the verbatim rewrite threw
+    // PatternSyntaxException on EVERY row pre-fix
+    // call_function + lit, not selectExpr: SQL literal unescaping
+    // would mangle the backslashes under test
+    val out = Seq(Tuple1("order 123 shipped")).toDF("s")
+      .select(call_function("velo_regexp_replace", col("s"),
+        lit("(?P<word_id>\\d+)"), lit("id=$" + "{word_id}"), lit("g")).as("r"))
+      .collect().head.getString(0)
+    assert(out == "order id=123 shipped")
+    // two named groups keep their identities through the renaming
+    val out2 = Seq(Tuple1("a-7")).toDF("s")
+      .select(call_function("velo_regexp_replace", col("s"),
+        lit("(?P<l_x>[a-z])-(?P<n_y>\\d)"), lit("$" + "{n_y}$" + "{l_x}"), lit("")).as("r"))
+      .collect().head.getString(0)
+    assert(out2 == "7a")
+  }
+
+  test("r17 review: expression-builder SQL functions validate arity (SPLIT silently dropped args)") {
+    GraftKernels.registerSqlFunctions(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1("a,b,c")).toDF("s")
+    // pre-fix: the third argument was silently ignored and part 1
+    // returned — the caller asking for part 2 got wrong DATA, no error
+    val e = intercept[Throwable](
+      df.selectExpr("velo_split(s, ',', 2)").collect())
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("SPLIT") && m.contains("argument")),
+      msgs(e).mkString(" | "))
+    // correct arity still works
+    assert(df.selectExpr("velo_split(s, ',')").collect().head.getString(0) == "a")
+    // too FEW args fail with the named message, not IndexOutOfBounds
+    val e2 = intercept[Throwable](df.selectExpr("velo_nullif(s)").collect())
+    assert(msgs(e2).exists(m => m.contains("NULLIF")), msgs(e2).mkString(" | "))
+  }
+
+  test("r17 review: regexp-replace no-match fast path returns the input unchanged") {
+    GraftKernels.registerSqlFunctions(spark)
+    import spark.implicits._
+    val rows = Seq(Tuple1("no digits here"), Tuple1("has 42")).toDF("s")
+      .select(call_function("velo_regexp_replace", col("s"),
+        lit("\\d+"), lit("N"), lit("g")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows.toSeq == Seq("no digits here", "has N"))
+  }
 }
