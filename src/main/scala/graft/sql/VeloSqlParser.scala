@@ -97,7 +97,19 @@ object VeloSqlParser {
           i += 3
           val us = i
           while (i < n && (sql(i).isLetterOrDigit || "._/-".indexOf(sql(i)) >= 0)) i += 1
-          val seg = sql.substring(us, i).split('/').last.replace('-', '_').replace(".", "_")
+          val raw = sql.substring(us, i)
+          // a scheme with no topic/path ('kafka://' — an unsubstituted
+          // template var, say) produced an EMPTY identifier, and the
+          // empty FROM was then silently dropped at emission: the query
+          // ran as a constant SELECT, one row instead of per-record
+          // rows, no error. 'file:///' additionally hit split('/') on
+          // an all-slash string = empty array → NoSuchElementException
+          // (r17 review).
+          val segs = raw.split('/')
+          if (segs.isEmpty || segs.last.isEmpty)
+            throw new ParseException(
+              s"empty ${word.toLowerCase(java.util.Locale.ROOT)}:// source (missing topic/path)")
+          val seg = segs.last.replace('-', '_').replace(".", "_")
           out += Tok(TIdent, seg)
         } else out += Tok(TIdent, word)
       } else if (c.isDigit || (c == '.' && i + 1 < n && sql(i + 1).isDigit)) {
@@ -233,7 +245,18 @@ object VeloSqlParser {
       o.map(a => if (a) " UNION ALL " else " UNION ")
     }
     def render(renderSelect: SelectStmt => String): String =
-      selects.map(renderSelect).zip(opKeywords :+ "").map { case (s, op) => s + op }.mkString
+      selects.zipWithIndex.map { case (s, ix) =>
+        val txt = renderSelect(s)
+        // a NON-LAST arm carrying ORDER BY / LIMIT must parenthesize:
+        // Spark's grammar allows those only at the end of the whole
+        // query-term chain, so the bare concatenation died as a
+        // Catalyst ParseException far from the dialect gate (r17
+        // review). The LAST arm stays bare — its trailing ORDER/LIMIT
+        // deliberately scopes to the whole union, as in standard SQL.
+        if (ix < selects.length - 1 && (s.orderBy.nonEmpty || s.limit.isDefined))
+          s"($txt)"
+        else txt
+      }.zip(opKeywords :+ "").map { case (s, op) => s + op }.mkString
   }
   /** WITH [RECURSIVE] name AS (select|union), … body (CTEs). RECURSIVE
     * passes straight through — Spark ≥4.0 executes recursive CTEs
@@ -313,6 +336,15 @@ object VeloSqlParser {
       stmt
     } catch {
       case e: ParseException => throw e
+      // StackOverflowError is NOT NonFatal, so a deeply-nested input
+      // (an untrusted job-server request of 10k 'SELECT 1 FROM ('
+      // repetitions) escaped the ParseException-only contract and
+      // crashed the serving thread with a 500. By the time this catch
+      // runs the recursion has unwound, so wrapping here is safe — the
+      // parser's recursion depth is the only unbounded stack consumer
+      // on this path (r17 review).
+      case _: StackOverflowError =>
+        throw new ParseException("statement nesting too deep")
       case scala.util.control.NonFatal(e) =>
         throw new ParseException(
           s"malformed statement (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)})")
@@ -440,6 +472,13 @@ object VeloSqlParser {
       var strategy: Option[DeployStrategy] = None
       def strategyClause(): Unit = {
         take() // STRATEGY
+        // conflict, not last-one-wins (the asInsertBody EMIT rule, r17
+        // review): STRATEGY accepted on BOTH sides of AS silently let
+        // the post-AS clause overwrite — a 10% canary became a full
+        // blue-green deploy with no error
+        if (strategy.isDefined)
+          throw new ParseException(
+            "duplicate STRATEGY clause (given both before and after AS)")
         val t = take().upper
         strategy = Some(t match {
           case "BLUE_GREEN" => BlueGreen
@@ -855,7 +894,25 @@ object VeloSqlParser {
       // prop bag; the deployment layer resolves them.
       var srcProps = Map.empty[String, String]
       def sourceWith(): Unit =
-        if (at("WITH") && peek(1).exists(_.text == "(")) { take(); srcProps ++= propMap() }
+        if (at("WITH") && peek(1).exists(_.text == "(")) {
+          take()
+          val m = propMap()
+          // per-source WITH maps flatten into ONE statement-level bag —
+          // a second source re-declaring the same key with a DIFFERENT
+          // value would silently overwrite the first (FROM a WITH
+          // ('config_file'='a.yaml') JOIN b WITH ('config_file'=
+          // 'b.yaml') → a.yaml vanished from the deployment wiring).
+          // Same value re-stated is harmless; a conflict errors (r17
+          // review).
+          val clash = m.collect {
+            case (k, v) if srcProps.get(k).exists(_ != v) => k
+          }
+          if (clash.nonEmpty)
+            throw new ParseException(
+              s"conflicting source WITH value(s) for ${clash.mkString(", ")} " +
+                "across this statement's sources (namespace the keys per source)")
+          srcProps ++= m
+        }
       if (at("FROM")) {
         take()
         from = tableSource()
@@ -949,16 +1006,29 @@ object VeloSqlParser {
       // select would reference the time column outside any aggregate
       val aggWrap = window.isDefined ||
         groupBy.exists(_.exists(t => t.isKw("TUMBLE") || t.isKw("HOP") || t.isKw("SESSION")))
-      SelectStmt(fields.map(rewriteTokens(_, defaultTimeCol, aggWrap)), keys, from, fromAlias,
+      // the statement's EFFECTIVE time column: when the WINDOW clause
+      // declares one, every one-arg TUMBLE_START/END in the select list
+      // must bucket THAT column — rewriting with only the context
+      // default silently emitted per-group MIN of the default column's
+      // buckets next to window() grouping on the declared column (r17
+      // review; the query ran whenever the default column existed,
+      // which a Kafka record timestamp always does)
+      val effTimeCol = window.flatMap(_.timeCol).getOrElse(defaultTimeCol)
+      SelectStmt(fields.map(rewriteTokens(_, effTimeCol, aggWrap)), keys, from, fromAlias,
         joins.map(j => j.copy(on = rewriteTokens(j.on, defaultTimeCol))),
         where.map(rewriteTokens(_, defaultTimeCol)), groupBy.map(rewriteTokens(_, defaultTimeCol)),
         // namedWindows go through the rewriter like every other clause:
         // captured raw they reached Catalyst verbatim, so a dialect form
         // inside WINDOW w AS (PARTITION BY LEN(x) …) — legal everywhere
         // else — died as an undefined function (r12 review)
-        having.map(rewriteTokens(_, defaultTimeCol, aggWrap)), window,
+        having.map(rewriteTokens(_, effTimeCol, aggWrap)), window,
         namedWindows.map(rewriteTokens(_, defaultTimeCol)),
-        orderBy.map(rewriteTokens(_, defaultTimeCol)), limit, emit, into,
+        // aggWrap on ORDER BY too (r17 review): fields and HAVING got
+        // the MIN-wrap but ORDER BY TUMBLE_START(...) emitted a bare
+        // group-constant referencing the time column outside any
+        // aggregate — AnalysisException on a query whose identical
+        // select-list expression is accepted
+        orderBy.map(rewriteTokens(_, effTimeCol, aggWrap)), limit, emit, into,
         srcProps ++ props, distinct)
     }
 
@@ -1151,6 +1221,78 @@ object VeloSqlParser {
   /** `aggWrap`: the span sits in the SELECT/HAVING of a time-windowed
     * aggregation — group-constant per-row rewrites (TUMBLE_START/END)
     * must be wrapped in an aggregate to satisfy GROUP BY analysis. */
+  /** Pop the trailing PRIMARY operand from the already-rewritten output
+    * buffer (for infix-to-call rewrites like `~`): a literal/number, a
+    * possibly-qualified identifier chain (a.b.c), a call with balanced
+    * parens (f(x), a.f(x)), or a parenthesized group. Returns the
+    * removed tokens in order; empty when the tail is not a primary. */
+  private def popPrimaryOperand(out: ArrayBuffer[Tok]): Vector[Tok] = {
+    if (out.isEmpty) return Vector.empty
+    var start = out.length
+    def prev = if (start > 0) Some(out(start - 1)) else None
+    prev match {
+      case Some(t) if t.text == ")" && t.kind == TSymbol =>
+        var depth = 0
+        var scanning = true
+        while (scanning && start > 0) {
+          start -= 1
+          val c = out(start)
+          if (c.kind == TSymbol && c.text == ")") depth += 1
+          else if (c.kind == TSymbol && c.text == "(") { depth -= 1; if (depth == 0) scanning = false }
+        }
+        if (depth != 0) return Vector.empty // unbalanced — not a primary
+        // include a function name (and its qualifier chain) before '('
+        if (start > 0 && out(start - 1).kind == TIdent) {
+          start -= 1
+          while (start >= 2 && out(start - 1).text == "." && out(start - 2).kind == TIdent)
+            start -= 2
+        }
+      case Some(t) if t.kind == TIdent || t.kind == TString || t.kind == TNumber =>
+        start -= 1
+        while (start >= 2 && out(start - 1).text == "." && out(start - 2).kind == TIdent)
+          start -= 2
+      case _ => return Vector.empty
+    }
+    val popped = out.slice(start, out.length).toVector
+    out.remove(start, out.length - start)
+    popped
+  }
+
+  /** Forward twin of [[popPrimaryOperand]]: the PRIMARY operand span
+    * starting at `j` in the RAW token stream, and the index after it. */
+  private def primaryOperandSpan(toks: Vector[Tok], j: Int): (Vector[Tok], Int) = {
+    if (j >= toks.length) return (Vector.empty, j)
+    var end = j
+    def balanced(): Boolean = {
+      var depth = 0
+      var ok = false
+      while (end < toks.length && !ok) {
+        val c = toks(end)
+        if (c.kind == TSymbol && c.text == "(") depth += 1
+        else if (c.kind == TSymbol && c.text == ")") { depth -= 1; if (depth == 0) ok = true }
+        end += 1
+      }
+      ok
+    }
+    toks(j) match {
+      case t if t.kind == TString || t.kind == TNumber => end = j + 1
+      case t if t.kind == TSymbol && t.text == "(" => if (!balanced()) return (Vector.empty, j)
+      case t if t.kind == TIdent =>
+        end = j + 1
+        var chaining = true
+        while (chaining) {
+          if (end + 1 < toks.length && toks(end).text == "." && toks(end + 1).kind == TIdent)
+            end += 2
+          else if (end < toks.length && toks(end).kind == TSymbol && toks(end).text == "(") {
+            if (!balanced()) return (Vector.empty, j)
+            chaining = false
+          } else chaining = false
+        }
+      case _ => return (Vector.empty, j)
+    }
+    (toks.slice(j, end), end)
+  }
+
   def rewriteTokens(span: Vector[Tok], defaultTimeCol: String, aggWrap: Boolean = false): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
     var i = 0
@@ -1164,6 +1306,33 @@ object VeloSqlParser {
       buf += id("coalesce") += sym("(") += id("_headers") += sym(",")
       buf += id("map") += sym("(") += sym(")") += sym(")")
     }
+    // Window-SIZE args must reject calendar units BEFORE the general
+    // fixedIntervalRewrite runs (r17 review): the rewrite converts
+    // INTERVAL '1' MONTH to 30 DAY for ordinary interval arithmetic
+    // (the reference's fixed-month rule for ADDition), but the
+    // reference's WINDOW duration parser accepts only ns/us/ms/s/m/h/
+    // d/w — GROUP BY TUMBLE(ts, INTERVAL '1' MONTH) must error like
+    // WINDOW TUMBLING(INTERVAL '1' MONTH) does, not silently run with
+    // 30-day windows.
+    // arity gate for the header rewrite arms (r17 review: the
+    // TIMESTAMP arm's own rule — 'silently dropping a second argument
+    // would…' — was never applied here, so SET_HEADER('k','v','x')
+    // dropped 'x' silently and HEADER() died as an opaque wrapped
+    // NoSuchElementException instead of a targeted message)
+    def arity(fn: String, args: Vector[Vector[Tok]], lo: Int, hi: Int): Unit =
+      if (args.length < lo || args.length > hi) {
+        val want = if (lo == hi) s"$lo" else s"$lo to $hi"
+        throw new ParseException(s"$fn expects $want argument(s), got ${args.length}")
+      }
+    def rejectCalendarWindow(rawArgs: Vector[Vector[Tok]], fn: String): Unit =
+      rawArgs.foreach { a =>
+        if (a.nonEmpty && (a.head.kind == TNumber || a.head.isKw("INTERVAL")) &&
+            a.exists(tk => tk.kind == TIdent &&
+              Set("MONTH", "MONTHS", "YEAR", "YEARS").contains(tk.upper)))
+          throw new ParseException(
+            s"$fn window size '${a.map(_.text).mkString(" ")}' — MONTH/YEAR are " +
+              "not fixed-length window sizes (use e.g. INTERVAL '30' DAY)")
+      }
     // ORDER-BY span → `percentile(value, p | (1-(p)))`, shared by the
     // buffered-window and generic OVER percentile arms (two hand-kept
     // copies of the strip-tail + DESC-inversion logic had already
@@ -1570,6 +1739,7 @@ object VeloSqlParser {
             // GROUP BY …, TUMBLE(ts, INTERVAL '5' MINUTE) → Spark's
             // native window() grouping expression
             val (args0, end) = callArgs(i + 1)
+            rejectCalendarWindow(args0, "TUMBLE")
             val args = args0.map(rewriteTokens(_, defaultTimeCol))
             val (tsArg, dur) = args match {
               case Vector(a, b) => parseDuration(b).map(d => (a, Option(d)))
@@ -1587,6 +1757,7 @@ object VeloSqlParser {
             // aggWrap check accepts the statement but hop() reaches
             // Catalyst as an undefined function
             val (args0, end) = callArgs(i + 1)
+            rejectCalendarWindow(args0, "HOP")
             val args = args0.map(rewriteTokens(_, defaultTimeCol))
             args match {
               case Vector(a, b, c) =>
@@ -1605,6 +1776,7 @@ object VeloSqlParser {
             // Flink-style GROUP BY SESSION(ts, gap) → session_window()
             // (the enclosing isCall guard ensures this is a call form)
             val (args0, end) = callArgs(i + 1)
+            rejectCalendarWindow(args0, "SESSION")
             val args = args0.map(rewriteTokens(_, defaultTimeCol))
             val (tsArg, gap) = args match {
               case Vector(a, b) => parseDuration(b).map(d => (a, Option(d)))
@@ -1635,6 +1807,7 @@ object VeloSqlParser {
             i = end
           case "TUMBLE_START" | "TUMBLE_END" =>
             val (args0, end) = callArgs(i + 1)
+            rejectCalendarWindow(args0, up)
             val args = args0.map(rewriteTokens(_, defaultTimeCol))
             val (tsArg, dur) = args match {
               case Vector(a) => (Vector(id(defaultTimeCol)), parseDuration(a))
@@ -1669,12 +1842,14 @@ object VeloSqlParser {
           // reach Catalyst verbatim — same rule as the VALUES branch
           case "HEADER" =>
             val (args, end) = callArgs(i + 1)
+            arity("HEADER", args, 1, 1)
             out += id("element_at") += sym("(") += id("_headers") += sym(",")
             out ++= rewriteTokens(args.head, defaultTimeCol)
             out += sym(")")
             i = end
           case "HAS_HEADER" =>
             val (args, end) = callArgs(i + 1)
+            arity("HAS_HEADER", args, 1, 1)
             out += id("map_contains_key") += sym("(")
             emitHeadersOrEmpty(out)
             out += sym(",")
@@ -1686,13 +1861,15 @@ object VeloSqlParser {
             // `keys.join(",")` (headers_test.rs asserts the joined
             // form). The reference iterates a HashMap (arbitrary
             // order); map insertion order here is deterministic.
-            val (_, end) = callArgs(i + 1)
+            val (hkArgs, end) = callArgs(i + 1)
+            arity("HEADER_KEYS", hkArgs, 0, 0)
             out += id("array_join") += sym("(") += id("map_keys") += sym("(")
             emitHeadersOrEmpty(out)
             out += sym(")") += sym(",") += Tok(TString, "','") += sym(")")
             i = end
           case "SET_HEADER" =>
             val (args, end) = callArgs(i + 1)
+            arity("SET_HEADER", args, 2, 2)
             // UPSERT: drop the existing key before the concat — bare
             // map_concat(_headers, map(k, v)) throws DUPLICATE_MAP_KEY on
             // the normal re-stamp case (Spark's default
@@ -1718,6 +1895,7 @@ object VeloSqlParser {
             i = end
           case "REMOVE_HEADER" =>
             val (args, end) = callArgs(i + 1)
+            arity("REMOVE_HEADER", args, 1, 1)
             // map_filter(coalesce(_headers, map()), (__hk, __hv) -> __hk != <key>)
             out += id("map_filter") += sym("(")
             emitHeadersOrEmpty(out)
@@ -2191,9 +2369,26 @@ object VeloSqlParser {
             i += 1
         }
       } else if (t.kind == TSymbol && t.text == "~") {
-        // postgres-style regex-match operator → RLIKE
-        out += id("RLIKE")
-        i += 1
+        // postgres-style regex-match operator — routed through the SAME
+        // Rust-parity kernel as the REGEXP function (r17 review: the
+        // old RLIKE lowering compiled Java-default classes — ASCII
+        // \w/\s, no (?P< spelling — so the two spellings of one
+        // reference operator gave different answers on the same data).
+        // `<primary> ~ <primary>` rewrites to velo_regexp(lhs, rhs) by
+        // popping the just-emitted primary operand and capturing the
+        // next; both sides are PRIMARY operands (ident chains, calls,
+        // literals, parenthesized groups) — patterns are in practice
+        // string literals.
+        val lhs = popPrimaryOperand(out)
+        val (rhsRaw, after) = primaryOperandSpan(span, i + 1)
+        if (lhs.isEmpty || rhsRaw.isEmpty)
+          throw new ParseException("'~' needs expressions on both sides")
+        out += id("velo_regexp") += sym("(")
+        out ++= lhs
+        out += sym(",")
+        out ++= rewriteTokens(rhsRaw, defaultTimeCol)
+        out += sym(")")
+        i = after
       } else {
         out += t
         i += 1

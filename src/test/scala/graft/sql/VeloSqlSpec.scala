@@ -1679,4 +1679,111 @@ class VeloSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(paths.toSeq == Seq("/tmp/graft_b.parquet"),
       s"last declaration must win deterministically, got ${paths.mkString(",")}")
   }
+
+  test("r17 review: one-arg TUMBLE_START buckets the WINDOW clause's declared time column") {
+    // pre-fix the one-arg form rewrote with only the context default
+    // ('timestamp'), so it emitted MIN over the WRONG column next to
+    // window() grouping on event_time — silently wrong window_start
+    // whenever the default column also existed (it does here)
+    val stmt = ctx.parseStatement(
+      "SELECT TUMBLE_START(INTERVAL '1' HOUR) AS ws, COUNT(*) AS n " +
+        "FROM orders WINDOW TUMBLING (event_time, INTERVAL '1' HOUR)")
+    val sql = ctx.renderSql(stmt)
+    assert(sql.contains("event_time"), sql)
+    // the derived bucket expression must NOT reference the default col
+    assert(!sql.toLowerCase.contains("cast ( timestamp as timestamp"), sql)
+    // and it executes: two hour buckets in the fixture
+    assert(ctx.sql("SELECT TUMBLE_START(INTERVAL '1' HOUR) AS ws, COUNT(*) AS n " +
+      "FROM orders WINDOW TUMBLING (event_time, INTERVAL '1' HOUR)").count() == 2)
+  }
+
+  test("r17 review: '~' matches through the Rust-parity regex kernel, not Java RLIKE") {
+    import spark.implicits._
+    ctx.register("re_names", Seq(Tuple1("h\u00e9llo"), Tuple1("x y")).toDF("name"))
+    // Java \\w is ASCII — RLIKE said false for 'h\u00e9llo'; the Rust
+    // regex crate's \\w is Unicode and the reference matches
+    val n = ctx.sql("SELECT COUNT(*) AS n FROM re_names WHERE name ~ '^\\w+$'")
+      .collect().head.getLong(0)
+    assert(n == 1L)
+    // function-call operand forms still work
+    assert(ctx.sql("SELECT COUNT(*) AS n FROM re_names WHERE UPPER(name) ~ 'X'")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("r17 review: scheme-only URI sources error instead of silently dropping FROM") {
+    for (bad <- Seq("SELECT 1 FROM kafka://", "SELECT 1 FROM file:///"))
+      assert(intercept[VeloSqlParser.ParseException](ctx.parseStatement(bad))
+        .getMessage.contains("missing topic/path"), bad)
+  }
+
+  test("r17 review: a non-last union arm with LIMIT parenthesizes instead of dying in Catalyst") {
+    val rows = ctx.sql(
+      "SELECT customer_name AS n FROM customers ORDER BY customer_name LIMIT 1 " +
+        "UNION ALL SELECT customer_name AS n FROM customers")
+      .collect().map(_.getString(0)).sorted.toSeq
+    // 1 limited row + all 3 = 4
+    assert(rows.length == 4, rows)
+  }
+
+  test("r17 review: conflicting per-source WITH values error; same value re-stated is fine") {
+    val e = intercept[VeloSqlParser.ParseException](ctx.parseStatement(
+      "SELECT o.order_id FROM orders o WITH ('config_file' = 'a.yaml') " +
+        "JOIN customers c WITH ('config_file' = 'b.yaml') ON o.customer_id = c.customer_id"))
+    assert(e.getMessage.contains("config_file"))
+    // identical value: harmless, kept
+    ctx.parseStatement(
+      "SELECT o.order_id FROM orders o WITH ('config_file' = 'a.yaml') " +
+        "JOIN customers c WITH ('config_file' = 'a.yaml') ON o.customer_id = c.customer_id")
+  }
+
+  test("r17 review: duplicate STRATEGY on both sides of AS is a conflict, not last-one-wins") {
+    val e = intercept[VeloSqlParser.ParseException](ctx.parseStatement(
+      "DEPLOY JOB j STRATEGY CANARY(10) AS SELECT order_id FROM orders STRATEGY BLUE_GREEN"))
+    assert(e.getMessage.contains("STRATEGY"))
+  }
+
+  test("r17 review: ORDER BY TUMBLE_START in a windowed aggregation is MIN-wrapped like the select list") {
+    // pre-fix the ORDER BY span skipped the aggWrap flag and emitted a
+    // bare group-constant referencing the time column outside any
+    // aggregate -> AnalysisException
+    val rows = ctx.sql(
+      "SELECT TUMBLE_START(event_time, INTERVAL '1' HOUR) AS ws, COUNT(*) AS n " +
+        "FROM orders WINDOW TUMBLING (event_time, INTERVAL '1' HOUR) " +
+        "ORDER BY TUMBLE_START(event_time, INTERVAL '1' HOUR)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == rows.sorted && rows.length == 2, rows)
+  }
+
+  test("r17 review: deep nesting surfaces as ParseException, not StackOverflowError") {
+    val bomb = "SELECT 1 FROM ( " * 20000
+    assert(intercept[VeloSqlParser.ParseException](ctx.parseStatement(bomb))
+      .getMessage.nonEmpty)
+  }
+
+  test("r17 review: header functions validate arity") {
+    val cases = Seq(
+      "SELECT HEADER() FROM orders" -> "HEADER",
+      "SELECT SET_HEADER('k', 'v', 'extra') FROM orders" -> "SET_HEADER",
+      "SELECT HAS_HEADER('a', 'b') FROM orders" -> "HAS_HEADER",
+      "SELECT REMOVE_HEADER() FROM orders" -> "REMOVE_HEADER")
+    for ((sql, fn) <- cases) {
+      val e = intercept[VeloSqlParser.ParseException](ctx.parseStatement(sql))
+      assert(e.getMessage.contains(fn) && e.getMessage.contains("argument"), s"$sql -> ${e.getMessage}")
+    }
+  }
+
+  test("r17 review: GROUP BY TUMBLE with a MONTH interval rejects like WINDOW TUMBLING does") {
+    // pre-fix the general fixed-interval rewrite converted MONTH to 30
+    // DAY BEFORE duration parsing, so the call form silently ran with
+    // 30-day windows while the WINDOW clause spelling rejects
+    for (bad <- Seq(
+      "SELECT COUNT(*) FROM orders GROUP BY TUMBLE(event_time, INTERVAL '1' MONTH)",
+      "SELECT COUNT(*) FROM orders GROUP BY HOP(event_time, INTERVAL '1' MONTH, INTERVAL '2' MONTH)",
+      "SELECT COUNT(*) FROM orders GROUP BY SESSION(event_time, INTERVAL '1' YEAR)",
+      "SELECT TUMBLE_START(event_time, INTERVAL '1' MONTH) FROM orders " +
+        "WINDOW TUMBLING (event_time, INTERVAL '1' HOUR)")) {
+      val e = intercept[VeloSqlParser.ParseException](ctx.parseStatement(bad))
+      assert(e.getMessage.contains("MONTH/YEAR"), s"$bad -> ${e.getMessage}")
+    }
+  }
 }
