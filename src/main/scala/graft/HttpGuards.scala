@@ -74,6 +74,48 @@ private[graft] object HttpGuards {
       case some => some
     }
 
+  /** Answer 413 WITHOUT the dispatch thread paying the drain: a normal
+    * respond-and-close after an oversize read would inline-drain the
+    * unread body remainder (JDK LeftOverInputStream.drain — blocking
+    * reads) on the handler pool thread, the 413 twin of the 408 rule
+    * above: a client that sends max+1 bytes and stalls would park the
+    * fixed pool one thread per connection (r17 review). The 413 is
+    * written and flushed here; close() — and its drain — runs on a
+    * disposable daemon side-pool thread. */
+  def answerTooLarge(ex: HttpExchange, body413: Array[Byte]): Unit = {
+    try {
+      ex.getResponseHeaders.set("Connection", "close")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(413, body413.length)
+      val os = ex.getResponseBody
+      os.write(body413)
+      os.flush()
+    } catch { case _: java.io.IOException => () }
+    bodyReaders.submit(new Runnable {
+      def run(): Unit = try ex.close() catch { case _: java.io.IOException => () }
+    })
+    ()
+  }
+
+  /** The drain-before-guard-response rule, held ONCE for every server
+    * (r17 review: JobServerHttp and SchemaRegistryServer each kept a
+    * hand-written copy — the exact drift this module exists to stop).
+    * Routes that answer WITHOUT consuming a body-carrying request must
+    * drain it first: the eventual ex.close() otherwise drains the
+    * unread body INLINE on a pool thread. A drain that timed out or
+    * overflowed has already answered (408/413) and the guard response
+    * is skipped. `tooLargeJson` supplies the server's 413 body dialect. */
+  def drained(ex: HttpExchange, maxBytes: Int,
+              tooLargeJson: Int => String)(body: => Unit): Unit =
+    ex.getRequestMethod match {
+      case "POST" | "PUT" | "PATCH" | "DELETE" =>
+        val ok = readBodyChecked(ex, maxBytes) { max =>
+          answerTooLarge(ex, tooLargeJson(max).getBytes(UTF_8))
+        }.isDefined
+        if (ok) body
+      case _ => body
+    }
+
   def readBodyBounded(ex: HttpExchange, maxBytes: Int,
                       timeoutMs: Long = DefaultBodyTimeoutMs): Option[Array[Byte]] = {
     // overflow guard: maxBytes + 1 at Int.MaxValue wraps negative and

@@ -94,7 +94,11 @@ object JsonOut {
     * not NESTED-object keys — `{"metadata":{"query":"SELECT evil"},
     * "query":"SELECT real"}` matched the inner key first and the
     * server would silently deploy the wrong SQL (r13 review). */
-  def jsonStringField(body: String, field: String): Option[String] = {
+  /** Index of the first character of a depth-1 `"field":` value, when
+    * the field is present at all — the ONE scanner behind
+    * jsonStringField and jsonHasField (r17 review: a presence probe
+    * duplicating the escape-honoring key scan would drift). */
+  private def jsonFieldValueStart(body: String, field: String): Option[Int] = {
     val key = "\"" + field + "\""
     var i = 0
     var depth = 0
@@ -113,29 +117,7 @@ object JsonOut {
             while (j < body.length && body(j) != ':') j += 1
             j += 1
             while (j < body.length && body(j).isWhitespace) j += 1
-            if (j >= body.length || body(j) != '"') return None
-            j += 1
-            val sb = new StringBuilder
-            while (j < body.length && body(j) != '"') {
-              body(j) match {
-                case '\\' if j + 1 < body.length =>
-                  body(j + 1) match {
-                    case 'n' => sb += '\n'; j += 2
-                    case 'r' => sb += '\r'; j += 2
-                    case 't' => sb += '\t'; j += 2
-                    case 'b' => sb += '\b'; j += 2
-                    case 'f' => sb += '\f'; j += 2
-                    case 'u' if j + 5 < body.length
-                        && body.substring(j + 2, j + 6).forall(h => Character.digit(h, 16) >= 0) =>
-                      // hex validated FIRST: \uZZZZ in a client body must be
-                      // a malformed-input 4xx, not a NumberFormatException 500
-                      sb += Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar; j += 6
-                    case c => sb += c; j += 2
-                  }
-                case c => sb += c; j += 1
-              }
-            }
-            return if (j >= body.length) None else Some(sb.toString)
+            return if (j >= body.length) None else Some(j)
           } else {
             // skip the whole string, honoring escapes — keys and
             // values inside it can never be mistaken for the field
@@ -150,5 +132,43 @@ object JsonOut {
       }
     }
     None
+  }
+
+  /** Is a depth-1 field PRESENT (any value type)? Distinguishes
+    * "absent, apply the default" from "present but not a string —
+    * reject" (r17 review: a JSON-number version silently deployed as
+    * the default). */
+  def jsonHasField(body: String, field: String): Boolean =
+    jsonFieldValueStart(body, field).isDefined
+
+  def jsonStringField(body: String, field: String): Option[String] = {
+    jsonFieldValueStart(body, field) match {
+      case None => None
+      case Some(start) =>
+        var j = start
+        if (j >= body.length || body(j) != '"') return None
+        j += 1
+        val sb = new StringBuilder
+        while (j < body.length && body(j) != '"') {
+          body(j) match {
+            case '\\' if j + 1 < body.length =>
+              body(j + 1) match {
+                case 'n' => sb += '\n'; j += 2
+                case 'r' => sb += '\r'; j += 2
+                case 't' => sb += '\t'; j += 2
+                case 'b' => sb += '\b'; j += 2
+                case 'f' => sb += '\f'; j += 2
+                case 'u' if j + 5 < body.length
+                    && body.substring(j + 2, j + 6).forall(h => Character.digit(h, 16) >= 0) =>
+                  // hex validated FIRST: \uZZZZ in a client body must be
+                  // a malformed-input 4xx, not a NumberFormatException 500
+                  sb += Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar; j += 6
+                case c => sb += c; j += 2
+              }
+            case c => sb += c; j += 1
+          }
+        }
+        if (j >= body.length) None else Some(sb.toString)
+    }
   }
 }

@@ -76,8 +76,14 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     // bounded read + oversize-413 sequencing shared via HttpGuards
     // (r14 review: the hand-kept copy here had drifted from
     // JobServerHttp's); only the 413 body's DIALECT stays local
+    // answerTooLarge, not respond: the inline ex.close() after an
+    // oversize read would drain the unread remainder BLOCKING on the
+    // single dispatch thread (r17 review; the 413 twin of the 408
+    // no-inline-close rule)
     graft.HttpGuards.readBodyChecked(ex, 1 << 20) { max =>
-      respond(ex, 413, s"""{"error_code":413,"message":"request body exceeds $max bytes"}""")
+      graft.HttpGuards.answerTooLarge(ex,
+        s"""{"error_code":413,"message":"request body exceeds $max bytes"}"""
+          .getBytes(UTF_8))
     }.map(new String(_, UTF_8))
 
   private def notFound(ex: HttpExchange, code: Int, msg: String): Unit =
@@ -91,16 +97,12 @@ final class SchemaRegistryServer(registry: SchemaRegistry, port: Int = 0) {
     * JDK reaper interval — the exact hazard readBody exists to avoid
     * (r15 review). A drain that timed out or overflowed has already
     * answered (408/413), so the guard response is skipped. */
+  // the drain-before-guard-response rule lives ONCE in
+  // HttpGuards.drained (r17 review: this server and JobServerHttp each
+  // kept a hand-written copy); only the 413 dialect stays local
   private def drained(ex: HttpExchange)(body: => Unit): Unit =
-    ex.getRequestMethod match {
-      // DELETE too (r15 advice, mirroring JobServerHttp): a stalled
-      // DELETE-with-body to an unrouted path (Confluent-style
-      // DELETE /subjects/{s}) otherwise drains inline via ex.close()
-      // on the single dispatch thread — the exact wedge this guard
-      // exists to prevent for POST
-      case "POST" | "PUT" | "PATCH" | "DELETE" => if (readBody(ex).isDefined) body
-      case _ => body
-    }
+    graft.HttpGuards.drained(ex, 1 << 20,
+      max => s"""{"error_code":413,"message":"request body exceeds $max bytes"}""")(body)
 
   private def methodNotAllowed(ex: HttpExchange, m: String, allow: String): Unit =
     drained(ex) {

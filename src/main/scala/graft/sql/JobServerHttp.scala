@@ -57,12 +57,21 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
                       contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(status, bytes.length)
-    // finally-close: a client disconnect mid-write would otherwise skip
-    // close() AND let the dispatch-level catch call sendResponseHeaders
-    // a second time ("headers already sent" masking the real error)
-    try ex.getResponseBody.write(bytes)
-    finally ex.close()
+    // HEAD gets GET's status and headers with no body (HTTP semantics
+    // require HEAD wherever GET is supported — a load-balancer probe
+    // using HEAD /health read 405 and marked a healthy backend down,
+    // r17 review); -1 = no response body
+    if (ex.getRequestMethod == "HEAD") {
+      try ex.sendResponseHeaders(status, -1)
+      finally ex.close()
+    } else {
+      ex.sendResponseHeaders(status, bytes.length)
+      // finally-close: a client disconnect mid-write would otherwise skip
+      // close() AND let the dispatch-level catch call sendResponseHeaders
+      // a second time ("headers already sent" masking the real error)
+      try ex.getResponseBody.write(bytes)
+      finally ex.close()
+    }
   }
 
   private def err(ex: HttpExchange, status: Int, msg: String): Unit =
@@ -72,22 +81,12 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     catch { case _: java.io.IOException => }
 
   /** Routes that answer WITHOUT consuming a body-carrying request drain
-    * it on the side pool first (the SchemaRegistryServer r15 rule):
-    * respond's ex.close() otherwise drains the unread body INLINE on a
-    * pool thread — four stalled guard-rejected POSTs would exhaust the
-    * fixed pool and black out /health and /metrics, the exact wedge the
-    * bounded body read exists to prevent. A drain that timed out or
-    * overflowed has already answered (408/413); the guard response is
-    * then skipped. */
+    * it first — the rule now lives ONCE in HttpGuards.drained (r17
+    * review: this server and the registry each kept a hand-written
+    * copy); only the 413 body dialect stays local. */
   private def drained(ex: HttpExchange)(body: => Unit): Unit =
-    ex.getRequestMethod match {
-      case "POST" | "PUT" | "PATCH" | "DELETE" =>
-        val ok = graft.HttpGuards.readBodyChecked(ex, MaxBodyBytes) { max =>
-          err(ex, 413, s"body exceeds $max bytes")
-        }.isDefined
-        if (ok) body
-      case _ => body
-    }
+    graft.HttpGuards.drained(ex, MaxBodyBytes,
+      max => s"""{"error":"body exceeds $max bytes"}""")(body)
 
   // one registry snapshot per request — the pure driver-side accessor,
   // NOT statusDf: scrape endpoints are polled continuously, and a
@@ -111,23 +110,9 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     * resource violations on live jobs) are Warning. */
   private def healthJson(): String = {
     val rows = jobRows(None)
-    val issues = rows.collect { case j if j.status == "FAILED" =>
-      s"Job '${j.name}' failed: ${j.error}" }
-    // real jobs only: the global '*' admission row's violation count is
-    // monotonically increasing telemetry that no job-scoped reset ever
-    // clears — counting it would pin /health at Warning forever after a
-    // single transient admission rejection
-    val violationRows = ctx.jobManager.resourceRows(None)
-      .filter(r => r.violations > 0 && r.jobName != "*")
-      .map(r => s"Job '${r.jobName}' resource " +
-        s"'${r.resource}' recorded ${r.violations} violation(s)")
-    val breakerWarnings = rows.collect { case j if j.breaker != "CLOSED" =>
-      s"Job '${j.name}' circuit breaker is ${j.breaker}" }
-    val warnings = breakerWarnings ++ violationRows
-    val status =
-      if (issues.nonEmpty) "Critical"
-      else if (warnings.nonEmpty) "Warning"
-      else "Healthy"
+    val (status, issues, warnings) = JobServerHttp.healthRollup(
+      rows.map(j => (j.name, j.status, j.breaker, j.error)),
+      ctx.jobManager.resourceRows(None).map(r => (r.jobName, r.resource, r.violations)))
     s"""{"status":${jstr(status)},"issues":${issues.map(jstr).mkString("[", ",", "]")},""" +
       s""""warnings":${warnings.map(jstr).mkString("[", ",", "]")},"job_count":${rows.size}}"""
   }
@@ -163,24 +148,44 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
       .filter(e => now - e._1 < JobServerHttp.MetricsTtlMs * 1000000L && e._2 == gen) match {
       case Some((_, _, v)) => v
       case None =>
-        val epoch0 = metricsEpoch.get()
-        val v = ctx.jobManager.metricsDf(Some(name)).collect().headOption.map(r =>
-          (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
-            r.getAs[Long]("sink_rows")))
-        // put-then-recheck-and-remove, not check-then-put: the naked
-        // check left a window (check passes, evictor bumps, our stale
-        // put lands) — with evictors bumping BEFORE their remove, every
-        // interleaving now ends with the stale entry gone (r14
-        // follow-up: either our recheck sees the bump, or the evictor's
-        // remove runs after our put)
-        // the entry stores the generation read BEFORE the scan — a
-        // transition DURING the scan reads as a mismatch on the next
-        // poll, costing one extra scan, never stale data
-        metricsCache.put(name, (now, gen, v))
-        if (metricsEpoch.get() != epoch0) metricsCache.remove(name)
-        v
+        // SINGLE-FLIGHT per name (r17 review): N dashboards whose TTL
+        // expired together each launched the full sink scan — up to
+        // pool-size duplicate Spark jobs competing with the jobs
+        // themselves. Cold pollers serialize on the name's lock and
+        // re-check the cache; followers ride the leader's scan.
+        val lock = metricsScanLocks.computeIfAbsent(name, _ => new Object)
+        lock.synchronized {
+          val again = Option(metricsCache.get(name))
+            .filter(e => System.nanoTime() - e._1 < JobServerHttp.MetricsTtlMs * 1000000L
+              && e._2 == ctx.jobManager.generationOf(name))
+          again match {
+            case Some((_, _, v)) => v
+            case None =>
+              val epoch0 = metricsEpoch.get()
+              val v = ctx.jobManager.metricsDf(Some(name)).collect().headOption.map(r =>
+                (r.getAs[Long]("last_batch_id"), r.getAs[Long]("last_batch_input_rows"),
+                  r.getAs[Long]("sink_rows")))
+              // put-then-recheck-and-remove, not check-then-put: the naked
+              // check left a window (check passes, evictor bumps, our stale
+              // put lands) — with evictors bumping BEFORE their remove, every
+              // interleaving now ends with the stale entry gone (r14
+              // follow-up: either our recheck sees the bump, or the evictor's
+              // remove runs after our put)
+              // the entry stores the generation read BEFORE the scan — a
+              // transition DURING the scan reads as a mismatch on the next
+              // poll, costing one extra scan, never stale data
+              metricsCache.put(name, (now, gen, v))
+              if (metricsEpoch.get() != epoch0) metricsCache.remove(name)
+              v
+          }
+        }
     }
   }
+
+  // per-name cold-scan locks for cachedMetrics' single-flight; never
+  // removed (names are few and stable — a job registry, not user data)
+  private val metricsScanLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Metrics for ALL the given jobs, cache-first. If every entry is
     * fresh this touches no Spark; otherwise ONE metricsDf(None) scan
@@ -257,14 +262,28 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     // DRIVER heap (which also hosts every running job), while an
     // unbounded read would park a dispatch thread on a silent client
     val raw = graft.HttpGuards.readBodyChecked(ex, MaxBodyBytes) { max =>
-      err(ex, 413, s"body exceeds $max bytes")
+      // answerTooLarge, not err: respond's inline ex.close() would
+      // drain the unread remainder BLOCKING on this pool thread — a
+      // stalled oversize client per thread blacks out /health (r17
+      // review; the 413 twin of the 408 no-inline-close rule)
+      graft.HttpGuards.answerTooLarge(ex,
+        s"""{"error":"body exceeds $max bytes"}""".getBytes(UTF_8))
     } match {
       case None => return // answered: 408 timeout or 413 oversize
       case Some(b) => b
     }
     val body = new String(raw, UTF_8)
     val query = jsonStringField(body, "query")
-    val version = jsonStringField(body, "version").getOrElse("1.0.0")
+    val versionField = jsonStringField(body, "version")
+    // present-but-not-a-string is a CLIENT ERROR, not "apply the
+    // default": {"version": 2} used to deploy silently as "1.0.0"
+    // with a 200 while the client believed v2 was live (r17 review;
+    // a missing query already 422s and a malformed string 400s — only
+    // the type-mismatch case was silently remapped)
+    if (versionField.isEmpty && graft.JsonOut.jsonHasField(body, "version")) {
+      err(ex, 400, "version must be a JSON string"); return
+    }
+    val version = versionField.getOrElse("1.0.0")
     if (!version.matches("[A-Za-z0-9._-]+")) { err(ex, 400, s"invalid version: $version"); return }
     query match {
       case None => err(ex, 422, "missing query field")
@@ -345,7 +364,10 @@ final class JobServerHttp(ctx: VeloContext, port: Int = 0) {
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       val parts = path.split("/").filter(_.nonEmpty).toList
-      (ex.getRequestMethod, parts) match {
+      // HEAD routes like GET (respond suppresses the body)
+      val method =
+        if (ex.getRequestMethod == "HEAD") "GET" else ex.getRequestMethod
+      (method, parts) match {
         case ("GET", Nil) =>
           respond(ex, 200,
             s"""{"service":"graft-sql-server","status":"running","endpoints":{""" +
@@ -413,4 +435,37 @@ object JobServerHttp {
   private[sql] def jstr(s: String): String = graft.JsonOut.jstr(s)
   private[sql] def jsonStringField(body: String, field: String): Option[String] =
     graft.JsonOut.jsonStringField(body, field)
+
+  /** The Healthy/Warning/Critical rollup as a PURE function of job and
+    * resource rows (extracted r17 so the liveness rules are unit-
+    * testable without a tripped-breaker HTTP fixture). Rules:
+    *  - any FAILED job is Critical (hard failure);
+    *  - warnings count LIVE (non-STOPPED) jobs only: STOP never resets
+    *    a breaker (an abandoned HALF_OPEN trial sticks — no trial can
+    *    run on a stopped job) and violation counters persist until a
+    *    redeploy, so a retired job would pin /health at Warning
+    *    forever — the same class as the global '*' admission row,
+    *    whose monotonically-increasing count no job-scoped reset ever
+    *    clears (r17 review);
+    *  - the '*' row is excluded for that reason. */
+  private[sql] def healthRollup(
+      rows: Seq[(String, String, String, String)], // name, status, breaker, error
+      violations: Seq[(String, String, Long)]): (String, Seq[String], Seq[String]) = {
+    val issues = rows.collect { case (name, "FAILED", _, error) =>
+      s"Job '$name' failed: $error" }
+    val live = rows.filter(_._2 != "STOPPED")
+    val liveNames = live.map(_._1).toSet
+    val violationRows = violations
+      .filter { case (job, _, n) => n > 0 && job != "*" && liveNames(job) }
+      .map { case (job, res, n) =>
+        s"Job '$job' resource '$res' recorded $n violation(s)" }
+    val breakerWarnings = live.collect { case (name, _, breaker, _) if breaker != "CLOSED" =>
+      s"Job '$name' circuit breaker is $breaker" }
+    val warnings = breakerWarnings ++ violationRows
+    val status =
+      if (issues.nonEmpty) "Critical"
+      else if (warnings.nonEmpty) "Warning"
+      else "Healthy"
+    (status, issues, warnings)
+  }
 }

@@ -207,4 +207,47 @@ class JobServerHttpSpec extends AnyFunSuite with SparkTestSession with BeforeAnd
       """{"query": "SELECT 1 circuit breaker is OPEN"}""")
     assert(c2 == 400, s"$c2 $b2")
   }
+
+  test("r17 review: HEAD is served on the GET scrape routes with no body") {
+    // a load balancer probing HEAD /health used to get 405 and mark a
+    // healthy backend down; HTTP requires HEAD wherever GET works
+    for (path <- Seq("/health", "/metrics", "/jobs", "/")) {
+      val r = http.send(HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"$path -> ${r.statusCode()}")
+      assert(r.body().isEmpty, s"$path carried a body on HEAD")
+    }
+  }
+
+  test("r17 review: a present-but-non-string version field is a 400, not a silent 1.0.0 deploy") {
+    val (code, body) = post("/jobs/http_vtype",
+      """{"query": "SELECT id FROM http_events", "version": 2}""")
+    assert(code == 400, s"$code $body")
+    assert(body.contains("version"), body)
+    // absent version still applies the documented default
+    val (c2, b2) = post("/jobs/http_vdefault", """{"query": "SELECT id FROM http_events"}""")
+    assert(c2 == 200, b2)
+    delete("/jobs/http_vdefault")
+  }
+
+  test("r17 review: health rollup counts warnings on LIVE jobs only") {
+    import JobServerHttp.healthRollup
+    // a STOPPED job with a stuck HALF_OPEN breaker (operator stopped
+    // the trial) must not pin /health at Warning forever
+    val (s1, _, w1) = healthRollup(
+      Seq(("retired", "STOPPED", "HALF_OPEN", "")), Seq(("retired", "mem", 3L)))
+    assert(s1 == "Healthy" && w1.isEmpty, (s1, w1).toString)
+    // the same signals on a LIVE job still warn
+    val (s2, _, w2) = healthRollup(
+      Seq(("live", "RUNNING", "OPEN", "")), Seq(("live", "mem", 3L)))
+    assert(s2 == "Warning" && w2.length == 2, (s2, w2).toString)
+    // FAILED stays Critical regardless
+    val (s3, i3, _) = healthRollup(
+      Seq(("dead", "FAILED", "OPEN", "boom")), Nil)
+    assert(s3 == "Critical" && i3.exists(_.contains("boom")))
+    // the global '*' admission row never warns
+    val (s4, _, _) = healthRollup(Seq(("live", "RUNNING", "CLOSED", "")), Seq(("*", "ops", 9L)))
+    assert(s4 == "Healthy")
+  }
 }
