@@ -92,9 +92,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
-    require(cpus.toIntOption.isDefined,
-      s"SPARK_GRAFT_CPUS must be an integer, got '$cpus'")
+    // the ONE shared parse (SparkEntry.cpusFromEnv, r17 review: this
+    // copy and Verify's had drifted in dialect, and neither rejected
+    // 0/negative — 'local[0]' died inside session construction with an
+    // error that never named the knob)
+    val cpus = SparkEntry.cpusFromEnv().toString
     // parsed + validated by the ONE shared helper (r14 review: Verify
     // and Bench kept diverging copies); a misspelled name fails loudly
     // instead of writing an empty artifact with value 0.000 and exit 0

@@ -36,6 +36,19 @@ object SparkEntry {
     only
   }
 
+  /** SPARK_GRAFT_CPUS, parsed and validated ONCE for every entry point
+    * (r17 review: Verify and Bench kept hand-written copies that had
+    * already drifted in error dialect, and neither rejected 0/negative
+    * — 'local[0]' died inside session construction with an error that
+    * never named the knob). Throws IllegalArgumentException naming the
+    * variable; callers choose their exit dialect. */
+  def cpusFromEnv(envVal: Option[String] = sys.env.get("SPARK_GRAFT_CPUS")): Int = {
+    val raw = envVal.getOrElse("4").trim
+    raw.toIntOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'"))
+  }
+
   /** q58's shipped LSH configuration. AnnRecall's planted-twin probe
     * measures THESE parameters, so the benched entry and the per-round
     * recall measurement cannot drift apart. */

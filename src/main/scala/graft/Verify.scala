@@ -4,7 +4,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    // symlinks are deleted as LINKS, never followed: File.isDirectory
+    // resolves links, so a symlinked query output dir (an operator
+    // inspecting results between rounds) would have its TARGET's
+    // contents deleted — files outside outDir (r17 review)
+    if (f.isDirectory && !Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     // fail LOUDLY on a delete that didn't happen: the pre-run clear
     // exists so a failing query can't green against its previous run's
     // parquet — a silently-failed delete re-opens exactly that hole
@@ -25,11 +30,13 @@ object Verify {
     // typo'd subset or a quoting slip in CPUS must not pay tens of
     // seconds of session startup + kernel registration first (r14
     // review). SparkEntry.queries needs no session.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
-    if (cpus.toIntOption.isEmpty) {
-      System.err.println(s"SPARK_GRAFT_CPUS must be an integer, got '$cpus'")
-      sys.exit(2)
-    }
+    // the ONE shared parse (SparkEntry.cpusFromEnv, r17 review: this
+    // copy and Bench's had drifted, and neither rejected 0/negative)
+    val cpus =
+      try SparkEntry.cpusFromEnv()
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2); 0
+      }
     val only =
       try SparkEntry.querySubsetFromEnv()
       catch { case e: IllegalArgumentException =>
@@ -40,7 +47,7 @@ object Verify {
     // drift and desynchronize outputs the checker assumes are
     // consistent (r14 review)
     val keep: String => Boolean = name => only.forall(_.contains(name))
-    val spark = graft.api.GraftSession(s"local[$cpus]", cpus.toInt)
+    val spark = graft.api.GraftSession(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
     // manifests are written BEFORE the query loop: written after, a
     // fatal mid-run death (OOM propagates by design) left the PREVIOUS
@@ -64,6 +71,16 @@ object Verify {
     val attempted = SparkEntry.queries.keys.toSeq.sorted.filter(keep)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       attempted.map(q).mkString("[", ",", "]"))
+    // clear EVERY attempted target up-front, right after the manifests
+    // (r17 review): the per-query clear below only reaches queries the
+    // run gets to — a fatal mid-run death (OOM propagates by design)
+    // left the PREVIOUS run's parquet for every query after the death
+    // point while the fresh manifests listed them, so a checker (or a
+    // driver script not &&-ing the exit code) would green 60-odd
+    // queries that never ran against this run's code. The per-query
+    // delete stays as belt-and-braces.
+    attempted.foreach(n => deleteRecursively(new java.io.File(s"$outDir/$n")))
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => keep(name) }
       .foreach { case (name, fn) =>
@@ -82,6 +99,7 @@ object Verify {
         // NonFatal: an OOM/interrupt must kill the gate run nonzero,
         // not read as one query's stderr line in a corrupted JVM
         // followed by a green exit (r13 review)
+        nFailed += 1
         System.err.println(s"[verify] $name failed: " +
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
@@ -96,5 +114,13 @@ object Verify {
       }
     }
     spark.stop()
+    // the exit code now REFLECTS query failures (r17 review: every
+    // per-query exception was caught and printed, so the gate exited 0
+    // even when all 77 queries failed — the exit code the in-file
+    // comments tell driver scripts to && on never said anything)
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }
