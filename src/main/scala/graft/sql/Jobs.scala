@@ -135,6 +135,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // there `current` IS the version that just died, and relaunching
     // it would reverse the rollback's whole purpose.
     var launchFailed: Boolean = false
+    // the epoch whose STREAMING launch already succeeded with NO
+    // declared sink (internal out-dir): a sink declared between pause
+    // and resume must not bind mid-epoch — the r14 recovered-epoch
+    // rule (absent durable stamp = internal), applied to the
+    // in-process twin the stamp cannot express (r17 review)
+    var internalEpoch: Option[Int] = None
     val breaker = new CircuitBreaker(breakerConfig, breakerClock)
     var limits: Resources.Limits = defaultLimits
     val root: String = stateRoot match {
@@ -235,6 +241,10 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     metricSpecs.synchronized(metricSpecs.get(name))
   private[sql] def attachedJobConfig(name: String): Option[JobManager.JobConfig] =
     synchronized(jobConfigs.get(name))
+
+  /** Limits probe for the r17 speculative-limits spec (j is private). */
+  private[sql] def limitsOf(name: String): Resources.Limits =
+    synchronized(job(name).limits)
 
   /** Put back the snapshotted pre-statement state after a FAILED
     * statement: for each kind, `Some(Some(v))` restores the prior
@@ -742,6 +752,13 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
         // (r14 review). The new declaration takes effect at the next
         // epoch, like an in-process re-declaration.
         case _ if j.recovered => None
+        // the IN-PROCESS twin of the recovered rule (r17 review): an
+        // epoch that already launched with no declared sink stays on
+        // the internal dir at resume — without this, a sink declared
+        // between pause and resume bound mid-epoch, stashed (then on
+        // success permanently dropped) the declared dir's pre-existing
+        // contents, and split the epoch's output across two dirs
+        case _ if j.internalEpoch.contains(j.epoch) => None
         case _ => resolveSinkPath(v.body).map(_.stripPrefix("file://"))
       }
       // A declared location is FIXED across epochs while the checkpoint
@@ -934,6 +951,11 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     j.current = Some(v)
     j.status = "RUNNING"
     j.lastError = None
+    // record a STREAMING epoch that ran without a declared sink: the
+    // binding arm above pins later resumes of this epoch to the
+    // internal dir (set only on SUCCESS — a failed first launch never
+    // produced output, so a retry may still bind a declared sink)
+    if (j.handle.isDefined && j.sinkPath.isEmpty) j.internalEpoch = Some(j.epoch)
     // the launch is known-good: commit the declared-sink reset (the
     // stash was only insurance against a failed start — see
     // stashSinkDir)
@@ -1186,10 +1208,18 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     if (j.current.isEmpty && j.recovered && !recoveredBodyMatches(j, body)) bumpEpoch()
     val v = record(j, j.current.map(_.version).getOrElse("1.0.0"), body, props,
       j.current.map(_.strategy).getOrElse("NONE"))
+    // limits are speculative like the epoch (r17 review): a failed
+    // launch restores them, or the doomed statement's limits would
+    // stay attached to the last-good version — a 1 MB total_memory on
+    // a failed DEPLOY would kill the subsequent RESUME of the healthy
+    // body via recordResources, and gateConcurrency would admit
+    // against the dead statement's cap
+    val priorLimits = j.limits
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
     try guardedLaunch(j, v, newRecord = true)
     catch { case e: Throwable =>
+      j.limits = priorLimits
       if (bumped) revertEpochBump(j, prior)
       // a brand-new job's FIRST START never bumps, yet it DOES reset a
       // pre-existing declared sink dir — without this arm the stash was
@@ -1223,9 +1253,20 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     // still carry the failed attempt's values here): the stash holds
     // the LAST-GOOD epoch's committed output — launch moves it aside
     // instead of deleting precisely so this revert can bring it back
-    // (r16 review)
-    j.sinkPath.foreach(p => try restoreSinkTrash(p, j.epoch)
-      catch { case scala.util.control.NonFatal(_) => () })
+    // (r16 review). Guarded on THIS attempt's own stamp, the
+    // revertSinkReset rule (r17 review): launch stamps (epoch, path)
+    // right after a successful stash, so an unstamped failure means
+    // this attempt never moved anything — restoring unconditionally
+    // could move an ORPHANED crash stash (same epoch number, left by
+    // a previous process) over the path's CURRENT committed contents,
+    // destroying data on a failure path that never touched the sink.
+    // Orphans stay in place for manual recovery by design; the one
+    // narrowed case is a mid-stash rename failure (entries moved,
+    // stamp never written), which the stash's own loud IOException
+    // already surfaces with the trash path named.
+    j.sinkPath.filter(p => !j.recovered && j.sinkStamp.contains((j.epoch, p)))
+      .foreach(p => try restoreSinkTrash(p, j.epoch)
+        catch { case scala.util.control.NonFatal(_) => () })
     def dropPath(p: String): Unit =
       try { val (fs, hp) = rootFs(p); if (fs.exists(hp)) { fs.delete(hp, true); () } }
       catch { case scala.util.control.NonFatal(_) => () }
@@ -1305,8 +1346,17 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     synchronized {
       val j = job(name)
       if (j.status != "RUNNING") throw new ParseException(s"job $name is not running")
+      // the handle check scopes the death rule to STREAMING pauses: a
+      // batch job has no query to die, and its j.lastError may carry a
+      // STALE earlier failure that must not fail a healthy pause
+      val wasStreaming = j.handle.isDefined
       halt(j)
-      j.status = "PAUSED"
+      // halt surfaces the error of a query that DIED before the pause
+      // — reporting it as a clean PAUSED would invite a blind RESUME
+      // (halt's own rule); the supervision convention (FAILED) applies
+      // (r17 review)
+      j.status =
+        if (wasStreaming && j.lastError.isDefined) "FAILED" else "PAUSED"
       statusDf(Some(name))
     }
   }
@@ -1384,10 +1434,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
       j.lastSeenBatch = -1L
       resetMetricState(name) // new epoch re-reads the source — drop old totals
     }
+    val priorLimits = j.limits // speculative like the epoch (r17 review)
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
     try guardedLaunch(j, v, newRecord = true)
     catch { case e: Throwable =>
+      j.limits = priorLimits
       if (!resumesRecovered) revertEpochBump(j, prior)
       throw e
     }
@@ -1429,10 +1481,12 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     j.recovered = false
     j.lastSeenBatch = -1L // fresh epoch, fresh batchId namespace
     resetMetricState(name) // rollback epoch re-reads the source from scratch
+    val priorLimits = j.limits // speculative like the epoch (r17 review)
     j.limits = lims
     if (lims.monitorsProgress) ensureListener()
     try guardedLaunch(j, v)
     catch { case e: Throwable =>
+      j.limits = priorLimits
       revertEpochBump(j, prior)
       throw e
     }
@@ -1698,8 +1752,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * place (hidden, manual recovery) — deleting it on the next launch
     * would re-create the unrecoverable-loss window. */
   private def stashSinkDir(path: String, epoch: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, p) = rootFs(path) // the ONE fs resolution (r17 review)
     if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
       val entries = fs.listStatus(p)
         .filterNot(_.getPath.getName.startsWith(".graft-trash"))
@@ -1727,8 +1780,8 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * costs disk. */
   private def dropSinkTrash(path: String, epoch: Int): Unit =
     try {
-      val trash = new org.apache.hadoop.fs.Path(path, s".graft-trash-$epoch")
-      val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (fs, base) = rootFs(path) // the ONE fs resolution (r17 review)
+      val trash = new org.apache.hadoop.fs.Path(base, s".graft-trash-$epoch")
       if (fs.exists(trash)) { fs.delete(trash, true); () }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -1736,8 +1789,7 @@ final class JobManager(spark: SparkSession, exec: VeloStatement => DataFrame,
     * back (the failed attempt's leftovers, if any, are the garbage —
     * the stash is the last-good data) and drop the trash dir. */
   private def restoreSinkTrash(path: String, epoch: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, p) = rootFs(path) // the ONE fs resolution (r17 review)
     val trash = new org.apache.hadoop.fs.Path(p, s".graft-trash-$epoch")
     if (fs.exists(trash)) {
       // the failed attempt may have left entries of its own — the

@@ -919,4 +919,115 @@ class JobLifecycleSpec extends AnyFunSuite with SparkTestSession {
     while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     assert(leaked.isEmpty, s"STOPPED batch job still pins cache: $leaked")
   }
+
+  test("r17 review: a sink declared between PAUSE and RESUME does not bind mid-epoch") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    // INTO names a sink that is NOT yet declared: the epoch launches to
+    // the INTERNAL dir (the declared location resolves to nothing)
+    ctx.sql("START JOB latebind AS CREATE STREAM lb AS SELECT id, v FROM live_events INTO late_out")
+    ctx.jobManager.awaitIdle("latebind")
+    assert(ctx.jobManager.sinkDf("latebind").count() == 1)
+    ctx.sql("PAUSE JOB latebind")
+    val dir = java.nio.file.Files.createTempDirectory("graft_latebind").toString
+    val declared = java.nio.file.Paths.get(dir, "late.parquet")
+    java.nio.file.Files.createDirectories(declared)
+    java.nio.file.Files.writeString(declared.resolve("precious.txt"), "keep")
+    ctx.sql(s"CREATE SINK late_out WITH (path = 'file://$dir/late.parquet')")
+    in.addData(Seq((2L, 2.0)))
+    try {
+      ctx.sql("RESUME JOB latebind")
+      ctx.jobManager.awaitIdle("latebind")
+      // pre-fix: the resume BOUND the late declaration — the epoch's
+      // output split across two dirs (sinkDf read only batch 2) and the
+      // stash-then-drop deleted precious.txt from the declared path
+      assert(ctx.jobManager.sinkDf("latebind").count() == 2,
+        "the epoch must stay on the internal dir it launched with")
+      assert(java.nio.file.Files.exists(declared.resolve("precious.txt")),
+        "a sink declared mid-epoch must not have its pre-existing files reset")
+    } finally ctx.sql("STOP JOB latebind")
+  }
+
+  test("r17 review: a FAILED deploy's resource limits do not stick to the last-good version") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 1.0)))
+    ctx.sql("START JOB limrst AS SELECT v, COUNT(*) AS n FROM live_events GROUP BY v EMIT CHANGES")
+    ctx.jobManager.awaitIdle("limrst")
+    val healthy = ctx.jobManager.limitsOf("limrst")
+    // doomed DEPLOY carrying a 1-group limit; the body fails AT LAUNCH
+    // (append-mode streaming aggregation with no watermark), past the
+    // stamp machinery like the stash/revert tests
+    intercept[Exception](ctx.sql(
+      "DEPLOY JOB limrst AS SELECT id, COUNT(*) AS n FROM live_events GROUP BY id " +
+        "WITH ('max_aggregation_groups' = '1')"))
+    // limits are speculative like the epoch: the doomed statement's
+    // 1-group cap must not stay attached to the last-good version
+    // (pre-fix it did — the one piece of launch state never reverted)
+    assert(ctx.jobManager.limitsOf("limrst") == healthy,
+      s"failed deploy's limits stuck: ${ctx.jobManager.limitsOf("limrst")}")
+    // and the last-good aggregating body relaunches + processes three
+    // groups cleanly
+    ctx.sql("ROLLBACK JOB limrst")
+    in.addData(Seq((2L, 2.0), (3L, 3.0)))
+    ctx.jobManager.awaitIdle("limrst")
+    ctx.jobManager.superviseOnce(autoRestart = false)
+    assert(ctx.sql("SHOW STATUS limrst").collect().head.getAs[String]("status") == "RUNNING")
+    ctx.sql("STOP JOB limrst")
+  }
+
+  test("r17 review: PAUSE of a query that already died reports FAILED, not a clean PAUSED") {
+    val (in, ctx) = memInput()
+    in.addData(Seq((1L, 99.0)))
+    // v >= 5 kills the query on its first batch
+    ctx.sql("START JOB deadpause AS SELECT id, assert_true(v < 5.0) AS chk FROM live_events")
+    try ctx.jobManager.awaitIdle("deadpause")
+    catch { case _: Exception => () }
+    // supervision has NOT ticked — the PAUSE itself discovers the death
+    val st = ctx.sql("PAUSE JOB deadpause").collect().head
+    assert(st.getAs[String]("status") == "FAILED",
+      s"a died-before-pause query must not read as cleanly PAUSED: $st")
+    assert(st.getAs[String]("error").nonEmpty)
+    // and a blind RESUME is refused (FAILED is not resumable)
+    intercept[Exception](ctx.sql("RESUME JOB deadpause"))
+  }
+
+  test("r17 review: a pre-binding launch failure cannot restore an ORPHANED crash stash over committed sink data") {
+    import spark.implicits._
+    val (in, ctx) = memInput()
+    ctx.register("rb_view", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    in.addData(Seq((1L, 10.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_orphan").toString
+    ctx.sql(s"CREATE SINK orph_out WITH (path = 'file://$dir/out.parquet')")
+    // v1: a BATCH body over rb_view (rollback target), INTO the sink
+    ctx.sql("START JOB orphjob AS CREATE STREAM ov AS SELECT id, v * 2 AS o FROM live_events INTO orph_out")
+    ctx.jobManager.awaitIdle("orphjob")
+    val declared = java.nio.file.Paths.get(dir, "out.parquet")
+    assert(spark.read.parquet(declared.toString).count() == 1)
+    // v2 deploys fine
+    ctx.sql("DEPLOY JOB orphjob AS CREATE STREAM ov AS SELECT id, v * 3 AS o FROM live_events INTO orph_out")
+    ctx.jobManager.awaitIdle("orphjob")
+    ctx.sql("PAUSE JOB orphjob")
+    // plant ORPHANED crash stashes (a previous process's crash between
+    // stash and checkpoint creation) for every plausible epoch number
+    for (ep <- 0 to 6) {
+      val t = declared.resolve(s".graft-trash-$ep")
+      java.nio.file.Files.createDirectories(t)
+      java.nio.file.Files.writeString(t.resolve("stale.txt"), "old")
+    }
+    val committed = spark.read.parquet(declared.toString).collect().map(_.getAs[Double]("o")).sorted
+    // make v1's relaunch fail at exec — BEFORE the launch ever binds or
+    // stashes the sink (rollback has no validator gate, so the analysis
+    // failure surfaces inside launch)
+    spark.catalog.dropTempView("live_events")
+    intercept[Exception](ctx.sql("ROLLBACK JOB orphjob"))
+    // pre-fix: revertEpochBump restored the failed epoch's ORPHAN —
+    // deleting every committed entry at the path (including
+    // _spark_metadata) and replacing it with stale.txt
+    val after = spark.read.parquet(declared.toString).collect().map(_.getAs[Double]("o")).sorted
+    assert(after.toSeq == committed.toSeq,
+      "committed sink data must survive a pre-binding launch failure")
+    for (ep <- 0 to 6)
+      assert(java.nio.file.Files.exists(declared.resolve(s".graft-trash-$ep").resolve("stale.txt")),
+        s"orphan $ep must stay in place for manual recovery")
+  }
 }
