@@ -488,9 +488,21 @@ object Similarity {
       .filter(v => v.forall(java.lang.Double.isFinite))
 
   /** Driver-local Lloyd k-means (the quantizer-training inner loop —
-    * pure CPU on the bounded sample, zero per-iteration job overhead). */
-  private def lloyd(sample: Array[Array[Double]], k: Int, dim: Int,
-                    maxIter: Int): Array[Double] = {
+    * pure CPU on the bounded sample, zero per-iteration job overhead).
+    *
+    * The ASSIGNMENT phase runs data-parallel across the sample (r17
+    * optimization): each point's nearest centroid depends only on
+    * (sample(i), cents) — no cross-point state — so a parallel range
+    * produces BIT-IDENTICAL assignments to the sequential loop, while
+    * the n·k·dim multiply-adds (the trainer's dominant cost: ~10⁹ at
+    * the shipped q52/q74/q75 geometries, ~1 s of single-threaded
+    * driver CPU per bench attempt) spread over every core. The UPDATE
+    * phase (centroid sums + empty-cell reseed) stays SEQUENTIAL in
+    * index order: float addition is order-sensitive, and keeping the
+    * exact historical summation order keeps every centroid — and thus
+    * every downstream ANN shortlist and recall number — byte-stable. */
+  private[operators] def lloyd(sample: Array[Array[Double]], k: Int, dim: Int,
+                               maxIter: Int): Array[Double] = {
     val n = sample.length
     val rnd = new java.util.Random(42)
     // init: k spread-out sample points (hash order ≈ random order)
@@ -500,9 +512,11 @@ object Similarity {
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      moved = false
-      var i = 0
-      while (i < n) { // assignment (L2)
+      val movedFlag = new java.util.concurrent.atomic.AtomicBoolean(iter == 0)
+      val iter0 = iter
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        // assignment (L2) — reads sample(i) + cents, writes assign(i):
+        // disjoint per index, deterministic regardless of schedule
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
@@ -512,12 +526,12 @@ object Similarity {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
-        i += 1
+        if (assign(i) != best || iter0 == 0) { assign(i) = best; movedFlag.set(true) }
       }
+      moved = movedFlag.get
       val sums = Array.fill(k)(new Array[Double](dim))
       val cnt = new Array[Int](k)
-      i = 0
+      var i = 0
       while (i < n) { // update
         val c = assign(i); cnt(c) += 1
         val v = sample(i); val s = sums(c)
@@ -835,12 +849,16 @@ object Similarity {
                                     maxIter: Int): Array[Double] = {
     val dsub = dim / m
     val out = new Array[Double](m * 256 * dsub)
-    var sub = 0
-    while (sub < m) {
+    // subspaces train INDEPENDENTLY (each its own slice array, its own
+    // lloyd run, its own disjoint region of `out`) — parallelizing the
+    // m trainings is bit-identical to the sequential loop and removes
+    // the other ~1 s single-threaded driver stall from the PQ bench
+    // paths (r17 optimization; lloyd's scaladoc has the determinism
+    // argument)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { sub =>
       val slices = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
       val cents = lloyd(slices, 256, dsub, maxIter)
       System.arraycopy(cents, 0, out, sub * 256 * dsub, cents.length)
-      sub += 1
     }
     out
   }

@@ -581,4 +581,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(pq.forall(_.getAs[Long]("query_id") == 0L), pq.mkString(","))
     assert(pq.nonEmpty)
   }
+
+  test("parallel Lloyd == sequential reference, bit for bit (r17 optimization)") {
+    // the r17 optimization runs lloyd's ASSIGNMENT phase data-parallel;
+    // this reference replays the ORIGINAL sequential loop verbatim, so
+    // any schedule-dependence (racy flag, reordered float adds, tie
+    // flips) in the parallel version shows up as a byte diff here
+    def seqLloyd(sample: Array[Array[Double]], k: Int, dim: Int, maxIter: Int): Array[Double] = {
+      val n = sample.length
+      val rnd = new java.util.Random(42)
+      val cents = Array.tabulate(k)(i =>
+        sample(if (n >= k) i * (n / k) else rnd.nextInt(n)).clone())
+      val assign = new Array[Int](n)
+      var iter = 0
+      var moved = true
+      while (iter < maxIter && moved) {
+        moved = false
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val cv = cents(c); val v = sample(i)
+            var d = 0.0; var j = 0
+            while (j < dim && d < bestD) { val t = v(j) - cv(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+          i += 1
+        }
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val cnt = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val c = assign(i); cnt(c) += 1
+          val v = sample(i); val s = sums(c)
+          var j = 0
+          while (j < dim) { s(j) += v(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (cnt(c) > 0) {
+            var j = 0
+            while (j < dim) { cents(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+          } else cents(c) = sample(rnd.nextInt(n)).clone()
+          c += 1
+        }
+        iter += 1
+      }
+      cents.flatten
+    }
+    val r = new scala.util.Random(7)
+    val sample = Array.fill(800)(Array.fill(8)(r.nextGaussian()))
+    // duplicated points force assignment TIES (lowest index must win on
+    // every schedule); k > distinct clusters exercises the reseed arm
+    val withTies = sample ++ sample.take(50)
+    for (k <- Seq(4, 16, 64)) {
+      val want = seqLloyd(withTies.map(_.clone()), k, 8, 10)
+      val got = Similarity.lloyd(withTies.map(_.clone()), k, 8, 10)
+      assert(java.util.Arrays.equals(got, want), s"parallel lloyd diverged at k=$k")
+    }
+  }
 }
