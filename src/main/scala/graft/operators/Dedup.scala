@@ -528,6 +528,10 @@ object Dedup {
       .select(col(idCol).as("_jid"), col(textCol).as("_jtxt"))
       .join(candIds, Seq("_jid"), "left_semi")
       .select(col("_jid"), shingles(col("_jtxt"), k).as("_jsh")))
+    // r17 optimization round re-measured this eager pin: REMOVING it is
+    // ~0.4 s SLOWER on the q24 shape even at bench scale (the two
+    // vector-fetch joins' broadcast builds each re-derive the candidate
+    // chain) — keep it.
     sh.count()
     p
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), "id_a")
