@@ -20,6 +20,71 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** JVM-cached javax.sound SPI providers (r17 optimization). EVERY
+    * `AudioSystem.getAudioInputStream`/`write` call re-scans the
+    * provider ServiceLoader inside `JDK13Services.getProviders`, a
+    * `static synchronized` method with NO caching on JDK 17 — measured:
+    * 32 decode threads ran at single-thread throughput with 31 of them
+    * BLOCKED on that monitor (the per-record ~200 µs *is* the scan, not
+    * the parse). On a multi-core executor the whole audio stage
+    * serializes process-wide. Caching the provider instances once per
+    * JVM removes the lock and the scan; the readers/writers themselves
+    * are stateless and already shared across threads by AudioSystem.
+    *
+    * ORDER SAFETY: AudioSystem picks the FIRST provider that accepts a
+    * stream, so caching must not change which provider that is. The six
+    * JDK readers accept disjoint magic/format classes (AIFF "FORM",
+    * AU ".snd", MIDI "MThd", and the three WAVE variants split by
+    * disjoint fmt codes: PCM vs FLOAT vs EXTENSIBLE), so acceptance is
+    * order-independent and any order yields AudioSystem's answer. WAVE
+    * readers are tried first (the dominant payload here) and the
+    * synthetic-MIDI reader last — its parse attempt re-enters the same
+    * global JDK13Services lock via MidiSystem, which is exactly what
+    * this cache exists to avoid (it now runs only for payloads nothing
+    * else accepts). The writer rule replicates AudioSystem.write: first
+    * writer whose isFileTypeSupported(type, stream) holds (JDK WAVE
+    * writers are likewise disjoint: PCM vs FLOAT encodings).
+    * AudioSpiParitySpec pins open/write equality against AudioSystem
+    * across WAV/AU/float-WAV/garbage/truncated payloads. */
+  private[operators] object AudioSpi {
+    import javax.sound.sampled.{AudioInputStream, UnsupportedAudioFileException}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    lazy val readers: Array[AudioFileReader] = {
+      val all = java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toArray
+      val (wave, rest) = all.partition(_.getClass.getSimpleName.startsWith("Wave"))
+      val (midi, other) = rest.partition(_.getClass.getSimpleName.contains("Midi"))
+      wave ++ other ++ midi
+    }
+    lazy val writers: Array[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toArray
+    /** AudioSystem.getAudioInputStream semantics without the global
+      * lock: first accepting reader wins; UnsupportedAudioFileException
+      * means "not mine, try the next"; other exceptions (IO, hostile
+      * headers) propagate to the caller's bad-record handling, as
+      * AudioSystem's do. Returns null when NO reader accepts (callers
+      * here treat AudioSystem's UnsupportedAudioFileException and null
+      * identically — a bad record). A fresh ByteArrayInputStream per
+      * attempt replaces AudioSystem's mark/reset dance. */
+    def open(bytes: Array[Byte]): AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        try return readers(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: UnsupportedAudioFileException => () }
+        i += 1
+      }
+      null
+    }
+    /** AudioSystem.write(ais, WAVE, out) semantics without the lock. */
+    def writeWave(ais: AudioInputStream, out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val w = writers.find(_.isFileTypeSupported(t, ais)).getOrElse(
+        throw new IllegalArgumentException(s"could not write audio file: file type not supported: $t"))
+      w.write(ais, t, out)
+      ()
+    }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -334,7 +399,10 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // AudioSpi, not AudioSystem.write: the latter re-scans providers
+    // under a JVM-global lock per call, serializing the whole encode
+    // stage across executor cores (see AudioSpi)
+    AudioSpi.writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -390,10 +458,14 @@ object Multimodal {
           // decoder below handles (r15 review). Shorter garbage still
           // short-circuits; 24-43-byte garbage just pays one rejected
           // getAudioInputStream call.
+          // AudioSpi.open, not AudioSystem.getAudioInputStream: same
+          // first-accepting-reader result (AudioSpiParitySpec), without
+          // the per-record provider re-scan under a JVM-global lock that
+          // serialized this stage across all executor cores (r17
+          // optimization; AudioSpi scaladoc has the measurement)
           val ais =
             if (bytes == null || bytes.length < 24) null
-            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            else try AudioSpi.open(bytes)
             catch { case scala.util.control.NonFatal(_) => null }
           // header_rate is byte-derived — a payload the DECODER rejects
           // can still carry a readable fmt chunk (fmtSampleRate is
