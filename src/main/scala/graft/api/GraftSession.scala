@@ -34,6 +34,22 @@ object GraftSession {
       // PRE-EXISTING session this (like master) cannot apply — a perf
       // niggle, not a correctness one, so no warning beyond master's.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // Hadoop confs ride the builder (sc.hadoopConfiguration is built
+      // from SparkConf at context creation). Scheme-scoped to file://,
+      // inert on hdfs://s3a:// deployments: Hadoop's default LocalFileSystem
+      // is ChecksumFileSystem — every local write carries a client-side
+      // .crc SIDECAR file (2x the file ops, CRC32 over every byte) and
+      // every read re-verifies it. That client-side layer exists for
+      // filesystems without integrity guarantees of their own; parquet
+      // already carries page-level checksums and production checkpoints
+      // live on HDFS/S3 (which checksum server-side), so on local paths
+      // it is pure per-file overhead — measured r17: the streaming
+      // one-shots spent whole batches in sidecar create/rename (and,
+      // with no libhadoop.so in this environment, Hadoop shells out
+      // fork/exec per permission probe on those extra files).
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     // getOrCreate RETURNS any pre-existing session with builder configs
     // silently IGNORED — a correctness trap (non-UTC timezone shifts
@@ -79,8 +95,35 @@ object GraftSession {
       // reference dialect has no such in-statement substitution; its
       // ${VAR} application-header resolution is implemented separately
       // in SqlApp.resolvePattern (r13 review).
-      "spark.sql.variable.substitute" -> "false"
+      "spark.sql.variable.substitute" -> "false",
+      // Spark 4.1's NEW per-checkpoint-file checksum sidecars (default
+      // on) double every checkpoint file op — each offsets/commit-log
+      // entry, state-store delta and sink-manifest write ALSO creates,
+      // writes and renames a .checksum file through a spawned thread,
+      // and every read re-verifies. That is a per-batch latency tax at
+      // EVERY scale (it grows with state partitions), guarding against
+      // silent corruption the storage layer already checksums (HDFS
+      // client CRCs, S3 ETags, parquet page checksums). Measured r17:
+      // the streaming quartet's micro-batch floor dropped ~30% with the
+      // sidecars off. Runtime-settable — a deployment that wants the
+      // tripwire back can re-enable it on the returned session.
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"
     ).foreach { case (k, v) => spark.conf.set(k, v) }
+    // DEPLOYMENT-KEYED checkpoint I/O choice (kept parameterised, not a
+    // blanket local[32] tune): Spark prefers the FileContext-based
+    // checkpoint manager because FileContext.rename(OVERWRITE) is atomic
+    // on HDFS — the right call for a multi-driver cluster. On a LOCAL
+    // master the checkpoint lives on the local fs where plain rename(2)
+    // is already atomic, while FileContext's path resolution must chase
+    // symlinks through getFileLinkStatus — which, without libhadoop.so,
+    // Hadoop implements by fork/exec'ing `stat` PER FILE PER BATCH
+    // (measured r17: the dominant sampled frames of the streaming
+    // micro-batch floor). The FileSystem-based manager does the same
+    // create-temp-then-rename protocol through java.io. Cluster masters
+    // keep Spark's default; runtime-settable for embedders either way.
+    if (spark.sparkContext.master.startsWith("local"))
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
     spark.sparkContext.setLogLevel("WARN")
     // the engine's native kernels are part of its SQL surface
     graft.functions.GraftKernels.registerSqlFunctions(spark)
