@@ -14,6 +14,9 @@ object StreamProf {
     import scala.jdk.CollectionConverters._
     val hist = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val states = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val deep = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private val deepPats: Seq[String] = sys.env.get("SPARK_GRAFT_PROF_DEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     @volatile private var running = true
     private val t = new Thread(() => {
       while (running) {
@@ -30,6 +33,16 @@ object StreamProf {
           val key = s"${top.getClassName}.${top.getMethodName} | $sparkFrame"
           hist.computeIfAbsent(key,
             _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+          // FULL-stack capture for suspect frames (SPARK_GRAFT_PROF_DEEP:
+          // comma-separated substrings): the two-frame histogram above
+          // can't attribute e.g. a forkAndExec to the caller that forked
+          for (pat <- deepPats if frames.exists(f =>
+                 s"${f.getClassName}.${f.getMethodName}".contains(pat))) {
+            val stackKey = frames.take(18).map(f =>
+              s"${f.getClassName}.${f.getMethodName}").mkString(" <- ")
+            deep.computeIfAbsent(s"[$pat] $stackKey",
+              _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+          }
         }
         Thread.sleep(periodMs)
       }
@@ -41,6 +54,12 @@ object StreamProf {
       System.err.println(s"[sprof] === sampler $label: thread states ${states.asScala.map { case (k, v) => s"$k=${v.get}" }.mkString(" ")}")
       hist.asScala.toSeq.sortBy(-_._2.get).take(topN).foreach { case (k, v) =>
         System.err.println(f"[sprof]   ${v.get}%6d  $k")
+      }
+      if (!deep.isEmpty) {
+        System.err.println(s"[sprof] === deep stacks ($label):")
+        deep.asScala.toSeq.sortBy(-_._2.get).take(12).foreach { case (k, v) =>
+          System.err.println(f"[sprof]  deep ${v.get}%5d  $k")
+        }
       }
     }
   }

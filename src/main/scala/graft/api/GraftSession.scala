@@ -47,7 +47,12 @@ object GraftSession {
       // one-shots spent whole batches in sidecar create/rename (and,
       // with no libhadoop.so in this environment, Hadoop shells out
       // fork/exec per permission probe on those extra files).
-      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // GraftLocalFileSystem = RawLocalFileSystem minus client-side
+      // permission ENFORCEMENT: setPermission without libhadoop is a
+      // fork/exec of chmod per created file, and the state-store
+      // provider pays it INSIDE StateStore's JVM-global provider lock
+      // (stack-sampled r17 — see GraftLocalFileSystem's scaladoc).
+      .config("spark.hadoop.fs.file.impl", "graft.api.GraftLocalFileSystem")
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
