@@ -451,9 +451,10 @@ object Bench {
       val slowFinal = rs.count(_._2.guard > slowGate)
       s"""{"run":${i + 1},"total":${sec3(s.total)},"sentinel_min":${sec3(s.sentinelMin)},"sentinel_med":${sec3(s.sentinelMed)},"sentinel_max":${sec3(s.sentinelMax)},"n_slow_windows":$slowFinal}"""
     }.mkString("[", ",", "]")
-    // stdout line stays COMPACT (rounded secs, no rows/error detail): the
-    // driver only captures the last few KB of stdout, and a long line gets
-    // cut mid-object → unparseable. Full detail goes to bench_out.json.
+    // stdout line stays COMPACT (rounded secs, no rows/error detail, no
+    // adjudication rows): the driver only captures the last few KB of
+    // stdout, and a long line gets cut mid-object → unparseable. Full
+    // detail goes to bench_out.json.
     val recallJson = recallEntries match {
       case Right(rs) => rs.map(e =>
         s"""${jstr(e.key)}:{"recall":${sec3(e.recall)},"floor":${sec3(e.floor)},"n_exact":${e.nExact},"ok":${e.ok}}""")
@@ -468,7 +469,10 @@ object Bench {
       rs => s""","ann_recall_ok":${rs.forall(_.ok)}""")
     // isolated-min-of-2 adjudication rows (absent unless requested):
     // sec = committed isolated minimum, attempts carry each pass's raw
-    // seconds + sentinel guard so the window quality is in-artifact
+    // seconds + sentinel guard so the window quality is in-artifact.
+    // FILE artifact only — adjudication entries are unbounded (one per
+    // requested query × attempts) and were part of what pushed the r16
+    // stdout line past the driver's tail capture
     val adjudicationField = adjudication.fold("") { entries =>
       val body = entries.map { case (name, attempts) =>
         val best = attempts.filter(_.r.err.isEmpty).map(_.r.sec)
@@ -481,8 +485,19 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","adjudication":$body"""
     }
+    // BOUNDED stdout line (r17 verdict item 1): the driver's archived
+    // tail keeps only the LAST ~2 KB of stdout, and the r16 line had
+    // grown (adjudication entries, sibling detail) until the tail cut
+    // it mid-object — an unparseable artifact and a blind PERF round.
+    // Two defenses: (a) everything unbounded (adjudication rows,
+    // queries_norm, rows, guards, sibling_seals) lives ONLY in the
+    // file artifact — the stdout line is a fixed-size summary; (b) the
+    // per-query dict and sf ride LAST, so even a 2 KB tail slice of the
+    // line still contains every per-query number intact for regex
+    // recovery. Field ORDER is free to a JSON parser — every key the
+    // driver reads is unchanged.
     val stdoutJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"n_errors":${results.count(_._2.r.err.isDefined)},"error_queries":$errNames,"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"runs":$runsJson,"ann_recall":$recallJson$recallOkField$adjudicationField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_errors":${results.count(_._2.r.err.isDefined)},"error_queries":$errNames,"sentinel_baseline":${sec3(sentinelBaseline)},"n_slow_windows":$nSlow,"runs":$runsJson,"ann_recall":$recallJson$recallOkField,$configJson,"head":${jstr(JsonOut.gitHead())},"queries":$qs,"sf":${jstr(sfDir)}}"""
     val fullJson =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"query_run":$qRun,"rows":$rowsJson,"errors":$errs,"n_errors":${results.count(_._2.r.err.isDefined)},"sentinel":{"baseline":${sec3(sentinelBaseline)},"baseline_calibration":${sec3(calibrationBaseline)},"slow_gate":${sec3(slowGate)},"guards":$guards,"retimed":$retimed,"n_slow_windows":$nSlow},"runs":$runsJson,"ann_recall":$recallJson$recallOkField$adjudicationField,$configJson,"head":${jstr(JsonOut.gitHead())},"sf":${jstr(sfDir)}}"""
     println(stdoutJson)
