@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * AQE-coalesced on a real cluster.
   */
 object GraftSession {
+  /** The ONE predicate behind the local-only checkpoint-I/O tunings
+    * below (manager class + checksum sidecars): keyed on the ACTUAL
+    * master of the (possibly pre-existing) session, so a cluster
+    * deployment keeps Spark's defaults even if the embedder asked this
+    * factory for a local master. */
+  def localCheckpointTuning(master: String): Boolean = master.startsWith("local")
+
   def apply(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -100,35 +107,40 @@ object GraftSession {
       // reference dialect has no such in-statement substitution; its
       // ${VAR} application-header resolution is implemented separately
       // in SqlApp.resolvePattern (r13 review).
-      "spark.sql.variable.substitute" -> "false",
-      // Spark 4.1's NEW per-checkpoint-file checksum sidecars (default
-      // on) double every checkpoint file op — each offsets/commit-log
-      // entry, state-store delta and sink-manifest write ALSO creates,
-      // writes and renames a .checksum file through a spawned thread,
-      // and every read re-verifies. That is a per-batch latency tax at
-      // EVERY scale (it grows with state partitions), guarding against
-      // silent corruption the storage layer already checksums (HDFS
-      // client CRCs, S3 ETags, parquet page checksums). Measured r17:
-      // the streaming quartet's micro-batch floor dropped ~30% with the
-      // sidecars off. Runtime-settable — a deployment that wants the
-      // tripwire back can re-enable it on the returned session.
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"
+      "spark.sql.variable.substitute" -> "false"
     ).foreach { case (k, v) => spark.conf.set(k, v) }
-    // DEPLOYMENT-KEYED checkpoint I/O choice (kept parameterised, not a
-    // blanket local[32] tune): Spark prefers the FileContext-based
-    // checkpoint manager because FileContext.rename(OVERWRITE) is atomic
-    // on HDFS — the right call for a multi-driver cluster. On a LOCAL
-    // master the checkpoint lives on the local fs where plain rename(2)
-    // is already atomic, while FileContext's path resolution must chase
-    // symlinks through getFileLinkStatus — which, without libhadoop.so,
-    // Hadoop implements by fork/exec'ing `stat` PER FILE PER BATCH
-    // (measured r17: the dominant sampled frames of the streaming
-    // micro-batch floor). The FileSystem-based manager does the same
-    // create-temp-then-rename protocol through java.io. Cluster masters
-    // keep Spark's default; runtime-settable for embedders either way.
-    if (spark.sparkContext.master.startsWith("local"))
+    // DEPLOYMENT-KEYED checkpoint I/O choices (kept parameterised, not a
+    // blanket local[32] tune). On a LOCAL master the checkpoint lives on
+    // the local fs, so two Spark defaults that exist to guard
+    // remote/multi-writer storage are pure per-batch latency tax:
+    // 1. Spark prefers the FileContext-based checkpoint manager because
+    //    FileContext.rename(OVERWRITE) is atomic on HDFS — the right
+    //    call for a multi-driver cluster. Locally plain rename(2) is
+    //    already atomic, while FileContext's path resolution must chase
+    //    symlinks through getFileLinkStatus — which, without
+    //    libhadoop.so, Hadoop implements by fork/exec'ing `stat` PER
+    //    FILE PER BATCH (measured r17: the dominant sampled frames of
+    //    the streaming micro-batch floor). The FileSystem-based manager
+    //    does the same create-temp-then-rename protocol through java.io.
+    // 2. Spark 4.1's per-checkpoint-file checksum sidecars (default on)
+    //    double every checkpoint file op — each offsets/commit-log
+    //    entry, state-store delta and sink-manifest write ALSO creates,
+    //    writes and renames a .checksum file through a spawned thread,
+    //    and every read re-verifies. Measured r17: the streaming
+    //    quartet's micro-batch floor dropped ~30% with the sidecars
+    //    off. A local fs is single-writer and the payloads are
+    //    re-derivable test state, so the tripwire buys nothing here;
+    //    CLUSTER masters keep Spark's default (r17 verdict: disabling
+    //    it unconditionally would silently remove the end-to-end
+    //    integrity check on HDFS/S3 deployments, where storage-level
+    //    checksums do not cover the client-side write path end-to-end).
+    // Cluster masters keep Spark's defaults for both; each is a runtime
+    // conf an embedder can override either way.
+    if (localCheckpointTuning(spark.sparkContext.master)) {
       spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
         "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    }
     spark.sparkContext.setLogLevel("WARN")
     // the engine's native kernels are part of its SQL surface
     graft.functions.GraftKernels.registerSqlFunctions(spark)

