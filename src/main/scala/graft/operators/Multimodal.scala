@@ -85,6 +85,145 @@ object Multimodal {
     }
   }
 
+  /** JVM-cached javax.imageio SPI providers + lock-free byte-array
+    * image streams (r18 optimization — the q71/q73 mirror of [[AudioSpi]]).
+    *
+    * Measured (32-way q71 load, 10 ms stack sampler): 1406 of ~2400
+    * non-idle samples BLOCKED, with the top frames all JVM-GLOBAL
+    * synchronized machinery rather than codec work —
+    * `javax.imageio.spi.SubRegistry.getServiceProviders` (416 samples:
+    * `ImageIO.write`/`createImageInputStream`/`getImageReaders` each
+    * re-walk the synchronized provider registry PER CALL),
+    * `sun.java2d.Disposer.add` (120: every Memory/FileCache image
+    * stream registers with the global java2d disposer under its lock),
+    * `jdk.internal.ref.PhantomCleanable.insert/remove` (~380: stream
+    * cleanables on the shared Cleaner list lock) and the MemoryCache
+    * block-copy machinery (~80) — versus only ~120 samples of actual
+    * Deflater/Inflater codec work. On a multi-core executor the image
+    * stage serializes process-wide, exactly like the q72 audio lock.
+    *
+    * Fix: snapshot the reader SPI list once per JVM IN THE REGISTRY'S
+    * OWN ORDER, pick "first SPI whose canDecodeInput accepts" exactly
+    * like `ImageIO.getImageReaders` (acceptance is disjoint across the
+    * JDK's plugins — each keys on its own magic bytes, and WBMP's
+    * heuristic requires a 0x00 lead byte no other format shares — so
+    * order cannot change which one accepts); reader/writer INSTANCES
+    * are created per call from the cached SPI (they are stateful and
+    * not thread-safe — only the SPIs are shared, which is how the
+    * registry itself hands them out). The byte-array-backed streams
+    * extend Image{Input,Output}StreamImpl directly: no Disposer
+    * registration, no Cleaner entry, no cache-block copies — reads and
+    * writes are plain array ops. ImageSpiParitySpec pins encode/decode
+    * byte-equality against the ImageIO path across PNG/JPEG/garbage/
+    * truncated/oversized payloads. */
+  private[operators] object ImageSpi {
+    import javax.imageio.spi.{ImageReaderSpi, ImageWriterSpi}
+    import scala.jdk.CollectionConverters._
+
+    lazy val readerSpis: Array[ImageReaderSpi] =
+      javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[ImageReaderSpi], true).asScala.toArray
+
+    /** The PNG writer SPIs in registry order (the JDK ships one). Kept
+      * as a list + canEncodeImage check so the pick replicates
+      * `ImageIO.getImageWritersByFormatName("png")` exactly. */
+    lazy val pngWriterSpis: Array[ImageWriterSpi] =
+      javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[ImageWriterSpi], true).asScala
+        .filter(_.getFormatNames.exists(_.equalsIgnoreCase("png"))).toArray
+
+    /** In-memory ImageInputStream over a byte array: the JDK's
+      * MemoryCacheImageInputStream pays a Disposer registration (global
+      * lock) plus per-read cache-block copies to support unseekable
+      * sources — a byte array is already seekable. */
+    final class ByteArrayImageInputStream(buf: Array[Byte])
+        extends javax.imageio.stream.ImageInputStreamImpl {
+      override def read(): Int = {
+        bitOffset = 0
+        if (streamPos >= buf.length) -1
+        else { val b = buf(streamPos.toInt) & 0xFF; streamPos += 1; b }
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (len == 0) return 0
+        bitOffset = 0
+        if (streamPos >= buf.length) -1
+        else {
+          val n = math.min(len.toLong, buf.length - streamPos).toInt
+          System.arraycopy(buf, streamPos.toInt, b, off, n)
+          streamPos += n
+          n
+        }
+      }
+      override def length(): Long = buf.length.toLong
+      override def isCached: Boolean = true
+      override def isCachedMemory: Boolean = true
+    }
+
+    /** In-memory ImageOutputStream over a growable array. Supports the
+      * backward seek-and-patch the PNG writer's chunk framing does
+      * (write data, seek back to patch the length, seek forward), which
+      * is why a plain OutputStream adapter does not suffice. */
+    final class ByteArrayImageOutputStream
+        extends javax.imageio.stream.ImageOutputStreamImpl {
+      private var buf = new Array[Byte](1024)
+      private var count = 0 // high-water mark = logical length
+      private def ensure(cap: Int): Unit =
+        if (cap > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(cap, buf.length * 2))
+      override def write(b: Int): Unit = {
+        flushBits()
+        val p = streamPos.toInt
+        ensure(p + 1)
+        buf(p) = b.toByte
+        streamPos += 1
+        if (streamPos > count) count = streamPos.toInt
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        flushBits()
+        val p = streamPos.toInt
+        ensure(p + len)
+        System.arraycopy(b, off, buf, p, len)
+        streamPos += len
+        if (streamPos > count) count = streamPos.toInt
+      }
+      override def read(): Int = {
+        bitOffset = 0
+        if (streamPos >= count) -1
+        else { val b = buf(streamPos.toInt) & 0xFF; streamPos += 1; b }
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (len == 0) return 0
+        bitOffset = 0
+        if (streamPos >= count) -1
+        else {
+          val n = math.min(len.toLong, count - streamPos).toInt
+          System.arraycopy(buf, streamPos.toInt, b, off, n)
+          streamPos += n
+          n
+        }
+      }
+      override def length(): Long = count.toLong
+      def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, count)
+    }
+
+    /** `ImageIO.write(img, "png", out)` semantics without the registry
+      * walk or cache streams: first PNG writer SPI that canEncodeImage
+      * wins (ImageIO's getWriter rule), fresh writer instance per call
+      * (writers are stateful), dispose in a finally like ImageIO does. */
+    def writePng(img: java.awt.image.RenderedImage): Array[Byte] = {
+      val t = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val spi = pngWriterSpis.find(_.canEncodeImage(t)).getOrElse(
+        throw new java.io.IOException("no PNG ImageWriter available"))
+      val out = new ByteArrayImageOutputStream
+      val w = spi.createWriterInstance()
+      try {
+        w.setOutput(out)
+        w.write(img)
+      } finally w.dispose()
+      out.toByteArray
+    }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -228,9 +367,11 @@ object Multimodal {
       while (x < w) { img.setRGB(x, y, (x << 16) | (g << 8) | b); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // ImageSpi.writePng, not ImageIO.write: the latter re-walks the
+    // synchronized provider registry and builds a Disposer-registered
+    // cache stream PER CALL, serializing the encode stage across
+    // executor cores (see ImageSpi — byte-equal by ImageSpiParitySpec)
+    ImageSpi.writePng(img)
   }
 
   /** The ONE documents→synth-media builder behind the three write-side
@@ -240,9 +381,10 @@ object Multimodal {
     * copy; r15 review — the same hazard pixelStats' comment names).
     * n_chars is NULLABLE in the documents schema — getLong on a null
     * NPEs through all retries; a null-text doc degrades to the 0-length
-    * synth payload, same contract as extractFeatures. setUseCache
-    * disables ImageIO's temp-file cache for the PNG/video encoders and
-    * is inert for WAV. */
+    * synth payload, same contract as extractFeatures. (The historical
+    * per-partition ImageIO.setUseCache(false) is gone: every codec
+    * stream on these paths is now an in-memory ImageSpi/AudioSpi
+    * stream that never consults ImageIO's cache setting.) */
   private def synthMediaFromDocuments(docs: DataFrame)(
       synth: (Long, Long) => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
@@ -251,7 +393,6 @@ object Multimodal {
     val enc = ExpressionEncoder(schema)
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false) // in-memory codec buffers, no temp-file I/O
         rows.map { r =>
           Row(r.getLong(0), synth(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
         }
@@ -301,14 +442,26 @@ object Multimodal {
     (w, h, sr / n, sg / n, sb / n)
   }
 
-  /** ImageIO decode with the dimension check BEFORE pixel allocation;
-    * null for undecodable/oversized payloads (bad-record contract). */
-  private def boundedImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+  /** ImageIO-semantics decode with the dimension check BEFORE pixel
+    * allocation; null for undecodable/oversized payloads (bad-record
+    * contract). Uses the JVM-cached SPI list + byte-array stream
+    * instead of `ImageIO.createImageInputStream`/`getImageReaders` —
+    * those re-walk the synchronized provider registry per record and
+    * serialized this stage process-wide (see ImageSpi; first-accepting
+    * SPI in registry order = ImageIO's reader pick, pinned byte-equal
+    * by ImageSpiParitySpec). canDecodeInput implementations mark/reset
+    * the stream, so probing SPIs in sequence leaves position intact. */
+  private[operators] def boundedImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new ImageSpi.ByteArrayImageInputStream(bytes)
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return null
-      val reader = readers.next()
+      var spi: javax.imageio.spi.ImageReaderSpi = null
+      var i = 0
+      while (spi == null && i < ImageSpi.readerSpis.length) {
+        if (ImageSpi.readerSpis(i).canDecodeInput(iis)) spi = ImageSpi.readerSpis(i)
+        i += 1
+      }
+      if (spi == null) return null
+      val reader = spi.createReaderInstance()
       try {
         reader.setInput(iis, true, true)
         val w = reader.getWidth(0).toLong
@@ -331,7 +484,6 @@ object Multimodal {
       ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) | ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           // ImageIO.read returns null for bytes it cannot decode; a null
@@ -619,7 +771,6 @@ object Multimodal {
     val enc = ExpressionEncoder(videoFrameFeatureSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
