@@ -41,6 +41,27 @@ object GraftSession {
       // PRE-EXISTING session this (like master) cannot apply — a perf
       // niggle, not a correctness one, so no warning beyond master's.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // Shuffle WRITER choice for no-map-side-combine exchanges (core
+      // conf — must ride the builder). Spark's default bypass-merge
+      // writer kicks in whenever reduce partitions <= 200 and opens ONE
+      // FILE PER REDUCE PARTITION per map task, then re-writes every
+      // byte concatenating them (copyFileStreamNIO) into the final
+      // shuffle file. A 32-thread stack sample of the LSH-verify family
+      // (r18) showed that machinery as the dominant non-idle cost:
+      // 1791 samples in DiskBlockObjectWriter file opens + 2928 in the
+      // concat, versus negligible query compute. Threshold 1 routes
+      // these exchanges to the serialized (Unsafe) writer: one spill
+      // file per map task, no concat pass, bytes written once.
+      // Scale story: at 100 TB reduce counts exceed 200 and bypass
+      // never fires either way — this only affects the small-R regime,
+      // where the per-task R file creates + full extra write round are
+      // overhead on ANY cluster (they scale with M x R, not with this
+      // sandbox). Measured (interleaved min-of-6, same windows):
+      // q57 -31%, q38 -38%, q69 -28%, q24 -30%, q70 -27%, q60 -20%;
+      // map-side-combine aggregates (q16) and broadcast joins (q4)
+      // unchanged. Deployments with huge per-task map outputs at small
+      // R can restore the 200 default at session build.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // Hadoop confs ride the builder (sc.hadoopConfiguration is built
       // from SparkConf at context creation). Scheme-scoped to file://,
       // inert on hdfs://s3a:// deployments: Hadoop's default LocalFileSystem

@@ -211,6 +211,70 @@ class DedupQualitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("r18: fused closure round == the unfused r17 loop — same labels, same round count") {
+    import spark.implicits._
+    // The r18 fusion rewrote each round (union+agg propagate, observed
+    // convergence count) claiming a BIT-IDENTICAL label trajectory.
+    // Reference: the r17 loop replayed verbatim below. The trajectory
+    // pin is (a) identical final labels and (b) identical convergence
+    // round — asserted by running the production loop with
+    // maxIterations == the reference's round count (must succeed) and
+    // == count-1 (must throw non-convergence).
+    def referenceRounds(pairs: org.apache.spark.sql.DataFrame): (Map[Long, Long], Int) = {
+      val edges = pairs
+        .where(col("id_a").isNotNull && col("id_b").isNotNull)
+        .select(explode(array(
+          struct(col("id_a").as("u"), col("id_b").as("v")),
+          struct(col("id_b").as("u"), col("id_a").as("v")))).as("_e"))
+        .select(col("_e.u").as("u"), col("_e.v").as("v"))
+        .distinct().localCheckpoint()
+      var labels = edges.groupBy(col("u").as("id"))
+        .agg(least(min(col("v")), col("u")).as("cluster_id")).cache()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "v").withColumnRenamed("cluster_id", "nl"), Seq("v"))
+          .groupBy(col("u").as("id")).agg(min(col("nl")).as("nmin"))
+        val prop = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        val hop = prop.select(col("id").as("cluster_id"), col("cluster_id").as("_grand"))
+        val doubled = prop.join(hop, Seq("cluster_id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("_grand"), col("cluster_id"))).as("cluster_id"))
+        val next = if ((iter + 1) % 4 == 0) doubled.localCheckpoint() else doubled.cache()
+        val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+          .where(col("cluster_id") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      assert(converged)
+      (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, iter)
+    }
+    val prnd = new scala.util.Random(23)
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      // multi-round: a 64-node path needs several doubling rounds
+      "path64" -> (0L until 63L).map(i => (i, i + 1)),
+      "two components + duplicate edges" ->
+        (Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)) ++ Seq((2L, 1L), (3L, 2L))),
+      "random" -> Seq.fill(80)((prnd.nextInt(100).toLong, prnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b })
+    graphs.foreach { case (tag, edges) =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val (want, rounds) = referenceRounds(pairs)
+      val got = Dedup.clusterPairs(pairs, maxIterations = rounds, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"graph '$tag': labels diverge from the unfused reference")
+      if (rounds > 1) {
+        val e = intercept[IllegalStateException](
+          Dedup.clusterPairs(pairs, maxIterations = rounds - 1, localThreshold = 0L).collect())
+        assert(e.getMessage.contains("did not converge"), s"graph '$tag': round count drifted")
+      }
+    }
+  }
+
   test("clusterPairs: disjoint cliques get distinct min-id labels") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
